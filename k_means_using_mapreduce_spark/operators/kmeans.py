@@ -1,0 +1,253 @@
+"""K-Means — the reference's entire analytics surface, Spark-first.
+
+The reference implements Lloyd's algorithm as hand-rolled MapReduce over
+gRPC (master.py / mapper.py / reducer.py). This module re-expresses each
+stage as a pure DataFrame transformation so Catalyst/Tungsten own the
+physical plan:
+
+- ``assign``  : O7 broadcast + O8 nearest-centroid + O9 distance
+  (reference mapper.py:42-66). A single narrow projection — no join, no
+  shuffle; centroid literals are folded into whole-stage codegen.
+- ``update``  : O13 group-by + O14 AVG + O15 COUNT (reference
+  reducer.py:33-51). ``groupBy(cid)`` hash aggregation — Spark adds the
+  map-side partial aggregate the reference lacks (its single-phase
+  reducer owns a whole key; reducer.py:45).
+- ``one_step``: one Lloyd iteration = assign ∘ update.
+- ``sse``     : within-cluster sum of squared errors (the convergence
+  quality metric implicit in the reference's logged runs).
+- ``kmeans_fit``: O4 seeded init + O17 gather + O18 fixpoint test + O19
+  driver loop (reference master.py:27-34, 110-150), with the reference's
+  bugs *fixed* (see Policy notes).
+
+Policy notes (documented deviations from reference bugs — SURVEY.md §5.5):
+
+- Tie-break: lowest centroid id wins, matching the reference's strict
+  ``<`` (mapper.py:63).
+- Empty clusters keep their previous centroid (the reference silently
+  drops them — reducer.py:42-51 produces no key, master.py:130-136 then
+  shrinks K).
+- Convergence compares centroids matched *by id* (the reference compares
+  positionally after a nondeterministic as_completed gather —
+  master.py:110-126,144 — so permuted-but-identical centroid sets fail
+  and the loop runs extra iterations; observed in dump.txt:15 vs :32).
+- K > num-shuffle-partitions loses nothing (the reference's
+  ``cid - 1 % R`` precedence bug drops clusters when K > R —
+  mapper.py:69).
+
+Scale notes: the input is cached once before the loop (the reference
+re-reads the whole dataset in the driver *and* in every mapper, every
+iteration — master.py:45, mapper.py:35). Per iteration, only K×D floats
+cross to the driver (the reference hauls *all N assignments* through the
+master — master.py:71,85). Each iteration's plan is rebuilt from the
+cached DataFrame with new centroid literals, so lineage does not grow
+with iteration count.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import argmin_centroid, sq_dist_expr
+
+Centroids = Sequence[tuple[int, Sequence[float]]]
+
+
+def assign(
+    df: DataFrame,
+    centroids: Centroids,
+    features_col: str = "features",
+    keep_dist: bool = True,
+) -> DataFrame:
+    """Tag every row with its nearest centroid id (column ``cid``) and,
+    optionally, the squared distance (column ``sq_dist``).
+
+    Narrow, shuffle-free; equivalent relational form is a broadcast cross
+    join + per-row arg-min (the oracle SQL uses exactly that shape).
+    """
+    cid, d2 = argmin_centroid(F.col(features_col), centroids)
+    out = df.withColumn("cid", cid)
+    if keep_dist:
+        out = out.withColumn("sq_dist", d2)
+    return out
+
+
+def update(
+    assigned: DataFrame,
+    features_col: str = "features",
+    cid_col: str = "cid",
+) -> DataFrame:
+    """New centroid = per-cluster elementwise mean; returns
+    ``(cid, n, centroid: array<double>)``.
+
+    posexplode → two-level hash aggregate. The per-(cid, dim) partial
+    aggregate is combined map-side, so the shuffle carries at most
+    K×D×partitions rows regardless of N — this is what makes the update
+    scale where the reference's single-reducer-per-key mean
+    (reducer.py:45) cannot.
+
+    Empty clusters are absent from the output (matching the raw
+    reference operator); ``kmeans_fit`` applies the keep-old-centroid
+    policy on top.
+    """
+    exploded = assigned.select(
+        cid_col, F.posexplode(features_col).alias("dim", "val")
+    )
+    per_dim = exploded.groupBy(cid_col, "dim").agg(
+        F.avg("val").alias("mean"), F.count("*").alias("n")
+    )
+    return (
+        per_dim.groupBy(cid_col)
+        .agg(
+            F.first("n").alias("n"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "mean"))),
+                lambda s: s["mean"],
+            ).alias("centroid"),
+        )
+        .select(F.col(cid_col).alias("cid"), "n", "centroid")
+    )
+
+
+def one_step(
+    df: DataFrame, centroids: Centroids, features_col: str = "features"
+) -> DataFrame:
+    """One Lloyd iteration: assign then update."""
+    return update(assign(df, centroids, features_col, keep_dist=False), features_col)
+
+
+def sse(
+    df: DataFrame, centroids: Centroids, features_col: str = "features"
+) -> DataFrame:
+    """Total within-cluster SSE as a 1-row DataFrame (column ``sse``)."""
+    a = assign(df, centroids, features_col, keep_dist=True)
+    return a.agg(F.sum("sq_dist").alias("sse"))
+
+
+@dataclass
+class KMeansResult:
+    centroids: list[tuple[int, list[float]]]  # sorted by cid
+    iterations: int
+    converged: bool
+    sse: float
+    cluster_sizes: dict[int, int]
+
+
+def _update_fast(assigned: DataFrame, features_col: str) -> DataFrame:
+    """Fit-loop update via MLlib Summarizer (single-pass JVM vector mean)
+    — avoids the 64× posexplode row amplification of :func:`update`.
+    Requires a ``_fvec`` VectorUDT column alongside the array column."""
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.ml.stat import Summarizer
+
+    return (
+        assigned.groupBy("cid")
+        .agg(
+            F.count("*").alias("n"),
+            Summarizer.mean(F.col("_fvec")).alias("_mean_vec"),
+        )
+        .select("cid", "n", vector_to_array("_mean_vec").alias("centroid"))
+    )
+
+
+def init_centroids(
+    df: DataFrame, k: int, seed: int, features_col: str = "features"
+) -> list[tuple[int, list[float]]]:
+    """O4: sample K distinct rows without replacement as initial
+    centroids, 1-based dense ids (reference master.py:27-34 uses
+    ``random.sample``; ids assigned at master.py:59 as i+1)."""
+    rows = df.select(features_col).rdd.takeSample(False, k, seed)
+    return [(i + 1, [float(v) for v in r[features_col]]) for i, r in enumerate(rows)]
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int,
+    *,
+    seed: int = 42,
+    max_iter: int = 20,
+    tol: float = 1e-4,
+    features_col: str = "features",
+    initial_centroids: Centroids | None = None,
+) -> KMeansResult:
+    """Lloyd's algorithm driver loop (O19) with seeded init (O4),
+    by-id convergence (O18, fixed) and keep-old-centroid policy (O14,
+    explicit). ``tol`` is the max per-coordinate absolute movement,
+    mirroring the reference's ``np.allclose(old, new, atol=1e-4)``
+    (master.py:144-147) after sorting by id."""
+    from pyspark.ml.functions import array_to_vector
+
+    # Null policy (the reference has no null semantics — np.loadtxt just
+    # crashes on malformed rows, SURVEY.md §1): rows with a missing
+    # vector or any null coordinate are dropped before fitting.
+    work = (
+        df.select(F.col(features_col).alias("features"))
+        .filter(
+            F.col("features").isNotNull()
+            & F.forall("features", lambda x: x.isNotNull())
+        )
+        .withColumn("_fvec", array_to_vector(F.col("features")))
+    )
+    work = work.cache()
+    try:
+        n = work.count()  # materialize cache; O3 guard
+        if n == 0:
+            raise ValueError("Data not found or empty")
+        if k > n:
+            raise ValueError(f"Number of centroids ({k}) exceeds number of data points ({n})")
+
+        if initial_centroids is not None:
+            centroids = sorted(
+                ((int(c), [float(v) for v in vec]) for c, vec in initial_centroids),
+                key=lambda t: t[0],
+            )
+            dim = len(work.select("features").first()["features"])
+            bad_dims = {cid: len(vec) for cid, vec in centroids if len(vec) != dim}
+            if bad_dims:
+                raise ValueError(
+                    f"centroid dimension mismatch: data is {dim}-D but "
+                    f"initial centroids {bad_dims} differ"
+                )
+        else:
+            centroids = init_centroids(work, k, seed)
+
+        converged = False
+        iterations = 0
+        sizes: dict[int, int] = {}
+        for _ in range(max_iter):
+            iterations += 1
+            assigned = assign(work, centroids, "features", keep_dist=False)
+            rows = _update_fast(assigned, "features").collect()  # K rows only
+            new_by_id = {r["cid"]: (list(r["centroid"]), r["n"]) for r in rows}
+            new_centroids = []
+            sizes = {}
+            for cid, old_vec in centroids:
+                if cid in new_by_id:
+                    vec, cnt = new_by_id[cid]
+                    new_centroids.append((cid, vec))
+                    sizes[cid] = cnt
+                else:  # empty cluster: keep previous centroid
+                    new_centroids.append((cid, list(old_vec)))
+                    sizes[cid] = 0
+            movement = max(
+                max(abs(a - b) for a, b in zip(old, new))
+                for (_, old), (_, new) in zip(centroids, new_centroids)
+            )
+            centroids = new_centroids
+            if movement <= tol:
+                converged = True
+                break
+
+        final_sse = sse(work, centroids, "features").first()["sse"]
+        return KMeansResult(
+            centroids=centroids,
+            iterations=iterations,
+            converged=converged,
+            sse=float(final_sse),
+            cluster_sizes=sizes,
+        )
+    finally:
+        work.unpersist()

@@ -1,0 +1,85 @@
+"""Input connectors.
+
+Reference parity:
+
+- O1  CSV scan (single file)     — reference master.py:36-38, mapper.py:35
+  (``np.loadtxt(path, delimiter=',')``). Here: schema'd ``spark.read.csv``;
+  the scan is split across executors by Spark instead of being re-read
+  whole by every worker (the reference re-reads the *entire* file in the
+  driver and in every mapper, every iteration — master.py:45, mapper.py:35).
+- O2  multi-file CSV + UNION ALL — reference master.py:39-40
+  (``np.concatenate([np.loadtxt(f) ...])``). Here: multi-path read, which
+  is a native union of splits.
+- O3  cardinality guards          — reference master.py:29-33 raises
+  ValueError on empty input or K > N.
+- O25 polymorphic reader dispatch — reference mapper.py:73-92 dispatches
+  index-list vs file-list inputs. Here the unified ``spark.read`` handles
+  dispatch; ``read_points_files`` accepts one path or many.
+
+Scale notes: parquet loads go through the vectorized reader with column
+pruning + predicate pushdown (Catalyst). CSV points files are tiny in the
+reference but the same code path handles block-split TB-scale CSV.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Driver-generated synthetic tables (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+POINTS_SCHEMA = "x DOUBLE, y DOUBLE"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table: ``{sf_dir}/{name}.parquet``."""
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def read_points_csv(spark: SparkSession, path: str) -> DataFrame:
+    """O1: one reference-style points file (``x,y`` per line, no header)."""
+    return spark.read.schema(POINTS_SCHEMA).csv(path)
+
+
+def read_points_files(spark: SparkSession, paths: str | Sequence[str]) -> DataFrame:
+    """O2/O25: one or many points files; multi-path read == UNION ALL."""
+    if isinstance(paths, str):
+        paths = [paths]
+    return spark.read.schema(POINTS_SCHEMA).csv(list(paths))
+
+
+def points_to_features(df: DataFrame) -> DataFrame:
+    """Assemble the reference's positional 2-D point into the engine's
+    n-D ``features: array<double>`` column (SURVEY.md §1 generalization)."""
+    numeric = [f.name for f in df.schema.fields]
+    return df.select(F.array(*[F.col(c).cast("double") for c in numeric]).alias("features"))
+
+
+def validate_kmeans_input(df: DataFrame, k: int) -> int:
+    """O3: raise ValueError on empty input or K > N (master.py:29-33).
+
+    Returns N. Uses a single count() action — the reference does a full
+    driver-side load just to learn N.
+    """
+    n = df.count()
+    if n == 0:
+        raise ValueError("Data not found or empty")
+    if k > n:
+        raise ValueError(f"Number of centroids ({k}) exceeds number of data points ({n})")
+    return n

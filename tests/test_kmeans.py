@@ -1,0 +1,188 @@
+"""K-Means core tests: golden parity with the reference run, operator
+invariants, and MLlib parity (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from k_means_using_mapreduce_spark.operators.kmeans import (
+    assign,
+    init_centroids,
+    kmeans_fit,
+    one_step,
+    sse,
+    update,
+)
+from k_means_using_mapreduce_spark.operators.kmeans_ml import kmeans_fit_ml
+from k_means_using_mapreduce_spark.sources.loaders import (
+    points_to_features,
+    read_points_csv,
+    validate_kmeans_input,
+)
+
+POINTS = "/root/reference/points.txt"
+# dump.txt:1 — the logged run's fixed initial centroids.
+GOLDEN_INIT = [(1, [9.7, 0.8]), (2, [-1.6, 7.4])]
+# dump.txt:75-76 — the reference's final centroids. NOTE: the reference's
+# run silently lost point (8.3, 2.9) (points.txt:14) through its shuffle
+# bugs (mapper.py:69 precedence bug / mapper.py:105-106 bare except), so
+# its "golden" is the 30-point answer, not the full 31-point one.
+GOLDEN_REF_LOSSY = [[-0.175, 8.141666666666667], [9.616666666666667, 0.944444444444444]]
+# Correct Lloyd fixpoint over all 31 points (verified vs numpy).
+GOLDEN_CORRECT = [[-0.175, 8.141666666666667], [9.547368421052632, 1.0473684210526317]]
+
+
+def _points(spark):
+    return points_to_features(read_points_csv(spark, POINTS))
+
+
+def _sorted_vecs(centroids):
+    return sorted(vec for _, vec in centroids)
+
+
+def approx_eq(a, b, atol=1e-4):
+    return all(
+        math.isclose(x, y, abs_tol=atol) for va, vb in zip(a, b) for x, y in zip(va, vb)
+    )
+
+
+class TestGolden:
+    def test_full_dataset_correct_lloyd(self, spark):
+        res = kmeans_fit(_points(spark), 2, initial_centroids=GOLDEN_INIT, max_iter=10)
+        assert res.converged
+        assert approx_eq(_sorted_vecs(res.centroids), sorted(GOLDEN_CORRECT))
+        assert sum(res.cluster_sizes.values()) == 31
+
+    def test_reference_golden_reproduced_on_its_effective_input(self, spark):
+        """Dropping the point the reference's buggy shuffle lost, we
+        reproduce dump.txt:75-76 exactly (atol 1e-4 absorbs the float32
+        wire rounding, mapreduce.proto:7-8)."""
+        df = _points(spark).filter(
+            ~((F.col("features")[0] == 8.3) & (F.col("features")[1] == 2.9))
+        )
+        res = kmeans_fit(df, 2, initial_centroids=GOLDEN_INIT, max_iter=10)
+        assert res.converged
+        assert approx_eq(_sorted_vecs(res.centroids), sorted(GOLDEN_REF_LOSSY))
+
+    def test_assign_golden_intermediate(self, spark):
+        """The reference's shuffle partition files hold the iteration-1
+        assignment under the dump.txt:1 init: 31 rows total, cluster 2 =
+        the 12 points near (-0.2, 8.1) (ids per Data/Mappers golden)."""
+        a = assign(_points(spark), GOLDEN_INIT)
+        counts = {r["cid"]: r["n"] for r in a.groupBy("cid").agg(F.count("*").alias("n")).collect()}
+        assert counts == {1: 19, 2: 12}
+
+
+class TestOperators:
+    def test_assign_tie_break_lowest_cid(self, spark):
+        df = spark.createDataFrame([([0.0, 0.0],)], "features array<double>")
+        cents = [(1, [1.0, 0.0]), (2, [-1.0, 0.0]), (3, [0.0, 1.0])]
+        row = assign(df, cents).first()
+        assert row["cid"] == 1 and row["sq_dist"] == 1.0
+
+    def test_update_means_and_counts(self, spark):
+        df = spark.createDataFrame(
+            [(1, [0.0, 0.0]), (1, [2.0, 4.0]), (2, [10.0, 10.0])],
+            "cid int, features array<double>",
+        )
+        rows = {r["cid"]: r for r in update(df).collect()}
+        assert rows[1]["n"] == 2 and rows[1]["centroid"] == [1.0, 2.0]
+        assert rows[2]["n"] == 1 and rows[2]["centroid"] == [10.0, 10.0]
+
+    def test_one_step_composition(self, spark):
+        manual = update(assign(_points(spark), GOLDEN_INIT, keep_dist=False))
+        composed = one_step(_points(spark), GOLDEN_INIT)
+        assert sorted(manual.collect()) == sorted(composed.collect())
+
+    def test_sse_matches_manual(self, spark):
+        a = assign(_points(spark), GOLDEN_INIT)
+        manual = a.agg(F.sum("sq_dist")).first()[0]
+        assert sse(_points(spark), GOLDEN_INIT).first()["sse"] == pytest.approx(manual)
+
+    def test_empty_cluster_keeps_old_centroid(self, spark):
+        df = spark.createDataFrame([([0.0, 0.0],), ([1.0, 0.0],)], "features array<double>")
+        far = [(1, [0.5, 0.0]), (2, [100.0, 100.0])]
+        res = kmeans_fit(df, 2, initial_centroids=far, max_iter=3)
+        by_id = dict(res.centroids)
+        assert by_id[2] == [100.0, 100.0] and res.cluster_sizes[2] == 0
+        assert by_id[1] == [0.5, 0.0]
+
+    def test_seeded_init_deterministic(self, spark):
+        df = _points(spark)
+        a = init_centroids(df, 3, seed=7)
+        b = init_centroids(df, 3, seed=7)
+        assert a == b and len({tuple(v) for _, v in a}) == 3
+        assert [cid for cid, _ in a] == [1, 2, 3]
+
+    def test_input_guards(self, spark):
+        df = _points(spark)
+        assert validate_kmeans_input(df, 2) == 31
+        with pytest.raises(ValueError):
+            validate_kmeans_input(df, 99)
+        empty = spark.createDataFrame([], "features array<double>")
+        with pytest.raises(ValueError):
+            kmeans_fit(empty, 1)
+
+
+class TestInvariants:
+    def test_sse_non_increasing_per_iteration(self, spark):
+        df = points_to_features(
+            read_points_csv(spark, "/root/reference/points3.txt")
+        ).cache()
+        cents = init_centroids(df, 4, seed=3)
+        last = float("inf")
+        for _ in range(5):
+            cur = sse(df, cents).first()["sse"]
+            assert cur <= last + 1e-9
+            last = cur
+            stepped = one_step(df, cents).collect()
+            got = {r["cid"]: list(r["centroid"]) for r in stepped}
+            cents = [(cid, got.get(cid, vec)) for cid, vec in cents]
+
+    def test_every_point_at_true_argmin(self, spark):
+        df = _points(spark)
+        cents = init_centroids(df, 3, seed=11)
+        rows = assign(df, cents).collect()
+        for r in rows:
+            dists = {
+                cid: sum((a - b) ** 2 for a, b in zip(r["features"], vec))
+                for cid, vec in cents
+            }
+            best = min(dists.items(), key=lambda t: (t[1], t[0]))[0]
+            assert r["cid"] == best
+            assert r["sq_dist"] == pytest.approx(dists[best])
+
+    def test_permutation_invariance(self, spark):
+        df = _points(spark)
+        shuffled = df.orderBy(F.rand(5))
+        r1 = kmeans_fit(df, 2, initial_centroids=GOLDEN_INIT)
+        r2 = kmeans_fit(shuffled, 2, initial_centroids=GOLDEN_INIT)
+        assert approx_eq(_sorted_vecs(r1.centroids), _sorted_vecs(r2.centroids), atol=1e-9)
+
+    def test_kmeans_on_embeddings_nd(self, spark, sf_small):
+        emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+        df = emb.select(F.col("embedding").cast("array<double>").alias("features"))
+        res = kmeans_fit(df, 4, seed=42, max_iter=25)
+        assert len(res.centroids) == 4
+        assert all(len(vec) == 64 for _, vec in res.centroids)
+        assert sum(res.cluster_sizes.values()) == emb.count()
+
+
+class TestMLlibParity:
+    def test_same_init_same_result(self, spark):
+        df = _points(spark)
+        ours = kmeans_fit(df, 2, initial_centroids=GOLDEN_INIT)
+        ml = kmeans_fit_ml(df, 2, seed=1, init_mode="random", max_iter=20)
+        # same data, k=2, well-separated blobs: both must find the global
+        # structure — SSE parity within 1%.
+        assert ml.sse == pytest.approx(ours.sse, rel=0.01)
+
+    def test_embeddings_sse_parity(self, spark, sf_small):
+        emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+        df = emb.select(F.col("embedding").cast("array<double>").alias("features")).cache()
+        ours = kmeans_fit(df, 4, seed=42, max_iter=30)
+        ml = kmeans_fit_ml(df, 4, seed=42, max_iter=30)
+        assert ml.sse == pytest.approx(ours.sse, rel=0.05)
