@@ -1,38 +1,55 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (iterative seeded K-Means on the
+sf0.001 embeddings table). ``queries()``/``oracle_sql()`` re-export the
+engine's contract registry (k_means_using_mapreduce_spark.contract):
+each implemented operator from SURVEY.md §2 as a (PySpark builder,
+DuckDB oracle SQL) pair checked by the driver at sf=0.01.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from k_means_using_mapreduce_spark import contract  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: seeded iterative K-Means (k=4) over the 64-D embeddings
+    at sf0.001 — the reference's whole analytics surface (Lloyd's
+    algorithm, SURVEY.md §0) generalized to n-D DataFrame input.
+    Returns one row per cluster: (cid, n, sse-contribution, centroid).
+    """
+    from pyspark.sql import functions as F
+
+    from k_means_using_mapreduce_spark.operators.kmeans import assign, kmeans_fit
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    feats = emb.select(F.col("embedding").cast("array<double>").alias("features"))
+    result = kmeans_fit(feats, k=4, seed=42, max_iter=20)
+    assigned = assign(feats, result.centroids)
+    return (
+        assigned.groupBy("cid")
+        .agg(F.count("*").alias("n"), F.sum("sq_dist").alias("cluster_sse"))
+        .join(
+            spark.createDataFrame(
+                [(c, v) for c, v in result.centroids], "cid int, centroid array<double>"
+            ),
+            "cid",
+        )
+        .orderBy("cid")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(contract.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(contract.ORACLE_SQL)

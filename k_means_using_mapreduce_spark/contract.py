@@ -1,0 +1,299 @@
+"""Driver-contract query registry.
+
+Every operator the engine claims (SURVEY.md §2) is declared here twice:
+as a PySpark DataFrame builder (``QUERIES``) and as the equivalent ANSI
+SQL the DuckDB oracle runs on the same parquet tables (``ORACLE_SQL``).
+``__spark_entry__.py`` re-exports these to the grading driver.
+
+Fixed-centroid pattern (FIXTURES.md §C): K-Means as a whole is
+iterative/seeded and not SQL-expressible, but each stage with *frozen*
+centroid literals is a deterministic relational query — those are the
+correctness anchors for O7-O9/O13-O15. The full iterative fit (O4,
+O17-O19) is exercised by ``entry()`` and the test suite instead.
+
+Float-determinism notes:
+- Distance folds are written so Spark and DuckDB do bit-identical
+  arithmetic (same left-to-right fold over dimensions, doubles
+  end-to-end), so unrounded ``sq_dist`` values hash-match.
+- Group means (``avg``) differ only by summation order (~1e-15 rel),
+  absorbed by the driver's ~1e-6 rounding before hashing.
+- Whole-table SUMs are avoided in favor of AVG-style outputs (a global
+  SSE of ~1e8 carries ~1e-5 reduce-order noise — larger than the
+  rounding grid; a mean does not).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .contract_constants import EMBEDDING_CENTROIDS
+from .operators.kmeans import assign, update
+from .sources.loaders import load_table
+
+# --------------------------------------------------------------------------
+# Fixed centroid literals (shared by Spark queries and oracle SQL)
+# --------------------------------------------------------------------------
+
+# events: value in [0, 490], user_id in [0, 149]
+EVENT_CENTROIDS: list[tuple[int, list[float]]] = [
+    (1, [100.0, 30.0]),
+    (2, [250.0, 75.0]),
+    (3, [400.0, 120.0]),
+]
+
+# customer: c_acctbal in [-995, 9998] — 1-D clustering
+CUSTOMER_CENTROIDS: list[tuple[int, list[float]]] = [
+    (1, [-500.0]),
+    (2, [2000.0]),
+    (3, [5000.0]),
+    (4, [8500.0]),
+]
+
+
+def _vec_sql(vec: Sequence[float]) -> str:
+    return "[" + ", ".join(repr(float(v)) for v in vec) + "]::DOUBLE[]"
+
+
+def _sq_dist_sql_2d(xcol: str, ycol: str, cx: float, cy: float) -> str:
+    # (0 + dx^2) + dy^2 — identical fold order to the Spark `aggregate`
+    # expression, so results are bit-identical.
+    return f"(({xcol} - {cx!r})*({xcol} - {cx!r}) + ({ycol} - {cy!r})*({ycol} - {cy!r}))"
+
+
+def _sq_dist_sql_1d(xcol: str, cx: float) -> str:
+    return f"(({xcol} - {cx!r})*({xcol} - {cx!r}))"
+
+
+def _sq_dist_sql_vec(col: str, vec: Sequence[float]) -> str:
+    return (
+        f"list_reduce(list_transform(list_zip({col}, {_vec_sql(vec)}), "
+        f"z -> (z[1]-z[2])*(z[1]-z[2])), (a, b) -> a + b)"
+    )
+
+
+def _centroid_values_sql(
+    centroids: Sequence[tuple[int, Sequence[float]]], cols: Sequence[str]
+) -> str:
+    rows = ", ".join(
+        "(" + ", ".join([str(cid)] + [repr(float(v)) for v in vec]) + ")"
+        for cid, vec in centroids
+    )
+    return f"(VALUES {rows}) AS c(cid, {', '.join(cols)})"
+
+
+# --------------------------------------------------------------------------
+# events: 2-D fixed-centroid kernels (O7, O8, O9)
+# --------------------------------------------------------------------------
+
+
+def _events_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.array(F.col("value"), F.col("user_id").cast("double")).alias("features"),
+    )
+
+
+def kmeans_assign_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return assign(_events_features(spark, sf_dir), EVENT_CENTROIDS).select(
+        "event_id", "cid", "sq_dist"
+    )
+
+
+_ASSIGN_EVENTS_INNER = (
+    "SELECT e.event_id, c.cid, "
+    + "((0.0 + (e.value - c.x)*(e.value - c.x)) + "
+    + "(CAST(e.user_id AS DOUBLE) - c.y)*(CAST(e.user_id AS DOUBLE) - c.y)) AS sq_dist, "
+    + "row_number() OVER (PARTITION BY e.event_id ORDER BY "
+    + "((0.0 + (e.value - c.x)*(e.value - c.x)) + "
+    + "(CAST(e.user_id AS DOUBLE) - c.y)*(CAST(e.user_id AS DOUBLE) - c.y)), c.cid) AS rn "
+    + f"FROM events e CROSS JOIN {_centroid_values_sql(EVENT_CENTROIDS, ['x', 'y'])}"
+)
+
+ASSIGN_EVENTS_SQL = (
+    f"SELECT event_id, cid, sq_dist FROM ({_ASSIGN_EVENTS_INNER}) t WHERE rn = 1"
+)
+
+
+def kmeans_update_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned = assign(_events_features(spark, sf_dir), EVENT_CENTROIDS, keep_dist=False)
+    return update(assigned).select(
+        "cid",
+        "n",
+        F.col("centroid")[0].alias("mean_x"),
+        F.col("centroid")[1].alias("mean_y"),
+    )
+
+
+UPDATE_EVENTS_SQL = (
+    "SELECT cid, count(*) AS n, avg(value) AS mean_x, "
+    "avg(CAST(user_id AS DOUBLE)) AS mean_y FROM ("
+    f"SELECT t.cid, e2.value, e2.user_id FROM ({_ASSIGN_EVENTS_INNER}) t "
+    "JOIN events e2 ON e2.event_id = t.event_id WHERE t.rn = 1"
+    ") GROUP BY cid"
+)
+
+
+def kmeans_mse_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster mean squared distance — the hash-stable SSE surrogate."""
+    assigned = assign(_events_features(spark, sf_dir), EVENT_CENTROIDS)
+    return assigned.groupBy("cid").agg(
+        F.count("*").alias("n"), F.avg("sq_dist").alias("mse")
+    )
+
+
+MSE_EVENTS_SQL = (
+    "SELECT cid, count(*) AS n, avg(sq_dist) AS mse "
+    f"FROM ({_ASSIGN_EVENTS_INNER}) t WHERE rn = 1 GROUP BY cid"
+)
+
+
+# --------------------------------------------------------------------------
+# customer: 1-D fixed-centroid kernels
+# --------------------------------------------------------------------------
+
+
+def _customer_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.array(F.col("c_acctbal")).alias("features")
+    )
+
+
+def kmeans_assign_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return assign(_customer_features(spark, sf_dir), CUSTOMER_CENTROIDS).select(
+        "c_custkey", "cid", "sq_dist"
+    )
+
+
+_ASSIGN_CUSTOMER_INNER = (
+    "SELECT cu.c_custkey, c.cid, "
+    "(0.0 + (cu.c_acctbal - c.x)*(cu.c_acctbal - c.x)) AS sq_dist, "
+    "row_number() OVER (PARTITION BY cu.c_custkey ORDER BY "
+    "(0.0 + (cu.c_acctbal - c.x)*(cu.c_acctbal - c.x)), c.cid) AS rn "
+    f"FROM customer cu CROSS JOIN {_centroid_values_sql(CUSTOMER_CENTROIDS, ['x'])}"
+)
+
+ASSIGN_CUSTOMER_SQL = (
+    f"SELECT c_custkey, cid, sq_dist FROM ({_ASSIGN_CUSTOMER_INNER}) t WHERE rn = 1"
+)
+
+
+def kmeans_one_step_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Lloyd iteration (assign ∘ update) with frozen init."""
+    from .operators.kmeans import one_step
+
+    stepped = one_step(_customer_features(spark, sf_dir), CUSTOMER_CENTROIDS)
+    return stepped.select("cid", "n", F.col("centroid")[0].alias("mean_acctbal"))
+
+
+ONE_STEP_CUSTOMER_SQL = (
+    "SELECT cid, count(*) AS n, avg(c_acctbal) AS mean_acctbal FROM ("
+    f"SELECT t.cid, cu2.c_acctbal FROM ({_ASSIGN_CUSTOMER_INNER}) t "
+    "JOIN customer cu2 ON cu2.c_custkey = t.c_custkey WHERE t.rn = 1"
+    ") GROUP BY cid"
+)
+
+
+# --------------------------------------------------------------------------
+# embeddings: 64-D fixed-centroid kernels (the n-D generalization)
+# --------------------------------------------------------------------------
+
+
+def _embeddings_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("features")
+    )
+
+
+def kmeans_assign_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return assign(_embeddings_features(spark, sf_dir), EMBEDDING_CENTROIDS).select(
+        "vec_id", "cid", "sq_dist"
+    )
+
+
+def _assign_embeddings_inner() -> str:
+    dist_exprs = {
+        cid: _sq_dist_sql_vec("em.embedding::DOUBLE[]", vec)
+        for cid, vec in EMBEDDING_CENTROIDS
+    }
+    arms = " ".join(
+        f"SELECT em.vec_id, {cid} AS cid, {expr} AS sq_dist FROM embeddings em UNION ALL"
+        for cid, expr in dist_exprs.items()
+    ).rsplit(" UNION ALL", 1)[0]
+    return (
+        "SELECT vec_id, cid, sq_dist, "
+        "row_number() OVER (PARTITION BY vec_id ORDER BY sq_dist, cid) AS rn "
+        f"FROM ({arms}) d"
+    )
+
+
+ASSIGN_EMBEDDINGS_SQL = (
+    f"SELECT vec_id, cid, sq_dist FROM ({_assign_embeddings_inner()}) t WHERE rn = 1"
+)
+
+
+def kmeans_update_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(cluster, dimension) mean — the n-D centroid update exploded to
+    scalar rows so the oracle hash compares doubles, not nested arrays."""
+    assigned = assign(
+        _embeddings_features(spark, sf_dir), EMBEDDING_CENTROIDS, keep_dist=False
+    )
+    return (
+        assigned.select("cid", F.posexplode("features").alias("dim", "v"))
+        .groupBy("cid", "dim")
+        .agg(F.count("*").alias("n"), F.avg("v").alias("mean_val"))
+        .select("cid", F.col("dim").cast("int").alias("dim"), "n", "mean_val")
+    )
+
+
+UPDATE_EMBEDDINGS_SQL = (
+    "SELECT cid, CAST(dim - 1 AS INTEGER) AS dim, count(*) AS n, avg(v) AS mean_val "
+    "FROM ("
+    "SELECT t.cid, generate_subscripts(em2.embedding, 1) AS dim, "
+    "unnest(em2.embedding::DOUBLE[]) AS v "
+    f"FROM ({_assign_embeddings_inner()}) t "
+    "JOIN embeddings em2 ON em2.vec_id = t.vec_id WHERE t.rn = 1"
+    ") GROUP BY cid, dim"
+)
+
+
+def kmeans_mse_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned = assign(_embeddings_features(spark, sf_dir), EMBEDDING_CENTROIDS)
+    return assigned.groupBy("cid").agg(
+        F.count("*").alias("n"), F.avg("sq_dist").alias("mse")
+    )
+
+
+MSE_EMBEDDINGS_SQL = (
+    "SELECT cid, count(*) AS n, avg(sq_dist) AS mse "
+    f"FROM ({_assign_embeddings_inner()}) t WHERE rn = 1 GROUP BY cid"
+)
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "kmeans_assign_events": kmeans_assign_events,
+    "kmeans_update_events": kmeans_update_events,
+    "kmeans_mse_events": kmeans_mse_events,
+    "kmeans_assign_customer": kmeans_assign_customer,
+    "kmeans_one_step_customer": kmeans_one_step_customer,
+    "kmeans_assign_embeddings": kmeans_assign_embeddings,
+    "kmeans_update_embeddings": kmeans_update_embeddings,
+    "kmeans_mse_embeddings": kmeans_mse_embeddings,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "kmeans_assign_events": ASSIGN_EVENTS_SQL,
+    "kmeans_update_events": UPDATE_EVENTS_SQL,
+    "kmeans_mse_events": MSE_EVENTS_SQL,
+    "kmeans_assign_customer": ASSIGN_CUSTOMER_SQL,
+    "kmeans_one_step_customer": ONE_STEP_CUSTOMER_SQL,
+    "kmeans_assign_embeddings": ASSIGN_EMBEDDINGS_SQL,
+    "kmeans_update_embeddings": UPDATE_EMBEDDINGS_SQL,
+    "kmeans_mse_embeddings": MSE_EMBEDDINGS_SQL,
+}

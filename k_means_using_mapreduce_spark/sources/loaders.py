@@ -49,7 +49,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table: ``{sf_dir}/{name}.parquet``."""
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    # The synthetic tables store TIMESTAMP(NANOS); Spark rejects nanos
+    # unless mapped to long. Set here (not only in the session factory)
+    # because the grading driver builds its own SparkSession. NANOS
+    # columns then surface as bigint nanoseconds — ns_to_timestamp()
+    # converts where a query needs real timestamps.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def ns_to_timestamp(col: F.Column | str) -> F.Column:
+    """Convert a nanos-as-long column (see load_table) to a timestamp
+    (microsecond precision — Spark's native timestamp resolution)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_micros((c / 1000).cast("long"))
 
 
 def read_points_csv(spark: SparkSession, path: str) -> DataFrame:

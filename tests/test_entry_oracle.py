@@ -1,0 +1,89 @@
+"""Replicates the driver's correctness gate locally: every queries()
+entry runs on Spark and its oracle_sql() twin on DuckDB over the same
+parquet tables; row count, column names, and ~1e-6-rounded value
+multisets must match (order-insensitive)."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+
+from k_means_using_mapreduce_spark.sources.loaders import TABLES  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def duck(sf_oracle):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_oracle}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _canon(value):
+    """Round floats (~1e-6) and stringify for order-insensitive compare,
+    mirroring the driver's value-hash canonicalization."""
+    if value is None:
+        return "NULL"
+    if isinstance(value, bool):
+        return str(value)
+    if isinstance(value, float):
+        if math.isnan(value):
+            return "NaN"
+        return f"{value:.6g}" if abs(value) >= 1 else f"{value:.6f}"
+    if isinstance(value, (list, tuple)):
+        return "[" + ",".join(_canon(v) for v in value) + "]"
+    return str(value)
+
+
+def _row_multiset(rows, colnames):
+    return sorted(
+        "|".join(_canon(row[c]) for c in sorted(colnames)) for row in rows
+    )
+
+
+QUERY_NAMES = sorted(entry_mod.queries().keys())
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_query_matches_oracle(name, spark, duck, sf_oracle):
+    qfn = entry_mod.queries()[name]
+    sdf = qfn(spark, sf_oracle)
+    spark_cols = sdf.columns
+    spark_rows = [r.asDict() for r in sdf.collect()]
+
+    oracle = entry_mod.oracle_sql().get(name)
+    if oracle is None:
+        assert len(spark_rows) >= 0  # rows-only check (non-SQL-expressible op)
+        return
+
+    ddf = duck.execute(oracle).fetchdf()
+    duck_cols = list(ddf.columns)
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(ddf), (
+        f"{name}: row count {len(spark_rows)} vs {len(ddf)}"
+    )
+    duck_rows = ddf.to_dict("records")
+    s = _row_multiset(spark_rows, spark_cols)
+    d = _row_multiset(duck_rows, duck_cols)
+    mismatches = [(a, b) for a, b in zip(s, d) if a != b]
+    assert not mismatches, f"{name}: {len(mismatches)} value mismatches; first: {mismatches[:3]}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert {"cid", "n", "cluster_sse", "centroid"} <= set(df.columns)
