@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from k_means_using_mapreduce_spark import contract  # noqa: E402
+from k_means_using_mapreduce_spark import contracts  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -48,8 +48,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(contract.QUERIES)
+    return dict(contracts.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(contract.ORACLE_SQL)
+    return dict(contracts.ORACLE_SQL)

@@ -1,0 +1,27 @@
+"""Merged driver-contract registry.
+
+Each submodule declares a ``QUERIES`` dict (name → PySpark builder) and
+an ``ORACLE_SQL`` dict (name → DuckDB SQL). This package merges them for
+``__spark_entry__.py``. A query with no oracle entry gets the driver's
+weaker rows-only check (reserved for genuinely non-SQL-expressible ops).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import dedup_queries, kmeans_queries, similarity_queries, text_queries, tpch_queries
+
+_MODULES = [kmeans_queries, dedup_queries, text_queries, similarity_queries, tpch_queries]
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+for _m in _MODULES:
+    for _name, _fn in _m.QUERIES.items():
+        if _name in QUERIES:
+            raise ValueError(f"duplicate contract query name: {_name}")
+        QUERIES[_name] = _fn
+    ORACLE_SQL.update(getattr(_m, "ORACLE_SQL", {}))

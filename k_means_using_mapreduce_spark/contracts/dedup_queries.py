@@ -1,0 +1,215 @@
+"""Dedup contract queries with DuckDB oracles (documents + embeddings).
+
+MinHash determinism note: signatures are lexicographic minima of md5 hex
+strings (identical in both engines); band keys are md5 of '|'-joined
+signature slices. SimHash is pure integer arithmetic on the first 15 hex
+chars of token md5s. Thresholded pair queries on this synthetic corpus
+legitimately return 0 rows at default thresholds (all 500 texts are
+distinct word-salads) — the non-empty signature/band/candidate-count
+queries carry the value-level evidence, and tests/test_dedup.py proves
+pair recall on planted duplicates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..sources.loaders import load_table
+from ._sql_text import sql_fingerprint, sql_shingles
+
+MINHASH_H = 12
+MINHASH_BANDS = 4
+SHINGLE_N = 3
+JACCARD_THRESHOLD = 0.5
+COSINE_DUP_THRESHOLD = 0.30
+SIMHASH_BITS = 32
+
+
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+DEDUP_EXACT_SQL = (
+    "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY sha256(text)"
+)
+
+
+def dedup_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.dedup_exact_normalized(load_table(spark, sf_dir, "documents"))
+
+
+DEDUP_FINGERPRINT_SQL = (
+    f"SELECT min(doc_id) AS doc_id, {sql_fingerprint('text')} AS fp, "
+    f"count(*) AS n_copies FROM documents GROUP BY {sql_fingerprint('text')}"
+)
+
+
+def _sig_exprs_sql() -> list[str]:
+    sh = sql_shingles("text", SHINGLE_N)
+    return [
+        f"list_min(list_transform({sh}, s -> md5('{h}|' || s))) AS s{h}"
+        for h in range(MINHASH_H)
+    ]
+
+
+def minhash_bands_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_bands(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=MINHASH_H,
+        bands=MINHASH_BANDS,
+        shingle_n=SHINGLE_N,
+    )
+
+
+def _minhash_bands_sql() -> str:
+    rows_per_band = MINHASH_H // MINHASH_BANDS
+    sig_cte = f"WITH sigs AS (SELECT doc_id, {', '.join(_sig_exprs_sql())} FROM documents)"
+    arms = " UNION ALL ".join(
+        (
+            f"SELECT doc_id, {b} AS band_idx, md5(concat_ws('|', "
+            + ", ".join(f"s{b * rows_per_band + r}" for r in range(rows_per_band))
+            + ")) AS band_key FROM sigs"
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    return f"{sig_cte} {arms}"
+
+
+MINHASH_BANDS_SQL = _minhash_bands_sql()
+
+
+def minhash_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_candidate_pairs(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=MINHASH_H,
+        bands=MINHASH_BANDS,
+        shingle_n=SHINGLE_N,
+    )
+
+
+MINHASH_PAIRS_SQL = (
+    f"WITH b AS ({MINHASH_BANDS_SQL}) "
+    "SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b "
+    "FROM b a JOIN b c ON a.band_idx = c.band_idx AND a.band_key = c.band_key "
+    "AND a.doc_id < c.doc_id"
+)
+
+
+def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(load_table(spark, sf_dir, "documents"), bits=SIMHASH_BITS)
+
+
+def _simhash_sql() -> str:
+    tok_cte = (
+        "WITH tok AS (SELECT doc_id, "
+        "('0x' || substr(md5(unnest(string_split_regex(lower(trim(text)), '\\s+'))), 1, 15))::BIGINT AS h "
+        "FROM documents), "
+        "bitsum AS (SELECT doc_id, "
+        + ", ".join(
+            f"sum(((h >> {b}) & 1) * 2 - 1) AS s{b}" for b in range(SIMHASH_BITS)
+        )
+        + " FROM tok GROUP BY doc_id)"
+    )
+    combine = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+    )
+    return f"{tok_cte} SELECT doc_id, CAST({combine} AS BIGINT) AS simhash FROM bitsum"
+
+
+SIMHASH_SQL = _simhash_sql()
+
+
+def jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        shingle_n=SHINGLE_N,
+        threshold=JACCARD_THRESHOLD,
+    )
+
+
+_SHINGLE_EXPLODE = (
+    f"SELECT DISTINCT doc_id, unnest({sql_shingles('text', SHINGLE_N)}) AS sh FROM documents"
+)
+
+JACCARD_PAIRS_SQL = (
+    f"WITH sh AS ({_SHINGLE_EXPLODE}), "
+    "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), "
+    "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter "
+    "FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+    "SELECT id_a, id_b, (n_inter / (sa.n_sh + sb.n_sh - n_inter)) AS jaccard "
+    "FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
+    f"WHERE (n_inter / (sa.n_sh + sb.n_sh - n_inter)) >= {JACCARD_THRESHOLD!r}"
+)
+
+
+def jaccard_candidates_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc count of other docs sharing ≥1 shingle — the non-empty
+    join-parity check backing the (legitimately empty at default
+    threshold) pairs query."""
+    df = load_table(spark, sf_dir, "documents")
+    from ..functions.text import shingles
+
+    sh = df.select("doc_id", F.explode(shingles("text", SHINGLE_N)).alias("sh")).distinct()
+    other = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    return (
+        sh.join(other, "sh")
+        .filter(F.col("doc_id") != F.col("doc_b"))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("doc_b").alias("n_candidates"))
+    )
+
+
+JACCARD_CANDIDATES_SQL = (
+    f"WITH sh AS ({_SHINGLE_EXPLODE}) "
+    "SELECT a.doc_id AS doc_id, count(DISTINCT b.doc_id) AS n_candidates "
+    "FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id GROUP BY a.doc_id"
+)
+
+
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.embedding_near_dup(
+        load_table(spark, sf_dir, "embeddings"), threshold=COSINE_DUP_THRESHOLD
+    )
+
+
+_COS_DOT = (
+    "list_reduce(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]), (x, y) -> x + y)"
+)
+_COS_NA = "sqrt(list_reduce(list_transform(a.v, x -> x * x), (p, q) -> p + q))"
+_COS_NB = "sqrt(list_reduce(list_transform(b.v, x -> x * x), (p, q) -> p + q))"
+# same formula shape as cosine_similarity_expr: dot / (norm(a) * norm(b))
+_COS_EXPR = f"({_COS_DOT} / ({_COS_NA} * {_COS_NB}))"
+
+EMBEDDING_NEAR_DUP_SQL = (
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) "
+    f"SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_EXPR} AS cosine "
+    "FROM e a JOIN e b ON a.vec_id < b.vec_id "
+    f"WHERE {_COS_EXPR} >= {COSINE_DUP_THRESHOLD!r}"
+)
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_exact_documents": dedup_exact_documents,
+    "dedup_fingerprint_documents": dedup_fingerprint_documents,
+    "minhash_bands_documents": minhash_bands_documents,
+    "minhash_pairs_documents": minhash_pairs_documents,
+    "simhash_documents": simhash_documents,
+    "jaccard_pairs_documents": jaccard_pairs_documents,
+    "jaccard_candidates_documents": jaccard_candidates_documents,
+    "embedding_near_dup_pairs": embedding_near_dup_pairs,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "dedup_exact_documents": DEDUP_EXACT_SQL,
+    "dedup_fingerprint_documents": DEDUP_FINGERPRINT_SQL,
+    "minhash_bands_documents": MINHASH_BANDS_SQL,
+    "minhash_pairs_documents": MINHASH_PAIRS_SQL,
+    "simhash_documents": SIMHASH_SQL,
+    "jaccard_pairs_documents": JACCARD_PAIRS_SQL,
+    "jaccard_candidates_documents": JACCARD_CANDIDATES_SQL,
+    "embedding_near_dup_pairs": EMBEDDING_NEAR_DUP_SQL,
+}

@@ -29,9 +29,9 @@ from collections.abc import Callable, Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .contract_constants import EMBEDDING_CENTROIDS
-from .operators.kmeans import assign, update
-from .sources.loaders import load_table
+from ..contract_constants import EMBEDDING_CENTROIDS
+from ..operators.kmeans import assign, update
+from ..sources.loaders import load_table
 
 # --------------------------------------------------------------------------
 # Fixed centroid literals (shared by Spark queries and oracle SQL)
@@ -182,7 +182,7 @@ ASSIGN_CUSTOMER_SQL = (
 
 def kmeans_one_step_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One full Lloyd iteration (assign ∘ update) with frozen init."""
-    from .operators.kmeans import one_step
+    from ..operators.kmeans import one_step
 
     stepped = one_step(_customer_features(spark, sf_dir), CUSTOMER_CENTROIDS)
     return stepped.select("cid", "n", F.col("centroid")[0].alias("mean_acctbal"))

@@ -1,0 +1,138 @@
+"""Text-analysis contract queries (documents table) with DuckDB oracles.
+
+All scoring arithmetic is written with identical operation order on both
+engines (see _sql_text.py), so even the floating-point quality score
+hash-matches without rounding.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..sources.loaders import load_table
+from ._sql_text import (
+    sql_alpha_ratio,
+    sql_bpe_ish_token_count,
+    sql_lang_hits,
+    sql_mean_token_len,
+    sql_quality_score,
+    sql_token_count,
+)
+
+
+def text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        T.mean_token_len("text").alias("mean_token_len"),
+        T.alpha_ratio("text").alias("alpha_ratio"),
+        T.quality_score("text").alias("quality_score"),
+    )
+
+
+TEXT_STATS_SQL = (
+    "SELECT doc_id, "
+    f"CAST({sql_token_count('text')} AS INTEGER) AS n_tokens, "
+    f"CAST({sql_bpe_ish_token_count('text')} AS INTEGER) AS n_bpe_tokens, "
+    f"{sql_mean_token_len('text')} AS mean_token_len, "
+    f"{sql_alpha_ratio('text')} AS alpha_ratio, "
+    f"{sql_quality_score('text')} AS quality_score "
+    "FROM documents"
+)
+
+
+def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "documents")
+    hits = T.lang_scores("text")
+    return df.select(
+        "doc_id",
+        T.lang_id("text").alias("lang_pred"),
+        *[hits[lang].alias(f"hits_{lang}") for lang in sorted(hits)],
+    )
+
+
+def _lang_id_sql() -> str:
+    hits = sql_lang_hits("text")
+    langs = list(hits)
+    case_arms = []
+    for lang in langs:
+        conds = [f"{hits[lang]} > 0"] + [
+            f"{hits[lang]} > {hits[o]}" for o in langs if o != lang
+        ]
+        case_arms.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case = "CASE " + " ".join(case_arms) + " ELSE 'unknown' END"
+    hit_cols = ", ".join(
+        f"CAST({hits[lang]} AS INTEGER) AS hits_{lang}" for lang in sorted(langs)
+    )
+    return f"SELECT doc_id, {case} AS lang_pred, {hit_cols} FROM documents"
+
+
+LANG_ID_SQL = _lang_id_sql()
+
+
+def quality_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline-shaped use: keep docs above a quality bar and under a
+    token budget — filter + projection only, fully pushdown-friendly."""
+    df = load_table(spark, sf_dir, "documents")
+    q = T.quality_score("text")
+    n = T.token_count("text")
+    return (
+        df.select("doc_id", "source", q.alias("quality_score"), n.alias("n_tokens"))
+        .filter((F.col("quality_score") >= 0.5) & (F.col("n_tokens") <= 80))
+    )
+
+
+QUALITY_FILTER_SQL = (
+    "SELECT * FROM ("
+    f"SELECT doc_id, source, {sql_quality_score('text')} AS quality_score, "
+    f"CAST({sql_token_count('text')} AS INTEGER) AS n_tokens FROM documents) "
+    "WHERE quality_score >= 0.5 AND n_tokens <= 80"
+)
+
+
+def source_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health: doc count, avg quality, avg tokens —
+    the monitoring aggregation a data pipeline runs per ingest source."""
+    df = load_table(spark, sf_dir, "documents")
+    return (
+        df.select(
+            "source",
+            T.quality_score("text").alias("q"),
+            T.token_count("text").cast("double").alias("n"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.avg("q").alias("avg_quality"),
+            F.avg("n").alias("avg_tokens"),
+        )
+    )
+
+
+SOURCE_QUALITY_SQL = (
+    "SELECT source, count(*) AS n_docs, "
+    f"avg({sql_quality_score('text')}) AS avg_quality, "
+    f"avg(CAST({sql_token_count('text')} AS DOUBLE)) AS avg_tokens "
+    "FROM documents GROUP BY source"
+)
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_stats_documents": text_stats_documents,
+    "lang_id_documents": lang_id_documents,
+    "quality_filter_documents": quality_filter_documents,
+    "source_quality_summary": source_quality_summary,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "text_stats_documents": TEXT_STATS_SQL,
+    "lang_id_documents": LANG_ID_SQL,
+    "quality_filter_documents": QUALITY_FILTER_SQL,
+    "source_quality_summary": SOURCE_QUALITY_SQL,
+}

@@ -1,0 +1,232 @@
+"""Relational bench queries (TPC-H-flavored) with DuckDB oracles.
+
+The reference implements no joins, filters, windows, or grouped
+aggregates beyond the K-Means shapes (SURVEY.md §2 "categories with NO
+implementation"); these queries document that the Spark rebuild gets the
+full relational algebra from the platform, and they are the sf0.1 bench
+workload (bench.py).
+
+Determinism: money sums go through DECIMAL(18,6) per-row casts (both
+engines round the bit-identical double the same way, and decimal
+addition is exact and order-independent), then back to double. Plain
+double SUMs over 60k rows carry ~1e-4 reduce-order noise — bigger than
+the driver's rounding grid — so every revenue aggregate is decimal-
+summed. Timestamps: orders/lineitem store millis → Spark TIMESTAMP_NTZ, compared
+against NTZ literals; DuckDB compares TIMESTAMP literals directly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.loaders import load_table
+
+
+def _ts(y: int, m: int, d: int):
+    """TIMESTAMP_NTZ literal matching the parquet columns' type (orders/
+    lineitem timestamps are millis → TimestampNTZType in Spark; only
+    events.ts is TIMESTAMP(NANOS) → bigint, see sources.loaders)."""
+    return F.lit(f"{y}-{m:02d}-{d:02d} 00:00:00").cast("timestamp_ntz")
+
+
+def _dec_sum(col):
+    """Order-independent money sum: per-row cast to DECIMAL(18,6), exact
+    decimal addition, result back to double."""
+    return F.sum(col.cast("decimal(18,6)")).cast("double")
+
+
+Q1_CUTOFF = (2001, 9, 2)
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: scan-heavy grouped aggregation with filter pushdown."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= _ts(*Q1_CUTOFF))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            _dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dec_sum(disc_price).alias("sum_disc_price"),
+            _dec_sum(charge).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       avg(l_quantity) AS avg_qty,
+       avg(l_extendedprice) AS avg_price,
+       avg(l_discount) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF[0]}-{Q1_CUTOFF[1]:02d}-{Q1_CUTOFF[2]:02d} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+Q3_SEGMENT = "BUILDING"
+Q3_ORDERDATE_LT = (1999, 1, 1)
+Q3_TOPN = 10
+
+
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-flavored: 3-way join (broadcast dims), grouped revenue,
+    global top-N. Customer is broadcast; lineitem never shuffles its
+    payload — only the grouped (orderkey, revenue) rows sort."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == Q3_SEGMENT
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < _ts(*Q3_ORDERDATE_LT)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(_dec_sum(revenue).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(Q3_TOPN)
+    )
+
+
+Q3_SQL = f"""
+SELECT l_orderkey, o_orderpriority,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '{Q3_ORDERDATE_LT[0]}-{Q3_ORDERDATE_LT[1]:02d}-{Q3_ORDERDATE_LT[2]:02d} 00:00:00'
+GROUP BY l_orderkey, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT {Q3_TOPN}
+"""
+
+
+NATION_REVENUE_RANGE = ((1996, 1, 1), (1998, 1, 1))
+
+
+def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-flavored: star join through region→nation→customer→
+    orders→lineitem with all dimension sides broadcast."""
+    lo, hi = NATION_REVENUE_RANGE
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts(*lo)) & (F.col("o_orderdate") < _ts(*hi))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            _dec_sum(revenue).alias("revenue"),
+            F.count_distinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+NATION_REVENUE_SQL = f"""
+SELECT r_name, n_name,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       count(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '{NATION_REVENUE_RANGE[0][0]}-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '{NATION_REVENUE_RANGE[1][0]}-01-01 00:00:00'
+GROUP BY r_name, n_name
+"""
+
+
+TOP_ORDERS_PER_PRIORITY_N = 3
+
+
+def top_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-N per group (the operator family the reference's
+    arg-min is the degenerate k=1 case of — SURVEY.md §2)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_ORDERS_PER_PRIORITY_N)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+TOP_ORDERS_SQL = f"""
+SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders
+) t WHERE rank <= {TOP_ORDERS_PER_PRIORITY_N}
+"""
+
+
+def supplier_part_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-size equi-join + grouped agg over part/supplier via lineitem:
+    per-brand supplier count and shipped quantity."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count_distinct("s_suppkey").alias("n_suppliers"),
+            F.sum("l_quantity").alias("total_qty"),
+        )
+    )
+
+
+SUPPLIER_PART_SQL = """
+SELECT p_brand, count(DISTINCT s_suppkey) AS n_suppliers, sum(l_quantity) AS total_qty
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY p_brand
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_orders": q3_top_orders,
+    "nation_revenue": nation_revenue,
+    "top_orders_per_priority": top_orders_per_priority,
+    "supplier_part_join": supplier_part_join,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_top_orders": Q3_SQL,
+    "nation_revenue": NATION_REVENUE_SQL,
+    "top_orders_per_priority": TOP_ORDERS_SQL,
+    "supplier_part_join": SUPPLIER_PART_SQL,
+}

@@ -1,0 +1,143 @@
+"""Text-analysis expression builders — the LLM-data-pipeline layer.
+
+The reference has no string functions at all (SURVEY.md §2: "no
+string/date/math scalar functions beyond sqrt/pow"); these are the
+north-star extension operators (BASELINE.json) implemented entirely with
+built-in `pyspark.sql.functions` so they run JVM-side inside whole-stage
+codegen — no Python UDFs.
+
+Every builder here has a DuckDB-expressible twin in contract.py; all
+arithmetic is integer-or-single-division so Spark and the oracle agree
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Minimal per-language stopword lists for the lang-id heuristic.
+#: Deterministic demo sets — small on purpose so the heuristic is a
+#: transparent, oracle-checkable scoring rule.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "von"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "de", "que", "pour"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "de", "que", "por"],
+}
+
+#: English stopwords for the quality score's stopword-ratio component.
+QUALITY_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of trimmed text (lowercase)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Sub-word-ish token estimate: split on word boundaries AND count
+    ~4-char chunks of long words, approximating a BPE tokenizer's output
+    length with pure SQL arithmetic: sum over words of ceil(len/4)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.aggregate(
+        tokens(c),
+        F.lit(0),
+        lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("int"),
+    )
+
+
+def stopword_count(col: Column | str, stopwords: list[str]) -> Column:
+    """Occurrences (with repeats) of any stopword among the tokens."""
+    lit = F.array(*[F.lit(w) for w in stopwords])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(lit, t)))
+
+
+def mean_token_len(col: Column | str) -> Column:
+    """Mean token length = sum(lengths)/count, single division."""
+    toks = tokens(col)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, v: a + v
+    )
+    return total / F.size(toks)
+
+
+def alpha_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are ascii letters or space."""
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.regexp_replace(F.lower(c), "[^a-z ]", "")
+    return F.length(stripped) / F.length(c)
+
+
+def quality_score(col: Column | str) -> Column:
+    """Deterministic document quality in [0,1]:
+    0.5·min(1, n_tokens/50) + 0.3·min(1, 5·stopword_ratio) + 0.2·alpha_ratio.
+
+    Mirrors the heuristics large-scale pipeline filters use (length,
+    function-word presence, symbol noise) with exactly reproducible
+    arithmetic.
+    """
+    n = token_count(col).cast("double")
+    sw = stopword_count(col, QUALITY_STOPWORDS).cast("double")
+    return (
+        F.least(F.lit(1.0), n / F.lit(50.0)) * 0.5
+        + F.least(F.lit(1.0), F.lit(5.0) * sw / n) * 0.3
+        + alpha_ratio(col) * 0.2
+    )
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Per-language stopword-hit counts (the lang-id signal)."""
+    return {
+        lang: stopword_count(col, words) for lang, words in LANG_STOPWORDS.items()
+    }
+
+
+def lang_id(col: Column | str) -> Column:
+    """Argmax language by stopword hits; ties and zero-hit rows →
+    'unknown'. Deterministic tie-break: a language wins only with a
+    strictly greater score than every other (matching the oracle SQL's
+    CASE chain)."""
+    scores = lang_scores(col)
+    langs = list(scores)
+    expr = F.lit("unknown")
+    # build reversed CASE chain: first lang checked last => priority order
+    for lang in reversed(langs):
+        others = [scores[o] for o in langs if o != lang]
+        cond = scores[lang] > F.lit(0)
+        for o in others:
+            cond = cond & (scores[lang] > o)
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def normalized_text(col: Column | str) -> Column:
+    """Dedup normalization: lowercase, strip non-alphanumerics to
+    spaces, collapse whitespace, trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "), " +", " "))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Content fingerprint: md5 of the normalized text (hex string)."""
+    return F.md5(normalized_text(col))
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Token n-gram shingles as strings: tokens joined by single spaces,
+    one shingle per window position. Documents shorter than n tokens
+    yield a single shingle of the whole (normalized) text."""
+    toks = tokens(col)
+    make = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return F.when(F.size(toks) >= n, make).otherwise(
+        F.array(F.array_join(toks, " "))
+    )

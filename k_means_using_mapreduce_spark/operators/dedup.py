@@ -1,0 +1,346 @@
+"""Deduplication operators — exact, MinHash-LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+North-star extension (BASELINE.json): the reference has no dedup at all;
+these are the operators a 100 TB training-data pipeline runs before the
+reference's clustering core. All hot paths are built-in expressions
+(JVM/codegen); nothing here uses a Python UDF.
+
+Determinism: every hash is md5-based (both Spark and DuckDB expose md5
+as lowercase hex), so the contract oracle can reproduce signatures
+bit-for-bit. MinHash uses the *lexicographic min of md5 hex strings* per
+seeded salt — MinHash only needs a total order on hash values, and
+string order is engine-portable where murmur/xxhash seeds are not.
+
+Scale notes per operator are in the docstrings; the recurring theme:
+shuffle keys are short hashes (16-64 B), never full documents, and every
+self-join is banded/bucketed so the worst case is per-bucket quadratic,
+not global quadratic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, normalized_text, shingles
+from ..functions.vectors import cosine_similarity_expr
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+
+def dedup_exact(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: one surviving row per distinct content, keeping the
+    lowest id; ``n_copies`` counts the group.
+
+    groupBy on ``sha2(content)`` (32 B) rather than the content itself, so
+    the shuffle carries hashes, not documents — at 100 TB the difference
+    between shuffling 64 B/row and shuffling whole documents.
+    """
+    return (
+        df.select(id_col, F.sha2(F.col(content_col), 256).alias("_h"))
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+        .drop("_h")
+    )
+
+
+def dedup_exact_normalized(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup after text normalization (case/punct/whitespace
+    folding) — catches trivially-reformatted copies."""
+    return (
+        df.select(id_col, fingerprint(content_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+        .select(id_col, "fp", "n_copies")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH banding
+# --------------------------------------------------------------------------
+
+
+def minhash_signature(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature: for salt h in 0..H-1,
+    ``sig[h] = min over shingles of md5(h || '|' || shingle)``.
+
+    Output: (id, sig: array<string> length H). One narrow projection —
+    the shingle array never leaves its row, so this is a map-only stage.
+    """
+    sh = shingles(content_col, shingle_n)
+
+    def _salted_min(salt: int):
+        # NB: the transform lambda must take exactly one parameter —
+        # PySpark passes the array index to a second parameter, so a
+        # `lambda s, h=h:` default-arg closure silently receives the
+        # index instead of the salt.
+        prefix = f"{salt}|"
+        return F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(F.lit(prefix), s)))
+        )
+
+    sig = F.array(*[_salted_min(h) for h in range(num_hashes)])
+    return df.select(F.col(id_col).alias(id_col), sig.alias("sig"))
+
+
+def minhash_bands(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` bands of
+    ``num_hashes/bands`` rows; band key = md5 of the concatenated band
+    slice. Output: (id, band_idx, band_key) — the shuffle key for the
+    candidate join is a 32-char hash regardless of document size."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide evenly into bands")
+    rows_per_band = num_hashes // bands
+    sig_df = minhash_signature(df, content_col, id_col, num_hashes, shingle_n)
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig_df.select(
+        id_col, F.explode(band_entries).alias("band")
+    ).select(id_col, F.col("band.band_idx").alias("band_idx"), F.col("band.band_key").alias("band_key"))
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup candidates: pairs sharing ≥1 LSH band. Equi-join on
+    (band_idx, band_key) — per-bucket quadratic only. Distinct pairs,
+    a < b."""
+    b = minhash_bands(df, content_col, id_col, num_hashes, bands, shingle_n)
+    left = b.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
+    right = b.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
+    return (
+        left.join(right, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id", bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """Charikar SimHash over tokens: token hash = first 15 hex chars of
+    md5 (60 bits, engine-portable); bit b of the output is the sign of
+    Σ_tokens (2·bit_b(hash) − 1). Output: (id, simhash: bigint).
+
+    Pure integer arithmetic end-to-end — bit-identical in any engine.
+    One explode + one groupBy; the aggregate is ``bits`` conditional
+    sums, combined map-side.
+    """
+    from ..functions.text import tokens
+
+    tok = df.select(
+        F.col(id_col).alias(id_col), F.explode(tokens(content_col)).alias("tok")
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
+    )
+    bit_sums = [
+        F.sum(
+            (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*bit_sums)
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select(id_col, sim.cast("bigint").alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+    band_bits: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Scale path: band the simhash into ``bits/band_bits`` chunks — two
+    docs within hamming h share at least one identical chunk when
+    chunks > h (pigeonhole), so the join is equi on (chunk_idx, chunk),
+    then the exact popcount filter runs per candidate."""
+    s = simhash(df, content_col, id_col, bits)
+    n_chunks = bits // band_bits
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk_idx"),
+                F.shiftright(F.col("simhash"), c * band_bits)
+                .bitwiseAND(F.lit((1 << band_bits) - 1))
+                .alias("chunk"),
+            )
+            for c in range(n_chunks)
+        ]
+    )
+    banded = s.select(id_col, "simhash", F.explode(chunks).alias("c")).select(
+        id_col, "simhash", F.col("c.chunk_idx").alias("chunk_idx"), F.col("c.chunk").alias("chunk")
+    )
+    left = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "chunk_idx", "chunk"
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "chunk_idx", "chunk"
+    )
+    xor = F.col("sim_a").bitwiseXOR(F.col("sim_b"))
+    hamming = F.bit_count(xor)
+    return (
+        left.join(right, ["chunk_idx", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard
+# --------------------------------------------------------------------------
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs ≥ threshold.
+
+    explode distinct shingles → self equi-join on shingle → intersection
+    counts → |A∪B| = |A|+|B|−|A∩B|. The join key is a shingle string;
+    hot shingles fan out quadratically, so at scale this runs *after*
+    LSH candidate generation (minhash_candidate_pairs) — here it is also
+    exposed standalone as the exact verifier.
+    """
+    sh = df.select(
+        F.col(id_col).alias(id_col), F.explode(shingles(content_col, shingle_n)).alias("sh")
+    ).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    left = sh.select(F.col(id_col).alias("id_a"), "sh")
+    right = sh.select(F.col(id_col).alias("id_b"), "sh")
+    inter = (
+        left.join(right, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup
+# --------------------------------------------------------------------------
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Exact cosine near-dup pairs ≥ threshold via self-join.
+
+    O(N²) — correct baseline and the oracle-checkable form. The scale
+    path is :func:`embedding_near_dup_bucketed`, which first coarse-
+    quantizes with the K-Means core so candidates only meet within a
+    centroid bucket.
+    """
+    feats = df.select(
+        F.col(id_col).alias(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    a = feats.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    b = feats.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    cos = cosine_similarity_expr(F.col("va"), F.col("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_near_dup_bucketed(
+    df: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Scale path: assign each vector to its nearest K-Means centroid
+    (narrow projection), then compare only within buckets. Misses
+    cross-bucket pairs near boundaries — the standard IVF recall
+    trade-off; raise K or multi-probe for higher recall."""
+    from .kmeans import assign
+
+    feats = df.select(
+        F.col(id_col).alias(id_col), F.col(vec_col).cast("array<double>").alias("features")
+    )
+    bucketed = assign(feats, centroids, keep_dist=False)
+    a = bucketed.select(F.col(id_col).alias("id_a"), F.col("features").alias("va"), "cid")
+    b = bucketed.select(F.col(id_col).alias("id_b"), F.col("features").alias("vb"), "cid")
+    cos = cosine_similarity_expr(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

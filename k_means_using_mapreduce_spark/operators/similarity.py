@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns.
+
+North-star extension (BASELINE.json): approximate-nearest-neighbor over
+``array<float>`` embeddings. Three tiers:
+
+- ``topk_for_query``      : brute-force top-k for one literal query
+                            vector — a narrow projection + small sort;
+                            the exact baseline, fully oracle-checkable.
+- ``knn_join``            : top-k per query row against the corpus —
+                            broadcast the (small) query side, window
+                            top-k on the corpus side.
+- ``ivf_topk_for_query``  : IVF scale path — the K-Means core is the
+                            coarse quantizer; only the query's nprobe
+                            nearest buckets are scanned. At 100 TB the
+                            bucket filter prunes the scan by ~K/nprobe.
+
+All distance math is the same zip_with/aggregate fold as the K-Means
+kernels (functions/vectors.py) — JVM codegen, no UDFs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity_expr, sq_dist_to_literal
+from .kmeans import Centroids
+
+
+def _lit_vec(vec: Sequence[float]):
+    return F.array(*[F.lit(float(v)) for v in vec])
+
+
+def topk_for_query(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Exact top-k rows for one query vector. Returns
+    (id, score) ordered best-first; ties broken by id ascending.
+
+    Plan shape: scan → narrow projection (score) → TakeOrderedAndProject
+    — no shuffle beyond the final k-row gather.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    if metric == "cosine":
+        score = cosine_similarity_expr(v, _lit_vec(query))
+        order = [F.col("score").desc(), F.col(id_col).asc()]
+    elif metric == "sq_dist":
+        score = sq_dist_to_literal(v, query)
+        order = [F.col("score").asc(), F.col(id_col).asc()]
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    return (
+        df.select(F.col(id_col).alias(id_col), score.alias("score"))
+        .orderBy(*order)
+        .limit(k)
+    )
+
+
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    corpus_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    query_id: str = "vec_id",
+) -> DataFrame:
+    """For every query row, its k nearest corpus rows by cosine.
+    Returns (query_id, neighbor_id, rank, cosine); self-matches
+    (same id) are excluded.
+
+    The query side is broadcast (it is the small side by construction);
+    the corpus side never shuffles its vectors — only the per-query
+    top-k survive the window."""
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).cast("array<double>").alias("qv")
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).cast("array<double>").alias("cv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_similarity_expr(F.col("cv"), F.col("qv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def ivf_topk_for_query(
+    df: DataFrame,
+    centroids: Centroids,
+    query: Sequence[float],
+    k: int = 10,
+    nprobe: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN: scan only the ``nprobe`` buckets whose centroid is
+    nearest the query. The bucket predicate is computed driver-side
+    (K distances to one vector), so the executor-side plan is
+    filter(cid ∈ probes) → score → top-k — partition-prunable if the
+    corpus is written bucketed by cid."""
+    from .kmeans import assign
+
+    probe_ids = sorted(
+        ((cid, sum((a - b) ** 2 for a, b in zip(vec, query))) for cid, vec in centroids),
+        key=lambda t: (t[1], t[0]),
+    )[:nprobe]
+    probes = [cid for cid, _ in probe_ids]
+    feats = df.select(
+        F.col(id_col).alias(id_col), F.col(vec_col).cast("array<double>").alias("features")
+    )
+    bucketed = assign(feats, centroids, keep_dist=False)
+    in_probes = bucketed.filter(F.col("cid").isin(probes))
+    score = cosine_similarity_expr(F.col("features"), _lit_vec(query))
+    return (
+        in_probes.select(F.col(id_col).alias(id_col), score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -1,0 +1,104 @@
+"""Dedup operators on planted duplicates: the contract corpus has no
+exact dups, so recall/precision semantics are proven here."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from k_means_using_mapreduce_spark.operators import dedup as D
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    other = "spark shuffles hash partitions across executors with adaptive plans"
+    rows = [
+        (1, base),
+        (2, base),                      # exact dup of 1
+        (3, base.upper()),              # normalized dup of 1
+        (4, near),                      # near dup of 1
+        (5, other),
+        (6, "completely different text about nothing in particular at all"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = {r["doc_id"]: r["n_copies"] for r in D.dedup_exact(docs).collect()}
+    assert out[1] == 2          # 1 and 2 collapse
+    assert 2 not in out
+    assert out[3] == 1          # case differs → distinct for exact
+    assert len(out) == 5
+
+
+def test_normalized_dedup(docs):
+    out = {r["doc_id"]: r["n_copies"] for r in D.dedup_exact_normalized(docs).collect()}
+    assert out[1] == 3          # 1, 2, and case-folded 3 collapse
+    assert len(out) == 4
+
+
+def test_minhash_candidates_find_near_dup(docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_candidate_pairs(docs, num_hashes=12, bands=6).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) in pairs
+    assert (1, 4) in pairs or (2, 4) in pairs  # near-dup caught by some band
+    assert not any(5 in p or 6 in p for p in pairs)
+
+
+def test_jaccard_exact_verifier(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(1, 3)] == 1.0  # tokens lowercased
+    assert 0.5 <= pairs[(1, 4)] < 1.0
+    assert not any(5 in k or 6 in k for k in pairs)
+
+
+def test_simhash_hamming_close_for_near_dups(docs, spark):
+    sh = {r["doc_id"]: r["simhash"] for r in D.simhash(docs).collect()}
+    assert sh[1] == sh[2] == sh[3]
+    ham_near = bin(sh[1] ^ sh[4]).count("1")
+    ham_far = bin(sh[1] ^ sh[5]).count("1")
+    assert ham_near < ham_far
+
+
+def test_simhash_near_pairs(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_near_pairs(docs, max_hamming=4).collect()
+    }
+    assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0
+    assert not any((5 in k and 6 in k) for k in pairs)
+
+
+def test_embedding_near_dup(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),   # near dup of 1
+        (3, [0.0, 1.0, 0.0]),      # orthogonal
+        (4, [-1.0, 0.0, 0.0]),     # opposite
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {(r["id_a"], r["id_b"]) for r in D.embedding_near_dup(df, threshold=0.98).collect()}
+    assert pairs == {(1, 2)}
+
+
+def test_embedding_near_dup_bucketed_matches_exact_within_bucket(spark):
+    rows = [(i, [float(i % 2) * 10 + d * 0.001, 1.0]) for i, d in
+            [(1, 1), (2, 2), (3, 1), (4, 2)]]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(1, [0.0, 1.0]), (2, [10.0, 1.0])]
+    exact = {(r["id_a"], r["id_b"]) for r in D.embedding_near_dup(df, threshold=0.999).collect()}
+    bucketed = {
+        (r["id_a"], r["id_b"])
+        for r in D.embedding_near_dup_bucketed(df, cents, threshold=0.999).collect()
+    }
+    assert bucketed <= exact
+    # same-bucket pairs must all be found
+    assert (2, 4) in bucketed and (1, 3) in bucketed
