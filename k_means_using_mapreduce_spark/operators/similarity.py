@@ -79,17 +79,24 @@ def knn_join(
     The query side is broadcast (it is the small side by construction);
     the corpus side never shuffles its vectors — only the per-query
     top-k survive the window."""
+    from ..functions.vectors import dot_expr, l2_norm_expr
+
+    # norms precomputed per side (N + Q sqrt-folds, not N×Q); the pair
+    # expression dot/(nc*nq) stays bit-identical to the oracle SQL
     q = queries.select(
-        F.col(query_id).alias("query_id"), F.col(query_vec).cast("array<double>").alias("qv")
-    )
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).cast("array<double>").alias("qv"),
+    ).withColumn("nq", l2_norm_expr(F.col("qv")))
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(corpus_vec).cast("array<double>").alias("cv"),
-    )
+    ).withColumn("nc", l2_norm_expr(F.col("cv")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", cosine_similarity_expr(F.col("cv"), F.col("qv")))
+        .withColumn(
+            "cosine", dot_expr(F.col("cv"), F.col("qv")) / (F.col("nc") * F.col("nq"))
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
