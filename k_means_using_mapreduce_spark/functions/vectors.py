@@ -85,16 +85,23 @@ def argmin_centroid(
     between a map-only stage and a cross-join + window shuffle.
     """
     ordered = sorted(centroids, key=lambda c: c[0])
-    ids = [cid for cid, _ in ordered]
-    dists = F.array(*[sq_dist_to_literal(features, vec) for _, vec in ordered])
-    min_d = F.array_min(dists)
-    # array_position is 1-based; returns first (lowest-id) match on ties.
-    idx = F.array_position(dists, min_d).cast("int")
-    id_arr = F.array(*[F.lit(int(i)) for i in ids])
-    # Null guard: a null/partial feature vector yields null distances —
-    # emit null cid rather than an arbitrary centroid (observed:
-    # array_position on a null min picked a real id).
-    cid = F.when(min_d.isNull(), F.lit(None).cast("int")).otherwise(
-        F.element_at(id_arr, idx)
+    # One array of (dist, cid) structs; array_min's struct ordering is
+    # (d asc, cid asc) — the arg-min AND the lowest-id tie-break in a
+    # single pass over a single distance computation. (The alternative
+    # array_min + array_position formulation re-evaluates the K-distance
+    # array per output column — interpreted Projects do no CSE across
+    # higher-order functions — and measured 6-12× slower at 640k×64-D.)
+    structs = F.array(
+        *[
+            F.struct(
+                sq_dist_to_literal(features, vec).alias("d"),
+                F.lit(int(cid)).alias("cid"),
+            )
+            for cid, vec in ordered
+        ]
     )
-    return cid, min_d
+    # Null/partial vectors make every distance null; dropping null-d
+    # structs makes array_min return null → null cid, never an
+    # arbitrary centroid.
+    m = F.array_min(F.filter(structs, lambda s: s["d"].isNotNull()))
+    return m["cid"], m["d"]

@@ -1,0 +1,17 @@
+from .explain import (
+    broadcast_join_count,
+    exchange_count,
+    formatted_plan,
+    pushed_filters,
+    read_schemas,
+    sort_merge_join_count,
+)
+
+__all__ = [
+    "broadcast_join_count",
+    "exchange_count",
+    "formatted_plan",
+    "pushed_filters",
+    "read_schemas",
+    "sort_merge_join_count",
+]
