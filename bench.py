@@ -49,6 +49,9 @@ BENCH_QUERIES = [
     "knn_join_embeddings",
     "ivf_topk_embeddings",
     "embedding_near_dup_pairs",
+    "q6_forecast_revenue",
+    "suppliers_of_shipped_parts",
+    "deep_discount_small_parts",
 ]
 
 KMEANS_FIT_K = 8

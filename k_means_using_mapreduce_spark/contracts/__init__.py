@@ -12,9 +12,23 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import dedup_queries, kmeans_queries, similarity_queries, text_queries, tpch_queries
+from . import (
+    dedup_queries,
+    kmeans_queries,
+    setop_queries,
+    similarity_queries,
+    text_queries,
+    tpch_queries,
+)
 
-_MODULES = [kmeans_queries, dedup_queries, text_queries, similarity_queries, tpch_queries]
+_MODULES = [
+    kmeans_queries,
+    dedup_queries,
+    text_queries,
+    similarity_queries,
+    tpch_queries,
+    setop_queries,
+]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
