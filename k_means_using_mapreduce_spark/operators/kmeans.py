@@ -45,11 +45,17 @@ with iteration count.
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: O23 — the reference logs init/iteration/convergence state to dump.txt
+#: (master.py:12 and call sites); the engine logs the same milestones
+#: through standard logging (driver side; Spark's event log covers tasks).
+logger = logging.getLogger("k_means_using_mapreduce_spark.kmeans")
 
 from ..functions.vectors import argmin_centroid, sq_dist_expr
 
@@ -214,6 +220,11 @@ def kmeans_fit(
         else:
             centroids = init_centroids(work, k, seed)
 
+        logger.info(
+            "kmeans_fit start: n=%d k=%d seed=%s max_iter=%d tol=%g init=%s",
+            n, k, seed, max_iter, tol,
+            [(c, [round(v, 4) for v in vec[:4]]) for c, vec in centroids[:4]],
+        )
         converged = False
         iterations = 0
         sizes: dict[int, int] = {}
@@ -237,8 +248,12 @@ def kmeans_fit(
                 for (_, old), (_, new) in zip(centroids, new_centroids)
             )
             centroids = new_centroids
+            logger.info(
+                "iteration %d: max_movement=%.6g sizes=%s", iterations, movement, sizes
+            )
             if movement <= tol:
                 converged = True
+                logger.info("converged after %d iterations (tol=%g)", iterations, tol)
                 break
 
         final_sse = sse(work, centroids, "features").first()["sse"]

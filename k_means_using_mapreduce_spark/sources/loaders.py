@@ -87,6 +87,27 @@ def points_to_features(df: DataFrame) -> DataFrame:
     return df.select(F.array(*[F.col(c).cast("double") for c in numeric]).alias("features"))
 
 
+def with_row_index(df: DataFrame, col: str = "row_idx") -> DataFrame:
+    """O5/O6 exact-index semantics: a stable 0-based row index.
+
+    The reference range-splits 0..N-1 across mappers and fancy-indexes
+    rows (master.py:46-48, mapper.py:35-36). Spark ships input splits
+    instead, so this exists only for workloads that genuinely need the
+    reference's by-index selection: ``with_row_index(df).filter(
+    (F.col('row_idx') >= lo) & (F.col('row_idx') < hi))``.
+
+    Uses zipWithIndex (two passes: count per partition + indexed scan) —
+    deterministic for a deterministic input order.
+    """
+    schema = df.schema
+    rdd = df.rdd.zipWithIndex().map(lambda t: (*t[0], t[1]))
+    from pyspark.sql import types as T
+
+    return df.sparkSession.createDataFrame(
+        rdd, T.StructType(list(schema.fields) + [T.StructField(col, T.LongType(), False)])
+    )
+
+
 def validate_kmeans_input(df: DataFrame, k: int) -> int:
     """O3: raise ValueError on empty input or K > N (master.py:29-33).
 

@@ -21,3 +21,15 @@ def write_centroids_csv(centroids: DataFrame, path: str, mode: str = "overwrite"
         "cid", *[F.col("features")[i].alias(f"c{i}") for i in range(dim)]
     ).orderBy("cid")
     flat.coalesce(1).write.mode(mode).option("header", "true").csv(path)
+
+
+def write_assignments_parquet(
+    assigned: DataFrame, path: str, mode: str = "overwrite"
+) -> None:
+    """Persist an assignment relation partitioned by cluster id.
+
+    The scale-aware replacement for the reference's per-reducer text
+    partition files (mapper.py:68-71): ``partitionBy('cid')`` gives
+    partition-pruned reads for per-cluster consumers (e.g. the IVF
+    probe scan reads only the probed buckets)."""
+    assigned.write.mode(mode).partitionBy("cid").parquet(path)
