@@ -1,0 +1,68 @@
+"""Near-dedup pipeline: transitive duplicate groups collapse to one
+representative; unique docs survive untouched."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from k_means_using_mapreduce_spark.operators.dedup_pipeline import (
+    connected_components,
+    near_dedup,
+)
+
+
+def test_connected_components_transitive(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    comps = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comps[1] == comps[2] == comps[3] == 1
+    assert comps[10] == comps[11] == 10
+    assert comps[20] == comps[21] == comps[22] == comps[23] == 20
+
+
+def test_connected_components_chain(spark):
+    # worst-case path graph: 0-1-2-...-7 — needs several propagation rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)], "id_a long, id_b long"
+    )
+    comps = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert set(comps.values()) == {0}
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today ok"
+    v1 = base.replace("today", "tomorrow")           # near dup of base
+    v2 = base.replace("today ok", "tomorrow no")     # near dup of v1 (chain)
+    rows = [
+        (1, base),
+        (2, base),       # exact dup
+        (3, v1),         # near dup
+        (4, v2),         # transitive near dup
+        (5, "spark shuffles hash partitions across many executors with adaptive query plans"),
+        (6, "completely different text about nothing in particular at all whatsoever"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_near_dedup_keeps_one_per_group(corpus):
+    out = near_dedup(corpus, jaccard_threshold=0.5, bands=6)
+    rows = {r["doc_id"]: r["dup_group_size"] for r in out.collect()}
+    assert 1 in rows and rows[1] >= 3        # group representative
+    assert 2 not in rows and 3 not in rows   # collapsed into doc 1
+    assert rows[5] == 1 and rows[6] == 1     # uniques untouched
+    # total rows = uniques + one representative per dup group
+    assert len(rows) == 3 or (len(rows) == 4 and 4 in rows)
+
+
+def test_near_dedup_no_dups_is_identity(spark):
+    df = spark.createDataFrame(
+        [(i, f"totally unique document number {i} with words w{i} x{i} y{i} z{i} q{i} r{i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    out = near_dedup(df)
+    assert out.count() == 8
+    assert all(r["dup_group_size"] == 1 for r in out.collect())
