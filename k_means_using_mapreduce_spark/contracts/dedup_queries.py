@@ -192,7 +192,23 @@ EMBEDDING_NEAR_DUP_SQL = (
 )
 
 
+def near_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dedup pipeline (candidates → verify → connected
+    components → representatives). Deterministic but iterative —
+    connected components is not single-statement-SQL-expressible, so
+    this entry has no oracle (driver records the rows-only check);
+    stage-level correctness is covered by the minhash/jaccard oracle
+    queries above and tests/test_dedup_pipeline.py."""
+    from ..operators.dedup_pipeline import near_dedup
+
+    out = near_dedup(
+        load_table(spark, sf_dir, "documents"), jaccard_threshold=0.6
+    )
+    return out.select("doc_id", "dup_group_size")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "near_dedup_documents": near_dedup_documents,
     "dedup_exact_documents": dedup_exact_documents,
     "dedup_fingerprint_documents": dedup_fingerprint_documents,
     "minhash_bands_documents": minhash_bands_documents,
