@@ -255,6 +255,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs ≥ threshold.
 
@@ -263,11 +264,26 @@ def jaccard_pairs(
     hot shingles fan out quadratically, so at scale this runs *after*
     LSH candidate generation (minhash_candidate_pairs) — here it is also
     exposed standalone as the exact verifier.
+
+    ``max_doc_freq`` (scale knob): drop shingles appearing in more than
+    that many documents *from the join only* (a boilerplate shingle in
+    10^6 docs would alone produce 10^12 join rows). Document sizes
+    still count every shingle, so the resulting jaccard is a lower
+    bound — standard practice for web-scale dedup; leave None for the
+    exact (oracle-checked) semantics.
     """
     sh = df.select(
         F.col(id_col).alias(id_col), F.explode(shingles(content_col, shingle_n)).alias("sh")
     ).distinct()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("sh")
+        )
+        sh = sh.join(rare, "sh", "left_semi")
     left = sh.select(F.col(id_col).alias("id_a"), "sh")
     right = sh.select(F.col(id_col).alias("id_b"), "sh")
     inter = (

@@ -145,15 +145,16 @@ class KMeansResult:
 def _update_fast(assigned: DataFrame, features_col: str) -> DataFrame:
     """Fit-loop update via MLlib Summarizer (single-pass JVM vector mean)
     — avoids the 64× posexplode row amplification of :func:`update`.
-    Requires a ``_fvec`` VectorUDT column alongside the array column."""
+    Requires ``_fvec`` (VectorUDT) and ``_w`` (double weight) columns;
+    the mean is the ``_w``-weighted mean and ``n`` the total weight."""
     from pyspark.ml.functions import vector_to_array
     from pyspark.ml.stat import Summarizer
 
     return (
         assigned.groupBy("cid")
         .agg(
-            F.count("*").alias("n"),
-            Summarizer.mean(F.col("_fvec")).alias("_mean_vec"),
+            F.sum("_w").alias("n"),
+            Summarizer.mean(F.col("_fvec"), F.col("_w")).alias("_mean_vec"),
         )
         .select("cid", "n", vector_to_array("_mean_vec").alias("centroid"))
     )
@@ -178,25 +179,38 @@ def kmeans_fit(
     tol: float = 1e-4,
     features_col: str = "features",
     initial_centroids: Centroids | None = None,
+    weight_col: str | None = None,
 ) -> KMeansResult:
     """Lloyd's algorithm driver loop (O19) with seeded init (O4),
     by-id convergence (O18, fixed) and keep-old-centroid policy (O14,
     explicit). ``tol`` is the max per-coordinate absolute movement,
     mirroring the reference's ``np.allclose(old, new, atol=1e-4)``
-    (master.py:144-147) after sorting by id."""
+    (master.py:144-147) after sorting by id.
+
+    ``weight_col`` enables weighted K-Means: centroids become
+    weighted means and cluster sizes report total weight (rounded).
+    The natural use at 100 TB: fit on pre-aggregated or coreset rows
+    where weight = collapsed-row count, instead of raw data."""
     from pyspark.ml.functions import array_to_vector
 
     # Null policy (the reference has no null semantics — np.loadtxt just
     # crashes on malformed rows, SURVEY.md §1): rows with a missing
     # vector or any null coordinate are dropped before fitting.
+    cols = [F.col(features_col).alias("features")]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast("double").alias("_w"))
     work = (
-        df.select(F.col(features_col).alias("features"))
+        df.select(*cols)
         .filter(
             F.col("features").isNotNull()
             & F.forall("features", lambda x: x.isNotNull())
         )
         .withColumn("_fvec", array_to_vector(F.col("features")))
     )
+    if weight_col is None:
+        work = work.withColumn("_w", F.lit(1.0))
+    else:
+        work = work.filter(F.col("_w").isNotNull() & (F.col("_w") > 0))
     work = work.cache()
     try:
         n = work.count()  # materialize cache; O3 guard
@@ -232,7 +246,9 @@ def kmeans_fit(
             iterations += 1
             assigned = assign(work, centroids, "features", keep_dist=False)
             rows = _update_fast(assigned, "features").collect()  # K rows only
-            new_by_id = {r["cid"]: (list(r["centroid"]), r["n"]) for r in rows}
+            new_by_id = {
+                r["cid"]: (list(r["centroid"]), int(round(r["n"]))) for r in rows
+            }
             new_centroids = []
             sizes = {}
             for cid, old_vec in centroids:
