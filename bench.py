@@ -22,6 +22,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+#: Per-query repeats (min is reported) — absorbs JIT/codegen warmup and
+#: GC noise; observed single-run totals swing 60-105 s on identical code.
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
 
 #: Headline subset of the contract registry — covers every operator
 #: family: scan+agg, broadcast joins, window, kmeans kernels, dedup
@@ -79,9 +82,12 @@ def main() -> None:
 
     for name in BENCH_QUERIES:
         fn = contracts.QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(max(1, REPEATS)):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     # iterative fit — the reference's own workload shape
     from pyspark.sql import functions as F

@@ -1,0 +1,83 @@
+"""Skew-handling operators: salted aggregation and salted joins.
+
+At 100 TB a handful of hot keys (one viral document source, one
+dominant cluster id) can pin a whole stage on one reducer. Spark's AQE
+skew-join splitting (enabled in session.py) handles *join* skew at
+runtime; these helpers cover the remaining cases:
+
+- ``salted_aggregate``: two-phase aggregation for algebraic aggregates
+  over heavily skewed group keys. Phase 1 groups on (key, salt) so the
+  hot key's rows spread over ``buckets`` reducers; phase 2 merges the
+  per-salt partials. For sum/count/min/max the merge is the same
+  function; avg is decomposed into sum+count. (Spark's own partial
+  aggregation already does this when upstream partitions are balanced —
+  salting matters when the *input partitioning itself* is keyed and
+  skewed, e.g. after a keyed shuffle or from a bucketed source.)
+- ``salted_broadcast_left``: replicate a small dimension ``buckets``
+  times so a skewed fact side joins against (key, salt) — the classic
+  salting pattern when the small side is too big to broadcast outright
+  but the key histogram is too skewed for sort-merge.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_aggregate(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    *,
+    sums: Sequence[str] = (),
+    counts: bool = True,
+    buckets: int = 16,
+    seed: int = 0,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation: per-key COUNT and SUMs.
+
+    Returns one row per key with ``n`` and ``sum_<col>`` columns —
+    exactly equal to the direct ``groupBy(key)`` result (addition is
+    the merge function), but no reducer ever sees more than ~1/buckets
+    of a hot key's rows in phase 1.
+    """
+    salt = (F.abs(F.hash(F.rand(seed) * 1e9)) % buckets).alias("_salt")
+    phase1_aggs = [F.count("*").alias("_n")] + [
+        F.sum(c).alias(f"_sum_{c}") for c in sums
+    ]
+    partial = (
+        df.select(*key_cols, salt, *sums)
+        .groupBy(*key_cols, "_salt")
+        .agg(*phase1_aggs)
+    )
+    final_aggs = []
+    if counts:
+        final_aggs.append(F.sum("_n").alias("n"))
+    final_aggs += [F.sum(f"_sum_{c}").alias(f"sum_{c}") for c in sums]
+    return partial.groupBy(*key_cols).agg(*final_aggs)
+
+
+def salted_broadcast_left(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    *,
+    buckets: int = 8,
+    seed: int = 0,
+) -> DataFrame:
+    """Skew-safe equi-join: the fact side gets a random salt in
+    [0, buckets); the dim side is replicated once per salt value; the
+    join key becomes (key, salt). Row multiplicity matches the plain
+    join exactly."""
+    salted_fact = fact.withColumn(
+        "_salt", (F.abs(F.hash(F.rand(seed) * 1e9)) % buckets).cast("int")
+    )
+    replicated_dim = dim.crossJoin(
+        F.broadcast(
+            fact.sparkSession.range(buckets).select(F.col("id").cast("int").alias("_salt"))
+        )
+    )
+    out = salted_fact.join(replicated_dim, [key, "_salt"]).drop("_salt")
+    return out
