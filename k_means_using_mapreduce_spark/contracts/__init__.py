@@ -17,6 +17,7 @@ from . import (
     kmeans_queries,
     setop_queries,
     similarity_queries,
+    stats_queries,
     text_queries,
     tpch_queries,
 )
@@ -28,6 +29,7 @@ _MODULES = [
     similarity_queries,
     tpch_queries,
     setop_queries,
+    stats_queries,
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
