@@ -15,9 +15,11 @@ from pyspark.sql import DataFrame, SparkSession
 from . import (
     dedup_queries,
     kmeans_queries,
+    rollup_queries,
     setop_queries,
     similarity_queries,
     stats_queries,
+    temporal_queries,
     text_queries,
     tpch_queries,
 )
@@ -30,6 +32,8 @@ _MODULES = [
     tpch_queries,
     setop_queries,
     stats_queries,
+    temporal_queries,
+    rollup_queries,
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -1,0 +1,170 @@
+"""Temporal contract queries with DuckDB oracles (events table).
+
+Every output column here is integer-exact (bigint time arithmetic,
+counts, max/min, bigint sums) except explicitly-noted pass-through
+doubles, so the driver hash-compare has zero float-order exposure.
+
+Resolution note: `events.ts` is TIMESTAMP(NANOS) parquet. Spark
+surfaces full bigint nanoseconds via `load_table`, but DuckDB 1.0
+truncates nanos parquet to its µs-resolution TIMESTAMP — so any
+contract output derived from raw event times is defined at µs
+resolution (`ts div 1000` in Spark ≡ `epoch_us(ts)` in DuckDB) to make
+both engines compute identical integers. Hour-bucket outputs can stay
+in ns because flooring to the hour erases the sub-µs digits anyway.
+The operators themselves (operators/temporal.py) keep full ns.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.temporal import asof_join, session_stats, time_bucket
+from ..sources.loaders import load_table
+
+GAP_NS = 30 * 60 * 1_000_000_000
+HOUR_NS = 3_600 * 1_000_000_000
+
+
+GAP_US = GAP_NS // 1000
+
+
+def user_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) → per-session stats, at µs
+    resolution (see module docstring)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.expr("ts div 1000")
+    )
+    out = session_stats(ev, gap_ns=GAP_US)
+    return out.withColumnRenamed("start_ns", "start_us").withColumnRenamed(
+        "duration_ns", "duration_us"
+    )
+
+
+USER_SESSIONS_SQL = f"""
+WITH flagged AS (
+    SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {GAP_US}
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+), sess AS (
+    SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+                                     ORDER BY ts_us, event_id
+                                     ROWS UNBOUNDED PRECEDING)
+                   AS BIGINT) AS session_seq
+    FROM flagged
+)
+SELECT user_id, session_seq, count(*) AS n_events, min(ts_us) AS start_us,
+       max(ts_us) - min(ts_us) AS duration_us,
+       count(DISTINCT event_type) AS n_event_types
+FROM sess GROUP BY user_id, session_seq
+"""
+
+
+def purchase_click_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase attributed to the user's latest prior
+    (or simultaneous) click. Clicks are pre-deduped per (user, ts) so
+    the as-of tiebreak is deterministic in both engines."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.expr("ts div 1000")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        by="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["ts", "click_event_id"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("value").alias("purchase_value"),
+        F.col("asof_click_event_id").alias("click_event_id"),
+        (F.col("ts") - F.col("asof_ts")).alias("gap_us"),
+    )
+
+
+PURCHASE_CLICK_ASOF_SQL = """
+WITH p AS (
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+    FROM events WHERE event_type = 'purchase'
+), c AS (
+    SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS click_event_id
+    FROM events WHERE event_type = 'click' GROUP BY user_id, epoch_us(ts)
+)
+SELECT p.event_id, p.user_id, p.value AS purchase_value,
+       c.click_event_id, p.ts_us - c.ts_us AS gap_us
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+"""
+
+
+def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour rollup per event type — the batch form of a
+    hypertable continuous aggregate. Exact outputs only."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("bucket_ns", time_bucket("ts", HOUR_NS))
+        .groupBy("bucket_ns", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+HOURLY_ROLLUP_SQL = f"""
+SELECT epoch_ns(ts) - (epoch_ns(ts) % {HOUR_NS}) AS bucket_ns,
+       event_type, count(*) AS n,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the `props` string column — per-type stats
+    of the integer field `$.k` (bigint sums: exact)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count("k").alias("n"),
+        F.countDistinct("k").alias("n_distinct_k"),
+        F.sum("k").alias("sum_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type, count(k) AS n, count(DISTINCT k) AS n_distinct_k,
+       CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k
+FROM (SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events)
+GROUP BY event_type
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "user_sessions_events": user_sessions_events,
+    "purchase_click_asof": purchase_click_asof,
+    "hourly_event_rollup": hourly_event_rollup,
+    "events_json_props": events_json_props,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "user_sessions_events": USER_SESSIONS_SQL,
+    "purchase_click_asof": PURCHASE_CLICK_ASOF_SQL,
+    "hourly_event_rollup": HOURLY_ROLLUP_SQL,
+    "events_json_props": EVENTS_JSON_SQL,
+}

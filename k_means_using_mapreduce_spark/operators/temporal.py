@@ -1,0 +1,153 @@
+"""Temporal operators: sessionization, as-of join, time-bucket rollup.
+
+The reference has no temporal operators at all (SURVEY.md §2: no joins,
+no windows, no timestamps anywhere in its schema — `mapreduce.proto:6-9`
+is x/y floats only). These are the event-time primitives a training-data
+pipeline needs over the `events` stream table, built Spark-first:
+
+- every operator is ONE shuffle on the partition key (`user_id`-style),
+  then window/aggregate work that stays inside the partition — no
+  self-joins, no cross products, no driver collects;
+- `asof_join` uses the union-then-window formulation instead of a range
+  join: at 100 TB a range join explodes into an O(n·m) interval overlap
+  per key, while union+window is a single sort-merge pass per key — the
+  same trick backing pandas `merge_asof`, kdb `aj`, and QuestDB ASOF;
+- timestamps are plain bigint nanoseconds (what `load_table` surfaces
+  for TIMESTAMP(NANOS) parquet — see sources/loaders.py); all derived
+  values stay integer-exact, so oracle hashes match bit-for-bit.
+
+Skew note: partitions are per-user. A hot user bounds one task; for
+pathological single-key skew, compose with operators/skew.py salting
+on the aggregate side (sessionize itself must see a user's full
+ordered history, so its per-user sort is irreducible).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: 30 minutes in nanoseconds — the classic web-analytics session gap.
+DEFAULT_SESSION_GAP_NS = 30 * 60 * 1_000_000_000
+
+
+def sessionize(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    gap_ns: int = DEFAULT_SESSION_GAP_NS,
+) -> DataFrame:
+    """Assign gap-based session ids: a new session starts whenever the
+    user's inter-event gap exceeds ``gap_ns``.
+
+    Classic lag-flag-cumsum: ``lag`` marks session starts, a running
+    ``sum`` over the flags numbers them 1..n per user. Both windows
+    share one partitioning (single shuffle; Catalyst plans one Exchange
+    + one Sort for both WindowExecs). ``order_col`` breaks equal-ts
+    ties deterministically.
+
+    Returns the input plus ``session_seq`` (1-based per user).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    prev_ts = F.lag(ts_col).over(w)
+    is_new = F.when(
+        prev_ts.isNull() | (F.col(ts_col) - prev_ts > F.lit(gap_ns)), 1
+    ).otherwise(0)
+    return events.withColumn("_is_new", is_new).withColumn(
+        "session_seq",
+        F.sum("_is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    ).drop("_is_new")
+
+
+def session_stats(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    gap_ns: int = DEFAULT_SESSION_GAP_NS,
+) -> DataFrame:
+    """Per-session aggregates over :func:`sessionize` output.
+
+    The groupBy key ``(user, session_seq)`` is a refinement of the
+    window partitioning, so AQE can often satisfy the aggregation
+    without a second full shuffle. All outputs are integer-exact.
+    """
+    sess = sessionize(
+        events, user_col=user_col, ts_col=ts_col, order_col=order_col, gap_ns=gap_ns
+    )
+    return sess.groupBy(user_col, "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min(ts_col).alias("start_ns"),
+        (F.max(ts_col) - F.min(ts_col)).alias("duration_ns"),
+        F.countDistinct("event_type").alias("n_event_types"),
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    by: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Left as-of join: for every left row, attach the columns of the
+    latest right row with ``right.ts <= left.ts`` and equal ``by`` key
+    (backward-inclusive — DuckDB ``ASOF JOIN ... ON l.ts >= r.ts``,
+    pandas ``merge_asof(direction="backward")``). Left rows with no
+    prior right row keep NULLs.
+
+    Implementation: tag both inputs, union, and take ``last(..,
+    ignorenulls)`` over ``(by) ORDER BY (ts, side)`` — right rows sort
+    before left rows at equal ts, so "inclusive" falls out of the sort
+    order. One shuffle on ``by``, one per-partition sort, zero row
+    amplification; survives arbitrary right-side cardinality where a
+    range-join would explode.
+
+    If several right rows share ``(by, ts)``, the union keeps them all
+    and ``last`` takes the final one in sort order; pre-dedupe the
+    right side when that tie must be deterministic.
+    """
+    if "_asof_side" in left.columns or "_asof_side" in right.columns:
+        raise ValueError("inputs may not contain reserved column _asof_side")
+    tagged_r = right.select(
+        F.col(by).alias(by),
+        F.col(right_ts).alias("_asof_ts"),
+        F.lit(0).alias("_asof_side"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in right_cols],
+    )
+    tagged_l = left.withColumn("_asof_ts", F.col(left_ts)).withColumn(
+        "_asof_side", F.lit(1)
+    )
+    merged = tagged_l.unionByName(tagged_r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(by)
+        .orderBy("_asof_ts", "_asof_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for c in right_cols:
+        merged = merged.withColumn(
+            f"{prefix}{c}", F.last(f"{prefix}{c}", ignorenulls=True).over(w)
+        )
+    return merged.where(F.col("_asof_side") == 1).drop("_asof_ts", "_asof_side")
+
+
+def time_bucket(ts_col: Column | str, bucket_ns: int) -> Column:
+    """Tumbling-window bucket start (bigint ns): ``floor(ts / width) *
+    width``. The batch twin of Structured Streaming's ``F.window`` —
+    hypertable-rollup-style continuous aggregates reduce to a plain
+    groupBy on this column, which Catalyst folds into one partial+final
+    hash aggregation with no shuffle beyond the bucket key.
+
+    Uses ``pmod`` (not ``%``, which truncates toward zero) so pre-epoch
+    timestamps floor correctly: ``time_bucket(-1500, 1000) == -2000``.
+    """
+    c = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+    return (c - F.pmod(c, F.lit(bucket_ns))).cast("long")

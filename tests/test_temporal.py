@@ -1,0 +1,153 @@
+"""Semantics tests for temporal operators (sessionize / asof_join /
+time_bucket) on hand-built data with known answers, plus multi-level
+grouping invariants for the rollup/cube contract queries."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from k_means_using_mapreduce_spark.contracts import rollup_queries
+from k_means_using_mapreduce_spark.operators.temporal import (
+    asof_join,
+    session_stats,
+    sessionize,
+    time_bucket,
+)
+
+M = 60 * 1_000_000_000  # one minute in ns
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    # user 1: events at t=0,10m,50m (gap 40m splits) ; user 2: single event
+    rows = [
+        (1, 1, 0 * M, "click"),
+        (2, 1, 10 * M, "purchase"),
+        (3, 1, 50 * M, "click"),
+        (4, 2, 5 * M, "view"),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string"
+    )
+
+
+class TestSessionize:
+    def test_gap_splits_sessions(self, events):
+        out = {
+            r["event_id"]: r["session_seq"]
+            for r in sessionize(events, gap_ns=30 * M).collect()
+        }
+        assert out == {1: 1, 2: 1, 3: 2, 4: 1}
+
+    def test_gap_exactly_equal_stays_in_session(self, spark):
+        df = spark.createDataFrame(
+            [(1, 1, 0, "a"), (2, 1, 30 * M, "a"), (3, 1, 30 * M + 30 * M + 1, "a")],
+            "event_id long, user_id long, ts long, event_type string",
+        )
+        # strict > gap starts a new session: 30m gap keeps, 30m+1ns splits
+        seqs = [
+            r["session_seq"]
+            for r in sessionize(df, gap_ns=30 * M).orderBy("event_id").collect()
+        ]
+        assert seqs == [1, 1, 2]
+
+    def test_session_stats(self, events):
+        stats = {
+            (r["user_id"], r["session_seq"]): (
+                r["n_events"],
+                r["duration_ns"],
+                r["n_event_types"],
+            )
+            for r in session_stats(events, gap_ns=30 * M).collect()
+        }
+        assert stats == {
+            (1, 1): (2, 10 * M, 2),
+            (1, 2): (1, 0, 1),
+            (2, 1): (1, 0, 1),
+        }
+
+
+class TestAsofJoin:
+    def test_backward_inclusive_and_null(self, spark):
+        left = spark.createDataFrame(
+            [(1, 100, 10), (1, 200, 20), (1, 50, 5), (2, 100, 1)],
+            "user_id long, ts long, lval long",
+        )
+        right = spark.createDataFrame(
+            [(1, 100, "a"), (1, 150, "b"), (3, 1, "z")],
+            "user_id long, ts long, tag string",
+        )
+        out = {
+            (r["user_id"], r["ts"]): r["asof_tag"]
+            for r in asof_join(
+                left,
+                right,
+                by="user_id",
+                left_ts="ts",
+                right_ts="ts",
+                right_cols=["tag"],
+            ).collect()
+        }
+        assert out == {
+            (1, 50): None,  # no prior right row
+            (1, 100): "a",  # inclusive: equal ts matches
+            (1, 200): "b",  # latest prior wins
+            (2, 100): None,  # key never in right
+        }
+
+    def test_no_row_amplification(self, spark):
+        left = spark.range(100).select(
+            F.lit(1).alias("user_id"), F.col("id").alias("ts")
+        )
+        right = spark.range(500).select(
+            F.lit(1).alias("user_id"), (F.col("id") % 50).alias("ts"),
+            F.col("id").alias("rid"),
+        )
+        joined = asof_join(
+            left, right, by="user_id", left_ts="ts", right_ts="ts",
+            right_cols=["rid"],
+        )
+        assert joined.count() == 100
+
+    def test_reserved_column_rejected(self, spark):
+        df = spark.range(1).select(
+            F.lit(1).alias("user_id"), F.lit(1).alias("ts"),
+            F.lit(0).alias("_asof_side"),
+        )
+        with pytest.raises(ValueError, match="_asof_side"):
+            asof_join(df, df, by="user_id", left_ts="ts", right_ts="ts",
+                      right_cols=["ts"])
+
+
+def test_time_bucket_floors(spark):
+    df = spark.range(1).select(
+        time_bucket(F.lit(3_600_000_000_123).cast("long"), 3_600_000_000_000).alias("b"),
+        # pre-epoch: true floor, not truncation toward zero
+        time_bucket(F.lit(-1500).cast("long"), 1000).alias("neg"),
+    )
+    row = df.collect()[0]
+    assert row["b"] == 3_600_000_000_000
+    assert row["neg"] == -2000
+
+
+class TestRollupQueries:
+    def test_rollup_levels(self, spark, sf_small):
+        rows = rollup_queries.acctbal_rollup_region_nation(
+            spark, sf_small
+        ).collect()
+        grand = [r for r in rows if r["g_region"] == 1 and r["g_nation"] == 1]
+        assert len(grand) == 1 and grand[0]["r_name"] is None
+        per_region = [r for r in rows if r["g_region"] == 0 and r["g_nation"] == 1]
+        per_nation = [r for r in rows if r["g_region"] == 0 and r["g_nation"] == 0]
+        assert grand[0]["n_customers"] == sum(r["n_customers"] for r in per_region)
+        assert grand[0]["n_customers"] == sum(r["n_customers"] for r in per_nation)
+
+    def test_cube_levels(self, spark, sf_small):
+        rows = rollup_queries.lineitem_cube_flags(spark, sf_small).collect()
+        # 2^2 grouping levels present
+        levels = {(r["g_returnflag"], r["g_linestatus"]) for r in rows}
+        assert levels == {(0, 0), (0, 1), (1, 0), (1, 1)}
+        grand = [r for r in rows if r["g_returnflag"] and r["g_linestatus"]]
+        detail = [r for r in rows if not r["g_returnflag"] and not r["g_linestatus"]]
+        assert grand[0]["n_items"] == sum(r["n_items"] for r in detail)
