@@ -55,6 +55,14 @@ BENCH_QUERIES = [
     "q6_forecast_revenue",
     "suppliers_of_shipped_parts",
     "deep_discount_small_parts",
+    # temporal / reshape / multi-level grouping families
+    "user_sessions_events",
+    "purchase_click_asof",
+    "hourly_event_rollup",
+    "user_event_pivot",
+    "embedding_dim_stats",
+    "asia_nation_revenue",
+    "lineitem_cube_flags",
 ]
 
 KMEANS_FIT_K = 8

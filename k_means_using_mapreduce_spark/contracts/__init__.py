@@ -15,7 +15,9 @@ from pyspark.sql import DataFrame, SparkSession
 from . import (
     dedup_queries,
     kmeans_queries,
+    reshape_queries,
     rollup_queries,
+    sampling_queries,
     setop_queries,
     similarity_queries,
     stats_queries,
@@ -34,6 +36,8 @@ _MODULES = [
     stats_queries,
     temporal_queries,
     rollup_queries,
+    reshape_queries,
+    sampling_queries,
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -1,0 +1,64 @@
+"""Deterministic-sampling contract queries with DuckDB oracles.
+
+The md5-bucket expressions here are the engine-portable twin of
+operators/sampling.py (same first-15-hex-chars → int64 → mod math);
+see that module's docstring for why hash sampling (not rand) is the
+only defensible sampler at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.sampling import hash_sample, train_test_split
+from ..sources.loaders import load_table
+
+
+def documents_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample of documents by doc_id hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", keep=10, out_of=100).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+DOCUMENTS_HASH_SAMPLE_SQL = """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 10
+"""
+
+
+def documents_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test split (20% test) summarized per (split, lang) —
+    proves the partition is disjoint, exhaustive, and deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = train_test_split(docs, "doc_id", test_pct=20)
+    return split.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+DOCUMENTS_SPLIT_SUMMARY_SQL = """
+SELECT CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 % 100 < 20
+            THEN 'test' ELSE 'train' END AS split,
+       lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "documents_hash_sample": documents_hash_sample,
+    "documents_split_summary": documents_split_summary,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "documents_hash_sample": DOCUMENTS_HASH_SAMPLE_SQL,
+    "documents_split_summary": DOCUMENTS_SPLIT_SUMMARY_SQL,
+}

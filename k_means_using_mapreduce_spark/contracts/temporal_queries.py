@@ -88,12 +88,15 @@ def purchase_click_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="ts",
         right_cols=["ts", "click_event_id"],
     )
+    # Unmatched purchases get -1 (not NULL): nullable numeric output
+    # columns turn into float64 through the oracle's pandas bridge and
+    # break the driver's integer canonicalization.
     return joined.select(
         "event_id",
         "user_id",
         F.col("value").alias("purchase_value"),
-        F.col("asof_click_event_id").alias("click_event_id"),
-        (F.col("ts") - F.col("asof_ts")).alias("gap_us"),
+        F.coalesce("asof_click_event_id", F.lit(-1)).alias("click_event_id"),
+        F.coalesce(F.col("ts") - F.col("asof_ts"), F.lit(-1)).alias("gap_us"),
     )
 
 
@@ -106,7 +109,8 @@ WITH p AS (
     FROM events WHERE event_type = 'click' GROUP BY user_id, epoch_us(ts)
 )
 SELECT p.event_id, p.user_id, p.value AS purchase_value,
-       c.click_event_id, p.ts_us - c.ts_us AS gap_us
+       coalesce(c.click_event_id, -1) AS click_event_id,
+       coalesce(p.ts_us - c.ts_us, -1) AS gap_us
 FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
 """
 

@@ -123,11 +123,57 @@ SOURCE_QUALITY_SQL = (
 )
 
 
+def top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 most frequent tokens per language tag — explode → count →
+    ranked window, the canonical top-k-per-group. Deterministic
+    tie-break (count desc, token asc). Scale: token explode shuffles
+    (lang, token) pairs with map-side partial counts; the window sees
+    only the aggregated counts, never raw tokens."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", F.explode(T.tokens("text")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("lang", "token", "n", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def _top_tokens_sql() -> str:
+    from ._sql_text import sql_tokens
+
+    return f"""
+WITH counts AS (
+    SELECT lang, token, count(*) AS n
+    FROM (SELECT lang, unnest({sql_tokens("text")}) AS token FROM documents)
+    WHERE token != ''
+    GROUP BY lang, token
+), ranked AS (
+    SELECT lang, token, n,
+           CAST(row_number() OVER (PARTITION BY lang
+                                   ORDER BY n DESC, token ASC) AS BIGINT) AS rank
+    FROM counts
+)
+SELECT lang, token, n, rank FROM ranked WHERE rank <= 5
+"""
+
+
+TOP_TOKENS_SQL = _top_tokens_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats_documents": text_stats_documents,
     "lang_id_documents": lang_id_documents,
     "quality_filter_documents": quality_filter_documents,
     "source_quality_summary": source_quality_summary,
+    "top_tokens_per_lang": top_tokens_per_lang,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -135,4 +181,5 @@ ORACLE_SQL: dict[str, str] = {
     "lang_id_documents": LANG_ID_SQL,
     "quality_filter_documents": QUALITY_FILTER_SQL,
     "source_quality_summary": SOURCE_QUALITY_SQL,
+    "top_tokens_per_lang": TOP_TOKENS_SQL,
 }
