@@ -24,6 +24,7 @@ from . import (
     temporal_queries,
     text_queries,
     tpch_queries,
+    window_queries,
 )
 
 _MODULES = [
@@ -38,6 +39,7 @@ _MODULES = [
     rollup_queries,
     reshape_queries,
     sampling_queries,
+    window_queries,
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

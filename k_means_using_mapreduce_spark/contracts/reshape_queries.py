@@ -27,13 +27,19 @@ EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 def user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long→wide: per-user event counts, one column per event type.
-    Explicit value list ⇒ single aggregate pass; absent combos are 0."""
+
+    Lowered to conditional aggregation rather than ``df.pivot()``:
+    even with an explicit value list, Spark's pivot plans TWO shuffles
+    (groupBy (user, type) count, then pivotfirst over user), while
+    ``count(when(...))`` per value is one partial+final aggregate —
+    half the shuffle volume, asserted in tests/test_plans.py. Absent
+    combos are 0 by construction."""
     ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy("user_id")
-        .pivot("event_type", EVENT_TYPES)
-        .count()
-        .na.fill(0, EVENT_TYPES)
+    return ev.groupBy("user_id").agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, 1)).alias(t)
+            for t in EVENT_TYPES
+        ]
     )
 
 

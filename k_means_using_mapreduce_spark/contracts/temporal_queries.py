@@ -67,18 +67,18 @@ FROM sess GROUP BY user_id, session_seq
 
 def purchase_click_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase attributed to the user's latest prior
-    (or simultaneous) click. Clicks are pre-deduped per (user, ts) so
-    the as-of tiebreak is deterministic in both engines."""
+    (or simultaneous) click; ties at equal (user, ts) resolve to the
+    max click event_id via the window order (no pre-dedup shuffle —
+    the whole query is ONE exchange; the oracle's explicit pre-dedup
+    GROUP BY computes the identical result)."""
     ev = load_table(spark, sf_dir, "events").withColumn(
         "ts", F.expr("ts div 1000")
     )
     purchases = ev.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "value"
     )
-    clicks = (
-        ev.where(F.col("event_type") == "click")
-        .groupBy("user_id", "ts")
-        .agg(F.max("event_id").alias("click_event_id"))
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_event_id")
     )
     joined = asof_join(
         purchases,
@@ -87,6 +87,7 @@ def purchase_click_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_ts="ts",
         right_ts="ts",
         right_cols=["ts", "click_event_id"],
+        right_order="click_event_id",
     )
     # Unmatched purchases get -1 (not NULL): nullable numeric output
     # columns turn into float64 through the oracle's pandas bridge and

@@ -215,12 +215,113 @@ GROUP BY p_brand
 """
 
 
+def q4_slow_shipping_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape on available columns: orders (per priority) with
+    at least one lineitem shipped >60 days after the order date.
+    EXISTS → left-semi join; the lineitem side reduces to keys before
+    the join."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue from returned
+    lineitems. Deterministic order: decimal-exact revenue desc, then
+    custkey. Only lineitem⋈orders shuffles; customer/nation broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev.cast("decimal(18,6)")).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds 150 —
+    aggregate-HAVING, then join back to orders/customer. The HAVING
+    filter runs on the aggregated (small) side before the joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_qty")
+        )
+        .where(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "total_qty")
+    )
+
+
+Q18_SQL = """
+SELECT c_custkey, c_name, o_orderkey, o_totalprice, total_qty
+FROM (SELECT l_orderkey,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                 AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING total_qty > 150) big
+JOIN orders ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
     "nation_revenue": nation_revenue,
     "top_orders_per_priority": top_orders_per_priority,
     "supplier_part_join": supplier_part_join,
+    "q4_slow_shipping_orders": q4_slow_shipping_orders,
+    "q10_returned_revenue": q10_returned_revenue,
+    "q18_large_orders": q18_large_orders,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -229,4 +330,7 @@ ORACLE_SQL: dict[str, str] = {
     "nation_revenue": NATION_REVENUE_SQL,
     "top_orders_per_priority": TOP_ORDERS_SQL,
     "supplier_part_join": SUPPLIER_PART_SQL,
+    "q4_slow_shipping_orders": Q4_SQL,
+    "q10_returned_revenue": Q10_SQL,
+    "q18_large_orders": Q18_SQL,
 }

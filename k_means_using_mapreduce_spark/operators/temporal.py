@@ -97,6 +97,7 @@ def asof_join(
     right_ts: str,
     right_cols: Sequence[str],
     prefix: str = "asof_",
+    right_order: str | None = None,
 ) -> DataFrame:
     """Left as-of join: for every left row, attach the columns of the
     latest right row with ``right.ts <= left.ts`` and equal ``by`` key
@@ -112,8 +113,12 @@ def asof_join(
     range-join would explode.
 
     If several right rows share ``(by, ts)``, the union keeps them all
-    and ``last`` takes the final one in sort order; pre-dedupe the
-    right side when that tie must be deterministic.
+    and ``last`` takes the final one in sort order. Pass ``right_order``
+    (a column named in ``right_cols``) to make that tie deterministic —
+    the window then sorts right-side peers by it ascending, so the
+    *maximum* ``right_order`` value wins. This is strictly cheaper than
+    pre-deduping the right side with a groupBy, which would cost an
+    extra shuffle before the union.
     """
     if "_asof_side" in left.columns or "_asof_side" in right.columns:
         raise ValueError("inputs may not contain reserved column _asof_side")
@@ -127,9 +132,18 @@ def asof_join(
         "_asof_side", F.lit(1)
     )
     merged = tagged_l.unionByName(tagged_r, allowMissingColumns=True)
+    order = [F.col("_asof_ts").asc(), F.col("_asof_side").asc()]
+    if right_order is not None:
+        if right_order not in right_cols:
+            raise ValueError(
+                f"right_order {right_order!r} must be one of right_cols"
+            )
+        # left rows are separated by _asof_side already; among right
+        # peers at equal ts this makes `last` pick the max value
+        order.append(F.col(f"{prefix}{right_order}").asc())
     w = (
         Window.partitionBy(by)
-        .orderBy("_asof_ts", "_asof_side")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     for c in right_cols:

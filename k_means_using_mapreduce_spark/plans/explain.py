@@ -16,7 +16,14 @@ from pyspark.sql import DataFrame
 
 
 def executed_plan(df: DataFrame) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # After an action, AQE's toString shows "== Final Plan ==" AND
+    # "== Initial Plan ==" — keep only the final section so operator
+    # counts aren't doubled.
+    marker = "== Initial Plan =="
+    if marker in plan:
+        plan = plan.split(marker)[0]
+    return plan
 
 
 def formatted_plan(df: DataFrame) -> str:

@@ -95,3 +95,55 @@ def test_dedup_exact_shuffles_hash_not_text(spark, sf):
     # the exchange partitions on the sha2 hash column, not raw text
     ex = plan[plan.index("Exchange hashpartitioning"):]
     assert "_h" in ex.split("\n")[0]
+
+
+def test_sessionize_single_exchange_shared_by_windows(spark, sf):
+    df = _q("user_sessions_events", spark, sf)
+    # lag + running-sum windows and the session aggregate reuse one
+    # user_id partitioning: 1 shuffle total (AQE may add none after)
+    assert exchange_count(df) == 1
+
+
+def test_asof_join_has_no_join_operator(spark, sf):
+    from k_means_using_mapreduce_spark.plans.explain import executed_plan
+
+    df = _q("purchase_click_asof", spark, sf)
+    plan = executed_plan(df)
+    # union+window formulation: zero join operators, one exchange
+    assert sort_merge_join_count(df) == 0
+    assert "Join" not in plan
+    assert exchange_count(df) == 1
+
+
+def test_rollup_single_expand_single_shuffle(spark, sf):
+    from k_means_using_mapreduce_spark.plans.explain import executed_plan
+
+    df = _q("acctbal_rollup_region_nation", spark, sf)
+    plan = executed_plan(df)
+    assert plan.count("Expand") == 1
+    # dims broadcast; only the grouping shuffle remains (+1 AQE read)
+    assert sort_merge_join_count(df) == 0
+
+
+def test_pivot_is_single_aggregate_pass(spark, sf):
+    from k_means_using_mapreduce_spark.plans.explain import executed_plan
+
+    df = _q("user_event_pivot", spark, sf)
+    plan = executed_plan(df)
+    # explicit value list: one partial+final aggregate, no extra
+    # distinct-discovery scan of events
+    assert plan.count("Scan parquet") == 1
+    assert exchange_count(df) == 1
+
+
+def test_hash_sample_pushes_nothing_and_shuffles_nothing(spark, sf):
+    df = _q("documents_hash_sample", spark, sf)
+    assert exchange_count(df) == 0
+
+
+def test_q10_broadcasts_dims(spark, sf):
+    df = _q("q10_returned_revenue", spark, sf)
+    filters = " ".join(pushed_filters(df))
+    assert "l_returnflag" in filters  # predicate reached the scan
+    assert broadcast_join_count(df) >= 2
+    assert sort_merge_join_count(df) == 0

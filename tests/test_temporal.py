@@ -110,6 +110,21 @@ class TestAsofJoin:
         )
         assert joined.count() == 100
 
+    def test_right_order_tiebreak_picks_max(self, spark):
+        left = spark.createDataFrame([(1, 100)], "user_id long, ts long")
+        right = spark.createDataFrame(
+            [(1, 100, 7), (1, 100, 9), (1, 100, 3)],
+            "user_id long, ts long, rid long",
+        )
+        out = asof_join(
+            left, right, by="user_id", left_ts="ts", right_ts="ts",
+            right_cols=["rid"], right_order="rid",
+        ).collect()
+        assert [r["asof_rid"] for r in out] == [9]
+        with pytest.raises(ValueError, match="right_order"):
+            asof_join(left, right, by="user_id", left_ts="ts", right_ts="ts",
+                      right_cols=["rid"], right_order="nope")
+
     def test_reserved_column_rejected(self, spark):
         df = spark.range(1).select(
             F.lit(1).alias("user_id"), F.lit(1).alias("ts"),
