@@ -63,6 +63,9 @@ BENCH_QUERIES = [
     "embedding_dim_stats",
     "asia_nation_revenue",
     "lineitem_cube_flags",
+    "sliding_spend_window",
+    "q10_returned_revenue",
+    "q18_large_orders",
 ]
 
 KMEANS_FIT_K = 8
