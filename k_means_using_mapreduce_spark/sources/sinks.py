@@ -33,3 +33,41 @@ def write_assignments_parquet(
     partition-pruned reads for per-cluster consumers (e.g. the IVF
     probe scan reads only the probed buckets)."""
     assigned.write.mode(mode).partitionBy("cid").parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int,
+    sort_cols: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (and optionally sorted) managed parquet
+    table — the co-located-join layout.
+
+    At 100 TB the dominant join cost is the shuffle of both fact sides;
+    two tables bucketed on the join key with the same bucket count join
+    with ZERO exchanges (and, when sorted, zero sort) — Spark reads
+    bucket i of each side into the same task. This is the storage-level
+    twin of `operators/skew.py`'s runtime mitigations, asserted in
+    tests/test_bucketing.py.
+
+    Bucketed tables must go through ``saveAsTable`` (the bucket metadata
+    lives in the catalog, not the parquet files).
+
+    The pre-write ``repartition(n_buckets, bucket_col)`` matters twice:
+    it yields ONE file per bucket (without it every write task emits a
+    file into every bucket — T×B small files at scale), and one file
+    per bucket is what lets the reader trust ``sortBy`` and elide the
+    join-side Sort.
+    """
+    w = (
+        df.repartition(n_buckets, F.col(bucket_col))
+        .write.mode(mode)
+        .format("parquet")
+        .bucketBy(n_buckets, bucket_col)
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

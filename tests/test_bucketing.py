@@ -1,0 +1,61 @@
+"""Bucketed-table layout: co-located joins and aggregations without
+exchanges — the storage-level scale lever (see SCALE.md)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from k_means_using_mapreduce_spark.plans.explain import (
+    exchange_count,
+    executed_plan,
+)
+from k_means_using_mapreduce_spark.sources.loaders import load_table
+from k_means_using_mapreduce_spark.sources.sinks import write_bucketed_table
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark, sf_small):
+    orders = load_table(spark, sf_small, "orders")
+    li = load_table(spark, sf_small, "lineitem")
+    write_bucketed_table(orders, "b_orders", "o_orderkey", 8,
+                         sort_cols=("o_orderkey",))
+    write_bucketed_table(li, "b_lineitem", "l_orderkey", 8,
+                         sort_cols=("l_orderkey",))
+    yield
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    """Force shuffle-join planning: sf0.001 tables are tiny enough to
+    broadcast, which would bypass (and 'disable') bucketed scans."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_join_no_exchange_no_sort(spark, bucketed, no_broadcast):
+    a = spark.table("b_orders")
+    b = spark.table("b_lineitem")
+    j = a.join(b, a.o_orderkey == b.l_orderkey).select("o_orderkey", "l_quantity")
+    plan = executed_plan(j)
+    assert "SortMergeJoin" in plan
+    assert exchange_count(j) == 0  # both sides pre-bucketed on the key
+    # Note: in-bucket Sort nodes remain — Spark ≥3.0 ignores sortBy
+    # metadata on read unless legacy.bucketedTableScan.outputOrdering
+    # is set (SPARK-28124). The shuffle (the scale cost) is what the
+    # bucketing removes; the residual sort is partition-local.
+    n = j.count()
+    # same result as the unbucketed join
+    o2 = load_table(spark, "/root/testdata/sf0.001", "orders")
+    l2 = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    assert n == o2.join(l2, o2.o_orderkey == l2.l_orderkey).count()
+
+
+def test_bucketed_aggregation_no_exchange(spark, bucketed):
+    b = spark.table("b_lineitem")
+    agg = b.groupBy("l_orderkey").agg(F.count("*").alias("n"))
+    assert exchange_count(agg) == 0
