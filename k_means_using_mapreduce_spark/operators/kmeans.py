@@ -170,6 +170,64 @@ def init_centroids(
     return [(i + 1, [float(v) for v in r[features_col]]) for i, r in enumerate(rows)]
 
 
+def init_centroids_pp(
+    df: DataFrame, k: int, seed: int, features_col: str = "features"
+) -> list[tuple[int, list[float]]]:
+    """k-means++ initialization (Arthur & Vassilvitskii 2007): each
+    next centroid is sampled with probability ∝ D²(x) — the squared
+    distance to the nearest already-chosen centroid.
+
+    Spark-side formulation: D² is the same narrow ``sq_dist_to_literal``
+    expression the assign kernel uses (zero shuffle), and the weighted
+    draw is one pass of the exponential-race trick — ``argmin(
+    -ln(u)/w)`` over ``u = rand(seed)`` is a weighted sample without
+    materializing a prefix-sum (Efraimidis-Spirakis A-Res with one
+    winner), so each of the k rounds is a single ``min`` aggregation
+    over a narrow projection. k rounds → k scans of the cached input,
+    vs MLlib k-means‖ which trades that for oversampling rounds
+    (`operators/kmeans_ml.py` wraps it for huge k).
+
+    Deterministic for a fixed seed AND fixed partitioning of ``df``
+    (``F.rand`` draws per-partition streams — same caveat as every
+    seeded Spark sample; pin partitioning upstream for exact replay).
+    """
+    from ..functions.vectors import sq_dist_to_literal
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    feats = df.select(F.col(features_col).alias("f"))
+    # rand() is non-deterministic in Catalyst's sense, so it must be
+    # projected before the aggregate (min_by over a rand arg is
+    # rejected outright)
+    first = (
+        feats.withColumn("_u", F.rand(seed))
+        .select(F.min_by("f", F.col("_u")).alias("f"))
+        .first()
+    )
+    if first is None or first["f"] is None:
+        raise ValueError("Data not found or empty")
+    chosen: list[list[float]] = [[float(v) for v in first["f"]]]
+    for round_i in range(1, k):
+        d2 = None
+        for c in chosen:
+            expr = sq_dist_to_literal(F.col("f"), c)
+            d2 = expr if d2 is None else F.least(d2, expr)
+        # exponential race: winner = argmin(-ln(u)/D²); rows at D²=0
+        # (duplicates of a chosen centroid) get +inf keys and never win
+        # unless every remaining row is a duplicate.
+        key = F.when(
+            d2 > 0, -F.log(F.col("_u")) / d2
+        ).otherwise(F.lit(float("inf")))
+        row = (
+            feats.withColumn("_u", F.rand(seed + round_i))
+            .withColumn("_key", key)
+            .select(F.min_by("f", F.col("_key")).alias("f"))
+            .first()
+        )
+        chosen.append([float(v) for v in row["f"]])
+    return [(i + 1, vec) for i, vec in enumerate(chosen)]
+
+
 def kmeans_fit(
     df: DataFrame,
     k: int,
@@ -180,6 +238,7 @@ def kmeans_fit(
     features_col: str = "features",
     initial_centroids: Centroids | None = None,
     weight_col: str | None = None,
+    init: str = "random",
 ) -> KMeansResult:
     """Lloyd's algorithm driver loop (O19) with seeded init (O4),
     by-id convergence (O18, fixed) and keep-old-centroid policy (O14,
@@ -231,8 +290,14 @@ def kmeans_fit(
                     f"centroid dimension mismatch: data is {dim}-D but "
                     f"initial centroids {bad_dims} differ"
                 )
-        else:
+        elif init == "random":
             centroids = init_centroids(work, k, seed)
+        elif init in ("k-means++", "kmeans++"):
+            centroids = init_centroids_pp(work, k, seed)
+        else:
+            raise ValueError(
+                f"unknown init {init!r}; expected 'random' or 'k-means++'"
+            )
 
         logger.info(
             "kmeans_fit start: n=%d k=%d seed=%s max_iter=%d tol=%g init=%s",
