@@ -59,3 +59,18 @@ def test_bucketed_aggregation_no_exchange(spark, bucketed):
     b = spark.table("b_lineitem")
     agg = b.groupBy("l_orderkey").agg(F.count("*").alias("n"))
     assert exchange_count(agg) == 0
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_small, tmp_path):
+    """partitionBy layout → reads with a partition predicate scan only
+    the matching directories (PartitionFilters, zero data filters)."""
+    ev = load_table(spark, sf_small, "events").select("event_id", "event_type")
+    path = str(tmp_path / "ev_parted")
+    ev.write.partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path).where(F.col("event_type") == "click")
+    plan = executed_plan(back)
+    assert "PartitionFilters: [" in plan
+    # the predicate is satisfied entirely by pruning — no row-level filter
+    assert "PushedFilters: []" in plan
+    n_click = back.count()
+    assert n_click == ev.where("event_type = 'click'").count()
