@@ -120,3 +120,36 @@ def validate_kmeans_input(df: DataFrame, k: int) -> int:
     if k > n:
         raise ValueError(f"Number of centroids ({k}) exceeds number of data points ({n})")
     return n
+
+
+def read_jsonl(
+    spark: SparkSession,
+    paths: str | Sequence[str],
+    schema: str,
+    *,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """Schema'd JSON-lines reader with an explicit malformed-row policy
+    — the ingestion front door for crawl/log-style training data.
+
+    ``mode``:
+    - ``PERMISSIVE`` (default): malformed rows land with nulls and the
+      raw line preserved in ``corrupt_col`` for quarantine pipelines;
+    - ``DROPMALFORMED``: silently drop bad rows;
+    - ``FAILFAST``: abort on the first bad row.
+
+    Always pass an explicit schema at scale: schema inference is a
+    full extra pass over the data before the real read.
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+    full_schema = schema
+    if mode.upper() == "PERMISSIVE" and corrupt_col not in schema:
+        full_schema = f"{schema}, {corrupt_col} STRING"
+    return (
+        spark.read.schema(full_schema)
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(list(paths))
+    )

@@ -74,3 +74,23 @@ def batch_sessions_via_session_window(
             "n_events",
         )
     )
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    *,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first occurrence of each key
+    within the watermark horizon (`dropDuplicatesWithinWatermark`).
+
+    The streaming twin of operators/dedup.py::dedup_exact. State holds
+    one row per distinct key seen inside the horizon and is evicted as
+    the watermark advances — the only way exact dedup is tractable on
+    an unbounded stream. Duplicates farther apart than the watermark
+    are NOT caught (by design; widen the watermark or run the batch
+    dedup downstream for full-history guarantees).
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
