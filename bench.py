@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "sliding_spend_window",
     "q10_returned_revenue",
     "q18_large_orders",
+    "q7_nation_trade_volume",
 ]
 
 KMEANS_FIT_K = 8
