@@ -121,6 +121,36 @@ Q6_SQL = (
 )
 
 
+def common_active_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (set semantics): market segments that appear both among
+    positive-balance customers and among customers with an order in
+    1996+. Spark's ``intersect`` == SQL INTERSECT (dedups both sides);
+    plans as a distinct-aggregated semi join."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    rich = cust.where(F.col("c_acctbal") > 0).select("c_mktsegment")
+    active = (
+        cust.join(
+            orders.where(
+                F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz")
+            ),
+            cust.c_custkey == orders.o_custkey,
+            "left_semi",
+        ).select("c_mktsegment")
+    )
+    return rich.intersect(active)
+
+
+COMMON_ACTIVE_SEGMENTS_SQL = """
+SELECT c_mktsegment FROM customer WHERE c_acctbal > 0
+INTERSECT
+SELECT c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00')
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_event_types": distinct_event_types,
     "customers_without_orders": customers_without_orders,
@@ -128,6 +158,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_union_segments": nation_union_segments,
     "deep_discount_small_parts": deep_discount_small_parts,
     "q6_forecast_revenue": q6_forecast_revenue,
+    "common_active_segments": common_active_segments,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -137,4 +168,5 @@ ORACLE_SQL: dict[str, str] = {
     "nation_union_segments": NATION_UNION_SEGMENTS_SQL,
     "deep_discount_small_parts": DEEP_DISCOUNT_SMALL_PARTS_SQL,
     "q6_forecast_revenue": Q6_SQL,
+    "common_active_segments": COMMON_ACTIVE_SEGMENTS_SQL,
 }

@@ -94,3 +94,66 @@ def test_fit_invariants(spark, pts, k):
                 assert all(
                     abs(a - b) <= 1e-4 + 1e-9 for a, b in zip(vec, stepped[cid])
                 )
+
+
+# --- temporal operator invariants -----------------------------------
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),          # user_id
+        st.integers(min_value=0, max_value=10_000),     # ts
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(evs=events_strategy, gap=st.integers(min_value=1, max_value=5_000))
+@SETTINGS
+def test_sessionize_matches_python_reference(spark, evs, gap):
+    from k_means_using_mapreduce_spark.operators.temporal import sessionize
+
+    rows = [(i, u, t) for i, (u, t) in enumerate(evs)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts long")
+    got = {
+        r["event_id"]: (r["user_id"], r["session_seq"])
+        for r in sessionize(df, gap_ns=gap).collect()
+    }
+    # python reference: per user, sorted by (ts, event_id), split on > gap
+    expect = {}
+    by_user: dict = {}
+    for i, u, t in sorted(rows, key=lambda r: (r[1], r[2], r[0])):
+        prev = by_user.get(u)
+        if prev is None or t - prev[0] > gap:
+            seq = (prev[1] + 1) if prev else 1
+        else:
+            seq = prev[1]
+        by_user[u] = (t, seq)
+        expect[i] = (u, seq)
+    assert got == expect
+
+
+@given(evs=events_strategy)
+@SETTINGS
+def test_asof_join_row_count_and_bound(spark, evs):
+    """asof output has exactly one row per left row, and every attached
+    right ts is the max right ts <= left ts for that key."""
+    from k_means_using_mapreduce_spark.operators.temporal import asof_join
+
+    rows = [(i, u, t) for i, (u, t) in enumerate(evs)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts long")
+    left = df.where("event_id % 2 = 0")
+    right = df.where("event_id % 2 = 1")
+    out = asof_join(
+        left, right, by="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["ts"],
+    ).collect()
+    assert len(out) == left.count()
+    rt = {}
+    for i, u, t in rows:
+        if i % 2 == 1:
+            rt.setdefault(u, []).append(t)
+    for r in out:
+        candidates = [t for t in rt.get(r["user_id"], []) if t <= r["ts"]]
+        expect = max(candidates) if candidates else None
+        assert r["asof_ts"] == expect
