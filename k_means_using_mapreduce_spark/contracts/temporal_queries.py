@@ -160,11 +160,45 @@ GROUP BY event_type
 """
 
 
+def monthly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar breakdown via date-part functions (year/month/quarter/
+    dayofweek) over the TIMESTAMP_NTZ order dates — the date-function
+    family on the non-nanos tables. Revenue decimal-exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.month("o_orderdate").cast("long").alias("o_month"),
+            F.quarter("o_orderdate").cast("long").alias("o_quarter"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("revenue"),
+            F.countDistinct(F.dayofweek("o_orderdate")).alias("n_weekdays"),
+        )
+    )
+
+
+MONTHLY_ORDER_STATS_SQL = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(month(o_orderdate) AS BIGINT) AS o_month,
+       CAST(quarter(o_orderdate) AS BIGINT) AS o_quarter,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       count(DISTINCT CAST(dayofweek(o_orderdate) AS INTEGER) + 1) AS n_weekdays
+FROM orders
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_sessions_events": user_sessions_events,
     "purchase_click_asof": purchase_click_asof,
     "hourly_event_rollup": hourly_event_rollup,
     "events_json_props": events_json_props,
+    "monthly_order_stats": monthly_order_stats,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -172,4 +206,5 @@ ORACLE_SQL: dict[str, str] = {
     "purchase_click_asof": PURCHASE_CLICK_ASOF_SQL,
     "hourly_event_rollup": HOURLY_ROLLUP_SQL,
     "events_json_props": EVENTS_JSON_SQL,
+    "monthly_order_stats": MONTHLY_ORDER_STATS_SQL,
 }
