@@ -151,6 +151,37 @@ WHERE EXISTS (SELECT 1 FROM orders
 """
 
 
+def nation_segment_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: per nation, the sorted set of market segments
+    among its customers. ``sort_array(collect_set(..))`` is the
+    engine-portable form — ``collect_list`` order is shuffle-dependent
+    and must never appear in a deterministic contract. The set is
+    emitted as a joined string: array-typed output columns cross the
+    oracle's pandas bridge as numpy arrays and canonicalize
+    differently from Spark's lists, so contract outputs stay scalar."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_set("c_mktsegment")), ","
+            ).alias("segments"),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+        )
+    )
+
+
+NATION_SEGMENT_SETS_SQL = """
+SELECT n_name,
+       array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
+       count(DISTINCT c_mktsegment) AS n_segments
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_event_types": distinct_event_types,
     "customers_without_orders": customers_without_orders,
@@ -159,6 +190,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "deep_discount_small_parts": deep_discount_small_parts,
     "q6_forecast_revenue": q6_forecast_revenue,
     "common_active_segments": common_active_segments,
+    "nation_segment_sets": nation_segment_sets,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -169,4 +201,5 @@ ORACLE_SQL: dict[str, str] = {
     "deep_discount_small_parts": DEEP_DISCOUNT_SMALL_PARTS_SQL,
     "q6_forecast_revenue": Q6_SQL,
     "common_active_segments": COMMON_ACTIVE_SEGMENTS_SQL,
+    "nation_segment_sets": NATION_SEGMENT_SETS_SQL,
 }
