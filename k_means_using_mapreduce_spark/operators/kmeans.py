@@ -190,6 +190,11 @@ def init_centroids_pp(
     Deterministic for a fixed seed AND fixed partitioning of ``df``
     (``F.rand`` draws per-partition streams — same caveat as every
     seeded Spark sample; pin partitioning upstream for exact replay).
+
+    Note: seeding samples rows uniformly within the D² weighting —
+    a ``weight_col`` passed to ``kmeans_fit`` affects the fit's
+    centroid updates but not the k-means++ draw (matching MLlib,
+    whose k-means‖ init also ignores instance weights).
     """
     from ..functions.vectors import sq_dist_to_literal
 
