@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "q10_returned_revenue",
     "q18_large_orders",
     "q7_nation_trade_volume",
+    "lineitem_measure_unpivot",
 ]
 
 KMEANS_FIT_K = 8

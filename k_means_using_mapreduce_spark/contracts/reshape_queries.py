@@ -152,11 +152,44 @@ GROUP BY l_returnflag
 """
 
 
+def lineitem_measure_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long, the inverse of pivot): melt the four numeric
+    lineitem measures into (measure, value) rows, then profile each.
+    Spark's ``unpivot`` plans as an Expand (row → 4 rows) feeding one
+    partial+final aggregate — no shuffle of the unexploded width."""
+    li = load_table(spark, sf_dir, "lineitem")
+    measures = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    long = li.unpivot(
+        ids=[], values=measures, variableColumnName="measure",
+        valueColumnName="value",
+    )
+    return long.groupBy("measure").agg(
+        F.count("*").alias("n"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.avg("value").alias("avg_value"),
+    )
+
+
+LINEITEM_UNPIVOT_SQL = """
+SELECT measure, count(*) AS n, min(value) AS min_value,
+       max(value) AS max_value, avg(value) AS avg_value
+FROM (
+    UNPIVOT (SELECT l_quantity, l_extendedprice, l_discount, l_tax
+             FROM lineitem)
+    ON l_quantity, l_extendedprice, l_discount, l_tax
+    INTO NAME measure VALUE value
+)
+GROUP BY measure
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_event_pivot": user_event_pivot,
     "embedding_dim_stats": embedding_dim_stats,
     "asia_nation_revenue": asia_nation_revenue,
     "priority_shipping_split": priority_shipping_split,
+    "lineitem_measure_unpivot": lineitem_measure_unpivot,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -164,4 +197,5 @@ ORACLE_SQL: dict[str, str] = {
     "embedding_dim_stats": EMBEDDING_DIM_STATS_SQL,
     "asia_nation_revenue": ASIA_NATION_REVENUE_SQL,
     "priority_shipping_split": PRIORITY_SHIPPING_SPLIT_SQL,
+    "lineitem_measure_unpivot": LINEITEM_UNPIVOT_SQL,
 }

@@ -186,3 +186,12 @@ class TestMLlibParity:
         ours = kmeans_fit(df, 4, seed=42, max_iter=30)
         ml = kmeans_fit_ml(df, 4, seed=42, max_iter=30)
         assert ml.sse == pytest.approx(ours.sse, rel=0.05)
+
+    def test_pp_init_sse_parity_with_kmeans_parallel(self, spark, sf_small):
+        """Our k-means++ seeding vs MLlib's k-means|| (its distributed
+        generalization): same data, same k → SSE within 5%."""
+        emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+        df = emb.select(F.col("embedding").cast("array<double>").alias("features")).cache()
+        ours = kmeans_fit(df, 4, seed=42, max_iter=30, init="k-means++")
+        ml = kmeans_fit_ml(df, 4, seed=42, max_iter=30)  # k-means|| default
+        assert ml.sse == pytest.approx(ours.sse, rel=0.05)
