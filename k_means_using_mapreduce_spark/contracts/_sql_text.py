@@ -8,7 +8,11 @@ from ..functions.text import LANG_STOPWORDS, QUALITY_STOPWORDS
 
 
 def sql_tokens(col: str) -> str:
-    return f"string_split_regex(lower(trim({col})), '\\s+')"
+    # empty tokens filtered — mirrors functions/text.py::tokens
+    return (
+        f"list_filter(string_split_regex(lower(trim({col})), '\\s+'), "
+        "t -> t <> '')"
+    )
 
 
 def sql_token_count(col: str) -> str:
@@ -21,32 +25,43 @@ def sql_stopword_count(col: str, words: list[str]) -> str:
 
 
 def sql_mean_token_len(col: str) -> str:
+    # NULL on token-less text — list_reduce errors on empty lists
     toks = sql_tokens(col)
     total = f"list_reduce(list_transform({toks}, t -> len(t)), (a, b) -> a + b)"
-    return f"({total} / len({toks}))"
+    return (
+        f"(CASE WHEN len({toks}) = 0 THEN NULL "
+        f"ELSE ({total} / len({toks})) END)"
+    )
 
 
 def sql_alpha_ratio(col: str) -> str:
     return (
-        f"(len(regexp_replace(lower({col}), '[^a-z ]', '', 'g')) / len({col}))"
+        f"(CASE WHEN len({col}) = 0 THEN 0.0 ELSE "
+        f"(len(regexp_replace(lower({col}), '[^a-z ]', '', 'g')) / len({col})) "
+        "END)"
     )
 
 
 def sql_bpe_ish_token_count(col: str) -> str:
     # integer addition is exactly associative — no init-accumulator
     # mismatch vs Spark's aggregate(0, ...)
-    return (
+    reduced = (
         f"list_reduce(list_transform({sql_tokens(col)}, "
         f"w -> CAST(ceil(len(w) / 4.0) AS INTEGER)), (a, b) -> a + b)"
     )
+    return f"(CASE WHEN len({sql_tokens(col)}) = 0 THEN 0 ELSE {reduced} END)"
 
 
 def sql_quality_score(col: str) -> str:
     n = f"CAST({sql_token_count(col)} AS DOUBLE)"
     sw = f"CAST({sql_stopword_count(col, QUALITY_STOPWORDS)} AS DOUBLE)"
+    stop_component = (
+        f"(CASE WHEN {n} = 0 THEN 0.0 "
+        f"ELSE least(1.0, 5.0 * {sw} / {n}) END)"
+    )
     return (
         f"(least(1.0, {n} / 50.0) * 0.5"
-        f" + least(1.0, 5.0 * {sw} / {n}) * 0.3"
+        f" + {stop_component} * 0.3"
         f" + {sql_alpha_ratio(col)} * 0.2)"
     )
 
@@ -75,4 +90,8 @@ def sql_shingles(col: str, n: int = 3) -> str:
         f"i -> array_to_string({toks}[i:i+{n - 1}], ' '))"
     )
     whole = f"[array_to_string({toks}, ' ')]"
-    return f"(CASE WHEN len({toks}) >= {n} THEN {make} ELSE {whole} END)"
+    return (
+        f"(CASE WHEN len({toks}) >= {n} THEN {make} "
+        f"WHEN len({toks}) > 0 THEN {whole} "
+        "ELSE CAST([] AS VARCHAR[]) END)"
+    )

@@ -31,9 +31,15 @@ QUALITY_STOPWORDS = LANG_STOPWORDS["en"]
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokenization of trimmed text (lowercase)."""
+    """Whitespace tokenization of trimmed text (lowercase).
+
+    Empty tokens are filtered out, so empty/whitespace-only text yields
+    ``[]`` (not ``['']``) and ``token_count`` is 0 — the round-1 ADVICE
+    fix; mirrored in the oracle fragment ``_sql_text.sql_tokens``."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.lower(F.trim(c)), r"\s+")
+    return F.filter(
+        F.split(F.lower(F.trim(c)), r"\s+"), lambda t: t != F.lit("")
+    )
 
 
 def token_count(col: Column | str) -> Column:
@@ -46,10 +52,13 @@ def bpe_ish_token_count(col: Column | str) -> Column:
     ~4-char chunks of long words, approximating a BPE tokenizer's output
     length with pure SQL arithmetic: sum over words of ceil(len/4)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.aggregate(
-        tokens(c),
-        F.lit(0),
-        lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("int"),
+    toks = tokens(c)
+    return F.when(F.size(toks) == 0, F.lit(0)).otherwise(
+        F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("int"),
+        )
     )
 
 
@@ -60,19 +69,26 @@ def stopword_count(col: Column | str, stopwords: list[str]) -> Column:
 
 
 def mean_token_len(col: Column | str) -> Column:
-    """Mean token length = sum(lengths)/count, single division."""
+    """Mean token length = sum(lengths)/count, single division.
+    NULL for token-less text (explicit guard so the oracle's
+    ``list_reduce`` — which errors on empty lists — can mirror it)."""
     toks = tokens(col)
     total = F.aggregate(
         F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, v: a + v
     )
-    return total / F.size(toks)
+    return F.when(F.size(toks) == 0, F.lit(None).cast("double")).otherwise(
+        total / F.size(toks)
+    )
 
 
 def alpha_ratio(col: Column | str) -> Column:
-    """Fraction of characters that are ascii letters or space."""
+    """Fraction of characters that are ascii letters or space; defined
+    as 0.0 for empty text (guarded division, round-1 ADVICE fix)."""
     c = F.col(col) if isinstance(col, str) else col
     stripped = F.regexp_replace(F.lower(c), "[^a-z ]", "")
-    return F.length(stripped) / F.length(c)
+    return F.when(F.length(c) == 0, F.lit(0.0)).otherwise(
+        F.length(stripped) / F.length(c)
+    )
 
 
 def quality_score(col: Column | str) -> Column:
@@ -85,9 +101,12 @@ def quality_score(col: Column | str) -> Column:
     """
     n = token_count(col).cast("double")
     sw = stopword_count(col, QUALITY_STOPWORDS).cast("double")
+    stop_component = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.least(F.lit(1.0), F.lit(5.0) * sw / n)
+    )
     return (
         F.least(F.lit(1.0), n / F.lit(50.0)) * 0.5
-        + F.least(F.lit(1.0), F.lit(5.0) * sw / n) * 0.3
+        + stop_component * 0.3
         + alpha_ratio(col) * 0.2
     )
 
@@ -138,6 +157,8 @@ def shingles(col: Column | str, n: int = 3) -> Column:
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
     )
-    return F.when(F.size(toks) >= n, make).otherwise(
-        F.array(F.array_join(toks, " "))
+    return (
+        F.when(F.size(toks) >= n, make)
+        .when(F.size(toks) > 0, F.array(F.array_join(toks, " ")))
+        .otherwise(F.array().cast("array<string>"))
     )

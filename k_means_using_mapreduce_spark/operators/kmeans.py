@@ -108,7 +108,10 @@ def update(
     return (
         per_dim.groupBy(cid_col)
         .agg(
-            F.first("n").alias("n"),
+            # max, not first: with ragged feature arrays the per-dim
+            # counts differ and first() is nondeterministic (ADVICE r1);
+            # max = the cluster's true row count (every row has dim 0)
+            F.max("n").alias("n"),
             F.transform(
                 F.array_sort(F.collect_list(F.struct("dim", "mean"))),
                 lambda s: s["mean"],

@@ -43,6 +43,10 @@ def salted_aggregate(
     the merge function), but no reducer ever sees more than ~1/buckets
     of a hot key's rows in phase 1.
     """
+    if not counts and not sums:
+        raise ValueError(
+            "salted_aggregate needs counts=True or at least one sums column"
+        )
     salt = (F.abs(F.hash(F.rand(seed) * 1e9)) % buckets).alias("_salt")
     phase1_aggs = [F.count("*").alias("_n")] + [
         F.sum(c).alias(f"_sum_{c}") for c in sums

@@ -16,7 +16,10 @@ from pyspark.sql import functions as F
 def write_centroids_csv(centroids: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Persist a ``(cid, features: array<double>)`` centroid relation as
     CSV ``cid,x1,x2,...`` — the corrected O16 sink."""
-    dim = len(centroids.select("features").first()["features"])
+    row = centroids.select("features").first()
+    if row is None:
+        raise ValueError("write_centroids_csv: centroids relation is empty")
+    dim = len(row["features"])
     flat = centroids.select(
         "cid", *[F.col("features")[i].alias(f"c{i}") for i in range(dim)]
     ).orderBy("cid")

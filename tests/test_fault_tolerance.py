@@ -100,3 +100,25 @@ def test_partitioned_assignment_sink(spark, tmp_path):
     assert {os.path.basename(p) for p in os.listdir(out) if p.startswith("cid=")} == {
         "cid=1", "cid=2",
     }
+
+
+def test_write_centroids_csv_empty_raises(spark, tmp_path):
+    import pytest
+
+    from k_means_using_mapreduce_spark.sources.sinks import write_centroids_csv
+
+    empty = spark.createDataFrame([], "cid int, features array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        write_centroids_csv(empty, str(tmp_path / "c"))
+
+
+def test_update_n_well_defined_on_ragged_arrays(spark):
+    """ADVICE r1: with ragged feature arrays the per-dim counts differ;
+    n must be the cluster row count (max over dims), not first()."""
+    from k_means_using_mapreduce_spark.operators.kmeans import update
+
+    rows = [(1, [1.0, 2.0]), (1, [3.0]), (1, [5.0, 6.0])]
+    assigned = spark.createDataFrame(rows, "cid int, features array<double>")
+    out = update(assigned).collect()[0]
+    assert out["n"] == 3
+    assert out["centroid"] == [3.0, 4.0]

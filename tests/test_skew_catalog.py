@@ -64,3 +64,10 @@ def test_register_tables_sql(spark, sf_small):
            JOIN nation ON n_regionkey = r_regionkey GROUP BY r_name"""
     )
     assert joined.count() == 5
+
+
+def test_salted_aggregate_requires_an_aggregate(skewed):
+    import pytest
+
+    with pytest.raises(ValueError, match="counts=True or at least one"):
+        salted_aggregate(skewed, ["k"], sums=(), counts=False)

@@ -70,3 +70,32 @@ def test_bpe_ish_token_count(spark):
     # "hello" → ceil(5/4)=2, "hi" → 1, "abcdefgh" → 2
     df = spark.createDataFrame([(1, "hello hi abcdefgh")], "doc_id long, text string")
     assert df.select(T.bpe_ish_token_count("text").alias("n")).first()["n"] == 5
+
+
+def test_empty_text_semantics(spark):
+    """Round-1 ADVICE: empty/whitespace-only text must yield 0 tokens,
+    defined (non-NULL) quality, alpha_ratio 0.0 for '', empty shingles."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "one two")], "doc_id long, text string"
+    )
+    out = df.select(
+        "doc_id",
+        T.tokens("text").alias("toks"),
+        T.token_count("text").alias("n"),
+        T.bpe_ish_token_count("text").alias("bpe"),
+        T.mean_token_len("text").alias("mtl"),
+        T.alpha_ratio("text").alias("ar"),
+        T.quality_score("text").alias("q"),
+        T.shingles("text", 3).alias("sh"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    for i in (1, 2):
+        assert by_id[i]["toks"] == []
+        assert by_id[i]["n"] == 0
+        assert by_id[i]["bpe"] == 0
+        assert by_id[i]["mtl"] is None
+        assert by_id[i]["q"] is not None and 0.0 <= by_id[i]["q"] <= 1.0
+        assert by_id[i]["sh"] == []
+    assert by_id[1]["ar"] == 0.0
+    assert by_id[2]["ar"] == 1.0  # spaces count as alpha-or-space chars
+    assert by_id[3]["n"] == 2 and by_id[3]["sh"] == ["one two"]
