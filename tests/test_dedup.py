@@ -102,3 +102,35 @@ def test_embedding_near_dup_bucketed_matches_exact_within_bucket(spark):
     assert bucketed <= exact
     # same-bucket pairs must all be found
     assert (2, 4) in bucketed and (1, 3) in bucketed
+
+
+def test_embedding_near_dup_gemm_matches_crossjoin(spark, sf_small):
+    """The blocked-GEMM pair kernel must produce the exact pair set of
+    the cross-join baseline, with cosines equal to fp noise (<1e-12)."""
+    from k_means_using_mapreduce_spark.operators.dedup import (
+        embedding_near_dup,
+        embedding_near_dup_gemm,
+    )
+
+    df = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    ref = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dup(df, threshold=0.30).collect()
+    }
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dup_gemm(
+            df, threshold=0.30, block_size=64
+        ).collect()
+    }
+    assert set(ref) == set(got)
+    assert max(abs(ref[k] - got[k]) for k in ref) < 1e-12
+
+
+def test_embedding_near_dup_gemm_empty(spark):
+    from k_means_using_mapreduce_spark.operators.dedup import (
+        embedding_near_dup_gemm,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert embedding_near_dup_gemm(empty).count() == 0
