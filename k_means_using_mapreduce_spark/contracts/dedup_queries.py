@@ -1,8 +1,8 @@
 """Dedup contract queries with DuckDB oracles (documents + embeddings).
 
-MinHash determinism note: signatures are lexicographic minima of md5 hex
-strings (identical in both engines); band keys are md5 of '|'-joined
-signature slices. SimHash is pure integer arithmetic on the first 15 hex
+MinHash determinism note: signatures are minima of exact-int64 affine
+mixes of one md5-derived int per shingle (identical in both engines);
+band keys are md5 of '|'-joined signature slices. SimHash is pure integer arithmetic on the first 15 hex
 chars of token md5s. Thresholded pair queries on this synthetic corpus
 legitimately return 0 rows at default thresholds (all 500 texts are
 distinct word-salads) — the non-empty signature/band/candidate-count
@@ -49,10 +49,11 @@ DEDUP_FINGERPRINT_SQL = (
 
 
 def _sig_exprs_sql() -> list[str]:
-    sh = sql_shingles("text", SHINGLE_N)
+    from ..operators.dedup import MINHASH_AFFINE, MINHASH_P
+
     return [
-        f"list_min(list_transform({sh}, s -> md5('{h}|' || s))) AS s{h}"
-        for h in range(MINHASH_H)
+        f"min(({a} * x + {b}) % {MINHASH_P}) AS s{h}"
+        for h, (a, b) in enumerate(MINHASH_AFFINE[:MINHASH_H])
     ]
 
 
@@ -66,8 +67,20 @@ def minhash_bands_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_bands_sql() -> str:
+    from ..operators.dedup import MINHASH_P
+
     rows_per_band = MINHASH_H // MINHASH_BANDS
-    sig_cte = f"WITH sigs AS (SELECT doc_id, {', '.join(_sig_exprs_sql())} FROM documents)"
+    # one md5 per shingle → int64 → affine mixes (mirrors
+    # operators/dedup.py::minhash_signature exactly, int64 throughout)
+    x_rows = (
+        "SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT "
+        f"% {MINHASH_P} AS x FROM (SELECT doc_id, "
+        f"unnest({sql_shingles('text', SHINGLE_N)}) AS sh FROM documents)"
+    )
+    sig_cte = (
+        f"WITH sigs AS (SELECT doc_id, {', '.join(_sig_exprs_sql())} "
+        f"FROM ({x_rows}) GROUP BY doc_id)"
+    )
     arms = " UNION ALL ".join(
         (
             f"SELECT doc_id, {b} AS band_idx, md5(concat_ws('|', "
@@ -151,9 +164,7 @@ def jaccard_candidates_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     join-parity check backing the (legitimately empty at default
     threshold) pairs query."""
     df = load_table(spark, sf_dir, "documents")
-    from ..functions.text import shingles
-
-    sh = df.select("doc_id", F.explode(shingles("text", SHINGLE_N)).alias("sh")).distinct()
+    sh = D.shingle_rows(df, shingle_n=SHINGLE_N).distinct()
     other = sh.select(F.col("doc_id").alias("doc_b"), "sh")
     return (
         sh.join(other, "sh")

@@ -148,11 +148,13 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalized_text(col))
 
 
-def shingles(col: Column | str, n: int = 3) -> Column:
-    """Token n-gram shingles as strings: tokens joined by single spaces,
-    one shingle per window position. Documents shorter than n tokens
-    yield a single shingle of the whole (normalized) text."""
-    toks = tokens(col)
+def shingles_of(toks: Column, n: int = 3) -> Column:
+    """Token n-gram shingles from an already-computed token-array
+    column. Prefer this over :func:`shingles` whenever the tokens can
+    be projected as a real column first (see
+    ``operators/dedup.py::shingle_rows``): Catalyst does not CSE
+    higher-order functions, so the inline form re-evaluates the token
+    split once per reference — ~8× slower at sf0.1."""
     make = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
@@ -162,3 +164,10 @@ def shingles(col: Column | str, n: int = 3) -> Column:
         .when(F.size(toks) > 0, F.array(F.array_join(toks, " ")))
         .otherwise(F.array().cast("array<string>"))
     )
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Token n-gram shingles as strings: tokens joined by single spaces,
+    one shingle per window position. Documents shorter than n tokens
+    yield a single shingle of the whole (normalized) text."""
+    return shingles_of(tokens(col), n)

@@ -6,11 +6,11 @@ these are the operators a 100 TB training-data pipeline runs before the
 reference's clustering core. All hot paths are built-in expressions
 (JVM/codegen); nothing here uses a Python UDF.
 
-Determinism: every hash is md5-based (both Spark and DuckDB expose md5
-as lowercase hex), so the contract oracle can reproduce signatures
-bit-for-bit. MinHash uses the *lexicographic min of md5 hex strings* per
-seeded salt — MinHash only needs a total order on hash values, and
-string order is engine-portable where murmur/xxhash seeds are not.
+Determinism: every hash bottoms out in md5 (both Spark and DuckDB
+expose md5 as lowercase hex), so the contract oracle can reproduce
+signatures bit-for-bit. MinHash hashes each shingle once (md5 → int64)
+and derives the H hash-family members with exact-int64 affine mixes
+(a·x+b mod 2^31-1) — engine-portable where murmur/xxhash seeds are not.
 
 Scale notes per operator are in the docstrings; the recurring theme:
 shuffle keys are short hashes (16-64 B), never full documents, and every
@@ -23,7 +23,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint, normalized_text, shingles
+from ..functions.text import fingerprint, normalized_text, shingles, shingles_of, tokens
+
+
+def shingle_rows(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sh) rows — one per shingle occurrence.
+
+    Two-step shape on purpose: tokens are projected as a real column
+    first, and the explode lives in a separate Generate operator, so
+    the token split runs once per document. Inlining
+    ``explode(shingles(text))`` re-evaluates the split per reference
+    inside the when-chain (no CSE across higher-order functions) —
+    measured ~8× slower at sf0.1.
+    """
+    return df.select(
+        F.col(id_col).alias(id_col), tokens(content_col).alias("_toks")
+    ).select(
+        id_col, F.explode(shingles_of(F.col("_toks"), shingle_n)).alias("sh")
+    )
 
 # --------------------------------------------------------------------------
 # exact dedup
@@ -65,6 +87,25 @@ def dedup_exact_normalized(
 # MinHash + LSH banding
 # --------------------------------------------------------------------------
 
+#: Mersenne prime 2^31-1 — the universal-hash modulus. a·x+b with
+#: a, b, x < 2^31 stays under 2^62, so the arithmetic is exact int64 in
+#: both Spark and DuckDB (no wraparound, no HUGEINT promotion).
+MINHASH_P = 2147483647
+
+#: Fixed affine constants (a_h, b_h), h = 0..15 — generated once with
+#: random.Random(20260813) and frozen as literals so both engines and
+#: every session agree.
+MINHASH_AFFINE: list[tuple[int, int]] = [
+    (2128164061, 398802782), (596987483, 1147225393),
+    (1916785055, 1479347476), (972347433, 116450322),
+    (291219901, 430979121), (234034475, 1406942087),
+    (1761180996, 1267685540), (924035317, 1172698795),
+    (2038977239, 402639405), (2143289124, 1357670270),
+    (1355823819, 2113210625), (668925749, 252657889),
+    (1177825180, 428031840), (1696544698, 230896653),
+    (794664036, 1758809000), (1480032976, 858479239),
+]
+
 
 def minhash_signature(
     df: DataFrame,
@@ -73,27 +114,45 @@ def minhash_signature(
     num_hashes: int = 12,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Per-document MinHash signature: for salt h in 0..H-1,
-    ``sig[h] = min over shingles of md5(h || '|' || shingle)``.
+    """Per-document MinHash signature with a universal affine hash
+    family: each shingle is hashed ONCE (md5 → first 15 hex chars →
+    int64 → mod P), then ``sig[h] = min over shingles of
+    (a_h·x + b_h) mod P`` for fixed constants :data:`MINHASH_AFFINE`
+    and Mersenne prime :data:`MINHASH_P`.
 
-    Output: (id, sig: array<string> length H).
+    Output: (id, sig: array<bigint> length H).
 
-    Physical shape: explode shingles → H md5 columns per shingle row →
-    ``groupBy(id).agg(min...)``. The H mins partially aggregate map-side,
-    so the shuffle carries H×32 B per document regardless of length.
+    One md5 per shingle instead of H (the round-1 form salted md5 per
+    hash — 12× the hashing for the same LSH quality), and the shuffle
+    carries H×8 B ints per document instead of H×32 B hex strings.
+    All arithmetic is exact int64 in Spark and DuckDB, so the oracle
+    reproduces signatures bit-for-bit.
+
+    Physical shape: explode shingles → 1 md5 + H affine columns →
+    ``groupBy(id).agg(min...)`` with map-side partial aggregation.
     (A single-projection nested-``transform`` variant re-inlines the
     whole shingle expression tree once per salt — Catalyst does not CSE
     across higher-order functions — and was ~20× slower; the explode
     computes shingles once.)
     """
-    sh_rows = df.select(
-        F.col(id_col).alias(id_col), F.explode(shingles(content_col, shingle_n)).alias("sh")
-    )
+    if num_hashes > len(MINHASH_AFFINE):
+        raise ValueError(
+            f"num_hashes={num_hashes} exceeds the {len(MINHASH_AFFINE)} "
+            "frozen MINHASH_AFFINE constants"
+        )
+    sh_rows = shingle_rows(df, content_col, id_col, shingle_n)
     # NB: single-parameter lambdas only inside transform/filter —
     # PySpark passes the array index to a second parameter.
+    x = (
+        F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10).cast("bigint")
+        % MINHASH_P
+    )
     hashed = sh_rows.select(
         id_col,
-        *[F.md5(F.concat(F.lit(f"{h}|"), F.col("sh"))).alias(f"h{h}") for h in range(num_hashes)],
+        *[
+            ((F.lit(a) * x + F.lit(b)) % MINHASH_P).alias(f"h{h}")
+            for h, (a, b) in enumerate(MINHASH_AFFINE[:num_hashes])
+        ],
     )
     agg = hashed.groupBy(id_col).agg(
         *[F.min(f"h{h}").alias(f"s{h}") for h in range(num_hashes)]
@@ -272,9 +331,7 @@ def jaccard_pairs(
     bound — standard practice for web-scale dedup; leave None for the
     exact (oracle-checked) semantics.
     """
-    sh = df.select(
-        F.col(id_col).alias(id_col), F.explode(shingles(content_col, shingle_n)).alias("sh")
-    ).distinct()
+    sh = shingle_rows(df, content_col, id_col, shingle_n).distinct()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     if max_doc_freq is not None:
         rare = (

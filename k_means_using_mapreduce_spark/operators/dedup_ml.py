@@ -46,9 +46,13 @@ def minhash_lsh_pairs(
     (id_a, id_b, jaccard_dist). Rows with zero shingles are dropped
     (LSH requires ≥1 non-zero entry).
     """
-    sh = df.select(
-        F.col(id_col).alias(id_col), shingles(content_col, shingle_n).alias("sh")
-    ).filter(F.size("sh") > 0)
+    from ..functions.text import shingles_of, tokens
+
+    sh = (
+        df.select(F.col(id_col).alias(id_col), tokens(content_col).alias("_toks"))
+        .select(id_col, shingles_of(F.col("_toks"), shingle_n).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
     tf = HashingTF(
         inputCol="sh", outputCol="vec", numFeatures=num_features, binary=True
     )

@@ -236,6 +236,73 @@ def init_centroids_pp(
     return [(i + 1, vec) for i, vec in enumerate(chosen)]
 
 
+def _lloyd_iter_partials(work: DataFrame, centroids: Centroids) -> list:
+    """One fused Lloyd iteration: a single narrow ``mapInPandas`` pass
+    computes per-partition (cid, total weight, weighted coordinate sum,
+    weighted SSE) partials with numpy GEMM distances; only K×partitions
+    tiny rows are collected — zero shuffle per iteration, the same
+    partial-aggregate design MLlib's KMeans uses internally.
+
+    Tie-break matches the reference's strict ``<`` scan
+    (mapper.py:58-66): centroids are ordered by ascending cid and
+    ``np.argmin`` returns the first (lowest-cid) minimum.
+    """
+    import numpy as np
+
+    ordered = sorted(centroids, key=lambda t: t[0])
+    cids = [int(c) for c, _ in ordered]
+    C = np.asarray([vec for _, vec in ordered], dtype=np.float64)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        K, D = C.shape
+        cn = (C * C).sum(axis=1)
+        wsum = np.zeros(K)
+        vsum = np.zeros((K, D))
+        esum = np.zeros(K)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lens = pdf["features"].map(len)
+            pdf = pdf[lens == D]
+            if not len(pdf):
+                continue
+            seen = True
+            X = np.asarray(list(pdf["features"]), dtype=np.float64)
+            w = pdf["_w"].to_numpy(dtype=np.float64)
+            d = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + cn[None, :]
+            idx = np.argmin(d, axis=1)
+            Xw = X * w[:, None]
+            for kk in range(K):
+                mask = idx == kk
+                if mask.any():
+                    wsum[kk] += w[mask].sum()
+                    vsum[kk] += Xw[mask].sum(axis=0)
+                    # exact fold, not the expanded form: GEMM's x²-2xc+c²
+                    # loses precision near zero
+                    diff = X[mask] - C[kk]
+                    esum[kk] += ((diff * diff).sum(axis=1) * w[mask]).sum()
+        if seen:
+            nz = wsum > 0
+            yield pd.DataFrame(
+                {
+                    "cid": np.asarray(cids)[nz],
+                    "w": wsum[nz],
+                    "s": list(vsum[nz]),
+                    "e": esum[nz],
+                }
+            )
+
+    return (
+        work.select("features", "_w")
+        .mapInPandas(gen, "cid int, w double, s array<double>, e double")
+        .collect()
+    )
+
+
 def kmeans_fit(
     df: DataFrame,
     k: int,
@@ -247,6 +314,7 @@ def kmeans_fit(
     initial_centroids: Centroids | None = None,
     weight_col: str | None = None,
     init: str = "random",
+    engine: str = "fused",
 ) -> KMeansResult:
     """Lloyd's algorithm driver loop (O19) with seeded init (O4),
     by-id convergence (O18, fixed) and keep-old-centroid policy (O14,
@@ -266,14 +334,12 @@ def kmeans_fit(
     cols = [F.col(features_col).alias("features")]
     if weight_col is not None:
         cols.append(F.col(weight_col).cast("double").alias("_w"))
-    work = (
-        df.select(*cols)
-        .filter(
-            F.col("features").isNotNull()
-            & F.forall("features", lambda x: x.isNotNull())
-        )
-        .withColumn("_fvec", array_to_vector(F.col("features")))
+    work = df.select(*cols).filter(
+        F.col("features").isNotNull()
+        & F.forall("features", lambda x: x.isNotNull())
     )
+    if engine != "fused":
+        work = work.withColumn("_fvec", array_to_vector(F.col("features")))
     if weight_col is None:
         work = work.withColumn("_w", F.lit(1.0))
     else:
@@ -317,11 +383,25 @@ def kmeans_fit(
         sizes: dict[int, int] = {}
         for _ in range(max_iter):
             iterations += 1
-            assigned = assign(work, centroids, "features", keep_dist=False)
-            rows = _update_fast(assigned, "features").collect()  # K rows only
-            new_by_id = {
-                r["cid"]: (list(r["centroid"]), int(round(r["n"]))) for r in rows
-            }
+            if engine == "fused":
+                partials: dict[int, tuple[float, list[float]]] = {}
+                for r in _lloyd_iter_partials(work, centroids):
+                    w0, s0 = partials.get(r["cid"], (0.0, None))
+                    s1 = list(r["s"]) if s0 is None else [
+                        a + b for a, b in zip(s0, r["s"])
+                    ]
+                    partials[r["cid"]] = (w0 + r["w"], s1)
+                new_by_id = {
+                    cid: ([v / w for v in s], int(round(w)))
+                    for cid, (w, s) in partials.items()
+                }
+            else:
+                assigned = assign(work, centroids, "features", keep_dist=False)
+                rows = _update_fast(assigned, "features").collect()  # K rows
+                new_by_id = {
+                    r["cid"]: (list(r["centroid"]), int(round(r["n"])))
+                    for r in rows
+                }
             new_centroids = []
             sizes = {}
             for cid, old_vec in centroids:
@@ -345,7 +425,11 @@ def kmeans_fit(
                 logger.info("converged after %d iterations (tol=%g)", iterations, tol)
                 break
 
-        final_sse = sse(work, centroids, "features").first()["sse"]
+        if engine == "fused":
+            # one more fused pass: SSE w.r.t. the *final* centroids
+            final_sse = sum(r["e"] for r in _lloyd_iter_partials(work, centroids))
+        else:
+            final_sse = sse(work, centroids, "features").first()["sse"]
         return KMeansResult(
             centroids=centroids,
             iterations=iterations,
