@@ -207,17 +207,44 @@ EMBEDDING_NEAR_DUP_SQL = (
 
 def near_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full near-dedup pipeline (candidates → verify → connected
-    components → representatives). Deterministic but iterative —
-    connected components is not single-statement-SQL-expressible, so
-    this entry has no oracle (driver records the rows-only check);
-    stage-level correctness is covered by the minhash/jaccard oracle
-    queries above and tests/test_dedup_pipeline.py."""
+    components → representatives). The Spark side runs iterative label
+    propagation; the oracle expresses the same transitive closure as a
+    DuckDB ``WITH RECURSIVE`` reachability query (round 2 — this was
+    round 1's only rows-only check)."""
     from ..operators.dedup_pipeline import near_dedup
 
     out = near_dedup(
         load_table(spark, sf_dir, "documents"), jaccard_threshold=0.6
     )
     return out.select("doc_id", "dup_group_size")
+
+
+NEAR_DEDUP_JACCARD = 0.6
+
+NEAR_DEDUP_SQL = (
+    "WITH RECURSIVE "
+    f"cand AS ({MINHASH_PAIRS_SQL}), "
+    f"shn AS ({_SHINGLE_EXPLODE}), "
+    "sizesn AS (SELECT doc_id, count(*) AS n_sh FROM shn GROUP BY doc_id), "
+    "intern AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter "
+    "FROM shn a JOIN shn b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+    "verified AS (SELECT id_a, id_b FROM intern "
+    "JOIN sizesn sa ON sa.doc_id = id_a JOIN sizesn sb ON sb.doc_id = id_b "
+    f"WHERE (n_inter / (sa.n_sh + sb.n_sh - n_inter)) >= {NEAR_DEDUP_JACCARD!r} "
+    "AND EXISTS (SELECT 1 FROM cand c WHERE c.id_a = intern.id_a AND c.id_b = intern.id_b)), "
+    "edges AS (SELECT id_a AS src, id_b AS dst FROM verified "
+    "UNION SELECT id_b, id_a FROM verified), "
+    "reach AS (SELECT src AS id, src AS r FROM edges "
+    "UNION SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id), "
+    "comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id), "
+    "grp AS (SELECT component, min(id) AS keep_id, count(*) AS sz "
+    "FROM comp GROUP BY component) "
+    "SELECT d.doc_id, CAST(COALESCE(g.sz, 1) AS BIGINT) AS dup_group_size "
+    "FROM documents d "
+    "LEFT JOIN grp g ON g.keep_id = d.doc_id "
+    "WHERE NOT EXISTS (SELECT 1 FROM comp c JOIN grp g2 USING (component) "
+    "WHERE c.id = d.doc_id AND c.id <> g2.keep_id)"
+)
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -233,6 +260,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "near_dedup_documents": NEAR_DEDUP_SQL,
     "dedup_exact_documents": DEDUP_EXACT_SQL,
     "dedup_fingerprint_documents": DEDUP_FINGERPRINT_SQL,
     "minhash_bands_documents": MINHASH_BANDS_SQL,
