@@ -68,6 +68,17 @@ BENCH_QUERIES = [
     "q18_large_orders",
     "q7_nation_trade_volume",
     "lineitem_measure_unpivot",
+    # advanced TPC-H shapes (correlated/scalar subqueries, anti-joins)
+    "q2_min_cost_supplier",
+    "q13_order_count_distribution",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q16_supplier_count_by_part",
+    "q17_small_quantity_revenue",
+    "q19_or_predicate_revenue",
+    "q21_sole_supplier_orders",
+    "q22_idle_rich_customers",
+    "near_dedup_documents",
 ]
 
 KMEANS_FIT_K = 8

@@ -23,6 +23,7 @@ from . import (
     stats_queries,
     temporal_queries,
     text_queries,
+    tpch_advanced_queries,
     tpch_queries,
     window_queries,
 )
@@ -33,6 +34,7 @@ _MODULES = [
     text_queries,
     similarity_queries,
     tpch_queries,
+    tpch_advanced_queries,
     setop_queries,
     stats_queries,
     temporal_queries,
