@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "q21_sole_supplier_orders",
     "q22_idle_rich_customers",
     "near_dedup_documents",
+    "media_binary_stats",
 ]
 
 KMEANS_FIT_K = 8

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from . import (
     dedup_queries,
     kmeans_queries,
+    multimodal_queries,
     reshape_queries,
     rollup_queries,
     sampling_queries,
@@ -40,6 +41,7 @@ _MODULES = [
     temporal_queries,
     rollup_queries,
     reshape_queries,
+    multimodal_queries,
     sampling_queries,
     window_queries,
 ]

@@ -144,8 +144,12 @@ def jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# distinct 60-bit md5-int shingles — mirrors operators/dedup.py's
+# md5_int60 join keys (jaccard joins/dedups on the int, not the string)
 _SHINGLE_EXPLODE = (
-    f"SELECT DISTINCT doc_id, unnest({sql_shingles('text', SHINGLE_N)}) AS sh FROM documents"
+    "SELECT DISTINCT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS sh "
+    f"FROM (SELECT doc_id, unnest({sql_shingles('text', SHINGLE_N)}) AS sh "
+    "FROM documents)"
 )
 
 JACCARD_PAIRS_SQL = (
@@ -164,7 +168,11 @@ def jaccard_candidates_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     join-parity check backing the (legitimately empty at default
     threshold) pairs query."""
     df = load_table(spark, sf_dir, "documents")
-    sh = D.shingle_rows(df, shingle_n=SHINGLE_N).distinct()
+    sh = (
+        D.shingle_rows(df, shingle_n=SHINGLE_N)
+        .select("doc_id", D.md5_int60(F.col("sh")).alias("sh"))
+        .distinct()
+    )
     other = sh.select(F.col("doc_id").alias("doc_b"), "sh")
     return (
         sh.join(other, "sh")
