@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "q22_idle_rich_customers",
     "near_dedup_documents",
     "media_binary_stats",
+    "shipments_in_order_window",
 ]
 
 KMEANS_FIT_K = 8

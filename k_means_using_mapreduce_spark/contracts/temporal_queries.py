@@ -193,12 +193,57 @@ GROUP BY 1, 2, 3
 """
 
 
+
+RANGE_JOIN_FROM = "1999-03-01 00:00:00"
+RANGE_JOIN_TO = "1999-04-01 00:00:00"
+RANGE_JOIN_DAYS = 3
+
+
+def shipments_in_order_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join with NO equi-key: for each URGENT order placed in
+    March 1999, count lineitems (of any order) shipped within
+    [o_orderdate, o_orderdate + 3 days). Runs through
+    operators.temporal.interval_bucket_join — interval-explode to day
+    buckets, bucket equi-join, exact residual filter (the scalable
+    rewrite of the cross-join-with-BETWEEN the oracle uses)."""
+    from ..operators.temporal import interval_bucket_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_shipdate")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit(RANGE_JOIN_FROM).cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit(RANGE_JOIN_TO).cast("timestamp_ntz"))
+            & (F.col("o_orderpriority") == "1-URGENT")
+        )
+        .select("o_orderkey", "o_orderdate")
+        .withColumn("_win_end", F.expr(f"o_orderdate + INTERVAL {RANGE_JOIN_DAYS} DAY"))
+    )
+    joined = interval_bucket_join(
+        li, orders, point_ts="l_shipdate", start_ts="o_orderdate", end_ts="_win_end"
+    )
+    return joined.groupBy("o_orderkey").agg(F.count("*").alias("n_shipped"))
+
+
+SHIPMENTS_IN_WINDOW_SQL = f"""
+SELECT o_orderkey, count(*) AS n_shipped
+FROM orders JOIN lineitem
+  ON l_shipdate >= o_orderdate
+ AND l_shipdate < o_orderdate + INTERVAL {RANGE_JOIN_DAYS} DAY
+WHERE o_orderdate >= TIMESTAMP '{RANGE_JOIN_FROM}'
+  AND o_orderdate < TIMESTAMP '{RANGE_JOIN_TO}'
+  AND o_orderpriority = '1-URGENT'
+GROUP BY o_orderkey
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_sessions_events": user_sessions_events,
     "purchase_click_asof": purchase_click_asof,
     "hourly_event_rollup": hourly_event_rollup,
     "events_json_props": events_json_props,
     "monthly_order_stats": monthly_order_stats,
+    "shipments_in_order_window": shipments_in_order_window,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -207,4 +252,5 @@ ORACLE_SQL: dict[str, str] = {
     "hourly_event_rollup": HOURLY_ROLLUP_SQL,
     "events_json_props": EVENTS_JSON_SQL,
     "monthly_order_stats": MONTHLY_ORDER_STATS_SQL,
+    "shipments_in_order_window": SHIPMENTS_IN_WINDOW_SQL,
 }

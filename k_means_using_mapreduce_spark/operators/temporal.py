@@ -165,3 +165,54 @@ def time_bucket(ts_col: Column | str, bucket_ns: int) -> Column:
     """
     c = F.col(ts_col) if isinstance(ts_col, str) else ts_col
     return (c - F.pmod(c, F.lit(bucket_ns))).cast("long")
+
+
+def interval_bucket_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bucket_days: int = 1,
+) -> DataFrame:
+    """Range (interval-containment) join without an equi-key:
+    point rows match interval rows where ``start <= point < end``.
+
+    Spark has no native band/IEJoin, and the naive formulation is a
+    cross join with a post-filter — O(N·M). This is the standard
+    bucketized rewrite: each interval explodes into its covered
+    day-buckets (bounded by the interval width), each point maps to
+    exactly one bucket, and the range predicate becomes a bucket
+    EQUI-join plus an exact residual filter. Because buckets partition
+    time disjointly and a point has one bucket, every qualifying
+    (point, interval) pair meets exactly once — no dedup step.
+
+    Shuffle profile at scale: one hash shuffle on the bucket key; the
+    explode factor is ``interval_width / bucket_days``, chosen so the
+    per-bucket row volume (density × width) keeps each join task
+    bounded. Skewed buckets (hot days) compose with the salting in
+    operators/skew.py.
+
+    Timestamp columns must be TIMESTAMP/TIMESTAMP_NTZ with
+    ``end - start`` bounded; both inputs keep all their columns.
+    """
+    day = F.date_trunc("DAY", F.col(point_ts))
+    pts = points.withColumn("_ibj_bucket", day)
+    spans = intervals.withColumn(
+        "_ibj_bucket",
+        F.explode(
+            F.sequence(
+                F.date_trunc("DAY", F.col(start_ts)),
+                # sequence() is inclusive; the end-day bucket is needed
+                # even for half-open intervals because a point earlier
+                # in that day can still be < end
+                F.date_trunc("DAY", F.col(end_ts)),
+                F.expr(f"INTERVAL {int(bucket_days)} DAY"),
+            )
+        ),
+    )
+    return (
+        pts.join(spans, "_ibj_bucket")
+        .where((F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) < F.col(end_ts)))
+        .drop("_ibj_bucket")
+    )

@@ -166,3 +166,41 @@ class TestRollupQueries:
         grand = [r for r in rows if r["g_returnflag"] and r["g_linestatus"]]
         detail = [r for r in rows if not r["g_returnflag"] and not r["g_linestatus"]]
         assert grand[0]["n_items"] == sum(r["n_items"] for r in detail)
+
+
+def test_interval_bucket_join_matches_naive(spark):
+    """Bucketized range join == cross-join + BETWEEN filter, including
+    intervals spanning bucket boundaries and empty matches."""
+    from k_means_using_mapreduce_spark.operators.temporal import (
+        interval_bucket_join,
+    )
+
+    pts = spark.createDataFrame(
+        [(i, f"2020-01-{d:02d} {h:02d}:30:00") for i, (d, h) in enumerate(
+            [(1, 0), (1, 23), (2, 5), (3, 12), (5, 0), (9, 18)]
+        )],
+        "pid long, ts_s string",
+    ).select("pid", F.col("ts_s").cast("timestamp_ntz").alias("ts"))
+    iv = spark.createDataFrame(
+        [
+            (100, "2020-01-01 12:00:00", "2020-01-03 00:00:00"),
+            (200, "2020-01-02 00:00:00", "2020-01-02 06:00:00"),
+            (300, "2020-01-06 00:00:00", "2020-01-08 00:00:00"),  # empty
+        ],
+        "iid long, s string, e string",
+    ).select(
+        "iid",
+        F.col("s").cast("timestamp_ntz").alias("start"),
+        F.col("e").cast("timestamp_ntz").alias("end"),
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in interval_bucket_join(pts, iv, "ts", "start", "end").collect()
+    )
+    naive = sorted(
+        (r["pid"], r["iid"])
+        for r in pts.crossJoin(iv)
+        .where((F.col("ts") >= F.col("start")) & (F.col("ts") < F.col("end")))
+        .collect()
+    )
+    assert got == naive and len(got) == 3
