@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "near_dedup_documents",
     "media_binary_stats",
     "shipments_in_order_window",
+    "edit_distance_verify_documents",
 ]
 
 KMEANS_FIT_K = 8

@@ -255,6 +255,49 @@ NEAR_DEDUP_SQL = (
 )
 
 
+
+EDIT_DISTANCE_PREFIX = 60
+
+
+def edit_distance_verify_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-distance verification of LSH candidate pairs: Levenshtein
+    over the first 60 chars of each candidate pair's texts (bounding the
+    O(len²) DP — the standard trick before committing to a full-text
+    alignment). Exercises the join-back of pair ids to content plus an
+    engine-portable string metric."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = D.minhash_candidate_pairs(
+        docs, num_hashes=MINHASH_H, bands=MINHASH_BANDS, shingle_n=SHINGLE_N
+    )
+    ta = docs.select(
+        F.col("doc_id").alias("id_a"),
+        F.substring("text", 1, EDIT_DISTANCE_PREFIX).alias("_pa"),
+    )
+    tb = docs.select(
+        F.col("doc_id").alias("id_b"),
+        F.substring("text", 1, EDIT_DISTANCE_PREFIX).alias("_pb"),
+    )
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("_pa", "_pb").alias("edit_distance"),
+        )
+    )
+
+
+EDIT_DISTANCE_VERIFY_SQL = (
+    f"WITH b AS ({MINHASH_PAIRS_SQL}) "
+    "SELECT id_a, id_b, "
+    f"levenshtein(substr(da.text, 1, {EDIT_DISTANCE_PREFIX}), "
+    f"substr(db.text, 1, {EDIT_DISTANCE_PREFIX})) AS edit_distance "
+    "FROM b JOIN documents da ON da.doc_id = id_a "
+    "JOIN documents db ON db.doc_id = id_b"
+)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dedup_documents": near_dedup_documents,
     "dedup_exact_documents": dedup_exact_documents,
@@ -265,6 +308,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jaccard_pairs_documents": jaccard_pairs_documents,
     "jaccard_candidates_documents": jaccard_candidates_documents,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
+    "edit_distance_verify_documents": edit_distance_verify_documents,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -277,4 +321,5 @@ ORACLE_SQL: dict[str, str] = {
     "jaccard_pairs_documents": JACCARD_PAIRS_SQL,
     "jaccard_candidates_documents": JACCARD_CANDIDATES_SQL,
     "embedding_near_dup_pairs": EMBEDDING_NEAR_DUP_SQL,
+    "edit_distance_verify_documents": EDIT_DISTANCE_VERIFY_SQL,
 }
