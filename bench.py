@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "media_binary_stats",
     "shipments_in_order_window",
     "edit_distance_verify_documents",
+    "supplier_balance_ranks",
 ]
 
 KMEANS_FIT_K = 8
@@ -107,6 +108,8 @@ def main() -> None:
     # warm the JVM + parquet footers once (excluded from timings)
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
 
+    import gc
+
     for name in BENCH_QUERIES:
         fn = contracts.QUERIES[name]
         best = float("inf")
@@ -115,6 +118,12 @@ def main() -> None:
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
+        # untimed: release py-side plan refs and let the ContextCleaner
+        # drop accumulated broadcasts — otherwise heap pressure from 50
+        # queries' broadcast vars inflates later queries' GC time (q18
+        # measured 5.4s in-sequence vs 1.2s standalone)
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
 
     # iterative fit — the reference's own workload shape
     from pyspark.sql import functions as F

@@ -114,14 +114,47 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
 """
 
 
+
+def supplier_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-family window functions per nation: ntile deciles,
+    percent_rank, cume_dist, dense_rank over account balance — all
+    deterministic because the order key (s_acctbal, s_suppkey) is
+    unique. percent_rank/cume_dist are exact rational arithmetic
+    ((rank-1)/(n-1), rank/n) so the doubles match the oracle
+    bit-for-bit."""
+    supp = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return supp.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.dense_rank().over(w).alias("drank"),
+    )
+
+
+SUPPLIER_BALANCE_RANKS_SQL = """
+SELECT s_suppkey, s_nationkey,
+       ntile(10) OVER w AS decile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       dense_rank() OVER w AS drank
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_running_total": customer_running_total,
     "user_value_deltas": user_value_deltas,
     "sliding_spend_window": sliding_spend_window,
+    "supplier_balance_ranks": supplier_balance_ranks,
 }
 
 ORACLE_SQL: dict[str, str] = {
     "customer_running_total": CUSTOMER_RUNNING_TOTAL_SQL,
     "user_value_deltas": USER_VALUE_DELTAS_SQL,
     "sliding_spend_window": SLIDING_SPEND_SQL,
+    "supplier_balance_ranks": SUPPLIER_BALANCE_RANKS_SQL,
 }

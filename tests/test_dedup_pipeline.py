@@ -66,3 +66,28 @@ def test_near_dedup_no_dups_is_identity(spark):
     out = near_dedup(df)
     assert out.count() == 8
     assert all(r["dup_group_size"] == 1 for r in out.collect())
+
+
+def test_connected_components_driver_fastpath_matches_distributed(spark):
+    """Union-find fast path == distributed label propagation on a graph
+    with chains, a cycle, and singleton-free structure."""
+    from k_means_using_mapreduce_spark.operators.dedup_pipeline import (
+        connected_components,
+    )
+
+    edges = [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10), (20, 21), (3, 4)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = {
+        (r["id"], r["component"])
+        for r in connected_components(pairs, driver_threshold=10**6).collect()
+    }
+    dist = {
+        (r["id"], r["component"])
+        for r in connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert fast == dist
+    assert fast == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
