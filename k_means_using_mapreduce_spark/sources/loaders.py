@@ -153,3 +153,34 @@ def read_jsonl(
         .option("columnNameOfCorruptRecord", corrupt_col)
         .json(list(paths))
     )
+
+
+def write_read_format(
+    df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite"
+) -> DataFrame:
+    """Round-trip a DataFrame through a columnar/row format on disk and
+    return the re-read relation. Supported: parquet, orc, json, csv
+    (csv/json lose type fidelity — caller re-applies a schema via
+    ``.schema`` on the read side when exactness matters).
+
+    The reference's only storage format is comma-delimited text
+    (master.py:38); Spark gives every format below with predicate
+    pushdown + column pruning on the columnar ones for free.
+    """
+    spark = df.sparkSession
+    writer = df.write.mode(mode)
+    if fmt == "csv":
+        writer.option("header", "true").csv(path)
+        return spark.read.option("header", "true").option(
+            "inferSchema", "true"
+        ).csv(path)
+    if fmt == "json":
+        writer.json(path)
+        return spark.read.json(path)
+    if fmt == "orc":
+        writer.orc(path)
+        return spark.read.orc(path)
+    if fmt == "parquet":
+        writer.parquet(path)
+        return spark.read.parquet(path)
+    raise ValueError(f"unsupported format: {fmt!r}")

@@ -1,0 +1,76 @@
+"""Streaming sinks: idempotent foreachBatch upsert.
+
+Structured Streaming's file/console sinks are append-only; production
+pipelines land aggregates in a keyed store with exactly-once semantics
+via ``foreachBatch`` + an idempotent MERGE keyed on (key, batch_id) or
+a last-writer-wins overwrite per key. This module implements the
+pattern with a parquet-backed key-value layout so it runs anywhere
+(no Delta/Iceberg in the container — the merge logic is the part that
+transfers; swap the final write for ``MERGE INTO`` on a real
+lakehouse table).
+
+Exactly-once reasoning: Spark retries a failed micro-batch with the
+SAME batch_id. The upsert rewrites each key's state deterministically
+from (previous snapshot ⊎ batch rows), and the snapshot directory is
+swapped atomically per batch id — replaying a batch overwrites with
+identical content instead of double-applying it.
+
+At scale: state is partitioned parquet keyed by the grouping column;
+each micro-batch rewrites only the partitions its keys touch (here:
+full snapshot for simplicity at test sizes — the partition-pruned
+variant changes only the filter on the previous snapshot).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class ParquetUpsertSink:
+    """foreachBatch handler maintaining a keyed parquet snapshot.
+
+    ``keys``: grouping columns; incoming batch rows REPLACE the
+    snapshot rows with matching keys (last-writer-wins upsert).
+    """
+
+    def __init__(self, spark: SparkSession, path: str, keys: list[str]):
+        self.spark = spark
+        self.path = path
+        self.keys = list(keys)
+
+    def _snapshot_dir(self, batch_id: int) -> str:
+        return os.path.join(self.path, f"_snapshot_v{batch_id}")
+
+    def current(self) -> DataFrame | None:
+        """Latest committed snapshot, or None before the first batch."""
+        marker = os.path.join(self.path, "_LATEST")
+        if not os.path.exists(marker):
+            return None
+        with open(marker) as fh:
+            latest = fh.read().strip()
+        return self.spark.read.parquet(os.path.join(self.path, latest))
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        prev = self.current()
+        new = batch_df.dropDuplicates(self.keys)
+        if prev is not None:
+            keep = prev.join(new.select(self.keys), self.keys, "left_anti")
+            merged = keep.unionByName(new)
+        else:
+            merged = new
+        out = self._snapshot_dir(batch_id)
+        # materialize BEFORE the overwrite: on a replayed batch id the
+        # output dir IS the previous snapshot being read — writing
+        # lazily would delete its own input mid-scan
+        merged = merged.localCheckpoint()
+        merged.write.mode("overwrite").parquet(out)
+        # atomic last: replaying batch_id rewrites the same dir with the
+        # same content, then re-points the marker to the same value
+        marker = os.path.join(self.path, "_LATEST")
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(os.path.basename(out))
+        os.replace(tmp, marker)

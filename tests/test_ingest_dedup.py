@@ -83,3 +83,26 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         assert ks == ["a", "b"]  # duplicate 'a' suppressed
     finally:
         q.stop()
+
+
+def test_format_roundtrips(spark, tmp_path, sf_small):
+    """parquet/orc/json round-trips preserve values; orc keeps types."""
+    from k_means_using_mapreduce_spark.sources.loaders import write_read_format
+
+    src = spark.read.parquet(f"{sf_small}/supplier.parquet")
+    want = sorted(map(tuple, src.collect()))
+    for fmt in ("parquet", "orc", "json"):
+        back = write_read_format(src, str(tmp_path / fmt), fmt)
+        got = sorted(map(tuple, back.select(*src.columns).collect()))
+        assert got == want, fmt
+        if fmt in ("parquet", "orc"):
+            assert dict(back.dtypes) == dict(src.dtypes), fmt
+
+
+def test_format_roundtrip_rejects_unknown(spark, tmp_path):
+    import pytest
+
+    from k_means_using_mapreduce_spark.sources.loaders import write_read_format
+
+    with pytest.raises(ValueError, match="unsupported"):
+        write_read_format(spark.range(1), str(tmp_path / "x"), "avro")

@@ -147,3 +147,36 @@ def test_q10_broadcasts_dims(spark, sf):
     assert "l_returnflag" in filters  # predicate reached the scan
     assert broadcast_join_count(df) >= 2
     assert sort_merge_join_count(df) == 0
+
+
+def test_interval_join_single_exchange_on_bucket(spark, sf):
+    """The range join is one hash shuffle on the bucket key (plus the
+    broadcast-eligible interval side) — never a cartesian product."""
+    plan = _q("shipments_in_order_window", spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q2_single_fact_shuffle_no_self_join(spark, sf):
+    """Correlated-MIN rewrite: one aggregate over the fact join + a
+    window — the lineitem side is scanned ONCE (no re-executed
+    subquery scan)."""
+    df = _q("q2_min_cost_supplier", spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") <= 3  # lineitem once + part + supplier
+    assert sort_merge_join_count(df) == 0
+
+
+def test_q18_broadcasts_filtered_agg_side(spark, sf):
+    """The HAVING-filtered aggregate (small) must broadcast into the
+    orders join, not shuffle orders."""
+    df = _q("q18_large_orders", spark, sf)
+    assert broadcast_join_count(df) >= 1
+
+
+def test_gemm_near_dup_replication_is_broadcast(spark, sf):
+    """The block-pair replication map joins as a broadcast (tiny), so
+    the only wide op is the bucket-pair shuffle."""
+    df = _q("embedding_near_dup_pairs", spark, sf)
+    assert broadcast_join_count(df) >= 1
+    assert sort_merge_join_count(df) == 0

@@ -99,3 +99,48 @@ def test_windowed_cluster_stats(spark, stream_dir):
         assert all(r["window_start"] is not None for r in rows)
     finally:
         q.stop()
+
+
+def test_foreach_batch_upsert_sink(spark, stream_dir, tmp_path):
+    """foreachBatch upsert: later batches replace earlier rows per key;
+    replaying a batch (retry semantics) leaves the snapshot unchanged."""
+    from k_means_using_mapreduce_spark.streaming.sinks import ParquetUpsertSink
+
+    sink = ParquetUpsertSink(spark, str(tmp_path / "state"), keys=["user"])
+    _write_batch(stream_dir, "b0", [
+        {"user": "a", "n": 1}, {"user": "b", "n": 5}])
+    src = (
+        spark.readStream.schema("user string, n long")
+        .json(str(stream_dir))
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    snap = {r["user"]: r["n"] for r in sink.current().collect()}
+    assert snap == {"a": 1, "b": 5}
+
+    _write_batch(stream_dir, "b1", [
+        {"user": "a", "n": 9}, {"user": "c", "n": 2}])
+    q = (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    snap = {r["user"]: r["n"] for r in sink.current().collect()}
+    assert snap == {"a": 9, "b": 5, "c": 2}
+
+    # idempotent replay: re-running the same batch content with the same
+    # batch id must not change the snapshot
+    before = sorted(map(tuple, snap.items()))
+    sink(spark.createDataFrame([("a", 9), ("c", 2)], "user string, n long"), 1)
+    after = sorted(
+        (r["user"], r["n"]) for r in sink.current().collect()
+    )
+    assert after == before
