@@ -119,6 +119,7 @@ def minhash_signature(
     id_col: str = "doc_id",
     num_hashes: int = 12,
     shingle_n: int = 3,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document MinHash signature with a universal affine hash
     family: each shingle is hashed ONCE (md5 → first 15 hex chars →
@@ -146,7 +147,11 @@ def minhash_signature(
             f"num_hashes={num_hashes} exceeds the {len(MINHASH_AFFINE)} "
             "frozen MINHASH_AFFINE constants"
         )
-    sh_rows = shingle_rows(df, content_col, id_col, shingle_n)
+    sh_rows = (
+        shingles_df
+        if shingles_df is not None
+        else shingle_rows(df, content_col, id_col, shingle_n)
+    )
     # NB: single-parameter lambdas only inside transform/filter —
     # PySpark passes the array index to a second parameter.
     x = (
@@ -174,6 +179,7 @@ def minhash_bands(
     num_hashes: int = 12,
     bands: int = 4,
     shingle_n: int = 3,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` bands of
     ``num_hashes/bands`` rows; band key = md5 of the concatenated band
@@ -182,7 +188,9 @@ def minhash_bands(
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
     rows_per_band = num_hashes // bands
-    sig_df = minhash_signature(df, content_col, id_col, num_hashes, shingle_n)
+    sig_df = minhash_signature(
+        df, content_col, id_col, num_hashes, shingle_n, shingles_df
+    )
     band_entries = F.array(
         *[
             F.struct(
@@ -208,11 +216,14 @@ def minhash_candidate_pairs(
     num_hashes: int = 12,
     bands: int = 4,
     shingle_n: int = 3,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup candidates: pairs sharing ≥1 LSH band. Equi-join on
     (band_idx, band_key) — per-bucket quadratic only. Distinct pairs,
     a < b."""
-    b = minhash_bands(df, content_col, id_col, num_hashes, bands, shingle_n)
+    b = minhash_bands(
+        df, content_col, id_col, num_hashes, bands, shingle_n, shingles_df
+    )
     left = b.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
     right = b.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
     return (
@@ -321,6 +332,7 @@ def jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs ≥ threshold.
 
@@ -343,10 +355,11 @@ def jaccard_pairs(
     # oracle hashes identically, so even the ~2^-60 collision case is
     # bit-identical across engines.
     sh = (
-        shingle_rows(df, content_col, id_col, shingle_n)
-        .select(id_col, md5_int60(F.col("sh")).alias("sh"))
-        .distinct()
+        shingles_df
+        if shingles_df is not None
+        else shingle_rows(df, content_col, id_col, shingle_n)
     )
+    sh = sh.select(id_col, md5_int60(F.col("sh")).alias("sh")).distinct()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     if max_doc_freq is not None:
         rare = (

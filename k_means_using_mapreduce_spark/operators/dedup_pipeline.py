@@ -134,24 +134,37 @@ def near_dedup(
     """Full near-dedup: returns the *surviving* rows of ``df`` (lowest
     id per duplicate component plus all non-duplicated rows), with a
     ``dup_group_size`` column (1 for unique docs)."""
+    # shingle once, share between candidate generation and verification
+    # (the two stages otherwise re-tokenize every document); the
+    # materialized relation is (id, shingle) — strings, pre-hash
+    from .dedup import shingle_rows
+
+    sh_all = shingle_rows(df, content_col, id_col, shingle_n).localCheckpoint()
     candidates = minhash_candidate_pairs(
-        df, content_col, id_col, num_hashes, bands, shingle_n
+        df, content_col, id_col, num_hashes, bands, shingle_n, shingles_df=sh_all
     )
-    # exact verification restricted to candidate pairs: jaccard_pairs on
-    # the candidate-doc subset only
+    # exact verification restricted to candidate pairs: jaccard on the
+    # candidate-doc subset of the shared shingle relation
     cand_ids = (
         candidates.select(F.col("id_a").alias(id_col))
         .union(candidates.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
     cand_docs = df.join(cand_ids, id_col, "left_semi")
-    verified = jaccard_pairs(cand_docs, content_col, id_col, shingle_n, jaccard_threshold)
+    verified = jaccard_pairs(
+        cand_docs,
+        content_col,
+        id_col,
+        shingle_n,
+        jaccard_threshold,
+        shingles_df=sh_all.join(cand_ids, id_col, "left_semi"),
+    )
     verified = verified.join(
         candidates, ["id_a", "id_b"], "left_semi"
     )  # only LSH-candidate pairs count (keeps the scale contract honest)
 
-    # materialize the (small) verified-pair list once before iterating
-    verified = verified.localCheckpoint()
+    # connected_components materializes its distinct pair list itself
+    # (localCheckpoint) — no extra barrier needed here
     comps = connected_components(verified.select("id_a", "id_b"))
     groups = comps.groupBy("component").agg(
         F.min("id").alias("keep_id"), F.count("*").alias("dup_group_size")
