@@ -152,8 +152,10 @@ Q15_TO = (1999, 4, 1)
 
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q15: supplier(s) with maximum quarterly revenue — aggregate view
-    + scalar MAX subquery, expressed as a global-max window over the
-    per-supplier aggregate (no second scan)."""
+    + scalar MAX subquery. The scalar max is a 1-row aggregate
+    broadcast back onto the per-supplier relation (NOT an
+    unpartitioned window, which would funnel every supplier row
+    through one task at scale)."""
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -165,10 +167,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(_dec_sum(rev).alias("total_revenue"))
     )
-    w = Window.partitionBy()
-    best = per_supp.withColumn(
-        "max_rev", F.max("total_revenue").over(w)
-    ).filter(F.col("total_revenue") == F.col("max_rev"))
+    mx = per_supp.agg(F.max("total_revenue").alias("max_rev"))
+    best = per_supp.crossJoin(F.broadcast(mx)).filter(
+        F.col("total_revenue") == F.col("max_rev")
+    )
     return best.join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey).select(
         "s_suppkey", "s_name", "total_revenue"
     )
