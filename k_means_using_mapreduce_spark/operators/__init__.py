@@ -2,6 +2,7 @@ from .kmeans import (
     KMeansResult,
     assign,
     kmeans_fit,
+    kmeans_fit_minibatch,
     one_step,
     sse,
     update,
@@ -11,6 +12,7 @@ __all__ = [
     "KMeansResult",
     "assign",
     "kmeans_fit",
+    "kmeans_fit_minibatch",
     "one_step",
     "sse",
     "update",

@@ -439,3 +439,114 @@ def kmeans_fit(
         )
     finally:
         work.unpersist()
+
+
+def kmeans_fit_minibatch(
+    df: DataFrame,
+    k: int,
+    *,
+    seed: int = 42,
+    max_iter: int = 20,
+    tol: float = 1e-4,
+    features_col: str = "features",
+    batch_fraction: float = 0.1,
+    initial_centroids: Centroids | None = None,
+) -> KMeansResult:
+    """Mini-batch K-Means (Sculley 2010 shape, Spark-first): each
+    iteration assigns/updates only a deterministic hash-selected slice
+    of the data, and centroids move by the per-batch weighted mean
+    blended with the running per-cluster counts.
+
+    At 100 TB a full Lloyd pass per iteration is the dominant cost;
+    mini-batches cut per-iteration work by ``batch_fraction`` while
+    converging to near-identical SSE for well-separated data.
+
+    Batch membership is md5-hash-bucketed (`pmod(md5-int, buckets)`
+    rotating with the iteration number) — retry-stable and
+    repartition-stable, unlike `rand()`-based sampling (a failed task
+    re-draws rand() and silently changes the batch).
+
+    Runs on the fused zero-shuffle iteration kernel
+    (:func:`_lloyd_iter_partials`); per-cluster running counts give
+    each centroid a learning rate 1/c_t that damps oscillation.
+    """
+    from .dedup import md5_int60
+
+    work = df.select(F.col(features_col).alias("features")).filter(
+        F.col("features").isNotNull()
+        & F.forall("features", lambda x: x.isNotNull())
+    ).withColumn("_w", F.lit(1.0))
+    buckets = max(1, int(round(1.0 / batch_fraction)))
+    # hash of the feature vector text — content-deterministic, no row id
+    # needed; the seed offsets the bucket rotation
+    bucket = F.pmod(
+        md5_int60(F.concat_ws(",", F.col("features").cast("array<string>")))
+        + F.lit(seed),
+        F.lit(buckets),
+    )
+    work = work.withColumn("_mb_bucket", bucket).cache()
+    try:
+        n = work.count()
+        if n == 0:
+            raise ValueError("Data not found or empty")
+        if k > n:
+            raise ValueError(
+                f"Number of centroids ({k}) exceeds number of data points ({n})"
+            )
+        if initial_centroids is not None:
+            centroids = sorted(
+                ((int(c), [float(v) for v in vec]) for c, vec in initial_centroids),
+                key=lambda t: t[0],
+            )
+        else:
+            centroids = init_centroids(work, k, seed)
+
+        counts: dict[int, float] = {cid: 0.0 for cid, _ in centroids}
+        converged = False
+        iterations = 0
+        for it in range(max_iter):
+            iterations += 1
+            batch = work.filter(F.col("_mb_bucket") == (it % buckets))
+            partials: dict[int, tuple[float, list[float]]] = {}
+            for r in _lloyd_iter_partials(batch, centroids):
+                w0, s0 = partials.get(r["cid"], (0.0, None))
+                s1 = list(r["s"]) if s0 is None else [
+                    a + b for a, b in zip(s0, r["s"])
+                ]
+                partials[r["cid"]] = (w0 + r["w"], s1)
+            new_centroids = []
+            movement = 0.0
+            for cid, old_vec in centroids:
+                if cid in partials and partials[cid][0] > 0:
+                    w, ssum = partials[cid]
+                    batch_mean = [v / w for v in ssum]
+                    counts[cid] += w
+                    eta = w / counts[cid]
+                    new_vec = [
+                        o + eta * (m - o) for o, m in zip(old_vec, batch_mean)
+                    ]
+                else:
+                    new_vec = list(old_vec)
+                movement = max(
+                    movement,
+                    max(abs(a - b) for a, b in zip(old_vec, new_vec)),
+                )
+                new_centroids.append((cid, new_vec))
+            centroids = new_centroids
+            if movement <= tol:
+                converged = True
+                break
+
+        final_sse = sum(r["e"] for r in _lloyd_iter_partials(work, centroids))
+        sizes = {
+            cid: int(round(c)) for cid, c in counts.items()
+        }
+        return KMeansResult(
+            centroids=centroids,
+            iterations=iterations,
+            converged=converged,
+            sse=float(final_sse),
+            cluster_sizes=sizes,
+        )
+    finally:
+        work.unpersist()

@@ -195,3 +195,37 @@ class TestMLlibParity:
         ours = kmeans_fit(df, 4, seed=42, max_iter=30, init="k-means++")
         ml = kmeans_fit_ml(df, 4, seed=42, max_iter=30)  # k-means|| default
         assert ml.sse == pytest.approx(ours.sse, rel=0.05)
+
+
+class TestMiniBatch:
+    def test_minibatch_converges_near_full_lloyd(self, spark, sf_small):
+        from pyspark.sql import functions as F
+
+        from k_means_using_mapreduce_spark.operators import (
+            kmeans_fit,
+            kmeans_fit_minibatch,
+        )
+
+        emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+        feats = emb.select(
+            F.col("embedding").cast("array<double>").alias("features")
+        )
+        full = kmeans_fit(feats, 4, seed=7, max_iter=10, tol=0.0)
+        mb = kmeans_fit_minibatch(
+            feats, 4, seed=7, max_iter=10, tol=0.0, batch_fraction=0.25
+        )
+        assert mb.sse <= full.sse * 1.10  # within 10% of full-batch SSE
+
+    def test_minibatch_deterministic_and_guarded(self, spark):
+        import pytest
+        from pyspark.sql import functions as F
+
+        from k_means_using_mapreduce_spark.operators import kmeans_fit_minibatch
+
+        rows = [([float(i), float(i % 3)],) for i in range(60)]
+        df = spark.createDataFrame(rows, "features array<double>")
+        a = kmeans_fit_minibatch(df, 3, seed=1, max_iter=5, tol=0.0)
+        b = kmeans_fit_minibatch(df, 3, seed=1, max_iter=5, tol=0.0)
+        assert a.centroids == b.centroids
+        with pytest.raises(ValueError, match="exceeds"):
+            kmeans_fit_minibatch(df, 100, seed=1)
