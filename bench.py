@@ -136,6 +136,21 @@ def main() -> None:
     kmeans_fit(feats, KMEANS_FIT_K, seed=42, max_iter=KMEANS_FIT_ITERS, tol=0.0)
     timings["kmeans_fit_embeddings"] = round(time.perf_counter() - t0, 4)
 
+    from k_means_using_mapreduce_spark.operators.kmeans import kmeans_fit_minibatch
+
+    t0 = time.perf_counter()
+    kmeans_fit_minibatch(
+        feats,
+        KMEANS_FIT_K,
+        seed=42,
+        max_iter=KMEANS_FIT_ITERS,
+        tol=0.0,
+        batch_fraction=0.2,
+    )
+    timings["kmeans_fit_minibatch_embeddings"] = round(
+        time.perf_counter() - t0, 4
+    )
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
