@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "shipments_in_order_window",
     "edit_distance_verify_documents",
     "supplier_balance_ranks",
+    "stratified_sample_summary",
 ]
 
 KMEANS_FIT_K = 8

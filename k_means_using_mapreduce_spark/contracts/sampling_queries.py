@@ -53,12 +53,49 @@ GROUP BY 1, 2
 """
 
 
+
+STRATA_RATES = {"src0": 100, "src1": 50, "src2": 25}
+STRATA_DEFAULT = 10
+
+
+def stratified_sample_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source survivor counts under stratified hash sampling —
+    the training-data-mixture op (keep all of src0, half of src1, a
+    quarter of src2, 10% elsewhere), deterministic by doc_id hash."""
+    from ..operators.sampling import stratified_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = stratified_hash_sample(
+        docs, "doc_id", "source", STRATA_RATES, default_keep=STRATA_DEFAULT
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"), F.min("doc_id").alias("first_doc")
+    )
+
+
+_STRATA_CASE = (
+    "CASE source "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(STRATA_RATES.items()))
+    + f" ELSE {STRATA_DEFAULT} END"
+)
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT source, count(*) AS n_kept, min(doc_id) AS first_doc
+FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100
+      < {_STRATA_CASE}
+GROUP BY source
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "documents_hash_sample": documents_hash_sample,
     "documents_split_summary": documents_split_summary,
+    "stratified_sample_summary": stratified_sample_summary,
 }
 
 ORACLE_SQL: dict[str, str] = {
     "documents_hash_sample": DOCUMENTS_HASH_SAMPLE_SQL,
     "documents_split_summary": DOCUMENTS_SPLIT_SUMMARY_SQL,
+    "stratified_sample_summary": STRATIFIED_SAMPLE_SQL,
 }

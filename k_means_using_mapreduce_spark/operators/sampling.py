@@ -65,3 +65,38 @@ def train_test_split(
             F.lit("train")
         ),
     )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    rates: dict[str, int],
+    *,
+    default_keep: int = 0,
+    out_of: int = 100,
+) -> DataFrame:
+    """Deterministic stratified sampling: per-stratum keep rates (e.g.
+    downsample a dominant crawl source to 10% while keeping 100% of a
+    rare curated source — the canonical training-data-mixture op).
+
+    ``rates`` maps stratum value → keep (out of ``out_of``); unlisted
+    strata use ``default_keep`` (0 = drop). Selection is by md5 bucket
+    of ``key``, so it is retry/repartition-stable, engine-portable, and
+    consistent with :func:`hash_sample` (a stratum at rate r keeps
+    exactly the rows hash_sample(keep=r) would keep).
+
+    Same scale shape as hash_sample: a pure map-side filter, no
+    shuffle; the per-stratum thresholds compile to one CASE expression.
+    """
+    for stratum, keep in rates.items():
+        if not 0 <= keep <= out_of:
+            raise ValueError(f"rate for {stratum!r} out of range: {keep}/{out_of}")
+    if not 0 <= default_keep <= out_of:
+        raise ValueError(f"default_keep out of range: {default_keep}/{out_of}")
+    threshold = F.lit(default_keep)
+    for stratum, keep in sorted(rates.items()):
+        threshold = F.when(
+            F.col(strata_col) == F.lit(stratum), F.lit(keep)
+        ).otherwise(threshold)
+    return df.where(hash_bucket(key, out_of) < threshold)

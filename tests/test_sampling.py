@@ -57,3 +57,34 @@ def test_bucket_range_and_validation(ids, spark):
         hash_sample(ids, "key", keep=0)
     with pytest.raises(ValueError):
         train_test_split(ids, "key", test_pct=100)
+
+
+def test_stratified_consistent_with_hash_sample(spark, sf_small):
+    """A stratum at rate r keeps exactly the hash_sample(keep=r) rows."""
+    from k_means_using_mapreduce_spark.operators.sampling import (
+        hash_sample,
+        stratified_hash_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    strat = stratified_hash_sample(
+        docs, "doc_id", "source", {"src0": 30}, default_keep=0
+    )
+    direct = hash_sample(docs.filter("source = 'src0'"), "doc_id", keep=30)
+    assert sorted(r["doc_id"] for r in strat.collect()) == sorted(
+        r["doc_id"] for r in direct.collect()
+    )
+
+
+def test_stratified_rejects_bad_rates(spark, sf_small):
+    import pytest
+
+    from k_means_using_mapreduce_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    with pytest.raises(ValueError, match="out of range"):
+        stratified_hash_sample(docs, "doc_id", "source", {"src0": 101})
+    with pytest.raises(ValueError, match="default_keep"):
+        stratified_hash_sample(docs, "doc_id", "source", {}, default_keep=-1)
