@@ -13,46 +13,95 @@ The shape every large-scale training-data dedup runs:
 4. **pick** — keep the lowest id per component (deterministic), drop
    the rest.
 
-Connected components run as iterative label propagation (alternating
-small-parent joins) — O(diameter) Spark jobs. Duplicate-cluster
-diameters are tiny in practice (pairs or small cliques), so the loop
-converges in 2-3 iterations; ``max_iter`` bounds adversarial chains.
-Each iteration shuffles only (id, label) pairs — 16 B rows — never
-documents.
+Connected components run driver-side (union-find) on small edge lists
+and as alternating large-star/small-star contraction (Kiveris et al.
+SoCC'14) above the threshold — O(log diameter) Spark rounds, so even
+adversarial chains converge fast. Each round shuffles only id pairs —
+never documents.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 from .dedup import jaccard_pairs, minhash_candidate_pairs
 
 
+def _canon_edges(e: DataFrame) -> DataFrame:
+    """Canonicalize an edge list to distinct ``(u > v)`` pairs, dropping
+    self-loops. Both star operations preserve this invariant."""
+    return (
+        e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC'14): every node connects its LARGER neighbors to
+    the minimum of its neighborhood (incl. itself). Halves long chains."""
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least("u", "mn").alias("m"))
+    out = (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    return _canon_edges(out)
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star: every node connects its smaller-or-equal neighbors
+    (and itself) to its minimum neighbor. Input must be canonical
+    ``u > v``, so ``min(v) < u`` always."""
+    mins = edges.groupBy("u").agg(F.min("v").alias("m"))
+    out = (
+        edges.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(mins.select("u", F.col("m").alias("v")))
+    )
+    return _canon_edges(out)
+
+
 def connected_components(
-    pairs: DataFrame, max_iter: int = 10, driver_threshold: int = 1_000_000
+    pairs: DataFrame, max_iter: int = 20, driver_threshold: int = 1_000_000
 ) -> DataFrame:
     """Union-find over an undirected edge list ``(id_a, id_b)``.
     Returns (id, component) where component is the minimum id reachable.
+    The output id/component types mirror the input ``id_a`` type
+    (long doc ids and string ids both work — ADVICE r2).
 
     Two regimes:
 
     - ``≤ driver_threshold`` edges (counted on the already-materialized
       edge list): collect the 16 B/row pairs and run path-compressed
       union-find on the driver — O(E α(E)) in one process, replacing
-      O(diameter) Spark jobs. Duplicate-pair graphs are tiny relative
+      iterative Spark jobs. Duplicate-pair graphs are tiny relative
       to the corpus (edges ≪ N after LSH+verify), so this is the common
       case even at 100 TB of documents; only edge *pairs* are ever
       collected, never rows.
-    - larger graphs: distributed label propagation (min-label joins),
-      O(diameter) rounds, each shuffling only (id, label) pairs.
+    - larger graphs: alternating large-star/small-star rounds (Kiveris
+      et al. SoCC'14) — converges in O(log diameter) rounds where plain
+      min-label propagation needs O(diameter), so adversarial chains
+      (a path graph from sequential doc ids) cost ~log₂(d) shuffles,
+      not d. Each round shuffles only id pairs, never documents.
     """
     # localCheckpoint materializes AND truncates lineage — without it
     # every propagation round re-executes the upstream candidate/verify
-    # plan (minhash + jaccard joins), turning an O(diameter) loop into
-    # O(diameter × full-pipeline) work (observed 8 min → ~40 s on the
+    # plan (minhash + jaccard joins), turning an iterative loop into
+    # O(rounds × full-pipeline) work (observed 8 min → ~40 s on the
     # test corpus).
     distinct_pairs = pairs.select("id_a", "id_b").distinct().localCheckpoint()
+    id_type = distinct_pairs.schema["id_a"].dataType
+    out_schema = StructType(
+        [StructField("id", id_type), StructField("component", id_type)]
+    )
     n_edges = distinct_pairs.count()
     if n_edges <= driver_threshold:
         parent: dict = {}
@@ -73,53 +122,37 @@ def connected_components(
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
         rows = [(x, find(x)) for x in parent]
-        return pairs.sparkSession.createDataFrame(
-            rows, "id long, component long"
-        )
+        return pairs.sparkSession.createDataFrame(rows, out_schema)
 
-    edges = (
-        distinct_pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(
-            distinct_pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-        )
+    all_nodes = (
+        distinct_pairs.select(F.col("id_a").alias("id"))
+        .union(distinct_pairs.select(F.col("id_b").alias("id")))
         .distinct()
     ).localCheckpoint()
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
+    edges = _canon_edges(
+        distinct_pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
     ).localCheckpoint()
+    prev_sig = None
     for _ in range(max_iter):
-        # each node adopts the min label among itself and neighbors;
-        # the `changed` flag rides along so convergence detection needs
-        # no second join against the previous labels
-        neighbor_labels = (
-            edges.join(
-                labels.withColumnRenamed("id", "dst").withColumnRenamed("component", "n_comp"),
-                "dst",
-            )
-            .groupBy("src")
-            .agg(F.min("n_comp").alias("min_neighbor"))
-        )
-        updated = (
-            labels.join(neighbor_labels.withColumnRenamed("src", "id"), "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("min_neighbor"), F.col("component")),
-                ).alias("new_component"),
-                (
-                    F.coalesce(F.col("min_neighbor"), F.col("component"))
-                    < F.col("component")
-                ).alias("changed"),
-            )
-        ).localCheckpoint()
-        changed = updated.filter("changed").limit(1).count()
-        labels = updated.select("id", F.col("new_component").alias("component"))
-        if changed == 0:
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        # order-independent signature: stable ⇒ the star-contraction
+        # fixpoint is reached (stars only — every u points at its root)
+        sig = edges.agg(
+            F.count("*").alias("n"),
+            # XOR fold: order-independent and overflow-free under ANSI
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        ).first()
+        sig = (sig["n"], sig["h"])
+        if sig == prev_sig:
             break
-    return labels
+        prev_sig = sig
+    # at the fixpoint every edge is (member, root); roots and isolated
+    # (self-loop-only) nodes label themselves
+    labels = edges.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    return (
+        all_nodes.join(labels, "id", "left")
+        .select("id", F.coalesce("component", "id").alias("component"))
+    )
 
 
 def near_dedup(

@@ -129,11 +129,21 @@ def one_step(
 
 
 def sse(
-    df: DataFrame, centroids: Centroids, features_col: str = "features"
+    df: DataFrame,
+    centroids: Centroids,
+    features_col: str = "features",
+    weight_col: str | None = None,
 ) -> DataFrame:
-    """Total within-cluster SSE as a 1-row DataFrame (column ``sse``)."""
+    """Total within-cluster SSE as a 1-row DataFrame (column ``sse``).
+    With ``weight_col`` the per-row squared distance is weighted, matching
+    the fused engine's weighted accumulation (ADVICE r2)."""
     a = assign(df, centroids, features_col, keep_dist=True)
-    return a.agg(F.sum("sq_dist").alias("sse"))
+    term = (
+        F.col("sq_dist") * F.col(weight_col)
+        if weight_col is not None
+        else F.col("sq_dist")
+    )
+    return a.agg(F.sum(term).alias("sse"))
 
 
 @dataclass
@@ -378,6 +388,12 @@ def kmeans_fit(
             n, k, seed, max_iter, tol,
             [(c, [round(v, 4) for v in vec[:4]]) for c, vec in centroids[:4]],
         )
+        # Ragged-row policy, applied identically to BOTH engines (ADVICE
+        # r2): rows whose feature length differs from the centroid
+        # dimension are dropped before fitting — previously the fused
+        # kernel dropped them silently while the exact path counted them.
+        dim = len(centroids[0][1])
+        fit_df = work.filter(F.size("features") == dim)
         converged = False
         iterations = 0
         sizes: dict[int, int] = {}
@@ -385,7 +401,7 @@ def kmeans_fit(
             iterations += 1
             if engine == "fused":
                 partials: dict[int, tuple[float, list[float]]] = {}
-                for r in _lloyd_iter_partials(work, centroids):
+                for r in _lloyd_iter_partials(fit_df, centroids):
                     w0, s0 = partials.get(r["cid"], (0.0, None))
                     s1 = list(r["s"]) if s0 is None else [
                         a + b for a, b in zip(s0, r["s"])
@@ -396,7 +412,7 @@ def kmeans_fit(
                     for cid, (w, s) in partials.items()
                 }
             else:
-                assigned = assign(work, centroids, "features", keep_dist=False)
+                assigned = assign(fit_df, centroids, "features", keep_dist=False)
                 rows = _update_fast(assigned, "features").collect()  # K rows
                 new_by_id = {
                     r["cid"]: (list(r["centroid"]), int(round(r["n"])))
@@ -427,9 +443,11 @@ def kmeans_fit(
 
         if engine == "fused":
             # one more fused pass: SSE w.r.t. the *final* centroids
-            final_sse = sum(r["e"] for r in _lloyd_iter_partials(work, centroids))
+            final_sse = sum(r["e"] for r in _lloyd_iter_partials(fit_df, centroids))
         else:
-            final_sse = sse(work, centroids, "features").first()["sse"]
+            # _w-weighted, matching the fused kernel's accumulation, so
+            # both engines report the same sse for the same fit
+            final_sse = sse(fit_df, centroids, "features", weight_col="_w").first()["sse"] or 0.0
         return KMeansResult(
             centroids=centroids,
             iterations=iterations,
@@ -514,6 +532,12 @@ def kmeans_fit_minibatch(
                     a + b for a, b in zip(s0, r["s"])
                 ]
                 partials[r["cid"]] = (w0 + r["w"], s1)
+            if not partials:
+                # Empty batch bucket (content-hash bucketing collapses
+                # duplicate vectors; small/skewed data can leave buckets
+                # empty): a no-op iteration says nothing about
+                # convergence — skip the tol test and move on (ADVICE r2).
+                continue
             new_centroids = []
             movement = 0.0
             for cid, old_vec in centroids:

@@ -47,7 +47,15 @@ def salted_aggregate(
         raise ValueError(
             "salted_aggregate needs counts=True or at least one sums column"
         )
-    salt = (F.abs(F.hash(F.rand(seed) * 1e9)) % buckets).alias("_salt")
+    # Content-hash salt (NOT F.rand): a recomputed partition re-derives
+    # the SAME salt, so stage retries are reproducible — the same
+    # determinism doctrine as sampling.py. Hashing the non-key columns
+    # too is what spreads a hot key's rows; exact-duplicate rows share a
+    # bucket, which affects balance only, never correctness.
+    salt = F.pmod(
+        F.hash(F.lit(seed), *[F.col(c) for c in dict.fromkeys([*key_cols, *sums])]),
+        F.lit(buckets),
+    ).alias("_salt")
     phase1_aggs = [F.count("*").alias("_n")] + [
         F.sum(c).alias(f"_sum_{c}") for c in sums
     ]
@@ -71,12 +79,16 @@ def salted_broadcast_left(
     buckets: int = 8,
     seed: int = 0,
 ) -> DataFrame:
-    """Skew-safe equi-join: the fact side gets a random salt in
-    [0, buckets); the dim side is replicated once per salt value; the
-    join key becomes (key, salt). Row multiplicity matches the plain
-    join exactly."""
+    """Skew-safe equi-join: the fact side gets a content-derived salt in
+    [0, buckets) (retry-stable — see :func:`salted_aggregate`); the dim
+    side is replicated once per salt value; the join key becomes
+    (key, salt). Row multiplicity matches the plain join exactly."""
     salted_fact = fact.withColumn(
-        "_salt", (F.abs(F.hash(F.rand(seed) * 1e9)) % buckets).cast("int")
+        "_salt",
+        F.pmod(
+            F.hash(F.lit(seed), *[F.col(c) for c in fact.columns]),
+            F.lit(buckets),
+        ).cast("int"),
     )
     replicated_dim = dim.crossJoin(
         F.broadcast(

@@ -195,19 +195,30 @@ def interval_bucket_join(
 
     Timestamp columns must be TIMESTAMP/TIMESTAMP_NTZ with
     ``end - start`` bounded; both inputs keep all their columns.
+
+    Buckets are anchored to a COMMON epoch grid — bucket id =
+    ``floor(days_since_epoch / bucket_days)`` — for points and
+    intervals alike. (Anchoring the interval's stride at its own start
+    day would emit buckets the point side never lands in when
+    ``bucket_days > 1``, silently dropping matches.)
     """
-    day = F.date_trunc("DAY", F.col(point_ts))
-    pts = points.withColumn("_ibj_bucket", day)
+    if bucket_days < 1:
+        raise ValueError(f"bucket_days must be >= 1, got {bucket_days}")
+    epoch = F.lit("1970-01-01")
+
+    def _bucket_of(c: Column) -> Column:
+        return F.floor(F.datediff(F.to_date(c), F.to_date(epoch)) / bucket_days)
+
+    pts = points.withColumn("_ibj_bucket", _bucket_of(F.col(point_ts)))
     spans = intervals.withColumn(
         "_ibj_bucket",
         F.explode(
             F.sequence(
-                F.date_trunc("DAY", F.col(start_ts)),
-                # sequence() is inclusive; the end-day bucket is needed
-                # even for half-open intervals because a point earlier
-                # in that day can still be < end
-                F.date_trunc("DAY", F.col(end_ts)),
-                F.expr(f"INTERVAL {int(bucket_days)} DAY"),
+                _bucket_of(F.col(start_ts)),
+                # sequence() is inclusive; the end bucket is needed even
+                # for half-open intervals because a point earlier in that
+                # bucket can still be < end
+                _bucket_of(F.col(end_ts)),
             )
         ),
     )

@@ -74,3 +74,23 @@ class ParquetUpsertSink:
         with open(tmp, "w") as fh:
             fh.write(os.path.basename(out))
         os.replace(tmp, marker)
+        self._gc_snapshots(batch_id)
+
+    def _gc_snapshots(self, batch_id: int) -> None:
+        """Drop snapshot dirs older than the immediate predecessor.
+        Keeping current + one predecessor covers in-flight readers and
+        batch replay; without GC state storage grows as
+        snapshot-size × batch-count in a long-running stream (ADVICE r2).
+        """
+        import shutil
+
+        prefix = "_snapshot_v"
+        for name in os.listdir(self.path):
+            if not name.startswith(prefix):
+                continue
+            try:
+                vid = int(name[len(prefix):])
+            except ValueError:
+                continue
+            if vid < batch_id - 1:
+                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)

@@ -91,3 +91,56 @@ def test_connected_components_driver_fastpath_matches_distributed(spark):
         (10, 10), (11, 10), (12, 10),
         (20, 20), (21, 20),
     }
+
+
+def test_connected_components_string_ids_both_regimes(spark):
+    """String doc ids must work in BOTH regimes with the same output
+    schema (ADVICE r2: the driver path hardcoded long ids)."""
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "id_a string, id_b string"
+    )
+    for thr in (10**6, 0):
+        out = connected_components(pairs, driver_threshold=thr)
+        assert [f.dataType.simpleString() for f in out.schema.fields] == [
+            "string", "string",
+        ]
+        comps = {r["id"]: r["component"] for r in out.collect()}
+        assert comps == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_connected_components_random_graphs_property(spark):
+    """Alternating large-star/small-star == driver union-find on random
+    graphs (chains, cliques, forests) — seeded, 6 draws."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(6):
+        n = rng.randint(2, 40)
+        m = rng.randint(1, 60)
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        fast = {
+            (r["id"], r["component"])
+            for r in connected_components(pairs, driver_threshold=10**6).collect()
+        }
+        dist = {
+            (r["id"], r["component"])
+            for r in connected_components(pairs, driver_threshold=0).collect()
+        }
+        assert fast == dist, f"trial={trial} edges={edges}"
+
+
+def test_connected_components_long_chain_distributed_few_rounds(spark):
+    """A 64-node path graph converges within the default max_iter via
+    star contraction (min-label propagation would need ~64 rounds)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+    )
+    comps = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, driver_threshold=0, max_iter=10).collect()
+    }
+    assert set(comps.values()) == {0}
+    assert len(comps) == 64

@@ -229,3 +229,25 @@ class TestMiniBatch:
         assert a.centroids == b.centroids
         with pytest.raises(ValueError, match="exceeds"):
             kmeans_fit_minibatch(df, 100, seed=1)
+
+
+def test_minibatch_empty_bucket_not_converged(spark):
+    """An empty hash bucket (duplicate vectors collapse buckets) must
+    NOT count as convergence (ADVICE r2): with many buckets and few
+    distinct vectors, most iterations see no rows — the fit must still
+    reach the data's structure instead of exiting on a no-op."""
+    from k_means_using_mapreduce_spark.operators import kmeans_fit_minibatch
+
+    rows = [([0.0, 0.0],), ([0.0, 1.0],), ([10.0, 10.0],), ([10.0, 11.0],)] * 3
+    df = spark.createDataFrame(rows, "features array<double>")
+    res = kmeans_fit_minibatch(
+        df, 2,
+        initial_centroids=[(1, [5.0, 5.0]), (2, [6.0, 6.0])],
+        batch_fraction=0.05,  # 20 buckets, only 4 distinct vectors
+        max_iter=25, tol=1e-6, seed=3,
+    )
+    # premature convergence would leave centroids at (5,5)/(6,6):
+    # sse ~ 4*3*~50; a real fit separates the two blobs
+    assert res.sse < 20.0
+    by_id = dict(res.centroids)
+    assert abs(by_id[1][0] - by_id[2][0]) > 5.0

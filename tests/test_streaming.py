@@ -144,3 +144,25 @@ def test_foreach_batch_upsert_sink(spark, stream_dir, tmp_path):
         (r["user"], r["n"]) for r in sink.current().collect()
     )
     assert after == before
+
+
+def test_upsert_sink_gc_old_snapshots(spark, tmp_path):
+    """The sink keeps only the current snapshot + one predecessor —
+    state storage must not grow with batch count (ADVICE r2)."""
+    import os
+
+    from k_means_using_mapreduce_spark.streaming.sinks import ParquetUpsertSink
+
+    sink = ParquetUpsertSink(spark, str(tmp_path / "state"), keys=["user"])
+    os.makedirs(tmp_path / "state", exist_ok=True)
+    for bid in range(4):
+        batch = spark.createDataFrame(
+            [{"user": "a", "n": bid}, {"user": f"u{bid}", "n": bid}]
+        )
+        sink(batch, bid)
+    snaps = sorted(
+        d for d in os.listdir(tmp_path / "state") if d.startswith("_snapshot_v")
+    )
+    assert snaps == ["_snapshot_v2", "_snapshot_v3"]
+    snap = {r["user"]: r["n"] for r in sink.current().collect()}
+    assert snap["a"] == 3 and {"u0", "u1", "u2", "u3"} <= set(snap)

@@ -204,3 +204,49 @@ def test_interval_bucket_join_matches_naive(spark):
         .collect()
     )
     assert got == naive and len(got) == 3
+
+
+def test_interval_bucket_join_multiday_buckets(spark):
+    """bucket_days > 1 must match the naive join: both sides bucket on a
+    COMMON epoch-anchored grid (ADVICE r2 — the old interval-anchored
+    stride silently dropped matches)."""
+    from k_means_using_mapreduce_spark.operators.temporal import (
+        interval_bucket_join,
+    )
+
+    pts = spark.createDataFrame(
+        [(i, f"2020-01-{d:02d} 12:00:00") for i, d in enumerate(
+            [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]
+        )],
+        "pid long, ts_s string",
+    ).select("pid", F.col("ts_s").cast("timestamp_ntz").alias("ts"))
+    iv = spark.createDataFrame(
+        [
+            (100, "2020-01-01 00:00:00", "2020-01-05 06:00:00"),  # day0-day4
+            (200, "2020-01-03 18:00:00", "2020-01-04 06:00:00"),
+            (300, "2020-01-08 00:00:00", "2020-01-09 00:00:00"),
+        ],
+        "iid long, s string, e string",
+    ).select(
+        "iid",
+        F.col("s").cast("timestamp_ntz").alias("start"),
+        F.col("e").cast("timestamp_ntz").alias("end"),
+    )
+    naive = sorted(
+        (r["pid"], r["iid"])
+        for r in pts.crossJoin(iv)
+        .where((F.col("ts") >= F.col("start")) & (F.col("ts") < F.col("end")))
+        .collect()
+    )
+    for bucket_days in (1, 2, 3, 7):
+        got = sorted(
+            (r["pid"], r["iid"])
+            for r in interval_bucket_join(
+                pts, iv, "ts", "start", "end", bucket_days=bucket_days
+            ).collect()
+        )
+        assert got == naive, f"bucket_days={bucket_days}"
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        interval_bucket_join(pts, iv, "ts", "start", "end", bucket_days=0)

@@ -64,3 +64,36 @@ def test_unweighted_unchanged(spark):
     res = kmeans_fit(df, 2, initial_centroids=INIT, max_iter=5)
     assert dict(res.centroids)[1] == [2.0, 0.0]
     assert res.cluster_sizes == {1: 2, 2: 1}
+
+
+def test_engines_agree_on_weighted_sse(spark):
+    """Fused and exact engines must report the SAME sse for the same
+    weighted fit (ADVICE r2: fused was w-weighted, exact was not)."""
+    df = spark.createDataFrame(
+        [([1.0, 0.0], 2.0), ([4.0, 0.0], 3.0), ([10.0, 10.0], 1.5),
+         ([11.0, 9.0], 0.5)],
+        "features array<double>, w double",
+    )
+    fused = kmeans_fit(df, 2, initial_centroids=INIT, max_iter=5,
+                       weight_col="w", engine="fused")
+    exact = kmeans_fit(df, 2, initial_centroids=INIT, max_iter=5,
+                       weight_col="w", engine="exact")
+    assert fused.sse == pytest.approx(exact.sse, rel=1e-9)
+    for (c1, v1), (c2, v2) in zip(fused.centroids, exact.centroids):
+        assert c1 == c2 and v1 == pytest.approx(v2, abs=1e-9)
+
+
+def test_engines_agree_on_ragged_rows(spark):
+    """Rows whose feature length differs from the centroid dim are
+    dropped by BOTH engines (previously only the fused kernel)."""
+    df = spark.createDataFrame(
+        [([1.0, 0.0],), ([3.0, 0.0],), ([2.0, 0.0, 9.0],)],
+        "features array<double>",
+    )
+    init = [(1, [0.0, 0.0])]
+    fused = kmeans_fit(df, 1, initial_centroids=init, max_iter=3, engine="fused")
+    exact = kmeans_fit(df, 1, initial_centroids=init, max_iter=3, engine="exact")
+    assert dict(fused.centroids)[1] == pytest.approx([2.0, 0.0])
+    assert dict(exact.centroids)[1] == pytest.approx([2.0, 0.0])
+    assert fused.sse == pytest.approx(exact.sse, rel=1e-9)
+    assert fused.cluster_sizes == exact.cluster_sizes == {1: 2}
