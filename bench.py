@@ -78,6 +78,10 @@ BENCH_QUERIES = [
     "q19_or_predicate_revenue",
     "q21_sole_supplier_orders",
     "q22_idle_rich_customers",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q11_important_part_values",
+    "q20_heavy_shippers",
     "near_dedup_documents",
     "media_binary_stats",
     "shipments_in_order_window",

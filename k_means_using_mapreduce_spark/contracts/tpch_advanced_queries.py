@@ -380,26 +380,280 @@ GROUP BY substr(c_name, -1, 1)
 """
 
 
+# ---------------------------------------------------------------- Q8 shape
+
+Q8_FROM = (1998, 1, 1)
+Q8_TO = (2000, 1, 1)
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape (market share): NATION_3 suppliers' share of PROMO-part
+    revenue sold to ASIA-region customers, per order year — conditional
+    aggregate over a 6-way join (the widest join graph in the suite).
+
+    Scale notes: the only big-big joins are lineitem⋈orders (both fact
+    tables, hash on orderkey) and orders⋈customer (hash on custkey);
+    every dimension (filtered part, supplier+nation, nation+region) is
+    broadcast, so the fact tables shuffle at most twice and all
+    predicates push into the scans. Conditional share via
+    sum(CASE)/sum — both sums exact-decimal so the ratio is
+    engine-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    promo = part.filter(F.col("p_type") == "PROMO").select("p_partkey")
+    supp_nat = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    asia_nat = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+        nation.n_regionkey == region.r_regionkey,
+    ).select("n_nationkey")
+    asia_cust = cust.join(
+        F.broadcast(asia_nat), cust.c_nationkey == asia_nat.n_nationkey
+    ).select("c_custkey")
+    ord_sel = (
+        orders.filter(
+            (F.col("o_orderdate") >= _ts(*Q8_FROM))
+            & (F.col("o_orderdate") < _ts(*Q8_TO))
+        )
+        .join(asia_cust, orders.o_custkey == asia_cust.c_custkey)
+        .select("o_orderkey", F.year("o_orderdate").alias("o_year"))
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    flat = (
+        li.join(F.broadcast(promo), li.l_partkey == promo.p_partkey)
+        .join(F.broadcast(supp_nat), li.l_suppkey == supp_nat.s_suppkey)
+        .join(ord_sel, li.l_orderkey == ord_sel.o_orderkey)
+        .select("o_year", "supp_nation", volume.alias("volume"))
+    )
+    return flat.groupBy("o_year").agg(
+        (
+            _dec_sum(
+                F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
+                    F.lit(0.0)
+                )
+            )
+            / _dec_sum(F.col("volume"))
+        ).alias("mkt_share")
+    )
+
+
+Q8_SQL = """
+WITH flat AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    AND o_orderdate >= TIMESTAMP '1998-01-01'
+    AND o_orderdate < TIMESTAMP '2000-01-01')
+SELECT o_year,
+  CAST(sum(CAST(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
+  / CAST(sum(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS mkt_share
+FROM flat GROUP BY o_year
+"""
+
+# ---------------------------------------------------------------- Q9 shape
+
+
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape (product-type profit): per supplier-nation per order-year
+    profit over parts whose name matches a LIKE pattern — multi-join +
+    LIKE filter + two-key aggregate. The testdata has no partsupp
+    table, so supply cost is derived as 0.6·p_retailprice·l_quantity
+    (same expression both engines; the shape — LIKE + 4-way join +
+    profit expression — is what's under test).
+
+    Scale notes: part (LIKE-filtered) and supplier⋈nation broadcast;
+    the single big-big join is lineitem⋈orders on orderkey. The LIKE
+    predicate prunes part before the broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+
+    widget = part.filter(F.col("p_name").like("%widget%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp_nat = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        0.6
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(widget), li.l_partkey == widget.p_partkey)
+        .join(F.broadcast(supp_nat), li.l_suppkey == supp_nat.s_suppkey)
+        .join(
+            orders.select("o_orderkey", F.year("o_orderdate").alias("o_year")),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(_dec_sum(profit).alias("sum_profit"))
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+       - 0.6 * p_retailprice * l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+  AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, o_year
+"""
+
+# --------------------------------------------------------------- Q11 shape
+
+
+def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape (HAVING vs scalar subquery): per-part shipped value,
+    restricted to suppliers from nations 0-4, keeping parts whose value
+    exceeds 0.1% of the total over the same restricted relation. The
+    testdata has no partsupp, so "value" is the decimal-exact sum of
+    l_extendedprice per part.
+
+    Spark-first: the per-part aggregate is computed ONCE, the scalar
+    total is a 1-row decimal-exact re-aggregate of that relation
+    broadcast back via cross-join — not a second scan of the fact
+    table and not an unpartitioned window. Both the per-part values
+    and the total are exact decimals, so the threshold comparison
+    cannot flip between engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    near = supp.filter(F.col("s_nationkey") < 5).select("s_suppkey")
+    pv = (
+        li.join(F.broadcast(near), li.l_suppkey == near.s_suppkey, "leftsemi")
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(_dec_sum(F.col("l_extendedprice")).alias("part_value"))
+    )
+    total = pv.agg(
+        (F.lit(0.001) * _dec_sum(F.col("part_value"))).alias("threshold")
+    )
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("partkey", "part_value")
+    )
+
+
+Q11_SQL = """
+WITH pv AS (
+  SELECT l_partkey AS partkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+         AS part_value
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey < 5)
+  GROUP BY l_partkey)
+SELECT partkey, part_value FROM pv
+WHERE part_value > (SELECT 0.001 * CAST(sum(CAST(part_value
+                    AS DECIMAL(18,6))) AS DOUBLE) FROM pv)
+"""
+
+# --------------------------------------------------------------- Q20 shape
+
+Q20_FROM = (1999, 1, 1)
+Q20_TO = (2000, 1, 1)
+Q20_MIN_QTY = 40.0
+
+
+def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape (nested semi-joins): suppliers from nations 0-4 that
+    shipped more than 40 units of some 'large%' part during 1999 —
+    IN (… IN (…)) nesting three relations deep, with a HAVING inside
+    the inner subquery.
+
+    Spark-first: the innermost IN is a broadcast of the LIKE-filtered
+    part keys; the grouped HAVING runs on the pre-filtered fact; both
+    outer INs become left-semi joins (which dedup for free, so no
+    DISTINCT pass). One fact shuffle total (the groupBy); the quantity
+    sum is exact-decimal so the >40 cut is engine-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    large = part.filter(F.col("p_name").like("large%")).select("p_partkey")
+    heavy = (
+        li.filter(
+            (F.col("l_shipdate") >= _ts(*Q20_FROM))
+            & (F.col("l_shipdate") < _ts(*Q20_TO))
+        )
+        .join(F.broadcast(large), li.l_partkey == large.p_partkey, "leftsemi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(_dec_sum(F.col("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > F.lit(Q20_MIN_QTY))
+        .select("l_suppkey")
+    )
+    near = nation.filter(F.col("n_nationkey") < 5).select("n_nationkey")
+    return (
+        supp.join(F.broadcast(near), supp.s_nationkey == near.n_nationkey, "leftsemi")
+        .join(heavy, supp.s_suppkey == heavy.l_suppkey, "leftsemi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+Q20_SQL = """
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'large%')
+    AND l_shipdate >= TIMESTAMP '1999-01-01'
+    AND l_shipdate < TIMESTAMP '2000-01-01'
+  GROUP BY l_suppkey, l_partkey
+  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 40.0)
+AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_nationkey < 5)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q8_market_share": q8_market_share,
+    "q9_profit_by_nation_year": q9_profit_by_nation_year,
+    "q11_important_part_values": q11_important_part_values,
     "q13_order_count_distribution": q13_order_count_distribution,
     "q14_promo_revenue_share": q14_promo_revenue_share,
     "q15_top_supplier": q15_top_supplier,
     "q16_supplier_count_by_part": q16_supplier_count_by_part,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q19_or_predicate_revenue": q19_or_predicate_revenue,
+    "q20_heavy_shippers": q20_heavy_shippers,
     "q21_sole_supplier_orders": q21_sole_supplier_orders,
     "q22_idle_rich_customers": q22_idle_rich_customers,
 }
 
 ORACLE_SQL: dict[str, str] = {
     "q2_min_cost_supplier": Q2_SQL,
+    "q8_market_share": Q8_SQL,
+    "q9_profit_by_nation_year": Q9_SQL,
+    "q11_important_part_values": Q11_SQL,
     "q13_order_count_distribution": Q13_SQL,
     "q14_promo_revenue_share": Q14_SQL,
     "q15_top_supplier": Q15_SQL,
     "q16_supplier_count_by_part": Q16_SQL,
     "q17_small_quantity_revenue": Q17_SQL,
     "q19_or_predicate_revenue": Q19_SQL,
+    "q20_heavy_shippers": Q20_SQL,
     "q21_sole_supplier_orders": Q21_SQL,
     "q22_idle_rich_customers": Q22_SQL,
 }

@@ -46,19 +46,35 @@ POINTS_SCHEMA = "x DOUBLE, y DOUBLE"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one synthetic table: ``{sf_dir}/{name}.parquet``."""
+    """Load one synthetic table: ``{sf_dir}/{name}.parquet``.
+
+    ``events.ts`` is normalized to **bigint epoch-nanoseconds** (the
+    engine's canonical event-time representation — integer-exact
+    arithmetic for bucketing/sessionization, no timezone semantics,
+    bit-identical to DuckDB's ``epoch_ns``). The testdata has stored the
+    column both as TIMESTAMP(NANOS) (which Spark surfaces as long when
+    ``nanosAsLong`` is set) and as plain ``timestamp[us]``; both shapes
+    land on the same bigint nanos here. The conversion pins UTC for the
+    NTZ→instant step so the result doesn't depend on the caller's
+    session timezone (the grading driver builds its own session)."""
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
-    # The synthetic tables store TIMESTAMP(NANOS); Spark rejects nanos
-    # unless mapped to long. Set here (not only in the session factory)
-    # because the grading driver builds its own SparkSession. NANOS
-    # columns then surface as bigint nanoseconds — ns_to_timestamp()
-    # converts where a query needs real timestamps.
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        ts_type = df.schema["ts"].dataType.simpleString()
+        if ts_type.startswith("timestamp"):
+            try:
+                spark.conf.set("spark.sql.session.timeZone", "UTC")
+            except Exception:
+                pass
+            df = df.withColumn(
+                "ts", (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000))
+            )
+    return df
 
 
 def ns_to_timestamp(col: F.Column | str) -> F.Column:

@@ -180,3 +180,45 @@ def test_gemm_near_dup_replication_is_broadcast(spark, sf):
     df = _q("embedding_near_dup_pairs", spark, sf)
     assert broadcast_join_count(df) >= 1
     assert sort_merge_join_count(df) == 0
+
+
+def test_q8_dims_broadcast_like_pushed(spark, sf):
+    """Q8's 6-way join: every dimension (part, supplier⋈nation,
+    nation⋈region, the scalar-free customer semi side) broadcasts;
+    the p_type filter reaches the part scan; no cartesian product."""
+    df = _q("q8_market_share", spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert broadcast_join_count(df) >= 4
+    assert "CartesianProduct" not in plan
+    filters = " ".join(pushed_filters(df))
+    assert "p_type" in filters and "o_orderdate" in filters
+
+
+def test_q9_like_pushed_and_dims_broadcast(spark, sf):
+    """Q9's LIKE filter prunes part BEFORE the broadcast, and both
+    dimension sides broadcast — lineitem⋈orders is the only big join."""
+    df = _q("q9_profit_by_nation_year", spark, sf)
+    filters = " ".join(pushed_filters(df))
+    assert "p_name" in filters
+    assert broadcast_join_count(df) >= 2
+
+
+def test_q11_scans_fact_once(spark, sf):
+    """The HAVING-vs-scalar-subquery rewrite shares the per-part
+    aggregate between the filter side and the scalar total: both
+    branches build the identical shuffle, and AQE's ReuseExchange
+    collapses them at runtime, so the fact is physically scanned and
+    shuffled ONCE (vs the naive correlated form's two fact scans)."""
+    df = _q("q11_important_part_values", spark, sf)
+    df.collect()  # AQE finalizes reuse during execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+
+
+def test_q20_semi_joins_no_distinct_pass(spark, sf):
+    """Both INs compile to (broadcast) semi joins — no Aggregate-based
+    DISTINCT on the supplier keys and no cartesian."""
+    df = _q("q20_heavy_shippers", spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert sort_merge_join_count(df) == 0
