@@ -108,6 +108,89 @@ def knn_join(
     )
 
 
+def build_ivf_index(
+    df: DataFrame,
+    centroids: Centroids,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize an IVF index on disk: the corpus assigned to its
+    coarse-quantizer bucket and written **hive-partitioned by cid**
+    (``{path}/corpus/cid=N/...``), with the centroid table alongside
+    (``{path}/centroids``).
+
+    This is the 100 TB layout: a probe reads only the ``nprobe``
+    partition DIRECTORIES it needs — file-level pruning at the source
+    listing, not a row filter over a full scan. With K=4096 buckets and
+    nprobe=8, a query touches ~0.2% of the corpus bytes.
+    ``tests/test_ivf_index.py`` pins the pruned-scan plan
+    (PartitionFilters carry the probe predicate, PushedFilters empty)
+    and multi-probe recall."""
+    from .kmeans import assign
+
+    feats = df.select(
+        F.col(id_col).alias(id_col),
+        F.col(vec_col).cast("array<double>").alias("features"),
+    )
+    bucketed = assign(feats, centroids, keep_dist=False)
+    # one file per bucket dir (vs tasks×buckets small files at scale)
+    bucketed.repartition(F.col("cid")).write.mode(mode).partitionBy("cid").parquet(
+        f"{path}/corpus"
+    )
+    cent_rows = [(int(cid), [float(v) for v in vec]) for cid, vec in centroids]
+    df.sparkSession.createDataFrame(
+        cent_rows, "cid int, centroid array<double>"
+    ).coalesce(1).write.mode(mode).parquet(f"{path}/centroids")
+
+
+def load_ivf_centroids(spark, path: str) -> Centroids:
+    """Read back the coarse-quantizer centroids written by
+    :func:`build_ivf_index` (K rows — a driver-side read by design)."""
+    return [
+        (r["cid"], list(r["centroid"]))
+        for r in spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
+    ]
+
+
+def probe_buckets(centroids: Centroids, query: Sequence[float], nprobe: int) -> list[int]:
+    """The ``nprobe`` bucket ids nearest the query — K distances to one
+    vector, computed driver-side (the probe predicate must be a literal
+    so the scan can partition-prune)."""
+    ranked = sorted(
+        ((cid, sum((a - b) ** 2 for a, b in zip(vec, query))) for cid, vec in centroids),
+        key=lambda t: (t[1], t[0]),
+    )
+    return [cid for cid, _ in ranked[:nprobe]]
+
+
+def ivf_topk_pruned(
+    spark,
+    path: str,
+    query: Sequence[float],
+    k: int = 10,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k by cosine against a persisted IVF index, scanning only the
+    probed partition directories.
+
+    Plan shape: Scan parquet [PartitionFilters: cid IN (...)] → narrow
+    score projection → TakeOrderedAndProject. The cid predicate is
+    satisfied entirely by directory pruning — zero row-level filter
+    work, and corpus bytes read scale with nprobe/K, not corpus size."""
+    cents = load_ivf_centroids(spark, path)
+    probes = probe_buckets(cents, query, nprobe)
+    corpus = spark.read.parquet(f"{path}/corpus").where(F.col("cid").isin(probes))
+    score = cosine_similarity_expr(F.col("features"), _lit_vec(query))
+    return (
+        corpus.select(F.col(id_col).alias(id_col), score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def ivf_topk_for_query(
     df: DataFrame,
     centroids: Centroids,
@@ -124,11 +207,7 @@ def ivf_topk_for_query(
     corpus is written bucketed by cid."""
     from .kmeans import assign
 
-    probe_ids = sorted(
-        ((cid, sum((a - b) ** 2 for a, b in zip(vec, query))) for cid, vec in centroids),
-        key=lambda t: (t[1], t[0]),
-    )[:nprobe]
-    probes = [cid for cid, _ in probe_ids]
+    probes = probe_buckets(centroids, query, nprobe)
     feats = df.select(
         F.col(id_col).alias(id_col), F.col(vec_col).cast("array<double>").alias("features")
     )
