@@ -25,6 +25,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: Per-query repeats (min is reported) — absorbs JIT/codegen warmup and
 #: GC noise; observed single-run totals swing 60-105 s on identical code.
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+#: Also time the DuckDB oracle per query and emit engine/oracle ratios —
+#: machine-checks BASELINE.md's "within 2× of the oracle" bar every
+#: round instead of hand-recording it. Disable with =0 for quick loops.
+ORACLE_BENCH = os.environ.get("SPARK_GRAFT_BENCH_ORACLE", "1") != "0"
 
 #: Headline subset of the contract registry — covers every operator
 #: family: scan+agg, broadcast joins, window, kmeans kernels, dedup
@@ -157,17 +161,57 @@ def main() -> None:
     )
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_from_dir(SF_DIR),
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+    }
+
+    if ORACLE_BENCH:
+        # Same-machine DuckDB run of each query's oracle SQL — the
+        # generated twin of BASELINE.md §"Measured comparison". One run
+        # per query (no JIT warmup to absorb); ratio < 1 means the
+        # engine is faster than the oracle on that query.
+        import duckdb
+
+        from k_means_using_mapreduce_spark.sources.loaders import TABLES
+
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/{t}.parquet')"
+            )
+        oracle_timings: dict[str, float] = {}
+        for name in BENCH_QUERIES:
+            sql = contracts.ORACLE_SQL.get(name)
+            if sql is None:
+                continue
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            oracle_timings[name] = round(time.perf_counter() - t0, 4)
+        common = [n for n in oracle_timings if n in timings]
+        engine_common = sum(timings[n] for n in common)
+        oracle_total = sum(oracle_timings.values())
+        out["oracle"] = {
+            "queries": oracle_timings,
+            "total_sec": round(oracle_total, 4),
+            "engine_total_sec_common": round(engine_common, 4),
+            # headline: engine wall-clock / oracle wall-clock on the
+            # identical oracle-backed query set (BASELINE bar: <= 2.0)
+            "engine_vs_oracle_ratio": round(engine_common / oracle_total, 4)
+            if oracle_total > 0
+            else None,
+            "per_query_ratio": {
+                n: round(timings[n] / oracle_timings[n], 4)
+                for n in common
+                if oracle_timings[n] > 0
+            },
+        }
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -246,6 +246,145 @@ def init_centroids_pp(
     return [(i + 1, vec) for i, vec in enumerate(chosen)]
 
 
+def _min_d2_to(feats: DataFrame, cand) -> DataFrame:
+    """(f, d2): each row's squared distance to its nearest candidate —
+    numpy GEMM against the broadcast candidate matrix in one narrow
+    ``mapInPandas`` pass (the literal-expression fold used by
+    ``init_centroids_pp`` grows with the candidate count; a matrix
+    product does not)."""
+    import numpy as np
+
+    C = np.asarray(cand, dtype=np.float64)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        cn = (C * C).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(list(pdf["f"]), dtype=np.float64)
+            d = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + cn[None, :]
+            yield pd.DataFrame({"f": list(X), "d2": np.maximum(d.min(axis=1), 0.0)})
+
+    return feats.mapInPandas(gen, "f array<double>, d2 double")
+
+
+def init_centroids_pp_scalable(
+    df: DataFrame,
+    k: int,
+    seed: int,
+    features_col: str = "features",
+    oversampling: int | None = None,
+    rounds: int = 5,
+) -> list[tuple[int, list[float]]]:
+    """k-means‖ initialization (Bahmani et al., "Scalable K-Means++",
+    VLDB 2012) on the native engine: the fix for ``init_centroids_pp``'s
+    k sequential driver round-trips at large k.
+
+    Instead of one weighted draw per centroid (k jobs), each of
+    ``rounds`` (default 5, the paper's recommendation) samples ~``l =
+    oversampling`` (default 2k) points INDEPENDENTLY with probability
+    ``l·D²(x)/ΣD²`` — two jobs per round (cost sum, then sample)
+    regardless of k. The ≤ l·rounds+1 candidates are then weighted by
+    the number of input points nearest to each and reduced to k by a
+    DRIVER-SIDE weighted k-means++ over that tiny set (numpy, no Spark
+    jobs). Total: ``2·rounds + 2`` scans of the cached input at ANY k —
+    vs k scans for sequential k-means++.
+
+    Determinism: same contract as ``init_centroids_pp`` — fixed seed +
+    fixed partitioning (per-partition ``F.rand`` streams); the driver
+    reduction uses ``np.random.default_rng(seed)``.
+    """
+    import numpy as np
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    ell = oversampling if oversampling is not None else 2 * k
+    feats = df.select(F.col(features_col).cast("array<double>").alias("f"))
+
+    first = (
+        feats.withColumn("_u", F.rand(seed))
+        .select(F.min_by("f", F.col("_u")).alias("f"))
+        .first()
+    )
+    if first is None or first["f"] is None:
+        raise ValueError("Data not found or empty")
+    cand: list[list[float]] = [[float(v) for v in first["f"]]]
+
+    for r in range(1, rounds + 1):
+        d2df = _min_d2_to(feats, cand).cache()
+        try:
+            total = d2df.agg(F.sum("d2")).first()[0]
+            if not total or total <= 0.0:
+                break  # every remaining point duplicates a candidate
+            p = F.least(F.lit(1.0), F.lit(float(ell) / float(total)) * F.col("d2"))
+            new = (
+                d2df.withColumn("_u", F.rand(seed + 31 * r))
+                .where(F.col("_u") < p)
+                .select("f")
+                .collect()
+            )
+        finally:
+            d2df.unpersist()
+        cand.extend([float(v) for v in row["f"]] for row in new)
+
+    # weight candidates by how many input rows each one is nearest to
+    # (argmin GEMM pass → per-partition bincount partials → driver sum)
+    C = np.asarray(cand, dtype=np.float64)
+
+    def count_gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        cn = (C * C).sum(axis=1)
+        counts = np.zeros(len(C), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            X = np.asarray(list(pdf["f"]), dtype=np.float64)
+            d = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + cn[None, :]
+            counts += np.bincount(d.argmin(axis=1), minlength=len(C))
+        if seen:
+            yield pd.DataFrame({"idx": np.arange(len(C)), "n": counts})
+
+    import pandas as pd  # noqa: F401 (executor-side import mirrored here)
+
+    partials = feats.mapInPandas(count_gen, "idx long, n long").groupBy("idx").agg(
+        F.sum("n").alias("n")
+    ).collect()
+    w = np.zeros(len(C), dtype=np.float64)
+    for row in partials:
+        w[row["idx"]] = float(row["n"])
+    w = np.maximum(w, 1e-12)  # unhit candidates keep a draw-able weight
+
+    if len(C) < k:
+        raise ValueError(
+            f"k-means|| produced only {len(C)} distinct candidates for k={k}; "
+            f"raise oversampling/rounds (data may have < k distinct points)"
+        )
+
+    # driver-side weighted k-means++ over the candidate set (tiny)
+    rng = np.random.default_rng(seed)
+    idx0 = int(rng.choice(len(C), p=w / w.sum()))
+    chosen = [idx0]
+    d2 = ((C - C[idx0]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        probs = w * d2
+        s = probs.sum()
+        if s <= 0.0:  # remaining candidates all duplicate chosen ones
+            remaining = [i for i in range(len(C)) if i not in set(chosen)]
+            nxt = int(remaining[0])
+        else:
+            nxt = int(rng.choice(len(C), p=probs / s))
+        chosen.append(nxt)
+        d2 = np.minimum(d2, ((C - C[nxt]) ** 2).sum(axis=1))
+    return [(i + 1, [float(v) for v in C[j]]) for i, j in enumerate(chosen)]
+
+
 def _lloyd_iter_partials(work: DataFrame, centroids: Centroids) -> list:
     """One fused Lloyd iteration: a single narrow ``mapInPandas`` pass
     computes per-partition (cid, total weight, weighted coordinate sum,
@@ -378,9 +517,12 @@ def kmeans_fit(
             centroids = init_centroids(work, k, seed)
         elif init in ("k-means++", "kmeans++"):
             centroids = init_centroids_pp(work, k, seed)
+        elif init in ("k-means||", "kmeans||", "scalable"):
+            centroids = init_centroids_pp_scalable(work, k, seed)
         else:
             raise ValueError(
-                f"unknown init {init!r}; expected 'random' or 'k-means++'"
+                f"unknown init {init!r}; expected 'random', 'k-means++' "
+                f"or 'k-means||'"
             )
 
         logger.info(

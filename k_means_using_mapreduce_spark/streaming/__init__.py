@@ -1,3 +1,7 @@
+from .joins import (
+    purchase_click_attribution,
+    stream_stream_interval_join,
+)
 from .kmeans_stream import (
     streaming_assign,
     streaming_cluster_counts,
@@ -11,6 +15,8 @@ from .sessions import (
 
 __all__ = [
     "batch_sessions_via_session_window",
+    "purchase_click_attribution",
+    "stream_stream_interval_join",
     "streaming_assign",
     "streaming_dedup",
     "streaming_cluster_counts",

@@ -75,3 +75,70 @@ def test_pp_empty_input(spark):
     empty = spark.createDataFrame([], "features array<double>")
     with pytest.raises(ValueError, match="empty"):
         init_centroids_pp(empty, 2, seed=1)
+
+
+# ----------------------------------------------------------- k-means||
+
+
+def test_scalable_covers_all_separated_blobs(blobs):
+    from k_means_using_mapreduce_spark.operators.kmeans import (
+        init_centroids_pp_scalable,
+    )
+
+    cents = init_centroids_pp_scalable(blobs, 4, seed=42)
+    assert len(cents) == 4
+    assert [c for c, _ in cents] == [1, 2, 3, 4]
+    assert {_blob_of(vec) for _, vec in cents} == {0, 1, 2, 3}
+
+
+def test_scalable_deterministic_for_seed(blobs):
+    from k_means_using_mapreduce_spark.operators.kmeans import (
+        init_centroids_pp_scalable,
+    )
+
+    a = init_centroids_pp_scalable(blobs, 4, seed=123)
+    b = init_centroids_pp_scalable(blobs, 4, seed=123)
+    assert a == b
+
+
+def test_scalable_sse_parity_with_sequential_pp(blobs):
+    """The whole point of the swap: after Lloyd refinement, k-means||
+    seeding lands within 10% of sequential k-means++'s SSE (here both
+    find the optimal one-centroid-per-blob solution)."""
+    pp = kmeans_fit(blobs, 4, seed=42, max_iter=10, init="k-means++")
+    par = kmeans_fit(blobs, 4, seed=42, max_iter=10, init="k-means||")
+    assert par.converged
+    assert par.sse <= pp.sse * 1.1
+    assert sorted(par.cluster_sizes.values()) == [50, 50, 50, 50]
+
+
+def test_scalable_job_count_independent_of_k(blobs):
+    """2·rounds+2 scans at ANY k: the candidate sweep must not grow a
+    per-centroid Spark job the way sequential ++ does. Proxy assertion:
+    k=8 and k=4 issue the SAME number of Spark jobs (sequential ++
+    would differ by 4 jobs)."""
+    from k_means_using_mapreduce_spark.operators.kmeans import (
+        init_centroids_pp_scalable,
+    )
+
+    sc = blobs.sparkSession.sparkContext
+    tracker = sc.statusTracker()
+
+    def jobs(fn):
+        before = len(tracker.getJobIdsForGroup(None) or [])
+        fn()
+        return len(tracker.getJobIdsForGroup(None) or []) - before
+
+    j4 = jobs(lambda: init_centroids_pp_scalable(blobs, 4, seed=1, rounds=3))
+    j8 = jobs(lambda: init_centroids_pp_scalable(blobs, 8, seed=1, rounds=3))
+    assert j4 == j8
+
+
+def test_scalable_raises_when_fewer_distinct_points_than_k(spark):
+    from k_means_using_mapreduce_spark.operators.kmeans import (
+        init_centroids_pp_scalable,
+    )
+
+    df = spark.createDataFrame([([1.0, 2.0],)] * 10, "features array<double>")
+    with pytest.raises(ValueError, match="candidates"):
+        init_centroids_pp_scalable(df, 3, seed=1)
