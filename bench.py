@@ -92,6 +92,8 @@ BENCH_QUERIES = [
     "edit_distance_verify_documents",
     "supplier_balance_ranks",
     "stratified_sample_summary",
+    "repetition_stats_documents",
+    "shingle_novelty_documents",
 ]
 
 KMEANS_FIT_K = 8

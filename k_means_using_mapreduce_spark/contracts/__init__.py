@@ -16,6 +16,7 @@ from . import (
     dedup_queries,
     kmeans_queries,
     multimodal_queries,
+    repetition_queries,
     reshape_queries,
     rollup_queries,
     sampling_queries,
@@ -33,6 +34,7 @@ _MODULES = [
     kmeans_queries,
     dedup_queries,
     text_queries,
+    repetition_queries,
     similarity_queries,
     tpch_queries,
     tpch_advanced_queries,

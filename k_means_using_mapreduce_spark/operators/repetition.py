@@ -1,0 +1,106 @@
+"""Repetition & novelty quality signals — Gopher-style filters.
+
+Large-scale pipelines (Rae et al. 2021 "Gopher" §A1.1, Penedo et al.
+2023 RefinedWeb) drop documents dominated by repeated n-grams; the
+complementary corpus-level signal is novelty (how much of a document's
+content appears nowhere else). The reference engine has no string ops
+at all (SURVEY.md §2) — these extend the text-analysis family.
+
+Both operators are RELATIONAL on purpose: per-row higher-order-function
+formulations (count duplicates inside the token array per row) are
+O(tokens × distinct) per document — fine at 128 tokens, quadratic death
+on real web documents. The explode → groupBy shape is linear, gets
+map-side partial aggregation for free, and shuffles (id, gram-hash)
+pairs, never document text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles_of, tokens
+from .dedup import md5_int60
+
+
+def repetition_stats(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Per-document n-gram repetition profile:
+
+    - ``n_grams``        total n-gram occurrences
+    - ``distinct_grams`` distinct n-grams
+    - ``dup_gram_frac``  (total − distinct) / total — the Gopher
+      "duplicate n-gram fraction" cut signal
+    - ``top_gram_frac``  occurrences of the most frequent n-gram / total
+      — the "top n-gram fraction" cut signal
+    - ``top_gram``       that n-gram (ties → lexicographically first,
+      deterministic on both engines)
+
+    Documents with no tokens have no n-grams and are absent from the
+    output (no repetition signal exists for them). All ratios are
+    single divisions of exact integers — engine-stable.
+
+    Plan shape: Generate (explode) → two hash aggregations keyed
+    (id, gram) then (id). Both aggregations partial-combine map-side;
+    nothing wider than one shuffle of (id, gram, count) rows.
+    """
+    grams = df.select(
+        F.col(id_col).alias(id_col), tokens(content_col).alias("_toks")
+    ).select(id_col, F.explode(shingles_of(F.col("_toks"), n)).alias("gram"))
+    counts = grams.groupBy(id_col, "gram").agg(F.count("*").alias("c"))
+    return counts.groupBy(id_col).agg(
+        F.sum("c").cast("int").alias("n_grams"),
+        F.count("*").cast("int").alias("distinct_grams"),
+        (
+            (F.sum("c") - F.count("*")).cast("double") / F.sum("c")
+        ).alias("dup_gram_frac"),
+        (F.max("c").cast("double") / F.sum("c")).alias("top_gram_frac"),
+        F.min_by("gram", F.struct((-F.col("c")).alias("nc"), F.col("gram"))).alias(
+            "top_gram"
+        ),
+    )
+
+
+def shingle_novelty(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Corpus-level novelty: the fraction of each document's DISTINCT
+    shingles that occur in no other document (``novel_frac``), plus the
+    distinct-shingle count. The cross-document complement of
+    :func:`repetition_stats` — low novelty + high corpus frequency is
+    boilerplate; high novelty is unique content worth keeping.
+
+    Scale shape: the corpus-wide shingle frequency is a groupBy on the
+    60-bit md5 hash of the shingle (8 B shuffle keys, never shingle
+    strings — same doctrine as operators/dedup.py); the per-document
+    roll-up joins (id, hash) against (hash, global_count) on that same
+    hash, so the join co-partitions with the aggregation and AQE can
+    reuse the exchange. Every step is linear in corpus size.
+    """
+    pairs = (
+        df.select(F.col(id_col).alias(id_col), tokens(content_col).alias("_toks"))
+        .select(
+            id_col, F.explode(shingles_of(F.col("_toks"), shingle_n)).alias("sh")
+        )
+        .select(id_col, md5_int60(F.col("sh")).alias("h"))
+        .distinct()
+    )
+    global_freq = pairs.groupBy("h").agg(F.count("*").alias("n_docs"))
+    return (
+        pairs.join(global_freq, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("int").alias("distinct_shingles"),
+            (
+                F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0)).cast("double")
+                / F.count("*")
+            ).alias("novel_frac"),
+        )
+    )
