@@ -94,6 +94,8 @@ BENCH_QUERIES = [
     "stratified_sample_summary",
     "repetition_stats_documents",
     "shingle_novelty_documents",
+    "chunk_documents_32",
+    "pack_summary_256",
 ]
 
 KMEANS_FIT_K = 8

@@ -16,6 +16,7 @@ from . import (
     dedup_queries,
     kmeans_queries,
     multimodal_queries,
+    packing_queries,
     repetition_queries,
     reshape_queries,
     rollup_queries,
@@ -35,6 +36,7 @@ _MODULES = [
     dedup_queries,
     text_queries,
     repetition_queries,
+    packing_queries,
     similarity_queries,
     tpch_queries,
     tpch_advanced_queries,
