@@ -222,3 +222,43 @@ def test_q20_semi_joins_no_distinct_pass(spark, sf):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert sort_merge_join_count(df) == 0
+
+
+def test_repetition_two_hash_aggregates_no_join(spark, sf):
+    """repetition_stats is Generate → hashAgg(id,gram) → hashAgg(id):
+    exactly two exchanges (one per aggregate key change), no join at
+    all — the linear relational shape, not a per-row quadratic HOF."""
+    df = _q("repetition_stats_documents", spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert exchange_count(df) <= 2
+    (cols,) = read_schemas(df)
+    assert "text" in cols and "source" not in cols  # pruned scan
+
+
+def test_novelty_joins_on_hash_not_text(spark, sf):
+    """shingle_novelty's global-frequency join carries the 60-bit hash
+    column, never shingle strings, and plans no cartesian product."""
+    df = _q("shingle_novelty_documents", spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert sort_merge_join_count(df) + broadcast_join_count(df) >= 1
+    # join keys are the md5-int60 'h' column
+    import re
+    join_lines = [ln for ln in plan.splitlines() if "Join" in ln]
+    assert join_lines and all("sh#" not in ln for ln in join_lines)
+
+
+def test_chunking_is_narrow(spark, sf):
+    """chunk_documents plans zero exchanges — pure project + Generate."""
+    df = _q("chunk_documents_32", spark, sf)
+    assert exchange_count(df) == 0
+
+
+def test_packing_shuffles_on_shard_only(spark, sf):
+    """pack_documents' window partitions by shard: one exchange
+    (hash on shard), no global single-partition sort."""
+    df = _q("pack_documents_256", spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert exchange_count(df) == 1
+    assert "SinglePartition" not in plan
