@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "shingle_novelty_documents",
     "chunk_documents_32",
     "pack_summary_256",
+    "dedup_incremental_documents",
 ]
 
 KMEANS_FIT_K = 8

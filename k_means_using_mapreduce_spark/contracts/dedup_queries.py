@@ -48,6 +48,27 @@ DEDUP_FINGERPRINT_SQL = (
 )
 
 
+def dedup_incremental_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion shape: treat even doc_ids as the existing
+    corpus and odd doc_ids as the incoming batch; keep batch docs whose
+    fingerprint is new (see operators/dedup.py::dedup_incremental)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.dedup_incremental(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+    )
+
+
+DEDUP_INCREMENTAL_SQL = (
+    f"WITH corpus AS (SELECT DISTINCT {sql_fingerprint('text')} AS fp "
+    "FROM documents WHERE doc_id % 2 = 0), "
+    f"batch AS (SELECT doc_id, {sql_fingerprint('text')} AS fp "
+    "FROM documents WHERE doc_id % 2 = 1) "
+    "SELECT min(doc_id) AS doc_id, fp, count(*) AS n_copies_in_batch "
+    "FROM batch WHERE fp NOT IN (SELECT fp FROM corpus) GROUP BY fp"
+)
+
+
 def _sig_exprs_sql() -> list[str]:
     from ..operators.dedup import MINHASH_AFFINE, MINHASH_P
 
@@ -302,6 +323,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dedup_documents": near_dedup_documents,
     "dedup_exact_documents": dedup_exact_documents,
     "dedup_fingerprint_documents": dedup_fingerprint_documents,
+    "dedup_incremental_documents": dedup_incremental_documents,
     "minhash_bands_documents": minhash_bands_documents,
     "minhash_pairs_documents": minhash_pairs_documents,
     "simhash_documents": simhash_documents,
@@ -315,6 +337,7 @@ ORACLE_SQL: dict[str, str] = {
     "near_dedup_documents": NEAR_DEDUP_SQL,
     "dedup_exact_documents": DEDUP_EXACT_SQL,
     "dedup_fingerprint_documents": DEDUP_FINGERPRINT_SQL,
+    "dedup_incremental_documents": DEDUP_INCREMENTAL_SQL,
     "minhash_bands_documents": MINHASH_BANDS_SQL,
     "minhash_pairs_documents": MINHASH_PAIRS_SQL,
     "simhash_documents": SIMHASH_SQL,

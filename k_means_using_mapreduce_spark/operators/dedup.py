@@ -89,6 +89,36 @@ def dedup_exact_normalized(
     )
 
 
+def dedup_incremental(
+    batch: DataFrame,
+    corpus: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental ingestion dedup: from a new ``batch``, keep one row
+    per normalized fingerprint that does NOT already exist in
+    ``corpus`` (lowest id wins within the batch). Output:
+    (id, fp, n_copies_in_batch).
+
+    This is the per-batch shape of a continuously-ingesting pipeline:
+    the corpus side reduces to DISTINCT 32-char fingerprints before the
+    anti-join, so the join shuffles fingerprints only — at 100 TB the
+    corpus fingerprint set is what you'd persist (bucketed on fp, see
+    sources/sinks.py::write_bucketed_table) and the anti-join
+    co-partitions with it instead of rescanning raw documents.
+    """
+    fresh = batch.select(
+        id_col, fingerprint(content_col).alias("fp")
+    ).join(
+        corpus.select(fingerprint(content_col).alias("fp")).distinct(),
+        "fp",
+        "left_anti",
+    )
+    return fresh.groupBy("fp").agg(
+        F.min(id_col).alias(id_col), F.count("*").alias("n_copies_in_batch")
+    ).select(id_col, "fp", "n_copies_in_batch")
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH banding
 # --------------------------------------------------------------------------

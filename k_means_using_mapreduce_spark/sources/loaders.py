@@ -114,6 +114,13 @@ def with_row_index(df: DataFrame, col: str = "row_idx") -> DataFrame:
 
     Uses zipWithIndex (two passes: count per partition + indexed scan) —
     deterministic for a deterministic input order.
+
+    DO NOT use at scale: the round-trip through the Python RDD API
+    deserializes every row out of Tungsten (a serialization cliff that
+    whole-stage codegen never pays). It exists solely for reference
+    parity (O5/O6) and is on no hot path; large-scale row numbering
+    that doesn't need the exact 0..N-1 contract should use
+    ``monotonically_increasing_id`` or a window over an explicit key.
     """
     schema = df.schema
     rdd = df.rdd.zipWithIndex().map(lambda t: (*t[0], t[1]))

@@ -134,3 +134,26 @@ def test_embedding_near_dup_gemm_empty(spark):
 
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert embedding_near_dup_gemm(empty).count() == 0
+
+
+def test_dedup_incremental_semantics(spark):
+    from k_means_using_mapreduce_spark.operators.dedup import dedup_incremental
+
+    corpus = spark.createDataFrame(
+        [(100, "Seen Before!"), (101, "old news")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "seen   before"),   # normalizes to corpus doc 100 → dropped
+            (2, "fresh thing"),
+            (3, "FRESH thing"),     # in-batch dup of 2 → collapsed, id 2 wins
+            (4, "another new one"),
+        ],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        (r["doc_id"], r["n_copies_in_batch"])
+        for r in dedup_incremental(batch, corpus).collect()
+    )
+    assert out == [(2, 2), (4, 1)]
