@@ -76,7 +76,20 @@ def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_sql() -> str:
+def ivf_multiprobe_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF (nprobe doubled): the recall-vs-bytes-read knob —
+    at scale each extra probe adds one partition directory to the scan
+    (see operators/similarity.py::ivf_topk_pruned)."""
+    return S.ivf_topk_for_query(
+        load_table(spark, sf_dir, "embeddings"),
+        EMBEDDING_CENTROIDS,
+        QUERY_VEC,
+        k=TOPK,
+        nprobe=IVF_NPROBE * 2,
+    )
+
+
+def _ivf_sql(nprobe: int = IVF_NPROBE) -> str:
     # same driver-side probe selection as ivf_topk_for_query
     probe_ids = sorted(
         (
@@ -84,7 +97,7 @@ def _ivf_sql() -> str:
             for cid, vec in EMBEDDING_CENTROIDS
         ),
         key=lambda t: (t[1], t[0]),
-    )[:IVF_NPROBE]
+    )[:nprobe]
     probes = ", ".join(str(cid) for cid, _ in probe_ids)
     dist_arms = " UNION ALL ".join(
         f"SELECT vec_id, {cid} AS cid, "
@@ -104,16 +117,19 @@ def _ivf_sql() -> str:
 
 
 IVF_TOPK_SQL = _ivf_sql()
+IVF_MULTIPROBE_SQL = _ivf_sql(IVF_NPROBE * 2)
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_embeddings": ann_topk_embeddings,
     "knn_join_embeddings": knn_join_embeddings,
     "ivf_topk_embeddings": ivf_topk_embeddings,
+    "ivf_multiprobe_topk_embeddings": ivf_multiprobe_topk_embeddings,
 }
 
 ORACLE_SQL: dict[str, str] = {
     "ann_topk_embeddings": ANN_TOPK_SQL,
     "knn_join_embeddings": KNN_JOIN_SQL,
     "ivf_topk_embeddings": IVF_TOPK_SQL,
+    "ivf_multiprobe_topk_embeddings": IVF_MULTIPROBE_SQL,
 }

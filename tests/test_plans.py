@@ -236,17 +236,15 @@ def test_repetition_two_hash_aggregates_no_join(spark, sf):
     assert "text" in cols and "source" not in cols  # pruned scan
 
 
-def test_novelty_joins_on_hash_not_text(spark, sf):
-    """shingle_novelty's global-frequency join carries the 60-bit hash
-    column, never shingle strings, and plans no cartesian product."""
+def test_novelty_window_on_hash_no_join(spark, sf):
+    """shingle_novelty's global frequency is a COUNT window partitioned
+    on the 60-bit hash — no join at all, and the window's partition key
+    is the hash column, never shingle strings."""
     df = _q("shingle_novelty_documents", spark, sf)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "CartesianProduct" not in plan
-    assert sort_merge_join_count(df) + broadcast_join_count(df) >= 1
-    # join keys are the md5-int60 'h' column
-    import re
-    join_lines = [ln for ln in plan.splitlines() if "Join" in ln]
-    assert join_lines and all("sh#" not in ln for ln in join_lines)
+    assert "Join" not in plan
+    win_lines = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert win_lines and all("sh#" not in ln for ln in win_lines)
 
 
 def test_chunking_is_narrow(spark, sf):
