@@ -97,6 +97,11 @@ BENCH_QUERIES = [
     "chunk_documents_32",
     "pack_summary_256",
     "dedup_incremental_documents",
+    # corpus cleaning (decontamination / PII / mixture / profiling)
+    "decontaminate_documents",
+    "pii_redact_documents",
+    "mixture_sample_summary",
+    "table_profile_lineitem",
 ]
 
 KMEANS_FIT_K = 8

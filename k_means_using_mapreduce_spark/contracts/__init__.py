@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import (
+    cleaning_queries,
     dedup_queries,
     kmeans_queries,
     multimodal_queries,
@@ -36,6 +37,7 @@ _MODULES = [
     dedup_queries,
     text_queries,
     repetition_queries,
+    cleaning_queries,
     packing_queries,
     similarity_queries,
     tpch_queries,

@@ -1,0 +1,244 @@
+"""Corpus-cleaning contract queries: decontamination, PII redaction,
+mixture planning/application, table profiling (operators/cleaning.py).
+
+The documents table has no natural PII (synthetic word soup), so the
+PII contract derives an adversarial input IN-QUERY: both engines append
+the same deterministic doc_id-derived email / IPv4 / phone / ID-number
+string to every document, then scan and redact it — the redaction
+logic is value-hash-checked end to end instead of trivially counting
+zeros. The decontamination eval set is the deterministic doc_id % 97
+slice of the corpus itself.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import bpe_ish_token_count
+from ..operators.cleaning import (
+    PII_RULES,
+    apply_mixture,
+    decontaminate,
+    mixture_plan,
+    pii_redact,
+    pii_scan,
+    profile_table,
+)
+from ..sources.loaders import load_table
+from ._sql_text import sql_bpe_ish_token_count, sql_shingles
+
+# --------------------------------------------------------------------------
+# decontamination
+# --------------------------------------------------------------------------
+
+
+def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    out = decontaminate(train, eval_df, shingle_n=3, threshold=0.1)
+    return out.withColumn("is_contaminated", F.col("is_contaminated").cast("int"))
+
+
+_HIT = "CASE WHEN e.h IS NOT NULL THEN 1 ELSE 0 END"
+
+DECONTAMINATE_SQL = f"""
+WITH train_sh AS (
+  SELECT DISTINCT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, unnest({sql_shingles('text', 3)}) AS sh
+        FROM documents WHERE doc_id % 97 <> 0)
+), eval_sh AS (
+  SELECT DISTINCT ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h
+  FROM (SELECT unnest({sql_shingles('text', 3)}) AS sh
+        FROM documents WHERE doc_id % 97 = 0)
+)
+SELECT t.doc_id,
+  CAST(count(*) AS INTEGER) AS distinct_shingles,
+  CAST(sum({_HIT}) AS INTEGER) AS contaminated_shingles,
+  CAST(sum({_HIT}) AS DOUBLE) / count(*) AS contamination_frac,
+  CAST(CASE WHEN CAST(sum({_HIT}) AS DOUBLE) / count(*) >= 0.1
+       THEN 1 ELSE 0 END AS INTEGER) AS is_contaminated
+FROM train_sh t LEFT JOIN eval_sh e ON t.h = e.h
+GROUP BY t.doc_id
+"""
+
+# --------------------------------------------------------------------------
+# PII scan + redact over injected synthetic PII
+# --------------------------------------------------------------------------
+
+
+def _injected_pii(docs: DataFrame) -> DataFrame:
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com via 10."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(".0."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(" tel +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ref "),
+        F.lpad(F.col("doc_id").cast("string"), 9, "0"),
+    )
+    return docs.select("doc_id", pii_text.alias("text"))
+
+
+def pii_redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    injected = _injected_pii(load_table(spark, sf_dir, "documents"))
+    scan = pii_scan(injected)
+    red = pii_redact(injected).select(
+        "doc_id", F.md5("redacted").alias("redacted_md5"), "n_redacted"
+    )
+    return scan.join(red, "doc_id")
+
+
+_INJECT_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com via 10.'"
+    " || CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR)"
+    " || ' tel +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' ref ' || lpad(CAST(doc_id AS VARCHAR), 9, '0')"
+)
+
+_P = {name: pat for name, pat, _ in PII_RULES}
+_R = {name: repl for name, _, repl in PII_RULES}
+
+PII_REDACT_SQL = f"""
+WITH injected AS (
+  SELECT doc_id, {_INJECT_SQL} AS text FROM documents
+), s1 AS (
+  SELECT doc_id, text,
+    len(regexp_extract_all(text, '{_P["email"]}')) AS c1,
+    regexp_replace(text, '{_P["email"]}', '{_R["email"]}', 'g') AS t1
+  FROM injected
+), s2 AS (
+  SELECT *, len(regexp_extract_all(t1, '{_P["phone"]}')) AS c2,
+    regexp_replace(t1, '{_P["phone"]}', '{_R["phone"]}', 'g') AS t2
+  FROM s1
+), s3 AS (
+  SELECT *, len(regexp_extract_all(t2, '{_P["ipv4"]}')) AS c3,
+    regexp_replace(t2, '{_P["ipv4"]}', '{_R["ipv4"]}', 'g') AS t3
+  FROM s2
+), s4 AS (
+  SELECT *, len(regexp_extract_all(t3, '{_P["id_number"]}')) AS c4,
+    regexp_replace(t3, '{_P["id_number"]}', '{_R["id_number"]}', 'g') AS t4
+  FROM s3
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{_P["email"]}')) AS INTEGER) AS n_email,
+  CAST(len(regexp_extract_all(text, '{_P["phone"]}')) AS INTEGER) AS n_phone,
+  CAST(len(regexp_extract_all(text, '{_P["ipv4"]}')) AS INTEGER) AS n_ipv4,
+  CAST(len(regexp_extract_all(text, '{_P["id_number"]}')) AS INTEGER)
+    AS n_id_number,
+  CAST(len(regexp_extract_all(text, '{_P["email"]}'))
+     + len(regexp_extract_all(text, '{_P["phone"]}'))
+     + len(regexp_extract_all(text, '{_P["ipv4"]}'))
+     + len(regexp_extract_all(text, '{_P["id_number"]}')) AS INTEGER)
+    AS pii_total,
+  md5(t4) AS redacted_md5,
+  CAST(c1 + c2 + c3 + c4 AS INTEGER) AS n_redacted
+FROM s4
+"""
+
+# --------------------------------------------------------------------------
+# mixture planning / application
+# --------------------------------------------------------------------------
+
+
+def mixture_plan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mixture_plan(load_table(spark, sf_dir, "documents"), budget_frac=0.5)
+
+
+_BPE = sql_bpe_ish_token_count("text")
+
+_PLAN_CTE = f"""
+per_source AS (
+  SELECT source, CAST(count(*) AS INTEGER) AS n_docs,
+    CAST(sum({_BPE}) AS BIGINT) AS source_tokens, 1.0 AS weight
+  FROM documents GROUP BY source
+), totals AS (
+  SELECT CAST(sum(source_tokens) AS DOUBLE) AS tt, sum(weight) AS tw
+  FROM per_source
+)"""
+
+MIXTURE_PLAN_SQL = f"""
+WITH {_PLAN_CTE}
+SELECT source, n_docs, source_tokens, weight,
+  0.5 * tt * (weight / tw) AS target_tokens,
+  least(1.0, (0.5 * tt * (weight / tw)) / source_tokens) AS rate
+FROM per_source, totals
+"""
+
+
+def mixture_sample_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    plan = mixture_plan(docs, budget_frac=0.5)
+    kept = apply_mixture(docs, plan, key="doc_id")
+    return kept.groupBy("source").agg(
+        F.count("*").cast("int").alias("kept_docs"),
+        F.sum(bpe_ish_token_count("text")).cast("long").alias("kept_tokens"),
+    )
+
+
+MIXTURE_SAMPLE_SQL = f"""
+WITH {_PLAN_CTE}, plan AS (
+  SELECT source,
+    least(1.0, (0.5 * tt * (weight / tw)) / source_tokens) AS rate
+  FROM per_source, totals
+), kept AS (
+  SELECT d.source, {sql_bpe_ish_token_count('d.text')} AS toks
+  FROM documents d JOIN plan p ON d.source = p.source
+  WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+         % 1000000) < p.rate * 1000000.0
+)
+SELECT source, CAST(count(*) AS INTEGER) AS kept_docs,
+  CAST(sum(toks) AS BIGINT) AS kept_tokens
+FROM kept GROUP BY source
+"""
+
+# --------------------------------------------------------------------------
+# table profiling
+# --------------------------------------------------------------------------
+
+_PROFILE_COLS = [
+    "l_orderkey",
+    "l_linenumber",
+    "l_quantity",
+    "l_returnflag",
+    "l_linestatus",
+    "l_shipdate",
+]
+
+
+def table_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return profile_table(
+        load_table(spark, sf_dir, "lineitem"), _PROFILE_COLS, exact=True
+    )
+
+
+TABLE_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name, count(*) AS n_rows, count({c}) AS non_null,
+  count(DISTINCT {c}) AS n_distinct, CAST(min({c}) AS VARCHAR) AS min_value,
+  CAST(max({c}) AS VARCHAR) AS max_value FROM lineitem"""
+    for c in _PROFILE_COLS
+)
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "decontaminate_documents": decontaminate_documents,
+    "pii_redact_documents": pii_redact_documents,
+    "mixture_plan_documents": mixture_plan_documents,
+    "mixture_sample_summary": mixture_sample_summary,
+    "table_profile_lineitem": table_profile_lineitem,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "decontaminate_documents": DECONTAMINATE_SQL,
+    "pii_redact_documents": PII_REDACT_SQL,
+    "mixture_plan_documents": MIXTURE_PLAN_SQL,
+    "mixture_sample_summary": MIXTURE_SAMPLE_SQL,
+    "table_profile_lineitem": TABLE_PROFILE_SQL,
+}

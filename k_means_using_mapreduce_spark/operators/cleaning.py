@@ -1,0 +1,386 @@
+"""Corpus-cleaning operators: benchmark decontamination, PII
+detection/redaction, domain-mixture planning, and table profiling.
+
+These are the remaining standard stages of a large-scale LLM training
+pipeline (GPT-3 appendix C / PaLM §C: n-gram decontamination against
+eval sets; RefinedWeb/FineWeb: PII scrubbing; The Pile / Dolma: domain
+mixture weights). The reference engine has none of this surface
+(SURVEY.md §2 — its only analytics is Lloyd's K-Means,
+``/root/reference/master.py:27-150``); the family extends the
+text-analysis operators in the same style as operators/repetition.py.
+
+Scale doctrine shared by all four:
+
+- decontamination shuffles (doc_id, 60-bit shingle hash) pairs, never
+  text, and the eval-set side is broadcast (eval sets are ~1e5 n-grams,
+  i.e. megabytes, even for large benchmark suites);
+- PII scan/redact are pure per-row projections (zero shuffle, fully
+  codegen'd Java regex — no Python in the path);
+- mixture planning aggregates to one row per source (map-side partial
+  agg), then broadcasts the single-row total — no unpartitioned window;
+- profiling is a single pass over the table (one Aggregate; the exact
+  variant pays Spark's Expand for multi-distinct, the approx variant is
+  expand-free HLL and is the 100 TB path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import bpe_ish_token_count, shingles_of, tokens
+from .dedup import md5_int60
+
+# --------------------------------------------------------------------------
+# benchmark decontamination
+# --------------------------------------------------------------------------
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    *,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Flag training documents whose n-gram shingles overlap an eval
+    set (GPT-3-style decontamination, 13-grams there; n is a knob).
+
+    Output, one row per training document that has at least one
+    shingle: ``(id, distinct_shingles, contaminated_shingles,
+    contamination_frac, is_contaminated)`` where the frac is the share
+    of the document's DISTINCT shingles that appear anywhere in the
+    eval set, and the flag is ``frac >= threshold``.
+
+    Scale shape: both sides reduce to 60-bit md5 shingle hashes
+    (8 B keys, same doctrine as operators/dedup.py); the eval side is
+    ``collect_set``-free — a DISTINCT relation explicitly marked
+    ``F.broadcast``, so the probe is a map-side broadcast-hash-join
+    under the training scan with zero shuffle of training data. The
+    only aggregation keys on ``id`` (map-side partial combine).
+    """
+    train_sh = (
+        train.select(F.col(id_col).alias(id_col), tokens(content_col).alias("_t"))
+        .select(id_col, F.explode(shingles_of(F.col("_t"), shingle_n)).alias("sh"))
+        .select(id_col, md5_int60(F.col("sh")).alias("h"))
+        .distinct()
+    )
+    eval_sh = (
+        eval_df.select(tokens(content_col).alias("_t"))
+        .select(F.explode(shingles_of(F.col("_t"), shingle_n)).alias("sh"))
+        .select(md5_int60(F.col("sh")).alias("h"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    joined = train_sh.join(F.broadcast(eval_sh), "h", "left")
+    return joined.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("distinct_shingles"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("int").alias(
+            "contaminated_shingles"
+        ),
+        (
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("double") / F.count("*")
+        ).alias("contamination_frac"),
+        (
+            (
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("double")
+                / F.count("*")
+            )
+            >= F.lit(threshold)
+        ).alias("is_contaminated"),
+    )
+
+
+class SimpleBloom:
+    """Minimal portable Bloom filter over int64 keys (numpy bitset,
+    double-hashing ``h_i = h1 + i*h2 mod m`` — Kirsch & Mitzenmacher
+    2006 shows k derived hashes preserve the false-positive bound).
+    Exists because PySpark 4 dropped ``DataFrame.stat.bloomFilter``;
+    this one is picklable, so it broadcasts to Pandas-UDF workers.
+    No false negatives by construction."""
+
+    def __init__(self, items: list[int], expected_items: int, fpp: float):
+        import math
+
+        import numpy as np
+
+        n = max(expected_items, 1)
+        m = max(8, int(-n * math.log(fpp) / (math.log(2) ** 2)))
+        self.m = m
+        self.k = max(1, round(m / n * math.log(2)))
+        self.bits = np.zeros((m + 7) // 8, dtype=np.uint8)
+        for x in items:
+            for pos in self._positions(int(x)):
+                self.bits[pos >> 3] |= 1 << (pos & 7)
+
+    def _positions(self, x: int):
+        h1 = (x * 0x9E3779B97F4A7C15) & 0x7FFFFFFFFFFFFFFF
+        h2 = ((x ^ (x >> 31)) * 0xBF58476D1CE4E5B9) & 0x7FFFFFFFFFFFFFFF | 1
+        return [((h1 + i * h2) & 0x7FFFFFFFFFFFFFFF) % self.m for i in range(self.k)]
+
+    def mightContain(self, x: int) -> bool:
+        return all(
+            self.bits[p >> 3] & (1 << (p & 7)) for p in self._positions(int(x))
+        )
+
+
+def eval_ngram_bloom(
+    eval_df: DataFrame,
+    *,
+    content_col: str = "text",
+    shingle_n: int = 3,
+    expected_items: int = 1_000_000,
+    fpp: float = 0.01,
+) -> SimpleBloom:
+    """Driver-side Bloom filter over the eval set's shingle hashes —
+    the prefilter for decontaminating corpora where even the distinct
+    eval-hash relation is worth skipping for most documents.
+
+    Intended use: ``spark.sparkContext.broadcast`` it and drop
+    documents with zero candidate shingles before the exact
+    broadcast-join of :func:`decontaminate`; false positives only cost
+    a second look, never a wrong answer. Kept out of the exact
+    operator because the join side is already broadcast — the bloom
+    pays off only when the eval set is too big to broadcast as a
+    relation but fits as bits (~1.2 MB per million n-grams at 1% fpp).
+    """
+    hashes = (
+        eval_df.select(tokens(content_col).alias("_t"))
+        .select(F.explode(shingles_of(F.col("_t"), shingle_n)).alias("sh"))
+        .select(md5_int60(F.col("sh")).alias("h"))
+        .distinct()
+    )
+    items = [r["h"] for r in hashes.collect()]
+    return SimpleBloom(items, expected_items=expected_items, fpp=fpp)
+
+
+# --------------------------------------------------------------------------
+# PII detection / redaction
+# --------------------------------------------------------------------------
+
+#: (category, pattern, replacement). Patterns are written in the common
+#: subset of Java regex (Spark) and RE2 (DuckDB): character classes and
+#: bounded repetition only — no lookaround, no backreferences, no \d
+#: shorthand (identical in both, but [0-9] is unambiguous). Applied in
+#: list order; earlier redactions can consume text later patterns would
+#: otherwise match (emails before bare digit runs).
+PII_RULES: list[tuple[str, str, str]] = [
+    (
+        "email",
+        r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+        "<EMAIL>",
+    ),
+    (
+        "phone",
+        r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}(-[0-9]{3,4})?",
+        "<PHONE>",
+    ),
+    (
+        "ipv4",
+        r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+        "<IP>",
+    ),
+    (
+        "id_number",
+        r"[0-9]{6,}",
+        "<ID>",
+    ),
+]
+
+
+def pii_scan(
+    df: DataFrame, *, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document PII hit counts, one int column per rule category
+    plus ``pii_total``. Pure projection: ``regexp_extract_all`` against
+    the original text for every rule (scan counts are independent of
+    redaction order), fully codegen'd, zero shuffle.
+    """
+    c = F.col(content_col)
+    counts = [
+        F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).alias(f"n_{name}")
+        for name, pat, _ in PII_RULES
+    ]
+    out = df.select(F.col(id_col).alias(id_col), *counts)
+    total = None
+    for name, _, _ in PII_RULES:
+        col = F.col(f"n_{name}")
+        total = col if total is None else total + col
+    return out.withColumn("pii_total", total)
+
+
+def pii_redact(
+    df: DataFrame, *, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact PII in rule order, returning ``(id, redacted,
+    n_redacted)`` where ``n_redacted`` counts replacement tokens
+    actually inserted (scanned per-stage on the progressively redacted
+    text, so a digit run inside an already-redacted email is not
+    double-counted). Still a single zero-shuffle projection — the
+    regex chain composes inside one codegen stage.
+    """
+    c = F.col(content_col)
+    redacted: Column = c
+    n_redacted: Column = F.lit(0)
+    for _, pat, repl in PII_RULES:
+        n_redacted = n_redacted + F.size(
+            F.regexp_extract_all(redacted, F.lit(pat), F.lit(0))
+        )
+        redacted = F.regexp_replace(redacted, pat, repl)
+    return df.select(
+        F.col(id_col).alias(id_col),
+        redacted.alias("redacted"),
+        n_redacted.alias("n_redacted"),
+    )
+
+
+# --------------------------------------------------------------------------
+# domain mixture planning
+# --------------------------------------------------------------------------
+
+
+def mixture_plan(
+    df: DataFrame,
+    *,
+    source_col: str = "source",
+    content_col: str = "text",
+    weights: dict[str, float] | None = None,
+    budget_frac: float = 0.5,
+) -> DataFrame:
+    """Compute per-source sampling rates that hit a corpus token budget
+    under target mixture weights (The Pile / Dolma style: "this run
+    trains on X tokens, sourced A% from crawl, B% from code, ...").
+
+    ``budget = budget_frac × total corpus tokens``; each source's
+    target is ``budget × weight/Σweights``, and its keep ``rate`` is
+    ``min(1, target/source_tokens)`` — a source smaller than its
+    target is kept whole (rate 1.0), it is not upsampled. Unknown
+    sources (absent from ``weights``) get weight 0. ``weights=None``
+    means equal weights across observed sources.
+
+    Output: one row per source — ``(source, n_docs, source_tokens,
+    weight, target_tokens, rate)``.
+
+    Scale shape: one hash aggregation to |sources| rows (map-side
+    partial combine), then the Σweights/total-token scalars join back
+    via a broadcast of the tiny aggregate to itself — no unpartitioned
+    window, no collect. Applying the plan is a broadcast join of the
+    rate table + :func:`~.sampling.hash_bucket` filter (see
+    :func:`apply_mixture`).
+    """
+    if not 0 < budget_frac <= 1:
+        raise ValueError(f"budget_frac must be in (0, 1], got {budget_frac}")
+    per_source = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count("*").cast("int").alias("n_docs"),
+        F.sum(bpe_ish_token_count(content_col)).cast("long").alias("source_tokens"),
+    )
+    if weights is None:
+        weighted = per_source.withColumn("weight", F.lit(1.0))
+    else:
+        mapping = F.create_map(
+            *[F.lit(x) for kv in weights.items() for x in (kv[0], float(kv[1]))]
+        )
+        weighted = per_source.withColumn(
+            "weight", F.coalesce(mapping[F.col("source")], F.lit(0.0))
+        )
+    totals = weighted.agg(
+        F.sum("source_tokens").cast("double").alias("_total_tokens"),
+        F.sum("weight").alias("_total_weight"),
+    )
+    planned = weighted.crossJoin(F.broadcast(totals))
+    target = (
+        F.lit(float(budget_frac))
+        * F.col("_total_tokens")
+        * (F.col("weight") / F.col("_total_weight"))
+    )
+    return planned.select(
+        "source",
+        "n_docs",
+        "source_tokens",
+        "weight",
+        target.alias("target_tokens"),
+        F.least(F.lit(1.0), target / F.col("source_tokens")).alias("rate"),
+    )
+
+
+def apply_mixture(
+    df: DataFrame,
+    plan: DataFrame,
+    *,
+    key: str = "doc_id",
+    source_col: str = "source",
+    resolution: int = 1_000_000,
+) -> DataFrame:
+    """Apply a :func:`mixture_plan`: keep each row iff its deterministic
+    hash bucket (of ``key``, out of ``resolution``) falls under its
+    source's rate. Hash bucketing (not ``rand``) keeps the sample
+    retry-stable and run-reproducible — the operators/sampling.py
+    doctrine. Broadcast join of the |sources|-row plan; the filter is
+    a map-side projection.
+    """
+    from .sampling import hash_bucket
+
+    rates = plan.select("source", "rate")
+    return (
+        df.join(F.broadcast(rates), df[source_col] == rates["source"], "inner")
+        .drop(rates["source"])
+        .where(
+            hash_bucket(F.col(key), resolution)
+            < (F.col("rate") * F.lit(float(resolution)))
+        )
+        .drop("rate")
+    )
+
+
+# --------------------------------------------------------------------------
+# table profiling
+# --------------------------------------------------------------------------
+
+
+def profile_table(
+    df: DataFrame, columns: list[str] | None = None, *, exact: bool = True
+) -> DataFrame:
+    """Column-level profile: one output row per profiled column —
+    ``(col_name, n_rows, non_null, n_distinct, min_value, max_value)``
+    with min/max rendered as strings so heterogeneous column types
+    share one schema.
+
+    One pass over the table either way. ``exact=True`` uses
+    ``count(DISTINCT col)`` — Spark plans a single Aggregate with an
+    Expand (×|columns| row amplification before the partial agg), the
+    price of exactness; oracle-portable. ``exact=False`` swaps in
+    ``approx_count_distinct`` (HyperLogLog++, expand-free, mergeable
+    sketches) — the 100 TB path, where a ±2% distinct count is the
+    right trade. The wide 1-row aggregate is then unpivoted driver-side
+    via ``stack`` (|columns| literals, not data).
+    """
+    cols = columns if columns is not None else df.columns
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in DataFrame: {missing}")
+    distinct_of = (
+        (lambda c: F.count_distinct(F.col(c)))
+        if exact
+        else (lambda c: F.approx_count_distinct(c))
+    )
+    aggs = [F.count("*").alias("_n_rows")]
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"_nn_{c}"),
+            distinct_of(c).alias(f"_nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', _nn_{c}, _nd_{c}, _min_{c}, _max_{c}" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) as "
+            "(col_name, non_null, n_distinct, min_value, max_value)"
+        ),
+        F.col("_n_rows").alias("n_rows"),
+    ).select("col_name", "n_rows", "non_null", "n_distinct", "min_value", "max_value")

@@ -129,6 +129,9 @@ def test_scalable_job_count_independent_of_k(blobs):
         fn()
         return len(tracker.getJobIdsForGroup(None) or []) - before
 
+    # warm up once: the very first invocation in a session pays one-time
+    # jobs (Arrow/mapInPandas initialization), ~2 extra, at any k
+    init_centroids_pp_scalable(blobs, 4, seed=1, rounds=3)
     j4 = jobs(lambda: init_centroids_pp_scalable(blobs, 4, seed=1, rounds=3))
     j8 = jobs(lambda: init_centroids_pp_scalable(blobs, 8, seed=1, rounds=3))
     assert j4 == j8
