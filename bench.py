@@ -49,9 +49,11 @@ BENCH_QUERIES = [
     "minhash_pairs_documents",
     "simhash_documents",
     "jaccard_candidates_documents",
+    "containment_pairs_documents",
     "text_stats_documents",
     "lang_id_documents",
     "source_quality_summary",
+    "source_vocab_stats",
     "ann_topk_embeddings",
     "knn_join_embeddings",
     "ivf_topk_embeddings",

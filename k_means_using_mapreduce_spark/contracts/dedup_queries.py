@@ -184,6 +184,33 @@ JACCARD_PAIRS_SQL = (
 )
 
 
+#: Containment threshold below the jaccard one on purpose: containment
+#: is the looser (directed) signal, and 0.5 yields a non-trivial pair
+#: set on the synthetic corpus.
+CONTAINMENT_THRESHOLD = 0.5
+
+
+def containment_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.containment_pairs(
+        load_table(spark, sf_dir, "documents"),
+        shingle_n=SHINGLE_N,
+        threshold=CONTAINMENT_THRESHOLD,
+    )
+
+
+CONTAINMENT_PAIRS_SQL = (
+    f"WITH sh AS ({_SHINGLE_EXPLODE}), "
+    "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), "
+    "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter "
+    "FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+    "SELECT id_a, id_b, (n_inter / sa.n_sh) AS containment_a, "
+    "(n_inter / sb.n_sh) AS containment_b "
+    "FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
+    "WHERE greatest(n_inter / sa.n_sh, n_inter / sb.n_sh) "
+    f">= {CONTAINMENT_THRESHOLD!r}"
+)
+
+
 def jaccard_candidates_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc count of other docs sharing ≥1 shingle — the non-empty
     join-parity check backing the (legitimately empty at default
@@ -328,6 +355,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_pairs_documents": minhash_pairs_documents,
     "simhash_documents": simhash_documents,
     "jaccard_pairs_documents": jaccard_pairs_documents,
+    "containment_pairs_documents": containment_pairs_documents,
     "jaccard_candidates_documents": jaccard_candidates_documents,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "edit_distance_verify_documents": edit_distance_verify_documents,
@@ -342,6 +370,7 @@ ORACLE_SQL: dict[str, str] = {
     "minhash_pairs_documents": MINHASH_PAIRS_SQL,
     "simhash_documents": SIMHASH_SQL,
     "jaccard_pairs_documents": JACCARD_PAIRS_SQL,
+    "containment_pairs_documents": CONTAINMENT_PAIRS_SQL,
     "jaccard_candidates_documents": JACCARD_CANDIDATES_SQL,
     "embedding_near_dup_pairs": EMBEDDING_NEAR_DUP_SQL,
     "edit_distance_verify_documents": EDIT_DISTANCE_VERIFY_SQL,

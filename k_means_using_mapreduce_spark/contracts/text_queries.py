@@ -168,12 +168,54 @@ SELECT lang, token, n, rank FROM ranked WHERE rank <= 5
 TOP_TOKENS_SQL = _top_tokens_sql()
 
 
+def source_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary profile: document count, token occurrences,
+    distinct tokens, and type-token ratio (distinct/total — the classic
+    lexical-diversity signal; boilerplate-heavy sources sit low).
+    Scale: explode shuffles (source, token) with map-side partial
+    counts; the distinct count is exact (token vocabulary per source is
+    bounded, unlike doc counts) — swap `approx_count_distinct` at
+    open-vocabulary web scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", "doc_id", F.explode(T.tokens("text")).alias("token"))
+        .groupBy("source")
+        .agg(
+            F.count_distinct("doc_id").cast("int").alias("n_docs"),
+            F.count("*").cast("long").alias("total_tokens"),
+            F.count_distinct("token").cast("int").alias("distinct_tokens"),
+            (F.count_distinct("token").cast("double") / F.count("*")).alias(
+                "type_token_ratio"
+            ),
+        )
+    )
+
+
+def _vocab_stats_sql() -> str:
+    from ._sql_text import sql_tokens
+
+    return f"""
+SELECT source,
+  CAST(count(DISTINCT doc_id) AS INTEGER) AS n_docs,
+  count(*) AS total_tokens,
+  CAST(count(DISTINCT token) AS INTEGER) AS distinct_tokens,
+  CAST(count(DISTINCT token) AS DOUBLE) / count(*) AS type_token_ratio
+FROM (SELECT source, doc_id, unnest({sql_tokens("text")}) AS token
+      FROM documents)
+GROUP BY source
+"""
+
+
+VOCAB_STATS_SQL = _vocab_stats_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats_documents": text_stats_documents,
     "lang_id_documents": lang_id_documents,
     "quality_filter_documents": quality_filter_documents,
     "source_quality_summary": source_quality_summary,
     "top_tokens_per_lang": top_tokens_per_lang,
+    "source_vocab_stats": source_vocab_stats,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -182,4 +224,5 @@ ORACLE_SQL: dict[str, str] = {
     "quality_filter_documents": QUALITY_FILTER_SQL,
     "source_quality_summary": SOURCE_QUALITY_SQL,
     "top_tokens_per_lang": TOP_TOKENS_SQL,
+    "source_vocab_stats": VOCAB_STATS_SQL,
 }

@@ -421,6 +421,68 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+    shingles_df: DataFrame | None = None,
+) -> DataFrame:
+    """Shingle-containment pairs: unordered (id_a < id_b) pairs where
+    ``max(|A∩B|/|A|, |A∩B|/|B|)`` ≥ threshold, with both directed
+    containments in the output.
+
+    Catches the asymmetric near-dups symmetric Jaccard misses: a short
+    document quoted whole inside a much longer one has Jaccard
+    ≈ |A|/|B| (tiny) but containment(A→B) ≈ 1 — the quote-expansion /
+    boilerplate-wrapper case every web-dedup pipeline special-cases
+    (Broder 1997 §4 distinguishes resemblance from containment for
+    exactly this reason).
+
+    Same scale shape as :func:`jaccard_pairs` (shared intersection
+    plan, 8 B md5-int60 join keys, ``max_doc_freq`` hot-shingle cap for
+    the post-LSH regime); one extra projection, no extra shuffle.
+    """
+    sh = (
+        shingles_df
+        if shingles_df is not None
+        else shingle_rows(df, content_col, id_col, shingle_n)
+    )
+    sh = sh.select(id_col, md5_int60(F.col("sh")).alias("sh")).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("sh")
+        )
+        sh = sh.join(rare, "sh", "left_semi")
+    left = sh.select(F.col(id_col).alias("id_a"), "sh")
+    right = sh.select(F.col(id_col).alias("id_b"), "sh")
+    inter = (
+        left.join(right, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("containment_a", F.col("n_inter") / F.col("n_a"))
+        .withColumn("containment_b", F.col("n_inter") / F.col("n_b"))
+        .filter(
+            F.greatest(F.col("containment_a"), F.col("containment_b"))
+            >= F.lit(threshold)
+        )
+        .select("id_a", "id_b", "containment_a", "containment_b")
+    )
+
+
 # --------------------------------------------------------------------------
 # embedding-cosine near-dup
 # --------------------------------------------------------------------------

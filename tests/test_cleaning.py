@@ -200,3 +200,90 @@ def test_profile_table_approx_and_validation(spark):
     assert prof["v"]["n_distinct"] == pytest.approx(5, abs=1)
     with pytest.raises(ValueError):
         profile_table(df, ["nope"])
+
+
+# --------------------------------------------------------------------------
+# property tests (hypothesis) + streaming compatibility
+# --------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_text_st = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("Lu", "Ll", "Nd", "Zs"), whitelist_characters="@.+-"
+    ),
+    max_size=120,
+)
+
+
+@given(texts=st.lists(_text_st, min_size=1, max_size=8))
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_pii_redact_idempotent(spark, texts):
+    """Redacting already-redacted text is a no-op: replacement tokens
+    contain no characters any PII rule matches."""
+    df = _docs(spark, [(i, t, "s") for i, t in enumerate(texts)])
+    once = pii_redact(df).select(
+        F.col("doc_id"), F.col("redacted").alias("text"), F.lit("s").alias("source")
+    )
+    twice = pii_redact(once).collect()
+    first = {r["doc_id"]: r["redacted"] for r in pii_redact(df).collect()}
+    for r in twice:
+        assert r["redacted"] == first[r["doc_id"]]
+        assert r["n_redacted"] == 0
+
+
+@given(
+    weights=st.dictionaries(
+        st.sampled_from(["web", "code", "books"]),
+        st.floats(min_value=0.1, max_value=10.0, allow_nan=False),
+        min_size=1,
+    ),
+    budget=st.floats(min_value=0.05, max_value=1.0),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_mixture_plan_invariants(spark, weights, budget):
+    df = _docs(
+        spark,
+        [(i, "w " * (i % 5 + 1), ["web", "code", "books"][i % 3]) for i in range(60)],
+    )
+    rows = mixture_plan(df, weights=weights, budget_frac=budget).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert 0.0 <= r["rate"] <= 1.0
+        # a source kept whole never exceeds its own size; otherwise the
+        # expected kept tokens equal the target
+        assert r["rate"] * r["source_tokens"] <= r["source_tokens"] + 1e-9
+    total_target = sum(r["target_tokens"] for r in rows)
+    total_tokens = sum(r["source_tokens"] for r in rows)
+    assert total_target == pytest.approx(budget * total_tokens, rel=1e-9)
+
+
+def test_pii_redact_works_on_streams(spark, tmp_path):
+    """The PII projection is stateless, so it must run unchanged under
+    Structured Streaming (the batch/stream shared-kernel doctrine of
+    streaming/kmeans_stream.py)."""
+    src = str(tmp_path / "in")
+    df = _docs(spark, [(1, PII_TEXT, "s"), (2, "no pii here", "s")])
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = pii_redact(stream)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("pii_stream_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = {r["doc_id"]: r for r in spark.sql("select * from pii_stream_test").collect()}
+    assert rows[1]["n_redacted"] == 4 and "<EMAIL>" in rows[1]["redacted"]
+    assert rows[2]["n_redacted"] == 0

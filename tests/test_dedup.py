@@ -157,3 +157,32 @@ def test_dedup_incremental_semantics(spark):
         for r in dedup_incremental(batch, corpus).collect()
     )
     assert out == [(2, 2), (4, 1)]
+
+
+def test_containment_catches_asymmetric_pairs(spark):
+    """A short doc quoted whole inside a long one: Jaccard is low but
+    containment(A->B) is 1.0 — the Broder resemblance-vs-containment
+    distinction containment_pairs exists for."""
+    from k_means_using_mapreduce_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    long_ = (
+        short
+        + " one two three four five six seven eight nine ten "
+        + "eleven twelve thirteen fourteen fifteen sixteen"
+    )
+    df = spark.createDataFrame(
+        [(1, short), (2, long_), (3, "totally unrelated words here now")],
+        "doc_id long, text string",
+    )
+    cont = containment_pairs(df, threshold=0.9).collect()
+    assert len(cont) == 1
+    row = cont[0]
+    assert (row["id_a"], row["id_b"]) == (1, 2)
+    assert row["containment_a"] == 1.0  # every shingle of A is in B
+    assert row["containment_b"] < 0.5
+    # symmetric jaccard at the same bar finds nothing
+    assert jaccard_pairs(df, threshold=0.9).count() == 0
