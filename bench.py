@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "simhash_documents",
     "jaccard_candidates_documents",
     "containment_pairs_documents",
+    "winnow_summary_documents",
     "text_stats_documents",
     "lang_id_documents",
     "source_quality_summary",
@@ -103,6 +104,7 @@ BENCH_QUERIES = [
     "decontaminate_documents",
     "pii_redact_documents",
     "mixture_sample_summary",
+    "classifier_scores_documents",
     "table_profile_lineitem",
 ]
 

@@ -200,6 +200,55 @@ FROM kept GROUP BY source
 """
 
 # --------------------------------------------------------------------------
+# hashing-trick classifier scoring
+# --------------------------------------------------------------------------
+
+#: Feature-space size / pseudo-weight modulus for the contract query.
+CLASSIFIER_DIM = 1024
+CLASSIFIER_SCALE = 1997
+
+
+def classifier_scores_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.classifier import pseudo_weights, score_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    weights = pseudo_weights(spark, dim=CLASSIFIER_DIM, scale=CLASSIFIER_SCALE)
+    out = score_documents(docs, weights, dim=CLASSIFIER_DIM, bias=0.0, threshold=0.5)
+    return out.withColumn("keep", F.col("keep").cast("int"))
+
+
+CLASSIFIER_SCORES_SQL = f"""
+WITH weights AS (
+  SELECT i AS idx,
+    CAST((i * 2654435761) % {CLASSIFIER_SCALE} AS DOUBLE)
+      / {float(CLASSIFIER_SCALE)} - 0.5 AS w
+  FROM range({CLASSIFIER_DIM}) t(i)
+), tf AS (
+  SELECT doc_id,
+    ('0x' || substr(md5(tok), 1, 15))::BIGINT % {CLASSIFIER_DIM} AS idx,
+    count(*) AS tf
+  FROM (SELECT doc_id, unnest({{tokens}}) AS tok FROM documents)
+  GROUP BY doc_id, idx
+), scored AS (
+  SELECT t.doc_id, 0.0 + sum(t.tf * coalesce(w.w, 0.0)) AS z
+  FROM tf t LEFT JOIN weights w ON t.idx = w.idx GROUP BY t.doc_id
+  UNION ALL
+  SELECT doc_id, 0.0 AS z FROM documents WHERE len({{tokens}}) = 0
+)
+SELECT doc_id, z, 1.0 / (1.0 + exp(-z)) AS prob,
+  CAST(CASE WHEN 1.0 / (1.0 + exp(-z)) >= 0.5 THEN 1 ELSE 0 END AS INTEGER)
+    AS keep
+FROM scored
+"""
+
+
+def _classifier_sql() -> str:
+    from ._sql_text import sql_tokens
+
+    return CLASSIFIER_SCORES_SQL.replace("{tokens}", sql_tokens("text"))
+
+
+# --------------------------------------------------------------------------
 # table profiling
 # --------------------------------------------------------------------------
 
@@ -232,10 +281,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redact_documents": pii_redact_documents,
     "mixture_plan_documents": mixture_plan_documents,
     "mixture_sample_summary": mixture_sample_summary,
+    "classifier_scores_documents": classifier_scores_documents,
     "table_profile_lineitem": table_profile_lineitem,
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "classifier_scores_documents": _classifier_sql(),
     "decontaminate_documents": DECONTAMINATE_SQL,
     "pii_redact_documents": PII_REDACT_SQL,
     "mixture_plan_documents": MIXTURE_PLAN_SQL,

@@ -211,6 +211,81 @@ CONTAINMENT_PAIRS_SQL = (
 )
 
 
+#: Winnowing params (Schleimer et al. 2003): k-gram size, window width.
+WINNOW_K = 3
+WINNOW_WINDOW = 4
+
+
+def winnow_summary_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document winnowing fingerprint profile: k-gram count,
+    selected-fingerprint count, density (≈ 2/(window+1) per the paper;
+    lower on repetitive text where window minima coincide)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.text import shingles_of, tokens
+    from ..operators.winnow import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(docs, k=WINNOW_K, window=WINNOW_WINDOW)
+    n_fp = fps.groupBy("doc_id").agg(F.count("*").cast("int").alias("n_fingerprints"))
+    n_grams = docs.select(
+        "doc_id",
+        F.size(shingles_of(tokens("text"), WINNOW_K)).cast("int").alias("n_grams"),
+    ).where(F.col("n_grams") > 0)
+    return n_grams.join(n_fp, "doc_id").withColumn(
+        "density", F.col("n_fingerprints").cast("double") / F.col("n_grams")
+    )
+
+
+def winnow_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.winnow import winnow_pairs
+
+    return winnow_pairs(
+        load_table(spark, sf_dir, "documents"),
+        k=WINNOW_K,
+        window=WINNOW_WINDOW,
+        min_shared=2,
+    )
+
+
+_WINNOW_GRAMS = f"""
+grams AS (
+  SELECT doc_id, (u).i AS i,
+         ('0x' || substr(md5((u).sh), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id,
+        unnest(list_transform({sql_shingles('text', WINNOW_K)},
+               (x, i) -> struct_pack(sh := x, i := i))) AS u
+        FROM documents)
+), sel AS (
+  SELECT doc_id, i,
+    min(h) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN CURRENT ROW AND {WINNOW_WINDOW - 1} FOLLOWING)
+      AS fp,
+    count(*) OVER (PARTITION BY doc_id) AS n
+  FROM grams
+), fps AS (
+  SELECT DISTINCT doc_id, fp FROM sel
+  WHERE i <= greatest(1, n - {WINNOW_WINDOW - 1})
+)"""
+
+WINNOW_SUMMARY_SQL = f"""
+WITH {_WINNOW_GRAMS}
+SELECT g.doc_id, CAST(g.n AS INTEGER) AS n_grams,
+  CAST(f.n_fp AS INTEGER) AS n_fingerprints,
+  CAST(f.n_fp AS DOUBLE) / g.n AS density
+FROM (SELECT DISTINCT doc_id, n FROM sel) g
+JOIN (SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY doc_id) f
+  ON g.doc_id = f.doc_id
+"""
+
+WINNOW_PAIRS_SQL = f"""
+WITH {_WINNOW_GRAMS}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
 def jaccard_candidates_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc count of other docs sharing ≥1 shingle — the non-empty
     join-parity check backing the (legitimately empty at default
@@ -356,6 +431,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_documents": simhash_documents,
     "jaccard_pairs_documents": jaccard_pairs_documents,
     "containment_pairs_documents": containment_pairs_documents,
+    "winnow_summary_documents": winnow_summary_documents,
+    "winnow_pairs_documents": winnow_pairs_documents,
     "jaccard_candidates_documents": jaccard_candidates_documents,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "edit_distance_verify_documents": edit_distance_verify_documents,
@@ -371,6 +448,8 @@ ORACLE_SQL: dict[str, str] = {
     "simhash_documents": SIMHASH_SQL,
     "jaccard_pairs_documents": JACCARD_PAIRS_SQL,
     "containment_pairs_documents": CONTAINMENT_PAIRS_SQL,
+    "winnow_summary_documents": WINNOW_SUMMARY_SQL,
+    "winnow_pairs_documents": WINNOW_PAIRS_SQL,
     "jaccard_candidates_documents": JACCARD_CANDIDATES_SQL,
     "embedding_near_dup_pairs": EMBEDDING_NEAR_DUP_SQL,
     "edit_distance_verify_documents": EDIT_DISTANCE_VERIFY_SQL,

@@ -1,0 +1,113 @@
+"""Hashing-trick linear text classifier scoring — the relational form
+of fastText-style quality filtering.
+
+Every big-corpus pipeline ends with a learned quality filter (GPT-3's
+WebText logistic classifier, LLaMA's fastText filter, FineWeb-Edu's
+scorer). Training happens offline on a small labeled set; what must
+run at corpus scale is SCORING — and scoring a linear bag-of-words
+model is a pure relational program, no ML runtime needed:
+
+    explode tokens → feature index = hash(token) mod dim
+    → per-(doc, feature) term frequency
+    → broadcast-join the (index, weight) table
+    → per-doc weighted sum + bias → sigmoid.
+
+Scale shape: one shuffle keyed (doc, feature-index) for the tf counts
+(map-side partial combine), weight table broadcast (a dim=2^20 float
+table is 8 MB), final per-doc aggregation partial-combines too. No
+Python in the path; the sigmoid is a codegen'd expression.
+
+The hashing trick (Weinberger et al., ICML 2009) is what makes the
+weight side broadcastable: the vocabulary is unbounded, the feature
+space is fixed ``dim``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from .dedup import md5_int60
+
+
+def feature_index(col, dim: int):
+    """Hashed feature index in [0, dim): 60-bit md5 of the token mod
+    dim — the same engine-portable hash family as the dedup/sampling
+    operators (DuckDB twin: ``('0x'||substr(md5(t),1,15))::BIGINT %
+    dim``)."""
+    return (md5_int60(col) % F.lit(dim)).cast("long")
+
+
+def score_documents(
+    df: DataFrame,
+    weights: DataFrame,
+    *,
+    dim: int,
+    bias: float = 0.0,
+    threshold: float = 0.5,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents with a linear model over hashed token counts.
+
+    ``weights`` is an ``(idx: long, w: double)`` relation — the trained
+    model, typically thousands-to-millions of rows, always broadcast.
+    Output per document: ``(id, z, prob, keep)`` where ``z = bias +
+    Σ_f tf(f)·w(f)``, ``prob = sigmoid(z)``, ``keep = prob >=
+    threshold``. Documents with no tokens score ``z = bias`` (empty
+    bag) and are present in the output.
+
+    Missing weight rows (hash buckets the training set never touched)
+    contribute 0 — the left join's coalesce, not a dropped document.
+    """
+    if dim <= 0:
+        raise ValueError(f"dim must be positive, got {dim}")
+    tf = (
+        df.select(F.col(id_col).alias(id_col), F.explode(tokens(content_col)).alias("_tok"))
+        .select(id_col, feature_index(F.col("_tok"), dim).alias("idx"))
+        .groupBy(id_col, "idx")
+        .agg(F.count("*").alias("tf"))
+    )
+    scored = (
+        tf.join(F.broadcast(weights), "idx", "left")
+        .groupBy(id_col)
+        .agg(
+            (
+                F.lit(float(bias))
+                + F.sum(F.col("tf") * F.coalesce(F.col("w"), F.lit(0.0)))
+            ).alias("z")
+        )
+    )
+    # empty-bag documents never reach tf; restore them at z = bias
+    empties = (
+        df.select(F.col(id_col).alias(id_col), tokens(content_col).alias("_t"))
+        .where(F.size("_t") == 0)
+        .select(id_col, F.lit(float(bias)).alias("z"))
+    )
+    scored = scored.unionByName(empties)
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z")))
+    return scored.select(
+        id_col,
+        "z",
+        prob.alias("prob"),
+        (prob >= F.lit(threshold)).alias("keep"),
+    )
+
+
+def pseudo_weights(spark, *, dim: int, scale: int = 1997):
+    """Deterministic engine-portable pseudo-weight table for tests and
+    contract queries: ``w(idx) = ((idx * 2654435761) % scale) / scale
+    - 0.5`` — Knuth's multiplicative-hash constant spreads signs/values
+    uniformly. Integer arithmetic only, so DuckDB computes the exact
+    same doubles. A real deployment replaces this with trained
+    weights; the scoring plan is identical.
+    """
+    return spark.range(dim).select(
+        F.col("id").alias("idx"),
+        (
+            ((F.col("id") * F.lit(2654435761)) % F.lit(scale)).cast("double")
+            / F.lit(float(scale))
+            - F.lit(0.5)
+        ).alias("w"),
+    )
