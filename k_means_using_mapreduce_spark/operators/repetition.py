@@ -65,6 +65,49 @@ def repetition_stats(
     )
 
 
+def heavy_hitter_grams(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 20,
+    max_items_tracked: int = 100_000,
+) -> DataFrame:
+    """Corpus-wide approximate top-k n-grams — the boilerplate
+    detector that feeds ``max_doc_freq``-style caps: the n-grams that
+    dominate a crawl (navigation chrome, license headers) surface here
+    without a full exact count.
+
+    Uses Spark's ``approx_top_k`` sketch aggregate: one pass, mergeable
+    per-partition sketches of ``max_items_tracked`` counters, no
+    shuffle of the full (gram, count) space — the exact groupBy would
+    shuffle every distinct n-gram in the corpus (at 100 TB that IS the
+    job). Counts are exact for items whose frequency exceeds the
+    sketch's tracking floor; test pinned against the exact top-k on
+    data where all items are tracked.
+
+    Output: ``(gram, approx_count, rank)``, rank 1 = most frequent,
+    ties broken by gram for determinism.
+    """
+    grams = df.select(tokens(content_col).alias("_t")).select(
+        F.explode(shingles_of(F.col("_t"), n)).alias("gram")
+    )
+    sketch = grams.agg(
+        F.expr(f"approx_top_k(gram, {int(k)}, {int(max_items_tracked)})").alias("tk")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("approx_count"), F.asc("gram"))
+    return (
+        sketch.select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("gram"),
+            F.col("e.count").alias("approx_count"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
 def shingle_novelty(
     df: DataFrame,
     content_col: str = "text",

@@ -207,3 +207,59 @@ def write_read_format(
         writer.parquet(path)
         return spark.read.parquet(path)
     raise ValueError(f"unsupported format: {fmt!r}")
+
+
+def load_text_corpus(
+    spark: SparkSession, path: str | list[str], *, wholetext: bool = True
+) -> DataFrame:
+    """Raw-text corpus ingestion: one row per FILE (``wholetext=True``,
+    the corpus-document case) or per LINE (``wholetext=False``, the
+    one-doc-per-line case JSONL-less crawls use).
+
+    Output schema matches the documents table's core: ``(doc_id, text,
+    source)`` where ``doc_id`` is the 60-bit md5 of ``path`` (plus the
+    in-file line ordinal in line mode) — content-independent so
+    re-ingesting an edited file keeps its identity, deterministic so
+    re-runs and task retries agree (operators/sampling.py doctrine;
+    never ``monotonically_increasing_id``, which renumbers on
+    repartition). ``source`` is the file's parent directory name — the
+    by-convention domain label in directory-per-source corpus layouts.
+
+    Scale: ``spark.read.text`` splits line-mode files across tasks;
+    wholetext files are one task each (fine for documents, wrong for
+    single multi-GB files — split those upstream). The md5 id is a
+    map-side projection.
+    """
+    # input_file_name() is only valid while rows still carry their scan
+    # context — project it into a real column BEFORE any exchange (the
+    # line-mode window below shuffles, after which the function returns
+    # '' and ids would collide)
+    raw = spark.read.text(path, wholetext=wholetext).select(
+        F.input_file_name().alias("_f"), F.col("value")
+    )
+    source = F.regexp_extract(F.col("_f"), r"([^/]+)/[^/]+$", 1)
+    if wholetext:
+        ids = F.conv(F.substring(F.md5(F.col("_f")), 1, 15), 16, 10).cast("bigint")
+        return raw.select(
+            ids.alias("doc_id"), F.col("value").alias("text"), source.alias("source")
+        )
+    from pyspark.sql import Window
+
+    # line ordinal within its file: deterministic for a deterministic
+    # file (text source preserves in-file order under the window sort)
+    w = (
+        Window.partitionBy("_f")
+        .orderBy(F.monotonically_increasing_id())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    line_no = F.count("*").over(w)
+    ids = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("_f"), F.lit("#"), line_no.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return raw.select(
+        ids.alias("doc_id"), F.col("value").alias("text"), source.alias("source")
+    )

@@ -74,3 +74,40 @@ def test_partitioned_write_prunes_partitions(spark, sf_small, tmp_path):
     assert "PushedFilters: []" in plan
     n_click = back.count()
     assert n_click == ev.where("event_type = 'click'").count()
+
+
+def test_write_range_sorted_files_cover_disjoint_ranges(spark, tmp_path):
+    """Each output file's [min, max] key range is disjoint from every
+    other's — the property that makes parquet min/max stats prune
+    range predicates at read time."""
+    import glob
+
+    from k_means_using_mapreduce_spark.sources.sinks import write_range_sorted
+
+    df = spark.range(10_000).select(
+        (F.col("id") * 7919 % 10_000).alias("k"), F.col("id").alias("v")
+    )
+    path = str(tmp_path / "ranged")
+    write_range_sorted(df, path, ("k",), n_files=8)
+
+    ranges = []
+    for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+        part = spark.read.parquet(f).agg(
+            F.min("k").alias("lo"), F.max("k").alias("hi"), F.count("*").alias("n")
+        ).collect()[0]
+        if part["n"]:
+            ranges.append((part["lo"], part["hi"]))
+    assert len(ranges) >= 4
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2  # disjoint, ordered
+
+    # and the whole dataset round-trips
+    assert spark.read.parquet(path).count() == 10_000
+
+
+def test_write_range_sorted_validates_cols(spark, tmp_path):
+    from k_means_using_mapreduce_spark.sources.sinks import write_range_sorted
+
+    with pytest.raises(ValueError):
+        write_range_sorted(spark.range(5), str(tmp_path / "x"), ())

@@ -287,3 +287,78 @@ def test_pii_redact_works_on_streams(spark, tmp_path):
     rows = {r["doc_id"]: r for r in spark.sql("select * from pii_stream_test").collect()}
     assert rows[1]["n_redacted"] == 4 and "<EMAIL>" in rows[1]["redacted"]
     assert rows[2]["n_redacted"] == 0
+
+
+# --------------------------------------------------------------------------
+# raw text ingestion + heavy hitters + streaming decontamination
+# --------------------------------------------------------------------------
+
+
+def test_load_text_corpus_wholetext_and_lines(spark, tmp_path):
+    from k_means_using_mapreduce_spark.sources.loaders import load_text_corpus
+
+    d = tmp_path / "web"
+    d.mkdir()
+    (d / "a.txt").write_text("alpha beta gamma")
+    (d / "b.txt").write_text("one\ntwo\nthree")
+
+    whole = load_text_corpus(spark, str(d), wholetext=True).collect()
+    assert len(whole) == 2
+    assert {r["source"] for r in whole} == {"web"}
+    texts = {r["text"] for r in whole}
+    assert "alpha beta gamma" in texts
+    assert len({r["doc_id"] for r in whole}) == 2
+
+    lines = load_text_corpus(spark, str(d), wholetext=False).collect()
+    assert sorted(r["text"] for r in lines) == [
+        "alpha beta gamma", "one", "three", "two",
+    ]
+    assert len({r["doc_id"] for r in lines}) == 4
+    # determinism: same ids on re-read
+    again = load_text_corpus(spark, str(d), wholetext=False).collect()
+    assert {r["doc_id"] for r in again} == {r["doc_id"] for r in lines}
+
+
+def test_heavy_hitter_grams_match_exact_when_tracked(spark):
+    from k_means_using_mapreduce_spark.functions.text import shingles_of, tokens
+    from k_means_using_mapreduce_spark.operators.repetition import heavy_hitter_grams
+
+    # top-4 bigram counts strictly separated (10, 9, 5, 4) so the
+    # sketch's arbitrary tie-break at the count-1 tail can't matter
+    docs = _docs(
+        spark, [(1, "x y " * 10 + "p q " * 5 + "r s", "s")]
+    )
+    approx = heavy_hitter_grams(docs, n=2, k=4).collect()
+    exact = (
+        docs.select(F.explode(shingles_of(tokens("text"), 2)).alias("g"))
+        .groupBy("g").count().orderBy(F.desc("count"), F.asc("g")).limit(4).collect()
+    )
+    # all items tracked -> sketch counts are exact, same ranked set
+    assert [(r["gram"], r["approx_count"]) for r in approx] == [
+        (r["g"], r["count"]) for r in exact
+    ]
+    assert [r["rank"] for r in approx] == [1, 2, 3, 4]
+
+
+def test_decontaminate_works_on_streams(spark, tmp_path, contamination_corpus):
+    """Decontamination is a broadcast join + agg — runs under
+    Structured Streaming in complete/update mode with a static eval
+    side."""
+    train, eval_df = contamination_corpus
+    src = str(tmp_path / "stream_in")
+    train.write.parquet(src)
+    stream = spark.readStream.schema(train.schema).parquet(src)
+    out = decontaminate(stream, eval_df, shingle_n=3, threshold=0.5)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("decon_stream_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = {
+        r["doc_id"]: r for r in spark.sql("select * from decon_stream_test").collect()
+    }
+    assert rows[1]["is_contaminated"] and rows[3]["contaminated_shingles"] == 0

@@ -125,9 +125,12 @@ def test_scalable_job_count_independent_of_k(blobs):
     tracker = sc.statusTracker()
 
     def jobs(fn):
-        before = len(tracker.getJobIdsForGroup(None) or [])
+        # count by MAX job id delta, not len(): job ids are monotonic,
+        # while len() undercounts once spark.ui.retainedJobs eviction
+        # kicks in mid-measurement (flaked at full-suite job volumes)
+        before = max(tracker.getJobIdsForGroup(None) or [0])
         fn()
-        return len(tracker.getJobIdsForGroup(None) or []) - before
+        return max(tracker.getJobIdsForGroup(None) or [0]) - before
 
     # warm up once: the very first invocation in a session pays one-time
     # jobs (Arrow/mapInPandas initialization), ~2 extra, at any k

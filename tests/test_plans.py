@@ -260,3 +260,51 @@ def test_packing_shuffles_on_shard_only(spark, sf):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert exchange_count(df) == 1
     assert "SinglePartition" not in plan
+
+
+# --- round-3 cleaning / winnow / classifier families ---------------------
+
+
+def test_decontaminate_eval_broadcast_no_sort_merge(spark, sf):
+    from k_means_using_mapreduce_spark.plans import formatted_plan
+
+    df = _q("decontaminate_documents", spark, sf)
+    assert broadcast_join_count(df) >= 1
+    assert sort_merge_join_count(df) == 0
+
+
+def test_classifier_weights_broadcast(spark, sf):
+    df = _q("classifier_scores_documents", spark, sf)
+    assert broadcast_join_count(df) >= 1
+    assert sort_merge_join_count(df) == 0
+
+
+def test_pii_redact_prunes_scan(spark, sf):
+    """The PII query reads only (doc_id, text) from the documents scan."""
+    df = _q("pii_redact_documents", spark, sf)
+    cols = set().union(*read_schemas(df))
+    assert "doc_id" in cols and "text" in cols
+    assert "lang" not in cols and "n_chars" not in cols
+
+
+def test_exact_profile_has_no_expand(spark, sf):
+    """The exact profile must stay a union of single-distinct branches —
+    reintroducing simultaneous count(DISTINCT)s brings back the Expand
+    (x7 row amplification; measured 5x slower at sf0.1)."""
+    from k_means_using_mapreduce_spark.plans import formatted_plan
+
+    df = _q("table_profile_lineitem", spark, sf)
+    assert "Expand" not in formatted_plan(df)
+
+
+def test_mixture_sample_plan_broadcast_and_single_wide_agg(spark, sf):
+    from k_means_using_mapreduce_spark.plans import formatted_plan
+
+    df = _q("mixture_sample_summary", spark, sf)
+    plan = formatted_plan(df)
+    # rate table joins back as a broadcast hash join; the 1-row totals
+    # attach as a broadcast nested-loop cross (1 row x |sources|) —
+    # neither may degrade to sort-merge
+    assert broadcast_join_count(df) >= 1
+    assert "BroadcastNestedLoopJoin" in plan
+    assert sort_merge_join_count(df) == 0
