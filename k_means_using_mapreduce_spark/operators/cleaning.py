@@ -44,9 +44,14 @@ def decontaminate(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.1,
+    train_shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Flag training documents whose n-gram shingles overlap an eval
     set (GPT-3-style decontamination, 13-grams there; n is a knob).
+
+    ``train_shingles_df``: optionally a precomputed ``(id, sh)`` string
+    shingle relation for ``train`` (same ``shingle_n``) — the shared-
+    tokenization hook used by operators/pipeline.py.
 
     Output, one row per training document that has at least one
     shingle: ``(id, distinct_shingles, contaminated_shingles,
@@ -61,12 +66,21 @@ def decontaminate(
     under the training scan with zero shuffle of training data. The
     only aggregation keys on ``id`` (map-side partial combine).
     """
-    train_sh = (
-        train.select(F.col(id_col).alias(id_col), tokens(content_col).alias("_t"))
-        .select(id_col, F.explode(shingles_of(F.col("_t"), shingle_n)).alias("sh"))
-        .select(id_col, md5_int60(F.col("sh")).alias("h"))
-        .distinct()
-    )
+    if train_shingles_df is not None:
+        train_sh = train_shingles_df.select(
+            id_col, md5_int60(F.col("sh")).alias("h")
+        ).distinct()
+    else:
+        train_sh = (
+            train.select(
+                F.col(id_col).alias(id_col), tokens(content_col).alias("_t")
+            )
+            .select(
+                id_col, F.explode(shingles_of(F.col("_t"), shingle_n)).alias("sh")
+            )
+            .select(id_col, md5_int60(F.col("sh")).alias("h"))
+            .distinct()
+        )
     eval_sh = (
         eval_df.select(tokens(content_col).alias("_t"))
         .select(F.explode(shingles_of(F.col("_t"), shingle_n)).alias("sh"))

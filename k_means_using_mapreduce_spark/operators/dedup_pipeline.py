@@ -163,16 +163,28 @@ def near_dedup(
     num_hashes: int = 12,
     bands: int = 4,
     jaccard_threshold: float = 0.7,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Full near-dedup: returns the *surviving* rows of ``df`` (lowest
     id per duplicate component plus all non-duplicated rows), with a
-    ``dup_group_size`` column (1 for unique docs)."""
+    ``dup_group_size`` column (1 for unique docs).
+
+    ``shingles_df``: optionally a precomputed ``(id, sh)`` string
+    shingle relation for ``df`` (same ``shingle_n``) — lets a larger
+    pipeline (operators/pipeline.py) tokenize the corpus ONCE and share
+    the relation across near-dedup and decontamination. The caller owns
+    its materialization; when None, it is computed and localCheckpointed
+    here."""
     # shingle once, share between candidate generation and verification
     # (the two stages otherwise re-tokenize every document); the
     # materialized relation is (id, shingle) — strings, pre-hash
     from .dedup import shingle_rows
 
-    sh_all = shingle_rows(df, content_col, id_col, shingle_n).localCheckpoint()
+    sh_all = (
+        shingles_df
+        if shingles_df is not None
+        else shingle_rows(df, content_col, id_col, shingle_n).localCheckpoint()
+    )
     candidates = minhash_candidate_pairs(
         df, content_col, id_col, num_hashes, bands, shingle_n, shingles_df=sh_all
     )

@@ -96,6 +96,14 @@ def prepare_corpus(
         cur = cur.drop(content_col).join(red, id_col)
 
     cur = cur.where(quality_score(content_col) >= F.lit(cfg.min_quality))
+    # materialize once: every later stage re-reads this relation several
+    # times (exact-dedup join-back, near-dedup's two passes,
+    # decontamination, the final projection) — without a cut here the
+    # regex-redaction + quality-score expression chain re-executes in
+    # each consumer (measured 25 s -> 16 s at sf0.1). localCheckpoint
+    # also severs lineage so the downstream near-dedup/CC iterations
+    # re-plan from a compact scan, the dedup_pipeline.py doctrine.
+    cur = cur.localCheckpoint()
     if report:
         rep.add("quality_gate", cur.count())
 
@@ -103,6 +111,13 @@ def prepare_corpus(
     cur = cur.join(survivors, id_col, "left_semi")
     if report:
         rep.add("exact_dedup", cur.count())
+
+    # tokenize the corpus ONCE: near-dedup (LSH + verify) and
+    # decontamination all consume this one materialized (id, shingle)
+    # relation instead of re-exploding the text per stage
+    from .dedup import shingle_rows
+
+    sh_all = shingle_rows(cur, content_col, id_col, cfg.shingle_n).localCheckpoint()
 
     cur = near_dedup(
         cur,
@@ -112,6 +127,7 @@ def prepare_corpus(
         num_hashes=cfg.num_hashes,
         bands=cfg.bands,
         jaccard_threshold=cfg.jaccard_threshold,
+        shingles_df=sh_all,
     ).drop("dup_group_size")
     if report:
         rep.add("near_dedup", cur.count())
@@ -125,6 +141,9 @@ def prepare_corpus(
                 id_col=id_col,
                 shingle_n=cfg.shingle_n,
                 threshold=cfg.contamination_threshold,
+                train_shingles_df=sh_all.join(
+                    cur.select(id_col), id_col, "left_semi"
+                ),
             )
             .where(F.col("is_contaminated"))
             .select(id_col)

@@ -362,3 +362,29 @@ def test_decontaminate_works_on_streams(spark, tmp_path, contamination_corpus):
         r["doc_id"]: r for r in spark.sql("select * from decon_stream_test").collect()
     }
     assert rows[1]["is_contaminated"] and rows[3]["contaminated_shingles"] == 0
+
+
+def test_apply_mixture_works_on_streams(spark, tmp_path, mixture_corpus):
+    """The mixture filter is a broadcast join + deterministic hash
+    predicate — stream-compatible with a static plan side, and the
+    streamed sample equals the batch sample exactly."""
+    plan = mixture_plan(mixture_corpus, budget_frac=0.4)
+    batch_ids = sorted(
+        r["doc_id"] for r in apply_mixture(mixture_corpus, plan).collect()
+    )
+    src = str(tmp_path / "mix_in")
+    mixture_corpus.write.parquet(src)
+    stream = spark.readStream.schema(mixture_corpus.schema).parquet(src)
+    out = apply_mixture(stream, plan)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mix_stream_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    stream_ids = sorted(
+        r["doc_id"] for r in spark.sql("select doc_id from mix_stream_test").collect()
+    )
+    assert stream_ids == batch_ids

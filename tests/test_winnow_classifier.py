@@ -135,3 +135,41 @@ def test_tf_weighting_counts_repeats(spark):
     wdf = pseudo_weights(spark, dim=dim)
     out = {r["doc_id"]: r["z"] for r in score_documents(docs, wdf, dim=dim).collect()}
     assert out[2] == pytest.approx(3 * out[1], rel=1e-12)
+
+
+# --------------------------------------------------------------------------
+# property: the winnowing guarantee on random corpora
+# --------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_K, _W = 3, 4
+_GUARANTEE = _W + _K - 1  # shared token run length that forces a shared fp
+
+_word = st.integers(min_value=0, max_value=50).map(lambda i: f"t{i}")
+_prefix = st.lists(_word, min_size=0, max_size=12)
+_run = st.lists(_word, min_size=_GUARANTEE, max_size=_GUARANTEE + 4)
+
+
+@given(run=_run, pre_a=_prefix, suf_a=_prefix, pre_b=_prefix, suf_b=_prefix)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_winnow_guarantee_on_random_texts(spark, run, pre_a, suf_a, pre_b, suf_b):
+    """Schleimer et al. §3: any shared contiguous run of >= w+k-1
+    tokens yields >= 1 identical selected fingerprint in both docs —
+    for ANY surrounding context."""
+    a = " ".join(pre_a + run + suf_a)
+    b = " ".join(pre_b + run + suf_b)
+    df = _docs(spark, [(1, a), (2, b)])
+    fps = winnow_fingerprints(df, k=_K, window=_W)
+    shared = (
+        fps.where(F.col("doc_id") == 1)
+        .select("fp")
+        .intersect(fps.where(F.col("doc_id") == 2).select("fp"))
+        .count()
+    )
+    assert shared >= 1
