@@ -55,8 +55,9 @@ def score_documents(
     model, typically thousands-to-millions of rows, always broadcast.
     Output per document: ``(id, z, prob, keep)`` where ``z = bias +
     Σ_f tf(f)·w(f)``, ``prob = sigmoid(z)``, ``keep = prob >=
-    threshold``. Documents with no tokens score ``z = bias`` (empty
-    bag) and are present in the output.
+    threshold``. Documents with no tokens — including NULL text, which
+    is treated as an empty bag — score ``z = bias`` and are present in
+    the output.
 
     Missing weight rows (hash buckets the training set never touched)
     contribute 0 — the left join's coalesce, not a dropped document.
@@ -79,10 +80,13 @@ def score_documents(
             ).alias("z")
         )
     )
-    # empty-bag documents never reach tf; restore them at z = bias
+    # empty-bag documents never reach tf; restore them at z = bias.
+    # size() of a NULL array is NULL (ANSI) / -1 (legacy) — coalesce to
+    # -1 and compare <= 0 so NULL-text docs land here instead of
+    # silently vanishing from the output
     empties = (
         df.select(F.col(id_col).alias(id_col), tokens(content_col).alias("_t"))
-        .where(F.size("_t") == 0)
+        .where(F.coalesce(F.size("_t"), F.lit(-1)) <= 0)
         .select(id_col, F.lit(float(bias)).alias("z"))
     )
     scored = scored.unionByName(empties)

@@ -145,7 +145,7 @@ def eval_ngram_bloom(
     *,
     content_col: str = "text",
     shingle_n: int = 3,
-    expected_items: int = 1_000_000,
+    expected_items: int | None = None,
     fpp: float = 0.01,
 ) -> SimpleBloom:
     """Driver-side Bloom filter over the eval set's shingle hashes —
@@ -159,6 +159,12 @@ def eval_ngram_bloom(
     operator because the join side is already broadcast — the bloom
     pays off only when the eval set is too big to broadcast as a
     relation but fits as bits (~1.2 MB per million n-grams at 1% fpp).
+
+    Sized from the ACTUAL distinct-hash count (already in hand from
+    the collect) so the requested ``fpp`` holds whatever the eval set
+    turns out to be; ``expected_items`` is an optional override for
+    callers that deliberately oversize (e.g. a filter reused across
+    growing eval suites).
     """
     hashes = (
         eval_df.select(tokens(content_col).alias("_t"))
@@ -167,7 +173,8 @@ def eval_ngram_bloom(
         .distinct()
     )
     items = [r["h"] for r in hashes.collect()]
-    return SimpleBloom(items, expected_items=expected_items, fpp=fpp)
+    n = expected_items if expected_items is not None else max(len(items), 1)
+    return SimpleBloom(items, expected_items=n, fpp=fpp)
 
 
 # --------------------------------------------------------------------------
@@ -272,7 +279,10 @@ def mixture_plan(
     ``min(1, target/source_tokens)`` — a source smaller than its
     target is kept whole (rate 1.0), it is not upsampled. Unknown
     sources (absent from ``weights``) get weight 0. ``weights=None``
-    means equal weights across observed sources.
+    means equal weights across observed sources. Degenerate inputs are
+    defined, not crashes: a weights dict matching no observed source
+    yields all-zero rates (empty sample); a source with zero total
+    tokens gets rate 0.
 
     Output: one row per source — ``(source, n_docs, source_tokens,
     weight, target_tokens, rate)``.
@@ -304,18 +314,27 @@ def mixture_plan(
         F.sum("weight").alias("_total_weight"),
     )
     planned = weighted.crossJoin(F.broadcast(totals))
-    target = (
-        F.lit(float(budget_frac))
-        * F.col("_total_tokens")
-        * (F.col("weight") / F.col("_total_weight"))
-    )
+    # degenerate-input guards (ANSI mode would otherwise DIVIDE_BY_ZERO
+    # mid-job): a weights dict matching NO observed source -> every
+    # share is 0 -> all targets/rates 0 (empty sample, documented);
+    # a source whose documents have zero tokens -> rate 0 (nothing to
+    # keep). CaseWhen evaluates only the taken branch, so the guarded
+    # divisions never execute on the degenerate inputs.
+    share = F.when(
+        F.col("_total_weight") > 0, F.col("weight") / F.col("_total_weight")
+    ).otherwise(F.lit(0.0))
+    target = F.lit(float(budget_frac)) * F.col("_total_tokens") * share
+    rate = F.when(
+        F.col("source_tokens") > 0,
+        F.least(F.lit(1.0), target / F.col("source_tokens")),
+    ).otherwise(F.lit(0.0))
     return planned.select(
         "source",
         "n_docs",
         "source_tokens",
         "weight",
         target.alias("target_tokens"),
-        F.least(F.lit(1.0), target / F.col("source_tokens")).alias("rate"),
+        rate.alias("rate"),
     )
 
 

@@ -261,10 +261,18 @@ def _min_d2_to(feats: DataFrame, cand) -> DataFrame:
         import pandas as pd
 
         cn = (C * C).sum(axis=1)
+        D = C.shape[1]
         for pdf in batches:
             if not len(pdf):
                 continue
-            X = np.asarray(list(pdf["f"]), dtype=np.float64)
+            # same ragged-row policy as the fused Lloyd kernel: rows
+            # whose feature length differs from the seed dimension are
+            # dropped (a dense GEMM cannot hold them); kmeans_fit
+            # re-applies the same filter before fitting
+            rows = [f for f in pdf["f"] if f is not None and len(f) == D]
+            if not rows:
+                continue
+            X = np.asarray(rows, dtype=np.float64)
             d = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + cn[None, :]
             yield pd.DataFrame({"f": list(X), "d2": np.maximum(d.min(axis=1), 0.0)})
 
@@ -339,13 +347,18 @@ def init_centroids_pp_scalable(
         import pandas as pd
 
         cn = (C * C).sum(axis=1)
+        D = C.shape[1]
         counts = np.zeros(len(C), dtype=np.int64)
         seen = False
         for pdf in batches:
             if not len(pdf):
                 continue
+            # ragged-row policy: see _min_d2_to
+            rows = [f for f in pdf["f"] if f is not None and len(f) == D]
+            if not rows:
+                continue
             seen = True
-            X = np.asarray(list(pdf["f"]), dtype=np.float64)
+            X = np.asarray(rows, dtype=np.float64)
             d = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + cn[None, :]
             counts += np.bincount(d.argmin(axis=1), minlength=len(C))
         if seen:

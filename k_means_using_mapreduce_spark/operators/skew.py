@@ -49,11 +49,14 @@ def salted_aggregate(
         )
     # Content-hash salt (NOT F.rand): a recomputed partition re-derives
     # the SAME salt, so stage retries are reproducible — the same
-    # determinism doctrine as sampling.py. Hashing the non-key columns
-    # too is what spreads a hot key's rows; exact-duplicate rows share a
-    # bucket, which affects balance only, never correctness.
+    # determinism doctrine as sampling.py. The hash covers ALL input
+    # columns, not just the grouped/summed ones: a counts-only call
+    # salted on key columns alone would give every row of a hot key the
+    # SAME salt — phase 1 re-concentrates on one reducer and the whole
+    # mitigation silently no-ops. Rows identical in every column still
+    # share a bucket, which affects balance only, never correctness.
     salt = F.pmod(
-        F.hash(F.lit(seed), *[F.col(c) for c in dict.fromkeys([*key_cols, *sums])]),
+        F.hash(F.lit(seed), *[F.col(c) for c in df.columns]),
         F.lit(buckets),
     ).alias("_salt")
     phase1_aggs = [F.count("*").alias("_n")] + [

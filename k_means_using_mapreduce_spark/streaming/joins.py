@@ -45,6 +45,12 @@ def stream_stream_interval_join(
     """
     if left_ts == right_ts:
         raise ValueError("left_ts and right_ts must be distinct column names")
+    shared = (set(left.columns) & set(right.columns)) - {key}
+    if shared:
+        raise ValueError(
+            "left/right payload column names must be disjoint (both sides "
+            f"survive into the output); rename on one side: {sorted(shared)}"
+        )
     lw = left.withWatermark(left_ts, left_watermark)
     rw = right.withWatermark(right_ts, right_watermark)
     cond = (

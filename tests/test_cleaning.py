@@ -388,3 +388,25 @@ def test_apply_mixture_works_on_streams(spark, tmp_path, mixture_corpus):
         r["doc_id"] for r in spark.sql("select doc_id from mix_stream_test").collect()
     )
     assert stream_ids == batch_ids
+
+
+def test_mixture_plan_degenerate_inputs_defined(spark, mixture_corpus):
+    """Review regression: a weights dict matching no observed source
+    must yield all-zero rates (empty sample), not DIVIDE_BY_ZERO; a
+    zero-token source gets rate 0."""
+    rows = mixture_plan(
+        mixture_corpus, weights={"no_such_source": 1.0}, budget_frac=0.5
+    ).collect()
+    assert rows and all(r["rate"] == 0.0 and r["target_tokens"] == 0.0 for r in rows)
+    empty_src = _docs(spark, [(1, "tok", "web"), (2, "  ", "hollow")])
+    plan = {r["source"]: r for r in mixture_plan(empty_src, budget_frac=0.5).collect()}
+    assert plan["hollow"]["source_tokens"] == 0 and plan["hollow"]["rate"] == 0.0
+
+
+def test_eval_ngram_bloom_sizes_from_actual_items(spark, contamination_corpus):
+    _, eval_df = contamination_corpus
+    bloom = eval_ngram_bloom(eval_df)  # no expected_items: size from data
+    # 5 shingles -> a few hundred bits, not the old 1M-item default
+    assert bloom.m < 1000
+    override = eval_ngram_bloom(eval_df, expected_items=100_000)
+    assert override.m > bloom.m

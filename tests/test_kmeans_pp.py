@@ -148,3 +148,21 @@ def test_scalable_raises_when_fewer_distinct_points_than_k(spark):
     df = spark.createDataFrame([([1.0, 2.0],)] * 10, "features array<double>")
     with pytest.raises(ValueError, match="candidates"):
         init_centroids_pp_scalable(df, 3, seed=1)
+
+
+def test_scalable_init_drops_ragged_rows(spark):
+    """Ragged feature rows (length != seed dimension) are dropped by
+    the init's GEMM passes instead of crashing — the same policy the
+    fused Lloyd kernel applies (review regression)."""
+    from k_means_using_mapreduce_spark.operators.kmeans import (
+        init_centroids_pp_scalable,
+        kmeans_fit,
+    )
+
+    rows = [([float(i % 4), float(i % 7)],) for i in range(60)]
+    rows.insert(10, ([2.0, 0.0, 9.0],))  # 3-D intruder among 2-D rows
+    df = spark.createDataFrame(rows, "features array<double>")
+    cents = init_centroids_pp_scalable(df, 2, seed=5, rounds=2)
+    assert len(cents) == 2 and all(len(c[1]) == 2 for c in cents)
+    res = kmeans_fit(df, 2, seed=5, max_iter=5, init="k-means||")
+    assert sum(res.cluster_sizes.values()) == 60  # intruder excluded

@@ -160,3 +160,24 @@ def test_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
         assert 200 in by_order and by_order[200] is None  # emitted as unmatched
     finally:
         q.stop()
+
+
+def test_stream_stream_join_rejects_shared_payload_columns(spark):
+    """Review regression: same-named payload columns on both sides
+    would make the output projection ambiguous — rejected up front."""
+    import pytest as _pytest
+
+    from k_means_using_mapreduce_spark.streaming.joins import (
+        stream_stream_interval_join,
+    )
+
+    left = spark.createDataFrame(
+        [], "k string, lts timestamp, region string"
+    )
+    right = spark.createDataFrame(
+        [], "k string, rts timestamp, region string"
+    )
+    with _pytest.raises(ValueError, match="region"):
+        stream_stream_interval_join(
+            left, right, key="k", left_ts="lts", right_ts="rts"
+        )

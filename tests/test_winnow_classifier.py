@@ -173,3 +173,15 @@ def test_winnow_guarantee_on_random_texts(spark, run, pre_a, suf_a, pre_b, suf_b
         .count()
     )
     assert shared >= 1
+
+
+def test_score_documents_null_text_scores_bias(spark):
+    """Review regression: NULL text = empty bag at z = bias, present in
+    the output (was silently dropped)."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, None)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           score_documents(docs, pseudo_weights(spark, dim=16), dim=16, bias=0.5).collect()}
+    assert set(out) == {1, 2}
+    assert out[2]["z"] == pytest.approx(0.5)
