@@ -220,20 +220,10 @@ def winnow_summary_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document winnowing fingerprint profile: k-gram count,
     selected-fingerprint count, density (≈ 2/(window+1) per the paper;
     lower on repetitive text where window minima coincide)."""
-    from pyspark.sql import functions as F
+    from ..operators.winnow import winnow_summary
 
-    from ..functions.text import shingles_of, tokens
-    from ..operators.winnow import winnow_fingerprints
-
-    docs = load_table(spark, sf_dir, "documents")
-    fps = winnow_fingerprints(docs, k=WINNOW_K, window=WINNOW_WINDOW)
-    n_fp = fps.groupBy("doc_id").agg(F.count("*").cast("int").alias("n_fingerprints"))
-    n_grams = docs.select(
-        "doc_id",
-        F.size(shingles_of(tokens("text"), WINNOW_K)).cast("int").alias("n_grams"),
-    ).where(F.col("n_grams") > 0)
-    return n_grams.join(n_fp, "doc_id").withColumn(
-        "density", F.col("n_fingerprints").cast("double") / F.col("n_grams")
+    return winnow_summary(
+        load_table(spark, sf_dir, "documents"), k=WINNOW_K, window=WINNOW_WINDOW
     )
 
 

@@ -68,6 +68,52 @@ def winnow_fingerprints(
     )
 
 
+def winnow_summary(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Per-document fingerprint profile in ONE pass over the gram
+    relation: ``(id, n_grams, n_fingerprints, density)``.
+
+    Shares the window computation with :func:`winnow_fingerprints`
+    (total gram count rides along as the partition COUNT window) and
+    aggregates ``count(DISTINCT fp)`` + ``max(n)`` per document —
+    no second tokenization pass, no join back to the input. (The
+    naive form — ``size(shingles_of(tokens(text)))`` joined to the
+    fingerprint counts — re-evaluates the shingle HOF in both the
+    pushed-down filter and the projection and re-scans the corpus:
+    measured 7.7 s vs 1.6 s for this formulation at sf0.1.)
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    grams = (
+        df.select(F.col(id_col).alias(id_col), tokens(content_col).alias("_t"))
+        .select(
+            id_col,
+            F.posexplode(shingles_of(F.col("_t"), k)).alias("i", "sh"),
+        )
+        .select(id_col, (F.col("i") + 1).alias("i"), md5_int60("sh").alias("h"))
+    )
+    frame = Window.partitionBy(id_col).orderBy("i").rowsBetween(0, window - 1)
+    whole = Window.partitionBy(id_col)
+    return (
+        grams.withColumn("fp", F.min("h").over(frame))
+        .withColumn("_n", F.count("*").over(whole))
+        .where(F.col("i") <= F.greatest(F.lit(1), F.col("_n") - F.lit(window - 1)))
+        .groupBy(id_col)
+        .agg(
+            F.max("_n").cast("int").alias("n_grams"),
+            F.count_distinct("fp").cast("int").alias("n_fingerprints"),
+        )
+        .withColumn(
+            "density", F.col("n_fingerprints").cast("double") / F.col("n_grams")
+        )
+    )
+
+
 def winnow_pairs(
     df: DataFrame,
     content_col: str = "text",

@@ -185,3 +185,22 @@ def test_score_documents_null_text_scores_bias(spark):
            score_documents(docs, pseudo_weights(spark, dim=16), dim=16, bias=0.5).collect()}
     assert set(out) == {1, 2}
     assert out[2]["z"] == pytest.approx(0.5)
+
+
+def test_winnow_summary_consistent_with_fingerprints(spark, plagiarism_corpus):
+    """The one-pass summary equals the compose-it-yourself form."""
+    from k_means_using_mapreduce_spark.operators.winnow import winnow_summary
+
+    summ = {r["doc_id"]: r for r in winnow_summary(plagiarism_corpus).collect()}
+    fps = winnow_fingerprints(plagiarism_corpus)
+    n_fp = {
+        r["doc_id"]: r["n"]
+        for r in fps.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(summ) == set(n_fp)
+    for doc_id, row in summ.items():
+        assert row["n_fingerprints"] == n_fp[doc_id]
+        assert row["n_grams"] >= row["n_fingerprints"]
+        assert row["density"] == pytest.approx(
+            row["n_fingerprints"] / row["n_grams"]
+        )
