@@ -177,6 +177,76 @@ def eval_ngram_bloom(
     return SimpleBloom(items, expected_items=n, fpp=fpp)
 
 
+def decontaminate_bloom(
+    train: DataFrame,
+    eval_df: DataFrame,
+    *,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.1,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """:func:`decontaminate` with the Bloom prefilter wired in — the
+    regime where the eval n-gram set is too big to broadcast as a join
+    relation but fits as bits.
+
+    The broadcast bitset tags each training shingle hash MAYBE/NO in a
+    vectorized Arrow pass; documents whose every shingle says NO (the
+    overwhelming majority against any real benchmark suite) finalize
+    immediately as zero-contamination rows WITHOUT touching the join.
+    Only maybe-documents' shingles reach the exact broadcast join, so
+    false positives cost a second look, never a wrong answer — output
+    is row-for-row identical to :func:`decontaminate` (equivalence is
+    pinned in tests).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    bloom = eval_ngram_bloom(
+        eval_df, content_col=content_col, shingle_n=shingle_n, fpp=fpp
+    )
+    b = train.sparkSession.sparkContext.broadcast(bloom)
+
+    # no type-hint form: this module uses `from __future__ import
+    # annotations`, which stringifies hints and breaks pandas_udf's
+    # signature inference
+    def _maybe_hit(h):
+        blm = b.value
+        return h.map(lambda x: bool(blm.mightContain(int(x))))
+
+    maybe_hit = pandas_udf(_maybe_hit, "boolean")
+
+    train_sh = (
+        train.select(F.col(id_col).alias(id_col), tokens(content_col).alias("_t"))
+        .select(id_col, F.explode(shingles_of(F.col("_t"), shingle_n)).alias("sh"))
+        .select(id_col, md5_int60(F.col("sh")).alias("h"))
+        .distinct()
+        .withColumn("_maybe", maybe_hit(F.col("h")))
+    )
+    per_doc = train_sh.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("distinct_shingles"),
+        F.sum(F.col("_maybe").cast("int")).alias("_maybe_hits"),
+    )
+    clean = per_doc.where(F.col("_maybe_hits") == 0).select(
+        id_col,
+        "distinct_shingles",
+        F.lit(0).cast("int").alias("contaminated_shingles"),
+        F.lit(0.0).alias("contamination_frac"),
+        F.lit(False).alias("is_contaminated"),
+    )
+    suspect_ids = per_doc.where(F.col("_maybe_hits") > 0).select(id_col)
+    suspects_exact = decontaminate(
+        train.join(suspect_ids, id_col, "left_semi"),
+        eval_df,
+        content_col=content_col,
+        id_col=id_col,
+        shingle_n=shingle_n,
+        threshold=threshold,
+        train_shingles_df=None,
+    )
+    return clean.unionByName(suspects_exact)
+
+
 # --------------------------------------------------------------------------
 # PII detection / redaction
 # --------------------------------------------------------------------------

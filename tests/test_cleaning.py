@@ -410,3 +410,43 @@ def test_eval_ngram_bloom_sizes_from_actual_items(spark, contamination_corpus):
     assert bloom.m < 1000
     override = eval_ngram_bloom(eval_df, expected_items=100_000)
     assert override.m > bloom.m
+
+
+def test_decontaminate_bloom_equals_exact(spark, contamination_corpus):
+    """The Bloom-prefiltered path returns row-for-row the same result
+    as plain decontaminate (no false negatives by construction; false
+    positives only route a doc through the exact join)."""
+    from k_means_using_mapreduce_spark.operators.cleaning import decontaminate_bloom
+
+    train, eval_df = contamination_corpus
+    exact = sorted(
+        map(tuple, decontaminate(train, eval_df, shingle_n=3, threshold=0.5).collect())
+    )
+    bloomed = sorted(
+        map(
+            tuple,
+            decontaminate_bloom(
+                train, eval_df, shingle_n=3, threshold=0.5
+            ).collect(),
+        )
+    )
+    assert bloomed == exact
+
+
+def test_decontaminate_bloom_larger_corpus(spark):
+    """On a corpus where most docs share nothing with the eval set, the
+    bloom path still agrees with the exact operator."""
+    from k_means_using_mapreduce_spark.operators.cleaning import decontaminate_bloom
+
+    eval_df = _docs(spark, [(900, "mark these exact words as contaminated now", "e")])
+    train = _docs(
+        spark,
+        [(i, f"doc {i} about topic{i % 17} with words w{i} w{i+1} w{i+2} end", "s")
+         for i in range(120)]
+        + [(500, "mark these exact words as contaminated now", "s")],
+    )
+    exact = sorted(map(tuple, decontaminate(train, eval_df).collect()))
+    bloomed = sorted(map(tuple, decontaminate_bloom(train, eval_df).collect()))
+    assert bloomed == exact
+    flagged = [r for r in bloomed if r[4]]
+    assert [r[0] for r in flagged] == [500]
