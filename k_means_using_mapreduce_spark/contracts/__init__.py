@@ -16,6 +16,7 @@ from . import (
     cleaning_queries,
     dedup_queries,
     kmeans_queries,
+    line_queries,
     multimodal_queries,
     packing_queries,
     repetition_queries,
@@ -27,6 +28,7 @@ from . import (
     stats_queries,
     temporal_queries,
     text_queries,
+    timeseries_queries,
     tpch_advanced_queries,
     tpch_queries,
     window_queries,
@@ -35,6 +37,7 @@ from . import (
 _MODULES = [
     kmeans_queries,
     dedup_queries,
+    line_queries,
     text_queries,
     repetition_queries,
     cleaning_queries,
@@ -45,6 +48,7 @@ _MODULES = [
     setop_queries,
     stats_queries,
     temporal_queries,
+    timeseries_queries,
     rollup_queries,
     reshape_queries,
     multimodal_queries,

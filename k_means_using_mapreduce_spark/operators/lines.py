@@ -1,0 +1,169 @@
+"""Line-level deduplication: drop lines that repeat across many documents.
+
+The C4 / RefinedWeb-style cleanup: boilerplate (nav bars, cookie
+banners, license headers) repeats VERBATIM across thousands of pages.
+Whole-document dedup never catches it; line-level frequency counting
+does. The reference engine has no analogue — this extends its corpus
+surface (reference scope: K-Means over points, `master.py:27-150`)
+with the cleanup step a training-data pipeline runs first.
+
+Pipeline shape (scale notes inline):
+
+1. ``segment_lines`` — one narrow projection, no shuffle. Real corpora
+   split on ``\\n``; the synthetic test corpus is newline-free, so a
+   token-window segmenter (every ``window`` tokens is a "line") is the
+   fallback. Both produce ``(id, line_no, line)``.
+2. ``frequent_lines`` — the ONLY global shuffle, and it moves 8-byte
+   md5-derived int64 line hashes + ids, never line text. Distinct
+   (doc, hash) then count per hash: classic map-side-combining
+   aggregation; output is the heavy-hitter set (lines in ≥ min_docs
+   docs), which is tiny by construction (boilerplate is rare among
+   distinct lines) and therefore broadcastable.
+3. ``drop_frequent_lines`` — broadcast anti-join of the exploded lines
+   against the frequent set, then per-document ordered reassembly
+   (one shuffle keyed by doc id, the same key cardinality as the
+   input). At 100 TB: the frequent set stays ≪ memory (it is bounded
+   by distinct-boilerplate count, not corpus size); nothing quadratic.
+
+Determinism: the line hash is the first 15 hex chars of md5 (an exact
+int64, no overflow), the same construction ``operators/dedup.py:61``
+uses for document hashes, so the oracle can reproduce it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import tokens
+
+
+def _line_hash(line: Column) -> Column:
+    # exact int64 from the md5 prefix — mirrors dedup.py's doc hash
+    return F.conv(F.substring(F.md5(line), 1, 15), 16, 10).cast("long")
+
+
+def segment_lines(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int | None = None,
+) -> DataFrame:
+    """Explode documents into ``(id, line_no, line)`` rows.
+
+    ``window=None`` splits on newlines (the real-corpus path);
+    ``window=k`` segments every k whitespace tokens (the fallback for
+    single-line corpora — also how "line" dedup generalizes to
+    fixed-span shingle-block dedup). line_no is 0-based and dense, so
+    reassembly preserves original order. Narrow: no shuffle."""
+    if window is not None:
+        if window < 1:
+            raise ValueError(f"window must be >= 1, got {window}")
+        toks = tokens(F.col(text_col))
+        n_lines = F.ceil(F.size(toks) / F.lit(float(window))).cast("int")
+        seg = F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * window + 1, window)),
+        )
+        # size==0 -> sequence(0,-1) is empty -> doc contributes no rows
+        exploded = df.select(
+            F.col(id_col), F.posexplode(seg).alias("line_no", "line")
+        )
+    else:
+        lines = F.split(F.col(text_col), r"\n")
+        exploded = df.select(
+            F.col(id_col), F.posexplode(lines).alias("line_no", "line")
+        ).where(F.trim(F.col("line")) != "")
+    return exploded
+
+
+def frequent_lines(
+    segments: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Lines occurring in ``>= min_docs`` DISTINCT documents.
+
+    Returns ``(line, line_h, n_docs)``. The shuffle key is the 8-byte
+    line hash; the line text rides along only because the caller wants
+    to see it (drop it upstream for a pure-hash pipeline). Distinct
+    before count so a line repeated inside ONE document does not count
+    as cross-document boilerplate."""
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1, got {min_docs}")
+    return (
+        segments.select(
+            F.col(id_col), F.col("line"), _line_hash(F.col("line")).alias("line_h")
+        )
+        .groupBy("line_h")
+        .agg(
+            F.first("line").alias("line"),
+            F.countDistinct(id_col).alias("n_docs"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+        .select("line", "line_h", "n_docs")
+    )
+
+
+def drop_frequent_lines(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int | None = None,
+    min_docs: int = 2,
+    keep_first: bool = False,
+) -> DataFrame:
+    """Remove cross-document boilerplate lines; reassemble documents.
+
+    Returns one row per input document:
+    ``(id, n_lines, kept_lines, dropped_lines, cleaned_text)``.
+    ``keep_first=True`` keeps the single lowest-(id, line_no) occurrence
+    of each frequent line corpus-wide (RefinedWeb's "keep one copy")
+    instead of dropping all copies.
+
+    Plan: segment (narrow) → frequent set (one hash-keyed shuffle) →
+    broadcast join back → groupBy id with an ordered struct collect
+    (one shuffle on the document key). cleaned_text is rebuilt with
+    the window's joiner so the output is oracle-reproducible."""
+    segs = segment_lines(df, id_col=id_col, text_col=text_col, window=window)
+    freq = frequent_lines(segs, id_col=id_col, min_docs=min_docs).select("line_h")
+    segs = segs.withColumn("line_h", _line_hash(F.col("line")))
+    freq_marked = freq.withColumn("_boiler", F.lit(True))
+    hit = segs.join(F.broadcast(freq_marked), "line_h", "left").withColumn(
+        "is_boiler", F.coalesce(F.col("_boiler"), F.lit(False))
+    )
+    if keep_first:
+        first_rank = F.row_number().over(
+            Window.partitionBy("line_h").orderBy(F.col(id_col), F.col("line_no"))
+        )
+        hit = hit.withColumn(
+            "is_boiler", F.col("is_boiler") & (first_rank > 1)
+        )
+    joiner = " " if window is not None else "\n"
+    kept_struct = F.when(
+        ~F.col("is_boiler"), F.struct(F.col("line_no"), F.col("line"))
+    )
+    return (
+        hit.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.when(~F.col("is_boiler"), 1).otherwise(0))
+            .cast("int")
+            .alias("kept_lines"),
+            F.sum(F.when(F.col("is_boiler"), 1).otherwise(0))
+            .cast("int")
+            .alias("dropped_lines"),
+            F.concat_ws(
+                joiner,
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["line"],
+                ),
+            ).alias("cleaned_text"),
+        )
+        .withColumn("n_lines", F.col("n_lines").cast("int"))
+    )
