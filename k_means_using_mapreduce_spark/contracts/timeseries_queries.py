@@ -1,0 +1,112 @@
+"""Time-series contract queries (operators/timeseries.py): dense hourly
+gap-fill with a trailing moving average, and a 3-step ordered funnel.
+
+Time math follows temporal_queries' doctrine: integer epoch arithmetic
+(`load_table` surfaces events.ts as bigint nanos; buckets go out as
+epoch-µs bigints) so nothing here depends on a session timezone.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.timeseries import funnel, resample_counts
+from ..sources.loaders import load_table, ns_to_timestamp
+
+_HOUR_US = 3_600_000_000
+_STEPS = ("view", "click", "purchase")
+
+
+def hourly_gapfill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", ns_to_timestamp("ts")
+    )
+    out = resample_counts(
+        ev, ts_col="ts", key_col="event_type", unit="hour",
+        value_col="value", moving_avg=3,
+    )
+    return out.select(
+        "key",
+        F.unix_micros("bucket").alias("bucket_us"),
+        "n",
+        "total",
+        "ma_3",
+    )
+
+
+HOURLY_GAPFILL_SQL = f"""
+WITH counts AS (
+  SELECT event_type AS key,
+         epoch_us(ts) - epoch_us(ts) % {_HOUR_US} AS bucket_us,
+         count(*) AS n, sum(value) AS total
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(bucket_us) AS lo, max(bucket_us) AS hi FROM counts),
+keys AS (SELECT DISTINCT event_type AS key FROM events),
+grid AS (
+  SELECT key, unnest(range(lo, hi + {_HOUR_US}, {_HOUR_US})) AS bucket_us
+  FROM keys, bounds
+)
+SELECT g.key, g.bucket_us,
+  CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+  coalesce(c.total, 0.0) AS total,
+  avg(CAST(coalesce(c.n, 0) AS DOUBLE))
+    OVER (PARTITION BY g.key ORDER BY g.bucket_us
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma_3
+FROM grid g LEFT JOIN counts c USING (key, bucket_us)
+"""
+
+
+def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")  # bigint-ns ts: compare-only
+    return funnel(ev, _STEPS)
+
+
+FUNNEL_SQL = """
+WITH w1 AS (
+  SELECT user_id, ts, event_type,
+    min(CASE WHEN event_type = 'view' THEN ts END)
+      OVER (PARTITION BY user_id) AS t0
+  FROM events
+), w2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND t0 IS NOT NULL
+                      AND ts > t0 THEN ts END)
+      OVER (PARTITION BY user_id) AS t1
+  FROM w1
+), w3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND t1 IS NOT NULL
+                      AND ts > t1 THEN ts END)
+      OVER (PARTITION BY user_id) AS t2
+  FROM w2
+), agg AS (
+  SELECT
+    CAST(count(DISTINCT CASE WHEN t0 IS NOT NULL THEN user_id END) AS BIGINT) AS n0,
+    CAST(count(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END) AS BIGINT) AS n1,
+    CAST(count(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END) AS BIGINT) AS n2
+  FROM w3
+)
+SELECT * FROM (
+  SELECT CAST(1 AS INTEGER) AS step_no, 'view' AS step, n0 AS n_users,
+         CAST(1.0 AS DOUBLE) AS conversion FROM agg
+  UNION ALL
+  SELECT CAST(2 AS INTEGER), 'click', n1,
+         CASE WHEN n0 > 0 THEN n1 / n0 END FROM agg
+  UNION ALL
+  SELECT CAST(3 AS INTEGER), 'purchase', n2,
+         CASE WHEN n1 > 0 THEN n2 / n1 END FROM agg
+)
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "hourly_gapfill_events": hourly_gapfill_events,
+    "funnel_conversion_events": funnel_conversion_events,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "hourly_gapfill_events": HOURLY_GAPFILL_SQL,
+    "funnel_conversion_events": FUNNEL_SQL,
+}

@@ -1,0 +1,103 @@
+"""operators/timeseries.py: gap-fill grid correctness, moving average,
+funnel ordering semantics, and the single-exchange funnel plan."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from k_means_using_mapreduce_spark.operators.timeseries import funnel, resample_counts
+from k_means_using_mapreduce_spark.plans.explain import exchange_count
+
+
+def _ts(h, m=0):
+    return datetime(2024, 1, 1, h, m)
+
+
+@pytest.fixture(scope="module")
+def ev(spark):
+    rows = [
+        # key "a": events at hours 0 and 3 -> hours 1, 2 must appear as 0
+        (1, _ts(0, 5), "a", 1.0),
+        (2, _ts(0, 45), "a", 2.0),
+        (3, _ts(3, 10), "a", 4.0),
+        # key "b": only hour 1 -> leading/trailing zeros on the shared grid
+        (4, _ts(1, 30), "b", 8.0),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+
+
+def test_gapfill_dense_grid_with_zeros(ev):
+    out = resample_counts(ev, value_col="value").orderBy("key", "bucket")
+    rows = out.collect()
+    # 2 keys x 4 hourly buckets (00..03) = 8 rows
+    assert len(rows) == 8
+    a = [(r["bucket"].hour, r["n"], r["total"]) for r in rows if r["key"] == "a"]
+    assert a == [(0, 2, 3.0), (1, 0, 0.0), (2, 0, 0.0), (3, 1, 4.0)]
+    b = [(r["bucket"].hour, r["n"]) for r in rows if r["key"] == "b"]
+    assert b == [(0, 0), (1, 1), (2, 0), (3, 0)]
+
+
+def test_gapfill_moving_average_over_dense_grid(ev):
+    out = resample_counts(ev, moving_avg=2).orderBy("key", "bucket")
+    a = [r["ma_2"] for r in out.collect() if r["key"] == "a"]
+    # n = [2,0,0,1] -> trailing-2 means [2, 1, 0, 0.5]
+    assert a == [2.0, 1.0, 0.0, 0.5]
+
+
+def test_gapfill_validation(ev):
+    with pytest.raises(ValueError):
+        resample_counts(ev, unit="month")
+    with pytest.raises(ValueError):
+        resample_counts(ev, moving_avg=0)
+
+
+def test_funnel_requires_order(spark):
+    rows = [
+        (1, _ts(1), "view"),   # user 1: view -> click -> purchase (full)
+        (1, _ts(2), "click"),
+        (1, _ts(3), "purchase"),
+        (2, _ts(2), "view"),   # user 2: click BEFORE view -> no step 2
+        (2, _ts(1), "click"),
+        (3, _ts(1), "view"),   # user 3: view only
+        (4, _ts(1), "click"),  # user 4: never viewed -> not even step 1
+        (4, _ts(2), "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {r["step"]: r for r in funnel(ev, ("view", "click", "purchase")).collect()}
+    assert out["view"]["n_users"] == 3
+    assert out["click"]["n_users"] == 1
+    assert out["purchase"]["n_users"] == 1
+    assert out["view"]["conversion"] == 1.0
+    assert out["click"]["conversion"] == pytest.approx(1 / 3)
+    assert out["purchase"]["conversion"] == 1.0
+
+
+def test_funnel_equal_ts_not_counted(spark):
+    # strict ordering: the next step must be strictly after the previous
+    rows = [(1, _ts(1), "view"), (1, _ts(1), "click")]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {r["step"]: r["n_users"] for r in funnel(ev, ("view", "click")).collect()}
+    assert out == {"view": 1, "click": 0}
+
+
+def test_funnel_validation(spark):
+    ev = spark.createDataFrame([(1, _ts(1), "view")],
+                               "user_id long, ts timestamp, event_type string")
+    with pytest.raises(ValueError):
+        funnel(ev, ("view",))
+
+
+def test_funnel_single_exchange_for_all_steps(spark, sf_oracle):
+    from k_means_using_mapreduce_spark.sources.loaders import load_table
+
+    ev = load_table(spark, sf_oracle, "events")
+    out = funnel(ev, ("view", "click", "purchase"))
+    out.collect()
+    # chained window mins share one hash exchange on user_id; the final
+    # 1-row aggregate adds its own single-partition exchange
+    assert exchange_count(out) <= 2
