@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from . import (
     cleaning_queries,
     dedup_queries,
+    index_queries,
     kmeans_queries,
     line_queries,
     multimodal_queries,
@@ -38,6 +39,7 @@ _MODULES = [
     kmeans_queries,
     dedup_queries,
     line_queries,
+    index_queries,
     text_queries,
     repetition_queries,
     cleaning_queries,

@@ -1,0 +1,91 @@
+"""Inverted-index / retrieval contract queries (operators/index.py)."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.index import build_postings, search_all, tfidf_top_terms
+from ..sources.loaders import load_table
+from ._sql_text import sql_tokens
+
+_TERMS = ("dup", "vector", "stream")  # 'dup' is rare: the selective leg
+_TOP = 3
+_MAX_POSTINGS = 10
+
+_PAIRS = (
+    f"SELECT DISTINCT doc_id, unnest({sql_tokens('text')}) AS token "
+    "FROM documents"
+)
+
+
+def token_postings_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return build_postings(docs, max_postings=_MAX_POSTINGS)
+
+
+TOKEN_POSTINGS_SQL = f"""
+WITH pairs AS ({_PAIRS})
+SELECT token, CAST(count(*) AS BIGINT) AS df,
+       array_to_string(list_slice(list_sort(list(doc_id)), 1, {_MAX_POSTINGS}),
+                       ',') AS postings
+FROM pairs GROUP BY token
+"""
+
+
+def token_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return search_all(docs, _TERMS)
+
+
+_TERMS_LIT = ", ".join(f"'{t}'" for t in _TERMS)
+
+TOKEN_SEARCH_SQL = f"""
+WITH pairs AS ({_PAIRS})
+SELECT doc_id FROM pairs WHERE token IN ({_TERMS_LIT})
+GROUP BY doc_id HAVING count(*) = {len(_TERMS)}
+"""
+
+
+def tfidf_top_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, top=_TOP)
+
+
+# round-before-rank mirrors operators/index.py::tfidf_top_terms: the
+# selection must not hinge on the last ulp of ln()
+TFIDF_SQL = f"""
+WITH pairs AS (SELECT doc_id, unnest({sql_tokens('text')}) AS token
+               FROM documents),
+tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+       FROM pairs GROUP BY doc_id, token),
+dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+         tf.tf * ln(n.n_docs / dfreq.df) AS tfidf
+  FROM tf JOIN dfreq USING (token), n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY round(tfidf, 6) DESC, token) AS rk
+  FROM scored
+)
+SELECT doc_id, token, tf, df, round(tfidf, 6) AS tfidf
+FROM ranked WHERE rk <= {_TOP}
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "token_postings_documents": token_postings_documents,
+    "token_search_documents": token_search_documents,
+    "tfidf_top_terms_documents": tfidf_top_terms_documents,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "token_postings_documents": TOKEN_POSTINGS_SQL,
+    "token_search_documents": TOKEN_SEARCH_SQL,
+    "tfidf_top_terms_documents": TFIDF_SQL,
+}

@@ -1,0 +1,127 @@
+"""Inverted index over the document corpus: posting lists, boolean
+search, and exact TF-IDF term ranking.
+
+The retrieval-side complement of the dedup/similarity family: the same
+(doc, token) explode that powers shingle dedup (operators/dedup.py)
+reshaped into token-keyed postings — the structure behind keyword
+search, BM25-style scoring, and per-term corpus diagnostics.
+
+Scale notes:
+- ``build_postings`` is one narrow explode + one token-keyed groupBy.
+  The shuffle rows are (token, doc_id) pairs — no document text moves.
+  Stopword-like tokens produce huge groups; ``max_postings`` caps what
+  is MATERIALIZED per token (the doc-frequency count stays exact), so
+  the output row for 'the' is small even when its true posting list is
+  a billion entries. At 100 TB the postings table would be written
+  bucketed by token (sources/sinks.py::write_bucketed_table) so lookups
+  prune to one bucket.
+- ``search_all`` filters to the query terms BEFORE the per-document
+  count — the shuffle carries only rows whose token is in the query
+  (|terms| × df rows), the inverted-index access pattern expressed
+  declaratively rather than via a driver-side postings fetch.
+- ``tfidf_top_terms`` joins per-(doc, token) term frequencies against
+  the per-token document frequencies; the df side is a tiny aggregate
+  (|vocab| rows) and broadcasts. Ranking rounds the score to 6 decimals
+  before comparing (then breaks ties by token) so the selection is
+  reproducible across engines whose ``ln`` may differ in the last ulp.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import tokens
+
+
+def _doc_tokens(
+    df: DataFrame, id_col: str, text_col: str, *, distinct: bool
+) -> DataFrame:
+    out = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    return out.distinct() if distinct else out
+
+
+def build_postings(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_postings: int = 10,
+) -> DataFrame:
+    """Token → (exact document frequency, first ``max_postings`` doc ids).
+
+    Output: ``(token, df, postings)`` with postings a comma-joined
+    ascending id sample — a display/debug cap, not a correctness cap:
+    ``df`` counts every document."""
+    if max_postings < 1:
+        raise ValueError(f"max_postings must be >= 1, got {max_postings}")
+    pairs = _doc_tokens(df, id_col, text_col, distinct=True)
+    return pairs.groupBy("token").agg(
+        F.countDistinct(id_col).cast("long").alias("df"),
+        F.concat_ws(
+            ",",
+            F.slice(F.array_sort(F.collect_set(id_col)), 1, max_postings),
+        ).alias("postings"),
+    )
+
+
+def search_all(
+    df: DataFrame,
+    terms: Sequence[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Documents containing ALL of ``terms`` (boolean AND over the
+    inverted index): filter the (doc, token) pairs to the query terms,
+    then keep docs whose distinct matched-term count equals |terms|."""
+    terms = [t.lower() for t in terms]
+    if not terms:
+        raise ValueError("search_all needs at least one term")
+    if len(set(terms)) != len(terms):
+        raise ValueError(f"duplicate terms in query: {terms}")
+    pairs = _doc_tokens(df, id_col, text_col, distinct=True)
+    return (
+        pairs.where(F.col("token").isin(terms))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("_hits"))
+        .where(F.col("_hits") == len(terms))
+        .select(id_col)
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top: int = 3,
+) -> DataFrame:
+    """Top ``top`` terms per document by TF-IDF (tf × ln(N/df)).
+
+    Output: ``(id, token, tf, df, tfidf)``, ``top`` rows per document
+    (fewer when the document has fewer distinct tokens). Plain idf with
+    no smoothing — every indexed term has df ≥ 1 by construction, so
+    ln(N/df) is well-defined; a term in every document scores 0."""
+    if top < 1:
+        raise ValueError(f"top must be >= 1, got {top}")
+    pairs = _doc_tokens(df, id_col, text_col, distinct=False)
+    tf = pairs.groupBy(id_col, "token").agg(F.count("*").cast("long").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").cast("long").alias("df"))
+    n_docs = df.select(id_col).distinct().count()
+    scored = tf.join(F.broadcast(dfreq), "token").withColumn(
+        "tfidf", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.round(F.col("tfidf"), 6).desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= top)
+        .select(id_col, "token", "tf", "df", F.round("tfidf", 6).alias("tfidf"))
+    )

@@ -1,0 +1,93 @@
+"""operators/index.py: posting-list semantics, boolean AND search,
+TF-IDF ranking, and plan shapes (df-side broadcast; term filter before
+the aggregate shuffle)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from k_means_using_mapreduce_spark.operators.index import (
+    build_postings,
+    search_all,
+    tfidf_top_terms,
+)
+from k_means_using_mapreduce_spark.plans.explain import (
+    broadcast_join_count,
+    executed_plan,
+    sort_merge_join_count,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "apple banana apple"),
+        (2, "banana cherry"),
+        (3, "apple cherry durian"),
+        (4, "  "),  # tokenless
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_postings_exact_df_and_sorted_sample(docs):
+    out = {r["token"]: r for r in build_postings(docs, max_postings=2).collect()}
+    assert out["apple"]["df"] == 2 and out["apple"]["postings"] == "1,3"
+    assert out["banana"]["df"] == 2 and out["banana"]["postings"] == "1,2"
+    assert out["durian"]["df"] == 1 and out["durian"]["postings"] == "3"
+    # the cap bounds the sample, not the count
+    big = {r["token"]: r for r in build_postings(docs, max_postings=1).collect()}
+    assert big["apple"]["df"] == 2 and big["apple"]["postings"] == "1"
+
+
+def test_search_all_is_and_semantics(docs):
+    assert [r["doc_id"] for r in search_all(docs, ["apple", "cherry"]).collect()] == [3]
+    got = sorted(r["doc_id"] for r in search_all(docs, ["BANANA"]).collect())
+    assert got == [1, 2]  # query terms are lowercased like the index
+    assert search_all(docs, ["apple", "missing"]).count() == 0
+
+
+def test_search_validation(docs):
+    with pytest.raises(ValueError):
+        search_all(docs, [])
+    with pytest.raises(ValueError):
+        search_all(docs, ["a", "A"])
+
+
+def test_tfidf_scores_and_ranking(docs):
+    out = tfidf_top_terms(docs, top=2)
+    rows = {(r["doc_id"], r["token"]): r for r in out.collect()}
+    # doc 1: apple tf=2 df=2, banana tf=1 df=2 -> apple ranks first.
+    # N counts EVERY document (even tokenless ones): N=4 here, matching
+    # the oracle's count(DISTINCT doc_id) FROM documents.
+    assert rows[(1, "apple")]["tf"] == 2
+    assert rows[(1, "apple")]["tfidf"] == pytest.approx(
+        2 * math.log(4 / 2), abs=1e-6
+    )
+    # doc 3: durian df=1 beats shared terms
+    d3 = sorted(t for (d, t) in rows if d == 3)
+    assert "durian" in d3
+    # tokenless doc contributes no rows
+    assert not any(d == 4 for (d, _) in rows)
+
+
+def test_tfidf_ties_break_by_token(spark):
+    df = spark.createDataFrame([(1, "zeta alpha"), (2, "other")],
+                               "doc_id long, text string")
+    out = tfidf_top_terms(df, top=1).where(F.col("doc_id") == 1).collect()
+    assert out[0]["token"] == "alpha"  # equal scores -> lexicographic
+
+
+def test_plans(spark, sf_oracle):
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    tf = tfidf_top_terms(docs)
+    tf.collect()
+    assert broadcast_join_count(tf) >= 1  # df side broadcasts
+    assert sort_merge_join_count(tf) == 0
+    s = search_all(docs, ["dup", "vector"])
+    s.collect()
+    # the term filter runs before the aggregate's exchange
+    plan = executed_plan(s)
+    assert plan.index("Filter") > plan.index("Exchange") or "isin" not in plan.lower()
