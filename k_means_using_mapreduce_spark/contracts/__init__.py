@@ -22,6 +22,7 @@ from . import (
     packing_queries,
     repetition_queries,
     reshape_queries,
+    robust_queries,
     rollup_queries,
     sampling_queries,
     setop_queries,
@@ -49,6 +50,7 @@ _MODULES = [
     tpch_advanced_queries,
     setop_queries,
     stats_queries,
+    robust_queries,
     temporal_queries,
     timeseries_queries,
     rollup_queries,

@@ -1,0 +1,114 @@
+"""Robust statistics: median/MAD outlier detection and winsorized means.
+
+Quality filtering on real corpora uses robust statistics because crawl
+data is heavy-tailed: a mean/stddev z-score moves with the outliers it
+is trying to find, while median ± k·MAD does not. Same doctrine as the
+quality scores in functions/text.py, applied to numeric columns.
+
+Exactness: medians use Spark's exact ``percentile`` (linear
+interpolation), which is numerically identical to DuckDB's
+``quantile_cont`` — the parity the stats contracts already pin for
+grouped percentiles (contracts/stats_queries.py).
+
+Scale: exact MAD takes three aggregation passes by construction
+(median → deviations' median → threshold counts); each shuffles ONLY
+per-group aggregates, with the tiny per-group stats table joined back
+by broadcast. For a one-pass approximation at extreme scale, swap
+``percentile`` for ``percentile_approx`` — same plan shape, bounded
+error, no longer oracle-exact.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# scale factor making MAD a consistent sigma estimator for normal data
+MAD_SIGMA = 1.4826
+
+
+def group_median(
+    df: DataFrame, value_col: str, group_cols: Sequence[str]
+) -> DataFrame:
+    """Exact per-group median of ``value_col`` as column ``median``."""
+    return df.groupBy(*group_cols).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("median")
+    )
+
+
+def mad_outlier_stats(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    *,
+    k: float = 3.0,
+) -> DataFrame:
+    """Per-group robust outlier profile.
+
+    Output: ``(group..., n, median, mad, n_outliers, outlier_frac)``
+    where a row is an outlier when
+    ``|x - median| > k · MAD_SIGMA · mad``. A group with mad == 0 (over
+    half its values identical) reports outliers for ANY deviation — the
+    conventional, if strict, degenerate-case behavior; pre-filter such
+    groups if it is not what the pipeline wants."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    group_cols = list(group_cols)
+    med = group_median(df, value_col, group_cols)
+    with_med = df.join(F.broadcast(med), group_cols)
+    mad = (
+        with_med.withColumn("_absdev", F.abs(F.col(value_col) - F.col("median")))
+        .groupBy(*group_cols)
+        .agg(F.expr("percentile(_absdev, 0.5)").alias("mad"))
+    )
+    stats = med.join(F.broadcast(mad), group_cols)
+    flagged = df.join(F.broadcast(stats), group_cols).withColumn(
+        "_is_out",
+        F.abs(F.col(value_col) - F.col("median"))
+        > F.lit(k * MAD_SIGMA) * F.col("mad"),
+    )
+    return flagged.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n"),
+        F.first("median").alias("median"),
+        F.first("mad").alias("mad"),
+        F.sum(F.col("_is_out").cast("long")).cast("long").alias("n_outliers"),
+        (F.sum(F.col("_is_out").cast("long")) / F.count("*")).alias(
+            "outlier_frac"
+        ),
+    )
+
+
+def winsorized_mean(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    *,
+    lower: float = 0.05,
+    upper: float = 0.95,
+) -> DataFrame:
+    """Per-group mean after clamping values to the exact [lower, upper]
+    quantiles — the robust location estimate that, unlike trimming,
+    keeps n constant. Output: ``(group..., n, lo, hi, wmean)``."""
+    if not 0 <= lower < upper <= 1:
+        raise ValueError(f"need 0 <= lower < upper <= 1, got {lower}, {upper}")
+    group_cols = list(group_cols)
+    bounds = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile({value_col}, {lower})").alias("lo"),
+        F.expr(f"percentile({value_col}, {upper})").alias("hi"),
+    )
+    return (
+        df.join(F.broadcast(bounds), group_cols)
+        .withColumn(
+            "_clamped",
+            F.greatest(F.least(F.col(value_col), F.col("hi")), F.col("lo")),
+        )
+        .groupBy(*group_cols)
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.first("lo").alias("lo"),
+            F.first("hi").alias("hi"),
+            F.avg("_clamped").alias("wmean"),
+        )
+    )

@@ -100,3 +100,39 @@ def stratified_hash_sample(
             F.col(strata_col) == F.lit(stratum), F.lit(keep)
         ).otherwise(threshold)
     return df.where(hash_bucket(key, out_of) < threshold)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    key: str,
+    *,
+    n: int,
+) -> DataFrame:
+    """Keep at most ``n`` rows per ``group_col`` value, chosen by md5
+    hash order of ``key`` (ties broken by the key itself).
+
+    The per-domain cap every crawl pipeline applies: no single domain
+    may contribute more than n documents. Hash order makes the kept set
+    a deterministic pseudo-random sample — independent of input order,
+    partitioning, and retries, unlike rand()-ordered row_number.
+
+    Scale: one shuffle keyed by group for the row_number window. A
+    pathologically hot group serializes through one task; if one group
+    holds a double-digit share of ALL rows, hash_sample that group down
+    to ~10·n/|group| first and cap the sample. The kept set then comes
+    from the sampled bucket range instead of the global n-smallest
+    hashes — a DIFFERENT but still fully deterministic selection, which
+    is what matters for a cap (any unbiased deterministic n suffice).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    from pyspark.sql.window import Window
+
+    order_h = F.md5(F.col(key).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(order_h, F.col(key))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= n)
+        .drop("_rk")
+    )

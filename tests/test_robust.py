@@ -1,0 +1,90 @@
+"""operators/robust.py + sampling.cap_per_group: MAD semantics,
+winsorization, cap determinism under repartitioning, plan shapes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from k_means_using_mapreduce_spark.operators.robust import (
+    mad_outlier_stats,
+    winsorized_mean,
+)
+from k_means_using_mapreduce_spark.operators.sampling import cap_per_group
+from k_means_using_mapreduce_spark.plans.explain import (
+    broadcast_join_count,
+    sort_merge_join_count,
+)
+
+
+@pytest.fixture(scope="module")
+def vals(spark):
+    # group a: tight cluster around 10 with one wild outlier
+    rows = [("a", v) for v in [9.0, 10.0, 10.0, 10.0, 11.0, 1000.0]]
+    # group b: all identical -> mad == 0 degenerate case
+    rows += [("b", 5.0), ("b", 5.0), ("b", 5.0), ("b", 7.0)]
+    return spark.createDataFrame(rows, "g string, x double")
+
+
+def test_mad_flags_the_outlier(vals):
+    out = {r["g"]: r for r in mad_outlier_stats(vals, "x", ["g"]).collect()}
+    a = out["a"]
+    assert a["median"] == 10.0 and a["mad"] == 0.5
+    assert a["n_outliers"] == 1 and a["n"] == 6  # only the 1000.0
+    assert a["outlier_frac"] == pytest.approx(1 / 6)
+
+
+def test_mad_zero_degenerate_group(vals):
+    out = {r["g"]: r for r in mad_outlier_stats(vals, "x", ["g"]).collect()}
+    b = out["b"]
+    assert b["mad"] == 0.0
+    assert b["n_outliers"] == 1  # any deviation from the median flags
+
+
+def test_winsorized_mean_clamps_tails(spark):
+    rows = [("a", float(v)) for v in range(1, 101)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = winsorized_mean(df, "x", ["g"], lower=0.05, upper=0.95).collect()[0]
+    assert out["lo"] == pytest.approx(5.95)
+    assert out["hi"] == pytest.approx(95.05)
+    # clamping is symmetric here, so the mean stays 50.5
+    assert out["wmean"] == pytest.approx(50.5)
+    assert out["n"] == 100
+
+
+def test_validation(vals):
+    with pytest.raises(ValueError):
+        mad_outlier_stats(vals, "x", ["g"], k=0)
+    with pytest.raises(ValueError):
+        winsorized_mean(vals, "x", ["g"], lower=0.9, upper=0.1)
+    with pytest.raises(ValueError):
+        cap_per_group(vals, "g", "x", n=0)
+
+
+def test_cap_per_group_deterministic_under_repartition(spark):
+    rows = [(i, f"s{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    a = {
+        (r["source"], r["doc_id"])
+        for r in cap_per_group(df, "source", "doc_id", n=7).collect()
+    }
+    b = {
+        (r["source"], r["doc_id"])
+        for r in cap_per_group(
+            df.repartition(13), "source", "doc_id", n=7
+        ).collect()
+    }
+    assert a == b and len(a) == 21
+
+
+def test_cap_per_group_small_groups_intact(spark):
+    df = spark.createDataFrame([(1, "s"), (2, "s")], "doc_id long, source string")
+    assert cap_per_group(df, "source", "doc_id", n=10).count() == 2
+
+
+def test_mad_plan_broadcasts_group_stats(spark, sf_oracle):
+    li = spark.read.parquet(f"{sf_oracle}/lineitem.parquet")
+    out = mad_outlier_stats(li, "l_extendedprice", ["l_returnflag"])
+    out.collect()
+    assert broadcast_join_count(out) >= 2  # median + stats joins
+    assert sort_merge_join_count(out) == 0
