@@ -20,6 +20,7 @@ from . import (
     line_queries,
     multimodal_queries,
     packing_queries,
+    quantize_queries,
     repetition_queries,
     reshape_queries,
     robust_queries,
@@ -45,6 +46,7 @@ _MODULES = [
     repetition_queries,
     cleaning_queries,
     packing_queries,
+    quantize_queries,
     similarity_queries,
     tpch_queries,
     tpch_advanced_queries,
