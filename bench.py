@@ -106,6 +106,16 @@ BENCH_QUERIES = [
     "mixture_sample_summary",
     "classifier_scores_documents",
     "table_profile_lineitem",
+    # round-3 additions: line dedup, retrieval, time series, robust
+    # stats, per-group caps, scalar quantization
+    "line_dedup_documents",
+    "token_postings_documents",
+    "tfidf_top_terms_documents",
+    "hourly_gapfill_events",
+    "funnel_conversion_events",
+    "price_outliers_mad",
+    "source_cap_documents",
+    "embedding_quantize_stats",
 ]
 
 KMEANS_FIT_K = 8

@@ -18,6 +18,7 @@ from . import (
     index_queries,
     kmeans_queries,
     line_queries,
+    lm_queries,
     multimodal_queries,
     packing_queries,
     quantize_queries,
@@ -42,6 +43,7 @@ _MODULES = [
     dedup_queries,
     line_queries,
     index_queries,
+    lm_queries,
     text_queries,
     repetition_queries,
     cleaning_queries,

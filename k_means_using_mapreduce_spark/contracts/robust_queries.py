@@ -8,7 +8,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.robust import MAD_SIGMA, mad_outlier_stats, winsorized_mean
+from ..operators.robust import (
+    MAD_SIGMA,
+    mad_outlier_stats,
+    percentile_rank_filter,
+    winsorized_mean,
+)
 from ..operators.sampling import cap_per_group
 from ..sources.loaders import load_table
 
@@ -84,13 +89,50 @@ GROUP BY l.l_returnflag
 """
 
 
+def quality_percentile_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep documents at or above the within-language quality-score
+    quartile — per-group relative filtering, no absolute threshold."""
+    from ..functions.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "q", quality_score("text")
+    )
+    return percentile_rank_filter(docs, "q", ["lang"], min_pct=0.25).select(
+        "doc_id", "lang"
+    )
+
+
+QUALITY_PCT_SQL: str  # assigned below to keep the f-string near its use
+
+
+def _quality_pct_sql() -> str:
+    from ._sql_text import sql_quality_score
+
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang, {sql_quality_score('text')} AS q FROM documents
+), ranked AS (
+  SELECT doc_id, lang,
+         percent_rank() OVER (PARTITION BY lang ORDER BY q) AS pct,
+         count(*) OVER (PARTITION BY lang) AS gn
+  FROM scored
+)
+SELECT doc_id, lang FROM ranked WHERE pct >= 0.25 OR gn = 1
+"""
+
+
+QUALITY_PCT_SQL = _quality_pct_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "quality_percentile_filter_documents": quality_percentile_filter_documents,
     "source_cap_documents": source_cap_documents,
     "price_outliers_mad": price_outliers_mad,
     "winsorized_price_by_flag": winsorized_price_by_flag,
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "quality_percentile_filter_documents": QUALITY_PCT_SQL,
     "source_cap_documents": SOURCE_CAP_SQL,
     "price_outliers_mad": PRICE_MAD_SQL,
     "winsorized_price_by_flag": WINSORIZED_SQL,

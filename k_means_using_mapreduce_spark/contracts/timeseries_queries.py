@@ -13,7 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.timeseries import funnel, resample_counts
+from ..operators.timeseries import funnel, resample_counts, retention_cohorts
 from ..sources.loaders import load_table, ns_to_timestamp
 
 _HOUR_US = 3_600_000_000
@@ -101,12 +101,48 @@ SELECT * FROM (
 """
 
 
+def daily_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohorts (the events table spans ~a week — weekly cohorts
+    would collapse to one)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", ns_to_timestamp("ts")
+    )
+    out = retention_cohorts(ev, unit="day")
+    return out.select(
+        (F.col("cohort")).alias("cohort_us"), "offset", "n_users", "retention"
+    )
+
+
+_DAY_US = 86_400_000_000
+
+RETENTION_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT user_id,
+         epoch_us(ts) - epoch_us(ts) % {_DAY_US} AS b
+  FROM events
+), cohorted AS (
+  SELECT user_id, b, min(b) OVER (PARTITION BY user_id) AS cohort
+  FROM pairs
+), counts AS (
+  SELECT cohort, (b - cohort) // {_DAY_US} AS "offset",
+         CAST(count(*) AS BIGINT) AS n_users
+  FROM cohorted GROUP BY 1, 2
+)
+SELECT c.cohort AS cohort_us, c."offset", c.n_users,
+       CAST(c.n_users AS DOUBLE) / b0.n_users AS retention
+FROM counts c JOIN (SELECT cohort, n_users FROM counts WHERE "offset" = 0) b0
+  USING (cohort)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hourly_gapfill_events": hourly_gapfill_events,
     "funnel_conversion_events": funnel_conversion_events,
+    "daily_retention_events": daily_retention_events,
 }
 
 ORACLE_SQL: dict[str, str] = {
     "hourly_gapfill_events": HOURLY_GAPFILL_SQL,
     "funnel_conversion_events": FUNNEL_SQL,
+    "daily_retention_events": RETENTION_SQL,
 }

@@ -112,3 +112,44 @@ def winsorized_mean(
             F.avg("_clamped").alias("wmean"),
         )
     )
+
+
+def percentile_rank_filter(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    *,
+    min_pct: float = 0.25,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Keep rows whose ``value_col`` sits at or above the ``min_pct``
+    percent_rank WITHIN their group — "drop the worst quartile per
+    language" without picking per-group absolute thresholds.
+
+    percent_rank is (rank - 1) / (n - 1): ties share a rank, so equal
+    values are kept or dropped together (deterministic across engines);
+    a single-row group has percent_rank 0 and is always kept.
+    ``rank_col`` optionally surfaces the rank in the output. One
+    group-keyed window shuffle; for a pathologically hot single group,
+    the two-pass alternative (exact percentile threshold broadcast +
+    filter, see mad_outlier_stats' shape) trades a second aggregate
+    for a parallel filter.
+    """
+    from pyspark.sql.window import Window
+
+    if not 0 <= min_pct <= 1:
+        raise ValueError(f"min_pct must be in [0, 1], got {min_pct}")
+    w = Window.partitionBy(*group_cols).orderBy(F.col(value_col))
+    wc = Window.partitionBy(*group_cols)
+    out = (
+        df.withColumn("_pct", F.percent_rank().over(w))
+        # the group-count window shares the rank window's exchange;
+        # without the n==1 escape a singleton group (percent_rank 0)
+        # would lose its only row to any min_pct > 0
+        .withColumn("_gn", F.count("*").over(wc))
+        .where((F.col("_pct") >= min_pct) | (F.col("_gn") == 1))
+        .drop("_gn")
+    )
+    if rank_col is not None:
+        return out.withColumnRenamed("_pct", rank_col)
+    return out.drop("_pct")

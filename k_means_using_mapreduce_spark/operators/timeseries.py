@@ -189,3 +189,56 @@ def funnel(
         ).alias("s")
     ).select("s.*")
     return per_step
+
+
+def retention_cohorts(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    unit: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity bucket,
+    counted at each later bucket they returned in.
+
+    Output: ``(cohort, offset, n_users, retention)`` — cohort is the
+    first-activity bucket (epoch-anchored, see _UNIT_US), offset the
+    whole number of units after it, and retention the fraction of the
+    cohort active at that offset (1.0 at offset 0 by construction).
+
+    Plan: distinct (user, bucket) pairs (one aggregate — this is also
+    the map-side-combine step, raw events never shuffle twice), a
+    window min per user for the cohort (one user-keyed exchange), a
+    (cohort, offset) count, and a broadcast join of the tiny cohort-
+    size table for the rate. Timestamps must be real timestamps; for
+    the engine's bigint-ns event time convert with
+    sources.loaders.ns_to_timestamp first.
+    """
+    if unit not in _UNIT_US:
+        raise ValueError(f"unit must be one of {sorted(_UNIT_US)}, got {unit!r}")
+    unit_us = _UNIT_US[unit]
+    us = F.unix_micros(F.col(ts_col))
+    pairs = events.select(
+        F.col(user_col).alias("user"), (us - us % F.lit(unit_us)).alias("b")
+    ).distinct()
+    with_cohort = pairs.withColumn(
+        "cohort", F.min("b").over(Window.partitionBy("user"))
+    )
+    counts = (
+        with_cohort.groupBy(
+            "cohort",
+            ((F.col("b") - F.col("cohort")) / F.lit(unit_us))
+            .cast("long")
+            .alias("offset"),
+        )
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+    base = counts.where(F.col("offset") == 0).select(
+        "cohort", F.col("n_users").alias("_n0")
+    )
+    return counts.join(F.broadcast(base), "cohort").select(
+        "cohort",
+        "offset",
+        "n_users",
+        (F.col("n_users") / F.col("_n0")).alias("retention"),
+    )

@@ -1,0 +1,80 @@
+"""operators/lm.py: smoothed model mass, OOV handling on new batches,
+score ordering (gibberish scores below typical text), plan shape."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from k_means_using_mapreduce_spark.operators.lm import (
+    fit_unigram_model,
+    score_documents,
+)
+from k_means_using_mapreduce_spark.plans.explain import sort_merge_join_count
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(i, "the cat sat on the mat") for i in range(1, 5)]
+    rows.append((5, "the dog sat"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_model_probabilities_sum_below_one(corpus):
+    model = fit_unigram_model(corpus).collect()
+    total_mass = sum(math.exp(r["logprob"]) for r in model)
+    # the missing mass is exactly the reserved unknown share
+    assert 0 < total_mass < 1
+    n = sum(r["n"] for r in model)
+    v = len(model)
+    assert total_mass == pytest.approx((n + v) / (n + v + 1))
+
+
+def test_model_counts_and_ranking(corpus):
+    model = {r["token"]: r for r in fit_unigram_model(corpus).collect()}
+    assert model["the"]["n"] == 9
+    assert model["dog"]["n"] == 1
+    assert model["the"]["logprob"] > model["dog"]["logprob"]
+
+
+def test_scores_rank_typical_above_gibberish(spark, corpus):
+    model = fit_unigram_model(corpus)
+    batch = spark.createDataFrame(
+        [(10, "the cat sat"), (11, "zyx qwv jkl")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in score_documents(batch, model).collect()}
+    assert out[10]["avg_logprob"] > out[11]["avg_logprob"]
+    assert out[10]["n_tokens"] == 3
+
+
+def test_oov_uses_reserved_mass(spark, corpus):
+    model = fit_unigram_model(corpus)
+    rows = model.collect()
+    n = sum(r["n"] for r in rows)
+    v = len(rows)
+    expected_unk = math.log(1.0 / (n + (v + 1.0)))
+    batch = spark.createDataFrame([(10, "zzzz")], "doc_id long, text string")
+    out = score_documents(batch, model).collect()[0]
+    assert out["avg_logprob"] == pytest.approx(expected_unk)
+
+
+def test_tokenless_docs_omitted(spark, corpus):
+    model = fit_unigram_model(corpus)
+    batch = spark.createDataFrame([(10, "   ")], "doc_id long, text string")
+    assert score_documents(batch, model).count() == 0
+
+
+def test_validation(corpus):
+    with pytest.raises(ValueError):
+        fit_unigram_model(corpus, alpha=0)
+    with pytest.raises(ValueError):
+        score_documents(corpus, fit_unigram_model(corpus), alpha=-1)
+
+
+def test_scoring_broadcasts_model(spark, sf_oracle):
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    out = score_documents(docs, fit_unigram_model(docs))
+    out.collect()
+    assert sort_merge_join_count(out) == 0  # |vocab|-row model: broadcast

@@ -88,3 +88,27 @@ def test_mad_plan_broadcasts_group_stats(spark, sf_oracle):
     out.collect()
     assert broadcast_join_count(out) >= 2  # median + stats joins
     assert sort_merge_join_count(out) == 0
+
+
+def test_percentile_rank_filter_keeps_upper_quartiles(spark):
+    from k_means_using_mapreduce_spark.operators.robust import (
+        percentile_rank_filter,
+    )
+
+    rows = [("en", float(v)) for v in range(1, 6)]  # ranks 0,.25,.5,.75,1
+    rows += [("fr", 9.0)]  # singleton group: percent_rank 0, always kept
+    df = spark.createDataFrame(rows, "lang string, q double")
+    out = percentile_rank_filter(df, "q", ["lang"], min_pct=0.5)
+    got = sorted((r["lang"], r["q"]) for r in out.collect())
+    assert got == [("en", 3.0), ("en", 4.0), ("en", 5.0), ("fr", 9.0)]
+    # ties are kept or dropped together
+    tied = spark.createDataFrame(
+        [("en", 1.0), ("en", 2.0), ("en", 2.0)], "lang string, q double"
+    )
+    kept = percentile_rank_filter(tied, "q", ["lang"], min_pct=0.5)
+    assert kept.count() == 2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        percentile_rank_filter(df, "q", ["lang"], min_pct=1.5)

@@ -101,3 +101,35 @@ def test_funnel_single_exchange_for_all_steps(spark, sf_oracle):
     # chained window mins share one hash exchange on user_id; the final
     # 1-row aggregate adds its own single-partition exchange
     assert exchange_count(out) <= 2
+
+
+def test_retention_cohorts(spark):
+    from datetime import datetime, timedelta
+
+    from k_means_using_mapreduce_spark.operators.timeseries import (
+        retention_cohorts,
+    )
+
+    d0 = datetime(2024, 1, 1, 12)
+
+    def day(n):
+        return d0 + timedelta(days=n)
+
+    rows = [
+        (1, day(0)), (1, day(1)), (1, day(2)),   # cohort d0, returns d1 d2
+        (2, day(0)), (2, day(2)),                # cohort d0, returns d2
+        (3, day(1)),                             # cohort d1, never returns
+        (1, day(0)),                             # duplicate activity same day
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        (r["cohort"], r["offset"]): r
+        for r in retention_cohorts(ev, unit="day").collect()
+    }
+    c0 = min(c for c, _ in out)
+    assert out[(c0, 0)]["n_users"] == 2 and out[(c0, 0)]["retention"] == 1.0
+    assert out[(c0, 1)]["n_users"] == 1 and out[(c0, 1)]["retention"] == 0.5
+    assert out[(c0, 2)]["n_users"] == 2
+    c1 = max(c for c, _ in out)
+    assert out[(c1, 0)]["n_users"] == 1
+    assert len(out) == 4
