@@ -130,15 +130,17 @@ def drop_frequent_lines(
     (one shuffle on the document key). cleaned_text is rebuilt with
     the window's joiner so the output is oracle-reproducible."""
     segs = segment_lines(df, id_col=id_col, text_col=text_col, window=window)
-    freq = frequent_lines(segs, id_col=id_col, min_docs=min_docs).select("line_h")
-    segs = segs.withColumn("line_h", _line_hash(F.col("line")))
+    # the frequent set is tiny, so the mark join broadcasts on the LINE
+    # TEXT itself — the wide side never computes md5 (the hash exists to
+    # narrow frequent_lines' aggregation shuffle, not the join)
+    freq = frequent_lines(segs, id_col=id_col, min_docs=min_docs).select("line")
     freq_marked = freq.withColumn("_boiler", F.lit(True))
-    hit = segs.join(F.broadcast(freq_marked), "line_h", "left").withColumn(
+    hit = segs.join(F.broadcast(freq_marked), "line", "left").withColumn(
         "is_boiler", F.coalesce(F.col("_boiler"), F.lit(False))
     )
     if keep_first:
         first_rank = F.row_number().over(
-            Window.partitionBy("line_h").orderBy(F.col(id_col), F.col("line_no"))
+            Window.partitionBy("line").orderBy(F.col(id_col), F.col("line_no"))
         )
         hit = hit.withColumn(
             "is_boiler", F.col("is_boiler") & (first_rank > 1)

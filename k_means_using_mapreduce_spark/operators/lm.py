@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.text import tokens
 
@@ -89,4 +90,47 @@ def score_documents(
         F.count("*").cast("long").alias("n_tokens"),
         F.sum("_lp").alias("logprob_sum"),
         F.avg("_lp").alias("avg_logprob"),
+    )
+
+
+def source_divergence(
+    df: DataFrame,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group token-distribution drift vs the whole corpus.
+
+    Output: ``(group, n_tokens, entropy, kl_corpus)`` — Shannon entropy
+    of the group's unigram distribution and KL(group ‖ corpus), both in
+    nats. The pipeline use: a source whose KL spikes is drifting from
+    the mix (a scraper broke, a new domain flooded in) — the
+    distribution-level complement of per-document LM scoring.
+
+    No smoothing needed: every group token occurs in the corpus by
+    construction, so q(t) > 0 wherever p(t) > 0; zero-count terms
+    contribute 0 to both sums.
+
+    Scale: one (group, token)-keyed count, a broadcast join of the
+    |vocab|-row corpus counts, one group-keyed aggregate.
+    """
+    pairs = df.select(
+        F.col(group_col).alias("grp"), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    gcounts = pairs.groupBy("grp", "token").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    corpus = gcounts.groupBy("token").agg(F.sum("n").alias("cn"))
+    corpus_total = corpus.agg(F.sum("cn").alias("ct"))
+    joined = (
+        gcounts.join(F.broadcast(corpus), "token")
+        .crossJoin(F.broadcast(corpus_total))
+        .withColumn("gt", F.sum("n").over(Window.partitionBy("grp")))
+        .withColumn("p", F.col("n") / F.col("gt"))
+        .withColumn("q", F.col("cn") / F.col("ct"))
+    )
+    return joined.groupBy(F.col("grp").alias(group_col)).agg(
+        F.first("gt").cast("long").alias("n_tokens"),
+        (-F.sum(F.col("p") * F.log("p"))).alias("entropy"),
+        F.sum(F.col("p") * F.log(F.col("p") / F.col("q"))).alias("kl_corpus"),
     )

@@ -78,3 +78,34 @@ def test_scoring_broadcasts_model(spark, sf_oracle):
     out = score_documents(docs, fit_unigram_model(docs))
     out.collect()
     assert sort_merge_join_count(out) == 0  # |vocab|-row model: broadcast
+
+
+def test_source_divergence(spark):
+    import math as m
+
+    from k_means_using_mapreduce_spark.operators.lm import source_divergence
+
+    rows = [
+        # sources a and b have IDENTICAL distributions -> corpus matches
+        # both -> KL = 0 for each
+        (1, "x x y", "a"),
+        (2, "x x y", "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in source_divergence(df).collect()}
+    for s in ("a", "b"):
+        assert out[s]["kl_corpus"] == pytest.approx(0.0, abs=1e-12)
+        # H([2/3, 1/3])
+        expect = -(2 / 3) * m.log(2 / 3) - (1 / 3) * m.log(1 / 3)
+        assert out[s]["entropy"] == pytest.approx(expect)
+        assert out[s]["n_tokens"] == 3
+
+    skew = spark.createDataFrame(
+        [(1, "x x x x", "a"), (2, "y y y y", "b")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in source_divergence(skew).collect()}
+    # each source is a point mass, corpus is 50/50 -> KL = ln 2
+    for s in ("a", "b"):
+        assert out[s]["kl_corpus"] == pytest.approx(m.log(2))
+        assert out[s]["entropy"] == pytest.approx(0.0, abs=1e-12)
