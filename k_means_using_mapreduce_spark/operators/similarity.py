@@ -115,6 +115,7 @@ def build_ivf_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     mode: str = "overwrite",
+    quantize: bool = False,
 ) -> None:
     """Materialize an IVF index on disk: the corpus assigned to its
     coarse-quantizer bucket and written **hive-partitioned by cid**
@@ -127,14 +128,30 @@ def build_ivf_index(
     nprobe=8, a query touches ~0.2% of the corpus bytes.
     ``tests/test_ivf_index.py`` pins the pruned-scan plan
     (PartitionFilters carry the probe predicate, PushedFilters empty)
-    and multi-probe recall."""
+    and multi-probe recall.
+
+    ``quantize=True`` stores int8-range scalar-quantized codes
+    (operators/quantize.py) instead of float vectors — the probe
+    dequantizes against the per-dim scales saved at ``{path}/qstats``.
+    4× fewer index bytes per probe; recall cost is bounded by the
+    quantizer's scale/2-per-dim error and pinned by a recall test."""
     from .kmeans import assign
 
     feats = df.select(
         F.col(id_col).alias(id_col),
         F.col(vec_col).cast("array<double>").alias("features"),
     )
+    if quantize:
+        from .quantize import dim_stats, quantize_vectors
+
+        stats = dim_stats(feats, vec_col="features")
+        stats.coalesce(1).write.mode(mode).parquet(f"{path}/qstats")
+        feats = quantize_vectors(feats, stats, vec_col="features")
     bucketed = assign(feats, centroids, keep_dist=False)
+    if quantize:
+        bucketed = bucketed.drop("features").withColumnRenamed(
+            "codes", "features_q"
+        )
     # one file per bucket dir (vs tasks×buckets small files at scale)
     bucketed.repartition(F.col("cid")).write.mode(mode).partitionBy("cid").parquet(
         f"{path}/corpus"
@@ -183,6 +200,16 @@ def ivf_topk_pruned(
     cents = load_ivf_centroids(spark, path)
     probes = probe_buckets(cents, query, nprobe)
     corpus = spark.read.parquet(f"{path}/corpus").where(F.col("cid").isin(probes))
+    if "features_q" in corpus.columns:
+        # quantized index: reconstruct vectors from the stored codes —
+        # the scales fold in as literals, so this stays a narrow
+        # projection over the (4× smaller) pruned scan
+        from .quantize import dequantize
+
+        stats_rows = spark.read.parquet(f"{path}/qstats").collect()
+        corpus = corpus.withColumn(
+            "features", dequantize("features_q", stats_rows)
+        )
     score = cosine_similarity_expr(F.col("features"), _lit_vec(query))
     return (
         corpus.select(F.col(id_col).alias(id_col), score.alias("score"))

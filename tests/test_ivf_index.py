@@ -142,3 +142,60 @@ def test_pruned_probe_matches_in_memory_ivf(spark, ivf):
         ).collect()
     ]
     assert a == b
+
+
+@pytest.fixture(scope="module")
+def ivf_q(spark, ivf, tmp_path_factory):
+    """The SAME corpus and coarse quantizer, materialized with
+    quantize=True: codes + qstats on disk, no float vectors."""
+    path = str(tmp_path_factory.mktemp("ivfq") / "index")
+    S.build_ivf_index(ivf["emb"], ivf["cents"], path, quantize=True)
+    return {"path": path}
+
+
+def test_quantized_index_stores_codes_not_floats(spark, ivf_q):
+    corpus = spark.read.parquet(f"{ivf_q['path']}/corpus")
+    assert "features_q" in corpus.columns and "features" not in corpus.columns
+    dt = corpus.schema["features_q"].dataType.simpleString()
+    assert dt == "array<int>"
+    stats = spark.read.parquet(f"{ivf_q['path']}/qstats")
+    assert stats.count() == 64
+
+
+def test_quantized_probe_still_partition_pruned(spark, ivf, ivf_q):
+    df = S.ivf_topk_pruned(spark, ivf_q["path"], ivf["query"], k=10, nprobe=2)
+    df.collect()
+    plan = executed_plan(df)
+    scans = [ln for ln in plan.splitlines() if "Scan parquet" in ln and "corpus" in ln]
+    assert scans and all("PartitionFilters: [" in ln for ln in scans)
+
+
+def test_quantized_recall_vs_exact(spark, ivf, ivf_q):
+    exact = [
+        r["vec_id"]
+        for r in S.topk_for_query(ivf["emb"], ivf["query"], k=10).collect()
+    ]
+    got = [
+        r["vec_id"]
+        for r in S.ivf_topk_pruned(
+            spark, ivf_q["path"], ivf["query"], k=10, nprobe=K_BUCKETS
+        ).collect()
+    ]
+    # full-probe quantized search isolates the quantization error alone:
+    # 64-dim int8-range codes must keep recall@10 high
+    recall = len(set(got) & set(exact)) / 10
+    assert recall >= 0.9, (recall, got, exact)
+
+
+def test_quantized_multiprobe_recall(spark, ivf, ivf_q):
+    exact = {
+        r["vec_id"]
+        for r in S.topk_for_query(ivf["emb"], ivf["query"], k=10).collect()
+    }
+    got = {
+        r["vec_id"]
+        for r in S.ivf_topk_pruned(
+            spark, ivf_q["path"], ivf["query"], k=10, nprobe=4
+        ).collect()
+    }
+    assert len(got & exact) / 10 >= 0.7  # pruning + quantization combined
