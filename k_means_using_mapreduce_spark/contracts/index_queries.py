@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from ..operators.index import build_postings, search_all, tfidf_top_terms
 from ..sources.loaders import load_table
 from ._sql_text import sql_tokens
+from .similarity_queries import QUERY_VEC as _QUERY_VEC
 
 _TERMS = ("dup", "vector", "stream")  # 'dup' is rare: the selective leg
 _TOP = 3
@@ -78,13 +79,48 @@ FROM ranked WHERE rk <= {_TOP}
 """
 
 
+def hybrid_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-shaped retrieval: keyword AND-filter (selective term prunes
+    first), then cosine ranking over the surviving embeddings only
+    (documents and embeddings share ids in the testdata)."""
+    from ..operators.index import hybrid_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hybrid_search(docs, emb, _TERMS, _QUERY_VEC, k=10)
+
+
+
+
+
+def _hybrid_sql() -> str:
+    from .similarity_queries import _cos_sql, _vec_sql
+
+    return f"""
+WITH pairs AS ({_PAIRS}),
+hits AS (
+  SELECT doc_id FROM pairs WHERE token IN ({_TERMS_LIT})
+  GROUP BY doc_id HAVING count(*) = {len(_TERMS)}
+)
+SELECT e.vec_id AS doc_id,
+       {_cos_sql('e.embedding::DOUBLE[]', _vec_sql(_QUERY_VEC))} AS score
+FROM embeddings e JOIN hits h ON e.vec_id = h.doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+HYBRID_SQL = _hybrid_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "hybrid_search_documents": hybrid_search_documents,
     "token_postings_documents": token_postings_documents,
     "token_search_documents": token_search_documents,
     "tfidf_top_terms_documents": tfidf_top_terms_documents,
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "hybrid_search_documents": HYBRID_SQL,
     "token_postings_documents": TOKEN_POSTINGS_SQL,
     "token_search_documents": TOKEN_SEARCH_SQL,
     "tfidf_top_terms_documents": TFIDF_SQL,

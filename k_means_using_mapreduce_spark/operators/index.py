@@ -125,3 +125,43 @@ def tfidf_top_terms(
         .where(F.col("_rk") <= top)
         .select(id_col, "token", "tf", "df", F.round("tfidf", 6).alias("tfidf"))
     )
+
+
+def hybrid_search(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    terms: Sequence[str],
+    query_vec: Sequence[float],
+    *,
+    k: int = 10,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Keyword-constrained vector search (the RAG retrieval shape):
+    documents containing ALL ``terms``, ranked by cosine similarity of
+    their embedding to ``query_vec``; top ``k`` as ``(id, score)``.
+
+    Plan: the boolean term filter runs FIRST and its (small) id set
+    broadcasts into the embeddings scan, so the vector math — the
+    expensive leg — touches only candidates. With a selective term this
+    beats scoring the corpus then filtering by orders of magnitude; the
+    planner can't make that trade for you when the filter and the
+    ranking live in different systems, which is the point of doing both
+    in one engine."""
+    from ..functions.vectors import cosine_similarity_expr
+
+    hits = search_all(docs, terms, id_col=id_col, text_col=text_col).select(
+        F.col(id_col).alias(vec_id_col)
+    )
+    cand = embeddings.join(F.broadcast(hits), vec_id_col)
+    score = cosine_similarity_expr(
+        F.col(vec_col).cast("array<double>"),
+        F.array(*[F.lit(float(v)) for v in query_vec]),
+    )
+    return (
+        cand.select(F.col(vec_id_col).alias(id_col), score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

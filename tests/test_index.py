@@ -91,3 +91,31 @@ def test_plans(spark, sf_oracle):
     # the term filter runs before the aggregate's exchange
     plan = executed_plan(s)
     assert plan.index("Filter") > plan.index("Exchange") or "isin" not in plan.lower()
+
+
+def test_hybrid_search_filters_then_ranks(spark):
+    from k_means_using_mapreduce_spark.operators.index import hybrid_search
+
+    docs = spark.createDataFrame(
+        [(1, "apple pie"), (2, "apple tart"), (3, "banana")],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = hybrid_search(docs, emb, ["apple"], [1.0, 0.0], k=5).collect()
+    # doc 3 matches the vector perfectly but fails the keyword filter
+    assert [r["doc_id"] for r in out] == [1, 2]
+    assert out[0]["score"] == pytest.approx(1.0)
+
+
+def test_hybrid_search_broadcasts_hit_set(spark, sf_oracle):
+    from k_means_using_mapreduce_spark.operators.index import hybrid_search
+
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    out = hybrid_search(docs, emb, ["dup", "vector"], [0.0] * 63 + [1.0], k=10)
+    out.collect()
+    assert broadcast_join_count(out) >= 1
+    assert sort_merge_join_count(out) == 0
