@@ -7,7 +7,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.index import build_postings, search_all, tfidf_top_terms
+from ..operators.index import bm25_search, build_postings, search_all, tfidf_top_terms
 from ..sources.loaders import load_table
 from ._sql_text import sql_tokens
 from .similarity_queries import QUERY_VEC as _QUERY_VEC
@@ -112,7 +112,44 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 HYBRID_SQL = _hybrid_sql()
 
 
+def bm25_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_search(docs, _TERMS, k=10)
+
+
+_K1, _B = 1.2, 0.75
+_T = sql_tokens("text")
+
+# arithmetic parenthesization mirrors operators/index.py::bm25_search
+# operation-for-operation so the doubles agree bit-for-bit pre-rounding
+BM25_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, len({_T}) AS dl, unnest({_T}) AS token FROM documents
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         avg(CAST(len({_T}) AS DOUBLE)) AS avgdl
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf, any_value(dl) AS dl
+  FROM toks WHERE token IN ({_TERMS_LIT}) GROUP BY 1, 2
+), dfreq AS (
+  SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * tf.tf * {_K1 + 1.0!r}
+           / (tf.tf + {_K1!r} * ({1.0 - _B!r} + ({_B!r} * tf.dl) / s.avgdl))
+           AS ts
+  FROM tf JOIN dfreq d USING (token), stats s
+)
+SELECT doc_id, round(sum(ts), 6) AS score
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "bm25_topk_documents": bm25_topk_documents,
     "hybrid_search_documents": hybrid_search_documents,
     "token_postings_documents": token_postings_documents,
     "token_search_documents": token_search_documents,
@@ -120,6 +157,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "bm25_topk_documents": BM25_SQL,
     "hybrid_search_documents": HYBRID_SQL,
     "token_postings_documents": TOKEN_POSTINGS_SQL,
     "token_search_documents": TOKEN_SEARCH_SQL,

@@ -165,3 +165,84 @@ def hybrid_search(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def bm25_search(
+    df: DataFrame,
+    terms: Sequence[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25-ranked top-``k`` documents for a bag of query terms.
+
+    score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1-b+b·|d|/avgdl))
+    with the Robertson-Sparck-Jones idf ``ln(1 + (N-df+0.5)/(df+0.5))``
+    (the Lucene form — always positive, so a term in most documents
+    dilutes rather than flips the ranking). Documents matching ANY term
+    are scored (OR semantics); compose with :func:`search_all` for AND.
+
+    Plan: per-(doc, term) tf for QUERY TERMS ONLY (the isin filter runs
+    under the explode, so the aggregate sees |terms|·df rows); doc
+    lengths ride along via a first() on the pre-computed per-row length;
+    the |terms|-row df table and the 1-row corpus stats both broadcast.
+    Ranking rounds to 6 decimals before comparing (token tie-break is
+    irrelevant here — the unit is the document) so selection does not
+    hinge on the last ulp of ln.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    terms = [t.lower() for t in terms]
+    if not terms:
+        raise ValueError("bm25_search needs at least one term")
+    if len(set(terms)) != len(terms):
+        raise ValueError(f"duplicate terms in query: {terms}")
+
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col), F.size(toks).alias("dl"), F.explode(toks).alias("token")
+    )
+    # corpus stats: N and avgdl over ALL docs (cheap 1-row aggregate on
+    # the unexploded relation — token-less docs count toward both)
+    stats = df.select(F.size(tokens(F.col(text_col))).alias("dl")).agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        base.where(F.col("token").isin(terms))
+        .groupBy(id_col, "token")
+        .agg(F.count("*").cast("double").alias("tf"), F.first("dl").alias("dl"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").cast("double").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * F.col("tf")
+            * F.lit(k1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.round(F.sum("term_score"), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

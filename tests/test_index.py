@@ -119,3 +119,41 @@ def test_hybrid_search_broadcasts_hit_set(spark, sf_oracle):
     out.collect()
     assert broadcast_join_count(out) >= 1
     assert sort_merge_join_count(out) == 0
+
+
+def test_bm25_prefers_rare_term_and_respects_length(spark):
+    from k_means_using_mapreduce_spark.operators.index import bm25_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "rare common common common"),
+            (2, "common common common common"),
+            (3, "rare rare filler filler filler filler filler filler"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_search(docs, ["rare", "common"], k=3).collect()
+    ids = [r["doc_id"] for r in out]
+    # doc 1 has both terms; 'rare' (df=2/3) outscores 'common' enough
+    # that docs containing it beat the common-only doc
+    assert ids[0] == 1
+    assert set(ids) == {1, 2, 3}
+    assert all(out[i]["score"] >= out[i + 1]["score"] for i in range(len(out) - 1))
+
+
+def test_bm25_or_semantics_and_validation(spark):
+    import pytest as _pytest
+
+    from k_means_using_mapreduce_spark.operators.index import bm25_search
+
+    docs = spark.createDataFrame(
+        [(1, "apple"), (2, "banana"), (3, "cherry")], "doc_id long, text string"
+    )
+    out = bm25_search(docs, ["apple", "banana"], k=10).collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 2]  # OR, not AND
+    with _pytest.raises(ValueError):
+        bm25_search(docs, [])
+    with _pytest.raises(ValueError):
+        bm25_search(docs, ["x", "X"])
+    with _pytest.raises(ValueError):
+        bm25_search(docs, ["x"], k=0)
