@@ -116,6 +116,13 @@ BENCH_QUERIES = [
     "price_outliers_mad",
     "source_cap_documents",
     "embedding_quantize_stats",
+    "unigram_logprob_documents",
+    "source_divergence_documents",
+    "bm25_topk_documents",
+    "hybrid_search_documents",
+    "quality_percentile_filter_documents",
+    "daily_retention_events",
+    "winsorized_price_by_flag",
 ]
 
 KMEANS_FIT_K = 8

@@ -146,3 +146,27 @@ ORACLE_SQL: dict[str, str] = {
     "funnel_conversion_events": FUNNEL_SQL,
     "daily_retention_events": RETENTION_SQL,
 }
+
+
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style compaction: each user's most recent event (ties on ts
+    broken by event_id, making the order tuple unique)."""
+    from ..operators.temporal import latest_by_key
+
+    ev = load_table(spark, sf_dir, "events")
+    return latest_by_key(ev, ["user_id"], ["ts", "event_id"]).select(
+        "user_id", "event_id", F.col("ts").alias("ts_ns"), "event_type", "value"
+    )
+
+
+LATEST_EVENT_SQL = """
+SELECT user_id, event_id, ts_ns, event_type, value FROM (
+  SELECT user_id, event_id, epoch_ns(ts) AS ts_ns, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+QUERIES["latest_event_per_user"] = latest_event_per_user
+ORACLE_SQL["latest_event_per_user"] = LATEST_EVENT_SQL

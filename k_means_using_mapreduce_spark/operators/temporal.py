@@ -227,3 +227,31 @@ def interval_bucket_join(
         .where((F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) < F.col(end_ts)))
         .drop("_ibj_bucket")
     )
+
+
+def latest_by_key(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+) -> DataFrame:
+    """One row per key: the row with the greatest ``order_cols`` tuple —
+    CDC/log compaction ("current state of each entity from its event
+    stream"). Ties on the full order tuple are broken arbitrarily but
+    deterministically only if the caller makes the tuple unique (append
+    a unique id as the last order column, as the contracts do).
+
+    One key-partitioned window shuffle. At 100 TB this is the snapshot
+    step of every mutable-entity pipeline; the streaming twin is
+    streaming/sinks.py's idempotent upsert (same key semantics,
+    incremental instead of full-scan).
+    """
+    if not key_cols or not order_cols:
+        raise ValueError("latest_by_key needs key_cols and order_cols")
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

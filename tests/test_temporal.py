@@ -250,3 +250,23 @@ def test_interval_bucket_join_multiday_buckets(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         interval_bucket_join(pts, iv, "ts", "start", "end", bucket_days=0)
+
+
+def test_latest_by_key_cdc_compaction(spark):
+    import pytest as _pytest
+
+    from k_means_using_mapreduce_spark.operators.temporal import latest_by_key
+
+    rows = [
+        (1, 10, "a"), (1, 20, "b"),          # user 1: keep v=20
+        (2, 5, "c"),                          # singleton
+        (3, 7, "d"), (3, 7, "e"),             # tie on ts -> id breaks it
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long, payload string")
+    out = {r["user_id"]: r for r in latest_by_key(df, ["user_id"], ["ts", "payload"]).collect()}
+    assert out[1]["payload"] == "b"
+    assert out[2]["payload"] == "c"
+    assert out[3]["payload"] == "e"
+    assert len(out) == 3
+    with _pytest.raises(ValueError):
+        latest_by_key(df, [], ["ts"])
