@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "quality_percentile_filter_documents",
     "daily_retention_events",
     "winsorized_price_by_flag",
+    "latest_event_per_user",
 ]
 
 KMEANS_FIT_K = 8
@@ -198,12 +199,15 @@ def main() -> None:
     from k_means_using_mapreduce_spark.operators.pipeline import prepare_corpus
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    t0 = time.perf_counter()
-    prepared, _ = prepare_corpus(
-        docs, docs.where(F.col("doc_id") % 97 == 0), report=False
-    )
-    prepared.write.format("noop").mode("overwrite").save()
-    timings["corpus_pipeline_documents"] = round(time.perf_counter() - t0, 4)
+    best = float("inf")
+    for _ in range(max(1, REPEATS)):  # same min-of-repeats policy as above
+        t0 = time.perf_counter()
+        prepared, _ = prepare_corpus(
+            docs, docs.where(F.col("doc_id") % 97 == 0), report=False
+        )
+        prepared.write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    timings["corpus_pipeline_documents"] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     out = {

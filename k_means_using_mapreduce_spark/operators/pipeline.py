@@ -129,6 +129,11 @@ def prepare_corpus(
         jaccard_threshold=cfg.jaccard_threshold,
         shingles_df=sh_all,
     ).drop("dup_group_size")
+    # the survivor set is consumed twice downstream (decontamination's
+    # train-side semi-join AND the final projection); without a cut the
+    # near-dedup tail re-executes in each consumer (~15% of pipeline
+    # wall-clock at sf0.1)
+    cur = cur.localCheckpoint()
     if report:
         rep.add("near_dedup", cur.count())
 
