@@ -124,6 +124,8 @@ BENCH_QUERIES = [
     "daily_retention_events",
     "winsorized_price_by_flag",
     "latest_event_per_user",
+    "lineitem_constraint_checks",
+    "price_histogram_lineitem",
 ]
 
 KMEANS_FIT_K = 8

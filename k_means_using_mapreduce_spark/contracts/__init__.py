@@ -21,6 +21,7 @@ from . import (
     lm_queries,
     multimodal_queries,
     packing_queries,
+    quality_queries,
     quantize_queries,
     repetition_queries,
     reshape_queries,
@@ -48,6 +49,7 @@ _MODULES = [
     repetition_queries,
     cleaning_queries,
     packing_queries,
+    quality_queries,
     quantize_queries,
     similarity_queries,
     tpch_queries,

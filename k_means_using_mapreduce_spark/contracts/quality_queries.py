@@ -1,0 +1,109 @@
+"""Data-quality contract queries (operators/quality.py): a declarative
+constraint suite evaluated in one pass, and an exact equi-width
+histogram. Rules include one that FAILS on the data (l_orderkey is not
+unique in lineitem) so the violations path is value-checked, not just
+the all-zeros happy path."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.quality import (
+    check_constraints,
+    in_range,
+    in_set,
+    matches,
+    not_null,
+    numeric_histogram,
+    unique,
+)
+from ..sources.loaders import load_table
+
+_BINS = 20
+
+
+def lineitem_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rules = [
+        not_null("l_orderkey"),
+        unique("l_orderkey"),  # fails: multiple lines per order
+        in_range("l_quantity", 1, 50),
+        in_range("l_discount", 0.0, 0.1),
+        in_set("l_returnflag", ["A", "N", "R"]),
+        matches("l_linestatus", "[OF]"),
+    ]
+    return check_constraints(li, rules)
+
+
+_RULES_SQL = [
+    ("l_orderkey_not_null", "l_orderkey",
+     "sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)"),
+    ("l_orderkey_unique", "l_orderkey",
+     "count(*) - count(DISTINCT l_orderkey) "
+     "- max(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)"),
+    ("l_quantity_in_range", "l_quantity",
+     "sum(CASE WHEN l_quantity IS NOT NULL AND l_quantity >= 1 "
+     "AND l_quantity <= 50 THEN 0 ELSE 1 END)"),
+    ("l_discount_in_range", "l_discount",
+     "sum(CASE WHEN l_discount IS NOT NULL AND l_discount >= 0.0 "
+     "AND l_discount <= 0.1 THEN 0 ELSE 1 END)"),
+    ("l_returnflag_in_set", "l_returnflag",
+     "sum(CASE WHEN l_returnflag IN ('A', 'N', 'R') THEN 0 ELSE 1 END)"),
+    ("l_linestatus_matches", "l_linestatus",
+     "sum(CASE WHEN regexp_full_match(l_linestatus, '(?:[OF])') "
+     "THEN 0 ELSE 1 END)"),
+]
+
+CONSTRAINTS_SQL = (
+    "WITH agg AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+    + ", ".join(
+        f"CAST(coalesce({expr}, 0) AS BIGINT) AS v{i}"
+        for i, (_, _, expr) in enumerate(_RULES_SQL)
+    )
+    + " FROM lineitem) SELECT * FROM ("
+    + " UNION ALL ".join(
+        f"SELECT '{name}' AS rule, '{col}' AS \"column\", n AS n_rows, "
+        f"v{i} AS violations, v{i} = 0 AS passed FROM agg"
+        for i, (name, col, _) in enumerate(_RULES_SQL)
+    )
+    + ")"
+)
+
+
+def price_histogram_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return numeric_histogram(li, "l_extendedprice", bins=_BINS)
+
+
+HISTOGRAM_SQL = f"""
+WITH bounds AS (
+  SELECT CAST(min(l_extendedprice) AS DOUBLE) AS lo,
+         CAST(max(l_extendedprice) AS DOUBLE) AS hi,
+         (CAST(max(l_extendedprice) AS DOUBLE)
+          - CAST(min(l_extendedprice) AS DOUBLE)) / {_BINS} AS width
+  FROM lineitem
+), bucketed AS (
+  SELECT CAST(least(floor((CAST(l_extendedprice AS DOUBLE) - b.lo) / b.width),
+                    {_BINS - 1}) AS INTEGER) AS bucket,
+         b.lo AS blo, b.width AS bw
+  FROM lineitem, bounds b WHERE l_extendedprice IS NOT NULL
+)
+SELECT bucket,
+       any_value(blo) + bucket * any_value(bw) AS lo,
+       any_value(blo) + (bucket + 1) * any_value(bw) AS hi,
+       CAST(count(*) AS BIGINT) AS n
+FROM bucketed GROUP BY bucket
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "lineitem_constraint_checks": lineitem_constraint_checks,
+    "price_histogram_lineitem": price_histogram_lineitem,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "lineitem_constraint_checks": CONSTRAINTS_SQL,
+    "price_histogram_lineitem": HISTOGRAM_SQL,
+}

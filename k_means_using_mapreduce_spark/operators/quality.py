@@ -1,0 +1,154 @@
+"""Data-quality validation: declarative constraint checks + exact
+histograms.
+
+The deequ-lite shape: before a 100 TB corpus feeds a training run, the
+pipeline asserts its invariants (keys unique, columns non-null, values
+in range/set) and profiles distributions. Both operators compile to a
+SINGLE aggregation pass — the constraint set becomes one row of
+conditional counts, never one job per rule.
+
+Scale notes:
+- ``check_constraints``: every rule is a conditional-count expression in
+  ONE global aggregate (0-row shuffle, partial-combined); the unique
+  rule adds one count-distinct. A 50-rule suite costs one scan.
+- ``numeric_histogram``: bucket index is a narrow projection; the count
+  groupBy shuffles |bins| rows after map-side combine. Bounds come from
+  one min/max aggregate folded in as literals (same pattern as
+  operators/quantize.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Rule:
+    """One declarative constraint: ``name`` labels the output row,
+    ``kind`` ∈ {not_null, unique, in_range, in_set, matches} with the
+    obvious parameters."""
+
+    name: str
+    kind: str
+    column: str
+    lo: float | None = None
+    hi: float | None = None
+    values: tuple | None = None
+    pattern: str | None = None
+
+
+def not_null(column: str) -> Rule:
+    return Rule(f"{column}_not_null", "not_null", column)
+
+
+def unique(column: str) -> Rule:
+    return Rule(f"{column}_unique", "unique", column)
+
+
+def in_range(column: str, lo: float, hi: float) -> Rule:
+    return Rule(f"{column}_in_range", "in_range", column, lo=lo, hi=hi)
+
+
+def in_set(column: str, values) -> Rule:
+    return Rule(f"{column}_in_set", "in_set", column, values=tuple(values))
+
+
+def matches(column: str, pattern: str) -> Rule:
+    """Full-match regex — keep patterns in the Java/RE2 common subset
+    (the cleaning-module doctrine) so oracles can run them too."""
+    return Rule(f"{column}_matches", "matches", column, pattern=pattern)
+
+
+def _violations(rule: Rule):
+    c = F.col(rule.column)
+    if rule.kind == "not_null":
+        return F.sum(F.when(c.isNull(), 1).otherwise(0))
+    if rule.kind == "in_range":
+        ok = c.isNotNull() & (c >= rule.lo) & (c <= rule.hi)
+        return F.sum(F.when(ok, 0).otherwise(1))
+    if rule.kind == "in_set":
+        ok = c.isNotNull() & c.isin(list(rule.values))
+        return F.sum(F.when(ok, 0).otherwise(1))
+    if rule.kind == "matches":
+        ok = c.isNotNull() & c.rlike(f"^(?:{rule.pattern})$")
+        return F.sum(F.when(ok, 0).otherwise(1))
+    if rule.kind == "unique":
+        # rows beyond the first of each value; ALL nulls count as one
+        # shared value: distinct_incl_null = countDistinct + has_null
+        has_null = F.max(F.when(c.isNull(), 1).otherwise(0))
+        return F.count("*") - F.countDistinct(c) - has_null
+    raise ValueError(f"unknown rule kind {rule.kind!r}")
+
+
+def check_constraints(df: DataFrame, rules) -> DataFrame:
+    """Evaluate every rule in one aggregation pass.
+
+    Output: one row per rule — ``(rule, column, n_rows, violations,
+    passed)``. ``unique`` counts duplicate occurrences beyond each
+    value's first (null is one value)."""
+    rules = list(rules)
+    if not rules:
+        raise ValueError("check_constraints needs at least one rule")
+    names = [r.name for r in rules]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate rule names: {names}")
+    aggs = [F.count("*").cast("long").alias("_n")]
+    for r in rules:
+        aggs.append(_violations(r).cast("long").alias(f"_v_{r.name}"))
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(r.name).alias("rule"),
+                F.lit(r.column).alias("column"),
+                F.col("_n").alias("n_rows"),
+                F.coalesce(F.col(f"_v_{r.name}"), F.lit(0)).alias("violations"),
+                (F.coalesce(F.col(f"_v_{r.name}"), F.lit(0)) == 0).alias("passed"),
+            )
+            for r in rules
+        ]
+    )
+    return one.select(F.explode(rows).alias("s")).select("s.*")
+
+
+def numeric_histogram(
+    df: DataFrame, column: str, *, bins: int = 10
+) -> DataFrame:
+    """Exact equi-width histogram over the observed [min, max].
+
+    Output: one row per non-empty bucket — ``(bucket, lo, hi, n)``,
+    bucket ∈ [0, bins); the max value lands in the LAST bucket (closed
+    upper edge). Null values are ignored. A constant column collapses
+    to one bucket 0 spanning [v, v]."""
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    bounds = df.agg(
+        F.min(column).cast("double").alias("lo"),
+        F.max(column).cast("double").alias("hi"),
+    ).first()
+    if bounds["lo"] is None:
+        raise ValueError(f"column {column!r} has no non-null values")
+    lo, hi = float(bounds["lo"]), float(bounds["hi"])
+    width = (hi - lo) / bins
+    c = F.col(column).cast("double")
+    if width == 0.0:
+        bucket = F.when(c.isNotNull(), F.lit(0))
+    else:
+        bucket = F.least(
+            F.floor((c - F.lit(lo)) / F.lit(width)).cast("int"),
+            F.lit(bins - 1),
+        )
+    return (
+        df.where(c.isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(
+            "bucket",
+            (F.lit(lo) + F.col("bucket") * F.lit(width)).alias("lo"),
+            (F.lit(lo) + (F.col("bucket") + 1) * F.lit(width)).alias("hi"),
+            "n",
+        )
+    )

@@ -1,0 +1,100 @@
+"""operators/quality.py: constraint semantics (incl. null handling and
+the unique rule), histogram edges, single-pass plan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from k_means_using_mapreduce_spark.operators.quality import (
+    check_constraints,
+    in_range,
+    in_set,
+    matches,
+    not_null,
+    numeric_histogram,
+    unique,
+)
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    rows = [
+        (1, 5.0, "A", "x1"),
+        (2, 15.0, "B", "x2"),   # out of range, out of set
+        (2, None, "A", "zz"),   # dup id, null value, bad pattern
+        (None, 3.0, "A", "x3"),  # null id
+    ]
+    return spark.createDataFrame(rows, "id long, v double, flag string, code string")
+
+
+def test_constraints_count_violations(df):
+    out = {
+        r["rule"]: r
+        for r in check_constraints(
+            df,
+            [
+                not_null("id"),
+                unique("id"),
+                in_range("v", 0, 10),
+                in_set("flag", ["A"]),
+                matches("code", "x[0-9]"),
+            ],
+        ).collect()
+    }
+    assert out["id_not_null"]["violations"] == 1
+    assert not out["id_not_null"]["passed"]
+    # ids: [1, 2, 2, null] -> distinct incl null = 3 -> 1 duplicate row
+    assert out["id_unique"]["violations"] == 1
+    # v: 15 out of range, null is a violation too
+    assert out["v_in_range"]["violations"] == 2
+    assert out["flag_in_set"]["violations"] == 1
+    assert out["code_matches"]["violations"] == 1
+    assert all(r["n_rows"] == 4 for r in out.values())
+
+
+def test_constraints_all_pass(spark):
+    df = spark.createDataFrame([(1,), (2,)], "id long")
+    out = check_constraints(df, [not_null("id"), unique("id")]).collect()
+    assert all(r["passed"] and r["violations"] == 0 for r in out)
+
+
+def test_constraints_validation(df):
+    with pytest.raises(ValueError):
+        check_constraints(df, [])
+    with pytest.raises(ValueError):
+        check_constraints(df, [not_null("id"), not_null("id")])
+
+
+def test_constraints_single_pass(spark, sf_oracle):
+    from k_means_using_mapreduce_spark.plans.explain import executed_plan
+
+    li = spark.read.parquet(f"{sf_oracle}/lineitem.parquet")
+    out = check_constraints(
+        li, [not_null("l_orderkey"), in_range("l_quantity", 1, 50)]
+    )
+    out.collect()
+    # one scan, one global aggregate — not one job per rule
+    assert executed_plan(out).count("Scan parquet") == 1
+
+
+def test_histogram_edges_and_clamp(spark):
+    df = spark.createDataFrame([(float(v),) for v in range(0, 101)], "x double")
+    out = {r["bucket"]: r for r in numeric_histogram(df, "x", bins=10).collect()}
+    assert len(out) == 10
+    assert out[0]["n"] == 10          # 0..9
+    assert out[9]["n"] == 11          # 90..100: max closes the last bucket
+    assert out[0]["lo"] == 0.0 and out[9]["hi"] == pytest.approx(100.0)
+    assert sum(r["n"] for r in out.values()) == 101
+
+
+def test_histogram_constant_and_nulls(spark):
+    df = spark.createDataFrame([(5.0,), (5.0,), (None,)], "x double")
+    out = numeric_histogram(df, "x", bins=4).collect()
+    assert len(out) == 1
+    assert out[0]["bucket"] == 0 and out[0]["n"] == 2
+    empty = spark.createDataFrame([(None,)], "x double")
+    with pytest.raises(ValueError):
+        numeric_histogram(empty, "x")
+    with pytest.raises(ValueError):
+        numeric_histogram(df, "x", bins=0)
