@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "latest_event_per_user",
     "lineitem_constraint_checks",
     "price_histogram_lineitem",
+    "value_trend_by_type",
 ]
 
 KMEANS_FIT_K = 8

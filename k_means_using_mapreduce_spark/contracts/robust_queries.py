@@ -137,3 +137,51 @@ ORACLE_SQL: dict[str, str] = {
     "price_outliers_mad": PRICE_MAD_SQL,
     "winsorized_price_by_flag": WINSORIZED_SQL,
 }
+
+
+# x is DAYS since 2024-01-01: raw epoch seconds (~1.7e9) would make
+# n*sxx - sx^2 a catastrophic-cancellation difference of ~1e25 terms,
+# and the engines' different summation orders would then disagree past
+# the driver's 1e-6 rounding. Days-since-anchor keeps x in [0, ~31].
+_ANCHOR_NS = 1_704_067_200_000_000_000  # 2024-01-01T00:00:00Z
+_DAY_NS = 86_400_000_000_000
+
+
+def value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.robust import group_linear_fit
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "t_day",
+        ((F.col("ts") - F.lit(_ANCHOR_NS)) / F.lit(_DAY_NS)).cast("double"),
+    )
+    return group_linear_fit(ev, "t_day", "value", ["event_type"])
+
+
+TREND_SQL = """
+WITH base AS (
+  SELECT event_type,
+         CAST((epoch_ns(ts) - 1704067200000000000) / 86400000000000 AS DOUBLE) AS x,
+         CAST(value AS DOUBLE) AS y
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+), agg AS (
+  SELECT event_type,
+         CAST(count(*) AS DOUBLE) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM base GROUP BY event_type
+)
+SELECT event_type,
+  CAST(n AS BIGINT) AS n,
+  CASE WHEN n * sxx - sx * sx <> 0.0
+       THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope,
+  CASE WHEN n * sxx - sx * sx <> 0.0
+       THEN (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+       END AS intercept,
+  CASE WHEN n * sxx - sx * sx <> 0.0 AND n * syy - sy * sy <> 0.0
+       THEN ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END AS r2
+FROM agg
+"""
+
+QUERIES["value_trend_by_type"] = value_trend_by_type
+ORACLE_SQL["value_trend_by_type"] = TREND_SQL

@@ -153,3 +153,55 @@ def percentile_rank_filter(
     if rank_col is not None:
         return out.withColumnRenamed("_pct", rank_col)
     return out.drop("_pct")
+
+
+def group_linear_fit(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: Sequence[str],
+) -> DataFrame:
+    """Per-group simple linear regression (least squares) from sufficient
+    statistics: slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), intercept =
+    (Σy − slope·Σx)/n, plus Pearson r² — trend detection over groups
+    (is a source's quality drifting? is an event type's value rising?)
+    without MLlib.
+
+    ONE aggregation pass (map-side partial sums); no matrix math, no
+    Python. A group whose x is constant (denominator 0) reports NULL
+    slope/intercept/r2. Rows with a NULL in x or y are excluded.
+    Output: ``(group..., n, slope, intercept, r2)``.
+    """
+    group_cols = list(group_cols)
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.where(x.isNotNull() & y.isNotNull()).select(
+        *group_cols,
+        x.alias("_x"),
+        y.alias("_y"),
+    )
+    agg = base.groupBy(*group_cols).agg(
+        F.count("*").cast("double").alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+    )
+    den_x = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    den_y = F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    num = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    slope = F.when(den_x != 0.0, num / den_x)
+    intercept = F.when(
+        den_x != 0.0, (F.col("_sy") - (num / den_x) * F.col("_sx")) / F.col("_n")
+    )
+    r2 = F.when(
+        (den_x != 0.0) & (den_y != 0.0), (num * num) / (den_x * den_y)
+    )
+    return agg.select(
+        *group_cols,
+        F.col("_n").cast("long").alias("n"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )

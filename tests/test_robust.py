@@ -112,3 +112,22 @@ def test_percentile_rank_filter_keeps_upper_quartiles(spark):
 
     with _pytest.raises(ValueError):
         percentile_rank_filter(df, "q", ["lang"], min_pct=1.5)
+
+
+def test_group_linear_fit_exact_line_and_degenerate(spark):
+    from k_means_using_mapreduce_spark.operators.robust import group_linear_fit
+
+    rows = [("a", float(x), 2.0 * x + 3.0) for x in range(10)]  # perfect line
+    rows += [("b", 1.0, 5.0), ("b", 1.0, 9.0)]  # constant x -> NULL fit
+    rows += [("c", 1.0, 4.0), ("c", 2.0, 4.0)]  # constant y -> r2 NULL
+    rows += [("a", None, 1.0), ("a", 1.0, None)]  # nulls excluded
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r["g"]: r for r in group_linear_fit(df, "x", "y", ["g"]).collect()}
+    a = out["a"]
+    assert a["n"] == 10
+    assert a["slope"] == pytest.approx(2.0)
+    assert a["intercept"] == pytest.approx(3.0)
+    assert a["r2"] == pytest.approx(1.0)
+    assert out["b"]["slope"] is None and out["b"]["r2"] is None
+    c = out["c"]
+    assert c["slope"] == pytest.approx(0.0) and c["r2"] is None
