@@ -477,6 +477,7 @@ def kmeans_fit(
     weight_col: str | None = None,
     init: str = "random",
     engine: str = "fused",
+    on_iteration=None,
 ) -> KMeansResult:
     """Lloyd's algorithm driver loop (O19) with seeded init (O4),
     by-id convergence (O18, fixed) and keep-old-centroid policy (O14,
@@ -588,6 +589,11 @@ def kmeans_fit(
                 for (_, old), (_, new) in zip(centroids, new_centroids)
             )
             centroids = new_centroids
+            if on_iteration is not None:
+                # post-iteration hook: checkpointing (kmeans_fit_resumable),
+                # metrics, early-stop probes. Exceptions propagate — a
+                # failed checkpoint should fail the fit, not be skipped.
+                on_iteration(iterations, centroids)
             logger.info(
                 "iteration %d: max_movement=%.6g sizes=%s", iterations, movement, sizes
             )
@@ -729,3 +735,101 @@ def kmeans_fit_minibatch(
         )
     finally:
         work.unpersist()
+
+
+def _list_checkpoint_iters(spark, state_path: str) -> list[int]:
+    """Committed checkpoint iterations under ``state_path`` (dirs named
+    ``v{i}`` that contain the committer's _SUCCESS marker)."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(state_path)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return []
+    iters = []
+    for status in fs.listStatus(path):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith("v"):
+            ok = jvm.org.apache.hadoop.fs.Path(status.getPath(), "_SUCCESS")
+            if name[1:].isdigit() and fs.exists(ok):
+                iters.append(int(name[1:]))
+    return sorted(iters)
+
+
+def kmeans_fit_resumable(
+    df: DataFrame,
+    k: int,
+    state_path: str,
+    *,
+    seed: int = 42,
+    max_iter: int = 20,
+    tol: float = 1e-4,
+    features_col: str = "features",
+    checkpoint_every: int = 1,
+    **fit_kwargs,
+) -> KMeansResult:
+    """``kmeans_fit`` with driver-loop fault tolerance: every
+    ``checkpoint_every``-th iteration's centroids are committed to
+    ``state_path`` (one parquet dir per iteration; a version counts only
+    once the committer's _SUCCESS lands, so a crash mid-write leaves the
+    previous version authoritative). Re-calling with the same
+    ``state_path`` resumes from the newest committed iteration.
+
+    This closes the reference's fault-tolerance story (O22) at the
+    DRIVER level: Spark already re-runs failed tasks within a job
+    (tests/test_fault_tolerance.py), but a dead driver loses the Python
+    loop state — the reference's gRPC master had exactly this hole
+    (master.py's retry logic restarts workers, never itself). Lloyd's
+    iteration is a pure function of (data, centroids), so resuming from
+    checkpointed centroids reproduces the uninterrupted run exactly
+    (pinned in tests).
+    """
+    if checkpoint_every < 1:
+        raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
+    spark = df.sparkSession
+    done = _list_checkpoint_iters(spark, state_path)
+    initial = fit_kwargs.pop("initial_centroids", None)
+    done_iters = 0
+    if done:
+        done_iters = done[-1]
+        rows = (
+            spark.read.parquet(f"{state_path}/v{done_iters}")
+            .orderBy("cid")
+            .collect()
+        )
+        initial = [(r["cid"], list(r["centroid"])) for r in rows]
+        logger.info("resuming from %s/v%d (%d iterations done)",
+                    state_path, done_iters, done_iters)
+    if done_iters >= max_iter:
+        result = kmeans_fit(
+            df, k, seed=seed, max_iter=0, tol=tol, features_col=features_col,
+            initial_centroids=initial, **fit_kwargs,
+        )
+        return KMeansResult(
+            centroids=result.centroids, iterations=done_iters,
+            converged=result.converged, sse=result.sse,
+            cluster_sizes=result.cluster_sizes,
+        )
+
+    def checkpoint(i: int, centroids: Centroids) -> None:
+        absolute = done_iters + i
+        if absolute % checkpoint_every != 0 and absolute != max_iter:
+            return
+        spark.createDataFrame(
+            [(int(c), [float(v) for v in vec]) for c, vec in centroids],
+            "cid int, centroid array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{state_path}/v{absolute}"
+        )
+
+    result = kmeans_fit(
+        df, k, seed=seed, max_iter=max_iter - done_iters, tol=tol,
+        features_col=features_col, initial_centroids=initial,
+        on_iteration=checkpoint, **fit_kwargs,
+    )
+    return KMeansResult(
+        centroids=result.centroids,
+        iterations=done_iters + result.iterations,
+        converged=result.converged,
+        sse=result.sse,
+        cluster_sizes=result.cluster_sizes,
+    )
