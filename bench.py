@@ -127,6 +127,8 @@ BENCH_QUERIES = [
     "lineitem_constraint_checks",
     "price_histogram_lineitem",
     "value_trend_by_type",
+    "user_activity_intervals",
+    "event_anomaly_flags",
 ]
 
 KMEANS_FIT_K = 8

@@ -170,3 +170,105 @@ SELECT user_id, event_id, ts_ns, event_type, value FROM (
 
 QUERIES["latest_event_per_user"] = latest_event_per_user
 ORACLE_SQL["latest_event_per_user"] = LATEST_EVENT_SQL
+
+
+_HALF_HOUR_NS = 1_800_000_000_000
+
+
+def user_activity_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union per user: each event spans [ts, ts+30min); merged
+    islands ARE the 30-minute-gap sessions, expressed as interval
+    algebra (bigint-ns, timezone-free)."""
+    from ..operators.temporal import merge_intervals
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.lit(_HALF_HOUR_NS)).alias("end"),
+    )
+    return merge_intervals(ev, key_col="user_id", start_col="start", end_col="end")
+
+
+INTERVALS_SQL = f"""
+WITH iv AS (
+  SELECT user_id, epoch_ns(ts) AS s, epoch_ns(ts) + {_HALF_HOUR_NS} AS e
+  FROM events
+), flagged AS (
+  SELECT user_id, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   IS NULL
+               OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS nw
+  FROM iv
+), islands AS (
+  SELECT user_id, s, e,
+         CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY s, e
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+  FROM flagged
+)
+SELECT user_id, island, min(s) AS start, max(e) AS "end",
+       CAST(count(*) AS BIGINT) AS n_merged
+FROM islands GROUP BY user_id, island
+"""
+
+
+def event_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h z-score anomalies over the gap-filled hourly series."""
+    from ..operators.timeseries import anomaly_flags
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", ns_to_timestamp("ts")
+    )
+    series = resample_counts(ev, ts_col="ts", key_col="event_type", unit="hour")
+    out = anomaly_flags(series, window=24, z=3.0)
+    return out.select(
+        "key",
+        F.unix_micros("bucket").alias("bucket_us"),
+        "n",
+        "mean_w",
+        "std_w",
+        "zscore",
+        F.col("is_anomaly").cast("int").alias("is_anomaly"),
+    )
+
+
+ANOMALY_SQL = f"""
+WITH counts AS (
+  SELECT event_type AS key,
+         epoch_us(ts) - epoch_us(ts) % {_HOUR_US} AS bucket_us,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(bucket_us) AS lo, max(bucket_us) AS hi FROM counts),
+keys AS (SELECT DISTINCT event_type AS key FROM events),
+grid AS (
+  SELECT key, unnest(range(lo, hi + {_HOUR_US}, {_HOUR_US})) AS bucket_us
+  FROM keys, bounds
+),
+series AS (
+  SELECT g.key, g.bucket_us, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+  FROM grid g LEFT JOIN counts c USING (key, bucket_us)
+),
+stats AS (
+  SELECT key, bucket_us, n,
+    avg(CAST(n AS DOUBLE)) OVER w AS mean_w,
+    stddev_samp(CAST(n AS DOUBLE)) OVER w AS std_w
+  FROM series
+  WINDOW w AS (PARTITION BY key ORDER BY bucket_us
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT key, bucket_us, n, mean_w, std_w,
+  CASE WHEN std_w IS NOT NULL AND std_w > 0.0
+       THEN (CAST(n AS DOUBLE) - mean_w) / std_w END AS zscore,
+  CAST(coalesce(abs(CASE WHEN std_w IS NOT NULL AND std_w > 0.0
+                         THEN (CAST(n AS DOUBLE) - mean_w) / std_w END) > 3.0,
+                FALSE) AS INTEGER) AS is_anomaly
+FROM stats
+"""
+
+QUERIES["user_activity_intervals"] = user_activity_intervals
+ORACLE_SQL["user_activity_intervals"] = INTERVALS_SQL
+QUERIES["event_anomaly_flags"] = event_anomaly_flags
+ORACLE_SQL["event_anomaly_flags"] = ANOMALY_SQL

@@ -255,3 +255,54 @@ def latest_by_key(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def merge_intervals(
+    df: DataFrame,
+    *,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Coalesce overlapping/touching intervals per key (interval union).
+
+    The islands-and-gaps pattern: order a key's intervals by start, flag
+    an interval as opening a new island when its start exceeds the
+    running max of all previous ends, prefix-sum the flags into island
+    ids, then aggregate each island to its envelope. Output:
+    ``(key, island, start, end, n_merged)``.
+
+    Touching intervals (next.start == prev.end) merge — the union of
+    half-open [start, end) ranges. Works on any ordered numeric/date
+    type; use integer epoch time for engine-portable results (the
+    bigint-ns doctrine of this module).
+
+    One key-partitioned window shuffle (two chained frames share it),
+    then the island aggregate reuses the same partitioning. The
+    reference has no interval algebra; this is the temporal-family
+    closure op (sessionize = merge_intervals over point±gap ranges).
+    """
+    w_order = Window.partitionBy(key_col).orderBy(
+        F.col(start_col), F.col(end_col)
+    )
+    prev_max_end = F.max(F.col(end_col)).over(
+        w_order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_new = F.when(
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1
+    ).otherwise(0)
+    flagged = df.select(
+        F.col(key_col), F.col(start_col), F.col(end_col), is_new.alias("_new")
+    )
+    island = F.sum("_new").over(
+        w_order.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        flagged.withColumn("island", island.cast("long"))
+        .groupBy(key_col, "island")
+        .agg(
+            F.min(start_col).alias("start"),
+            F.max(end_col).alias("end"),
+            F.count("*").cast("long").alias("n_merged"),
+        )
+    )

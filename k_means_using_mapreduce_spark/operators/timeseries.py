@@ -242,3 +242,52 @@ def retention_cohorts(
         "n_users",
         (F.col("n_users") / F.col("_n0")).alias("retention"),
     )
+
+
+def anomaly_flags(
+    series: DataFrame,
+    *,
+    key_col: str = "key",
+    order_col: str = "bucket",
+    value_col: str = "n",
+    window: int = 24,
+    z: float = 3.0,
+) -> DataFrame:
+    """Flag points whose value deviates more than ``z`` trailing-window
+    sigmas from the trailing-window mean — the dashboard/alerting pass
+    over a gap-filled series (:func:`resample_counts` output; gap-fill
+    first, or quiet periods are invisible instead of anomalous).
+
+    The window is STRICTLY PRIOR rows (``window`` of them, current row
+    excluded) so a spike cannot mask itself by inflating its own
+    baseline. Points with fewer than 2 prior rows or zero variance get
+    ``is_anomaly = false`` (no baseline to violate). Output: input
+    columns + ``(mean_w, std_w, zscore, is_anomaly)``.
+
+    One key-partitioned window shuffle; all three frames share it.
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    if z <= 0:
+        raise ValueError(f"z must be positive, got {z}")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(-window, -1)
+    )
+    v = F.col(value_col).cast("double")
+    out = (
+        series.withColumn("mean_w", F.avg(v).over(w))
+        .withColumn("std_w", F.stddev_samp(v).over(w))
+        .withColumn(
+            "zscore",
+            F.when(
+                F.col("std_w").isNotNull() & (F.col("std_w") > 0.0),
+                (v - F.col("mean_w")) / F.col("std_w"),
+            ),
+        )
+        .withColumn(
+            "is_anomaly", F.coalesce(F.abs(F.col("zscore")) > z, F.lit(False))
+        )
+    )
+    return out

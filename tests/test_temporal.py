@@ -270,3 +270,21 @@ def test_latest_by_key_cdc_compaction(spark):
     assert len(out) == 3
     with _pytest.raises(ValueError):
         latest_by_key(df, [], ["ts"])
+
+
+def test_merge_intervals_islands(spark):
+    from k_means_using_mapreduce_spark.operators.temporal import merge_intervals
+
+    rows = [
+        ("u", 0, 10), ("u", 5, 12),    # overlap -> one island
+        ("u", 12, 20),                  # touching joins (half-open union)
+        ("u", 30, 40),                  # gap -> new island
+        ("u", 31, 33),                  # nested inside previous
+        ("v", 0, 1),                    # other key untouched
+    ]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    out = merge_intervals(df, key_col="k", start_col="s", end_col="e")
+    got = sorted(
+        (r["k"], r["start"], r["end"], r["n_merged"]) for r in out.collect()
+    )
+    assert got == [("u", 0, 20, 3), ("u", 30, 40, 2), ("v", 0, 1, 1)]

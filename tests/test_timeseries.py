@@ -133,3 +133,25 @@ def test_retention_cohorts(spark):
     c1 = max(c for c, _ in out)
     assert out[(c1, 0)]["n_users"] == 1
     assert len(out) == 4
+
+
+def test_anomaly_flags_trailing_window(spark):
+    from k_means_using_mapreduce_spark.operators.timeseries import anomaly_flags
+
+    # flat baseline of 10s, then a spike
+    rows = [("a", i, 10) for i in range(8)] + [("a", 8, 11), ("a", 9, 100)]
+    df = spark.createDataFrame(rows, "key string, bucket int, n int")
+    out = {r["bucket"]: r for r in anomaly_flags(df, window=8, z=3.0).collect()}
+    assert not out[0]["is_anomaly"]  # no baseline
+    assert out[0]["zscore"] is None
+    assert not out[8]["is_anomaly"]  # zero-variance baseline -> no flag
+    assert out[9]["is_anomaly"]      # spike vs [10..10,11] baseline
+    # the spike's own value is NOT in its baseline
+    assert out[9]["mean_w"] == pytest.approx((10 * 7 + 11) / 8)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        anomaly_flags(df, window=1)
+    with _pytest.raises(ValueError):
+        anomaly_flags(df, z=0)
