@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "value_trend_by_type",
     "user_activity_intervals",
     "event_anomaly_flags",
+    "sql_top_revenue_months",
 ]
 
 KMEANS_FIT_K = 8

@@ -30,6 +30,7 @@ from . import (
     sampling_queries,
     setop_queries,
     similarity_queries,
+    sql_queries,
     stats_queries,
     temporal_queries,
     text_queries,
@@ -54,6 +55,7 @@ _MODULES = [
     similarity_queries,
     tpch_queries,
     tpch_advanced_queries,
+    sql_queries,
     setop_queries,
     stats_queries,
     robust_queries,
