@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "user_activity_intervals",
     "event_anomaly_flags",
     "sql_top_revenue_months",
+    "user_state_history",
 ]
 
 KMEANS_FIT_K = 8

@@ -272,3 +272,45 @@ QUERIES["user_activity_intervals"] = user_activity_intervals
 ORACLE_SQL["user_activity_intervals"] = INTERVALS_SQL
 QUERIES["event_anomaly_flags"] = event_anomaly_flags
 ORACLE_SQL["event_anomaly_flags"] = ANOMALY_SQL
+
+
+def user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity intervals of each user's event_type state machine
+    ((user_id, ts) is unique in the testdata, so ts alone orders the
+    log deterministically)."""
+    from ..operators.temporal import scd2_history
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    out = scd2_history(
+        ev, key_col="user_id", ts_col="ts", attr_cols=["event_type"]
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        F.col("valid_from").alias("valid_from_ns"),
+        F.col("valid_to").alias("valid_to_ns"),
+        F.col("is_current").cast("int").alias("is_current"),
+    )
+
+
+SCD2_SQL = """
+WITH ordered AS (
+  SELECT user_id, epoch_ns(ts) AS ts_ns, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_ns(ts)) AS prev
+  FROM events
+), collapsed AS (
+  SELECT user_id, ts_ns, event_type FROM ordered
+  WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type, ts_ns AS valid_from_ns,
+       lead(ts_ns) OVER (PARTITION BY user_id ORDER BY ts_ns) AS valid_to_ns,
+       CAST(lead(ts_ns) OVER (PARTITION BY user_id ORDER BY ts_ns) IS NULL
+            AS INTEGER) AS is_current
+FROM collapsed
+"""
+
+QUERIES["user_state_history"] = user_state_history
+ORACLE_SQL["user_state_history"] = SCD2_SQL

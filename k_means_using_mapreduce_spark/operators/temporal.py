@@ -306,3 +306,48 @@ def merge_intervals(
             F.count("*").cast("long").alias("n_merged"),
         )
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    attr_cols: Sequence[str],
+    end_of_time=None,
+) -> DataFrame:
+    """Build slowly-changing-dimension (type 2) validity intervals from
+    a change log: one row per (key, change) with ``valid_from`` = the
+    change's timestamp, ``valid_to`` = the NEXT change's timestamp (or
+    ``end_of_time``/NULL for the current row) and ``is_current``.
+
+    Consecutive rows whose ``attr_cols`` are unchanged are collapsed
+    first (a re-stated identical record extends no interval — the
+    standard SCD2 dedup), so downstream as-of joins see one row per
+    actual state. Ties on (key, ts) keep the LAST record in the log's
+    ordering guarantee and must be disambiguated upstream if the log
+    has none.
+
+    One key-partitioned window shuffle shared by the change-collapse
+    lag and the interval lead.
+    """
+    attr_cols = list(attr_cols)
+    if not attr_cols:
+        raise ValueError("scd2_history needs attr_cols")
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col))
+    state = F.struct(*[F.col(c) for c in attr_cols])
+    changed = (
+        F.lag(state).over(w).isNull() | (F.lag(state).over(w) != state)
+    )
+    collapsed = df.withColumn("_chg", changed).where(F.col("_chg")).drop("_chg")
+    w2 = Window.partitionBy(key_col).orderBy(F.col(ts_col))
+    out = (
+        collapsed.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
+    if end_of_time is not None:
+        out = out.withColumn(
+            "valid_to", F.coalesce(F.col("valid_to"), F.lit(end_of_time))
+        )
+    return out

@@ -110,3 +110,51 @@ def write_range_sorted(
         else df.repartitionByRange(*cols)
     )
     out.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    *,
+    target_mb: int = 128,
+    sort_within_by: list | None = None,
+) -> int:
+    """Rewrite a parquet directory into ~``target_mb``-sized files;
+    returns the new file count.
+
+    The small-files janitor every incremental pipeline needs: streaming
+    sinks and per-batch appends leave thousands of KB-scale files whose
+    open/footer costs dominate scans at 100 TB. Sizing uses the CURRENT
+    on-disk bytes (compressed), so the new files land near target size
+    under the same codec. ``sort_within_by`` optionally sorts rows
+    within each output file so parquet min/max stats prune after
+    compaction (pair with write_range_sorted for a global layout).
+
+    The rewrite goes through a temp dir + rename, so a crash mid-write
+    leaves the original directory intact; the swap itself is NOT atomic
+    for concurrent readers — coordinate externally (table formats exist
+    for that).
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(conf)
+    if not fs.exists(jpath):
+        raise ValueError(f"no such path: {path}")
+    size = fs.getContentSummary(jpath).getLength()
+    n_files = max(1, -(-size // (target_mb * 1024 * 1024)))  # ceil
+    df = spark.read.parquet(path)
+    out = df.repartition(int(n_files))
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    tmp = path.rstrip("/") + "_compact_tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "_compact_old"
+    jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    jold = jvm.org.apache.hadoop.fs.Path(old)
+    if fs.exists(jold):
+        fs.delete(jold, True)
+    fs.rename(jpath, jold)
+    fs.rename(jtmp, jpath)
+    fs.delete(jold, True)
+    return int(n_files)

@@ -111,3 +111,26 @@ def test_write_range_sorted_validates_cols(spark, tmp_path):
 
     with pytest.raises(ValueError):
         write_range_sorted(spark.range(5), str(tmp_path / "x"), ())
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    import glob
+
+    import pytest as _pytest
+
+    from k_means_using_mapreduce_spark.sources.sinks import compact_parquet
+
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 10000).withColumn("v", F.col("id") * 2)
+    df.repartition(40).write.parquet(path)  # 40 tiny files
+    before = len(glob.glob(f"{path}/part-*.parquet"))
+    assert before == 40
+    n = compact_parquet(spark, path, target_mb=128, sort_within_by=["id"])
+    after = glob.glob(f"{path}/part-*.parquet")
+    assert len(after) == n == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 10000
+    assert back.agg(F.sum("v")).first()[0] == 2 * sum(range(10000))
+    assert not glob.glob(f"{path}_compact_tmp*") and not glob.glob(f"{path}_compact_old*")
+    with _pytest.raises(ValueError):
+        compact_parquet(spark, str(tmp_path / "missing"))

@@ -288,3 +288,35 @@ def test_merge_intervals_islands(spark):
         (r["k"], r["start"], r["end"], r["n_merged"]) for r in out.collect()
     )
     assert got == [("u", 0, 20, 3), ("u", 30, 40, 2), ("v", 0, 1, 1)]
+
+
+def test_scd2_history_collapse_and_intervals(spark):
+    import pytest as _pytest
+
+    from k_means_using_mapreduce_spark.operators.temporal import scd2_history
+
+    rows = [
+        (1, 10, "free"),
+        (1, 20, "free"),   # restated identical state: collapsed away
+        (1, 30, "pro"),
+        (1, 40, "free"),   # back to a previous value = a NEW interval
+        (2, 15, "pro"),
+    ]
+    df = spark.createDataFrame(rows, "user long, ts long, plan string")
+    out = scd2_history(df, key_col="user", ts_col="ts", attr_cols=["plan"])
+    got = sorted(
+        (r["user"], r["valid_from"], r["valid_to"], r["plan"], r["is_current"])
+        for r in out.collect()
+    )
+    assert got == [
+        (1, 10, 30, "free", False),
+        (1, 30, 40, "pro", False),
+        (1, 40, None, "free", True),
+        (2, 15, None, "pro", True),
+    ]
+    capped = scd2_history(
+        df, key_col="user", ts_col="ts", attr_cols=["plan"], end_of_time=999
+    )
+    assert {r["valid_to"] for r in capped.collect() if r["is_current"]} == {999}
+    with _pytest.raises(ValueError):
+        scd2_history(df, key_col="user", ts_col="ts", attr_cols=[])
