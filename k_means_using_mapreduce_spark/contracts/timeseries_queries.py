@@ -223,13 +223,19 @@ def event_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     series = resample_counts(ev, ts_col="ts", key_col="event_type", unit="hour")
     out = anomaly_flags(series, window=24, z=3.0)
+    # NULL doubles would NaN-ify through the driver's pandas fetch on
+    # the oracle side only — emit an is_scored flag + zero-coalesced
+    # numerics instead (both engines identically)
     return out.select(
         "key",
         F.unix_micros("bucket").alias("bucket_us"),
         "n",
-        "mean_w",
-        "std_w",
-        "zscore",
+        (F.col("std_w").isNotNull() & (F.col("std_w") > 0.0))
+        .cast("int")
+        .alias("is_scored"),
+        F.coalesce("mean_w", F.lit(0.0)).alias("mean_w"),
+        F.coalesce("std_w", F.lit(0.0)).alias("std_w"),
+        F.coalesce("zscore", F.lit(0.0)).alias("zscore"),
         F.col("is_anomaly").cast("int").alias("is_anomaly"),
     )
 
@@ -259,9 +265,12 @@ stats AS (
   WINDOW w AS (PARTITION BY key ORDER BY bucket_us
                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
 )
-SELECT key, bucket_us, n, mean_w, std_w,
-  CASE WHEN std_w IS NOT NULL AND std_w > 0.0
-       THEN (CAST(n AS DOUBLE) - mean_w) / std_w END AS zscore,
+SELECT key, bucket_us, n,
+  CAST(std_w IS NOT NULL AND std_w > 0.0 AS INTEGER) AS is_scored,
+  coalesce(mean_w, 0.0) AS mean_w,
+  coalesce(std_w, 0.0) AS std_w,
+  coalesce(CASE WHEN std_w IS NOT NULL AND std_w > 0.0
+                THEN (CAST(n AS DOUBLE) - mean_w) / std_w END, 0.0) AS zscore,
   CAST(coalesce(abs(CASE WHEN std_w IS NOT NULL AND std_w > 0.0
                          THEN (CAST(n AS DOUBLE) - mean_w) / std_w END) > 3.0,
                 FALSE) AS INTEGER) AS is_anomaly
@@ -284,7 +293,8 @@ def user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_type"
     )
     out = scd2_history(
-        ev, key_col="user_id", ts_col="ts", attr_cols=["event_type"]
+        ev, key_col="user_id", ts_col="ts", attr_cols=["event_type"],
+        end_of_time=_EOT_NS,
     )
     return out.select(
         "user_id",
@@ -295,7 +305,9 @@ def user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SCD2_SQL = """
+_EOT_NS = 4_102_444_800_000_000_000  # 2100-01-01: open-interval sentinel
+
+SCD2_SQL = f"""
 WITH ordered AS (
   SELECT user_id, epoch_ns(ts) AS ts_ns, event_type,
          lag(event_type) OVER (PARTITION BY user_id
@@ -306,7 +318,8 @@ WITH ordered AS (
   WHERE prev IS NULL OR prev <> event_type
 )
 SELECT user_id, event_type, ts_ns AS valid_from_ns,
-       lead(ts_ns) OVER (PARTITION BY user_id ORDER BY ts_ns) AS valid_to_ns,
+       coalesce(lead(ts_ns) OVER (PARTITION BY user_id ORDER BY ts_ns),
+                {_EOT_NS}) AS valid_to_ns,
        CAST(lead(ts_ns) OVER (PARTITION BY user_id ORDER BY ts_ns) IS NULL
             AS INTEGER) AS is_current
 FROM collapsed
