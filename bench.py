@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "event_anomaly_flags",
     "sql_top_revenue_months",
     "user_state_history",
+    "debounced_user_events",
 ]
 
 KMEANS_FIT_K = 8

@@ -327,3 +327,46 @@ FROM collapsed
 
 QUERIES["user_state_history"] = user_state_history
 ORACLE_SQL["user_state_history"] = SCD2_SQL
+
+
+_DEBOUNCE_NS = 600_000_000_000  # 10 minutes
+
+
+def debounced_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst-collapse per (user, event_type): repeats within 10 minutes
+    of their predecessor collapse to the burst's first event."""
+    from ..operators.temporal import debounce
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    out = debounce(
+        ev, key_cols=["user_id", "event_type"], ts_col="ts", within=_DEBOUNCE_NS
+    )
+    return out.select(
+        "user_id", "event_type", F.col("ts").alias("ts_ns"), "event_id"
+    )
+
+
+DEBOUNCE_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_type, epoch_ns(ts) AS ts_ns, event_id,
+    CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+           OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w >= {_DEBOUNCE_NS}
+         THEN 1 ELSE 0 END AS ok
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY epoch_ns(ts))
+), bursts AS (
+  SELECT *, sum(ok) OVER (PARTITION BY user_id, event_type
+                          ORDER BY ts_ns ROWS UNBOUNDED PRECEDING) AS burst
+  FROM flagged
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type, burst
+                               ORDER BY ts_ns) AS fib
+  FROM bursts
+)
+SELECT user_id, event_type, ts_ns, event_id FROM ranked WHERE fib = 1
+"""
+
+QUERIES["debounced_user_events"] = debounced_user_events
+ORACLE_SQL["debounced_user_events"] = DEBOUNCE_SQL

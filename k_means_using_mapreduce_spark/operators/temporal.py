@@ -351,3 +351,48 @@ def scd2_history(
             "valid_to", F.coalesce(F.col("valid_to"), F.lit(end_of_time))
         )
     return out
+
+
+def debounce(
+    df: DataFrame,
+    *,
+    key_cols: Sequence[str],
+    ts_col: str,
+    within,
+) -> DataFrame:
+    """Burst-collapse debounce: within each key, a *burst* is a maximal
+    run of rows each less than ``within`` (in ``ts_col``'s own units)
+    after its predecessor; every burst collapses to its FIRST row —
+    double-click / retry / telemetry-burst suppression.
+
+    This is deliberately burst semantics, not the sequential
+    keep-if-``within``-since-last-KEPT rule: the sequential rule needs
+    an order-dependent scan (a slow drizzle spaced just under
+    ``within`` would keep every other row), while burst collapse is
+    expressible as two chained window passes and keeps exactly one row
+    per burst no matter how long the burst drags on. The two agree
+    whenever bursts are separated by at least ``within`` — the case
+    debouncing exists for.
+
+    One key-partitioned window shuffle (the flag, prefix-sum and
+    first-of-burst windows all share it).
+    """
+    if not key_cols:
+        raise ValueError("debounce needs key_cols")
+    w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col))
+    gap_ok = (
+        F.lag(F.col(ts_col)).over(w).isNull()
+        | ((F.col(ts_col) - F.lag(F.col(ts_col)).over(w)) >= within)
+    )
+    burst = F.sum(gap_ok.cast("long")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    first_in_burst = F.row_number().over(
+        Window.partitionBy(*key_cols, "_burst").orderBy(F.col(ts_col))
+    )
+    return (
+        df.withColumn("_burst", burst)
+        .withColumn("_fib", first_in_burst)
+        .where(F.col("_fib") == 1)
+        .drop("_burst", "_fib")
+    )

@@ -320,3 +320,23 @@ def test_scd2_history_collapse_and_intervals(spark):
     assert {r["valid_to"] for r in capped.collect() if r["is_current"]} == {999}
     with _pytest.raises(ValueError):
         scd2_history(df, key_col="user", ts_col="ts", attr_cols=[])
+
+
+def test_debounce_burst_collapse(spark):
+    import pytest as _pytest
+
+    from k_means_using_mapreduce_spark.operators.temporal import debounce
+
+    rows = [
+        ("u", 0), ("u", 3), ("u", 5),    # burst -> keep t=0
+        ("u", 20), ("u", 24),            # next burst -> keep t=20
+        ("v", 0), ("v", 10),             # gap == within: both kept
+    ]
+    df = spark.createDataFrame(rows, "k string, ts long")
+    out = sorted(
+        (r["k"], r["ts"])
+        for r in debounce(df, key_cols=["k"], ts_col="ts", within=10).collect()
+    )
+    assert out == [("u", 0), ("u", 20), ("v", 0), ("v", 10)]
+    with _pytest.raises(ValueError):
+        debounce(df, key_cols=[], ts_col="ts", within=10)
