@@ -13,12 +13,13 @@ Pipeline shape (scale notes inline):
    split on ``\\n``; the synthetic test corpus is newline-free, so a
    token-window segmenter (every ``window`` tokens is a "line") is the
    fallback. Both produce ``(id, line_no, line)``.
-2. ``frequent_lines`` — the ONLY global shuffle, and it moves 8-byte
-   md5-derived int64 line hashes + ids, never line text. Distinct
-   (doc, hash) then count per hash: classic map-side-combining
-   aggregation; output is the heavy-hitter set (lines in ≥ min_docs
-   docs), which is tiny by construction (boilerplate is rare among
-   distinct lines) and therefore broadcastable.
+2. ``frequent_lines`` — one map-side-combining aggregation keyed on
+   the line text (post-combine, each partition ships each distinct
+   line once; keying on a hash would ship hash AND text, since the
+   output needs the text). Output is the heavy-hitter set (lines in
+   ≥ min_docs docs) — tiny by construction (boilerplate is rare among
+   distinct lines) and therefore broadcastable; the 60-bit line hash
+   is attached after aggregation for pure-hash consumers.
 3. ``drop_frequent_lines`` — broadcast anti-join of the exploded lines
    against the frequent set, then per-document ordered reassembly
    (one shuffle keyed by doc id, the same key cardinality as the
@@ -87,24 +88,20 @@ def frequent_lines(
 ) -> DataFrame:
     """Lines occurring in ``>= min_docs`` DISTINCT documents.
 
-    Returns ``(line, line_h, n_docs)``. The shuffle key is the 8-byte
-    line hash; the line text rides along only because the caller wants
-    to see it (drop it upstream for a pure-hash pipeline). Distinct
-    before count so a line repeated inside ONE document does not count
-    as cross-document boilerplate."""
+    Returns ``(line, line_h, n_docs)``. Grouping is on the line TEXT:
+    the aggregation partial-combines map-side either way, and carrying
+    the string alone through the shuffle is strictly narrower than
+    hash + first(string) — so the 60-bit hash (used by pure-hash
+    consumers) is computed AFTER aggregation, on the tiny survivor
+    set, not per segment. Distinct-per-document counting means a line
+    repeated inside ONE document is not cross-document boilerplate."""
     if min_docs < 1:
         raise ValueError(f"min_docs must be >= 1, got {min_docs}")
     return (
-        segments.select(
-            F.col(id_col), F.col("line"), _line_hash(F.col("line")).alias("line_h")
-        )
-        .groupBy("line_h")
-        .agg(
-            F.first("line").alias("line"),
-            F.countDistinct(id_col).alias("n_docs"),
-        )
+        segments.groupBy("line")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
         .where(F.col("n_docs") >= min_docs)
-        .select("line", "line_h", "n_docs")
+        .select("line", _line_hash(F.col("line")).alias("line_h"), "n_docs")
     )
 
 
