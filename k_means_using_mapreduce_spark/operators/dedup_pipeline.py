@@ -224,3 +224,45 @@ def near_dedup(
     return kept.join(
         survivors_in_groups.select(id_col, "dup_group_size"), id_col, "left"
     ).withColumn("dup_group_size", F.coalesce(F.col("dup_group_size"), F.lit(1)))
+
+
+def pick_representatives(
+    df: DataFrame,
+    components: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    score_col: str,
+    higher_is_better: bool = True,
+) -> DataFrame:
+    """Choose each duplicate group's surviving document by QUALITY
+    instead of the default min-id: given the near-dedup component
+    labeling (``connected_components`` output: (id, component)), keep
+    the member with the best ``score_col`` (ties → lowest id, so the
+    choice is total and deterministic). Documents in no component
+    (never matched anything) survive unchanged.
+
+    Production near-dedup keeps the longest/cleanest copy, not an
+    arbitrary one — boilerplate-stripped originals beat truncated
+    mirrors. One window over the component key (components are tiny;
+    the join back to df is by id).
+    """
+    from pyspark.sql.window import Window
+
+    order = [
+        F.col(score_col).desc() if higher_is_better else F.col(score_col).asc(),
+        F.col(id_col).asc(),
+    ]
+    labeled = df.join(
+        components.withColumnRenamed("id", id_col), id_col, "left"
+    )
+    w = Window.partitionBy("component").orderBy(*order)
+    return (
+        labeled.withColumn(
+            "_rk",
+            F.when(F.col("component").isNull(), F.lit(1)).otherwise(
+                F.row_number().over(w)
+            ),
+        )
+        .where(F.col("_rk") == 1)
+        .drop("_rk", "component")
+    )

@@ -246,3 +246,42 @@ def ivf_topk_for_query(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ivf_topk_refined(
+    spark,
+    path: str,
+    vectors: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    nprobe: int = 1,
+    refine_factor: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage ANN over a QUANTIZED index: probe the pruned quantized
+    partitions for ``k × refine_factor`` candidates (cheap, 1 byte/dim
+    reads), then re-rank just those candidates against their exact
+    float vectors from ``vectors`` and return the top ``k``.
+
+    The standard recall-recovery pattern for quantized indexes: stage 1
+    pays quantization error but touches 4× fewer bytes; stage 2 removes
+    that error for the handful of rows that matter. The candidate id
+    set is tiny, so the exact leg is a broadcast semi-join against the
+    vectors table — at 100 TB the full-precision corpus is read for
+    ~k·refine rows, not scanned.
+    """
+    if refine_factor < 1:
+        raise ValueError(f"refine_factor must be >= 1, got {refine_factor}")
+    candidates = ivf_topk_pruned(
+        spark, path, query, k=k * refine_factor, nprobe=nprobe, id_col=id_col
+    ).select(id_col)
+    exact = vectors.join(F.broadcast(candidates), id_col)
+    score = cosine_similarity_expr(
+        F.col(vec_col).cast("array<double>"), _lit_vec(query)
+    )
+    return (
+        exact.select(F.col(id_col).alias(id_col), score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -144,3 +144,42 @@ def test_connected_components_long_chain_distributed_few_rounds(spark):
     }
     assert set(comps.values()) == {0}
     assert len(comps) == 64
+
+
+def test_pick_representatives_by_quality(spark):
+    import pytest as _pytest
+
+    from k_means_using_mapreduce_spark.operators.dedup_pipeline import (
+        pick_representatives,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 0.9), (2, 0.5), (3, 0.99), (4, 0.1), (5, 0.7)],
+        "doc_id long, q double",
+    )
+    comps = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 20)], "id long, component long"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in pick_representatives(
+            docs, comps, score_col="q", higher_is_better=True
+        ).collect()
+    )
+    # group 10 keeps doc 3 (best q), group 20 keeps its only member,
+    # doc 5 was never matched and survives
+    assert kept == [3, 4, 5]
+    lowest = sorted(
+        r["doc_id"]
+        for r in pick_representatives(
+            docs, comps, score_col="q", higher_is_better=False
+        ).collect()
+    )
+    assert lowest == [2, 4, 5]
+    # ties break by id
+    tied = spark.createDataFrame([(1, 1.0), (2, 1.0)], "doc_id long, q double")
+    tcomp = spark.createDataFrame([(1, 9), (2, 9)], "id long, component long")
+    assert [
+        r["doc_id"]
+        for r in pick_representatives(tied, tcomp, score_col="q").collect()
+    ] == [1]

@@ -199,3 +199,35 @@ def test_quantized_multiprobe_recall(spark, ivf, ivf_q):
         ).collect()
     }
     assert len(got & exact) / 10 >= 0.7  # pruning + quantization combined
+
+
+def test_refined_search_recovers_exact_topk(spark, ivf, ivf_q):
+    exact = [
+        r["vec_id"]
+        for r in S.topk_for_query(ivf["emb"], ivf["query"], k=10).collect()
+    ]
+    refined = [
+        r["vec_id"]
+        for r in S.ivf_topk_refined(
+            spark, ivf_q["path"], ivf["emb"], ivf["query"],
+            k=10, nprobe=K_BUCKETS, refine_factor=4,
+        ).collect()
+    ]
+    # full-probe + exact re-rank removes quantization error entirely
+    # whenever the true top-10 survive the 40-candidate quantized cut
+    assert len(set(refined) & set(exact)) >= 9
+    # and scores come from the exact vectors: spot-check the top hit
+    top_exact = S.topk_for_query(ivf["emb"], ivf["query"], k=1).collect()[0]
+    top_ref = S.ivf_topk_refined(
+        spark, ivf_q["path"], ivf["emb"], ivf["query"],
+        k=1, nprobe=K_BUCKETS, refine_factor=4,
+    ).collect()[0]
+    assert top_ref["vec_id"] == top_exact["vec_id"]
+    assert top_ref["score"] == pytest.approx(top_exact["score"], rel=1e-12)
+
+
+def test_refined_search_validation(spark, ivf, ivf_q):
+    with pytest.raises(ValueError):
+        S.ivf_topk_refined(
+            spark, ivf_q["path"], ivf["emb"], ivf["query"], refine_factor=0
+        )
