@@ -70,13 +70,21 @@ marked AS (
          (f.line IS NOT NULL) AS is_boiler
   FROM seg s LEFT JOIN freq f ON s.line = f.line
 )
-SELECT doc_id,
-  CAST(count(*) AS INTEGER) AS n_lines,
-  CAST(sum(CASE WHEN NOT is_boiler THEN 1 ELSE 0 END) AS INTEGER) AS kept_lines,
-  CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS INTEGER) AS dropped_lines,
-  coalesce(string_agg(CASE WHEN NOT is_boiler THEN line END, ' '
-                      ORDER BY line_no), '') AS cleaned_text
-FROM marked GROUP BY doc_id
+, agg AS (
+  SELECT doc_id,
+    CAST(count(*) AS INTEGER) AS n_lines,
+    CAST(sum(CASE WHEN NOT is_boiler THEN 1 ELSE 0 END) AS INTEGER) AS kept_lines,
+    CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS INTEGER) AS dropped_lines,
+    coalesce(string_agg(CASE WHEN NOT is_boiler THEN line END, ' '
+                        ORDER BY line_no), '') AS cleaned_text
+  FROM marked GROUP BY doc_id
+)
+SELECT d.doc_id,
+  coalesce(a.n_lines, 0) AS n_lines,
+  coalesce(a.kept_lines, 0) AS kept_lines,
+  coalesce(a.dropped_lines, 0) AS dropped_lines,
+  coalesce(a.cleaned_text, '') AS cleaned_text
+FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 

@@ -252,17 +252,18 @@ def pick_representatives(
         F.col(score_col).desc() if higher_is_better else F.col(score_col).asc(),
         F.col(id_col).asc(),
     ]
-    labeled = df.join(
-        components.withColumnRenamed("id", id_col), id_col, "left"
-    )
+    comp = components.withColumnRenamed("id", id_col)
+    # rank ONLY the rows that belong to a component: a single window
+    # over the left-joined corpus would funnel every unmatched document
+    # (component = NULL — the vast majority) into one partition of the
+    # window sort. Members are few (components relation), so the ranked
+    # leg is small; the untouched majority passes through an anti-join.
+    members = df.join(comp, id_col)
     w = Window.partitionBy("component").orderBy(*order)
-    return (
-        labeled.withColumn(
-            "_rk",
-            F.when(F.col("component").isNull(), F.lit(1)).otherwise(
-                F.row_number().over(w)
-            ),
-        )
+    winners = (
+        members.withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") == 1)
         .drop("_rk", "component")
     )
+    untouched = df.join(comp.select(id_col), id_col, "left_anti")
+    return untouched.unionByName(winners)

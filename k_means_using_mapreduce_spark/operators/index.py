@@ -61,11 +61,29 @@ def build_postings(
     if max_postings < 1:
         raise ValueError(f"max_postings must be >= 1, got {max_postings}")
     pairs = _doc_tokens(df, id_col, text_col, distinct=True)
-    return pairs.groupBy("token").agg(
-        F.countDistinct(id_col).cast("long").alias("df"),
+    # Two-phase min-n so no aggregation buffer ever holds a stopword's
+    # full posting list: each (token, salt) sub-group keeps only its
+    # n smallest ids, and the n smallest of the union of per-salt
+    # minima is exactly the global n smallest — the worst-case buffer
+    # shrinks by the salt fan-out and a hot token's collection work
+    # spreads across salt tasks. The exact df count is a plain
+    # partial-combining aggregate on the same pairs.
+    salts = 32
+    partial = (
+        pairs.withColumn("_salt", F.pmod(F.hash(F.col(id_col)), F.lit(salts)))
+        .groupBy("token", "_salt")
+        .agg(
+            F.slice(F.array_sort(F.collect_set(id_col)), 1, max_postings).alias(
+                "_ids"
+            ),
+            F.count("*").cast("long").alias("_n"),
+        )
+    )
+    return partial.groupBy("token").agg(
+        F.sum("_n").alias("df"),
         F.concat_ws(
             ",",
-            F.slice(F.array_sort(F.collect_set(id_col)), 1, max_postings),
+            F.slice(F.array_sort(F.flatten(F.collect_list("_ids"))), 1, max_postings),
         ).alias("postings"),
     )
 

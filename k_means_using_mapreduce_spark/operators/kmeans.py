@@ -799,16 +799,15 @@ def kmeans_fit_resumable(
         initial = [(r["cid"], list(r["centroid"])) for r in rows]
         logger.info("resuming from %s/v%d (%d iterations done)",
                     state_path, done_iters, done_iters)
-    if done_iters >= max_iter:
-        result = kmeans_fit(
-            df, k, seed=seed, max_iter=0, tol=tol, features_col=features_col,
-            initial_centroids=initial, **fit_kwargs,
-        )
-        return KMeansResult(
-            centroids=result.centroids, iterations=done_iters,
-            converged=result.converged, sse=result.sse,
-            cluster_sizes=result.cluster_sizes,
-        )
+
+    # completed-run marker: a re-invocation of a finished fit (converged,
+    # or already at this max_iter) must return the ORIGINAL result —
+    # converged flag, sizes and sse included — not a zero-iteration
+    # re-derivation with converged=False/sizes={} , and a converged run
+    # must not append one extra no-op iteration per call
+    final = _read_result_marker(spark, state_path)
+    if final is not None and (final.converged or final.iterations >= max_iter):
+        return final
 
     def checkpoint(i: int, centroids: Centroids) -> None:
         absolute = done_iters + i
@@ -826,10 +825,53 @@ def kmeans_fit_resumable(
         features_col=features_col, initial_centroids=initial,
         on_iteration=checkpoint, **fit_kwargs,
     )
-    return KMeansResult(
+    combined = KMeansResult(
         centroids=result.centroids,
         iterations=done_iters + result.iterations,
         converged=result.converged,
         sse=result.sse,
         cluster_sizes=result.cluster_sizes,
+    )
+    # the convergence break can land between checkpoint_every marks —
+    # commit the final centroids unconditionally, then the result marker
+    spark.createDataFrame(
+        [(int(c), [float(v) for v in vec]) for c, vec in combined.centroids],
+        "cid int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{state_path}/v{combined.iterations}"
+    )
+    _write_result_marker(spark, state_path, combined)
+    return combined
+
+
+def _write_result_marker(spark, state_path: str, result: KMeansResult) -> None:
+    spark.createDataFrame(
+        [(
+            result.iterations,
+            result.converged,
+            float(result.sse),
+            {int(k): int(v) for k, v in result.cluster_sizes.items()},
+        )],
+        "iterations int, converged boolean, sse double, sizes map<int,int>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{state_path}/_result")
+
+
+def _read_result_marker(spark, state_path: str) -> KMeansResult | None:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{state_path}/_result/_SUCCESS")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return None
+    row = spark.read.parquet(f"{state_path}/_result").first()
+    cents = (
+        spark.read.parquet(f"{state_path}/v{row['iterations']}")
+        .orderBy("cid")
+        .collect()
+    )
+    return KMeansResult(
+        centroids=[(r["cid"], list(r["centroid"])) for r in cents],
+        iterations=row["iterations"],
+        converged=row["converged"],
+        sse=row["sse"],
+        cluster_sizes=dict(row["sizes"]),
     )

@@ -38,11 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.text import tokens
-
-
-def _line_hash(line: Column) -> Column:
-    # exact int64 from the md5 prefix — mirrors dedup.py's doc hash
-    return F.conv(F.substring(F.md5(line), 1, 15), 16, 10).cast("long")
+from .dedup import md5_int60 as _line_hash  # one engine-portable hash
 
 
 def segment_lines(
@@ -146,7 +142,7 @@ def drop_frequent_lines(
     kept_struct = F.when(
         ~F.col("is_boiler"), F.struct(F.col("line_no"), F.col("line"))
     )
-    return (
+    agg = (
         hit.groupBy(id_col)
         .agg(
             F.count("*").alias("n_lines"),
@@ -165,4 +161,14 @@ def drop_frequent_lines(
             ).alias("cleaned_text"),
         )
         .withColumn("n_lines", F.col("n_lines").cast("int"))
+    )
+    # left join back so segment-less documents (empty text, all-blank
+    # lines) still appear — the promised one-row-per-input-document —
+    # instead of silently vanishing from the aggregate
+    return df.select(id_col).join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        F.coalesce("kept_lines", F.lit(0)).alias("kept_lines"),
+        F.coalesce("dropped_lines", F.lit(0)).alias("dropped_lines"),
+        F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
     )

@@ -45,9 +45,22 @@ def dim_stats(df: DataFrame, *, vec_col: str = "embedding") -> DataFrame:
     )
 
 
+def _as_stats_rows(stats) -> list:
+    """Normalize a dim_stats DataFrame OR an already-collected row list
+    to sorted, validated rows (so multi-consumer callers collect the
+    expensive aggregation exactly once)."""
+    rows = stats if isinstance(stats, list) else stats.collect()
+    rows = sorted(rows, key=lambda r: r["dim"])
+    if not rows:
+        raise ValueError("dim_stats is empty — no vectors to fit scales on")
+    if [r["dim"] for r in rows] != list(range(len(rows))):
+        raise ValueError("dim_stats must cover dims 0..D-1 exactly")
+    return rows
+
+
 def quantize_vectors(
     df: DataFrame,
-    stats: DataFrame | None = None,
+    stats: DataFrame | list | None = None,
     *,
     vec_col: str = "embedding",
     codes_col: str = "codes",
@@ -56,16 +69,13 @@ def quantize_vectors(
     clamped to [0, 255], per dimension.
 
     ``stats`` defaults to :func:`dim_stats` of ``df`` itself; pass a
-    precomputed stats frame to quantize a NEW batch with the corpus'
-    scales (the only correct way to quantize queries at search time).
+    precomputed stats frame — or its collected rows — to quantize a NEW
+    batch with the corpus' scales (the only correct way to quantize
+    queries at search time).
     """
     if stats is None:
         stats = dim_stats(df, vec_col=vec_col)
-    rows = sorted(stats.collect(), key=lambda r: r["dim"])
-    if not rows:
-        raise ValueError("dim_stats is empty — no vectors to fit scales on")
-    if [r["dim"] for r in rows] != list(range(len(rows))):
-        raise ValueError("dim_stats must cover dims 0..D-1 exactly")
+    rows = _as_stats_rows(stats)
     mins = F.array(*[F.lit(float(r["dmin"])) for r in rows])
     scales = F.array(*[F.lit(float(r["scale"])) for r in rows])
 
@@ -85,8 +95,11 @@ def dequantize(
     codes: F.Column | str, stats_rows: list, *, col_name: str = "approx"
 ) -> F.Column:
     """Reconstruct ``dmin + code * scale`` from a codes column and the
-    collected dim_stats rows (driver-side literals, narrow projection)."""
-    rows = sorted(stats_rows, key=lambda r: r["dim"])
+    collected dim_stats rows (driver-side literals, narrow projection).
+    Rows are validated to cover dims 0..D-1 exactly — duplicated stats
+    (e.g. an appended-to stats table) would otherwise misalign every
+    dimension silently."""
+    rows = _as_stats_rows(stats_rows)
     mins = F.array(*[F.lit(float(r["dmin"])) for r in rows])
     scales = F.array(*[F.lit(float(r["scale"])) for r in rows])
     c = F.col(codes) if isinstance(codes, str) else codes
@@ -105,9 +118,9 @@ def quantization_error_stats(
 
     max_abs_err must stay ≤ scale/2 + float slack — the quantizer's
     contract, pinned in tests and checked against the oracle."""
-    stats = dim_stats(df, vec_col=vec_col)
-    quant = quantize_vectors(df, stats, vec_col=vec_col)
-    rows = sorted(stats.collect(), key=lambda r: r["dim"])
+    # collect the expensive aggregation ONCE; both consumers take rows
+    rows = _as_stats_rows(dim_stats(df, vec_col=vec_col))
+    quant = quantize_vectors(df, rows, vec_col=vec_col)
     recon = quant.select(
         F.col(vec_col).cast("array<double>").alias("_v"),
         dequantize("codes", rows, col_name="_a"),
@@ -121,6 +134,10 @@ def quantization_error_stats(
         F.avg("abs_err").alias("avg_abs_err"),
         F.max("abs_err").alias("max_abs_err"),
     )
-    return stats.join(per_dim, "dim").select(
+    stats_df = df.sparkSession.createDataFrame(
+        [(r["dim"], r["dmin"], r["dmax"], r["scale"]) for r in rows],
+        "dim int, dmin double, dmax double, scale double",
+    )
+    return F.broadcast(stats_df).join(per_dim, "dim").select(
         "dim", "dmin", "dmax", "scale", "avg_abs_err", "max_abs_err"
     )

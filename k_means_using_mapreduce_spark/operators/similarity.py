@@ -142,11 +142,18 @@ def build_ivf_index(
         F.col(vec_col).cast("array<double>").alias("features"),
     )
     if quantize:
-        from .quantize import dim_stats, quantize_vectors
+        from .quantize import _as_stats_rows, dim_stats, quantize_vectors
 
-        stats = dim_stats(feats, vec_col="features")
-        stats.coalesce(1).write.mode(mode).parquet(f"{path}/qstats")
-        feats = quantize_vectors(feats, stats, vec_col="features")
+        # collect once (dim_stats is the expensive full-corpus pass),
+        # write the collected rows, and ALWAYS overwrite qstats: an
+        # appended stats table would hold each dim twice and silently
+        # misalign every later dequantization
+        rows = _as_stats_rows(dim_stats(feats, vec_col="features"))
+        df.sparkSession.createDataFrame(
+            [(r["dim"], r["dmin"], r["dmax"], r["scale"]) for r in rows],
+            "dim int, dmin double, dmax double, scale double",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/qstats")
+        feats = quantize_vectors(feats, rows, vec_col="features")
     bucketed = assign(feats, centroids, keep_dist=False)
     if quantize:
         bucketed = bucketed.drop("features").withColumnRenamed(

@@ -368,14 +368,14 @@ def debounce(
     This is deliberately burst semantics, not the sequential
     keep-if-``within``-since-last-KEPT rule: the sequential rule needs
     an order-dependent scan (a slow drizzle spaced just under
-    ``within`` would keep every other row), while burst collapse is
-    expressible as two chained window passes and keeps exactly one row
-    per burst no matter how long the burst drags on. The two agree
-    whenever bursts are separated by at least ``within`` — the case
-    debouncing exists for.
+    ``within`` would keep every other row), while burst collapse keeps
+    exactly one row per burst no matter how long the burst drags on.
+    The two agree whenever bursts are separated by at least ``within``
+    — the case debouncing exists for.
 
-    One key-partitioned window shuffle (the flag, prefix-sum and
-    first-of-burst windows all share it).
+    A row is first-of-burst exactly when its gap to the previous raw
+    row is ≥ ``within`` (or it has none), so the whole operator is one
+    lag + filter over a single key-partitioned window.
     """
     if not key_cols:
         raise ValueError("debounce needs key_cols")
@@ -384,15 +384,4 @@ def debounce(
         F.lag(F.col(ts_col)).over(w).isNull()
         | ((F.col(ts_col) - F.lag(F.col(ts_col)).over(w)) >= within)
     )
-    burst = F.sum(gap_ok.cast("long")).over(
-        w.rowsBetween(Window.unboundedPreceding, 0)
-    )
-    first_in_burst = F.row_number().over(
-        Window.partitionBy(*key_cols, "_burst").orderBy(F.col(ts_col))
-    )
-    return (
-        df.withColumn("_burst", burst)
-        .withColumn("_fib", first_in_burst)
-        .where(F.col("_fib") == 1)
-        .drop("_burst", "_fib")
-    )
+    return df.withColumn("_keep", gap_ok).where(F.col("_keep")).drop("_keep")

@@ -154,7 +154,21 @@ def compact_parquet(
     jold = jvm.org.apache.hadoop.fs.Path(old)
     if fs.exists(jold):
         fs.delete(jold, True)
-    fs.rename(jpath, jold)
-    fs.rename(jtmp, jpath)
+    # Hadoop rename signals failure by RETURNING FALSE, not raising —
+    # every step must be checked, and nothing may be deleted until the
+    # swap has fully succeeded (else a failed swap destroys the only
+    # copy, or moves tmp INSIDE the still-present original)
+    if not fs.rename(jpath, jold):
+        fs.delete(jtmp, True)
+        raise IOError(f"compact_parquet: could not move {path} aside")
+    if not fs.rename(jtmp, jpath):
+        # roll the original back; only then surface the failure
+        if not fs.rename(jold, jpath):
+            raise IOError(
+                f"compact_parquet: swap failed AND rollback failed — "
+                f"original data is at {old}"
+            )
+        fs.delete(jtmp, True)
+        raise IOError(f"compact_parquet: could not move compacted data to {path}")
     fs.delete(jold, True)
     return int(n_files)

@@ -64,7 +64,8 @@ def test_drop_frequent_lines_all_copies(docs):
     assert by_id[1]["cleaned_text"] == "alpha beta gamma\ndelta"
     assert by_id[2]["cleaned_text"] == "epsilon zeta"
     assert by_id[4]["dropped_lines"] == 0
-    assert 5 not in by_id  # no segments -> omitted
+    # segment-less doc still gets its one row, zeroed
+    assert by_id[5]["n_lines"] == 0 and by_id[5]["cleaned_text"] == ""
 
 
 def test_drop_frequent_lines_keep_first(docs):
