@@ -172,3 +172,62 @@ def compact_parquet(
         raise IOError(f"compact_parquet: could not move compacted data to {path}")
     fs.delete(jold, True)
     return int(n_files)
+
+
+def merge_upsert_parquet(
+    spark,
+    path: str,
+    updates,
+    *,
+    key_cols: list,
+    order_cols: list,
+) -> None:
+    """Batch CDC merge: upsert ``updates`` into the parquet dataset at
+    ``path`` keeping, per key, the row with the greatest ``order_cols``
+    tuple across old + new (operators/temporal.py::latest_by_key
+    semantics — make the tuple unique or ties resolve arbitrarily).
+
+    The poor-engineer's MERGE INTO for plain parquet: full rewrite of
+    the table through the same checked temp-dir + rename swap as
+    :func:`compact_parquet` (crash-safe against data loss; the swap is
+    not atomic for concurrent readers — that is what table formats
+    add). A full rewrite is the honest cost of keyed mutation on
+    immutable files; when updates touch a small key range, partition
+    the table and rewrite only affected partitions instead.
+
+    First write: if ``path`` does not exist, updates are deduped by the
+    same rule and written directly.
+    """
+    from ..operators.temporal import latest_by_key
+
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        latest_by_key(updates, key_cols, order_cols).write.parquet(path)
+        return
+    current = spark.read.parquet(path)
+    merged = latest_by_key(
+        current.unionByName(updates.select(*current.columns)),
+        key_cols,
+        order_cols,
+    )
+    tmp = path.rstrip("/") + "_merge_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "_merge_old"
+    jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    jold = jvm.org.apache.hadoop.fs.Path(old)
+    if fs.exists(jold):
+        fs.delete(jold, True)
+    if not fs.rename(jpath, jold):
+        fs.delete(jtmp, True)
+        raise IOError(f"merge_upsert_parquet: could not move {path} aside")
+    if not fs.rename(jtmp, jpath):
+        if not fs.rename(jold, jpath):
+            raise IOError(
+                f"merge_upsert_parquet: swap failed AND rollback failed — "
+                f"original data is at {old}"
+            )
+        fs.delete(jtmp, True)
+        raise IOError(f"merge_upsert_parquet: could not move merged data to {path}")
+    fs.delete(jold, True)

@@ -134,3 +134,25 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
     assert not glob.glob(f"{path}_compact_tmp*") and not glob.glob(f"{path}_compact_old*")
     with _pytest.raises(ValueError):
         compact_parquet(spark, str(tmp_path / "missing"))
+
+
+def test_merge_upsert_parquet(spark, tmp_path):
+    from k_means_using_mapreduce_spark.sources.sinks import merge_upsert_parquet
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "b")], "id long, v long, payload string"
+    )
+    merge_upsert_parquet(spark, path, base, key_cols=["id"], order_cols=["v"])
+    upd = spark.createDataFrame(
+        [(2, 20, "b2"),   # newer version of id 2 wins
+         (3, 5, "c"),     # brand-new key inserted
+         (1, 5, "stale")],  # OLDER than current id 1 -> ignored
+        "id long, v long, payload string",
+    )
+    merge_upsert_parquet(spark, path, upd, key_cols=["id"], order_cols=["v"])
+    got = {r["id"]: (r["v"], r["payload"])
+           for r in spark.read.parquet(path).collect()}
+    assert got == {1: (10, "a"), 2: (20, "b2"), 3: (5, "c")}
+    import glob
+    assert not glob.glob(f"{path}_merge_*")
