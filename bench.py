@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "sql_top_revenue_months",
     "user_state_history",
     "debounced_user_events",
+    "bigram_logprob_documents",
 ]
 
 KMEANS_FIT_K = 8

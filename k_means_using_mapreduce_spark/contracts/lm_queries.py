@@ -66,12 +66,71 @@ GROUP BY g.grp
 """
 
 
+_LAM = 0.7
+
+
+def bigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lm import fit_bigram_model, score_documents_bigram
+
+    docs = load_table(spark, sf_dir, "documents")
+    return score_documents_bigram(
+        docs, fit_bigram_model(docs), fit_unigram_model(docs), lam=_LAM
+    )
+
+
+# literals via repr(): 1.0 - 0.7 is 0.30000000000000004, not 0.3 — the
+# oracle must mix with the SAME double the Spark expression folds in
+BIGRAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {sql_tokens('text')} AS t FROM documents
+), pr0 AS (
+  SELECT doc_id, t, unnest(range(0, len(t) - 1)) AS i FROM toks
+), pairs AS (
+  SELECT doc_id, t[CAST(i AS INTEGER) + 1] AS w1,
+                 t[CAST(i AS INTEGER) + 2] AS w2
+  FROM pr0
+), big AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n12 FROM pairs GROUP BY 1, 2
+), marg AS (
+  SELECT w1, sum(n12) AS n1 FROM big GROUP BY 1
+), ucount AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest({sql_tokens('text')}) AS token FROM documents)
+  GROUP BY 1
+), tot AS (
+  SELECT sum(n) AS total, count(*) AS vocab FROM ucount
+), uni AS (
+  SELECT token, (n + 1.0) / (total + 1.0 * (vocab + 1.0)) AS q
+  FROM ucount, tot
+), firsts AS (
+  SELECT f.doc_id, ln(u.q) AS lp
+  FROM (SELECT doc_id, t[1] AS token FROM toks WHERE len(t) > 0) f
+  JOIN uni u USING (token)
+), pair_scores AS (
+  SELECT p.doc_id,
+    ln({_LAM!r} * coalesce(b.n12 / m.n1, 0.0)
+       + {1.0 - _LAM!r} * exp(ln(u.q))) AS lp
+  FROM pairs p
+  LEFT JOIN big b USING (w1, w2)
+  LEFT JOIN marg m ON p.w1 = m.w1
+  JOIN uni u ON p.w2 = u.token
+), allscores AS (
+  SELECT doc_id, lp FROM firsts UNION ALL SELECT doc_id, lp FROM pair_scores
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       sum(lp) AS logprob_sum, avg(lp) AS avg_logprob
+FROM allscores GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_logprob_documents": unigram_logprob_documents,
     "source_divergence_documents": source_divergence_documents,
+    "bigram_logprob_documents": bigram_logprob_documents,
 }
 
 ORACLE_SQL: dict[str, str] = {
     "unigram_logprob_documents": UNIGRAM_SQL,
     "source_divergence_documents": DIVERGENCE_SQL,
+    "bigram_logprob_documents": BIGRAM_SQL,
 }

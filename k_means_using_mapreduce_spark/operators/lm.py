@@ -134,3 +134,107 @@ def source_divergence(
         (-F.sum(F.col("p") * F.log("p"))).alias("entropy"),
         F.sum(F.col("p") * F.log(F.col("p") / F.col("q"))).alias("kl_corpus"),
     )
+
+
+def fit_bigram_model(
+    df: DataFrame, *, text_col: str = "text"
+) -> DataFrame:
+    """Bigram counts: ``(w1, w2, n12, n1)`` where n1 = w1's total count
+    AS A PREDECESSOR (Σ_w2 n12 — exactly what conditions P(w2|w1), so
+    the conditional always normalizes). One narrow pair-explode + one
+    (w1, w2)-keyed aggregate; the n1 margin reuses the same aggregate.
+    """
+    toks = tokens(F.col(text_col))
+    pairs = df.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            )
+        ).alias("p")
+    ).select(F.col("p")["0"].alias("w1"), F.col("p")["1"].alias("w2"))
+    counts = pairs.groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("n12")
+    )
+    margins = counts.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    return counts.join(F.broadcast(margins), "w1").select("w1", "w2", "n12", "n1")
+
+
+def score_documents_bigram(
+    df: DataFrame,
+    bigram: DataFrame,
+    unigram: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.7,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Interpolated-bigram document scoring (Jelinek-Mercer):
+    the first token scores ``ln q(w1)`` (unigram, smoothed); every
+    following token scores ``ln(λ·n12/n1 + (1−λ)·q(w2))``, where an
+    unseen transition or unseen predecessor contributes only the
+    backed-off unigram mass — so NEW batches score without special
+    cases. Output: ``(id, n_tokens, logprob_sum, avg_logprob)``.
+
+    Plan: one pair-explode of the documents; two broadcast joins
+    (|bigram| and |vocab| rows); one doc-keyed sum. Same shuffle
+    profile as the unigram scorer, one join wider.
+    """
+    if not 0 < lam < 1:
+        raise ValueError(f"lam must be in (0, 1), got {lam}")
+    uni = unigram.select(
+        F.col("token").alias("w2"), F.exp("logprob").alias("q2")
+    )
+    uni_first = unigram.select(
+        F.col("token").alias("w1f"), F.col("logprob").alias("lp1")
+    )
+    unk = unigram.agg(
+        F.log(
+            F.lit(alpha)
+            / (F.sum("n") + F.lit(alpha) * (F.count("*") + F.lit(1.0)))
+        ).alias("unk_lp")
+    )
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("_t")).where(F.size("_t") > 0)
+    firsts = (
+        base.select(F.col(id_col), F.element_at("_t", 1).alias("w1f"))
+        .join(F.broadcast(uni_first), "w1f", "left")
+        .crossJoin(F.broadcast(unk))
+        .select(
+            F.col(id_col), F.coalesce("lp1", F.col("unk_lp")).alias("_lp")
+        )
+    )
+    pairs = base.select(
+        F.col(id_col),
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("_t"), 1, F.greatest(F.size("_t") - 1, F.lit(0))),
+                F.slice(F.col("_t"), 2, F.greatest(F.size("_t") - 1, F.lit(0))),
+            )
+        ).alias("p"),
+    ).select(
+        F.col(id_col), F.col("p")["0"].alias("w1"), F.col("p")["1"].alias("w2")
+    )
+    scored_pairs = (
+        pairs.join(F.broadcast(bigram.select("w1", "w2", "n12", "n1")), ["w1", "w2"], "left")
+        .join(F.broadcast(uni), "w2", "left")
+        .crossJoin(F.broadcast(unk))
+        .select(
+            F.col(id_col),
+            F.log(
+                F.lit(lam)
+                * F.coalesce(F.col("n12") / F.col("n1"), F.lit(0.0))
+                + F.lit(1.0 - lam) * F.coalesce("q2", F.exp("unk_lp"))
+            ).alias("_lp"),
+        )
+    )
+    return (
+        firsts.unionByName(scored_pairs)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("_lp").alias("logprob_sum"),
+            F.avg("_lp").alias("avg_logprob"),
+        )
+    )

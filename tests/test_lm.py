@@ -109,3 +109,41 @@ def test_source_divergence(spark):
     for s in ("a", "b"):
         assert out[s]["kl_corpus"] == pytest.approx(m.log(2))
         assert out[s]["entropy"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_bigram_model_counts_and_margins(spark):
+    from k_means_using_mapreduce_spark.operators.lm import fit_bigram_model
+
+    df = spark.createDataFrame(
+        [(1, "a b c a b"), (2, "a")], "doc_id long, text string"
+    )
+    big = {(r["w1"], r["w2"]): r for r in fit_bigram_model(df).collect()}
+    assert big[("a", "b")]["n12"] == 2 and big[("a", "b")]["n1"] == 2
+    assert big[("b", "c")]["n12"] == 1
+    # single-token doc contributes no pairs
+    assert all(k[0] != "a" or k[1] in ("b",) for k in big)
+
+
+def test_bigram_scoring_prefers_seen_transitions(spark):
+    from k_means_using_mapreduce_spark.operators.lm import (
+        fit_bigram_model,
+        fit_unigram_model,
+        score_documents_bigram,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(5)],
+        "doc_id long, text string",
+    )
+    big, uni = fit_bigram_model(corpus), fit_unigram_model(corpus)
+    batch = spark.createDataFrame(
+        [(10, "the cat sat"),      # fluent: every transition seen
+         (11, "cat the on sat"),   # same words, unseen transitions
+         (12, "zz qq")],           # full OOV
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["avg_logprob"]
+           for r in score_documents_bigram(batch, big, uni).collect()}
+    assert out[10] > out[11] > out[12]
+    with pytest.raises(ValueError):
+        score_documents_bigram(batch, big, uni, lam=1.0)
