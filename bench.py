@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "user_state_history",
     "debounced_user_events",
     "bigram_logprob_documents",
+    "customer_match_candidates",
 ]
 
 KMEANS_FIT_K = 8

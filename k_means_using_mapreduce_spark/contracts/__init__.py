@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from . import (
     cleaning_queries,
     dedup_queries,
+    entity_queries,
     index_queries,
     kmeans_queries,
     line_queries,
@@ -43,6 +44,7 @@ from . import (
 _MODULES = [
     kmeans_queries,
     dedup_queries,
+    entity_queries,
     line_queries,
     index_queries,
     lm_queries,

@@ -1,0 +1,78 @@
+"""Entity resolution: blocked candidate generation over structured
+records.
+
+The record-linkage counterpart of the document-dedup family: documents
+dedup by content hashing (operators/dedup.py), but ENTITIES (customers,
+suppliers, vendors) duplicate through typos and re-registrations —
+near-identical names under the same coarse attributes. The standard
+shape is block → pair-within-block → cheap distance filter → (a human
+or model adjudicates survivors).
+
+Scale notes: the self-join is EQUI on the blocking key, so the
+quadratic blowup is bounded per block, exactly like LSH bands bound
+shingle dedup; ``max_block_size`` drops oversized blocks (a blocking
+key that captures half the table generates no usable candidates anyway
+— refine the key instead), mirroring dedup.py's hot-shingle cap. The
+id_a < id_b predicate halves the pair space and canonicalizes output.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def blocked_match_candidates(
+    df: DataFrame,
+    *,
+    id_col: str,
+    name_col: str,
+    block_cols: Sequence[str],
+    max_distance: int = 2,
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """Candidate duplicate pairs: same blocking key, name edit distance
+    ≤ ``max_distance``. Output:
+    ``(id_a, id_b, name_a, name_b, distance)`` with id_a < id_b.
+
+    ``max_block_size`` excludes blocks larger than the cap BEFORE the
+    self-join (the LSH-style degenerate-bucket guard); None disables.
+    """
+    block_cols = list(block_cols)
+    if not block_cols:
+        raise ValueError("blocked_match_candidates needs block_cols")
+    if max_distance < 0:
+        raise ValueError(f"max_distance must be >= 0, got {max_distance}")
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(name_col).alias("_name"), *block_cols
+    )
+    if max_block_size is not None:
+        if max_block_size < 2:
+            raise ValueError(f"max_block_size must be >= 2, got {max_block_size}")
+        sizes = (
+            base.groupBy(*block_cols)
+            .agg(F.count("*").alias("_bn"))
+            .where(F.col("_bn") <= max_block_size)
+            .drop("_bn")
+        )
+        base = base.join(F.broadcast(sizes), block_cols, "left_semi")
+    left = base.select(
+        *block_cols,
+        F.col("_id").alias("id_a"),
+        F.col("_name").alias("name_a"),
+    )
+    right = base.select(
+        *block_cols,
+        F.col("_id").alias("id_b"),
+        F.col("_name").alias("name_b"),
+    )
+    pairs = left.join(right, block_cols).where(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn(
+            "distance", F.levenshtein(F.col("name_a"), F.col("name_b"))
+        )
+        .where(F.col("distance") <= max_distance)
+        .select("id_a", "id_b", "name_a", "name_b", "distance")
+    )
