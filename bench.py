@@ -134,6 +134,10 @@ BENCH_QUERIES = [
     "debounced_user_events",
     "bigram_logprob_documents",
     "customer_match_candidates",
+    # substring-level dup spans + BPE vocabulary induction
+    "duplicate_spans_documents",
+    "span_summary_documents",
+    "bpe_pair_counts_documents",
 ]
 
 KMEANS_FIT_K = 8

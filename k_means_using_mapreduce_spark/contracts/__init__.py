@@ -31,6 +31,7 @@ from . import (
     sampling_queries,
     setop_queries,
     similarity_queries,
+    span_queries,
     sql_queries,
     stats_queries,
     temporal_queries,
@@ -58,6 +59,7 @@ _MODULES = [
     tpch_queries,
     tpch_advanced_queries,
     sql_queries,
+    span_queries,
     setop_queries,
     stats_queries,
     robust_queries,
