@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "duplicate_spans_documents",
     "span_summary_documents",
     "bpe_pair_counts_documents",
+    "semantic_dedup_survivors_embeddings",
 ]
 
 KMEANS_FIT_K = 8

@@ -29,6 +29,7 @@ from . import (
     robust_queries,
     rollup_queries,
     sampling_queries,
+    semdedup_queries,
     setop_queries,
     similarity_queries,
     span_queries,
@@ -60,6 +61,7 @@ _MODULES = [
     tpch_advanced_queries,
     sql_queries,
     span_queries,
+    semdedup_queries,
     setop_queries,
     stats_queries,
     robust_queries,

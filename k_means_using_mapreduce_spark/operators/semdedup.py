@@ -1,0 +1,185 @@
+"""Semantic deduplication over embeddings (SemDeDup, Abbas et al. 2023,
+arXiv:2303.09540).
+
+MinHash/SimHash (operators/dedup.py) catch *lexical* near-duplicates;
+paraphrases, translations, and templated rewrites share almost no
+shingles but sit on top of each other in embedding space. SemDeDup's
+recipe: cluster the embeddings (K-Means — our own core), compare
+vectors only WITHIN a cluster, and keep one representative per
+near-duplicate neighborhood. The paper prunes web-scale corpora by
+~50% this way with no quality loss.
+
+Scale shape — the whole point of the cluster-first step:
+
+1. Assignment is the engine's zero-shuffle narrow projection
+   (operators/kmeans.py::assign, centroids folded into the plan).
+2. Pairs form per-cluster only (operators/dedup.py::
+   embedding_near_dup_bucketed): the O(N²) pair space collapses to
+   sum-per-cluster quadratic, the same guard as LSH bands / IVF cells.
+   At 100 TB you size K so clusters average ~N/K rows and salt hot
+   clusters; the paper uses K in the tens of thousands.
+3. Survivor selection is one anti-join on pair edges — no transitive
+   closure. A vector is dropped iff SOME same-cluster neighbor above
+   the threshold has higher keep-priority (NMS-style greedy, as in the
+   paper's per-cluster sweep). Deterministic by construction; needs no
+   iterative connected components.
+
+Keep policies:
+
+- ``keep="min_id"`` — lowest id wins (fully order-independent, and the
+  policy the DuckDB oracle contract replicates).
+- ``keep="far_from_centroid"`` — the paper's choice: within a
+  neighborhood keep the member LEAST similar to its cluster centroid
+  (retains the most "informative" example near cluster edges); ties
+  break on id so retries can't flip survivors.
+
+The cosine expressions are the JVM sequential folds of
+functions/vectors.py — bit-identical to the oracle's ``list_reduce``,
+so threshold comparisons cannot flip between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity_expr
+from .dedup import embedding_near_dup_bucketed
+from .kmeans import assign
+
+_POLICIES = ("min_id", "far_from_centroid")
+
+
+def _assigned(df: DataFrame, centroids, vec_col: str, id_col: str) -> DataFrame:
+    feats = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("features"),
+    )
+    return assign(feats, centroids, keep_dist=False)
+
+
+def _centroid_sim(centroids) -> "F.Column":
+    """cosine(features, centroid[cid]) as a literal CASE chain — the
+    same centroid-literal folding trick as assignment itself."""
+    expr = F.lit(None).cast("double")
+    for cid, vec in centroids:
+        lit_vec = F.array(*[F.lit(float(x)) for x in vec])
+        expr = F.when(
+            F.col("cid") == F.lit(cid),
+            cosine_similarity_expr(F.col("features"), lit_vec),
+        ).otherwise(expr)
+    return expr
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    keep: str = "min_id",
+) -> DataFrame:
+    """Per-vector verdicts ``(id, cid, is_dup)``.
+
+    ``is_dup=true`` marks vectors pruned by the policy; survivors are
+    the ``is_dup=false`` rows. One narrow assignment, one per-cluster
+    pair join, one anti-join — no iteration.
+    """
+    if keep not in _POLICIES:
+        raise ValueError(f"keep must be one of {_POLICIES}, got {keep!r}")
+    assigned = _assigned(df, centroids, vec_col, id_col)
+    pairs = embedding_near_dup_bucketed(
+        df, centroids, vec_col=vec_col, id_col=id_col, threshold=threshold
+    )
+
+    if keep == "min_id":
+        # id_a < id_b on every pair edge: the higher id always loses.
+        dropped = pairs.select(F.col("id_b").alias("id")).distinct()
+    else:
+        prio = assigned.withColumn("c_sim", _centroid_sim(centroids)).select(
+            "id", "c_sim"
+        )
+        sym = pairs.select(
+            F.col("id_a").alias("u"), F.col("id_b").alias("v")
+        ).union(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+        edges = (
+            sym.join(prio.withColumnRenamed("id", "u").withColumnRenamed("c_sim", "pu"), "u")
+            .join(prio.withColumnRenamed("id", "v").withColumnRenamed("c_sim", "pv"), "v")
+        )
+        # v loses to u when u has lower centroid-similarity (paper
+        # keeps the far-from-centroid member), ties on id ascending
+        dropped = (
+            edges.filter(
+                (F.col("pu") < F.col("pv"))
+                | ((F.col("pu") == F.col("pv")) & (F.col("u") < F.col("v")))
+            )
+            .select(F.col("v").alias("id"))
+            .distinct()
+        )
+
+    return assigned.join(
+        dropped.withColumn("_d", F.lit(True)), "id", "left"
+    ).select(
+        "id",
+        "cid",
+        F.coalesce(F.col("_d"), F.lit(False)).alias("is_dup"),
+    )
+
+
+def semantic_dedup_survivors(
+    df: DataFrame,
+    centroids,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    keep: str = "min_id",
+) -> DataFrame:
+    """Surviving ``(id, cid)`` rows after semantic pruning."""
+    verdicts = semantic_dedup(
+        df,
+        centroids,
+        vec_col=vec_col,
+        id_col=id_col,
+        threshold=threshold,
+        keep=keep,
+    )
+    return verdicts.filter(~F.col("is_dup")).select("id", "cid")
+
+
+def semantic_dedup_summary(
+    df: DataFrame,
+    centroids,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    keep: str = "min_id",
+) -> DataFrame:
+    """Per-cluster pruning profile ``(cid, n_members, n_dropped,
+    n_survivors, drop_ratio)`` — the dial the paper tunes (threshold ↔
+    fraction pruned), aggregated per cluster so skewed clusters are
+    visible before a full run."""
+    verdicts = semantic_dedup(
+        df,
+        centroids,
+        vec_col=vec_col,
+        id_col=id_col,
+        threshold=threshold,
+        keep=keep,
+    )
+    return (
+        verdicts.groupBy("cid")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum(F.col("is_dup").cast("long")).alias("n_dropped"),
+        )
+        .select(
+            "cid",
+            "n_members",
+            "n_dropped",
+            (F.col("n_members") - F.col("n_dropped")).alias("n_survivors"),
+            F.round(F.col("n_dropped") / F.col("n_members"), 6).alias("drop_ratio"),
+        )
+    )
