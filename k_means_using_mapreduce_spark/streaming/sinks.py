@@ -53,14 +53,37 @@ class ParquetUpsertSink:
             latest = fh.read().strip()
         return self.spark.read.parquet(os.path.join(self.path, latest))
 
-    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        prev = self.current()
+    def latest_version(self) -> int | None:
+        """Batch id of the committed snapshot, or None before the first."""
+        marker = os.path.join(self.path, "_LATEST")
+        if not os.path.exists(marker):
+            return None
+        with open(marker) as fh:
+            name = fh.read().strip()
+        try:
+            return int(name.rsplit("_snapshot_v", 1)[1])
+        except (IndexError, ValueError):
+            return None
+
+    def _merge(self, prev: DataFrame | None, batch_df: DataFrame) -> DataFrame:
+        """Next snapshot from (previous snapshot, micro-batch rows).
+        Subclasses override for non-replace merge semantics."""
         new = batch_df.dropDuplicates(self.keys)
-        if prev is not None:
-            keep = prev.join(new.select(self.keys), self.keys, "left_anti")
-            merged = keep.unionByName(new)
-        else:
-            merged = new
+        if prev is None:
+            return new
+        keep = prev.join(new.select(self.keys), self.keys, "left_anti")
+        return keep.unionByName(new)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        # replay guard: marker at version >= batch_id means this batch
+        # already committed (the marker lands strictly after a complete
+        # snapshot write) — rewriting would be a no-op for replace
+        # merges but would DOUBLE-APPLY accumulating merges, so skip
+        latest = self.latest_version()
+        if latest is not None and latest >= batch_id:
+            return
+        prev = self.current()
+        merged = self._merge(prev, batch_df)
         out = self._snapshot_dir(batch_id)
         # materialize BEFORE the overwrite: on a replayed batch id the
         # output dir IS the previous snapshot being read — writing
