@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "span_summary_documents",
     "bpe_pair_counts_documents",
     "semantic_dedup_survivors_embeddings",
+    "purchase_next_click_asof",
 ]
 
 KMEANS_FIT_K = 8

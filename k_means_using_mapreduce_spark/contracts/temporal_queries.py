@@ -116,6 +116,67 @@ FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
 """
 
 
+#: forward-asof tolerance: 1 hour in microseconds
+_FWD_TOL_US = 3_600_000_000
+
+
+def purchase_next_click_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with tolerance: each purchase attributed to
+    the user's EARLIEST following (or simultaneous) click within one
+    hour — the next-event attribution shape (pandas
+    ``merge_asof(direction='forward', tolerance=...)``). Same
+    one-exchange union+window plan as the backward contract, mirrored;
+    ties at equal (user, ts) resolve to the max click event_id."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.expr("ts div 1000")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_event_id")
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        by="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["ts", "click_event_id"],
+        right_order="click_event_id",
+        direction="forward",
+        tolerance=_FWD_TOL_US,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("value").alias("purchase_value"),
+        F.coalesce("asof_click_event_id", F.lit(-1)).alias("click_event_id"),
+        F.coalesce(F.col("asof_ts") - F.col("ts"), F.lit(-1)).alias("gap_us"),
+    )
+
+
+PURCHASE_NEXT_CLICK_ASOF_SQL = f"""
+WITH p AS (
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+    FROM events WHERE event_type = 'purchase'
+), c AS (
+    SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS click_event_id
+    FROM events WHERE event_type = 'click' GROUP BY user_id, epoch_us(ts)
+), j AS (
+    SELECT p.event_id, p.user_id, p.value, p.ts_us,
+           c.click_event_id, c.ts_us AS c_ts_us
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us <= c.ts_us
+)
+SELECT event_id, user_id, value AS purchase_value,
+       CASE WHEN c_ts_us IS NOT NULL AND c_ts_us - ts_us <= {_FWD_TOL_US}
+            THEN click_event_id ELSE -1 END AS click_event_id,
+       CASE WHEN c_ts_us IS NOT NULL AND c_ts_us - ts_us <= {_FWD_TOL_US}
+            THEN c_ts_us - ts_us ELSE -1 END AS gap_us
+FROM j
+"""
+
+
 def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour rollup per event type — the batch form of a
     hypertable continuous aggregate. Exact outputs only."""
@@ -240,6 +301,7 @@ GROUP BY o_orderkey
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_sessions_events": user_sessions_events,
     "purchase_click_asof": purchase_click_asof,
+    "purchase_next_click_asof": purchase_next_click_asof,
     "hourly_event_rollup": hourly_event_rollup,
     "events_json_props": events_json_props,
     "monthly_order_stats": monthly_order_stats,
@@ -249,6 +311,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLE_SQL: dict[str, str] = {
     "user_sessions_events": USER_SESSIONS_SQL,
     "purchase_click_asof": PURCHASE_CLICK_ASOF_SQL,
+    "purchase_next_click_asof": PURCHASE_NEXT_CLICK_ASOF_SQL,
     "hourly_event_rollup": HOURLY_ROLLUP_SQL,
     "events_json_props": EVENTS_JSON_SQL,
     "monthly_order_stats": MONTHLY_ORDER_STATS_SQL,

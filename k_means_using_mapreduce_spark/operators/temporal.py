@@ -98,12 +98,28 @@ def asof_join(
     right_cols: Sequence[str],
     prefix: str = "asof_",
     right_order: str | None = None,
+    direction: str = "backward",
+    tolerance: int | None = None,
 ) -> DataFrame:
     """Left as-of join: for every left row, attach the columns of the
     latest right row with ``right.ts <= left.ts`` and equal ``by`` key
     (backward-inclusive — DuckDB ``ASOF JOIN ... ON l.ts >= r.ts``,
     pandas ``merge_asof(direction="backward")``). Left rows with no
     prior right row keep NULLs.
+
+    ``direction="forward"`` matches the EARLIEST right row with
+    ``right.ts >= left.ts`` instead (pandas ``direction="forward"``;
+    the next-event attribution shape). The plan is the mirror image:
+    right rows sort after left at equal ts and ``first(...,
+    ignorenulls)`` scans the following frame — still one exchange.
+    With ``right_order`` the tie among right peers at equal ts still
+    resolves to the MAX value (the sort flips to descending so
+    ``first`` lands on it).
+
+    ``tolerance`` (same unit as the ts columns) nulls out matches
+    farther than the given gap — pandas ``merge_asof(tolerance=...)``.
+    Applied as a post-window projection on the matched right ts, so it
+    adds no shuffle.
 
     Implementation: tag both inputs, union, and take ``last(..,
     ignorenulls)`` over ``(by) ORDER BY (ts, side)`` — right rows sort
@@ -122,11 +138,25 @@ def asof_join(
     """
     if "_asof_side" in left.columns or "_asof_side" in right.columns:
         raise ValueError("inputs may not contain reserved column _asof_side")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if tolerance is not None and tolerance < 0:
+        raise ValueError(f"tolerance must be >= 0, got {tolerance}")
+    backward = direction == "backward"
+    # at equal ts the right row must fall INSIDE the left row's frame:
+    # before it (backward, preceding frame) or after it (forward,
+    # following frame)
+    right_tag = 0 if backward else 2
+    track_mts = tolerance is not None
+    extra_mts = (
+        [F.col(right_ts).cast("long").alias(f"{prefix}_mts")] if track_mts else []
+    )
     tagged_r = right.select(
         F.col(by).alias(by),
         F.col(right_ts).alias("_asof_ts"),
-        F.lit(0).alias("_asof_side"),
+        F.lit(right_tag).alias("_asof_side"),
         *[F.col(c).alias(f"{prefix}{c}") for c in right_cols],
+        *extra_mts,
     )
     tagged_l = left.withColumn("_asof_ts", F.col(left_ts)).withColumn(
         "_asof_side", F.lit(1)
@@ -139,18 +169,36 @@ def asof_join(
                 f"right_order {right_order!r} must be one of right_cols"
             )
         # left rows are separated by _asof_side already; among right
-        # peers at equal ts this makes `last` pick the max value
-        order.append(F.col(f"{prefix}{right_order}").asc())
-    w = (
-        Window.partitionBy(by)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, 0)
+        # peers at equal ts this makes the picked edge the max value
+        # (`last` of ascending, or `first` of descending)
+        oc = F.col(f"{prefix}{right_order}")
+        order.append(oc.asc() if backward else oc.desc())
+    frame = (
+        (Window.unboundedPreceding, Window.currentRow)
+        if backward
+        else (Window.currentRow, Window.unboundedFollowing)
     )
-    for c in right_cols:
-        merged = merged.withColumn(
-            f"{prefix}{c}", F.last(f"{prefix}{c}", ignorenulls=True).over(w)
+    w = Window.partitionBy(by).orderBy(*order).rowsBetween(*frame)
+    fill = F.last if backward else F.first
+    fill_cols = [f"{prefix}{c}" for c in right_cols] + (
+        [f"{prefix}_mts"] if track_mts else []
+    )
+    for c in fill_cols:
+        merged = merged.withColumn(c, fill(c, ignorenulls=True).over(w))
+    out = merged.where(F.col("_asof_side") == 1)
+    if track_mts:
+        gap = (
+            F.col("_asof_ts").cast("long") - F.col(f"{prefix}_mts")
+            if backward
+            else F.col(f"{prefix}_mts") - F.col("_asof_ts").cast("long")
         )
-    return merged.where(F.col("_asof_side") == 1).drop("_asof_ts", "_asof_side")
+        ok = F.col(f"{prefix}_mts").isNotNull() & (gap <= F.lit(tolerance))
+        for c in right_cols:
+            out = out.withColumn(
+                f"{prefix}{c}", F.when(ok, F.col(f"{prefix}{c}"))
+            )
+        out = out.drop(f"{prefix}_mts")
+    return out.drop("_asof_ts", "_asof_side")
 
 
 def time_bucket(ts_col: Column | str, bucket_ns: int) -> Column:

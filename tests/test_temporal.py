@@ -125,6 +125,87 @@ class TestAsofJoin:
             asof_join(left, right, by="user_id", left_ts="ts", right_ts="ts",
                       right_cols=["rid"], right_order="nope")
 
+    def test_forward_inclusive_and_null(self, spark):
+        left = spark.createDataFrame(
+            [(1, 100), (1, 160), (1, 300), (2, 100)],
+            "user_id long, ts long",
+        )
+        right = spark.createDataFrame(
+            [(1, 100, "a"), (1, 150, "b"), (3, 1, "z")],
+            "user_id long, ts long, tag string",
+        )
+        out = {
+            (r["user_id"], r["ts"]): r["asof_tag"]
+            for r in asof_join(
+                left, right, by="user_id", left_ts="ts", right_ts="ts",
+                right_cols=["tag"], direction="forward",
+            ).collect()
+        }
+        assert out == {
+            (1, 100): "a",  # inclusive: equal ts matches
+            (1, 160): None,  # no following right row
+            (1, 300): None,
+            (2, 100): None,
+        }
+
+    def test_forward_picks_earliest_following(self, spark):
+        left = spark.createDataFrame([(1, 100)], "user_id long, ts long")
+        right = spark.createDataFrame(
+            [(1, 120, "near"), (1, 500, "far")],
+            "user_id long, ts long, tag string",
+        )
+        out = asof_join(
+            left, right, by="user_id", left_ts="ts", right_ts="ts",
+            right_cols=["tag"], direction="forward",
+        ).collect()
+        assert [r["asof_tag"] for r in out] == ["near"]
+
+    def test_forward_tiebreak_picks_max(self, spark):
+        left = spark.createDataFrame([(1, 100)], "user_id long, ts long")
+        right = spark.createDataFrame(
+            [(1, 100, 7), (1, 100, 9), (1, 100, 3)],
+            "user_id long, ts long, rid long",
+        )
+        out = asof_join(
+            left, right, by="user_id", left_ts="ts", right_ts="ts",
+            right_cols=["rid"], right_order="rid", direction="forward",
+        ).collect()
+        assert [r["asof_rid"] for r in out] == [9]
+
+    def test_tolerance_nulls_far_matches(self, spark):
+        left = spark.createDataFrame(
+            [(1, 100), (1, 400)], "user_id long, ts long"
+        )
+        right = spark.createDataFrame(
+            [(1, 90, "x")], "user_id long, ts long, tag string"
+        )
+        out = {
+            r["ts"]: r["asof_tag"]
+            for r in asof_join(
+                left, right, by="user_id", left_ts="ts", right_ts="ts",
+                right_cols=["tag"], tolerance=50,
+            ).collect()
+        }
+        assert out == {100: "x", 400: None}  # gap 310 > 50 -> nulled
+        fwd = {
+            r["ts"]: r["asof_tag"]
+            for r in asof_join(
+                left, right.withColumn("ts", F.lit(420)),
+                by="user_id", left_ts="ts", right_ts="ts",
+                right_cols=["tag"], direction="forward", tolerance=50,
+            ).collect()
+        }
+        assert fwd == {100: None, 400: "x"}
+
+    def test_direction_validated(self, spark):
+        df = spark.createDataFrame([(1, 1)], "user_id long, ts long")
+        with pytest.raises(ValueError, match="direction"):
+            asof_join(df, df, by="user_id", left_ts="ts", right_ts="ts",
+                      right_cols=["ts"], direction="nearest")
+        with pytest.raises(ValueError, match="tolerance"):
+            asof_join(df, df, by="user_id", left_ts="ts", right_ts="ts",
+                      right_cols=["ts"], tolerance=-1)
+
     def test_reserved_column_rejected(self, spark):
         df = spark.range(1).select(
             F.lit(1).alias("user_id"), F.lit(1).alias("ts"),
