@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "bpe_pair_counts_documents",
     "semantic_dedup_survivors_embeddings",
     "purchase_next_click_asof",
+    "purchase_nearest_click_asof",
 ]
 
 KMEANS_FIT_K = 8

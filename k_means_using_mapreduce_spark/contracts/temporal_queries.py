@@ -177,6 +177,72 @@ FROM j
 """
 
 
+def purchase_nearest_click_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join: each purchase attributed to the user's click
+    with the smallest absolute time gap, backward winning ties (pandas
+    ``merge_asof(direction='nearest')``). One exchange on the Spark
+    side (dual-tagged union); the oracle composes DuckDB's backward and
+    forward ASOF joins and picks the smaller gap with the same
+    tie-break."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.expr("ts div 1000")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_event_id")
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        by="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["ts", "click_event_id"],
+        right_order="click_event_id",
+        direction="nearest",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("value").alias("purchase_value"),
+        F.coalesce("asof_click_event_id", F.lit(-1)).alias("click_event_id"),
+        F.coalesce(
+            F.abs(F.col("asof_ts") - F.col("ts")), F.lit(-1)
+        ).alias("gap_us"),
+    )
+
+
+PURCHASE_NEAREST_CLICK_ASOF_SQL = """
+WITH p AS (
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+    FROM events WHERE event_type = 'purchase'
+), c AS (
+    SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS click_event_id
+    FROM events WHERE event_type = 'click' GROUP BY user_id, epoch_us(ts)
+), b AS (
+    SELECT p.event_id, p.user_id, p.value, p.ts_us,
+           c.click_event_id AS b_id, c.ts_us AS b_ts
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+), f AS (
+    SELECT p.event_id, c.click_event_id AS f_id, c.ts_us AS f_ts
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us <= c.ts_us
+), j AS (
+    SELECT b.*, f.f_id, f.f_ts,
+           (b_ts IS NOT NULL AND
+            (f_ts IS NULL OR ts_us - b_ts <= f_ts - ts_us)) AS use_b
+    FROM b JOIN f ON b.event_id = f.event_id
+)
+SELECT event_id, user_id, value AS purchase_value,
+       CASE WHEN use_b THEN b_id
+            WHEN f_ts IS NOT NULL THEN f_id ELSE -1 END AS click_event_id,
+       CASE WHEN use_b THEN ts_us - b_ts
+            WHEN f_ts IS NOT NULL THEN f_ts - ts_us ELSE -1 END AS gap_us
+FROM j
+"""
+
+
 def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour rollup per event type — the batch form of a
     hypertable continuous aggregate. Exact outputs only."""
@@ -302,6 +368,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_sessions_events": user_sessions_events,
     "purchase_click_asof": purchase_click_asof,
     "purchase_next_click_asof": purchase_next_click_asof,
+    "purchase_nearest_click_asof": purchase_nearest_click_asof,
     "hourly_event_rollup": hourly_event_rollup,
     "events_json_props": events_json_props,
     "monthly_order_stats": monthly_order_stats,
@@ -312,6 +379,7 @@ ORACLE_SQL: dict[str, str] = {
     "user_sessions_events": USER_SESSIONS_SQL,
     "purchase_click_asof": PURCHASE_CLICK_ASOF_SQL,
     "purchase_next_click_asof": PURCHASE_NEXT_CLICK_ASOF_SQL,
+    "purchase_nearest_click_asof": PURCHASE_NEAREST_CLICK_ASOF_SQL,
     "hourly_event_rollup": HOURLY_ROLLUP_SQL,
     "events_json_props": EVENTS_JSON_SQL,
     "monthly_order_stats": MONTHLY_ORDER_STATS_SQL,

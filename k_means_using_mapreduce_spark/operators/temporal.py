@@ -116,6 +116,14 @@ def asof_join(
     resolves to the MAX value (the sort flips to descending so
     ``first`` lands on it).
 
+    ``direction="nearest"`` takes whichever of the two candidates has
+    the smaller absolute gap, backward winning exact ties (equal-ts
+    matches have gap 0 on the backward side and always win). Plan: the
+    right side unions in TWICE (once per fill direction, each copy
+    carrying only its own direction's columns), so both window fills
+    ride ONE key exchange — the cost is a 2× replication of the right
+    relation, not a second shuffle or a join.
+
     ``tolerance`` (same unit as the ts columns) nulls out matches
     farther than the given gap — pandas ``merge_asof(tolerance=...)``.
     Applied as a post-window projection on the matched right ts, so it
@@ -138,10 +146,19 @@ def asof_join(
     """
     if "_asof_side" in left.columns or "_asof_side" in right.columns:
         raise ValueError("inputs may not contain reserved column _asof_side")
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     if tolerance is not None and tolerance < 0:
         raise ValueError(f"tolerance must be >= 0, got {tolerance}")
+    if right_order is not None and right_order not in right_cols:
+        raise ValueError(f"right_order {right_order!r} must be one of right_cols")
+    if direction == "nearest":
+        return _asof_nearest(
+            left, right, by, left_ts, right_ts, list(right_cols), prefix,
+            right_order, tolerance,
+        )
     backward = direction == "backward"
     # at equal ts the right row must fall INSIDE the left row's frame:
     # before it (backward, preceding frame) or after it (forward,
@@ -199,6 +216,87 @@ def asof_join(
             )
         out = out.drop(f"{prefix}_mts")
     return out.drop("_asof_ts", "_asof_side")
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    prefix: str,
+    right_order: str | None,
+    tolerance: int | None,
+) -> DataFrame:
+    """nearest-direction as-of: backward and forward candidates filled
+    over ONE key exchange (right side unioned twice, once per fill
+    direction), then the smaller absolute gap wins per row; backward
+    wins ties. Internal — dispatched from ``asof_join``."""
+    tagged_rb = right.select(
+        F.col(by).alias(by),
+        F.col(right_ts).alias("_asof_ts"),
+        F.lit(0).alias("_asof_side"),
+        *[F.col(c).alias(f"_b_{c}") for c in right_cols],
+        F.col(right_ts).cast("long").alias("_bmts"),
+    )
+    tagged_rf = right.select(
+        F.col(by).alias(by),
+        F.col(right_ts).alias("_asof_ts"),
+        F.lit(2).alias("_asof_side"),
+        *[F.col(c).alias(f"_f_{c}") for c in right_cols],
+        F.col(right_ts).cast("long").alias("_fmts"),
+    )
+    tagged_l = left.withColumn("_asof_ts", F.col(left_ts)).withColumn(
+        "_asof_side", F.lit(1)
+    )
+    merged = tagged_l.unionByName(
+        tagged_rb, allowMissingColumns=True
+    ).unionByName(tagged_rf, allowMissingColumns=True)
+
+    base_order = [F.col("_asof_ts").asc(), F.col("_asof_side").asc()]
+    order_b = list(base_order)
+    order_f = list(base_order)
+    if right_order is not None:
+        # max-value tie-break among equal-ts right peers, per direction
+        order_b.append(F.col(f"_b_{right_order}").asc_nulls_first())
+        order_f.append(F.col(f"_f_{right_order}").desc_nulls_last())
+    wb = (
+        Window.partitionBy(by)
+        .orderBy(*order_b)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(by)
+        .orderBy(*order_f)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    for c in [f"_b_{c}" for c in right_cols] + ["_bmts"]:
+        merged = merged.withColumn(c, F.last(c, ignorenulls=True).over(wb))
+    for c in [f"_f_{c}" for c in right_cols] + ["_fmts"]:
+        merged = merged.withColumn(c, F.first(c, ignorenulls=True).over(wf))
+
+    out = merged.where(F.col("_asof_side") == 1)
+    lt = F.col("_asof_ts").cast("long")
+    bgap = lt - F.col("_bmts")
+    fgap = F.col("_fmts") - lt
+    b_ok = F.col("_bmts").isNotNull()
+    f_ok = F.col("_fmts").isNotNull()
+    if tolerance is not None:
+        b_ok = b_ok & (bgap <= F.lit(tolerance))
+        f_ok = f_ok & (fgap <= F.lit(tolerance))
+    use_b = b_ok & (~f_ok | (bgap <= fgap))
+    for c in right_cols:
+        out = out.withColumn(
+            f"{prefix}{c}",
+            F.when(use_b, F.col(f"_b_{c}")).when(f_ok, F.col(f"_f_{c}")),
+        )
+    drop = (
+        [f"_b_{c}" for c in right_cols]
+        + [f"_f_{c}" for c in right_cols]
+        + ["_bmts", "_fmts", "_asof_ts", "_asof_side"]
+    )
+    return out.drop(*drop)
 
 
 def time_bucket(ts_col: Column | str, bucket_ns: int) -> Column:

@@ -197,11 +197,80 @@ class TestAsofJoin:
         }
         assert fwd == {100: None, 400: "x"}
 
+    def test_nearest_picks_smaller_gap(self, spark):
+        left = spark.createDataFrame(
+            [(1, 100), (1, 200), (1, 310)], "user_id long, ts long"
+        )
+        right = spark.createDataFrame(
+            [(1, 90, "b90"), (1, 220, "f220"), (1, 300, "b300")],
+            "user_id long, ts long, tag string",
+        )
+        out = {
+            r["ts"]: r["asof_tag"]
+            for r in asof_join(
+                left, right, by="user_id", left_ts="ts", right_ts="ts",
+                right_cols=["tag"], direction="nearest",
+            ).collect()
+        }
+        # 100: back gap 10 vs fwd gap 120 -> b90
+        # 200: back gap 110 vs fwd gap 20 -> f220
+        # 310: back gap 10 vs fwd gap none -> b300
+        assert out == {100: "b90", 200: "f220", 310: "b300"}
+
+    def test_nearest_tie_prefers_backward(self, spark):
+        left = spark.createDataFrame([(1, 100)], "user_id long, ts long")
+        right = spark.createDataFrame(
+            [(1, 90, "b"), (1, 110, "f")], "user_id long, ts long, tag string"
+        )
+        out = asof_join(
+            left, right, by="user_id", left_ts="ts", right_ts="ts",
+            right_cols=["tag"], direction="nearest",
+        ).collect()
+        assert out[0]["asof_tag"] == "b"
+        # equal ts counts as backward with gap 0
+        right2 = spark.createDataFrame(
+            [(1, 100, "eq"), (1, 101, "f")], "user_id long, ts long, tag string"
+        )
+        out2 = asof_join(
+            left, right2, by="user_id", left_ts="ts", right_ts="ts",
+            right_cols=["tag"], direction="nearest",
+        ).collect()
+        assert out2[0]["asof_tag"] == "eq"
+
+    def test_nearest_with_tolerance_and_order(self, spark):
+        left = spark.createDataFrame([(1, 100), (1, 500)], "user_id long, ts long")
+        right = spark.createDataFrame(
+            [(1, 130, 7), (1, 130, 9)], "user_id long, ts long, rid long"
+        )
+        out = {
+            r["ts"]: r["asof_rid"]
+            for r in asof_join(
+                left, right, by="user_id", left_ts="ts", right_ts="ts",
+                right_cols=["rid"], right_order="rid",
+                direction="nearest", tolerance=50,
+            ).collect()
+        }
+        assert out == {100: 9, 500: None}  # max-rid tie-break; 370 > 50
+
+    def test_nearest_single_exchange(self, spark):
+        from k_means_using_mapreduce_spark.plans.explain import exchange_count
+
+        left = spark.createDataFrame([(1, 100)], "user_id long, ts long")
+        right = spark.createDataFrame(
+            [(1, 90, "x")], "user_id long, ts long, tag string"
+        )
+        df = asof_join(
+            left, right, by="user_id", left_ts="ts", right_ts="ts",
+            right_cols=["tag"], direction="nearest",
+        )
+        df.write.format("noop").mode("overwrite").save()
+        assert exchange_count(df) == 1
+
     def test_direction_validated(self, spark):
         df = spark.createDataFrame([(1, 1)], "user_id long, ts long")
         with pytest.raises(ValueError, match="direction"):
             asof_join(df, df, by="user_id", left_ts="ts", right_ts="ts",
-                      right_cols=["ts"], direction="nearest")
+                      right_cols=["ts"], direction="sideways")
         with pytest.raises(ValueError, match="tolerance"):
             asof_join(df, df, by="user_id", left_ts="ts", right_ts="ts",
                       right_cols=["ts"], tolerance=-1)
