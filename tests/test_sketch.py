@@ -8,11 +8,17 @@ import pytest
 from pyspark.sql import functions as F
 
 from k_means_using_mapreduce_spark.operators.sketch import (
+    bucket_retention,
     build_distinct_sketches,
+    build_quantile_sketches,
+    build_theta_sketches,
     day_bucket,
     distinct_error_bound,
     rollup_distinct,
+    rollup_quantiles,
+    rollup_theta_distinct,
     sliding_distinct,
+    sliding_quantile,
 )
 
 
@@ -97,3 +103,93 @@ def test_day_bucket_epoch_anchored(spark):
 def test_empty_group_cols_rejected(events):
     with pytest.raises(ValueError):
         build_distinct_sketches(events, [], "user_id")
+    with pytest.raises(ValueError):
+        build_quantile_sketches(events, [], "user_id")
+    with pytest.raises(ValueError):
+        build_theta_sketches(events, [], "user_id")
+
+
+# ---------------- KLL quantile sketches ----------------
+
+
+@pytest.fixture(scope="module")
+def values(spark):
+    # 3 days x 200 values: day d holds d*1000 .. d*1000+199, so exact
+    # per-day p50 = d*1000+99.5-ish and the global quantiles are known
+    rows = [(d, float(d * 1000 + v)) for d in (1, 2, 4) for v in range(200)]
+    return spark.createDataFrame(rows, "day long, v double")
+
+
+def test_quantile_rollup_matches_exact(values):
+    daily = build_quantile_sketches(values, ["day"], "v")
+    got = rollup_quantiles(daily, [], quantiles=(0.5, 0.95)).first()
+    assert got["n_rows"] == 600
+    exact_p50, exact_p95 = values.selectExpr(
+        "percentile(v, 0.5) AS a", "percentile(v, 0.95) AS b"
+    ).first()
+    # KLL rank error ~1.7% at k=200 → value must sit within ±2% of
+    # ranks around the target; on this data that is a few tens of units
+    assert abs(got["p50"] - exact_p50) <= 60
+    assert abs(got["p95"] - exact_p95) <= 60
+
+
+def test_quantile_per_group_and_names(values):
+    daily = build_quantile_sketches(values, ["day"], "v")
+    per_day = {
+        r["day"]: r
+        for r in rollup_quantiles(daily, ["day"], quantiles=(0.5, 0.999)).collect()
+    }
+    for d in (1, 2, 4):
+        # within a 200-row group the sketch is exact (k=200 holds all)
+        assert per_day[d]["p50"] == pytest.approx(d * 1000 + 99, abs=1.5)
+        assert "p99_9" in per_day[d].asDict()
+
+
+def test_sliding_quantile_value_gaps(values):
+    daily = build_quantile_sketches(values, ["day"], "v")
+    out = {
+        r["day"]: r["trailing_p50"]
+        for r in sliding_quantile(daily, "day", quantiles=(0.5,), preceding=1).collect()
+    }
+    # day 2 window = {1,2} → median of 1000..1199 ∪ 2000..2199 ≈ boundary
+    assert 1150 <= out[2] <= 2050
+    # day 4 window = {3,4}; day 3 absent → day 4 alone
+    assert out[4] == pytest.approx(4099, abs=2)
+
+
+def test_quantile_rank_validation(values):
+    daily = build_quantile_sketches(values, ["day"], "v")
+    with pytest.raises(ValueError):
+        rollup_quantiles(daily, [], quantiles=(1.5,))
+
+
+# ---------------- Theta sketches: set algebra ----------------
+
+
+def test_theta_union_matches_exact(events):
+    daily = build_theta_sketches(events, ["day"], "user_id")
+    merged = rollup_theta_distinct(daily, []).first()
+    exact = events.select("user_id").distinct().count()  # 200
+    assert abs(merged["distinct_est"] - exact) <= max(5, exact * 0.05)
+    assert merged["n_rows"] == 300
+
+
+def test_bucket_retention_vs_exact_sets(events):
+    # day 1: 0..99, day 2: 50..149, day 4: 100..199 (row-adjacent lag)
+    daily = build_theta_sketches(events, ["day"], "user_id")
+    out = {r["day"]: r for r in bucket_retention(daily, "day").collect()}
+    assert out[1]["retained_est"] is None  # no predecessor
+    # day 2 vs day 1: ∩ = 50..99 (50), new = 100..149 (50), churn = 0..49
+    assert abs(out[2]["retained_est"] - 50) <= 5
+    assert abs(out[2]["new_est"] - 50) <= 5
+    assert abs(out[2]["churned_est"] - 50) <= 5
+    # day 4 vs day 2: ∩ = 100..149
+    assert abs(out[4]["retained_est"] - 50) <= 5
+    assert out[4]["distinct_est"] == pytest.approx(100, abs=5)
+
+
+def test_theta_deterministic(events):
+    daily = build_theta_sketches(events, ["day"], "user_id")
+    a = sorted((r["day"], r["retained_est"]) for r in bucket_retention(daily, "day").collect())
+    b = sorted((r["day"], r["retained_est"]) for r in bucket_retention(daily, "day").collect())
+    assert a == b
