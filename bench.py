@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "duplicate_spans_documents",
     "span_summary_documents",
     "bpe_pair_counts_documents",
+    "pq_adc_embeddings",
     "semantic_dedup_survivors_embeddings",
     "purchase_next_click_asof",
     "purchase_nearest_click_asof",

@@ -22,6 +22,7 @@ from . import (
     lm_queries,
     multimodal_queries,
     packing_queries,
+    pq_queries,
     quality_queries,
     quantize_queries,
     repetition_queries,
@@ -56,6 +57,7 @@ _MODULES = [
     packing_queries,
     quality_queries,
     quantize_queries,
+    pq_queries,
     similarity_queries,
     tpch_queries,
     tpch_advanced_queries,

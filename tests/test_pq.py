@@ -1,0 +1,136 @@
+"""Product quantization (operators/pq.py): codebook training with the
+engine's own K-Means, numpy encode kernel, literal-LUT ADC scoring,
+refine-stage recall recovery, reconstruction-error monotonicity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from k_means_using_mapreduce_spark.operators.pq import (
+    adc_lut,
+    encode_pq,
+    pq_error_stats,
+    pq_topk,
+    pq_topk_refined,
+    train_pq_codebooks,
+)
+from k_means_using_mapreduce_spark.operators.similarity import topk_for_query
+from k_means_using_mapreduce_spark.sources.loaders import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def books(emb):
+    return train_pq_codebooks(emb, m=8, n_codes=64, seed=7, max_iter=8)
+
+
+@pytest.fixture(scope="module")
+def codes(emb, books):
+    return encode_pq(emb, books).cache()
+
+
+def test_codebook_shape_and_determinism(emb, books):
+    assert len(books) == 8
+    assert all(len(b) == 64 for b in books)
+    assert all(len(c) == 8 for b in books for c in b)
+    again = train_pq_codebooks(emb, m=8, n_codes=64, seed=7, max_iter=8)
+    assert books == again
+
+
+def test_encode_shape_and_range(emb, codes):
+    rows = codes.collect()
+    assert len(rows) == emb.count()
+    for r in rows:
+        assert len(r["codes"]) == 8
+        assert all(0 <= c < 64 for c in r["codes"])
+
+
+def test_adc_lut_shape(books):
+    q = [0.0] * 64
+    lut = adc_lut(books, q)
+    assert len(lut) == 8 and all(len(row) == 64 for row in lut)
+    assert all(v >= 0.0 for row in lut for v in row)
+    with pytest.raises(ValueError):
+        adc_lut(books, [0.0] * 63)
+
+
+def _query_vec(emb, vec_id=3):
+    return list(
+        emb.where(F.col("vec_id") == vec_id).first()["embedding"]
+    )
+
+
+def test_adc_recall_and_refined_recall(emb, books, codes):
+    q = _query_vec(emb)
+    exact = {
+        r["vec_id"]
+        for r in topk_for_query(emb, q, k=10, metric="sq_dist").collect()
+    }
+    adc = {r["vec_id"] for r in pq_topk(codes, books, q, k=10).collect()}
+    # the synthetic embeddings are near-unit-norm with weak cluster
+    # structure (PQ reconstruction captures ~2/3 of the energy at 64
+    # codes), so raw ADC is a candidate generator here, not the final
+    # ranking — the refine stage is the recall story, as in FAISS
+    assert len(exact & adc) >= 3
+    refined = {
+        r["vec_id"]
+        for r in pq_topk_refined(
+            codes, emb, books, q, k=10, refine_factor=8
+        ).collect()
+    }
+    assert len(exact & refined) >= 7
+
+
+def test_refined_scores_are_exact(emb, books, codes):
+    q = _query_vec(emb, vec_id=11)
+    got = pq_topk_refined(codes, emb, books, q, k=5, refine_factor=8).collect()
+    exact = topk_for_query(emb, q, k=50, metric="sq_dist").collect()
+    exact_by_id = {r["vec_id"]: r["score"] for r in exact}
+    for r in got:
+        assert r["sq_dist"] == pytest.approx(exact_by_id[r["vec_id"]], rel=1e-9)
+
+
+def test_error_decreases_with_codebook_size(emb):
+    small = train_pq_codebooks(emb, m=4, n_codes=4, seed=7, max_iter=6)
+    big = train_pq_codebooks(emb, m=4, n_codes=32, seed=7, max_iter=6)
+    e_small = pq_error_stats(emb, small).first()
+    e_big = pq_error_stats(emb, big).first()
+    assert e_small["n_rows"] == e_big["n_rows"] == emb.count()
+    assert e_big["mean_sq_err"] < e_small["mean_sq_err"]
+    assert e_big["mean_sq_err"] > 0.0
+
+
+def test_expression_encoder_matches_numpy_kernel(spark, emb):
+    """The contract query's pure-expression encoder (literal frozen
+    codebooks) and the production numpy mapInPandas kernel must assign
+    identical codes — the parity the pq_queries docstring claims."""
+    from k_means_using_mapreduce_spark.contract_constants import PQ_CODEBOOKS
+    from k_means_using_mapreduce_spark.contracts.pq_queries import (
+        pq_adc_embeddings,
+    )
+
+    expr = {
+        r["vec_id"]: [r[f"code_{j}"] for j in range(4)]
+        for r in pq_adc_embeddings(spark, SF_DIR).collect()
+    }
+    kernel = {
+        r["vec_id"]: list(r["codes"])
+        for r in encode_pq(emb, PQ_CODEBOOKS).collect()
+    }
+    assert expr == kernel
+
+
+def test_validation(emb):
+    with pytest.raises(ValueError):
+        train_pq_codebooks(emb, m=7, n_codes=4)  # 64 % 7 != 0
+    with pytest.raises(ValueError):
+        train_pq_codebooks(emb, m=0)
+    with pytest.raises(ValueError):
+        train_pq_codebooks(emb, m=4, n_codes=1)
