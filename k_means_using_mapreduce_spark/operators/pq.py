@@ -127,6 +127,7 @@ def encode_pq(
     *,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    passthrough: Sequence[str] = (),
 ) -> DataFrame:
     """Encode each vector as ``m`` codebook indices.
 
@@ -135,14 +136,20 @@ def encode_pq(
     kernel shape, numpy throughout. Rows with NULL or wrong-dimension
     vectors are dropped (the dense GEMM cannot hold them; same policy
     as the fused K-Means kernel, kmeans.py::_min_d2_to).
+
+    ``passthrough`` columns ride along unchanged (e.g. the coarse
+    ``cid`` in the IVF-PQ build — avoids a second pass to rejoin them).
     """
     import numpy as np
 
     m, n_codes, dsub = _validate_books(codebooks)
     d = m * dsub
     C = np.asarray(codebooks, dtype=np.float64)  # (m, n_codes, dsub)
+    extras = list(passthrough)
     src = df.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        *extras,
     )
 
     def gen(batches):
@@ -161,16 +168,24 @@ def encode_pq(
             if not keep:
                 continue
             X = np.asarray([pdf["_v"].iloc[i] for i in keep], dtype=np.float64)
-            ids = pdf["_id"].iloc[keep].to_numpy()
             codes = np.empty((len(keep), m), dtype=np.int64)
             for j in range(m):
                 S = X[:, j * dsub : (j + 1) * dsub]
                 # ||s||² is constant per row in an argmin — skip it
                 dist = cn[j][None, :] - 2.0 * (S @ C[j].T)
                 codes[:, j] = dist.argmin(axis=1)
-            yield pd.DataFrame({"_id": ids, "codes": list(codes)})
+            out = {"_id": pdf["_id"].iloc[keep].to_numpy(), "codes": list(codes)}
+            for c in extras:
+                out[c] = pdf[c].iloc[keep].to_numpy()
+            yield pd.DataFrame(out)
 
-    out = src.mapInPandas(gen, f"_id {src.schema['_id'].dataType.simpleString()}, codes array<int>")
+    extra_ddl = "".join(
+        f", {c} {src.schema[c].dataType.simpleString()}" for c in extras
+    )
+    out = src.mapInPandas(
+        gen,
+        f"_id {src.schema['_id'].dataType.simpleString()}, codes array<int>{extra_ddl}",
+    )
     return out.withColumnRenamed("_id", id_col)
 
 
@@ -251,6 +266,173 @@ def pq_topk_refined(
         raise ValueError(f"refine_factor must be >= 1, got {refine_factor}")
     cand = pq_topk(
         codes, codebooks, query, k=k * refine_factor, id_col=id_col
+    ).select(id_col)
+    exact = vectors.join(F.broadcast(cand), id_col)
+    score = sq_dist_to_literal(F.col(vec_col).cast("array<double>"), list(query))
+    return (
+        exact.select(F.col(id_col).alias(id_col), score.alias("sq_dist"))
+        .orderBy(F.col("sq_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def residuals(
+    df: DataFrame,
+    centroids,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cid, residual): each vector's coarse bucket and its offset
+    from that bucket's centroid — the IVF-PQ encoding input (residuals
+    concentrate near zero, so a fixed codebook budget quantizes them
+    far better than raw vectors). The centroid pick is one
+    literal-indexed ``element_at`` (K-Means cids are contiguous 1..K),
+    no join."""
+    from .kmeans import assign
+
+    feats = df.select(
+        F.col(id_col).alias(id_col),
+        F.col(vec_col).cast("array<double>").alias("features"),
+    )
+    bucketed = assign(feats, centroids, keep_dist=False)
+    cents = sorted(((int(c), [float(v) for v in vec]) for c, vec in centroids))
+    cent_lit = F.array(*[F.array(*[F.lit(v) for v in vec]) for _, vec in cents])
+    return bucketed.select(
+        id_col,
+        "cid",
+        F.zip_with(
+            F.col("features"),
+            F.element_at(cent_lit, F.col("cid")),
+            lambda x, c: x - c,
+        ).alias("residual"),
+    )
+
+
+def build_ivfpq_index(
+    df: DataFrame,
+    centroids,
+    codebooks: PQCodebooks,
+    path: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    mode: str = "overwrite",
+) -> None:
+    """IVF-PQ: the FAISS composition of both index layers on disk.
+
+    Every vector is (1) assigned to its coarse K-Means bucket and
+    (2) PQ-encoded as the RESIDUAL ``v - centroid[cid]`` (residuals
+    concentrate near zero, so the same codebook budget quantizes them
+    far better than raw vectors — Jégou et al. §IV). Layout matches
+    ``similarity.build_ivf_index``: codes hive-partitioned by cid
+    (``{path}/corpus/cid=N``, m ints per row), centroids and codebooks
+    alongside. A probe reads nprobe partition DIRECTORIES of m-byte
+    codes — partition pruning × 32× compression multiply.
+
+    Train ``codebooks`` on residuals for best recall (e.g.
+    ``train_pq_codebooks`` over a residual projection); any rectangular
+    codebook works correctness-wise.
+    """
+    m, n_codes, dsub = _validate_books(codebooks)
+    resid = residuals(df, centroids, vec_col=vec_col, id_col=id_col)
+    codes = encode_pq(
+        resid,
+        codebooks,
+        vec_col="residual",
+        id_col=id_col,
+        passthrough=["cid"],
+    )
+    cents = sorted(((int(c), [float(v) for v in vec]) for c, vec in centroids))
+    codes.repartition(F.col("cid")).write.mode(mode).partitionBy("cid").parquet(
+        f"{path}/corpus"
+    )
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(cid, vec) for cid, vec in cents], "cid int, centroid array<double>"
+    ).coalesce(1).write.mode(mode).parquet(f"{path}/centroids")
+    book_rows = [
+        (j, c, codebooks[j][c]) for j in range(m) for c in range(n_codes)
+    ]
+    spark.createDataFrame(
+        book_rows, "subspace int, code int, vec array<double>"
+    ).coalesce(1).write.mode(mode).parquet(f"{path}/codebooks")
+
+
+def load_pq_codebooks(spark, path: str) -> PQCodebooks:
+    """Read back the codebooks written by :func:`build_ivfpq_index`
+    (m × n_codes rows — a driver-side read by design)."""
+    rows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = 1 + max(r["subspace"] for r in rows)
+    n_codes = 1 + max(r["code"] for r in rows)
+    books: PQCodebooks = [[None] * n_codes for _ in range(m)]
+    for r in rows:
+        books[r["subspace"]][r["code"]] = list(r["vec"])
+    return books
+
+
+def ivfpq_topk(
+    spark,
+    path: str,
+    query: Sequence[float],
+    k: int = 10,
+    *,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k by ADC over a persisted IVF-PQ index, scanning only the
+    probed partition directories of m-int codes.
+
+    Per probed bucket the LUT differs — ADC runs against the QUERY
+    RESIDUAL ``q - centroid[b]`` — so the score is a cid-dispatched
+    CASE over nprobe literal LUTs (nprobe is small; the expression
+    stays a narrow codegen projection). Plan: pruned scan →
+    score projection → TakeOrderedAndProject.
+    """
+    from .similarity import load_ivf_centroids, probe_buckets
+
+    cents = dict(load_ivf_centroids(spark, path))
+    books = load_pq_codebooks(spark, path)
+    probes = probe_buckets(list(cents.items()), query, nprobe)
+    corpus = spark.read.parquet(f"{path}/corpus").where(F.col("cid").isin(probes))
+    score = None
+    for b in probes:
+        resid_q = [q - c for q, c in zip(query, cents[b])]
+        branch = adc_score_expr(adc_lut(books, resid_q))
+        score = (
+            F.when(F.col("cid") == b, branch)
+            if score is None
+            else score.when(F.col("cid") == b, branch)
+        )
+    return (
+        corpus.select(F.col(id_col).alias(id_col), score.alias("adc_sq_dist"))
+        .orderBy(F.col("adc_sq_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def ivfpq_topk_refined(
+    spark,
+    path: str,
+    vectors: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    *,
+    nprobe: int = 1,
+    refine_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ probe for ``k × refine_factor`` candidates, exact
+    squared-distance re-rank from the full-precision ``vectors``
+    (broadcast semi-join) — both compression losses (coarse bucket +
+    PQ residual) removed for the rows that matter."""
+    from ..functions.vectors import sq_dist_to_literal
+
+    if refine_factor < 1:
+        raise ValueError(f"refine_factor must be >= 1, got {refine_factor}")
+    cand = ivfpq_topk(
+        spark, path, query, k=k * refine_factor, nprobe=nprobe, id_col=id_col
     ).select(id_col)
     exact = vectors.join(F.broadcast(cand), id_col)
     score = sq_dist_to_literal(F.col(vec_col).cast("array<double>"), list(query))

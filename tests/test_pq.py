@@ -134,3 +134,92 @@ def test_validation(emb):
         train_pq_codebooks(emb, m=0)
     with pytest.raises(ValueError):
         train_pq_codebooks(emb, m=4, n_codes=1)
+
+
+# ---------------- IVF-PQ: persisted composed index ----------------
+
+
+@pytest.fixture(scope="module")
+def ivfpq(spark, emb, tmp_path_factory):
+    from k_means_using_mapreduce_spark.operators.kmeans import kmeans_fit
+    from k_means_using_mapreduce_spark.operators.pq import (
+        build_ivfpq_index,
+        residuals,
+    )
+
+    path = str(tmp_path_factory.mktemp("ivfpq") / "idx")
+    fit = kmeans_fit(
+        emb.selectExpr("cast(embedding as array<double>) as features"),
+        4,
+        seed=5,
+        max_iter=8,
+    )
+    # codebooks trained on the residual distribution, as recommended
+    res = residuals(emb, fit.centroids)
+    books = train_pq_codebooks(
+        res, m=8, n_codes=64, vec_col="residual", seed=7, max_iter=8
+    )
+    build_ivfpq_index(emb, fit.centroids, books, path)
+    return {"path": path, "centroids": fit.centroids, "books": books}
+
+
+def test_ivfpq_layout_and_roundtrip(spark, ivfpq):
+    import glob
+
+    from k_means_using_mapreduce_spark.operators.pq import load_pq_codebooks
+
+    dirs = sorted(glob.glob(f"{ivfpq['path']}/corpus/cid=*"))
+    assert len(dirs) == 4
+    assert load_pq_codebooks(spark, ivfpq["path"]) == ivfpq["books"]
+    corpus = spark.read.parquet(f"{ivfpq['path']}/corpus")
+    assert set(corpus.columns) == {"vec_id", "codes", "cid"}
+
+
+def test_ivfpq_probe_is_partition_pruned(spark, ivfpq, emb):
+    from k_means_using_mapreduce_spark.operators.pq import ivfpq_topk
+    from k_means_using_mapreduce_spark.plans.explain import executed_plan
+
+    q = _query_vec(emb)
+    df = ivfpq_topk(spark, ivfpq["path"], q, k=10, nprobe=2)
+    plan = executed_plan(df)
+    assert "PartitionFilters: [" in plan
+    assert "cid" in plan.split("PartitionFilters:")[1][:120]
+    assert "PushedFilters: []" in plan
+
+
+def test_ivfpq_full_probe_refined_recall(spark, ivfpq, emb):
+    from k_means_using_mapreduce_spark.operators.pq import (
+        ivfpq_topk,
+        ivfpq_topk_refined,
+    )
+
+    q = _query_vec(emb)
+    exact = {
+        r["vec_id"]
+        for r in topk_for_query(emb, q, k=10, metric="sq_dist").collect()
+    }
+    # nprobe = all buckets isolates PQ loss from bucket loss
+    refined = {
+        r["vec_id"]
+        for r in ivfpq_topk_refined(
+            spark, ivfpq["path"], emb, q, k=10, nprobe=4, refine_factor=8
+        ).collect()
+    }
+    assert len(exact & refined) >= 7
+    # and a restricted probe still returns k rows, deterministically
+    a = ivfpq_topk(spark, ivfpq["path"], q, k=10, nprobe=1).collect()
+    b = ivfpq_topk(spark, ivfpq["path"], q, k=10, nprobe=1).collect()
+    assert a == b and len(a) == 10
+
+
+def test_ivfpq_refined_scores_exact(spark, ivfpq, emb):
+    from k_means_using_mapreduce_spark.operators.pq import ivfpq_topk_refined
+
+    q = _query_vec(emb, vec_id=11)
+    got = ivfpq_topk_refined(
+        spark, ivfpq["path"], emb, q, k=5, nprobe=4, refine_factor=8
+    ).collect()
+    exact = topk_for_query(emb, q, k=200, metric="sq_dist").collect()
+    by_id = {r["vec_id"]: r["score"] for r in exact}
+    for r in got:
+        assert r["sq_dist"] == pytest.approx(by_id[r["vec_id"]], rel=1e-9)
