@@ -69,10 +69,15 @@ def blocked_match_candidates(
         F.col("_name").alias("name_b"),
     )
     pairs = left.join(right, block_cols).where(F.col("id_a") < F.col("id_b"))
+    # threshold form: bounded-band DP that abandons a pair the moment
+    # its distance exceeds the cap (returns -1) — O(max_distance·len)
+    # per comparison instead of O(len²), the right cost model when most
+    # within-block pairs are NOT matches
     return (
         pairs.withColumn(
-            "distance", F.levenshtein(F.col("name_a"), F.col("name_b"))
+            "distance",
+            F.levenshtein(F.col("name_a"), F.col("name_b"), max_distance),
         )
-        .where(F.col("distance") <= max_distance)
+        .where(F.col("distance") >= 0)
         .select("id_a", "id_b", "name_a", "name_b", "distance")
     )
