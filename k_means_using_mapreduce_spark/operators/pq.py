@@ -41,7 +41,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: codebooks[j] = list of n_codes subvectors for subspace j; the code
@@ -440,6 +440,95 @@ def ivfpq_topk_refined(
         exact.select(F.col(id_col).alias(id_col), score.alias("sq_dist"))
         .orderBy(F.col("sq_dist").asc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def pq_knn_join(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: PQCodebooks,
+    k: int = 5,
+    *,
+    id_col: str = "vec_id",
+    query_vec: str = "embedding",
+    query_id: str = "vec_id",
+) -> DataFrame:
+    """For every query row, its k nearest corpus codes by ADC —
+    the PQ twin of ``similarity.knn_join``. Returns
+    ``(query_id, neighbor_id, rank, adc_sq_dist)``; self-matches
+    (equal ids) are excluded, ties break on neighbor id.
+
+    Scale shape: the Q queries collect to the driver (queries are the
+    small side by construction, as in ``knn_join``) and their LUTs
+    broadcast as ONE (Q, m, n_codes) tensor into a ``mapInPandas``
+    kernel that scores each codes batch against ALL queries via numpy
+    fancy-indexing — m lookups per (row, query), no distance
+    recomputation. Each task emits only its own per-query top-k
+    (partitions × Q × k rows), and one final per-query window picks
+    the global top-k: corpus codes never shuffle, and the shuffled
+    volume is independent of corpus size.
+    """
+    import numpy as np
+
+    m, n_codes, dsub = _validate_books(codebooks)
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    q_rows = queries.select(
+        F.col(query_id).alias("qid"),
+        F.col(query_vec).cast("array<double>").alias("qv"),
+    ).collect()
+    if not q_rows:
+        raise ValueError("queries is empty")
+    qids = np.array([r["qid"] for r in q_rows])
+    LUT = np.asarray(
+        [adc_lut(codebooks, list(r["qv"])) for r in q_rows], dtype=np.float64
+    )  # (Q, m, n_codes)
+    Q = len(qids)
+    kk = k + 1  # one extra in case the query id itself is in the batch
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.asarray(list(pdf["codes"]), dtype=np.int64)  # (B, m)
+            ids = pdf["_nid"].to_numpy()
+            B = len(ids)
+            scores = np.zeros((Q, B))
+            for j in range(m):
+                # LUT[:, j, :] is (Q, n_codes); fancy-index by the
+                # batch's column-j codes → (Q, B) partial distances
+                scores += LUT[:, j, C[:, j]]
+            top = min(kk, B)
+            part = np.argpartition(scores, top - 1, axis=1)[:, :top]
+            out_q, out_n, out_s = [], [], []
+            for qi in range(Q):
+                sel = part[qi]
+                out_q.extend([qids[qi]] * top)
+                out_n.extend(ids[sel])
+                out_s.extend(scores[qi, sel])
+            yield pd.DataFrame(
+                {"qid": out_q, "neighbor_id": out_n, "adc_sq_dist": out_s}
+            )
+
+    src = codes.select(F.col(id_col).alias("_nid"), "codes")
+    nid_t = src.schema["_nid"].dataType.simpleString()
+    qid_t = queries.schema[query_id].dataType.simpleString()
+    partials = src.mapInPandas(
+        gen, f"qid {qid_t}, neighbor_id {nid_t}, adc_sq_dist double"
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("adc_sq_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        partials.where(F.col("neighbor_id") != F.col("qid"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"), "neighbor_id", "rank", "adc_sq_dist"
+        )
     )
 
 

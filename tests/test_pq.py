@@ -136,6 +136,38 @@ def test_validation(emb):
         train_pq_codebooks(emb, m=4, n_codes=1)
 
 
+def test_pq_knn_join_matches_single_query_path(emb, books, codes):
+    """The batched multi-query kernel must agree with the expression
+    path (pq_topk) query-by-query — same LUTs, same tie policy."""
+    from k_means_using_mapreduce_spark.operators.pq import pq_knn_join
+
+    queries = emb.where(F.col("vec_id") < 3)
+    got = pq_knn_join(codes, queries, books, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["adc_sq_dist"])
+        )
+    assert set(by_q) == {0, 1, 2}
+    for qid, rows in by_q.items():
+        q = _query_vec(emb, vec_id=qid)
+        solo = [
+            r["vec_id"]
+            for r in pq_topk(codes, books, q, k=6).collect()
+            if r["vec_id"] != qid
+        ][:5]
+        assert [n for _, n, _ in sorted(rows)] == solo
+
+
+def test_pq_knn_join_validation(emb, books, codes):
+    from k_means_using_mapreduce_spark.operators.pq import pq_knn_join
+
+    with pytest.raises(ValueError):
+        pq_knn_join(codes, emb.where(F.col("vec_id") < 0), books, k=3)
+    with pytest.raises(ValueError):
+        pq_knn_join(codes, emb.limit(1), books, k=0)
+
+
 # ---------------- IVF-PQ: persisted composed index ----------------
 
 
