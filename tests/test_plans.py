@@ -308,3 +308,45 @@ def test_mixture_sample_plan_broadcast_and_single_wide_agg(spark, sf):
     assert broadcast_join_count(df) >= 1
     assert "BroadcastNestedLoopJoin" in plan
     assert sort_merge_join_count(df) == 0
+
+
+def test_pq_adc_is_single_scan_no_exchange(spark, sf):
+    """PQ encode+ADC must stay ONE narrow codegen projection over one
+    scan — the codebooks and LUT are literals; any Exchange or second
+    scan means the contract query stopped being a pure map."""
+    df = _q("pq_adc_embeddings", spark, sf)
+    assert exchange_count(df) == 0
+    assert len(read_schemas(df)) == 1
+    (cols,) = read_schemas(df)
+    assert "label" not in cols  # pruning: only vec_id + embedding read
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf, tmp_path):
+    """Spark's DPP: a partitioned fact joined to a FILTERED dim must
+    prune fact partitions at runtime via the dim's subquery result —
+    the plan carries `dynamicpruningexpression` on the fact scan. This
+    is the mechanism a 100 TB date-partitioned table relies on for
+    every dim-filtered join."""
+    from k_means_using_mapreduce_spark.plans.explain import executed_plan
+    from k_means_using_mapreduce_spark.sources.loaders import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf, "lineitem").withColumn(
+        "ship_month", F.date_trunc("month", "l_shipdate").cast("date")
+    )
+    fact_path = str(tmp_path / "li_parted")
+    li.write.partitionBy("ship_month").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    dim = (
+        load_table(spark, sf, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_orderdate")
+        .withColumn("o_month", F.date_trunc("month", "o_orderdate").cast("date"))
+        .where(F.col("o_month") == "1995-03-01")
+    )
+    joined = fact.join(
+        dim,
+        (fact.l_orderkey == dim.o_orderkey) & (fact.ship_month == dim.o_month),
+    ).agg(F.count("*").alias("n"))
+    plan = executed_plan(joined)
+    assert "dynamicpruning" in plan.lower()
