@@ -103,3 +103,39 @@ def pack_summary(packed: DataFrame) -> DataFrame:
         F.count("*").cast("int").alias("n_docs"),
         F.sum("n_tokens").cast("int").alias("total_tokens"),
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    seed: int,
+    shards: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global shuffle for a training epoch: every row
+    gets an ``epoch_pos`` rank and a balanced ``shard``, both pure
+    functions of ``(seed, id)`` — a new seed is a new permutation, the
+    same seed is byte-identical on every run, task retry, and cluster
+    size (the ``rand()``-free doctrine of operators/sampling.py; a
+    non-reproducible shuffle makes training runs unrepeatable and
+    mid-epoch resume impossible).
+
+    Plan: one md5 projection (the order key), the shard derived from
+    the key's leading hex (not ``repartitionByRange``, whose sampled
+    boundaries depend on the input's physical layout), then ONE
+    shard-keyed exchange whose window sorts by key and ranks — no
+    global single-task sort anywhere. Readers stream shards in
+    ``(shard, epoch_pos)`` order for the full permutation; per-shard
+    row counts concentrate around N/shards (hash-uniform).
+
+    Output: input columns + ``(shard, epoch_pos)``.
+    """
+    if shards < 1:
+        raise ValueError(f"shards must be >= 1, got {shards}")
+    key = F.md5(F.concat_ws("\x1f", F.lit(int(seed)), F.col(id_col)))
+    with_key = df.withColumn("_ek", key).withColumn(
+        "shard",
+        F.pmod(F.conv(F.substring("_ek", 1, 8), 16, 10).cast("long"), F.lit(shards))
+        .cast("int"),
+    )
+    w = Window.partitionBy("shard").orderBy("_ek")
+    return with_key.withColumn("epoch_pos", F.row_number().over(w)).drop("_ek")

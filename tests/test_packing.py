@@ -111,3 +111,73 @@ def test_packing_validates_args(spark):
 
     with pytest.raises(ValueError, match="chunk_tokens"):
         cd(df, chunk_tokens=0)
+
+
+# ---------------- epoch shuffle ----------------
+
+
+def test_epoch_shuffle_deterministic_and_seed_sensitive(spark):
+    from k_means_using_mapreduce_spark.operators.packing import epoch_shuffle
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(300)], "doc_id long, text string"
+    )
+    a = sorted(
+        (r["doc_id"], r["shard"], r["epoch_pos"])
+        for r in epoch_shuffle(df, seed=1, shards=4).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["shard"], r["epoch_pos"])
+        for r in epoch_shuffle(df, seed=1, shards=4).collect()
+    )
+    assert a == b  # same seed → identical permutation, every run
+    c = sorted(
+        (r["doc_id"], r["shard"], r["epoch_pos"])
+        for r in epoch_shuffle(df, seed=2, shards=4).collect()
+    )
+    assert a != c  # new seed → new permutation
+
+
+def test_epoch_shuffle_is_a_permutation_with_balanced_shards(spark):
+    from k_means_using_mapreduce_spark.operators.packing import epoch_shuffle
+
+    df = spark.createDataFrame(
+        [(i, "x") for i in range(400)], "doc_id long, text string"
+    )
+    rows = epoch_shuffle(df, seed=7, shards=4).collect()
+    assert len(rows) == 400
+    assert len({r["doc_id"] for r in rows}) == 400  # every row exactly once
+    # (shard, epoch_pos) is a dense unique order key
+    pos = {(r["shard"], r["epoch_pos"]) for r in rows}
+    assert len(pos) == 400
+    per_shard = {}
+    for r in rows:
+        per_shard[r["shard"]] = per_shard.get(r["shard"], 0) + 1
+    assert set(per_shard) == {0, 1, 2, 3}
+    for n in per_shard.values():
+        assert n >= 400 // 4 * 0.5  # hash-uniform, no empty/hot shard
+    # epoch_pos dense within each shard: 1..n
+    for s, n in per_shard.items():
+        ps = sorted(p for sh, p in pos if sh == s)
+        assert ps == list(range(1, n + 1))
+
+
+def test_epoch_shuffle_single_exchange(spark):
+    from k_means_using_mapreduce_spark.operators.packing import epoch_shuffle
+    from k_means_using_mapreduce_spark.plans import exchange_count
+
+    df = spark.createDataFrame(
+        [(i, "x") for i in range(50)], "doc_id long, text string"
+    )
+    out = epoch_shuffle(df, seed=3, shards=4)
+    assert exchange_count(out) == 1
+
+
+def test_epoch_shuffle_validation(spark):
+    import pytest
+
+    from k_means_using_mapreduce_spark.operators.packing import epoch_shuffle
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        epoch_shuffle(df, seed=1, shards=0)
