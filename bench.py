@@ -142,6 +142,10 @@ BENCH_QUERIES = [
     "semantic_dedup_survivors_embeddings",
     "purchase_next_click_asof",
     "purchase_nearest_click_asof",
+    # count-min frequency sketch + A-ES weighted sampling
+    "token_freq_sketch_documents",
+    "token_freq_estimate_documents",
+    "weighted_sample_documents",
 ]
 
 KMEANS_FIT_K = 8

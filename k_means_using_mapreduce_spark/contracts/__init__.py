@@ -16,6 +16,7 @@ from . import (
     cleaning_queries,
     dedup_queries,
     entity_queries,
+    freq_queries,
     index_queries,
     kmeans_queries,
     line_queries,
@@ -50,6 +51,7 @@ _MODULES = [
     entity_queries,
     line_queries,
     index_queries,
+    freq_queries,
     lm_queries,
     text_queries,
     repetition_queries,

@@ -1,0 +1,123 @@
+"""Count-min frequency-sketch contract queries with DuckDB oracles.
+
+Unlike the HLL/KLL/theta families (library binaries, pinned by property
+tests), the count-min sketch in operators/freq.py is built from the
+engine's md5 affine hash family, so BOTH the sketch table and the
+estimates are bit-reproducible in DuckDB — the whole approximate
+structure is oracle-checked, not just trusted.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..operators.freq import build_freq_sketch, estimate_counts
+from ..sources.loaders import load_table
+from ._sql_text import sql_tokens
+
+CM_DEPTH = 3
+CM_WIDTH = 256
+
+# probe set: frequent synthetic-vocab words plus one absent control
+# (its estimate must be 0 unless all CM_DEPTH rows collide)
+PROBE_TOKENS = ["spark", "data", "join", "agg", "window", "scan", "zzznever"]
+
+
+def _token_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(F.explode(T.tokens("text")).alias("token"))
+
+
+def token_freq_sketch_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The global count-min sketch of document tokens as sparse
+    (d, bucket, cnt) rows — the persistable pre-aggregate, bounded at
+    depth x width rows no matter the corpus size."""
+    return build_freq_sketch(
+        _token_rows(spark, sf_dir), [], "token", depth=CM_DEPTH, width=CM_WIDTH
+    )
+
+
+_CM_DEPTH_VALUES = ", ".join(f"({i})" for i in range(CM_DEPTH))
+
+TOKEN_FREQ_SKETCH_SQL = f"""
+SELECT d,
+       ('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || token), 1, 15))::BIGINT
+         % {CM_WIDTH} AS bucket,
+       count(*) AS cnt
+FROM (SELECT unnest({sql_tokens("text")}) AS token FROM documents) toks
+CROSS JOIN (VALUES {_CM_DEPTH_VALUES}) AS ds(d)
+GROUP BY 1, 2
+"""
+
+
+def token_freq_estimate_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Count-min estimates for a fixed probe set, side-by-side with the
+    exact counts: ``est >= exact`` for every probe (the sketch only
+    overcounts), and the absent control estimates 0-or-collision."""
+    toks = _token_rows(spark, sf_dir)
+    sketch = build_freq_sketch(toks, [], "token", depth=CM_DEPTH, width=CM_WIDTH)
+    probes = spark.createDataFrame(
+        [(p,) for p in PROBE_TOKENS], "probe string"
+    )
+    est = estimate_counts(sketch, probes, "probe", depth=CM_DEPTH, width=CM_WIDTH)
+    exact = (
+        toks.where(F.col("token").isin(PROBE_TOKENS))
+        .groupBy(F.col("token").alias("probe"))
+        .agg(F.count("*").alias("exact"))
+    )
+    return est.join(exact, "probe", "left").select(
+        "probe",
+        "est",
+        F.coalesce(F.col("exact"), F.lit(0)).alias("exact"),
+    )
+
+
+_PROBE_VALUES = ", ".join(f"('{p}')" for p in PROBE_TOKENS)
+
+TOKEN_FREQ_ESTIMATE_SQL = f"""
+WITH toks AS (SELECT unnest({sql_tokens("text")}) AS token FROM documents),
+sketch AS (
+  SELECT d,
+         ('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || token), 1, 15))::BIGINT
+           % {CM_WIDTH} AS bucket,
+         count(*) AS cnt
+  FROM toks CROSS JOIN (VALUES {_CM_DEPTH_VALUES}) AS ds(d)
+  GROUP BY 1, 2
+),
+probes AS (SELECT * FROM (VALUES {_PROBE_VALUES}) AS p(probe)),
+keyed AS (
+  SELECT probe, d,
+         ('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || probe), 1, 15))::BIGINT
+           % {CM_WIDTH} AS bucket
+  FROM probes CROSS JOIN (VALUES {_CM_DEPTH_VALUES}) AS ds(d)
+),
+est AS (
+  SELECT probe, min(coalesce(cnt, 0)) AS est
+  FROM keyed LEFT JOIN sketch USING (d, bucket)
+  GROUP BY probe
+),
+exact AS (
+  SELECT token AS probe, count(*) AS exact FROM toks
+  WHERE token IN (SELECT probe FROM probes)
+  GROUP BY token
+)
+SELECT probe, est, coalesce(exact, 0) AS exact
+FROM est LEFT JOIN exact USING (probe)
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "token_freq_sketch_documents": token_freq_sketch_documents,
+    "token_freq_estimate_documents": token_freq_estimate_documents,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "token_freq_sketch_documents": TOKEN_FREQ_SKETCH_SQL,
+    "token_freq_estimate_documents": TOKEN_FREQ_ESTIMATE_SQL,
+}

@@ -88,14 +88,48 @@ GROUP BY source
 """
 
 
+def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 documents per source, sampled WITHOUT replacement with
+    probability proportional to n_chars (A-ES exponential race,
+    deterministic by doc_id md5) — the quality-weighted mixture
+    sampler."""
+    from ..operators.sampling import weighted_sample_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample_per_group(
+        docs, "source", "doc_id", "n_chars", k=3
+    ).select("doc_id", "source", "n_chars")
+
+
+# same arithmetic order as the Spark side: int60 -> double, + 1.0,
+# / 2^60 (exactly representable), ln, / weight
+WEIGHTED_SAMPLE_SQL = """
+WITH scored AS (
+  SELECT doc_id, source, n_chars,
+         ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             + 1.0) / 1152921504606846976.0)
+           / CAST(n_chars AS DOUBLE) AS p
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+)
+SELECT doc_id, source, n_chars
+FROM (SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY p DESC, doc_id) AS rk
+      FROM scored)
+WHERE rk <= 3
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "documents_hash_sample": documents_hash_sample,
     "documents_split_summary": documents_split_summary,
     "stratified_sample_summary": stratified_sample_summary,
+    "weighted_sample_documents": weighted_sample_documents,
 }
 
 ORACLE_SQL: dict[str, str] = {
     "documents_hash_sample": DOCUMENTS_HASH_SAMPLE_SQL,
     "documents_split_summary": DOCUMENTS_SPLIT_SUMMARY_SQL,
     "stratified_sample_summary": STRATIFIED_SAMPLE_SQL,
+    "weighted_sample_documents": WEIGHTED_SAMPLE_SQL,
 }

@@ -1,0 +1,150 @@
+"""Mergeable count-min frequency sketches (Cormode-Muthukrishnan 2005).
+
+The frequency twin of operators/sketch.py: exact per-value counts over
+100 TB of tokens produce a result as large as the vocabulary itself
+(billions of rows), and a per-day exact top-k can never be merged into
+a weekly one (a value just below every daily cutoff can be the global
+winner). The count-min sketch bounds the pre-aggregate at
+``depth x width`` counters per bucket — KBs, independent of
+cardinality — while guaranteeing, deterministically, that every
+estimate is an OVERCOUNT: ``true <= est``, and
+``est <= true + N * e / width`` with probability ``1 - e^-depth``
+over the hash draw.
+
+Representation: SPARSE rows ``(group..., d, bucket, cnt)`` instead of
+a dense ``array<array<long>>`` binary. Sparse rows make the sketch a
+plain DataFrame — built by one map-side-combined aggregation, merged
+to any coarser grouping by ``SUM`` (counter matrices add elementwise),
+probed with a broadcast join — with no custom UDAF and no binary
+format. Untouched counters are implicitly zero; the row count per
+group is ``min(depth x width, depth x distinct-values)``.
+
+Determinism: the d row hashes are the engine's md5 affine family
+(``md5(d || ':' || value)`` first-15-hex-chars -> int60 -> mod width),
+the same construction as operators/sampling.py::hash_bucket — so the
+sketch is retry/repartition-stable, identical run-to-run, and exactly
+reproducible in DuckDB, which makes both the sketch table AND the
+estimates oracle-checkable (unlike the library-binary HLL/KLL/theta
+sketches, which are pinned by property tests instead).
+
+Scale shape:
+
+- ``build_freq_sketch`` — one pass; the explode-by-depth factor (x
+  ``depth``, typically 3-4) happens map-side and partial-aggregates
+  to at most ``depth x width`` rows per group before the shuffle.
+- ``rollup_freq`` / the streaming merge sink — operate on sketch rows
+  only; raw events are never re-read.
+- ``estimate_counts`` — broadcast-joins the (tiny) probe set against
+  the sketch; per probe the answer is ``min`` over ``depth`` matched
+  counters, absent counters counting as 0.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_DEPTH = 3
+DEFAULT_WIDTH = 1024
+
+
+def _check_shape(depth: int, width: int) -> None:
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+    if width < 2:
+        raise ValueError(f"width must be >= 2, got {width}")
+
+
+def cm_bucket(value: Column | str, d: Column | int, width: int) -> Column:
+    """Row ``d``'s counter index for ``value``: md5 of ``d || ':' ||
+    value`` (first 15 hex chars = 60 bits) mod ``width``. The ':'
+    separator keeps ``(d=1, value='2x')`` and ``(d=12, value='x')``
+    from colliding by construction."""
+    v = F.col(value) if isinstance(value, str) else value
+    dc = F.lit(d) if isinstance(d, int) else d
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", dc.cast("string"), v.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h % F.lit(width)
+
+
+def build_freq_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    depth: int = DEFAULT_DEPTH,
+    width: int = DEFAULT_WIDTH,
+) -> DataFrame:
+    """Per-group count-min sketch of ``value_col`` occurrences as
+    sparse ``(group..., d, bucket, cnt)`` rows.
+
+    ``group_cols=[]`` builds the single global sketch. NULL values are
+    skipped (like count(col)). One aggregation pass: the depth explode
+    is map-side and collapses to <= depth x width rows per group
+    before the exchange.
+    """
+    _check_shape(depth, width)
+    depths = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("d")
+    rows = df.where(F.col(value_col).isNotNull()).select(
+        *group_cols, F.col(value_col).alias("_v"), depths
+    )
+    return (
+        rows.withColumn("bucket", cm_bucket("_v", F.col("d"), width))
+        .groupBy(*group_cols, "d", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def rollup_freq(sketches: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Sketch at a coarser grouping: counter matrices add elementwise,
+    so the rollup is ``SUM(cnt)`` over ``(group..., d, bucket)`` —
+    sketch rows only, raw data never re-read. ``group_cols=[]`` gives
+    the single global sketch."""
+    return sketches.groupBy(*group_cols, "d", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def estimate_counts(
+    sketches: DataFrame,
+    probes: DataFrame,
+    probe_col: str,
+    *,
+    depth: int = DEFAULT_DEPTH,
+    width: int = DEFAULT_WIDTH,
+) -> DataFrame:
+    """Estimated occurrence count for each probe value against a
+    GLOBAL sketch (``group_cols=[]`` form): ``est = min over d`` of
+    the matched counter, 0 when no counter row exists (value count
+    is 0 modulo collisions).
+
+    ``depth``/``width`` must match the build call — the sketch rows do
+    not carry their own shape. The sketch is <= depth x width rows BY
+    CONSTRUCTION (KBs at any data size), so it is the broadcast side;
+    probes stay partitioned, the join is map-side, and an absent
+    counter row joins to NULL -> 0.
+    """
+    _check_shape(depth, width)
+    depths = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("d")
+    keyed = probes.select(F.col(probe_col).alias("probe")).distinct().select(
+        "probe", depths
+    )
+    keyed = keyed.withColumn("bucket", cm_bucket("probe", F.col("d"), width))
+    joined = keyed.join(F.broadcast(sketches), ["d", "bucket"], "left").select(
+        "probe", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+    )
+    return joined.groupBy("probe").agg(F.min("cnt").alias("est"))
+
+
+def estimate_error_bound(n_total: int, width: int) -> float:
+    """The standard count-min additive error bound: with probability
+    ``>= 1 - e^-depth`` the estimate exceeds the true count by at most
+    ``e / width * n_total`` (e = Euler's number)."""
+    import math
+
+    return math.e / width * n_total

@@ -102,6 +102,59 @@ def stratified_hash_sample(
     return df.where(hash_bucket(key, out_of) < threshold)
 
 
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    key: str,
+    weight_col: str,
+    *,
+    k: int,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, ``k`` rows per group, by
+    the Efraimidis-Spirakis exponential race (A-ES, 2006): each row
+    draws priority ``ln(u) / w`` from a deterministic uniform
+    ``u = (md5_int60(key) + 1) / 2^60`` in (0, 1], and the k largest
+    priorities per group win. The selection probability is exactly
+    proportional to ``w`` at each of the k draws — the distributed
+    formulation of weighted reservoir sampling, with the reservoir
+    replaced by a top-k window.
+
+    Training-data use: sample documents per source proportional to a
+    quality score, so the mixture favors high-quality text without
+    hard-filtering the tail.
+
+    Determinism: ``u`` comes from md5 of ``key`` (not rand), so the
+    draw is retry/repartition-stable and engine-portable like every
+    sampler in this module; ties break by ``key``. Rows with NULL or
+    non-positive weight are excluded (A-ES gives them zero win
+    probability; excluding them is the defined behavior, not an
+    accident of log-domain math).
+
+    Scale: one shuffle keyed by group for the top-k window — same
+    shape and same hot-group caveat as :func:`cap_per_group`.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql.window import Window
+
+    h = F.conv(
+        F.substring(F.md5(F.col(key).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float(1 << 60))
+    w_col = F.col(weight_col).cast("double")
+    priority = F.log(u) / w_col
+    win = Window.partitionBy(group_col).orderBy(
+        F.col("_aes_priority").desc(), F.col(key)
+    )
+    return (
+        df.where(w_col.isNotNull() & (w_col > 0))
+        .withColumn("_aes_priority", priority)
+        .withColumn("_aes_rk", F.row_number().over(win))
+        .where(F.col("_aes_rk") <= k)
+        .drop("_aes_priority", "_aes_rk")
+    )
+
+
 def cap_per_group(
     df: DataFrame,
     group_col: str,

@@ -1,0 +1,146 @@
+"""Count-min sketch invariants: deterministic overcount, exact
+mergeability, bounded size, and md5-parity with a driver-side Python
+recomputation of the same hash family."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from k_means_using_mapreduce_spark.operators.freq import (
+    build_freq_sketch,
+    estimate_counts,
+    rollup_freq,
+)
+
+DEPTH, WIDTH = 3, 64
+
+
+def py_bucket(value: str, d: int, width: int) -> int:
+    h = hashlib.md5(f"{d}:{value}".encode()).hexdigest()[:15]
+    return int(h, 16) % width
+
+
+@pytest.fixture(scope="module")
+def tokens(spark):
+    rng = random.Random(7)
+    vocab = [f"tok{i}" for i in range(40)]
+    # zipf-ish counts so some values are heavy hitters
+    rows = [(v,) for i, v in enumerate(vocab) for _ in range(1 + 200 // (i + 1))]
+    rng.shuffle(rows)
+    return spark.createDataFrame(rows, "token string").cache()
+
+
+def exact_counts(tokens) -> dict[str, int]:
+    return {
+        r["token"]: r["n"]
+        for r in tokens.groupBy("token").agg(F.count("*").alias("n")).collect()
+    }
+
+
+def test_estimates_only_overcount(spark, tokens):
+    sketch = build_freq_sketch(tokens, [], "token", depth=DEPTH, width=WIDTH)
+    exact = exact_counts(tokens)
+    probes = spark.createDataFrame(
+        [(t,) for t in exact] + [("absent",)], "probe string"
+    )
+    est = {
+        r["probe"]: r["est"]
+        for r in estimate_counts(
+            sketch, probes, "probe", depth=DEPTH, width=WIDTH
+        ).collect()
+    }
+    for t, n in exact.items():
+        assert est[t] >= n, f"count-min undercounted {t}"
+    # absent value: overcount only via collisions in ALL depths
+    collides_everywhere = all(
+        any(
+            py_bucket("absent", d, WIDTH) == py_bucket(t, d, WIDTH)
+            for t in exact
+        )
+        for d in range(DEPTH)
+    )
+    if not collides_everywhere:
+        assert est["absent"] == 0
+
+
+def test_collision_free_depth_is_exact(spark, tokens):
+    # with the real vocab and a wide enough sketch, verify from Python
+    # that at least one depth hashes all values injectively — then the
+    # min over depths must equal the exact count for EVERY value
+    width = 4096
+    exact = exact_counts(tokens)
+    assert any(
+        len({py_bucket(t, d, width) for t in exact}) == len(exact)
+        for d in range(DEPTH)
+    ), "test precondition: widen the sketch"
+    sketch = build_freq_sketch(tokens, [], "token", depth=DEPTH, width=width)
+    probes = spark.createDataFrame([(t,) for t in exact], "probe string")
+    est = {
+        r["probe"]: r["est"]
+        for r in estimate_counts(
+            sketch, probes, "probe", depth=DEPTH, width=width
+        ).collect()
+    }
+    assert est == exact
+
+
+def test_sketch_matches_python_recomputation(tokens):
+    sketch = build_freq_sketch(tokens, [], "token", depth=DEPTH, width=WIDTH)
+    got = {
+        (r["d"], r["bucket"]): r["cnt"] for r in sketch.collect()
+    }
+    want: dict[tuple[int, int], int] = {}
+    for t, n in exact_counts(tokens).items():
+        for d in range(DEPTH):
+            k = (d, py_bucket(t, d, WIDTH))
+            want[k] = want.get(k, 0) + n
+    assert got == want
+
+
+def test_merge_equals_single_pass(tokens):
+    a = tokens.where(F.length("token") <= 4)
+    b = tokens.where(F.length("token") > 4)
+    merged = rollup_freq(
+        build_freq_sketch(a, [], "token", depth=DEPTH, width=WIDTH).unionByName(
+            build_freq_sketch(b, [], "token", depth=DEPTH, width=WIDTH)
+        ),
+        [],
+    )
+    single = build_freq_sketch(tokens, [], "token", depth=DEPTH, width=WIDTH)
+    as_map = lambda df: {  # noqa: E731
+        (r["d"], r["bucket"]): r["cnt"] for r in df.collect()
+    }
+    assert as_map(merged) == as_map(single)
+
+
+def test_grouped_rollup_and_size_bound(spark, tokens):
+    grouped = tokens.withColumn(
+        "grp", (F.length("token") % 2).cast("int")
+    )
+    sk = build_freq_sketch(grouped, ["grp"], "token", depth=DEPTH, width=WIDTH)
+    per_group = sk.groupBy("grp").count().collect()
+    for r in per_group:
+        assert r["count"] <= DEPTH * WIDTH
+    # rolling the grouped sketch up to global == building global directly
+    global_direct = build_freq_sketch(tokens, [], "token", depth=DEPTH, width=WIDTH)
+    as_map = lambda df: {  # noqa: E731
+        (r["d"], r["bucket"]): r["cnt"] for r in df.collect()
+    }
+    assert as_map(rollup_freq(sk, [])) == as_map(global_direct)
+
+
+def test_null_values_skipped(spark):
+    df = spark.createDataFrame([("a",), (None,), ("a",)], "token string")
+    sk = build_freq_sketch(df, [], "token", depth=1, width=8)
+    assert sum(r["cnt"] for r in sk.collect()) == 2
+
+
+def test_shape_validation(spark, tokens):
+    with pytest.raises(ValueError):
+        build_freq_sketch(tokens, [], "token", depth=0, width=8)
+    with pytest.raises(ValueError):
+        build_freq_sketch(tokens, [], "token", depth=2, width=1)

@@ -350,3 +350,31 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf, tmp_path):
     ).agg(F.count("*").alias("n"))
     plan = executed_plan(joined)
     assert "dynamicpruning" in plan.lower()
+
+
+def test_freq_sketch_partial_agg_single_exchange(spark, sf):
+    # count-min build: the depth explode must collapse map-side
+    # (partial HashAggregate before ONE exchange) — otherwise the
+    # shuffle carries depth x corpus token rows instead of
+    # <= depth x width sketch rows
+    df = _q("token_freq_sketch_documents", spark, sf)
+    assert exchange_count(df) == 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_freq_estimate_broadcasts_sketch(spark, sf):
+    # probing joins the bounded (depth x width) sketch as the
+    # BROADCAST side; a sort-merge here would shuffle the sketch and
+    # the probes for no reason
+    df = _q("token_freq_estimate_documents", spark, sf)
+    assert broadcast_join_count(df) >= 1
+    assert sort_merge_join_count(df) == 0
+
+
+def test_weighted_sample_single_exchange(spark, sf):
+    # A-ES top-k: one hash exchange for the per-group window; the
+    # priority expression is a pure projection (no join, no extra pass)
+    df = _q("weighted_sample_documents", spark, sf)
+    assert exchange_count(df) == 1
+    assert sort_merge_join_count(df) == 0

@@ -88,3 +88,89 @@ def test_stratified_rejects_bad_rates(spark, sf_small):
         stratified_hash_sample(docs, "doc_id", "source", {"src0": 101})
     with pytest.raises(ValueError, match="default_keep"):
         stratified_hash_sample(docs, "doc_id", "source", {}, default_keep=-1)
+
+
+# ---------------------------------------------------------------- A-ES
+
+
+def test_weighted_sample_matches_python_recomputation(spark):
+    """The Spark A-ES selection equals a driver-side recomputation of
+    the same md5 -> uniform -> ln(u)/w priorities (exact parity with
+    the hash family the oracle SQL also uses)."""
+    import hashlib
+    import math
+
+    from k_means_using_mapreduce_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    rows = [
+        (g, i, float(1 + (i * 7) % 13))
+        for g in ("a", "b", "c")
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "grp string, key int, w double")
+    got = {
+        (r["grp"], r["key"])
+        for r in weighted_sample_per_group(df, "grp", "key", "w", k=4).collect()
+    }
+
+    def priority(key: int, w: float) -> float:
+        h = int(hashlib.md5(str(key).encode()).hexdigest()[:15], 16)
+        return math.log((h + 1.0) / float(1 << 60)) / w
+
+    want = set()
+    for g in ("a", "b", "c"):
+        grp = [(g, i, priority(i, float(1 + (i * 7) % 13))) for i in range(50)]
+        grp.sort(key=lambda t: (-t[2], t[1]))
+        want |= {(g, i) for g, i, _ in grp[:4]}
+    assert got == want
+
+
+def test_weighted_sample_determinism_size_and_exclusions(spark):
+    from k_means_using_mapreduce_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    rows = (
+        [("g1", i, 1.0) for i in range(20)]
+        + [("g2", 100 + i, 0.0) for i in range(5)]  # all ineligible
+        + [("g3", 200, 2.5), ("g3", 201, None)]  # one eligible
+    )
+    df = spark.createDataFrame(rows, "grp string, key int, w double")
+    out = weighted_sample_per_group(df, "grp", "key", "w", k=3)
+    rows1 = sorted((r["grp"], r["key"]) for r in out.collect())
+    rows2 = sorted(
+        (r["grp"], r["key"])
+        for r in weighted_sample_per_group(
+            df.repartition(7), "grp", "key", "w", k=3
+        ).collect()
+    )
+    assert rows1 == rows2  # retry/repartition-stable
+    by_grp = {}
+    for g, k in rows1:
+        by_grp.setdefault(g, []).append(k)
+    assert len(by_grp.get("g1", [])) == 3
+    assert "g2" not in by_grp  # zero weights can never win
+    assert by_grp.get("g3") == [200]  # null weight excluded
+
+    with pytest.raises(ValueError):
+        weighted_sample_per_group(df, "grp", "key", "w", k=0)
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    """Across many 2-row groups with weights 400:1, the heavy row must
+    win k=1 in the overwhelming majority (deterministic given md5)."""
+    from k_means_using_mapreduce_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    rows = []
+    for g in range(300):
+        rows.append((g, g * 2, 400.0))  # heavy: even keys
+        rows.append((g, g * 2 + 1, 1.0))
+    df = spark.createDataFrame(rows, "grp int, key int, w double")
+    picked = weighted_sample_per_group(df, "grp", "key", "w", k=1).collect()
+    heavy_wins = sum(1 for r in picked if r["key"] % 2 == 0)
+    assert len(picked) == 300
+    assert heavy_wins >= 280  # E[wins] ≈ 300·(400/401)
