@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "token_freq_sketch_documents",
     "token_freq_estimate_documents",
     "weighted_sample_documents",
+    "corpus_snapshot_diff",
 ]
 
 KMEANS_FIT_K = 8

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from . import (
     cleaning_queries,
     dedup_queries,
+    diff_queries,
     entity_queries,
     freq_queries,
     index_queries,
@@ -48,6 +49,7 @@ from . import (
 _MODULES = [
     kmeans_queries,
     dedup_queries,
+    diff_queries,
     entity_queries,
     line_queries,
     index_queries,

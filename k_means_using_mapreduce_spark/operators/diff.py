@@ -1,0 +1,105 @@
+"""Snapshot diff: what changed between two versions of a keyed table.
+
+The read-side complement of the write-side CDC operators
+(sources/sinks.py::merge_upsert_parquet applies a change set;
+operators/temporal.py::latest_by_key / scd2_history compact and
+historize one): given yesterday's corpus snapshot and today's,
+classify every key as added / removed / changed / unchanged. Training
+pipelines run this constantly — "which documents does the new crawl
+add or rewrite?" drives incremental dedup (operators/dedup.py::
+dedup_incremental consumes exactly the added+changed slice),
+incremental index ingestion, and audit reports.
+
+Spark shape: reduce each side to ``(keys..., row content hash)`` —
+pure map-side projection, so only key + compared columns are read
+from parquet (column pruning reaches the scan) — then ONE full outer
+join on the keys. Two hash exchanges at scale; co-locate both
+snapshots with ``sources/sinks.py::write_bucketed_table`` on the key
+to make the join shuffle-free. Never a broadcast: both sides are
+corpus-sized by assumption.
+
+The content hash is md5 over the compared columns joined with an
+ASCII unit separator, NULLs encoded as a sentinel BEFORE joining —
+``concat_ws`` alone would silently skip NULLs and make
+``('a', NULL)`` collide with ``(NULL, 'a')``. md5 keeps the whole
+classification engine-portable (DuckDB oracle-checkable), like every
+hash in this engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: NULL sentinel inside the content hash — a string no real cast()
+#: output produces (contains the unit separator itself).
+NULL_MARK = "\x1f<null>\x1f"
+SEP = "\x1f"
+
+
+def content_hash(cols: list[str]) -> Column:
+    """md5 fingerprint of the given columns, NULL-safe and
+    order-sensitive (a value moving between columns changes the
+    hash)."""
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit(NULL_MARK)) for c in cols
+    ]
+    return F.md5(F.concat_ws(SEP, *parts))
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+    *,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Per-key change classification between two snapshots:
+    ``(keys..., change)`` with change in ``added`` (key only in
+    ``new``), ``removed`` (only in ``old``), ``changed`` (both, hash
+    differs), ``unchanged`` (both, hash equal — dropped unless
+    ``include_unchanged``).
+
+    ``compare_cols`` defaults to every shared non-key column (in
+    ``old``'s column order, so the hash is stable under ``new``-side
+    projection reordering). Keys must be unique per snapshot — this
+    diffs snapshots, not event logs (compact with ``latest_by_key``
+    first).
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if compare_cols is None:
+        shared = set(old.columns) & set(new.columns)
+        compare_cols = [
+            c for c in old.columns if c in shared and c not in key_cols
+        ]
+    if not compare_cols:
+        raise ValueError("no columns to compare (snapshots share only keys?)")
+    o = old.select(*key_cols, content_hash(compare_cols).alias("_h_old"))
+    n = new.select(*key_cols, content_hash(compare_cols).alias("_h_new"))
+    j = o.join(n, key_cols, "full_outer")
+    change = (
+        F.when(F.col("_h_old").isNull(), F.lit("added"))
+        .when(F.col("_h_new").isNull(), F.lit("removed"))
+        .when(F.col("_h_old") != F.col("_h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = j.select(*key_cols, change.alias("change"))
+    if not include_unchanged:
+        out = out.where(F.col("change") != "unchanged")
+    return out
+
+
+def diff_summary(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """One row per change class with its key count (unchanged
+    included) — the audit-report face of :func:`snapshot_diff`."""
+    d = snapshot_diff(
+        old, new, key_cols, compare_cols, include_unchanged=True
+    )
+    return d.groupBy("change").agg(F.count("*").alias("n_keys"))

@@ -1,0 +1,88 @@
+"""Snapshot-diff classification invariants (operators/diff.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from k_means_using_mapreduce_spark.operators.diff import (
+    diff_summary,
+    snapshot_diff,
+)
+
+
+def _diff_map(df):
+    return {r["k"]: r["change"] for r in df.collect()}
+
+
+def test_classification(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+        "k int, v string, n int",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20), (3, "CC", 30), (4, "d", 41), (5, "e", 50)],
+        "k int, v string, n int",
+    )
+    got = _diff_map(snapshot_diff(old, new, ["k"]))
+    assert got == {1: "removed", 3: "changed", 4: "changed", 5: "added"}
+    # unchanged rows appear only on request
+    full = _diff_map(snapshot_diff(old, new, ["k"], include_unchanged=True))
+    assert full[2] == "unchanged"
+
+    summary = {
+        r["change"]: r["n_keys"] for r in diff_summary(old, new, ["k"]).collect()
+    }
+    assert summary == {"added": 1, "removed": 1, "changed": 2, "unchanged": 1}
+
+
+def test_null_safety_and_column_order(spark):
+    # ('a', NULL) vs (NULL, 'a') must classify as CHANGED — the naive
+    # concat_ws hash would collapse both to 'a' and report unchanged
+    old = spark.createDataFrame([(1, "a", None)], "k int, x string, y string")
+    new = spark.createDataFrame([(1, None, "a")], "k int, x string, y string")
+    assert _diff_map(snapshot_diff(old, new, ["k"])) == {1: "changed"}
+    # NULL == NULL counts as equal (no spurious 'changed')
+    assert (
+        snapshot_diff(old, old, ["k"], include_unchanged=True).first()["change"]
+        == "unchanged"
+    )
+
+
+def test_compare_cols_subset_and_projection_order(spark):
+    old = spark.createDataFrame([(1, "a", 1)], "k int, v string, ignored int")
+    new = spark.createDataFrame([(1, "a", 999)], "k int, v string, ignored int")
+    # explicit subset: the differing column is not compared
+    assert snapshot_diff(old, new, ["k"], ["v"]).count() == 0
+    # default compare set follows OLD's column order, so a reordered
+    # new-side projection does not flip hashes
+    reordered = new.select("ignored", "k", "v")
+    got = _diff_map(snapshot_diff(old, reordered, ["k"], ["v"]))
+    assert got == {}
+
+
+def test_validation(spark):
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    with pytest.raises(ValueError, match="key_cols"):
+        snapshot_diff(df, df, [])
+    only_keys = df.select("k")
+    with pytest.raises(ValueError, match="compare"):
+        snapshot_diff(only_keys, only_keys, ["k"])
+
+
+def test_matches_incremental_consumption(spark):
+    # the added+changed slice is exactly the anti-join + hash-differs
+    # set incremental pipelines re-process
+    old = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(50)], "k int, v string"
+    )
+    new = spark.createDataFrame(
+        [(i, f"v{i}" if i % 5 else f"w{i}") for i in range(10, 60)],
+        "k int, v string",
+    )
+    d = snapshot_diff(old, new, ["k"])
+    to_process = {
+        r["k"] for r in d.where(F.col("change") != "removed").collect()
+    }
+    expect = set(range(50, 60)) | {i for i in range(10, 50) if i % 5 == 0}
+    assert to_process == expect

@@ -378,3 +378,13 @@ def test_weighted_sample_single_exchange(spark, sf):
     df = _q("weighted_sample_documents", spark, sf)
     assert exchange_count(df) == 1
     assert sort_merge_join_count(df) == 0
+
+
+def test_snapshot_diff_two_exchanges_pruned_scans(spark, sf):
+    # snapshot diff: each side reduces to (key, md5) map-side, then ONE
+    # full-outer sort-merge join — two key exchanges total, and the
+    # parquet scans read only key + compared columns
+    df = _q("corpus_snapshot_diff", spark, sf)
+    assert exchange_count(df) == 2
+    for cols in read_schemas(df):
+        assert "doc_id" in cols
