@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "token_freq_estimate_documents",
     "weighted_sample_documents",
     "corpus_snapshot_diff",
+    "temperature_sample_summary",
 ]
 
 KMEANS_FIT_K = 8

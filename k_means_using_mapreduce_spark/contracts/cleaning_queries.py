@@ -276,11 +276,86 @@ TABLE_PROFILE_SQL = "\nUNION ALL\n".join(
 )
 
 
+
+
+def temperature_mixture_plan_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-scaled mixture plan (weights = share^alpha) — the
+    data-derived twin of mixture_plan_documents."""
+    from ..operators.cleaning import temperature_mixture_plan
+
+    return temperature_mixture_plan(
+        load_table(spark, sf_dir, "documents"), alpha=0.5, budget_frac=0.5
+    )
+
+
+_TEMP_CTE = f"""
+per_source AS (
+  SELECT source, CAST(count(*) AS INTEGER) AS n_docs,
+    CAST(sum({_BPE}) AS BIGINT) AS source_tokens
+  FROM documents GROUP BY source
+), tok AS (
+  SELECT CAST(sum(source_tokens) AS DOUBLE) AS tt FROM per_source
+), w AS (
+  SELECT source, n_docs, source_tokens, tt,
+    CASE WHEN tt > 0 THEN source_tokens / tt ELSE 0.0 END AS share,
+    pow(CASE WHEN tt > 0 THEN source_tokens / tt ELSE 0.0 END, 0.5) AS weight
+  FROM per_source, tok
+), wt AS (SELECT sum(weight) AS tw FROM w)"""
+
+TEMPERATURE_PLAN_SQL = f"""
+WITH {_TEMP_CTE}
+SELECT source, n_docs, source_tokens, share, weight,
+  CASE WHEN tw > 0 THEN 0.5 * tt * (weight / tw) ELSE 0.0 END AS target_tokens,
+  CASE WHEN source_tokens > 0
+       THEN least(1.0, CASE WHEN tw > 0 THEN 0.5 * tt * (weight / tw)
+                            ELSE 0.0 END / source_tokens)
+       ELSE 0.0 END AS rate
+FROM w, wt
+"""
+
+
+def temperature_sample_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor counts per source under the temperature plan applied
+    with the deterministic md5-bucket filter."""
+    from ..operators.cleaning import temperature_mixture_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = temperature_mixture_plan(docs, alpha=0.5, budget_frac=0.5)
+    kept = apply_mixture(docs, plan, key="doc_id")
+    return kept.groupBy("source").agg(
+        F.count("*").cast("int").alias("kept_docs"),
+        F.sum(bpe_ish_token_count("text")).cast("long").alias("kept_tokens"),
+    )
+
+
+TEMPERATURE_SAMPLE_SQL = f"""
+WITH {_TEMP_CTE}, plan AS (
+  SELECT source,
+    CASE WHEN source_tokens > 0
+         THEN least(1.0, CASE WHEN tw > 0 THEN 0.5 * tt * (weight / tw)
+                              ELSE 0.0 END / source_tokens)
+         ELSE 0.0 END AS rate
+  FROM w, wt
+), kept AS (
+  SELECT d.source, {sql_bpe_ish_token_count('d.text')} AS toks
+  FROM documents d JOIN plan p ON d.source = p.source
+  WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+         % 1000000) < p.rate * 1000000.0
+)
+SELECT source, CAST(count(*) AS INTEGER) AS kept_docs,
+  CAST(sum(toks) AS BIGINT) AS kept_tokens
+FROM kept GROUP BY source
+"""
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_documents": decontaminate_documents,
     "pii_redact_documents": pii_redact_documents,
     "mixture_plan_documents": mixture_plan_documents,
     "mixture_sample_summary": mixture_sample_summary,
+    "temperature_mixture_plan_documents": temperature_mixture_plan_documents,
+    "temperature_sample_summary": temperature_sample_summary,
     "classifier_scores_documents": classifier_scores_documents,
     "table_profile_lineitem": table_profile_lineitem,
 }
@@ -291,5 +366,7 @@ ORACLE_SQL: dict[str, str] = {
     "pii_redact_documents": PII_REDACT_SQL,
     "mixture_plan_documents": MIXTURE_PLAN_SQL,
     "mixture_sample_summary": MIXTURE_SAMPLE_SQL,
+    "temperature_mixture_plan_documents": TEMPERATURE_PLAN_SQL,
+    "temperature_sample_summary": TEMPERATURE_SAMPLE_SQL,
     "table_profile_lineitem": TABLE_PROFILE_SQL,
 }

@@ -408,6 +408,80 @@ def mixture_plan(
     )
 
 
+def temperature_mixture_plan(
+    df: DataFrame,
+    *,
+    source_col: str = "source",
+    content_col: str = "text",
+    alpha: float = 0.3,
+    budget_frac: float = 0.5,
+) -> DataFrame:
+    """:func:`mixture_plan` with DATA-DERIVED weights by temperature
+    scaling (Conneau et al., XLM-R 2020; T5's mixing rate): source
+    weight ``= share^alpha`` where ``share`` is the source's fraction
+    of corpus tokens. ``alpha=1`` reproduces the natural distribution;
+    ``alpha -> 0`` flattens toward uniform, upweighting low-resource
+    sources — the standard fix for dominant-crawl skew when nobody
+    wants to hand-maintain a weights dict.
+
+    Same no-upsampling policy as :func:`mixture_plan` (rates cap at
+    1.0: flattening DOWNSAMPLES the head rather than repeating the
+    tail) and same output shape plus a ``share`` column; feed the
+    result to :func:`apply_mixture` unchanged.
+
+    Scale shape: identical to :func:`mixture_plan` — one hash
+    aggregation to |sources| rows, then two broadcast scalar joins
+    (token total, then weight total — the second aggregate runs over
+    the |sources|-row table, not the corpus).
+    """
+    if not 0 < alpha <= 1:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if not 0 < budget_frac <= 1:
+        raise ValueError(f"budget_frac must be in (0, 1], got {budget_frac}")
+    per_source = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count("*").cast("int").alias("n_docs"),
+        F.sum(bpe_ish_token_count(content_col)).cast("long").alias("source_tokens"),
+    )
+    tok_total = per_source.agg(
+        F.sum("source_tokens").cast("double").alias("_tt")
+    )
+    shared = per_source.crossJoin(F.broadcast(tok_total))
+    share = F.when(
+        F.col("_tt") > 0, F.col("source_tokens") / F.col("_tt")
+    ).otherwise(F.lit(0.0))
+    w_tab = shared.select(
+        "source",
+        "n_docs",
+        "source_tokens",
+        "_tt",
+        share.alias("share"),
+        F.pow(share, F.lit(float(alpha))).alias("weight"),
+    )
+    w_total = w_tab.agg(F.sum("weight").alias("_tw"))
+    planned = w_tab.crossJoin(F.broadcast(w_total))
+    # _tw == 0 only for a token-less corpus (all shares 0); guard the
+    # division so the degenerate input yields zero targets, not 0/0
+    target = F.when(
+        F.col("_tw") > 0,
+        F.lit(float(budget_frac))
+        * F.col("_tt")
+        * (F.col("weight") / F.col("_tw")),
+    ).otherwise(F.lit(0.0))
+    rate = F.when(
+        F.col("source_tokens") > 0,
+        F.least(F.lit(1.0), target / F.col("source_tokens")),
+    ).otherwise(F.lit(0.0))
+    return planned.select(
+        "source",
+        "n_docs",
+        "source_tokens",
+        "share",
+        "weight",
+        target.alias("target_tokens"),
+        rate.alias("rate"),
+    )
+
+
 def apply_mixture(
     df: DataFrame,
     plan: DataFrame,

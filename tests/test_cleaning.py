@@ -450,3 +450,62 @@ def test_decontaminate_bloom_larger_corpus(spark):
     assert bloomed == exact
     flagged = [r for r in bloomed if r[4]]
     assert [r[0] for r in flagged] == [500]
+
+
+def test_temperature_alpha_one_is_flat_budget(spark, mixture_corpus):
+    """alpha=1: weight = share, so target = budget x tt x share =
+    budget x source_tokens — every source's rate IS budget_frac (the
+    natural distribution, uniformly downsampled)."""
+    from k_means_using_mapreduce_spark.operators.cleaning import (
+        temperature_mixture_plan,
+    )
+
+    plan = temperature_mixture_plan(
+        mixture_corpus, alpha=1.0, budget_frac=0.4
+    ).collect()
+    for r in plan:
+        assert r["rate"] == pytest.approx(0.4, rel=1e-9)
+
+
+def test_temperature_flattens_toward_tail(spark):
+    """Low alpha upweights rare sources: the dominant source's rate
+    drops below budget_frac, the rare source saturates at 1.0, and
+    shares sum to 1."""
+    from k_means_using_mapreduce_spark.operators.cleaning import (
+        temperature_mixture_plan,
+    )
+
+    rows = [(i, "tok " * 10, "big" if i < 280 else "small") for i in range(300)]
+    docs = _docs(spark, [(i, t.strip(), s) for i, t, s in rows])
+    plan = {
+        r["source"]: r
+        for r in temperature_mixture_plan(
+            docs, alpha=0.1, budget_frac=0.5
+        ).collect()
+    }
+    assert sum(r["share"] for r in plan.values()) == pytest.approx(1.0)
+    assert plan["small"]["rate"] == 1.0  # no-upsampling cap
+    assert plan["big"]["rate"] < 0.5  # head pays for the flattened tail
+    # weights are share^alpha: monotone but compressed
+    assert plan["big"]["weight"] > plan["small"]["weight"]
+    assert (
+        plan["big"]["weight"] / plan["small"]["weight"]
+        < plan["big"]["share"] / plan["small"]["share"]
+    )
+
+
+def test_temperature_validation_and_apply(spark, mixture_corpus):
+    from k_means_using_mapreduce_spark.operators.cleaning import (
+        temperature_mixture_plan,
+    )
+
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_mixture_plan(mixture_corpus, alpha=0.0)
+    with pytest.raises(ValueError, match="budget_frac"):
+        temperature_mixture_plan(mixture_corpus, budget_frac=1.5)
+    plan = temperature_mixture_plan(mixture_corpus, alpha=0.5, budget_frac=0.5)
+    kept = apply_mixture(mixture_corpus, plan, key="doc_id")
+    # the plan feeds apply_mixture unchanged and keeps a nonempty,
+    # strictly-downsampled corpus
+    n = kept.count()
+    assert 0 < n < mixture_corpus.count()
