@@ -148,6 +148,8 @@ BENCH_QUERIES = [
     "weighted_sample_documents",
     "corpus_snapshot_diff",
     "temperature_sample_summary",
+    "collocations_documents",
+    "label_centroid_drift_embeddings",
 ]
 
 KMEANS_FIT_K = 8

@@ -123,14 +123,53 @@ FROM allscores GROUP BY doc_id
 """
 
 
+
+
+def collocations_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocations over the documents corpus (min_count=5) —
+    association-ranked bigram types for phrase mining."""
+    from ..operators.lm import collocations
+
+    return collocations(load_table(spark, sf_dir, "documents"), min_count=5)
+
+
+COLLOCATIONS_SQL = f"""
+WITH toks AS (
+  SELECT {sql_tokens('text')} AS t FROM documents
+), pr0 AS (
+  SELECT t, unnest(range(0, len(t) - 1)) AS i FROM toks
+), pairs AS (
+  SELECT t[CAST(i AS INTEGER) + 1] AS w1,
+         t[CAST(i AS INTEGER) + 2] AS w2
+  FROM pr0
+), big AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n12 FROM pairs GROUP BY 1, 2
+), pred AS (
+  SELECT w1, sum(n12) AS n1 FROM big GROUP BY 1
+), succ AS (
+  SELECT w2, sum(n12) AS n2 FROM big GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n12) AS DOUBLE) AS N FROM big
+)
+SELECT b.w1, b.w2, b.n12, p.n1, s.n2,
+       ln(CAST(b.n12 AS DOUBLE) * N / (CAST(p.n1 AS DOUBLE) * s.n2)) AS pmi
+FROM big b
+JOIN pred p USING (w1)
+JOIN succ s USING (w2)
+CROSS JOIN tot
+WHERE b.n12 >= 5
+"""
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_logprob_documents": unigram_logprob_documents,
     "source_divergence_documents": source_divergence_documents,
     "bigram_logprob_documents": bigram_logprob_documents,
+    "collocations_documents": collocations_documents,
 }
 
 ORACLE_SQL: dict[str, str] = {
     "unigram_logprob_documents": UNIGRAM_SQL,
     "source_divergence_documents": DIVERGENCE_SQL,
     "bigram_logprob_documents": BIGRAM_SQL,
+    "collocations_documents": COLLOCATIONS_SQL,
 }

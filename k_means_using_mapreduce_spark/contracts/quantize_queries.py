@@ -48,10 +48,47 @@ FROM coded GROUP BY dim
 """
 
 
+
+
+def label_centroid_drift_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-label mean embedding vs the global mean — the embedding-
+    space distribution-shift monitor."""
+    from ..operators.evaluation import label_centroid_drift
+
+    return label_centroid_drift(load_table(spark, sf_dir, "embeddings"))
+
+
+LABEL_DRIFT_SQL = """
+WITH ex AS (
+  SELECT label, unnest(range(len(embedding))) AS dim, embedding
+  FROM embeddings
+), vals AS (
+  SELECT label, CAST(dim AS INTEGER) AS pos,
+         CAST(embedding[CAST(dim AS INTEGER) + 1] AS DOUBLE) AS v
+  FROM ex
+), per AS (
+  SELECT label, pos, avg(v) AS m FROM vals GROUP BY 1, 2
+), gmean AS (
+  SELECT pos, avg(v) AS g FROM vals GROUP BY 1
+), n AS (
+  SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1
+)
+SELECT label, n_vecs,
+  sqrt(sum(m * m)) AS centroid_l2,
+  sum(m * g) / (sqrt(sum(m * m)) * sqrt(sum(g * g))) AS cos_to_global,
+  sqrt(sum((m - g) * (m - g))) AS dist_to_global
+FROM per JOIN gmean USING (pos) JOIN n USING (label)
+GROUP BY label, n_vecs
+"""
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_quantize_stats": embedding_quantize_stats,
+    "label_centroid_drift_embeddings": label_centroid_drift_embeddings,
 }
 
 ORACLE_SQL: dict[str, str] = {
     "embedding_quantize_stats": QUANTIZE_STATS_SQL,
+    "label_centroid_drift_embeddings": LABEL_DRIFT_SQL,
 }

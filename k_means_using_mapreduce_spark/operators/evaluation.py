@@ -78,3 +78,57 @@ def sse_by_k(
         ]
     finally:
         work.unpersist()
+
+
+def label_centroid_drift(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label embedding centroid vs the global centroid: ``(label,
+    n_vecs, centroid_l2, cos_to_global, dist_to_global)``.
+
+    The embedding-space twin of the token-level drift monitor
+    (operators/lm.py::source_divergence): a label/source/snapshot whose
+    mean embedding swings away from the corpus mean (cosine dropping,
+    distance growing) signals distribution shift — a new crawl behaving
+    differently, a source gone off-topic, an encoder version change —
+    before any downstream model sees it.
+
+    Scale shape: one posexplode + (label, dim)-keyed average (the
+    kmeans.update kernel shape, map-side combined, |labels|·d result
+    rows), a d-row broadcast of the global means, then a |labels|-row
+    final aggregate. Raw vectors are read once; nothing corpus-sized
+    shuffles.
+    """
+    vals = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "v"),
+    )
+    per = vals.groupBy("label", "pos").agg(F.avg("v").alias("m"))
+    glob = vals.groupBy("pos").agg(F.avg("v").alias("g"))
+    n = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.count("*").alias("n_vecs")
+    )
+    joined = per.join(F.broadcast(glob), "pos")
+    return (
+        joined.groupBy("label")
+        .agg(
+            F.sqrt(F.sum(F.col("m") * F.col("m"))).alias("centroid_l2"),
+            (
+                F.sum(F.col("m") * F.col("g"))
+                / (
+                    F.sqrt(F.sum(F.col("m") * F.col("m")))
+                    * F.sqrt(F.sum(F.col("g") * F.col("g")))
+                )
+            ).alias("cos_to_global"),
+            F.sqrt(
+                F.sum((F.col("m") - F.col("g")) * (F.col("m") - F.col("g")))
+            ).alias("dist_to_global"),
+        )
+        .join(F.broadcast(n), "label")
+        .select(
+            "label", "n_vecs", "centroid_l2", "cos_to_global", "dist_to_global"
+        )
+    )

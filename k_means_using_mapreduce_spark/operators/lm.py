@@ -238,3 +238,55 @@ def score_documents_bigram(
             F.avg("_lp").alias("avg_logprob"),
         )
     )
+
+
+def collocations(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Collocation (phrase) mining by pointwise mutual information:
+    for each bigram type, ``pmi = ln(n12·N / (n1·n2))`` — how much more
+    often the pair co-occurs than its parts' frequencies predict
+    (Church & Hanks 1990). High-PMI pairs are the multi-word units a
+    tokenizer or phrase-merger should treat atomically ("new york",
+    "machine learning"); the standard corpus-analytics companion to
+    the BPE pair statistics (operators/bpe.py::pair_counts, which
+    ranks by raw count, not association strength).
+
+    Margins come from the bigram-TYPE table, never the corpus: ``n1``
+    = w1's predecessor count (reused from :func:`fit_bigram_model`),
+    ``n2`` = w2's successor count, ``N`` = total bigram tokens.
+    ``min_count`` prunes the noise floor BEFORE the log (PMI of
+    hapax pairs is maximal and meaningless).
+
+    Scale shape: one corpus pair-explode + (w1,w2) aggregate (the
+    fit_bigram pass), then margins/total as vocab-sized aggregates of
+    that table. Margins broadcast like fit_bigram's — fine to ~1M
+    vocab rows; above that, drop the two F.broadcast hints and let
+    AQE choose shuffled joins. PMI arithmetic is in doubles
+    (``n12·N`` as int64 overflows once N > ~3e9).
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    bi = fit_bigram_model(df, text_col=text_col)  # (w1, w2, n12, n1)
+    succ = bi.groupBy("w2").agg(F.sum("n12").alias("n2"))
+    total = bi.agg(F.sum("n12").cast("double").alias("N"))
+    return (
+        bi.where(F.col("n12") >= min_count)
+        .join(F.broadcast(succ), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "n12",
+            "n1",
+            "n2",
+            F.log(
+                F.col("n12").cast("double")
+                * F.col("N")
+                / (F.col("n1").cast("double") * F.col("n2"))
+            ).alias("pmi"),
+        )
+    )

@@ -44,3 +44,36 @@ def test_sse_by_k_monotone_and_elbow(blobs):
     assert sweep[1] > sweep[2] > sweep[4]  # SSE decreases with k
     # true structure is 2 blobs: the k=1→2 drop dwarfs k=2→4
     assert (sweep[1] - sweep[2]) > 10 * (sweep[2] - sweep[4])
+
+
+def test_label_centroid_drift_hand_values(spark):
+    """Two orthogonal label clouds: each centroid sits 45 degrees from
+    the global mean (cos = 1/sqrt(2)), at distance sqrt(0.5)."""
+    import math
+
+    from k_means_using_mapreduce_spark.operators.evaluation import (
+        label_centroid_drift,
+    )
+
+    rows = [("A", [1.0, 0.0])] * 2 + [("B", [0.0, 1.0])] * 2
+    df = spark.createDataFrame(rows, "label string, embedding array<double>")
+    got = {r["label"]: r for r in label_centroid_drift(df).collect()}
+    for lab in ("A", "B"):
+        r = got[lab]
+        assert r["n_vecs"] == 2
+        assert r["centroid_l2"] == pytest.approx(1.0)
+        assert r["cos_to_global"] == pytest.approx(1 / math.sqrt(2))
+        assert r["dist_to_global"] == pytest.approx(math.sqrt(0.5))
+
+
+def test_label_centroid_drift_no_shift(spark):
+    """Labels with identical distributions show cos 1, distance 0."""
+    from k_means_using_mapreduce_spark.operators.evaluation import (
+        label_centroid_drift,
+    )
+
+    rows = [(lab, [float(i), float(3 - i)]) for lab in ("x", "y") for i in range(4)]
+    df = spark.createDataFrame(rows, "label string, embedding array<double>")
+    for r in label_centroid_drift(df).collect():
+        assert r["cos_to_global"] == pytest.approx(1.0)
+        assert r["dist_to_global"] == pytest.approx(0.0, abs=1e-12)

@@ -147,3 +147,33 @@ def test_bigram_scoring_prefers_seen_transitions(spark):
     assert out[10] > out[11] > out[12]
     with pytest.raises(ValueError):
         score_documents_bigram(batch, big, uni, lam=1.0)
+
+
+def test_collocations_exact_pmi(spark):
+    """Hand-computed PMI on a 4-bigram corpus, plus min_count pruning."""
+    import math
+
+    from k_means_using_mapreduce_spark.operators.lm import collocations
+
+    docs = spark.createDataFrame(
+        [("a b",), ("a b",), ("a c",), ("d b",)], "text string"
+    )
+    rows = {
+        (r["w1"], r["w2"]): r
+        for r in collocations(docs, min_count=1).collect()
+    }
+    # bigrams: (a,b)x2 (a,c)x1 (d,b)x1; N=4; n1: a=3 d=1; n2: b=3 c=1
+    assert set(rows) == {("a", "b"), ("a", "c"), ("d", "b")}
+    ab = rows[("a", "b")]
+    assert (ab["n12"], ab["n1"], ab["n2"]) == (2, 3, 3)
+    assert ab["pmi"] == pytest.approx(math.log(2 * 4 / (3 * 3)))
+    dc = rows[("d", "b")]
+    assert dc["pmi"] == pytest.approx(math.log(1 * 4 / (1 * 3)))
+    # min_count prunes hapax pairs (whose PMI is maximal and useless)
+    pruned = collocations(docs, min_count=2)
+    assert [
+        (r["w1"], r["w2"]) for r in pruned.collect()
+    ] == [("a", "b")]
+
+    with pytest.raises(ValueError, match="min_count"):
+        collocations(docs, min_count=0)
