@@ -15,7 +15,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as T
-from ..operators.freq import build_freq_sketch, estimate_counts
+from ..operators.freq import (
+    build_freq_sketch,
+    estimate_counts,
+    sketch_from_counts,
+    value_counts,
+)
 from ..sources.loaders import load_table
 from ._sql_text import sql_tokens
 
@@ -60,16 +65,14 @@ def token_freq_estimate_documents(
     """Count-min estimates for a fixed probe set, side-by-side with the
     exact counts: ``est >= exact`` for every probe (the sketch only
     overcounts), and the absent control estimates 0-or-collision."""
-    toks = _token_rows(spark, sf_dir)
-    sketch = build_freq_sketch(toks, [], "token", depth=CM_DEPTH, width=CM_WIDTH)
+    counts = value_counts(_token_rows(spark, sf_dir), [], "token")
+    sketch = sketch_from_counts(counts, [], depth=CM_DEPTH, width=CM_WIDTH)
     probes = spark.createDataFrame(
         [(p,) for p in PROBE_TOKENS], "probe string"
     )
     est = estimate_counts(sketch, probes, "probe", depth=CM_DEPTH, width=CM_WIDTH)
-    exact = (
-        toks.where(F.col("token").isin(PROBE_TOKENS))
-        .groupBy(F.col("token").alias("probe"))
-        .agg(F.count("*").alias("exact"))
+    exact = counts.where(F.col("_v").isin(PROBE_TOKENS)).select(
+        F.col("_v").alias("probe"), F.col("cnt").alias("exact")
     )
     return est.join(exact, "probe", "left").select(
         "probe",

@@ -72,6 +72,19 @@ def cm_bucket(value: Column | str, d: Column | int, width: int) -> Column:
     return h % F.lit(width)
 
 
+def value_counts(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """Per-group value histogram ``(group..., _v, cnt)`` — the
+    intermediate both the sketch builder and the exact-count side of
+    a probe share. NULL values are skipped (like count(col))."""
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, F.col(value_col).alias("_v"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 def build_freq_sketch(
     df: DataFrame,
     group_cols: list[str],
@@ -81,22 +94,50 @@ def build_freq_sketch(
     width: int = DEFAULT_WIDTH,
 ) -> DataFrame:
     """Per-group count-min sketch of ``value_col`` occurrences as
-    sparse ``(group..., d, bucket, cnt)`` rows.
+    sparse ``(group..., d, bucket, cnt)`` rows. ``group_cols=[]``
+    builds the single global sketch.
 
-    ``group_cols=[]`` builds the single global sketch. NULL values are
-    skipped (like count(col)). One aggregation pass: the depth explode
-    is map-side and collapses to <= depth x width rows per group
-    before the exchange.
+    Histogram-first: occurrences first collapse to a per-group value
+    histogram (partial-combined value shuffle), and the depth explode
+    + md5 hashing run over VOCABULARY rows weighted by their counts —
+    at corpus scale that is ``depth`` hashes per distinct value, not
+    per occurrence (Heap's law makes vocab ≪ corpus). The histogram
+    partials and the final ≤ depth × width rows per group are both
+    map-side combined.
     """
     _check_shape(depth, width)
+    return sketch_from_counts(
+        value_counts(df, group_cols, value_col),
+        group_cols,
+        depth=depth,
+        width=width,
+    )
+
+
+def sketch_from_counts(
+    counts: DataFrame,
+    group_cols: list[str],
+    *,
+    value_col: str = "_v",
+    cnt_col: str = "cnt",
+    depth: int = DEFAULT_DEPTH,
+    width: int = DEFAULT_WIDTH,
+) -> DataFrame:
+    """Count-min sketch from a pre-aggregated ``(group..., value,
+    count)`` histogram (:func:`value_counts` output, a persisted
+    top-token table, or any weighted value relation)."""
+    _check_shape(depth, width)
     depths = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("d")
-    rows = df.where(F.col(value_col).isNotNull()).select(
-        *group_cols, F.col(value_col).alias("_v"), depths
+    rows = counts.select(
+        *group_cols,
+        F.col(value_col).alias("_v"),
+        F.col(cnt_col).alias("_cnt"),
+        depths,
     )
     return (
         rows.withColumn("bucket", cm_bucket("_v", F.col("d"), width))
         .groupBy(*group_cols, "d", "bucket")
-        .agg(F.count("*").alias("cnt"))
+        .agg(F.sum("_cnt").alias("cnt"))
     )
 
 

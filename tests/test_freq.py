@@ -144,3 +144,26 @@ def test_shape_validation(spark, tokens):
         build_freq_sketch(tokens, [], "token", depth=0, width=8)
     with pytest.raises(ValueError):
         build_freq_sketch(tokens, [], "token", depth=2, width=1)
+
+
+def test_sketch_from_preaggregated_counts(spark):
+    """A persisted histogram feeds the sketch builder directly and
+    yields the identical sketch an occurrence-level build would."""
+    from k_means_using_mapreduce_spark.operators.freq import (
+        sketch_from_counts,
+    )
+
+    occurrences = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)], "token string"
+    )
+    hist = spark.createDataFrame(
+        [("a", 5), ("b", 3), ("c", 1)], "token string, n long"
+    )
+    direct = build_freq_sketch(occurrences, [], "token", depth=DEPTH, width=WIDTH)
+    from_hist = sketch_from_counts(
+        hist, [], value_col="token", cnt_col="n", depth=DEPTH, width=WIDTH
+    )
+    as_map = lambda df: {  # noqa: E731
+        (r["d"], r["bucket"]): r["cnt"] for r in df.collect()
+    }
+    assert as_map(from_hist) == as_map(direct)

@@ -352,15 +352,15 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf, tmp_path):
     assert "dynamicpruning" in plan.lower()
 
 
-def test_freq_sketch_partial_agg_single_exchange(spark, sf):
-    # count-min build: the depth explode must collapse map-side
-    # (partial HashAggregate before ONE exchange) — otherwise the
-    # shuffle carries depth x corpus token rows instead of
-    # <= depth x width sketch rows
+def test_freq_sketch_partial_agg_two_exchanges(spark, sf):
+    # count-min build is histogram-first: ONE value-keyed exchange of
+    # partial-combined histogram rows, then the depth explode + md5
+    # over VOCAB rows feeding a second exchange of <= depth x width
+    # sketch rows — never depth x corpus hashing/shuffling
     df = _q("token_freq_sketch_documents", spark, sf)
-    assert exchange_count(df) == 1
+    assert exchange_count(df) == 2
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert plan.count("HashAggregate") >= 4  # partial + final, both aggs
 
 
 def test_freq_estimate_broadcasts_sketch(spark, sf):
