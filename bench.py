@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "temperature_sample_summary",
     "collocations_documents",
     "label_centroid_drift_embeddings",
+    "salted_brand_revenue",
 ]
 
 KMEANS_FIT_K = 8

@@ -35,6 +35,7 @@ from . import (
     semdedup_queries,
     setop_queries,
     similarity_queries,
+    skew_queries,
     span_queries,
     sql_queries,
     stats_queries,
@@ -63,6 +64,7 @@ _MODULES = [
     quantize_queries,
     pq_queries,
     similarity_queries,
+    skew_queries,
     tpch_queries,
     tpch_advanced_queries,
     sql_queries,

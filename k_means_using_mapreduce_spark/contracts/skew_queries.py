@@ -1,0 +1,81 @@
+"""Skew-mitigation contract queries with DuckDB oracles.
+
+The salted operators (operators/skew.py) exist to change the SHUFFLE
+DISTRIBUTION, never the answer — so their oracle is simply the plain
+GROUP BY / plain join SQL. A green row here proves the two-phase salt
+decomposition and the replicated-dimension join are result-identical
+to the direct formulation (the property that makes them safe drop-in
+mitigations), while the salt math itself stays engine-internal.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.skew import salted_aggregate, salted_broadcast_left
+from ..sources.loaders import load_table
+
+
+def salted_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type count and value sum via the two-phase salted
+    aggregate — must equal the plain GROUP BY exactly."""
+    events = load_table(spark, sf_dir, "events")
+    # per-row DECIMAL(18,6) cast -> exact (order-independent) decimal
+    # addition through BOTH salt phases — the engine's money-sum policy
+    # (contracts/tpch_queries.py::_dec_sum)
+    prepped = events.select(
+        "event_type", F.col("value").cast("decimal(18,6)").alias("value")
+    )
+    return salted_aggregate(
+        prepped, ["event_type"], sums=["value"], buckets=16
+    ).select(
+        "event_type", "n", F.col("sum_value").cast("double").alias("sum_value")
+    )
+
+
+SALTED_EVENT_STATS_SQL = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+def salted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per part brand through the salted replicated-dimension
+    join — row multiplicity (and therefore every aggregate) must match
+    the plain equi-join."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("partkey"), "l_extendedprice"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("partkey"), "p_brand"
+    )
+    joined = salted_broadcast_left(li, part, "partkey", buckets=8)
+    return joined.groupBy("p_brand").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+SALTED_BRAND_REVENUE_SQL = """
+SELECT p_brand, count(*) AS n_items,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "salted_event_type_stats": salted_event_type_stats,
+    "salted_brand_revenue": salted_brand_revenue,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "salted_event_type_stats": SALTED_EVENT_STATS_SQL,
+    "salted_brand_revenue": SALTED_BRAND_REVENUE_SQL,
+}
