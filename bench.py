@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "collocations_documents",
     "label_centroid_drift_embeddings",
     "salted_brand_revenue",
+    "epoch_shuffle_documents",
 ]
 
 KMEANS_FIT_K = 8

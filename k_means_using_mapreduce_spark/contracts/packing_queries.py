@@ -89,14 +89,44 @@ FROM packed GROUP BY shard, bin
 """
 
 
+
+
+def epoch_shuffle_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded epoch permutation of the corpus (seed=7, 4 shards):
+    (doc_id, shard, epoch_pos) — byte-identical on every run/retry, so
+    the oracle can re-derive the whole training order."""
+    from ..operators.packing import epoch_shuffle
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return epoch_shuffle(docs, seed=7, shards=4)
+
+
+EPOCH_SHUFFLE_SQL = """
+WITH keyed AS (
+  SELECT doc_id,
+         md5(concat_ws(chr(31), '7', CAST(doc_id AS VARCHAR))) AS ek
+  FROM documents
+), sharded AS (
+  SELECT doc_id, ek,
+         CAST(('0x' || substr(ek, 1, 8))::BIGINT % 4 AS INTEGER) AS shard
+  FROM keyed
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY ek) AS INTEGER)
+         AS epoch_pos
+FROM sharded
+"""
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents_32": chunk_documents_32,
     "pack_documents_256": pack_documents_256,
     "pack_summary_256": pack_summary_256,
+    "epoch_shuffle_documents": epoch_shuffle_documents,
 }
 
 ORACLE_SQL: dict[str, str] = {
     "chunk_documents_32": CHUNK_SQL,
     "pack_documents_256": PACK_SQL,
     "pack_summary_256": PACK_SUMMARY_SQL,
+    "epoch_shuffle_documents": EPOCH_SHUFFLE_SQL,
 }
