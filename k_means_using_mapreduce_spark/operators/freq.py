@@ -182,6 +182,48 @@ def estimate_counts(
     return joined.groupBy("probe").agg(F.min("cnt").alias("est"))
 
 
+def estimate_counts_grouped(
+    sketches: DataFrame,
+    group_cols: list[str],
+    probes: DataFrame,
+    probe_col: str,
+    *,
+    depth: int = DEFAULT_DEPTH,
+    width: int = DEFAULT_WIDTH,
+) -> DataFrame:
+    """Per-group estimates: ``(group..., probe, est)`` for every
+    (group, probe) combination against a GROUPED sketch table — "how
+    often does each suspect token appear in EACH source", answered
+    from the pre-aggregate alone.
+
+    The (group × probe × depth) grid is built by cross-joining the
+    sketch's distinct groups with the broadcast probe set, then
+    left-joining the sketch rows; absent counters are zero, so a
+    (group, probe) pair with no counter at some depth correctly
+    estimates 0. Everything after the tiny distinct-groups aggregate
+    is grid-sized (groups × probes × depth rows), never corpus-sized.
+    """
+    if not group_cols:
+        raise ValueError(
+            "group_cols must be non-empty (use estimate_counts for the "
+            "global sketch)"
+        )
+    _check_shape(depth, width)
+    depths = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("d")
+    keyed = probes.select(F.col(probe_col).alias("probe")).distinct().select(
+        "probe", depths
+    )
+    keyed = keyed.withColumn("bucket", cm_bucket("probe", F.col("d"), width))
+    groups = sketches.select(*group_cols).distinct()
+    grid = groups.crossJoin(F.broadcast(keyed))
+    joined = grid.join(
+        sketches, [*group_cols, "d", "bucket"], "left"
+    ).select(
+        *group_cols, "probe", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+    )
+    return joined.groupBy(*group_cols, "probe").agg(F.min("cnt").alias("est"))
+
+
 def estimate_error_bound(n_total: int, width: int) -> float:
     """The standard count-min additive error bound: with probability
     ``>= 1 - e^-depth`` the estimate exceeds the true count by at most

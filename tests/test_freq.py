@@ -167,3 +167,48 @@ def test_sketch_from_preaggregated_counts(spark):
         (r["d"], r["bucket"]): r["cnt"] for r in df.collect()
     }
     assert as_map(from_hist) == as_map(direct)
+
+
+def test_grouped_estimates_match_model(spark):
+    """Per-(group, probe) estimates equal the python hash model,
+    including zero for groups where a probe never occurs."""
+    from k_means_using_mapreduce_spark.operators.freq import (
+        estimate_counts_grouped,
+    )
+
+    import pytest as _pt
+
+    rows = (
+        [("s1", "x")] * 4
+        + [("s1", "y")] * 2
+        + [("s2", "y")] * 7
+        + [("s2", "z")]
+    )
+    df = spark.createDataFrame(rows, "src string, token string")
+    sk = build_freq_sketch(df, ["src"], "token", depth=DEPTH, width=WIDTH)
+    probes = spark.createDataFrame(
+        [("x",), ("y",), ("absent",)], "probe string"
+    )
+    got = {
+        (r["src"], r["probe"]): r["est"]
+        for r in estimate_counts_grouped(
+            sk, ["src"], probes, "probe", depth=DEPTH, width=WIDTH
+        ).collect()
+    }
+    exact = {("s1", "x"): 4, ("s1", "y"): 2, ("s2", "y"): 7, ("s2", "z"): 1}
+    model: dict[tuple[str, int, int], int] = {}
+    for (src, tok), n in exact.items():
+        for d in range(DEPTH):
+            k = (src, d, py_bucket(tok, d, WIDTH))
+            model[k] = model.get(k, 0) + n
+    for src in ("s1", "s2"):
+        for probe in ("x", "y", "absent"):
+            want = min(
+                model.get((src, d, py_bucket(probe, d, WIDTH)), 0)
+                for d in range(DEPTH)
+            )
+            assert got[(src, probe)] == want
+    assert set(got) == {(s, p) for s in ("s1", "s2") for p in ("x", "y", "absent")}
+
+    with _pt.raises(ValueError, match="group_cols"):
+        estimate_counts_grouped(sk, [], probes, "probe")
