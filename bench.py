@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "label_centroid_drift_embeddings",
     "salted_brand_revenue",
     "epoch_shuffle_documents",
+    "correlated_sample_join",
 ]
 
 KMEANS_FIT_K = 8

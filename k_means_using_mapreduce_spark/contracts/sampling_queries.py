@@ -120,11 +120,47 @@ WHERE rk <= 3
 """
 
 
+
+
+def correlated_sample_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-consistency of hash sampling: a 10% key-sample of orders
+    joined to the SAME 10% key-sample of lineitem is a 10% sample of
+    the join (not 1% — both sides keep exactly the same orderkeys).
+    One row: joined line count + decimal-exact revenue."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o_s = hash_sample(orders, "o_orderkey", keep=10)
+    l_s = hash_sample(li, "l_orderkey", keep=10)
+    joined = o_s.join(l_s, o_s["o_orderkey"] == l_s["l_orderkey"])
+    return joined.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+_KEY10 = (
+    "('0x' || substr(md5(CAST({k} AS VARCHAR)), 1, 15))::BIGINT % 100 < 10"
+)
+
+CORRELATED_SAMPLE_SQL = f"""
+SELECT count(*) AS n_lines,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM (SELECT o_orderkey FROM orders WHERE {_KEY10.format(k='o_orderkey')}) o
+JOIN (SELECT l_orderkey, l_extendedprice FROM lineitem
+      WHERE {_KEY10.format(k='l_orderkey')}) l
+  ON o.o_orderkey = l.l_orderkey
+"""
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "documents_hash_sample": documents_hash_sample,
     "documents_split_summary": documents_split_summary,
     "stratified_sample_summary": stratified_sample_summary,
     "weighted_sample_documents": weighted_sample_documents,
+    "correlated_sample_join": correlated_sample_join,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -132,4 +168,5 @@ ORACLE_SQL: dict[str, str] = {
     "documents_split_summary": DOCUMENTS_SPLIT_SUMMARY_SQL,
     "stratified_sample_summary": STRATIFIED_SAMPLE_SQL,
     "weighted_sample_documents": WEIGHTED_SAMPLE_SQL,
+    "correlated_sample_join": CORRELATED_SAMPLE_SQL,
 }
