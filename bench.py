@@ -289,7 +289,38 @@ def main() -> None:
             },
         }
 
-    print(json.dumps(out))
+    # Full detail (every query + oracle ratios) goes to a file; the
+    # printed line is kept under the driver's 2000-char stdout-tail
+    # capture. Round 3's line grew past that (112 queries + the oracle
+    # section) and the driver recorded {"parsed": null} — the budget
+    # below is the fix: the line always parses, and BENCH_DETAIL.json
+    # carries what doesn't fit.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(out, f, indent=1)
+
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "sf": out["sf"],
+        "n_queries": len(timings),
+        "detail": "BENCH_DETAIL.json",
+    }
+    if "oracle" in out:
+        compact["oracle_ratio"] = out["oracle"]["engine_vs_oracle_ratio"]
+        compact["oracle_total_sec"] = out["oracle"]["total_sec"]
+    # fill "queries" most-expensive-first until the budget is reached
+    budget = 1900
+    compact["queries"] = {}
+    for name in sorted(timings, key=timings.get, reverse=True):
+        compact["queries"][name] = round(timings[name], 2)
+        if len(json.dumps(compact, separators=(",", ":"))) > budget:
+            del compact["queries"][name]
+            break
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -145,9 +145,12 @@ WITH toks AS (
 ), big AS (
   SELECT w1, w2, CAST(count(*) AS BIGINT) AS n12 FROM pairs GROUP BY 1, 2
 ), pred AS (
-  SELECT w1, sum(n12) AS n1 FROM big GROUP BY 1
+  -- CAST: DuckDB sums BIGINT to HUGEINT (int128); the driver's value
+  -- canon renders HUGEINT via float ("11.0") vs Spark's long ("11"),
+  -- which hash-mismatched in round 3 despite identical values.
+  SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM big GROUP BY 1
 ), succ AS (
-  SELECT w2, sum(n12) AS n2 FROM big GROUP BY 1
+  SELECT w2, CAST(sum(n12) AS BIGINT) AS n2 FROM big GROUP BY 1
 ), tot AS (
   SELECT CAST(sum(n12) AS DOUBLE) AS N FROM big
 )

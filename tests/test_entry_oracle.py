@@ -82,6 +82,22 @@ def test_query_matches_oracle(name, spark, duck, sf_oracle):
     assert not mismatches, f"{name}: {len(mismatches)} value mismatches; first: {mismatches[:3]}"
 
 
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_oracle_no_hugeint_columns(name, duck):
+    """DuckDB sums BIGINT to HUGEINT (int128). The driver's value canon
+    renders HUGEINT through float ("11.0") while Spark longs print as
+    "11" — a hash mismatch our float-tolerant _canon masks (pandas
+    converts int128 to float64, which %.6g prints like an int). Caught
+    live by round 3's `collocations_documents` failure: pin the rule
+    that integer sums in oracle SQL are CAST(... AS BIGINT)."""
+    oracle = entry_mod.oracle_sql().get(name)
+    if oracle is None:
+        pytest.skip("rows-only contract")
+    desc = duck.execute("DESCRIBE " + oracle).fetchall()
+    bad = [(c, t) for c, t, *_ in desc if t in ("HUGEINT", "UHUGEINT")]
+    assert not bad, f"{name}: cast these integer sums to BIGINT: {bad}"
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()
