@@ -18,12 +18,14 @@ snapshots with ``sources/sinks.py::write_bucketed_table`` on the key
 to make the join shuffle-free. Never a broadcast: both sides are
 corpus-sized by assumption.
 
-The content hash is md5 over the compared columns joined with an
-ASCII unit separator, NULLs encoded as a sentinel BEFORE joining —
-``concat_ws`` alone would silently skip NULLs and make
-``('a', NULL)`` collide with ``(NULL, 'a')``. md5 keeps the whole
-classification engine-portable (DuckDB oracle-checkable), like every
-hash in this engine.
+The content hash is md5 over PER-COLUMN md5 digests (NULL encoded as
+a sentinel that no digest can be): each part is either exactly 32
+lowercase hex chars or the non-hex sentinel, so the concatenation
+decodes uniquely and no value can smuggle a column boundary — a
+separator-joined hash would let ``('a\\x1fb', 'c')`` collide with
+``('a', 'b\\x1fc')``. md5 keeps the whole classification
+engine-portable (DuckDB oracle-checkable), like every hash in this
+engine.
 """
 
 from __future__ import annotations
@@ -31,20 +33,22 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: NULL sentinel inside the content hash — a string no real cast()
-#: output produces (contains the unit separator itself).
-NULL_MARK = "\x1f<null>\x1f"
-SEP = "\x1f"
+#: NULL sentinel inside the content hash — contains ``<``, which md5's
+#: hex alphabet never produces, so it cannot collide with or extend a
+#: neighbouring digest.
+NULL_MARK = "<null>"
 
 
 def content_hash(cols: list[str]) -> Column:
     """md5 fingerprint of the given columns, NULL-safe and
     order-sensitive (a value moving between columns changes the
-    hash)."""
+    hash). Hashes each column separately before combining so values
+    containing any separator byte cannot shift a column boundary."""
     parts = [
-        F.coalesce(F.col(c).cast("string"), F.lit(NULL_MARK)) for c in cols
+        F.coalesce(F.md5(F.col(c).cast("string")), F.lit(NULL_MARK))
+        for c in cols
     ]
-    return F.md5(F.concat_ws(SEP, *parts))
+    return F.md5(F.concat(*parts))
 
 
 def snapshot_diff(

@@ -169,8 +169,21 @@ def estimate_counts(
     CONSTRUCTION (KBs at any data size), so it is the broadcast side;
     probes stay partitioned, the join is map-side, and an absent
     counter row joins to NULL -> 0.
+
+    Rejects grouped sketch tables (extra columns beyond d/bucket/cnt):
+    joining on (d, bucket) alone would match counters from EVERY
+    group, and min() over those can fall BELOW the true global count —
+    silently violating the overcount guarantee. Use
+    :func:`estimate_counts_grouped`, or :func:`rollup_freq` to [] first.
     """
     _check_shape(depth, width)
+    if set(sketches.columns) != {"d", "bucket", "cnt"}:
+        raise ValueError(
+            "estimate_counts needs a GLOBAL sketch with columns "
+            f"{{d, bucket, cnt}}, got {sorted(sketches.columns)}; use "
+            "estimate_counts_grouped for grouped sketches or "
+            "rollup_freq(sketches, []) to collapse groups first"
+        )
     depths = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("d")
     keyed = probes.select(F.col(probe_col).alias("probe")).distinct().select(
         "probe", depths

@@ -125,10 +125,16 @@ def weighted_sample_per_group(
 
     Determinism: ``u`` comes from md5 of ``key`` (not rand), so the
     draw is retry/repartition-stable and engine-portable like every
-    sampler in this module; ties break by ``key``. Rows with NULL or
-    non-positive weight are excluded (A-ES gives them zero win
-    probability; excluding them is the defined behavior, not an
-    accident of log-domain math).
+    sampler in this module; ties break by ``key`` and then by an md5
+    of the full row content, so even duplicate key values within a
+    group select a deterministic multiset (duplicate FULL rows are
+    interchangeable, so any pick is value-identical). The A-ES
+    proportional-probability guarantee itself assumes ``key`` is
+    unique per group — duplicate keys share one draw and are
+    effectively a single candidate with the first copy's weight.
+    Rows with NULL or non-positive weight are excluded (A-ES gives
+    them zero win probability; excluding them is the defined
+    behavior, not an accident of log-domain math).
 
     Scale: one shuffle keyed by group for the top-k window — same
     shape and same hot-group caveat as :func:`cap_per_group`.
@@ -143,15 +149,21 @@ def weighted_sample_per_group(
     u = (h.cast("double") + F.lit(1.0)) / F.lit(float(1 << 60))
     w_col = F.col(weight_col).cast("double")
     priority = F.log(u) / w_col
+    # priority is a pure function of key, so duplicate keys in a group
+    # tie on (priority, key); the content hash makes row_number's pick
+    # partition-order-independent (exact duplicates remain ties, but
+    # then every resolution is the same multiset).
+    content = F.md5(F.to_json(F.struct(*df.columns)))
     win = Window.partitionBy(group_col).orderBy(
-        F.col("_aes_priority").desc(), F.col(key)
+        F.col("_aes_priority").desc(), F.col(key), F.col("_aes_tb")
     )
     return (
         df.where(w_col.isNotNull() & (w_col > 0))
         .withColumn("_aes_priority", priority)
+        .withColumn("_aes_tb", content)
         .withColumn("_aes_rk", F.row_number().over(win))
         .where(F.col("_aes_rk") <= k)
-        .drop("_aes_priority", "_aes_rk")
+        .drop("_aes_priority", "_aes_tb", "_aes_rk")
     )
 
 

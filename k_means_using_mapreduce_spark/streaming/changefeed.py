@@ -88,12 +88,21 @@ class ChangeFeedSink(ParquetUpsertSink):
         """The accumulated change feed ``(keys..., change, batch)``
         (None before the first batch); ``since_batch`` filters to
         batches strictly after a consumer's checkpoint — a hive
-        partition-pruned read, old batches' files untouched."""
-        if not os.path.isdir(self.feed_path):
+        partition-pruned read, old batches' files untouched.
+
+        Only COMMITTED batches are visible: the per-batch feed subtree
+        lands before the snapshot marker moves, so after a crash in
+        that window an uncommitted ``batch=N`` directory exists whose
+        snapshot never became current. Filtering to
+        ``batch <= latest_version()`` keeps consumers from seeing
+        changes the next (replayed) run will rewrite."""
+        latest = self.latest_version()
+        if latest is None or not os.path.isdir(self.feed_path):
             return None
         df = self.spark.read.option("basePath", self.feed_path).parquet(
             self.feed_path
         )
+        df = df.where(F.col("batch") <= latest)
         if since_batch is not None:
             df = df.where(F.col("batch") > since_batch)
         return df

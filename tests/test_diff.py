@@ -86,3 +86,19 @@ def test_matches_incremental_consumption(spark):
     }
     expect = set(range(50, 60)) | {i for i in range(10, 50) if i % 5 == 0}
     assert to_process == expect
+
+
+def test_content_hash_separator_injection(spark):
+    """Values containing the old separator byte (or the NULL sentinel
+    text) must not collide across column boundaries: per-column md5
+    makes boundaries unambiguous (round-3 advice)."""
+    from k_means_using_mapreduce_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a\x1fb", "c"), (2, "<null>", "x")], "k int, c1 string, c2 string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a", "b\x1fc"), (2, None, "x")], "k int, c1 string, c2 string"
+    )
+    out = {r["k"]: r["change"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert out == {1: "changed", 2: "changed"}

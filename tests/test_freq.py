@@ -212,3 +212,24 @@ def test_grouped_estimates_match_model(spark):
 
     with _pt.raises(ValueError, match="group_cols"):
         estimate_counts_grouped(sk, [], probes, "probe")
+
+
+def test_estimate_counts_rejects_grouped_sketch(spark, tokens):
+    """A grouped sketch joined on (d, bucket) alone mixes counters
+    across groups and min() can UNDERCOUNT — the guard turns that
+    silent wrong answer into a ValueError (round-3 advice)."""
+    grouped = build_freq_sketch(
+        tokens.withColumn("grp", F.lit("a")),
+        ["grp"],
+        "token",
+        depth=DEPTH,
+        width=WIDTH,
+    )
+    probes = spark.createDataFrame([("tok0",)], "probe string")
+    with pytest.raises(ValueError, match="GLOBAL sketch"):
+        estimate_counts(grouped, probes, "probe", depth=DEPTH, width=WIDTH)
+    # rollup_freq to [] is the documented bridge back to the global form
+    est = estimate_counts(
+        rollup_freq(grouped, []), probes, "probe", depth=DEPTH, width=WIDTH
+    )
+    assert est.count() == 1

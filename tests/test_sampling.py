@@ -174,3 +174,29 @@ def test_weighted_sample_favors_heavy_rows(spark):
     heavy_wins = sum(1 for r in picked if r["key"] % 2 == 0)
     assert len(picked) == 300
     assert heavy_wins >= 280  # E[wins] ≈ 300·(400/401)
+
+
+def test_weighted_sample_duplicate_keys_stable_multiset(spark):
+    """Duplicate key values in a group tie on (priority, key); the
+    content tie-break must make the selected MULTISET independent of
+    partitioning (round-3 advice). Rows that are exact duplicates
+    remain interchangeable, which is value-identical by definition."""
+    from k_means_using_mapreduce_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    rows = [("g", "dup", 1.0, v) for v in ["x", "y", "z"]] + [
+        ("g", f"k{i}", 1.0, "p") for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "grp string, key string, w double, payload string")
+
+    def picked(d):
+        return sorted(
+            (r["key"], r["payload"])
+            for r in weighted_sample_per_group(d, "grp", "key", "w", k=4).collect()
+        )
+
+    base = picked(df.repartition(1))
+    for nparts in (2, 7):
+        assert picked(df.repartition(nparts)) == base
+    assert len(base) == 4

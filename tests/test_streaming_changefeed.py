@@ -68,3 +68,21 @@ def test_streaming_source_end_to_end(spark, tmp_path):
     assert {r["change"] for r in feed.collect()} == {"added"}
     # consumer checkpoint semantics: nothing after the only batch
     assert sink.feed(since_batch=feed.agg({"batch": "max"}).first()[0]).count() == 0
+
+
+def test_feed_hides_uncommitted_batch(spark, tmp_path):
+    """Crash window: the per-batch feed subtree lands BEFORE the
+    snapshot marker commits. A feed directory whose batch id is past
+    the committed marker must be invisible to consumers until the
+    replayed batch commits it (round-3 advice)."""
+    sink = ChangeFeedSink(spark, str(tmp_path / "state"), ["k"])
+    sink(spark.createDataFrame([(1, "a")], "k int, v string"), 0)
+    # simulate the crash: feed for batch 1 written, marker still at 0
+    orphan = spark.createDataFrame(
+        [(9, "added")], "k int, change string"
+    )
+    orphan.write.mode("overwrite").parquet(str(tmp_path / "state" / "_feed" / "batch=1"))
+    assert _feed_rows(sink) == [(1, "added", 0)]  # orphan invisible
+    # the replayed batch 1 commits normally and the feed catches up
+    sink(spark.createDataFrame([(9, "z")], "k int, v string"), 1)
+    assert (9, "added", 1) in _feed_rows(sink)
