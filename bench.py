@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "q9_profit_by_nation_year",
     "q11_important_part_values",
     "q20_heavy_shippers",
+    "q5_local_supplier_revenue",
     "near_dedup_documents",
     "media_binary_stats",
     "shipments_in_order_window",

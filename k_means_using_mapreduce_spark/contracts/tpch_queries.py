@@ -369,8 +369,59 @@ GROUP BY 1, 2, 3
 """
 
 
+def q5_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: revenue per ASIA nation from 1996 orders where the
+    SUPPLIER sits in the customer's own nation — the local-supplier
+    co-nation condition is Q5's defining structural element (the
+    sibling `asia_nation_revenue` covers the customer-side rollup
+    without it). Supplier/customer/nation/region broadcast; the only
+    real shuffle is lineitem⋈orders."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= _ts(1996, 1, 1))
+        & (F.col("o_orderdate") < _ts(1997, 1, 1))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(_dec_sum(rev).alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
+    "q5_local_supplier_revenue": q5_local_supplier_revenue,
     "q3_top_orders": q3_top_orders,
     "nation_revenue": nation_revenue,
     "top_orders_per_priority": top_orders_per_priority,
@@ -383,6 +434,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE_SQL: dict[str, str] = {
     "q1_pricing_summary": Q1_SQL,
+    "q5_local_supplier_revenue": Q5_SQL,
     "q3_top_orders": Q3_SQL,
     "nation_revenue": NATION_REVENUE_SQL,
     "top_orders_per_priority": TOP_ORDERS_SQL,
