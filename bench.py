@@ -154,6 +154,10 @@ BENCH_QUERIES = [
     "salted_brand_revenue",
     "epoch_shuffle_documents",
     "correlated_sample_join",
+    # round-4 additions: URL canonicalization / URL-level dedup
+    "url_canonical_documents",
+    "url_dedup_documents",
+    "domain_stats_documents",
 ]
 
 KMEANS_FIT_K = 8

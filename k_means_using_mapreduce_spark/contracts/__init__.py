@@ -44,11 +44,13 @@ from . import (
     timeseries_queries,
     tpch_advanced_queries,
     tpch_queries,
+    url_queries,
     window_queries,
 )
 
 _MODULES = [
     kmeans_queries,
+    url_queries,
     dedup_queries,
     diff_queries,
     entity_queries,
