@@ -35,6 +35,7 @@ from . import (
     semdedup_queries,
     setop_queries,
     similarity_queries,
+    simpairs_queries,
     skew_queries,
     span_queries,
     sql_queries,
@@ -67,6 +68,7 @@ _MODULES = [
     pq_queries,
     similarity_queries,
     skew_queries,
+    simpairs_queries,
     tpch_queries,
     tpch_advanced_queries,
     sql_queries,

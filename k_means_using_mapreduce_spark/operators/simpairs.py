@@ -1,0 +1,192 @@
+"""Sparse all-pairs cosine similarity over (id, term, weight) rows.
+
+The lexical twin of the dense-embedding near-dup family
+(operators/dedup.py::embedding_near_dup_pairs works on vectors;
+operators/semdedup.py clusters them): here documents are SPARSE
+TF-IDF bags and similar pairs are found through an inverted-index
+self-join — only documents sharing a term ever meet, so the work is
+sum over terms of |posting|², not |docs|².
+
+Two variants:
+
+- :func:`cosine_pairs` — exact. The posting-list join IS the
+  algorithm; the ``max_df`` cap drops stopword-grade terms whose
+  postings would go quadratic (same hot-key cap as
+  dedup.jaccard_pairs' ``max_doc_freq``).
+- :func:`cosine_pairs_dimsum` — DIMSUM-style sampling (Zadeh & Goel,
+  "Dimension Independent Similarity Computation", 2013): a term's
+  contribution to pair (i, j) is kept with probability
+  ``p = min(1, gamma / (norm_i · norm_j))`` and scaled by ``1/p``, an
+  unbiased estimator whose variance stays bounded for the high-norm
+  pairs that dominate the join. The coin is ``md5(term|i|j)`` — NOT
+  rand() — so the estimate is retry/repartition-stable, reproducible,
+  and DuckDB-oracle-checkable like every sampler in this engine
+  (operators/sampling.py doctrine). ``gamma >= max(norm_i · norm_j)``
+  degrades to exactly :func:`cosine_pairs`.
+
+Scale: shuffle keys are terms (strings ~10 B) and int64 doc ids;
+normalized weights travel as doubles; documents themselves never
+shuffle. At 100 TB the caps do the heavy lifting: ``max_df`` bounds
+per-term fan-out, gamma bounds emitted pair contributions. The final
+(i, j) aggregate is map-side combinable.
+
+Degenerate case to know: a corpus whose vocabulary is tiny and dense
+(every term in most documents — the synthetic testdata corpus is
+exactly this) gives posting lists ~|docs| long, the join goes
+quadratic, and ``max_df`` can't save it because every term is hot.
+That regime belongs to minhash/simhash LSH (operators/dedup.py) or
+the embedding path (semdedup.py); this operator targets realistic
+Zipfian vocabularies where postings shrink fast and the cap trims
+only the stopword head.
+
+The reference has no similarity operators at all (SURVEY.md §2);
+this is extension surface alongside dedup.py/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import md5_int60
+
+
+def doc_term_weights(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, token, w) with ``w = tf · ln(N/df)`` — the same plain-idf
+    weighting as index.tfidf_top_terms, N counted eagerly (one tiny
+    job) so the weight is a literal, not a correlated subplan."""
+    from ..functions.text import tokens
+
+    n_docs = float(df.count())
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("token")
+    )
+    tf = toks.groupBy("id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    return tf.join(dfreq, "token").select(
+        "id",
+        "token",
+        (F.col("tf") * F.log(F.lit(n_docs) / F.col("df"))).alias("w"),
+    )
+
+
+def _normalized(weights: DataFrame, id_col: str, term_col: str, w_col: str):
+    """(id, term, nw, nrm): row-normalized weights + the row L2 norm
+    (kept for DIMSUM's sampling probability). Zero-norm rows drop —
+    cosine is undefined for them."""
+    norms = weights.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col(w_col) * F.col(w_col))).alias("nrm")
+    )
+    return (
+        weights.join(norms, id_col)
+        .where(F.col("nrm") > 0)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(term_col).alias("term"),
+            (F.col(w_col) / F.col("nrm")).alias("nw"),
+            "nrm",
+        )
+    )
+
+
+def _capped(nw: DataFrame, max_df: int | None) -> DataFrame:
+    if max_df is None:
+        return nw
+    if max_df < 2:
+        raise ValueError(f"max_df must be >= 2 (or None), got {max_df}")
+    posting = nw.groupBy("term").agg(F.count("*").alias("_pl"))
+    return (
+        nw.join(F.broadcast(posting.where(F.col("_pl") <= max_df)), "term")
+        .drop("_pl")
+    )
+
+
+def cosine_pairs(
+    weights: DataFrame,
+    *,
+    id_col: str = "id",
+    term_col: str = "token",
+    w_col: str = "w",
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold: ``(id1, id2, cosine)``
+    with id1 < id2. ``max_df`` drops terms whose posting list exceeds
+    the cap BEFORE pairing (their pairs lose that term's mass — the
+    standard recall-for-runtime trade, stopword terms carry ~no
+    cosine signal anyway)."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    nw = _capped(_normalized(weights, id_col, term_col, w_col), max_df)
+    a = nw.select("term", F.col("id").alias("id1"), F.col("nw").alias("nw1"))
+    b = nw.select("term", F.col("id").alias("id2"), F.col("nw").alias("nw2"))
+    return (
+        a.join(b, "term")
+        .where(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.sum(F.col("nw1") * F.col("nw2")).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def cosine_pairs_dimsum(
+    weights: DataFrame,
+    *,
+    id_col: str = "id",
+    term_col: str = "token",
+    w_col: str = "w",
+    threshold: float = 0.5,
+    gamma: float = 100.0,
+    max_df: int | None = None,
+) -> DataFrame:
+    """DIMSUM-sampled all-pairs cosine estimate >= threshold.
+
+    Per (term, id1, id2) contribution: kept iff
+    ``md5_uniform(term|id1|id2) < p`` with
+    ``p = min(1, gamma / (nrm1 · nrm2))``, scaled by ``1/p`` — an
+    unbiased estimate of the exact cosine whose relative variance
+    shrinks as gamma grows. Deterministic by construction: same
+    inputs, same estimate, on any partitioning, any retry, and in the
+    DuckDB oracle."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if gamma <= 0:
+        raise ValueError(f"gamma must be > 0, got {gamma}")
+    nw = _capped(_normalized(weights, id_col, term_col, w_col), max_df)
+    a = nw.select(
+        "term",
+        F.col("id").alias("id1"),
+        F.col("nw").alias("nw1"),
+        F.col("nrm").alias("nrm1"),
+    )
+    b = nw.select(
+        "term",
+        F.col("id").alias("id2"),
+        F.col("nw").alias("nw2"),
+        F.col("nrm").alias("nrm2"),
+    )
+    p = F.least(F.lit(1.0), F.lit(gamma) / (F.col("nrm1") * F.col("nrm2")))
+    coin = (
+        md5_int60(
+            F.concat_ws(
+                "|",
+                F.col("term"),
+                F.col("id1").cast("string"),
+                F.col("id2").cast("string"),
+            )
+        ).cast("double")
+        / F.lit(float(1 << 60))
+    )
+    return (
+        a.join(b, "term")
+        .where(F.col("id1") < F.col("id2"))
+        .where(coin < p)
+        .groupBy("id1", "id2")
+        .agg(F.sum(F.col("nw1") * F.col("nw2") / p).alias("cosine_est"))
+        .where(F.col("cosine_est") >= threshold)
+    )
