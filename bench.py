@@ -154,10 +154,13 @@ BENCH_QUERIES = [
     "salted_brand_revenue",
     "epoch_shuffle_documents",
     "correlated_sample_join",
-    # round-4 additions: URL canonicalization / URL-level dedup
+    # round-4 additions: URL canonicalization / URL-level dedup,
+    # event-graph PageRank
     "url_canonical_documents",
     "url_dedup_documents",
     "domain_stats_documents",
+    "event_transition_edges",
+    "event_pagerank",
 ]
 
 KMEANS_FIT_K = 8

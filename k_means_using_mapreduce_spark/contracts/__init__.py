@@ -18,6 +18,7 @@ from . import (
     diff_queries,
     entity_queries,
     freq_queries,
+    graph_queries,
     index_queries,
     kmeans_queries,
     line_queries,
@@ -58,6 +59,7 @@ _MODULES = [
     line_queries,
     index_queries,
     freq_queries,
+    graph_queries,
     lm_queries,
     text_queries,
     repetition_queries,

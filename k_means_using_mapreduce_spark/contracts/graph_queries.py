@@ -1,0 +1,97 @@
+"""Graph contracts (operators/graph.py): event-transition edges and a
+fixed-iteration PageRank whose oracle unrolls the same 3 damped
+iterations in CTEs — the iterative driver loop checked value-for-value
+against pure SQL, like kmeans_one_step before it."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.loaders import load_table
+
+DAMPING = 0.85
+ITERS = 3
+
+_EDGES_CTE = """
+seq AS (
+  SELECT user_id, event_id, event_type AS dst,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS src
+  FROM events
+), edges AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE src IS NOT NULL GROUP BY 1, 2
+)
+"""
+
+
+def event_transition_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted what-follows-what navigation graph per user stream."""
+    from ..operators.graph import transition_edges
+
+    return transition_edges(load_table(spark, sf_dir, "events"))
+
+
+TRANSITION_EDGES_SQL = (
+    "WITH " + _EDGES_CTE.strip() + "\nSELECT src, dst, n FROM edges"
+)
+
+
+def _iter_cte(k: int) -> str:
+    """One unrolled PageRank iteration: r{k-1} -> r{k}."""
+    return f"""d{k} AS (
+  SELECT coalesce(sum(rank), 0) AS dm FROM r{k - 1}
+  WHERE node NOT IN (SELECT src FROM norm)
+), c{k} AS (
+  SELECT dst, sum(p * rank) AS c FROM norm JOIN r{k - 1} ON norm.src = r{k - 1}.node
+  GROUP BY 1
+), r{k} AS (
+  SELECT node, (1 - {DAMPING}) / n + {DAMPING} * (coalesce(c, 0) + dm / n) AS rank
+  FROM nodes CROSS JOIN nn CROSS JOIN d{k} LEFT JOIN c{k} ON node = dst
+)"""
+
+
+def event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (d=0.85, exactly 3 iterations) over the event
+    transition graph — which event types the navigation flow
+    concentrates on."""
+    from ..operators.graph import pagerank, transition_edges
+
+    edges = transition_edges(load_table(spark, sf_dir, "events"))
+    return pagerank(
+        edges, weight_col="n", damping=DAMPING, max_iter=ITERS, tol=0.0
+    )
+
+
+PAGERANK_SQL = (
+    "WITH " + _EDGES_CTE.strip()
+    + """, nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION SELECT dst FROM edges
+  )
+), nn AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+), outw AS (
+  SELECT src, CAST(sum(n) AS DOUBLE) AS ow FROM edges GROUP BY 1
+), norm AS (
+  SELECT src, dst, n / ow AS p FROM edges JOIN outw USING (src)
+), r0 AS (
+  SELECT node, 1.0 / n AS rank FROM nodes CROSS JOIN nn
+), """
+    + ", ".join(_iter_cte(k) for k in range(1, ITERS + 1))
+    + f"\nSELECT node, rank FROM r{ITERS}"
+)
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "event_transition_edges": event_transition_edges,
+    "event_pagerank": event_pagerank,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "event_transition_edges": TRANSITION_EDGES_SQL,
+    "event_pagerank": PAGERANK_SQL,
+}

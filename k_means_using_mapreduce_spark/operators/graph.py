@@ -1,0 +1,158 @@
+"""Link-graph operators: edge extraction and PageRank.
+
+Crawl pipelines rank sources by link authority before mixing them
+(quality-weighted sampling in operators/sampling.py takes any score;
+PageRank is the classic one). There is no link table in the testdata,
+so :func:`transition_edges` derives a weighted directed graph from
+event streams — the "what follows what" navigation graph — and
+:func:`pagerank` is the generic iterative rank over ANY (src, dst,
+weight) edge relation.
+
+Spark shape (pagerank): ranks are a |V|-row DataFrame, edges |E|
+rows; one iteration = one edges⋈ranks join keyed by src + one dst
+aggregate + a broadcast of the scalar dangling mass. The loop
+localCheckpoints each iteration so lineage stays flat (the
+kmeans_fit/connected_components discipline — Spark otherwise
+re-plans a growing DAG every iteration). At cluster scale,
+pre-partition edges by src once (``edges.repartition("src")``) and
+every iteration's join reuses that layout; ranks (small side) hash
+to the same partitioning.
+
+The iteration follows the standard damped formulation (Page et al.
+1999; Brin & Page 1998):
+
+    r'(v) = (1-d)/N + d · ( Σ_{u→v} r(u)·w(u,v)/outw(u) + D/N )
+
+with D = Σ r(u) over dangling nodes (no out-edges) — their mass
+redistributes uniformly, keeping Σr = 1 every iteration (asserted in
+tests).
+
+The reference has no graph operators (SURVEY.md §2); the iterative
+driver-loop shape mirrors operators/kmeans.py::kmeans_fit
+(master.py:96-150's loop generalized).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def transition_edges(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Weighted transition graph from per-user event streams:
+    ``(src, dst, n)`` where n counts ``src`` immediately followed by
+    ``dst`` for the same user. Ordering is (ts at µs resolution,
+    event id) — the engine's portable-timestamp convention
+    (contracts/temporal_queries.py resolution note): events.ts
+    arrives as epoch-ns bigint, and µs is what the DuckDB oracle can
+    reproduce, so the nanos digit must not decide order.
+
+    One shuffle keyed by user for the lag window, then the (src, dst)
+    aggregate — map-side combinable, |types|² result rows."""
+    w = Window.partitionBy(user_col).orderBy(
+        (F.col(ts_col) / F.lit(1000)).cast("long"), F.col(id_col)
+    )
+    return (
+        events.select(
+            F.col(user_col),
+            F.col(ts_col),
+            F.col(id_col),
+            F.col(type_col).alias("dst"),
+            F.lag(F.col(type_col)).over(w).alias("src"),
+        )
+        .where(F.col("src").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    damping: float = 0.85,
+    max_iter: int = 10,
+    tol: float = 0.0,
+) -> DataFrame:
+    """Damped PageRank over a weighted directed edge relation →
+    ``(node, rank)`` with Σrank = 1. ``tol`` > 0 stops early when no
+    rank moves more than tol between iterations (L∞); ``tol=0`` runs
+    exactly ``max_iter`` iterations — the contract-query mode, where
+    the oracle unrolls the same fixed count."""
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col
+        else F.lit(1.0)
+    )
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("edge relation is empty")
+    outw = e.groupBy("src").agg(F.sum("w").alias("outw"))
+    # normalized edges: transition probability src -> dst; checkpointed
+    # once, reused every iteration
+    norm = (
+        e.join(outw, "src")
+        .select("src", "dst", (F.col("w") / F.col("outw")).alias("p"))
+        .localCheckpoint(eager=True)
+    )
+    has_out = norm.select("src").distinct()
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    base = (1.0 - damping) / n
+    for _ in range(max_iter):
+        dangling = (
+            ranks.join(has_out, ranks.node == has_out.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        contrib = (
+            norm.join(ranks, norm.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("p") * F.col("rank")).alias("c"))
+        )
+        new_ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if tol > 0.0:
+            delta = (
+                new_ranks.alias("a")
+                .join(ranks.alias("b"), "node")
+                .agg(F.max(F.abs(F.col("a.rank") - F.col("b.rank"))))
+                .first()[0]
+            )
+            ranks = new_ranks
+            if delta is not None and delta <= tol:
+                break
+        else:
+            ranks = new_ranks
+    return ranks

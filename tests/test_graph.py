@@ -1,0 +1,85 @@
+"""PageRank invariants (operators/graph.py): mass conservation,
+dangling redistribution, convergence, known closed forms, weights."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from k_means_using_mapreduce_spark.operators.graph import (
+    pagerank,
+    transition_edges,
+)
+
+
+def _ranks(df):
+    return {r["node"]: r["rank"] for r in df.collect()}
+
+
+def test_two_node_cycle_is_uniform(spark):
+    e = spark.createDataFrame([("a", "b"), ("b", "a")], "src string, dst string")
+    r = _ranks(pagerank(e, max_iter=5))
+    assert r["a"] == pytest.approx(0.5, abs=1e-12)
+    assert r["b"] == pytest.approx(0.5, abs=1e-12)
+
+
+def test_mass_conserved_with_dangling(spark):
+    # c is dangling: its mass must redistribute, total stays 1
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], "src string, dst string"
+    )
+    df = pagerank(e, max_iter=7)
+    total = df.agg(F.sum("rank")).first()[0]
+    assert total == pytest.approx(1.0, abs=1e-9)
+    r = _ranks(df)
+    assert r["c"] > r["b"] > 0  # sink accumulates the most
+
+
+def test_weights_shift_rank(spark):
+    e = spark.createDataFrame(
+        [("a", "b", 9.0), ("a", "c", 1.0), ("b", "a", 1.0), ("c", "a", 1.0)],
+        "src string, dst string, w double",
+    )
+    r = _ranks(pagerank(e, weight_col="w", max_iter=20))
+    assert r["b"] > r["c"]  # 90% of a's mass flows to b
+
+
+def test_tol_early_stop_matches_long_run(spark):
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")],
+        "src string, dst string",
+    )
+    converged = _ranks(pagerank(e, max_iter=100, tol=1e-12))
+    fixed = _ranks(pagerank(e, max_iter=60))
+    for k, v in fixed.items():
+        assert converged[k] == pytest.approx(v, abs=1e-9)
+
+
+def test_transition_edges_orders_by_time_then_id(spark):
+    rows = [
+        # user 1: login(t=1) -> search(t=2) -> buy(t=2, higher id)
+        (1, 1, 1_000_000_000, "login"),
+        (2, 1, 2_000_000_000, "search"),
+        (3, 1, 2_000_000_000, "buy"),
+        # user 2: login -> buy
+        (4, 2, 1_000_000_000, "login"),
+        (5, 2, 9_000_000_000, "buy"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string"
+    )
+    got = {
+        (r["src"], r["dst"]): r["n"] for r in transition_edges(df).collect()
+    }
+    assert got == {("login", "search"): 1, ("search", "buy"): 1, ("login", "buy"): 1}
+
+
+def test_validation(spark):
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(e, damping=1.0)
+    with pytest.raises(ValueError, match="max_iter"):
+        pagerank(e, max_iter=0)
+    empty = e.where(F.lit(False))
+    with pytest.raises(ValueError, match="empty"):
+        pagerank(empty)
