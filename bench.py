@@ -161,6 +161,8 @@ BENCH_QUERIES = [
     "domain_stats_documents",
     "event_transition_edges",
     "event_pagerank",
+    "heavy_keys_lineitem",
+    "key_skew_report_lineitem",
 ]
 
 KMEANS_FIT_K = 8

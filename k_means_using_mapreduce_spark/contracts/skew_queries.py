@@ -79,3 +79,54 @@ ORACLE_SQL: dict[str, str] = {
     "salted_event_type_stats": SALTED_EVENT_STATS_SQL,
     "salted_brand_revenue": SALTED_BRAND_REVENUE_SQL,
 }
+
+
+def heavy_keys_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 heaviest l_partkey values with their row share — the
+    measure-first half of skew mitigation."""
+    from ..operators.skew import heavy_keys
+
+    return heavy_keys(load_table(spark, sf_dir, "lineitem"), ["l_partkey"], top=10)
+
+
+HEAVY_KEYS_SQL = """
+WITH c AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1
+), t AS (
+  SELECT CAST(count(*) AS DOUBLE) AS total FROM lineitem
+)
+SELECT l_partkey, n, n / total AS share
+FROM c CROSS JOIN t
+ORDER BY n DESC, l_partkey ASC
+LIMIT 10
+"""
+
+
+def key_skew_report_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row l_partkey distribution report (max/p50/p99 of per-key
+    counts, skew factor, recommended salt buckets)."""
+    from ..operators.skew import skew_report
+
+    return skew_report(load_table(spark, sf_dir, "lineitem"), ["l_partkey"])
+
+
+SKEW_REPORT_SQL = """
+WITH c AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(n) AS BIGINT) AS total_rows,
+       max(n) AS max_key_n,
+       quantile_cont(n, 0.5) AS p50_key_n,
+       quantile_cont(n, 0.99) AS p99_key_n,
+       CAST(max(n) AS DOUBLE) / sum(n) AS top1_share,
+       CAST(max(n) AS DOUBLE) / quantile_cont(n, 0.5) AS skew_factor,
+       least(64, CAST(ceil(CAST(max(n) AS DOUBLE) / quantile_cont(n, 0.5))
+                      AS BIGINT)) AS recommended_buckets
+FROM c
+"""
+
+QUERIES["heavy_keys_lineitem"] = heavy_keys_lineitem
+QUERIES["key_skew_report_lineitem"] = key_skew_report_lineitem
+ORACLE_SQL["heavy_keys_lineitem"] = HEAVY_KEYS_SQL
+ORACLE_SQL["key_skew_report_lineitem"] = SKEW_REPORT_SQL

@@ -17,6 +17,9 @@ runtime; these helpers cover the remaining cases:
   times so a skewed fact side joins against (key, salt) — the classic
   salting pattern when the small side is too big to broadcast outright
   but the key histogram is too skewed for sort-merge.
+- ``skew_report`` / ``heavy_keys``: the diagnostics that decide
+  whether salting is needed at all and with how many buckets —
+  measure first, then mitigate.
 """
 
 from __future__ import annotations
@@ -100,3 +103,64 @@ def salted_broadcast_left(
     )
     out = salted_fact.join(replicated_dim, [key, "_salt"]).drop("_salt")
     return out
+
+
+def heavy_keys(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    *,
+    top: int = 10,
+) -> DataFrame:
+    """The ``top`` heaviest group keys: ``(keys..., n, share)``,
+    ordered count-desc then keys-asc (deterministic under count
+    ties). One aggregate shuffle; the order-by runs on the already
+    aggregated |keys| rows and the limit prunes it to ``top``."""
+    if top < 1:
+        raise ValueError(f"top must be >= 1, got {top}")
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    total = df.count()
+    counts = df.groupBy(*key_cols).agg(F.count("*").alias("n"))
+    return (
+        counts.select(
+            *key_cols, "n", (F.col("n") / F.lit(float(total))).alias("share")
+        )
+        .orderBy(F.desc("n"), *[F.asc(c) for c in key_cols])
+        .limit(top)
+    )
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: Sequence[str],
+) -> DataFrame:
+    """One-row key-distribution report for a prospective shuffle key:
+
+    ``(n_keys, total_rows, max_key_n, p50_key_n, p99_key_n,
+    top1_share, skew_factor, recommended_buckets)``
+
+    ``skew_factor = max/p50`` of per-key counts: ~1 means uniform (no
+    mitigation), large means the biggest key holds a p50-reducer's
+    workload many times over. ``recommended_buckets`` =
+    ``ceil(skew_factor)`` capped at 64 — the salt count that levels
+    the hottest key down to median-grade work
+    (:func:`salted_aggregate`'s ``buckets``). Exact percentiles over
+    the |keys|-row count table (the raw data aggregates first);
+    switch to percentile_approx at billion-key scale.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    counts = df.groupBy(*key_cols).agg(F.count("*").alias("n"))
+    return counts.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n").alias("total_rows"),
+        F.max("n").alias("max_key_n"),
+        F.expr("percentile(n, 0.5)").alias("p50_key_n"),
+        F.expr("percentile(n, 0.99)").alias("p99_key_n"),
+        (F.max("n") / F.sum("n")).alias("top1_share"),
+        (F.max("n") / F.expr("percentile(n, 0.5)")).alias("skew_factor"),
+        F.least(
+            F.lit(64),
+            F.ceil(F.max("n") / F.expr("percentile(n, 0.5)")),
+        ).alias("recommended_buckets"),
+    )

@@ -71,3 +71,29 @@ def test_salted_aggregate_requires_an_aggregate(skewed):
 
     with pytest.raises(ValueError, match="counts=True or at least one"):
         salted_aggregate(skewed, ["k"], sums=(), counts=False)
+
+
+def test_heavy_keys_and_report_consistency(spark):
+    """heavy_keys' top-1 must agree with skew_report's max/top1_share,
+    and a uniform key distribution must recommend 1 bucket."""
+    from k_means_using_mapreduce_spark.operators.skew import (
+        heavy_keys,
+        skew_report,
+    )
+    import pyspark.sql.functions as F
+
+    rows = [("hot",)] * 60 + [(f"k{i}",) for i in range(20) for _ in range(3)]
+    df = spark.createDataFrame(rows, "k string")
+    top = heavy_keys(df, ["k"], top=3).collect()
+    assert top[0]["k"] == "hot" and top[0]["n"] == 60
+    assert top[0]["share"] == pytest.approx(60 / 120)
+    rep = skew_report(df, ["k"]).first()
+    assert rep["max_key_n"] == 60 and rep["n_keys"] == 21
+    assert rep["skew_factor"] == pytest.approx(20.0)  # 60 / p50(=3)
+    assert rep["recommended_buckets"] == 20
+    uniform = spark.createDataFrame([(f"u{i}",) for i in range(8)] * 4, "k string")
+    assert skew_report(uniform, ["k"]).first()["recommended_buckets"] == 1
+    with pytest.raises(ValueError, match="key_cols"):
+        skew_report(df, [])
+    with pytest.raises(ValueError, match="top"):
+        heavy_keys(df, ["k"], top=0)
