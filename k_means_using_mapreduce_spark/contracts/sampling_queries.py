@@ -170,3 +170,27 @@ ORACLE_SQL: dict[str, str] = {
     "weighted_sample_documents": WEIGHTED_SAMPLE_SQL,
     "correlated_sample_join": CORRELATED_SAMPLE_SQL,
 }
+
+
+def source_coherent_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance-coherent train/test split: the hash key is SOURCE,
+    not doc_id, so every document of a source lands in the same split
+    — the no-leakage rule for eval sets (near-duplicate documents
+    cluster within sources; a doc-level split would leak them across
+    the boundary). Output proves coherence: per (split, source) counts
+    — a source appearing under both splits would show up as two rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = train_test_split(docs, "source", test_pct=25)
+    return split.groupBy("split", "source").agg(F.count("*").alias("n_docs"))
+
+
+SOURCE_COHERENT_SPLIT_SQL = """
+SELECT CASE WHEN ('0x' || substr(md5(source), 1, 15))::BIGINT % 100 < 25
+            THEN 'test' ELSE 'train' END AS split,
+       source, count(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+"""
+
+QUERIES["source_coherent_split_summary"] = source_coherent_split_summary
+ORACLE_SQL["source_coherent_split_summary"] = SOURCE_COHERENT_SPLIT_SQL
