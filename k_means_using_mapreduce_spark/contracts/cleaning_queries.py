@@ -370,3 +370,61 @@ ORACLE_SQL: dict[str, str] = {
     "temperature_sample_summary": TEMPERATURE_SAMPLE_SQL,
     "table_profile_lineitem": TABLE_PROFILE_SQL,
 }
+
+
+def orders_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift of order value/customer-id between the 1995
+    and 1996 order snapshots — the moment-based monitor a training
+    pipeline runs between crawls (operators/cleaning.py::
+    profile_drift)."""
+    from ..operators.cleaning import profile_drift
+
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+    )
+    new = orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    return profile_drift(old, new, ["o_totalprice", "o_custkey"])
+
+
+def _drift_profile_sql(src: str) -> str:
+    branches = []
+    for c in ("o_totalprice", "o_custkey"):
+        branches.append(f"""
+  SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count({c}) AS BIGINT) AS non_null,
+         avg(CAST({c} AS DOUBLE)) AS mean,
+         stddev_samp(CAST({c} AS DOUBLE)) AS std,
+         quantile_cont(CAST({c} AS DOUBLE), 0.5) AS p50
+  FROM {src}""")
+    return " UNION ALL ".join(branches)
+
+
+ORDERS_VALUE_DRIFT_SQL = f"""
+WITH o AS (
+  SELECT * FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1996-01-01'
+), n AS (
+  SELECT * FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+), po AS ({_drift_profile_sql("o")}), pn AS ({_drift_profile_sql("n")})
+SELECT po.col_name,
+       1 - CAST(po.non_null AS DOUBLE) / po.n_rows AS null_rate_old,
+       1 - CAST(pn.non_null AS DOUBLE) / pn.n_rows AS null_rate_new,
+       (1 - CAST(pn.non_null AS DOUBLE) / pn.n_rows)
+         - (1 - CAST(po.non_null AS DOUBLE) / po.n_rows) AS null_rate_delta,
+       po.mean AS mean_old, pn.mean AS mean_new,
+       (pn.mean - po.mean) / nullif(po.std, 0) AS mean_shift_sigmas,
+       pn.std / nullif(po.std, 0) AS std_ratio,
+       po.p50 AS p50_old, pn.p50 AS p50_new
+FROM po JOIN pn USING (col_name)
+"""
+
+QUERIES["orders_value_drift"] = orders_value_drift
+ORACLE_SQL["orders_value_drift"] = ORDERS_VALUE_DRIFT_SQL

@@ -585,3 +585,88 @@ def profile_table(
     for b in branches[1:]:
         out = out.unionByName(b)
     return out
+
+
+def numeric_profile(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Moment/quantile profile of numeric columns, one row per column:
+    ``(col_name, n_rows, non_null, mean, std, p50)``. ONE aggregate
+    pass (no Expand: nothing here is a distinct aggregate), unpivoted
+    via ``stack`` literals. Exact percentile — switch to
+    percentile_approx at scales where the per-column value buffer
+    matters (same trade documented on skew_report)."""
+    if not columns:
+        raise ValueError("columns must be non-empty")
+    missing = [c for c in columns if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in DataFrame: {missing}")
+    aggs = [F.count("*").alias("_n")]
+    for c in columns:
+        col = F.col(c).cast("double")
+        aggs += [
+            F.count(col).alias(f"_nn_{c}"),
+            F.avg(col).alias(f"_mean_{c}"),
+            F.stddev_samp(col).alias(f"_std_{c}"),
+            F.expr(f"percentile(CAST({c} AS DOUBLE), 0.5)").alias(f"_p50_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', _nn_{c}, _mean_{c}, _std_{c}, _p50_{c}" for c in columns
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(columns)}, {stack_args}) as "
+            "(col_name, non_null, mean, std, p50)"
+        ),
+        F.col("_n").alias("n_rows"),
+    ).select("col_name", "n_rows", "non_null", "mean", "std", "p50")
+
+
+def profile_drift(
+    old: DataFrame, new: DataFrame, columns: list[str]
+) -> DataFrame:
+    """Distribution drift between two snapshots of the same table,
+    one row per column:
+
+    ``(col_name, null_rate_old, null_rate_new, null_rate_delta,
+    mean_old, mean_new, mean_shift_sigmas, std_ratio, p50_old,
+    p50_new)``
+
+    ``mean_shift_sigmas`` — the mean shift in units of the OLD std —
+    is the alarm metric (a |shift| > ~0.25σ on a core feature is worth
+    a look long before models degrade); NULL when the old column is
+    constant. The profiles are |columns|-row aggregates, so the
+    comparison join is trivially broadcast; the corpus is scanned once
+    per snapshot."""
+    po = numeric_profile(old, columns)
+    pn = numeric_profile(new, columns)
+    o = po.select(
+        "col_name",
+        (1 - F.col("non_null") / F.col("n_rows")).alias("null_rate_old"),
+        F.col("mean").alias("mean_old"),
+        F.col("std").alias("std_old"),
+        F.col("p50").alias("p50_old"),
+    )
+    n = pn.select(
+        "col_name",
+        (1 - F.col("non_null") / F.col("n_rows")).alias("null_rate_new"),
+        F.col("mean").alias("mean_new"),
+        F.col("std").alias("std_new"),
+        F.col("p50").alias("p50_new"),
+    )
+    return o.join(n, "col_name").select(
+        "col_name",
+        "null_rate_old",
+        "null_rate_new",
+        (F.col("null_rate_new") - F.col("null_rate_old")).alias("null_rate_delta"),
+        "mean_old",
+        "mean_new",
+        (
+            (F.col("mean_new") - F.col("mean_old"))
+            / F.nullif(F.col("std_old"), F.lit(0.0))
+        ).alias("mean_shift_sigmas"),
+        (F.col("std_new") / F.nullif(F.col("std_old"), F.lit(0.0))).alias(
+            "std_ratio"
+        ),
+        "p50_old",
+        "p50_new",
+    )

@@ -509,3 +509,31 @@ def test_temperature_validation_and_apply(spark, mixture_corpus):
     # strictly-downsampled corpus
     n = kept.count()
     assert 0 < n < mixture_corpus.count()
+
+
+def test_profile_drift_closed_form(spark):
+    from k_means_using_mapreduce_spark.operators.cleaning import (
+        numeric_profile,
+        profile_drift,
+    )
+    import pytest as _pt
+
+    old = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 5.0), (3.0, 5.0), (None, 5.0)], "x double, c double"
+    )
+    new = spark.createDataFrame(
+        [(3.0, 5.0), (4.0, 5.0), (5.0, 5.0), (6.0, 5.0)], "x double, c double"
+    )
+    prof = {r["col_name"]: r for r in numeric_profile(old, ["x", "c"]).collect()}
+    assert prof["x"]["non_null"] == 3 and prof["x"]["mean"] == _pt.approx(2.0)
+    assert prof["x"]["p50"] == _pt.approx(2.0)
+    drift = {r["col_name"]: r for r in profile_drift(old, new, ["x", "c"]).collect()}
+    x = drift["x"]
+    assert x["null_rate_old"] == _pt.approx(0.25)
+    assert x["null_rate_delta"] == _pt.approx(-0.25)
+    assert x["mean_shift_sigmas"] == _pt.approx((4.5 - 2.0) / 1.0)  # std_old=1
+    # constant column: shift in sigmas undefined, not infinite
+    assert drift["c"]["mean_shift_sigmas"] is None
+    assert drift["c"]["std_ratio"] is None
+    with _pt.raises(ValueError, match="columns"):
+        numeric_profile(old, [])
