@@ -428,3 +428,67 @@ FROM po JOIN pn USING (col_name)
 
 QUERIES["orders_value_drift"] = orders_value_drift
 ORACLE_SQL["orders_value_drift"] = ORDERS_VALUE_DRIFT_SQL
+
+
+def orders_price_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of order value, 1995 grid vs 1996
+    population — per-bin terms; sum = PSI (operators/cleaning.py::
+    psi_drift). The shape-drift twin of orders_value_drift."""
+    from ..operators.cleaning import psi_drift
+
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+    )
+    new = orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    return psi_drift(old, new, "o_totalprice", bins=10)
+
+
+_PSI_EDGES = ", ".join(
+    f"quantile_cont(x, {i / 10}) AS b{i}" for i in range(1, 10)
+)
+_PSI_BIN = "1 + " + " + ".join(f"CAST(x > b{i} AS INTEGER)" for i in range(1, 10))
+
+ORDERS_PRICE_PSI_SQL = f"""
+WITH o AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1996-01-01'
+    AND o_totalprice IS NOT NULL
+), nw AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+    AND o_totalprice IS NOT NULL
+), e AS (
+  SELECT {_PSI_EDGES} FROM o
+), go AS (
+  SELECT {_PSI_BIN} AS bin, CAST(count(*) AS BIGINT) AS n_old
+  FROM o CROSS JOIN e GROUP BY 1
+), gn AS (
+  SELECT {_PSI_BIN} AS bin, CAST(count(*) AS BIGINT) AS n_new
+  FROM nw CROSS JOIN e GROUP BY 1
+), grid AS (
+  SELECT CAST(unnest(range(1, 11)) AS INTEGER) AS bin
+), j AS (
+  SELECT bin, coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
+  FROM grid LEFT JOIN go USING (bin) LEFT JOIN gn USING (bin)
+), t AS (
+  SELECT CAST(sum(n_old) AS DOUBLE) AS to_, CAST(sum(n_new) AS DOUBLE) AS tn
+  FROM j
+)
+SELECT bin, n_old, n_new,
+       greatest(n_old / to_, 1e-6) AS p_old,
+       greatest(n_new / tn, 1e-6) AS p_new,
+       (greatest(n_new / tn, 1e-6) - greatest(n_old / to_, 1e-6))
+         * ln(greatest(n_new / tn, 1e-6) / greatest(n_old / to_, 1e-6))
+         AS psi_term
+FROM j CROSS JOIN t
+"""
+
+QUERIES["orders_price_psi"] = orders_price_psi
+ORACLE_SQL["orders_price_psi"] = ORDERS_PRICE_PSI_SQL

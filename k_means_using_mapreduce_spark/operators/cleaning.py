@@ -670,3 +670,84 @@ def profile_drift(
         "p50_old",
         "p50_new",
     )
+
+
+def psi_drift(
+    old: DataFrame,
+    new: DataFrame,
+    col: str,
+    *,
+    bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column, per-bin rows: ``(bin, n_old, n_new, p_old, p_new,
+    psi_term)`` with ``sum(psi_term)`` = the PSI (rule of thumb:
+    < 0.1 stable, 0.1-0.25 drifting, > 0.25 shifted).
+
+    Bin edges are the OLD snapshot's ``bins``-quantiles (the standard
+    formulation: expected distribution defines the grid), collected
+    to the driver as ``bins - 1`` doubles — a model-sized collect,
+    same budget as kmeans centroids — and applied to both sides as
+    literal comparisons (``bin = 1 + Σ (x > edge)``), so binning is a
+    narrow codegen projection and each snapshot aggregates once.
+    Shares of both sides are clamped at ``eps`` before the log so an
+    empty bin contributes a large-but-finite term, never ±inf. NULLs
+    are excluded (they are null_rate's business, see
+    :func:`profile_drift`).
+
+    The moment monitor (:func:`profile_drift`) sees mean/σ movement;
+    PSI sees SHAPE movement the moments miss (variance-preserving
+    bimodality, tail migration) — run both.
+    """
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    qs = [i / bins for i in range(1, bins)]
+    edges = old.agg(
+        F.expr(
+            f"percentile(CAST({col} AS DOUBLE), array({', '.join(map(str, qs))}))"
+        )
+    ).first()[0]
+    if edges is None:
+        raise ValueError(f"old snapshot has no non-null {col} values")
+
+    def binned(df, n_alias):
+        x = F.col(col).cast("double")
+        b = F.lit(1)
+        for e in edges:
+            b = b + F.when(x > F.lit(float(e)), 1).otherwise(0)
+        return (
+            df.where(x.isNotNull())
+            .select(b.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count("*").alias(n_alias))
+        )
+
+    # bins with zero mass on BOTH sides (possible under heavy ties)
+    # still appear: seed the full bin range, left-join the counts
+    spark = old.sparkSession
+    grid = spark.range(1, bins + 1).select(F.col("id").cast("int").alias("bin"))
+    o = binned(old, "n_old")
+    n = binned(new, "n_new")
+    joined = (
+        grid.join(o, "bin", "left")
+        .join(n, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_old", F.lit(0)).alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+    )
+    tot = joined.agg(
+        F.sum("n_old").alias("_to"), F.sum("n_new").alias("_tn")
+    )
+    p_old = F.greatest(F.col("n_old") / F.col("_to"), F.lit(eps))
+    p_new = F.greatest(F.col("n_new") / F.col("_tn"), F.lit(eps))
+    return joined.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_old",
+        "n_new",
+        p_old.alias("p_old"),
+        p_new.alias("p_new"),
+        ((p_new - p_old) * F.log(p_new / p_old)).alias("psi_term"),
+    )

@@ -537,3 +537,27 @@ def test_profile_drift_closed_form(spark):
     assert drift["c"]["std_ratio"] is None
     with _pt.raises(ValueError, match="columns"):
         numeric_profile(old, [])
+
+
+def test_psi_drift_behavior(spark):
+    from k_means_using_mapreduce_spark.operators.cleaning import psi_drift
+    import pytest as _pt
+    from pyspark.sql import functions as SF
+
+    base = spark.range(0, 1000).select(SF.col("id").cast("double").alias("v"))
+    same = psi_drift(base, base, "v", bins=10)
+    rows = same.collect()
+    assert len(rows) == 10
+    assert sum(r["psi_term"] for r in rows) == _pt.approx(0.0, abs=1e-12)
+    assert all(r["n_old"] == r["n_new"] for r in rows)
+    # shifted population concentrates in the top bins -> PSI large
+    shifted = spark.range(0, 1000).select(
+        (SF.col("id").cast("double") * 0.2 + 900).alias("v")
+    )
+    psi = sum(r["psi_term"] for r in psi_drift(base, shifted, "v", bins=10).collect())
+    assert psi > 0.25  # "shifted" on the standard rule of thumb
+    with _pt.raises(ValueError, match="bins"):
+        psi_drift(base, base, "v", bins=1)
+    empty = base.where(SF.lit(False))
+    with _pt.raises(ValueError, match="no non-null"):
+        psi_drift(empty, base, "v")
