@@ -124,3 +124,60 @@ ORACLE_SQL: dict[str, str] = {
     "token_freq_sketch_documents": TOKEN_FREQ_SKETCH_SQL,
     "token_freq_estimate_documents": TOKEN_FREQ_ESTIMATE_SQL,
 }
+
+
+def join_size_estimate_orders_lineitem(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Count-min join-cardinality pre-flight: estimate |orders ⋈
+    lineitem| on orderkey from two KB-sized sketches, next to the
+    true size — est >= exact by the overcount guarantee, visible in
+    the row itself (operators/freq.py::estimate_join_size)."""
+    from ..operators.freq import build_freq_sketch, estimate_join_size
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    sa = build_freq_sketch(orders, [], "o_orderkey", depth=CM_DEPTH, width=CM_WIDTH)
+    sb = build_freq_sketch(li, [], "l_orderkey", depth=CM_DEPTH, width=CM_WIDTH)
+    est = estimate_join_size(sa, sb)
+    exact = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .agg(F.count("*").alias("exact"))
+    )
+    return est.crossJoin(exact)
+
+
+JOIN_SIZE_ESTIMATE_SQL = f"""
+WITH sa AS (
+  SELECT d,
+         ('0x' || substr(md5(CAST(d AS VARCHAR) || ':'
+            || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+           % {CM_WIDTH} AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM orders CROSS JOIN (VALUES {_CM_DEPTH_VALUES}) AS ds(d)
+  WHERE o_orderkey IS NOT NULL
+  GROUP BY 1, 2
+), sb AS (
+  SELECT d,
+         ('0x' || substr(md5(CAST(d AS VARCHAR) || ':'
+            || CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT
+           % {CM_WIDTH} AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem CROSS JOIN (VALUES {_CM_DEPTH_VALUES}) AS ds(d)
+  WHERE l_orderkey IS NOT NULL
+  GROUP BY 1, 2
+), ip AS (
+  SELECT sa.d, CAST(sum(sa.cnt * sb.cnt) AS BIGINT) AS ip
+  FROM sa JOIN sb ON sa.d = sb.d AND sa.bucket = sb.bucket
+  GROUP BY 1
+), est AS (
+  SELECT min(ip) AS est FROM ip
+), ex AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+)
+SELECT est, exact FROM est CROSS JOIN ex
+"""
+
+QUERIES["join_size_estimate_orders_lineitem"] = join_size_estimate_orders_lineitem
+ORACLE_SQL["join_size_estimate_orders_lineitem"] = JOIN_SIZE_ESTIMATE_SQL

@@ -244,3 +244,39 @@ def estimate_error_bound(n_total: int, width: int) -> float:
     import math
 
     return math.e / width * n_total
+
+
+def estimate_join_size(
+    a: DataFrame,
+    b: DataFrame,
+) -> DataFrame:
+    """Equi-join cardinality estimate from two GLOBAL count-min
+    sketches built over the two join keys (same depth/width family):
+    one row ``(est,)`` with
+
+        est = min over d of  Σ_bucket  cntA(d, bucket) · cntB(d, bucket)
+
+    — the count-min inner product. The true size of ``A ⋈ B`` on key
+    k is Σ_k cA(k)·cB(k); hashing into a shared bucket only ADDS
+    cross terms, so every depth row's inner product is an upper bound
+    and the min is the tightest (never an undercount — the same
+    one-sided guarantee as :func:`estimate_counts`, proven in tests).
+
+    This is the pre-flight answer to "how big is this join going to
+    be" at the cost of two KB-sized sketches instead of running the
+    join: paired with :func:`skew_report <..skew.skew_report>` it
+    decides broadcast-vs-shuffle and salting BEFORE committing a 100
+    TB shuffle. Sketches are depth×width rows, so this entire
+    estimate computes in milliseconds from pre-aggregated state.
+    """
+    for name, s in (("a", a), ("b", b)):
+        if set(s.columns) != {"d", "bucket", "cnt"}:
+            raise ValueError(
+                f"estimate_join_size needs GLOBAL sketches with columns "
+                f"{{d, bucket, cnt}}; sketch {name} has {sorted(s.columns)}"
+            )
+    prod = a.alias("a").join(
+        b.alias("b"), ["d", "bucket"]
+    ).select("d", (F.col("a.cnt") * F.col("b.cnt")).alias("p"))
+    per_row = prod.groupBy("d").agg(F.sum("p").alias("ip"))
+    return per_row.agg(F.min("ip").alias("est"))

@@ -233,3 +233,27 @@ def test_estimate_counts_rejects_grouped_sketch(spark, tokens):
         rollup_freq(grouped, []), probes, "probe", depth=DEPTH, width=WIDTH
     )
     assert est.count() == 1
+
+
+def test_join_size_estimate_overcounts_only(spark):
+    """est >= exact always; with a wide sketch (few collisions) the
+    estimate is exact."""
+    from k_means_using_mapreduce_spark.operators.freq import (
+        build_freq_sketch,
+        estimate_join_size,
+    )
+
+    a = spark.createDataFrame([(i % 7,) for i in range(50)], "k long")
+    b = spark.createDataFrame([(i % 5,) for i in range(30)], "k long")
+    exact = a.join(b, "k").count()
+    wide_a = build_freq_sketch(a, [], "k", depth=3, width=4096)
+    wide_b = build_freq_sketch(b, [], "k", depth=3, width=4096)
+    assert estimate_join_size(wide_a, wide_b).first()["est"] == exact
+    tight_a = build_freq_sketch(a, [], "k", depth=2, width=4)
+    tight_b = build_freq_sketch(b, [], "k", depth=2, width=4)
+    assert estimate_join_size(tight_a, tight_b).first()["est"] >= exact
+    grouped = build_freq_sketch(
+        a.withColumn("g", F.lit("x")), ["g"], "k", depth=2, width=4
+    )
+    with pytest.raises(ValueError, match="GLOBAL sketches"):
+        estimate_join_size(grouped, tight_b)
