@@ -137,8 +137,8 @@ def join_size_estimate_orders_lineitem(
 
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    sa = build_freq_sketch(orders, [], "o_orderkey", depth=CM_DEPTH, width=CM_WIDTH)
-    sb = build_freq_sketch(li, [], "l_orderkey", depth=CM_DEPTH, width=CM_WIDTH)
+    sa = build_freq_sketch(orders, [], "o_orderkey", depth=CM_DEPTH, width=JS_WIDTH)
+    sb = build_freq_sketch(li, [], "l_orderkey", depth=CM_DEPTH, width=JS_WIDTH)
     est = estimate_join_size(sa, sb)
     exact = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
@@ -147,12 +147,14 @@ def join_size_estimate_orders_lineitem(
     return est.crossJoin(exact)
 
 
+JS_WIDTH = 16384  # inner-product error is ADDITIVE ~ Na*Nb/width; size width to the join
+
 JOIN_SIZE_ESTIMATE_SQL = f"""
 WITH sa AS (
   SELECT d,
          ('0x' || substr(md5(CAST(d AS VARCHAR) || ':'
             || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
-           % {CM_WIDTH} AS bucket,
+           % {JS_WIDTH} AS bucket,
          CAST(count(*) AS BIGINT) AS cnt
   FROM orders CROSS JOIN (VALUES {_CM_DEPTH_VALUES}) AS ds(d)
   WHERE o_orderkey IS NOT NULL
@@ -161,7 +163,7 @@ WITH sa AS (
   SELECT d,
          ('0x' || substr(md5(CAST(d AS VARCHAR) || ':'
             || CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT
-           % {CM_WIDTH} AS bucket,
+           % {JS_WIDTH} AS bucket,
          CAST(count(*) AS BIGINT) AS cnt
   FROM lineitem CROSS JOIN (VALUES {_CM_DEPTH_VALUES}) AS ds(d)
   WHERE l_orderkey IS NOT NULL

@@ -263,11 +263,18 @@ def estimate_join_size(
     one-sided guarantee as :func:`estimate_counts`, proven in tests).
 
     This is the pre-flight answer to "how big is this join going to
-    be" at the cost of two KB-sized sketches instead of running the
-    join: paired with :func:`skew_report <..skew.skew_report>` it
-    decides broadcast-vs-shuffle and salting BEFORE committing a 100
-    TB shuffle. Sketches are depth×width rows, so this entire
-    estimate computes in milliseconds from pre-aggregated state.
+    be" at the cost of two sketches instead of running the join:
+    paired with :func:`skew_report <..skew.skew_report>` it decides
+    broadcast-vs-shuffle and salting BEFORE committing a 100 TB
+    shuffle. Sketches are depth×width rows, so this entire estimate
+    computes in milliseconds from pre-aggregated state.
+
+    Accuracy is ADDITIVE, not relative: the expected collision excess
+    is ~ ``N_a · N_b / width`` (AGMS/count-min inner-product bound),
+    so size ``width`` to the join at hand — the answer this gives is
+    the ORDER OF MAGNITUDE ("tens of thousands or billions?"), which
+    is exactly what the broadcast/salt decision needs; it is not a
+    row-accurate cardinality estimator.
     """
     for name, s in (("a", a), ("b", b)):
         if set(s.columns) != {"d", "bucket", "cnt"}:
