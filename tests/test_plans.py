@@ -388,3 +388,61 @@ def test_snapshot_diff_two_exchanges_pruned_scans(spark, sf):
     assert exchange_count(df) == 2
     for cols in read_schemas(df):
         assert "doc_id" in cols
+
+
+def test_url_canonicalization_is_narrow(spark, sf):
+    """Canonicalization is regexp/array projection only — zero
+    exchanges; anything else would shuffle the corpus to rewrite
+    strings."""
+    df = _q("url_canonical_documents", spark, sf)
+    assert exchange_count(df) == 0
+
+
+def test_url_dedup_shuffles_canonical_not_text(spark, sf):
+    """The dedup aggregate's shuffle carries (canonical, doc_id) —
+    the text column must be pruned at the scan."""
+    df = _q("url_dedup_documents", spark, sf)
+    (cols,) = read_schemas(df)
+    assert "text" not in cols and "n_chars" not in cols
+
+
+def test_heavy_keys_uses_take_ordered(spark, sf):
+    """Top-N heavy keys must be TakeOrderedAndProject over the
+    aggregated keys, never a global sort of the key table."""
+    from k_means_using_mapreduce_spark.plans.explain import executed_plan
+
+    df = _q("heavy_keys_lineitem", spark, sf)
+    plan = executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_cosine_pairs_no_cartesian(spark, sf):
+    """The all-pairs join must go through the term key (posting
+    self-join) — a cartesian/BNL product would be |docs|^2 at scale."""
+    from k_means_using_mapreduce_spark.plans.explain import executed_plan
+
+    df = _q("cosine_pairs_documents", spark, sf)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_psi_binning_is_literal_comparison(spark, sf):
+    """PSI bin assignment is a literal-comparison projection: the only
+    joins in the plan are the tiny grid/totals broadcasts, never a
+    join against an edges relation per row."""
+    from k_means_using_mapreduce_spark.plans.explain import executed_plan
+
+    df = _q("orders_price_psi", spark, sf)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert sort_merge_join_count(df) == 0
+
+
+def test_transition_edges_single_window_exchange(spark, sf):
+    """Edge extraction: one user-keyed exchange feeds the lag window;
+    the (src,dst) aggregate is map-side combinable on top of it."""
+    df = _q("event_transition_edges", spark, sf)
+    assert exchange_count(df) <= 2  # window shuffle + agg shuffle
+    assert sort_merge_join_count(df) == 0
