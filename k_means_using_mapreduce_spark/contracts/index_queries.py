@@ -163,3 +163,49 @@ ORACLE_SQL: dict[str, str] = {
     "token_search_documents": TOKEN_SEARCH_SQL,
     "tfidf_top_terms_documents": TFIDF_SQL,
 }
+
+
+def rrf_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the BM25 top-10 and the cosine ANN
+    top-10 (documents and embeddings share ids) — the standard hybrid
+    retrieval combiner when the two score scales aren't comparable."""
+    from .similarity_queries import QUERY_VEC, TOPK
+    from ..operators import similarity as S
+    from ..operators.index import bm25_search, rrf_fuse
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lexical = bm25_search(docs, _TERMS, k=10)
+    vector = S.topk_for_query(emb, QUERY_VEC, k=TOPK, metric="cosine").select(
+        F.col("vec_id").alias("doc_id"), "score"
+    )
+    return rrf_fuse([lexical, vector], k0=60, top=10)
+
+
+def _rrf_sql() -> str:
+    from .similarity_queries import ANN_TOPK_SQL
+
+    return f"""
+WITH lex AS ({BM25_SQL.strip().rstrip(';')}),
+ann AS ({ANN_TOPK_SQL}),
+ranked AS (
+  SELECT doc_id AS _id,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS _r
+  FROM lex
+  UNION ALL
+  SELECT vec_id AS _id,
+         row_number() OVER (ORDER BY score DESC, vec_id ASC) AS _r
+  FROM ann
+)
+SELECT _id AS doc_id, sum(1.0 / (60 + _r)) AS rrf_score,
+       CAST(count(*) AS BIGINT) AS n_lists
+FROM ranked GROUP BY 1
+ORDER BY rrf_score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+RRF_SQL = _rrf_sql()
+
+QUERIES["rrf_search_documents"] = rrf_search_documents
+ORACLE_SQL["rrf_search_documents"] = RRF_SQL

@@ -370,3 +370,46 @@ SELECT user_id, event_type, ts_ns, event_id FROM ranked WHERE fib = 1
 
 QUERIES["debounced_user_events"] = debounced_user_events
 ORACLE_SQL["debounced_user_events"] = DEBOUNCE_SQL
+
+
+DECAY_ASOF_US = 1706745600000000  # 2024-02-01 00:00:00 UTC
+DECAY_HALF_LIFE_US = 7 * 24 * 3600 * 1000000  # 7 days
+
+
+def decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially decayed value features as of a fixed
+    snapshot instant (half-life 7 days) — point-in-time correct:
+    events after the snapshot are excluded (operators/timeseries.py::
+    decayed_aggregate)."""
+    from ..operators.timeseries import decayed_aggregate
+
+    return decayed_aggregate(
+        load_table(spark, sf_dir, "events"),
+        ["user_id"],
+        "value",
+        "ts",
+        half_life_us=DECAY_HALF_LIFE_US,
+        asof_us=DECAY_ASOF_US,
+    )
+
+
+DECAYED_USER_VALUE_SQL = f"""
+SELECT user_id,
+       sum(value * pow(0.5,
+           ({DECAY_ASOF_US} - epoch_us(ts)) / {float(DECAY_HALF_LIFE_US)}))
+         AS decayed_sum,
+       sum(pow(0.5,
+           ({DECAY_ASOF_US} - epoch_us(ts)) / {float(DECAY_HALF_LIFE_US)}))
+         AS decayed_n,
+       sum(value * pow(0.5,
+           ({DECAY_ASOF_US} - epoch_us(ts)) / {float(DECAY_HALF_LIFE_US)}))
+         / sum(pow(0.5,
+           ({DECAY_ASOF_US} - epoch_us(ts)) / {float(DECAY_HALF_LIFE_US)}))
+         AS decayed_mean
+FROM events
+WHERE epoch_us(ts) <= {DECAY_ASOF_US}
+GROUP BY 1
+"""
+
+QUERIES["decayed_user_value"] = decayed_user_value
+ORACLE_SQL["decayed_user_value"] = DECAYED_USER_VALUE_SQL

@@ -264,3 +264,51 @@ def bm25_search(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    *,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    k0: int = 60,
+    top: int = 10,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack-Clarke-Buettcher 2009) of
+    already-computed top-k lists: ``rrf = Σ_lists 1/(k0 + rank)``,
+    output ``(id, rrf_score, n_lists)`` — the standard score-free way
+    to combine lexical (BM25) and vector rankings whose raw scores
+    are not commensurable. ``k0=60`` is the paper's constant.
+
+    Inputs are TOP-K LISTS (k rows each), not corpora: ranks come
+    from a single-partition row_number over ``(score desc, id asc)``
+    — ties deterministic — which is exactly right for k≤1000 rows
+    and exactly wrong for anything corpus-sized. Fuse after
+    retrieval, not instead of it.
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    if k0 < 1:
+        raise ValueError(f"k0 must be >= 1, got {k0}")
+    if top < 1:
+        raise ValueError(f"top must be >= 1, got {top}")
+    w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+    ranked = [
+        df.select(
+            F.col(id_col).alias("_id"), F.row_number().over(w).alias("_r")
+        )
+        for df in rankings
+    ]
+    u = ranked[0]
+    for r in ranked[1:]:
+        u = u.unionByName(r)
+    return (
+        u.groupBy("_id")
+        .agg(
+            F.sum(F.lit(1.0) / (F.lit(k0) + F.col("_r"))).alias("rrf_score"),
+            F.count("*").alias("n_lists"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("_id"))
+        .limit(top)
+        .select(F.col("_id").alias(id_col), "rrf_score", "n_lists")
+    )

@@ -291,3 +291,50 @@ def anomaly_flags(
         )
     )
     return out
+
+
+def decayed_aggregate(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    ts_col: str,
+    *,
+    half_life_us: int,
+    asof_us: int,
+) -> DataFrame:
+    """Exponentially time-decayed per-group aggregate — the
+    feature-store "recent behavior outweighs old" statistic:
+
+        decayed_sum = Σ value · 0.5^((asof - ts) / half_life)
+        decayed_n   = Σ 0.5^((asof - ts) / half_life)
+
+    (``decayed_n`` is the decayed row count; their ratio is the
+    decayed mean — returned too). ``asof_us`` is an explicit
+    microsecond timestamp, not now(): determinism doctrine — pass the
+    snapshot time so retries, backfills and the oracle all compute
+    the same feature. Events after ``asof_us`` are EXCLUDED (a
+    feature computed "as of T" must not see the future — the
+    point-in-time-correctness rule that prevents train/serve skew).
+
+    One map-side-combinable aggregate over a narrow projection; the
+    decay weight is a codegen pow(), no window, no join. ``ts_col``
+    is epoch-ns (the events convention); weights use µs so the DuckDB
+    oracle reproduces them exactly.
+    """
+    if half_life_us <= 0:
+        raise ValueError(f"half_life_us must be > 0, got {half_life_us}")
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    ts_us = (F.col(ts_col) / F.lit(1000)).cast("long")
+    age = (F.lit(asof_us) - ts_us).cast("double")
+    w = F.pow(F.lit(0.5), age / F.lit(float(half_life_us)))
+    v = F.col(value_col).cast("double")
+    return (
+        df.where(ts_us <= F.lit(asof_us))
+        .groupBy(*group_cols)
+        .agg(
+            F.sum(v * w).alias("decayed_sum"),
+            F.sum(w).alias("decayed_n"),
+            (F.sum(v * w) / F.sum(w)).alias("decayed_mean"),
+        )
+    )

@@ -157,3 +157,26 @@ def test_bm25_or_semantics_and_validation(spark):
         bm25_search(docs, ["x", "X"])
     with _pytest.raises(ValueError):
         bm25_search(docs, ["x"], k=0)
+
+
+def test_rrf_fuse_closed_form(spark):
+    """Two 3-item lists with one shared id: hand-computed RRF."""
+    from k_means_using_mapreduce_spark.operators.index import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 9.0), (2, 8.0), (3, 7.0)], "doc_id long, score double"
+    )
+    b = spark.createDataFrame(
+        [(3, 0.9), (4, 0.8), (5, 0.7)], "doc_id long, score double"
+    )
+    out = {r["doc_id"]: r for r in rrf_fuse([a, b], k0=60, top=10).collect()}
+    assert out[3]["rrf_score"] == pytest.approx(1 / 63 + 1 / 61)
+    assert out[3]["n_lists"] == 2
+    assert out[1]["rrf_score"] == pytest.approx(1 / 61)
+    # the doubly-ranked doc outranks every single-list doc here
+    ordered = [r["doc_id"] for r in rrf_fuse([a, b], k0=60, top=3).collect()]
+    assert ordered[0] == 3
+    with pytest.raises(ValueError, match="rankings"):
+        rrf_fuse([])
+    with pytest.raises(ValueError, match="k0"):
+        rrf_fuse([a], k0=0)

@@ -155,3 +155,34 @@ def test_anomaly_flags_trailing_window(spark):
         anomaly_flags(df, window=1)
     with _pytest.raises(ValueError):
         anomaly_flags(df, z=0)
+
+
+def test_decayed_aggregate_closed_form(spark):
+    from k_means_using_mapreduce_spark.operators.timeseries import (
+        decayed_aggregate,
+    )
+
+    HL = 1_000_000  # 1 second half-life, in µs
+    asof = 10_000_000  # t=10s
+    rows = [
+        # user 1: value 8 at t=9s (age 1s -> w=0.5), value 4 at t=8s (w=0.25)
+        (1, 9_000_000_000, 8.0),
+        (1, 8_000_000_000, 4.0),
+        # future event must be excluded
+        (1, 11_000_000_000, 100.0),
+        # user 2: exactly at asof -> w=1
+        (2, 10_000_000_000, 6.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long, value double")
+    out = {
+        r["user_id"]: r
+        for r in decayed_aggregate(
+            df, ["user_id"], "value", "ts", half_life_us=HL, asof_us=asof
+        ).collect()
+    }
+    assert out[1]["decayed_sum"] == pytest.approx(8 * 0.5 + 4 * 0.25)
+    assert out[1]["decayed_n"] == pytest.approx(0.75)
+    assert out[1]["decayed_mean"] == pytest.approx(5.0 / 0.75)
+    assert out[2]["decayed_sum"] == pytest.approx(6.0)
+    with pytest.raises(ValueError, match="half_life"):
+        decayed_aggregate(df, ["user_id"], "value", "ts", half_life_us=0, asof_us=asof)
