@@ -284,7 +284,9 @@ def rrf_fuse(
     from a single-partition row_number over ``(score desc, id asc)``
     — ties deterministic — which is exactly right for k≤1000 rows
     and exactly wrong for anything corpus-sized. Fuse after
-    retrieval, not instead of it.
+    retrieval, not instead of it. Each list is assumed to contain an
+    id at most once (true of any top-k output); a repeated id inside
+    ONE list would contribute once per occurrence.
     """
     if not rankings:
         raise ValueError("rankings must be non-empty")

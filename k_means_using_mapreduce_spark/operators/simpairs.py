@@ -99,11 +99,11 @@ def _capped(nw: DataFrame, max_df: int | None) -> DataFrame:
         return nw
     if max_df < 2:
         raise ValueError(f"max_df must be >= 2 (or None), got {max_df}")
+    # no broadcast hint: the surviving-term list is vocabulary-sized
+    # (can be 100M+ terms at corpus scale) — let AQE pick the join
+    # strategy; it will broadcast exactly when the list is small.
     posting = nw.groupBy("term").agg(F.count("*").alias("_pl"))
-    return (
-        nw.join(F.broadcast(posting.where(F.col("_pl") <= max_df)), "term")
-        .drop("_pl")
-    )
+    return nw.join(posting.where(F.col("_pl") <= max_df), "term").drop("_pl")
 
 
 def cosine_pairs(
