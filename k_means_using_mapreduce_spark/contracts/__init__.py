@@ -48,11 +48,13 @@ from . import (
     tpch_queries,
     url_queries,
     window_queries,
+    zorder_queries,
 )
 
 _MODULES = [
     kmeans_queries,
     url_queries,
+    zorder_queries,
     dedup_queries,
     diff_queries,
     entity_queries,
