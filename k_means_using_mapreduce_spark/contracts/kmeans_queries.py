@@ -297,3 +297,74 @@ ORACLE_SQL: dict[str, str] = {
     "kmeans_update_embeddings": UPDATE_EMBEDDINGS_SQL,
     "kmeans_mse_embeddings": MSE_EMBEDDINGS_SQL,
 }
+
+
+def silhouette_embeddings_by_cluster(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-cluster mean SIMPLIFIED silhouette (Hruschka et al. 2004)
+    under the frozen embedding centroids: a = sq-dist to own
+    centroid, b = min sq-dist to any other, s = (b - a)/max(a, b)
+    (0 when both are 0). NOT the MLlib ClusteringEvaluator formula —
+    that one measures mean distance to cluster POINTS (tested
+    separately in operators/evaluation.py::silhouette); the
+    simplified form is the O(N*K) variant used when K is large.
+    Output ``(cid, n, mean_silhouette)`` — bounded rows, no
+    whole-table SUM (module determinism note)."""
+    from ..functions.vectors import sq_dist_to_literal
+
+    feats = _embeddings_features(spark, sf_dir)
+    pairs = F.array(
+        *[
+            F.struct(
+                sq_dist_to_literal(F.col("features"), vec).alias("d"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, vec in EMBEDDING_CENTROIDS
+        ]
+    )
+    sorted_pairs = F.array_sort(pairs)  # by (d, cid) — assign's tie-break
+    a = F.element_at(sorted_pairs, 1)["d"]
+    b = F.element_at(sorted_pairs, 2)["d"]
+    s = F.when(F.greatest(a, b) == 0, F.lit(0.0)).otherwise(
+        (b - a) / F.greatest(a, b)
+    )
+    return (
+        feats.select(
+            F.element_at(sorted_pairs, 1)["cid"].alias("cid"), s.alias("s")
+        )
+        .groupBy("cid")
+        .agg(F.count("*").alias("n"), F.avg("s").alias("mean_silhouette"))
+    )
+
+
+def _silhouette_sql() -> str:
+    arms = " UNION ALL ".join(
+        f"SELECT em.vec_id, {cid} AS cid, "
+        f"{_sq_dist_sql_vec('em.embedding::DOUBLE[]', vec)} AS d "
+        "FROM embeddings em"
+        for cid, vec in EMBEDDING_CENTROIDS
+    )
+    return f"""
+WITH dists AS ({arms}),
+ranked AS (
+  SELECT vec_id, cid, d,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+  FROM dists
+),
+ab AS (
+  SELECT o.vec_id, o.cid, o.d AS a, s.d AS b
+  FROM (SELECT * FROM ranked WHERE rn = 1) o
+  JOIN (SELECT * FROM ranked WHERE rn = 2) s USING (vec_id)
+)
+SELECT cid, CAST(count(*) AS BIGINT) AS n,
+       avg(CASE WHEN greatest(a, b) = 0 THEN 0.0
+                ELSE (b - a) / greatest(a, b) END) AS mean_silhouette
+FROM ab GROUP BY cid
+"""
+
+
+SILHOUETTE_SQL = _silhouette_sql()
+
+QUERIES["silhouette_embeddings_by_cluster"] = silhouette_embeddings_by_cluster
+ORACLE_SQL["silhouette_embeddings_by_cluster"] = SILHOUETTE_SQL

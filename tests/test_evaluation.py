@@ -77,3 +77,39 @@ def test_label_centroid_drift_no_shift(spark):
     for r in label_centroid_drift(df).collect():
         assert r["cos_to_global"] == pytest.approx(1.0)
         assert r["dist_to_global"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_contract_simplified_silhouette_matches_numpy(spark, sf_small):
+    """The expression-only per-cluster SIMPLIFIED silhouette (contract
+    query) must match a driver-side numpy recompute of the same
+    formula point-for-point."""
+    import numpy as np
+
+    from k_means_using_mapreduce_spark.contracts.kmeans_queries import (
+        silhouette_embeddings_by_cluster,
+        _embeddings_features,
+    )
+    from k_means_using_mapreduce_spark.contract_constants import (
+        EMBEDDING_CENTROIDS,
+    )
+
+    per = {
+        r["cid"]: r
+        for r in silhouette_embeddings_by_cluster(spark, sf_small).collect()
+    }
+    feats = _embeddings_features(spark, sf_small).collect()
+    cents = {cid: np.array(v) for cid, v in EMBEDDING_CENTROIDS}
+    agg: dict[int, list[float]] = {}
+    for r in feats:
+        x = np.array(r["features"])
+        d = {cid: float(((x - c) ** 2).sum()) for cid, c in cents.items()}
+        cid = min(d, key=lambda k: (d[k], k))
+        a = d[cid]
+        b = min(v for k, v in d.items() if k != cid)
+        s = 0.0 if max(a, b) == 0 else (b - a) / max(a, b)
+        agg.setdefault(cid, []).append(s)
+    for cid, ss in agg.items():
+        assert per[cid]["n"] == len(ss)
+        assert per[cid]["mean_silhouette"] == pytest.approx(
+            sum(ss) / len(ss), rel=1e-9
+        )
