@@ -16,6 +16,7 @@ from . import (
     cleaning_queries,
     dedup_queries,
     diff_queries,
+    encode_queries,
     entity_queries,
     freq_queries,
     graph_queries,
@@ -57,6 +58,7 @@ _MODULES = [
     zorder_queries,
     dedup_queries,
     diff_queries,
+    encode_queries,
     entity_queries,
     line_queries,
     index_queries,

@@ -1,0 +1,110 @@
+"""Feature-encoding contracts (operators/encode.py): smoothed target
+encoding (fit table + leakage-aware leave-one-out application) and
+categorical mutual information."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.loaders import load_table
+
+ALPHA = 10.0
+
+
+def target_encoding_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit table: smoothed mean account balance per market segment."""
+    from ..operators.encode import target_encode
+
+    return target_encode(
+        load_table(spark, sf_dir, "customer"),
+        "c_mktsegment",
+        "c_acctbal",
+        alpha=ALPHA,
+    )
+
+
+TARGET_ENCODING_SQL = f"""
+WITH p AS (
+  SELECT avg(CAST(c_acctbal AS DOUBLE)) AS prior FROM customer
+  WHERE c_acctbal IS NOT NULL
+)
+SELECT c_mktsegment AS category, CAST(count(*) AS BIGINT) AS n,
+       (sum(CAST(c_acctbal AS DOUBLE)) + {ALPHA} * prior)
+         / (count(*) + {ALPHA}) AS encoding
+FROM customer CROSS JOIN p
+WHERE c_acctbal IS NOT NULL
+GROUP BY c_mktsegment, prior
+"""
+
+
+def loo_encoding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out smoothed value-encoding of event types, applied
+    to the very rows the statistic comes from — each row's own label
+    subtracted (the target-leakage defense)."""
+    from ..operators.encode import target_encode_loo
+
+    out = target_encode_loo(
+        load_table(spark, sf_dir, "events"), "event_type", "value", alpha=ALPHA
+    )
+    return out.select("event_id", "event_type", "value", "loo_encoding")
+
+
+LOO_ENCODING_SQL = f"""
+WITH s AS (
+  SELECT event_type AS cat, sum(CAST(value AS DOUBLE)) AS sv,
+         CAST(count(*) AS BIGINT) AS nv
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+), p AS (
+  SELECT avg(CAST(value AS DOUBLE)) AS prior FROM events
+)
+SELECT event_id, event_type, value,
+       (coalesce(sv, 0) - CASE WHEN value IS NOT NULL THEN CAST(value AS DOUBLE)
+                               ELSE 0 END
+          + {ALPHA} * prior)
+       / (coalesce(nv, 0) - CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END
+          + {ALPHA}) AS loo_encoding
+FROM events LEFT JOIN s ON events.event_type = s.cat CROSS JOIN p
+"""
+
+
+def lang_source_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between document language and source — does
+    provenance already determine language? (0 = independent)."""
+    from ..operators.encode import mutual_information
+
+    return mutual_information(load_table(spark, sf_dir, "documents"), "lang", "source")
+
+
+LANG_SOURCE_MI_SQL = """
+WITH joint AS (
+  SELECT lang AS x, source AS y, CAST(count(*) AS BIGINT) AS nxy
+  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+  GROUP BY 1, 2
+), mx AS (
+  SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM joint GROUP BY 1
+), my AS (
+  SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM joint GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(nxy) AS BIGINT) AS n FROM joint
+)
+SELECT sum((CAST(nxy AS DOUBLE) / n)
+           * ln((CAST(nxy AS DOUBLE) * n) / (CAST(nx AS DOUBLE) * ny))) AS mi,
+       any_value(n) AS n
+FROM joint JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "target_encoding_mktsegment": target_encoding_mktsegment,
+    "loo_encoding_events": loo_encoding_events,
+    "lang_source_mi": lang_source_mi,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "target_encoding_mktsegment": TARGET_ENCODING_SQL,
+    "loo_encoding_events": LOO_ENCODING_SQL,
+    "lang_source_mi": LANG_SOURCE_MI_SQL,
+}

@@ -1,0 +1,147 @@
+"""Feature encoding for training pipelines: smoothed target encoding
+and categorical association (mutual information).
+
+Target encoding replaces a categorical value with the (smoothed) mean
+of the label among rows sharing it — the classic high-cardinality
+categorical feature. Two leakage regimes:
+
+- :func:`target_encode` — fit-time table ``(category, encoding)``,
+  applied to a DIFFERENT split than it was fit on (the caller's
+  responsibility, like any fitted transformer).
+- :func:`target_encode_loo` — leave-one-out per-row encoding for
+  encoding the SAME rows the statistic is computed from: each row's
+  own label is subtracted before smoothing, the standard defense
+  against target leakage (a category of size 1 falls back to the
+  prior entirely).
+
+Smoothing is the Bayesian/empirical-prior form
+``(sum + alpha·prior) / (n + alpha)``: rare categories shrink toward
+the global mean instead of memorizing noise.
+
+:func:`mutual_information` scores association between two categorical
+columns from their joint histogram — the drift/redundancy check
+("does `source` already determine `lang`?") next to lm.source_divergence
+(distributional drift) and cleaning.psi_drift (numeric shape drift).
+
+Scale shapes: target encodings are one groupBy over (category) —
+map-side combinable, |categories| result rows, broadcast back for
+application. LOO adds no second shuffle: the per-category sums join
+back and each row subtracts itself arithmetically. MI aggregates the
+joint histogram (|X|·|Y| rows) and derives the margins from it —
+raw data is scanned once.
+
+The reference has no feature-engineering surface (SURVEY.md §2);
+extension charter as functions/text.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    *,
+    alpha: float = 10.0,
+) -> DataFrame:
+    """Fit a smoothed target-encoding table: ``(category, n,
+    encoding)`` with ``encoding = (sum + alpha·prior)/(n + alpha)``,
+    prior = global target mean. Rows with NULL target are excluded
+    from the statistic. Apply by broadcast-joining on the category
+    (to a split the table was NOT fit on)."""
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    t = F.col(target_col).cast("double")
+    work = df.where(t.isNotNull()).select(
+        F.col(cat_col).alias("category"), t.alias("_t")
+    )
+    prior = work.agg(F.avg("_t")).first()[0]
+    if prior is None:
+        raise ValueError(f"no non-null {target_col} values to encode from")
+    return work.groupBy("category").agg(
+        F.count("*").alias("n"),
+        (
+            (F.sum("_t") + F.lit(alpha * prior))
+            / (F.count("*") + F.lit(alpha))
+        ).alias("encoding"),
+    )
+
+
+def target_encode_loo(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    *,
+    alpha: float = 10.0,
+) -> DataFrame:
+    """Leave-one-out smoothed target encoding of the INPUT rows:
+    every input row, plus ``loo_encoding`` computed from the other
+    rows of its category — ``(sum - t_i + alpha·prior)/(n - 1 +
+    alpha)``. NULL-target rows pass through encoded from the full
+    category statistic (they contributed nothing to subtract)."""
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    t = F.col(target_col).cast("double")
+    prior_row = df.agg(F.avg(t)).first()[0]
+    if prior_row is None:
+        raise ValueError(f"no non-null {target_col} values to encode from")
+    prior = float(prior_row)
+    stats = (
+        df.where(t.isNotNull())
+        .groupBy(F.col(cat_col).alias("_cat"))
+        .agg(F.sum(t).alias("_sum"), F.count("*").alias("_n"))
+    )
+    joined = df.join(
+        F.broadcast(stats), df[cat_col] == stats["_cat"], "left"
+    ).drop("_cat")
+    s = F.coalesce(F.col("_sum"), F.lit(0.0))
+    n = F.coalesce(F.col("_n"), F.lit(0))
+    own = F.when(t.isNotNull(), t).otherwise(F.lit(0.0))
+    own_n = F.when(t.isNotNull(), F.lit(1)).otherwise(F.lit(0))
+    # nullif: a singleton category at alpha=0 has no other rows to
+    # learn from — the encoding is undefined, so NULL (ANSI mode would
+    # otherwise raise DIVIDE_BY_ZERO)
+    denom = F.nullif(
+        (n - own_n + F.lit(alpha)).cast("double"), F.lit(0.0)
+    )
+    loo = (s - own + F.lit(alpha * prior)) / denom
+    return joined.withColumn("loo_encoding", loo).drop("_sum", "_n")
+
+
+def mutual_information(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Mutual information (nats) between two categorical columns from
+    their joint histogram: one row ``(mi, n)`` with
+    ``mi = Σ_xy p(xy)·ln(p(xy)/(p(x)p(y)))`` over non-NULL pairs.
+    0 ⇔ independent; min(H(X), H(Y)) when one determines the other.
+    The margins derive from the joint (single scan); every term is
+    positive-count so no log guards are needed."""
+    joint = (
+        df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+        .agg(F.count("*").alias("nxy"))
+    )
+    mx = joint.groupBy("x").agg(F.sum("nxy").alias("nx"))
+    my = joint.groupBy("y").agg(F.sum("nxy").alias("ny"))
+    tot = joint.agg(F.sum("nxy").alias("n"))
+    return (
+        joint.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                (F.col("nxy") / F.col("n"))
+                * F.log(
+                    (F.col("nxy").cast("double") * F.col("n"))
+                    / (F.col("nx").cast("double") * F.col("ny"))
+                )
+            ).alias("mi"),
+            F.first("n").alias("n"),
+        )
+    )
