@@ -492,3 +492,35 @@ FROM j CROSS JOIN t
 
 QUERIES["orders_price_psi"] = orders_price_psi
 ORACLE_SQL["orders_price_psi"] = ORDERS_PRICE_PSI_SQL
+
+
+def k_anonymity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of events under the quasi-identifier pair
+    (event_type, value bucketed to hundreds) — how many equivalence
+    classes are small enough to re-identify (operators/cleaning.py::
+    k_anonymity_report)."""
+    from ..operators.cleaning import k_anonymity_report
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.col("value") / 100).alias("value_bucket")
+    )
+    return k_anonymity_report(events, ["event_type", "value_bucket"], k=10)
+
+
+K_ANONYMITY_SQL = """
+WITH g AS (
+  SELECT event_type, floor(value / 100) AS value_bucket,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT 10 AS k, CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT)
+         AS violating_groups,
+       CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT)
+         AS violating_rows,
+       coalesce(max(CASE WHEN n < 10 THEN n END), 0) AS max_violating_n
+FROM g
+"""
+
+QUERIES["k_anonymity_events"] = k_anonymity_events
+ORACLE_SQL["k_anonymity_events"] = K_ANONYMITY_SQL

@@ -95,3 +95,31 @@ ORACLE_SQL: dict[str, str] = {
     "event_transition_edges": TRANSITION_EDGES_SQL,
     "event_pagerank": PAGERANK_SQL,
 }
+
+
+def frequent_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most frequent 3-step event-type paths — k-step
+    sequential patterns over the same per-user ordering as the
+    transition graph."""
+    from ..operators.graph import event_paths
+
+    return event_paths(load_table(spark, sf_dir, "events"), steps=3, top=20)
+
+
+FREQUENT_PATHS_SQL = """
+WITH seq AS (
+  SELECT lag(event_type, 2) OVER w AS step_1,
+         lag(event_type, 1) OVER w AS step_2,
+         event_type AS step_3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+)
+SELECT step_1, step_2, step_3, CAST(count(*) AS BIGINT) AS n
+FROM seq WHERE step_1 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n DESC, step_1 ASC, step_2 ASC, step_3 ASC
+LIMIT 20
+"""
+
+QUERIES["frequent_event_paths"] = frequent_event_paths
+ORACLE_SQL["frequent_event_paths"] = FREQUENT_PATHS_SQL

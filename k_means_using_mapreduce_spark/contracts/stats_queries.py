@@ -71,3 +71,29 @@ ORACLE_SQL: dict[str, str] = {
     "segment_balance_percentiles": SEGMENT_PERCENTILES_SQL,
     "event_type_stats": EVENT_TYPE_STATS_SQL,
 }
+
+
+def lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlations between lineitem measures (one pass,
+    three corr aggregates) — the feature-redundancy screen
+    (extendedprice tracks quantity by construction; discount should
+    track neither)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.corr("l_extendedprice", "l_quantity").alias("corr_price_qty"),
+        F.corr("l_extendedprice", "l_discount").alias("corr_price_disc"),
+        F.corr("l_quantity", "l_discount").alias("corr_qty_disc"),
+        F.count("*").alias("n"),
+    )
+
+
+LINEITEM_CORRELATIONS_SQL = """
+SELECT corr(l_extendedprice, l_quantity) AS corr_price_qty,
+       corr(l_extendedprice, l_discount) AS corr_price_disc,
+       corr(l_quantity, l_discount) AS corr_qty_disc,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+"""
+
+QUERIES["lineitem_correlations"] = lineitem_correlations
+ORACLE_SQL["lineitem_correlations"] = LINEITEM_CORRELATIONS_SQL

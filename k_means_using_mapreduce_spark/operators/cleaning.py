@@ -751,3 +751,37 @@ def psi_drift(
         p_new.alias("p_new"),
         ((p_new - p_old) * F.log(p_new / p_old)).alias("psi_term"),
     )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination: one row
+    ``(k, n_groups, violating_groups, violating_rows, max_violating_n)``
+    counting equivalence classes smaller than ``k`` — rows in those
+    classes are re-identifiable by the quasi-identifiers alone
+    (Sweeney 2002). The privacy-release twin of pii_scan: PII columns
+    you redact, quasi-identifiers you aggregate or generalize until
+    this report shows zero violations.
+
+    One group-by over the quasi columns, then a |groups|-row
+    aggregate; NULLs form their own class (they are still a
+    distinguishable signature)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    groups = df.groupBy(*quasi_cols).agg(F.count("*").alias("_n"))
+    viol = F.col("_n") < k
+    return groups.agg(
+        F.lit(k).alias("k"),
+        F.count("*").alias("n_groups"),
+        F.sum(viol.cast("long")).alias("violating_groups"),
+        F.sum(F.when(viol, F.col("_n")).otherwise(0)).alias("violating_rows"),
+        F.coalesce(
+            F.max(F.when(viol, F.col("_n"))), F.lit(0)
+        ).alias("max_violating_n"),
+    )

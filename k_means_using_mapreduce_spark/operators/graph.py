@@ -156,3 +156,41 @@ def pagerank(
         else:
             ranks = new_ranks
     return ranks
+
+
+def event_paths(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    steps: int = 3,
+    top: int = 20,
+) -> DataFrame:
+    """Frequent ``steps``-long event-type paths across user streams:
+    ``(step_1..step_N, n)``, the ``top`` most common, count-desc with
+    path-asc tie-break — lightweight sequential-pattern mining (the
+    k-step generalization of :func:`transition_edges`). Same single
+    user-keyed window shuffle; ``steps - 1`` lags share the one
+    exchange; the path aggregate is map-side combinable over at most
+    |types|^steps keys."""
+    if steps < 2:
+        raise ValueError(f"steps must be >= 2, got {steps}")
+    if top < 1:
+        raise ValueError(f"top must be >= 1, got {top}")
+    w = Window.partitionBy(user_col).orderBy(
+        (F.col(ts_col) / F.lit(1000)).cast("long"), F.col(id_col)
+    )
+    cols = [
+        F.lag(F.col(type_col), steps - 1 - i).over(w).alias(f"step_{i + 1}")
+        for i in range(steps)
+    ]
+    path = events.select(*cols).where(F.col("step_1").isNotNull())
+    names = [f"step_{i + 1}" for i in range(steps)]
+    return (
+        path.groupBy(*names)
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), *[F.asc(c) for c in names])
+        .limit(top)
+    )

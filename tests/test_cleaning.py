@@ -561,3 +561,22 @@ def test_psi_drift_behavior(spark):
     empty = base.where(SF.lit(False))
     with _pt.raises(ValueError, match="no non-null"):
         psi_drift(empty, base, "v")
+
+
+def test_k_anonymity_report_closed_form(spark):
+    from k_means_using_mapreduce_spark.operators.cleaning import (
+        k_anonymity_report,
+    )
+    import pytest as _pt
+
+    rows = [("a", 1)] * 12 + [("a", 2)] * 3 + [("b", None)] * 2
+    df = spark.createDataFrame(rows, "t string, b int")
+    r = k_anonymity_report(df, ["t", "b"], k=10).first()
+    assert r["n_groups"] == 3
+    assert r["violating_groups"] == 2  # (a,2)=3 and (b,NULL)=2
+    assert r["violating_rows"] == 5
+    assert r["max_violating_n"] == 3
+    clean = k_anonymity_report(df.where("t = 'a' and b = 1"), ["t"], k=10).first()
+    assert clean["violating_groups"] == 0 and clean["max_violating_n"] == 0
+    with _pt.raises(ValueError, match="k must"):
+        k_anonymity_report(df, ["t"], k=1)

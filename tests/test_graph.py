@@ -83,3 +83,32 @@ def test_validation(spark):
     empty = e.where(F.lit(False))
     with pytest.raises(ValueError, match="empty"):
         pagerank(empty)
+
+
+def test_event_paths_closed_form(spark):
+    from k_means_using_mapreduce_spark.operators.graph import event_paths
+
+    rows = [
+        (1, 1, 1_000_000_000, "a"),
+        (2, 1, 2_000_000_000, "b"),
+        (3, 1, 3_000_000_000, "c"),
+        (4, 1, 4_000_000_000, "a"),
+        (5, 2, 1_000_000_000, "a"),
+        (6, 2, 2_000_000_000, "b"),
+        (7, 2, 3_000_000_000, "c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string"
+    )
+    got = {
+        (r["step_1"], r["step_2"], r["step_3"]): r["n"]
+        for r in event_paths(df, steps=3, top=10).collect()
+    }
+    assert got == {("a", "b", "c"): 2, ("b", "c", "a"): 1}
+    two = {
+        (r["step_1"], r["step_2"]): r["n"]
+        for r in event_paths(df, steps=2, top=10).collect()
+    }
+    assert two == {("a", "b"): 2, ("b", "c"): 2, ("c", "a"): 1}
+    with pytest.raises(ValueError, match="steps"):
+        event_paths(df, steps=1)
