@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import (
+    card_queries,
     cleaning_queries,
     dedup_queries,
     diff_queries,
@@ -54,6 +55,7 @@ from . import (
 
 _MODULES = [
     kmeans_queries,
+    card_queries,
     url_queries,
     zorder_queries,
     dedup_queries,
