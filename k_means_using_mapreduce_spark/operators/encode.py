@@ -99,8 +99,13 @@ def target_encode_loo(
     ).drop("_cat")
     s = F.coalesce(F.col("_sum"), F.lit(0.0))
     n = F.coalesce(F.col("_n"), F.lit(0))
-    own = F.when(t.isNotNull(), t).otherwise(F.lit(0.0))
-    own_n = F.when(t.isNotNull(), F.lit(1)).otherwise(F.lit(0))
+    # subtract the own label only when the row actually contributed to
+    # the joined statistic: a NULL-category row never matches the join
+    # (NULL != NULL), so subtracting from the empty stat would produce
+    # a negative count — those rows encode to the prior instead
+    matched = F.col("_n").isNotNull()
+    own = F.when(matched & t.isNotNull(), t).otherwise(F.lit(0.0))
+    own_n = F.when(matched & t.isNotNull(), F.lit(1)).otherwise(F.lit(0))
     # nullif: a singleton category at alpha=0 has no other rows to
     # learn from — the encoding is undefined, so NULL (ANSI mode would
     # otherwise raise DIVIDE_BY_ZERO)

@@ -59,12 +59,17 @@ class DecayedFeatureSink(ParquetUpsertSink):
             F.max((F.col(self.ts_col) / F.lit(1000)).cast("long"))
         ).first()[0]
         if batch_max is None:  # empty batch: state unchanged
-            return prev if prev is not None else batch_df.sparkSession.createDataFrame(
-                [],
-                ", ".join(
-                    [f"{c} string" for c in self.group_cols]
-                    + ["decayed_sum double", "decayed_n double", "asof_us long"]
-                ),
+            if prev is not None:
+                return prev
+            # empty FIRST batch: 0-row state with the group columns'
+            # REAL types (a string-typed placeholder would poison the
+            # snapshot schema for every later unionByName)
+            return (
+                batch_df.select(*self.group_cols)
+                .limit(0)
+                .withColumn("decayed_sum", F.lit(0.0))
+                .withColumn("decayed_n", F.lit(0.0))
+                .withColumn("asof_us", F.lit(0).cast("long"))
             )
         prev_asof = None
         if prev is not None:

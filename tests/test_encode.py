@@ -69,3 +69,16 @@ def test_mutual_information_edges(spark):
     assert mutual_information(det, "x", "y").first()["mi"] == pytest.approx(
         math.log(2), rel=1e-12
     )
+
+
+def test_loo_null_category_encodes_to_prior(spark):
+    """NULL-category rows never match the stats join; they must encode
+    to the smoothed prior, never subtract from an empty statistic."""
+    rows = [(1, "a", 2.0), (2, "a", 4.0), (3, None, 9.0)]
+    df = spark.createDataFrame(rows, "id long, cat string, t double")
+    prior = (2 + 4 + 9) / 3
+    out = {
+        r["id"]: r["loo_encoding"]
+        for r in target_encode_loo(df, "cat", "t", alpha=3.0).collect()
+    }
+    assert out[3] == pytest.approx(prior)  # (0 + 3*prior) / (0 + 3)

@@ -98,3 +98,15 @@ def test_validation(spark, tmp_path):
         DecayedFeatureSink(
             spark, str(tmp_path / "y"), ["u"], "v", "ts", half_life_us=0
         )
+
+
+def test_empty_first_batch_keeps_real_group_types(spark, tmp_path):
+    """An empty FIRST batch must seed a 0-row state with the group
+    columns' real types so later batches union cleanly."""
+    sink = DecayedFeatureSink(
+        spark, str(tmp_path / "s"), ["user_id"], "value", "ts", half_life_us=HL
+    )
+    sink(_rows(spark, []), 0)
+    sink(_rows(spark, [(7, 1_000_000_000, 2.5)]), 1)
+    got = _feats(sink)
+    assert got[7][0] == pytest.approx(2.5)
