@@ -163,6 +163,26 @@ BENCH_QUERIES = [
     "event_pagerank",
     "heavy_keys_lineitem",
     "key_skew_report_lineitem",
+    # round-4 additions: drift monitors, retrieval fusion, feature
+    # encoding, layout/eval laws, privacy and sequence mining. The
+    # sparse cosine pair contracts are deliberately absent: the
+    # synthetic corpus is their documented degenerate dense-vocab
+    # regime (see operators/simpairs.py).
+    "orders_value_drift",
+    "orders_price_psi",
+    "join_size_estimate_orders_lineitem",
+    "rrf_search_documents",
+    "decayed_user_value",
+    "zorder_key_lineitem",
+    "silhouette_embeddings_by_cluster",
+    "source_coherent_split_summary",
+    "dataset_card_documents",
+    "lineitem_correlations",
+    "k_anonymity_events",
+    "frequent_event_paths",
+    "target_encoding_mktsegment",
+    "loo_encoding_events",
+    "lang_source_mi",
 ]
 
 KMEANS_FIT_K = 8
