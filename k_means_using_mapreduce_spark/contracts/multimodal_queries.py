@@ -75,3 +75,54 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLE_SQL: dict[str, str] = {
     "media_binary_stats": MEDIA_BINARY_STATS_SQL,
 }
+
+
+def media_entropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source byte-entropy profile through the REAL byte_stats
+    kernel (operators/multimodal.py — entropy/zlib/sniffing, not the
+    codec stubs): payloads are the documents' utf-8 bytes, and since
+    the corpus is pure ASCII the oracle reproduces byte entropy from
+    CHARACTER frequencies — an end-to-end value check of a
+    mapInPandas kernel the oracle cannot express directly for true
+    binary data. zlib_ratio/sniffed_format stay test-pinned (no SQL
+    twin exists for zlib)."""
+    from ..operators.multimodal import byte_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.col("source").alias("media_type"),  # reuse the slot as the group
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    stats = byte_stats(media)
+    return stats.groupBy(F.col("media_type").alias("source")).agg(
+        F.count("*").alias("n_assets"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.avg("entropy_bits").alias("avg_entropy_bits"),
+    )
+
+
+MEDIA_ENTROPY_SQL = """
+WITH chars AS (
+  SELECT doc_id, source, unnest(string_split(text, '')) AS ch
+  FROM documents
+), freq AS (
+  SELECT doc_id, source, ch, CAST(count(*) AS DOUBLE) AS c
+  FROM chars GROUP BY 1, 2, 3
+), tot AS (
+  SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n FROM freq GROUP BY 1
+), ent AS (
+  SELECT f.doc_id, f.source,
+         -sum((c / n) * log2(c / n)) AS entropy_bits,
+         any_value(n) AS n_bytes
+  FROM freq f JOIN tot USING (doc_id)
+  GROUP BY 1, 2
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_assets,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       avg(entropy_bits) AS avg_entropy_bits
+FROM ent GROUP BY source
+"""
+
+QUERIES["media_entropy_stats"] = media_entropy_stats
+ORACLE_SQL["media_entropy_stats"] = MEDIA_ENTROPY_SQL

@@ -58,3 +58,35 @@ def test_stubs_fail_at_execution_not_plan_time(media):
     assert plan.schema == M.MEDIA_SCHEMA
     with pytest.raises(Exception, match="NotImplementedError|image codec|resize"):
         plan.collect()
+
+
+def test_byte_stats_closed_form(spark):
+    """Known payloads: constant bytes -> entropy 0 + tiny zlib ratio;
+    a PNG magic prefix sniffs as png; NULL/empty handled."""
+    import math
+    import zlib
+
+    from k_means_using_mapreduce_spark.operators.multimodal import byte_stats
+
+    const = b"a" * 4096
+    png = b"\x89PNG\r\n\x1a\n" + bytes(range(256)) * 8
+    rows = [
+        (1, "image", bytearray(const)),
+        (2, "image", bytearray(png)),
+        (3, "audio", None),
+        (4, "audio", bytearray(b"")),
+    ]
+    df = spark.createDataFrame(
+        rows, "asset_id long, media_type string, payload binary"
+    )
+    got = {r["asset_id"]: r for r in byte_stats(df).collect()}
+    assert got[1]["entropy_bits"] == pytest.approx(0.0, abs=1e-12)
+    assert got[1]["zlib_ratio"] == pytest.approx(
+        len(zlib.compress(const, 6)) / len(const)
+    )
+    assert got[1]["zlib_ratio"] < 0.05  # constant bytes compress away
+    assert got[2]["sniffed_format"] == "png"
+    # 256 equally-likely byte values in the body dominate -> near 8 bits
+    assert got[2]["entropy_bits"] > 7.9
+    assert got[3]["n_bytes"] is None and got[3]["sniffed_format"] is None
+    assert got[4]["n_bytes"] == 0 and got[4]["entropy_bits"] == 0.0
