@@ -130,3 +130,47 @@ QUERIES["heavy_keys_lineitem"] = heavy_keys_lineitem
 QUERIES["key_skew_report_lineitem"] = key_skew_report_lineitem
 ORACLE_SQL["heavy_keys_lineitem"] = HEAVY_KEYS_SQL
 ORACLE_SQL["key_skew_report_lineitem"] = SKEW_REPORT_SQL
+
+
+def join_advice_lineitem_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured join-strategy recommendation for lineitem ⋈ part on
+    partkey with a deliberately tiny broadcast limit, so the decision
+    exercised is the skew branch, not the trivial broadcast one."""
+    from ..operators.skew import join_plan_advice
+
+    return join_plan_advice(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+        "l_partkey",
+        "p_partkey",
+        broadcast_row_limit=100,
+        skew_threshold=2.0,
+    )
+
+
+JOIN_ADVICE_SQL = """
+WITH c AS (
+  SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS fact_keys,
+         CAST(sum(n) AS BIGINT) AS fact_rows,
+         max(n) AS max_key_n,
+         quantile_cont(n, 0.5) AS p50_key_n
+  FROM c
+), d AS (
+  SELECT CAST(count(*) AS BIGINT) AS dim_rows FROM part
+)
+SELECT fact_rows, dim_rows, fact_keys, max_key_n, p50_key_n,
+       max_key_n / p50_key_n AS skew_factor,
+       CASE WHEN dim_rows <= 100 THEN 'broadcast'
+            WHEN max_key_n / p50_key_n > 2.0 THEN 'salted_shuffle'
+            ELSE 'shuffle' END AS strategy,
+       CASE WHEN dim_rows > 100 AND max_key_n / p50_key_n > 2.0
+            THEN least(64, CAST(ceil(max_key_n / p50_key_n) AS BIGINT))
+            ELSE 0 END AS salt_buckets
+FROM s CROSS JOIN d
+"""
+
+QUERIES["join_advice_lineitem_part"] = join_advice_lineitem_part
+ORACLE_SQL["join_advice_lineitem_part"] = JOIN_ADVICE_SQL

@@ -164,3 +164,79 @@ def skew_report(
             F.ceil(F.max("n") / F.expr("percentile(n, 0.5)")),
         ).alias("recommended_buckets"),
     )
+
+
+def join_plan_advice(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    *,
+    broadcast_row_limit: int = 1_000_000,
+    skew_threshold: float = 8.0,
+) -> DataFrame:
+    """One-row join-strategy recommendation from measured statistics —
+    the decision the diagnostics exist to feed:
+
+    ``(fact_rows, dim_rows, fact_keys, max_key_n, p50_key_n,
+    skew_factor, strategy, salt_buckets)``
+
+    - ``dim_rows <= broadcast_row_limit`` → ``'broadcast'`` (skew on
+      the fact side is irrelevant when nothing shuffles by key).
+    - otherwise skewed fact key (``max/p50 > skew_threshold``) →
+      ``'salted_shuffle'`` with ``salt_buckets = ceil(skew_factor)``
+      capped at 64 (:func:`salted_aggregate`'s knob).
+    - otherwise → ``'shuffle'`` (plain sort-merge/hash is fine).
+
+    ``salt_buckets`` is 0 whenever salting is not the recommendation
+    (kept non-nullable: a NULL numeric round-trips as NaN through
+    pandas and breaks value comparison against engines that keep the
+    NULL).
+
+    Row counts here are EXACT (two count jobs + the per-key
+    aggregate); swap in sketch estimates
+    (operators/freq.py::estimate_join_size and HLL key counts) when
+    even counting is too expensive — thresholds stay the same. The
+    row-limit default is a stand-in for the real driver: compare
+    against ``spark.sql.autoBroadcastJoinThreshold`` in BYTES on your
+    actual row width.
+    """
+    if broadcast_row_limit < 1:
+        raise ValueError(
+            f"broadcast_row_limit must be >= 1, got {broadcast_row_limit}"
+        )
+    if skew_threshold <= 1.0:
+        raise ValueError(
+            f"skew_threshold must be > 1, got {skew_threshold}"
+        )
+    counts = fact.groupBy(F.col(fact_key).alias("_k")).agg(
+        F.count("*").alias("_n")
+    )
+    stats = counts.agg(
+        F.count("*").alias("fact_keys"),
+        F.sum("_n").alias("fact_rows"),
+        F.max("_n").alias("max_key_n"),
+        F.expr("percentile(_n, 0.5)").alias("p50_key_n"),
+    )
+    dim_n = dim.select(F.col(dim_key)).agg(F.count("*").alias("dim_rows"))
+    joined = stats.crossJoin(F.broadcast(dim_n))
+    skew_factor = F.col("max_key_n") / F.col("p50_key_n")
+    strategy = (
+        F.when(F.col("dim_rows") <= broadcast_row_limit, F.lit("broadcast"))
+        .when(skew_factor > skew_threshold, F.lit("salted_shuffle"))
+        .otherwise(F.lit("shuffle"))
+    )
+    salt = F.when(
+        strategy == "salted_shuffle",
+        F.least(F.lit(64), F.ceil(skew_factor)),
+    ).otherwise(F.lit(0).cast("bigint"))
+    return joined.select(
+        "fact_rows",
+        "dim_rows",
+        "fact_keys",
+        "max_key_n",
+        "p50_key_n",
+        skew_factor.alias("skew_factor"),
+        strategy.alias("strategy"),
+        salt.alias("salt_buckets"),
+    )

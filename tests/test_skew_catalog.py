@@ -97,3 +97,31 @@ def test_heavy_keys_and_report_consistency(spark):
         skew_report(df, [])
     with pytest.raises(ValueError, match="top"):
         heavy_keys(df, ["k"], top=0)
+
+
+def test_join_plan_advice_branches(spark):
+    from k_means_using_mapreduce_spark.operators.skew import join_plan_advice
+
+    fact = spark.createDataFrame(
+        [("hot",)] * 40 + [(f"k{i}",) for i in range(10)], "k string"
+    )
+    small_dim = spark.createDataFrame([(x,) for x in ["hot", "k1"]], "k string")
+    big_dim = spark.createDataFrame([(f"d{i}",) for i in range(50)], "k string")
+
+    r = join_plan_advice(fact, small_dim, "k", "k", broadcast_row_limit=10).first()
+    assert r["strategy"] == "broadcast" and r["salt_buckets"] == 0
+
+    r = join_plan_advice(
+        fact, big_dim, "k", "k", broadcast_row_limit=10, skew_threshold=8.0
+    ).first()
+    assert r["strategy"] == "salted_shuffle"
+    assert r["salt_buckets"] == 40  # ceil(40 / p50(=1))
+
+    uniform = spark.createDataFrame([(f"u{i}",) for i in range(30)] * 2, "k string")
+    r = join_plan_advice(
+        uniform, big_dim, "k", "k", broadcast_row_limit=10
+    ).first()
+    assert r["strategy"] == "shuffle" and r["salt_buckets"] == 0
+
+    with pytest.raises(ValueError, match="skew_threshold"):
+        join_plan_advice(fact, big_dim, "k", "k", skew_threshold=1.0)
