@@ -73,30 +73,10 @@ def transition_edges(
     )
 
 
-def pagerank(
-    edges: DataFrame,
-    *,
-    src_col: str = "src",
-    dst_col: str = "dst",
-    weight_col: str | None = None,
-    damping: float = 0.85,
-    max_iter: int = 10,
-    tol: float = 0.0,
-) -> DataFrame:
-    """Damped PageRank over a weighted directed edge relation →
-    ``(node, rank)`` with Σrank = 1. ``tol`` > 0 stops early when no
-    rank moves more than tol between iterations (L∞); ``tol=0`` runs
-    exactly ``max_iter`` iterations — the contract-query mode, where
-    the oracle unrolls the same fixed count."""
-    if not 0.0 < damping < 1.0:
-        raise ValueError(f"damping must be in (0, 1), got {damping}")
-    if max_iter < 1:
-        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
-    w = (
-        F.col(weight_col).cast("double")
-        if weight_col
-        else F.lit(1.0)
-    )
+def _pagerank_setup(edges, src_col, dst_col, weight_col):
+    """Shared preprocessing: checkpointed node set and
+    transition-probability-normalized edges."""
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
     )
@@ -117,32 +97,61 @@ def pagerank(
         .select("src", "dst", (F.col("w") / F.col("outw")).alias("p"))
         .localCheckpoint(eager=True)
     )
-    has_out = norm.select("src").distinct()
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    return nodes, n, norm, norm.select("src").distinct()
+
+
+def _pagerank_step(nodes, n, norm, has_out, ranks, damping):
+    """One damped iteration: ranks -> new ranks (checkpointed)."""
     base = (1.0 - damping) / n
+    dangling = (
+        ranks.join(has_out, ranks.node == has_out.src, "left_anti")
+        .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+        .first()[0]
+    )
+    contrib = (
+        norm.join(ranks, norm.src == ranks.node)
+        .groupBy("dst")
+        .agg(F.sum(F.col("p") * F.col("rank")).alias("c"))
+    )
+    return (
+        nodes.join(contrib, nodes.node == contrib.dst, "left")
+        .select(
+            "node",
+            (
+                F.lit(base)
+                + F.lit(damping)
+                * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dangling / n))
+            ).alias("rank"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    damping: float = 0.85,
+    max_iter: int = 10,
+    tol: float = 0.0,
+) -> DataFrame:
+    """Damped PageRank over a weighted directed edge relation →
+    ``(node, rank)`` with Σrank = 1. ``tol`` > 0 stops early when no
+    rank moves more than tol between iterations (L∞); ``tol=0`` runs
+    exactly ``max_iter`` iterations — the contract-query mode, where
+    the oracle unrolls the same fixed count."""
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    nodes, n, norm, has_out = _pagerank_setup(
+        edges, src_col, dst_col, weight_col
+    )
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(max_iter):
-        dangling = (
-            ranks.join(has_out, ranks.node == has_out.src, "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
-        )
-        contrib = (
-            norm.join(ranks, norm.src == ranks.node)
-            .groupBy("dst")
-            .agg(F.sum(F.col("p") * F.col("rank")).alias("c"))
-        )
-        new_ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dangling / n))
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        new_ranks = _pagerank_step(nodes, n, norm, has_out, ranks, damping)
         if tol > 0.0:
             delta = (
                 new_ranks.alias("a")
@@ -155,6 +164,64 @@ def pagerank(
                 break
         else:
             ranks = new_ranks
+    return ranks
+
+
+def pagerank_resumable(
+    edges: DataFrame,
+    state_path: str,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    damping: float = 0.85,
+    max_iter: int = 10,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """:func:`pagerank` with driver-loop fault tolerance, the
+    kmeans_fit_resumable discipline applied to the graph loop: every
+    ``checkpoint_every``-th iteration's rank table commits to
+    ``state_path/v{i}`` (parquet — the _SUCCESS marker makes a
+    version count only once fully written), and a re-invocation with
+    the same path resumes from the newest committed iteration. Each
+    iteration is a pure function of (edges, ranks), so the resumed
+    run reproduces the uninterrupted one exactly (pinned in tests).
+    Fixed-iteration mode only (tol-based early stop would need the
+    convergence flag persisted too — out of scope until needed)."""
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every}"
+        )
+    spark = edges.sparkSession
+    jvm = spark._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    path_cls = jvm.org.apache.hadoop.fs.Path
+    fs = path_cls(state_path).getFileSystem(hconf)
+    done = []
+    if fs.exists(path_cls(state_path)):
+        for status in fs.listStatus(path_cls(state_path)):
+            name = status.getPath().getName()
+            if name.startswith("v") and name[1:].isdigit():
+                if fs.exists(path_cls(f"{state_path}/{name}/_SUCCESS")):
+                    done.append(int(name[1:]))
+    done.sort()
+    nodes, n, norm, has_out = _pagerank_setup(
+        edges, src_col, dst_col, weight_col
+    )
+    start = 0
+    if done:
+        start = min(done[-1], max_iter)
+        ranks = spark.read.parquet(f"{state_path}/v{start}")
+    else:
+        ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for i in range(start + 1, max_iter + 1):
+        ranks = _pagerank_step(nodes, n, norm, has_out, ranks, damping)
+        if i % checkpoint_every == 0 or i == max_iter:
+            ranks.write.mode("overwrite").parquet(f"{state_path}/v{i}")
     return ranks
 
 

@@ -112,3 +112,29 @@ def test_event_paths_closed_form(spark):
     assert two == {("a", "b"): 2, ("b", "c"): 2, ("c", "a"): 1}
     with pytest.raises(ValueError, match="steps"):
         event_paths(df, steps=1)
+
+
+def test_pagerank_resumable_matches_uninterrupted(spark, tmp_path):
+    from k_means_using_mapreduce_spark.operators.graph import (
+        pagerank,
+        pagerank_resumable,
+    )
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("c", "d")],
+        "src string, dst string",
+    )
+    full = _ranks(pagerank(e, max_iter=6))
+
+    # run 3 iterations, "crash", resume to 6 with a fresh call
+    p = str(tmp_path / "pr")
+    pagerank_resumable(e, p, max_iter=3)
+    resumed = _ranks(pagerank_resumable(e, p, max_iter=6))
+    assert set(resumed) == set(full)
+    for k, v in full.items():
+        assert resumed[k] == pytest.approx(v, rel=1e-12)
+
+    # re-invocation of a finished run is a no-op returning v6
+    again = _ranks(pagerank_resumable(e, p, max_iter=6))
+    for k, v in full.items():
+        assert again[k] == pytest.approx(v, rel=1e-12)
