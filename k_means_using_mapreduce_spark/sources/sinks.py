@@ -231,3 +231,39 @@ def merge_upsert_parquet(
         fs.delete(jtmp, True)
         raise IOError(f"merge_upsert_parquet: could not move merged data to {path}")
     fs.delete(jold, True)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    *,
+    dynamic_overwrite: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Hive-partitioned parquet write with DYNAMIC partition
+    overwrite: ``mode="overwrite"`` replaces only the partitions the
+    batch actually contains, leaving every other partition's files
+    untouched — the incremental-crawl re-drop pattern ("re-land
+    yesterday's shard without wiping the table") that static
+    overwrite mode gets catastrophically wrong (it truncates the
+    WHOLE table first). The conf is set per-write and restored, so
+    the session default is not silently changed for other writers.
+
+    At scale: partition columns should be low-cardinality routing
+    keys (date, source, cid) — each distinct combination becomes a
+    directory; downstream reads prune on them for free. Pair with
+    compact_parquet when many small re-drops accumulate."""
+    if not partition_cols:
+        raise ValueError("partition_cols must be non-empty")
+    missing = [c for c in partition_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"partition columns not in DataFrame: {missing}")
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    try:
+        spark.conf.set(key, "dynamic" if dynamic_overwrite else "static")
+        df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set(key, prev)

@@ -156,3 +156,38 @@ def test_merge_upsert_parquet(spark, tmp_path):
     assert got == {1: (10, "a"), 2: (20, "b2"), 3: (5, "c")}
     import glob
     assert not glob.glob(f"{path}_merge_*")
+
+
+def test_write_partitioned_dynamic_overwrite(spark, tmp_path):
+    """Dynamic overwrite replaces only the partitions present in the
+    batch; static overwrite would truncate the whole table."""
+    from k_means_using_mapreduce_spark.sources.sinks import write_partitioned
+
+    p = str(tmp_path / "t")
+    full = spark.createDataFrame(
+        [("2024-01-01", 1), ("2024-01-01", 2), ("2024-01-02", 3)],
+        "day string, v int",
+    )
+    write_partitioned(full, p, ["day"])
+    redrop = spark.createDataFrame([("2024-01-02", 99)], "day string, v int")
+    write_partitioned(redrop, p, ["day"])
+    # partition values come back type-inferred (date here) — compare
+    # their string form
+    got = sorted(
+        (str(r["day"]), r["v"]) for r in spark.read.parquet(p).collect()
+    )
+    assert got == [("2024-01-01", 1), ("2024-01-01", 2), ("2024-01-02", 99)]
+    # static mode: the same re-drop wipes day=2024-01-01
+    write_partitioned(redrop, p, ["day"], dynamic_overwrite=False)
+    assert [r["v"] for r in spark.read.parquet(p).collect()] == [99]
+    # session default restored either way
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        == "static"
+    )
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="partition_cols"):
+        write_partitioned(full, p, [])
+    with _pt.raises(ValueError, match="not in DataFrame"):
+        write_partitioned(full, p, ["nope"])
