@@ -226,3 +226,88 @@ ORACLE_SQL: dict[str, str] = {
     "top_tokens_per_lang": TOP_TOKENS_SQL,
     "source_vocab_stats": VOCAB_STATS_SQL,
 }
+
+
+def lang_margin_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-id with a CONFIDENCE margin: top stopword-hit score
+    minus runner-up per document — the filter knob that separates
+    "confidently en" from "barely anything" (margin 0 ⇔ tie ⇔
+    lang_id's 'unknown'). Scores sort as (score, lang) structs so the
+    tie order is deterministic and mirrored in the oracle's
+    row_number."""
+    from ._sql_text import sql_lang_hits
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = T.lang_scores(F.col("text"))
+    pairs = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    s.cast("long").alias("hits"), F.lit(lang).alias("lang")
+                )
+                for lang, s in scores.items()
+            ]
+        )
+    )
+    top = F.element_at(pairs, -1)
+    second = F.element_at(pairs, -2)
+    return docs.select(
+        "doc_id",
+        T.lang_id(F.col("text")).alias("lang"),
+        top["hits"].alias("top_hits"),
+        (top["hits"] - second["hits"]).alias("margin"),
+    )
+
+
+def _lang_margin_sql() -> str:
+    from ._sql_text import sql_lang_hits
+    from ..functions.text import LANG_STOPWORDS
+
+    hits = sql_lang_hits("text")
+    arms = " UNION ALL ".join(
+        f"SELECT doc_id, '{lang}' AS lang, CAST({expr} AS BIGINT) AS hits "
+        "FROM documents"
+        for lang, expr in hits.items()
+    )
+    # lang_id's strict-argmax semantics: a language wins only with a
+    # strictly greater score than every other, else 'unknown'
+    langs = list(LANG_STOPWORDS)
+    who = " ".join(
+        "WHEN "
+        + " AND ".join(
+            [f"h_{lang} > 0"]
+            + [f"h_{lang} > h_{o}" for o in langs if o != lang]
+        )
+        + f" THEN '{lang}'"
+        for lang in langs
+    )
+    per_doc = ", ".join(
+        f"max(CASE WHEN lang = '{lang}' THEN hits END) AS h_{lang}"
+        for lang in langs
+    )
+    return f"""
+WITH s AS ({arms}),
+ranked AS (
+  SELECT doc_id, lang, hits,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY hits DESC, lang DESC
+         ) AS rn
+  FROM s
+),
+wide AS (
+  SELECT doc_id, {per_doc} FROM s GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CASE {who} ELSE 'unknown' END AS lang,
+       r1.hits AS top_hits,
+       r1.hits - r2.hits AS margin
+FROM wide w
+JOIN (SELECT doc_id, hits FROM ranked WHERE rn = 1) r1 USING (doc_id)
+JOIN (SELECT doc_id, hits FROM ranked WHERE rn = 2) r2 USING (doc_id)
+"""
+
+
+LANG_MARGIN_SQL = _lang_margin_sql()
+
+QUERIES["lang_margin_documents"] = lang_margin_documents
+ORACLE_SQL["lang_margin_documents"] = LANG_MARGIN_SQL
