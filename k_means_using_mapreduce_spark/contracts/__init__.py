@@ -34,6 +34,7 @@ from . import (
     reshape_queries,
     robust_queries,
     rollup_queries,
+    rplsh_queries,
     sampling_queries,
     semdedup_queries,
     setop_queries,
@@ -89,6 +90,7 @@ _MODULES = [
     timeseries_queries,
     rollup_queries,
     reshape_queries,
+    rplsh_queries,
     multimodal_queries,
     sampling_queries,
     window_queries,

@@ -1,0 +1,132 @@
+"""Random-hyperplane (sign) LSH over embedding columns.
+
+The embedding-space twin of the text SimHash (operators/dedup.py):
+each of ``bits`` hyperplanes contributes the sign of its dot product
+with the vector (Charikar 2002 — P[bits agree] = 1 - θ/π), signs pack
+into per-band integer bucket keys, and near-duplicate candidates are
+pairs sharing a band bucket — per-bucket quadratic only, the same
+banding scale story as MinHash-LSH.
+
+Hyperplane components are md5-derived uniforms in [-1, 1], NOT
+rand()/numpy RNG: the planes are a pure function of (seed, bit, dim),
+so signatures are retry-stable, identical run-to-run, and — unlike
+MLlib's BucketedRandomProjectionLSH — exactly reproducible in the
+DuckDB oracle (the plane constants embed as literals on both sides).
+Uniform components give the same sign-LSH guarantee as gaussians for
+the collision-probability MONOTONICITY that banding needs (rotational
+invariance is lost, but ranking by angle survives — pinned by a
+property test).
+
+Scale: signatures are a narrow codegen projection (bits × dim
+multiply-adds per row, no shuffle); the band explode emits ``bands``
+8-byte keys per vector; the candidate join shuffles (band, bucket)
+ints, never vectors.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def random_hyperplanes(
+    dim: int, bits: int, *, seed: int = 42
+) -> list[list[float]]:
+    """``bits`` hyperplanes of ``dim`` md5-derived uniform components
+    in [-1, 1] — deterministic, engine-portable plane constants."""
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    if bits < 1:
+        raise ValueError(f"bits must be >= 1, got {bits}")
+    planes = []
+    for j in range(bits):
+        row = []
+        for d in range(dim):
+            h = int(
+                hashlib.md5(f"rp:{seed}:{j}:{d}".encode()).hexdigest()[:15], 16
+            )
+            row.append((h / float(1 << 60)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def rp_signature_bits(vec_col, planes: list[list[float]]):
+    """List of 0/1 sign bits (one per plane) for an array<double>
+    column — ``1`` iff the dot product is >= 0. Pure fold
+    expressions; the plane literals fold into the plan."""
+    from ..functions.vectors import dot_expr
+
+    bits = []
+    for row in planes:
+        lit = F.array(*[F.lit(float(v)) for v in row])
+        bits.append(
+            (dot_expr(vec_col, lit) >= 0).cast("int")
+        )
+    return bits
+
+
+def rp_bands(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Banded sign-LSH keys: ``(id, band, bucket)`` with ``bits/bands``
+    sign bits packed into each band's integer bucket. Two vectors
+    land in the same (band, bucket) iff that band's bits all agree —
+    probability ``(1 - θ/π)^(bits/bands)`` per band, the standard
+    LSH S-curve. ``dim`` defaults to the first row's vector length
+    (one tiny job)."""
+    if bits % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide bits ({bits})")
+    if dim is None:
+        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None:
+            raise ValueError("input is empty and dim was not given")
+        dim = first["d"]
+    planes = random_hyperplanes(dim, bits, seed=seed)
+    v = F.col(vec_col).cast("array<double>")
+    bit_exprs = rp_signature_bits(v, planes)
+    per_band = bits // bands
+    rows = []
+    for b in range(bands):
+        bucket = F.lit(0)
+        for i in range(per_band):
+            bucket = bucket * 2 + bit_exprs[b * per_band + i]
+        rows.append(
+            F.struct(F.lit(b).alias("band"), bucket.cast("long").alias("bucket"))
+        )
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(F.array(*rows)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def rp_candidate_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Distinct candidate pairs (id1 < id2) sharing at least one band
+    bucket — feed to an exact verifier (similarity.topk /
+    dedup.embedding_near_dup's cosine) like every LSH family here."""
+    keys = rp_bands(
+        df, id_col=id_col, vec_col=vec_col, bits=bits, bands=bands, seed=seed
+    )
+    a = keys.select("band", "bucket", F.col("id").alias("id1"))
+    b = keys.select("band", "bucket", F.col("id").alias("id2"))
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
