@@ -97,3 +97,48 @@ ORACLE_SQL: dict[str, str] = {
     "rp_lsh_buckets_embeddings": RP_BUCKETS_SQL,
     "rp_candidate_pairs_embeddings": RP_PAIRS_SQL,
 }
+
+
+MAX_HAMMING = 8
+
+
+def rp_hamming_pairs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full sign-LSH pipeline: banded candidates verified by packed-
+    signature Hamming distance (<= 8 of 32 bits ⇔ angle ≲ π/4)."""
+    from ..operators.rplsh import rp_hamming_pairs
+
+    return rp_hamming_pairs(
+        load_table(spark, sf_dir, "embeddings"),
+        bits=BITS,
+        bands=BANDS,
+        seed=SEED,
+        max_hamming=MAX_HAMMING,
+    )
+
+
+def _sig_sql() -> str:
+    planes = _planes()
+    expr = "CAST(0 AS BIGINT)"
+    for row in planes:
+        bit = f"CAST({_dot_sql(row)} >= 0 AS BIGINT)"
+        expr = f"({expr} * 2 + {bit})"
+    return f"SELECT vec_id AS id, {expr} AS sig FROM embeddings"
+
+
+RP_HAMMING_SQL = (
+    "WITH k AS (" + RP_BUCKETS_SQL + "), cand AS ("
+    + """
+SELECT DISTINCT a.id AS id1, b.id AS id2
+FROM k a JOIN k b ON a.band = b.band AND a.bucket = b.bucket
+WHERE a.id < b.id), sigs AS ("""
+    + _sig_sql()
+    + f""")
+SELECT id1, id2, bit_count(xor(s1.sig, s2.sig)) AS hamming
+FROM cand
+JOIN sigs s1 ON cand.id1 = s1.id
+JOIN sigs s2 ON cand.id2 = s2.id
+WHERE bit_count(xor(s1.sig, s2.sig)) <= {MAX_HAMMING}"""
+)
+
+QUERIES["rp_hamming_pairs_embeddings"] = rp_hamming_pairs_embeddings
+ORACLE_SQL["rp_hamming_pairs_embeddings"] = RP_HAMMING_SQL

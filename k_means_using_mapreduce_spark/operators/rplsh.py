@@ -130,3 +130,73 @@ def rp_candidate_pairs(
         .select("id1", "id2")
         .distinct()
     )
+
+
+def rp_signatures(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 32,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Whole signature packed into one long: ``(id, sig)`` with bit j
+    of ``sig`` = plane j's sign. ``bits <= 62`` (signed long). The
+    compact form the Hamming verifier works on — 8 bytes per vector
+    regardless of dimension."""
+    if bits > 62:
+        raise ValueError(f"bits must be <= 62 to fit a long, got {bits}")
+    if dim is None:
+        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None:
+            raise ValueError("input is empty and dim was not given")
+        dim = first["d"]
+    planes = random_hyperplanes(dim, bits, seed=seed)
+    v = F.col(vec_col).cast("array<double>")
+    sig = F.lit(0).cast("long")
+    for bit in rp_signature_bits(v, planes):
+        sig = sig * 2 + bit.cast("long")
+    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+def rp_hamming_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 32,
+    bands: int = 4,
+    seed: int = 42,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """The full sign-LSH pipeline: banded candidates
+    (:func:`rp_candidate_pairs`) verified by Hamming distance between
+    packed signatures — ``(id1, id2, hamming)`` with ``hamming <=
+    max_hamming``. The verify stage joins two 8-byte signature
+    columns onto the candidate pairs and computes
+    ``bit_count(sig1 XOR sig2)`` — codegen bit ops, no vectors ever
+    re-read. ``hamming/bits ≈ θ/π``, so the threshold is an angle
+    bound in disguise."""
+    if max_hamming < 0:
+        raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
+    cand = rp_candidate_pairs(
+        df, id_col=id_col, vec_col=vec_col, bits=bits, bands=bands, seed=seed
+    )
+    sigs = rp_signatures(
+        df, id_col=id_col, vec_col=vec_col, bits=bits, seed=seed
+    )
+    s1 = sigs.select(F.col("id").alias("id1"), F.col("sig").alias("sig1"))
+    s2 = sigs.select(F.col("id").alias("id2"), F.col("sig").alias("sig2"))
+    return (
+        cand.join(s1, "id1")
+        .join(s2, "id2")
+        .select(
+            "id1",
+            "id2",
+            F.bit_count(
+                F.col("sig1").bitwiseXOR(F.col("sig2"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )

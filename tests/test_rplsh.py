@@ -75,3 +75,38 @@ def test_validation(spark):
         random_hyperplanes(0, 4)
     with pytest.raises(ValueError, match="empty"):
         rp_bands(df.where(F.lit(False)))
+
+
+def test_hamming_pairs_verify_candidates(spark):
+    from k_means_using_mapreduce_spark.operators.rplsh import (
+        rp_candidate_pairs,
+        rp_hamming_pairs,
+        rp_signatures,
+    )
+
+    rows = [
+        (1, [1.0, 2.0, 3.0, 4.0]),
+        (2, [1.0001, 2.0001, 3.0, 4.0]),
+        (3, [-4.0, 3.0, -2.0, 1.0]),
+        (4, [0.5, 1.0, 1.5, 2.0]),  # colinear with 1 -> identical signs
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        (r["id1"], r["id2"]): r["hamming"]
+        for r in rp_hamming_pairs(
+            df, bits=32, bands=4, seed=1, max_hamming=2
+        ).collect()
+    }
+    assert out[(1, 2)] <= 2
+    assert out[(1, 4)] == 0  # colinear: every sign identical
+    # the verify only tightens the candidate set
+    cand = {
+        (r["id1"], r["id2"])
+        for r in rp_candidate_pairs(df, bits=32, bands=4, seed=1).collect()
+    }
+    assert set(out) <= cand
+    # signature packing: 32 sign bits round-trip through the long
+    sigs = {r["id"]: r["sig"] for r in rp_signatures(df, bits=32, seed=1).collect()}
+    assert sigs[1] == sigs[4] and sigs[1] != sigs[3]
+    with pytest.raises(ValueError, match="62"):
+        rp_signatures(df, bits=63)
