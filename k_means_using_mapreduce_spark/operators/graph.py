@@ -100,9 +100,13 @@ def _pagerank_setup(edges, src_col, dst_col, weight_col):
     return nodes, n, norm, norm.select("src").distinct()
 
 
-def _pagerank_step(nodes, n, norm, has_out, ranks, damping):
-    """One damped iteration: ranks -> new ranks (checkpointed)."""
-    base = (1.0 - damping) / n
+def _pagerank_step(nodes, n, norm, has_out, ranks, damping, pref=None):
+    """One damped iteration: ranks -> new ranks (checkpointed).
+
+    ``pref``: optional (node, pref) teleport distribution (summing to
+    1) — the personalized/topic-sensitive variant (Haveliwala 2002):
+    both the (1-d) teleport mass AND the dangling mass land on the
+    preference nodes instead of uniformly. None → uniform 1/n."""
     dangling = (
         ranks.join(has_out, ranks.node == has_out.src, "left_anti")
         .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
@@ -113,14 +117,22 @@ def _pagerank_step(nodes, n, norm, has_out, ranks, damping):
         .groupBy("dst")
         .agg(F.sum(F.col("p") * F.col("rank")).alias("c"))
     )
+    out = nodes.join(contrib, nodes.node == contrib.dst, "left")
+    if pref is None:
+        teleport = F.lit(1.0 / n)
+    else:
+        out = out.join(pref, "node", "left")
+        teleport = F.coalesce(F.col("pref"), F.lit(0.0))
     return (
-        nodes.join(contrib, nodes.node == contrib.dst, "left")
-        .select(
+        out.select(
             "node",
             (
-                F.lit(base)
+                F.lit(1.0 - damping) * teleport
                 + F.lit(damping)
-                * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dangling / n))
+                * (
+                    F.coalesce(F.col("c"), F.lit(0.0))
+                    + F.lit(dangling) * teleport
+                )
             ).alias("rank"),
         )
         .localCheckpoint(eager=True)
@@ -136,12 +148,21 @@ def pagerank(
     damping: float = 0.85,
     max_iter: int = 10,
     tol: float = 0.0,
+    personalization: dict | None = None,
 ) -> DataFrame:
     """Damped PageRank over a weighted directed edge relation →
     ``(node, rank)`` with Σrank = 1. ``tol`` > 0 stops early when no
     rank moves more than tol between iterations (L∞); ``tol=0`` runs
     exactly ``max_iter`` iterations — the contract-query mode, where
-    the oracle unrolls the same fixed count."""
+    the oracle unrolls the same fixed count.
+
+    ``personalization``: optional {node: weight} teleport preference
+    (normalized internally) — topic-sensitive PageRank (Haveliwala
+    2002): random restarts land on the preference nodes, so rank
+    concentrates on the neighborhood reachable FROM them. The
+    preference set is model-sized (seeds), broadcast as a tiny
+    DataFrame; nodes absent from the graph are rejected loudly rather
+    than silently dropped mass."""
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
     if max_iter < 1:
@@ -149,9 +170,42 @@ def pagerank(
     nodes, n, norm, has_out = _pagerank_setup(
         edges, src_col, dst_col, weight_col
     )
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    pref = None
+    if personalization is not None:
+        if not personalization:
+            raise ValueError("personalization must be non-empty when given")
+        total = float(sum(personalization.values()))
+        if total <= 0:
+            raise ValueError("personalization weights must sum to > 0")
+        spark = edges.sparkSession
+        node_type = nodes.schema["node"].dataType.simpleString()
+        pref = F.broadcast(
+            spark.createDataFrame(
+                [(k, v / total) for k, v in personalization.items()],
+                f"node {node_type}, pref double",
+            )
+        )
+        # membership check stays distributed (anti-join), never a |V|
+        # collect — the preference set is tiny, the graph is not
+        missing = (
+            pref.join(nodes, "node", "left_anti")
+            .select("node")
+            .collect()
+        )
+        if missing:
+            raise ValueError(
+                "personalization nodes not in the graph: "
+                f"{sorted(r['node'] for r in missing)}"
+            )
+        ranks = nodes.join(pref, "node", "left").select(
+            "node", F.coalesce(F.col("pref"), F.lit(0.0)).alias("rank")
+        )
+    else:
+        ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(max_iter):
-        new_ranks = _pagerank_step(nodes, n, norm, has_out, ranks, damping)
+        new_ranks = _pagerank_step(
+            nodes, n, norm, has_out, ranks, damping, pref=pref
+        )
         if tol > 0.0:
             delta = (
                 new_ranks.alias("a")

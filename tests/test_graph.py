@@ -138,3 +138,25 @@ def test_pagerank_resumable_matches_uninterrupted(spark, tmp_path):
     again = _ranks(pagerank_resumable(e, p, max_iter=6))
     for k, v in full.items():
         assert again[k] == pytest.approx(v, rel=1e-12)
+
+
+def test_personalized_pagerank_concentrates_on_seed_neighborhood(spark):
+    from k_means_using_mapreduce_spark.operators.graph import pagerank
+
+    # two weakly-connected triangles; teleport pinned to triangle ABC
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"),
+         ("x", "y"), ("y", "z"), ("z", "x"), ("c", "x")],
+        "src string, dst string",
+    )
+    uniform = _ranks(pagerank(e, max_iter=20))
+    seeded = _ranks(pagerank(e, max_iter=20, personalization={"a": 1.0}))
+    assert sum(seeded.values()) == pytest.approx(1.0, abs=1e-9)
+    # seed triangle gains rank mass vs the uniform teleport
+    abc = lambda r: r["a"] + r["b"] + r["c"]
+    assert abc(seeded) > abc(uniform)
+    assert seeded["a"] > uniform["a"]
+    with pytest.raises(ValueError, match="not in the graph"):
+        pagerank(e, max_iter=2, personalization={"nope": 1.0})
+    with pytest.raises(ValueError, match="non-empty"):
+        pagerank(e, max_iter=2, personalization={})
