@@ -446,3 +446,12 @@ def test_transition_edges_single_window_exchange(spark, sf):
     df = _q("event_transition_edges", spark, sf)
     assert exchange_count(df) <= 2  # window shuffle + agg shuffle
     assert sort_merge_join_count(df) == 0
+
+
+def test_rp_lsh_buckets_shuffle_free(spark, sf):
+    """Sign-LSH bucket keys are a narrow projection (dot products +
+    bit packing + band explode) — zero exchanges before the keys
+    exist; only the candidate join later shuffles, and it shuffles
+    8-byte keys."""
+    df = _q("rp_lsh_buckets_embeddings", spark, sf)
+    assert exchange_count(df) == 0

@@ -110,3 +110,32 @@ def test_empty_first_batch_keeps_real_group_types(spark, tmp_path):
     sink(_rows(spark, [(7, 1_000_000_000, 2.5)]), 1)
     got = _feats(sink)
     assert got[7][0] == pytest.approx(2.5)
+
+
+def test_streaming_end_to_end(spark, tmp_path):
+    import json
+
+    d = tmp_path / "in"
+    d.mkdir()
+    with open(d / "b0.json", "w") as fh:
+        for i in range(10):
+            fh.write(
+                json.dumps(
+                    {"user_id": i % 2, "ts": (i + 1) * 1_000_000_000, "value": float(i)}
+                )
+                + "\n"
+            )
+    sink = DecayedFeatureSink(
+        spark, str(tmp_path / "state"), ["user_id"], "value", "ts", half_life_us=HL
+    )
+    src = spark.readStream.schema("user_id int, ts long, value double").json(str(d))
+    q = (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = _feats(sink)
+    assert set(got) == {0, 1}
+    assert got[0][2] == 10_000_000  # asof advanced to the max event µs
