@@ -107,3 +107,37 @@ ORACLE_SQL: dict[str, str] = {
     "lineitem_constraint_checks": CONSTRAINTS_SQL,
     "price_histogram_lineitem": HISTOGRAM_SQL,
 }
+
+
+def lexical_diversity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type/token ratio and Yule's K per document — the
+    length-insensitive repetitiveness filter (operators/quality.py::
+    lexical_diversity)."""
+    from ..operators.quality import lexical_diversity
+
+    return lexical_diversity(load_table(spark, sf_dir, "documents"))
+
+
+def _lexdiv_sql() -> str:
+    from ._sql_text import sql_tokens
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({sql_tokens("text")}) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY 1, 2
+)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       count(*) / CAST(sum(tf) AS DOUBLE) AS ttr,
+       10000.0 * (sum(tf * tf) - CAST(sum(tf) AS DOUBLE))
+         / (CAST(sum(tf) AS DOUBLE) * CAST(sum(tf) AS DOUBLE)) AS yule_k
+FROM tf GROUP BY doc_id
+"""
+
+
+LEXDIV_SQL = _lexdiv_sql()
+
+QUERIES["lexical_diversity_documents"] = lexical_diversity_documents
+ORACLE_SQL["lexical_diversity_documents"] = LEXDIV_SQL

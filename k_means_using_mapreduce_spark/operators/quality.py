@@ -152,3 +152,45 @@ def numeric_histogram(
             "n",
         )
     )
+
+
+def lexical_diversity(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document lexical-diversity metrics from the term-frequency
+    histogram: ``(id, n_tokens, n_types, ttr, yule_k)``.
+
+    - ``ttr`` — type/token ratio V/N, the crude richness measure
+      (length-sensitive: long documents trend lower).
+    - ``yule_k`` — Yule's characteristic K = 10⁴·(Σ m²·V(m) − N)/N²
+      (Yule 1944), equivalently 10⁴·(Σ tf² − N)/N² over the tf
+      histogram — repetitiveness that is far less length-sensitive
+      than TTR; boilerplate and template text score high, diverse
+      prose low. The quality-filter companion to the Gopher
+      repetition fractions (operators/repetition.py), computed from
+      frequencies alone (no n-gram pass).
+
+    One explode + (id, token) aggregate + per-id aggregate — the
+    standard token-histogram shape, map-side combinable both stages.
+    Documents with no tokens produce no row (diversity of nothing is
+    undefined)."""
+    from ..functions.text import tokens
+
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("token")
+    )
+    tf = toks.groupBy("id", "token").agg(F.count("*").alias("tf"))
+    n = F.sum("tf").cast("double")
+    return tf.groupBy("id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        (F.count("*") / n).alias("ttr"),
+        (
+            F.lit(10000.0)
+            * (F.sum(F.col("tf") * F.col("tf")) - n)
+            / (n * n)
+        ).alias("yule_k"),
+    ).withColumnRenamed("id", id_col)

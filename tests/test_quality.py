@@ -98,3 +98,26 @@ def test_histogram_constant_and_nulls(spark):
         numeric_histogram(empty, "x")
     with pytest.raises(ValueError):
         numeric_histogram(df, "x", bins=0)
+
+
+def test_lexical_diversity_closed_form(spark):
+    from k_means_using_mapreduce_spark.operators.quality import (
+        lexical_diversity,
+    )
+    import pytest as _pt
+
+    rows = [
+        (1, "a a a a"),          # maximal repetition: 1 type / 4 tokens
+        (2, "a b c d"),          # maximal diversity: K = 0
+        (3, "a a b b"),
+        (4, "   "),              # no tokens -> no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in lexical_diversity(df).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["ttr"] == _pt.approx(0.25)
+    assert got[1]["yule_k"] == _pt.approx(10000.0 * (16 - 4) / 16)
+    assert got[2]["ttr"] == _pt.approx(1.0)
+    assert got[2]["yule_k"] == _pt.approx(0.0)
+    assert got[3]["yule_k"] == _pt.approx(10000.0 * (8 - 4) / 16)
+    assert got[1]["yule_k"] > got[3]["yule_k"] > got[2]["yule_k"]
