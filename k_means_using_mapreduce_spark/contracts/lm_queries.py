@@ -176,3 +176,51 @@ ORACLE_SQL: dict[str, str] = {
     "bigram_logprob_documents": BIGRAM_SQL,
     "collocations_documents": COLLOCATIONS_SQL,
 }
+
+
+KN_DISCOUNT = 0.75
+
+
+def kneser_ney_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities over the corpus —
+    absolute discounting + continuation-probability backoff
+    (operators/lm.py::kneser_ney_bigrams)."""
+    from ..operators.lm import kneser_ney_bigrams
+
+    return kneser_ney_bigrams(
+        load_table(spark, sf_dir, "documents"), discount=KN_DISCOUNT
+    )
+
+
+KNESER_NEY_SQL = f"""
+WITH toks AS (
+  SELECT {sql_tokens('text')} AS t FROM documents
+), pr0 AS (
+  SELECT t, unnest(range(0, len(t) - 1)) AS i FROM toks
+), pairs AS (
+  SELECT t[CAST(i AS INTEGER) + 1] AS w1,
+         t[CAST(i AS INTEGER) + 2] AS w2
+  FROM pr0
+), big AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n12 FROM pairs GROUP BY 1, 2
+), marg AS (
+  SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM big GROUP BY 1
+), succ AS (
+  SELECT w1, CAST(count(*) AS BIGINT) AS t1 FROM big GROUP BY 1
+), pred AS (
+  SELECT w2, CAST(count(*) AS BIGINT) AS t2 FROM big GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) AS DOUBLE) AS tt FROM big
+)
+SELECT b.w1, b.w2, b.n12, m.n1,
+       greatest(b.n12 - {KN_DISCOUNT}, 0.0) / m.n1
+         + ({KN_DISCOUNT} * s.t1 / m.n1) * (p.t2 / tt) AS p_kn
+FROM big b
+JOIN marg m USING (w1)
+JOIN succ s USING (w1)
+JOIN pred p USING (w2)
+CROSS JOIN tot
+"""
+
+QUERIES["kneser_ney_documents"] = kneser_ney_documents
+ORACLE_SQL["kneser_ney_documents"] = KNESER_NEY_SQL

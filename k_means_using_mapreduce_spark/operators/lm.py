@@ -290,3 +290,63 @@ def collocations(
             ).alias("pmi"),
         )
     )
+
+
+def kneser_ney_bigrams(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (Kneser & Ney
+    1995; Chen & Goodman 1998's benchmark smoother) — per bigram TYPE:
+
+        P_KN(w2|w1) = max(n12 - D, 0)/n1  +  (D·T(w1)/n1) · P_cont(w2)
+
+    with ``T(w1)`` = distinct successor count of w1 (how much
+    probability mass the discount frees), and the CONTINUATION
+    distribution ``P_cont(w2) = |{w1: n12>0}| / |bigram types|`` —
+    how many contexts w2 completes, not how often it occurs: the
+    "Francisco" fix (frequent but single-context words stop inheriting
+    unigram mass they never earned).
+
+    Output: ``(w1, w2, n12, n1, p_kn)`` for observed bigrams — the
+    smoothed replacement for fit_bigram_model's MLE table in
+    score_documents_bigram-style scoring; unseen-pair backoff is
+    ``(D·T(w1)/n1)·P_cont(w2)`` with the same margins.
+
+    All four statistics are aggregates OF THE BIGRAM-TYPE TABLE
+    (vocab-sized, never corpus-sized): successor types per w1,
+    predecessor types per w2, total types. One corpus pair pass +
+    three type-table aggregates, margins broadcast like
+    fit_bigram_model's.
+    """
+    if not 0.0 < discount < 1.0:
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    bi = fit_bigram_model(df, text_col=text_col)  # (w1, w2, n12, n1)
+    succ_types = bi.groupBy("w1").agg(
+        F.count("*").alias("t1")  # distinct successors of w1
+    )
+    pred_types = bi.groupBy("w2").agg(
+        F.count("*").alias("t2")  # distinct predecessors of w2
+    )
+    total_types = bi.agg(F.count("*").cast("double").alias("tt"))
+    return (
+        bi.join(F.broadcast(succ_types), "w1")
+        .join(F.broadcast(pred_types), "w2")
+        .crossJoin(F.broadcast(total_types))
+        .select(
+            "w1",
+            "w2",
+            "n12",
+            "n1",
+            (
+                F.greatest(
+                    F.col("n12") - F.lit(discount), F.lit(0.0)
+                )
+                / F.col("n1")
+                + (F.lit(discount) * F.col("t1") / F.col("n1"))
+                * (F.col("t2") / F.col("tt"))
+            ).alias("p_kn"),
+        )
+    )

@@ -177,3 +177,42 @@ def test_collocations_exact_pmi(spark):
 
     with pytest.raises(ValueError, match="min_count"):
         collocations(docs, min_count=0)
+
+
+def test_kneser_ney_closed_form_and_normalization(spark):
+    """Hand-checkable corpus + the KN normalization law: for every
+    observed context w1, Σ_w2 P_KN(w2|w1) over ALL words (observed
+    pairs + backoff for unseen) equals 1."""
+    import pytest as _pt
+
+    from k_means_using_mapreduce_spark.operators.lm import (
+        kneser_ney_bigrams,
+    )
+
+    D = 0.75
+    df = spark.createDataFrame(
+        [("a b a b",), ("a c",)], "text string"
+    )
+    # bigrams: (a,b)x2, (b,a)x1, (a,c)x1 -> types: 3; n1(a)=3, n1(b)=1
+    # succ types: a->{b,c}=2, b->{a}=1; pred types: b<-{a}=1, a<-{b}=1, c<-{a}=1
+    rows = {
+        (r["w1"], r["w2"]): r
+        for r in kneser_ney_bigrams(df, discount=D).collect()
+    }
+    p_ab = rows[("a", "b")]["p_kn"]
+    assert p_ab == _pt.approx((2 - D) / 3 + (D * 2 / 3) * (1 / 3))
+    assert rows[("b", "a")]["p_kn"] == _pt.approx((1 - D) / 1 + (D * 1 / 1) * (1 / 3))
+    # normalization: observed pairs + unseen backoff mass sum to 1 per context
+    pcont = {"a": 1 / 3, "b": 1 / 3, "c": 1 / 3}
+    for w1, n1, t1 in [("a", 3, 2), ("b", 1, 1)]:
+        observed = sum(
+            r["p_kn"] for (x, _), r in rows.items() if x == w1
+        )
+        unseen = sum(
+            (D * t1 / n1) * pcont[w2]
+            for w2 in pcont
+            if (w1, w2) not in rows
+        )
+        assert observed + unseen == _pt.approx(1.0, abs=1e-12)
+    with _pt.raises(ValueError, match="discount"):
+        kneser_ney_bigrams(df, discount=1.0)
