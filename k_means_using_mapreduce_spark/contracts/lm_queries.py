@@ -224,3 +224,61 @@ CROSS JOIN tot
 
 QUERIES["kneser_ney_documents"] = kneser_ney_documents
 ORACLE_SQL["kneser_ney_documents"] = KNESER_NEY_SQL
+
+
+def kn_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-scored Kneser-Ney document log-likelihood — the smoothed
+    perplexity-filter; every pair is observed (model fit on the same
+    corpus) so the oracle needs no backoff branches."""
+    from ..operators.lm import kneser_ney_bigrams, score_documents_kn
+
+    docs = load_table(spark, sf_dir, "documents")
+    kn = kneser_ney_bigrams(docs, discount=KN_DISCOUNT)
+    return score_documents_kn(docs, kn, discount=KN_DISCOUNT)
+
+
+KN_LOGPROB_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {sql_tokens('text')} AS t FROM documents
+), pr0 AS (
+  SELECT doc_id, t, unnest(range(0, len(t) - 1)) AS i FROM toks
+), dpairs AS (
+  SELECT doc_id, t[CAST(i AS INTEGER) + 1] AS w1,
+                 t[CAST(i AS INTEGER) + 2] AS w2
+  FROM pr0
+), big AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n12 FROM dpairs GROUP BY 1, 2
+), marg AS (
+  SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM big GROUP BY 1
+), succ AS (
+  SELECT w1, CAST(count(*) AS BIGINT) AS t1 FROM big GROUP BY 1
+), pred AS (
+  SELECT w2, CAST(count(*) AS BIGINT) AS t2 FROM big GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) AS DOUBLE) AS tt FROM big
+), kn AS (
+  SELECT b.w1, b.w2,
+         greatest(b.n12 - {KN_DISCOUNT}, 0.0) / m.n1
+           + ({KN_DISCOUNT} * s.t1 / m.n1) * (p.t2 / tt) AS p_kn
+  FROM big b JOIN marg m USING (w1) JOIN succ s USING (w1)
+  JOIN pred p USING (w2) CROSS JOIN tot
+), pair_lp AS (
+  SELECT d.doc_id, ln(k.p_kn) AS lp
+  FROM dpairs d JOIN kn k USING (w1, w2)
+), firsts AS (
+  -- LEFT join + floor: a first token never seen as any bigram's
+  -- successor (single-token doc, or a pure document-starter) must
+  -- still score, mirroring the operator's unseen_floor branch
+  SELECT f.doc_id, ln(coalesce(p.t2 / tt, 1e-10)) AS lp
+  FROM (SELECT doc_id, t[1] AS w2 FROM toks WHERE len(t) > 0) f
+  LEFT JOIN pred p USING (w2) CROSS JOIN tot
+), allscores AS (
+  SELECT doc_id, lp FROM pair_lp UNION ALL SELECT doc_id, lp FROM firsts
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       sum(lp) AS logprob_sum, avg(lp) AS avg_logprob
+FROM allscores GROUP BY doc_id
+"""
+
+QUERIES["kn_logprob_documents"] = kn_logprob_documents
+ORACLE_SQL["kn_logprob_documents"] = KN_LOGPROB_SQL

@@ -350,3 +350,95 @@ def kneser_ney_bigrams(
             ).alias("p_kn"),
         )
     )
+
+
+def score_documents_kn(
+    df: DataFrame,
+    kn: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+    unseen_floor: float = 1e-10,
+) -> DataFrame:
+    """Per-document Kneser-Ney log-likelihood against a fitted
+    :func:`kneser_ney_bigrams` table — the smoother's scoring half,
+    same output shape as the other scorers:
+    ``(id, n_tokens, logprob_sum, avg_logprob)``.
+
+    Per transition (w1, w2):
+
+    - observed pair → ``ln p_kn`` from the table;
+    - unseen pair, known context → the backoff mass
+      ``(D·T(w1)/n1)·P_cont(w2)``;
+    - unknown context → ``P_cont(w2)`` alone;
+    - unknown w2 as well → ``unseen_floor`` (keeps ln finite; a real
+      deployment holds out mass for it, a filter only needs "very
+      unlikely").
+
+    The FIRST token scores ``ln P_cont(w1)`` — the continuation
+    distribution is the model's own unigram-like marginal, so scoring
+    needs no second model table. ``discount`` must match the fit (it
+    is not stored, the alpha convention of :func:`score_documents`).
+
+    All margins (n1, T(w1), T_pred(w2), total types) are re-derived
+    from the kn table itself — vocab-sized aggregates, broadcast.
+    """
+    if not 0.0 < discount < 1.0:
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    if unseen_floor <= 0:
+        raise ValueError(f"unseen_floor must be > 0, got {unseen_floor}")
+    ctx = kn.groupBy("w1").agg(
+        F.first("n1").alias("n1"), F.count("*").alias("t1")
+    )
+    pred = kn.groupBy("w2").agg(F.count("*").alias("t2"))
+    tt = kn.agg(F.count("*").cast("double").alias("tt"))
+
+    toks = tokens(F.col(text_col))
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(
+            F.arrays_zip(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            )
+        ).alias("p"),
+    ).select(id_col, F.col("p")["0"].alias("w1"), F.col("p")["1"].alias("w2"))
+    pcont = (F.col("t2") / F.col("tt"))
+    backoff = (F.lit(discount) * F.col("t1") / F.col("n1")) * pcont
+    pair_lp = (
+        pairs.join(F.broadcast(kn.select("w1", "w2", "p_kn")), ["w1", "w2"], "left")
+        .join(F.broadcast(ctx), "w1", "left")
+        .join(F.broadcast(pred), "w2", "left")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            id_col,
+            F.log(
+                F.coalesce(
+                    F.col("p_kn"),
+                    backoff,
+                    pcont,
+                    F.lit(unseen_floor),
+                )
+            ).alias("_lp"),
+        )
+    )
+    firsts = (
+        df.select(F.col(id_col), F.element_at(toks, 1).alias("w2"))
+        .where(F.col("w2").isNotNull())
+        .join(F.broadcast(pred), "w2", "left")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            id_col,
+            F.log(F.coalesce(pcont, F.lit(unseen_floor))).alias("_lp"),
+        )
+    )
+    return (
+        pair_lp.unionByName(firsts)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("_lp").alias("logprob_sum"),
+            F.avg("_lp").alias("avg_logprob"),
+        )
+    )

@@ -216,3 +216,40 @@ def test_kneser_ney_closed_form_and_normalization(spark):
         assert observed + unseen == _pt.approx(1.0, abs=1e-12)
     with _pt.raises(ValueError, match="discount"):
         kneser_ney_bigrams(df, discount=1.0)
+
+
+def test_score_documents_kn_backoff_branches(spark):
+    """Held-out text exercises all four probability branches; scores
+    stay finite and ordered (in-domain text scores higher than
+    unseen-vocabulary text)."""
+    import math
+
+    import pytest as _pt
+
+    from k_means_using_mapreduce_spark.operators.lm import (
+        kneser_ney_bigrams,
+        score_documents_kn,
+    )
+
+    train = spark.createDataFrame([("a b a b a c",)], "text string")
+    kn = kneser_ney_bigrams(train, discount=0.75)
+    test = spark.createDataFrame(
+        [
+            (1, "a b a b"),     # all pairs observed
+            (2, "b c"),         # unseen pair, known context + known w2
+            (3, "zzz a"),       # unknown context
+            (4, "zzz qqq"),     # nothing known -> floor
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in score_documents_kn(test, kn, discount=0.75).collect()
+    }
+    for r in got.values():
+        assert math.isfinite(r["avg_logprob"])
+        assert r["n_tokens"] == 2 or r["doc_id"] == 1
+    assert got[1]["avg_logprob"] > got[2]["avg_logprob"] > got[4]["avg_logprob"]
+    assert got[4]["avg_logprob"] < math.log(1e-9)  # floor territory
+    with _pt.raises(ValueError, match="unseen_floor"):
+        score_documents_kn(test, kn, unseen_floor=0.0)
