@@ -47,3 +47,40 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLE_SQL: dict[str, str] = {
     "customer_match_candidates": ENTITY_SQL,
 }
+
+
+SN_WINDOW = 2
+
+
+def sorted_neighborhood_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood candidates over (segment, balance) order —
+    the multi-attribute pass that catches near-duplicates whose
+    equi-blocking key itself is dirty (operators/entity.py::
+    sorted_neighborhood_candidates)."""
+    from ..operators.entity import sorted_neighborhood_candidates
+
+    cust = load_table(spark, sf_dir, "customer")
+    return sorted_neighborhood_candidates(
+        cust,
+        F.struct(F.col("c_mktsegment"), F.col("c_acctbal")),
+        id_col="c_custkey",
+        window=SN_WINDOW,
+    )
+
+
+SORTED_NEIGHBORHOOD_SQL = f"""
+WITH ranked AS (
+  SELECT c_custkey AS id,
+         row_number() OVER (
+           ORDER BY c_mktsegment, c_acctbal, c_custkey
+         ) AS rk
+  FROM customer
+)
+SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b,
+       CAST(b.rk - a.rk AS INTEGER) AS rank_gap
+FROM ranked a JOIN ranked b
+  ON b.rk BETWEEN a.rk + 1 AND a.rk + {SN_WINDOW}
+"""
+
+QUERIES["sorted_neighborhood_customers"] = sorted_neighborhood_customers
+ORACLE_SQL["sorted_neighborhood_customers"] = SORTED_NEIGHBORHOOD_SQL

@@ -63,3 +63,32 @@ def test_no_cartesian_in_plan(spark, sf_oracle):
     )
     out.collect()
     assert "Cartesian" not in executed_plan(out)
+
+
+def test_sorted_neighborhood_closed_form(spark):
+    from k_means_using_mapreduce_spark.operators.entity import (
+        sorted_neighborhood_candidates,
+    )
+    import pytest as _pt
+    from pyspark.sql import functions as SF
+
+    # sort by name: order is (anna, annna, bob, bobby, zed) by (name, id)
+    rows = [
+        (1, "bob"), (2, "anna"), (3, "bobby"), (4, "annna"), (5, "zed"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {
+        (r["id_a"], r["id_b"]): r["rank_gap"]
+        for r in sorted_neighborhood_candidates(
+            df, SF.col("name"), window=2
+        ).collect()
+    }
+    # n*window - edge truncation: 4 gap-1 pairs + 3 gap-2 pairs
+    assert len(got) == 7
+    assert got[(2, 4)] == 1      # anna-annna adjacent
+    assert got[(1, 3)] == 1      # bob-bobby adjacent
+    assert got[(1, 2)] == 2  # anna(rk1) -> bob(rk3), canonicalized
+    # canonical ordering: id_a < id_b always
+    assert all(a < b for a, b in got)
+    with _pt.raises(ValueError, match="window"):
+        sorted_neighborhood_candidates(df, SF.col("name"), window=0)
