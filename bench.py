@@ -183,6 +183,16 @@ BENCH_QUERIES = [
     "target_encoding_mktsegment",
     "loo_encoding_events",
     "lang_source_mi",
+    "media_entropy_stats",
+    "lang_margin_documents",
+    "kneser_ney_documents",
+    "kn_logprob_documents",
+    "lexical_diversity_documents",
+    "sorted_neighborhood_customers",
+    "join_advice_lineitem_part",
+    "rp_lsh_buckets_embeddings",
+    "rp_candidate_pairs_embeddings",
+    "rp_hamming_pairs_embeddings",
 ]
 
 KMEANS_FIT_K = 8
