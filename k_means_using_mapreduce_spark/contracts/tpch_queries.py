@@ -243,6 +243,45 @@ GROUP BY o_orderpriority
 """
 
 
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape on available columns (no l_shipmode/receiptdate:
+    l_returnflag stands in for shipmode, l_shipdate >= o_orderdate for
+    the receipt-ordering predicate): per ship group, conditional counts
+    of high- vs low-priority orders. The join reduces orders to
+    (key, priority) before the shuffle; the CASE-sums are map-side
+    partial aggregates."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts(1996, 1, 1))
+        & (F.col("l_shipdate") < _ts(1997, 1, 1))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+"""
+
+
 def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: top-20 customers by revenue from returned
     lineitems. Deterministic order: decimal-exact revenue desc, then
@@ -427,6 +466,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_orders_per_priority": top_orders_per_priority,
     "supplier_part_join": supplier_part_join,
     "q4_slow_shipping_orders": q4_slow_shipping_orders,
+    "q12_shipmode_priority": q12_shipmode_priority,
     "q10_returned_revenue": q10_returned_revenue,
     "q18_large_orders": q18_large_orders,
     "q7_nation_trade_volume": q7_nation_trade_volume,
@@ -440,6 +480,7 @@ ORACLE_SQL: dict[str, str] = {
     "top_orders_per_priority": TOP_ORDERS_SQL,
     "supplier_part_join": SUPPLIER_PART_SQL,
     "q4_slow_shipping_orders": Q4_SQL,
+    "q12_shipmode_priority": Q12_SQL,
     "q10_returned_revenue": Q10_SQL,
     "q18_large_orders": Q18_SQL,
     "q7_nation_trade_volume": Q7_SQL,
