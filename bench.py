@@ -193,6 +193,9 @@ BENCH_QUERIES = [
     "rp_lsh_buckets_embeddings",
     "rp_candidate_pairs_embeddings",
     "rp_hamming_pairs_embeddings",
+    "q12_shipmode_priority",
+    "cusum_shift_events",
+    "changepoint_summary_events",
 ]
 
 KMEANS_FIT_K = 8

@@ -413,3 +413,157 @@ GROUP BY 1
 
 QUERIES["decayed_user_value"] = decayed_user_value
 ORACLE_SQL["decayed_user_value"] = DECAYED_USER_VALUE_SQL
+
+
+CUSUM_SLACK = 0.25
+CUSUM_THRESHOLD = 4.0
+CUSUM_BASELINE = 168  # in-control reference: first week of hourly buckets
+
+
+def _hourly_count_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", ns_to_timestamp("ts")
+    )
+    out = resample_counts(ev, ts_col="ts", key_col="event_type", unit="hour")
+    return out.select("key", F.unix_micros("bucket").alias("bucket_us"), "n")
+
+
+def cusum_shift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM level-shift statistic over the hourly event-count
+    grid (operators/timeseries.py::cusum_statistics) — the prefix-min
+    closed form of Page's recursion as pure window algebra, decimal-
+    accumulated so both engines agree bit-for-bit."""
+    from ..operators.timeseries import cusum_statistics
+
+    return cusum_statistics(
+        _hourly_count_series(spark, sf_dir),
+        key_col="key",
+        order_col="bucket_us",
+        value_col="n",
+        slack=CUSUM_SLACK,
+        threshold=CUSUM_THRESHOLD,
+        baseline_buckets=CUSUM_BASELINE,
+    )
+
+
+def changepoint_summary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key changepoint verdict: first CUSUM crossing, direction,
+    flag counts, max statistic (sentinels, not NULLs)."""
+    from ..operators.timeseries import changepoint_summary
+
+    return changepoint_summary(
+        _hourly_count_series(spark, sf_dir),
+        key_col="key",
+        order_col="bucket_us",
+        value_col="n",
+        slack=CUSUM_SLACK,
+        threshold=CUSUM_THRESHOLD,
+        baseline_buckets=CUSUM_BASELINE,
+    )
+
+
+_CUSUM_CORE = f"""
+WITH counts AS (
+  SELECT event_type AS key,
+         epoch_us(ts) - epoch_us(ts) % {_HOUR_US} AS bucket_us,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(bucket_us) AS lo, max(bucket_us) AS hi FROM counts),
+keys AS (SELECT DISTINCT event_type AS key FROM events),
+grid AS (
+  SELECT key, unnest(range(lo, hi + {_HOUR_US}, {_HOUR_US})) AS bucket_us
+  FROM keys, bounds
+),
+series AS (
+  SELECT g.key, g.bucket_us, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+  FROM grid g LEFT JOIN counts c USING (key, bucket_us)
+),
+ranked AS (
+  SELECT key, bucket_us, n,
+    row_number() OVER (PARTITION BY key ORDER BY bucket_us) AS rn
+  FROM series
+),
+mom AS (
+  SELECT key, bucket_us, n,
+    CAST(count(CASE WHEN rn <= {CUSUM_BASELINE} THEN n END) OVER wk
+         AS DOUBLE) AS cnt,
+    sum(CASE WHEN rn <= {CUSUM_BASELINE}
+             THEN CAST(n AS DOUBLE) END) OVER wk AS s1,
+    sum(CASE WHEN rn <= {CUSUM_BASELINE}
+             THEN CAST(n AS DOUBLE) * CAST(n AS DOUBLE) END) OVER wk AS s2
+  FROM ranked WINDOW wk AS (PARTITION BY key)
+),
+zs AS (
+  SELECT key, bucket_us, n,
+    CASE WHEN cnt > 1
+          AND greatest(0.0, (s2 - s1 * s1 / cnt) / (cnt - 1)) > 0
+         THEN (CAST(n AS DOUBLE) - s1 / cnt)
+              / sqrt(greatest(0.0, (s2 - s1 * s1 / cnt) / (cnt - 1)))
+         ELSE 0.0 END AS zscore
+  FROM mom
+),
+cums AS (
+  SELECT *,
+    sum(CAST(round(zscore, 6) AS DECIMAL(18,6))
+        - CAST({CUSUM_SLACK!r} AS DECIMAL(18,6))) OVER wc AS c_pos,
+    sum(-CAST(round(zscore, 6) AS DECIMAL(18,6))
+        - CAST({CUSUM_SLACK!r} AS DECIMAL(18,6))) OVER wc AS c_neg
+  FROM zs
+  WINDOW wc AS (PARTITION BY key ORDER BY bucket_us
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+stat AS (
+  SELECT key, bucket_us, n, zscore,
+    c_pos - least(CAST(0 AS DECIMAL(18,6)), min(c_pos) OVER wc) AS s_pos,
+    c_neg - least(CAST(0 AS DECIMAL(18,6)), min(c_neg) OVER wc) AS s_neg
+  FROM cums
+  WINDOW wc AS (PARTITION BY key ORDER BY bucket_us
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+flags AS (
+  -- decimal→double via exact integer micro-units + IEEE division:
+  -- direct DECIMAL→DOUBLE casts differ at 1 ulp between engines.
+  SELECT key, bucket_us, n, zscore,
+    CAST(CAST(s_pos * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0
+      AS cusum_pos,
+    CAST(CAST(s_neg * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0
+      AS cusum_neg,
+    CAST(s_pos > CAST({CUSUM_THRESHOLD!r} AS DECIMAL(18,6)) AS INTEGER)
+      AS shift_up,
+    CAST(s_neg > CAST({CUSUM_THRESHOLD!r} AS DECIMAL(18,6)) AS INTEGER)
+      AS shift_down
+  FROM stat
+)
+"""
+
+CUSUM_SQL = _CUSUM_CORE + """
+SELECT * FROM flags
+"""
+
+CHANGEPOINT_SUMMARY_SQL = _CUSUM_CORE + """
+, agg AS (
+  SELECT key,
+    CAST(count(*) AS BIGINT) AS n_buckets,
+    CAST(sum(shift_up) AS BIGINT) AS n_up_flags,
+    CAST(sum(shift_down) AS BIGINT) AS n_down_flags,
+    min(CASE WHEN shift_up = 1 THEN bucket_us END) AS fu,
+    min(CASE WHEN shift_down = 1 THEN bucket_us END) AS fd,
+    max(cusum_pos) AS max_cusum_pos,
+    max(cusum_neg) AS max_cusum_neg
+  FROM flags GROUP BY key
+)
+SELECT key, n_buckets, n_up_flags, n_down_flags,
+  coalesce(least(fu, fd), CAST(-1 AS BIGINT)) AS first_shift,
+  CASE WHEN fu IS NULL AND fd IS NULL THEN 'none'
+       WHEN fd IS NULL OR (fu IS NOT NULL AND fu < fd) THEN 'up'
+       WHEN fu IS NULL OR (fd < fu) THEN 'down'
+       ELSE 'both' END AS direction,
+  max_cusum_pos, max_cusum_neg
+FROM agg
+"""
+
+QUERIES["cusum_shift_events"] = cusum_shift_events
+ORACLE_SQL["cusum_shift_events"] = CUSUM_SQL
+QUERIES["changepoint_summary_events"] = changepoint_summary_events
+ORACLE_SQL["changepoint_summary_events"] = CHANGEPOINT_SUMMARY_SQL

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -337,4 +337,188 @@ def decayed_aggregate(
             F.sum(w).alias("decayed_n"),
             (F.sum(v * w) / F.sum(w)).alias("decayed_mean"),
         )
+    )
+
+
+def cusum_statistics(
+    series: DataFrame,
+    *,
+    key_col: str = "key",
+    order_col: str = "bucket",
+    value_col: str = "n",
+    slack: float = 0.5,
+    threshold: float = 5.0,
+    baseline_buckets: int | None = None,
+) -> DataFrame:
+    """Two-sided CUSUM level-shift statistic per key over an ordered
+    series (Page 1954) — the changepoint pass over a gap-filled
+    :func:`resample_counts` output; flags sustained mean shifts that
+    :func:`anomaly_flags`' pointwise z-test cannot see.
+
+    Page's recursion ``s+_t = max(0, s+_{t-1} + z_t - slack)`` is not a
+    window aggregate, but it has an exact prefix-min closed form:
+
+        c_t  = cumsum(z_i - slack)          (running sum)
+        s+_t = c_t - min(0, min_{j<=t} c_j) (running min, 0 = empty prefix)
+
+    (induction: ``max(0, s+_{t-1} + dz) = c_t - min(m_{t-1}, c_t)``), so
+    the whole statistic is two stacked window passes over ONE
+    key-partitioned exchange — no recursion, no UDF, no driver loop.
+    The non-resetting variant is reported (statistic keeps accumulating
+    after a crossing); every bucket above ``threshold`` is flagged.
+
+    Standardization: Page's chart standardizes against an IN-CONTROL
+    reference — pass ``baseline_buckets = N`` to estimate mean/std from
+    each key's first N buckets only (the proper formulation: a later
+    shift then pushes ONE side's z, so direction is unambiguous and the
+    shift cannot contaminate its own baseline). The default (``None``)
+    uses whole-partition moments — fine for "did the level move at all",
+    but a step change makes BOTH sides cross (early segment sits below
+    the contaminated global mean) and the reported direction is whichever
+    crossed first. Moments come from ``(count, sum, sum of squares)`` —
+    for integer-valued series (counts) these are EXACT in doubles
+    (< 2^53), so mean/std/z are bit-identical across engines and
+    partitionings; a zero-variance baseline gets ``z = 0`` everywhere
+    (no scale to measure shifts in) rather than a divide-by-zero.
+
+    Determinism: the statistic is a DIFFERENCE of two near-equal running
+    sums, so double accumulation would leave catastrophic-cancellation
+    noise (~1e-14, but a 6-sig-fig canon renders noise, not zero). The
+    accumulated term is therefore z QUANTIZED to a 1e-6 grid and summed
+    as DECIMAL(18,6) — exact, order-independent arithmetic; the ≤5e-7
+    per-step quantization bias is negligible against any useful
+    ``slack``. ``slack``/``threshold`` must be 6-dp-representable.
+
+    Output: input columns + ``(zscore, cusum_pos, cusum_neg, shift_up,
+    shift_down)`` (flags as INT 0/1 — the cross-engine boolean canon).
+
+    Scale: one Exchange on ``key_col``; the moments window, both
+    cumulative sums, and both running mins all share it (plan-asserted).
+    State per key is O(1); series length per key is unbounded but the
+    window frames are running (incremental), not re-scanned.
+    """
+    if slack < 0:
+        raise ValueError(f"slack must be >= 0, got {slack}")
+    if threshold <= 0:
+        raise ValueError(f"threshold must be positive, got {threshold}")
+    if baseline_buckets is not None and baseline_buckets < 2:
+        raise ValueError(
+            f"baseline_buckets must be >= 2, got {baseline_buckets}"
+        )
+    v = F.col(value_col).cast("double")
+    w_all = Window.partitionBy(key_col)
+    w_cum = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    if baseline_buckets is not None:
+        rn = F.row_number().over(
+            Window.partitionBy(key_col).orderBy(order_col)
+        )
+        b = F.when(rn <= baseline_buckets, v)
+    else:
+        b = v
+    cnt = F.count(b).over(w_all).cast("double")
+    s1 = F.sum(b).over(w_all)
+    s2 = F.sum(b * b).over(w_all)
+    mean = s1 / cnt
+    var = F.when(
+        cnt > 1, F.greatest(F.lit(0.0), (s2 - s1 * s1 / cnt) / (cnt - 1))
+    ).otherwise(F.lit(0.0))
+    z = F.when(var > 0, (v - mean) / F.sqrt(var)).otherwise(F.lit(0.0))
+    out = series.withColumn("zscore", z)
+    zq = F.round(F.col("zscore"), 6).cast("decimal(18,6)")
+    slack_d = F.lit(slack).cast("decimal(18,6)")
+    zero_d = F.lit(0).cast("decimal(18,6)")
+    out = out.withColumn(
+        "c_pos", F.sum(zq - slack_d).over(w_cum)
+    ).withColumn("c_neg", F.sum(-zq - slack_d).over(w_cum))
+    out = out.withColumn(
+        "s_pos",
+        F.col("c_pos") - F.least(zero_d, F.min("c_pos").over(w_cum)),
+    ).withColumn(
+        "s_neg",
+        F.col("c_neg") - F.least(zero_d, F.min("c_neg").over(w_cum)),
+    )
+    thr = F.lit(threshold).cast("decimal(18,6)")
+
+    # Decimal→double must go through exact integer micro-units + an IEEE
+    # division: engines disagree at 1 ulp on direct DECIMAL→DOUBLE casts
+    # (multiply-by-1e-6 vs correctly-rounded), and these values land ON
+    # the 1e-6 grid where 1 ulp flips a 6-sig-fig rendering.
+    def _dec_to_double(c: Column) -> Column:
+        return (c * F.lit(1_000_000)).cast("long") / F.lit(1_000_000.0)
+
+    return (
+        out.withColumns(
+            {
+                "cusum_pos": _dec_to_double(F.col("s_pos")),
+                "cusum_neg": _dec_to_double(F.col("s_neg")),
+                "shift_up": (F.col("s_pos") > thr).cast("int"),
+                "shift_down": (F.col("s_neg") > thr).cast("int"),
+            }
+        )
+        .drop("c_pos", "c_neg", "s_pos", "s_neg")
+    )
+
+
+def changepoint_summary(
+    series: DataFrame,
+    *,
+    key_col: str = "key",
+    order_col: str = "bucket",
+    value_col: str = "n",
+    slack: float = 0.5,
+    threshold: float = 5.0,
+    baseline_buckets: int | None = None,
+) -> DataFrame:
+    """Per-key changepoint verdict from :func:`cusum_statistics`: the
+    FIRST bucket whose CUSUM crosses ``threshold``, its direction, and
+    the maximum statistic reached. Keys with no crossing report
+    ``first_shift = -1`` / ``direction = 'none'`` (sentinels, not NULLs
+    — NULL numerics don't survive a pandas round-trip as NULLs).
+
+    One extra map-side-combinable aggregate over the statistic table;
+    no new shuffle beyond :func:`cusum_statistics`' single exchange.
+    """
+    stats = cusum_statistics(
+        series,
+        key_col=key_col,
+        order_col=order_col,
+        value_col=value_col,
+        slack=slack,
+        threshold=threshold,
+        baseline_buckets=baseline_buckets,
+    )
+    o = F.col(order_col)
+    first_up = F.min(F.when(F.col("shift_up") == 1, o))
+    first_down = F.min(F.when(F.col("shift_down") == 1, o))
+    agg = stats.groupBy(key_col).agg(
+        F.count("*").alias("n_buckets"),
+        F.sum("shift_up").cast("long").alias("n_up_flags"),
+        F.sum("shift_down").cast("long").alias("n_down_flags"),
+        first_up.alias("_fu"),
+        first_down.alias("_fd"),
+        F.max("cusum_pos").alias("max_cusum_pos"),
+        F.max("cusum_neg").alias("max_cusum_neg"),
+    )
+    fu, fd = F.col("_fu"), F.col("_fd")
+    direction = (
+        F.when(fu.isNull() & fd.isNull(), "none")
+        .when(fd.isNull() | (fu.isNotNull() & (fu < fd)), "up")
+        .when(fu.isNull() | (fd < fu), "down")
+        .otherwise("both")
+    )
+    return agg.select(
+        key_col,
+        "n_buckets",
+        "n_up_flags",
+        "n_down_flags",
+        F.coalesce(F.least(fu, fd), F.lit(-1).cast("long")).alias(
+            "first_shift"
+        ),
+        direction.alias("direction"),
+        "max_cusum_pos",
+        "max_cusum_neg",
     )

@@ -186,3 +186,116 @@ def test_decayed_aggregate_closed_form(spark):
     assert out[2]["decayed_sum"] == pytest.approx(6.0)
     with pytest.raises(ValueError, match="half_life"):
         decayed_aggregate(df, ["user_id"], "value", "ts", half_life_us=0, asof_us=asof)
+
+
+# ---------------------------------------------------------------- CUSUM
+
+
+def _cusum_reference(values, slack, threshold):
+    """Page's recursion on a 1e-6-quantized z grid (exact Decimal
+    arithmetic) — the ground truth the closed form must reproduce."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    n = len(values)
+    mean = sum(values) / n
+    var = sum((v - mean) ** 2 for v in values) / (n - 1) if n > 1 else 0.0
+    zs = [(v - mean) / var**0.5 if var > 0 else 0.0 for v in values]
+    q = [
+        Decimal(repr(z)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        for z in zs
+    ]
+    k = Decimal(repr(slack))
+    sp = sn = Decimal(0)
+    out = []
+    for z in q:
+        sp = max(Decimal(0), sp + z - k)
+        sn = max(Decimal(0), sn - z - k)
+        out.append((float(sp), float(sn)))
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_cusum_matches_pages_recursion(spark, seed):
+    """The prefix-min closed form equals the sequential recursion
+    (random series with an injected level shift)."""
+    import random
+
+    from k_means_using_mapreduce_spark.operators.timeseries import (
+        cusum_statistics,
+    )
+
+    rng = random.Random(seed)
+    vals = [rng.randint(0, 20) for _ in range(40)]
+    vals += [v + 15 for v in (rng.randint(0, 20) for _ in range(20))]
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(vals)], "key string, bucket long, n long"
+    )
+    out = (
+        cusum_statistics(df, slack=0.25, threshold=4.0)
+        .orderBy("bucket")
+        .collect()
+    )
+    ref = _cusum_reference([float(v) for v in vals], 0.25, 4.0)
+    for row, (sp, sn) in zip(out, ref):
+        assert row["cusum_pos"] == pytest.approx(sp, abs=1e-9)
+        assert row["cusum_neg"] == pytest.approx(sn, abs=1e-9)
+        assert row["shift_up"] == int(sp > 4.0)
+        assert row["shift_down"] == int(sn > 4.0)
+    # the injected +15-sigma-ish shift must be detected, and not before it
+    assert any(r["shift_up"] == 1 for r in out[40:])
+    assert all(r["shift_up"] == 0 for r in out[:35])
+
+
+def test_cusum_constant_series_never_flags(spark):
+    from k_means_using_mapreduce_spark.operators.timeseries import (
+        cusum_statistics,
+    )
+
+    df = spark.createDataFrame(
+        [("k", i, 7) for i in range(20)], "key string, bucket long, n long"
+    )
+    rows = cusum_statistics(df).collect()
+    assert all(r["zscore"] == 0.0 for r in rows)
+    assert all(r["shift_up"] == 0 and r["shift_down"] == 0 for r in rows)
+
+
+def test_changepoint_summary_sentinels_and_direction(spark):
+    from k_means_using_mapreduce_spark.operators.timeseries import (
+        changepoint_summary,
+    )
+
+    flat = [("flat", i, 5 + (i % 2)) for i in range(60)]
+    up = [("up", i, 3 + (i % 3)) for i in range(30)] + [
+        ("up", 30 + i, 40) for i in range(30)
+    ]
+    down = [("down", i, 40 + (i % 3)) for i in range(30)] + [
+        ("down", 30 + i, 3) for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        flat + up + down, "key string, bucket long, n long"
+    )
+    by_key = {
+        r["key"]: r
+        for r in changepoint_summary(
+            df, threshold=4.0, baseline_buckets=30
+        ).collect()
+    }
+    assert by_key["flat"]["direction"] == "none"
+    assert by_key["flat"]["first_shift"] == -1
+    assert by_key["up"]["direction"] == "up"
+    assert by_key["up"]["first_shift"] >= 30
+    assert by_key["down"]["direction"] == "down"
+    assert by_key["down"]["first_shift"] >= 30
+
+
+def test_cusum_single_exchange_plan(spark):
+    """Moments window + both cumulative passes share ONE hash exchange
+    on the key column."""
+    from k_means_using_mapreduce_spark.operators.timeseries import (
+        cusum_statistics,
+    )
+
+    df = spark.createDataFrame(
+        [("k", i, i % 5) for i in range(50)], "key string, bucket long, n long"
+    )
+    assert exchange_count(cusum_statistics(df)) == 1
