@@ -196,6 +196,8 @@ BENCH_QUERIES = [
     "q12_shipmode_priority",
     "cusum_shift_events",
     "changepoint_summary_events",
+    "bloom_prefilter_lineitem",
+    "bloom_vs_exact_lineitem",
 ]
 
 KMEANS_FIT_K = 8

@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import (
+    bloom_queries,
     card_queries,
     cleaning_queries,
     dedup_queries,
@@ -56,6 +57,7 @@ from . import (
 
 _MODULES = [
     kmeans_queries,
+    bloom_queries,
     card_queries,
     url_queries,
     zorder_queries,
