@@ -198,6 +198,8 @@ BENCH_QUERIES = [
     "changepoint_summary_events",
     "bloom_prefilter_lineitem",
     "bloom_vs_exact_lineitem",
+    "fs_u_probabilities_customers",
+    "fs_match_scores_customers",
 ]
 
 KMEANS_FIT_K = 8

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -138,3 +138,182 @@ def sorted_neighborhood_candidates(
         "rank_gap",
     )
     return pairs
+
+
+def fs_u_probabilities(
+    df: DataFrame, fields: Sequence[str]
+) -> DataFrame:
+    """Fellegi-Sunter u-probabilities estimated from the data itself:
+    ``u_f = P(two RANDOM records agree on f) = Σ_v (n_v / N)²`` — the
+    value-collision probability, computable exactly from one grouped
+    count per field (no pair enumeration, no sampling). The classic
+    "u from random pairing" estimator (Fellegi & Sunter 1969 §3;
+    agreement among non-matches looks like agreement among random
+    pairs when the match prevalence is low).
+
+    Output: ``(field, u)``. Values compare on their string form so
+    heterogeneous field types can share one pass: the fields unpivot
+    into (field, value) rows, ONE groupBy counts every field's values
+    together (map-side combinable), a second tiny aggregate sums the
+    squared shares.
+
+    The self-pair inclusion (a record always agrees with itself) is
+    the standard simplification and overestimates u by O(1/N).
+    """
+    if not fields:
+        raise ValueError("fields must be non-empty")
+    n = df.count()
+    if n == 0:
+        raise ValueError("cannot estimate u-probabilities on an empty input")
+    unpivoted = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f).alias("field"),
+                        F.col(f).cast("string").alias("value"),
+                    )
+                    for f in fields
+                ]
+            )
+        ).alias("fv")
+    ).select("fv.field", "fv.value")
+    counts = unpivoted.groupBy("field", "value").count()
+    share = F.col("count").cast("double") / F.lit(float(n))
+    return (
+        counts.groupBy("field")
+        .agg(F.sum(share * share).alias("u"))
+    )
+
+
+def fs_score_pairs(
+    pairs: DataFrame,
+    agreements: dict[str, Column],
+    m: dict[str, float],
+    u: dict[str, float],
+    *,
+    upper: float,
+    lower: float,
+) -> DataFrame:
+    """Fellegi-Sunter log-likelihood match scoring of candidate pairs.
+
+    Each comparison field contributes its classic binary agreement
+    weight — ``log2(m_f / u_f)`` on agreement, ``log2((1-m_f)/(1-u_f))``
+    on disagreement — and the pair's total weight drives the three-way
+    decision: ``match`` above ``upper``, ``non_match`` below ``lower``,
+    ``possible`` (clerical-review band) between. (Fellegi & Sunter
+    1969: this threshold rule is the provably optimal decision given
+    the conditional-independence model.)
+
+    ``agreements`` maps field → boolean Column over the pair row (NULL
+    counts as disagreement); ``m``/``u`` must cover the same keys, with
+    ``0 < u < m < 1`` (m ≤ u would make agreement evidence AGAINST a
+    match — a configuration error, rejected). Weights are precomputed
+    Python doubles folded in as literals and summed in the given field
+    order, so any SQL oracle embedding the same literals reproduces the
+    score bit-for-bit.
+
+    Output: input columns + ``agree_<field>`` INT flags, ``weight``
+    (double), ``decision`` (string). Pure per-row expression algebra —
+    no shuffle beyond whatever produced the pairs.
+    """
+    import math
+
+    if set(agreements) != set(m) or set(agreements) != set(u):
+        raise ValueError("agreements, m, u must share the same field keys")
+    if not agreements:
+        raise ValueError("at least one comparison field is required")
+    if lower > upper:
+        raise ValueError(f"lower {lower} must be <= upper {upper}")
+    for f in agreements:
+        if not (0.0 < u[f] < m[f] < 1.0):
+            raise ValueError(
+                f"need 0 < u < m < 1 for field {f!r}, got m={m[f]}, u={u[f]}"
+            )
+    out = pairs
+    weight = None
+    for f, cond in agreements.items():
+        w_agree = math.log2(m[f] / u[f])
+        w_disagree = math.log2((1.0 - m[f]) / (1.0 - u[f]))
+        flag = F.coalesce(cond, F.lit(False))
+        out = out.withColumn(f"agree_{f}", flag.cast("int"))
+        term = F.when(flag, F.lit(w_agree)).otherwise(F.lit(w_disagree))
+        weight = term if weight is None else weight + term
+    decision = (
+        F.when(F.col("weight") > upper, "match")
+        .when(F.col("weight") < lower, "non_match")
+        .otherwise("possible")
+    )
+    return out.withColumn("weight", weight).withColumn("decision", decision)
+
+
+def fs_em(
+    pairs: DataFrame,
+    fields: Sequence[str],
+    *,
+    iters: int = 10,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+    init_p: float = 0.1,
+) -> dict:
+    """EM estimation of the Fellegi-Sunter parameters from UNLABELED
+    candidate pairs (Winkler 1988) — the standard way to get ``m``
+    when no training matches exist.
+
+    ``pairs`` must carry ``agree_<field>`` 0/1 columns (the
+    :func:`fs_score_pairs` flags). Each iteration is one map-side-
+    combinable aggregate over the cached pairs (flat lineage, the
+    K-Means driver-loop doctrine — operators/kmeans.py): the E-step
+    posterior ``P(M|γ)`` is a per-row expression, the M-step
+    re-estimates ``m_f = E[γ_f · w] / E[w]``, ``u_f`` likewise with
+    ``1-w``, and the prevalence ``p = mean(w)``. Parameters are K
+    floats on the driver — the only driver-side state.
+
+    Returns ``{"m": {...}, "u": {...}, "p": float, "iters": int}``.
+    Estimates are clamped to [1e-6, 1-1e-6] so a degenerate field
+    cannot push a log-weight to ±inf.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if not fields:
+        raise ValueError("fields must be non-empty")
+    eps = 1e-6
+    m = {f: init_m for f in fields}
+    u = {f: init_u for f in fields}
+    p = init_p
+    cached = pairs.select(
+        *[F.col(f"agree_{f}").cast("double").alias(f) for f in fields]
+    ).cache()
+    try:
+        for _ in range(iters):
+            lm = math_log(p)
+            lu = math_log(1.0 - p)
+            for f in fields:
+                g = F.col(f)
+                lm = lm + g * math_log(m[f]) + (1 - g) * math_log(1.0 - m[f])
+                lu = lu + g * math_log(u[f]) + (1 - g) * math_log(1.0 - u[f])
+            # posterior via the stable logistic form
+            w = F.lit(1.0) / (F.lit(1.0) + F.exp(lu - lm))
+            aggs = [F.sum(w).alias("_sw"), F.count("*").alias("_n")]
+            for f in fields:
+                aggs.append(F.sum(w * F.col(f)).alias(f"_swg_{f}"))
+                aggs.append(
+                    F.sum((F.lit(1.0) - w) * F.col(f)).alias(f"_sng_{f}")
+                )
+            row = cached.agg(*aggs).collect()[0]
+            sw, n = row["_sw"], row["_n"]
+            clamp = lambda x: min(1.0 - eps, max(eps, x))  # noqa: E731
+            for f in fields:
+                m[f] = clamp(row[f"_swg_{f}"] / max(sw, eps))
+                u[f] = clamp(row[f"_sng_{f}"] / max(n - sw, eps))
+            p = clamp(sw / n)
+    finally:
+        cached.unpersist()
+    return {"m": m, "u": u, "p": p, "iters": iters}
+
+
+def math_log(x: float):
+    """Literal ln column (helper for :func:`fs_em`'s expression build)."""
+    import math
+
+    return F.lit(math.log(x))

@@ -4,6 +4,7 @@ cap, plan shape (equi-join on block keys, no cartesian)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from k_means_using_mapreduce_spark.operators.entity import (
     blocked_match_candidates,
@@ -92,3 +93,99 @@ def test_sorted_neighborhood_closed_form(spark):
     assert all(a < b for a, b in got)
     with _pt.raises(ValueError, match="window"):
         sorted_neighborhood_candidates(df, SF.col("name"), window=0)
+
+
+# ------------------------------------------------------- Fellegi-Sunter
+
+
+def test_fs_score_pairs_weights_and_decisions(spark):
+    import math
+
+    from k_means_using_mapreduce_spark.operators.entity import fs_score_pairs
+
+    pairs = spark.createDataFrame(
+        [(1, 2, "x", "x"), (3, 4, "x", "y")],
+        "id_a long, id_b long, va string, vb string",
+    )
+    m, u = {"v": 0.9}, {"v": 0.1}
+    out = fs_score_pairs(
+        pairs,
+        {"v": F.col("va") == F.col("vb")},
+        m,
+        u,
+        upper=1.0,
+        lower=-1.0,
+    ).collect()
+    by = {r["id_a"]: r for r in out}
+    assert by[1]["agree_v"] == 1
+    assert by[1]["weight"] == pytest.approx(math.log2(9.0))
+    assert by[1]["decision"] == "match"
+    assert by[3]["agree_v"] == 0
+    assert by[3]["weight"] == pytest.approx(math.log2(0.1 / 0.9))
+    assert by[3]["decision"] == "non_match"
+
+
+def test_fs_score_pairs_null_agreement_is_disagreement(spark):
+    from k_means_using_mapreduce_spark.operators.entity import fs_score_pairs
+
+    pairs = spark.createDataFrame(
+        [(1, 2, None, "x")], "id_a long, id_b long, va string, vb string"
+    )
+    out = fs_score_pairs(
+        pairs, {"v": F.col("va") == F.col("vb")},
+        {"v": 0.9}, {"v": 0.1}, upper=1.0, lower=-1.0,
+    ).collect()[0]
+    assert out["agree_v"] == 0
+
+
+def test_fs_score_pairs_rejects_bad_mu(spark):
+    from k_means_using_mapreduce_spark.operators.entity import fs_score_pairs
+
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="0 < u < m < 1"):
+        fs_score_pairs(
+            pairs, {"v": F.lit(True)}, {"v": 0.1}, {"v": 0.9},
+            upper=1.0, lower=-1.0,
+        )
+
+
+def test_fs_u_probabilities_collision_law(spark):
+    from k_means_using_mapreduce_spark.operators.entity import (
+        fs_u_probabilities,
+    )
+
+    # 4 values of a: 2+1+1 of 4 -> u = (2/4)^2+(1/4)^2+(1/4)^2 = 0.375
+    # b constant -> u = 1.0
+    df = spark.createDataFrame(
+        [("x", "c"), ("x", "c"), ("y", "c"), ("z", "c")],
+        "a string, b string",
+    )
+    got = {r["field"]: r["u"] for r in fs_u_probabilities(df, ["a", "b"]).collect()}
+    assert got["a"] == pytest.approx(0.375)
+    assert got["b"] == pytest.approx(1.0)
+
+
+def test_fs_em_separates_planted_duplicates(spark):
+    """EM on unlabeled pairs recovers m >> u and a sane prevalence when
+    20% of pairs are planted near-duplicates agreeing on most fields."""
+    import random
+
+    from k_means_using_mapreduce_spark.operators.entity import fs_em
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(400):
+        if i % 5 == 0:  # true match: agree on ~95% of fields
+            g = [int(rng.random() < 0.95) for _ in range(3)]
+        else:  # non-match: agree at background rates
+            g = [int(rng.random() < 0.15) for _ in range(3)]
+        rows.append((i, *g))
+    df = spark.createDataFrame(
+        rows, "pair_id long, agree_f1 int, agree_f2 int, agree_f3 int"
+    )
+    est = fs_em(df, ["f1", "f2", "f3"], iters=15)
+    for f in ["f1", "f2", "f3"]:
+        assert est["m"][f] > 0.7
+        assert est["u"][f] < 0.3
+        assert est["m"][f] > est["u"][f]
+    assert 0.1 < est["p"] < 0.35
