@@ -200,6 +200,8 @@ BENCH_QUERIES = [
     "bloom_vs_exact_lineitem",
     "fs_u_probabilities_customers",
     "fs_match_scores_customers",
+    "user_cooccurrence_triangles",
+    "cooccurrence_graph_summary",
 ]
 
 KMEANS_FIT_K = 8

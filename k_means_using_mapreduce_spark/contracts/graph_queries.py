@@ -123,3 +123,111 @@ LIMIT 20
 
 QUERIES["frequent_event_paths"] = frequent_event_paths
 ORACLE_SQL["frequent_event_paths"] = FREQUENT_PATHS_SQL
+
+
+from pyspark.sql import functions as F
+
+_MINUTE_NS = 60_000_000_000
+_COOC_CAP = 20
+
+
+def _user_cooc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import cooccurrence_edges
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.col("ts") - F.col("ts") % _MINUTE_NS).alias("minute_ns"),
+        "event_type",
+    )
+    return cooccurrence_edges(
+        ev, "user_id", ["minute_ns", "event_type"],
+        max_group_size=_COOC_CAP,
+    )
+
+
+def user_cooccurrence_triangles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-user degree / triangle count / local clustering over the
+    minute-level co-activity graph (operators/graph.py::
+    cooccurrence_edges + triangle_stats)."""
+    from ..operators.graph import triangle_stats
+
+    return triangle_stats(_user_cooc_edges(spark, sf_dir))
+
+
+def cooccurrence_graph_summary(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One-row graph census: nodes, edges, triangles, global clustering
+    (operators/graph.py::triangle_summary)."""
+    from ..operators.graph import triangle_summary
+
+    return triangle_summary(_user_cooc_edges(spark, sf_dir))
+
+
+_TRI_CORE = f"""
+WITH base AS (
+  SELECT DISTINCT user_id AS id,
+         epoch_ns(ts) - epoch_ns(ts) % {_MINUTE_NS} AS g1,
+         event_type AS g2
+  FROM events
+),
+ok AS (SELECT g1, g2 FROM base GROUP BY 1, 2 HAVING count(*) <= {_COOC_CAP}),
+b2 AS (SELECT base.* FROM base JOIN ok USING (g1, g2)),
+edges AS (
+  SELECT DISTINCT a.id AS src, b.id AS dst
+  FROM b2 a JOIN b2 b USING (g1, g2) WHERE a.id < b.id
+),
+tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM edges e1
+  JOIN edges e2 ON e1.dst = e2.src
+  JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+pern AS (
+  SELECT node, count(*) AS triangles FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY 1
+),
+deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+  ) GROUP BY 1
+),
+stats AS (
+  SELECT deg.node,
+    CAST(degree AS BIGINT) AS degree,
+    CAST(coalesce(triangles, 0) AS BIGINT) AS triangles,
+    CASE WHEN degree >= 2
+         THEN 2.0 * CAST(coalesce(triangles, 0) AS DOUBLE)
+              / (CAST(degree AS DOUBLE) * (CAST(degree AS DOUBLE) - 1.0))
+         ELSE 0.0 END AS clustering
+  FROM deg LEFT JOIN pern USING (node)
+)
+"""
+
+TRIANGLES_SQL = _TRI_CORE + """
+SELECT * FROM stats
+"""
+
+TRI_SUMMARY_SQL = _TRI_CORE + """
+SELECT
+  CAST(count(*) AS BIGINT) AS n_nodes,
+  CAST(CAST(sum(degree) AS DOUBLE) / 2 AS BIGINT) AS n_edges,
+  CAST(CAST(sum(triangles) AS DOUBLE) / 3 AS BIGINT) AS n_triangles,
+  CASE WHEN sum(CAST(degree AS DOUBLE) * (CAST(degree AS DOUBLE) - 1.0)
+               / 2.0) > 0
+       THEN CAST(sum(triangles) AS DOUBLE)
+            / sum(CAST(degree AS DOUBLE) * (CAST(degree AS DOUBLE) - 1.0)
+                  / 2.0)
+       ELSE 0.0 END AS global_clustering
+FROM stats
+"""
+
+QUERIES["user_cooccurrence_triangles"] = user_cooccurrence_triangles
+ORACLE_SQL["user_cooccurrence_triangles"] = TRIANGLES_SQL
+QUERIES["cooccurrence_graph_summary"] = cooccurrence_graph_summary
+ORACLE_SQL["cooccurrence_graph_summary"] = TRI_SUMMARY_SQL

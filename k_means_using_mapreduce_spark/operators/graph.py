@@ -34,6 +34,8 @@ driver-loop shape mirrors operators/kmeans.py::kmeans_fit
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -314,4 +316,125 @@ def event_paths(
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), *[F.asc(c) for c in names])
         .limit(top)
+    )
+
+
+def cooccurrence_edges(
+    df: DataFrame,
+    id_col: str,
+    group_cols: Sequence[str],
+    *,
+    max_group_size: int | None = None,
+) -> DataFrame:
+    """Undirected co-occurrence edges: ``(src, dst)`` with src < dst,
+    distinct, for every pair of ids sharing a group — the bipartite
+    projection (user×context → user–user) that turns logs into a
+    graph for community/triangle analysis.
+
+    Scale: the self-join is EQUI on the group key, so the quadratic
+    cost is per-group, and ``max_group_size`` drops degenerate hub
+    groups BEFORE pairing (the blocking-cap doctrine shared with
+    entity.py / dedup.py: a context half the population shares
+    produces no informative edges, only |G|² shuffle). The DISTINCT
+    dedups multi-context pairs down to simple edges.
+    """
+    group_cols = list(group_cols)
+    if not group_cols:
+        raise ValueError("cooccurrence_edges needs group_cols")
+    base = df.select(F.col(id_col).alias("_id"), *group_cols).distinct()
+    if max_group_size is not None:
+        if max_group_size < 2:
+            raise ValueError(
+                f"max_group_size must be >= 2, got {max_group_size}"
+            )
+        ok = (
+            base.groupBy(*group_cols)
+            .agg(F.count("*").alias("_gn"))
+            .where(F.col("_gn") <= max_group_size)
+            .drop("_gn")
+        )
+        base = base.join(ok, group_cols, "left_semi")
+    left = base.select(*group_cols, F.col("_id").alias("src"))
+    right = base.select(*group_cols, F.col("_id").alias("dst"))
+    return (
+        left.join(right, group_cols)
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts and local clustering coefficient over
+    canonical undirected edges (``src < dst``, simple).
+
+    The order-canonical enumeration (Suri & Vassilvitskii 2011's
+    MR triangle counting, natural in joins): with every edge stored
+    low→high, a triangle a<b<c is found EXACTLY once as wedge
+    (a,b)+(b,c) closed by (a,c) — two equi-joins, no post-dedup.
+    Each triangle then credits its 3 corners via one explode.
+
+    Output: ``(node, degree, triangles, clustering)`` for every node
+    with degree ≥ 1, where clustering = 2T / (d·(d-1)) (0 when d < 2).
+
+    Scale: both joins key on a node id — skew follows hub nodes, so
+    feed edges from :func:`cooccurrence_edges` with its hub cap, or
+    pre-filter high-degree nodes (the standard truncated variant).
+    """
+    e = edges.select("src", "dst")
+    ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    ac = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    per_node = (
+        tri.select(
+            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias(
+                "node"
+            )
+        )
+        .groupBy("node")
+        .agg(F.count("*").alias("triangles"))
+    )
+    deg = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    d = F.col("degree").cast("double")
+    t = F.coalesce(F.col("triangles"), F.lit(0)).cast("long")
+    return deg.join(per_node, "node", "left").select(
+        "node",
+        "degree",
+        t.alias("triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            2.0 * t.cast("double") / (d * (d - 1.0)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering"),
+    )
+
+
+def triangle_summary(edges: DataFrame) -> DataFrame:
+    """One-row graph summary: node/edge/triangle counts and the global
+    clustering coefficient ``3·triangles / wedges`` (wedges =
+    Σ_v C(deg v, 2); 0 when the graph has no wedge)."""
+    stats = triangle_stats(edges)
+    d = F.col("degree").cast("double")
+    return stats.agg(
+        F.count("*").alias("n_nodes"),
+        (F.sum("degree") / 2).cast("long").alias("n_edges"),
+        (F.sum("triangles") / 3).cast("long").alias("n_triangles"),
+        F.sum(d * (d - 1.0) / 2.0).alias("_wedges"),
+        F.sum("triangles").alias("_tri3"),
+    ).select(
+        "n_nodes",
+        "n_edges",
+        "n_triangles",
+        F.when(
+            F.col("_wedges") > 0, F.col("_tri3") / F.col("_wedges")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("global_clustering"),
     )

@@ -160,3 +160,75 @@ def test_personalized_pagerank_concentrates_on_seed_neighborhood(spark):
         pagerank(e, max_iter=2, personalization={"nope": 1.0})
     with pytest.raises(ValueError, match="non-empty"):
         pagerank(e, max_iter=2, personalization={})
+
+
+# ------------------------------------------------------------ triangles
+
+
+def test_triangle_stats_known_graph(spark):
+    """K4 minus one edge: nodes 1-2-3 form a triangle, 4 hangs off 2,3."""
+    from k_means_using_mapreduce_spark.operators.graph import triangle_stats
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)], "src long, dst long"
+    )
+    by = {r["node"]: r for r in triangle_stats(edges).collect()}
+    assert by[1]["degree"] == 2 and by[1]["triangles"] == 1
+    assert by[1]["clustering"] == 1.0
+    assert by[2]["degree"] == 3 and by[2]["triangles"] == 2
+    assert by[2]["clustering"] == pytest.approx(2 / 3)
+    assert by[4]["degree"] == 2 and by[4]["triangles"] == 1
+
+
+def test_triangle_summary_counts_each_triangle_once(spark):
+    from k_means_using_mapreduce_spark.operators.graph import (
+        triangle_summary,
+    )
+
+    # two triangles sharing edge (1,2)
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (1, 4), (2, 4)], "src long, dst long"
+    )
+    row = triangle_summary(edges).collect()[0]
+    assert row["n_nodes"] == 4
+    assert row["n_edges"] == 5
+    assert row["n_triangles"] == 2
+    # wedges: deg = [3,3,2,2] -> 3+3+1+1 = 8; closed 3*2=6 -> 0.75
+    assert row["global_clustering"] == pytest.approx(0.75)
+
+
+def test_triangle_free_graph(spark):
+    from k_means_using_mapreduce_spark.operators.graph import (
+        triangle_stats,
+        triangle_summary,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"  # a path
+    )
+    assert all(
+        r["triangles"] == 0 and r["clustering"] == 0.0
+        for r in triangle_stats(edges).collect()
+    )
+    row = triangle_summary(edges).collect()[0]
+    assert row["n_triangles"] == 0 and row["global_clustering"] == 0.0
+
+
+def test_cooccurrence_edges_cap_and_canonical(spark):
+    from k_means_using_mapreduce_spark.operators.graph import (
+        cooccurrence_edges,
+    )
+
+    rows = [(u, "g1") for u in range(5)] + [(u, "g2") for u in range(50)]
+    df = spark.createDataFrame(rows, "uid long, grp string")
+    out = cooccurrence_edges(
+        df, "uid", ["grp"], max_group_size=10
+    ).collect()
+    # g2 (50 members) dropped by the cap; g1 gives C(5,2)=10 pairs
+    assert len(out) == 10
+    assert all(r["src"] < r["dst"] for r in out)
+    # duplicate membership rows must not duplicate edges
+    df2 = spark.createDataFrame(
+        [(1, "g"), (1, "g"), (2, "g")], "uid long, grp string"
+    )
+    assert cooccurrence_edges(df2, "uid", ["grp"]).count() == 1
