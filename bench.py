@@ -202,6 +202,7 @@ BENCH_QUERIES = [
     "fs_match_scores_customers",
     "user_cooccurrence_triangles",
     "cooccurrence_graph_summary",
+    "lightweight_coreset_embeddings",
 ]
 
 KMEANS_FIT_K = 8

@@ -16,6 +16,7 @@ from . import (
     bloom_queries,
     card_queries,
     cleaning_queries,
+    coreset_queries,
     dedup_queries,
     diff_queries,
     encode_queries,
@@ -59,6 +60,7 @@ _MODULES = [
     kmeans_queries,
     bloom_queries,
     card_queries,
+    coreset_queries,
     url_queries,
     zorder_queries,
     dedup_queries,
