@@ -203,6 +203,7 @@ BENCH_QUERIES = [
     "user_cooccurrence_triangles",
     "cooccurrence_graph_summary",
     "lightweight_coreset_embeddings",
+    "embedding_covariance",
 ]
 
 KMEANS_FIT_K = 8

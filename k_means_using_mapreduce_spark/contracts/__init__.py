@@ -29,6 +29,7 @@ from . import (
     lm_queries,
     multimodal_queries,
     packing_queries,
+    pca_queries,
     pq_queries,
     quality_queries,
     quantize_queries,
@@ -78,6 +79,7 @@ _MODULES = [
     packing_queries,
     quality_queries,
     quantize_queries,
+    pca_queries,
     pq_queries,
     similarity_queries,
     skew_queries,
