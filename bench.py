@@ -204,6 +204,8 @@ BENCH_QUERIES = [
     "cooccurrence_graph_summary",
     "lightweight_coreset_embeddings",
     "embedding_covariance",
+    "l_diversity_events",
+    "survival_curve_users",
 ]
 
 KMEANS_FIT_K = 8

@@ -47,6 +47,7 @@ from . import (
     span_queries,
     sql_queries,
     stats_queries,
+    survival_queries,
     temporal_queries,
     text_queries,
     timeseries_queries,
@@ -60,6 +61,7 @@ from . import (
 _MODULES = [
     kmeans_queries,
     bloom_queries,
+    survival_queries,
     card_queries,
     coreset_queries,
     url_queries,

@@ -524,3 +524,51 @@ FROM g
 
 QUERIES["k_anonymity_events"] = k_anonymity_events
 ORACLE_SQL["k_anonymity_events"] = K_ANONYMITY_SQL
+
+
+def l_diversity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity audit: within each (event_type, hour-of-day)
+    quasi-class, are there at least 3 distinct value buckets?
+    (operators/cleaning.py::l_diversity_report — the content-side
+    companion of k_anonymity_events)."""
+    from ..operators.cleaning import l_diversity_report
+
+    hour_of_day = (
+        (F.col("ts") % 86_400_000_000_000) / 3_600_000_000_000
+    ).cast("long")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        hour_of_day.alias("hour_of_day"),
+        F.floor(F.col("value") / 100).alias("value_bucket"),
+    )
+    return l_diversity_report(
+        events, ["event_type", "hour_of_day"], "value_bucket", l=3
+    )
+
+
+L_DIVERSITY_SQL = """
+WITH vals AS (
+  SELECT event_type,
+         ((epoch_ns(ts) % 86400000000000) // 3600000000000) AS hour_of_day,
+         floor(value / 100) AS value_bucket,
+         count(*) AS c
+  FROM events GROUP BY 1, 2, 3
+),
+groups AS (
+  SELECT event_type, hour_of_day,
+         CAST(sum(c) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS n_distinct
+  FROM vals GROUP BY 1, 2
+)
+SELECT 3 AS l,
+  CAST(count(*) AS BIGINT) AS n_groups,
+  CAST(sum(CASE WHEN n_distinct < 3 THEN 1 ELSE 0 END) AS BIGINT)
+    AS violating_groups,
+  CAST(sum(CASE WHEN n_distinct < 3 THEN n ELSE 0 END) AS BIGINT)
+    AS violating_rows,
+  min(n_distinct) AS min_distinct
+FROM groups
+"""
+
+QUERIES["l_diversity_events"] = l_diversity_events
+ORACLE_SQL["l_diversity_events"] = L_DIVERSITY_SQL

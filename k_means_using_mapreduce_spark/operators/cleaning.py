@@ -785,3 +785,65 @@ def k_anonymity_report(
             F.max(F.when(viol, F.col("_n"))), F.lit(0)
         ).alias("max_violating_n"),
     )
+
+
+def group_diversity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+) -> DataFrame:
+    """Per-equivalence-class diversity of a sensitive attribute:
+    ``(quasi..., n, n_distinct, entropy)`` where entropy is the Shannon
+    entropy (nats) of the sensitive-value distribution inside the
+    class. The measurement layer under :func:`l_diversity_report`.
+
+    Two stacked map-side-combinable aggregates (values-within-class,
+    then class) — never a distinct over the raw rows."""
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    vals = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count("*").alias("_c")
+    )
+    n = F.sum("_c")
+    # window-free formulation: entropy = ln(n) - (Σ c·ln c)/n
+    return vals.groupBy(*quasi_cols).agg(
+        n.cast("long").alias("n"),
+        F.count("*").alias("n_distinct"),
+        (
+            F.log(n.cast("double"))
+            - F.sum(F.col("_c").cast("double") * F.log(F.col("_c").cast("double")))
+            / n.cast("double")
+        ).alias("entropy"),
+    )
+
+
+def l_diversity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    *,
+    l: int = 3,
+) -> DataFrame:
+    """Distinct l-diversity audit (Machanavajjhala et al. 2007): a
+    k-anonymous class is still disclosive if everyone in it shares the
+    sensitive value — each class must contain ≥ ``l`` DISTINCT
+    sensitive values. One row: ``(l, n_groups, violating_groups,
+    violating_rows, min_distinct)``; the summary counts are integer-
+    exact (the entropy variant lives in :func:`group_diversity` —
+    thresholding entropy cross-engine invites ties at exactly ln(l),
+    so the report audits the distinct criterion).
+
+    Same two-aggregate shape as :func:`k_anonymity_report`; run both —
+    k-anonymity bounds class SIZE, l-diversity bounds class CONTENT.
+    """
+    if l < 2:
+        raise ValueError(f"l must be >= 2, got {l}")
+    groups = group_diversity(df, quasi_cols, sensitive_col)
+    viol = F.col("n_distinct") < l
+    return groups.agg(
+        F.lit(l).alias("l"),
+        F.count("*").alias("n_groups"),
+        F.sum(viol.cast("long")).alias("violating_groups"),
+        F.sum(F.when(viol, F.col("n")).otherwise(0)).alias("violating_rows"),
+        F.min("n_distinct").alias("min_distinct"),
+    )
