@@ -206,6 +206,7 @@ BENCH_QUERIES = [
     "embedding_covariance",
     "l_diversity_events",
     "survival_curve_users",
+    "dbscan_classes_lineitem",
 ]
 
 KMEANS_FIT_K = 8

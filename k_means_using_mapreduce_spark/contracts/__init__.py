@@ -17,6 +17,7 @@ from . import (
     card_queries,
     cleaning_queries,
     coreset_queries,
+    dbscan_queries,
     dedup_queries,
     diff_queries,
     encode_queries,
@@ -64,6 +65,7 @@ _MODULES = [
     survival_queries,
     card_queries,
     coreset_queries,
+    dbscan_queries,
     url_queries,
     zorder_queries,
     dedup_queries,
