@@ -207,6 +207,7 @@ BENCH_QUERIES = [
     "l_diversity_events",
     "survival_curve_users",
     "dbscan_classes_lineitem",
+    "user_markov_surprisal",
 ]
 
 KMEANS_FIT_K = 8

@@ -231,3 +231,38 @@ QUERIES["user_cooccurrence_triangles"] = user_cooccurrence_triangles
 ORACLE_SQL["user_cooccurrence_triangles"] = TRIANGLES_SQL
 QUERIES["cooccurrence_graph_summary"] = cooccurrence_graph_summary
 ORACLE_SQL["cooccurrence_graph_summary"] = TRI_SUMMARY_SQL
+
+
+def user_markov_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Markov-chain surprisal/perplexity under the corpus's
+    own transition model (operators/graph.py::markov_sequence_scores)."""
+    from ..operators.graph import markov_sequence_scores
+
+    return markov_sequence_scores(load_table(spark, sf_dir, "events"))
+
+
+MARKOV_SQL = """
+WITH seq AS (
+  SELECT user_id AS user, event_type AS dst,
+    lag(event_type) OVER (PARTITION BY user_id
+                          ORDER BY epoch_us(ts), event_id) AS src
+  FROM events
+),
+trans AS (SELECT * FROM seq WHERE src IS NOT NULL),
+counts AS (SELECT src, dst, count(*) AS n FROM trans GROUP BY 1, 2),
+marg AS (SELECT src, sum(n) AS n_src FROM counts GROUP BY 1),
+ptab AS (
+  SELECT src, dst, CAST(n AS DOUBLE) / CAST(n_src AS DOUBLE) AS p
+  FROM counts JOIN marg USING (src)
+)
+SELECT t.user,
+  CAST(count(*) AS BIGINT) AS n_transitions,
+  sum(ln(p)) AS logprob_sum,
+  avg(ln(p)) AS avg_logprob,
+  exp(-avg(ln(p))) AS perplexity
+FROM trans t JOIN ptab USING (src, dst)
+GROUP BY t.user
+"""
+
+QUERIES["user_markov_surprisal"] = user_markov_surprisal
+ORACLE_SQL["user_markov_surprisal"] = MARKOV_SQL

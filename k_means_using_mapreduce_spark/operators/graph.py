@@ -438,3 +438,67 @@ def triangle_summary(edges: DataFrame) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("global_clustering"),
     )
+
+
+def markov_sequence_scores(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-user surprisal under the corpus's own first-order Markov
+    chain: score each user's event stream by ``Σ ln P(eₜ | eₜ₋₁)``
+    with transition probabilities estimated from the whole log
+    (:func:`transition_edges` counts / source marginals).
+
+    The sequence-model twin of the document log-prob family
+    (operators/lm.py): low average surprisal = script-like repetitive
+    behavior, high = erratic streams — both ends are what bot/fraud
+    triage and behavioral-cohort analysis look at.
+
+    Output: ``(user, n_transitions, logprob_sum, avg_logprob,
+    perplexity)`` for users with ≥ 1 transition, where perplexity =
+    exp(−avg). Every observed transition has a nonzero probability by
+    construction (it contributed to its own count), so no smoothing
+    is needed and the score is total.
+
+    Shape: the SAME user-keyed window pass as transition_edges, then a
+    broadcast join against the |types|² probability table and one
+    combinable aggregate — the model is data-derived yet never leaves
+    the executors.
+    """
+    probs = transition_edges(
+        events,
+        user_col=user_col,
+        type_col=type_col,
+        ts_col=ts_col,
+        id_col=id_col,
+    )
+    marg = probs.groupBy("src").agg(F.sum("n").alias("n_src"))
+    ptab = probs.join(marg, "src").select(
+        "src",
+        "dst",
+        (F.col("n").cast("double") / F.col("n_src").cast("double")).alias(
+            "p"
+        ),
+    )
+    w = Window.partitionBy(user_col).orderBy(
+        (F.col(ts_col) / F.lit(1000)).cast("long"), F.col(id_col)
+    )
+    trans = (
+        events.select(
+            F.col(user_col).alias("user"),
+            F.col(type_col).alias("dst"),
+            F.lag(F.col(type_col)).over(w).alias("src"),
+        )
+        .where(F.col("src").isNotNull())
+    )
+    scored = trans.join(F.broadcast(ptab), ["src", "dst"])
+    return scored.groupBy("user").agg(
+        F.count("*").alias("n_transitions"),
+        F.sum(F.log("p")).alias("logprob_sum"),
+        F.avg(F.log("p")).alias("avg_logprob"),
+        F.exp(-F.avg(F.log("p"))).alias("perplexity"),
+    )

@@ -232,3 +232,30 @@ def test_cooccurrence_edges_cap_and_canonical(spark):
         [(1, "g"), (1, "g"), (2, "g")], "uid long, grp string"
     )
     assert cooccurrence_edges(df2, "uid", ["grp"]).count() == 1
+
+
+def test_markov_sequence_scores_hand_computed(spark):
+    import math
+
+    from k_means_using_mapreduce_spark.operators.graph import (
+        markov_sequence_scores,
+    )
+
+    # transitions: a->b x2 (u1, u2), a->c x1 (u2), b->a x1 (u1)
+    # outgoing from a: P(b|a) = 2/3, P(c|a) = 1/3; from b: P(a|b) = 1
+    rows = [
+        (1, 1, "a", 1000), (2, 1, "b", 2000), (3, 1, "a", 3000),
+        (4, 2, "a", 1000), (5, 2, "b", 2000),
+        (6, 2, "a", 3000), (7, 2, "c", 4000),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts long"
+    )
+    out = {r["user"]: r for r in markov_sequence_scores(ev).collect()}
+    assert out[1]["n_transitions"] == 2
+    lp1 = math.log(2 / 3) + math.log(1.0)
+    assert out[1]["logprob_sum"] == pytest.approx(lp1)
+    assert out[1]["perplexity"] == pytest.approx(math.exp(-lp1 / 2))
+    assert out[2]["n_transitions"] == 3
+    lp2 = math.log(2 / 3) + math.log(1.0) + math.log(1 / 3)
+    assert out[2]["logprob_sum"] == pytest.approx(lp2)
