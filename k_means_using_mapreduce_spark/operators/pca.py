@@ -132,3 +132,50 @@ def pca_project(
         for comp in model.components
     ]
     return df.withColumn(out_col, F.array(*scores))
+
+
+def mahalanobis_scores(
+    df: DataFrame,
+    vec_col: str,
+    model: PCAModel,
+    *,
+    out_col: str = "maha2",
+    min_variance: float = 1e-9,
+) -> DataFrame:
+    """Squared Mahalanobis distance from the fitted distribution —
+    multivariate outlier scoring without a matrix inverse: with a FULL
+    eigenbasis (``pca_fit(..., k=D)``), ``maha² = Σᵢ scoreᵢ²/λᵢ``
+    (the whitened squared norm), so the driver never inverts Σ and the
+    per-row cost is the same k dot products as :func:`pca_project`.
+
+    Components with variance below ``min_variance`` are SKIPPED (a
+    degenerate direction has no scale to measure distance in — scoring
+    it would divide by ~0 and flag everything); the effective degrees
+    of freedom is the number of retained components, returned for chi²
+    calibration as ``(out_col, out_col + '_dof')``.
+
+    Pass a truncated model (k < D) for the standard "PCA-Mahalanobis"
+    variant that scores only the retained subspace.
+    """
+    kept = [
+        (comp, ev)
+        for comp, ev in zip(model.components, model.explained_variance)
+        if ev > min_variance
+    ]
+    if not kept:
+        raise ValueError(
+            "no component exceeds min_variance — nothing to score"
+        )
+    centered = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        F.array(*[F.lit(m) for m in model.mean]),
+        lambda x, m: x - m,
+    )
+    total = None
+    for comp, ev in kept:
+        s = dot_expr(centered, F.array(*[F.lit(v) for v in comp]))
+        term = s * s / F.lit(float(ev))
+        total = term if total is None else total + term
+    return df.withColumn(out_col, total).withColumn(
+        f"{out_col}_dof", F.lit(len(kept))
+    )

@@ -88,3 +88,43 @@ def test_null_vectors_dropped_and_guards(spark):
     empty = spark.createDataFrame([], "id long, features array<double>")
     with pytest.raises(ValueError, match="empty"):
         pca_fit(empty, "features", "id", k=1)
+
+
+def test_mahalanobis_full_rank_matches_numpy(spark):
+    from k_means_using_mapreduce_spark.operators.pca import (
+        mahalanobis_scores,
+    )
+
+    rows, df = _aniso_df(spark, n=200)
+    model = pca_fit(df, "features", "id", k=4)
+    out = mahalanobis_scores(df, "features", model).orderBy("id").collect()
+    mat = np.array([r[1] for r in rows])
+    cov = np.cov(mat, rowvar=False, ddof=1)
+    # last dim is constant-zero -> rank-deficient; pinv on the retained
+    # subspace == the operator's skip-degenerate rule
+    centered = mat - mat.mean(axis=0)
+    inv = np.linalg.pinv(cov, rcond=1e-8)
+    expected = np.einsum("ij,jk,ik->i", centered, inv, centered)
+    assert out[0][f"maha2_dof"] == 3  # zero-variance dim skipped
+    got = np.array([r["maha2"] for r in out])
+    assert np.allclose(got, expected, rtol=1e-6, atol=1e-8)
+    # the mean itself scores ~0; a far outlier scores huge
+    assert got.min() >= 0
+
+
+def test_mahalanobis_flags_off_axis_outlier(spark):
+    from k_means_using_mapreduce_spark.operators.pca import (
+        mahalanobis_scores,
+    )
+
+    rows, df = _aniso_df(spark, n=150)
+    model = pca_fit(df, "features", "id", k=4)
+    # (5, -5): small euclidean norm but ACROSS the thin axis -> extreme
+    probe = spark.createDataFrame(
+        [(0, [5.0, -5.0, 0.0, 0.0]), (1, [5.0, 5.0, 0.0, 0.0])],
+        "id long, features array<double>",
+    )
+    out = {r["id"]: r["maha2"] for r in mahalanobis_scores(
+        probe, "features", model
+    ).collect()}
+    assert out[0] > 20 * out[1]  # off-axis ≫ on-axis at equal radius
