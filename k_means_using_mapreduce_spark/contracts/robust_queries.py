@@ -185,3 +185,42 @@ FROM agg
 
 QUERIES["value_trend_by_type"] = value_trend_by_type
 ORACLE_SQL["value_trend_by_type"] = TREND_SQL
+
+
+def benford_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit Benford audit of order totals (operators/robust.py::
+    benford_digit_distribution) — an audit REPORT: synthetic uniform
+    money fails Benford, and the per-digit χ² terms show exactly how."""
+    from ..operators.robust import benford_digit_distribution
+
+    return benford_digit_distribution(
+        load_table(spark, sf_dir, "orders"), "o_totalprice", scale=100
+    )
+
+
+BENFORD_SQL = """
+WITH vals AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM orders
+  WHERE o_totalprice IS NOT NULL
+    AND CAST(round(o_totalprice * 100) AS BIGINT) > 0
+),
+counts AS (SELECT digit, count(*) AS n FROM vals GROUP BY 1),
+digits AS (SELECT CAST(unnest(range(1, 10)) AS INTEGER) AS digit),
+filled AS (
+  SELECT d.digit, CAST(coalesce(n, 0) AS BIGINT) AS n
+  FROM digits d LEFT JOIN counts USING (digit)
+),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM filled)
+SELECT digit, n,
+  CAST(n AS DOUBLE) / t AS observed_p,
+  log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS expected_p,
+  t * (CAST(n AS DOUBLE) / t - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+    * (CAST(n AS DOUBLE) / t - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+    / log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS chi2_term
+FROM filled, tot
+"""
+
+QUERIES["benford_order_totals"] = benford_order_totals
+ORACLE_SQL["benford_order_totals"] = BENFORD_SQL

@@ -205,3 +205,64 @@ def group_linear_fit(
         intercept.alias("intercept"),
         r2.alias("r2"),
     )
+
+
+def benford_digit_distribution(
+    df: DataFrame,
+    value_col: str,
+    *,
+    scale: int = 100,
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic fabricated/synthetic-data smell test for positive numeric
+    columns spanning orders of magnitude (Benford 1938; auditors'
+    digit-analysis standard).
+
+    Digit extraction is STRING-EXACT, not log10: the value is scaled
+    to an integer (``scale`` = 100 for 2-dp money) and the first
+    character of its decimal rendering is the digit — integer-to-string
+    is portable across engines, while ``floor(log10(v))`` flips at
+    exact powers of ten by one ulp. Non-positive and null values are
+    excluded (Benford applies to positive magnitudes).
+
+    Output per digit 1-9: ``(digit, n, observed_p, expected_p,
+    chi2_term)`` with ``expected_p = log10(1 + 1/d)`` and chi2_term =
+    n·(obs−exp)²/exp — sum the terms for the χ² statistic (8 dof).
+    One map-side-combinable aggregate; digits with no rows still
+    appear (zero-filled) so the χ² is over all 9 cells.
+    """
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    v = F.col(value_col).cast("double") * scale
+    # round-to-nearest, NOT truncate: scaled money sits at integer ± ulp,
+    # and engines disagree on double→int truncation vs rounding
+    as_int = F.round(v, 0).cast("long")
+    digit = F.substring(as_int.cast("string"), 1, 1).cast("int")
+    counts = (
+        df.where(F.col(value_col).isNotNull() & (as_int > 0))
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    spark = df.sparkSession
+    digits = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    filled = digits.join(counts, "digit", "left").select(
+        "digit", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+    total = filled.agg(F.sum("n").alias("_t"))
+    j = filled.join(F.broadcast(total))
+    obs = F.col("n").cast("double") / F.col("_t").cast("double")
+    exp_p = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    chi2 = (
+        F.col("_t").cast("double")
+        * (obs - exp_p)
+        * (obs - exp_p)
+        / exp_p
+    )
+    return j.select(
+        "digit",
+        "n",
+        obs.alias("observed_p"),
+        exp_p.alias("expected_p"),
+        chi2.alias("chi2_term"),
+    )

@@ -131,3 +131,44 @@ def test_group_linear_fit_exact_line_and_degenerate(spark):
     assert out["b"]["slope"] is None and out["b"]["r2"] is None
     c = out["c"]
     assert c["slope"] == pytest.approx(0.0) and c["r2"] is None
+
+
+# -------------------------------------------------------------- Benford
+
+
+def test_benford_digit_extraction_and_boundaries(spark):
+    from k_means_using_mapreduce_spark.operators.robust import (
+        benford_digit_distribution,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0,), (100.00,), (99.99,), (0.01,), (923.5,), (0.0,), (-5.0,), (None,)],
+        "v double",
+    )
+    out = {r["digit"]: r for r in benford_digit_distribution(df, "v", scale=100).collect()}
+    # digits: 1.00->1, 100.00->1, 99.99->9, 0.01->1, 923.5->9
+    assert out[1]["n"] == 3
+    assert out[9]["n"] == 2
+    assert sum(r["n"] for r in out.values()) == 5  # 0 / negative / null excluded
+    assert len(out) == 9  # zero-filled digits present
+    assert out[2]["n"] == 0 and out[2]["chi2_term"] > 0
+
+
+def test_benford_log_uniform_fits(spark):
+    import math
+    import random
+
+    from k_means_using_mapreduce_spark.operators.robust import (
+        benford_digit_distribution,
+    )
+
+    rng = random.Random(9)
+    vals = [(10 ** rng.uniform(0, 4),) for _ in range(4000)]
+    df = spark.createDataFrame(vals, "v double")
+    rows = benford_digit_distribution(df, "v", scale=100).collect()
+    chi2 = sum(r["chi2_term"] for r in rows)
+    assert chi2 < 30  # log-uniform data obeys Benford (8 dof, loose)
+    for r in rows:
+        assert r["expected_p"] == pytest.approx(
+            math.log10(1 + 1 / r["digit"])
+        )
