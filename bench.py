@@ -208,6 +208,8 @@ BENCH_QUERIES = [
     "survival_curve_users",
     "dbscan_classes_lineitem",
     "user_markov_surprisal",
+    "benford_order_totals",
+    "hourly_locf_events",
 ]
 
 KMEANS_FIT_K = 8

@@ -567,3 +567,50 @@ QUERIES["cusum_shift_events"] = cusum_shift_events
 ORACLE_SQL["cusum_shift_events"] = CUSUM_SQL
 QUERIES["changepoint_summary_events"] = changepoint_summary_events
 ORACLE_SQL["changepoint_summary_events"] = CHANGEPOINT_SUMMARY_SQL
+
+
+def hourly_locf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly last-observation-carried-forward value series per event
+    type (operators/timeseries.py::resample_locf) — the step-function
+    resample where empty buckets mean 'unchanged', not zero."""
+    from ..operators.timeseries import resample_locf
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", ns_to_timestamp("ts")
+    )
+    return resample_locf(
+        ev, ts_col="ts", key_col="event_type",
+        value_col="value", id_col="event_id", unit="hour",
+    )
+
+
+LOCF_SQL = f"""
+WITH obs0 AS (
+  SELECT event_type AS key,
+         epoch_us(ts) - epoch_us(ts) % {_HOUR_US} AS bucket_us,
+         CAST(value AS DOUBLE) AS v,
+         row_number() OVER (
+           PARTITION BY event_type, epoch_us(ts) - epoch_us(ts) % {_HOUR_US}
+           ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+  FROM events
+),
+obs AS (SELECT key, bucket_us, v FROM obs0 WHERE rn = 1),
+bounds AS (SELECT min(bucket_us) AS lo, max(bucket_us) AS hi FROM obs),
+keys AS (SELECT DISTINCT key FROM obs),
+grid AS (
+  SELECT key, unnest(range(lo, hi + {_HOUR_US}, {_HOUR_US})) AS bucket_us
+  FROM keys, bounds
+),
+filled AS (
+  SELECT g.key, g.bucket_us,
+    last_value(o.v IGNORE NULLS) OVER (
+      PARTITION BY g.key ORDER BY g.bucket_us
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+    CASE WHEN o.v IS NULL THEN 1 ELSE 0 END AS is_carried
+  FROM grid g LEFT JOIN obs o USING (key, bucket_us)
+)
+SELECT key, bucket_us, value, is_carried FROM filled WHERE value IS NOT NULL
+"""
+
+QUERIES["hourly_locf_events"] = hourly_locf_events
+ORACLE_SQL["hourly_locf_events"] = LOCF_SQL

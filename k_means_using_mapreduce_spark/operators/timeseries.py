@@ -522,3 +522,69 @@ def changepoint_summary(
         "max_cusum_pos",
         "max_cusum_neg",
     )
+
+
+def resample_locf(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    unit: str = "hour",
+) -> DataFrame:
+    """Dense per-key grid with LAST-OBSERVATION-CARRIED-FORWARD values
+    — the step-function resample for state-like series (prices,
+    settings, sensor readings), where :func:`resample_counts`' zero
+    fill would be wrong: an empty bucket means "unchanged", not zero.
+
+    Per bucket the LAST event wins (ts, then ``id_col`` on ties —
+    deterministic); empty buckets inherit the previous bucket's value
+    (``is_carried = 1``). Buckets before a key's first observation
+    have no defined value and are DROPPED (not NULL — a carried
+    series starts when the signal starts).
+
+    Same scale shape as resample_counts (generated grid, reduced
+    aggregates into the grid join) plus one key-partitioned ordered
+    window for the carry — no self-joins.
+    """
+    if unit not in _UNIT_US:
+        raise ValueError(f"unsupported unit {unit!r}; use one of {sorted(_UNIT_US)}")
+    unit_us = _UNIT_US[unit]
+    ts_us = F.unix_micros(F.col(ts_col))
+    bucket = ts_us - ts_us % unit_us
+    w_pick = Window.partitionBy(key_col, "_bucket").orderBy(
+        F.col(ts_col).desc(), F.col(id_col).desc()
+    )
+    obs = (
+        events.withColumn("_bucket", bucket)
+        .withColumn("_rn", F.row_number().over(w_pick))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col(key_col).alias("key"),
+            F.col("_bucket").alias("bucket_us"),
+            F.col(value_col).cast("double").alias("_v"),
+        )
+    )
+    bounds = obs.agg(
+        F.min("bucket_us").alias("_lo"), F.max("bucket_us").alias("_hi")
+    )
+    keys = obs.select("key").distinct()
+    grid = keys.join(F.broadcast(bounds)).select(
+        "key",
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(unit_us))
+        ).alias("bucket_us"),
+    )
+    w_carry = (
+        Window.partitionBy("key")
+        .orderBy("bucket_us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = grid.join(obs, ["key", "bucket_us"], "left").select(
+        "key",
+        "bucket_us",
+        F.last("_v", ignorenulls=True).over(w_carry).alias("value"),
+        F.when(F.col("_v").isNull(), 1).otherwise(0).alias("is_carried"),
+    )
+    return filled.where(F.col("value").isNotNull())

@@ -299,3 +299,45 @@ def test_cusum_single_exchange_plan(spark):
         [("k", i, i % 5) for i in range(50)], "key string, bucket long, n long"
     )
     assert exchange_count(cusum_statistics(df)) == 1
+
+
+def test_locf_carries_and_drops_leading(spark):
+    from k_means_using_mapreduce_spark.operators.timeseries import (
+        resample_locf,
+    )
+
+    rows = [
+        # key a: hour0 = 5 (latest of two), gap at hour1-2, hour3 = 9
+        (1, _ts(0, 5), "a", 3.0),
+        (2, _ts(0, 45), "a", 5.0),
+        (3, _ts(3, 10), "a", 9.0),
+        # key b: first observation at hour 2 -> hours 0-1 dropped
+        (4, _ts(2, 0), "b", 7.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = resample_locf(ev).orderBy("key", "bucket_us").collect()
+    a = [(r["bucket_us"], r["value"], r["is_carried"]) for r in out if r["key"] == "a"]
+    hours = [b // 3_600_000_000 % 24 for b, _, _ in a]
+    assert hours == [0, 1, 2, 3]
+    assert [v for _, v, _ in a] == [5.0, 5.0, 5.0, 9.0]
+    assert [c for _, _, c in a] == [0, 1, 1, 0]
+    b = [(r["value"], r["is_carried"]) for r in out if r["key"] == "b"]
+    assert b == [(7.0, 0), (7.0, 1)]  # hours 2,3 only — leading dropped
+
+
+def test_locf_tie_break_by_event_id(spark):
+    from k_means_using_mapreduce_spark.operators.timeseries import (
+        resample_locf,
+    )
+
+    rows = [
+        (1, _ts(0, 0), "a", 1.0),
+        (2, _ts(0, 0), "a", 2.0),  # same ts: higher event_id wins
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = resample_locf(ev).collect()
+    assert len(out) == 1 and out[0]["value"] == 2.0
