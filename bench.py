@@ -210,6 +210,7 @@ BENCH_QUERIES = [
     "user_markov_surprisal",
     "benford_order_totals",
     "hourly_locf_events",
+    "calibration_bins_documents",
 ]
 
 KMEANS_FIT_K = 8

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import (
     bloom_queries,
+    calibration_queries,
     card_queries,
     cleaning_queries,
     coreset_queries,
@@ -66,6 +67,7 @@ _MODULES = [
     card_queries,
     coreset_queries,
     dbscan_queries,
+    calibration_queries,
     url_queries,
     zorder_queries,
     dedup_queries,

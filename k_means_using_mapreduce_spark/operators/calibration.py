@@ -1,0 +1,116 @@
+"""Score calibration: quantile binning + isotonic (PAV) regression.
+
+A quality/toxicity/duplicate classifier's raw score is rarely a
+probability; sampling weights and threshold picks need calibrated
+ones. The standard tool is isotonic regression, but PAV is an
+inherently sequential pooling algorithm — so the engine splits it the
+usual way (kmeans/pca/bpe doctrine): the DATA-sized pass reduces the
+corpus to ``n_bins`` quantile-bin aggregates (one ntile window + one
+combinable aggregate), PAV pools those bins on the driver (model-sized
+— hundreds of floats), and application back over the corpus is a
+literal-folded CASE ladder — narrow, zero-shuffle.
+
+Binned PAV equals exact PAV whenever bin boundaries don't split
+equal-score ties across bins — and ntile ordered by (score, id) makes
+any such split deterministic; with hundreds of bins over millions of
+rows the calibration difference is noise, which is the standard
+practical trade (sklearn's isotonic on big data is routinely fed
+binned pairs).
+
+Determinism: ntile over a total order (score, then id) — retries and
+repartitions bin identically; the same ordering is SQL, so the binned
+layer is oracle-checked (contracts/calibration_queries.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def binned_calibration(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    *,
+    n_bins: int = 50,
+) -> DataFrame:
+    """Equal-count score bins with empirical positive rates:
+    ``(bin, n, min_score, max_score, mean_score, pos_rate)``, bin
+    ascending in score. ``label_col`` is 0/1 (cast to int)."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    w = Window.orderBy(F.col(score_col), F.col(id_col))
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int").cast("double")
+    return (
+        df.select(s.alias("_s"), y.alias("_y"), F.col(id_col).alias("_id"))
+        .withColumn("bin", F.ntile(n_bins).over(
+            Window.orderBy(F.col("_s"), F.col("_id"))
+        ))
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("_s").alias("min_score"),
+            F.max("_s").alias("max_score"),
+            F.avg("_s").alias("mean_score"),
+            F.avg("_y").alias("pos_rate"),
+        )
+    )
+
+
+@dataclass
+class IsotonicModel:
+    #: ascending (upper_score_bound, calibrated_p) steps; the last bound
+    #: is +inf
+    steps: list[tuple[float, float]]
+
+
+def isotonic_fit(binned: DataFrame) -> IsotonicModel:
+    """Pool-Adjacent-Violators over the bin table (weighted by bin
+    count): merges any bin whose positive rate dips below its
+    predecessor until rates are non-decreasing in score. Driver cost
+    O(n_bins)."""
+    rows = sorted(
+        binned.select("bin", "n", "max_score", "pos_rate").collect(),
+        key=lambda r: r["bin"],
+    )
+    if not rows:
+        raise ValueError("cannot fit isotonic model on an empty bin table")
+    # blocks of (weight, weighted rate sum, upper score bound)
+    blocks: list[list[float]] = []
+    for r in rows:
+        blocks.append([float(r["n"]), float(r["n"]) * float(r["pos_rate"]),
+                       float(r["max_score"])])
+        while len(blocks) >= 2 and (
+            blocks[-2][1] / blocks[-2][0] > blocks[-1][1] / blocks[-1][0]
+        ):
+            w2, s2, b2 = blocks.pop()
+            blocks[-1][0] += w2
+            blocks[-1][1] += s2
+            blocks[-1][2] = b2
+        # merged block keeps the LAST bound (score-ascending)
+    steps = [(b[2], b[1] / b[0]) for b in blocks]
+    steps[-1] = (float("inf"), steps[-1][1])
+    return IsotonicModel(steps=steps)
+
+
+def isotonic_apply(
+    df: DataFrame,
+    score_col: str,
+    model: IsotonicModel,
+    *,
+    out_col: str = "calibrated_p",
+) -> DataFrame:
+    """Map raw scores to calibrated probabilities — a CASE ladder over
+    the model's step bounds (model-sized literals, zero shuffle)."""
+    s = F.col(score_col).cast("double")
+    expr = F.lit(model.steps[-1][1])
+    for bound, p in reversed(model.steps[:-1]):
+        expr = F.when(s <= bound, F.lit(p)).otherwise(expr)
+    # scores below the first bound take the first step's p (the when
+    # chain above already does: first matching bound wins)
+    return df.withColumn(out_col, expr)
