@@ -211,6 +211,7 @@ BENCH_QUERIES = [
     "benford_order_totals",
     "hourly_locf_events",
     "calibration_bins_documents",
+    "quantile_normalized_quality",
 ]
 
 KMEANS_FIT_K = 8

@@ -108,3 +108,49 @@ ORACLE_SQL: dict[str, str] = {
     "loo_encoding_events": LOO_ENCODING_SQL,
     "lang_source_mi": LANG_SOURCE_MI_SQL,
 }
+
+
+QN_GRID = 200
+
+
+def quantile_normalized_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality scores rank-mapped onto the global quality
+    distribution (operators/encode.py::quantile_normalize)."""
+    from ..functions.text import quality_score
+    from ..operators.encode import quantile_normalize
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", quality_score("text").alias("score")
+    )
+    out = quantile_normalize(
+        docs, "score", "source", "doc_id", grid=QN_GRID
+    )
+    return out.select("doc_id", "source", "score", "normalized")
+
+
+def _qn_sql() -> str:
+    from ._sql_text import sql_quality_score
+
+    pcts = ", ".join(repr(i / QN_GRID) for i in range(QN_GRID + 1))
+    return f"""
+WITH scored AS (
+  SELECT doc_id, source, {sql_quality_score('text')} AS score FROM documents
+),
+gq AS (SELECT quantile_cont(score, [{pcts}]) AS qs FROM scored),
+grid AS (
+  SELECT unnest(qs) AS gq_v, generate_subscripts(qs, 1) - 1 AS gq_i FROM gq
+),
+ranked AS (
+  SELECT doc_id, source, score,
+    CAST(round(percent_rank() OVER (
+      PARTITION BY source ORDER BY score, doc_id) * {QN_GRID}) AS INTEGER)
+      AS q
+  FROM scored
+)
+SELECT doc_id, source, score, gq_v AS normalized
+FROM ranked JOIN grid ON gq_i = q
+"""
+
+
+QUERIES["quantile_normalized_quality"] = quantile_normalized_quality
+ORACLE_SQL["quantile_normalized_quality"] = _qn_sql()

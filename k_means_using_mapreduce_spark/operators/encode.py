@@ -36,7 +36,7 @@ extension charter as functions/text.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -149,4 +149,51 @@ def mutual_information(
             ).alias("mi"),
             F.first("n").alias("n"),
         )
+    )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    *,
+    grid: int = 200,
+    out_col: str = "normalized",
+) -> DataFrame:
+    """Cross-group quantile normalization: replace each value with the
+    GLOBAL distribution's value at the same within-group rank — the
+    rank-transform that makes per-source score distributions comparable
+    (a web source's 0.9-quantile quality maps to the same normalized
+    number as a books source's 0.9-quantile), the microarray-style
+    quantile normalization applied to corpus scores.
+
+    Mechanics: within-group ``percent_rank`` (total order on
+    ``(value, id)`` — deterministic under ties), quantized to a
+    ``grid``-point lattice, joined against the global interpolated
+    quantile table (one ``percentile`` aggregate over the whole
+    column → grid+1 rows, broadcast). Approximation error is one
+    global-quantile grid step — tighten with ``grid`` — and the
+    output preserves within-group order (monotone map).
+
+    Scale: one group-keyed window shuffle + one broadcast join; the
+    global quantile aggregate is the only full-column reduction. The
+    ``percentile`` call is exact (sort-based) — swap in
+    ``percentile_approx`` at extreme scale, noting it leaves the
+    cross-engine-reproducibility contract.
+    """
+    if grid < 10:
+        raise ValueError(f"grid must be >= 10, got {grid}")
+    v = F.col(value_col).cast("double")
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col), F.col(id_col))
+    q = F.round(F.percent_rank().over(w) * grid).cast("int")
+    pcts = [i / grid for i in range(grid + 1)]
+    gq = df.agg(
+        F.percentile(v, F.array(*[F.lit(p) for p in pcts])).alias("_qs")
+    ).select(F.posexplode("_qs").alias("_gq_i", "_gq_v"))
+    return (
+        df.withColumn("_q", q)
+        .join(F.broadcast(gq), F.col("_q") == F.col("_gq_i"))
+        .withColumn(out_col, F.col("_gq_v"))
+        .drop("_q", "_gq_i", "_gq_v")
     )

@@ -82,3 +82,45 @@ def test_loo_null_category_encodes_to_prior(spark):
         for r in target_encode_loo(df, "cat", "t", alpha=3.0).collect()
     }
     assert out[3] == pytest.approx(prior)  # (0 + 3*prior) / (0 + 3)
+
+
+# ------------------------------------------------- quantile normalization
+
+
+def test_quantile_normalize_aligns_shifted_groups(spark):
+    """Two groups with the same shape but shifted location normalize to
+    near-identical values at equal within-group ranks."""
+    import pytest as _pytest
+
+    from k_means_using_mapreduce_spark.operators.encode import (
+        quantile_normalize,
+    )
+
+    rows = [(i, "a", float(i)) for i in range(100)] + [
+        (100 + i, "b", 1000.0 + i) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = quantile_normalize(df, "v", "g", "id", grid=100)
+    got = {(r["g"], r["id"] % 100): r["normalized"] for r in out.collect()}
+    for i in range(100):
+        assert got[("a", i)] == _pytest.approx(got[("b", i)], abs=1e-9)
+    # monotone within group
+    a_vals = [got[("a", i)] for i in range(100)]
+    assert a_vals == sorted(a_vals)
+
+
+def test_quantile_normalize_output_range_is_global(spark):
+    from k_means_using_mapreduce_spark.operators.encode import (
+        quantile_normalize,
+    )
+
+    rows = [(i, "a", float(i)) for i in range(50)] + [
+        (50 + i, "b", 500.0 + i) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    vals = [r["normalized"] for r in quantile_normalize(df, "v", "g", "id").collect()]
+    assert min(vals) >= 0.0 and max(vals) <= 549.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="grid"):
+        quantile_normalize(df, "v", "g", "id", grid=5)
