@@ -20,6 +20,12 @@ binned pairs).
 Determinism: ntile over a total order (score, then id) — retries and
 repartitions bin identically; the same ordering is SQL, so the binned
 layer is oracle-checked (contracts/calibration_queries.py).
+
+Scale note: ntile's global order is a single-reducer window pass (the
+sorted-neighborhood precedent, operators/entity.py). Fine into the
+tens of millions of scored rows; beyond, compute bin EDGES with one
+distributed ``percentile`` aggregate and assign bins by comparison —
+approximate equal-count under ties, but no global sort.
 """
 
 from __future__ import annotations

@@ -455,3 +455,52 @@ def test_rp_lsh_buckets_shuffle_free(spark, sf):
     8-byte keys."""
     df = _q("rp_lsh_buckets_embeddings", spark, sf)
     assert exchange_count(df) == 0
+
+
+def test_bloom_prefilter_probe_unshuffled(spark, sf):
+    """Both exchanges belong to the bitmap build; lineitem reaches its
+    membership filter without shuffling."""
+    df = _q("bloom_prefilter_lineitem", spark, sf)
+    df.collect()
+    # bitmap word groupBy + single-row assembly + final returnflag agg
+    assert exchange_count(df) <= 4
+    assert sort_merge_join_count(df) == 0
+
+
+def test_cusum_contract_single_key_exchange(spark, sf):
+    df = _q("cusum_shift_events", spark, sf)
+    df.collect()
+    # gapfill grid machinery + ONE key-partitioned window exchange for
+    # all cusum passes; no join beyond the grid's
+    assert sort_merge_join_count(df) <= 1
+
+
+def test_coreset_is_two_aggregates_no_join_shuffle(spark, sf):
+    df = _q("lightweight_coreset_embeddings", spark, sf)
+    df.collect()
+    assert broadcast_join_count(df) + (
+        "BroadcastNestedLoopJoin" in __import__(
+            "k_means_using_mapreduce_spark.plans.explain",
+            fromlist=["executed_plan"],
+        ).executed_plan(df)
+    ) >= 1  # totals arrive by broadcast
+    assert sort_merge_join_count(df) == 0
+
+
+def test_covariance_prunes_to_vector_and_id(spark, sf):
+    df = _q("embedding_covariance", spark, sf)
+    df.collect()
+    for cols in read_schemas(df):
+        assert "label" not in cols  # untouched column pruned from scan
+
+
+def test_quantile_normalize_probe_side_broadcast(spark, sf):
+    df = _q("quantile_normalized_quality", spark, sf)
+    df.collect()
+    assert sort_merge_join_count(df) == 0  # quantile table broadcasts
+
+
+def test_markov_probability_table_broadcasts(spark, sf):
+    df = _q("user_markov_surprisal", spark, sf)
+    df.collect()
+    assert broadcast_join_count(df) >= 1
