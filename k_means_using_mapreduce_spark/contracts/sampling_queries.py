@@ -194,3 +194,40 @@ GROUP BY 1, 2
 
 QUERIES["source_coherent_split_summary"] = source_coherent_split_summary
 ORACLE_SQL["source_coherent_split_summary"] = SOURCE_COHERENT_SPLIT_SQL
+
+
+NEG_K = 4
+
+
+def negative_pairs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-ring negative sampling over embedding ids — each vector's
+    k deterministic uniform negatives (operators/sampling.py::
+    hash_ring_negatives)."""
+    from ..operators.sampling import hash_ring_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    return hash_ring_negatives(emb, "vec_id", k=NEG_K)
+
+
+NEGATIVES_SQL = f"""
+WITH ranked AS (
+  SELECT vec_id AS id,
+    row_number() OVER (
+      ORDER BY ('0x' || substr(md5('ring:' || CAST(vec_id AS VARCHAR)),
+                               1, 15))::BIGINT, vec_id) AS rn
+  FROM embeddings
+),
+tot AS (SELECT count(*) AS n FROM ranked),
+slots AS (SELECT unnest(range(1, {NEG_K} + 1)) AS slot),
+left_side AS (
+  SELECT id, CAST(slot AS INTEGER) AS slot,
+         (rn + slot - 1) % n + 1 AS rn_b
+  FROM ranked, tot, slots
+)
+SELECT l.id, l.slot, r.id AS neg_id
+FROM left_side l JOIN ranked r ON r.rn = l.rn_b
+WHERE l.id <> r.id
+"""
+
+QUERIES["negative_pairs_embeddings"] = negative_pairs_embeddings
+ORACLE_SQL["negative_pairs_embeddings"] = NEGATIVES_SQL

@@ -21,7 +21,7 @@ read full row groups but decode only selected rows.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -201,3 +201,64 @@ def cap_per_group(
         .where(F.col("_rk") <= n)
         .drop("_rk")
     )
+
+
+def hash_ring_negatives(
+    df: DataFrame,
+    id_col: str,
+    *,
+    k: int,
+    salt: str = "ring",
+) -> DataFrame:
+    """Deterministic uniform negative sampling for contrastive /
+    retrieval training: arrange ids on a ring ordered by their salted
+    house hash and give each id the next ``k`` ids as negatives —
+    ``(id, slot, neg_id)``, slot 1..k.
+
+    Why a hash ring beats rand(): every id gets EXACTLY k negatives,
+    the draw is uniform w.r.t. content (hash order is independent of
+    any attribute), collisions/self-pairs are impossible, and retries,
+    repartitions, and the SQL oracle reproduce the pairing exactly —
+    the engine's determinism doctrine applied to negative mining.
+    Epoch re-draws: change ``salt`` (ring order reshuffles wholesale).
+
+    Shape: one rank over the hash order (single-reducer window at rank
+    time — the sorted-neighborhood precedent; switch to zipWithIndex
+    over a range-partitioned sort at extreme scale) and one equi-join
+    on ring position with modular wrap-around — never a cartesian.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.orderBy(h, F.col(id_col))
+    ranked = df.select(
+        F.col(id_col).alias("_id"), F.row_number().over(w).alias("_rn")
+    )
+    total = ranked.agg(F.count("*").alias("_n"))
+    slots = F.explode(
+        F.array(*[F.lit(i) for i in range(1, k + 1)])
+    ).alias("slot")
+    left = (
+        ranked.join(F.broadcast(total))
+        .select("_id", "_rn", "_n", slots)
+        .select(
+            F.col("_id").alias("id"),
+            "slot",
+            ((F.col("_rn") + F.col("slot") - 1) % F.col("_n") + 1).alias(
+                "_rn_b"
+            ),
+        )
+    )
+    right = ranked.select(
+        F.col("_id").alias("neg_id"), F.col("_rn").alias("_rn_b")
+    )
+    out = left.join(right, "_rn_b").select("id", "slot", "neg_id")
+    return out.where(F.col("id") != F.col("neg_id"))

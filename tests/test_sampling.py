@@ -200,3 +200,38 @@ def test_weighted_sample_duplicate_keys_stable_multiset(spark):
     for nparts in (2, 7):
         assert picked(df.repartition(nparts)) == base
     assert len(base) == 4
+
+
+def test_hash_ring_negatives_shape_and_determinism(spark):
+    """Every id draws exactly k negatives, no self-pairs, and the
+    pairing is invariant under repartitioning; a different salt yields
+    a different ring order."""
+    from k_means_using_mapreduce_spark.operators.sampling import (
+        hash_ring_negatives,
+    )
+
+    df = spark.range(50).withColumnRenamed("id", "key")
+    out = hash_ring_negatives(df, "key", k=3)
+    rows = out.collect()
+    assert len(rows) == 150
+    per_id = {}
+    for r in rows:
+        assert r["id"] != r["neg_id"]
+        per_id.setdefault(r["id"], set()).add((r["slot"], r["neg_id"]))
+    assert all(len(v) == 3 for v in per_id.values())
+
+    base = sorted((r["id"], r["slot"], r["neg_id"]) for r in rows)
+    again = sorted(
+        (r["id"], r["slot"], r["neg_id"])
+        for r in hash_ring_negatives(df.repartition(7), "key", k=3).collect()
+    )
+    assert again == base
+
+    other = sorted(
+        (r["id"], r["slot"], r["neg_id"])
+        for r in hash_ring_negatives(df, "key", k=3, salt="epoch2").collect()
+    )
+    assert other != base
+
+    with pytest.raises(ValueError):
+        hash_ring_negatives(df, "key", k=0)
