@@ -212,6 +212,10 @@ BENCH_QUERIES = [
     "hourly_locf_events",
     "calibration_bins_documents",
     "quantile_normalized_quality",
+    # ranker evaluation (AUC / NDCG windows)
+    "classifier_auc_by_source",
+    "retrieval_metrics_events",
+    "retrieval_summary_events",
 ]
 
 KMEANS_FIT_K = 8

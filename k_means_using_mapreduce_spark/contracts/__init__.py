@@ -35,6 +35,7 @@ from . import (
     pq_queries,
     quality_queries,
     quantize_queries,
+    ranking_queries,
     repetition_queries,
     reshape_queries,
     robust_queries,
@@ -85,6 +86,7 @@ _MODULES = [
     packing_queries,
     quality_queries,
     quantize_queries,
+    ranking_queries,
     pca_queries,
     pq_queries,
     similarity_queries,
