@@ -216,6 +216,8 @@ BENCH_QUERIES = [
     "classifier_auc_by_source",
     "retrieval_metrics_events",
     "retrieval_summary_events",
+    "lang_eval_classes",
+    "lang_eval_summary",
 ]
 
 KMEANS_FIT_K = 8

@@ -17,6 +17,7 @@ from . import (
     calibration_queries,
     card_queries,
     cleaning_queries,
+    clseval_queries,
     coreset_queries,
     dbscan_queries,
     dedup_queries,
@@ -68,6 +69,7 @@ _MODULES = [
     card_queries,
     coreset_queries,
     dbscan_queries,
+    clseval_queries,
     calibration_queries,
     url_queries,
     zorder_queries,

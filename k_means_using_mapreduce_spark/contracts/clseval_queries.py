@@ -1,0 +1,133 @@
+"""Classification-evaluation contracts (operators/clseval.py): the
+lang-id heuristic (functions/text.py::lang_id) evaluated against the
+corpus's gold ``lang`` column — a real classifier-vs-gold confusion
+matrix, per-class P/R/F1, and corpus accuracy/kappa/MCC, all
+oracle-checked cell by cell."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..operators.clseval import (
+    class_metrics,
+    classification_summary,
+    confusion_matrix,
+)
+from ..sources.loaders import load_table
+from ._sql_text import sql_lang_hits
+
+
+def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("lang").alias("label"), T.lang_id("text").alias("pred")
+    )
+
+
+def _sql_pred() -> str:
+    """The lang_id CASE expression — strict argmax over stopword hits,
+    'unknown' on ties/zero (mirrors text_queries.LANG_ID_SQL)."""
+    hits = sql_lang_hits("text")
+    langs = list(hits)
+    arms = []
+    for lang in langs:
+        conds = [f"{hits[lang]} > 0"] + [
+            f"{hits[lang]} > {hits[o]}" for o in langs if o != lang
+        ]
+        arms.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(arms) + " ELSE 'unknown' END"
+
+
+_BASE_SQL = f"SELECT lang AS label, {_sql_pred()} AS pred FROM documents"
+
+_CLASSES_SQL = f"""
+WITH base AS ({_BASE_SQL}),
+cm AS (
+  SELECT label, pred, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY 1, 2
+), gold AS (
+  SELECT label AS class, CAST(sum(n) AS BIGINT) AS n_gold FROM cm GROUP BY 1
+), predm AS (
+  SELECT pred AS class, CAST(sum(n) AS BIGINT) AS n_pred FROM cm GROUP BY 1
+), diag AS (
+  SELECT label AS class, n AS tp FROM cm WHERE label = pred
+), classes AS (
+  SELECT coalesce(g.class, p.class) AS class,
+         coalesce(g.n_gold, 0) AS n_gold,
+         coalesce(p.n_pred, 0) AS n_pred,
+         coalesce(d.tp, 0) AS tp
+  FROM gold g FULL OUTER JOIN predm p ON g.class = p.class
+  LEFT JOIN diag d ON coalesce(g.class, p.class) = d.class
+), pr AS (
+  SELECT class, n_gold, n_pred, tp,
+    CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / n_pred
+         ELSE 0.0 END AS "precision",
+    CASE WHEN n_gold > 0 THEN CAST(tp AS DOUBLE) / n_gold
+         ELSE 0.0 END AS recall
+  FROM classes
+)
+SELECT class, n_gold, n_pred, tp, "precision", recall,
+  CASE WHEN "precision" + recall > 0
+       THEN 2.0 * "precision" * recall / ("precision" + recall)
+       ELSE 0.0 END AS f1
+FROM pr
+"""
+
+
+def lang_confusion_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return confusion_matrix(_base(spark, sf_dir), "label", "pred")
+
+
+LANG_CONFUSION_SQL = f"""
+WITH base AS ({_BASE_SQL})
+SELECT label, pred, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY 1, 2
+"""
+
+
+def lang_eval_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return class_metrics(_base(spark, sf_dir), "label", "pred")
+
+
+def lang_eval_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return classification_summary(_base(spark, sf_dir), "label", "pred")
+
+
+LANG_EVAL_SUMMARY_SQL = f"""
+WITH prf AS ({_CLASSES_SQL}),
+agg AS (
+  SELECT CAST(sum(n_gold) AS BIGINT) AS n, CAST(sum(tp) AS BIGINT) AS tp,
+    sum(CAST(n_gold AS DOUBLE) * n_pred) AS gp,
+    sum(CAST(n_gold AS DOUBLE) * n_gold) AS gg,
+    sum(CAST(n_pred AS DOUBLE) * n_pred) AS pp,
+    avg(CASE WHEN n_gold > 0 THEN "precision" END) AS macro_precision,
+    avg(CASE WHEN n_gold > 0 THEN recall END) AS macro_recall,
+    avg(CASE WHEN n_gold > 0 THEN f1 END) AS macro_f1,
+    sum(CAST(n_gold AS DOUBLE) * f1) / CAST(sum(n_gold) AS DOUBLE)
+      AS weighted_f1
+  FROM prf
+)
+SELECT n,
+  CAST(tp AS DOUBLE) / n AS accuracy,
+  (CAST(tp AS DOUBLE) / n - gp / (CAST(n AS DOUBLE) * n))
+    / nullif(1.0 - gp / (CAST(n AS DOUBLE) * n), 0.0) AS kappa,
+  (CAST(n AS DOUBLE) * tp - gp)
+    / nullif(sqrt((CAST(n AS DOUBLE) * n - pp)
+                  * (CAST(n AS DOUBLE) * n - gg)), 0.0) AS mcc,
+  macro_precision, macro_recall, macro_f1, weighted_f1
+FROM agg
+"""
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "lang_confusion_documents": lang_confusion_documents,
+    "lang_eval_classes": lang_eval_classes,
+    "lang_eval_summary": lang_eval_summary,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "lang_confusion_documents": LANG_CONFUSION_SQL,
+    "lang_eval_classes": _CLASSES_SQL,
+    "lang_eval_summary": LANG_EVAL_SUMMARY_SQL,
+}

@@ -1,0 +1,141 @@
+"""Classification evaluation: confusion matrix, per-class
+precision/recall/F1, and corpus-level accuracy / Cohen's kappa /
+Matthews correlation — the label-quality loop for pipeline classifiers
+(lang-id vs gold language, quality filter vs human labels, weak
+supervision vs adjudicated slices).
+
+Scale shape: ONE ``groupBy(label, pred)`` over the corpus — map-side
+combined, at most |C|² result rows for C classes — and every metric
+thereafter is arithmetic on that tiny table (C-row joins, broadcast by
+AQE). Nothing corpus-sized shuffles twice, nothing collects.
+
+Conventions (documented because they differ across libraries):
+
+* Undefined per-class precision/recall/F1 (zero predicted / zero
+  support / both zero) report **0.0**, sklearn's ``zero_division=0`` —
+  the raw ``tp / n_gold / n_pred`` counts sit beside them, so nothing
+  is hidden. (The ranking module reports NULL instead; there the
+  caller averages, here the averages are computed in-module over the
+  right denominators.)
+* Macro averages run over classes with **gold support only** — a class
+  the model invents (predicted, never gold) does not dilute macro-F1.
+* ``kappa`` / ``mcc`` are NULL only in the true degenerate cases
+  (single-class gold AND matching marginals; all-one-cell matrices),
+  guarded by ``nullif`` — Spark 4 ANSI mode raises on 0/0 otherwise.
+
+Reference scope: the reference engine (master.py:27-150) evaluates
+only K-Means SSE; this module is part of the LLM-data-pipeline
+extension surface (classifier/label evaluation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def confusion_matrix(
+    df: DataFrame, label_col: str, pred_col: str
+) -> DataFrame:
+    """Observed confusion cells: ``(label, pred, n)``. Zero cells are
+    absent (the matrix is sparse by construction at high C)."""
+    return df.groupBy(
+        F.col(label_col).alias("label"), F.col(pred_col).alias("pred")
+    ).agg(F.count("*").alias("n"))
+
+
+def _marginals(cm: DataFrame) -> DataFrame:
+    """Per-class gold/pred marginals + diagonal from a confusion
+    matrix: ``(class, n_gold, n_pred, tp)`` — C rows, outer-joined so
+    classes seen only as gold or only as pred both appear."""
+    gold = cm.groupBy(F.col("label").alias("class")).agg(
+        F.sum("n").alias("n_gold")
+    )
+    pred = cm.groupBy(F.col("pred").alias("class")).agg(
+        F.sum("n").alias("n_pred")
+    )
+    diag = cm.where(F.col("label") == F.col("pred")).select(
+        F.col("label").alias("class"), F.col("n").alias("tp")
+    )
+    out = (
+        gold.join(pred, "class", "full_outer")
+        .join(diag, "class", "left")
+        .select(
+            "class",
+            F.coalesce("n_gold", F.lit(0)).alias("n_gold"),
+            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+        )
+    )
+    return out
+
+
+def class_metrics(
+    df: DataFrame, label_col: str, pred_col: str
+) -> DataFrame:
+    """Per-class table: ``(class, n_gold, n_pred, tp, precision,
+    recall, f1)`` with sklearn ``zero_division=0`` semantics."""
+    m = _marginals(confusion_matrix(df, label_col, pred_col))
+    tp_d = F.col("tp").cast("double")
+    prec = F.when(F.col("n_pred") > 0, tp_d / F.col("n_pred")).otherwise(0.0)
+    rec = F.when(F.col("n_gold") > 0, tp_d / F.col("n_gold")).otherwise(0.0)
+    with_pr = m.select("*", prec.alias("precision"), rec.alias("recall"))
+    f1 = F.when(
+        F.col("precision") + F.col("recall") > 0,
+        2.0
+        * F.col("precision")
+        * F.col("recall")
+        / (F.col("precision") + F.col("recall")),
+    ).otherwise(0.0)
+    return with_pr.select("*", f1.alias("f1"))
+
+
+def classification_summary(
+    df: DataFrame, label_col: str, pred_col: str
+) -> DataFrame:
+    """One-row corpus summary: ``(n, accuracy, kappa, mcc,
+    macro_precision, macro_recall, macro_f1, weighted_f1)``.
+
+    * ``accuracy`` = micro-F1 for single-label classification.
+    * ``kappa``: agreement over chance, ``p_e = Σ g_c·p_c / N²``.
+    * ``mcc``: multiclass R_k statistic,
+      ``(N·Σtp − Σ g_c·p_c) / sqrt((N²−Σp_c²)(N²−Σg_c²))``.
+    * macro means are over classes with ``n_gold > 0``;
+      ``weighted_f1`` weights per-class F1 by gold support.
+    """
+    per = class_metrics(df, label_col, pred_col)
+    supported = F.col("n_gold") > 0
+    mean_if = lambda c: F.avg(F.when(supported, F.col(c)))  # noqa: E731
+    agg = per.agg(
+        F.sum("n_gold").alias("_n"),
+        F.sum("tp").alias("_tp"),
+        F.sum(F.col("n_gold").cast("double") * F.col("n_pred")).alias("_gp"),
+        F.sum(F.col("n_gold").cast("double") * F.col("n_gold")).alias("_gg"),
+        F.sum(F.col("n_pred").cast("double") * F.col("n_pred")).alias("_pp"),
+        mean_if("precision").alias("macro_precision"),
+        mean_if("recall").alias("macro_recall"),
+        mean_if("f1").alias("macro_f1"),
+        (
+            F.sum(F.col("n_gold").cast("double") * F.col("f1"))
+            / F.sum(F.col("n_gold")).cast("double")
+        ).alias("weighted_f1"),
+    )
+    n_d = F.col("_n").cast("double")
+    po = F.col("_tp").cast("double") / n_d
+    pe = F.col("_gp") / (n_d * n_d)
+    kappa = (po - pe) / F.nullif(F.lit(1.0) - pe, F.lit(0.0))
+    mcc_num = n_d * F.col("_tp").cast("double") - F.col("_gp")
+    mcc_den = F.sqrt(
+        (n_d * n_d - F.col("_pp")) * (n_d * n_d - F.col("_gg"))
+    )
+    mcc = mcc_num / F.nullif(mcc_den, F.lit(0.0))
+    return agg.select(
+        F.col("_n").alias("n"),
+        po.alias("accuracy"),
+        kappa.alias("kappa"),
+        mcc.alias("mcc"),
+        "macro_precision",
+        "macro_recall",
+        "macro_f1",
+        "weighted_f1",
+    )

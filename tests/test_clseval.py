@@ -1,0 +1,102 @@
+"""operators/clseval.py: hand-computed confusion/PRF1/kappa/MCC on a
+known matrix, zero-division conventions, invented-class handling, and
+perfect/inverted edge cases."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from k_means_using_mapreduce_spark.operators.clseval import (
+    class_metrics,
+    classification_summary,
+    confusion_matrix,
+)
+
+
+@pytest.fixture(scope="module")
+def labeled(spark):
+    # confusion matrix (gold rows x pred cols), classes a/b:
+    #        pred a  pred b
+    # gold a   4       1
+    # gold b   2       3
+    rows = (
+        [("a", "a")] * 4
+        + [("a", "b")] * 1
+        + [("b", "a")] * 2
+        + [("b", "b")] * 3
+    )
+    return spark.createDataFrame(rows, "label string, pred string")
+
+
+def test_confusion_cells(labeled):
+    cells = {
+        (r["label"], r["pred"]): r["n"]
+        for r in confusion_matrix(labeled, "label", "pred").collect()
+    }
+    assert cells == {("a", "a"): 4, ("a", "b"): 1, ("b", "a"): 2, ("b", "b"): 3}
+
+
+def test_class_metrics_hand_computed(labeled):
+    out = {
+        r["class"]: r
+        for r in class_metrics(labeled, "label", "pred").collect()
+    }
+    a, b = out["a"], out["b"]
+    assert (a["n_gold"], a["n_pred"], a["tp"]) == (5, 6, 4)
+    assert a["precision"] == pytest.approx(4 / 6)
+    assert a["recall"] == pytest.approx(4 / 5)
+    assert a["f1"] == pytest.approx(2 * (4 / 6) * (4 / 5) / (4 / 6 + 4 / 5))
+    assert b["precision"] == pytest.approx(3 / 4)
+    assert b["recall"] == pytest.approx(3 / 5)
+
+
+def test_summary_kappa_mcc_hand_computed(labeled):
+    row = classification_summary(labeled, "label", "pred").collect()[0]
+    assert row["n"] == 10
+    assert row["accuracy"] == pytest.approx(0.7)
+    # pe = (5*6 + 5*4) / 100 = 0.5 → kappa = (0.7-0.5)/0.5 = 0.4
+    assert row["kappa"] == pytest.approx(0.4)
+    # binary MCC = (4*3 - 1*2)/sqrt(6*4*5*5) = 10/sqrt(600)
+    assert row["mcc"] == pytest.approx(10.0 / math.sqrt(600.0))
+    assert row["macro_f1"] == pytest.approx(
+        (2 * (4 / 6) * (4 / 5) / (4 / 6 + 4 / 5)
+         + 2 * (3 / 4) * (3 / 5) / (3 / 4 + 3 / 5)) / 2
+    )
+
+
+def test_invented_class_conventions(spark):
+    # model predicts class 'c' that never appears in gold: its
+    # precision is 0 (zero_division), it has no recall support, and it
+    # must NOT dilute macro averages
+    df = spark.createDataFrame(
+        [("a", "a"), ("a", "c"), ("b", "b")], "label string, pred string"
+    )
+    out = {r["class"]: r for r in class_metrics(df, "label", "pred").collect()}
+    assert out["c"]["n_gold"] == 0 and out["c"]["n_pred"] == 1
+    assert out["c"]["precision"] == 0.0 and out["c"]["recall"] == 0.0
+    summ = classification_summary(df, "label", "pred").collect()[0]
+    # macro over gold classes a (p=1, r=1/2, f1=2/3) and b (1,1,1) only
+    assert summ["macro_recall"] == pytest.approx((0.5 + 1.0) / 2)
+    assert summ["macro_f1"] == pytest.approx((2 / 3 + 1.0) / 2)
+
+
+def test_perfect_classifier(spark):
+    df = spark.createDataFrame(
+        [(c, c) for c in "aabbcc"], "label string, pred string"
+    )
+    row = classification_summary(df, "label", "pred").collect()[0]
+    for c in ("accuracy", "kappa", "mcc", "macro_f1", "weighted_f1"):
+        assert row[c] == pytest.approx(1.0), c
+
+
+def test_degenerate_single_class_kappa_null(spark):
+    # gold and pred both constant: po = pe = 1 → kappa 0/0 → NULL,
+    # mcc denominator 0 → NULL (not a crash under ANSI mode)
+    df = spark.createDataFrame(
+        [("a", "a")] * 3, "label string, pred string"
+    )
+    row = classification_summary(df, "label", "pred").collect()[0]
+    assert row["accuracy"] == 1.0
+    assert row["kappa"] is None and row["mcc"] is None
