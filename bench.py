@@ -218,6 +218,8 @@ BENCH_QUERIES = [
     "retrieval_summary_events",
     "lang_eval_classes",
     "lang_eval_summary",
+    "source_overlap_matrix",
+    "source_signature_terms",
 ]
 
 KMEANS_FIT_K = 8

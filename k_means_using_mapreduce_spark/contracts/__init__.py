@@ -31,6 +31,7 @@ from . import (
     line_queries,
     lm_queries,
     multimodal_queries,
+    overlap_queries,
     packing_queries,
     pca_queries,
     pq_queries,
@@ -108,6 +109,7 @@ _MODULES = [
     reshape_queries,
     rplsh_queries,
     multimodal_queries,
+    overlap_queries,
     sampling_queries,
     window_queries,
 ]
