@@ -220,6 +220,7 @@ BENCH_QUERIES = [
     "lang_eval_summary",
     "source_overlap_matrix",
     "source_signature_terms",
+    "source_budget_plan",
 ]
 
 KMEANS_FIT_K = 8

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import (
     bloom_queries,
+    budget_queries,
     calibration_queries,
     card_queries,
     cleaning_queries,
@@ -66,6 +67,7 @@ from . import (
 _MODULES = [
     kmeans_queries,
     bloom_queries,
+    budget_queries,
     survival_queries,
     card_queries,
     coreset_queries,
