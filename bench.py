@@ -221,6 +221,7 @@ BENCH_QUERIES = [
     "source_overlap_matrix",
     "source_signature_terms",
     "source_budget_plan",
+    "item_rules_events",
 ]
 
 KMEANS_FIT_K = 8

@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import (
+    assoc_queries,
     bloom_queries,
     budget_queries,
     calibration_queries,
@@ -66,6 +67,7 @@ from . import (
 
 _MODULES = [
     kmeans_queries,
+    assoc_queries,
     bloom_queries,
     budget_queries,
     survival_queries,
