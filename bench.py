@@ -222,6 +222,8 @@ BENCH_QUERIES = [
     "source_signature_terms",
     "source_budget_plan",
     "item_rules_events",
+    "customer_entities",
+    "customer_golden_records",
 ]
 
 KMEANS_FIT_K = 8

@@ -237,3 +237,91 @@ QUERIES["fs_u_probabilities_customers"] = fs_u_probabilities_customers
 ORACLE_SQL["fs_u_probabilities_customers"] = FS_U_SQL
 QUERIES["fs_match_scores_customers"] = fs_match_scores_customers
 ORACLE_SQL["fs_match_scores_customers"] = FS_SCORES_SQL
+
+
+def _customer_pairs(spark: SparkSession, sf_dir: str):
+    cust = load_table(spark, sf_dir, "customer")
+    pairs = blocked_match_candidates(
+        cust,
+        id_col="c_custkey",
+        name_col="c_name",
+        block_cols=["c_nationkey", "c_mktsegment"],
+        max_distance=_MAX_D,
+    ).select("id_a", "id_b")
+    return cust, pairs
+
+
+_COMP_SQL = f"""
+cand AS ({ENTITY_SQL}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+          UNION SELECT id_b, id_a FROM cand),
+reach AS (SELECT src AS id, src AS r FROM edges
+          UNION SELECT e.dst, reach.r FROM reach
+                 JOIN edges e ON e.src = reach.id),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+"""
+
+
+def customer_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-id assignment: transitive closure of the blocked match
+    pairs (operators/entity.py::resolve_entities); singletons keep
+    their own key. Oracle: WITH RECURSIVE reachability."""
+    from ..operators.entity import resolve_entities
+
+    cust, pairs = _customer_pairs(spark, sf_dir)
+    return resolve_entities(cust, pairs, "c_custkey")
+
+
+CUSTOMER_ENTITIES_SQL = f"""
+WITH RECURSIVE {_COMP_SQL}
+SELECT c.c_custkey AS id,
+       coalesce(comp.component, c.c_custkey) AS entity_id
+FROM customer c LEFT JOIN comp ON comp.id = c.c_custkey
+"""
+
+
+def customer_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship after resolution: per entity, the highest-balance
+    member's identity fields + the max balance across members
+    (operators/entity.py::golden_records)."""
+    from ..operators.entity import golden_records, resolve_entities
+
+    cust, pairs = _customer_pairs(spark, sf_dir)
+    ent = resolve_entities(cust, pairs, "c_custkey")
+    joined = cust.join(
+        ent, cust["c_custkey"] == ent["id"]
+    ).drop("id")
+    return golden_records(
+        joined,
+        entity_col="entity_id",
+        id_col="c_custkey",
+        prefer=[("c_acctbal", "desc")],
+        carry=["c_name", "c_mktsegment"],
+        agg_max=["c_acctbal"],
+    )
+
+
+CUSTOMER_GOLDEN_SQL = f"""
+WITH RECURSIVE {_COMP_SQL},
+resolved AS (
+  SELECT c.*, coalesce(comp.component, c.c_custkey) AS entity_id
+  FROM customer c LEFT JOIN comp ON comp.id = c.c_custkey
+), ranked AS (
+  SELECT entity_id, c_custkey, c_name, c_mktsegment,
+    row_number() OVER (PARTITION BY entity_id
+                       ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM resolved
+), members AS (
+  SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members,
+         max(c_acctbal) AS max_c_acctbal
+  FROM resolved GROUP BY 1
+)
+SELECT m.entity_id, m.n_members, m.max_c_acctbal,
+       r.c_custkey AS survivor_id, r.c_name, r.c_mktsegment
+FROM members m JOIN ranked r ON r.entity_id = m.entity_id AND r.rn = 1
+"""
+
+QUERIES["customer_entities"] = customer_entities
+ORACLE_SQL["customer_entities"] = CUSTOMER_ENTITIES_SQL
+QUERIES["customer_golden_records"] = customer_golden_records
+ORACLE_SQL["customer_golden_records"] = CUSTOMER_GOLDEN_SQL

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -317,3 +317,79 @@ def math_log(x: float):
     import math
 
     return F.lit(math.log(x))
+
+
+def resolve_entities(
+    records: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Entity-id assignment from adjudicated match pairs: ``(id,
+    entity_id)`` for EVERY record — matched records share their
+    component's minimum member id, singletons keep their own id.
+
+    ``pairs`` is an ``(id_a, id_b)`` edge list (blocked_match_
+    candidates / sorted_neighborhood_candidates output, optionally
+    FS-score-thresholded first). Transitive closure runs through
+    dedup_pipeline.connected_components — driver union-find for the
+    common ≪1M-edge case, alternating star contraction above it.
+
+    Scale: the join back onto records is keyed on the record id; the
+    component table is |matched ids| rows, far smaller than the
+    record table, so AQE broadcasts it in the common case.
+    """
+    from .dedup_pipeline import connected_components
+
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    ids = records.select(F.col(id_col).alias("id"))
+    return ids.join(comp, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("entity_id")
+    )
+
+
+def golden_records(
+    df: DataFrame,
+    *,
+    entity_col: str = "entity_id",
+    id_col: str,
+    prefer: Sequence[tuple[str, str]],
+    carry: Sequence[str] = (),
+    agg_max: Sequence[str] = (),
+) -> DataFrame:
+    """Survivorship: one golden row per entity — ``(entity_id,
+    n_members, survivor_id, <carry cols from the surviving record>,
+    max_<c> for each agg_max col)``.
+
+    ``prefer`` is the survivorship policy: ``[(col, 'desc'|'asc'),
+    ...]`` ranks the members (e.g. freshest timestamp, highest
+    balance); ties always break on ``id_col`` ascending so retries and
+    repartitions elect the same survivor. ``carry`` columns are taken
+    from the elected record; ``agg_max`` columns take the best value
+    across ALL members (the classic mixed policy: identity fields from
+    one record, extremal facts from the union).
+
+    Scale shape: one shuffle on the entity key — the election window
+    and the member aggregate both run on the same hashpartitioning
+    (entity_col stays un-aliased through both, the ranking.py lesson),
+    then a per-entity-row join AQE resolves as it likes.
+    """
+    order = []
+    for col, direction in prefer:
+        if direction not in ("asc", "desc"):
+            raise ValueError(f"prefer direction must be asc/desc: {direction}")
+        c = F.col(col)
+        order.append(c.desc() if direction == "desc" else c.asc())
+    order.append(F.col(id_col).asc())
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    elected = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            entity_col,
+            F.col(id_col).alias("survivor_id"),
+            *carry,
+        )
+    )
+    aggs = [F.count("*").alias("n_members")] + [
+        F.max(c).alias(f"max_{c}") for c in agg_max
+    ]
+    members = df.groupBy(entity_col).agg(*aggs)
+    return members.join(elected, entity_col)
