@@ -266,3 +266,61 @@ GROUP BY t.user
 
 QUERIES["user_markov_surprisal"] = user_markov_surprisal
 ORACLE_SQL["user_markov_surprisal"] = MARKOV_SQL
+
+
+def user_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar / neighbor-Jaccard link prediction over the
+    co-activity graph: scores for non-adjacent user pairs with common
+    neighbors (operators/graph.py::link_prediction_scores)."""
+    from ..operators.graph import link_prediction_scores
+
+    return link_prediction_scores(_user_cooc_edges(spark, sf_dir))
+
+
+LINK_PREDICTION_SQL = f"""
+WITH base AS (
+  SELECT DISTINCT user_id AS id,
+         epoch_ns(ts) - epoch_ns(ts) % {_MINUTE_NS} AS g1,
+         event_type AS g2
+  FROM events
+),
+ok AS (SELECT g1, g2 FROM base GROUP BY 1, 2 HAVING count(*) <= {_COOC_CAP}),
+b2 AS (SELECT base.* FROM base JOIN ok USING (g1, g2)),
+edges AS (
+  SELECT DISTINCT a.id AS src, b.id AS dst
+  FROM b2 a JOIN b2 b USING (g1, g2) WHERE a.id < b.id
+),
+adj AS (
+  SELECT src AS node, dst AS nbr FROM edges
+  UNION ALL SELECT dst, src FROM edges
+),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+adj2 AS (
+  SELECT a.node, a.nbr, d.deg AS nbr_deg
+  FROM adj a JOIN deg d ON a.nbr = d.node
+),
+wedges AS (
+  SELECT a.node AS node_a, b.node AS node_b, a.nbr_deg
+  FROM adj2 a JOIN adj2 b USING (nbr)
+  WHERE a.node < b.node
+),
+scored AS (
+  SELECT node_a, node_b, CAST(count(*) AS BIGINT) AS common,
+         sum(1.0 / ln(CAST(nbr_deg AS DOUBLE))) AS adamic_adar
+  FROM wedges GROUP BY 1, 2
+),
+non_adj AS (
+  SELECT s.* FROM scored s
+  WHERE NOT EXISTS (SELECT 1 FROM edges e
+                    WHERE e.src = s.node_a AND e.dst = s.node_b)
+)
+SELECT n.node_a, n.node_b, n.common, da.deg AS deg_a, db.deg AS deg_b,
+  n.adamic_adar,
+  CAST(n.common AS DOUBLE) / (da.deg + db.deg - n.common) AS jaccard_nbrs
+FROM non_adj n
+JOIN deg da ON n.node_a = da.node
+JOIN deg db ON n.node_b = db.node
+"""
+
+QUERIES["user_link_prediction"] = user_link_prediction
+ORACLE_SQL["user_link_prediction"] = LINK_PREDICTION_SQL

@@ -502,3 +502,79 @@ def markov_sequence_scores(
         F.avg(F.log("p")).alias("avg_logprob"),
         F.exp(-F.avg(F.log("p"))).alias("perplexity"),
     )
+
+
+def link_prediction_scores(
+    edges: DataFrame, *, max_degree: int | None = None
+) -> DataFrame:
+    """Common-neighbor link prediction over canonical undirected edges
+    (``src < dst``, simple): for every NON-adjacent pair sharing at
+    least one neighbor, ``(node_a, node_b, common, deg_a, deg_b,
+    adamic_adar, jaccard_nbrs)`` —
+
+        adamic_adar  = Σ_{z ∈ Γ(a)∩Γ(b)} 1 / ln(deg(z))
+        jaccard_nbrs = |Γ(a)∩Γ(b)| / |Γ(a)∪Γ(b)|
+
+    the classic "who should be connected" ranking (Liben-Nowell &
+    Kleinberg 2003). ln(deg(z)) is never 0: a common neighbor has
+    edges to both endpoints, so deg(z) ≥ 2.
+
+    Scale shape: adjacency is the 2-element explode of the edge list
+    (one pass — no unioned re-read of the subtree); wedges come from
+    ONE neighbor-keyed equi self-join, so cost concentrates on hub
+    neighbors — ``max_degree`` drops hubs as wedge CENTERS before the
+    join (the truncated variant; a celebrity neighbor says nothing
+    about whether two fans should link, and contributes ≤ 1/ln(huge)
+    anyway). The existing-edge anti-join and the degree lookups are
+    all keyed on node/pair ids — AQE broadcasts the degree table when
+    small.
+    """
+    if max_degree is not None and max_degree < 2:
+        raise ValueError(f"max_degree must be >= 2, got {max_degree}")
+    e = edges.select("src", "dst")
+    adj = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("node"), F.col("dst").alias("nbr")),
+                F.struct(F.col("dst").alias("node"), F.col("src").alias("nbr")),
+            )
+        ).alias("_a")
+    ).select("_a.node", "_a.nbr")
+    deg = adj.groupBy("node").agg(F.count("*").alias("deg"))
+    centers = deg.select(F.col("node").alias("nbr"), F.col("deg").alias("nbr_deg"))
+    if max_degree is not None:
+        centers = centers.where(F.col("nbr_deg") <= max_degree)
+    adj2 = adj.join(centers, "nbr")
+    wa = adj2.select("nbr", "nbr_deg", F.col("node").alias("node_a"))
+    wb = adj2.select("nbr", F.col("node").alias("node_b"))
+    wedges = wa.join(wb, "nbr").where(F.col("node_a") < F.col("node_b"))
+    scored = wedges.groupBy("node_a", "node_b").agg(
+        F.count("*").alias("common"),
+        F.sum(F.lit(1.0) / F.log(F.col("nbr_deg").cast("double"))).alias(
+            "adamic_adar"
+        ),
+    )
+    non_adjacent = scored.join(
+        e.select(F.col("src").alias("node_a"), F.col("dst").alias("node_b")),
+        ["node_a", "node_b"],
+        "left_anti",
+    )
+    out = non_adjacent.join(
+        deg.select(F.col("node").alias("node_a"), F.col("deg").alias("deg_a")),
+        "node_a",
+    ).join(
+        deg.select(F.col("node").alias("node_b"), F.col("deg").alias("deg_b")),
+        "node_b",
+    )
+    return out.select(
+        "node_a",
+        "node_b",
+        "common",
+        "deg_a",
+        "deg_b",
+        "adamic_adar",
+        (
+            F.col("common").cast("double")
+            / (F.col("deg_a") + F.col("deg_b") - F.col("common"))
+        ).alias("jaccard_nbrs"),
+    )
