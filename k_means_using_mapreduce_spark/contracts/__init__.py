@@ -46,6 +46,7 @@ from . import (
     rollup_queries,
     rplsh_queries,
     sampling_queries,
+    selection_queries,
     semdedup_queries,
     setop_queries,
     similarity_queries,
@@ -115,6 +116,7 @@ _MODULES = [
     multimodal_queries,
     overlap_queries,
     sampling_queries,
+    selection_queries,
     window_queries,
 ]
 
