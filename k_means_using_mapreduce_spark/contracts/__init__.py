@@ -40,6 +40,7 @@ from . import (
     quality_queries,
     quantize_queries,
     ranking_queries,
+    recommend_queries,
     repetition_queries,
     reshape_queries,
     robust_queries,
@@ -95,6 +96,7 @@ _MODULES = [
     quality_queries,
     quantize_queries,
     ranking_queries,
+    recommend_queries,
     pca_queries,
     pq_queries,
     similarity_queries,

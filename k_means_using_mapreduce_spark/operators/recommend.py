@@ -1,0 +1,325 @@
+"""Alternating-least-squares matrix factorization (recommender).
+
+Collaborative filtering over (user, item, rating) interactions —
+ratings here are IMPLICIT strengths (e.g. purchase quantities from
+orders ⋈ lineitem), factorized as ``r_ui ≈ x_u · y_i`` by classic
+ALS (Zhou et al. 2008, "Large-scale Parallel Collaborative Filtering
+for the Netflix Prize"): fixing one side turns the other side's
+factors into independent per-id ridge regressions, each a tiny
+``rank × rank`` solve.
+
+Why not a row-iterative SGD: ALS's half-steps are EXACTLY the
+engine's shape — one broadcast join (the fixed side's factor table,
+``n_items × rank`` doubles, MBs even at catalog scale) plus one
+map-side-combined groupBy of the solving side. No parameter server,
+no sequential epochs, every iteration a bounded number of shuffles of
+(id, rank²-floats) rows — never the ratings themselves twice.
+
+Determinism: factor init is the md5-uniform house hash (one draw per
+(seed, id, component)), so fits are retry/repartition-stable and the
+rank-2 closed-form path is exactly reproducible in the DuckDB oracle
+(contracts/recommend_queries.py). Rank 2 solves 2×2 systems in
+CLOSED FORM as JVM-side column expressions (zero Python in the hot
+path); general rank aggregates the same normal-equation sums and
+solves the tiny per-id systems in one Arrow-batched ``mapInPandas``
+over ALREADY-AGGREGATED one-row-per-id partials.
+
+Reference scope note: the reference engine (master.py:27-150) has no
+recommender; this module is training-data-pipeline surface (user/item
+embeddings for retrieval, interaction-based curation) mandated by the
+build brief.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_TWO_60 = float(1 << 60)
+
+
+def _hash_unit(parts: list[Column]) -> Column:
+    """Deterministic uniform in [-0.5, 0.5) from the md5 house hash of
+    ':'-joined parts."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", *parts)), 1, 15), 16, 10
+    ).cast("long")
+    return (h.cast("double") + F.lit(0.5)) / F.lit(_TWO_60) - F.lit(0.5)
+
+
+def hash_init_factors(
+    ids: DataFrame,
+    *,
+    rank: int,
+    seed: int = 0,
+    scale: float = 1.0,
+    id_col: str = "id",
+) -> DataFrame:
+    """Deterministic factor init: ``(id_col, factors array<double>)``
+    with ``factors[j] = scale * uniform[-0.5, 0.5)`` drawn from
+    ``md5(seed:id:j)`` — identical on every run, retry, and engine."""
+    if rank < 1:
+        raise ValueError(f"rank must be >= 1, got {rank}")
+    comps = [
+        _hash_unit(
+            [F.lit(str(seed)), F.col(id_col).cast("string"), F.lit(str(j))]
+        )
+        * F.lit(float(scale))
+        for j in range(rank)
+    ]
+    return ids.select(id_col, F.array(*comps).alias("factors"))
+
+
+def implicit_ratings(
+    orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """TPC-H implicit interaction strengths: ``(user, item, rating)``
+    = customer × part total ordered quantity. The orders join carries
+    only (orderkey, custkey) — AQE broadcast below its threshold,
+    shuffle-hash above."""
+    return (
+        lineitem.select("l_orderkey", "l_partkey", "l_quantity")
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("o_custkey").alias("user"), F.col("l_partkey").alias("item")
+        )
+        .agg(F.sum(F.col("l_quantity").cast("double")).alias("rating"))
+    )
+
+
+def _normal_eq_sums(
+    ratings: DataFrame,
+    other_factors: DataFrame,
+    *,
+    rank: int,
+    solve_col: str,
+    other_col: str,
+    rating_col: str,
+) -> DataFrame:
+    """Per-solving-id normal-equation partials: upper-triangle Gram
+    sums ``a_ij = Σ y_i y_j`` and targets ``b_i = Σ y_i r`` plus the
+    interaction count ``n`` — one broadcast join + one grouped agg;
+    output is ONE ROW PER ID with rank(rank+3)/2 + 1 doubles."""
+    y = [F.col("factors")[j] for j in range(rank)]
+    aggs = [F.count("*").alias("n")]
+    for i in range(rank):
+        for j in range(i, rank):
+            aggs.append(F.sum(y[i] * y[j]).alias(f"a_{i}_{j}"))
+    r = F.col(rating_col).cast("double")
+    for i in range(rank):
+        aggs.append(F.sum(y[i] * r).alias(f"b_{i}"))
+    joined = ratings.join(
+        F.broadcast(
+            other_factors.select(
+                F.col(other_factors.columns[0]).alias(other_col), "factors"
+            )
+        ),
+        other_col,
+    )
+    return joined.groupBy(solve_col).agg(*aggs)
+
+
+def als_half_step(
+    ratings: DataFrame,
+    other_factors: DataFrame,
+    *,
+    rank: int,
+    reg: float = 0.1,
+    solve_col: str = "user",
+    other_col: str = "item",
+    rating_col: str = "rating",
+) -> DataFrame:
+    """One ALS half-step: solve ``(Yᵀ_u Y_u + reg·I) x_u = Yᵀ_u r_u``
+    for every ``solve_col`` id against fixed ``other_factors``
+    (``(id, factors)``). Returns ``(solve_col, factors)``.
+
+    ``reg > 0`` makes every system positive-definite (no singular
+    guards needed). Rank 2 is solved in closed form as column
+    expressions; other ranks route the one-row-per-id partials
+    through an Arrow-batched numpy solve.
+    """
+    if rank < 1:
+        raise ValueError(f"rank must be >= 1, got {rank}")
+    if reg <= 0:
+        raise ValueError(f"reg must be > 0, got {reg}")
+    sums = _normal_eq_sums(
+        ratings,
+        other_factors,
+        rank=rank,
+        solve_col=solve_col,
+        other_col=other_col,
+        rating_col=rating_col,
+    )
+    if rank == 1:
+        x0 = F.col("b_0") / (F.col("a_0_0") + F.lit(reg))
+        return sums.select(solve_col, F.array(x0).alias("factors"))
+    if rank == 2:
+        a11 = F.col("a_0_0") + F.lit(reg)
+        a22 = F.col("a_1_1") + F.lit(reg)
+        a12 = F.col("a_0_1")
+        det = a11 * a22 - a12 * a12
+        x0 = (a22 * F.col("b_0") - a12 * F.col("b_1")) / det
+        x1 = (a11 * F.col("b_1") - a12 * F.col("b_0")) / det
+        return sums.select(solve_col, F.array(x0, x1).alias("factors"))
+    return _solve_pandas(sums, rank=rank, reg=reg, solve_col=solve_col)
+
+
+def _solve_pandas(
+    sums: DataFrame, *, rank: int, reg: float, solve_col: str
+) -> DataFrame:
+    import numpy as np  # vendored with pyspark
+
+    a_cols = [(i, j) for i in range(rank) for j in range(i, rank)]
+    out_schema = f"{solve_col} long, factors array<double>"
+
+    def solve(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            A = np.zeros((n, rank, rank))
+            for i, j in a_cols:
+                A[:, i, j] = pdf[f"a_{i}_{j}"].to_numpy()
+                A[:, j, i] = pdf[f"a_{i}_{j}"].to_numpy()
+            A += reg * np.eye(rank)[None, :, :]
+            b = np.stack(
+                [pdf[f"b_{i}"].to_numpy() for i in range(rank)], axis=1
+            )
+            x = np.linalg.solve(A, b)
+            yield pd.DataFrame(
+                {solve_col: pdf[solve_col], "factors": list(x)}
+            )
+
+    return sums.mapInPandas(solve, schema=out_schema)
+
+
+def als_fit(
+    ratings: DataFrame,
+    *,
+    rank: int,
+    iterations: int = 5,
+    reg: float = 0.1,
+    seed: int = 0,
+    user_col: str = "user",
+    item_col: str = "item",
+    rating_col: str = "rating",
+) -> tuple[DataFrame, DataFrame, list[float]]:
+    """Full alternating fit: hash-init item factors, then
+    ``iterations`` rounds of user-solve / item-solve. Returns
+    ``(user_factors, item_factors, rmse_history)`` — history has one
+    training-RMSE entry per iteration (computed on the factor tables,
+    a join of two (id, rank-floats) relations with the ratings, so
+    the eval never widens beyond the interaction list).
+
+    Each round localCheckpoints the factor tables: lineage stays flat
+    no matter how many iterations, the same doctrine as
+    operators/kmeans.py's driver loop.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    items = ratings.select(F.col(item_col).alias("id")).distinct()
+    item_f = hash_init_factors(items, rank=rank, seed=seed).localCheckpoint()
+    history: list[float] = []
+    user_f = None
+    for _ in range(iterations):
+        user_f = als_half_step(
+            ratings,
+            item_f,
+            rank=rank,
+            reg=reg,
+            solve_col=user_col,
+            other_col=item_col,
+            rating_col=rating_col,
+        ).localCheckpoint()
+        item_f = als_half_step(
+            ratings,
+            user_f.withColumnRenamed(user_col, "id"),
+            rank=rank,
+            reg=reg,
+            solve_col=item_col,
+            other_col=user_col,
+            rating_col=rating_col,
+        ).localCheckpoint()
+        history.append(
+            _rmse(ratings, user_f, item_f, user_col, item_col, rating_col)
+        )
+    return (
+        user_f,
+        item_f.withColumnRenamed(item_col, "id"),
+        history,
+    )
+
+
+def predict_score(u: Column, y: Column) -> Column:
+    """Dot product of two factor arrays."""
+    return F.aggregate(
+        F.zip_with(u, y, lambda a, b: a * b), F.lit(0.0), lambda s, v: s + v
+    )
+
+
+def _rmse(ratings, user_f, item_f, user_col, item_col, rating_col) -> float:
+    uf = user_f.select(
+        F.col(user_f.columns[0]).alias(user_col), F.col("factors").alias("_u")
+    )
+    itf = item_f.select(
+        F.col(item_f.columns[0]).alias(item_col), F.col("factors").alias("_y")
+    )
+    err = (
+        ratings.join(uf, user_col)
+        .join(F.broadcast(itf), item_col)
+        .select(
+            (
+                F.col(rating_col).cast("double")
+                - predict_score(F.col("_u"), F.col("_y"))
+            ).alias("e")
+        )
+    )
+    return float(
+        err.agg(F.sqrt(F.avg(F.col("e") * F.col("e")))).first()[0]
+    )
+
+
+def recommend_topk(
+    user_factors: DataFrame,
+    item_factors: DataFrame,
+    *,
+    k: int,
+    user_col: str = "user",
+    item_col: str = "item",
+) -> DataFrame:
+    """Top-``k`` items per user by factor dot product (ties broken by
+    item id): ``(user, item, score, rank)``.
+
+    The item factor table is broadcast (catalog × rank doubles — MBs)
+    and the per-user ranking is a window over the SCORED projection,
+    so the exchange carries (user, item, score) rows only. For
+    billion-item catalogs swap in the IVF/PQ retrieval operators
+    (operators/similarity.py, operators/pq.py) over the same factor
+    arrays instead of the exhaustive product.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    uf = user_factors.select(
+        F.col(user_factors.columns[0]).alias(user_col),
+        F.col("factors").alias("_u"),
+    )
+    itf = item_factors.select(
+        F.col(item_factors.columns[0]).alias(item_col),
+        F.col("factors").alias("_y"),
+    )
+    scored = uf.join(F.broadcast(itf)).select(
+        user_col,
+        item_col,
+        predict_score(F.col("_u"), F.col("_y")).alias("score"),
+    )
+    w = Window.partitionBy(user_col).orderBy(F.desc("score"), item_col)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
