@@ -324,3 +324,61 @@ JOIN deg db ON n.node_b = db.node
 
 QUERIES["user_link_prediction"] = user_link_prediction
 ORACLE_SQL["user_link_prediction"] = LINK_PREDICTION_SQL
+
+
+K_CORE_K = 2
+K_CORE_ROUNDS = 20
+
+
+def user_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the co-activity graph: the stable highly-connected
+    community after iteratively peeling low-degree users
+    (operators/graph.py::k_core_nodes)."""
+    from ..operators.graph import k_core_nodes
+
+    return k_core_nodes(
+        _user_cooc_edges(spark, sf_dir), K_CORE_K, max_rounds=K_CORE_ROUNDS
+    )
+
+
+# The oracle carries the symmetric ADJACENCY through a recursive CTE:
+# in a symmetric adjacency the window count over nbr IS nbr's degree,
+# so one self-reference-free recursive term peels a full round. Fixed
+# K_CORE_ROUNDS rounds; once the peel converges the rows replicate
+# unchanged, so round = K_CORE_ROUNDS is the fixpoint the engine's
+# early-exit loop reaches (tests/test_kcore.py pins depth < rounds).
+K_CORE_SQL = f"""
+WITH RECURSIVE base AS (
+  SELECT DISTINCT user_id AS id,
+         epoch_ns(ts) - epoch_ns(ts) % {_MINUTE_NS} AS g1,
+         event_type AS g2
+  FROM events
+),
+ok AS (SELECT g1, g2 FROM base GROUP BY 1, 2 HAVING count(*) <= {_COOC_CAP}),
+b2 AS (SELECT base.* FROM base JOIN ok USING (g1, g2)),
+edges AS (
+  SELECT DISTINCT a.id AS src, b.id AS dst
+  FROM b2 a JOIN b2 b USING (g1, g2) WHERE a.id < b.id
+),
+adj AS (
+  SELECT src AS node, dst AS nbr FROM edges
+  UNION ALL SELECT dst, src FROM edges
+),
+peel AS (
+  SELECT node, nbr, 0 AS r FROM adj
+  UNION ALL
+  SELECT node, nbr, r + 1 FROM (
+    SELECT node, nbr, r,
+           count(*) OVER (PARTITION BY node) AS d_node,
+           count(*) OVER (PARTITION BY nbr) AS d_nbr
+    FROM peel
+  ) WHERE r < {K_CORE_ROUNDS}
+    AND d_node >= {K_CORE_K} AND d_nbr >= {K_CORE_K}
+)
+SELECT node, CAST(count(*) AS BIGINT) AS deg
+FROM peel WHERE r = {K_CORE_ROUNDS}
+GROUP BY 1
+"""
+
+QUERIES["user_k_core"] = user_k_core
+ORACLE_SQL["user_k_core"] = K_CORE_SQL

@@ -578,3 +578,67 @@ def link_prediction_scores(
             / (F.col("deg_a") + F.col("deg_b") - F.col("common"))
         ).alias("jaccard_nbrs"),
     )
+
+
+def k_core_edges(
+    edges: DataFrame, k: int, *, max_rounds: int = 50
+) -> DataFrame:
+    """Edges of the ``k``-core: the maximal subgraph in which every
+    node has degree ≥ k, computed by iterative peeling (drop nodes
+    below k, re-check, repeat) over canonical undirected edges
+    (``src < dst``, simple).
+
+    The peel loop is the engine's standard iterative-driver shape
+    (operators/kmeans.py doctrine): each round is ONE degree
+    aggregation over the 2-element adjacency explode plus two
+    semi-joins of the edge list against the surviving node set — all
+    keyed on node ids, never node payloads — and the edge set is
+    localCheckpointed per round so lineage stays flat for any depth.
+    Rounds needed = the graph's peel depth (≤ degeneracy ordering
+    passes, typically ≪ 10 on real graphs); the loop exits at the
+    fixpoint (edge count unchanged) or ``max_rounds``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    e = edges.select("src", "dst").localCheckpoint()
+    n_prev = e.count()
+    for _ in range(max_rounds):
+        if n_prev == 0:
+            break
+        adj = e.select(F.col("src").alias("node")).unionAll(
+            e.select(F.col("dst").alias("node"))
+        )
+        keep = (
+            adj.groupBy("node")
+            .agg(F.count("*").alias("deg"))
+            .where(F.col("deg") >= k)
+        )
+        e2 = (
+            e.join(
+                keep.select(F.col("node").alias("src")), "src", "left_semi"
+            )
+            .join(
+                keep.select(F.col("node").alias("dst")), "dst", "left_semi"
+            )
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+        n = e2.count()
+        if n == n_prev:
+            break
+        e, n_prev = e2, n
+    return e
+
+
+def k_core_nodes(
+    edges: DataFrame, k: int, *, max_rounds: int = 50
+) -> DataFrame:
+    """Nodes of the ``k``-core with their WITHIN-CORE degree:
+    ``(node, deg)``, ``deg >= k`` for every returned row."""
+    core = k_core_edges(edges, k, max_rounds=max_rounds)
+    adj = core.select(F.col("src").alias("node")).unionAll(
+        core.select(F.col("dst").alias("node"))
+    )
+    return adj.groupBy("node").agg(F.count("*").alias("deg"))
