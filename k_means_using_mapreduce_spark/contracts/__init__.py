@@ -37,6 +37,7 @@ from . import (
     packing_queries,
     pca_queries,
     pq_queries,
+    privacy_queries,
     quality_queries,
     quantize_queries,
     ranking_queries,
@@ -99,6 +100,7 @@ _MODULES = [
     recommend_queries,
     pca_queries,
     pq_queries,
+    privacy_queries,
     similarity_queries,
     skew_queries,
     simpairs_queries,
