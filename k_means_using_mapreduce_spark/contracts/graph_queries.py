@@ -382,3 +382,56 @@ GROUP BY 1
 
 QUERIES["user_k_core"] = user_k_core
 ORACLE_SQL["user_k_core"] = K_CORE_SQL
+
+
+HITS_ITERS = 3
+
+
+def event_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted HITS (3 iterations, L1-normalized) over the event
+    transition graph — entry-screen hubs vs destination authorities
+    (operators/graph.py::hits)."""
+    from ..operators.graph import hits, transition_edges
+
+    edges = transition_edges(load_table(spark, sf_dir, "events"))
+    return hits(edges, weight_col="n", max_iter=HITS_ITERS)
+
+
+def _hits_iter_cte(k: int) -> str:
+    """One unrolled HITS iteration: h{k-1} -> a{k} -> h{k}."""
+    return f"""au{k} AS (
+  SELECT dst AS node, sum(w * hub) AS un
+  FROM we JOIN h{k - 1} ON we.src = h{k - 1}.node GROUP BY 1
+), ta{k} AS (SELECT sum(un) AS t FROM au{k}),
+a{k} AS (
+  SELECT hnodes.node, coalesce(un, 0.0) / t AS auth
+  FROM hnodes CROSS JOIN ta{k} LEFT JOIN au{k} USING (node)
+), hu{k} AS (
+  SELECT src AS node, sum(w * auth) AS un
+  FROM we JOIN a{k} ON we.dst = a{k}.node GROUP BY 1
+), th{k} AS (SELECT sum(un) AS t FROM hu{k}),
+h{k} AS (
+  SELECT hnodes.node, coalesce(un, 0.0) / t AS hub
+  FROM hnodes CROSS JOIN th{k} LEFT JOIN hu{k} USING (node)
+)"""
+
+
+HITS_SQL = (
+    "WITH "
+    + _EDGES_CTE.strip()
+    + """,
+we AS (SELECT src, dst, CAST(n AS DOUBLE) AS w FROM edges),
+hnodes AS (SELECT DISTINCT node FROM
+  (SELECT src AS node FROM we UNION ALL SELECT dst FROM we)),
+hcnt AS (SELECT count(*) AS nn FROM hnodes),
+h0 AS (SELECT node, 1.0 / nn AS hub FROM hnodes CROSS JOIN hcnt),
+"""
+    + ",\n".join(_hits_iter_cte(k) for k in range(1, HITS_ITERS + 1))
+    + f"""
+SELECT h{HITS_ITERS}.node, hub, auth
+FROM h{HITS_ITERS} JOIN a{HITS_ITERS} ON h{HITS_ITERS}.node = a{HITS_ITERS}.node
+"""
+)
+
+QUERIES["event_hits"] = event_hits
+ORACLE_SQL["event_hits"] = HITS_SQL

@@ -642,3 +642,75 @@ def k_core_nodes(
         core.select(F.col("dst").alias("node"))
     )
     return adj.groupBy("node").agg(F.count("*").alias("deg"))
+
+
+def hits(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    max_iter: int = 3,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999), weighted, with L1
+    normalization, run a FIXED ``max_iter`` iterations: ``(node, hub,
+    auth)`` — authorities are where heavy flow POINTS, hubs are what
+    points AT authorities; on a navigation graph the two separate
+    entry-screens from destination-screens, which a single PageRank
+    score cannot.
+
+    Each iteration is two edge-keyed aggregations (auth from hub,
+    then hub from the fresh auth) plus two 1-row L1 totals — the same
+    flat-lineage checkpointed driver loop as :func:`pagerank`. L1
+    (not the textbook L2) normalization keeps every step a pure
+    sum/divide, exactly mirrorable in the unrolled SQL oracle
+    (contracts/graph_queries.py::HITS_SQL); the hub/auth RANKING is
+    identical under any positive rescaling.
+    """
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
+    ).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("edge relation is empty")
+    scores = nodes.select(
+        "node", F.lit(1.0 / n).alias("hub"), F.lit(1.0 / n).alias("auth")
+    )
+    for _ in range(max_iter):
+        a_un = (
+            e.join(scores.select(F.col("node").alias("src"), "hub"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("w") * F.col("hub")).alias("un"))
+        )
+        ta = a_un.agg(F.sum("un")).first()[0]
+        auth = nodes.join(
+            a_un.select(F.col("dst").alias("node"), "un"), "node", "left"
+        ).select(
+            "node",
+            (F.coalesce(F.col("un"), F.lit(0.0)) / F.lit(ta)).alias("auth"),
+        )
+        h_un = (
+            e.join(auth.select(F.col("node").alias("dst"), "auth"), "dst")
+            .groupBy("src")
+            .agg(F.sum(F.col("w") * F.col("auth")).alias("un"))
+        )
+        th = h_un.agg(F.sum("un")).first()[0]
+        hub = nodes.join(
+            h_un.select(F.col("src").alias("node"), "un"), "node", "left"
+        ).select(
+            "node",
+            (F.coalesce(F.col("un"), F.lit(0.0)) / F.lit(th)).alias("hub"),
+        )
+        scores = (
+            hub.join(auth, "node").localCheckpoint(eager=True)
+        )
+    return scores.select("node", "hub", "auth")
