@@ -209,3 +209,87 @@ RRF_SQL = _rrf_sql()
 
 QUERIES["rrf_search_documents"] = rrf_search_documents
 ORACLE_SQL["rrf_search_documents"] = RRF_SQL
+
+
+TEXTRANK_TOP = 20
+_TR_MIN_LEN = 4
+_TR_ITERS = 3
+_TR_DAMPING = 0.85
+
+
+def textrank_keywords_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level TextRank keywords: PageRank over the window-2
+    word co-occurrence graph of length>=4 tokens
+    (operators/index.py::textrank_keywords)."""
+    from ..operators.index import textrank_keywords
+
+    return textrank_keywords(
+        load_table(spark, sf_dir, "documents"),
+        min_len=_TR_MIN_LEN,
+        damping=_TR_DAMPING,
+        iterations=_TR_ITERS,
+        top=TEXTRANK_TOP,
+    )
+
+
+def _tr_iter_cte(k: int) -> str:
+    """One unrolled damped PageRank iteration over the word graph
+    (mirrors contracts/graph_queries.py::_iter_cte; the symmetric
+    graph has no dangling nodes, but the dm term is kept for exact
+    formula parity with the engine's pagerank)."""
+    return f"""d{k} AS (
+  SELECT coalesce(sum(rank), 0) AS dm FROM r{k - 1}
+  WHERE node NOT IN (SELECT src FROM norm)
+), c{k} AS (
+  SELECT dst, sum(p * rank) AS c FROM norm JOIN r{k - 1} ON norm.src = r{k - 1}.node
+  GROUP BY 1
+), r{k} AS (
+  SELECT node, (1 - {_TR_DAMPING}) / n + {_TR_DAMPING} * (coalesce(c, 0) + dm / n) AS rank
+  FROM nodes CROSS JOIN nn CROSS JOIN d{k} LEFT JOIN c{k} ON node = dst
+)"""
+
+
+TEXTRANK_SQL = (
+    f"""WITH ft AS (
+  SELECT list_filter({sql_tokens('text')}, t -> len(t) >= {_TR_MIN_LEN}) AS toks
+  FROM documents
+), pairs AS (
+  SELECT unnest(
+    CASE WHEN len(toks) >= 2 THEN
+      list_transform(range(1, len(toks)),
+                     i -> struct_pack(src := toks[i], dst := toks[i + 1]))
+    ELSE CAST([] AS STRUCT(src VARCHAR, dst VARCHAR)[]) END
+  ) AS p
+  FROM ft
+), directed AS (
+  SELECT p.src AS src, p.dst AS dst FROM pairs WHERE p.src <> p.dst
+), edges AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT src, dst FROM directed
+    UNION ALL SELECT dst, src FROM directed
+  ) GROUP BY 1, 2
+), nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION SELECT dst FROM edges
+  )
+), nn AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+), outw AS (
+  SELECT src, CAST(sum(n) AS DOUBLE) AS ow FROM edges GROUP BY 1
+), norm AS (
+  SELECT src, dst, n / ow AS p FROM edges JOIN outw USING (src)
+), r0 AS (
+  SELECT node, 1.0 / n AS rank FROM nodes CROSS JOIN nn
+), """
+    + ", ".join(_tr_iter_cte(k) for k in range(1, _TR_ITERS + 1))
+    + f"""
+SELECT term, rank, rk FROM (
+  SELECT node AS term, round(rank, 8) AS rank,
+         row_number() OVER (ORDER BY round(rank, 8) DESC, node) AS rk
+  FROM r{_TR_ITERS}
+) WHERE rk <= {TEXTRANK_TOP}
+"""
+)
+
+QUERIES["textrank_keywords_documents"] = textrank_keywords_documents
+ORACLE_SQL["textrank_keywords_documents"] = TEXTRANK_SQL

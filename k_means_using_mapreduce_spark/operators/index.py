@@ -314,3 +314,70 @@ def rrf_fuse(
         .limit(top)
         .select(F.col("_id").alias(id_col), "rrf_score", "n_lists")
     )
+
+
+def textrank_keywords(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    min_len: int = 4,
+    damping: float = 0.85,
+    iterations: int = 3,
+    top: int = 20,
+) -> DataFrame:
+    """Corpus keywords by TextRank (Mihalcea & Tarau 2004): PageRank
+    over the word co-occurrence graph, window 2, restricted to tokens
+    of length ≥ ``min_len`` (the cheap stopword guard). Output:
+    ``(term, rank, rk)`` — the ``top`` highest-scoring terms.
+
+    Graph-building is array-native (adjacent pairs via ``zip_with``
+    of the filtered token list with its own tail — no posexplode, no
+    per-token window), so the only shuffle before PageRank is the
+    map-side-combined (src, dst) pair count; the graph itself is
+    vocabulary-sized, ≪ corpus, and the fixed-iteration PageRank runs
+    on that small relation (operators/graph.py::pagerank). Ranking
+    rounds scores to 8 decimals before ordering (the
+    ``tfidf_top_terms`` doctrine) so cross-engine float jitter cannot
+    flip the top-k boundary.
+    """
+    from ..functions.text import tokens
+    from .graph import pagerank
+
+    if min_len < 1:
+        raise ValueError(f"min_len must be >= 1, got {min_len}")
+    if top < 1:
+        raise ValueError(f"top must be >= 1, got {top}")
+    toks = F.filter(
+        tokens(F.col(text_col)), lambda t: F.length(t) >= min_len
+    )
+    sz = F.size(toks)
+    pairs = F.when(
+        sz >= 2,
+        F.zip_with(
+            F.slice(toks, 1, sz - 1),
+            F.slice(toks, 2, sz - 1),
+            lambda a, b: F.struct(a.alias("src"), b.alias("dst")),
+        ),
+    ).otherwise(F.array().cast("array<struct<src:string,dst:string>>"))
+    directed = (
+        df.select(F.explode(pairs).alias("p"))
+        .select("p.src", "p.dst")
+        .where(F.col("src") != F.col("dst"))
+    )
+    sym = directed.unionAll(
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    edges = sym.groupBy("src", "dst").agg(F.count("*").alias("n"))
+    pr = pagerank(
+        edges, weight_col="n", damping=damping, max_iter=iterations, tol=0.0
+    )
+    w = Window.orderBy(F.round(F.col("rank"), 8).desc(), F.col("node"))
+    return (
+        pr.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= top)
+        .select(
+            F.col("node").alias("term"),
+            F.round("rank", 8).alias("rank"),
+            "rk",
+        )
+    )
