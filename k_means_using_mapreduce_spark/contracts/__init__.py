@@ -28,6 +28,7 @@ from . import (
     entity_queries,
     freq_queries,
     graph_queries,
+    hypothesis_queries,
     index_queries,
     kmeans_queries,
     line_queries,
@@ -89,6 +90,7 @@ _MODULES = [
     index_queries,
     freq_queries,
     graph_queries,
+    hypothesis_queries,
     lm_queries,
     text_queries,
     repetition_queries,

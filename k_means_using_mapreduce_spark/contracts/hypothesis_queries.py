@@ -1,0 +1,209 @@
+"""Hypothesis-test contracts (operators/hypothesis.py): two-sample
+KS and Mann-Whitney on click-vs-purchase values, chi-squared
+lang×source independence, and a hash-armed A/B proportion z-test."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.loaders import load_table
+
+AB_THRESHOLD = 30.0
+
+_COUNTS_CTE = """
+counts AS (
+  SELECT v, CAST(sum(is_a) AS BIGINT) AS ca,
+         CAST(sum(1 - is_a) AS BIGINT) AS cb
+  FROM (
+    SELECT value AS v, 1 AS is_a FROM events
+    WHERE event_type = 'click' AND value IS NOT NULL
+    UNION ALL
+    SELECT value, 0 FROM events
+    WHERE event_type = 'purchase' AND value IS NOT NULL
+  ) GROUP BY v
+)
+"""
+
+
+def _split(spark: SparkSession, sf_dir: str):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+    )
+
+
+def ks_click_vs_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Are click values and purchase values drawn from the same
+    distribution? Exact two-sample KS D over the pooled CDFs."""
+    from ..operators.hypothesis import ks_two_sample
+
+    a, b = _split(spark, sf_dir)
+    return ks_two_sample(a, b, "value")
+
+
+KS_SQL = f"""
+WITH {_COUNTS_CTE.strip()},
+tot AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b
+  FROM counts
+),
+steps AS (
+  SELECT sum(ca) OVER w AS cum_a, sum(cb) OVER w AS cum_b
+  FROM counts
+  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT n_a, n_b, max(abs(cum_a / n_a - cum_b / n_b)) AS ks_d
+FROM steps CROSS JOIN tot GROUP BY 1, 2
+"""
+
+
+def mannwhitney_click_vs_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mann-Whitney rank-sum (midrank ties, tie-corrected z) on the
+    same two samples — the median-shift view of the KS question."""
+    from ..operators.hypothesis import mann_whitney_u
+
+    a, b = _split(spark, sf_dir)
+    return mann_whitney_u(a, b, "value")
+
+
+MW_SQL = f"""
+WITH {_COUNTS_CTE.strip()},
+ranked AS (
+  SELECT ca, cb, ca + cb AS t,
+         sum(ca + cb) OVER w - (ca + cb) AS before
+  FROM counts
+  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+mid AS (
+  SELECT ca, cb, t, before + (t + 1) / 2.0 AS midrank FROM ranked
+),
+agg AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
+         sum(ca * midrank) AS r_a,
+         sum(CAST(t AS DOUBLE) * t * t - t) AS tie3
+  FROM mid
+)
+SELECT n_a, n_b,
+       r_a - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1) / 2 AS u_a,
+       (r_a - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1) / 2
+          - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2)
+       / sqrt(
+           (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+             / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1)))
+           * (((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+               * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+               * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+               - (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))) / 12
+              - tie3 / 12)
+         ) AS z
+FROM agg
+"""
+
+
+def chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-squared independence of document language and
+    source over the contingency table."""
+    from ..operators.hypothesis import chi_squared_independence
+
+    return chi_squared_independence(
+        load_table(spark, sf_dir, "documents"), "lang", "source"
+    )
+
+
+CHI2_SQL = """
+WITH obs AS (
+  SELECT lang, source, count(*) AS o FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL
+  GROUP BY 1, 2
+),
+row_t AS (SELECT lang, sum(o) AS ra FROM obs GROUP BY 1),
+col_t AS (SELECT source, sum(o) AS cb FROM obs GROUP BY 1),
+n_t AS (
+  SELECT CAST(sum(o) AS DOUBLE) AS n,
+         count(DISTINCT lang) AS r, count(DISTINCT source) AS c
+  FROM obs
+)
+SELECT sum((o - ra * cb / n) * (o - ra * cb / n) / (ra * cb / n)) AS chi2,
+       CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+       CAST(n AS BIGINT) AS n
+FROM obs JOIN row_t USING (lang) JOIN col_t USING (source) CROSS JOIN n_t
+GROUP BY dof, n
+"""
+
+
+def ab_value_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-armed experiment readout: users split
+    50/50 by md5(user_id), success = event value above 30; two-
+    proportion z with per-arm Wilson 95% intervals."""
+    from ..operators.hypothesis import ab_proportion_test
+    from ..operators.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "arm",
+        F.when(hash_bucket("user_id", 2) == 0, F.lit("a")).otherwise(
+            F.lit("b")
+        ),
+    )
+    return ab_proportion_test(
+        ev,
+        "arm",
+        F.coalesce(F.col("value") > AB_THRESHOLD, F.lit(False)),
+    )
+
+
+_WILSON = (
+    "(p{s} + 1.96 * 1.96 / (2 * n{s}d) {op} 1.96 * sqrt("
+    "p{s} * (1 - p{s}) / n{s}d + 1.96 * 1.96 / (4 * n{s}d * n{s}d)))"
+    " / (1 + 1.96 * 1.96 / n{s}d)"
+)
+
+AB_SQL = f"""
+WITH armed AS (
+  SELECT CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                   ::BIGINT % 2 = 0 THEN 'a' ELSE 'b' END AS arm,
+         coalesce(CAST(value AS DOUBLE) > {AB_THRESHOLD}, false) AS s
+  FROM events
+),
+agg AS (
+  SELECT CAST(sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN arm = 'a' THEN CAST(s AS INT) ELSE 0 END) AS BIGINT) AS x_a,
+         CAST(sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN arm = 'b' THEN CAST(s AS INT) ELSE 0 END) AS BIGINT) AS x_b
+  FROM armed
+),
+rates AS (
+  SELECT n_a, x_a, n_b, x_b,
+         CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+         x_a / CAST(n_a AS DOUBLE) AS pa, x_b / CAST(n_b AS DOUBLE) AS pb,
+         (x_a + x_b) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pool
+  FROM agg
+)
+SELECT n_a, x_a, pa AS rate_a,
+       {_WILSON.format(s='a', op='-')} AS lo_a,
+       {_WILSON.format(s='a', op='+')} AS hi_a,
+       n_b, x_b, pb AS rate_b,
+       {_WILSON.format(s='b', op='-')} AS lo_b,
+       {_WILSON.format(s='b', op='+')} AS hi_b,
+       (pa - pb) / sqrt(pool * (1 - pool) * (1 / nad + 1 / nbd)) AS z
+FROM rates
+"""
+
+
+QUERIES = {
+    "ks_click_vs_purchase": ks_click_vs_purchase,
+    "mannwhitney_click_vs_purchase": mannwhitney_click_vs_purchase,
+    "chi2_lang_source": chi2_lang_source,
+    "ab_value_conversion": ab_value_conversion,
+}
+
+ORACLE_SQL = {
+    "ks_click_vs_purchase": KS_SQL,
+    "mannwhitney_click_vs_purchase": MW_SQL,
+    "chi2_lang_source": CHI2_SQL,
+    "ab_value_conversion": AB_SQL,
+}

@@ -1,0 +1,228 @@
+"""Two-sample hypothesis tests as aggregation/window programs.
+
+The inferential completion of the drift monitors in
+operators/cleaning.py (profile_drift, psi_drift): PSI says "the
+distributions differ by this much", these say "and that difference
+is/isn't explainable by chance" — the decision layer of every A/B
+readout, data-refresh gate, and quality-filter rollout.
+
+Every test is exact, closed-form, and distributed:
+
+- all CDF/rank machinery runs on the PER-DISTINCT-VALUE aggregate
+  (one map-side-combined groupBy first), so the unpartitioned
+  ordering window that follows sees |distinct values| rows, not
+  |input| — the standard trick that keeps a "global sort" viable at
+  100 TB for metrics with bounded value cardinality. For genuinely
+  continuous unbounded metrics, quantile-bucket first
+  (operators/quantize.py) and these tests apply unchanged to the
+  binned values;
+- no p-value lookup tables: the emitted statistics (D, U, z, χ²)
+  are the deterministic part; translating to a p-value is a driver-
+  side scipy call the caller owns (kept out so results stay exactly
+  oracle-reproducible in pure SQL).
+
+Reference scope note: the reference engine (master.py:27-150) has no
+statistics surface; extension scope per the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _two_sample_counts(
+    a: DataFrame, b: DataFrame, value_col: str
+) -> DataFrame:
+    """Per-distinct-value counts ``(v, ca, cb)`` of both samples —
+    the reduced relation all rank/CDF tests run on. NULLs excluded
+    (they have no order position)."""
+    av = a.where(F.col(value_col).isNotNull()).select(
+        F.col(value_col).alias("v"), F.lit(1).alias("_is_a")
+    )
+    bv = b.where(F.col(value_col).isNotNull()).select(
+        F.col(value_col).alias("v"), F.lit(0).alias("_is_a")
+    )
+    return (
+        av.unionAll(bv)
+        .groupBy("v")
+        .agg(
+            F.sum("_is_a").cast("long").alias("ca"),
+            F.sum(1 - F.col("_is_a")).cast("long").alias("cb"),
+        )
+    )
+
+
+def ks_two_sample(a: DataFrame, b: DataFrame, value_col: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov: one row ``(n_a, n_b, ks_d)``
+    with ``ks_d = max_v |F_a(v) - F_b(v)|`` over the pooled empirical
+    CDFs (ties handled by evaluating at each distinct value's upper
+    step, the standard discrete convention)."""
+    counts = _two_sample_counts(a, b, value_col)
+    w = (
+        Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = counts.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+    )
+    steps = counts.select(
+        (F.sum("ca").over(w)).alias("cum_a"), (F.sum("cb").over(w)).alias("cum_b")
+    )
+    d = steps.crossJoin(F.broadcast(tot)).select(
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("cum_a") / F.col("n_a") - F.col("cum_b") / F.col("n_b")
+        ).alias("_d"),
+    )
+    return d.groupBy("n_a", "n_b").agg(F.max("_d").alias("ks_d"))
+
+
+def mann_whitney_u(a: DataFrame, b: DataFrame, value_col: str) -> DataFrame:
+    """Mann–Whitney rank-sum: one row ``(n_a, n_b, u_a, z)`` with
+    midrank tie handling and the tie-corrected normal approximation
+    ``z = (U - n_a n_b / 2) / sqrt(var)``,
+    ``var = n_a n_b / (N(N-1)) * ((N³ - N)/12 - Σ(t³ - t)/12)``."""
+    counts = _two_sample_counts(a, b, value_col)
+    t = F.col("ca") + F.col("cb")
+    w = (
+        Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = counts.select(
+        "ca",
+        "cb",
+        t.alias("t"),
+        (F.sum(t).over(w) - t).alias("before"),
+    ).select(
+        "ca",
+        "cb",
+        "t",
+        # midrank of every item with this value
+        (F.col("before") + (F.col("t") + 1) / F.lit(2.0)).alias("midrank"),
+    )
+    agg = ranked.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+        F.sum(F.col("ca") * F.col("midrank")).alias("r_a"),
+        # tie term in DOUBLE before cubing: a 2M-row tie group would
+        # overflow int64 cubed
+        F.sum(
+            F.col("t").cast("double") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("tie3"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    n = na + nb
+    u_a = F.col("r_a") - na * (na + 1) / 2
+    var = (na * nb / (n * (n - 1))) * (
+        (n * n * n - n) / 12 - F.col("tie3") / 12
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        u_a.alias("u_a"),
+        ((u_a - na * nb / 2) / F.sqrt(var)).alias("z"),
+    )
+
+
+def chi_squared_independence(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Pearson χ² test of independence between two categoricals: one
+    row ``(chi2, dof, n)`` from the contingency table — observed vs
+    ``row_total × col_total / n`` expected. Pure three-aggregate
+    program; the contingency table (|A|×|B| cells) is the only
+    intermediate, so cost is the one groupBy of the pair projection."""
+    obs = (
+        df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(col_a, col_b)
+        .agg(F.count("*").alias("o"))
+    )
+    row_t = obs.groupBy(col_a).agg(F.sum("o").alias("ra"))
+    col_t = obs.groupBy(col_b).agg(F.sum("o").alias("cb"))
+    n_t = obs.agg(
+        F.sum("o").cast("double").alias("n"),
+        F.count_distinct(F.col(col_a)).alias("_r"),
+        F.count_distinct(F.col(col_b)).alias("_c"),
+    )
+    cell = (
+        obs.join(F.broadcast(row_t), col_a)
+        .join(F.broadcast(col_t), col_b)
+        .crossJoin(F.broadcast(n_t))
+        .select(
+            "n",
+            "_r",
+            "_c",
+            (
+                (F.col("o") - F.col("ra") * F.col("cb") / F.col("n"))
+                * (F.col("o") - F.col("ra") * F.col("cb") / F.col("n"))
+                / (F.col("ra") * F.col("cb") / F.col("n"))
+            ).alias("term"),
+        )
+    )
+    return cell.groupBy("n", "_r", "_c").agg(
+        F.sum("term").alias("chi2")
+    ).select(
+        "chi2",
+        ((F.col("_r") - 1) * (F.col("_c") - 1)).cast("long").alias("dof"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+#: two-sided 95% normal critical value used by the Wilson interval
+Z95 = 1.96
+
+
+def _wilson(p: Column, n: Column, z: float) -> tuple[Column, Column]:
+    z2 = F.lit(z * z)
+    denom = 1 + z2 / n
+    center = p + z2 / (2 * n)
+    half = F.lit(z) * F.sqrt(p * (1 - p) / n + z2 / (4 * n * n))
+    return (center - half) / denom, (center + half) / denom
+
+
+def ab_proportion_test(
+    df: DataFrame,
+    arm_col: str,
+    success: Column,
+    *,
+    arm_a: str = "a",
+    arm_b: str = "b",
+) -> DataFrame:
+    """Two-proportion z-test between arms ``arm_a`` / ``arm_b`` of an
+    experiment: one row ``(n_a, x_a, rate_a, lo_a, hi_a, n_b, x_b,
+    rate_b, lo_b, hi_b, z)`` — per-arm Wilson 95% intervals plus the
+    pooled z statistic. ``success`` is any boolean Column (evaluated
+    in the single aggregation scan). Assign arms deterministically
+    with operators/sampling.py::hash_bucket on the experiment unit,
+    never rand()."""
+    s = success.cast("int")
+    arm = F.col(arm_col)
+    agg = df.where(arm.isin([arm_a, arm_b])).agg(
+        F.sum(F.when(arm == arm_a, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(arm == arm_a, s).otherwise(0)).cast("long").alias("x_a"),
+        F.sum(F.when(arm == arm_b, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(arm == arm_b, s).otherwise(0)).cast("long").alias("x_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    pa, pb = F.col("x_a") / na, F.col("x_b") / nb
+    pool = (F.col("x_a") + F.col("x_b")) / (na + nb)
+    z = (pa - pb) / F.sqrt(pool * (1 - pool) * (1 / na + 1 / nb))
+    lo_a, hi_a = _wilson(pa, na, Z95)
+    lo_b, hi_b = _wilson(pb, nb, Z95)
+    return agg.select(
+        "n_a",
+        "x_a",
+        pa.alias("rate_a"),
+        lo_a.alias("lo_a"),
+        hi_a.alias("hi_a"),
+        "n_b",
+        "x_b",
+        pb.alias("rate_b"),
+        lo_b.alias("lo_b"),
+        hi_b.alias("hi_b"),
+        z.alias("z"),
+    )

@@ -1,0 +1,93 @@
+"""operators/hypothesis.py: hand-computed references for KS, Mann-
+Whitney (with ties), chi-squared, and the A/B proportion z-test."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from k_means_using_mapreduce_spark.operators.hypothesis import (
+    ab_proportion_test,
+    chi_squared_independence,
+    ks_two_sample,
+    mann_whitney_u,
+)
+
+
+def _vals(spark, xs):
+    return spark.createDataFrame([(float(x),) for x in xs], "value double")
+
+
+def test_ks_identical_zero_and_disjoint_one(spark):
+    a = _vals(spark, [1, 2, 3, 4])
+    r = ks_two_sample(a, a, "value").first()
+    assert r["ks_d"] == pytest.approx(0.0)
+    b = _vals(spark, [10, 11, 12])
+    r2 = ks_two_sample(a, b, "value").first()
+    assert r2["ks_d"] == pytest.approx(1.0)
+    assert (r2["n_a"], r2["n_b"]) == (4, 3)
+
+
+def test_ks_hand_example(spark):
+    # a = {1,2}, b = {2,3}: steps at 1: |.5-0|=.5; at 2: |1-.5|=.5;
+    # at 3: |1-1|=0  -> D = 0.5
+    a, b = _vals(spark, [1, 2]), _vals(spark, [2, 3])
+    assert ks_two_sample(a, b, "value").first()["ks_d"] == pytest.approx(0.5)
+
+
+def test_mannwhitney_hand_example_with_ties(spark):
+    # a = {1, 2}, b = {2, 3}; pooled ranks: 1->1, {2,2}->2.5, 3->4
+    # R_a = 1 + 2.5 = 3.5; U_a = 3.5 - 2*3/2 = 0.5
+    a, b = _vals(spark, [1, 2]), _vals(spark, [2, 3])
+    r = mann_whitney_u(a, b, "value").first()
+    assert r["u_a"] == pytest.approx(0.5)
+    # var = (4/ (4*3)) * ((64-4)/12 - (8-2)/12) = (1/3) * 4.5 = 1.5
+    want_z = (0.5 - 2 * 2 / 2) / math.sqrt(1.5)
+    assert r["z"] == pytest.approx(want_z)
+
+
+def test_mannwhitney_symmetry(spark):
+    a, b = _vals(spark, [1, 5, 9, 13]), _vals(spark, [2, 6, 10])
+    ra = mann_whitney_u(a, b, "value").first()
+    rb = mann_whitney_u(b, a, "value").first()
+    # U_a + U_b = n_a * n_b; z flips sign
+    assert ra["u_a"] + rb["u_a"] == pytest.approx(12.0)
+    assert ra["z"] == pytest.approx(-rb["z"])
+
+
+def test_chi2_independent_is_zero(spark):
+    rows = [(a, b) for a in "xy" for b in "pq" for _ in range(10)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi_squared_independence(df, "a", "b").first()
+    assert r["chi2"] == pytest.approx(0.0)
+    assert r["dof"] == 1 and r["n"] == 40
+
+
+def test_chi2_hand_2x2(spark):
+    # contingency [[30,10],[10,30]]: chi2 = 80*(30*30-10*10)^2/(40*40*40*40)
+    rows = (
+        [("x", "p")] * 30 + [("x", "q")] * 10
+        + [("y", "p")] * 10 + [("y", "q")] * 30
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi_squared_independence(df, "a", "b").first()
+    want = 80 * (30 * 30 - 10 * 10) ** 2 / (40 * 40 * 40 * 40)
+    assert r["chi2"] == pytest.approx(want)
+
+
+def test_ab_proportion_hand_numbers(spark):
+    rows = [("a", i < 30) for i in range(100)] + [
+        ("b", i < 20) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "arm string, s boolean")
+    r = ab_proportion_test(df, "arm", F.col("s")).first()
+    assert (r["n_a"], r["x_a"], r["n_b"], r["x_b"]) == (100, 30, 100, 20)
+    assert r["rate_a"] == pytest.approx(0.3)
+    pool = 0.25
+    want_z = (0.3 - 0.2) / math.sqrt(pool * 0.75 * (2 / 100))
+    assert r["z"] == pytest.approx(want_z)
+    # Wilson interval brackets the rate and stays in [0, 1]
+    assert 0 < r["lo_a"] < 0.3 < r["hi_a"] < 1
+    assert r["lo_b"] < 0.2 < r["hi_b"]
