@@ -224,6 +224,23 @@ BENCH_QUERIES = [
     "item_rules_events",
     "customer_entities",
     "customer_golden_records",
+    # round-4 closing: link prediction / k-core / HITS graph ops,
+    # DSIR selection, ALS recommender, DP releases, hypothesis
+    # tests, TextRank keywords
+    "user_link_prediction",
+    "user_k_core",
+    "event_hits",
+    "dsir_weights_documents",
+    "dsir_select_documents",
+    "als_user_half_step",
+    "als_recommend_parts",
+    "dp_event_type_counts",
+    "dp_event_value_means",
+    "ks_click_vs_purchase",
+    "mannwhitney_click_vs_purchase",
+    "chi2_lang_source",
+    "ab_value_conversion",
+    "textrank_keywords_documents",
 ]
 
 KMEANS_FIT_K = 8

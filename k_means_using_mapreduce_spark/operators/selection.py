@@ -133,29 +133,31 @@ def dsir_log_weights(
     """Per-document importance log-weight: ``(id_col, n_grams,
     log_weight)`` where ``log_weight = Σ_grams log_ratio[bucket(g)]``.
 
-    Explode → broadcast-join the B-row ratio table → re-aggregate by
-    document. Gram-less documents (empty text) are kept with weight 0
-    (their likelihood is 1 under both models).
+    ``explode_outer`` → LEFT broadcast-join the B-row ratio table →
+    ONE map-side-combined aggregation by document — no doc-level
+    join anywhere (an earlier draft re-joined the weights to the id
+    list to keep gram-less documents, which planned as a doc×doc
+    sort-merge; the outer explode keeps them for free as a
+    null-bucket row, weight 0: their likelihood is 1 under both
+    models).
     """
-    ids = df.select(id_col)
-    per_gram = (
+    return (
         df.select(
             id_col,
-            F.explode(
+            F.explode_outer(
                 doc_gram_buckets(text_col, buckets=_ratio_buckets(log_ratio))
             ).alias("bucket"),
         )
-        .join(F.broadcast(log_ratio.select("bucket", "log_ratio")), "bucket")
+        .join(
+            F.broadcast(log_ratio.select("bucket", "log_ratio")),
+            "bucket",
+            "left",
+        )
         .groupBy(id_col)
         .agg(
-            F.count("*").alias("n_grams"),
-            F.sum("log_ratio").alias("log_weight"),
+            F.count("bucket").alias("n_grams"),
+            F.coalesce(F.sum("log_ratio"), F.lit(0.0)).alias("log_weight"),
         )
-    )
-    return ids.join(per_gram, id_col, "left").select(
-        id_col,
-        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
-        F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
     )
 
 

@@ -504,3 +504,41 @@ def test_markov_probability_table_broadcasts(spark, sf):
     df = _q("user_markov_surprisal", spark, sf)
     df.collect()
     assert broadcast_join_count(df) >= 1
+
+
+def test_dsir_weights_ratio_broadcast_no_sort_merge(spark, sf):
+    # the B-row log-ratio model must broadcast to the exploded gram
+    # stream, never sort-merge against it
+    df = _q("dsir_weights_documents", spark, sf)
+    assert broadcast_join_count(df) >= 1
+    assert sort_merge_join_count(df) == 0
+
+
+def test_als_half_step_item_factors_broadcast(spark, sf):
+    # item factor table is catalog-sized (MBs at any scale): must be
+    # on the broadcast side of the ratings join
+    df = _q("als_user_half_step", spark, sf)
+    assert broadcast_join_count(df) >= 1
+    assert sort_merge_join_count(df) == 0
+
+
+def test_dp_counts_single_exchange_pruned_scan(spark, sf):
+    # one grouped aggregate; noise is per-group scalar math after it
+    df = _q("dp_event_type_counts", spark, sf)
+    assert exchange_count(df) == 1
+    (cols,) = read_schemas(df)
+    assert cols == ["event_type"]
+
+
+def test_chi2_totals_broadcast(spark, sf):
+    # contingency margins are |A| / |B| rows: broadcast, no sort-merge
+    df = _q("chi2_lang_source", spark, sf)
+    assert broadcast_join_count(df) >= 2
+    assert sort_merge_join_count(df) == 0
+
+
+def test_ks_scan_prunes_to_test_columns(spark, sf):
+    df = _q("ks_click_vs_purchase", spark, sf)
+    for cols in read_schemas(df):
+        assert set(cols) <= {"event_type", "value"}
+    assert sort_merge_join_count(df) == 0
