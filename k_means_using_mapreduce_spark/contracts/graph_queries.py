@@ -435,3 +435,57 @@ FROM h{HITS_ITERS} JOIN a{HITS_ITERS} ON h{HITS_ITERS}.node = a{HITS_ITERS}.node
 
 QUERIES["event_hits"] = event_hits
 ORACLE_SQL["event_hits"] = HITS_SQL
+
+
+LPA_ROUNDS = 4
+
+
+def user_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities (4 fixed rounds)
+    over the co-activity graph, plus each community's size
+    (operators/graph.py::label_propagation)."""
+    from ..operators.graph import label_propagation
+
+    labels = label_propagation(
+        _user_cooc_edges(spark, sf_dir), rounds=LPA_ROUNDS
+    )
+    return labels.groupBy("label").agg(
+        F.count("*").cast("long").alias("size")
+    )
+
+
+LPA_SQL = f"""
+WITH RECURSIVE base AS (
+  SELECT DISTINCT user_id AS id,
+         epoch_ns(ts) - epoch_ns(ts) % {_MINUTE_NS} AS g1,
+         event_type AS g2
+  FROM events
+),
+ok AS (SELECT g1, g2 FROM base GROUP BY 1, 2 HAVING count(*) <= {_COOC_CAP}),
+b2 AS (SELECT base.* FROM base JOIN ok USING (g1, g2)),
+edges AS (
+  SELECT DISTINCT a.id AS src, b.id AS dst
+  FROM b2 a JOIN b2 b USING (g1, g2) WHERE a.id < b.id
+),
+adj AS (
+  SELECT src AS node, dst AS nbr FROM edges
+  UNION ALL SELECT dst, src FROM edges
+),
+lnodes AS (SELECT DISTINCT node FROM adj),
+lp AS (
+  SELECT node, node AS label, 0 AS r FROM lnodes
+  UNION ALL
+  SELECT node, label, r + 1 FROM (
+    SELECT a.node, l.label, l.r, count(*) AS c
+    FROM adj a JOIN lp l ON a.nbr = l.node
+    WHERE l.r < {LPA_ROUNDS}
+    GROUP BY 1, 2, 3
+  ) QUALIFY row_number() OVER (PARTITION BY node, r ORDER BY c DESC, label) = 1
+)
+SELECT label, CAST(count(*) AS BIGINT) AS size
+FROM lp WHERE r = {LPA_ROUNDS}
+GROUP BY 1
+"""
+
+QUERIES["user_communities"] = user_communities
+ORACLE_SQL["user_communities"] = LPA_SQL

@@ -714,3 +714,51 @@ def hits(
             hub.join(auth, "node").localCheckpoint(eager=True)
         )
     return scores.select("node", "hub", "auth")
+
+
+def label_propagation(
+    edges: DataFrame, *, rounds: int = 4
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007) over canonical undirected edges: every node starts as
+    its own label; each round it adopts its neighbors' most frequent
+    label (ties → smallest label). Returns ``(node, label)`` after
+    EXACTLY ``rounds`` rounds — fixed-round semantics, because
+    synchronous LPA can oscillate on bipartite structures and a
+    fixpoint test would never fire there; determinism comes from the
+    (count DESC, label ASC) total order, not from luck.
+
+    Each round: one adjacency⋈labels join keyed on node ids + one
+    (node, label) count + one per-node window pick — all shuffles
+    carry id/label longs; lineage is checkpointed flat per round.
+    Labels concentrate on dense cores within O(diameter) rounds; for
+    exact dedup-style components use
+    operators/dedup_pipeline.py::connected_components instead (LPA
+    is the modularity heuristic, CC the reachability ground truth).
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    e = edges.select("src", "dst")
+    adj = e.select(
+        F.col("src").alias("node"), F.col("dst").alias("nbr")
+    ).unionAll(e.select(F.col("dst").alias("node"), F.col("src").alias("nbr")))
+    adj = adj.localCheckpoint(eager=True)
+    labels = adj.select("node").distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(rounds):
+        counts = (
+            adj.join(
+                labels.select(F.col("node").alias("nbr"), "label"), "nbr"
+            )
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            counts.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels
