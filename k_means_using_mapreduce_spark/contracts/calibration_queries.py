@@ -58,3 +58,80 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLE_SQL: dict[str, str] = {
     "calibration_bins_documents": CALIBRATION_SQL,
 }
+
+
+CONF_ALPHA = 0.1
+
+
+def _conformal_parts(spark: SparkSession, sf_dir: str):
+    from ..operators.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "fold", hash_bucket("event_id", 3)
+    )
+    model = (
+        ev.where(F.col("fold") == 0)
+        .groupBy("event_type")
+        .agg(F.avg(F.col("value").cast("double")).alias("pred"))
+    )
+    cal = ev.where(F.col("fold") == 1).join(F.broadcast(model), "event_type")
+    test = ev.where(F.col("fold") == 2).join(F.broadcast(model), "event_type")
+    return cal, test
+
+
+def conformal_value_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal 90% band for the per-type-mean value
+    predictor (model fold 0, calibration fold 1, evaluation fold 2 —
+    deterministic md5 folds) with held-out coverage."""
+    from ..operators.calibration import conformal_coverage, conformal_quantile
+
+    cal, test = _conformal_parts(spark, sf_dir)
+    q = conformal_quantile(cal, "pred", "value", alpha=CONF_ALPHA)
+    return conformal_coverage(test, q, "pred", "value")
+
+
+CONFORMAL_SQL = f"""
+WITH folded AS (
+  SELECT *, ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 3
+           AS fold
+  FROM events
+),
+model AS (
+  SELECT event_type, avg(CAST(value AS DOUBLE)) AS pred
+  FROM folded WHERE fold = 0 GROUP BY 1
+),
+cal AS (
+  SELECT abs(CAST(value AS DOUBLE) - pred) AS r
+  FROM folded JOIN model USING (event_type)
+  WHERE fold = 1 AND value IS NOT NULL AND pred IS NOT NULL
+),
+ranked AS (
+  SELECT r, row_number() OVER (ORDER BY r) AS rk,
+         count(*) OVER () AS n_cal
+  FROM cal
+),
+q AS (
+  SELECT CAST(n_cal AS BIGINT) AS n_cal,
+         least(CAST(ceil({1.0 - CONF_ALPHA} * (n_cal + 1)) AS BIGINT),
+               CAST(n_cal AS BIGINT)) AS k,
+         r AS qhat
+  FROM ranked
+  WHERE rk = least(CAST(ceil({1.0 - CONF_ALPHA} * (n_cal + 1)) AS BIGINT),
+                   CAST(n_cal AS BIGINT))
+),
+hits AS (
+  SELECT n_cal, k, qhat,
+         CASE WHEN abs(CAST(value AS DOUBLE) - pred) <= qhat
+              THEN 1 ELSE 0 END AS hit
+  FROM folded JOIN model USING (event_type) CROSS JOIN q
+  WHERE fold = 2 AND value IS NOT NULL AND pred IS NOT NULL
+)
+SELECT n_cal, k, qhat,
+       CAST(count(*) AS BIGINT) AS n_test,
+       CAST(sum(hit) AS BIGINT) AS covered,
+       sum(hit) / CAST(count(*) AS DOUBLE) AS coverage
+FROM hits GROUP BY 1, 2, 3
+"""
+
+QUERIES["conformal_value_band"] = conformal_value_band
+ORACLE_SQL["conformal_value_band"] = CONFORMAL_SQL

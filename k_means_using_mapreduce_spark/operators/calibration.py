@@ -120,3 +120,81 @@ def isotonic_apply(
     # scores below the first bound take the first step's p (the when
     # chain above already does: first matching bound wins)
     return df.withColumn(out_col, expr)
+
+
+def conformal_quantile(
+    cal: DataFrame,
+    pred_col: str,
+    actual_col: str,
+    *,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Split-conformal residual quantile (Vovk et al.; Lei et al.
+    2018): one row ``(n_cal, k, qhat)`` where ``qhat`` is the k-th
+    smallest absolute residual on the calibration set, ``k =
+    ceil((1-alpha)(n+1))`` — the finite-sample-valid order statistic
+    (NOT an interpolated percentile), giving ``P(|y - ŷ| ≤ qhat) ≥
+    1 - alpha`` on exchangeable data. ``k`` is clamped to n (alpha
+    smaller than 1/(n+1) formally demands an infinite interval; the
+    clamp is the standard practical cap, recorded via k = n).
+
+    Fully distributed: the rank is a row_number over the residual
+    PROJECTION (one column), no driver action; rows with NULL pred
+    or actual are excluded (no residual exists).
+    """
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    r = (
+        cal.where(
+            F.col(pred_col).isNotNull() & F.col(actual_col).isNotNull()
+        )
+        .select(
+            F.abs(
+                F.col(actual_col).cast("double")
+                - F.col(pred_col).cast("double")
+            ).alias("_r")
+        )
+    )
+    w = Window.orderBy("_r")
+    ranked = r.select(
+        "_r",
+        F.row_number().over(w).alias("_rk"),
+        F.count("*").over(Window.partitionBy()).alias("n_cal"),
+    )
+    k = F.least(
+        F.ceil(F.lit(1.0 - alpha) * (F.col("n_cal") + 1)).cast("long"),
+        F.col("n_cal").cast("long"),
+    )
+    return (
+        ranked.where(F.col("_rk") == k)
+        .select(
+            F.col("n_cal").cast("long").alias("n_cal"),
+            k.alias("k"),
+            F.col("_r").alias("qhat"),
+        )
+    )
+
+
+def conformal_coverage(
+    test: DataFrame,
+    quant: DataFrame,
+    pred_col: str,
+    actual_col: str,
+) -> DataFrame:
+    """Empirical coverage of the conformal band on a held-out set:
+    one row ``(n_cal, k, qhat, n_test, covered, coverage)`` — the
+    1-row ``quant`` relation broadcasts into the test scan."""
+    joined = test.where(
+        F.col(pred_col).isNotNull() & F.col(actual_col).isNotNull()
+    ).crossJoin(F.broadcast(quant))
+    hit = (
+        F.abs(
+            F.col(actual_col).cast("double") - F.col(pred_col).cast("double")
+        )
+        <= F.col("qhat")
+    ).cast("int")
+    return joined.groupBy("n_cal", "k", "qhat").agg(
+        F.count("*").cast("long").alias("n_test"),
+        F.sum(hit).cast("long").alias("covered"),
+        (F.sum(hit) / F.count("*")).alias("coverage"),
+    )
