@@ -95,3 +95,22 @@ def sql_shingles(col: str, n: int = 3) -> str:
         f"WHEN len({toks}) > 0 THEN {whole} "
         "ELSE CAST([] AS VARCHAR[]) END)"
     )
+
+
+def sql_syllables(col: str) -> str:
+    return f"len(regexp_extract_all(lower({col}), '[aeiouy]+'))"
+
+
+def sql_sentences(col: str) -> str:
+    return f"greatest(len(regexp_extract_all({col}, '[.!?]+')), 1)"
+
+
+def sql_flesch(col: str) -> str:
+    words = f"CAST({sql_token_count(col)} AS DOUBLE)"
+    sents = f"CAST({sql_sentences(col)} AS DOUBLE)"
+    syl = f"CAST({sql_syllables(col)} AS DOUBLE)"
+    return (
+        f"(CASE WHEN {words} > 0 THEN "
+        f"206.835 - 1.015 * ({words} / {sents}) - 84.6 * ({syl} / {words}) "
+        "END)"
+    )

@@ -311,3 +311,41 @@ LANG_MARGIN_SQL = _lang_margin_sql()
 
 QUERIES["lang_margin_documents"] = lang_margin_documents
 ORACLE_SQL["lang_margin_documents"] = LANG_MARGIN_SQL
+
+
+def readability_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Flesch reading-ease with its ingredient counts
+    (functions/text.py::flesch_reading_ease) — the classic
+    readability quality-filter column."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").cast("long").alias("words"),
+        T.sentence_count("text").cast("long").alias("sentences"),
+        T.syllable_estimate("text").cast("long").alias("syllables"),
+        T.flesch_reading_ease("text").alias("flesch"),
+    )
+
+
+def _readability_sql() -> str:
+    from ._sql_text import (
+        sql_flesch,
+        sql_sentences,
+        sql_syllables,
+        sql_token_count,
+    )
+
+    return f"""
+SELECT doc_id,
+       CAST({sql_token_count('text')} AS BIGINT) AS words,
+       CAST({sql_sentences('text')} AS BIGINT) AS sentences,
+       CAST({sql_syllables('text')} AS BIGINT) AS syllables,
+       {sql_flesch('text')} AS flesch
+FROM documents
+"""
+
+
+READABILITY_SQL = _readability_sql()
+
+QUERIES["readability_documents"] = readability_documents
+ORACLE_SQL["readability_documents"] = READABILITY_SQL

@@ -171,3 +171,41 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     one shingle per window position. Documents shorter than n tokens
     yield a single shingle of the whole (normalized) text."""
     return shingles_of(tokens(col), n)
+
+
+def syllable_estimate(col: Column | str) -> Column:
+    """Syllable count heuristic: vowel-group runs (``[aeiouy]+``) in
+    the lowercased text — the standard cheap estimator (each vowel
+    cluster ≈ one syllable nucleus). Mirrored by
+    contracts/_sql_text.py::sql_syllables."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit("[aeiouy]+"), 0))
+
+
+def sentence_count(col: Column | str) -> Column:
+    """Sentence-count heuristic: terminal-punctuation runs
+    (``[.!?]+``), floored at 1 on non-empty text so the readability
+    ratio is always defined."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.greatest(
+        F.size(F.regexp_extract_all(c, F.lit("[.!?]+"), 0)), F.lit(1)
+    )
+
+
+def flesch_reading_ease(col: Column | str) -> Column:
+    """Flesch reading-ease score (Flesch 1948): ``206.835 - 1.015 ·
+    words/sentences - 84.6 · syllables/words`` from the house
+    tokenizer + the vowel-group/terminal-punctuation heuristics.
+    NULL on token-less text (no words → no score). Higher = easier;
+    ~90 conversational English, ~30 academic prose. Pure codegen
+    expressions — usable as a quality-filter column at corpus scale."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = token_count(c).cast("double")
+    sents = sentence_count(c).cast("double")
+    syl = syllable_estimate(c).cast("double")
+    return F.when(
+        words > 0,
+        F.lit(206.835)
+        - F.lit(1.015) * (words / sents)
+        - F.lit(84.6) * (syl / words),
+    )
