@@ -163,3 +163,103 @@ ORACLE_SQL = {
     "als_user_half_step": ALS_USER_STEP_SQL,
     "als_recommend_parts": ALS_RECOMMEND_SQL,
 }
+
+
+HOLD_MOD = 5  # 1-in-5 interactions held out
+EVAL_USER_MOD = 5  # evaluate 1-in-5 users (bounds the item fan-out)
+EVAL_K = 5
+
+
+def als_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-interactions-out evaluation: hold out 1-in-5 (user,item)
+    pairs by md5, fit one user half-step on the rest, and measure
+    hit-rate@5 of the held-out pairs for the sampled users."""
+    from ..operators.recommend import (
+        als_half_step,
+        hash_init_factors,
+        holdout_hitrate,
+        implicit_ratings,
+        recommend_topk,
+    )
+    from ..operators.sampling import hash_bucket
+
+    ratings = implicit_ratings(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    ).withColumn(
+        "fold", hash_bucket(F.concat_ws(":", "user", "item"), HOLD_MOD)
+    )
+    train = ratings.where(F.col("fold") != 0)
+    held = ratings.where(
+        (F.col("fold") == 0) & (F.col("user") % EVAL_USER_MOD == 0)
+    )
+    items = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id")
+    )
+    item_f = hash_init_factors(items, rank=RANK, seed=SEED)
+    user_f = als_half_step(train, item_f, rank=RANK, reg=REG).where(
+        F.col("user") % EVAL_USER_MOD == 0
+    )
+    recs = recommend_topk(
+        user_f,
+        item_f.withColumnRenamed("id", "item"),
+        k=EVAL_K,
+        rank=RANK,
+    )
+    return holdout_hitrate(held, recs)
+
+
+ALS_HITRATE_SQL = f"""
+WITH {_RATINGS_CTE.strip()}, {_ITEM_FACTORS_CTE.strip()},
+folded AS (
+  SELECT *, ('0x' || substr(md5(CAST("user" AS VARCHAR) || ':'
+                                || CAST(item AS VARCHAR)), 1, 15))
+              ::BIGINT % {HOLD_MOD} AS fold
+  FROM ratings
+),
+train AS (SELECT * FROM folded WHERE fold <> 0),
+held AS (
+  SELECT "user", item FROM folded
+  WHERE fold = 0 AND "user" % {EVAL_USER_MOD} = 0
+),
+sums AS (
+  SELECT r."user",
+         sum(y0 * y0) AS a00, sum(y0 * y1) AS a01, sum(y1 * y1) AS a11,
+         sum(y0 * rating) AS b0, sum(y1 * rating) AS b1
+  FROM train r JOIN item_factors USING (item)
+  GROUP BY 1
+),
+user_factors AS (
+  SELECT "user",
+         ((a11 + {REG}) * b0 - a01 * b1)
+           / ((a00 + {REG}) * (a11 + {REG}) - a01 * a01) AS x0,
+         ((a00 + {REG}) * b1 - a01 * b0)
+           / ((a00 + {REG}) * (a11 + {REG}) - a01 * a01) AS x1
+  FROM sums WHERE "user" % {EVAL_USER_MOD} = 0
+),
+recs AS (
+  SELECT "user", item FROM (
+    SELECT u."user", f.item,
+           row_number() OVER (
+             PARTITION BY u."user"
+             ORDER BY u.x0 * f.y0 + u.x1 * f.y1 DESC, f.item
+           ) AS rk
+    FROM user_factors u CROSS JOIN item_factors f
+  ) WHERE rk <= {EVAL_K}
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_holdout,
+         CAST(count(DISTINCT "user") AS BIGINT) AS users_evaluated
+  FROM held
+),
+h AS (
+  SELECT CAST(count(*) AS BIGINT) AS hits
+  FROM held SEMI JOIN recs USING ("user", item)
+)
+SELECT n_holdout, users_evaluated, hits,
+       hits / CAST(n_holdout AS DOUBLE) AS hit_rate
+FROM agg CROSS JOIN h
+"""
+
+QUERIES["als_holdout_hitrate"] = als_holdout_hitrate
+ORACLE_SQL["als_holdout_hitrate"] = ALS_HITRATE_SQL

@@ -355,3 +355,37 @@ def recommend_topk(
         .where(F.col("rank") <= k)
         .drop("_pid")
     )
+
+
+def holdout_hitrate(
+    ratings: DataFrame,
+    recommendations: DataFrame,
+    *,
+    user_col: str = "user",
+    item_col: str = "item",
+) -> DataFrame:
+    """Recommender evaluation: one row ``(n_holdout, users_evaluated,
+    hits, hit_rate)`` — the fraction of held-out (user, item)
+    interactions that appear in that user's recommendation list
+    (hit-rate@k when the list is top-k).
+
+    One semi-join-shaped inner join on the (user, item) pair key plus
+    two 1-row aggregates; both inputs are interaction-sized
+    projections, never factor tables.
+    """
+    held = ratings.select(user_col, item_col)
+    rec = recommendations.select(user_col, item_col)
+    hits = held.join(rec, [user_col, item_col], "left_semi")
+    agg = held.agg(
+        F.count("*").cast("long").alias("n_holdout"),
+        F.count_distinct(F.col(user_col)).cast("long").alias(
+            "users_evaluated"
+        ),
+    )
+    h = hits.agg(F.count("*").cast("long").alias("hits"))
+    return agg.crossJoin(h).select(
+        "n_holdout",
+        "users_evaluated",
+        "hits",
+        (F.col("hits") / F.col("n_holdout")).alias("hit_rate"),
+    )

@@ -98,3 +98,19 @@ def test_validation(spark, ratings):
         als_fit(ratings, rank=2, iterations=0)
     with pytest.raises(ValueError):
         recommend_topk(itf, itf, k=0)
+
+
+def test_holdout_hitrate_counts(spark):
+    from k_means_using_mapreduce_spark.operators.recommend import (
+        holdout_hitrate,
+    )
+
+    held = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (3, 30)], "user long, item long"
+    )
+    recs = spark.createDataFrame(
+        [(1, 10), (1, 99), (2, 21), (3, 30)], "user long, item long"
+    )
+    r = holdout_hitrate(held, recs).first()
+    assert (r["n_holdout"], r["users_evaluated"], r["hits"]) == (4, 3, 2)
+    assert r["hit_rate"] == pytest.approx(0.5)
