@@ -207,3 +207,38 @@ ORACLE_SQL = {
     "chi2_lang_source": CHI2_SQL,
     "ab_value_conversion": AB_SQL,
 }
+
+
+UCB_C = 2.0
+
+
+def ucb_event_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1 scores treating each event type as a bandit arm with
+    success = value above 30 — which arm an allocator plays next."""
+    from ..operators.hypothesis import ucb_scores
+
+    return ucb_scores(
+        load_table(spark, sf_dir, "events"),
+        "event_type",
+        F.coalesce(F.col("value") > AB_THRESHOLD, F.lit(False)),
+        c=UCB_C,
+    )
+
+
+UCB_SQL = f"""
+WITH per_arm AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(coalesce(CAST(value AS DOUBLE) > {AB_THRESHOLD},
+                                false) AS INT)) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM per_arm)
+SELECT event_type, n, x,
+       x / CAST(n AS DOUBLE) AS rate,
+       x / CAST(n AS DOUBLE) + sqrt({UCB_C} * ln(total) / n) AS ucb
+FROM per_arm CROSS JOIN tot
+"""
+
+QUERIES["ucb_event_arms"] = ucb_event_arms
+ORACLE_SQL["ucb_event_arms"] = UCB_SQL

@@ -226,3 +226,37 @@ def ab_proportion_test(
         hi_b.alias("hi_b"),
         z.alias("z"),
     )
+
+
+def ucb_scores(
+    df: DataFrame,
+    arm_col: str,
+    success: Column,
+    *,
+    c: float = 2.0,
+) -> DataFrame:
+    """UCB1 bandit allocation scores (Auer et al. 2002): per arm
+    ``(arm, n, x, rate, ucb)`` with ``ucb = rate + sqrt(c · ln(N) /
+    n)`` over total plays N — play the argmax arm next; the bonus
+    shrinks as an arm accumulates evidence, giving the logarithmic-
+    regret explore/exploit balance. Batch-deterministic companion to
+    the streaming SPRT monitor (streaming/abtest.py).
+
+    One grouped aggregate plus a 1-row broadcast of N."""
+    if c <= 0:
+        raise ValueError(f"c must be > 0, got {c}")
+    per_arm = df.groupBy(arm_col).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(success.cast("int")).cast("long").alias("x"),
+    )
+    tot = per_arm.agg(F.sum("n").cast("double").alias("_total"))
+    return per_arm.crossJoin(F.broadcast(tot)).select(
+        arm_col,
+        "n",
+        "x",
+        (F.col("x") / F.col("n")).alias("rate"),
+        (
+            F.col("x") / F.col("n")
+            + F.sqrt(F.lit(float(c)) * F.log(F.col("_total")) / F.col("n"))
+        ).alias("ucb"),
+    )

@@ -91,3 +91,20 @@ def test_ab_proportion_hand_numbers(spark):
     # Wilson interval brackets the rate and stays in [0, 1]
     assert 0 < r["lo_a"] < 0.3 < r["hi_a"] < 1
     assert r["lo_b"] < 0.2 < r["hi_b"]
+
+
+def test_ucb_bonus_shrinks_with_plays(spark):
+    from k_means_using_mapreduce_spark.operators.hypothesis import ucb_scores
+
+    rows = [("few", True)] * 4 + [("many", True)] * 400
+    df = spark.createDataFrame(rows, "arm string, s boolean")
+    r = {x["arm"]: x for x in ucb_scores(df, "arm", F.col("s")).collect()}
+    # equal rates (1.0), but the under-played arm gets the bigger bonus
+    assert r["few"]["rate"] == r["many"]["rate"] == 1.0
+    assert r["few"]["ucb"] > r["many"]["ucb"]
+    n_total = 404
+    assert r["few"]["ucb"] == pytest.approx(
+        1.0 + math.sqrt(2.0 * math.log(n_total) / 4)
+    )
+    with pytest.raises(ValueError):
+        ucb_scores(df, "arm", F.col("s"), c=0.0)
