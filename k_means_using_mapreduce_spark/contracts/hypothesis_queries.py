@@ -242,3 +242,76 @@ FROM per_arm CROSS JOIN tot
 
 QUERIES["ucb_event_arms"] = ucb_event_arms
 ORACLE_SQL["ucb_event_arms"] = UCB_SQL
+
+
+BOOT_B = 200
+BOOT_SEED = 0
+BOOT_ALPHA = 0.05
+
+
+def bootstrap_purchase_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for the mean purchase value — the
+    resampling CI that needs no data movement (weights are seeded
+    md5 draws per (row, replicate))."""
+    from ..operators.hypothesis import poisson_bootstrap_mean_ci
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    return poisson_bootstrap_mean_ci(
+        ev,
+        "value",
+        "event_id",
+        replicates=BOOT_B,
+        alpha=BOOT_ALPHA,
+        seed=BOOT_SEED,
+    )
+
+
+def _boot_sql() -> str:
+    from ..operators.hypothesis import POISSON_MAX_K, _poisson1_cdf
+
+    cum = _poisson1_cdf(POISSON_MAX_K)
+    ladder = " ".join(
+        f"WHEN u < {cum[k]!r} THEN {k}" for k in range(POISSON_MAX_K)
+    )
+    return f"""
+WITH base AS (
+  SELECT event_id AS id, CAST(value AS DOUBLE) AS v FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+rep AS (
+  SELECT id, v, r FROM base
+  CROSS JOIN (SELECT range AS r FROM range({BOOT_B}))
+),
+drawn AS (
+  SELECT r, v,
+    CAST((CASE {ladder} ELSE {POISSON_MAX_K} END) AS DOUBLE) AS w
+  FROM (
+    SELECT r, v,
+      ((('0x' || substr(md5('{BOOT_SEED}:' || CAST(r AS VARCHAR) || ':'
+                             || CAST(id AS VARCHAR)), 1, 15))::BIGINT
+        + 0.5) / {float(1 << 60)}) AS u
+    FROM rep
+  )
+),
+means AS (
+  SELECT r, sum(w * v) / nullif(sum(w), 0.0) AS m FROM drawn GROUP BY 1
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, avg(v) AS mean FROM base
+),
+ci AS (
+  SELECT quantile_cont(m, {BOOT_ALPHA / 2}) AS lo,
+         quantile_cont(m, {1 - BOOT_ALPHA / 2}) AS hi
+  FROM means
+)
+SELECT n, CAST({BOOT_B} AS BIGINT) AS replicates, mean, lo, hi
+FROM stats CROSS JOIN ci
+"""
+
+
+BOOTSTRAP_SQL = _boot_sql()
+
+QUERIES["bootstrap_purchase_mean"] = bootstrap_purchase_mean
+ORACLE_SQL["bootstrap_purchase_mean"] = BOOTSTRAP_SQL

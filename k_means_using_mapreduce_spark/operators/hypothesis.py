@@ -260,3 +260,110 @@ def ucb_scores(
             + F.sqrt(F.lit(float(c)) * F.log(F.col("_total")) / F.col("n"))
         ).alias("ucb"),
     )
+
+
+def _poisson1_cdf(max_k: int) -> list[float]:
+    """Cumulative Poisson(1) probabilities [P(X<=0), ..,
+    P(X<=max_k-1)] — draws above max_k-1 clamp to max_k."""
+    import math
+
+    cum, term, acc = [], math.exp(-1.0), 0.0
+    for k in range(max_k):
+        if k > 0:
+            term = term / k
+        acc += term
+        cum.append(acc)
+    return cum
+
+
+#: Poisson(1) inverse-CDF ladder depth: P(X > 8) < 1e-6, and the
+#: SAME literal cumulative constants are embedded in the Spark
+#: expression and the SQL oracle so draws are bit-identical.
+POISSON_MAX_K = 8
+
+
+def poisson_weight(u: Column) -> Column:
+    """Poisson(1) draw from a uniform via the inverse-CDF ladder."""
+    cum = _poisson1_cdf(POISSON_MAX_K)
+    expr = F.lit(POISSON_MAX_K)
+    for k in reversed(range(POISSON_MAX_K)):
+        expr = F.when(u < F.lit(cum[k]), F.lit(k)).otherwise(expr)
+    return expr
+
+
+def poisson_bootstrap_mean_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    *,
+    replicates: int = 200,
+    alpha: float = 0.05,
+    seed: int = 0,
+) -> DataFrame:
+    """Percentile-bootstrap CI for the mean via the POISSON bootstrap
+    (the resampling that distributes: per (row, replicate), weight ~
+    Poisson(1) — indistinguishable from multinomial resampling for
+    large n, and computable with zero data movement): one row
+    ``(n, replicates, mean, lo, hi)``.
+
+    The replicate fan-out is generated MAP-SIDE (explode of a
+    ``sequence(0, B-1)`` literal) and partially aggregated before the
+    shuffle, so the exchange carries B×partitions partial rows, never
+    n×B. Weights come from the md5-uniform of (seed, replicate, id) —
+    deterministic, retry-stable, oracle-reproducible.
+    """
+    if replicates < 10:
+        raise ValueError(f"replicates must be >= 10, got {replicates}")
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    base = df.where(F.col(value_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), F.col(value_col).cast("double").alias("_v")
+    )
+    rep = base.select(
+        "_id",
+        "_v",
+        F.explode(F.sequence(F.lit(0), F.lit(replicates - 1))).alias("_r"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit(str(seed)),
+                    F.col("_r").cast("string"),
+                    F.col("_id").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
+    w = poisson_weight(u).cast("double")
+    means = (
+        rep.select("_r", (w * F.col("_v")).alias("_wv"), w.alias("_w"))
+        .groupBy("_r")
+        .agg(
+            # nullif: an all-zero-weight replicate (P ≈ e^-n, real
+            # only for tiny n) yields a NULL mean the percentile
+            # skips, instead of an ANSI divide-by-zero error
+            (F.sum("_wv") / F.nullif(F.sum("_w"), F.lit(0.0))).alias("_m")
+        )
+    )
+    stats = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.avg("_v").alias("mean"),
+    )
+    ci = means.agg(
+        F.percentile(F.col("_m"), F.lit(alpha / 2)).alias("lo"),
+        F.percentile(F.col("_m"), F.lit(1 - alpha / 2)).alias("hi"),
+    )
+    return stats.crossJoin(F.broadcast(ci)).select(
+        "n",
+        F.lit(replicates).cast("long").alias("replicates"),
+        "mean",
+        "lo",
+        "hi",
+    )

@@ -108,3 +108,26 @@ def test_ucb_bonus_shrinks_with_plays(spark):
     )
     with pytest.raises(ValueError):
         ucb_scores(df, "arm", F.col("s"), c=0.0)
+
+
+def test_poisson_bootstrap_ci(spark):
+    from k_means_using_mapreduce_spark.operators.hypothesis import (
+        poisson_bootstrap_mean_ci,
+    )
+
+    rows = [(i, float(i % 10)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    r = poisson_bootstrap_mean_ci(df, "v", "id", replicates=100, seed=1).first()
+    assert r["n"] == 500 and r["replicates"] == 100
+    assert r["mean"] == pytest.approx(4.5)
+    # CI brackets the mean and roughly matches the analytic width:
+    # sd = 2.872 -> se ~ 0.128 -> 95% half-width ~ 0.25
+    assert r["lo"] < 4.5 < r["hi"]
+    assert 0.1 < (r["hi"] - r["lo"]) / 2 < 0.5
+    # deterministic
+    r2 = poisson_bootstrap_mean_ci(df, "v", "id", replicates=100, seed=1).first()
+    assert (r["lo"], r["hi"]) == (r2["lo"], r2["hi"])
+    with pytest.raises(ValueError):
+        poisson_bootstrap_mean_ci(df, "v", "id", replicates=5)
+    with pytest.raises(ValueError):
+        poisson_bootstrap_mean_ci(df, "v", "id", alpha=1.5)
