@@ -64,6 +64,7 @@ from . import (
     timeseries_queries,
     tpch_advanced_queries,
     tpch_queries,
+    tsmatch_queries,
     url_queries,
     window_queries,
     zorder_queries,
@@ -117,6 +118,7 @@ _MODULES = [
     temporal_queries,
     timeseries_queries,
     rollup_queries,
+    tsmatch_queries,
     reshape_queries,
     rplsh_queries,
     multimodal_queries,
