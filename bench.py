@@ -240,6 +240,12 @@ BENCH_QUERIES = [
     "chi2_lang_source",
     "ab_value_conversion",
     "textrank_keywords_documents",
+    "user_communities",
+    "conformal_value_band",
+    "readability_documents",
+    "ucb_event_arms",
+    "bootstrap_purchase_mean",
+    "burst_windows_events",
 ]
 
 KMEANS_FIT_K = 8

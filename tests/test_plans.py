@@ -542,3 +542,20 @@ def test_ks_scan_prunes_to_test_columns(spark, sf):
     for cols in read_schemas(df):
         assert set(cols) <= {"event_type", "value"}
     assert sort_merge_join_count(df) == 0
+
+
+def test_bootstrap_replicates_partial_aggregated(spark, sf):
+    # the xB fan-out must collapse map-side: one exchange for the
+    # replicate groupBy, reading only (event_id, value, event_type)
+    df = _q("bootstrap_purchase_mean", spark, sf)
+    for cols in read_schemas(df):
+        assert set(cols) <= {"event_id", "value", "event_type"}
+    assert sort_merge_join_count(df) == 0
+
+
+def test_subsequence_search_single_series_exchange(spark, sf):
+    # windows + znorm + distance are all array expressions over ONE
+    # key-partitioned window; no joins at all
+    df = _q("burst_windows_events", spark, sf)
+    assert sort_merge_join_count(df) == 0
+    assert broadcast_join_count(df) == 0
