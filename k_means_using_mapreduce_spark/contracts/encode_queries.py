@@ -154,3 +154,46 @@ FROM ranked JOIN grid ON gq_i = q
 
 QUERIES["quantile_normalized_quality"] = quantile_normalized_quality
 ORACLE_SQL["quantile_normalized_quality"] = _qn_sql()
+
+
+WOE_ALPHA = 0.5
+
+
+def woe_source_english(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence of document source against the is-English
+    label — which provenances predict English content."""
+    from ..operators.encode import woe_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", (F.col("lang") == "en").cast("int").alias("y")
+    )
+    return woe_table(docs, "source", "y", alpha=WOE_ALPHA)
+
+
+WOE_SQL = f"""
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+         CAST(count(*) - sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+              AS BIGINT) AS neg
+  FROM documents
+  WHERE source IS NOT NULL AND lang IS NOT NULL
+  GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(pos) AS DOUBLE) AS pt, CAST(sum(neg) AS DOUBLE) AS nt,
+         CAST(count(*) AS DOUBLE) AS c
+  FROM per
+)
+SELECT source, n, pos, neg,
+       ln(((pos + {WOE_ALPHA}) / (pt + {WOE_ALPHA} * c))
+          / ((neg + {WOE_ALPHA}) / (nt + {WOE_ALPHA} * c))) AS woe,
+       ((pos + {WOE_ALPHA}) / (pt + {WOE_ALPHA} * c)
+         - (neg + {WOE_ALPHA}) / (nt + {WOE_ALPHA} * c))
+       * ln(((pos + {WOE_ALPHA}) / (pt + {WOE_ALPHA} * c))
+            / ((neg + {WOE_ALPHA}) / (nt + {WOE_ALPHA} * c))) AS iv_term
+FROM per CROSS JOIN tot
+"""
+
+QUERIES["woe_source_english"] = woe_source_english
+ORACLE_SQL["woe_source_english"] = WOE_SQL
