@@ -79,6 +79,38 @@ def sliding_windows(
     )
 
 
+def _zwindows(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    length: int,
+) -> DataFrame:
+    """Z-normalized windows ``(key_col, start, z array<double>)`` —
+    shared by query matching and motif mining; constant windows
+    (σ = 0) are dropped here, once."""
+    L = F.lit(float(length))
+    wins = sliding_windows(df, key_col, order_col, value_col, length=length)
+    mean = F.aggregate(F.col("window"), F.lit(0.0), lambda a, x: a + x) / L
+    staged = wins.withColumn("_mean", mean)
+    var = (
+        F.aggregate(
+            F.col("window"),
+            F.lit(0.0),
+            lambda a, x: a + (x - F.col("_mean")) * (x - F.col("_mean")),
+        )
+        / L
+    )
+    staged = staged.withColumn("_std", F.sqrt(var)).where(F.col("_std") > 0)
+    return staged.select(
+        key_col,
+        "start",
+        F.transform(
+            F.col("window"), lambda x: (x - F.col("_mean")) / F.col("_std")
+        ).alias("z"),
+    )
+
+
 def subsequence_topk(
     df: DataFrame,
     pattern: Sequence[float],
@@ -99,24 +131,8 @@ def subsequence_topk(
         raise ValueError(f"k must be >= 1, got {k}")
     zp = znormalize_pattern(pattern)
     length = len(zp)
-    L = F.lit(float(length))
-    wins = sliding_windows(
-        df, key_col, order_col, value_col, length=length
-    )
-    mean = F.aggregate(F.col("window"), F.lit(0.0), lambda a, x: a + x) / L
-    staged = wins.withColumn("_mean", mean)
-    var = (
-        F.aggregate(
-            F.col("window"),
-            F.lit(0.0),
-            lambda a, x: a + (x - F.col("_mean")) * (x - F.col("_mean")),
-        )
-        / L
-    )
-    staged = staged.withColumn("_std", F.sqrt(var)).where(F.col("_std") > 0)
-    z = F.transform(
-        F.col("window"), lambda x: (x - F.col("_mean")) / F.col("_std")
-    )
+    staged = _zwindows(df, key_col, order_col, value_col, length)
+    z = F.col("z")
     diff2 = F.zip_with(
         z,
         F.array(*[F.lit(p) for p in zp]),
@@ -127,6 +143,100 @@ def subsequence_topk(
         key_col, "start", F.round(dist, 8).alias("dist")
     )
     w = Window.orderBy(F.asc("dist"), key_col, "start")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+    )
+
+
+def motif_pairs(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    *,
+    length: int,
+    k: int = 5,
+    min_separation: int = 0,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Motif discovery: the ``k`` most similar non-trivial window
+    PAIRS (the recurring shapes of the series) — ``(key_a, start_a,
+    key_b, start_b, dist, rk)``.
+
+    Sign-LSH candidate generation: windows sharing the SIGN PATTERN
+    of their z-shape (one bit per position) land in one bucket, and
+    only within-bucket pairs are scored — per-bucket quadratic, the
+    engine's banding doctrine (operators/dedup.py, operators/
+    rplsh.py), with ``max_bucket`` dropping degenerate buckets
+    before the self-join. Same-key pairs closer than
+    ``min_separation`` (in ``order_col`` units) are excluded — the
+    trivial-match rule: a window nearly always matches its own
+    1-step shift. Approximate by construction (a true motif pair
+    crossing a sign boundary is missed — the standard sign-LSH
+    trade); the CANDIDATE SET is deterministic, so results are
+    exactly reproducible and oracle-checkable.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if max_bucket < 2:
+        raise ValueError(f"max_bucket must be >= 2, got {max_bucket}")
+    zw = _zwindows(df, key_col, order_col, value_col, length).withColumn(
+        "bucket",
+        F.concat_ws(
+            "",
+            *[
+                F.when(F.col("z")[i] > 0, F.lit("1")).otherwise(F.lit("0"))
+                for i in range(length)
+            ],
+        ),
+    )
+    sizes = zw.groupBy("bucket").agg(F.count("*").alias("_bn"))
+    zw = zw.join(
+        F.broadcast(sizes.where(F.col("_bn") <= max_bucket).select("bucket")),
+        "bucket",
+    )
+    a = zw.select(
+        "bucket",
+        F.col(key_col).alias("key_a"),
+        F.col("start").alias("start_a"),
+        F.col("z").alias("_za"),
+    )
+    b = zw.select(
+        "bucket",
+        F.col(key_col).alias("key_b"),
+        F.col("start").alias("start_b"),
+        F.col("z").alias("_zb"),
+    )
+    pairs = a.join(b, "bucket").where(
+        (F.col("key_a") < F.col("key_b"))
+        | (
+            (F.col("key_a") == F.col("key_b"))
+            & (F.col("start_a") < F.col("start_b"))
+        )
+    )
+    if min_separation > 0:
+        pairs = pairs.where(
+            (F.col("key_a") != F.col("key_b"))
+            | (
+                F.col("start_b") - F.col("start_a")
+                >= F.lit(min_separation)
+            )
+        )
+    diff2 = F.zip_with(
+        F.col("_za"), F.col("_zb"), lambda x, y: (x - y) * (x - y)
+    )
+    dist = F.sqrt(F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x))
+    scored = pairs.select(
+        "key_a",
+        "start_a",
+        "key_b",
+        "start_b",
+        F.round(dist, 8).alias("dist"),
+    )
+    w = Window.orderBy(
+        F.asc("dist"), "key_a", "start_a", "key_b", "start_b"
+    )
     return (
         scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .where(F.col("rk") <= k)

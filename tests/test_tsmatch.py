@@ -62,3 +62,41 @@ def test_validation(spark):
         subsequence_topk(df, [0, 1, 0], "k", "t", "v", k=0)
     with pytest.raises(ValueError):
         sliding_windows(df, "k", "t", "v", length=1)
+
+
+def test_motif_finds_planted_repeat(spark):
+    from k_means_using_mapreduce_spark.operators.tsmatch import motif_pairs
+
+    # same shape planted twice, far apart, in otherwise rising noise
+    shape = [1.0, 5.0, 1.0, 5.0, 1.0]
+    vals = shape + [float(10 + i) for i in range(10)] + shape
+    df = _series(spark, vals)
+    top = motif_pairs(
+        df, "k", "t", "v", length=5, k=1, min_separation=5
+    ).first()
+    assert (top["start_a"], top["start_b"]) == (0, 15)
+    assert top["dist"] == pytest.approx(0.0)
+
+
+def test_motif_trivial_matches_excluded(spark):
+    from k_means_using_mapreduce_spark.operators.tsmatch import motif_pairs
+
+    # periodic series: adjacent overlapping windows match trivially;
+    # min_separation forces the discovered pair to be >= 4 apart
+    vals = [1.0, 9.0] * 10
+    df = _series(spark, vals)
+    out = motif_pairs(df, "k", "t", "v", length=4, k=3, min_separation=4)
+    for r in out.collect():
+        assert r["start_b"] - r["start_a"] >= 4
+
+
+def test_motif_validation(spark):
+    from k_means_using_mapreduce_spark.operators.tsmatch import motif_pairs
+
+    df = _series(spark, [1, 2, 3, 4, 5, 6])
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        motif_pairs(df, "k", "t", "v", length=3, k=0)
+    with _pt.raises(ValueError):
+        motif_pairs(df, "k", "t", "v", length=3, max_bucket=1)
