@@ -315,3 +315,73 @@ BOOTSTRAP_SQL = _boot_sql()
 
 QUERIES["bootstrap_purchase_mean"] = bootstrap_purchase_mean
 ORACLE_SQL["bootstrap_purchase_mean"] = BOOTSTRAP_SQL
+
+
+def did_value_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout: md5-armed user cohorts ×
+    first/second half of the corpus time range (pure integer midpoint
+    test, no division), outcome = event value."""
+    from ..operators.hypothesis import diff_in_diff
+    from ..operators.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min("ts").alias("_a"), F.max("ts").alias("_b")
+    )
+    staged = ev.crossJoin(F.broadcast(bounds)).select(
+        hash_bucket("user_id", 2).alias("treat"),
+        (F.col("ts") * 2 >= F.col("_a") + F.col("_b")).cast("int").alias(
+            "post"
+        ),
+        "value",
+    )
+    return diff_in_diff(staged, "treat", "post", "value")
+
+
+DID_SQL = """
+WITH bounds AS (
+  SELECT min(epoch_ns(ts)) AS a, max(epoch_ns(ts)) AS b FROM events
+),
+staged AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2
+           AS treat,
+         CASE WHEN epoch_ns(ts) * 2 >= a + b THEN 1 ELSE 0 END AS post,
+         CAST(value AS DOUBLE) AS v
+  FROM events CROSS JOIN bounds
+  WHERE value IS NOT NULL
+),
+g AS (
+  SELECT
+    CAST(sum(CASE WHEN treat = 0 AND post = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n_cp,
+    sum(CASE WHEN treat = 0 AND post = 0 THEN v ELSE 0.0 END) AS s_cp,
+    sum(CASE WHEN treat = 0 AND post = 0 THEN v * v ELSE 0.0 END) AS q_cp,
+    CAST(sum(CASE WHEN treat = 0 AND post = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n_co,
+    sum(CASE WHEN treat = 0 AND post = 1 THEN v ELSE 0.0 END) AS s_co,
+    sum(CASE WHEN treat = 0 AND post = 1 THEN v * v ELSE 0.0 END) AS q_co,
+    CAST(sum(CASE WHEN treat = 1 AND post = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n_tp,
+    sum(CASE WHEN treat = 1 AND post = 0 THEN v ELSE 0.0 END) AS s_tp,
+    sum(CASE WHEN treat = 1 AND post = 0 THEN v * v ELSE 0.0 END) AS q_tp,
+    CAST(sum(CASE WHEN treat = 1 AND post = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n_to,
+    sum(CASE WHEN treat = 1 AND post = 1 THEN v ELSE 0.0 END) AS s_to,
+    sum(CASE WHEN treat = 1 AND post = 1 THEN v * v ELSE 0.0 END) AS q_to
+  FROM staged
+)
+SELECT s_cp / n_cp AS ctrl_pre,
+       s_co / n_co AS ctrl_post,
+       s_tp / n_tp AS treat_pre,
+       s_to / n_to AS treat_post,
+       (s_to / n_to - s_tp / n_tp) - (s_co / n_co - s_cp / n_cp) AS did,
+       sqrt(((q_to - s_to * s_to / n_to) / (n_to - 1)) / n_to
+          + ((q_tp - s_tp * s_tp / n_tp) / (n_tp - 1)) / n_tp
+          + ((q_co - s_co * s_co / n_co) / (n_co - 1)) / n_co
+          + ((q_cp - s_cp * s_cp / n_cp) / (n_cp - 1)) / n_cp) AS se,
+       ((s_to / n_to - s_tp / n_tp) - (s_co / n_co - s_cp / n_cp))
+         / sqrt(((q_to - s_to * s_to / n_to) / (n_to - 1)) / n_to
+              + ((q_tp - s_tp * s_tp / n_tp) / (n_tp - 1)) / n_tp
+              + ((q_co - s_co * s_co / n_co) / (n_co - 1)) / n_co
+              + ((q_cp - s_cp * s_cp / n_cp) / (n_cp - 1)) / n_cp) AS z
+FROM g
+"""
+
+QUERIES["did_value_by_cohort"] = did_value_by_cohort
+ORACLE_SQL["did_value_by_cohort"] = DID_SQL

@@ -70,3 +70,81 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLE_SQL: dict[str, str] = {
     "survival_curve_users": SURVIVAL_SQL,
 }
+
+
+#: shorter churn horizon than the KM contract: 12 quiet hours — the
+#: 3-day horizon censors EVERY user at sf0.01 (0 events = no test)
+_LR_HORIZON_NS = 12 * _HOUR_NS
+
+
+def logrank_user_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test between even/odd user-id cohorts' churn curves
+    (operators/survival.py::log_rank_test) — a null-true split, so
+    the statistic doubles as a calibration check."""
+    from pyspark.sql import functions as F
+
+    from ..operators.survival import log_rank_test, user_lifetimes
+
+    ev = load_table(spark, sf_dir, "events")
+    lif = user_lifetimes(
+        ev, horizon_ns=_LR_HORIZON_NS, unit_ns=_HOUR_NS
+    ).withColumn("cohort", (F.col("user_id") % 2).cast("int"))
+    return log_rank_test(
+        lif, "cohort", "duration", "event", group_a=0, group_b=1
+    )
+
+
+LOGRANK_SQL = f"""
+WITH per_user AS (
+  SELECT user_id, min(epoch_ns(ts)) AS a, max(epoch_ns(ts)) AS b
+  FROM events GROUP BY 1
+),
+gend AS (SELECT max(b) AS gmax FROM per_user),
+lif AS (
+  SELECT CAST(user_id % 2 AS INT) AS grp,
+         CAST(((b - a) - (b - a) % {_HOUR_NS}) / {_HOUR_NS} AS BIGINT) AS t,
+         CASE WHEN b < gmax - {_LR_HORIZON_NS} THEN 1 ELSE 0 END AS ev
+  FROM per_user, gend
+),
+per_t AS (
+  SELECT t,
+         sum(CASE WHEN grp = 0 THEN ev ELSE 0 END) AS d1,
+         sum(CASE WHEN grp = 1 THEN ev ELSE 0 END) AS d2,
+         sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS c1,
+         sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS c2
+  FROM lif GROUP BY 1
+),
+risky AS (
+  SELECT t, d1, d2,
+    CAST(sum(c1) OVER wd AS DOUBLE) AS n1,
+    CAST(sum(c2) OVER wd AS DOUBLE) AS n2
+  FROM per_t
+  WINDOW wd AS (ORDER BY t DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+ev_t AS (SELECT * FROM risky WHERE d1 + d2 > 0),
+terms AS (
+  SELECT
+    sum(d1 - CAST(d1 + d2 AS DOUBLE) * n1 / (n1 + n2)) AS o_minus_e,
+    sum(coalesce(
+      CAST(d1 + d2 AS DOUBLE) * (n1 / (n1 + n2)) * (1 - n1 / (n1 + n2))
+        * ((n1 + n2) - CAST(d1 + d2 AS DOUBLE))
+        / nullif((n1 + n2) - 1, 0.0),
+      0.0)) AS var,
+    CAST(sum(d1) AS BIGINT) AS events_a,
+    CAST(sum(d2) AS BIGINT) AS events_b
+  FROM ev_t
+),
+sizes AS (
+  SELECT CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM lif
+)
+SELECT n_a, n_b, events_a, events_b, o_minus_e, var,
+       o_minus_e * o_minus_e / nullif(var, 0.0) AS chi2,
+       o_minus_e / sqrt(nullif(var, 0.0)) AS z
+FROM sizes CROSS JOIN terms
+"""
+
+QUERIES["logrank_user_cohorts"] = logrank_user_cohorts
+ORACLE_SQL["logrank_user_cohorts"] = LOGRANK_SQL

@@ -367,3 +367,61 @@ def poisson_bootstrap_mean_ci(
         "lo",
         "hi",
     )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    treat_col: str,
+    post_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Difference-in-differences estimator: one row with the four
+    cell means, ``did = (treat_post − treat_pre) − (ctrl_post −
+    ctrl_pre)``, its large-sample standard error (independent-cell
+    variance sum) and z. ``treat_col`` / ``post_col`` are 0/1; NULL
+    values are excluded. ONE aggregation pass builds all four cells
+    via conditional sums — no per-cell scans."""
+    t = F.col(treat_col).cast("int")
+    p = F.col(post_col).cast("int")
+    v = F.col(value_col).cast("double")
+    base = df.where(
+        v.isNotNull() & t.isNotNull() & p.isNotNull()
+    )
+
+    def cell(ti: int, pi: int, name: str) -> list[Column]:
+        m = (t == ti) & (p == pi)
+        return [
+            F.sum(F.when(m, 1).otherwise(0)).cast("double").alias(f"n_{name}"),
+            F.sum(F.when(m, v).otherwise(0.0)).alias(f"s_{name}"),
+            F.sum(F.when(m, v * v).otherwise(0.0)).alias(f"q_{name}"),
+        ]
+
+    aggs = (
+        cell(0, 0, "cp") + cell(0, 1, "co") + cell(1, 0, "tp") + cell(1, 1, "to")
+    )
+    g = base.agg(*aggs)
+
+    def mean(name: str) -> Column:
+        return F.col(f"s_{name}") / F.col(f"n_{name}")
+
+    def var_of_mean(name: str) -> Column:
+        n = F.col(f"n_{name}")
+        s2 = (F.col(f"q_{name}") - F.col(f"s_{name}") * F.col(f"s_{name}") / n) / (
+            n - 1
+        )
+        return s2 / n
+
+    did = (mean("to") - mean("tp")) - (mean("co") - mean("cp"))
+    se = F.sqrt(
+        var_of_mean("to") + var_of_mean("tp") + var_of_mean("co")
+        + var_of_mean("cp")
+    )
+    return g.select(
+        mean("cp").alias("ctrl_pre"),
+        mean("co").alias("ctrl_post"),
+        mean("tp").alias("treat_pre"),
+        mean("to").alias("treat_post"),
+        did.alias("did"),
+        se.alias("se"),
+        (did / se).alias("z"),
+    )

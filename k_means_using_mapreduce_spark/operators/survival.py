@@ -109,3 +109,90 @@ def user_lifetimes(
             .alias("event"),
         )
     )
+
+
+def log_rank_test(
+    df: DataFrame,
+    group_col: str,
+    duration_col: str,
+    event_col: str,
+    *,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-group log-rank test (Mantel 1966) — "are these two
+    survival curves the same?", the inferential companion to
+    :func:`kaplan_meier`: one row ``(n_a, n_b, events_a, events_b,
+    o_minus_e, var, chi2, z)`` where at every distinct event time
+    ``E_a = d · n_a/n`` and ``V = d (n_a/n)(1 − n_a/n)(n − d)/(n − 1)``
+    over the at-risk sets, ``chi2 = (Σ(d_a − E_a))² / ΣV`` (1 dof).
+
+    Same scale shape as the estimator: everything reduces to the
+    distinct-duration table first (per-time event/at-risk counts per
+    group via one aggregation + reverse cumulative windows), so the
+    ordered pass sees time cardinality, not subjects. Single-time
+    risk sets of 1 contribute zero variance (the n > 1 guard).
+    """
+    g = F.col(group_col)
+    ev = F.col(event_col).cast("int")
+    both = df.where(g.isin([group_a, group_b]))
+    per_t = (
+        both.groupBy(F.col(duration_col).alias("t"))
+        .agg(
+            F.sum(F.when(g == group_a, ev).otherwise(0)).alias("d1"),
+            F.sum(F.when(g == group_b, ev).otherwise(0)).alias("d2"),
+            F.sum(F.when(g == group_a, 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(g == group_b, 1).otherwise(0)).alias("c2"),
+        )
+    )
+    w = (
+        Window.orderBy("t")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    risky = per_t.select(
+        "t",
+        "d1",
+        "d2",
+        F.sum("c1").over(w).cast("double").alias("n1"),
+        F.sum("c2").over(w).cast("double").alias("n2"),
+    ).where(F.col("d1") + F.col("d2") > 0)
+    d = (F.col("d1") + F.col("d2")).cast("double")
+    n = F.col("n1") + F.col("n2")
+    e1 = d * F.col("n1") / n
+    v = F.coalesce(
+        d
+        * (F.col("n1") / n)
+        * (1 - F.col("n1") / n)
+        * (n - d)
+        / F.nullif(n - 1, F.lit(0.0)),
+        F.lit(0.0),
+    )
+    terms = risky.agg(
+        # coalesce: a zero-event input (everyone censored) yields a
+        # well-defined 0-evidence row, not NULLs (which the DuckDB
+        # pandas bridge would render NaN); chi2/z stay NULL there —
+        # "no evidence" has no statistic
+        F.coalesce(F.sum(F.col("d1") - e1), F.lit(0.0)).alias("o_minus_e"),
+        F.coalesce(F.sum(v), F.lit(0.0)).alias("var"),
+        F.coalesce(F.sum("d1"), F.lit(0)).cast("long").alias("events_a"),
+        F.coalesce(F.sum("d2"), F.lit(0)).cast("long").alias("events_b"),
+    )
+    sizes = both.agg(
+        F.sum(F.when(g == group_a, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(g == group_b, 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    return sizes.crossJoin(F.broadcast(terms)).select(
+        "n_a",
+        "n_b",
+        "events_a",
+        "events_b",
+        "o_minus_e",
+        "var",
+        (
+            F.col("o_minus_e") * F.col("o_minus_e")
+            / F.nullif(F.col("var"), F.lit(0.0))
+        ).alias("chi2"),
+        (F.col("o_minus_e") / F.sqrt(F.nullif(F.col("var"), F.lit(0.0)))).alias(
+            "z"
+        ),
+    )
