@@ -246,6 +246,10 @@ BENCH_QUERIES = [
     "ucb_event_arms",
     "bootstrap_purchase_mean",
     "burst_windows_events",
+    "motif_windows_events",
+    "woe_source_english",
+    "logrank_user_cohorts",
+    "did_value_by_cohort",
 ]
 
 KMEANS_FIT_K = 8
