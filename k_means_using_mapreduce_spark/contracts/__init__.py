@@ -43,6 +43,7 @@ from . import (
     quantize_queries,
     ranking_queries,
     recommend_queries,
+    regression_queries,
     repetition_queries,
     reshape_queries,
     robust_queries,
@@ -72,6 +73,7 @@ from . import (
 
 _MODULES = [
     kmeans_queries,
+    regression_queries,
     assoc_queries,
     bloom_queries,
     budget_queries,

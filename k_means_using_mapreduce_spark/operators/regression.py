@@ -1,0 +1,320 @@
+"""Distributed linear regression via normal-equation sums.
+
+The model-fitting closure of the feature surface built elsewhere in
+the engine (encode.py targets/WOE, quantize.py bins, pca.py bases):
+after features are engineered, a training pipeline fits baselines —
+per-segment trend lines, a global price model, residual diagnostics —
+and those fits are exactly the aggregations this module provides.
+
+Everything reduces to ONE map-side-combinable aggregation:
+
+- ``grouped_ols``: per-group simple OLS needs only the five sums
+  ``(n, Σx, Σy, Σxy, Σx², Σy²)`` — a single shuffle of six doubles
+  per group, never the rows. Slope/intercept/R² are closed-form
+  arithmetic on the aggregate row (whole-stage codegen).
+- ``ridge_sums`` / ``fit_ridge``: multivariate ridge collects the
+  Gram matrix ``X'X`` and moment vector ``X'y`` (intercept column
+  included) as ``(p+1)(p+2)/2 + (p+1)`` sums in one pass — a
+  1-row result regardless of input size — then solves the
+  ``(p+1)×(p+1)`` system on the driver. For the p ≤ 3 systems the
+  contracts pin, the solve is explicit Cramer's rule so the Spark
+  path and the pure-SQL oracle share the exact formula; larger p
+  falls back to ``numpy.linalg.solve`` (documented, same answer to
+  machine precision).
+- ``residual_summary``: scoring folds the fitted coefficients back
+  in as LITERALS — the "model" is a codegen projection, no join, no
+  broadcast, no UDF — and aggregates per-group residual diagnostics
+  (RMSE / MAE / mean error / R²) in a second single-shuffle pass.
+
+Training SSE is also available with NO second pass: with the ridge
+sums in hand, ``SSE = Σy² − 2·bᵀX'y + bᵀ(X'X)b`` (used by
+``fit_ridge``'s ``rmse``), so a fit costs exactly one scan.
+
+At 100 TB: both passes are narrow scans + partial aggregation; the
+shuffled state is O(groups × p²) doubles. Nothing here collects rows.
+
+Reference scope note: the reference engine (master.py:27-150) is
+K-Means only; regression is extension scope per the build brief.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _d(c: str) -> Column:
+    return F.col(c).cast("double")
+
+
+def grouped_ols(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Per-group simple OLS of ``y_col`` on ``x_col``.
+
+    Returns one row per group: ``(by..., n, slope, intercept, r2)``
+    with the textbook moment formulas
+
+    ``slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)``,
+    ``r2 = slope² · Sxx / Syy``.
+
+    Degenerate groups (constant x) yield NULL slope/intercept; a
+    constant-y group yields NULL r2 (0/0 guarded via nullif). Rows
+    with NULL in either column are excluded from the group's fit.
+    """
+    rows = df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    x, y = _d(x_col), _d(y_col)
+    agg = rows.groupBy(*[F.col(c) for c in by]).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    cxy = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = cxy / F.nullif(vx, F.lit(0.0))
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    r2 = (cxy * cxy) / F.nullif(vx * vy, F.lit(0.0))
+    return agg.select(
+        *[F.col(c) for c in by],
+        F.col("n"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )
+
+
+def ridge_sums(
+    df: DataFrame, x_cols: Sequence[str], y_col: str
+) -> DataFrame:
+    """One-row DataFrame of every normal-equation sum for
+    ``y ~ 1 + x_cols``: ``n``, ``s_i`` (Σxᵢ), ``s_i_j`` (Σxᵢxⱼ,
+    i ≤ j), ``sy``, ``sy_i`` (Σxᵢy), ``syy``. Single
+    map-side-combined aggregation; NULL-complete rows are dropped."""
+    cond = F.col(y_col).isNotNull()
+    for c in x_cols:
+        cond = cond & F.col(c).isNotNull()
+    rows = df.where(cond)
+    y = _d(y_col)
+    xs = [_d(c) for c in x_cols]
+    aggs: list[Column] = [F.count(F.lit(1)).alias("n")]
+    for i, xi in enumerate(xs):
+        aggs.append(F.sum(xi).alias(f"s_{i}"))
+    for i, xi in enumerate(xs):
+        for j in range(i, len(xs)):
+            aggs.append(F.sum(xi * xs[j]).alias(f"s_{i}_{j}"))
+    aggs.append(F.sum(y).alias("sy"))
+    for i, xi in enumerate(xs):
+        aggs.append(F.sum(xi * y).alias(f"sy_{i}"))
+    aggs.append(F.sum(y * y).alias("syy"))
+    return rows.agg(*aggs)
+
+
+def _cramer3(a: list[list[float]], b: list[float]) -> list[float]:
+    """Explicit Cramer's rule for a 3×3 system — shared formula with
+    the SQL oracle so both paths agree to the last double bit."""
+
+    def det3(m: list[list[float]]) -> float:
+        return (
+            m[0][0] * (m[1][1] * m[2][2] - m[1][2] * m[2][1])
+            - m[0][1] * (m[1][0] * m[2][2] - m[1][2] * m[2][0])
+            + m[0][2] * (m[1][0] * m[2][1] - m[1][1] * m[2][0])
+        )
+
+    d = det3(a)
+    out = []
+    for k in range(3):
+        mk = [row[:] for row in a]
+        for r in range(3):
+            mk[r][k] = b[r]
+        out.append(det3(mk) / d)
+    return out
+
+
+def fit_ridge(
+    df: DataFrame,
+    x_cols: Sequence[str],
+    y_col: str,
+    l2: float = 0.0,
+) -> tuple[list[float], dict[str, float]]:
+    """Closed-form ridge ``y ~ 1 + x_cols`` with penalty ``l2`` on the
+    slope coefficients (intercept unpenalized).
+
+    Returns ``(coefficients, stats)`` where ``coefficients`` is
+    ``[b0, b1, ..., bp]`` (b0 = intercept) and ``stats`` carries
+    ``n``, ``rmse`` and ``r2`` computed FROM THE SAME SUMS — the
+    whole fit is one scan:
+
+    ``SSE = Σy² − 2·bᵀ(X'y) + bᵀ(X'X + λJ)b − λ·Σbᵢ²``  (J zero on
+    the intercept), evaluated driver-side on the collected row.
+    """
+    p = len(x_cols)
+    row = ridge_sums(df, x_cols, y_col).collect()[0].asDict()
+    n = float(row["n"])
+    # X'X with the intercept column prepended: index 0 = intercept.
+    a = [[0.0] * (p + 1) for _ in range(p + 1)]
+    a[0][0] = n
+    for i in range(p):
+        a[0][i + 1] = a[i + 1][0] = row[f"s_{i}"]
+        for j in range(i, p):
+            a[i + 1][j + 1] = a[j + 1][i + 1] = row[f"s_{i}_{j}"]
+    for i in range(1, p + 1):
+        a[i][i] += l2
+    b = [row["sy"]] + [row[f"sy_{i}"] for i in range(p)]
+    if p == 2:
+        coef = _cramer3(a, b)
+    else:  # pragma: no cover - exercised for p != 2 only
+        import numpy as np
+
+        coef = [float(v) for v in np.linalg.solve(np.array(a), np.array(b))]
+    # SSE from the sums (A here already has +l2 on the diagonal; the
+    # true X'X quadratic form subtracts it back out).
+    quad = 0.0
+    for i in range(p + 1):
+        for j in range(p + 1):
+            quad += coef[i] * a[i][j] * coef[j]
+    quad -= l2 * sum(c * c for c in coef[1:])
+    dot = sum(coef[i] * b[i] for i in range(p + 1))
+    sse = row["syy"] - 2.0 * dot + quad
+    sst = row["syy"] - row["sy"] * row["sy"] / n
+    stats = {
+        "n": n,
+        "rmse": (sse / n) ** 0.5 if sse > 0 else 0.0,
+        "r2": 1.0 - sse / sst if sst > 0 else float("nan"),
+    }
+    return coef, stats
+
+
+def ridge_coefficients_df(
+    df: DataFrame,
+    x_cols: Sequence[str],
+    y_col: str,
+    l2: float = 0.0,
+) -> DataFrame:
+    """Fully-declarative ridge for exactly TWO features: Cramer's rule
+    evaluated as column expressions over the one-row ``ridge_sums``
+    aggregate — the entire fit (coefficients + training RMSE + R²) is
+    a single Spark job with no driver math at all.
+
+    Returns one row ``(n, b0, b1, b2, rmse, r2)`` where ``b0`` is the
+    intercept. The intercept is unpenalized; ``l2`` is added to the
+    two slope diagonal entries of X'X.
+    """
+    if len(x_cols) != 2:
+        raise ValueError("ridge_coefficients_df supports exactly 2 features")
+    sums = ridge_sums(df, x_cols, y_col)
+    n = F.col("n").cast("double")
+    s1, s2 = F.col("s_0"), F.col("s_1")
+    s11 = F.col("s_0_0") + F.lit(l2)
+    s12 = F.col("s_0_1")
+    s22 = F.col("s_1_1") + F.lit(l2)
+    sy, sy1, sy2 = F.col("sy"), F.col("sy_0"), F.col("sy_1")
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    d0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (sy1 * s22 - s12 * sy2)
+        + s2 * (sy1 * s12 - s11 * sy2)
+    )
+    d1 = (
+        n * (sy1 * s22 - s12 * sy2)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * sy2 - sy1 * s2)
+    )
+    d2 = (
+        n * (s11 * sy2 - sy1 * s12)
+        - s1 * (s1 * sy2 - sy1 * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+    b0 = d0 / F.nullif(det, F.lit(0.0))
+    b1 = d1 / F.nullif(det, F.lit(0.0))
+    b2 = d2 / F.nullif(det, F.lit(0.0))
+    staged = sums.select(
+        F.col("n"),
+        b0.alias("b0"),
+        b1.alias("b1"),
+        b2.alias("b2"),
+        F.col("s_0_0").alias("x11"),
+        F.col("s_0_1").alias("x12"),
+        F.col("s_1_1").alias("x22"),
+        s1.alias("x1"),
+        s2.alias("x2"),
+        sy.alias("xy"),
+        sy1.alias("xy1"),
+        sy2.alias("xy2"),
+        F.col("syy").alias("xyy"),
+    )
+    nn = F.col("n").cast("double")
+    quad = (
+        F.col("b0") * F.col("b0") * nn
+        + F.col("b1") * F.col("b1") * F.col("x11")
+        + F.col("b2") * F.col("b2") * F.col("x22")
+        + 2.0 * F.col("b0") * F.col("b1") * F.col("x1")
+        + 2.0 * F.col("b0") * F.col("b2") * F.col("x2")
+        + 2.0 * F.col("b1") * F.col("b2") * F.col("x12")
+    )
+    dot = (
+        F.col("b0") * F.col("xy")
+        + F.col("b1") * F.col("xy1")
+        + F.col("b2") * F.col("xy2")
+    )
+    sse = F.col("xyy") - 2.0 * dot + quad
+    sst = F.col("xyy") - F.col("xy") * F.col("xy") / nn
+    return staged.select(
+        F.col("n"),
+        F.col("b0"),
+        F.col("b1"),
+        F.col("b2"),
+        F.sqrt(F.greatest(sse, F.lit(0.0)) / nn).alias("rmse"),
+        (F.lit(1.0) - sse / F.nullif(sst, F.lit(0.0))).alias("r2"),
+    )
+
+
+def predict_expr(x_cols: Sequence[str], coef: Sequence[float]) -> Column:
+    """The fitted model as a pure codegen expression: ``b0 + Σ bᵢxᵢ``
+    with coefficients folded in as literals — no join, no UDF."""
+    expr: Column = F.lit(float(coef[0]))
+    for c, b in zip(x_cols, coef[1:]):
+        expr = expr + F.lit(float(b)) * _d(c)
+    return expr
+
+
+def residual_summary(
+    df: DataFrame,
+    x_cols: Sequence[str],
+    y_col: str,
+    coef: Sequence[float],
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Per-group residual diagnostics of a fitted linear model:
+    ``(by..., n, rmse, mae, bias)`` where ``bias`` is the mean signed
+    residual ``avg(y − ŷ)``. One scan, one shuffle of four doubles
+    per group; the model itself is a literal projection
+    (``predict_expr``)."""
+    cond = F.col(y_col).isNotNull()
+    for c in x_cols:
+        cond = cond & F.col(c).isNotNull()
+    resid = _d(y_col) - predict_expr(x_cols, coef)
+    return (
+        df.where(cond)
+        .select(*[F.col(c) for c in by], resid.alias("_r"))
+        .groupBy(*[F.col(c) for c in by])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sqrt(F.avg(F.col("_r") * F.col("_r"))).alias("rmse"),
+            F.avg(F.abs(F.col("_r"))).alias("mae"),
+            F.avg(F.col("_r")).alias("bias"),
+        )
+    )

@@ -1,0 +1,128 @@
+"""operators/regression.py: exact-recovery and shrinkage checks for
+the normal-equation OLS/ridge family."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from k_means_using_mapreduce_spark.operators.regression import (
+    fit_ridge,
+    grouped_ols,
+    predict_expr,
+    residual_summary,
+    ridge_coefficients_df,
+)
+
+
+def _xy(spark, rows):
+    return spark.createDataFrame(
+        [(g, float(x), float(y)) for g, x, y in rows],
+        "g string, x double, y double",
+    )
+
+
+def test_grouped_ols_recovers_exact_lines(spark):
+    # group a: y = 2x + 1 exactly; group b: y = -x + 5 exactly.
+    rows = [("a", x, 2 * x + 1) for x in range(5)]
+    rows += [("b", x, -x + 5) for x in range(4)]
+    out = {
+        r["g"]: r
+        for r in grouped_ols(_xy(spark, rows), "x", "y", by=["g"]).collect()
+    }
+    assert out["a"]["slope"] == pytest.approx(2.0)
+    assert out["a"]["intercept"] == pytest.approx(1.0)
+    assert out["a"]["r2"] == pytest.approx(1.0)
+    assert out["b"]["slope"] == pytest.approx(-1.0)
+    assert out["b"]["n"] == 4
+
+
+def test_grouped_ols_degenerate_x_is_null(spark):
+    rows = [("c", 3, y) for y in (1, 2, 3)]  # constant x
+    r = grouped_ols(_xy(spark, rows), "x", "y", by=["g"]).first()
+    assert r["slope"] is None and r["intercept"] is None
+
+
+def test_grouped_ols_ignores_nulls(spark):
+    df = spark.createDataFrame(
+        [(1.0, 3.0), (2.0, 5.0), (None, 9.0), (3.0, None)],
+        "x double, y double",
+    )
+    r = grouped_ols(df, "x", "y").first()
+    assert r["n"] == 2 and r["slope"] == pytest.approx(2.0)
+
+
+def _plane(spark, noise=0.0):
+    # y = 1 + 2*x1 - 3*x2 (+ optional deterministic perturbation)
+    rows = []
+    for i in range(40):
+        x1, x2 = float(i % 7), float((i * 3) % 5)
+        y = 1.0 + 2.0 * x1 - 3.0 * x2 + noise * ((-1) ** i)
+        rows.append((x1, x2, y))
+    return spark.createDataFrame(rows, "x1 double, x2 double, y double")
+
+
+def test_fit_ridge_recovers_plane_and_rmse_zero(spark):
+    coef, stats = fit_ridge(_plane(spark), ["x1", "x2"], "y", l2=0.0)
+    assert coef == pytest.approx([1.0, 2.0, -3.0], abs=1e-8)
+    assert stats["rmse"] == pytest.approx(0.0, abs=1e-6)
+    assert stats["r2"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_ridge_shrinks_toward_zero(spark):
+    df = _plane(spark)
+    c0, _ = fit_ridge(df, ["x1", "x2"], "y", l2=0.0)
+    c9, _ = fit_ridge(df, ["x1", "x2"], "y", l2=1e6)
+    assert abs(c9[1]) < abs(c0[1]) and abs(c9[2]) < abs(c0[2])
+
+
+def test_declarative_ridge_matches_driver_path(spark):
+    df = _plane(spark, noise=0.5)
+    coef, stats = fit_ridge(df, ["x1", "x2"], "y", l2=7.0)
+    row = ridge_coefficients_df(df, ["x1", "x2"], "y", l2=7.0).first()
+    assert [row["b0"], row["b1"], row["b2"]] == pytest.approx(coef)
+    assert row["rmse"] == pytest.approx(stats["rmse"])
+    assert row["r2"] == pytest.approx(stats["r2"])
+    assert row["n"] == 40
+
+
+def test_declarative_ridge_rejects_wrong_arity(spark):
+    with pytest.raises(ValueError):
+        ridge_coefficients_df(_plane(spark), ["x1"], "y")
+
+
+def test_three_feature_fallback_matches_numpy(spark):
+    # p=3 exercises the numpy solve branch; exact plane again.
+    rows = []
+    for i in range(30):
+        x1, x2, x3 = float(i % 5), float((i * 2) % 7), float(i % 3)
+        rows.append((x1, x2, x3, 4.0 - x1 + 0.5 * x2 + 2.0 * x3))
+    df = spark.createDataFrame(
+        rows, "x1 double, x2 double, x3 double, y double"
+    )
+    coef, stats = fit_ridge(df, ["x1", "x2", "x3"], "y", l2=0.0)
+    assert coef == pytest.approx([4.0, -1.0, 0.5, 2.0], abs=1e-8)
+    assert stats["rmse"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_residual_summary_perfect_fit_and_bias(spark):
+    df = _plane(spark, noise=0.0).withColumn("g", F.lit("all"))
+    r = residual_summary(
+        df, ["x1", "x2"], "y", [1.0, 2.0, -3.0], by=["g"]
+    ).first()
+    assert r["rmse"] == pytest.approx(0.0, abs=1e-9)
+    assert r["mae"] == pytest.approx(0.0, abs=1e-9)
+    # Shift the intercept by +1: every residual becomes -1.
+    r2 = residual_summary(
+        df, ["x1", "x2"], "y", [2.0, 2.0, -3.0], by=["g"]
+    ).first()
+    assert r2["bias"] == pytest.approx(-1.0)
+    assert r2["rmse"] == pytest.approx(1.0)
+
+
+def test_predict_expr_is_literal_projection(spark):
+    df = _plane(spark)
+    plan = df.select(
+        predict_expr(["x1", "x2"], [1.0, 2.0, -3.0]).alias("p")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure narrow codegen projection
