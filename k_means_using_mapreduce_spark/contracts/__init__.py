@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import (
     assoc_queries,
+    attribution_queries,
     bloom_queries,
     budget_queries,
     calibration_queries,
@@ -73,6 +74,7 @@ from . import (
 
 _MODULES = [
     kmeans_queries,
+    attribution_queries,
     regression_queries,
     assoc_queries,
     bloom_queries,

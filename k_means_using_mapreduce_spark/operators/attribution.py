@@ -1,0 +1,145 @@
+"""Multi-touch marketing attribution over an event log.
+
+The conversion-credit layer on top of the temporal toolkit
+(temporal.py sessionizes, this module answers "which channel gets
+credit for the purchase"): every conversion event is joined to the
+touch events that preceded it within a lookback window, and each
+(conversion, touch) pair is scored under the five standard
+attribution models in ONE window pass:
+
+- ``last_touch`` / ``first_touch``: all credit to the latest /
+  earliest touch;
+- ``linear``: 1/k to each of the k touches;
+- ``time_decay``: exponential half-life weights ``2^(−Δt/halflife)``
+  normalized per conversion;
+- ``position``: U-shaped 40/20/40 (first 0.4, last 0.4, middle
+  touches share 0.2; degenerate k=1 → 1.0, k=2 → 0.5/0.5).
+
+Each model's credits sum to exactly 1.0 per touched conversion, so a
+channel report under any model sums to the number of touched
+conversions — a useful invariant the tests pin.
+
+Scale shape: the only join is the user-key equi-join between the
+conversion slice and the touch slice of the SAME relation — both
+sides shuffle once on ``user_id`` and the time predicate is applied
+inside the join (no row amplification beyond true pairs). Per-user
+pair fan-out is bounded by touch density × lookback; for adversarial
+heavy users, pre-bucket by (user, day) with
+``temporal.interval_bucket_join``'s bucket trick. The scoring windows
+partition by conversion id (cardinality = conversions, never total
+events), and the final report is a map-side-combinable aggregation on
+the low-cardinality channel key.
+
+Reference scope note: the reference engine (master.py:27-150) is
+K-Means only; attribution is extension scope per the build brief.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+DAY_NS = 24 * 3_600 * 1_000_000_000
+
+
+def touch_conversion_pairs(
+    events: DataFrame,
+    conv_type: str,
+    touch_types: Sequence[str],
+    channel: Column,
+    lookback_ns: int = 7 * DAY_NS,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(conversion, touch) pairs within the lookback window.
+
+    Returns ``(conv_id, conv_ts, touch_id, touch_ts, channel, rn, k)``
+    where ``rn`` is the touch's 1-based position in the conversion's
+    path (ordered by time, event-id tie-break — deterministic under
+    retries) and ``k`` the path length. Touches strictly BEFORE the
+    conversion only; ``ts_col`` must be bigint epoch-nanos (the
+    engine's canonical event time, sources/loaders.py:48).
+    """
+    conv = events.where(F.col("event_type") == conv_type).select(
+        F.col(user_col).alias("_u"),
+        F.col(id_col).alias("conv_id"),
+        F.col(ts_col).alias("conv_ts"),
+    )
+    touch = events.where(
+        F.col("event_type").isin(list(touch_types))
+    ).select(
+        F.col(user_col).alias("_u"),
+        F.col(id_col).alias("touch_id"),
+        F.col(ts_col).alias("touch_ts"),
+        channel.alias("channel"),
+    )
+    pairs = conv.join(touch, on="_u").where(
+        (F.col("touch_ts") < F.col("conv_ts"))
+        & (F.col("touch_ts") >= F.col("conv_ts") - F.lit(lookback_ns))
+    )
+    w = Window.partitionBy("conv_id").orderBy("touch_ts", "touch_id")
+    wk = Window.partitionBy("conv_id")
+    return pairs.select(
+        "conv_id",
+        "conv_ts",
+        "touch_id",
+        "touch_ts",
+        "channel",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wk).alias("k"),
+    )
+
+
+def attribution_credits(
+    pairs: DataFrame, halflife_ns: int = DAY_NS
+) -> DataFrame:
+    """Adds the five per-model credit columns to a
+    ``touch_conversion_pairs`` result. Pure window/codegen arithmetic;
+    every model's credits sum to 1.0 within each conversion."""
+    k = F.col("k").cast("double")
+    rn = F.col("rn")
+    last = F.when(rn == F.col("k"), 1.0).otherwise(0.0)
+    first = F.when(rn == 1, 1.0).otherwise(0.0)
+    linear = F.lit(1.0) / k
+    wdecay = F.pow(
+        F.lit(2.0),
+        -(F.col("conv_ts") - F.col("touch_ts")).cast("double")
+        / F.lit(float(halflife_ns)),
+    )
+    wsum = F.sum(wdecay).over(Window.partitionBy("conv_id"))
+    position = (
+        F.when(F.col("k") == 1, 1.0)
+        .when(F.col("k") == 2, 0.5)
+        .when((rn == 1) | (rn == F.col("k")), 0.4)
+        .otherwise(F.lit(0.2) / (k - 2.0))
+    )
+    return pairs.select(
+        "*",
+        last.alias("last_touch"),
+        first.alias("first_touch"),
+        linear.alias("linear"),
+        (wdecay / wsum).alias("time_decay"),
+        position.alias("position"),
+    )
+
+
+def attribution_report(credits: DataFrame) -> DataFrame:
+    """Per-channel credit totals:
+    ``(channel, conversions, touches, last_touch, first_touch,
+    linear, time_decay, position)`` — ``conversions`` counts distinct
+    conversions the channel participated in; the credit columns are
+    fractional-conversion totals under each model."""
+    return credits.groupBy("channel").agg(
+        F.countDistinct("conv_id").alias("conversions"),
+        F.count(F.lit(1)).alias("touches"),
+        F.sum("last_touch").alias("last_touch"),
+        F.sum("first_touch").alias("first_touch"),
+        F.sum("linear").alias("linear"),
+        F.sum("time_decay").alias("time_decay"),
+        F.sum("position").alias("position"),
+    )
