@@ -614,3 +614,68 @@ SELECT key, bucket_us, value, is_carried FROM filled WHERE value IS NOT NULL
 
 QUERIES["hourly_locf_events"] = hourly_locf_events
 ORACLE_SQL["hourly_locf_events"] = LOCF_SQL
+
+
+def forecast_backtest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive (24 h season) backtest of the last 48 hourly
+    buckets per event type: MAE/RMSE/sMAPE/MASE entirely as window +
+    conditional-aggregation programs over the dense grid."""
+    from ..operators.timeseries import forecast_backtest
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", ns_to_timestamp("ts")
+    )
+    return forecast_backtest(
+        ev, ts_col="ts", key_col="event_type", unit="hour",
+        season=24, holdout=48,
+    )
+
+
+FORECAST_BACKTEST_SQL = f"""
+WITH counts AS (
+  SELECT event_type AS key,
+         epoch_us(ts) - epoch_us(ts) % {_HOUR_US} AS bucket_us,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(bucket_us) AS lo, max(bucket_us) AS hi FROM counts),
+keys AS (SELECT DISTINCT event_type AS key FROM events),
+grid AS (
+  SELECT key, unnest(range(lo, hi + {_HOUR_US}, {_HOUR_US})) AS bucket_us
+  FROM keys, bounds
+),
+dense AS (
+  SELECT g.key, g.bucket_us, CAST(coalesce(c.n, 0) AS DOUBLE) AS y
+  FROM grid g LEFT JOIN counts c USING (key, bucket_us)
+),
+lagged AS (
+  SELECT key, y,
+         lag(y, 24) OVER w AS f,
+         row_number() OVER w AS idx,
+         count(*) OVER (PARTITION BY key) AS t_max
+  FROM dense
+  WINDOW w AS (PARTITION BY key ORDER BY bucket_us)
+),
+terms AS (
+  SELECT key,
+         idx > t_max - 48 AS is_eval,
+         idx <= t_max - 48 AND f IS NOT NULL AS is_train,
+         y - f AS err,
+         abs(f) + abs(y) AS den
+  FROM lagged
+)
+SELECT key,
+  CAST(sum(CASE WHEN is_eval THEN 1 ELSE 0 END) AS BIGINT) AS h,
+  avg(CASE WHEN is_eval THEN abs(err) END) AS mae,
+  sqrt(avg(CASE WHEN is_eval THEN err * err END)) AS rmse,
+  avg(CASE WHEN is_eval THEN
+        (CASE WHEN den = 0 THEN 0.0 ELSE 2.0 * abs(err) / den END)
+      END) AS smape,
+  avg(CASE WHEN is_eval THEN abs(err) END)
+    / nullif(avg(CASE WHEN is_train THEN abs(err) END), 0.0) AS mase
+FROM terms
+GROUP BY key
+"""
+
+QUERIES["forecast_backtest_events"] = forecast_backtest_events
+ORACLE_SQL["forecast_backtest_events"] = FORECAST_BACKTEST_SQL

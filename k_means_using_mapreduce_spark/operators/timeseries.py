@@ -588,3 +588,73 @@ def resample_locf(
         F.when(F.col("_v").isNull(), 1).otherwise(0).alias("is_carried"),
     )
     return filled.where(F.col("value").isNotNull())
+
+
+def forecast_backtest(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    unit: str = "hour",
+    season: int = 24,
+    holdout: int = 48,
+) -> DataFrame:
+    """Seasonal-naive forecast backtest per key: how predictable is
+    each series, and does seasonality help?
+
+    Builds the dense ``resample_counts`` grid, forecasts each of the
+    last ``holdout`` buckets with the value one ``season`` earlier
+    (``ŷ_t = y_{t−season}``), and scores per key:
+
+    - ``mae`` / ``rmse`` over the holdout;
+    - ``smape``: ``avg(2|ŷ−y| / (|ŷ|+|y|))`` with the 0/0 bucket
+      scored 0 (both forecast and actual zero = perfect);
+    - ``mase``: holdout MAE divided by the IN-SAMPLE seasonal-naive
+      MAE (Hyndman's scale, computed on the training prefix only) —
+      <1 beats the in-sample baseline, NULL if the training series is
+      perfectly seasonal (zero scale).
+
+    Everything after the grid is one window pass (per-key lag/
+    row-number over the dense series — series length rows per key,
+    never raw events) plus one conditional aggregation; at 100 TB the
+    cost is the ``resample_counts`` groupBy, and the backtest itself
+    runs on ``keys × buckets`` rows.
+    """
+    if season < 1 or holdout < 1:
+        raise ValueError("season and holdout must be >= 1")
+    grid = resample_counts(
+        events, ts_col=ts_col, key_col=key_col, unit=unit
+    )
+    wk = Window.partitionBy("key").orderBy("bucket")
+    wall = Window.partitionBy("key")
+    y = F.col("n").cast("double")
+    staged = grid.select(
+        "key",
+        y.alias("y"),
+        F.lag(y, season).over(wk).alias("f"),
+        F.row_number().over(wk).alias("idx"),
+    ).withColumn("t_max", F.max("idx").over(wall))
+    is_eval = F.col("idx") > F.col("t_max") - holdout
+    is_train = ~is_eval & F.col("f").isNotNull()
+    err = F.col("y") - F.col("f")
+    denom = F.abs(F.col("f")) + F.abs(F.col("y"))
+    smape_term = F.when(denom == 0, 0.0).otherwise(
+        2.0 * F.abs(err) / denom
+    )
+    agg = staged.groupBy("key").agg(
+        F.sum(F.when(is_eval, 1).otherwise(0)).cast("long").alias("h"),
+        F.avg(F.when(is_eval, F.abs(err))).alias("mae"),
+        F.sqrt(F.avg(F.when(is_eval, err * err))).alias("rmse"),
+        F.avg(F.when(is_eval, smape_term)).alias("smape"),
+        F.avg(F.when(is_train, F.abs(err))).alias("_scale"),
+    )
+    return agg.select(
+        "key",
+        "h",
+        "mae",
+        "rmse",
+        "smape",
+        (F.col("mae") / F.nullif(F.col("_scale"), F.lit(0.0))).alias(
+            "mase"
+        ),
+    )
