@@ -385,3 +385,56 @@ FROM g
 
 QUERIES["did_value_by_cohort"] = did_value_by_cohort
 ORACLE_SQL["did_value_by_cohort"] = DID_SQL
+
+
+def mean_shift_fdr_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) Hoeffding mean-shift screen on document
+    length, BH-corrected at q=0.05 — the multiple-comparisons gate a
+    per-segment quality monitor needs."""
+    from ..operators.hypothesis import fdr_bh, hoeffding_mean_shift_p
+
+    docs = load_table(spark, sf_dir, "documents")
+    screened = hoeffding_mean_shift_p(
+        docs, "n_chars", by=["source", "lang"]
+    )
+    return fdr_bh(
+        screened, "p_bound", q=0.05, tie_cols=["source", "lang"]
+    )
+
+
+FDR_SQL = """
+WITH rows_ AS (
+  SELECT source, lang, CAST(n_chars AS DOUBLE) AS v
+  FROM documents WHERE n_chars IS NOT NULL
+),
+gl AS (SELECT avg(v) AS gmean, max(v) - min(v) AS r FROM rows_),
+per AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n, avg(v) AS mean_v
+  FROM rows_ GROUP BY 1, 2
+),
+scr AS (
+  SELECT source, lang, n, mean_v,
+    least(1.0, 2.0 * exp(
+      -2.0 * n * (abs(mean_v - gmean) * abs(mean_v - gmean))
+        / nullif(r * r, 0.0))) AS p_bound
+  FROM per CROSS JOIN gl
+),
+ranked AS (
+  SELECT *,
+    row_number() OVER (ORDER BY p_bound, source, lang) AS rank,
+    CAST(count(*) OVER () AS DOUBLE) AS m
+  FROM scr
+),
+adj AS (
+  SELECT source, lang, n, mean_v, p_bound, rank,
+    least(1.0, min(p_bound * m / rank)
+      OVER (ORDER BY rank
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS p_adj
+  FROM ranked
+)
+SELECT *, CASE WHEN p_adj <= 0.05 THEN 1 ELSE 0 END AS rejected
+FROM adj
+"""
+
+QUERIES["mean_shift_fdr_documents"] = mean_shift_fdr_documents
+ORACLE_SQL["mean_shift_fdr_documents"] = FDR_SQL

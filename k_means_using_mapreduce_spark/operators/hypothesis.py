@@ -27,6 +27,8 @@ statistics surface; extension scope per the build brief.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -424,4 +426,106 @@ def diff_in_diff(
         did.alias("did"),
         se.alias("se"),
         (did / se).alias("z"),
+    )
+
+
+def fdr_bh(
+    df: DataFrame,
+    p_col: str,
+    q: float = 0.05,
+    *,
+    tie_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Benjamini–Hochberg FDR correction over a table of hypotheses.
+
+    Input: one row per hypothesis with a p-value column (NULL p-values
+    are dropped — they carry no evidence). Adds:
+
+    - ``rank``: 1-based position in the p-ascending order
+      (``tie_cols`` break ties deterministically);
+    - ``p_adj``: the BH q-value ``min(1, min_{k≥i} p_(k)·m/k)`` via a
+      reverse running minimum — monotone, tie-stable (equal p ⇒ equal
+      ``p_adj`` regardless of tie order);
+    - ``rejected``: ``p_adj ≤ q``, exactly the classic BH step-up
+      rejection set.
+
+    The ordering window runs over HYPOTHESES (already-aggregated
+    groups), not raw rows — m is small by construction, so the single
+    unpartitioned sort is a few thousand rows even when the underlying
+    corpus is 100 TB. Pair with any per-group test in this module or a
+    bound-based screen (e.g. Hoeffding) to control the false-discovery
+    rate across many simultaneous group comparisons.
+    """
+    if not 0.0 < q < 1.0:
+        raise ValueError(f"q must be in (0, 1), got {q}")
+    rows = df.where(F.col(p_col).isNotNull())
+    order = [F.col(p_col).asc()] + [F.col(c) for c in tie_cols]
+    w_rank = Window.orderBy(*order)
+    m = F.count(F.lit(1)).over(
+        Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    ranked = rows.select(
+        "*",
+        F.row_number().over(w_rank).alias("rank"),
+        m.cast("double").alias("_m"),
+    )
+    w_tail = Window.orderBy(F.col("rank")).rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    padj = F.least(
+        F.lit(1.0),
+        F.min(
+            F.col(p_col) * F.col("_m") / F.col("rank").cast("double")
+        ).over(w_tail),
+    )
+    return ranked.select(
+        *[c for c in ranked.columns if c != "_m"],
+        padj.alias("p_adj"),
+    ).withColumn("rejected", (F.col("p_adj") <= F.lit(q)).cast("int"))
+
+
+def hoeffding_mean_shift_p(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str],
+) -> DataFrame:
+    """Distribution-free per-group mean-shift screen: for each group,
+    the Hoeffding bound ``p ≤ min(1, 2·exp(−2·n·t²/R²))`` on observing
+    the group mean ``t = |mean_g − mean_global|`` away from the global
+    mean of a variable bounded in a range of width ``R``.
+
+    A conservative BOUND, not an exact p-value (documented as such) —
+    but fully deterministic, assumption-free, and exactly SQL-
+    reproducible, which is what a data-quality gate wants. Output:
+    ``(by..., n, mean_v, p_bound)``; feed straight into ``fdr_bh``.
+    One aggregation per side + a 1-row broadcast join.
+    """
+    v = F.col(value_col).cast("double")
+    rows = df.where(v.isNotNull())
+    glob = rows.agg(
+        F.avg(v).alias("_gmean"),
+        (F.max(v) - F.min(v)).alias("_range"),
+    )
+    per = rows.groupBy(*[F.col(c) for c in by]).agg(
+        F.count(F.lit(1)).alias("n"), F.avg(v).alias("mean_v")
+    )
+    t = F.abs(F.col("mean_v") - F.col("_gmean"))
+    p = F.least(
+        F.lit(1.0),
+        2.0
+        * F.exp(
+            -2.0
+            * F.col("n").cast("double")
+            * t
+            * t
+            / F.nullif(F.col("_range") * F.col("_range"), F.lit(0.0))
+        ),
+    )
+    return per.crossJoin(F.broadcast(glob)).select(
+        *[F.col(c) for c in by],
+        F.col("n"),
+        F.col("mean_v"),
+        p.alias("p_bound"),
     )
