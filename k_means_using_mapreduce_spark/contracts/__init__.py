@@ -19,6 +19,7 @@ from . import (
     budget_queries,
     calibration_queries,
     card_queries,
+    causal_queries,
     cleaning_queries,
     clseval_queries,
     coreset_queries,
@@ -74,6 +75,7 @@ from . import (
 
 _MODULES = [
     kmeans_queries,
+    causal_queries,
     attribution_queries,
     regression_queries,
     assoc_queries,

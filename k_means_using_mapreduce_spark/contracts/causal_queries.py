@@ -1,0 +1,65 @@
+"""Causal contracts (operators/causal.py): effect of a deep discount
+(≥5%) on ordered quantity, deconfounded by (returnflag, ship-month)
+strata — naive vs Hájek-IPW vs direct standardization."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.loaders import load_table
+
+
+def discount_quantity_ipw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.causal import ipw_ate
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_month", F.month("l_shipdate")
+    )
+    return ipw_ate(
+        li,
+        F.col("l_discount") >= 0.05,
+        "l_quantity",
+        strata=["l_returnflag", "ship_month"],
+        trim=(0.02, 0.98),
+    )
+
+
+IPW_SQL = """
+WITH rows_ AS (
+  SELECT CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS t,
+         CAST(l_quantity AS DOUBLE) AS y,
+         l_returnflag AS s1, month(l_shipdate) AS s2
+  FROM lineitem WHERE l_quantity IS NOT NULL
+),
+per AS (
+  SELECT s1, s2, count(*) AS n, CAST(sum(t) AS BIGINT) AS n1,
+         sum(CASE WHEN t = 1 THEN y END) AS sy1,
+         sum(CASE WHEN t = 0 THEN y END) AS sy0
+  FROM rows_ GROUP BY 1, 2
+),
+w AS (
+  SELECT n, n1,
+    least(0.98, greatest(0.02, CAST(n1 AS DOUBLE) / n)) AS p,
+    CAST(n AS DOUBLE) AS nd, CAST(n1 AS DOUBLE) AS n1d,
+    coalesce(sy1, 0.0) AS y1, coalesce(sy0, 0.0) AS y0,
+    (n1 > 0 AND n1 < n) AS bth, sy1, sy0
+  FROM per
+)
+SELECT CAST(sum(n) AS BIGINT) AS n,
+  CAST(sum(n1) AS BIGINT) AS n_treated,
+  sum(y1) / nullif(sum(n1d), 0.0)
+    - sum(y0) / nullif(sum(nd - n1d), 0.0) AS naive_diff,
+  sum(y1 / p) / nullif(sum(n1d / p), 0.0)
+    - sum(y0 / (1.0 - p)) / nullif(sum((nd - n1d) / (1.0 - p)), 0.0)
+    AS ate_ipw,
+  sum(CASE WHEN bth
+        THEN nd * (sy1 / n1d - sy0 / (nd - n1d)) END)
+    / nullif(sum(CASE WHEN bth THEN nd END), 0.0) AS ate_strat,
+  CAST(sum(CASE WHEN bth THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_strata_used
+FROM w
+"""
+
+QUERIES = {"discount_quantity_ipw": discount_quantity_ipw}
+ORACLE_SQL = {"discount_quantity_ipw": IPW_SQL}

@@ -1,0 +1,141 @@
+"""Observational causal-effect estimators on aggregates.
+
+Completes the inference story started by ``hypothesis.diff_in_diff``
+(which needs a pre/post panel): when all you have is a cross-section
+with confounding, the standard playbook is (1) stratify on the
+confounders, (2) estimate a propensity per stratum, (3) reweight.
+Both estimators here are pure two-level aggregations — no model fit,
+no iteration — and therefore exactly SQL-reproducible:
+
+- ``propensity_table``: per-stratum treated share, trimmed away from
+  {0, 1} (the positivity guard every IPW estimate needs);
+- ``ipw_ate``: the Hájek (self-normalized) inverse-propensity ATE
+  ``Σ(t·y/p)/Σ(t/p) − Σ((1−t)·y/(1−p))/Σ((1−t)/(1−p))`` next to the
+  confounded naive difference and the direct stratification
+  (outcome-standardization) estimate over both-arm strata.
+
+Scale shape: one groupBy on the strata key (map-side combined), then
+a 1-row reduce OVER THE STRATUM AGGREGATES — the sufficient
+statistics (n, n₁, Σy per arm) make row-level weights unnecessary, so
+no join and no per-row weight column ever materializes. At 100 TB the
+cost is one scan + one small-key shuffle.
+
+Trimming note: propensities are clamped to ``[lo, hi]`` BEFORE
+weighting (Crump-style overlap enforcement); strata outside the
+clamp still contribute, at bounded weight — the standard
+bias-for-variance trade, stated rather than hidden.
+
+Reference scope note: the reference engine (master.py:27-150) is
+K-Means only; causal estimators are extension scope per the brief.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def propensity_table(
+    df: DataFrame,
+    treatment: Column,
+    strata: Sequence[str],
+    trim: tuple[float, float] = (0.02, 0.98),
+) -> DataFrame:
+    """Per-stratum propensity: ``(strata..., n, n_treated, p_raw,
+    p)`` with ``p`` trimmed into ``[trim[0], trim[1]]``. ``treatment``
+    is any boolean column expression."""
+    lo, hi = trim
+    if not 0.0 <= lo < hi <= 1.0:
+        raise ValueError(f"invalid trim bounds {trim}")
+    t = F.when(treatment, 1).otherwise(0)
+    agg = df.groupBy(*[F.col(c) for c in strata]).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(t).cast("long").alias("n_treated"),
+    )
+    p_raw = F.col("n_treated").cast("double") / F.col("n").cast("double")
+    return agg.select(
+        *[F.col(c) for c in strata],
+        "n",
+        "n_treated",
+        p_raw.alias("p_raw"),
+        F.least(F.lit(hi), F.greatest(F.lit(lo), p_raw)).alias("p"),
+    )
+
+
+def ipw_ate(
+    df: DataFrame,
+    treatment: Column,
+    outcome: str,
+    strata: Sequence[str],
+    trim: tuple[float, float] = (0.02, 0.98),
+) -> DataFrame:
+    """One-row causal readout:
+    ``(n, n_treated, naive_diff, ate_ipw, ate_strat, n_strata_used)``.
+
+    ``naive_diff`` is the confounded mean difference; ``ate_ipw`` the
+    Hájek IPW estimate under the stratum propensities; ``ate_strat``
+    the direct standardization ``Σ_s w_s (ȳ₁ₛ − ȳ₀ₛ)`` over strata
+    with BOTH arms present (weights ∝ stratum size among those
+    strata; ``n_strata_used`` counts them). Rows with NULL outcome
+    are excluded throughout.
+    """
+    y = F.col(outcome).cast("double")
+    rows = df.where(y.isNotNull())
+    t = F.when(treatment, 1).otherwise(0)
+    per = rows.groupBy(*[F.col(c) for c in strata]).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(t).cast("long").alias("n1"),
+        F.sum(F.when(treatment, y)).alias("sy1"),
+        F.sum(F.when(~treatment, y)).alias("sy0"),
+    )
+    lo, hi = trim
+    if not 0.0 <= lo < hi <= 1.0:
+        raise ValueError(f"invalid trim bounds {trim}")
+    nd = F.col("n").cast("double")
+    n1d = F.col("n1").cast("double")
+    n0d = nd - n1d
+    p = F.least(F.lit(hi), F.greatest(F.lit(lo), n1d / nd))
+    both = (F.col("n1") > 0) & (F.col("n1") < F.col("n"))
+    per = per.select(
+        "n",
+        "n1",
+        (F.coalesce(F.col("sy1"), F.lit(0.0)) / p).alias("w1y"),
+        (n1d / p).alias("w1"),
+        (F.coalesce(F.col("sy0"), F.lit(0.0)) / (1.0 - p)).alias("w0y"),
+        (n0d / (1.0 - p)).alias("w0"),
+        F.when(
+            both,
+            nd
+            * (
+                F.col("sy1") / F.nullif(n1d, F.lit(0.0))
+                - F.col("sy0") / F.nullif(n0d, F.lit(0.0))
+            ),
+        ).alias("strat_term"),
+        F.when(both, F.col("n")).otherwise(0).alias("n_used"),
+        both.cast("int").alias("is_used"),
+        F.coalesce(F.col("sy1"), F.lit(0.0)).alias("y1"),
+        F.coalesce(F.col("sy0"), F.lit(0.0)).alias("y0"),
+    )
+    out = per.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("n1").cast("long").alias("n_treated"),
+        (
+            F.sum("y1") / F.nullif(F.sum(F.col("n1").cast("double")), F.lit(0.0))
+            - F.sum("y0")
+            / F.nullif(
+                F.sum((F.col("n") - F.col("n1")).cast("double")), F.lit(0.0)
+            )
+        ).alias("naive_diff"),
+        (
+            F.sum("w1y") / F.nullif(F.sum("w1"), F.lit(0.0))
+            - F.sum("w0y") / F.nullif(F.sum("w0"), F.lit(0.0))
+        ).alias("ate_ipw"),
+        (
+            F.sum("strat_term")
+            / F.nullif(F.sum(F.col("n_used").cast("double")), F.lit(0.0))
+        ).alias("ate_strat"),
+        F.sum("is_used").cast("long").alias("n_strata_used"),
+    )
+    return out

@@ -1,0 +1,72 @@
+"""operators/causal.py: a hand-built confounded design where the
+naive difference is badly biased but both IPW and stratification
+recover the true effect exactly."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from k_means_using_mapreduce_spark.operators.causal import (
+    ipw_ate,
+    propensity_table,
+)
+
+
+def _confounded(spark):
+    # Stratum A (base outcome 10): 8 treated, 2 control.
+    # Stratum B (base outcome 0):  2 treated, 8 control.
+    # True uniform effect +1. Naive diff = 9 - 2 = 7 (confounded).
+    rows = []
+    rows += [("A", 1, 11.0)] * 8 + [("A", 0, 10.0)] * 2
+    rows += [("B", 1, 1.0)] * 2 + [("B", 0, 0.0)] * 8
+    return spark.createDataFrame(rows, "s string, t int, y double")
+
+
+def test_ipw_and_strat_deconfound_exactly(spark):
+    r = ipw_ate(
+        _confounded(spark), F.col("t") == 1, "y", strata=["s"]
+    ).first()
+    assert r["n"] == 20 and r["n_treated"] == 10
+    assert r["naive_diff"] == pytest.approx(7.0)
+    assert r["ate_ipw"] == pytest.approx(1.0)
+    assert r["ate_strat"] == pytest.approx(1.0)
+    assert r["n_strata_used"] == 2
+
+
+def test_single_arm_stratum_excluded_from_strat(spark):
+    df = _confounded(spark).unionAll(
+        spark.createDataFrame([("C", 1, 100.0)] * 5, "s string, t int, y double")
+    )
+    r = ipw_ate(df, F.col("t") == 1, "y", strata=["s"]).first()
+    # stratification skips the all-treated stratum C entirely...
+    assert r["ate_strat"] == pytest.approx(1.0)
+    assert r["n_strata_used"] == 2
+    # ...while IPW clamps its propensity to 0.98 and keeps it (the
+    # documented trade), so the estimate moves off 1.0.
+    assert r["ate_ipw"] != pytest.approx(1.0)
+
+
+def test_propensity_table_trimming(spark):
+    pt = {
+        r["s"]: r
+        for r in propensity_table(
+            _confounded(spark), F.col("t") == 1, ["s"], trim=(0.3, 0.7)
+        ).collect()
+    }
+    assert pt["A"]["p_raw"] == pytest.approx(0.8)
+    assert pt["A"]["p"] == pytest.approx(0.7)  # clamped
+    assert pt["B"]["p"] == pytest.approx(0.3)
+    assert pt["A"]["n"] == 10 and pt["A"]["n_treated"] == 8
+
+
+def test_null_outcome_rows_dropped_and_trim_validated(spark):
+    df = _confounded(spark).unionAll(
+        spark.createDataFrame([("A", 1, None)], "s string, t int, y double")
+    )
+    r = ipw_ate(df, F.col("t") == 1, "y", strata=["s"]).first()
+    assert r["n"] == 20  # NULL outcome row excluded
+    with pytest.raises(ValueError):
+        ipw_ate(df, F.col("t") == 1, "y", ["s"], trim=(0.5, 0.5))
+    with pytest.raises(ValueError):
+        propensity_table(df, F.col("t") == 1, ["s"], trim=(-0.1, 0.9))
