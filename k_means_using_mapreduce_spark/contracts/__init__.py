@@ -32,6 +32,7 @@ from . import (
     graph_queries,
     hypothesis_queries,
     index_queries,
+    ivm_queries,
     kmeans_queries,
     line_queries,
     lm_queries,
@@ -75,6 +76,7 @@ from . import (
 
 _MODULES = [
     kmeans_queries,
+    ivm_queries,
     causal_queries,
     attribution_queries,
     regression_queries,
