@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.loaders import load_table
+from ._sql_text import sql_tokens
 
 ALPHA = 10.0
 
@@ -197,3 +198,44 @@ FROM per CROSS JOIN tot
 
 QUERIES["woe_source_english"] = woe_source_english
 ORACLE_SQL["woe_source_english"] = WOE_SQL
+
+
+def hashed_features_profile_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Signed feature hashing (64 dims) of the documents corpus,
+    profiled per dimension — bucket load and sign cancellation."""
+    from ..operators.encode import hashed_corpus_profile, hashed_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hashed_corpus_profile(hashed_features(docs, "text", dims=64))
+
+
+HASHED_FEATURES_SQL = f"""
+WITH tok AS (
+  SELECT id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+  FROM (
+    SELECT doc_id AS id,
+           unnest({sql_tokens('text')}) AS t
+    FROM documents
+  )
+),
+coo AS (
+  SELECT id, CAST(h % 64 AS INTEGER) AS dim,
+         CAST(((h // 64) % 2) * 2 - 1 AS BIGINT) AS sign
+  FROM tok
+),
+feat AS (
+  SELECT id, dim, CAST(sum(sign) AS BIGINT) AS weight
+  FROM coo GROUP BY 1, 2
+)
+SELECT dim,
+  CAST(count(DISTINCT id) AS BIGINT) AS docs,
+  CAST(count(*) AS BIGINT) AS entries,
+  CAST(sum(weight) AS BIGINT) AS total_weight,
+  CAST(sum(abs(weight)) AS BIGINT) AS abs_weight
+FROM feat GROUP BY dim
+"""
+
+QUERIES["hashed_features_profile_documents"] = hashed_features_profile_documents
+ORACLE_SQL["hashed_features_profile_documents"] = HASHED_FEATURES_SQL

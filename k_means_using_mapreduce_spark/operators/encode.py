@@ -262,3 +262,66 @@ def information_value(
         F.count("*").cast("long").alias("categories"),
         F.sum("iv_term").alias("iv"),
     )
+
+
+def hashed_features(
+    df: DataFrame,
+    text_col: str,
+    dims: int = 64,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashing-trick (signed feature hashing) sparse vectors.
+
+    Weinberger-style: each token lands in bucket
+    ``md5_int60(token) % dims`` with sign ``±1`` drawn from an
+    INDEPENDENT slice of the same hash (``(h div dims) % 2``), so
+    collisions cancel in expectation — the property that makes the
+    hashed inner product an unbiased estimate. Output is the sparse
+    COO form ``(id, dim, weight)`` with ``weight = Σ signs`` over the
+    document's tokens (signed term frequency); zero-weight cells
+    (perfectly cancelled collisions) are RETAINED so nnz accounting
+    stays faithful to the token stream.
+
+    No vocabulary, no fitting, no shuffle beyond the final
+    ``(id, dim)`` groupBy — the standard featurizer for unbounded
+    token spaces at 100 TB (state is O(dims), not O(vocab)). The
+    integer division uses SQL ``div`` (int64-exact) so the Spark path
+    and the SQL oracle (``//``) agree bit-for-bit.
+    """
+    if dims < 2:
+        raise ValueError(f"dims must be >= 2, got {dims}")
+    from ..functions.text import tokens
+    from .dedup import md5_int60
+
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(text_col)).alias("tok"),
+    ).select("id", md5_int60(F.col("tok")).alias("_h"))
+    # `div` keeps the quotient on int64 — a double `/` would shave
+    # mantissa bits off the 60-bit hash before the parity check.
+    half = F.expr(f"_h div {int(dims)}")
+    sign = (F.pmod(half, F.lit(2)) * 2 - 1).cast("long")
+    return (
+        tok.select(
+            "id",
+            F.pmod(F.col("_h"), F.lit(dims)).cast("int").alias("dim"),
+            sign.alias("sign"),
+        )
+        .groupBy("id", "dim")
+        .agg(F.sum("sign").cast("long").alias("weight"))
+    )
+
+
+def hashed_corpus_profile(features: DataFrame) -> DataFrame:
+    """Corpus-level view of a ``hashed_features`` relation: per dim,
+    ``(dim, docs, entries, total_weight, abs_weight)`` — the load/
+    cancellation profile that tells you whether ``dims`` is big
+    enough (heavy \|total\| ≪ abs means healthy sign cancellation,
+    abs concentrated on few dims means raise ``dims``)."""
+    return features.groupBy("dim").agg(
+        F.countDistinct("id").cast("long").alias("docs"),
+        F.count(F.lit(1)).cast("long").alias("entries"),
+        F.sum("weight").cast("long").alias("total_weight"),
+        F.sum(F.abs(F.col("weight"))).cast("long").alias("abs_weight"),
+    )
