@@ -250,6 +250,17 @@ BENCH_QUERIES = [
     "woe_source_english",
     "logrank_user_cohorts",
     "did_value_by_cohort",
+    # round-4 session-5: regression, attribution, forecasting, FDR,
+    # causal IPW, IVM, feature hashing
+    "ols_price_trend_by_returnflag",
+    "ridge_price_model_lineitem",
+    "price_model_residuals_by_month",
+    "attribution_report_events",
+    "forecast_backtest_events",
+    "mean_shift_fdr_documents",
+    "discount_quantity_ipw",
+    "ivm_priority_revenue",
+    "hashed_features_profile_documents",
 ]
 
 KMEANS_FIT_K = 8
