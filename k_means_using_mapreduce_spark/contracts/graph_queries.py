@@ -492,3 +492,48 @@ GROUP BY 1
 
 QUERIES["user_communities"] = user_communities
 ORACLE_SQL["user_communities"] = LPA_SQL
+
+
+BFS_MAX_HOPS = 6
+
+
+def user_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distances from the lowest-id user over the co-activity
+    graph (operators/graph.py::bfs_hops) — frontier BFS with minimal
+    hop counts, 6-hop horizon."""
+    from ..operators.graph import bfs_hops
+
+    edges = _user_cooc_edges(spark, sf_dir)
+    start = edges.agg(F.min("src").alias("node"))
+    return bfs_hops(edges, start, max_hops=BFS_MAX_HOPS)
+
+
+BFS_SQL = f"""
+WITH RECURSIVE base AS (
+  SELECT DISTINCT user_id AS id,
+         epoch_ns(ts) - epoch_ns(ts) % {_MINUTE_NS} AS g1,
+         event_type AS g2
+  FROM events
+),
+ok AS (SELECT g1, g2 FROM base GROUP BY 1, 2 HAVING count(*) <= {_COOC_CAP}),
+b2 AS (SELECT base.* FROM base JOIN ok USING (g1, g2)),
+edges AS (
+  SELECT DISTINCT a.id AS src, b.id AS dst
+  FROM b2 a JOIN b2 b USING (g1, g2) WHERE a.id < b.id
+),
+es AS (
+  SELECT src AS u, dst AS v FROM edges
+  UNION SELECT dst, src FROM edges
+),
+hops(node, hop) AS (
+  SELECT min(src), 0 FROM edges
+  UNION
+  SELECT es.v, hops.hop + 1
+  FROM hops JOIN es ON es.u = hops.node
+  WHERE hops.hop < {BFS_MAX_HOPS}
+)
+SELECT node, CAST(min(hop) AS INTEGER) AS hop FROM hops GROUP BY 1
+"""
+
+QUERIES["user_bfs_hops"] = user_bfs_hops
+ORACLE_SQL["user_bfs_hops"] = BFS_SQL

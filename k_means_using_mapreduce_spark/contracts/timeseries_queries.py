@@ -679,3 +679,65 @@ GROUP BY key
 
 QUERIES["forecast_backtest_events"] = forecast_backtest_events
 ORACLE_SQL["forecast_backtest_events"] = FORECAST_BACKTEST_SQL
+
+
+def trend_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall + Theil-Sen per event-type hourly series."""
+    from ..operators.timeseries import trend_test
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", ns_to_timestamp("ts")
+    )
+    return trend_test(ev, ts_col="ts", key_col="event_type", unit="hour")
+
+
+TREND_SQL = f"""
+WITH counts AS (
+  SELECT event_type AS key,
+         epoch_us(ts) - epoch_us(ts) % {_HOUR_US} AS bucket_us,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(bucket_us) AS lo, max(bucket_us) AS hi FROM counts),
+keys AS (SELECT DISTINCT event_type AS key FROM events),
+grid AS (
+  SELECT key, unnest(range(lo, hi + {_HOUR_US}, {_HOUR_US})) AS bucket_us
+  FROM keys, bounds
+),
+dense AS (
+  SELECT g.key, g.bucket_us, CAST(coalesce(c.n, 0) AS DOUBLE) AS y
+  FROM grid g LEFT JOIN counts c USING (key, bucket_us)
+),
+idx AS (
+  SELECT key, y,
+         row_number() OVER (PARTITION BY key ORDER BY bucket_us) AS idx
+  FROM dense
+),
+pairs AS (
+  SELECT a.key, sign(b.y - a.y) AS sgn,
+         (b.y - a.y) / (b.idx - a.idx) AS slope
+  FROM idx a JOIN idx b ON a.key = b.key AND b.idx > a.idx
+),
+pa AS (
+  SELECT key, CAST(sum(sgn) AS BIGINT) AS s,
+         quantile_cont(slope, 0.5) AS sen_slope
+  FROM pairs GROUP BY 1
+),
+nk AS (SELECT key, CAST(count(*) AS BIGINT) AS n FROM idx GROUP BY 1),
+tie AS (
+  SELECT key, sum(t * (t - 1) * (2 * t + 5)) AS tie_term
+  FROM (
+    SELECT key, y, CAST(count(*) AS DOUBLE) AS t FROM idx GROUP BY 1, 2
+  ) GROUP BY 1
+)
+SELECT key, n, s,
+  (n * (n - 1.0) * (2.0 * n + 5) - tie_term) / 18.0 AS var_s,
+  (CASE WHEN s > 0 THEN s - 1.0 WHEN s < 0 THEN s + 1.0 ELSE 0.0 END)
+    / sqrt(nullif(
+        (n * (n - 1.0) * (2.0 * n + 5) - tie_term) / 18.0, 0.0)) AS z,
+  sen_slope
+FROM nk JOIN tie USING (key) JOIN pa USING (key)
+"""
+
+QUERIES["trend_test_events"] = trend_test_events
+ORACLE_SQL["trend_test_events"] = TREND_SQL

@@ -762,3 +762,58 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_hops: int = 6,
+    directed: bool = False,
+) -> DataFrame:
+    """Hop distances from a source set: frontier BFS returning
+    ``(node, hop)`` with the MINIMUM hop count per reachable node
+    (sources at hop 0), out to ``max_hops``.
+
+    ``sources`` is a one-column DataFrame of start nodes. Undirected
+    graphs (default) symmetrize the edge list once up front. Each
+    round expands the current frontier through one edge join, anti-
+    joins everything already visited (so a node is settled at its
+    FIRST discovery — the BFS invariant that makes ``hop`` minimal),
+    and localCheckpoints the visited set to keep the lineage flat —
+    the same flat-iteration doctrine as ``pagerank``/``k_core_edges``.
+
+    Scale: each round shuffles frontier∪visited keyed by node id —
+    rounds are bounded (``max_hops``, with early exit on an empty
+    frontier), and the per-round cost is one equi-join + one
+    left-anti join, both on the node key. Six rounds reach ~everything
+    in small-world graphs; raise ``max_hops`` for meshes.
+    """
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    e = edges.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+    )
+    if not directed:
+        e = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    e = e.distinct()
+    src = sources.toDF("node").distinct()
+    visited = src.select("node", F.lit(0).alias("hop")).localCheckpoint()
+    frontier = visited.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionAll(
+            nxt.select("node", F.lit(h).alias("hop"))
+        ).localCheckpoint()
+        frontier = nxt
+    return visited

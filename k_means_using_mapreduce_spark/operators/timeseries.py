@@ -658,3 +658,87 @@ def forecast_backtest(
             "mase"
         ),
     )
+
+
+def trend_test(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    unit: str = "hour",
+) -> DataFrame:
+    """Mann–Kendall monotone-trend test + Theil–Sen slope per key.
+
+    Over the dense ``resample_counts`` grid, all ``T·(T−1)/2`` ordered
+    bucket pairs per key contribute ``sign(y_j − y_i)`` to the MK
+    statistic S and ``(y_j − y_i)/(j − i)`` to the Sen slope (median of
+    pairwise slopes — the robust trend magnitude). Output per key:
+    ``(key, n, s, var_s, z, sen_slope)`` with the tie-corrected
+    variance ``[n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18`` and the
+    continuity-corrected z (0 when S = 0, NULL when var_s = 0 —
+    a constant series carries no trend evidence).
+
+    Scale: the pairwise self-join is O(keys × T²) on GRID rows
+    (T = series length, corpus-independent — 30 days hourly is
+    ~260 k pairs/key); raw events are touched once by the resample
+    groupBy. Keys partition the join, so it is embarrassingly
+    parallel across series.
+    """
+    grid = resample_counts(events, ts_col=ts_col, key_col=key_col, unit=unit)
+    wk = Window.partitionBy("key").orderBy("bucket")
+    g = grid.select(
+        "key",
+        F.col("n").cast("double").alias("y"),
+        F.row_number().over(wk).alias("idx"),
+    )
+    a = g.alias("a")
+    b = g.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.key") == F.col("b.key"))
+        & (F.col("b.idx") > F.col("a.idx")),
+    ).select(
+        F.col("a.key").alias("key"),
+        F.signum(F.col("b.y") - F.col("a.y")).alias("sgn"),
+        (
+            (F.col("b.y") - F.col("a.y"))
+            / (F.col("b.idx") - F.col("a.idx")).cast("double")
+        ).alias("slope"),
+    )
+    pair_agg = pairs.groupBy("key").agg(
+        F.sum("sgn").cast("long").alias("s"),
+        F.percentile(F.col("slope"), F.lit(0.5)).alias("sen_slope"),
+    )
+    nk = g.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        g.groupBy("key", "y")
+        .agg(F.count(F.lit(1)).cast("double").alias("t"))
+        .groupBy("key")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_term")
+        )
+    )
+    nd = F.col("n").cast("double")
+    var_s = (
+        nd * (nd - 1) * (2 * nd + 5) - F.col("tie_term")
+    ) / 18.0
+    sd = F.col("s").cast("double")
+    z = (
+        F.when(F.col("s") > 0, (sd - 1))
+        .when(F.col("s") < 0, (sd + 1))
+        .otherwise(F.lit(0.0))
+    ) / F.sqrt(F.nullif(var_s, F.lit(0.0)))
+    return (
+        nk.join(ties, "key")
+        .join(pair_agg, "key")
+        .select(
+            "key",
+            "n",
+            "s",
+            var_s.alias("var_s"),
+            z.alias("z"),
+            "sen_slope",
+        )
+    )
