@@ -741,3 +741,90 @@ FROM nk JOIN tie USING (key) JOIN pa USING (key)
 
 QUERIES["trend_test_events"] = trend_test_events
 ORACLE_SQL["trend_test_events"] = TREND_SQL
+
+
+def seasonal_strength_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FPP trend/seasonal strength + peak hour per event type from the
+    classical 2x24 moving-average decomposition."""
+    from ..operators.timeseries import seasonal_strength
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", ns_to_timestamp("ts")
+    )
+    return seasonal_strength(
+        ev, ts_col="ts", key_col="event_type", unit="hour", season=24
+    )
+
+
+SEASONAL_SQL = f"""
+WITH counts AS (
+  SELECT event_type AS key,
+         epoch_us(ts) - epoch_us(ts) % {_HOUR_US} AS bucket_us,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(bucket_us) AS lo, max(bucket_us) AS hi FROM counts),
+keys AS (SELECT DISTINCT event_type AS key FROM events),
+grid AS (
+  SELECT key, unnest(range(lo, hi + {_HOUR_US}, {_HOUR_US})) AS bucket_us
+  FROM keys, bounds
+),
+dense AS (
+  SELECT g.key, g.bucket_us, CAST(coalesce(c.n, 0) AS DOUBLE) AS y
+  FROM grid g LEFT JOIN counts c USING (key, bucket_us)
+),
+st AS (
+  SELECT key, y,
+         row_number() OVER w AS idx,
+         sum(y) OVER wf AS wsum,
+         count(*) OVER wf AS wn,
+         lag(y, 12) OVER w AS plo,
+         lead(y, 12) OVER w AS phi
+  FROM dense
+  WINDOW w AS (PARTITION BY key ORDER BY bucket_us),
+         wf AS (PARTITION BY key ORDER BY bucket_us
+                ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+),
+det AS (
+  SELECT key, y, CAST((idx - 1) % 24 AS INTEGER) AS pos,
+         y - (CASE WHEN wn = 25
+                   THEN (wsum - 0.5 * plo - 0.5 * phi) / 24.0 END) AS d
+  FROM st
+),
+seas AS (
+  SELECT key, pos, avg(d) AS s_raw
+  FROM det WHERE d IS NOT NULL GROUP BY 1, 2
+),
+seasc AS (
+  SELECT key, pos,
+         s_raw - avg(s_raw) OVER (PARTITION BY key) AS s
+  FROM seas
+),
+interior AS (
+  SELECT det.key, det.y, det.d, seasc.s
+  FROM det JOIN seasc ON det.key = seasc.key AND det.pos = seasc.pos
+  WHERE det.d IS NOT NULL
+),
+stats AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS n_interior,
+         var_pop(d - s) AS vr, var_pop(d) AS vd, var_pop(y - s) AS vys
+  FROM interior GROUP BY 1
+),
+peak AS (
+  SELECT key, pos AS peak_pos FROM (
+    SELECT key, pos,
+           row_number() OVER (PARTITION BY key ORDER BY s DESC, pos) AS rn
+    FROM seasc
+  ) WHERE rn = 1
+)
+SELECT key, n_interior,
+  CASE WHEN vys > 0
+       THEN greatest(0.0, 1.0 - vr / vys) END AS trend_strength,
+  CASE WHEN vd > 0
+       THEN greatest(0.0, 1.0 - vr / vd) END AS seasonal_strength,
+  peak_pos
+FROM stats JOIN peak USING (key)
+"""
+
+QUERIES["seasonal_strength_events"] = seasonal_strength_events
+ORACLE_SQL["seasonal_strength_events"] = SEASONAL_SQL

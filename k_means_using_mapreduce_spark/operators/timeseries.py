@@ -742,3 +742,104 @@ def trend_test(
             "sen_slope",
         )
     )
+
+
+def seasonal_strength(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    unit: str = "hour",
+    season: int = 24,
+) -> DataFrame:
+    """Classical decomposition strength summary per key (Hyndman/
+    Athanasopoulos FPP measures).
+
+    Over the dense grid: trend = centered 2×m moving average
+    (``(Σ_{−m/2..m/2} y − ½y_{−m/2} − ½y_{+m/2})/m``, defined only
+    where the full window exists), seasonal = per-position mean of the
+    detrended series re-centered to zero, remainder = detrended −
+    seasonal. Reports per key:
+
+    - ``trend_strength``   = max(0, 1 − var(R)/var(y − S)),
+    - ``seasonal_strength`` = max(0, 1 − var(R)/var(detrended)),
+    - ``peak_pos``: the season position (e.g. hour-of-day) with the
+      largest seasonal index (min position on ties — deterministic).
+
+    Population variances over the interior rows (where the centered
+    trend exists) on both engines. ``season`` must be even (the 2×m
+    centering assumes it; hourly/daily/weekly grids all are).
+
+    Scale: everything runs on grid rows (keys × buckets); the only
+    additions over ``forecast_backtest`` are one frame-sum window and
+    one (key, position) groupBy — corpus-independent.
+    """
+    if season < 2 or season % 2 != 0:
+        raise ValueError(f"season must be even and >= 2, got {season}")
+    half = season // 2
+    grid = resample_counts(events, ts_col=ts_col, key_col=key_col, unit=unit)
+    wk = Window.partitionBy("key").orderBy("bucket")
+    wfr = wk.rowsBetween(-half, half)
+    y = F.col("n").cast("double")
+    staged = grid.select(
+        "key",
+        y.alias("y"),
+        F.row_number().over(wk).alias("idx"),
+        F.sum(y).over(wfr).alias("_wsum"),
+        F.count(F.lit(1)).over(wfr).alias("_wn"),
+        F.lag(y, half).over(wk).alias("_lo"),
+        F.lead(y, half).over(wk).alias("_hi"),
+    )
+    trend = F.when(
+        F.col("_wn") == season + 1,
+        (F.col("_wsum") - 0.5 * F.col("_lo") - 0.5 * F.col("_hi"))
+        / float(season),
+    )
+    det = staged.select(
+        "key",
+        "y",
+        ((F.col("idx") - 1) % season).alias("pos"),
+        (F.col("y") - trend).alias("d"),
+    )
+    seas = (
+        det.where(F.col("d").isNotNull())
+        .groupBy("key", "pos")
+        .agg(F.avg("d").alias("s_raw"))
+    )
+    seas = seas.withColumn(
+        "s", F.col("s_raw") - F.avg("s_raw").over(Window.partitionBy("key"))
+    )
+    joined = det.join(seas.select("key", "pos", "s"), ["key", "pos"])
+    interior = joined.where(F.col("d").isNotNull())
+    r = F.col("d") - F.col("s")
+    stats = interior.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_interior"),
+        F.var_pop(r).alias("_vr"),
+        F.var_pop(F.col("d")).alias("_vd"),
+        F.var_pop(F.col("y") - F.col("s")).alias("_vys"),
+    )
+    peak = (
+        seas.groupBy("key")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("s")).alias("neg_s"), F.col("pos").alias("pos")
+                )
+            ).alias("_pk")
+        )
+        .select("key", F.col("_pk.pos").alias("peak_pos"))
+    )
+    # explicit > 0 guard: F.greatest skips NULLs, so greatest(0, NULL)
+    # would silently render the undefined 0/0 case as 0.0.
+    def _strength(vr, denom):
+        return F.when(
+            denom > 0, F.greatest(F.lit(0.0), 1.0 - vr / denom)
+        )
+
+    return stats.join(peak, "key").select(
+        "key",
+        "n_interior",
+        _strength(F.col("_vr"), F.col("_vys")).alias("trend_strength"),
+        _strength(F.col("_vr"), F.col("_vd")).alias("seasonal_strength"),
+        "peak_pos",
+    )
