@@ -141,3 +141,84 @@ LEXDIV_SQL = _lexdiv_sql()
 
 QUERIES["lexical_diversity_documents"] = lexical_diversity_documents
 ORACLE_SQL["lexical_diversity_documents"] = LEXDIV_SQL
+
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+
+
+def key_discovery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key discovery over orders profiling columns
+    (operators/quality.py::key_candidates)."""
+    from ..operators.quality import key_candidates
+    from pyspark.sql import functions as F  # noqa: F401
+
+    return key_candidates(
+        load_table(spark, sf_dir, "orders"), _PROFILE_COLS
+    )
+
+
+def _stack_sql(cols: list[str]) -> str:
+    parts = [
+        f"SELECT '{c}' AS \"column\", CAST({c} AS VARCHAR) AS value "
+        f"FROM orders WHERE {c} IS NOT NULL"
+        for c in cols
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+KEY_DISCOVERY_SQL = f"""
+WITH tot AS (SELECT count(*) AS total FROM orders),
+stacked AS (
+{_stack_sql(_PROFILE_COLS)}
+)
+SELECT "column",
+  CAST(count(*) AS BIGINT) AS n_nonnull,
+  CAST(count(DISTINCT value) AS BIGINT) AS n_distinct,
+  CASE WHEN count(DISTINCT value) = count(*)
+        AND count(*) = (SELECT total FROM tot) THEN 1 ELSE 0 END AS is_key
+FROM stacked GROUP BY 1
+"""
+
+
+def fd_discovery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact functional-dependency discovery over orders profiling
+    columns (operators/quality.py::functional_dependencies)."""
+    from ..operators.quality import functional_dependencies
+
+    return functional_dependencies(
+        load_table(spark, sf_dir, "orders"), _PROFILE_COLS
+    )
+
+
+def _fd_stack_sql(cols: list[str]) -> str:
+    parts = []
+    for a in cols:
+        for b in cols:
+            if a == b:
+                continue
+            parts.append(
+                f"SELECT '{a}' AS det, '{b}' AS dep, "
+                f"CAST({a} AS VARCHAR) AS dv, CAST({b} AS VARCHAR) AS pv "
+                f"FROM orders WHERE {a} IS NOT NULL AND {b} IS NOT NULL"
+            )
+    return "\nUNION ALL\n".join(parts)
+
+
+FD_DISCOVERY_SQL = f"""
+WITH stacked AS (
+{_fd_stack_sql(_PROFILE_COLS)}
+)
+SELECT det, dep,
+  CAST(count(DISTINCT dv) AS BIGINT) AS n_det,
+  CAST(count(DISTINCT (dv, pv)) AS BIGINT) AS n_pair,
+  CAST(count(DISTINCT (dv, pv)) - count(DISTINCT dv) AS BIGINT)
+    AS violations,
+  CASE WHEN count(DISTINCT (dv, pv)) = count(DISTINCT dv)
+       THEN 1 ELSE 0 END AS holds
+FROM stacked GROUP BY 1, 2
+"""
+
+QUERIES["key_discovery_orders"] = key_discovery_orders
+ORACLE_SQL["key_discovery_orders"] = KEY_DISCOVERY_SQL
+QUERIES["fd_discovery_orders"] = fd_discovery_orders
+ORACLE_SQL["fd_discovery_orders"] = FD_DISCOVERY_SQL

@@ -828,3 +828,73 @@ FROM stats JOIN peak USING (key)
 
 QUERIES["seasonal_strength_events"] = seasonal_strength_events
 ORACLE_SQL["seasonal_strength_events"] = SEASONAL_SQL
+
+
+def lead_lag_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongest lead-lag correlation (±6 h) between every pair of
+    event-type hourly series."""
+    from ..operators.timeseries import lead_lag_correlation
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", ns_to_timestamp("ts")
+    )
+    return lead_lag_correlation(
+        ev, ts_col="ts", key_col="event_type", unit="hour", max_lag=6
+    )
+
+
+LEAD_LAG_SQL = f"""
+WITH counts AS (
+  SELECT event_type AS key,
+         epoch_us(ts) - epoch_us(ts) % {_HOUR_US} AS bucket_us,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(bucket_us) AS lo, max(bucket_us) AS hi FROM counts),
+keys AS (SELECT DISTINCT event_type AS key FROM events),
+grid AS (
+  SELECT key, unnest(range(lo, hi + {_HOUR_US}, {_HOUR_US})) AS bucket_us
+  FROM keys, bounds
+),
+g AS (
+  SELECT gr.key,
+         row_number() OVER (PARTITION BY gr.key ORDER BY gr.bucket_us)
+           AS idx,
+         CAST(coalesce(c.n, 0) AS DOUBLE) AS y
+  FROM grid gr LEFT JOIN counts c USING (key, bucket_us)
+),
+pairs AS (
+  SELECT a.key AS key_a, b.key AS key_b, b.idx - a.idx AS lag,
+         a.y AS ya, b.y AS yb
+  FROM g a JOIN g b
+    ON a.key < b.key AND b.idx BETWEEN a.idx - 6 AND a.idx + 6
+),
+agg AS (
+  SELECT key_a, key_b, lag, count(*) AS n,
+         sum(ya) AS sa, sum(yb) AS sb, sum(ya * yb) AS sab,
+         sum(ya * ya) AS saa, sum(yb * yb) AS sbb
+  FROM pairs GROUP BY 1, 2, 3
+),
+rtab AS (
+  SELECT key_a, key_b, lag, n,
+    (n * sab - sa * sb)
+      / sqrt(nullif((n * saa - sa * sa) * (n * sbb - sb * sb), 0.0)) AS r
+  FROM agg
+),
+best AS (
+  SELECT key_a, key_b, lag AS best_lag, r AS best_r FROM (
+    SELECT *, row_number() OVER (PARTITION BY key_a, key_b
+                                 ORDER BY abs(r) DESC, lag) AS rn
+    FROM rtab WHERE r IS NOT NULL
+  ) WHERE rn = 1
+),
+zero AS (
+  SELECT key_a, key_b, r AS r0, CAST(n AS BIGINT) AS n0
+  FROM rtab WHERE lag = 0
+)
+SELECT key_a, key_b, best_lag, best_r, r0, n0
+FROM best JOIN zero USING (key_a, key_b)
+"""
+
+QUERIES["lead_lag_events"] = lead_lag_events
+ORACLE_SQL["lead_lag_events"] = LEAD_LAG_SQL

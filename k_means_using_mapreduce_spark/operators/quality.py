@@ -194,3 +194,85 @@ def lexical_diversity(
             / (n * n)
         ).alias("yule_k"),
     ).withColumnRenamed("id", id_col)
+
+
+def key_candidates(df: DataFrame, cols: "list[str]") -> DataFrame:
+    """Candidate-key discovery: per column ``(column, n_nonnull,
+    n_distinct, is_key)`` where ``is_key`` = 1 iff the column's
+    non-null values are unique across the relation (and cover it).
+
+    Implementation is ONE shuffle: each column's values are stacked
+    into a long ``(column, value)`` relation (stringified — injective
+    per column, which is all distinctness needs) and reduced with a
+    single groupBy. Exact counts; at 100 TB swap the countDistinct for
+    HLL sketches (operators/sketch.py) — same plan shape.
+    """
+    if not cols:
+        raise ValueError("key_candidates needs at least one column")
+    total = df.count()
+    stacked = None
+    for c in cols:
+        part = df.select(
+            F.lit(c).alias("column"),
+            F.col(c).cast("string").alias("value"),
+        ).where(F.col(c).isNotNull())
+        stacked = part if stacked is None else stacked.unionAll(part)
+    agg = stacked.groupBy("column").agg(
+        F.count(F.lit(1)).alias("n_nonnull"),
+        F.countDistinct("value").alias("n_distinct"),
+    )
+    return agg.select(
+        "column",
+        "n_nonnull",
+        "n_distinct",
+        (
+            (F.col("n_distinct") == F.col("n_nonnull"))
+            & (F.col("n_nonnull") == F.lit(total))
+        )
+        .cast("int")
+        .alias("is_key"),
+    )
+
+
+def functional_dependencies(
+    df: DataFrame, cols: "list[str]"
+) -> DataFrame:
+    """Exact functional-dependency discovery over a column subset:
+    for every ordered pair (det → dep), ``holds`` = 1 iff each
+    determinant value maps to exactly one dependent value, with
+    ``violations = |distinct (det, dep)| − |distinct det|`` as the
+    repair distance. Rows where either side is NULL are excluded from
+    that pair's check (NULL determines nothing).
+
+    Same single-shuffle stacking as ``key_candidates``: all pairs go
+    into one long ``(det, dep, dv, pv)`` relation and one grouped
+    aggregate — |cols|² passes collapse into one plan. Profiling
+    scope: the stack multiplies the scan by |pairs|, so prune the
+    column list (or sample) on very wide tables.
+    """
+    if len(cols) < 2:
+        raise ValueError("functional_dependencies needs >= 2 columns")
+    stacked = None
+    for a in cols:
+        for b in cols:
+            if a == b:
+                continue
+            part = df.select(
+                F.lit(a).alias("det"),
+                F.lit(b).alias("dep"),
+                F.col(a).cast("string").alias("dv"),
+                F.col(b).cast("string").alias("pv"),
+            ).where(F.col(a).isNotNull() & F.col(b).isNotNull())
+            stacked = part if stacked is None else stacked.unionAll(part)
+    agg = stacked.groupBy("det", "dep").agg(
+        F.countDistinct("dv").alias("n_det"),
+        F.countDistinct("dv", "pv").alias("n_pair"),
+    )
+    return agg.select(
+        "det",
+        "dep",
+        "n_det",
+        "n_pair",
+        (F.col("n_pair") - F.col("n_det")).alias("violations"),
+        (F.col("n_pair") == F.col("n_det")).cast("int").alias("holds"),
+    )

@@ -843,3 +843,101 @@ def seasonal_strength(
         _strength(F.col("_vr"), F.col("_vd")).alias("seasonal_strength"),
         "peak_pos",
     )
+
+
+def lead_lag_correlation(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    unit: str = "hour",
+    max_lag: int = 6,
+) -> DataFrame:
+    """Which series leads which: for every unordered key pair
+    (a < b) and every lag in ``[−max_lag, +max_lag]``, the Pearson
+    correlation of a's series against b's series shifted by ``lag``
+    buckets; reports the strongest-|r| lag per pair (ties to the
+    smaller lag — deterministic) alongside the contemporaneous r.
+
+    Output: ``(key_a, key_b, best_lag, best_r, r0, n0)`` — positive
+    ``best_lag`` means b's series correlates best with a's PAST
+    (a leads b by ``best_lag`` buckets). Pearson r is computed from
+    explicit sums with zero-variance guards (NULL, never NaN), so the
+    Spark and SQL paths agree exactly; degenerate lags are excluded
+    from the argmax.
+
+    Scale: the lag join runs on GRID rows — pairs × (2·max_lag+1) ×
+    T rows total, corpus-independent (raw events are only touched by
+    the resample groupBy). The per-(pair, lag) reduction is map-side
+    combinable; the final argmax is |pairs| rows.
+    """
+    if max_lag < 0:
+        raise ValueError(f"max_lag must be >= 0, got {max_lag}")
+    grid = resample_counts(events, ts_col=ts_col, key_col=key_col, unit=unit)
+    wk = Window.partitionBy("key").orderBy("bucket")
+    g = grid.select(
+        "key",
+        F.row_number().over(wk).alias("idx"),
+        F.col("n").cast("double").alias("y"),
+    )
+    a = g.select(
+        F.col("key").alias("key_a"),
+        F.col("idx").alias("ia"),
+        F.col("y").alias("ya"),
+    )
+    b = g.select(
+        F.col("key").alias("key_b"),
+        F.col("idx").alias("ib"),
+        F.col("y").alias("yb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("key_a") < F.col("key_b"))
+        & (F.col("ib") >= F.col("ia") - max_lag)
+        & (F.col("ib") <= F.col("ia") + max_lag),
+    ).select(
+        "key_a",
+        "key_b",
+        (F.col("ib") - F.col("ia")).alias("lag"),
+        "ya",
+        "yb",
+    )
+    agg = pairs.groupBy("key_a", "key_b", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ya").alias("sa"),
+        F.sum("yb").alias("sb"),
+        F.sum(F.col("ya") * F.col("yb")).alias("sab"),
+        F.sum(F.col("ya") * F.col("ya")).alias("saa"),
+        F.sum(F.col("yb") * F.col("yb")).alias("sbb"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sab") - F.col("sa") * F.col("sb")
+    va = nd * F.col("saa") - F.col("sa") * F.col("sa")
+    vb = nd * F.col("sbb") - F.col("sb") * F.col("sb")
+    r = num / F.sqrt(F.nullif(va * vb, F.lit(0.0)))
+    rtab = agg.select(
+        "key_a", "key_b", "lag", "n", r.alias("r")
+    )
+    best = (
+        rtab.where(F.col("r").isNotNull())
+        .groupBy("key_a", "key_b")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.abs(F.col("r"))).alias("neg_abs"),
+                    F.col("lag").alias("lag"),
+                    F.col("r").alias("r"),
+                )
+            ).alias("_b")
+        )
+        .select(
+            "key_a",
+            "key_b",
+            F.col("_b.lag").alias("best_lag"),
+            F.col("_b.r").alias("best_r"),
+        )
+    )
+    zero = rtab.where(F.col("lag") == 0).select(
+        "key_a", "key_b", F.col("r").alias("r0"), F.col("n").alias("n0")
+    )
+    return best.join(zero, ["key_a", "key_b"])
