@@ -898,3 +898,67 @@ FROM best JOIN zero USING (key_a, key_b)
 
 QUERIES["lead_lag_events"] = lead_lag_events
 ORACLE_SQL["lead_lag_events"] = LEAD_LAG_SQL
+
+
+_WEEK_NS = 7 * 24 * 3_600 * 1_000_000_000
+
+
+def growth_accounting_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting of event value per user: new /
+    expansion / contraction / churned revenue decomposition."""
+    from ..operators.timeseries import growth_accounting
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(18,6)")
+    )
+    out = growth_accounting(
+        ev, ts_col="ts", user_col="user_id", value_col="value_dec",
+        bucket_ns=_WEEK_NS,
+    )
+    money = ["total_rev", "new_rev", "expansion", "contraction",
+             "churned_rev", "net_change"]
+    return out.select(
+        "bucket_ns", "active_users",
+        *[F.col(c).cast("double").alias(c) for c in money],
+    )
+
+
+GROWTH_SQL = f"""
+WITH per AS (
+  SELECT user_id AS u,
+         epoch_ns(ts) - epoch_ns(ts) % {_WEEK_NS} AS b,
+         sum(CAST(value AS DECIMAL(18,6))) AS rev
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+shifted AS (SELECT u, b + {_WEEK_NS} AS b, rev AS prev_rev FROM per),
+j AS (
+  SELECT coalesce(c.u, s.u) AS u, coalesce(c.b, s.b) AS b,
+         coalesce(c.rev, 0) AS c, coalesce(s.prev_rev, 0) AS p
+  FROM per c FULL OUTER JOIN shifted s ON c.u = s.u AND c.b = s.b
+),
+hz AS (SELECT max(b) AS bmax FROM per),
+g AS (
+  SELECT b AS bucket_ns,
+    CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS active_users,
+    sum(c) AS total_rev,
+    sum(CASE WHEN p = 0 AND c > 0 THEN c ELSE 0 END) AS new_rev,
+    sum(CASE WHEN p > 0 AND c > p THEN c - p ELSE 0 END) AS expansion,
+    sum(CASE WHEN p > 0 AND c > 0 AND c < p THEN p - c ELSE 0 END)
+      AS contraction,
+    sum(CASE WHEN p > 0 AND c = 0 THEN p ELSE 0 END) AS churned_rev
+  FROM j, hz WHERE b <= bmax GROUP BY 1
+)
+SELECT bucket_ns, active_users,
+  CAST(total_rev AS DOUBLE) AS total_rev,
+  CAST(new_rev AS DOUBLE) AS new_rev,
+  CAST(expansion AS DOUBLE) AS expansion,
+  CAST(contraction AS DOUBLE) AS contraction,
+  CAST(churned_rev AS DOUBLE) AS churned_rev,
+  CAST(new_rev + expansion - contraction - churned_rev AS DOUBLE)
+    AS net_change
+FROM g
+"""
+
+QUERIES["growth_accounting_events"] = growth_accounting_events
+ORACLE_SQL["growth_accounting_events"] = GROWTH_SQL

@@ -941,3 +941,88 @@ def lead_lag_correlation(
         "key_a", "key_b", F.col("r").alias("r0"), F.col("n").alias("n0")
     )
     return best.join(zero, ["key_a", "key_b"])
+
+
+WEEK_NS = 7 * 24 * 3_600 * 1_000_000_000
+
+
+def growth_accounting(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    bucket_ns: int = WEEK_NS,
+) -> DataFrame:
+    """Growth accounting: period-over-period revenue change decomposed
+    into WHO drove it (the SaaS operating-review table).
+
+    Per period: ``(bucket_ns, active_users, total_rev, new_rev,
+    expansion, contraction, churned_rev, net_change)`` where a user's
+    contribution is classified against their PREVIOUS period revenue —
+    new (0 → r), expansion (r↑), contraction (r↓), churned (r → 0,
+    reported positive). The identity ``net_change = new_rev +
+    expansion − contraction − churned_rev`` holds exactly and is
+    test-pinned; resurrected users (gap ≥ 2 periods) count as new,
+    the standard simplification.
+
+    Scale shape: NO dense user×period grid — the per-(user, period)
+    revenue relation full-outer-joins its own one-period shift, so the
+    state is exactly the users active in either adjacent period (the
+    sparse-CDC trick). One groupBy + one key join + one final
+    small-key aggregate; phantom post-horizon churn is cut by a 1-row
+    max-bucket broadcast. ``ts_col`` is bigint epoch-nanos.
+    """
+    if bucket_ns <= 0:
+        raise ValueError(f"bucket_ns must be positive, got {bucket_ns}")
+    b = F.col(ts_col) - F.pmod(F.col(ts_col), F.lit(bucket_ns))
+    per = (
+        events.where(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(user_col).alias("u"), b.alias("b")
+        )
+        .agg(F.sum(F.col(value_col)).alias("rev"))
+    )
+    # value_col's type is preserved: pass a DECIMAL column for exact
+    # (order-independent) money sums — net_change subtracts close
+    # totals, where double-sum associativity flutter surfaces.
+    cur = per.select("u", "b", F.col("rev").alias("cur_rev"))
+    prv = per.select(
+        "u",
+        (F.col("b") + F.lit(bucket_ns)).alias("b"),
+        F.col("rev").alias("prev_rev"),
+    )
+    joined = cur.join(prv, ["u", "b"], "full_outer").select(
+        "u",
+        "b",
+        F.coalesce(F.col("cur_rev"), F.lit(0)).alias("c"),
+        F.coalesce(F.col("prev_rev"), F.lit(0)).alias("p"),
+    )
+    horizon = per.agg(F.max("b").alias("_bmax"))
+    joined = joined.crossJoin(F.broadcast(horizon)).where(
+        F.col("b") <= F.col("_bmax")
+    )
+    c, p = F.col("c"), F.col("p")
+    out = joined.groupBy(F.col("b").alias("bucket_ns")).agg(
+        F.sum((c > 0).cast("int")).cast("long").alias("active_users"),
+        F.sum(c).alias("total_rev"),
+        F.sum(F.when((p == 0) & (c > 0), c).otherwise(F.lit(0))).alias("new_rev"),
+        F.sum(
+            F.when((p > 0) & (c > p), c - p).otherwise(F.lit(0))
+        ).alias("expansion"),
+        F.sum(
+            F.when((p > 0) & (c > 0) & (c < p), p - c).otherwise(F.lit(0))
+        ).alias("contraction"),
+        F.sum(F.when((p > 0) & (c == 0), p).otherwise(F.lit(0))).alias(
+            "churned_rev"
+        ),
+    )
+    return out.select(
+        "*",
+        (
+            F.col("new_rev")
+            + F.col("expansion")
+            - F.col("contraction")
+            - F.col("churned_rev")
+        ).alias("net_change"),
+    )
