@@ -261,6 +261,13 @@ BENCH_QUERIES = [
     "discount_quantity_ipw",
     "ivm_priority_revenue",
     "hashed_features_profile_documents",
+    "trend_test_events",
+    "user_bfs_hops",
+    "seasonal_strength_events",
+    "lead_lag_events",
+    "key_discovery_orders",
+    "fd_discovery_orders",
+    "growth_accounting_events",
 ]
 
 KMEANS_FIT_K = 8
