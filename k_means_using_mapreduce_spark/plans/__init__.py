@@ -1,6 +1,7 @@
 from .explain import (
     broadcast_join_count,
     exchange_count,
+    executed_plan,
     formatted_plan,
     pushed_filters,
     read_schemas,
@@ -10,6 +11,7 @@ from .explain import (
 __all__ = [
     "broadcast_join_count",
     "exchange_count",
+    "executed_plan",
     "formatted_plan",
     "pushed_filters",
     "read_schemas",
