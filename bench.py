@@ -268,6 +268,7 @@ BENCH_QUERIES = [
     "key_discovery_orders",
     "fd_discovery_orders",
     "growth_accounting_events",
+    "cmh_discount_returns",
 ]
 
 KMEANS_FIT_K = 8

@@ -63,3 +63,57 @@ FROM w
 
 QUERIES = {"discount_quantity_ipw": discount_quantity_ipw}
 ORACLE_SQL = {"discount_quantity_ipw": IPW_SQL}
+
+
+def cmh_discount_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMH stratified association: deep discount vs returned flag,
+    conditioning on ship month (operators/causal.py::cmh_test)."""
+    from ..operators.causal import cmh_test
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_month", F.month("l_shipdate")
+    )
+    return cmh_test(
+        li,
+        F.col("l_discount") >= 0.05,
+        F.col("l_returnflag") == "R",
+        strata=["ship_month"],
+    )
+
+
+CMH_SQL = """
+WITH rows_ AS (
+  SELECT CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS t,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         month(l_shipdate) AS s
+  FROM lineitem
+),
+per AS (
+  SELECT s,
+    CAST(sum(t * y) AS DOUBLE) AS a,
+    CAST(sum(t * (1 - y)) AS DOUBLE) AS b,
+    CAST(sum((1 - t) * y) AS DOUBLE) AS c,
+    CAST(sum((1 - t) * (1 - y)) AS DOUBLE) AS d
+  FROM rows_ GROUP BY 1
+),
+terms AS (
+  SELECT a + b + c + d AS n, a,
+    (a + b) * (a + c) / (a + b + c + d) AS e_a,
+    coalesce(
+      (a + b) * (c + d) * (a + c) * (b + d)
+        / ((a + b + c + d) * (a + b + c + d)
+           * nullif(a + b + c + d - 1, 0.0)),
+      0.0) AS var_a,
+    a * d / (a + b + c + d) AS ad_n,
+    b * c / (a + b + c + d) AS bc_n
+  FROM per
+)
+SELECT CAST(sum(n) AS BIGINT) AS n,
+  CAST(count(*) AS BIGINT) AS n_strata,
+  sum(ad_n) / nullif(sum(bc_n), 0.0) AS or_mh,
+  sum(a - e_a) * sum(a - e_a) / nullif(sum(var_a), 0.0) AS chi2
+FROM terms
+"""
+
+QUERIES["cmh_discount_returns"] = cmh_discount_returns
+ORACLE_SQL["cmh_discount_returns"] = CMH_SQL

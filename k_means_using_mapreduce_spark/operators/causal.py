@@ -139,3 +139,63 @@ def ipw_ate(
         F.sum("is_used").cast("long").alias("n_strata_used"),
     )
     return out
+
+
+def cmh_test(
+    df: DataFrame,
+    treatment: Column,
+    outcome: Column,
+    strata: Sequence[str],
+) -> DataFrame:
+    """Cochran–Mantel–Haenszel stratified association test for two
+    binary variables: is treatment associated with outcome AFTER
+    conditioning on the strata?
+
+    One row: ``(n, n_strata, or_mh, chi2)`` with the Mantel–Haenszel
+    common odds ratio ``Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ)`` and the CMH
+    statistic ``(Σaᵢ − ΣE[aᵢ])² / ΣVar(aᵢ)`` (no continuity
+    correction — stated, so the SQL oracle is formula-identical).
+    Single-row strata (var 0) contribute nothing to either sum, the
+    standard degeneracy handling; ``or_mh`` is NULL when no stratum
+    has discordant cells (zero denominator).
+
+    The categorical sibling of ``ipw_ate``: same one-groupBy →
+    stratum-sufficient-statistics → 1-row-reduce shape, so the same
+    100 TB posture (one scan, one small-key shuffle).
+    """
+    t = F.when(treatment, 1).otherwise(0)
+    y = F.when(outcome, 1).otherwise(0)
+    per = df.groupBy(*[F.col(c) for c in strata]).agg(
+        F.sum(t * y).cast("double").alias("a"),
+        F.sum(t * (1 - y)).cast("double").alias("b"),
+        F.sum((1 - t) * y).cast("double").alias("c"),
+        F.sum((1 - t) * (1 - y)).cast("double").alias("d"),
+    )
+    a, b, c, d = F.col("a"), F.col("b"), F.col("c"), F.col("d")
+    n = a + b + c + d
+    e_a = (a + b) * (a + c) / n
+    var_a = (
+        (a + b) * (c + d) * (a + c) * (b + d)
+        / (n * n * F.nullif(n - 1, F.lit(0.0)))
+    )
+    terms = per.select(
+        n.alias("n"),
+        a.alias("a"),
+        e_a.alias("e_a"),
+        F.coalesce(var_a, F.lit(0.0)).alias("var_a"),
+        (a * d / n).alias("ad_n"),
+        (b * c / n).alias("bc_n"),
+    )
+    out = terms.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        (
+            F.sum("ad_n") / F.nullif(F.sum("bc_n"), F.lit(0.0))
+        ).alias("or_mh"),
+        (
+            (F.sum(F.col("a") - F.col("e_a")))
+            * (F.sum(F.col("a") - F.col("e_a")))
+            / F.nullif(F.sum("var_a"), F.lit(0.0))
+        ).alias("chi2"),
+    )
+    return out

@@ -70,3 +70,37 @@ def test_null_outcome_rows_dropped_and_trim_validated(spark):
         ipw_ate(df, F.col("t") == 1, "y", ["s"], trim=(0.5, 0.5))
     with pytest.raises(ValueError):
         propensity_table(df, F.col("t") == 1, ["s"], trim=(-0.1, 0.9))
+
+
+def test_cmh_hand_table(spark):
+    from k_means_using_mapreduce_spark.operators.causal import cmh_test
+
+    # one stratum, textbook 2x2: a=10 b=5 c=4 d=11 (n=30)
+    rows = (
+        [("s1", 1, 1)] * 10 + [("s1", 1, 0)] * 5
+        + [("s1", 0, 1)] * 4 + [("s1", 0, 0)] * 11
+    )
+    df = spark.createDataFrame(rows, "s string, t int, y int")
+    r = cmh_test(df, F.col("t") == 1, F.col("y") == 1, ["s"]).first()
+    assert r["n"] == 30 and r["n_strata"] == 1
+    assert r["or_mh"] == pytest.approx((10 * 11) / (5 * 4))
+    e_a = 15 * 14 / 30.0
+    var_a = 15 * 15 * 14 * 16 / (30.0 * 30 * 29)
+    assert r["chi2"] == pytest.approx((10 - e_a) ** 2 / var_a)
+
+
+def test_cmh_no_association_when_conditioned(spark):
+    from k_means_using_mapreduce_spark.operators.causal import cmh_test
+
+    # within each stratum t and y independent -> per-stratum a == E[a],
+    # chi2 exactly 0; marginally they would look associated.
+    rows = []
+    for s, p_t, p_y in (("A", 2, 2), ("B", 1, 1)):
+        for t in (0, 1):
+            for y in (0, 1):
+                cnt = (p_t if t else 1) * (p_y if y else 1) * 4
+                rows += [(s, t, y)] * cnt
+    df = spark.createDataFrame(rows, "s string, t int, y int")
+    r = cmh_test(df, F.col("t") == 1, F.col("y") == 1, ["s"]).first()
+    assert r["chi2"] == pytest.approx(0.0, abs=1e-9)
+    assert r["or_mh"] == pytest.approx(1.0)
