@@ -269,6 +269,7 @@ BENCH_QUERIES = [
     "fd_discovery_orders",
     "growth_accounting_events",
     "cmh_discount_returns",
+    "huber_price_model_lineitem",
 ]
 
 KMEANS_FIT_K = 8

@@ -175,13 +175,109 @@ GROUP BY 1
 )
 
 
+def huber_price_model_lineitem(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Huber-loss robust OLS of extendedprice on quantity (2 IRLS
+    rounds, threshold frozen at 1.345·σ₀): each round is one scan with
+    the previous coefficients folded in as codegen literals — the same
+    flat-iteration shape as the K-Means driver loop."""
+    from ..operators.regression import huber_ols
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return huber_ols(li, "l_quantity", "l_extendedprice", iters=2)
+
+
+HUBER_SQL = """
+WITH s0 AS MATERIALIZED (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         sum(l_quantity) AS sx, sum(l_extendedprice) AS sy,
+         sum(l_quantity * l_extendedprice) AS sxy,
+         sum(l_quantity * l_quantity) AS sxx,
+         sum(l_extendedprice * l_extendedprice) AS syy
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+),
+c0 AS MATERIALIZED (
+  SELECT *, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b1
+  FROM s0
+),
+d0 AS MATERIALIZED (
+  SELECT *, (sy - b1 * sx) / n AS b0 FROM c0
+),
+d AS MATERIALIZED (
+  SELECT *,
+    1.345 * sqrt(greatest(
+      syy + n * b0 * b0 + b1 * b1 * sxx + 2.0 * b0 * b1 * sx
+        - 2.0 * b0 * sy - 2.0 * b1 * sxy, 0.0) / n) AS delta
+  FROM d0
+),
+w1 AS MATERIALIZED (
+  SELECT any_value(n) AS n, any_value(sx) AS sx, any_value(sy) AS sy,
+         any_value(sxy) AS sxy, any_value(sxx) AS sxx,
+         any_value(syy) AS syy, any_value(delta) AS delta,
+         sum(w) AS sw, sum(w * x) AS swx, sum(w * y) AS swy,
+         sum(w * x * y) AS swxy, sum(w * x * x) AS swxx
+  FROM (
+    SELECT d.*, l_quantity AS x, l_extendedprice AS y,
+      CASE WHEN abs(l_extendedprice - (b0 + b1 * l_quantity)) = 0.0
+           THEN 1.0
+           ELSE least(1.0, delta
+                / abs(l_extendedprice - (b0 + b1 * l_quantity))) END AS w
+    FROM lineitem CROSS JOIN d
+    WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+  ) t
+),
+c1 AS MATERIALIZED (
+  SELECT *,
+    (sw * swxy - swx * swy) / (sw * swxx - swx * swx) AS b1
+  FROM w1
+),
+d1 AS MATERIALIZED (
+  SELECT *, (swy - b1 * swx) / sw AS b0 FROM c1
+),
+w2 AS MATERIALIZED (
+  SELECT any_value(n) AS n, any_value(sx) AS sx, any_value(sy) AS sy,
+         any_value(sxy) AS sxy, any_value(sxx) AS sxx,
+         any_value(syy) AS syy, any_value(delta) AS delta,
+         sum(w) AS sw, sum(w * x) AS swx, sum(w * y) AS swy,
+         sum(w * x * y) AS swxy, sum(w * x * x) AS swxx
+  FROM (
+    SELECT d1.*, l_quantity AS x, l_extendedprice AS y,
+      CASE WHEN abs(l_extendedprice - (b0 + b1 * l_quantity)) = 0.0
+           THEN 1.0
+           ELSE least(1.0, delta
+                / abs(l_extendedprice - (b0 + b1 * l_quantity))) END AS w
+    FROM lineitem CROSS JOIN d1
+    WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+  ) t
+),
+c2 AS MATERIALIZED (
+  SELECT *,
+    (sw * swxy - swx * swy) / (sw * swxx - swx * swx) AS b1
+  FROM w2
+),
+d2 AS MATERIALIZED (
+  SELECT *, (swy - b1 * swx) / sw AS b0 FROM c2
+)
+SELECT CAST(n AS BIGINT) AS n, b1 AS slope, b0 AS intercept, delta,
+  sw AS w_sum,
+  sqrt(greatest(
+    syy + n * b0 * b0 + b1 * b1 * sxx + 2.0 * b0 * b1 * sx
+      - 2.0 * b0 * sy - 2.0 * b1 * sxy, 0.0) / n) AS rmse
+FROM d2
+"""
+
+
 QUERIES = {
     "ols_price_trend_by_returnflag": ols_price_trend_by_returnflag,
     "ridge_price_model_lineitem": ridge_price_model_lineitem,
     "price_model_residuals_by_month": price_model_residuals_by_month,
+    "huber_price_model_lineitem": huber_price_model_lineitem,
 }
 
 ORACLE_SQL = {
+    "huber_price_model_lineitem": HUBER_SQL,
     "ols_price_trend_by_returnflag": OLS_SQL,
     "ridge_price_model_lineitem": RIDGE_SQL,
     "price_model_residuals_by_month": RESIDUALS_SQL,

@@ -318,3 +318,95 @@ def residual_summary(
             F.avg(F.col("_r")).alias("bias"),
         )
     )
+
+
+def huber_ols(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    delta_k: float = 1.345,
+    iters: int = 2,
+) -> DataFrame:
+    """Huber-loss robust simple regression via IRLS.
+
+    Round 0 is the closed-form OLS; the Huber threshold is then FROZEN
+    at ``δ = delta_k · √(SSE₀/n)`` (a deterministic std-based scale —
+    stated: classic IRLS re-estimates a MAD scale per round, this
+    variant trades that for exact SQL reproducibility). Each of the
+    ``iters`` reweighted rounds computes weighted normal-equation sums
+    with ``w = min(1, δ/|r|)`` — the weight is a CODEGEN EXPRESSION
+    over the previous round's coefficients folded in as literals, so
+    every round is one scan + one 1-row collect, the same flat
+    iteration shape as the K-Means loop (operators/kmeans.py:306).
+
+    Returns a one-row DataFrame ``(n, slope, intercept, delta, w_sum,
+    rmse)``: final coefficients, the frozen threshold, the total
+    weight mass (n − w_sum measures how much outlier influence was
+    clipped), and the UNWEIGHTED rmse of the final fit (computed from
+    the round-0 sums and final coefficients — no extra pass).
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    x, y = _d(x_col), _d(y_col)
+    rows = df.where(x.isNotNull() & y.isNotNull())
+    s0 = rows.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    ).collect()[0]
+    n = s0["n"]
+    det = n * s0["sxx"] - s0["sx"] * s0["sx"]
+    slope = (n * s0["sxy"] - s0["sx"] * s0["sy"]) / det
+    intercept = (s0["sy"] - slope * s0["sx"]) / n
+
+    def sse(b0: float, b1: float) -> float:
+        return (
+            s0["syy"]
+            + n * b0 * b0
+            + b1 * b1 * s0["sxx"]
+            + 2.0 * b0 * b1 * s0["sx"]
+            - 2.0 * b0 * s0["sy"]
+            - 2.0 * b1 * s0["sxy"]
+        )
+
+    delta = delta_k * (max(sse(intercept, slope), 0.0) / n) ** 0.5
+    w_sum = n
+    for _ in range(iters):
+        r = y - (F.lit(intercept) + F.lit(slope) * x)
+        # ANSI mode raises DIVIDE_BY_ZERO even on doubles, so gate the
+        # division: |r| <= delta (incl. exact-fit |r|=0) keeps w=1, and
+        # the divide branch only evaluates when |r| > delta >= 0.
+        w = F.when(F.abs(r) <= F.lit(delta), F.lit(1.0)).otherwise(
+            F.lit(delta) / F.abs(r)
+        )
+        sw = rows.agg(
+            F.sum(w).alias("sw"),
+            F.sum(w * x).alias("swx"),
+            F.sum(w * y).alias("swy"),
+            F.sum(w * x * y).alias("swxy"),
+            F.sum(w * x * x).alias("swxx"),
+        ).collect()[0]
+        wdet = sw["sw"] * sw["swxx"] - sw["swx"] * sw["swx"]
+        slope = (sw["sw"] * sw["swxy"] - sw["swx"] * sw["swy"]) / wdet
+        intercept = (sw["swy"] - slope * sw["swx"]) / sw["sw"]
+        w_sum = sw["sw"]
+    rmse = (max(sse(intercept, slope), 0.0) / n) ** 0.5
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                int(n),
+                float(slope),
+                float(intercept),
+                float(delta),
+                float(w_sum),
+                float(rmse),
+            )
+        ],
+        "n long, slope double, intercept double, delta double, "
+        "w_sum double, rmse double",
+    )

@@ -126,3 +126,39 @@ def test_predict_expr_is_literal_projection(spark):
         predict_expr(["x1", "x2"], [1.0, 2.0, -3.0]).alias("p")
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # pure narrow codegen projection
+
+
+def test_huber_downweights_outlier(spark):
+    from k_means_using_mapreduce_spark.operators.regression import huber_ols
+
+    # y = 3x exactly, plus one gross outlier that drags plain OLS up.
+    rows = [("a", x, 3.0 * x) for x in range(1, 21)]
+    rows.append(("a", 10.0, 1000.0))
+    df = _xy(spark, rows)
+    ols = grouped_ols(df, "x", "y", by=["g"]).collect()[0]
+    hub = huber_ols(df, "x", "y", iters=2).collect()[0]
+    # Huber must sit strictly closer to the true slope than OLS.
+    assert abs(hub["slope"] - 3.0) < abs(ols["slope"] - 3.0)
+    # the outlier's weight was clipped: total mass < n
+    assert hub["w_sum"] < hub["n"]
+    assert hub["delta"] > 0.0
+
+
+def test_huber_exact_fit_keeps_full_weight(spark):
+    from k_means_using_mapreduce_spark.operators.regression import huber_ols
+
+    # perfect line: delta = 0, every |r| = 0 -> w = 1 (the 0/0 guard),
+    # coefficients identical to OLS.
+    rows = [("a", x, 2.0 * x + 1.0) for x in range(6)]
+    hub = huber_ols(_xy(spark, rows), "x", "y", iters=2).collect()[0]
+    assert hub["slope"] == pytest.approx(2.0)
+    assert hub["intercept"] == pytest.approx(1.0)
+    assert hub["w_sum"] == pytest.approx(6.0)
+    assert hub["rmse"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_huber_rejects_bad_iters(spark):
+    from k_means_using_mapreduce_spark.operators.regression import huber_ols
+
+    with pytest.raises(ValueError):
+        huber_ols(_xy(spark, [("a", 1, 1)]), "x", "y", iters=0)
