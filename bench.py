@@ -270,6 +270,7 @@ BENCH_QUERIES = [
     "growth_accounting_events",
     "cmh_discount_returns",
     "huber_price_model_lineitem",
+    "logistic_returnflag_lineitem",
 ]
 
 KMEANS_FIT_K = 8

@@ -269,15 +269,106 @@ FROM d2
 """
 
 
+def logistic_returnflag_lineitem(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Logistic regression P(returnflag='R' | quantity, discount)
+    trained by 3 Newton-IRLS rounds — each round one scan with the
+    coefficients folded in as codegen literals."""
+    from ..operators.regression import logistic_newton
+
+    li = load_table(spark, sf_dir, "lineitem")
+    li = li.withColumn(
+        "is_r", F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0)
+    )
+    return logistic_newton(li, ["l_quantity", "l_discount"], "is_r")
+
+
+def _logistic_sql(iters: int = 3) -> str:
+    """Emit the Newton-round CTE chain; the adjugate/determinant text
+    mirrors operators/regression.py::logistic_newton term for term so
+    both engines run the identical IEEE expression tree."""
+    parts = [
+        """b AS MATERIALIZED (
+  SELECT l_quantity AS x1, l_discount AS x2,
+         CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+)""",
+        "c0 AS MATERIALIZED (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""t{i} AS MATERIALIZED (
+  SELECT x1, x2, y,
+         1.0 / (1.0 + exp(-(b0 + b1 * x1 + b2 * x2))) AS p
+  FROM b CROSS JOIN c{i - 1}
+)""")
+        parts.append(f"""s{i} AS MATERIALIZED (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         sum(y - p) AS g0,
+         sum((y - p) * x1) AS g1,
+         sum((y - p) * x2) AS g2,
+         sum(p * (1.0 - p)) AS h00,
+         sum(p * (1.0 - p) * x1) AS h01,
+         sum(p * (1.0 - p) * x2) AS h02,
+         sum(p * (1.0 - p) * x1 * x1) AS h11,
+         sum(p * (1.0 - p) * x1 * x2) AS h12,
+         sum(p * (1.0 - p) * x2 * x2) AS h22
+  FROM t{i}
+)""")
+        parts.append(f"""d{i} AS MATERIALIZED (
+  SELECT s{i}.*, c.b0 AS pb0, c.b1 AS pb1, c.b2 AS pb2,
+    h00 * (h11 * h22 - h12 * h12)
+      - h01 * (h01 * h22 - h12 * h02)
+      + h02 * (h01 * h12 - h11 * h02) AS det
+  FROM s{i} CROSS JOIN c{i - 1} c
+)""")
+        parts.append(f"""c{i} AS MATERIALIZED (
+  SELECT
+    pb0 + ((h11 * h22 - h12 * h12) * g0
+      + (h02 * h12 - h01 * h22) * g1
+      + (h01 * h12 - h02 * h11) * g2) / det AS b0,
+    pb1 + ((h02 * h12 - h01 * h22) * g0
+      + (h00 * h22 - h02 * h02) * g1
+      + (h01 * h02 - h00 * h12) * g2) / det AS b1,
+    pb2 + ((h01 * h12 - h02 * h11) * g0
+      + (h01 * h02 - h00 * h12) * g1
+      + (h00 * h11 - h01 * h01) * g2) / det AS b2
+  FROM d{i}
+)""")
+    parts.append(f"""scored AS (
+  SELECT y, b0, b1, b2, b0 + b1 * x1 + b2 * x2 AS z
+  FROM b CROSS JOIN c{iters}
+)""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT CAST(count(*) AS BIGINT) AS n,
+  any_value(b0) AS b0, any_value(b1) AS b1, any_value(b2) AS b2,
+  avg(greatest(z, 0.0) - y * z + ln(1.0 + exp(-abs(z)))) AS log_loss,
+  avg(CASE WHEN (z >= 0) = (y >= 0.5) THEN 1.0 ELSE 0.0 END)
+    AS accuracy,
+  avg(y) AS pos_rate
+FROM scored
+"""
+    )
+
+
+LOGISTIC_SQL = _logistic_sql(iters=3)
+
+
 QUERIES = {
     "ols_price_trend_by_returnflag": ols_price_trend_by_returnflag,
     "ridge_price_model_lineitem": ridge_price_model_lineitem,
     "price_model_residuals_by_month": price_model_residuals_by_month,
     "huber_price_model_lineitem": huber_price_model_lineitem,
+    "logistic_returnflag_lineitem": logistic_returnflag_lineitem,
 }
 
 ORACLE_SQL = {
     "huber_price_model_lineitem": HUBER_SQL,
+    "logistic_returnflag_lineitem": LOGISTIC_SQL,
     "ols_price_trend_by_returnflag": OLS_SQL,
     "ridge_price_model_lineitem": RIDGE_SQL,
     "price_model_residuals_by_month": RESIDUALS_SQL,

@@ -162,3 +162,74 @@ def test_huber_rejects_bad_iters(spark):
 
     with pytest.raises(ValueError):
         huber_ols(_xy(spark, [("a", 1, 1)]), "x", "y", iters=0)
+
+
+def _hash_u(i: int) -> float:
+    # deterministic uniform in (0,1) from md5, same doctrine as the
+    # engine's hash-coin samplers — no rand() in tests either.
+    import hashlib
+
+    h = hashlib.md5(str(i).encode()).hexdigest()[:15]
+    return (int(h, 16) + 1.0) / float(1 << 60)
+
+
+def test_logistic_matches_numpy_irls(spark):
+    import numpy as np
+
+    from k_means_using_mapreduce_spark.operators.regression import (
+        logistic_newton,
+    )
+
+    # synthetic logistic data with known coefficients, labels drawn by
+    # deterministic md5 coins
+    b_true = np.array([-1.0, 0.8, -0.5])
+    rows = []
+    for i in range(800):
+        x1 = (i % 40) / 10.0
+        x2 = ((i * 7) % 23) / 5.0
+        p = 1.0 / (1.0 + np.exp(-(b_true[0] + b_true[1] * x1 + b_true[2] * x2)))
+        rows.append((float(x1), float(x2), 1.0 if _hash_u(i) < p else 0.0))
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+    got = logistic_newton(df, ["x1", "x2"], "y", iters=3).collect()[0]
+
+    # independent matrix-form IRLS (numpy linalg, not Cramer)
+    X = np.array([[1.0, r[0], r[1]] for r in rows])
+    yv = np.array([r[2] for r in rows])
+    b = np.zeros(3)
+    for _ in range(3):
+        z = X @ b
+        p = 1.0 / (1.0 + np.exp(-z))
+        W = p * (1.0 - p)
+        H = X.T @ (X * W[:, None])
+        g = X.T @ (yv - p)
+        b = b + np.linalg.solve(H, g)
+    assert got["b0"] == pytest.approx(b[0], rel=1e-9)
+    assert got["b1"] == pytest.approx(b[1], rel=1e-9)
+    assert got["b2"] == pytest.approx(b[2], rel=1e-9)
+    # after 3 Newton rounds the fit should be near the generator
+    assert got["b1"] == pytest.approx(0.8, abs=0.3)
+    assert got["accuracy"] > 0.6
+    z = X @ b
+    ll = np.mean(np.maximum(z, 0) - yv * z + np.log1p(np.exp(-np.abs(z))))
+    assert got["log_loss"] == pytest.approx(ll, rel=1e-9)
+
+
+def test_logistic_rejects_bad_args(spark):
+    from k_means_using_mapreduce_spark.operators.regression import (
+        logistic_newton,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 3.0, 1.0)], "x1 double, x2 double, x3 double, y double"
+    )
+    with pytest.raises(ValueError):
+        logistic_newton(df, ["x1", "x2", "x3"], "y")
+    with pytest.raises(ValueError):
+        logistic_newton(df, ["x1", "x2"], "y", iters=0)
+    # constant feature -> singular Hessian
+    const = spark.createDataFrame(
+        [(1.0, 5.0, 1.0), (2.0, 5.0, 0.0), (3.0, 5.0, 1.0)],
+        "x1 double, x2 double, y double",
+    )
+    with pytest.raises(ValueError, match="singular"):
+        logistic_newton(const, ["x1", "x2"], "y", iters=1)
