@@ -271,6 +271,7 @@ BENCH_QUERIES = [
     "cmh_discount_returns",
     "huber_price_model_lineitem",
     "logistic_returnflag_lineitem",
+    "revenue_concentration_customer",
 ]
 
 KMEANS_FIT_K = 8

@@ -224,3 +224,48 @@ FROM filled, tot
 
 QUERIES["benford_order_totals"] = benford_order_totals
 ORACLE_SQL["benford_order_totals"] = BENFORD_SQL
+
+
+def revenue_concentration_customer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Customer revenue concentration: Gini, HHI, top-1/top-10 shares
+    of per-customer order totals — the "how skewed is this corpus"
+    diagnostic (operators/robust.py::concentration_stats)."""
+    from ..operators.robust import concentration_stats
+
+    return concentration_stats(
+        load_table(spark, sf_dir, "orders"), "o_custkey", "o_totalprice"
+    )
+
+
+CONCENTRATION_SQL = """
+WITH ent AS (
+  -- decimal-exact per-customer totals, then double for ratio math
+  SELECT o_custkey AS k, CAST(sum(o_totalprice) AS DOUBLE) AS v
+  FROM orders
+  WHERE o_totalprice IS NOT NULL
+  GROUP BY 1
+  HAVING CAST(sum(o_totalprice) AS DOUBLE) >= 0
+),
+ranked AS (
+  SELECT v,
+         CAST(row_number() OVER (ORDER BY v ASC, k) AS DOUBLE) AS r,
+         row_number() OVER (ORDER BY v DESC, k) AS rd
+  FROM ent
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+  sum(v) AS total,
+  2.0 * sum(r * v) / (CAST(count(*) AS DOUBLE) * nullif(sum(v), 0.0))
+    - (CAST(count(*) AS DOUBLE) + 1.0) / CAST(count(*) AS DOUBLE)
+    AS gini,
+  sum(v * v) / (nullif(sum(v), 0.0) * nullif(sum(v), 0.0)) AS hhi,
+  sum(CASE WHEN rd <= 1 THEN v ELSE 0.0 END) / nullif(sum(v), 0.0)
+    AS top1_share,
+  sum(CASE WHEN rd <= 10 THEN v ELSE 0.0 END) / nullif(sum(v), 0.0)
+    AS top10_share
+FROM ranked
+"""
+
+QUERIES["revenue_concentration_customer"] = revenue_concentration_customer
+ORACLE_SQL["revenue_concentration_customer"] = CONCENTRATION_SQL

@@ -266,3 +266,87 @@ def benford_digit_distribution(
         exp_p.alias("expected_p"),
         chi2.alias("chi2_term"),
     )
+
+
+def concentration_stats(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    by: Sequence[str] = (),
+    *,
+    top_k: int = 10,
+) -> DataFrame:
+    """Inequality / market-concentration diagnostics per group: Gini
+    coefficient, Herfindahl-Hirschman index, and top-1 / top-``top_k``
+    shares of the per-key value totals.
+
+    The classic "how skewed is this corpus really" question — revenue
+    concentration across customers, document mass across sources,
+    traffic across domains — answered with the auditor's standard
+    measures. Gini uses the exact rank formula over ascending totals
+    ``G = 2·Σ(rank·v) / (n·Σv) − (n+1)/n``; ties share one value so
+    any rank order within a tie block yields the same Σ(rank·v), and
+    the (value, key) sort makes ranks reproducible anyway.
+
+    Scale shape: pass 1 reduces rows to PER-KEY totals (one grouped
+    shuffle, |keys| rows out); pass 2 ranks those totals inside each
+    ``by`` partition — a window over entity AGGREGATES, never raw rows
+    (with no ``by``, that is one global sort of |keys| rows; at 100 TB
+    keys are customers/sources, orders of magnitude below row count).
+    Negative or NULL totals are rejected/dropped: Gini and shares are
+    defined for non-negative masses.
+
+    Returns ``(by..., n_keys, total, gini, hhi, top1_share,
+    top{top_k}_share)``.
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    from pyspark.sql.window import Window
+
+    bys = list(by)
+    # sum in the column's NATIVE type (decimal money stays exact, so
+    # per-key totals are bit-identical across engines and rank order
+    # is deterministic), then move to double for the ratio math
+    v = F.col(value_col)
+    ent = (
+        df.where(v.isNotNull())
+        .groupBy(*bys, F.col(key_col).alias("_k"))
+        .agg(F.sum(v).cast("double").alias("_v"))
+        .where(F.col("_v") >= 0)
+    )
+    asc = Window.partitionBy(*bys).orderBy(F.col("_v").asc(), F.col("_k"))
+    desc = Window.partitionBy(*bys).orderBy(
+        F.col("_v").desc(), F.col("_k")
+    )
+    ranked = ent.select(
+        *bys,
+        F.col("_v"),
+        F.row_number().over(asc).cast("double").alias("_r"),
+        F.row_number().over(desc).alias("_rd"),
+    )
+    n = F.count(F.lit(1)).cast("double")
+    # all-zero groups: nullif keeps ANSI mode from raising on /0 and
+    # yields NULL diagnostics (concentration of zero mass is undefined)
+    s = F.nullif(F.sum("_v"), F.lit(0.0))
+    return (
+        ranked.groupBy(*bys)
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("_v").alias("total"),
+            (
+                F.lit(2.0) * F.sum(F.col("_r") * F.col("_v")) / (n * s)
+                - (n + F.lit(1.0)) / n
+            ).alias("gini"),
+            (F.sum(F.col("_v") * F.col("_v")) / (s * s)).alias("hhi"),
+            (
+                F.sum(F.when(F.col("_rd") <= 1, F.col("_v")).otherwise(0.0))
+                / s
+            ).alias("top1_share"),
+            (
+                F.sum(
+                    F.when(F.col("_rd") <= top_k, F.col("_v")).otherwise(0.0)
+                )
+                / s
+            ).alias(f"top{top_k}_share"),
+        )
+    )

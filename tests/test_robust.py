@@ -172,3 +172,65 @@ def test_benford_log_uniform_fits(spark):
         assert r["expected_p"] == pytest.approx(
             math.log10(1 + 1 / r["digit"])
         )
+
+
+def test_concentration_perfect_equality(spark):
+    from k_means_using_mapreduce_spark.operators.robust import (
+        concentration_stats,
+    )
+
+    # 10 keys with equal mass: gini = 0, hhi = 1/10, top1 = 1/10
+    df = spark.createDataFrame(
+        [(i, 5.0) for i in range(10)], "k int, v double"
+    )
+    r = concentration_stats(df, "k", "v", top_k=3).collect()[0]
+    assert r["n_keys"] == 10
+    assert r["gini"] == pytest.approx(0.0, abs=1e-12)
+    assert r["hhi"] == pytest.approx(0.1)
+    assert r["top1_share"] == pytest.approx(0.1)
+    assert r["top3_share"] == pytest.approx(0.3)
+
+
+def test_concentration_total_monopoly(spark):
+    from k_means_using_mapreduce_spark.operators.robust import (
+        concentration_stats,
+    )
+
+    # one key holds everything: gini -> (n-1)/n, hhi = 1, top1 = 1
+    df = spark.createDataFrame(
+        [(0, 100.0)] + [(i, 0.0) for i in range(1, 5)], "k int, v double"
+    )
+    r = concentration_stats(df, "k", "v").collect()[0]
+    assert r["gini"] == pytest.approx(4.0 / 5.0)
+    assert r["hhi"] == pytest.approx(1.0)
+    assert r["top1_share"] == pytest.approx(1.0)
+
+
+def test_concentration_grouped_and_aggregates_keys(spark):
+    from k_means_using_mapreduce_spark.operators.robust import (
+        concentration_stats,
+    )
+
+    # key 1 in group a appears twice -> totals 3.0; grouping by g
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 1, 2.0), ("a", 2, 3.0),
+         ("b", 1, 4.0), ("b", 2, 4.0)],
+        "g string, k int, v double",
+    )
+    out = {
+        r["g"]: r
+        for r in concentration_stats(df, "k", "v", by=["g"]).collect()
+    }
+    assert out["a"]["n_keys"] == 2
+    assert out["a"]["hhi"] == pytest.approx((9.0 + 9.0) / 36.0)
+    assert out["b"]["gini"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_concentration_zero_mass_is_null_not_error(spark):
+    from k_means_using_mapreduce_spark.operators.robust import (
+        concentration_stats,
+    )
+
+    df = spark.createDataFrame([(1, 0.0), (2, 0.0)], "k int, v double")
+    r = concentration_stats(df, "k", "v").collect()[0]
+    assert r["gini"] is None and r["hhi"] is None
