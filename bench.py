@@ -272,6 +272,7 @@ BENCH_QUERIES = [
     "huber_price_model_lineitem",
     "logistic_returnflag_lineitem",
     "revenue_concentration_customer",
+    "nb_lang_confusion_documents",
 ]
 
 KMEANS_FIT_K = 8

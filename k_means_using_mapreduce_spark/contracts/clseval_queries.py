@@ -131,3 +131,82 @@ ORACLE_SQL: dict[str, str] = {
     "lang_eval_classes": _CLASSES_SQL,
     "lang_eval_summary": LANG_EVAL_SUMMARY_SQL,
 }
+
+
+def nb_lang_confusion_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Trained multinomial Naive Bayes lang classifier: fit on the 80%
+    hash-split train docs, confusion matrix on the 20% holdout
+    (operators/classifier.py::naive_bayes_confusion) — the TRAINED
+    counterpart of the rule-based lang_confusion_documents above."""
+    from ..operators.classifier import naive_bayes_confusion
+
+    return naive_bayes_confusion(
+        load_table(spark, sf_dir, "documents"), "lang", test_pct=20
+    )
+
+
+from ._sql_text import sql_tokens as _sql_tokens  # noqa: E402
+
+NB_CONFUSION_SQL = f"""
+WITH b AS MATERIALIZED (
+  SELECT doc_id AS id, lang AS label, {_sql_tokens('text')} AS t,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % 100 < 20 AS is_test
+  FROM documents
+  WHERE lang IS NOT NULL AND doc_id IS NOT NULL
+),
+counts AS MATERIALIZED (
+  SELECT label, token, CAST(count(*) AS DOUBLE) AS cnt
+  FROM (SELECT label, unnest(t) AS token FROM b WHERE NOT is_test)
+  GROUP BY 1, 2
+),
+voc AS (SELECT CAST(count(DISTINCT token) AS DOUBLE) AS v FROM counts),
+ntr AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_all FROM b WHERE NOT is_test
+),
+denoms AS MATERIALIZED (
+  SELECT t.label, t.n_tok + 1.0 * (v + 1.0) AS denom, p.prior
+  FROM (SELECT label, sum(cnt) AS n_tok FROM counts GROUP BY 1) t
+  CROSS JOIN voc
+  JOIN (
+    SELECT label,
+           ln(CAST(count(*) AS DOUBLE) / (SELECT n_all FROM ntr)) AS prior
+    FROM b WHERE NOT is_test GROUP BY 1
+  ) p USING (label)
+),
+tscore AS MATERIALIZED (
+  SELECT id, true_label, label, sum(lp) AS tok_score
+  FROM (
+    SELECT pr.id, pr.true_label, d.label,
+           ln((coalesce(c.cnt, 0.0) + 1.0) / d.denom) AS lp
+    FROM (
+      SELECT id, label AS true_label, unnest(t) AS token
+      FROM b WHERE is_test
+    ) pr
+    CROSS JOIN denoms d
+    LEFT JOIN counts c ON c.label = d.label AND c.token = pr.token
+  ) s
+  GROUP BY 1, 2, 3
+),
+dl AS (
+  SELECT tb.id, tb.true_label, d.label,
+         d.prior + coalesce(ts.tok_score, 0.0) AS score
+  FROM (SELECT id, label AS true_label FROM b WHERE is_test) tb
+  CROSS JOIN denoms d
+  LEFT JOIN tscore ts ON ts.id = tb.id AND ts.label = d.label
+)
+SELECT true_label AS label, label AS pred_label,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY id ORDER BY score DESC, label
+  ) AS rk FROM dl
+) f
+WHERE rk = 1
+GROUP BY 1, 2
+"""
+
+QUERIES["nb_lang_confusion_documents"] = nb_lang_confusion_documents
+ORACLE_SQL["nb_lang_confusion_documents"] = NB_CONFUSION_SQL

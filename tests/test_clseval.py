@@ -100,3 +100,68 @@ def test_degenerate_single_class_kappa_null(spark):
     row = classification_summary(df, "label", "pred").collect()[0]
     assert row["accuracy"] == 1.0
     assert row["kappa"] is None and row["mcc"] is None
+
+
+def _nb_corpus(spark, n=60):
+    # two cleanly separable vocabularies; doc_id drives the hash split
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            rows.append((i, "aaa bbb aaa ccc", "x"))
+        else:
+            rows.append((i, "zzz yyy zzz www", "y"))
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_naive_bayes_separable_corpus_is_diagonal(spark):
+    from k_means_using_mapreduce_spark.operators.classifier import (
+        naive_bayes_confusion,
+    )
+
+    out = naive_bayes_confusion(
+        _nb_corpus(spark), "lang", test_pct=20
+    ).collect()
+    # perfectly separable vocab: only diagonal confusion cells appear
+    assert out, "holdout must be non-empty"
+    for r in out:
+        assert r["label"] == r["pred_label"]
+    assert sum(r["n_docs"] for r in out) > 0
+
+
+def test_naive_bayes_empty_text_falls_back_to_prior(spark):
+    from k_means_using_mapreduce_spark.operators.classifier import (
+        naive_bayes_confusion,
+    )
+
+    # majority class "x" 3:1 in train; the token-less test doc must be
+    # predicted as the larger-prior class
+    rows = [(i, "aaa bbb", "x") for i in range(100, 160)]
+    rows += [(i, "zzz yyy", "y") for i in range(160, 180)]
+    rows.append((7, "", "y"))  # doc_id 7 hashes into the test bucket?
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    from k_means_using_mapreduce_spark.operators.sampling import hash_bucket
+    from pyspark.sql import functions as F
+
+    bucket = (
+        df.where(F.col("doc_id") == 7)
+        .select(hash_bucket("doc_id", 100).alias("b"))
+        .collect()[0]["b"]
+    )
+    out = naive_bayes_confusion(df, "lang", test_pct=20).collect()
+    if bucket < 20:  # doc 7 is in the holdout: prior-only argmax -> x
+        cells = {(r["label"], r["pred_label"]): r["n_docs"] for r in out}
+        assert any(k == ("y", "x") for k in cells), cells
+
+
+def test_naive_bayes_rejects_bad_args(spark):
+    import pytest as _pytest
+
+    from k_means_using_mapreduce_spark.operators.classifier import (
+        naive_bayes_confusion,
+    )
+
+    df = _nb_corpus(spark, n=4)
+    with _pytest.raises(ValueError):
+        naive_bayes_confusion(df, "lang", test_pct=0)
+    with _pytest.raises(ValueError):
+        naive_bayes_confusion(df, "lang", alpha=0.0)
