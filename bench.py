@@ -273,6 +273,7 @@ BENCH_QUERIES = [
     "logistic_returnflag_lineitem",
     "revenue_concentration_customer",
     "nb_lang_confusion_documents",
+    "purchase_value_auc_events",
 ]
 
 KMEANS_FIT_K = 8

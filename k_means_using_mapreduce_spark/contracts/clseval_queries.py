@@ -210,3 +210,56 @@ GROUP BY 1, 2
 
 QUERIES["nb_lang_confusion_documents"] = nb_lang_confusion_documents
 ORACLE_SQL["nb_lang_confusion_documents"] = NB_CONFUSION_SQL
+
+
+def purchase_value_auc_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Does event value rank purchases above other events? ROC-AUC +
+    KS via the tie-corrected midrank estimator, one grouped pass
+    (operators/clseval.py::binary_rank_metrics)."""
+    from ..operators.clseval import binary_rank_metrics
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull()
+    )
+    ev = ev.withColumn(
+        "is_purchase",
+        F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0),
+    )
+    return binary_rank_metrics(ev, "value", "is_purchase")
+
+
+AUC_SQL = """
+WITH r AS (
+  SELECT value AS s,
+         CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL
+),
+blocks AS (
+  SELECT s, CAST(count(*) AS DOUBLE) AS n, sum(y) AS n_pos
+  FROM r GROUP BY 1
+),
+cum AS (
+  SELECT n, n_pos,
+    sum(n) OVER w - n AS cum_before,
+    sum(n_pos) OVER w AS cum_pos,
+    sum(n - n_pos) OVER w AS cum_neg
+  FROM blocks
+  WINDOW w AS (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+),
+tot AS (SELECT sum(n_pos) AS p, sum(n - n_pos) AS q FROM blocks)
+SELECT CAST(p AS BIGINT) AS n_pos, CAST(q AS BIGINT) AS n_neg,
+  (sum(n_pos * (cum_before + (n + 1.0) / 2.0)) - p * (p + 1) / 2)
+    / nullif(p * q, 0.0) AS auc,
+  CASE WHEN p > 0 AND q > 0 THEN
+    max(abs(cum_pos / nullif(p, 0.0) - cum_neg / nullif(q, 0.0)))
+  END AS ks
+FROM cum CROSS JOIN tot
+GROUP BY p, q
+"""
+
+QUERIES["purchase_value_auc_events"] = purchase_value_auc_events
+ORACLE_SQL["purchase_value_auc_events"] = AUC_SQL

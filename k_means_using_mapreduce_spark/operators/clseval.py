@@ -139,3 +139,97 @@ def classification_summary(
         "macro_f1",
         "weighted_f1",
     )
+
+
+def binary_rank_metrics(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Threshold-free binary-scorer evaluation: ROC-AUC (tie-corrected
+    Mann-Whitney midrank form) and the KS statistic, in ONE grouped
+    pass over DISTINCT SCORE VALUES — no per-row window, no threshold
+    sweep.
+
+    Per distinct score: ``(n, n_pos)``; ordered ascending, the tie
+    block starting after ``cum_before`` rows has midrank
+    ``cum_before + (n+1)/2``, so
+    ``AUC = (Σ n_pos·midrank − P(P+1)/2) / (P·N)`` — exactly the
+    Wilcoxon rank-sum estimator sklearn's ``roc_auc_score`` computes.
+    KS is the max CDF gap ``|cum_pos/P − cum_neg/N|`` over the same
+    ordered blocks.
+
+    Scale shape: one ``groupBy(score)`` (map-side combined) reduces the
+    corpus to |distinct scores| rows; the ordered cumulative window
+    runs over THAT table. For continuous scores at extreme scale,
+    quantize the score first (e.g. ``round(score, 6)``) — the operator
+    is exact for whatever resolution it is given. NULL scores/labels
+    are excluded; label must be 0/1 (checked).
+
+    Returns one row ``(n_pos, n_neg, auc, ks)`` — AUC/KS NULL when a
+    class is absent (undefined, not 0.5, so degeneracy is visible).
+    """
+    from pyspark.sql.window import Window
+
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    rows = df.where(s.isNotNull() & y.isNotNull())
+    blocks = (
+        rows.select(
+            s.alias("_s"),
+            F.when(y == 1.0, F.lit(1.0))
+            .when(y == 0.0, F.lit(0.0))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("label must be 0/1, got "), y.cast("string")
+                    )
+                )
+            )
+            .alias("_y"),
+        )
+        .groupBy("_s")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("_y").alias("n_pos"),
+        )
+    )
+    win = Window.orderBy("_s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = blocks.select(
+        "n",
+        "n_pos",
+        (F.sum("n").over(win) - F.col("n")).alias("cum_before"),
+        F.sum("n_pos").over(win).alias("cum_pos"),
+        (F.sum(F.col("n") - F.col("n_pos")).over(win)).alias("cum_neg"),
+    )
+    tot = blocks.agg(
+        F.sum("n_pos").alias("p"),
+        F.sum(F.col("n") - F.col("n_pos")).alias("q"),
+    )
+    agg = cum.crossJoin(F.broadcast(tot)).agg(
+        F.first("p").alias("p"),
+        F.first("q").alias("q"),
+        F.sum(
+            F.col("n_pos")
+            * (F.col("cum_before") + (F.col("n") + F.lit(1.0)) / F.lit(2.0))
+        ).alias("pos_rank_sum"),
+        F.max(
+            F.abs(
+                F.col("cum_pos") / F.nullif(F.col("p"), F.lit(0.0))
+                - F.col("cum_neg") / F.nullif(F.col("q"), F.lit(0.0))
+            )
+        ).alias("ks"),
+    )
+    return agg.select(
+        F.col("p").cast("long").alias("n_pos"),
+        F.col("q").cast("long").alias("n_neg"),
+        (
+            (F.col("pos_rank_sum") - F.col("p") * (F.col("p") + 1) / 2)
+            / F.nullif(F.col("p") * F.col("q"), F.lit(0.0))
+        ).alias("auc"),
+        F.when(
+            (F.col("p") > 0) & (F.col("q") > 0), F.col("ks")
+        ).alias("ks"),
+    )

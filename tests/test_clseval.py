@@ -165,3 +165,74 @@ def test_naive_bayes_rejects_bad_args(spark):
         naive_bayes_confusion(df, "lang", test_pct=0)
     with _pytest.raises(ValueError):
         naive_bayes_confusion(df, "lang", alpha=0.0)
+
+
+def test_auc_perfect_and_reverse_and_random(spark):
+    from k_means_using_mapreduce_spark.operators.clseval import (
+        binary_rank_metrics,
+    )
+
+    # perfectly separating score
+    perfect = spark.createDataFrame(
+        [(float(i), 1.0 if i >= 5 else 0.0) for i in range(10)],
+        "s double, y double",
+    )
+    r = binary_rank_metrics(perfect, "s", "y").collect()[0]
+    assert r["auc"] == pytest.approx(1.0)
+    assert r["ks"] == pytest.approx(1.0)
+    assert (r["n_pos"], r["n_neg"]) == (5, 5)
+
+    # anti-separating score
+    rev = spark.createDataFrame(
+        [(float(i), 0.0 if i >= 5 else 1.0) for i in range(10)],
+        "s double, y double",
+    )
+    assert binary_rank_metrics(rev, "s", "y").collect()[0][
+        "auc"
+    ] == pytest.approx(0.0)
+
+    # constant score: all one tie block, AUC = 0.5 by midranks
+    const = spark.createDataFrame(
+        [(1.0, float(i % 2)) for i in range(8)], "s double, y double"
+    )
+    assert binary_rank_metrics(const, "s", "y").collect()[0][
+        "auc"
+    ] == pytest.approx(0.5)
+
+
+def test_auc_matches_sklearn_formula_with_ties(spark):
+    from k_means_using_mapreduce_spark.operators.clseval import (
+        binary_rank_metrics,
+    )
+
+    # hand-computable tied case: scores [1,1,2,3,3,3], y [0,1,0,1,0,1]
+    data = [(1.0, 0.0), (1.0, 1.0), (2.0, 0.0),
+            (3.0, 1.0), (3.0, 0.0), (3.0, 1.0)]
+    df = spark.createDataFrame(data, "s double, y double")
+    r = binary_rank_metrics(df, "s", "y").collect()[0]
+    # midranks: block1 -> 1.5, block2 -> 3, block3 -> 5
+    # pos_rank_sum = 1.5 + 5 + 5 = 11.5; auc = (11.5 - 6) / 9
+    assert r["auc"] == pytest.approx((11.5 - 6.0) / 9.0)
+
+
+def test_auc_single_class_is_null(spark):
+    from k_means_using_mapreduce_spark.operators.clseval import (
+        binary_rank_metrics,
+    )
+
+    df = spark.createDataFrame(
+        [(float(i), 1.0) for i in range(4)], "s double, y double"
+    )
+    r = binary_rank_metrics(df, "s", "y").collect()[0]
+    assert r["auc"] is None and r["ks"] is None
+
+
+def test_auc_rejects_nonbinary_label(spark):
+    from k_means_using_mapreduce_spark.operators.clseval import (
+        binary_rank_metrics,
+    )
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    df = spark.createDataFrame([(1.0, 2.0)], "s double, y double")
+    with pytest.raises(Exception, match="label must be 0/1"):
+        binary_rank_metrics(df, "s", "y").collect()
