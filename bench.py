@@ -274,6 +274,7 @@ BENCH_QUERIES = [
     "revenue_concentration_customer",
     "nb_lang_confusion_documents",
     "purchase_value_auc_events",
+    "ridge_lambda_sweep_lineitem",
 ]
 
 KMEANS_FIT_K = 8

@@ -373,3 +373,96 @@ ORACLE_SQL = {
     "ridge_price_model_lineitem": RIDGE_SQL,
     "price_model_residuals_by_month": RESIDUALS_SQL,
 }
+
+
+def ridge_lambda_sweep_lineitem(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Validation-scored ridge λ sweep over six decades from ONE scan
+    of conditional Gram sums — model selection with no per-λ job
+    (operators/regression.py::ridge_lambda_sweep)."""
+    from ..operators.regression import ridge_lambda_sweep
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return ridge_lambda_sweep(
+        li, ["l_quantity", "l_discount"], "l_extendedprice", "l_orderkey"
+    )
+
+
+def _sweep_sql() -> str:
+    from ..operators.regression import SWEEP_LAMBDAS
+
+    lam_list = ", ".join(repr(v) for v in SWEEP_LAMBDAS)
+
+    def sums(tag: str, neg: str) -> str:
+        exprs = {
+            "n": "1.0", "s1": "x1", "s2": "x2",
+            "x11": "x1 * x1", "x12": "x1 * x2", "x22": "x2 * x2",
+            "sy": "y", "sy1": "x1 * y", "sy2": "x2 * y", "syy": "y * y",
+        }
+        return ",\n    ".join(
+            f"sum(CASE WHEN {neg}is_val THEN {e} ELSE 0.0 END) AS {tag}_{k}"
+            for k, e in exprs.items()
+        )
+
+    def sse(p: str) -> str:
+        return (
+            f"{p}_syy - 2.0 * (b0 * {p}_sy + b1 * {p}_sy1 + b2 * {p}_sy2)"
+            f" + (b0 * b0 * {p}_n + b1 * b1 * {p}_x11 + b2 * b2 * {p}_x22"
+            f" + 2.0 * b0 * b1 * {p}_s1 + 2.0 * b0 * b2 * {p}_s2"
+            f" + 2.0 * b1 * b2 * {p}_x12)"
+        )
+
+    return f"""
+WITH r AS MATERIALIZED (
+  SELECT CAST(l_quantity AS DOUBLE) AS x1,
+         CAST(l_discount AS DOUBLE) AS x2,
+         CAST(l_extendedprice AS DOUBLE) AS y,
+         ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT
+           % 100 < 20 AS is_val
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+    AND l_extendedprice IS NOT NULL
+),
+s AS MATERIALIZED (
+  SELECT
+    {sums('t', 'NOT ')},
+    {sums('v', '')}
+  FROM r
+),
+ls AS (SELECT unnest([{lam_list}]) AS l2),
+a AS (
+  SELECT l2, s.*, t_x11 + l2 AS a11, t_x12 AS a12, t_x22 + l2 AS a22
+  FROM ls CROSS JOIN s
+),
+d AS (
+  SELECT *,
+    t_n * (a11 * a22 - a12 * a12)
+      - t_s1 * (t_s1 * a22 - a12 * t_s2)
+      + t_s2 * (t_s1 * a12 - a11 * t_s2) AS det
+  FROM a
+),
+c AS (
+  SELECT *,
+    (t_sy * (a11 * a22 - a12 * a12)
+      - t_s1 * (t_sy1 * a22 - a12 * t_sy2)
+      + t_s2 * (t_sy1 * a12 - a11 * t_sy2)) / det AS b0,
+    (t_n * (t_sy1 * a22 - a12 * t_sy2)
+      - t_sy * (t_s1 * a22 - a12 * t_s2)
+      + t_s2 * (t_s1 * t_sy2 - t_sy1 * t_s2)) / det AS b1,
+    (t_n * (a11 * t_sy2 - t_sy1 * a12)
+      - t_s1 * (t_s1 * t_sy2 - t_sy1 * t_s2)
+      + t_sy * (t_s1 * a12 - a11 * t_s2)) / det AS b2
+  FROM d
+)
+SELECT l2, b0, b1, b2,
+  sqrt(greatest({sse('t')}, 0.0) / t_n) AS train_rmse,
+  sqrt(greatest({sse('v')}, 0.0) / v_n) AS val_rmse
+FROM c
+"""
+
+
+SWEEP_SQL = _sweep_sql()
+
+QUERIES["ridge_lambda_sweep_lineitem"] = ridge_lambda_sweep_lineitem
+ORACLE_SQL["ridge_lambda_sweep_lineitem"] = SWEEP_SQL

@@ -511,3 +511,124 @@ def logistic_newton(
         F.avg(hit).alias("accuracy"),
         F.avg(y).alias("pos_rate"),
     )
+
+
+#: default λ grid for ridge_lambda_sweep (decades around the contracts'
+#: _RIDGE_L2=1000 operating point)
+SWEEP_LAMBDAS = (0.0, 1.0, 10.0, 100.0, 1000.0, 10000.0)
+
+
+def ridge_lambda_sweep(
+    df: DataFrame,
+    x_cols: Sequence[str],
+    y_col: str,
+    split_key: str,
+    *,
+    lambdas: Sequence[float] = SWEEP_LAMBDAS,
+    test_pct: int = 20,
+) -> DataFrame:
+    """Hyperparameter sweep from sufficient statistics: validation-
+    scored ridge over a λ grid at the cost of ONE scan, total.
+
+    The train/validation split is the deterministic md5-bucket split
+    (sampling.py doctrine), and both splits' Gram/moment sums are
+    computed in the same pass as conditional aggregates — 20 doubles
+    out. Every λ is then pure arithmetic: coefficients from the train
+    sums (the exact Cramer formulas of ``ridge_coefficients_df``,
+    λ on slopes only), train RMSE from the train sums, and validation
+    RMSE from the VALIDATION sums with the train coefficients via
+    ``SSE = Σy² − 2bᵀX'y + bᵀ(X'X)b`` — model selection with no
+    second data pass, no per-λ job, no cross-validation shuffle.
+
+    Returns ``|lambdas|`` rows ``(l2, b0, b1, b2, train_rmse,
+    val_rmse)`` ordered as given. 2 features exactly (the explicit
+    closed form shared with the SQL oracle).
+    """
+    if len(x_cols) != 2:
+        raise ValueError(
+            f"ridge_lambda_sweep is the explicit 2-feature closed "
+            f"form, got {len(x_cols)}"
+        )
+    if not lambdas:
+        raise ValueError("lambdas must be non-empty")
+    if not 0 < test_pct < 100:
+        raise ValueError(f"test_pct must be in (0, 100), got {test_pct}")
+    from .sampling import hash_bucket
+
+    x1, x2, y = _d(x_cols[0]), _d(x_cols[1]), _d(y_col)
+    rows = df.where(x1.isNotNull() & x2.isNotNull() & y.isNotNull())
+    is_val = hash_bucket(split_key, 100) < F.lit(test_pct)
+
+    def _sums(tag: str, cond):
+        def c(expr, name):
+            return F.sum(F.when(cond, expr).otherwise(F.lit(0.0))).alias(
+                f"{tag}_{name}"
+            )
+
+        return [
+            c(F.lit(1.0), "n"),
+            c(x1, "s1"), c(x2, "s2"),
+            c(x1 * x1, "x11"), c(x1 * x2, "x12"), c(x2 * x2, "x22"),
+            c(y, "sy"), c(x1 * y, "sy1"), c(x2 * y, "sy2"),
+            c(y * y, "syy"),
+        ]
+
+    s = rows.agg(*_sums("t", ~is_val), *_sums("v", is_val)).collect()[0]
+
+    def sse(b0, b1, b2, p):
+        return (
+            s[f"{p}_syy"]
+            - 2.0 * (b0 * s[f"{p}_sy"] + b1 * s[f"{p}_sy1"] + b2 * s[f"{p}_sy2"])
+            + (
+                b0 * b0 * s[f"{p}_n"]
+                + b1 * b1 * s[f"{p}_x11"]
+                + b2 * b2 * s[f"{p}_x22"]
+                + 2.0 * b0 * b1 * s[f"{p}_s1"]
+                + 2.0 * b0 * b2 * s[f"{p}_s2"]
+                + 2.0 * b1 * b2 * s[f"{p}_x12"]
+            )
+        )
+
+    n, s1, s2 = s["t_n"], s["t_s1"], s["t_s2"]
+    x11, x12, x22 = s["t_x11"], s["t_x12"], s["t_x22"]
+    sy, sy1, sy2 = s["t_sy"], s["t_sy1"], s["t_sy2"]
+    out = []
+    for lam in lambdas:
+        a11, a12, a22 = x11 + lam, x12, x22 + lam
+        det = (
+            n * (a11 * a22 - a12 * a12)
+            - s1 * (s1 * a22 - a12 * s2)
+            + s2 * (s1 * a12 - a11 * s2)
+        )
+        if det == 0.0:
+            raise ValueError(f"singular system at lambda={lam}")
+        b0 = (
+            sy * (a11 * a22 - a12 * a12)
+            - s1 * (sy1 * a22 - a12 * sy2)
+            + s2 * (sy1 * a12 - a11 * sy2)
+        ) / det
+        b1 = (
+            n * (sy1 * a22 - a12 * sy2)
+            - sy * (s1 * a22 - a12 * s2)
+            + s2 * (s1 * sy2 - sy1 * s2)
+        ) / det
+        b2 = (
+            n * (a11 * sy2 - sy1 * a12)
+            - s1 * (s1 * sy2 - sy1 * s2)
+            + sy * (s1 * a12 - a11 * s2)
+        ) / det
+        out.append(
+            (
+                float(lam),
+                float(b0),
+                float(b1),
+                float(b2),
+                float(max(sse(b0, b1, b2, "t"), 0.0) / n) ** 0.5,
+                float(max(sse(b0, b1, b2, "v"), 0.0) / s["v_n"]) ** 0.5,
+            )
+        )
+    return df.sparkSession.createDataFrame(
+        out,
+        "l2 double, b0 double, b1 double, b2 double, "
+        "train_rmse double, val_rmse double",
+    )

@@ -233,3 +233,47 @@ def test_logistic_rejects_bad_args(spark):
     )
     with pytest.raises(ValueError, match="singular"):
         logistic_newton(const, ["x1", "x2"], "y", iters=1)
+
+
+def test_lambda_sweep_shrinks_and_selects(spark):
+    from k_means_using_mapreduce_spark.operators.regression import (
+        ridge_lambda_sweep,
+    )
+
+    # y = 2 + 3*x1 - 1*x2 exactly, ids drive the split
+    rows = [
+        (i, float(i % 13), float((i * 5) % 7), 0.0)
+        for i in range(400)
+    ]
+    rows = [(i, x1, x2, 2.0 + 3.0 * x1 - 1.0 * x2) for i, x1, x2, _ in rows]
+    df = spark.createDataFrame(rows, "id long, x1 double, x2 double, y double")
+    out = ridge_lambda_sweep(
+        df, ["x1", "x2"], "y", "id", lambdas=[0.0, 10.0, 1000.0]
+    ).collect()
+    assert len(out) == 3
+    by_l = {r["l2"]: r for r in out}
+    # unpenalized fit recovers the exact plane with ~0 error both splits
+    assert by_l[0.0]["b1"] == pytest.approx(3.0)
+    assert by_l[0.0]["b2"] == pytest.approx(-1.0)
+    assert by_l[0.0]["val_rmse"] == pytest.approx(0.0, abs=1e-6)
+    # slopes shrink monotonically toward zero as lambda grows
+    assert abs(by_l[10.0]["b1"]) < 3.0
+    assert abs(by_l[1000.0]["b1"]) < abs(by_l[10.0]["b1"])
+    # exact data: validation error grows with shrinkage
+    assert by_l[1000.0]["val_rmse"] > by_l[0.0]["val_rmse"]
+
+
+def test_lambda_sweep_rejects_bad_args(spark):
+    from k_means_using_mapreduce_spark.operators.regression import (
+        ridge_lambda_sweep,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1.0, 2.0, 3.0)], "id long, x1 double, x2 double, y double"
+    )
+    with pytest.raises(ValueError):
+        ridge_lambda_sweep(df, ["x1"], "y", "id")
+    with pytest.raises(ValueError):
+        ridge_lambda_sweep(df, ["x1", "x2"], "y", "id", lambdas=[])
+    with pytest.raises(ValueError):
+        ridge_lambda_sweep(df, ["x1", "x2"], "y", "id", test_pct=100)
