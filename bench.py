@@ -275,6 +275,7 @@ BENCH_QUERIES = [
     "nb_lang_confusion_documents",
     "purchase_value_auc_events",
     "ridge_lambda_sweep_lineitem",
+    "learning_curve_lineitem",
 ]
 
 KMEANS_FIT_K = 8

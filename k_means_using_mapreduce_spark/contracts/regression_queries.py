@@ -466,3 +466,71 @@ SWEEP_SQL = _sweep_sql()
 
 QUERIES["ridge_lambda_sweep_lineitem"] = ridge_lambda_sweep_lineitem
 ORACLE_SQL["ridge_lambda_sweep_lineitem"] = SWEEP_SQL
+
+
+def learning_curve_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ten nested-slice OLS fits priced on a fixed validation split,
+    all from one scan (operators/regression.py::ols_learning_curve)."""
+    from ..operators.regression import ols_learning_curve
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return ols_learning_curve(
+        li, "l_quantity", "l_extendedprice", "l_orderkey"
+    )
+
+
+LEARNING_CURVE_SQL = """
+WITH r AS MATERIALIZED (
+  SELECT CAST(l_quantity AS DOUBLE) AS x,
+         CAST(l_extendedprice AS DOUBLE) AS y,
+         ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT
+           % 100 < 20 AS is_val,
+         CAST(floor((('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)
+           || '#lc'), 1, 15))::BIGINT % 100) / 10) AS INTEGER) AS dec
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_orderkey IS NOT NULL
+),
+td AS (
+  SELECT dec, CAST(count(*) AS DOUBLE) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM r WHERE NOT is_val GROUP BY 1
+),
+val AS (
+  SELECT CAST(count(*) AS DOUBLE) AS vn,
+         sum(x) AS vsx, sum(y) AS vsy, sum(x * y) AS vsxy,
+         sum(x * x) AS vsxx, sum(y * y) AS vsyy
+  FROM r WHERE is_val
+),
+cum AS (
+  SELECT (dec + 1) * 10 AS pct,
+         sum(n) OVER w AS n, sum(sx) OVER w AS sx, sum(sy) OVER w AS sy,
+         sum(sxy) OVER w AS sxy, sum(sxx) OVER w AS sxx,
+         sum(syy) OVER w AS syy
+  FROM td
+  WINDOW w AS (ORDER BY dec ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+),
+coefs AS (
+  SELECT *,
+    (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0) AS slope
+  FROM cum
+),
+fit AS (
+  SELECT *, (sy - slope * sx) / n AS intercept FROM coefs
+)
+SELECT pct, CAST(n AS BIGINT) AS n_train, slope, intercept,
+  sqrt(greatest(
+    syy + n * intercept * intercept + slope * slope * sxx
+      + 2.0 * intercept * slope * sx - 2.0 * intercept * sy
+      - 2.0 * slope * sxy, 0.0) / n) AS train_rmse,
+  sqrt(greatest(
+    vsyy + vn * intercept * intercept + slope * slope * vsxx
+      + 2.0 * intercept * slope * vsx - 2.0 * intercept * vsy
+      - 2.0 * slope * vsxy, 0.0) / nullif(vn, 0.0)) AS val_rmse
+FROM fit CROSS JOIN val
+"""
+
+QUERIES["learning_curve_lineitem"] = learning_curve_lineitem
+ORACLE_SQL["learning_curve_lineitem"] = LEARNING_CURVE_SQL

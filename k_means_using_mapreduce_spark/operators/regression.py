@@ -632,3 +632,126 @@ def ridge_lambda_sweep(
         "l2 double, b0 double, b1 double, b2 double, "
         "train_rmse double, val_rmse double",
     )
+
+
+def ols_learning_curve(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    split_key: str,
+    *,
+    test_pct: int = 20,
+) -> DataFrame:
+    """Learning curve without re-training: validation RMSE of simple
+    OLS fitted on nested 10%..100% slices of the training split — all
+    ten fits from ONE scan, fully declaratively (no driver math, no
+    collect).
+
+    Slice membership is a salted md5 bucket (``md5(key || '#lc')``),
+    independent of the train/validation split hash, and nested by
+    construction (bucket < f). The scan reduces the training rows to
+    PER-DECILE OLS sums; a 10-row cumulative window turns those into
+    per-fraction sums; slope/intercept are closed-form expressions;
+    and the validation sums (same scan, conditional aggregate,
+    broadcast back) price every fit via the SSE identity
+    ``Σy² + n·b₀² + b₁²Σx² + 2b₀b₁Σx − 2b₀Σy − 2b₁Σxy``.
+
+    The "is more data still helping" diagnostic every corpus builder
+    runs — at the cost of one pass, whatever the corpus size. Deciles
+    with no rows (tiny inputs) simply produce no row; downstream sees
+    the fractions that exist.
+
+    Returns up to 10 rows ``(pct, n_train, slope, intercept,
+    train_rmse, val_rmse)`` with ``pct ∈ {10,...,100}``.
+    """
+    if not 0 < test_pct < 100:
+        raise ValueError(f"test_pct must be in (0, 100), got {test_pct}")
+    from pyspark.sql.window import Window
+
+    from .dedup import md5_int60
+    from .sampling import hash_bucket
+
+    x, y = _d(x_col), _d(y_col)
+    rows = df.where(
+        x.isNotNull() & y.isNotNull() & F.col(split_key).isNotNull()
+    )
+    is_val = hash_bucket(split_key, 100) < F.lit(test_pct)
+    dec = (
+        (
+            md5_int60(
+                F.concat(F.col(split_key).cast("string"), F.lit("#lc"))
+            )
+            % 100
+        )
+        / 10
+    ).cast("int")
+
+    train_dec = (
+        rows.where(~is_val)
+        .groupBy(dec.alias("dec"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum(x * y).alias("sxy"),
+            F.sum(x * x).alias("sxx"),
+            F.sum(y * y).alias("syy"),
+        )
+    )
+    val = rows.where(is_val).agg(
+        F.count(F.lit(1)).cast("double").alias("vn"),
+        F.sum(x).alias("vsx"),
+        F.sum(y).alias("vsy"),
+        F.sum(x * y).alias("vsxy"),
+        F.sum(x * x).alias("vsxx"),
+        F.sum(y * y).alias("vsyy"),
+    )
+    w = Window.orderBy("dec").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = train_dec.select(
+        ((F.col("dec") + 1) * 10).alias("pct"),
+        F.sum("n").over(w).alias("n"),
+        F.sum("sx").over(w).alias("sx"),
+        F.sum("sy").over(w).alias("sy"),
+        F.sum("sxy").over(w).alias("sxy"),
+        F.sum("sxx").over(w).alias("sxx"),
+        F.sum("syy").over(w).alias("syy"),
+    )
+    slope = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / F.nullif(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0)
+    )
+    scored = cum.withColumn("slope", slope).withColumn(
+        "intercept",
+        (F.col("sy") - F.col("slope") * F.col("sx")) / F.col("n"),
+    )
+
+    def _sse(syy, n, sx, sy, sxy, sxx):
+        b0, b1 = F.col("intercept"), F.col("slope")
+        return (
+            F.col(syy)
+            + F.col(n) * b0 * b0
+            + b1 * b1 * F.col(sxx)
+            + F.lit(2.0) * b0 * b1 * F.col(sx)
+            - F.lit(2.0) * b0 * F.col(sy)
+            - F.lit(2.0) * b1 * F.col(sxy)
+        )
+
+    return scored.crossJoin(F.broadcast(val)).select(
+        "pct",
+        F.col("n").cast("long").alias("n_train"),
+        "slope",
+        "intercept",
+        F.sqrt(
+            F.greatest(_sse("syy", "n", "sx", "sy", "sxy", "sxx"), F.lit(0.0))
+            / F.col("n")
+        ).alias("train_rmse"),
+        F.sqrt(
+            F.greatest(
+                _sse("vsyy", "vn", "vsx", "vsy", "vsxy", "vsxx"), F.lit(0.0)
+            )
+            / F.nullif(F.col("vn"), F.lit(0.0))
+        ).alias("val_rmse"),
+    )

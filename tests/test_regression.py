@@ -277,3 +277,33 @@ def test_lambda_sweep_rejects_bad_args(spark):
         ridge_lambda_sweep(df, ["x1", "x2"], "y", "id", lambdas=[])
     with pytest.raises(ValueError):
         ridge_lambda_sweep(df, ["x1", "x2"], "y", "id", test_pct=100)
+
+
+def test_learning_curve_nested_and_exact(spark):
+    from k_means_using_mapreduce_spark.operators.regression import (
+        ols_learning_curve,
+    )
+
+    rows = [(i, float(i % 17), 4.0 * (i % 17) + 3.0) for i in range(3000)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    out = ols_learning_curve(df, "x", "y", "id").orderBy("pct").collect()
+    assert 1 <= len(out) <= 10
+    # fractions nest: n_train strictly increases, pct = (dec+1)*10
+    ns = [r["n_train"] for r in out]
+    assert ns == sorted(ns) and ns[0] < ns[-1]
+    assert all(r["pct"] % 10 == 0 for r in out)
+    # exact line: every slice recovers it, zero error on both splits
+    for r in out:
+        assert r["slope"] == pytest.approx(4.0)
+        assert r["intercept"] == pytest.approx(3.0)
+        assert r["val_rmse"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_learning_curve_rejects_bad_split(spark):
+    from k_means_using_mapreduce_spark.operators.regression import (
+        ols_learning_curve,
+    )
+
+    df = spark.createDataFrame([(1, 1.0, 2.0)], "id long, x double, y double")
+    with pytest.raises(ValueError):
+        ols_learning_curve(df, "x", "y", "id", test_pct=0)
