@@ -276,6 +276,8 @@ BENCH_QUERIES = [
     "purchase_value_auc_events",
     "ridge_lambda_sweep_lineitem",
     "learning_curve_lineitem",
+    "corr_matrix_lineitem",
+    "spearman_matrix_lineitem",
 ]
 
 KMEANS_FIT_K = 8

@@ -222,3 +222,79 @@ QUERIES["key_discovery_orders"] = key_discovery_orders
 ORACLE_SQL["key_discovery_orders"] = KEY_DISCOVERY_SQL
 QUERIES["fd_discovery_orders"] = fd_discovery_orders
 ORACLE_SQL["fd_discovery_orders"] = FD_DISCOVERY_SQL
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix over the four lineitem measures in
+    one aggregation (operators/quality.py::correlation_matrix)."""
+    from ..operators.quality import correlation_matrix
+
+    return correlation_matrix(
+        load_table(spark, sf_dir, "lineitem"), _CORR_COLS
+    )
+
+
+def spearman_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation matrix (midrank ties) over the same
+    measures — monotone-association profiling."""
+    from ..operators.quality import correlation_matrix
+
+    return correlation_matrix(
+        load_table(spark, sf_dir, "lineitem"), _CORR_COLS, method="spearman"
+    )
+
+
+def _corr_sql(spearman: bool) -> str:
+    cols = _CORR_COLS
+    notnull = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    sel = ", ".join(f"CAST({c} AS DOUBLE) AS {c}" for c in cols)
+    base = f"""b0 AS (
+  SELECT {sel} FROM lineitem WHERE {notnull}
+)"""
+    if spearman:
+        ranks = ", ".join(
+            f"CAST(rank() OVER (ORDER BY {c}) AS DOUBLE)"
+            f" + (CAST(count(*) OVER (PARTITION BY {c}) AS DOUBLE)"
+            f" - 1.0) / 2.0 AS {c}"
+            for c in cols
+        )
+        base += f",\nb AS (SELECT {ranks} FROM b0)"
+    else:
+        base += ",\nb AS (SELECT * FROM b0)"
+    sums = ["CAST(count(*) AS DOUBLE) AS n"]
+    for c in cols:
+        sums.append(f"sum({c}) AS s_{c}")
+        sums.append(f"sum({c} * {c}) AS q_{c}")
+    pairs = [
+        (cols[i], cols[j])
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    for a, c in pairs:
+        sums.append(f"sum({a} * {c}) AS p_{a}_{c}")
+    rows = " UNION ALL ".join(
+        f"""SELECT '{a}' AS col_x, '{c}' AS col_y,
+  CAST(n AS BIGINT) AS n,
+  (n * p_{a}_{c} - s_{a} * s_{c})
+    / nullif(sqrt((n * q_{a} - s_{a} * s_{a})
+                  * (n * q_{c} - s_{c} * s_{c})), 0.0) AS corr
+FROM s"""
+        for a, c in pairs
+    )
+    return (
+        "WITH "
+        + base
+        + ",\ns AS MATERIALIZED (SELECT "
+        + ",\n  ".join(sums)
+        + " FROM b)\n"
+        + rows
+    )
+
+
+QUERIES["corr_matrix_lineitem"] = corr_matrix_lineitem
+ORACLE_SQL["corr_matrix_lineitem"] = _corr_sql(spearman=False)
+QUERIES["spearman_matrix_lineitem"] = spearman_matrix_lineitem
+ORACLE_SQL["spearman_matrix_lineitem"] = _corr_sql(spearman=True)

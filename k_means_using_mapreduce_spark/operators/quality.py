@@ -276,3 +276,112 @@ def functional_dependencies(
         (F.col("n_pair") - F.col("n_det")).alias("violations"),
         (F.col("n_pair") == F.col("n_det")).cast("int").alias("holds"),
     )
+
+
+def correlation_matrix(
+    df: DataFrame,
+    cols: "list[str]",
+    *,
+    method: str = "pearson",
+) -> DataFrame:
+    """All-pairs correlation over numeric columns in ONE aggregation —
+    the profiling step that tells a pipeline which features are
+    redundant before any model sees them.
+
+    ``method='pearson'`` computes every (i<j) pair's moment sums as
+    conditional expressions in a single scan (p(p−1)/2·4 + p·3 doubles
+    of state, map-side combined — the FD-discovery doctrine of one
+    shuffle for the whole matrix). ``method='spearman'`` first
+    replaces each column by its MIDRANK over the complete rows (ties
+    get the average rank, the scipy convention), then runs the same
+    Pearson pass on ranks — p global sorts of the complete-row subset,
+    each over one double column.
+
+    Semantics: COMPLETE-ROWS — rows with a NULL in ANY of ``cols`` are
+    dropped for every pair, so the matrix is a true Gram correlation
+    (positive semidefinite), not pairwise-deletion patchwork; ``n`` is
+    therefore identical on every output row. Constant columns yield
+    NULL correlations (undefined, surfaced not zeroed).
+
+    Returns p(p−1)/2 rows ``(col_x, col_y, n, corr)`` in the given
+    column order.
+    """
+    if len(cols) < 2:
+        raise ValueError(f"need at least 2 columns, got {len(cols)}")
+    if method not in ("pearson", "spearman"):
+        raise ValueError(f"method must be pearson|spearman, got {method!r}")
+    from pyspark.sql.window import Window
+
+    keep = None
+    for c in cols:
+        cond = F.col(c).isNotNull()
+        keep = cond if keep is None else (keep & cond)
+    base = df.where(keep).select(
+        *[F.col(c).cast("double").alias(c) for c in cols]
+    )
+    if method == "spearman":
+        # midrank(v) = rows_before(v) + (ties+1)/2 — computed per
+        # DISTINCT VALUE, so the only ordered window runs over
+        # |distinct| block rows, never the corpus; each column's
+        # (value -> midrank) map joins back keyed by value (broadcast
+        # for low-cardinality columns, AQE-planned shuffle otherwise).
+        # Numerically identical to rank() + (t-1)/2 on raw rows.
+        cum = Window.orderBy("_val").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        for c in cols:
+            blocks = (
+                base.groupBy(F.col(c).alias("_val"))
+                .agg(F.count(F.lit(1)).cast("double").alias("_t"))
+                .select(
+                    "_val",
+                    (
+                        F.sum("_t").over(cum)
+                        - F.col("_t")
+                        + (F.col("_t") + F.lit(1.0)) / F.lit(2.0)
+                    ).alias("_mid"),
+                )
+            )
+            base = (
+                base.join(blocks, base[c] == blocks["_val"], "inner")
+                .drop(c, "_val")
+                .withColumnRenamed("_mid", c)
+            )
+
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c)).alias(f"s_{c}"))
+        aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"q_{c}"))
+    pairs = [
+        (cols[i], cols[j])
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    for a, b in pairs:
+        aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"p_{a}_{b}"))
+    s = base.agg(*aggs)
+
+    n = F.col("n")
+
+    def corr(a: str, b: str):
+        num = n * F.col(f"p_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        vx = n * F.col(f"q_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
+        vy = n * F.col(f"q_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+        return num / F.nullif(F.sqrt(vx * vy), F.lit(0.0))
+
+    out = s.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("col_x"),
+                        F.lit(b).alias("col_y"),
+                        n.cast("long").alias("n"),
+                        corr(a, b).alias("corr"),
+                    )
+                    for a, b in pairs
+                ]
+            )
+        ).alias("r")
+    )
+    return out.select("r.col_x", "r.col_y", "r.n", "r.corr")

@@ -121,3 +121,97 @@ def test_lexical_diversity_closed_form(spark):
     assert got[2]["yule_k"] == _pt.approx(0.0)
     assert got[3]["yule_k"] == _pt.approx(10000.0 * (8 - 4) / 16)
     assert got[1]["yule_k"] > got[3]["yule_k"] > got[2]["yule_k"]
+
+
+def _corr_df(spark):
+    rows = [
+        (float(i), 2.0 * i + 1.0, float((i * 7) % 5), float(i % 3))
+        for i in range(40)
+    ]
+    return spark.createDataFrame(rows, "a double, b double, c double, d double")
+
+
+def test_pearson_matrix_matches_numpy(spark):
+    import numpy as np
+
+    from k_means_using_mapreduce_spark.operators.quality import (
+        correlation_matrix,
+    )
+
+    df = _corr_df(spark)
+    got = {
+        (r["col_x"], r["col_y"]): r["corr"]
+        for r in correlation_matrix(df, ["a", "b", "c", "d"]).collect()
+    }
+    assert len(got) == 6
+    m = np.array(df.collect(), dtype=float)
+    ref = np.corrcoef(m.T)
+    names = ["a", "b", "c", "d"]
+    for i in range(4):
+        for j in range(i + 1, 4):
+            assert got[(names[i], names[j])] == pytest.approx(
+                ref[i, j], abs=1e-9
+            )
+    # exact linear relation
+    assert got[("a", "b")] == pytest.approx(1.0)
+
+
+def test_spearman_matrix_midranks_and_monotone(spark):
+    import numpy as np
+
+    from k_means_using_mapreduce_spark.operators.quality import (
+        correlation_matrix,
+    )
+
+    # y is a nonlinear but strictly monotone function of x -> rho = 1;
+    # z has ties to exercise midranks
+    rows = [(float(i), float(i) ** 3, float(i % 4)) for i in range(30)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    got = {
+        (r["col_x"], r["col_y"]): r["corr"]
+        for r in correlation_matrix(
+            df, ["x", "y", "z"], method="spearman"
+        ).collect()
+    }
+    assert got[("x", "y")] == pytest.approx(1.0)
+
+    def midranks(v):
+        order = np.argsort(v, kind="stable")
+        ranks = np.empty(len(v))
+        i = 0
+        sv = np.array(v)[order]
+        while i < len(v):
+            j = i
+            while j < len(v) and sv[j] == sv[i]:
+                j += 1
+            ranks[order[i:j]] = (i + j + 1) / 2.0
+            i = j
+        return ranks
+
+    xs = [r[0] for r in rows]
+    zs = [r[2] for r in rows]
+    ref = np.corrcoef(midranks(xs), midranks(zs))[0, 1]
+    assert got[("x", "z")] == pytest.approx(ref, abs=1e-9)
+
+
+def test_correlation_matrix_null_rows_and_guards(spark):
+    from k_means_using_mapreduce_spark.operators.quality import (
+        correlation_matrix,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, None), (3.0, 6.0), (4.0, 8.0)],
+        "a double, b double",
+    )
+    r = correlation_matrix(df, ["a", "b"]).collect()[0]
+    assert r["n"] == 3  # complete rows only
+    assert r["corr"] == pytest.approx(1.0)
+    with pytest.raises(ValueError):
+        correlation_matrix(df, ["a"])
+    with pytest.raises(ValueError):
+        correlation_matrix(df, ["a", "b"], method="kendall")
+    # constant column -> NULL not error
+    cdf = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 5.0)], "a double, b double"
+    )
+    assert correlation_matrix(cdf, ["a", "b"]).collect()[0]["corr"] is None
