@@ -278,6 +278,8 @@ BENCH_QUERIES = [
     "learning_curve_lineitem",
     "corr_matrix_lineitem",
     "spearman_matrix_lineitem",
+    "tail_index_order_totals",
+    "anova_price_by_returnflag",
 ]
 
 KMEANS_FIT_K = 8

@@ -438,3 +438,46 @@ FROM adj
 
 QUERIES["mean_shift_fdr_documents"] = mean_shift_fdr_documents
 ORACLE_SQL["mean_shift_fdr_documents"] = FDR_SQL
+
+
+def anova_price_by_returnflag(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One-way ANOVA: does extendedprice differ across return flags?
+    F + eta-squared from per-group sufficient statistics
+    (operators/hypothesis.py::anova_oneway)."""
+    from ..operators.hypothesis import anova_oneway
+
+    return anova_oneway(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        "l_returnflag",
+    )
+
+
+ANOVA_SQL = """
+WITH g AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE) AS ng,
+         sum(CAST(l_extendedprice AS DOUBLE)) AS sg,
+         sum(CAST(l_extendedprice AS DOUBLE)
+             * CAST(l_extendedprice AS DOUBLE)) AS qg
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+  GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS k_groups,
+  CAST(sum(ng) AS BIGINT) AS n,
+  CAST(count(*) - 1 AS BIGINT) AS df_between,
+  CAST(sum(ng) - count(*) AS BIGINT) AS df_within,
+  ((sum(sg * sg / ng) - sum(sg) * sum(sg) / sum(ng))
+     / nullif(CAST(count(*) - 1 AS DOUBLE), 0.0))
+  / nullif((sum(qg) - sum(sg * sg / ng))
+     / nullif(sum(ng) - CAST(count(*) AS DOUBLE), 0.0), 0.0) AS f_stat,
+  (sum(sg * sg / ng) - sum(sg) * sum(sg) / sum(ng))
+    / nullif(sum(qg) - sum(sg) * sum(sg) / sum(ng), 0.0) AS eta2
+FROM g
+"""
+
+QUERIES["anova_price_by_returnflag"] = anova_price_by_returnflag
+ORACLE_SQL["anova_price_by_returnflag"] = ANOVA_SQL

@@ -269,3 +269,28 @@ FROM ranked
 
 QUERIES["revenue_concentration_customer"] = revenue_concentration_customer
 ORACLE_SQL["revenue_concentration_customer"] = CONCENTRATION_SQL
+
+
+def tail_index_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill power-law tail index of order totals above the exact 95th
+    percentile (operators/robust.py::tail_index)."""
+    from ..operators.robust import tail_index
+
+    return tail_index(load_table(spark, sf_dir, "orders"), "o_totalprice")
+
+
+TAIL_INDEX_SQL = """
+WITH r AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS v
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+cut AS (SELECT quantile_cont(v, 0.95) AS xmin FROM r)
+SELECT CAST(count(*) AS BIGINT) AS n_tail,
+  any_value(xmin) AS xmin,
+  1.0 / nullif(avg(ln(v / xmin)), 0.0) AS alpha
+FROM r CROSS JOIN cut
+WHERE v > xmin AND xmin > 0
+"""
+
+QUERIES["tail_index_order_totals"] = tail_index_order_totals
+ORACLE_SQL["tail_index_order_totals"] = TAIL_INDEX_SQL

@@ -529,3 +529,76 @@ def hoeffding_mean_shift_p(
         F.col("mean_v"),
         p.alias("p_bound"),
     )
+
+
+def anova_oneway(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """One-way ANOVA from per-group sufficient statistics: F statistic
+    and effect size η² for "does this numeric differ across groups" —
+    the k-group generalization of the two-sample tests above, reduced
+    to one grouped aggregate of ``(n, Σx, Σx²)`` per group.
+
+    ``SSB = Σ_g n_g(x̄_g − x̄)²``, ``SSW = Σ_g (Σx²_g − n_g·x̄_g²)``,
+    ``F = (SSB/(k−1)) / (SSW/(n−k))``, ``η² = SSB/(SSB+SSW)``. The
+    p-value needs the F CDF (no closed form in either engine); the
+    statistic + degrees of freedom are returned so callers can look it
+    up — same convention as the χ²/log-rank contracts.
+
+    Scale: one map-side-combined groupBy (k rows of 3 doubles out),
+    then arithmetic on the k-row table. Degenerate inputs (k < 2 or
+    n ≤ k, or zero within-variance) yield NULL F, not an error.
+
+    Returns one row ``(k_groups, n, df_between, df_within, f_stat,
+    eta2)``.
+    """
+    v = F.col(value_col).cast("double")
+    g = (
+        df.where(v.isNotNull() & F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("ng"),
+            F.sum(v).alias("sg"),
+            F.sum(v * v).alias("qg"),
+        )
+    )
+    return g.agg(
+        F.count(F.lit(1)).alias("k_groups"),
+        F.sum("ng").cast("long").alias("n"),
+        (F.count(F.lit(1)) - F.lit(1)).cast("long").alias("df_between"),
+        (F.sum("ng") - F.count(F.lit(1))).cast("long").alias("df_within"),
+        (
+            (
+                (
+                    F.sum(F.col("sg") * F.col("sg") / F.col("ng"))
+                    - F.sum("sg") * F.sum("sg") / F.sum("ng")
+                )
+                / F.nullif(
+                    (F.count(F.lit(1)) - F.lit(1)).cast("double"), F.lit(0.0)
+                )
+            )
+            / F.nullif(
+                (
+                    F.sum("qg")
+                    - F.sum(F.col("sg") * F.col("sg") / F.col("ng"))
+                )
+                / F.nullif(
+                    F.sum("ng") - F.count(F.lit(1)).cast("double"),
+                    F.lit(0.0),
+                ),
+                F.lit(0.0),
+            )
+        ).alias("f_stat"),
+        (
+            (
+                F.sum(F.col("sg") * F.col("sg") / F.col("ng"))
+                - F.sum("sg") * F.sum("sg") / F.sum("ng")
+            )
+            / F.nullif(
+                F.sum("qg") - F.sum("sg") * F.sum("sg") / F.sum("ng"),
+                F.lit(0.0),
+            )
+        ).alias("eta2"),
+    )

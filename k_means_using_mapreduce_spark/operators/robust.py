@@ -350,3 +350,48 @@ def concentration_stats(
             ).alias(f"top{top_k}_share"),
         )
     )
+
+
+def tail_index(
+    df: DataFrame,
+    value_col: str,
+    *,
+    tail_q: float = 0.95,
+) -> DataFrame:
+    """Hill estimator of the power-law tail index over the values
+    above the exact ``tail_q`` quantile — "how heavy is this tail"
+    quantified (Hill 1975), the companion diagnostic to
+    :func:`concentration_stats` (a Pareto tail with α ≤ 2 is why
+    mean-based capacity planning fails on crawl data).
+
+    Threshold choice: ``xmin = percentile(value, tail_q)`` (exact,
+    ``quantile_cont``-identical), tail = values STRICTLY above xmin —
+    the classic estimator conditions on the (k+1)-th order statistic;
+    using the exact quantile instead keeps the cutoff reproducible
+    across engines and k data-driven. ``α̂ = 1 / mean(ln(x / xmin))``.
+
+    Scale: one percentile aggregate + one filtered scan (threshold
+    folded in via a 1-row broadcast) — the tail rows never shuffle.
+    Non-positive xmin (tail crossing zero) yields NULL alpha: the
+    estimator is defined for positive heavy tails only.
+
+    Returns one row ``(n_tail, xmin, alpha)``.
+    """
+    if not 0.0 < tail_q < 1.0:
+        raise ValueError(f"tail_q must be in (0, 1), got {tail_q}")
+    v = F.col(value_col).cast("double")
+    rows = df.where(v.isNotNull())
+    cut = rows.agg(
+        F.percentile(v, F.lit(tail_q)).cast("double").alias("xmin")
+    )
+    tail = rows.crossJoin(F.broadcast(cut)).where(
+        (v > F.col("xmin")) & (F.col("xmin") > 0)
+    )
+    return tail.agg(
+        F.count(F.lit(1)).alias("n_tail"),
+        F.first("xmin").alias("xmin"),
+        (
+            F.lit(1.0)
+            / F.nullif(F.avg(F.log(v / F.col("xmin"))), F.lit(0.0))
+        ).alias("alpha"),
+    )

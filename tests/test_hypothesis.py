@@ -131,3 +131,41 @@ def test_poisson_bootstrap_ci(spark):
         poisson_bootstrap_mean_ci(df, "v", "id", replicates=5)
     with pytest.raises(ValueError):
         poisson_bootstrap_mean_ci(df, "v", "id", alpha=1.5)
+
+
+def test_anova_matches_hand_computation(spark):
+    from k_means_using_mapreduce_spark.operators.hypothesis import (
+        anova_oneway,
+    )
+
+    # groups with clearly different means
+    rows = (
+        [("a", v) for v in (1.0, 2.0, 3.0)]
+        + [("b", v) for v in (4.0, 5.0, 6.0)]
+        + [("c", v) for v in (7.0, 8.0, 9.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = anova_oneway(df, "v", "g").collect()[0]
+    # SSB = 3*((2-5)^2 + 0 + (8-5)^2) = 54; SSW = 6; F = (54/2)/(6/6)=27
+    assert r["k_groups"] == 3 and r["n"] == 9
+    assert (r["df_between"], r["df_within"]) == (2, 6)
+    assert r["f_stat"] == pytest.approx(27.0)
+    assert r["eta2"] == pytest.approx(54.0 / 60.0)
+
+
+def test_anova_degenerate_is_null(spark):
+    from k_means_using_mapreduce_spark.operators.hypothesis import (
+        anova_oneway,
+    )
+
+    # single group -> df_between 0 -> NULL F
+    one = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0)], "g string, v double"
+    )
+    assert anova_oneway(one, "v", "g").collect()[0]["f_stat"] is None
+    # zero within-variance (constant in each group) -> NULL F not error
+    const = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0)],
+        "g string, v double",
+    )
+    assert anova_oneway(const, "v", "g").collect()[0]["f_stat"] is None

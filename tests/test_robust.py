@@ -234,3 +234,27 @@ def test_concentration_zero_mass_is_null_not_error(spark):
     df = spark.createDataFrame([(1, 0.0), (2, 0.0)], "k int, v double")
     r = concentration_stats(df, "k", "v").collect()[0]
     assert r["gini"] is None and r["hhi"] is None
+
+
+def test_tail_index_recovers_pareto_alpha(spark):
+    from k_means_using_mapreduce_spark.operators.robust import tail_index
+
+    # exact Pareto(alpha=2) inverse-CDF grid: x = u^(-1/2)
+    rows = [((i + 0.5) / 4000.0,) for i in range(4000)]
+    df = spark.createDataFrame(
+        [(u ** -0.5,) for (u,) in rows], "v double"
+    )
+    r = tail_index(df, "v", tail_q=0.9).collect()[0]
+    assert r["alpha"] == pytest.approx(2.0, rel=0.1)
+    assert r["n_tail"] > 300
+    assert r["xmin"] > 0
+
+
+def test_tail_index_nonpositive_tail_is_empty(spark):
+    from k_means_using_mapreduce_spark.operators.robust import tail_index
+
+    df = spark.createDataFrame([(-5.0,), (-1.0,), (0.0,)], "v double")
+    r = tail_index(df, "v").collect()[0]
+    assert r["n_tail"] == 0 and r["alpha"] is None
+    with pytest.raises(ValueError):
+        tail_index(df, "v", tail_q=1.0)
