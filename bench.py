@@ -280,6 +280,9 @@ BENCH_QUERIES = [
     "spearman_matrix_lineitem",
     "tail_index_order_totals",
     "anova_price_by_returnflag",
+    "zipf_fit_documents",
+    "user_events_dispersion",
+    "mcnemar_langid_vs_majority",
 ]
 
 KMEANS_FIT_K = 8

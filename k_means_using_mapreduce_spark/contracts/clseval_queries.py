@@ -263,3 +263,44 @@ GROUP BY p, q
 
 QUERIES["purchase_value_auc_events"] = purchase_value_auc_events
 ORACLE_SQL["purchase_value_auc_events"] = AUC_SQL
+
+
+def mcnemar_langid_vs_majority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Is the rule-based lang_id actually better than always-'en'?
+    McNemar's paired test on per-document correctness
+    (operators/hypothesis.py::mcnemar_test) — the pairing-aware
+    version of comparing the two accuracies."""
+    from ..operators.hypothesis import mcnemar_test
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("lang").isNotNull()
+    )
+    return mcnemar_test(
+        docs,
+        T.lang_id("text") == F.col("lang"),
+        F.col("lang") == F.lit("en"),
+    )
+
+
+MCNEMAR_SQL = f"""
+WITH base AS (
+  SELECT CASE WHEN {_sql_pred()} = lang THEN 1.0 ELSE 0.0 END AS a,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS b
+  FROM documents WHERE lang IS NOT NULL
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+  sum(a) / CAST(count(*) AS DOUBLE) AS acc_a,
+  sum(b) / CAST(count(*) AS DOUBLE) AS acc_b,
+  CAST(sum(a * (1.0 - b)) AS BIGINT) AS b_discordant,
+  CAST(sum((1.0 - a) * b) AS BIGINT) AS c_discordant,
+  (abs(sum(a * (1.0 - b)) - sum((1.0 - a) * b)) - 1.0)
+    * (abs(sum(a * (1.0 - b)) - sum((1.0 - a) * b)) - 1.0)
+    / nullif(sum(a * (1.0 - b)) + sum((1.0 - a) * b), 0.0)
+    AS mcnemar_chi2
+FROM base
+"""
+
+QUERIES["mcnemar_langid_vs_majority"] = mcnemar_langid_vs_majority
+ORACLE_SQL["mcnemar_langid_vs_majority"] = MCNEMAR_SQL

@@ -481,3 +481,34 @@ FROM g
 
 QUERIES["anova_price_by_returnflag"] = anova_price_by_returnflag
 ORACLE_SQL["anova_price_by_returnflag"] = ANOVA_SQL
+
+
+def user_events_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson overdispersion of per-user event counts
+    (operators/hypothesis.py::dispersion_test)."""
+    from ..operators.hypothesis import dispersion_test
+
+    return dispersion_test(load_table(spark, sf_dir, "events"), "user_id")
+
+
+DISPERSION_SQL = """
+WITH c AS (
+  SELECT user_id, CAST(count(*) AS DOUBLE) AS c
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+  sum(c) / CAST(count(*) AS DOUBLE) AS mean,
+  (sum(c * c) - sum(c) * sum(c) / CAST(count(*) AS DOUBLE))
+    / nullif(CAST(count(*) AS DOUBLE) - 1.0, 0.0) AS variance,
+  ((sum(c * c) - sum(c) * sum(c) / CAST(count(*) AS DOUBLE))
+    / nullif(CAST(count(*) AS DOUBLE) - 1.0, 0.0))
+    / nullif(sum(c) / CAST(count(*) AS DOUBLE), 0.0) AS dispersion,
+  (CAST(count(*) AS DOUBLE) - 1.0)
+    * ((sum(c * c) - sum(c) * sum(c) / CAST(count(*) AS DOUBLE))
+       / nullif(CAST(count(*) AS DOUBLE) - 1.0, 0.0))
+    / nullif(sum(c) / CAST(count(*) AS DOUBLE), 0.0) AS chi2
+FROM c
+"""
+
+QUERIES["user_events_dispersion"] = user_events_dispersion
+ORACLE_SQL["user_events_dispersion"] = DISPERSION_SQL

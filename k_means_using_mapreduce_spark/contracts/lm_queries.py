@@ -282,3 +282,45 @@ FROM allscores GROUP BY doc_id
 
 QUERIES["kn_logprob_documents"] = kn_logprob_documents
 ORACLE_SQL["kn_logprob_documents"] = KN_LOGPROB_SQL
+
+
+def zipf_fit_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law slope of the corpus token-frequency curve
+    (operators/lm.py::zipf_fit)."""
+    from ..operators.lm import zipf_fit
+
+    return zipf_fit(load_table(spark, sf_dir, "documents"))
+
+
+ZIPF_SQL = f"""
+WITH counts AS (
+  SELECT token, CAST(count(*) AS DOUBLE) AS freq
+  FROM (SELECT unnest({sql_tokens('text')}) AS token FROM documents) t
+  GROUP BY 1
+),
+r AS (
+  SELECT ln(freq) AS y,
+         ln(CAST(row_number() OVER (ORDER BY freq DESC, token)
+                 AS DOUBLE)) AS x
+  FROM counts
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS vocab,
+         CAST(count(*) AS DOUBLE) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM r
+),
+c AS (
+  SELECT *,
+    (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0) AS slope
+  FROM s
+)
+SELECT vocab, slope, (sy - slope * sx) / n AS intercept,
+  ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+    / nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0.0) AS r2
+FROM c
+"""
+
+QUERIES["zipf_fit_documents"] = zipf_fit_documents
+ORACLE_SQL["zipf_fit_documents"] = ZIPF_SQL

@@ -602,3 +602,91 @@ def anova_oneway(
             )
         ).alias("eta2"),
     )
+
+
+def dispersion_test(df: DataFrame, key_col: str) -> DataFrame:
+    """Poisson overdispersion check on per-key event counts: the
+    variance-to-mean dispersion index D and the chi-square statistic
+    ``(n−1)·D`` (df = n−1). D ≈ 1 is Poisson-compatible; D ≫ 1 says
+    the counts are clumped (bursty users, bot traffic, hot sources) —
+    the modeling-assumption gate before any Poisson-based rate test.
+
+    One grouped count + one aggregate of ``(n, Σc, Σc²)``; the sample
+    variance uses the explicit-sums form ``(Σc² − (Σc)²/n)/(n−1)`` so
+    the SQL oracle shares the expression. Keys with zero rows do not
+    exist by construction (counts come from the data itself).
+
+    Returns one row ``(n_keys, mean, variance, dispersion, chi2)``;
+    NULLs when fewer than 2 keys.
+    """
+    c = (
+        df.where(F.col(key_col).isNotNull())
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    n = F.count(F.lit(1)).cast("double")
+    return c.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        (F.sum("c") / n).alias("mean"),
+        (
+            (F.sum(F.col("c") * F.col("c")) - F.sum("c") * F.sum("c") / n)
+            / F.nullif(n - F.lit(1.0), F.lit(0.0))
+        ).alias("variance"),
+        (
+            (
+                (F.sum(F.col("c") * F.col("c")) - F.sum("c") * F.sum("c") / n)
+                / F.nullif(n - F.lit(1.0), F.lit(0.0))
+            )
+            / F.nullif(F.sum("c") / n, F.lit(0.0))
+        ).alias("dispersion"),
+        (
+            (n - F.lit(1.0))
+            * (
+                (
+                    F.sum(F.col("c") * F.col("c"))
+                    - F.sum("c") * F.sum("c") / n
+                )
+                / F.nullif(n - F.lit(1.0), F.lit(0.0))
+            )
+            / F.nullif(F.sum("c") / n, F.lit(0.0))
+        ).alias("chi2"),
+    )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    correct_a,
+    correct_b,
+) -> DataFrame:
+    """McNemar's paired test: do two classifiers scored on the SAME
+    items disagree symmetrically? ``correct_a``/``correct_b`` are
+    boolean Columns (is each classifier right on this row); only the
+    discordant cells matter: ``b`` = A right & B wrong, ``c`` = A
+    wrong & B right, statistic ``(|b−c|−1)²/(b+c)`` (continuity-
+    corrected, df=1). The right test for "is the new quality filter
+    actually better" — marginal accuracies ignore pairing and
+    overstate certainty.
+
+    One conditional aggregate over the corpus; NULL statistic when
+    b + c = 0 (no disagreements — the test is undefined, not zero).
+
+    Returns one row ``(n, acc_a, acc_b, b_discordant, c_discordant,
+    mcnemar_chi2)``.
+    """
+    a = correct_a.cast("double")
+    bb = correct_b.cast("double")
+    n = F.count(F.lit(1)).cast("double")
+    b_cell = F.sum(a * (F.lit(1.0) - bb))
+    c_cell = F.sum((F.lit(1.0) - a) * bb)
+    return df.agg(
+        n.cast("long").alias("n"),
+        (F.sum(a) / n).alias("acc_a"),
+        (F.sum(bb) / n).alias("acc_b"),
+        b_cell.cast("long").alias("b_discordant"),
+        c_cell.cast("long").alias("c_discordant"),
+        (
+            (F.abs(b_cell - c_cell) - F.lit(1.0))
+            * (F.abs(b_cell - c_cell) - F.lit(1.0))
+            / F.nullif(b_cell + c_cell, F.lit(0.0))
+        ).alias("mcnemar_chi2"),
+    )

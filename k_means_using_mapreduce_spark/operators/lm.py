@@ -442,3 +442,80 @@ def score_documents_kn(
             F.avg("_lp").alias("avg_logprob"),
         )
     )
+
+
+def zipf_fit(
+    df: DataFrame, *, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """Zipf's-law fit over the corpus token frequencies: OLS of
+    ``ln(freq)`` on ``ln(rank)`` — a healthy natural-language corpus
+    slopes near −1; templated/boilerplate corpora flatten, gibberish
+    steepens. The one-number companion to the unigram model above.
+
+    Rank is frequency-descending with a deterministic token tie-break;
+    the window runs over the |vocab|-row frequency table (the corpus
+    itself is reduced by one token-keyed aggregation first, the same
+    shape as fit_unigram_model). ``min_count`` trims the hapax tail
+    where Zipf fits are known to bend.
+
+    Returns one row ``(vocab, slope, intercept, r2)``; slope/r2 NULL
+    for degenerate vocabularies (< 2 tokens).
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("double").alias("freq"))
+        .where(F.col("freq") >= min_count)
+    )
+    ranked = counts.select(
+        F.log("freq").alias("y"),
+        F.log(
+            F.row_number()
+            .over(
+                Window.orderBy(F.col("freq").desc(), F.col("token"))
+            )
+            .cast("double")
+        ).alias("x"),
+    )
+    n = F.count(F.lit(1)).cast("double")
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("vocab"),
+        (
+            (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y"))
+            / F.nullif(
+                n * F.sum(F.col("x") * F.col("x"))
+                - F.sum("x") * F.sum("x"),
+                F.lit(0.0),
+            )
+        ).alias("slope"),
+        F.sum("x").alias("_sx"),
+        F.sum("y").alias("_sy"),
+        (
+            (
+                (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y"))
+                * (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y"))
+            )
+            / F.nullif(
+                (
+                    n * F.sum(F.col("x") * F.col("x"))
+                    - F.sum("x") * F.sum("x")
+                )
+                * (
+                    n * F.sum(F.col("y") * F.col("y"))
+                    - F.sum("y") * F.sum("y")
+                ),
+                F.lit(0.0),
+            )
+        ).alias("r2"),
+    )
+    return s.select(
+        "vocab",
+        "slope",
+        (
+            (F.col("_sy") - F.col("slope") * F.col("_sx"))
+            / F.col("vocab").cast("double")
+        ).alias("intercept"),
+        "r2",
+    )

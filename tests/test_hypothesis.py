@@ -169,3 +169,53 @@ def test_anova_degenerate_is_null(spark):
         "g string, v double",
     )
     assert anova_oneway(const, "v", "g").collect()[0]["f_stat"] is None
+
+
+def test_dispersion_poisson_like_vs_clumped(spark):
+    from k_means_using_mapreduce_spark.operators.hypothesis import (
+        dispersion_test,
+    )
+
+    # equal counts per key: variance 0 -> dispersion 0 (underdispersed)
+    flat = spark.createDataFrame(
+        [(k,) for k in range(10) for _ in range(5)], "k int"
+    )
+    r = dispersion_test(flat, "k").collect()[0]
+    assert r["n_keys"] == 10
+    assert r["mean"] == pytest.approx(5.0)
+    assert r["dispersion"] == pytest.approx(0.0)
+
+    # one key hoards events: dispersion >> 1
+    clumped = spark.createDataFrame(
+        [(0,)] * 91 + [(k,) for k in range(1, 10)], "k int"
+    )
+    r2 = dispersion_test(clumped, "k").collect()[0]
+    assert r2["dispersion"] > 5.0
+    assert r2["chi2"] == pytest.approx(9.0 * r2["dispersion"])
+
+
+def test_mcnemar_hand_case_and_no_disagreement(spark):
+    from pyspark.sql import functions as F
+
+    from k_means_using_mapreduce_spark.operators.hypothesis import (
+        mcnemar_test,
+    )
+
+    # b=6 (A right, B wrong), c=2, concordant 12
+    rows = (
+        [(1, 1)] * 10 + [(0, 0)] * 2 + [(1, 0)] * 6 + [(0, 1)] * 2
+    )
+    df = spark.createDataFrame(rows, "a int, b int")
+    r = mcnemar_test(df, F.col("a") == 1, F.col("b") == 1).collect()[0]
+    assert (r["b_discordant"], r["c_discordant"]) == (6, 2)
+    assert r["mcnemar_chi2"] == pytest.approx((abs(6 - 2) - 1) ** 2 / 8.0)
+    assert r["acc_a"] == pytest.approx(16 / 20)
+
+    # perfect agreement: statistic undefined -> NULL
+    agree = spark.createDataFrame([(1, 1), (0, 0)], "a int, b int")
+    assert (
+        mcnemar_test(agree, F.col("a") == 1, F.col("b") == 1).collect()[0][
+            "mcnemar_chi2"
+        ]
+        is None
+    )

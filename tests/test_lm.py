@@ -253,3 +253,35 @@ def test_score_documents_kn_backoff_branches(spark):
     assert got[4]["avg_logprob"] < math.log(1e-9)  # floor territory
     with _pt.raises(ValueError, match="unseen_floor"):
         score_documents_kn(test, kn, unseen_floor=0.0)
+
+
+def test_zipf_fit_exact_power_law(spark):
+    from k_means_using_mapreduce_spark.operators.lm import zipf_fit
+
+    # construct a corpus whose token frequencies are freq_r = 64/r for
+    # ranks 1,2,4,8,...: exact slope -1 on the log-log line
+    words = []
+    for i in range(1, 7):  # freq_i = 60 / i at rank i: exact Zipf
+        words += [f"w{i}"] * (60 // i)
+    df = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id long, text string"
+    )
+    out = zipf_fit(df).collect()[0]
+    assert out["vocab"] == 6
+    assert out["slope"] == pytest.approx(-1.0)
+    assert out["r2"] == pytest.approx(1.0)
+
+
+def test_zipf_fit_min_count_and_degenerate(spark):
+    import pytest as _p
+
+    from k_means_using_mapreduce_spark.operators.lm import zipf_fit
+
+    df = spark.createDataFrame(
+        [(0, "a a a b")], "doc_id long, text string"
+    )
+    out = zipf_fit(df, min_count=2).collect()[0]
+    assert out["vocab"] == 1  # 'b' trimmed
+    assert out["slope"] is None  # single point: undefined
+    with _p.raises(ValueError):
+        zipf_fit(df, min_count=0)
