@@ -283,6 +283,7 @@ BENCH_QUERIES = [
     "zipf_fit_documents",
     "user_events_dispersion",
     "mcnemar_langid_vs_majority",
+    "qnorm_quality_by_source",
 ]
 
 KMEANS_FIT_K = 8

@@ -135,3 +135,56 @@ FROM hits GROUP BY 1, 2, 3
 
 QUERIES["conformal_value_band"] = conformal_value_band
 ORACLE_SQL["conformal_value_band"] = CONFORMAL_SQL
+
+
+def qnorm_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalize the quality score across sources, then show
+    the calibration effect per source: raw means differ, normalized
+    means align (operators/calibration.py::quantile_normalize)."""
+    from ..operators.calibration import quantile_normalize
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", quality_score("text").alias("score")
+    )
+    normed = quantile_normalize(docs, "score", "source")
+    return normed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("score").alias("mean_raw"),
+        F.avg("qnorm").alias("mean_qnorm"),
+    )
+
+
+_QN_GRID = 101
+_QN_FRACS = ", ".join(repr(i / (_QN_GRID - 1)) for i in range(_QN_GRID))
+
+QNORM_SQL = f"""
+WITH r AS MATERIALIZED (
+  SELECT source, CAST({sql_quality_score('text')} AS DOUBLE) AS v
+  FROM documents
+  WHERE source IS NOT NULL AND {sql_quality_score('text')} IS NOT NULL
+),
+g AS (SELECT quantile_cont(v, [{_QN_FRACS}]) AS q FROM r),
+p AS (
+  SELECT source, v,
+         percent_rank() OVER (PARTITION BY source ORDER BY v)
+           * {float(_QN_GRID - 1)!r} AS x
+  FROM r
+),
+i AS (
+  SELECT source, v, x,
+         CAST(least(floor(x), {_QN_GRID - 2}) AS INTEGER) AS idx
+  FROM p
+),
+n AS (
+  SELECT source, v,
+         q[idx + 1] + (x - CAST(idx AS DOUBLE))
+           * (q[idx + 2] - q[idx + 1]) AS qnorm
+  FROM i CROSS JOIN g
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       avg(v) AS mean_raw, avg(qnorm) AS mean_qnorm
+FROM n GROUP BY 1
+"""
+
+QUERIES["qnorm_quality_by_source"] = qnorm_quality_by_source
+ORACLE_SQL["qnorm_quality_by_source"] = QNORM_SQL

@@ -198,3 +198,65 @@ def conformal_coverage(
         F.sum(hit).cast("long").alias("covered"),
         (F.sum(hit) / F.count("*")).alias("coverage"),
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    *,
+    grid: int = 101,
+) -> DataFrame:
+    """Cross-group score calibration by quantile mapping: replace each
+    row's value with the GLOBAL quantile at that row's within-group
+    percent rank — after which every group's score distribution is the
+    same (the global one), so one threshold means one thing across
+    sources. The fix for "source A's quality 0.6 is source B's 0.8"
+    that a per-source z-score cannot deliver (z assumes gaussian;
+    quantile mapping is distribution-free).
+
+    The global quantile function is an exact ``grid``-point percentile
+    array (one aggregate, broadcast as a single row) with linear
+    interpolation between grid points — the same discretize-the-model
+    trade as the isotonic binning above, deterministic and engine-
+    portable. Within-group ranks are ``percent_rank()`` over a window
+    PARTITIONED by group (parallel; ties share a rank, single-row
+    groups get rank 0).
+
+    Scale: one percentile aggregate + one partitioned window + a
+    broadcast — nothing global-sorts raw rows.
+
+    Returns the input rows (NULL values dropped) plus ``qnorm``.
+    """
+    if grid < 3:
+        raise ValueError(f"grid must be >= 3, got {grid}")
+    v = F.col(value_col).cast("double")
+    rows = df.where(v.isNotNull() & F.col(group_col).isNotNull())
+    fracs = [i / (grid - 1) for i in range(grid)]
+    glob = rows.agg(
+        F.percentile(v, F.array(*[F.lit(p) for p in fracs])).alias("_q")
+    )
+    w = Window.partitionBy(group_col).orderBy(v)
+    x = F.percent_rank().over(w) * F.lit(float(grid - 1))
+    out = (
+        rows.withColumn("_x", x)
+        .crossJoin(F.broadcast(glob))
+        .withColumn(
+            "_i",
+            F.least(F.floor(F.col("_x")), F.lit(grid - 2)).cast("int"),
+        )
+        .withColumn(
+            "_f", F.col("_x") - F.col("_i").cast("double")
+        )
+        .withColumn(
+            "qnorm",
+            F.element_at("_q", F.col("_i") + 1)
+            + F.col("_f")
+            * (
+                F.element_at("_q", F.col("_i") + 2)
+                - F.element_at("_q", F.col("_i") + 1)
+            ),
+        )
+        .drop("_x", "_i", "_f", "_q")
+    )
+    return out

@@ -96,3 +96,60 @@ def test_guards(spark):
     empty = spark.createDataFrame([], "bin int, n long, max_score double, pos_rate double")
     with pytest.raises(ValueError, match="empty"):
         isotonic_fit(empty)
+
+
+def test_quantile_normalize_aligns_shifted_groups(spark):
+    from k_means_using_mapreduce_spark.operators.calibration import (
+        quantile_normalize,
+    )
+    from pyspark.sql import functions as F
+
+    # group b = group a + 100: same shape, shifted scale. After
+    # normalization both groups map onto the SAME global quantiles.
+    rows = [("a", float(i)) for i in range(50)]
+    rows += [("b", float(i) + 100.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = quantile_normalize(df, "v", "g")
+    stats = {
+        r["g"]: r
+        for r in out.groupBy("g")
+        .agg(F.avg("qnorm").alias("m"), F.min("qnorm").alias("lo"),
+             F.max("qnorm").alias("hi"))
+        .collect()
+    }
+    # identical within-group ranks -> identical normalized columns
+    assert stats["a"]["m"] == pytest.approx(stats["b"]["m"])
+    assert stats["a"]["lo"] == pytest.approx(stats["b"]["lo"])
+    assert stats["a"]["hi"] == pytest.approx(stats["b"]["hi"])
+    # range spans the global distribution [min, max] = [0, 149]
+    assert stats["a"]["lo"] == pytest.approx(0.0)
+    assert stats["a"]["hi"] == pytest.approx(149.0)
+
+
+def test_quantile_normalize_identity_single_group(spark):
+    from k_means_using_mapreduce_spark.operators.calibration import (
+        quantile_normalize,
+    )
+
+    # one group: percent_rank p maps back to the global quantile at p;
+    # on a uniform grid that's the value itself (within interpolation)
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(101)], "g string, v double"
+    )
+    out = quantile_normalize(df, "v", "g").collect()
+    for r in out:
+        assert r["qnorm"] == pytest.approx(r["v"], abs=1e-9)
+
+
+def test_quantile_normalize_guards(spark):
+    from k_means_using_mapreduce_spark.operators.calibration import (
+        quantile_normalize,
+    )
+
+    df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    with pytest.raises(ValueError):
+        quantile_normalize(df, "v", "g", grid=2)
+    # single-row group: percent_rank 0 -> global minimum, not an error
+    assert quantile_normalize(df, "v", "g").collect()[0][
+        "qnorm"
+    ] == pytest.approx(1.0)
