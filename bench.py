@@ -284,6 +284,7 @@ BENCH_QUERIES = [
     "user_events_dispersion",
     "mcnemar_langid_vs_majority",
     "qnorm_quality_by_source",
+    "purchase_distance_sssp",
 ]
 
 KMEANS_FIT_K = 8

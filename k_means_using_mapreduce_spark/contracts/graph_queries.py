@@ -537,3 +537,42 @@ SELECT node, CAST(min(hop) AS INTEGER) AS hop FROM hops GROUP BY 1
 
 QUERIES["user_bfs_hops"] = user_bfs_hops
 ORACLE_SQL["user_bfs_hops"] = BFS_SQL
+
+
+def purchase_distance_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest navigation distance from 'purchase' to every
+    event type over the transition graph (edge cost 1/n: frequent
+    hops are cheap), 4 Bellman-Ford rounds
+    (operators/graph.py::sssp_weighted)."""
+    from ..operators.graph import sssp_weighted, transition_edges
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = transition_edges(ev).select(
+        "src", "dst", (F.lit(1.0) / F.col("n").cast("double")).alias("w")
+    )
+    sources = spark.createDataFrame([("purchase",)], "node string")
+    return sssp_weighted(edges, sources, rounds=4)
+
+
+def _sssp_sql(rounds: int = 4) -> str:
+    parts = [
+        _EDGES_CTE.strip(),
+        """we AS MATERIALIZED (
+  SELECT src, dst, 1.0 / CAST(n AS DOUBLE) AS w FROM edges
+)""",
+        "d0 AS (SELECT 'purchase' AS node, 0.0 AS dist)",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(f"""d{k} AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d{k - 1}
+    UNION ALL
+    SELECT we.dst AS node, d{k - 1}.dist + we.w AS dist
+    FROM d{k - 1} JOIN we ON we.src = d{k - 1}.node
+  ) t GROUP BY 1
+)""")
+    return "WITH " + ",\n".join(parts) + f"\nSELECT node, dist FROM d{rounds}"
+
+
+QUERIES["purchase_distance_sssp"] = purchase_distance_sssp
+ORACLE_SQL["purchase_distance_sssp"] = _sssp_sql(4)

@@ -817,3 +817,63 @@ def bfs_hops(
         ).localCheckpoint()
         frontier = nxt
     return visited
+
+
+def sssp_weighted(
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    rounds: int = 4,
+    directed: bool = True,
+) -> DataFrame:
+    """Weighted single-source shortest paths, Bellman-Ford style with
+    a FIXED round budget: returns ``(node, dist)`` = the minimum path
+    cost from the source set using AT MOST ``rounds`` edges — a
+    well-defined result in itself (the k-hop cost horizon), and equal
+    to the true shortest distance once ``rounds`` ≥ the weighted-path
+    diameter. The weighted companion of :func:`bfs_hops`.
+
+    Each round relaxes every edge once: ``dist' = min(dist,
+    min_(u→v)(dist[u] + w))`` — one equi-join keyed by node + one
+    grouped min, localCheckpointed so lineage stays flat (the
+    pagerank/bfs doctrine). Unreachable-within-budget nodes are
+    absent, sources sit at 0. Weights may be any doubles; with
+    negative edges the k-edge-bounded semantics still hold (no
+    negative-cycle divergence inside a fixed budget).
+
+    Scale: per round, the frontier relation is |settled nodes| rows
+    joined against |E| — both keyed shuffles; rounds are bounded by
+    construction.
+    """
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    e = edges.select(
+        F.col(src_col).alias("u"),
+        F.col(dst_col).alias("v"),
+        F.col(weight_col).cast("double").alias("w"),
+    )
+    if not directed:
+        e = e.union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+        )
+    dist = (
+        sources.toDF("node")
+        .distinct()
+        .select("node", F.lit(0.0).alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        relaxed = dist.join(e, dist["node"] == e["u"]).select(
+            F.col("v").alias("node"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+        )
+        dist = (
+            dist.union(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist

@@ -259,3 +259,48 @@ def test_markov_sequence_scores_hand_computed(spark):
     assert out[2]["n_transitions"] == 3
     lp2 = math.log(2 / 3) + math.log(1.0) + math.log(1 / 3)
     assert out[2]["logprob_sum"] == pytest.approx(lp2)
+
+
+def test_sssp_weighted_chain_and_budget(spark):
+    from k_means_using_mapreduce_spark.operators.graph import sssp_weighted
+
+    # a -1.0-> b -1.0-> c -1.0-> d, plus a costly shortcut a -10-> d
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0), ("c", "d", 1.0),
+         ("a", "d", 10.0)],
+        "src string, dst string, w double",
+    )
+    src = spark.createDataFrame([("a",)], "node string")
+    full = {
+        r["node"]: r["dist"]
+        for r in sssp_weighted(edges, src, rounds=4).collect()
+    }
+    assert full == {"a": 0.0, "b": 1.0, "c": 2.0, "d": 3.0}
+    # with a 1-edge budget, d is only reachable via the shortcut
+    one = {
+        r["node"]: r["dist"]
+        for r in sssp_weighted(edges, src, rounds=1).collect()
+    }
+    assert one["d"] == 10.0 and one["b"] == 1.0 and "c" not in one
+
+
+def test_sssp_undirected_and_guards(spark):
+    from k_means_using_mapreduce_spark.operators.graph import sssp_weighted
+
+    edges = spark.createDataFrame(
+        [("x", "y", 2.0)], "src string, dst string, w double"
+    )
+    src = spark.createDataFrame([("y",)], "node string")
+    # directed: nothing leaves y; undirected: x at 2.0
+    assert len(sssp_weighted(edges, src, rounds=3).collect()) == 1
+    und = {
+        r["node"]: r["dist"]
+        for r in sssp_weighted(
+            edges, src, rounds=3, directed=False
+        ).collect()
+    }
+    assert und["x"] == 2.0
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        sssp_weighted(edges, src, rounds=-1)
