@@ -285,6 +285,7 @@ BENCH_QUERIES = [
     "mcnemar_langid_vs_majority",
     "qnorm_quality_by_source",
     "purchase_distance_sssp",
+    "spectral_token_loading_documents",
 ]
 
 KMEANS_FIT_K = 8

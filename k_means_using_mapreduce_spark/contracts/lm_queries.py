@@ -324,3 +324,54 @@ FROM c
 
 QUERIES["zipf_fit_documents"] = zipf_fit_documents
 ORACLE_SQL["zipf_fit_documents"] = ZIPF_SQL
+
+
+def spectral_token_loading_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dominant PPMI eigenvector by 5 power-iteration rounds — 1-D
+    spectral embedding of the vocabulary
+    (operators/lm.py::spectral_token_loading)."""
+    from ..operators.lm import spectral_token_loading
+
+    return spectral_token_loading(
+        load_table(spark, sf_dir, "documents"), iters=5, min_count=5
+    )
+
+
+def _spectral_sql(iters: int = 5) -> str:
+    parts = [
+        f"colloc AS MATERIALIZED ({COLLOCATIONS_SQL})",
+        """m0 AS (
+  SELECT w1, w2, greatest(pmi, 0.0) AS m FROM colloc
+  WHERE greatest(pmi, 0.0) > 0
+)""",
+        """msym AS MATERIALIZED (
+  SELECT u, v, sum(m) AS m FROM (
+    SELECT w1 AS u, w2 AS v, m FROM m0
+    UNION ALL
+    SELECT w2 AS u, w1 AS v, m FROM m0
+  ) t GROUP BY 1, 2
+)""",
+        "v0 AS MATERIALIZED (SELECT DISTINCT u AS token, 1.0 AS x FROM msym)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(f"""mv{k} AS MATERIALIZED (
+  SELECT msym.u AS token, sum(msym.m * v{k - 1}.x) AS x
+  FROM msym JOIN v{k - 1} ON msym.v = v{k - 1}.token
+  GROUP BY 1
+)""")
+        parts.append(f"""v{k} AS MATERIALIZED (
+  SELECT token,
+         x / nullif((SELECT sqrt(sum(x * x)) FROM mv{k}), 0.0) AS x
+  FROM mv{k}
+)""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT token, x AS loading FROM v{iters}"
+    )
+
+
+QUERIES["spectral_token_loading_documents"] = spectral_token_loading_documents
+ORACLE_SQL["spectral_token_loading_documents"] = _spectral_sql(5)

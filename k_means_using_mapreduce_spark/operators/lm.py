@@ -519,3 +519,81 @@ def zipf_fit(
         ).alias("intercept"),
         "r2",
     )
+
+
+def spectral_token_loading(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    iters: int = 5,
+    min_count: int = 5,
+) -> DataFrame:
+    """One-dimensional spectral embedding of the vocabulary: the
+    dominant eigenvector of the symmetrized PPMI co-occurrence matrix
+    by power iteration — the first axis every PMI-SVD embedding
+    (word2vec's implicit factorization, Levy & Goldberg 2014) would
+    produce, computed with joins instead of a linear-algebra runtime.
+
+    Matrix: the :func:`collocations` bigram PMI table clipped at zero
+    (PPMI), symmetrized by summing both directions — one shared pair
+    pass with identical margin conventions. Iteration: ``v ← M·v / ‖M·v‖`` — one token-keyed
+    join + grouped sum (the matvec) and a 1-row norm broadcast per
+    round, lineage kept flat with localCheckpoint (pagerank doctrine).
+    From the uniform positive start, Perron-Frobenius keeps every
+    iterate non-negative — no eigenvector sign ambiguity.
+
+    Scale: M has |surviving bigrams|·2 rows keyed by token; each round
+    shuffles |vocab| partial sums. ``iters`` is the accuracy knob
+    (gap^iters convergence), not a data knob.
+
+    Returns ``(token, loading)`` over tokens incident to M; loadings
+    are the unit eigenvector entries (larger = more central to the
+    corpus's strongest co-occurrence structure).
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    # the PPMI weights ARE the collocation scores clipped at zero —
+    # one shared pair pass, identical margins convention (and the
+    # contract reuses COLLOCATIONS_SQL verbatim for the matrix CTE)
+    ppmi = (
+        collocations(df, text_col=text_col, min_count=min_count)
+        .select(
+            "w1", "w2", F.greatest(F.col("pmi"), F.lit(0.0)).alias("m")
+        )
+        .where(F.col("m") > 0)
+    )
+    msym = (
+        ppmi.select(F.col("w1").alias("u"), F.col("w2").alias("v"), "m")
+        .union(
+            ppmi.select(F.col("w2").alias("u"), F.col("w1").alias("v"), "m")
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("m").alias("m"))
+        .localCheckpoint(eager=True)
+    )
+    vec = (
+        msym.select(F.col("u").alias("token"))
+        .distinct()
+        .select("token", F.lit(1.0).alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        mv = (
+            msym.join(vec, msym["v"] == vec["token"])
+            .groupBy(F.col("u").alias("token"))
+            .agg(F.sum(F.col("m") * F.col("x")).alias("x"))
+        )
+        norm = mv.agg(
+            F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm")
+        )
+        vec = (
+            mv.crossJoin(F.broadcast(norm))
+            .select(
+                "token",
+                (F.col("x") / F.nullif(F.col("nrm"), F.lit(0.0))).alias("x"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return vec.select("token", F.col("x").alias("loading"))

@@ -285,3 +285,61 @@ def test_zipf_fit_min_count_and_degenerate(spark):
     assert out["slope"] is None  # single point: undefined
     with _p.raises(ValueError):
         zipf_fit(df, min_count=0)
+
+
+def test_spectral_loading_is_dominant_eigenvector(spark):
+    import numpy as np
+
+    from k_means_using_mapreduce_spark.operators.lm import (
+        spectral_token_loading,
+    )
+
+    # two word communities with heavy in-community adjacency; the
+    # dominant eigenvector concentrates on the denser community
+    docs = []
+    for i in range(30):
+        docs.append((i, "alpha beta alpha beta alpha beta"))
+    for i in range(30, 40):
+        docs.append((i, "gamma delta gamma delta"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["token"]: r["loading"]
+        for r in spectral_token_loading(df, iters=8, min_count=2).collect()
+    }
+    # Perron-Frobenius: all loadings non-negative; unit norm
+    assert all(v >= 0 for v in out.values())
+    assert sum(v * v for v in out.values()) == pytest.approx(1.0)
+
+    # numpy reference on the same PPMI matrix (built from the operator
+    # contract: collocations clipped at 0, symmetrized)
+    from k_means_using_mapreduce_spark.operators.lm import collocations
+
+    col = collocations(df, min_count=2).collect()
+    toks = sorted(out)
+    idx = {t: i for i, t in enumerate(toks)}
+    M = np.zeros((len(toks), len(toks)))
+    for r in col:
+        m = max(r["pmi"], 0.0)
+        if m > 0 and r["w1"] in idx and r["w2"] in idx:
+            M[idx[r["w1"]], idx[r["w2"]]] += m
+            M[idx[r["w2"]], idx[r["w1"]]] += m
+    v = np.ones(len(toks))
+    for _ in range(8):
+        v = M @ v
+        v = v / np.linalg.norm(v)
+    for t in toks:
+        assert out[t] == pytest.approx(v[idx[t]], abs=1e-9)
+
+
+def test_spectral_loading_guards(spark):
+    import pytest as _p
+
+    from k_means_using_mapreduce_spark.operators.lm import (
+        spectral_token_loading,
+    )
+
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with _p.raises(ValueError):
+        spectral_token_loading(df, iters=0)
+    # nothing survives min_count: empty result, no crash
+    assert spectral_token_loading(df, min_count=5).count() == 0
