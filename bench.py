@@ -286,6 +286,7 @@ BENCH_QUERIES = [
     "qnorm_quality_by_source",
     "purchase_distance_sssp",
     "spectral_token_loading_documents",
+    "price_quantity_frontier",
 ]
 
 KMEANS_FIT_K = 8

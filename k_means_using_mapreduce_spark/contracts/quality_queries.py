@@ -298,3 +298,37 @@ QUERIES["corr_matrix_lineitem"] = corr_matrix_lineitem
 ORACLE_SQL["corr_matrix_lineitem"] = _corr_sql(spearman=False)
 QUERIES["spearman_matrix_lineitem"] = spearman_matrix_lineitem
 ORACLE_SQL["spearman_matrix_lineitem"] = _corr_sql(spearman=True)
+
+
+def price_quantity_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of (quantity, extendedprice): line items not
+    dominated on both axes (operators/quality.py::pareto_frontier)."""
+    from ..operators.quality import pareto_frontier
+
+    return pareto_frontier(
+        load_table(spark, sf_dir, "lineitem"), "l_quantity", "l_extendedprice"
+    )
+
+
+FRONTIER_SQL = """
+WITH pairs AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS x,
+         CAST(l_extendedprice AS DOUBLE) AS y,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+  GROUP BY 1, 2
+),
+w AS (
+  SELECT x, y, n_rows,
+         max(y) OVER (ORDER BY x DESC, y DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM pairs
+)
+SELECT x AS l_quantity, y AS l_extendedprice, n_rows
+FROM w WHERE prev_max IS NULL OR prev_max < y
+"""
+
+QUERIES["price_quantity_frontier"] = price_quantity_frontier
+ORACLE_SQL["price_quantity_frontier"] = FRONTIER_SQL

@@ -385,3 +385,61 @@ def correlation_matrix(
         ).alias("r")
     )
     return out.select("r.col_x", "r.col_y", "r.n", "r.corr")
+
+
+def pareto_frontier(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    directions: "tuple[str, str]" = ("max", "max"),
+) -> DataFrame:
+    """2-D skyline: the value pairs not dominated by any other pair
+    (``(x', y')`` dominates ``(x, y)`` when it is ≥ on both axes and
+    strictly better on at least one). The classic multi-criteria
+    shortlist operator — "largest order at the earliest date",
+    "highest quality at the lowest duplication" — that a top-k on
+    either axis alone cannot answer.
+
+    Algorithm: reduce to DISTINCT pairs with row counts (one grouped
+    aggregate — the corpus never sorts), then one ordered window over
+    the |distinct|-row table: sorted by (x desc, y desc), a pair is
+    dominated iff some earlier pair's y ≥ its y (earlier = strictly
+    better x, or equal x with strictly better y — exactly the
+    dominance cases; exact duplicates are collapsed by the distinct so
+    they cannot shadow each other). ``directions`` flips either axis
+    to ``'min'`` by negating it internally; outputs keep original
+    values.
+
+    Returns frontier rows ``(x, y, n_rows)`` named after the inputs.
+    """
+    for d in directions:
+        if d not in ("max", "min"):
+            raise ValueError(f"directions must be max|min, got {d!r}")
+    from pyspark.sql.window import Window
+
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    sx = x if directions[0] == "max" else -x
+    sy = y if directions[1] == "max" else -y
+    pairs = (
+        df.where(x.isNotNull() & y.isNotNull())
+        .groupBy(
+            sx.alias("_sx"),
+            sy.alias("_sy"),
+            x.alias(x_col),
+            y.alias(y_col),
+        )
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    w = Window.orderBy(F.col("_sx").desc(), F.col("_sy").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        pairs.withColumn("_prev_max", F.max("_sy").over(w))
+        .where(
+            F.col("_prev_max").isNull()
+            | (F.col("_prev_max") < F.col("_sy"))
+        )
+        .select(x_col, y_col, "n_rows")
+    )

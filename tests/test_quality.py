@@ -215,3 +215,47 @@ def test_correlation_matrix_null_rows_and_guards(spark):
         [(1.0, 5.0), (2.0, 5.0)], "a double, b double"
     )
     assert correlation_matrix(cdf, ["a", "b"]).collect()[0]["corr"] is None
+
+
+def test_pareto_frontier_hand_case(spark):
+    from k_means_using_mapreduce_spark.operators.quality import (
+        pareto_frontier,
+    )
+
+    # points: (1,5) (2,4) (2,6) (3,3) (3,3) dup, (0,9)
+    df = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 4.0), (2.0, 6.0), (3.0, 3.0), (3.0, 3.0),
+         (0.0, 9.0)],
+        "x double, y double",
+    )
+    out = {
+        (r["x"], r["y"]): r["n_rows"]
+        for r in pareto_frontier(df, "x", "y").collect()
+    }
+    # frontier: (3,3) [best x], (2,6), (0,9); (1,5) dominated by (2,6),
+    # (2,4) dominated by (2,6)
+    assert out == {(3.0, 3.0): 2, (2.0, 6.0): 1, (0.0, 9.0): 1}
+
+
+def test_pareto_frontier_min_direction_and_guard(spark):
+    from k_means_using_mapreduce_spark.operators.quality import (
+        pareto_frontier,
+    )
+
+    # minimize x, maximize y: mirror of the hand case on x
+    df = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 6.0), (0.0, 2.0)], "x double, y double"
+    )
+    out = {
+        (r["x"], r["y"])
+        for r in pareto_frontier(
+            df, "x", "y", directions=("min", "max")
+        ).collect()
+    }
+    # nothing dominates anything: (0,2) has best x, (2,6) best y,
+    # (1,5) beats (0,2) on y and (2,6) on x
+    assert out == {(0.0, 2.0), (1.0, 5.0), (2.0, 6.0)}
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        pareto_frontier(df, "x", "y", directions=("up", "max"))
