@@ -287,6 +287,7 @@ BENCH_QUERIES = [
     "purchase_distance_sssp",
     "spectral_token_loading_documents",
     "price_quantity_frontier",
+    "wasserstein_price_by_flag",
 ]
 
 KMEANS_FIT_K = 8

@@ -572,3 +572,55 @@ FROM groups
 
 QUERIES["l_diversity_events"] = l_diversity_events
 ORACLE_SQL["l_diversity_events"] = L_DIVERSITY_SQL
+
+
+def wasserstein_price_by_flag(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Earth-mover distance of each return flag's price distribution
+    from the global one, in (floored) dollars
+    (operators/cleaning.py::wasserstein_to_global)."""
+    from ..operators.cleaning import wasserstein_to_global
+
+    return wasserstein_to_global(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        "l_returnflag",
+        quantize=0,
+    )
+
+
+WASSERSTEIN_SQL = """
+WITH rows0 AS (
+  SELECT l_returnflag AS g,
+         floor(CAST(l_extendedprice AS DOUBLE) * 1.0) / 1.0 AS v
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+),
+cnt AS MATERIALIZED (
+  SELECT g, v, CAST(count(*) AS DOUBLE) AS c FROM rows0 GROUP BY 1, 2
+),
+gval AS MATERIALIZED (SELECT v, sum(c) AS gc FROM cnt GROUP BY 1),
+ng AS (SELECT g, sum(c) AS n FROM cnt GROUP BY 1),
+tot AS (SELECT sum(gc) AS nn FROM gval),
+grid AS (
+  SELECT ng.g, gval.v, ng.n, gval.gc, coalesce(cnt.c, 0.0) AS c
+  FROM ng CROSS JOIN gval
+  LEFT JOIN cnt ON cnt.g = ng.g AND cnt.v = gval.v
+),
+stepped AS (
+  SELECT g, n,
+    abs(sum(c) OVER w / n - sum(gc) OVER w / (SELECT nn FROM tot))
+      AS gap,
+    coalesce(lead(v) OVER (PARTITION BY g ORDER BY v), v) - v AS dv
+  FROM grid
+  WINDOW w AS (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT g AS l_returnflag, CAST(any_value(n) AS BIGINT) AS n,
+       sum(gap * dv) AS w1
+FROM stepped GROUP BY 1
+"""
+
+QUERIES["wasserstein_price_by_flag"] = wasserstein_price_by_flag
+ORACLE_SQL["wasserstein_price_by_flag"] = WASSERSTEIN_SQL

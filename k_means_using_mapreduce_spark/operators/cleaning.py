@@ -847,3 +847,78 @@ def l_diversity_report(
         F.sum(F.when(viol, F.col("n")).otherwise(0)).alias("violating_rows"),
         F.min("n_distinct").alias("min_distinct"),
     )
+
+
+def wasserstein_to_global(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    *,
+    quantize: int | None = 4,
+) -> DataFrame:
+    """Earth-mover (Wasserstein-1) distance between each group's value
+    distribution and the GLOBAL one — drift measured in the VALUE'S
+    OWN UNITS (``W1 = ∫|F_g − F| dv``), where PSI/KL (:func:`psi_drift`)
+    answer in unitless bin-mass terms and KS only reports the worst
+    single gap. "Source X's prices sit $120 away from the corpus" is a
+    W1 statement.
+
+    Exact piecewise computation over the distinct-value grid: one
+    (group, value) count aggregate (the corpus reduces here), the
+    global counts DERIVED from it (no second scan), a
+    groups×|distinct| grid via cross join, per-group cumulative
+    windows (partitioned — parallel), and ``Σ |F_g − F|·Δv``.
+    ``quantize`` floors values to that many decimals first
+    (``floor(v·10^q)/10^q`` — floor, not round, so both engines
+    quantize identically); it bounds |distinct| at scale. ``None``
+    keeps raw values (exact, unbounded grid).
+
+    Returns one row per group: ``(group, n, w1)``.
+    """
+    v = F.col(value_col).cast("double")
+    if quantize is not None:
+        if quantize < 0:
+            raise ValueError(f"quantize must be >= 0, got {quantize}")
+        scale = float(10**quantize)
+        v = F.floor(v * F.lit(scale)) / F.lit(scale)
+    from pyspark.sql.window import Window
+
+    rows = df.where(
+        v.isNotNull() & F.col(group_col).isNotNull()
+    ).select(F.col(group_col).alias("g"), v.alias("v"))
+    cnt = rows.groupBy("g", "v").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    gval = cnt.groupBy("v").agg(F.sum("c").alias("gc"))
+    ng = cnt.groupBy("g").agg(F.sum("c").alias("n"))
+    tot = gval.agg(F.sum("gc").alias("nn"))
+    grid = (
+        ng.crossJoin(gval)
+        .join(cnt, ["g", "v"], "left")
+        .select(
+            "g",
+            "v",
+            "n",
+            "gc",
+            F.coalesce(F.col("c"), F.lit(0.0)).alias("c"),
+        )
+    )
+    wg = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    nxt = Window.partitionBy("g").orderBy("v")
+    stepped = grid.crossJoin(F.broadcast(tot)).select(
+        "g",
+        "n",
+        F.abs(
+            F.sum("c").over(wg) / F.col("n")
+            - F.sum("gc").over(wg) / F.col("nn")
+        ).alias("gap"),
+        (F.coalesce(F.lead("v").over(nxt), F.col("v")) - F.col("v")).alias(
+            "dv"
+        ),
+    )
+    return stepped.groupBy("g").agg(
+        F.first("n").cast("long").alias("n"),
+        F.sum(F.col("gap") * F.col("dv")).alias("w1"),
+    ).withColumnRenamed("g", group_col)

@@ -580,3 +580,46 @@ def test_k_anonymity_report_closed_form(spark):
     assert clean["violating_groups"] == 0 and clean["max_violating_n"] == 0
     with _pt.raises(ValueError, match="k must"):
         k_anonymity_report(df, ["t"], k=1)
+
+
+def test_wasserstein_shifted_uniform_is_the_shift(spark):
+    from k_means_using_mapreduce_spark.operators.cleaning import (
+        wasserstein_to_global,
+    )
+
+    # group a: uniform on {0..9}; group b: the same + 10. The global
+    # is the 50/50 mixture; each group's W1 to the mixture is half the
+    # shift = 5.0
+    rows = [("a", float(i)) for i in range(10)]
+    rows += [("b", float(i) + 10.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {
+        r["g"]: r["w1"]
+        for r in wasserstein_to_global(df, "v", "g", quantize=None).collect()
+    }
+    assert out["a"] == pytest.approx(5.0)
+    assert out["b"] == pytest.approx(5.0)
+
+
+def test_wasserstein_identical_groups_zero(spark):
+    from k_means_using_mapreduce_spark.operators.cleaning import (
+        wasserstein_to_global,
+    )
+
+    rows = [(g, float(i % 7)) for g in ("a", "b") for i in range(21)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    for r in wasserstein_to_global(df, "v", "g", quantize=None).collect():
+        assert r["w1"] == pytest.approx(0.0, abs=1e-12)
+        assert r["n"] == 21
+
+
+def test_wasserstein_quantize_guard(spark):
+    import pytest as _p
+
+    from k_means_using_mapreduce_spark.operators.cleaning import (
+        wasserstein_to_global,
+    )
+
+    df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    with _p.raises(ValueError):
+        wasserstein_to_global(df, "v", "g", quantize=-1)
