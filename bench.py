@@ -288,6 +288,7 @@ BENCH_QUERIES = [
     "spectral_token_loading_documents",
     "price_quantity_frontier",
     "wasserstein_price_by_flag",
+    "cohort_ltv_events",
 ]
 
 KMEANS_FIT_K = 8

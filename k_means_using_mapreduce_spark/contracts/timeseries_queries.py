@@ -962,3 +962,46 @@ FROM g
 
 QUERIES["growth_accounting_events"] = growth_accounting_events
 ORACLE_SQL["growth_accounting_events"] = GROWTH_SQL
+
+
+_WEEK_US = 604_800_000_000
+
+
+def cohort_ltv_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-cohort cumulative value per member
+    (operators/timeseries.py::cohort_ltv)."""
+    from ..operators.timeseries import cohort_ltv
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", ns_to_timestamp("ts")
+    )
+    return cohort_ltv(ev, unit="week")
+
+
+COHORT_LTV_SQL = f"""
+WITH rows0 AS (
+  SELECT user_id AS u,
+         epoch_us(ts) - epoch_us(ts) % {_WEEK_US} AS b,
+         coalesce(CAST(value AS DOUBLE), 0.0) AS v
+  FROM events WHERE user_id IS NOT NULL
+),
+first AS (SELECT u, min(b) AS cohort FROM rows0 GROUP BY 1),
+sized AS (
+  SELECT cohort, CAST(count(*) AS DOUBLE) AS n_users FROM first GROUP BY 1
+),
+aged AS (
+  SELECT cohort, (b - cohort) // {_WEEK_US} AS age,
+         sum(v) AS period_value
+  FROM rows0 JOIN first USING (u)
+  GROUP BY 1, 2
+)
+SELECT cohort, age, CAST(n_users AS BIGINT) AS n_users, period_value,
+  sum(period_value) OVER (
+    PARTITION BY cohort ORDER BY age
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) / n_users AS cum_value_per_user
+FROM aged JOIN sized USING (cohort)
+"""
+
+QUERIES["cohort_ltv_events"] = cohort_ltv_events
+ORACLE_SQL["cohort_ltv_events"] = COHORT_LTV_SQL

@@ -1026,3 +1026,70 @@ def growth_accounting(
             - F.col("churned_rev")
         ).alias("net_change"),
     )
+
+
+def cohort_ltv(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    unit: str = "week",
+) -> DataFrame:
+    """Cohort lifetime-value curve: for each signup cohort (a user's
+    first-activity bucket) and each age (whole units since signup),
+    the CUMULATIVE value per cohort member so far — the "when does a
+    cohort pay back" curve that :func:`retention_cohorts` cannot
+    answer because it weights users by presence, not value.
+
+    Same epoch-anchored µs bucketing and plan skeleton as
+    retention_cohorts (modulo on unix micros — NOT date_trunc, see the
+    module header): per-user min bucket for the cohort (one user-keyed
+    exchange), a (cohort, age) value sum, a broadcast of the tiny
+    cohort-size table, and one cumulative window over the (cohort ×
+    age) table. Cohort size counts EVERY member — inactive users still
+    dilute the per-member average; that is the point. NULL values
+    count 0 toward value but DO mark activity.
+
+    Timestamps must be real timestamps (ns_to_timestamp first for the
+    bigint-ns convention). Returns ``(cohort, age, n_users,
+    period_value, cum_value_per_user)`` with cohort as the bucket's
+    epoch-µs start.
+    """
+    if unit not in _UNIT_US:
+        raise ValueError(f"unit must be one of {sorted(_UNIT_US)}, got {unit!r}")
+    unit_us = _UNIT_US[unit]
+    us = F.unix_micros(F.col(ts_col))
+    rows = events.where(F.col(user_col).isNotNull()).select(
+        F.col(user_col).alias("u"),
+        (us - us % F.lit(unit_us)).alias("b"),
+        F.coalesce(F.col(value_col).cast("double"), F.lit(0.0)).alias("v"),
+    )
+    first = rows.groupBy("u").agg(F.min("b").alias("cohort"))
+    sized = first.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("double").alias("n_users")
+    )
+    aged = (
+        rows.join(first, "u")
+        .groupBy(
+            "cohort",
+            ((F.col("b") - F.col("cohort")) / F.lit(unit_us))
+            .cast("long")
+            .alias("age"),
+        )
+        .agg(F.sum("v").alias("period_value"))
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return aged.join(F.broadcast(sized), "cohort").select(
+        "cohort",
+        "age",
+        F.col("n_users").cast("long").alias("n_users"),
+        "period_value",
+        (F.sum("period_value").over(w) / F.col("n_users")).alias(
+            "cum_value_per_user"
+        ),
+    )

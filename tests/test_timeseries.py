@@ -341,3 +341,56 @@ def test_locf_tie_break_by_event_id(spark):
     )
     out = resample_locf(ev).collect()
     assert len(out) == 1 and out[0]["value"] == 2.0
+
+
+def test_cohort_ltv_hand_case(spark):
+    from k_means_using_mapreduce_spark.operators.timeseries import (
+        cohort_ltv,
+    )
+
+    # day units. users A,B join day 0 (cohort 0); A spends 10 on day 0
+    # and 6 on day 2; B spends 4 on day 0 and is then inactive.
+    day = 86_400_000_000
+    rows = [
+        ("A", 0, 10.0), ("A", 2 * day, 6.0), ("B", 0, 4.0),
+        ("C", day, 8.0),  # second cohort, single member
+    ]
+    df = spark.createDataFrame(
+        [(u, t, v) for u, t, v in rows], "user_id string, us long, value double"
+    )
+    from pyspark.sql import functions as F
+
+    df = df.withColumn("ts", F.timestamp_micros(F.col("us")))
+    out = {
+        (r["cohort"], r["age"]): r
+        for r in cohort_ltv(df, unit="day").collect()
+    }
+    c0 = out[(0, 0)]
+    assert c0["n_users"] == 2
+    assert c0["period_value"] == pytest.approx(14.0)
+    assert c0["cum_value_per_user"] == pytest.approx(7.0)
+    c0a2 = out[(0, 2)]
+    assert c0a2["period_value"] == pytest.approx(6.0)
+    # cumulative: (14 + 6) / 2 members = 10 per user
+    assert c0a2["cum_value_per_user"] == pytest.approx(10.0)
+    assert out[(day, 0)]["n_users"] == 1
+    assert out[(day, 0)]["cum_value_per_user"] == pytest.approx(8.0)
+
+
+def test_cohort_ltv_null_value_counts_activity(spark):
+    from pyspark.sql import functions as F
+
+    from k_means_using_mapreduce_spark.operators.timeseries import (
+        cohort_ltv,
+    )
+
+    df = spark.createDataFrame(
+        [("A", 0, None)], "user_id string, us long, value double"
+    ).withColumn("ts", F.timestamp_micros(F.col("us")))
+    r = cohort_ltv(df, unit="day").collect()[0]
+    assert r["period_value"] == pytest.approx(0.0)
+    assert r["n_users"] == 1
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        cohort_ltv(df, unit="year")
