@@ -289,6 +289,7 @@ BENCH_QUERIES = [
     "price_quantity_frontier",
     "wasserstein_price_by_flag",
     "cohort_ltv_events",
+    "revenue_bridge_1995_1996",
 ]
 
 KMEANS_FIT_K = 8

@@ -1005,3 +1005,57 @@ FROM aged JOIN sized USING (cohort)
 
 QUERIES["cohort_ltv_events"] = cohort_ltv_events
 ORACLE_SQL["cohort_ltv_events"] = COHORT_LTV_SQL
+
+
+def revenue_bridge_1995_1996(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume-mix bridge of lineitem revenue from ship-year 1995
+    to 1996 per return flag (operators/timeseries.py::price_volume_mix)."""
+    from ..operators.timeseries import price_volume_mix
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return price_volume_mix(
+        li.where(F.year("l_shipdate") == 1995),
+        li.where(F.year("l_shipdate") == 1996),
+        ["l_returnflag"],
+        qty_col="l_quantity",
+        revenue_col="l_extendedprice",
+    )
+
+
+PVM_SQL = """
+WITH s0 AS (
+  SELECT l_returnflag, CAST(sum(l_quantity) AS DOUBLE) AS q0,
+         CAST(sum(l_extendedprice) AS DOUBLE) AS r0
+  FROM lineitem WHERE year(l_shipdate) = 1995 GROUP BY 1
+),
+s1 AS (
+  SELECT l_returnflag, CAST(sum(l_quantity) AS DOUBLE) AS q1,
+         CAST(sum(l_extendedprice) AS DOUBLE) AS r1
+  FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY 1
+),
+j AS (SELECT * FROM s0 FULL OUTER JOIN s1 USING (l_returnflag)),
+f AS (
+  SELECT *,
+    r0 IS NOT NULL AND r1 IS NOT NULL AND q0 IS NOT NULL
+      AND q1 IS NOT NULL AND q0 <> 0 AND q1 <> 0 AS ok,
+    r0 IS NOT NULL AND r1 IS NOT NULL AS both_present
+  FROM j
+)
+SELECT l_returnflag, q0, q1, r0, r1,
+  coalesce(r1, 0.0) - coalesce(r0, 0.0) AS d_revenue,
+  CASE WHEN ok THEN (q1 - q0) * (r0 / q0) ELSE 0.0 END AS volume_effect,
+  CASE WHEN ok THEN (r1 / q1 - r0 / q0) * q0 ELSE 0.0 END
+    AS price_effect,
+  CASE WHEN ok THEN (q1 - q0) * (r1 / q1 - r0 / q0)
+       WHEN both_present AND NOT ok
+       THEN coalesce(r1, 0.0) - coalesce(r0, 0.0)
+       ELSE 0.0 END AS mix_effect,
+  CASE WHEN r0 IS NULL AND r1 IS NOT NULL THEN r1 ELSE 0.0 END
+    AS new_effect,
+  CASE WHEN r0 IS NOT NULL AND r1 IS NULL THEN -r0 ELSE 0.0 END
+    AS gone_effect
+FROM f
+"""
+
+QUERIES["revenue_bridge_1995_1996"] = revenue_bridge_1995_1996
+ORACLE_SQL["revenue_bridge_1995_1996"] = PVM_SQL

@@ -1093,3 +1093,83 @@ def cohort_ltv(
             "cum_value_per_user"
         ),
     )
+
+
+def price_volume_mix(
+    old: DataFrame,
+    new: DataFrame,
+    group_cols: "list[str]",
+    *,
+    qty_col: str,
+    revenue_col: str,
+) -> DataFrame:
+    """Price-volume-mix bridge: decompose the revenue change between
+    two periods into the three classic effects per group —
+    ``volume = Δq·p₀``, ``price = Δp·q₀``, ``mix = Δq·Δp`` (prices are
+    revenue/quantity unit values) — with the exact identity
+    ``Δrevenue = volume + price + mix`` for groups present in both
+    periods. The FP&A "why did revenue move" question as one query.
+
+    Groups only in ``new`` report the whole change as ``new_effect``
+    (no base price exists to split against); groups only in ``old``
+    as ``gone_effect = −r₀``. The per-group identity then extends to
+    the total: ``Σ Δrevenue = Σ(volume+price+mix+new+gone)`` —
+    test-pinned, so the bridge always reconciles.
+
+    Scale: one grouped aggregate per side (map-side combined, money
+    summed in NATIVE decimal then cast — the concentration_stats
+    doctrine), one full-outer join on the group key of two
+    |groups|-row tables. Zero-quantity groups in either period are
+    treated like absent ones for the split (unit value undefined).
+
+    Returns ``(group…, q0, q1, r0, r1, d_revenue, volume_effect,
+    price_effect, mix_effect, new_effect, gone_effect)`` with NULL
+    effects where undefined.
+    """
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy(*group_cols).agg(
+            F.sum(F.col(qty_col)).cast("double").alias(f"q{tag}"),
+            F.sum(F.col(revenue_col)).cast("double").alias(f"r{tag}"),
+        )
+
+    j = side(old, "0").join(side(new, "1"), group_cols, "full_outer")
+    q0, q1 = F.col("q0"), F.col("q1")
+    r0, r1 = F.col("r0"), F.col("r1")
+    has0, has1 = r0.isNotNull(), r1.isNotNull()
+    ok = (
+        has0 & has1
+        & q0.isNotNull() & q1.isNotNull()
+        & (q0 != 0) & (q1 != 0)
+    )
+    # degenerate both-present rows (a zero/NULL quantity side): no unit
+    # value to split against — the whole change reports as mix so the
+    # bridge still reconciles
+    deg = has0 & has1 & ~ok
+    p0 = r0 / q0
+    p1 = r1 / q1
+    d_rev = F.coalesce(r1, F.lit(0.0)) - F.coalesce(r0, F.lit(0.0))
+    return j.select(
+        *group_cols,
+        "q0",
+        "q1",
+        "r0",
+        "r1",
+        d_rev.alias("d_revenue"),
+        F.when(ok, (q1 - q0) * p0).otherwise(F.lit(0.0)).alias(
+            "volume_effect"
+        ),
+        F.when(ok, (p1 - p0) * q0).otherwise(F.lit(0.0)).alias(
+            "price_effect"
+        ),
+        F.when(ok, (q1 - q0) * (p1 - p0))
+        .when(deg, d_rev)
+        .otherwise(F.lit(0.0))
+        .alias("mix_effect"),
+        F.when(~has0 & has1, r1).otherwise(F.lit(0.0)).alias("new_effect"),
+        F.when(has0 & ~has1, -r0).otherwise(F.lit(0.0)).alias(
+            "gone_effect"
+        ),
+    )

@@ -394,3 +394,56 @@ def test_cohort_ltv_null_value_counts_activity(spark):
 
     with _p.raises(ValueError):
         cohort_ltv(df, unit="year")
+
+
+def test_pvm_bridge_reconciles_and_hand_case(spark):
+    from k_means_using_mapreduce_spark.operators.timeseries import (
+        price_volume_mix,
+    )
+
+    old = spark.createDataFrame(
+        [("a", 10.0, 100.0), ("a", 10.0, 100.0),  # q=20 r=200 p=10
+         ("gone", 5.0, 50.0)],
+        "g string, q double, r double",
+    )
+    new = spark.createDataFrame(
+        [("a", 30.0, 360.0),  # q=30 r=360 p=12
+         ("new", 2.0, 40.0)],
+        "g string, q double, r double",
+    )
+    out = {
+        r["g"]: r
+        for r in price_volume_mix(
+            old, new, ["g"], qty_col="q", revenue_col="r"
+        ).collect()
+    }
+    a = out["a"]
+    # volume (30-20)*10=100, price (12-10)*20=40, mix 10*2=20; sum=160=dR
+    assert a["volume_effect"] == pytest.approx(100.0)
+    assert a["price_effect"] == pytest.approx(40.0)
+    assert a["mix_effect"] == pytest.approx(20.0)
+    assert a["d_revenue"] == pytest.approx(160.0)
+    assert out["new"]["new_effect"] == pytest.approx(40.0)
+    assert out["gone"]["gone_effect"] == pytest.approx(-50.0)
+    # bridge identity on every row
+    for r in out.values():
+        assert r["d_revenue"] == pytest.approx(
+            r["volume_effect"] + r["price_effect"] + r["mix_effect"]
+            + r["new_effect"] + r["gone_effect"]
+        )
+
+
+def test_pvm_degenerate_zero_quantity_goes_to_mix(spark):
+    from k_means_using_mapreduce_spark.operators.timeseries import (
+        price_volume_mix,
+    )
+
+    old = spark.createDataFrame([("a", 0.0, 10.0)], "g string, q double, r double")
+    new = spark.createDataFrame([("a", 5.0, 30.0)], "g string, q double, r double")
+    r = price_volume_mix(old, new, ["g"], qty_col="q", revenue_col="r").collect()[0]
+    assert r["mix_effect"] == pytest.approx(20.0)
+    assert r["volume_effect"] == 0.0 and r["price_effect"] == 0.0
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        price_volume_mix(old, new, [], qty_col="q", revenue_col="r")
