@@ -290,6 +290,7 @@ BENCH_QUERIES = [
     "wasserstein_price_by_flag",
     "cohort_ltv_events",
     "revenue_bridge_1995_1996",
+    "funnel_latency_events",
 ]
 
 KMEANS_FIT_K = 8

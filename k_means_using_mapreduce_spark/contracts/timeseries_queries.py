@@ -1059,3 +1059,62 @@ FROM f
 
 QUERIES["revenue_bridge_1995_1996"] = revenue_bridge_1995_1996
 ORACLE_SQL["revenue_bridge_1995_1996"] = PVM_SQL
+
+
+def funnel_latency_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/p90/max time-to-convert for the view->click->purchase
+    funnel (operators/timeseries.py::funnel_latency)."""
+    from ..operators.timeseries import funnel_latency
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", ns_to_timestamp("ts")
+    )
+    return funnel_latency(ev, ["view", "click", "purchase"])
+
+
+FUNNEL_LATENCY_SQL = """
+WITH w1 AS (
+  SELECT user_id, ts, event_type,
+    min(CASE WHEN event_type = 'view' THEN ts END)
+      OVER (PARTITION BY user_id) AS t0
+  FROM events
+), w2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND t0 IS NOT NULL
+                      AND ts > t0 THEN ts END)
+      OVER (PARTITION BY user_id) AS t1
+  FROM w1
+), w3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND t1 IS NOT NULL
+                      AND ts > t1 THEN ts END)
+      OVER (PARTITION BY user_id) AS t2
+  FROM w2
+), per_user AS (
+  SELECT user_id, min(t0) AS t0, min(t1) AS t1, min(t2) AS t2
+  FROM w3 GROUP BY 1
+), lat AS (
+  SELECT CAST(epoch_us(t1) - epoch_us(t0) AS DOUBLE) AS l1,
+         CAST(epoch_us(t2) - epoch_us(t1) AS DOUBLE) AS l2
+  FROM per_user
+), agg AS (
+  SELECT CAST(count(l1) AS BIGINT) AS n1,
+         quantile_cont(l1, 0.5) AS p501, quantile_cont(l1, 0.9) AS p901,
+         max(l1) AS mx1,
+         CAST(count(l2) AS BIGINT) AS n2,
+         quantile_cont(l2, 0.5) AS p502, quantile_cont(l2, 0.9) AS p902,
+         max(l2) AS mx2
+  FROM lat
+)
+SELECT * FROM (
+  SELECT CAST(2 AS INTEGER) AS step_no, 'click' AS step,
+         n1 AS n_converted, coalesce(p501, -1.0) AS p50_us,
+         coalesce(p901, -1.0) AS p90_us, coalesce(mx1, -1.0) AS max_us
+  FROM agg
+  UNION ALL
+  SELECT CAST(3 AS INTEGER), 'purchase', n2, coalesce(p502, -1.0),
+         coalesce(p902, -1.0), coalesce(mx2, -1.0)
+  FROM agg
+)
+"""
+
+QUERIES["funnel_latency_events"] = funnel_latency_events
+ORACLE_SQL["funnel_latency_events"] = FUNNEL_LATENCY_SQL

@@ -1173,3 +1173,79 @@ def price_volume_mix(
             "gone_effect"
         ),
     )
+
+
+def funnel_latency(
+    events: DataFrame,
+    steps: Sequence[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Time-to-convert distribution for each funnel transition: among
+    users who reached step i, the µs latency from their first
+    qualifying step-(i−1) event — median, p90 and max. The "how long
+    does the funnel take" companion to :func:`funnel`'s "how many
+    make it" (same chained-window machinery, one user-keyed exchange
+    reused across all steps).
+
+    Returns one row per transition (steps 2..S): ``(step_no, step,
+    n_converted, p50_us, p90_us, max_us)``. Percentiles are exact
+    (``percentile`` ≡ ``quantile_cont``). Transitions nobody completed
+    report the −1.0 sentinel (NULL numerics break the oracle's pandas
+    round-trip; a real latency is never negative).
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel_latency needs at least 2 steps")
+    w = Window.partitionBy(user_col)
+    df = events.select(user_col, ts_col, type_col)
+    prev = None
+    for i, s in enumerate(steps):
+        qualifies = F.col(type_col) == s
+        if prev is not None:
+            qualifies = qualifies & F.col(prev).isNotNull() & (
+                F.col(ts_col) > F.col(prev)
+            )
+        col = f"_t{i}"
+        df = df.withColumn(
+            col, F.min(F.when(qualifies, F.col(ts_col))).over(w)
+        )
+        prev = col
+    per_user = df.groupBy(user_col).agg(
+        *[F.min(f"_t{i}").alias(f"_t{i}") for i in range(len(steps))]
+    )
+    lats = [
+        (
+            F.unix_micros(F.col(f"_t{i}"))
+            - F.unix_micros(F.col(f"_t{i - 1}"))
+        ).cast("double").alias(f"_l{i}")
+        for i in range(1, len(steps))
+    ]
+    lat = per_user.select(*lats)
+    aggs = []
+    for i in range(1, len(steps)):
+        c = F.col(f"_l{i}")
+        aggs += [
+            F.count(c).alias(f"_n{i}"),
+            F.percentile(c, F.lit(0.5)).alias(f"_p50{i}"),
+            F.percentile(c, F.lit(0.9)).alias(f"_p90{i}"),
+            F.max(c).alias(f"_mx{i}"),
+        ]
+    one = lat.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("step_no"),
+                F.lit(steps[i]).alias("step"),
+                F.col(f"_n{i}").cast("long").alias("n_converted"),
+                F.coalesce(F.col(f"_p50{i}"), F.lit(-1.0)).alias("p50_us"),
+                F.coalesce(F.col(f"_p90{i}"), F.lit(-1.0)).alias("p90_us"),
+                F.coalesce(
+                    F.col(f"_mx{i}").cast("double"), F.lit(-1.0)
+                ).alias("max_us"),
+            )
+            for i in range(1, len(steps))
+        ]
+    )
+    return one.select(F.explode(rows).alias("s")).select("s.*")

@@ -447,3 +447,55 @@ def test_pvm_degenerate_zero_quantity_goes_to_mix(spark):
 
     with _p.raises(ValueError):
         price_volume_mix(old, new, [], qty_col="q", revenue_col="r")
+
+
+def test_funnel_latency_hand_case(spark):
+    from pyspark.sql import functions as F
+
+    from k_means_using_mapreduce_spark.operators.timeseries import (
+        funnel_latency,
+    )
+
+    # user A: view@0 click@10 buy@25; user B: view@0 click@30 (no buy);
+    # user C: click@5 only (never views -> no qualifying click)
+    rows = [
+        ("A", 0, "view"), ("A", 10, "click"), ("A", 25, "purchase"),
+        ("B", 0, "view"), ("B", 30, "click"),
+        ("C", 5, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, us long, event_type string"
+    ).withColumn("ts", F.timestamp_micros(F.col("us")))
+    out = {
+        r["step"]: r
+        for r in funnel_latency(df, ["view", "click", "purchase"]).collect()
+    }
+    click = out["click"]
+    assert click["n_converted"] == 2
+    assert click["p50_us"] == pytest.approx(20.0)  # median of {10, 30}
+    assert click["max_us"] == pytest.approx(30.0)
+    buy = out["purchase"]
+    assert buy["n_converted"] == 1
+    assert buy["p50_us"] == pytest.approx(15.0)
+
+
+def test_funnel_latency_no_conversion_sentinel(spark):
+    from pyspark.sql import functions as F
+
+    from k_means_using_mapreduce_spark.operators.timeseries import (
+        funnel_latency,
+    )
+
+    df = spark.createDataFrame(
+        [("A", 0, "view")], "user_id string, us long, event_type string"
+    ).withColumn("ts", F.timestamp_micros(F.col("us")))
+    out = {
+        r["step"]: r
+        for r in funnel_latency(df, ["view", "click"]).collect()
+    }
+    assert out["click"]["n_converted"] == 0
+    assert out["click"]["p50_us"] == -1.0
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        funnel_latency(df, ["view"])
