@@ -314,7 +314,7 @@ def hashed_features(
 
 
 def hashed_corpus_profile(features: DataFrame) -> DataFrame:
-    """Corpus-level view of a ``hashed_features`` relation: per dim,
+    r"""Corpus-level view of a ``hashed_features`` relation: per dim,
     ``(dim, docs, entries, total_weight, abs_weight)`` — the load/
     cancellation profile that tells you whether ``dims`` is big
     enough (heavy \|total\| ≪ abs means healthy sign cancellation,
