@@ -291,6 +291,8 @@ BENCH_QUERIES = [
     "cohort_ltv_events",
     "revenue_bridge_1995_1996",
     "funnel_latency_events",
+    "mahalanobis_price_quantity",
+    "association_matrix_orders",
 ]
 
 KMEANS_FIT_K = 8

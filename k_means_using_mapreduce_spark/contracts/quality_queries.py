@@ -9,6 +9,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.quality import (
     check_constraints,
@@ -332,3 +333,70 @@ FROM w WHERE prev_max IS NULL OR prev_max < y
 
 QUERIES["price_quantity_frontier"] = price_quantity_frontier
 ORACLE_SQL["price_quantity_frontier"] = FRONTIER_SQL
+
+
+def association_matrix_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V between the categorical order fields (status,
+    priority, order year) (operators/quality.py::association_matrix)."""
+    from ..operators.quality import association_matrix
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("string")
+    )
+    return association_matrix(
+        o, ["o_orderstatus", "o_orderpriority", "o_year"]
+    )
+
+
+def _assoc_sql() -> str:
+    cols = [
+        ("o_orderstatus", "o_orderstatus"),
+        ("o_orderpriority", "o_orderpriority"),
+        ("o_year", "CAST(year(o_orderdate) AS VARCHAR)"),
+    ]
+    pairs = [
+        (cols[i], cols[j])
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    arms = " UNION ALL ".join(
+        f"""SELECT '{a_name}|{b_name}' AS pair,
+  coalesce(CAST({a_expr} AS VARCHAR), '<null>') AS a,
+  coalesce(CAST({b_expr} AS VARCHAR), '<null>') AS b
+FROM orders"""
+        for (a_name, a_expr), (b_name, b_expr) in pairs
+    )
+    return f"""
+WITH long AS ({arms}),
+cells AS MATERIALIZED (
+  SELECT pair, a, b, CAST(count(*) AS DOUBLE) AS o
+  FROM long GROUP BY 1, 2, 3
+),
+ma AS (SELECT pair, a, sum(o) AS na FROM cells GROUP BY 1, 2),
+mb AS (SELECT pair, b, sum(o) AS nb FROM cells GROUP BY 1, 2),
+nn AS (
+  SELECT pair, sum(o) AS n,
+         count(DISTINCT a) AS r, count(DISTINCT b) AS c
+  FROM cells GROUP BY 1
+),
+per_pair AS (
+  SELECT pair, any_value(n) AS n, any_value(r) AS r, any_value(c) AS c,
+    sum((o - na * nb / n) * (o - na * nb / n) / (na * nb / n))
+      AS chi2_obs,
+    sum(na * nb / n) AS e_obs
+  FROM cells
+  JOIN ma USING (pair, a) JOIN mb USING (pair, b) JOIN nn USING (pair)
+  GROUP BY 1
+)
+SELECT split_part(pair, '|', 1) AS col_x,
+  split_part(pair, '|', 2) AS col_y,
+  CAST(n AS BIGINT) AS n,
+  chi2_obs + (n - e_obs) AS chi2,
+  sqrt((chi2_obs + (n - e_obs))
+       / nullif(n * CAST(least(r, c) - 1 AS DOUBLE), 0.0)) AS cramers_v
+FROM per_pair
+"""
+
+
+QUERIES["association_matrix_orders"] = association_matrix_orders
+ORACLE_SQL["association_matrix_orders"] = _assoc_sql()

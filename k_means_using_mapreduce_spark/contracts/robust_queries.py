@@ -294,3 +294,65 @@ WHERE v > xmin AND xmin > 0
 
 QUERIES["tail_index_order_totals"] = tail_index_order_totals
 ORACLE_SQL["tail_index_order_totals"] = TAIL_INDEX_SQL
+
+
+def mahalanobis_price_quantity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Joint (quantity, extendedprice) outlier screen by Mahalanobis
+    distance at the chi2_2 99.9% threshold
+    (operators/robust.py::mahalanobis_summary)."""
+    from ..operators.robust import mahalanobis_summary
+
+    return mahalanobis_summary(
+        load_table(spark, sf_dir, "lineitem"), "l_quantity", "l_extendedprice"
+    )
+
+
+MAHALANOBIS_SQL = """
+WITH r AS MATERIALIZED (
+  SELECT CAST(l_quantity AS DOUBLE) AS x,
+         CAST(l_extendedprice AS DOUBLE) AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+),
+s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+  FROM r
+),
+m AS (
+  SELECT n, sx / n AS mx, sy / n AS my, sxx, sxy, syy FROM s
+),
+v AS (
+  SELECT n, mx, my,
+    (sxx - n * mx * mx) / (n - 1.0) AS vxx,
+    (sxy - n * mx * my) / (n - 1.0) AS vxy,
+    (syy - n * my * my) / (n - 1.0) AS vyy
+  FROM m
+),
+inv AS (
+  SELECT mx, my,
+    vyy / (vxx * vyy - vxy * vxy) AS ixx,
+    -vxy / (vxx * vyy - vxy * vxy) AS ixy,
+    vxx / (vxx * vyy - vxy * vxy) AS iyy
+  FROM v
+),
+d AS (
+  SELECT ixx * (x - mx) * (x - mx)
+       + 2.0 * ixy * (x - mx) * (y - my)
+       + iyy * (y - my) * (y - my) AS d2
+  FROM r CROSS JOIN inv
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CASE WHEN d2 > 13.815510557964274 THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_outliers,
+  sum(CASE WHEN d2 > 13.815510557964274 THEN 1.0 ELSE 0.0 END)
+    / CAST(count(*) AS DOUBLE) AS outlier_rate,
+  max(d2) AS max_d2,
+  avg(d2) AS avg_d2
+FROM d
+"""
+
+QUERIES["mahalanobis_price_quantity"] = mahalanobis_price_quantity
+ORACLE_SQL["mahalanobis_price_quantity"] = MAHALANOBIS_SQL

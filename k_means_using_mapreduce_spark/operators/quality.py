@@ -443,3 +443,100 @@ def pareto_frontier(
         )
         .select(x_col, y_col, "n_rows")
     )
+
+
+def association_matrix(
+    df: DataFrame,
+    cols: "list[str]",
+) -> DataFrame:
+    """All-pairs categorical association (Cramér's V with chi-square)
+    — :func:`correlation_matrix`'s twin for label columns: which
+    categorical fields carry the same information (redundant
+    stratifiers, leaking features) before a pipeline conditions on
+    them.
+
+    One pass: every row emits its p(p−1)/2 category pairs (an explode
+    of a p²-free struct array — columns, not rows, bound the blowup),
+    ONE ``(pair, a, b)`` count aggregate, margins derived per pair
+    from that table (no second scan), then
+    ``χ² = Σ (o − e)²/e`` over observed cells plus the missing-cell
+    mass ``n − Σe_observed`` (absent combinations contribute their
+    expected count exactly), and ``V = √(χ²/(n·(min(r,c)−1)))``.
+
+    NULL categories are a real level (``'<null>'``) — missingness
+    association is usually the finding. Returns p(p−1)/2 rows
+    ``(col_x, col_y, n, chi2, cramers_v)``; V is NULL for degenerate
+    pairs (a single-level column).
+    """
+    if len(cols) < 2:
+        raise ValueError(f"need at least 2 columns, got {len(cols)}")
+    pairs = [
+        (cols[i], cols[j])
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    long = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f"{a}|{b}").alias("pair"),
+                        F.coalesce(F.col(a).cast("string"), F.lit("<null>"))
+                        .alias("a"),
+                        F.coalesce(F.col(b).cast("string"), F.lit("<null>"))
+                        .alias("b"),
+                    )
+                    for a, b in pairs
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+    cells = long.groupBy("pair", "a", "b").agg(
+        F.count(F.lit(1)).cast("double").alias("o")
+    )
+    ma = cells.groupBy("pair", "a").agg(F.sum("o").alias("na"))
+    mb = cells.groupBy("pair", "b").agg(F.sum("o").alias("nb"))
+    nn = cells.groupBy("pair").agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("a").alias("r"),
+        F.countDistinct("b").alias("c"),
+    )
+    joined = (
+        cells.join(ma, ["pair", "a"])
+        .join(mb, ["pair", "b"])
+        .join(F.broadcast(nn), "pair")
+    )
+    per_pair = joined.groupBy("pair").agg(
+        F.first("n").alias("n"),
+        F.first("r").alias("r"),
+        F.first("c").alias("c"),
+        F.sum(
+            (F.col("o") - F.col("na") * F.col("nb") / F.col("n"))
+            * (F.col("o") - F.col("na") * F.col("nb") / F.col("n"))
+            / (F.col("na") * F.col("nb") / F.col("n"))
+        ).alias("chi2_obs"),
+        F.sum(F.col("na") * F.col("nb") / F.col("n")).alias("e_obs"),
+    )
+    chi2 = F.col("chi2_obs") + (F.col("n") - F.col("e_obs"))
+    out = per_pair.select(
+        F.col("pair"),
+        F.col("n").cast("long").alias("n"),
+        chi2.alias("chi2"),
+        F.sqrt(
+            chi2
+            / F.nullif(
+                F.col("n")
+                * (F.least(F.col("r"), F.col("c")) - F.lit(1)).cast(
+                    "double"
+                ),
+                F.lit(0.0),
+            )
+        ).alias("cramers_v"),
+    )
+    return out.select(
+        F.split(F.col("pair"), "\\|").getItem(0).alias("col_x"),
+        F.split(F.col("pair"), "\\|").getItem(1).alias("col_y"),
+        "n",
+        "chi2",
+        "cramers_v",
+    )

@@ -395,3 +395,77 @@ def tail_index(
             / F.nullif(F.avg(F.log(v / F.col("xmin"))), F.lit(0.0))
         ).alias("alpha"),
     )
+
+
+def mahalanobis_summary(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    threshold: float = 13.815510557964274,
+) -> DataFrame:
+    """Bivariate outlier screen by Mahalanobis distance: fit the mean
+    vector and covariance in one scan of moment sums, fold the
+    closed-form 2×2 inverse back as codegen literals, and summarize
+    the squared distances in a second scan — the correlation-aware
+    outlier test a per-column z-score cannot do (a point can be normal
+    on both margins and wildly off the joint ellipse).
+
+    ``threshold`` defaults to the χ²₂ 99.9% quantile (13.8155…): under
+    normality ~0.1% of rows exceed it. Sample covariance uses the
+    ``(Σxy − n·x̄·ȳ)/(n−1)`` form shared with the SQL oracle.
+
+    Scale: two scans, ten doubles of state — the fit_ridge doctrine.
+    Degenerate covariance (|Σ| = 0: constant or perfectly collinear
+    features) raises — the metric is undefined.
+
+    Returns one row ``(n, n_outliers, outlier_rate, max_d2, avg_d2)``.
+    """
+    if threshold <= 0:
+        raise ValueError(f"threshold must be positive, got {threshold}")
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    rows = df.where(x.isNotNull() & y.isNotNull())
+    s = rows.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(y * y).alias("syy"),
+    ).collect()[0]
+    n = s["n"]
+    if n < 3:
+        raise ValueError(f"need at least 3 complete rows, got {int(n)}")
+    mx = s["sx"] / n
+    my = s["sy"] / n
+    vxx = (s["sxx"] - n * mx * mx) / (n - 1.0)
+    vxy = (s["sxy"] - n * mx * my) / (n - 1.0)
+    vyy = (s["syy"] - n * my * my) / (n - 1.0)
+    det = vxx * vyy - vxy * vxy
+    if det == 0.0:
+        raise ValueError(
+            "singular covariance: features are constant or collinear"
+        )
+    ixx, ixy, iyy = vyy / det, -vxy / det, vxx / det
+    dx = x - F.lit(mx)
+    dy = y - F.lit(my)
+    d2 = (
+        F.lit(ixx) * dx * dx
+        + F.lit(2.0) * F.lit(ixy) * dx * dy
+        + F.lit(iyy) * dy * dy
+    )
+    return rows.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(d2 > F.lit(threshold), 1).otherwise(0))
+        .cast("long")
+        .alias("n_outliers"),
+        (
+            F.sum(
+                F.when(d2 > F.lit(threshold), 1.0).otherwise(0.0)
+            )
+            / F.count(F.lit(1)).cast("double")
+        ).alias("outlier_rate"),
+        F.max(d2).alias("max_d2"),
+        F.avg(d2).alias("avg_d2"),
+    )

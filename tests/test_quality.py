@@ -259,3 +259,38 @@ def test_pareto_frontier_min_direction_and_guard(spark):
 
     with _p.raises(ValueError):
         pareto_frontier(df, "x", "y", directions=("up", "max"))
+
+
+def test_association_matrix_identical_and_independent(spark):
+    from k_means_using_mapreduce_spark.operators.quality import (
+        association_matrix,
+    )
+
+    # b duplicates a exactly -> V = 1; c cycles independently of a
+    rows = [(str(i % 3), str(i % 3), str((i // 3) % 2)) for i in range(60)]
+    df = spark.createDataFrame(rows, "a string, b string, c string")
+    out = {
+        (r["col_x"], r["col_y"]): r
+        for r in association_matrix(df, ["a", "b", "c"]).collect()
+    }
+    assert out[("a", "b")]["cramers_v"] == pytest.approx(1.0)
+    # exact independence by construction: chi2 = 0
+    assert out[("a", "c")]["chi2"] == pytest.approx(0.0, abs=1e-9)
+    assert out[("a", "c")]["cramers_v"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_association_matrix_nulls_are_a_level(spark):
+    from k_means_using_mapreduce_spark.operators.quality import (
+        association_matrix,
+    )
+
+    # a NULL in x always co-occurs with 'z' in y: association present
+    rows = [(None, "z"), (None, "z"), ("u", "w"), ("v", "w")]
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = association_matrix(df, ["x", "y"]).collect()[0]
+    assert r["n"] == 4
+    assert r["cramers_v"] == pytest.approx(1.0)
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        association_matrix(df, ["x"])

@@ -258,3 +258,42 @@ def test_tail_index_nonpositive_tail_is_empty(spark):
     assert r["n_tail"] == 0 and r["alpha"] is None
     with pytest.raises(ValueError):
         tail_index(df, "v", tail_q=1.0)
+
+
+def test_mahalanobis_flags_joint_outlier(spark):
+    from k_means_using_mapreduce_spark.operators.robust import (
+        mahalanobis_summary,
+    )
+
+    # tight line y = x plus one point far OFF the line but inside both
+    # margins — the case per-column z-scores miss
+    rows = [(float(i), float(i) + 0.01 * ((i * 7) % 5 - 2)) for i in range(50)]
+    rows.append((25.0, 45.0))
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = mahalanobis_summary(df, "x", "y").collect()[0]
+    assert r["n"] == 51
+    assert r["n_outliers"] >= 1
+    assert r["max_d2"] > 20.0  # the off-line point, even after masking
+    # trace identity: avg d2 over the FIT SAMPLE is exactly
+    # 2·(n-1)/n for sample covariance — the outlier redistributes
+    # mass but the average is pinned
+    assert r["avg_d2"] == pytest.approx(2.0 * 50 / 51, rel=1e-6)
+
+
+def test_mahalanobis_guards(spark):
+    import pytest as _p
+
+    from k_means_using_mapreduce_spark.operators.robust import (
+        mahalanobis_summary,
+    )
+
+    two = spark.createDataFrame([(1.0, 2.0), (2.0, 3.0)], "x double, y double")
+    with _p.raises(ValueError, match="at least 3"):
+        mahalanobis_summary(two, "x", "y")
+    col = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 4.0), (3.0, 6.0)], "x double, y double"
+    )
+    with _p.raises(ValueError, match="singular"):
+        mahalanobis_summary(col, "x", "y")
+    with _p.raises(ValueError, match="threshold"):
+        mahalanobis_summary(col, "x", "y", threshold=0.0)
