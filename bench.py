@@ -293,6 +293,7 @@ BENCH_QUERIES = [
     "funnel_latency_events",
     "mahalanobis_price_quantity",
     "association_matrix_orders",
+    "hourly_profile_events",
 ]
 
 KMEANS_FIT_K = 8

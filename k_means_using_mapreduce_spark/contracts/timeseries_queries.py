@@ -1118,3 +1118,41 @@ SELECT * FROM (
 
 QUERIES["funnel_latency_events"] = funnel_latency_events
 ORACLE_SQL["funnel_latency_events"] = FUNNEL_LATENCY_SQL
+
+
+def hourly_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day load concentration per event type
+    (operators/timeseries.py::time_of_day_profile)."""
+    from ..operators.timeseries import time_of_day_profile
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", ns_to_timestamp("ts")
+    )
+    return time_of_day_profile(ev)
+
+
+HOURLY_PROFILE_SQL = """
+WITH counts AS (
+  SELECT event_type AS key,
+         (epoch_us(ts) // 3600000000) % 24 AS hour,
+         CAST(count(*) AS DOUBLE) AS c
+  FROM events WHERE event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (SELECT key, sum(c) AS n FROM counts GROUP BY 1),
+shares AS (
+  SELECT key, hour, n, c / n AS p,
+         row_number() OVER (PARTITION BY key ORDER BY c / n DESC, hour)
+           AS rk
+  FROM counts JOIN tot USING (key)
+)
+SELECT key AS event_type,
+  CAST(any_value(n) AS BIGINT) AS n_events,
+  -sum(p * ln(p)) / ln(24.0) AS entropy,
+  min(CASE WHEN rk = 1 THEN hour END) AS peak_hour,
+  max(CASE WHEN rk = 1 THEN p END) AS peak_share
+FROM shares GROUP BY 1
+"""
+
+QUERIES["hourly_profile_events"] = hourly_profile_events
+ORACLE_SQL["hourly_profile_events"] = HOURLY_PROFILE_SQL

@@ -1249,3 +1249,62 @@ def funnel_latency(
         ]
     )
     return one.select(F.explode(rows).alias("s")).select("s.*")
+
+
+def time_of_day_profile(
+    events: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-key hour-of-day load curve summary: how concentrated is
+    each event type's traffic across the 24 UTC hours — share entropy
+    (normalized to [0,1] by ln 24), the peak hour and its share. The
+    capacity-planning / bot-detection profile (organic traffic is
+    high-entropy; a cron-driven source pins one hour).
+
+    Hour-of-day is epoch-anchored integer arithmetic on unix micros
+    (``(us ÷ 3600e6) mod 24`` — the module's no-date_trunc doctrine).
+    One (key, hour) count + per-key totals derived from it; entropy
+    and argmax are arithmetic over ≤ 24 rows per key. Deterministic
+    peak ties break toward the earlier hour.
+
+    Returns ``(key, n_events, entropy, peak_hour, peak_share)``.
+    """
+    from pyspark.sql.window import Window
+
+    us = F.unix_micros(F.col(ts_col))
+    hour = ((us / F.lit(3_600_000_000)).cast("long") % 24).alias("hour")
+    counts = (
+        events.where(F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col).alias("key"), hour)
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    tot = counts.groupBy("key").agg(F.sum("c").alias("n"))
+    shares = counts.join(tot, "key").select(
+        "key",
+        "hour",
+        "n",
+        (F.col("c") / F.col("n")).alias("p"),
+    )
+    w = Window.partitionBy("key").orderBy(
+        F.col("p").desc(), F.col("hour")
+    )
+    ranked = shares.withColumn("_rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("key")
+        .agg(
+            F.first("n").cast("long").alias("n_events"),
+            (
+                -F.sum(F.col("p") * F.log("p"))
+                / F.lit(float(__import__("math").log(24.0)))
+            ).alias("entropy"),
+            F.min(F.when(F.col("_rk") == 1, F.col("hour"))).alias(
+                "peak_hour"
+            ),
+            F.max(F.when(F.col("_rk") == 1, F.col("p"))).alias(
+                "peak_share"
+            ),
+        )
+        .withColumnRenamed("key", key_col)
+    )

@@ -499,3 +499,29 @@ def test_funnel_latency_no_conversion_sentinel(spark):
 
     with _p.raises(ValueError):
         funnel_latency(df, ["view"])
+
+
+def test_time_of_day_profile_pinned_vs_uniform(spark):
+    from pyspark.sql import functions as F
+
+    from k_means_using_mapreduce_spark.operators.timeseries import (
+        time_of_day_profile,
+    )
+
+    hour = 3_600_000_000
+    rows = [("cron", 5 * hour + i * 24 * hour) for i in range(48)]
+    rows += [("organic", h * hour) for h in range(24) for _ in range(2)]
+    df = spark.createDataFrame(
+        rows, "event_type string, us long"
+    ).withColumn("ts", F.timestamp_micros(F.col("us")))
+    out = {
+        r["event_type"]: r for r in time_of_day_profile(df).collect()
+    }
+    cron = out["cron"]
+    assert cron["peak_hour"] == 5
+    assert cron["peak_share"] == pytest.approx(1.0)
+    assert cron["entropy"] == pytest.approx(0.0, abs=1e-12)
+    org = out["organic"]
+    assert org["entropy"] == pytest.approx(1.0)
+    assert org["peak_share"] == pytest.approx(1.0 / 24.0)
+    assert org["peak_hour"] == 0  # tie -> earliest hour
