@@ -294,6 +294,7 @@ BENCH_QUERIES = [
     "mahalanobis_price_quantity",
     "association_matrix_orders",
     "hourly_profile_events",
+    "lasso_price_model_lineitem",
 ]
 
 KMEANS_FIT_K = 8

@@ -534,3 +534,98 @@ FROM fit CROSS JOIN val
 
 QUERIES["learning_curve_lineitem"] = learning_curve_lineitem
 ORACLE_SQL["learning_curve_lineitem"] = LEARNING_CURVE_SQL
+
+
+_LASSO_L1 = 1_000_000.0
+_LASSO_ROUNDS = 10
+
+
+def lasso_price_model_lineitem(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lasso (l1=1e6) of extendedprice on (quantity, discount): the
+    penalty zeroes the weak discount slope — feature selection visible
+    as nnz=1 (operators/regression.py::lasso_cd). All 10 CD rounds are
+    driver arithmetic over the one-scan Gram sums."""
+    from ..operators.regression import lasso_cd
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return lasso_cd(
+        li,
+        ["l_quantity", "l_discount"],
+        "l_extendedprice",
+        l1=_LASSO_L1,
+        rounds=_LASSO_ROUNDS,
+    )
+
+
+def _soft_sql(z: str, g: str) -> str:
+    return (
+        f"CASE WHEN abs({z}) - {g} <= 0.0 THEN 0.0 "
+        f"WHEN {z} > 0 THEN abs({z}) - {g} "
+        f"ELSE -(abs({z}) - {g}) END"
+    )
+
+
+def _lasso_sql(l1: float, rounds: int) -> str:
+    parts = [
+        """s AS MATERIALIZED (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         sum(CAST(l_quantity AS DOUBLE)) AS s1,
+         sum(CAST(l_discount AS DOUBLE)) AS s2,
+         sum(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE))
+           AS x11,
+         sum(CAST(l_quantity AS DOUBLE) * CAST(l_discount AS DOUBLE))
+           AS x12,
+         sum(CAST(l_discount AS DOUBLE) * CAST(l_discount AS DOUBLE))
+           AS x22,
+         sum(CAST(l_extendedprice AS DOUBLE)) AS sy,
+         sum(CAST(l_quantity AS DOUBLE) * CAST(l_extendedprice AS DOUBLE))
+           AS sy1,
+         sum(CAST(l_discount AS DOUBLE) * CAST(l_extendedprice AS DOUBLE))
+           AS sy2,
+         sum(CAST(l_extendedprice AS DOUBLE)
+             * CAST(l_extendedprice AS DOUBLE)) AS syy
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+    AND l_extendedprice IS NOT NULL
+)""",
+        "c0 AS (SELECT s.*, 0.0 AS b0, 0.0 AS b1, 0.0 AS b2 FROM s)",
+    ]
+    prev = "c0"
+    g = repr(l1)
+    for k in range(1, rounds + 1):
+        parts.append(f"""a{k} AS (
+  SELECT * REPLACE ((sy - b1 * s1 - b2 * s2) / n AS b0) FROM {prev}
+)""")
+        parts.append(f"""b{k} AS (
+  SELECT * REPLACE (
+    {_soft_sql('sy1 - b0 * s1 - b2 * x12', g)} / x11 AS b1
+  ) FROM a{k}
+)""")
+        parts.append(f"""c{k} AS (
+  SELECT * REPLACE (
+    {_soft_sql('sy2 - b0 * s2 - b1 * x12', g)} / x22 AS b2
+  ) FROM b{k}
+)""")
+        prev = f"c{k}"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(n AS BIGINT) AS n, b0, b1, b2,
+  sqrt(greatest(
+    syy + n * b0 * b0 + b1 * b1 * x11 + b2 * b2 * x22
+      + 2.0 * b0 * b1 * s1 + 2.0 * b0 * b2 * s2 + 2.0 * b1 * b2 * x12
+      - 2.0 * b0 * sy - 2.0 * b1 * sy1 - 2.0 * b2 * sy2, 0.0) / n)
+    AS rmse,
+  CAST((b1 <> 0.0)::INTEGER + (b2 <> 0.0)::INTEGER AS BIGINT) AS nnz
+FROM {prev}
+"""
+    )
+
+
+LASSO_SQL = _lasso_sql(_LASSO_L1, _LASSO_ROUNDS)
+
+QUERIES["lasso_price_model_lineitem"] = lasso_price_model_lineitem
+ORACLE_SQL["lasso_price_model_lineitem"] = LASSO_SQL

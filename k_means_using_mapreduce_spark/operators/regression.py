@@ -755,3 +755,97 @@ def ols_learning_curve(
             / F.nullif(F.col("vn"), F.lit(0.0))
         ).alias("val_rmse"),
     )
+
+
+def lasso_cd(
+    df: DataFrame,
+    x_cols: Sequence[str],
+    y_col: str,
+    *,
+    l1: float,
+    rounds: int = 10,
+) -> DataFrame:
+    """L1-penalized (lasso) regression by cyclic coordinate descent —
+    the sparsity-inducing member of the regularized family
+    (``fit_ridge`` is L2; this one can zero a coefficient out
+    entirely, which is the feature-selection story).
+
+    The trick that makes it ONE data scan total: with 2 features, every
+    residual inner product CD needs expands linearly in the current
+    coefficients over the Gram/moment sums — so after the single
+    Gram-collecting scan, all ``rounds`` cyclic updates are pure
+    driver arithmetic (and the SQL oracle replays them as chained
+    1-row CTEs). Loss convention ``½Σr² + l1·Σ|b|``: update
+    ``b_j ← S(ρ_j, l1)/x_jj`` with
+    ``ρ_j = sy_j − b0·s_j − b_k·x_jk`` and soft-threshold
+    ``S(z, g) = sign(z)·max(|z| − g, 0)``; intercept (unpenalized)
+    re-centers as the mean residual each cycle.
+
+    Returns one row ``(n, b0, b1, b2, rmse, nnz)`` — ``nnz`` counts
+    the surviving slopes, rmse from the same sums (no extra pass).
+    """
+    if len(x_cols) != 2:
+        raise ValueError(
+            f"lasso_cd is the explicit 2-feature closed form, got "
+            f"{len(x_cols)}"
+        )
+    if l1 < 0:
+        raise ValueError(f"l1 must be >= 0, got {l1}")
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    x1, x2, y = _d(x_cols[0]), _d(x_cols[1]), _d(y_col)
+    rows = df.where(x1.isNotNull() & x2.isNotNull() & y.isNotNull())
+    s = rows.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x1).alias("s1"),
+        F.sum(x2).alias("s2"),
+        F.sum(x1 * x1).alias("x11"),
+        F.sum(x1 * x2).alias("x12"),
+        F.sum(x2 * x2).alias("x22"),
+        F.sum(y).alias("sy"),
+        F.sum(x1 * y).alias("sy1"),
+        F.sum(x2 * y).alias("sy2"),
+        F.sum(y * y).alias("syy"),
+    ).collect()[0]
+    n = s["n"]
+    if s["x11"] == 0.0 or s["x22"] == 0.0:
+        raise ValueError("a feature is identically zero")
+
+    def soft(z: float, g: float) -> float:
+        mag = abs(z) - g
+        if mag <= 0.0:
+            return 0.0
+        return mag if z > 0 else -mag
+
+    b0 = b1 = b2 = 0.0
+    for _ in range(rounds):
+        b0 = (s["sy"] - b1 * s["s1"] - b2 * s["s2"]) / n
+        rho1 = s["sy1"] - b0 * s["s1"] - b2 * s["x12"]
+        b1 = soft(rho1, l1) / s["x11"]
+        rho2 = s["sy2"] - b0 * s["s2"] - b1 * s["x12"]
+        b2 = soft(rho2, l1) / s["x22"]
+    sse = (
+        s["syy"]
+        + n * b0 * b0
+        + b1 * b1 * s["x11"]
+        + b2 * b2 * s["x22"]
+        + 2.0 * b0 * b1 * s["s1"]
+        + 2.0 * b0 * b2 * s["s2"]
+        + 2.0 * b1 * b2 * s["x12"]
+        - 2.0 * b0 * s["sy"]
+        - 2.0 * b1 * s["sy1"]
+        - 2.0 * b2 * s["sy2"]
+    )
+    return df.sparkSession.createDataFrame(
+        [
+            (
+                int(n),
+                float(b0),
+                float(b1),
+                float(b2),
+                float(max(sse, 0.0) / n) ** 0.5,
+                int((b1 != 0.0) + (b2 != 0.0)),
+            )
+        ],
+        "n long, b0 double, b1 double, b2 double, rmse double, nnz long",
+    )

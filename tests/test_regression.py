@@ -307,3 +307,52 @@ def test_learning_curve_rejects_bad_split(spark):
     df = spark.createDataFrame([(1, 1.0, 2.0)], "id long, x double, y double")
     with pytest.raises(ValueError):
         ols_learning_curve(df, "x", "y", "id", test_pct=0)
+
+
+def test_lasso_zeroes_weak_feature_and_matches_zero_penalty_ols(spark):
+    from k_means_using_mapreduce_spark.operators.regression import (
+        fit_ridge,
+        lasso_cd,
+    )
+
+    # y = 2 + 5*x1 exactly; x2 pure noise-free irrelevant feature
+    rows = [
+        (float(i % 23), float((i * 3) % 7), 2.0 + 5.0 * (i % 23))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+    # heavy penalty: x2 must drop, x1 survives shrunk-but-nonzero
+    r = lasso_cd(df, ["x1", "x2"], "y", l1=1000.0, rounds=25).collect()[0]
+    assert r["b2"] == 0.0
+    assert r["nnz"] == 1
+    assert r["b1"] > 3.0
+    # zero penalty converges to OLS (CD on an exact linear system)
+    r0 = lasso_cd(df, ["x1", "x2"], "y", l1=0.0, rounds=60).collect()[0]
+    coef, _ = fit_ridge(df, ["x1", "x2"], "y", l2=0.0)
+    # CD converges geometrically; 60 rounds leaves ~1e-6 residual on
+    # these mildly-correlated features
+    assert r0["b0"] == pytest.approx(coef[0], abs=1e-4)
+    assert r0["b1"] == pytest.approx(coef[1], abs=1e-4)
+    assert r0["b2"] == pytest.approx(coef[2], abs=1e-4)
+    assert r0["rmse"] == pytest.approx(0.0, abs=1e-4)
+
+
+def test_lasso_guards(spark):
+    from k_means_using_mapreduce_spark.operators.regression import lasso_cd
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 3.0)], "x1 double, x2 double, y double"
+    )
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        lasso_cd(df, ["x1"], "y", l1=1.0)
+    with _p.raises(ValueError):
+        lasso_cd(df, ["x1", "x2"], "y", l1=-1.0)
+    with _p.raises(ValueError):
+        lasso_cd(df, ["x1", "x2"], "y", l1=1.0, rounds=0)
+    zero = spark.createDataFrame(
+        [(0.0, 1.0, 2.0), (0.0, 2.0, 3.0)], "x1 double, x2 double, y double"
+    )
+    with _p.raises(ValueError, match="identically zero"):
+        lasso_cd(zero, ["x1", "x2"], "y", l1=1.0)
