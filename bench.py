@@ -295,6 +295,7 @@ BENCH_QUERIES = [
     "association_matrix_orders",
     "hourly_profile_events",
     "lasso_price_model_lineitem",
+    "gmm_price_components",
 ]
 
 KMEANS_FIT_K = 8

@@ -368,3 +368,74 @@ SILHOUETTE_SQL = _silhouette_sql()
 
 QUERIES["silhouette_embeddings_by_cluster"] = silhouette_embeddings_by_cluster
 ORACLE_SQL["silhouette_embeddings_by_cluster"] = SILHOUETTE_SQL
+
+
+def gmm_price_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-component 1-D Gaussian mixture of extendedprice by 3 EM
+    rounds (operators/kmeans.py::gmm1d_fit) — the soft-assignment
+    sibling of the K-Means contracts above."""
+    from ..operators.kmeans import gmm1d_fit
+
+    return gmm1d_fit(
+        load_table(spark, sf_dir, "lineitem"), "l_extendedprice", iters=3
+    )
+
+
+def _gmm_logdens(w: str, m: str, v: str) -> str:
+    return (
+        f"ln({w}) - 0.5 * ln(2.0 * pi() * {v})"
+        f" - (x - {m}) * (x - {m}) / (2.0 * {v})"
+    )
+
+
+def _gmm_sql(iters: int = 3) -> str:
+    l1 = _gmm_logdens("w1", "m1", "v1")
+    l2 = _gmm_logdens("1.0 - w1", "m2", "v2")
+    parts = [
+        """vals AS MATERIALIZED (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS x
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+)""",
+        """p0 AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, 0.5 AS w1,
+         quantile_cont(x, 0.25) AS m1, var_pop(x) AS v1,
+         quantile_cont(x, 0.75) AS m2, var_pop(x) AS v2
+  FROM vals
+)""",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(f"""s{k} AS MATERIALIZED (
+  SELECT any_value(n) AS n,
+         sum(r) AS r1, sum(r * x) AS rx1, sum(r * x * x) AS rxx1,
+         sum((1.0 - r) * x) AS rx2, sum((1.0 - r) * x * x) AS rxx2
+  FROM (
+    SELECT p.n, vals.x,
+      1.0 / (1.0 + exp(({l2}) - ({l1}))) AS r
+    FROM vals CROSS JOIN p{k - 1} p
+  ) t
+)""")
+        parts.append(f"""p{k} AS (
+  SELECT n, r1 / n AS w1,
+         rx1 / r1 AS m1,
+         rxx1 / r1 - (rx1 / r1) * (rx1 / r1) AS v1,
+         rx2 / (n - r1) AS m2,
+         rxx2 / (n - r1) - (rx2 / (n - r1)) * (rx2 / (n - r1)) AS v2
+  FROM s{k}
+)""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(any_value(n) AS BIGINT) AS n,
+  any_value(w1) AS w1, any_value(m1) AS m1, any_value(v1) AS v1,
+  any_value(m2) AS m2, any_value(v2) AS v2,
+  sum(greatest({l1}, {l2})
+      + ln(1.0 + exp(least({l1}, {l2}) - greatest({l1}, {l2}))))
+    AS log_lik
+FROM vals CROSS JOIN p{iters}
+"""
+    )
+
+
+QUERIES["gmm_price_components"] = gmm_price_components
+ORACLE_SQL["gmm_price_components"] = _gmm_sql(3)

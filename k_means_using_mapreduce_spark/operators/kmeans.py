@@ -875,3 +875,101 @@ def _read_result_marker(spark, state_path: str) -> KMeansResult | None:
         sse=row["sse"],
         cluster_sizes=dict(row["sizes"]),
     )
+
+
+def gmm1d_fit(
+    df: DataFrame,
+    value_col: str,
+    *,
+    iters: int = 3,
+) -> DataFrame:
+    """Two-component 1-D Gaussian mixture by EM — the soft-assignment
+    generalization of this module's K-Means (same flat iteration
+    doctrine: each EM round is ONE scan with the current parameters
+    folded in as codegen literals, shuffling seven doubles).
+
+    Init is deterministic and data-driven: means at the exact 25th/
+    75th percentiles, both variances at the global variance, equal
+    weights. The E-step responsibility uses the overflow-stable
+    sigmoid form ``r = 1/(1+exp(L₂−L₁))`` over component
+    log-densities (no 0/0 for far-out points — the huber/logistic
+    ANSI-division lesson); the M-step re-estimates weights, means and
+    variances from the responsibility-weighted sums. Log-likelihood
+    is reported from a final scan in the log-sum-exp max form.
+
+    Returns one row ``(n, w1, m1, v1, m2, v2, log_lik)`` with
+    component 1 the LOWER-initialized one (label order is pinned by
+    the init, not by post-hoc sorting). Degenerate inputs (variance
+    collapsing to 0, fewer than 2 distinct values) raise.
+    """
+    import math
+
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    x = F.col(value_col).cast("double")
+    rows = df.where(x.isNotNull())
+    init = rows.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.percentile(x, F.lit(0.25)).alias("q1"),
+        F.percentile(x, F.lit(0.75)).alias("q3"),
+        F.var_pop(x).alias("v"),
+    ).collect()[0]
+    n = init["n"]
+    if n < 2 or init["v"] is None or init["v"] <= 0.0:
+        raise ValueError(
+            "gmm1d_fit needs at least 2 distinct non-null values"
+        )
+    w1 = 0.5
+    m1, m2 = init["q1"], init["q3"]
+    v1 = v2 = init["v"]
+    for _ in range(iters):
+        l1 = (
+            F.lit(math.log(w1) - 0.5 * math.log(2.0 * math.pi * v1))
+            - (x - F.lit(m1)) * (x - F.lit(m1)) / F.lit(2.0 * v1)
+        )
+        l2 = (
+            F.lit(math.log(1.0 - w1) - 0.5 * math.log(2.0 * math.pi * v2))
+            - (x - F.lit(m2)) * (x - F.lit(m2)) / F.lit(2.0 * v2)
+        )
+        r = F.lit(1.0) / (F.lit(1.0) + F.exp(l2 - l1))
+        s = rows.agg(
+            F.sum(r).alias("r1"),
+            F.sum(r * x).alias("rx1"),
+            F.sum(r * x * x).alias("rxx1"),
+            F.sum((F.lit(1.0) - r) * x).alias("rx2"),
+            F.sum((F.lit(1.0) - r) * x * x).alias("rxx2"),
+        ).collect()[0]
+        n1 = s["r1"]
+        n2 = n - n1
+        if n1 <= 0.0 or n2 <= 0.0:
+            raise ValueError("a component collapsed to zero weight")
+        w1 = n1 / n
+        m1 = s["rx1"] / n1
+        m2 = s["rx2"] / n2
+        v1 = s["rxx1"] / n1 - m1 * m1
+        v2 = s["rxx2"] / n2 - m2 * m2
+        if v1 <= 0.0 or v2 <= 0.0:
+            raise ValueError("a component variance collapsed")
+    l1 = (
+        F.lit(math.log(w1) - 0.5 * math.log(2.0 * math.pi * v1))
+        - (x - F.lit(m1)) * (x - F.lit(m1)) / F.lit(2.0 * v1)
+    )
+    l2 = (
+        F.lit(math.log(1.0 - w1) - 0.5 * math.log(2.0 * math.pi * v2))
+        - (x - F.lit(m2)) * (x - F.lit(m2)) / F.lit(2.0 * v2)
+    )
+    hi = F.greatest(l1, l2)
+    ll = rows.agg(
+        F.sum(
+            hi + F.log(F.lit(1.0) + F.exp(F.least(l1, l2) - hi))
+        ).alias("ll")
+    )
+    return ll.select(
+        F.lit(int(n)).cast("long").alias("n"),
+        F.lit(w1).alias("w1"),
+        F.lit(m1).alias("m1"),
+        F.lit(v1).alias("v1"),
+        F.lit(m2).alias("m2"),
+        F.lit(v2).alias("v2"),
+        F.col("ll").alias("log_lik"),
+    )

@@ -251,3 +251,45 @@ def test_minibatch_empty_bucket_not_converged(spark):
     assert res.sse < 20.0
     by_id = dict(res.centroids)
     assert abs(by_id[1][0] - by_id[2][0]) > 5.0
+
+
+def test_gmm1d_separates_two_gaussians(spark):
+    from k_means_using_mapreduce_spark.operators.kmeans import gmm1d_fit
+
+    # deterministic two-bump sample via inverse-CDF-ish grids
+    lo = [(-5.0 + 0.01 * i,) for i in range(200)]   # mean ~ -4
+    hi = [(6.0 + 0.01 * i,) for i in range(200)]    # mean ~ 7
+    df = spark.createDataFrame(lo + hi, "v double")
+    r = gmm1d_fit(df, "v", iters=8).collect()[0]
+    assert r["n"] == 400
+    assert r["w1"] == pytest.approx(0.5, abs=0.05)
+    assert r["m1"] == pytest.approx(-4.005, abs=0.1)
+    assert r["m2"] == pytest.approx(6.995, abs=0.1)
+    assert r["v1"] < 1.0 and r["v2"] < 1.0  # far below global var
+    assert r["log_lik"] > -1000.0
+
+
+def test_gmm1d_likelihood_monotone_in_iters(spark):
+    from k_means_using_mapreduce_spark.operators.kmeans import gmm1d_fit
+
+    vals = [((i * 37) % 101 / 10.0,) for i in range(300)]
+    df = spark.createDataFrame(vals, "v double")
+    ll = [
+        gmm1d_fit(df, "v", iters=k).collect()[0]["log_lik"]
+        for k in (1, 3, 6)
+    ]
+    # EM never decreases the likelihood
+    assert ll[0] <= ll[1] + 1e-9 and ll[1] <= ll[2] + 1e-9
+
+
+def test_gmm1d_guards(spark):
+    import pytest as _p
+
+    from k_means_using_mapreduce_spark.operators.kmeans import gmm1d_fit
+
+    one = spark.createDataFrame([(5.0,), (5.0,)], "v double")
+    with _p.raises(ValueError):
+        gmm1d_fit(one, "v")  # zero variance
+    df = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    with _p.raises(ValueError):
+        gmm1d_fit(df, "v", iters=0)
