@@ -296,6 +296,8 @@ BENCH_QUERIES = [
     "hourly_profile_events",
     "lasso_price_model_lineitem",
     "gmm_price_components",
+    "hourly_acf_events",
+    "purchase_decile_lift_events",
 ]
 
 KMEANS_FIT_K = 8

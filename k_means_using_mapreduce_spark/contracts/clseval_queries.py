@@ -304,3 +304,43 @@ FROM base
 
 QUERIES["mcnemar_langid_vs_majority"] = mcnemar_langid_vs_majority
 ORACLE_SQL["mcnemar_langid_vs_majority"] = MCNEMAR_SQL
+
+
+def purchase_decile_lift_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gains/lift table: does ranking events by value concentrate
+    purchases in the top tiles
+    (operators/clseval.py::decile_lift)?"""
+    from ..operators.clseval import decile_lift
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "is_purchase",
+        F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0),
+    )
+    return decile_lift(ev, "value", "is_purchase", id_col="event_id")
+
+
+LIFT_SQL = """
+WITH tiled AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y,
+         ntile(10) OVER (ORDER BY CAST(value AS DOUBLE) DESC, event_id)
+           AS tile
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+per AS (
+  SELECT tile, CAST(count(*) AS DOUBLE) AS n, sum(y) AS n_pos
+  FROM tiled GROUP BY 1
+),
+tot AS (SELECT sum(n) AS nn, sum(n_pos) AS pp FROM per)
+SELECT tile, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+  n_pos / n AS response_rate,
+  (n_pos / n) / nullif(pp / nn, 0.0) AS lift,
+  sum(n_pos) OVER (ORDER BY tile ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) / nullif(pp, 0.0) AS cum_capture
+FROM per CROSS JOIN tot
+"""
+
+QUERIES["purchase_decile_lift_events"] = purchase_decile_lift_events
+ORACLE_SQL["purchase_decile_lift_events"] = LIFT_SQL

@@ -1156,3 +1156,54 @@ FROM shares GROUP BY 1
 
 QUERIES["hourly_profile_events"] = hourly_profile_events
 ORACLE_SQL["hourly_profile_events"] = HOURLY_PROFILE_SQL
+
+
+def hourly_acf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation (lags 1..6) of each event type's hourly count
+    series (operators/timeseries.py::autocorrelation over the
+    resample_counts dense grid)."""
+    from ..operators.timeseries import autocorrelation, resample_counts
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", ns_to_timestamp("ts")
+    )
+    grid = resample_counts(ev, unit="hour")
+    return autocorrelation(grid, max_lag=6)
+
+
+def _acf_sql(max_lag: int = 6) -> str:
+    head = f"""counts AS (
+  SELECT event_type AS key,
+         epoch_us(ts) - epoch_us(ts) % {_HOUR_US} AS bucket_us,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(bucket_us) AS lo, max(bucket_us) AS hi FROM counts),
+keys AS (SELECT DISTINCT event_type AS key FROM events),
+grid AS (
+  SELECT key, unnest(range(lo, hi + {_HOUR_US}, {_HOUR_US})) AS bucket_us
+  FROM keys, bounds
+),
+g2 AS MATERIALIZED (
+  SELECT g.key, g.bucket_us, CAST(coalesce(c.n, 0) AS DOUBLE) AS x
+  FROM grid g LEFT JOIN counts c USING (key, bucket_us)
+)"""
+    arms = []
+    for k in range(1, max_lag + 1):
+        arms.append(f"""SELECT key, {k} AS lag,
+  CAST(count(*) AS BIGINT) AS n_pairs,
+  (CAST(count(*) AS DOUBLE) * sum(x * y) - sum(x) * sum(y))
+    / nullif(sqrt(
+        (CAST(count(*) AS DOUBLE) * sum(x * x) - sum(x) * sum(x))
+        * (CAST(count(*) AS DOUBLE) * sum(y * y) - sum(y) * sum(y))
+      ), 0.0) AS acf
+FROM (
+  SELECT key, x,
+         lag(x, {k}) OVER (PARTITION BY key ORDER BY bucket_us) AS y
+  FROM g2
+) t WHERE y IS NOT NULL GROUP BY key""")
+    return "WITH " + head + "\n" + " UNION ALL ".join(arms)
+
+
+QUERIES["hourly_acf_events"] = hourly_acf_events
+ORACLE_SQL["hourly_acf_events"] = _acf_sql(6)

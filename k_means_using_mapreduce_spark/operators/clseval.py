@@ -233,3 +233,71 @@ def binary_rank_metrics(
             (F.col("p") > 0) & (F.col("q") > 0), F.col("ks")
         ).alias("ks"),
     )
+
+
+def decile_lift(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    id_col: str | None = None,
+    bins: int = 10,
+) -> DataFrame:
+    """Gains/lift table: rank rows by score (best first), cut into
+    ``bins`` equal-count tiles, and report each tile's response rate,
+    lift over the base rate, and the cumulative capture of all
+    positives — the campaign-targeting readout ("the top decile holds
+    3.4× its share of converters") that an AUC cannot give a business
+    user.
+
+    Tiles are ``ntile`` over the total order (score desc, id) — the
+    calibration module's determinism convention; pass ``id_col`` so
+    equal scores split reproducibly (without it, ties fall in input
+    order and only the per-tile COUNTS are guaranteed stable). The
+    global sort is a single-reducer window pass (the documented ntile
+    trade, fine to tens of millions of scored rows; see
+    operators/calibration.py's scale note for the percentile-edge
+    alternative).
+
+    Returns ``bins`` rows ``(tile, n, n_pos, response_rate, lift,
+    cum_capture)``; lift NULL when the corpus has no positives.
+    """
+    from pyspark.sql.window import Window
+
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    order = [s.desc()]
+    if id_col is not None:
+        order.append(F.col(id_col))
+    rows = df.where(s.isNotNull() & y.isNotNull())
+    tiled = rows.select(
+        y.alias("_y"), F.ntile(bins).over(Window.orderBy(*order)).alias("tile")
+    )
+    per = tiled.groupBy("tile").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("_y").alias("n_pos"),
+    )
+    tot = per.agg(
+        F.sum("n").alias("nn"), F.sum("n_pos").alias("pp")
+    )
+    w = Window.orderBy("tile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "tile",
+            F.col("n").cast("long").alias("n"),
+            F.col("n_pos").cast("long").alias("n_pos"),
+            (F.col("n_pos") / F.col("n")).alias("response_rate"),
+            (
+                (F.col("n_pos") / F.col("n"))
+                / F.nullif(F.col("pp") / F.col("nn"), F.lit(0.0))
+            ).alias("lift"),
+            (
+                F.sum("n_pos").over(w) / F.nullif(F.col("pp"), F.lit(0.0))
+            ).alias("cum_capture"),
+        )
+    )

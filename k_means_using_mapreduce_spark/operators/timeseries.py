@@ -1308,3 +1308,67 @@ def time_of_day_profile(
         )
         .withColumnRenamed("key", key_col)
     )
+
+
+def autocorrelation(
+    grid: DataFrame,
+    *,
+    key_col: str = "key",
+    order_col: str = "bucket",
+    value_col: str = "n",
+    max_lag: int = 6,
+) -> DataFrame:
+    """Sample autocorrelation function per series over a DENSE grid
+    (feed :func:`resample_counts` output): for each key and lag k,
+    the Pearson correlation of the series with its own k-step shift —
+    the seasonality/memory diagnostic behind "is there a daily cycle"
+    (a peak at the period's lag) and "is this ar(1)-ish" (geometric
+    decay).
+
+    Pairs are built with one ``lag(k)`` window per lag over the SAME
+    key-partitioned ordering (one exchange, Catalyst reuses it — the
+    funnel doctrine); each lag's correlation comes from explicit sums
+    over the overlapping pairs, so the oracle shares the arithmetic.
+    Series shorter than ``lag + 2`` points, or constant over the
+    overlap, yield NULL acf (undefined, surfaced).
+
+    Returns ``(key, lag, n_pairs, acf)`` for lags 1..``max_lag``.
+    """
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    v = F.col(value_col).cast("double")
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    cols = [F.col(key_col).alias("key"), v.alias("x")]
+    for k in range(1, max_lag + 1):
+        cols.append(F.lag(v, k).over(w).alias(f"_l{k}"))
+    lagged = grid.select(*cols)
+    out = None
+    for k in range(1, max_lag + 1):
+        y = F.col(f"_l{k}")
+        pair = lagged.where(y.isNotNull()).groupBy("key").agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum(F.col("x") * y).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(y * y).alias("syy"),
+        )
+        n = F.col("n")
+        acf = (
+            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.nullif(
+                F.sqrt(
+                    (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                    * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+                ),
+                F.lit(0.0),
+            )
+        )
+        one = pair.select(
+            "key",
+            F.lit(k).alias("lag"),
+            n.cast("long").alias("n_pairs"),
+            acf.alias("acf"),
+        )
+        out = one if out is None else out.unionByName(one)
+    return out.withColumnRenamed("key", key_col)

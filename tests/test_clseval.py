@@ -236,3 +236,34 @@ def test_auc_rejects_nonbinary_label(spark):
     df = spark.createDataFrame([(1.0, 2.0)], "s double, y double")
     with pytest.raises(Exception, match="label must be 0/1"):
         binary_rank_metrics(df, "s", "y").collect()
+
+
+def test_decile_lift_perfect_ranking(spark):
+    from k_means_using_mapreduce_spark.operators.clseval import decile_lift
+
+    # 100 rows, top 10 scores are exactly the positives
+    rows = [(i, float(100 - i), 1.0 if i < 10 else 0.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, s double, y double")
+    out = {r["tile"]: r for r in decile_lift(df, "s", "y", id_col="id").collect()}
+    assert len(out) == 10
+    assert out[1]["n_pos"] == 10
+    assert out[1]["lift"] == pytest.approx(10.0)
+    assert out[1]["cum_capture"] == pytest.approx(1.0)
+    assert out[10]["n_pos"] == 0
+    assert out[10]["cum_capture"] == pytest.approx(1.0)
+    # every tile equal size
+    assert all(r["n"] == 10 for r in out.values())
+
+
+def test_decile_lift_no_positives_null_lift(spark):
+    from k_means_using_mapreduce_spark.operators.clseval import decile_lift
+
+    df = spark.createDataFrame(
+        [(i, float(i), 0.0) for i in range(20)], "id long, s double, y double"
+    )
+    out = decile_lift(df, "s", "y", id_col="id", bins=4).collect()
+    assert all(r["lift"] is None for r in out)
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        decile_lift(df, "s", "y", bins=1)

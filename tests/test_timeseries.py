@@ -525,3 +525,40 @@ def test_time_of_day_profile_pinned_vs_uniform(spark):
     assert org["entropy"] == pytest.approx(1.0)
     assert org["peak_share"] == pytest.approx(1.0 / 24.0)
     assert org["peak_hour"] == 0  # tie -> earliest hour
+
+
+def test_autocorrelation_period_two_series(spark):
+    from k_means_using_mapreduce_spark.operators.timeseries import (
+        autocorrelation,
+    )
+
+    # alternating series: acf(1) = -1, acf(2) = +1
+    rows = [("a", i, float(i % 2)) for i in range(40)]
+    grid = spark.createDataFrame(rows, "key string, bucket int, n double")
+    out = {
+        r["lag"]: r["acf"]
+        for r in autocorrelation(grid, max_lag=3).collect()
+    }
+    assert out[1] == pytest.approx(-1.0)
+    assert out[2] == pytest.approx(1.0)
+    assert out[3] == pytest.approx(-1.0)
+
+
+def test_autocorrelation_short_and_constant(spark):
+    from k_means_using_mapreduce_spark.operators.timeseries import (
+        autocorrelation,
+    )
+
+    rows = [("c", i, 5.0) for i in range(10)]  # constant -> NULL acf
+    rows += [("s", 0, 1.0), ("s", 1, 2.0)]     # too short for lag 2
+    grid = spark.createDataFrame(rows, "key string, bucket int, n double")
+    out = {
+        (r["key"], r["lag"]): r
+        for r in autocorrelation(grid, max_lag=2).collect()
+    }
+    assert out[("c", 1)]["acf"] is None
+    assert ("s", 2) not in out  # no overlapping pairs at all
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        autocorrelation(grid, max_lag=0)
