@@ -298,6 +298,8 @@ BENCH_QUERIES = [
     "gmm_price_components",
     "hourly_acf_events",
     "purchase_decile_lift_events",
+    "rfm_segment_summary",
+    "hourly_changepoint_events",
 ]
 
 KMEANS_FIT_K = 8

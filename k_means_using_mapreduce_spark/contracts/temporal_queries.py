@@ -385,3 +385,47 @@ ORACLE_SQL: dict[str, str] = {
     "monthly_order_stats": MONTHLY_ORDER_STATS_SQL,
     "shipments_in_order_window": SHIPMENTS_IN_WINDOW_SQL,
 }
+
+
+def rfm_segment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer grid: users per (r,f,m) score cell with average
+    spend (operators/temporal.py::rfm_scores)."""
+    from ..operators.temporal import rfm_scores
+    from ..sources.loaders import ns_to_timestamp
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", ns_to_timestamp("ts")
+    )
+    rfm = rfm_scores(ev)
+    return rfm.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.avg("monetary").alias("avg_monetary"),
+    )
+
+
+RFM_SQL = """
+WITH per AS (
+  SELECT user_id AS u, max(epoch_us(ts)) AS last_us,
+         CAST(count(*) AS BIGINT) AS frequency,
+         coalesce(sum(CAST(value AS DOUBLE)), 0.0) AS monetary
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+),
+mx AS (SELECT max(last_us) AS m FROM per),
+scored AS (
+  SELECT u, m - last_us AS recency_us, frequency, monetary,
+    CAST(6 - ntile(5) OVER (ORDER BY m - last_us ASC, u) AS INTEGER)
+      AS r_score,
+    CAST(6 - ntile(5) OVER (ORDER BY frequency DESC, u) AS INTEGER)
+      AS f_score,
+    CAST(6 - ntile(5) OVER (ORDER BY monetary DESC, u) AS INTEGER)
+      AS m_score
+  FROM per CROSS JOIN mx
+)
+SELECT r_score, f_score, m_score,
+       CAST(count(*) AS BIGINT) AS n_users,
+       avg(monetary) AS avg_monetary
+FROM scored GROUP BY 1, 2, 3
+"""
+
+QUERIES["rfm_segment_summary"] = rfm_segment_summary
+ORACLE_SQL["rfm_segment_summary"] = RFM_SQL

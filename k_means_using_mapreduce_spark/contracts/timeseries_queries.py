@@ -1207,3 +1207,66 @@ FROM (
 
 QUERIES["hourly_acf_events"] = hourly_acf_events
 ORACLE_SQL["hourly_acf_events"] = _acf_sql(6)
+
+
+def hourly_changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMOC level-shift localization on each event type's hourly
+    series (operators/timeseries.py::changepoint_argmax)."""
+    from ..operators.timeseries import changepoint_argmax, resample_counts
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", ns_to_timestamp("ts")
+    )
+    grid = resample_counts(ev, unit="hour").select(
+        "key", F.unix_micros("bucket").alias("bucket"), "n"
+    )
+    return changepoint_argmax(grid)
+
+
+CHANGEPOINT_SQL = f"""
+WITH counts AS (
+  SELECT event_type AS key,
+         epoch_us(ts) - epoch_us(ts) % {_HOUR_US} AS bucket_us,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(bucket_us) AS lo, max(bucket_us) AS hi FROM counts),
+keys AS (SELECT DISTINCT event_type AS key FROM events),
+grid AS (
+  SELECT key, unnest(range(lo, hi + {_HOUR_US}, {_HOUR_US})) AS bucket_us
+  FROM keys, bounds
+),
+g2 AS MATERIALIZED (
+  SELECT g.key, g.bucket_us, CAST(coalesce(c.n, 0) AS DOUBLE) AS x
+  FROM grid g LEFT JOIN counts c USING (key, bucket_us)
+),
+rows0 AS (
+  SELECT key, bucket_us AS at,
+    CAST(row_number() OVER wo AS DOUBLE) AS k,
+    sum(x) OVER (wo ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS sk,
+    sum(x) OVER wp AS sn,
+    CAST(count(*) OVER wp AS DOUBLE) AS n,
+    var_pop(x) OVER wp AS vp
+  FROM g2
+  WINDOW wo AS (PARTITION BY key ORDER BY bucket_us),
+         wp AS (PARTITION BY key)
+),
+stats AS (
+  SELECT *, abs(sk - k / n * sn) / sqrt(k * (n - k) / n) AS stat
+  FROM rows0 WHERE k < n
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY key
+                               ORDER BY stat DESC, k) AS rk
+  FROM stats
+)
+SELECT key, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS cp_pos,
+  at AS cp_at,
+  stat / nullif(sqrt(vp), 0.0) AS stat_norm,
+  (sn - sk) / (n - k) - sk / k AS shift
+FROM best WHERE rk = 1
+"""
+
+QUERIES["hourly_changepoint_events"] = hourly_changepoint_events
+ORACLE_SQL["hourly_changepoint_events"] = CHANGEPOINT_SQL

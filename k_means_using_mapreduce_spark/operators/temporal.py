@@ -531,3 +531,64 @@ def debounce(
         | ((F.col(ts_col) - F.lag(F.col(ts_col)).over(w)) >= within)
     )
     return df.withColumn("_keep", gap_ok).where(F.col("_keep")).drop("_keep")
+
+
+def rfm_scores(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bins: int = 5,
+) -> DataFrame:
+    """Classic RFM segmentation: per user, Recency (µs since the
+    user's last event, measured from the corpus max), Frequency
+    (event count) and Monetary (value sum), each scored 1..``bins``
+    by quantile tile with ``bins`` = best (most recent / most active /
+    highest spend) — the marketing-standard customer grid, computed
+    relationally.
+
+    One user-keyed aggregate reduces the corpus to |users| rows; the
+    three ``ntile`` windows run over THAT table with deterministic
+    (metric, user) total orders, so equal metrics split reproducibly.
+    The corpus max timestamp is a 1-row broadcast.
+
+    Returns per-user rows ``(user, recency_us, frequency, monetary,
+    r_score, f_score, m_score)``.
+    """
+    from pyspark.sql.window import Window
+
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    us = F.unix_micros(F.col(ts_col))
+    per = (
+        events.where(F.col(user_col).isNotNull())
+        .groupBy(F.col(user_col).alias("user"))
+        .agg(
+            F.max(us).alias("_last"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.coalesce(
+                F.sum(F.col(value_col).cast("double")), F.lit(0.0)
+            ).alias("monetary"),
+        )
+    )
+    mx = per.agg(F.max("_last").alias("_mx"))
+    scored = per.crossJoin(F.broadcast(mx)).withColumn(
+        "recency_us", F.col("_mx") - F.col("_last")
+    )
+
+    def tile(order_cols) -> F.Column:
+        return (
+            F.lit(bins + 1)
+            - F.ntile(bins).over(Window.orderBy(*order_cols))
+        ).cast("int")
+
+    return scored.select(
+        "user",
+        "recency_us",
+        "frequency",
+        "monetary",
+        tile([F.col("recency_us").asc(), F.col("user")]).alias("r_score"),
+        tile([F.col("frequency").desc(), F.col("user")]).alias("f_score"),
+        tile([F.col("monetary").desc(), F.col("user")]).alias("m_score"),
+    )

@@ -1372,3 +1372,91 @@ def autocorrelation(
         )
         out = one if out is None else out.unionByName(one)
     return out.withColumnRenamed("key", key_col)
+
+
+def changepoint_argmax(
+    grid: DataFrame,
+    *,
+    key_col: str = "key",
+    order_col: str = "bucket",
+    value_col: str = "n",
+) -> DataFrame:
+    """Single level-shift LOCALIZATION per series: the split k
+    maximizing the standardized CUSUM statistic
+    ``|S_k − (k/n)·S_n| / √(k(n−k)/n)`` — the classic AMOC (at-most-
+    one-changepoint) estimator, giving WHERE the level moved, where
+    :func:`cusum_statistics` only flags THAT it moved somewhere.
+
+    One key-partitioned cumulative window builds ``(k, S_k)``; series
+    totals ride along as window aggregates over the same partition (no
+    join); the argmax is a row_number with deterministic (stat desc,
+    k) ties. The reported ``shift`` is mean-after − mean-before at the
+    argmax, and ``stat_norm`` scales the statistic by the series σ̂
+    (population), NULL for constant series.
+
+    Returns one row per key: ``(key, n, cp_pos, cp_at, stat_norm,
+    shift)`` — ``cp_pos`` the 1-based LAST index of the left segment,
+    ``cp_at`` that row's ``order_col`` value.
+    """
+    from pyspark.sql.window import Window
+
+    v = F.col(value_col).cast("double")
+    wp = Window.partitionBy(key_col)
+    wo = wp.orderBy(order_col)
+    cum = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rows = grid.select(
+        F.col(key_col).alias("key"),
+        F.col(order_col).alias("at"),
+        v.alias("x"),
+    ).select(
+        "key",
+        "at",
+        F.row_number().over(
+            Window.partitionBy("key").orderBy("at")
+        ).cast("double").alias("k"),
+        F.sum("x").over(
+            Window.partitionBy("key").orderBy("at").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ).alias("sk"),
+        F.sum("x").over(Window.partitionBy("key")).alias("sn"),
+        F.count(F.lit(1)).over(Window.partitionBy("key"))
+        .cast("double")
+        .alias("n"),
+        F.var_pop("x").over(Window.partitionBy("key")).alias("vp"),
+    )
+    stats = rows.where(F.col("k") < F.col("n")).select(
+        "key",
+        "at",
+        "k",
+        "n",
+        "sk",
+        "sn",
+        "vp",
+        (
+            F.abs(F.col("sk") - F.col("k") / F.col("n") * F.col("sn"))
+            / F.sqrt(
+                F.col("k") * (F.col("n") - F.col("k")) / F.col("n")
+            )
+        ).alias("stat"),
+    )
+    win = Window.partitionBy("key").orderBy(
+        F.col("stat").desc(), F.col("k")
+    )
+    best = stats.withColumn("_rk", F.row_number().over(win)).where(
+        F.col("_rk") == 1
+    )
+    return best.select(
+        F.col("key").alias(key_col),
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("cp_pos"),
+        F.col("at").alias("cp_at"),
+        (
+            F.col("stat")
+            / F.nullif(F.sqrt(F.col("vp")), F.lit(0.0))
+        ).alias("stat_norm"),
+        (
+            (F.col("sn") - F.col("sk")) / (F.col("n") - F.col("k"))
+            - F.col("sk") / F.col("k")
+        ).alias("shift"),
+    )

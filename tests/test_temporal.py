@@ -490,3 +490,29 @@ def test_debounce_burst_collapse(spark):
     assert out == [("u", 0), ("u", 20), ("v", 0), ("v", 10)]
     with _pytest.raises(ValueError):
         debounce(df, key_cols=[], ts_col="ts", within=10)
+
+
+def test_rfm_scores_orderings(spark):
+    from pyspark.sql import functions as F
+
+    from k_means_using_mapreduce_spark.operators.temporal import rfm_scores
+
+    # 10 users: user i has i+1 events, last at hour i, spend 10*i
+    hour = 3_600_000_000
+    rows = []
+    for u in range(10):
+        for j in range(u + 1):
+            rows.append((u, j * 60_000_000 + u * hour, 10.0 * u / (u + 1)))
+    df = spark.createDataFrame(
+        rows, "user_id long, us long, value double"
+    ).withColumn("ts", F.timestamp_micros(F.col("us")))
+    out = {r["user"]: r for r in rfm_scores(df).collect()}
+    # user 9: most recent, most frequent, highest spend -> all 5s
+    assert (out[9]["r_score"], out[9]["f_score"], out[9]["m_score"]) == (5, 5, 5)
+    # user 0: oldest, least frequent, zero spend -> all 1s
+    assert (out[0]["r_score"], out[0]["f_score"], out[0]["m_score"]) == (1, 1, 1)
+    assert out[0]["recency_us"] > out[9]["recency_us"] == 0
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        rfm_scores(df, bins=1)

@@ -562,3 +562,22 @@ def test_autocorrelation_short_and_constant(spark):
 
     with _p.raises(ValueError):
         autocorrelation(grid, max_lag=0)
+
+
+def test_changepoint_localizes_level_shift(spark):
+    from k_means_using_mapreduce_spark.operators.timeseries import (
+        changepoint_argmax,
+    )
+
+    # flat 10s for 30 points, then flat 20s: change after position 30
+    rows = [("a", i, 10.0 if i < 30 else 20.0) for i in range(60)]
+    # noise-free constant series has no changepoint: stat_norm NULL
+    rows += [("c", i, 7.0) for i in range(40)]
+    grid = spark.createDataFrame(rows, "key string, bucket int, n double")
+    out = {r["key"]: r for r in changepoint_argmax(grid).collect()}
+    a = out["a"]
+    assert a["cp_pos"] == 30
+    assert a["cp_at"] == 29  # 0-indexed bucket of the 30th point
+    assert a["shift"] == pytest.approx(10.0)
+    assert a["stat_norm"] > 5.0
+    assert out["c"]["stat_norm"] is None
