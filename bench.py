@@ -300,6 +300,7 @@ BENCH_QUERIES = [
     "purchase_decile_lift_events",
     "rfm_segment_summary",
     "hourly_changepoint_events",
+    "quantity_price_rdd",
 ]
 
 KMEANS_FIT_K = 8

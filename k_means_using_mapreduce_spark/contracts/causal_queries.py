@@ -117,3 +117,69 @@ FROM terms
 
 QUERIES["cmh_discount_returns"] = cmh_discount_returns
 ORACLE_SQL["cmh_discount_returns"] = CMH_SQL
+
+
+def quantity_price_rdd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Placebo sharp RDD: is there a price jump at quantity 25? (No
+    true threshold exists in the generator, so the honest expectation
+    is an effect near zero — the operator's parity vehicle;
+    operators/causal.py::regression_discontinuity.)"""
+    from ..operators.causal import regression_discontinuity
+
+    return regression_discontinuity(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_quantity",
+        "l_extendedprice",
+        cutoff=25.0,
+        bandwidth=15.0,
+    )
+
+
+RDD_SQL = """
+WITH r AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS x,
+         CAST(l_extendedprice AS DOUBLE) AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND CAST(l_quantity AS DOUBLE) >= 10.0
+    AND CAST(l_quantity AS DOUBLE) <= 40.0
+),
+s AS (
+  SELECT
+    sum(CASE WHEN x < 25.0 THEN 1.0 ELSE 0.0 END) AS ln,
+    sum(CASE WHEN x < 25.0 THEN x ELSE 0.0 END) AS lsx,
+    sum(CASE WHEN x < 25.0 THEN y ELSE 0.0 END) AS lsy,
+    sum(CASE WHEN x < 25.0 THEN x * y ELSE 0.0 END) AS lsxy,
+    sum(CASE WHEN x < 25.0 THEN x * x ELSE 0.0 END) AS lsxx,
+    sum(CASE WHEN NOT (x < 25.0) THEN 1.0 ELSE 0.0 END) AS rn,
+    sum(CASE WHEN NOT (x < 25.0) THEN x ELSE 0.0 END) AS rsx,
+    sum(CASE WHEN NOT (x < 25.0) THEN y ELSE 0.0 END) AS rsy,
+    sum(CASE WHEN NOT (x < 25.0) THEN x * y ELSE 0.0 END) AS rsxy,
+    sum(CASE WHEN NOT (x < 25.0) THEN x * x ELSE 0.0 END) AS rsxx
+  FROM r
+),
+f AS (
+  SELECT *,
+    (ln * lsxy - lsx * lsy) / nullif(ln * lsxx - lsx * lsx, 0.0)
+      AS slope_left,
+    (rn * rsxy - rsx * rsy) / nullif(rn * rsxx - rsx * rsx, 0.0)
+      AS slope_right
+  FROM s
+),
+g AS (
+  SELECT *,
+    (lsy - slope_left * lsx) / nullif(ln, 0.0)
+      + slope_left * 25.0 AS y_left_at_cutoff,
+    (rsy - slope_right * rsx) / nullif(rn, 0.0)
+      + slope_right * 25.0 AS y_right_at_cutoff
+  FROM f
+)
+SELECT CAST(ln AS BIGINT) AS n_left, CAST(rn AS BIGINT) AS n_right,
+  y_left_at_cutoff, y_right_at_cutoff,
+  y_right_at_cutoff - y_left_at_cutoff AS rd_effect,
+  slope_left, slope_right
+FROM g
+"""
+
+QUERIES["quantity_price_rdd"] = quantity_price_rdd
+ORACLE_SQL["quantity_price_rdd"] = RDD_SQL

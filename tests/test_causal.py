@@ -104,3 +104,40 @@ def test_cmh_no_association_when_conditioned(spark):
     r = cmh_test(df, F.col("t") == 1, F.col("y") == 1, ["s"]).first()
     assert r["chi2"] == pytest.approx(0.0, abs=1e-9)
     assert r["or_mh"] == pytest.approx(1.0)
+
+
+def test_rdd_recovers_known_jump(spark):
+    from k_means_using_mapreduce_spark.operators.causal import (
+        regression_discontinuity,
+    )
+
+    # y = 2x below the cutoff, y = 2x + 50 at/above: sharp jump of 50
+    rows = [(float(x) / 10.0, 2.0 * x / 10.0) for x in range(0, 500)]
+    rows += [(float(x) / 10.0, 2.0 * x / 10.0 + 50.0) for x in range(500, 1000)]
+    df = spark.createDataFrame(rows, "r double, y double")
+    out = regression_discontinuity(
+        df, "r", "y", cutoff=50.0, bandwidth=20.0
+    ).collect()[0]
+    assert out["rd_effect"] == pytest.approx(50.0, abs=1e-6)
+    assert out["slope_left"] == pytest.approx(2.0)
+    assert out["slope_right"] == pytest.approx(2.0)
+    assert out["n_left"] == 200 and out["n_right"] == 201
+
+
+def test_rdd_boundary_row_is_treated_and_guards(spark):
+    from k_means_using_mapreduce_spark.operators.causal import (
+        regression_discontinuity,
+    )
+
+    rows = [(48.0, 1.0), (49.0, 1.0), (50.0, 9.0), (51.0, 9.0)]
+    df = spark.createDataFrame(rows, "r double, y double")
+    out = regression_discontinuity(
+        df, "r", "y", cutoff=50.0, bandwidth=5.0
+    ).collect()[0]
+    # r = 50 row counts on the right (sharp convention)
+    assert out["n_left"] == 2 and out["n_right"] == 2
+    assert out["rd_effect"] == pytest.approx(8.0)
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        regression_discontinuity(df, "r", "y", cutoff=50.0, bandwidth=0.0)
