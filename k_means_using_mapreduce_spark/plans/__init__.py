@@ -1,5 +1,6 @@
 from .explain import (
     broadcast_join_count,
+    broadcast_nlj_count,
     exchange_count,
     executed_plan,
     formatted_plan,
@@ -10,6 +11,7 @@ from .explain import (
 
 __all__ = [
     "broadcast_join_count",
+    "broadcast_nlj_count",
     "exchange_count",
     "executed_plan",
     "formatted_plan",

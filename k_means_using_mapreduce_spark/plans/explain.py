@@ -65,3 +65,11 @@ def read_schemas(df: DataFrame) -> list[list[str]]:
         cols = [c.split("#")[0].strip() for c in m.group(1).split(",") if c.strip()]
         out.append(cols)
     return out
+
+
+def broadcast_nlj_count(df: DataFrame) -> int:
+    """BroadcastNestedLoopJoin occurrences — the physical form Spark
+    picks for 1-row broadcast cross joins (scalar/grid folding); cheap
+    when the broadcast side is model-sized, so plan tests count it
+    separately from hash joins."""
+    return executed_plan(df).count("BroadcastNestedLoopJoin")

@@ -12,6 +12,7 @@ import pytest
 from k_means_using_mapreduce_spark import contracts
 from k_means_using_mapreduce_spark.plans import (
     broadcast_join_count,
+    broadcast_nlj_count,
     exchange_count,
     pushed_filters,
     read_schemas,
@@ -559,3 +560,87 @@ def test_subsequence_search_single_series_exchange(spark, sf):
     df = _q("burst_windows_events", spark, sf)
     assert sort_merge_join_count(df) == 0
     assert broadcast_join_count(df) == 0
+
+
+def test_rank_metrics_window_over_blocks_only(spark, sf):
+    # AUC/KS: one groupBy(score) reduce; the ordered window must run
+    # AFTER the aggregate (over blocks), so the plan has no corpus
+    # sort-merge joins and prunes to the two scored columns
+    df = _q("purchase_value_auc_events", spark, sf)
+    for cols in read_schemas(df):
+        assert set(cols) <= {"event_type", "value"}
+    assert sort_merge_join_count(df) == 0
+
+
+def test_lambda_sweep_result_is_local(spark, sf):
+    # the whole grid comes from ONE eager scan of conditional sums;
+    # the returned relation is driver-local arithmetic — no scans, no
+    # joins, no exchanges left in its plan
+    df = _q("ridge_lambda_sweep_lineitem", spark, sf)
+    assert read_schemas(df) == []
+    assert exchange_count(df) == 0
+    assert sort_merge_join_count(df) == 0
+
+
+def test_concentration_no_cartesian_prunes_scan(spark, sf):
+    df = _q("revenue_concentration_customer", spark, sf)
+    for cols in read_schemas(df):
+        assert set(cols) <= {"o_custkey", "o_totalprice"}
+    assert sort_merge_join_count(df) == 0
+
+
+def test_quantile_normalize_broadcasts_grid(spark, sf):
+    # the percentile grid is a 1-row broadcast; the only other
+    # exchange partitions by source for percent_rank — never a global
+    # row sort before an aggregate-free sink
+    df = _q("qnorm_quality_by_source", spark, sf)
+    assert broadcast_join_count(df) + broadcast_nlj_count(df) >= 1
+    assert sort_merge_join_count(df) == 0
+
+
+def test_naive_bayes_model_joins_broadcast(spark, sf):
+    # the (label, token) count model and denominators must reach the
+    # scoring side as broadcasts, not sort-merge shuffles
+    df = _q("nb_lang_confusion_documents", spark, sf)
+    assert broadcast_join_count(df) >= 3
+    # the only allowed shuffle join is the doc-keyed scoring join
+    # (two corpus-sized sides — a legitimate data join)
+    assert sort_merge_join_count(df) <= 1
+
+
+def test_pvm_bridge_joins_aggregates_only(spark, sf):
+    # both sides reduce to |groups| rows before the full-outer join;
+    # scans prune to the three needed columns
+    df = _q("revenue_bridge_1995_1996", spark, sf)
+    for cols in read_schemas(df):
+        assert set(cols) <= {
+            "l_returnflag", "l_quantity", "l_extendedprice", "l_shipdate"
+        }
+
+
+def test_pareto_reduces_before_window(spark, sf):
+    # distinct-pair aggregate precedes the ordered window; the scan
+    # reads only the two axes
+    df = _q("price_quantity_frontier", spark, sf)
+    for cols in read_schemas(df):
+        assert set(cols) <= {"l_quantity", "l_extendedprice"}
+    assert sort_merge_join_count(df) == 0
+    assert broadcast_join_count(df) == 0
+
+
+def test_gmm_final_pass_is_narrow(spark, sf):
+    # the returned plan is the log-likelihood scan: one column read,
+    # no joins (all parameters are folded literals)
+    df = _q("gmm_price_components", spark, sf)
+    for cols in read_schemas(df):
+        assert set(cols) <= {"l_extendedprice"}
+    assert sort_merge_join_count(df) == 0
+
+
+def test_rfm_windows_over_user_aggregates(spark, sf):
+    df = _q("rfm_segment_summary", spark, sf)
+    for cols in read_schemas(df):
+        assert set(cols) <= {"user_id", "ts", "value"}
+    assert sort_merge_join_count(df) == 0
+    # corpus-max rides in as a 1-row broadcast (nested-loop form)
+    assert broadcast_join_count(df) + broadcast_nlj_count(df) >= 1
