@@ -301,6 +301,8 @@ BENCH_QUERIES = [
     "rfm_segment_summary",
     "hourly_changepoint_events",
     "quantity_price_rdd",
+    "weighted_price_percentiles",
+    "vocab_growth_documents",
 ]
 
 KMEANS_FIT_K = 8

@@ -375,3 +375,50 @@ def _spectral_sql(iters: int = 5) -> str:
 
 QUERIES["spectral_token_loading_documents"] = spectral_token_loading_documents
 ORACLE_SQL["spectral_token_loading_documents"] = _spectral_sql(5)
+
+
+def vocab_growth_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth at 10 doc-id milestones
+    (operators/lm.py::vocab_growth)."""
+    from ..operators.lm import vocab_growth
+
+    return vocab_growth(load_table(spark, sf_dir, "documents"))
+
+
+_VG_FRACS = ", ".join(repr(i / 10) for i in range(1, 10))
+
+VOCAB_GROWTH_SQL = f"""
+WITH docs AS MATERIALIZED (
+  SELECT doc_id AS id, {sql_tokens('text')} AS t
+  FROM documents WHERE doc_id IS NOT NULL
+),
+cuts AS (SELECT quantile_cont(id, [{_VG_FRACS}]) AS q FROM docs),
+wb AS MATERIALIZED (
+  SELECT id, t,
+         len(list_filter(q, c -> c < CAST(id AS DOUBLE))) + 1
+           AS milestone
+  FROM docs CROSS JOIN cuts
+),
+tok AS (
+  SELECT milestone, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(t)) AS BIGINT) AS toks
+  FROM wb GROUP BY 1
+),
+debut AS (
+  SELECT milestone, CAST(count(*) AS BIGINT) AS new_types
+  FROM (
+    SELECT token, min(milestone) AS milestone
+    FROM (SELECT milestone, unnest(t) AS token FROM wb) x
+    GROUP BY 1
+  ) f GROUP BY 1
+)
+SELECT t.milestone, t.n_docs,
+  CAST(sum(t.toks) OVER w AS BIGINT) AS cum_tokens,
+  CAST(sum(coalesce(d.new_types, 0)) OVER w AS BIGINT) AS cum_types
+FROM tok t LEFT JOIN debut d USING (milestone)
+WINDOW w AS (ORDER BY t.milestone
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+QUERIES["vocab_growth_documents"] = vocab_growth_documents
+ORACLE_SQL["vocab_growth_documents"] = VOCAB_GROWTH_SQL

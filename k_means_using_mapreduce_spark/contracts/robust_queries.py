@@ -356,3 +356,48 @@ FROM d
 
 QUERIES["mahalanobis_price_quantity"] = mahalanobis_price_quantity
 ORACLE_SQL["mahalanobis_price_quantity"] = MAHALANOBIS_SQL
+
+
+def weighted_price_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantity-weighted price quartiles per return flag — "the median
+    dollar-of-demand price", not the median row
+    (operators/robust.py::weighted_percentile)."""
+    from ..operators.robust import weighted_percentile
+
+    return weighted_percentile(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        "l_quantity",
+        [0.25, 0.5, 0.75],
+        by=["l_returnflag"],
+    )
+
+
+WEIGHTED_PCT_SQL = """
+WITH blocks AS (
+  SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v,
+         sum(CAST(l_quantity AS DOUBLE)) AS w
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    AND CAST(l_quantity AS DOUBLE) > 0
+  GROUP BY 1, 2
+),
+stepped AS (
+  SELECT l_returnflag, v,
+    sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS cw,
+    sum(w) OVER (PARTITION BY l_returnflag) AS tw
+  FROM blocks
+)
+SELECT l_returnflag, any_value(tw) AS total_weight,
+  min(CASE WHEN cw >= 0.25 * tw THEN v END) AS p_0_25,
+  min(CASE WHEN cw >= 0.5 * tw THEN v END) AS p_0_5,
+  min(CASE WHEN cw >= 0.75 * tw THEN v END) AS p_0_75
+FROM stepped GROUP BY 1
+"""
+
+QUERIES["weighted_price_percentiles"] = weighted_price_percentiles
+ORACLE_SQL["weighted_price_percentiles"] = WEIGHTED_PCT_SQL

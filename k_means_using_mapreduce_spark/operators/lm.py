@@ -597,3 +597,87 @@ def spectral_token_loading(
             .localCheckpoint(eager=True)
         )
     return vec.select("token", F.col("x").alias("loading"))
+
+
+def vocab_growth(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    milestones: int = 10,
+) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law view): cumulative distinct
+    token types vs cumulative tokens processed, at ``milestones``
+    checkpoints of the corpus in ``id_col`` order — "is new data still
+    bringing new vocabulary" answered without re-scanning per
+    checkpoint. On a Heapsian corpus ``ln(types)`` grows linearly in
+    ``ln(tokens)`` with slope β < 1; saturation (β → 0) says the
+    crawl is exhausting its domain.
+
+    No global row sort: milestone boundaries are the exact doc-id
+    quantiles (one percentile aggregate, broadcast), each doc's bucket
+    is "how many cutoffs are below my id" (an array fold — identical
+    in DuckDB), a token's FIRST bucket is where it debuts (one
+    token-keyed min), and the cumulative curve is a window over the
+    ``milestones``-row table.
+
+    Returns per-milestone rows ``(milestone, n_docs, cum_tokens,
+    cum_types)`` with milestone 1..``milestones``.
+    """
+    if milestones < 2:
+        raise ValueError(f"milestones must be >= 2, got {milestones}")
+    from pyspark.sql.window import Window
+
+    did = F.col(id_col).cast("long")
+    docs = df.where(did.isNotNull()).select(
+        did.alias("_id"), tokens(F.col(text_col)).alias("_t")
+    )
+    fr = [i / milestones for i in range(1, milestones)]
+    cuts = docs.agg(
+        F.percentile(F.col("_id"), F.array(*[F.lit(p) for p in fr])).alias(
+            "_cuts"
+        )
+    )
+    bucket = (
+        F.aggregate(
+            "_cuts",
+            F.lit(0),
+            lambda acc, c: acc
+            + F.when(c < F.col("_id").cast("double"), 1).otherwise(0),
+        )
+        + F.lit(1)
+    ).alias("milestone")
+    with_b = docs.crossJoin(F.broadcast(cuts)).select(
+        "_id", "_t", bucket
+    )
+    per_doc = with_b.select(
+        "milestone",
+        F.size("_t").alias("_n"),
+        F.col("_t"),
+    )
+    tok_stats = per_doc.groupBy("milestone").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_n").cast("long").alias("toks"),
+    )
+    debut = (
+        with_b.select("milestone", F.explode("_t").alias("token"))
+        .groupBy("token")
+        .agg(F.min("milestone").alias("milestone"))
+        .groupBy("milestone")
+        .agg(F.count(F.lit(1)).alias("new_types"))
+    )
+    joined = tok_stats.join(debut, "milestone", "left").select(
+        "milestone",
+        "n_docs",
+        "toks",
+        F.coalesce("new_types", F.lit(0)).alias("new_types"),
+    )
+    w = Window.orderBy("milestone").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return joined.select(
+        "milestone",
+        "n_docs",
+        F.sum("toks").over(w).alias("cum_tokens"),
+        F.sum("new_types").over(w).alias("cum_types"),
+    )

@@ -469,3 +469,63 @@ def mahalanobis_summary(
         F.max(d2).alias("max_d2"),
         F.avg(d2).alias("avg_d2"),
     )
+
+
+def weighted_percentile(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    qs: Sequence[float],
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Exact weighted percentiles (lower weighted-CDF inverse): the
+    smallest value whose cumulative weight reaches ``q·W`` — "the
+    median PRICE weighted by quantity sold", which Spark's built-in
+    ``percentile`` (row-weighted) cannot answer. The estimator is the
+    standard inverse-CDF step function (no interpolation — that is
+    what makes exact cross-engine parity possible on ties).
+
+    One ``(by…, value)`` weight aggregate reduces the data to
+    distinct-value blocks; a per-group cumulative window over THOSE
+    blocks and one conditional min per q finish the job — the
+    binary_rank_metrics block doctrine. Non-positive/NULL weights are
+    excluded.
+
+    Returns one row per group: ``(by…, total_weight, p_<q>…)``.
+    """
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    for q in qs:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"each q must be in (0, 1], got {q}")
+    from pyspark.sql.window import Window
+
+    bys = list(by)
+    v = F.col(value_col).cast("double")
+    w = F.col(weight_col).cast("double")
+    blocks = (
+        df.where(v.isNotNull() & w.isNotNull() & (w > 0))
+        .groupBy(*bys, v.alias("_v"))
+        .agg(F.sum(w).alias("_w"))
+    )
+    cum = Window.partitionBy(*bys).orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy(*bys)
+    stepped = blocks.select(
+        *bys,
+        "_v",
+        F.sum("_w").over(cum).alias("_cw"),
+        F.sum("_w").over(tot).alias("_tw"),
+    )
+    aggs = [F.first("_tw").alias("total_weight")]
+    for q in qs:
+        name = f"p_{str(q).replace('.', '_')}"
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("_cw") >= F.lit(q) * F.col("_tw"), F.col("_v")
+                )
+            ).alias(name)
+        )
+    return stepped.groupBy(*bys).agg(*aggs)

@@ -343,3 +343,24 @@ def test_spectral_loading_guards(spark):
         spectral_token_loading(df, iters=0)
     # nothing survives min_count: empty result, no crash
     assert spectral_token_loading(df, min_count=5).count() == 0
+
+
+def test_vocab_growth_monotone_and_totals(spark):
+    from k_means_using_mapreduce_spark.operators.lm import vocab_growth
+
+    # vocabulary stops growing after the early docs: growth saturates
+    docs = [(i, "alpha beta gamma") for i in range(20)]
+    docs += [(100 + i, f"word{i} alpha") for i in range(20)]  # debuts late
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = vocab_growth(df, milestones=4).orderBy("milestone").collect()
+    assert [r["milestone"] for r in out] == [1, 2, 3, 4]
+    toks = [r["cum_tokens"] for r in out]
+    typs = [r["cum_types"] for r in out]
+    assert toks == sorted(toks) and typs == sorted(typs)
+    assert out[-1]["cum_tokens"] == 20 * 3 + 20 * 2
+    assert out[-1]["cum_types"] == 3 + 20
+    assert sum(r["n_docs"] for r in out) == 40
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        vocab_growth(df, milestones=1)

@@ -297,3 +297,41 @@ def test_mahalanobis_guards(spark):
         mahalanobis_summary(col, "x", "y")
     with _p.raises(ValueError, match="threshold"):
         mahalanobis_summary(col, "x", "y", threshold=0.0)
+
+
+def test_weighted_percentile_hand_case(spark):
+    from k_means_using_mapreduce_spark.operators.robust import (
+        weighted_percentile,
+    )
+
+    # values 1..4 with weights 1,1,1,7: weighted median must be 4
+    # (cum weights 1,2,3,10; 0.5*10=5 first reached at v=4),
+    # row-median would be 2.5
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 1.0), (3.0, 1.0), (4.0, 7.0)],
+        "v double, w double",
+    )
+    r = weighted_percentile(df, "v", "w", [0.25, 0.5]).collect()[0]
+    assert r["total_weight"] == pytest.approx(10.0)
+    assert r["p_0_25"] == 3.0  # 2.5 reached at cum 3
+    assert r["p_0_5"] == 4.0
+
+
+def test_weighted_percentile_uniform_weights_and_guards(spark):
+    from k_means_using_mapreduce_spark.operators.robust import (
+        weighted_percentile,
+    )
+
+    # unit weights: q=1.0 returns the max; zero/negative weights drop
+    df = spark.createDataFrame(
+        [(float(i), 1.0) for i in range(1, 11)] + [(99.0, 0.0), (98.0, -1.0)],
+        "v double, w double",
+    )
+    r = weighted_percentile(df, "v", "w", [1.0]).collect()[0]
+    assert r["p_1_0"] == 10.0
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        weighted_percentile(df, "v", "w", [])
+    with _p.raises(ValueError):
+        weighted_percentile(df, "v", "w", [0.0])
