@@ -303,6 +303,7 @@ BENCH_QUERIES = [
     "quantity_price_rdd",
     "weighted_price_percentiles",
     "vocab_growth_documents",
+    "interpolated_hourly_value_events",
 ]
 
 KMEANS_FIT_K = 8

@@ -1270,3 +1270,86 @@ FROM best WHERE rk = 1
 
 QUERIES["hourly_changepoint_events"] = hourly_changepoint_events
 ORACLE_SQL["hourly_changepoint_events"] = CHANGEPOINT_SQL
+
+
+def interpolated_hourly_value_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mean event value per (type, hour) with empty hours linearly
+    interpolated — NULL-aware gap fill, not zero fill
+    (operators/timeseries.py::interpolate_linear)."""
+    from ..operators.timeseries import interpolate_linear, resample_counts
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", ns_to_timestamp("ts")
+    )
+    grid = resample_counts(ev, unit="hour", value_col="value").select(
+        "key",
+        F.unix_micros("bucket").alias("bucket"),
+        F.when(F.col("n") > 0, F.col("total") / F.col("n")).alias("v"),
+    )
+    out = interpolate_linear(grid)
+    # summarize per key so the contract result stays small and stable
+    return out.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.count("v").alias("n_observed"),
+        F.avg("v_interp").alias("mean_interp"),
+        F.min("v_interp").alias("min_interp"),
+        F.max("v_interp").alias("max_interp"),
+    )
+
+
+INTERP_SQL = f"""
+WITH counts AS (
+  SELECT event_type AS key,
+         epoch_us(ts) - epoch_us(ts) % {_HOUR_US} AS bucket_us,
+         count(*) AS n, sum(value) AS total
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(bucket_us) AS lo, max(bucket_us) AS hi FROM counts),
+keys AS (SELECT DISTINCT event_type AS key FROM events),
+grid AS (
+  SELECT key, unnest(range(lo, hi + {_HOUR_US}, {_HOUR_US})) AS bucket_us
+  FROM keys, bounds
+),
+g2 AS MATERIALIZED (
+  SELECT g.key, CAST(g.bucket_us AS DOUBLE) AS pos,
+    CASE WHEN coalesce(c.n, 0) > 0
+         THEN coalesce(c.total, 0.0) / coalesce(c.n, 0) END AS v
+  FROM grid g LEFT JOIN counts c USING (key, bucket_us)
+),
+filled AS (
+  SELECT key, v,
+    last_value(v IGNORE NULLS) OVER wb AS prev_v,
+    last_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS)
+      OVER wb AS prev_p,
+    first_value(v IGNORE NULLS) OVER wf AS next_v,
+    first_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS)
+      OVER wf AS next_p,
+    pos
+  FROM g2
+  WINDOW wb AS (PARTITION BY key ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY key ORDER BY pos
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+),
+interp AS (
+  SELECT key, v,
+    CASE WHEN v IS NOT NULL THEN v
+         WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+         THEN prev_v + (next_v - prev_v) * (pos - prev_p)
+              / nullif(next_p - prev_p, 0.0)
+         WHEN prev_v IS NOT NULL THEN prev_v
+         ELSE next_v END AS v_interp
+  FROM filled
+)
+SELECT key, CAST(count(*) AS BIGINT) AS n_buckets,
+  CAST(count(v) AS BIGINT) AS n_observed,
+  avg(v_interp) AS mean_interp,
+  min(v_interp) AS min_interp,
+  max(v_interp) AS max_interp
+FROM interp GROUP BY 1
+"""
+
+QUERIES["interpolated_hourly_value_events"] = interpolated_hourly_value_events
+ORACLE_SQL["interpolated_hourly_value_events"] = INTERP_SQL

@@ -1460,3 +1460,60 @@ def changepoint_argmax(
             - F.col("sk") / F.col("k")
         ).alias("shift"),
     )
+
+
+def interpolate_linear(
+    grid: DataFrame,
+    *,
+    key_col: str = "key",
+    order_col: str = "bucket",
+    value_col: str = "v",
+) -> DataFrame:
+    """Linear interpolation of NULL values over an ordered per-key
+    grid — the sensor-pipeline gap policy where zero-filling
+    (:func:`resample_counts`) would lie: a missing reading is not a
+    zero reading. Interior gaps take the line between the nearest
+    non-null neighbors (in ``order_col`` units); leading/trailing gaps
+    take the nearest observation (the standard ffill/bfill edge
+    policy); all-null series stay NULL.
+
+    One key-partitioned window pass: IGNORE-NULLS ``last``/``first``
+    locate both neighbors and their positions in the same ordering —
+    no self-join, no explode. The input should be a DENSE grid so
+    "distance" means time, not row count (positions are taken from
+    ``order_col``, so sparse inputs still interpolate correctly in
+    value space).
+
+    Returns the grid plus ``v_interp``.
+    """
+    from pyspark.sql.window import Window
+
+    v = F.col(value_col).cast("double")
+    pos = F.col(order_col).cast("double")
+    wb = Window.partitionBy(key_col).orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wf = Window.partitionBy(key_col).orderBy(order_col).rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    prev_v = F.last(v, ignorenulls=True).over(wb)
+    prev_p = F.last(
+        F.when(v.isNotNull(), pos), ignorenulls=True
+    ).over(wb)
+    next_v = F.first(v, ignorenulls=True).over(wf)
+    next_p = F.first(
+        F.when(v.isNotNull(), pos), ignorenulls=True
+    ).over(wf)
+    interp = (
+        F.when(v.isNotNull(), v)
+        .when(
+            prev_v.isNotNull() & next_v.isNotNull(),
+            prev_v
+            + (next_v - prev_v)
+            * (pos - prev_p)
+            / F.nullif(next_p - prev_p, F.lit(0.0)),
+        )
+        .when(prev_v.isNotNull(), prev_v)
+        .otherwise(next_v)
+    )
+    return grid.withColumn("v_interp", interp)

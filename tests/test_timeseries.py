@@ -581,3 +581,44 @@ def test_changepoint_localizes_level_shift(spark):
     assert a["shift"] == pytest.approx(10.0)
     assert a["stat_norm"] > 5.0
     assert out["c"]["stat_norm"] is None
+
+
+def test_interpolate_linear_interior_and_edges(spark):
+    from k_means_using_mapreduce_spark.operators.timeseries import (
+        interpolate_linear,
+    )
+
+    rows = [
+        ("a", 0, None),   # leading -> bfill 10
+        ("a", 1, 10.0),
+        ("a", 2, None),   # interior: 10 -> 40 over 3 steps => 20
+        ("a", 3, None),   # => 30
+        ("a", 4, 40.0),
+        ("a", 5, None),   # trailing -> ffill 40
+        ("b", 0, None),   # all-null series stays null
+    ]
+    grid = spark.createDataFrame(rows, "key string, bucket int, v double")
+    out = {
+        (r["key"], r["bucket"]): r["v_interp"]
+        for r in interpolate_linear(grid).collect()
+    }
+    assert out[("a", 0)] == 10.0
+    assert out[("a", 2)] == pytest.approx(20.0)
+    assert out[("a", 3)] == pytest.approx(30.0)
+    assert out[("a", 5)] == 40.0
+    assert out[("b", 0)] is None
+
+
+def test_interpolate_linear_respects_order_distance(spark):
+    from k_means_using_mapreduce_spark.operators.timeseries import (
+        interpolate_linear,
+    )
+
+    # sparse positions: gap at pos 4 between (0, 0.0) and (10, 10.0)
+    # must interpolate in POSITION space -> 4.0, not row space
+    grid = spark.createDataFrame(
+        [("a", 0, 0.0), ("a", 4, None), ("a", 10, 10.0)],
+        "key string, bucket int, v double",
+    )
+    out = {r["bucket"]: r["v_interp"] for r in interpolate_linear(grid).collect()}
+    assert out[4] == pytest.approx(4.0)
