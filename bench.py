@@ -304,6 +304,8 @@ BENCH_QUERIES = [
     "weighted_price_percentiles",
     "vocab_growth_documents",
     "interpolated_hourly_value_events",
+    "user_graph_assortativity",
+    "interarrival_exponentiality_events",
 ]
 
 KMEANS_FIT_K = 8

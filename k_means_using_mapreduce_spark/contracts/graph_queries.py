@@ -576,3 +576,40 @@ def _sssp_sql(rounds: int = 4) -> str:
 
 QUERIES["purchase_distance_sssp"] = purchase_distance_sssp
 ORACLE_SQL["purchase_distance_sssp"] = _sssp_sql(4)
+
+
+def user_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the user co-activity graph — do heavy
+    co-occurrers attach to each other?
+    (operators/graph.py::degree_assortativity)."""
+    from ..operators.graph import degree_assortativity
+
+    return degree_assortativity(_user_cooc_edges(spark, sf_dir))
+
+
+# reuse the triangle contracts' edge construction verbatim, swap the
+# analysis CTEs
+ASSORTATIVITY_SQL = _TRI_CORE.split("tri AS")[0] + """sym AS (
+  SELECT src AS u, dst AS v FROM edges
+  UNION
+  SELECT dst AS u, src AS v FROM edges
+),
+deg AS (SELECT u, CAST(count(*) AS DOUBLE) AS d FROM sym GROUP BY 1),
+paired AS (
+  SELECT s.u, du.d AS du, dv.d AS dv
+  FROM sym s
+  JOIN deg du ON du.u = s.u
+  JOIN deg dv ON dv.u = s.v
+)
+SELECT CAST(count(DISTINCT u) AS BIGINT) AS n_nodes,
+  CAST(CAST(count(*) AS DOUBLE) / 2.0 AS BIGINT) AS n_edges,
+  (CAST(count(*) AS DOUBLE) * sum(du * dv) - sum(du) * sum(dv))
+    / nullif(sqrt(
+        (CAST(count(*) AS DOUBLE) * sum(du * du) - sum(du) * sum(du))
+        * (CAST(count(*) AS DOUBLE) * sum(dv * dv) - sum(dv) * sum(dv))
+      ), 0.0) AS assortativity
+FROM paired
+"""
+
+QUERIES["user_graph_assortativity"] = user_graph_assortativity
+ORACLE_SQL["user_graph_assortativity"] = ASSORTATIVITY_SQL

@@ -512,3 +512,56 @@ FROM c
 
 QUERIES["user_events_dispersion"] = user_events_dispersion
 ORACLE_SQL["user_events_dispersion"] = DISPERSION_SQL
+
+
+def interarrival_exponentiality_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Are per-user inter-arrival gaps memoryless? Lilliefors KS vs
+    the fitted exponential (operators/hypothesis.py::
+    exponentiality_test), the companion of user_events_dispersion."""
+    from pyspark.sql.window import Window
+
+    from ..operators.hypothesis import exponentiality_test
+
+    ev = load_table(spark, sf_dir, "events")
+    us = (F.col("ts").cast("long") / F.lit(1000)).cast("long")
+    w = Window.partitionBy("user_id").orderBy(us, F.col("event_id"))
+    gaps = ev.select(
+        (us - F.lag(us).over(w)).cast("double").alias("gap_us")
+    ).where(F.col("gap_us").isNotNull())
+    return exponentiality_test(gaps, "gap_us")
+
+
+EXPONENTIALITY_SQL = """
+WITH gaps AS (
+  SELECT CAST(ts_us - lag(ts_us) OVER w AS DOUBLE) AS g
+  FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events) t
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+blocks AS (
+  SELECT g, CAST(count(*) AS DOUBLE) AS c
+  FROM gaps WHERE g IS NOT NULL AND g > 0 GROUP BY 1
+),
+tot AS (
+  SELECT sum(c) AS n, sum(g * c) / sum(c) AS m FROM blocks
+),
+stepped AS (
+  SELECT g, n, m,
+    sum(c) OVER cum / n AS fhi,
+    (sum(c) OVER cum - c) / n AS flo
+  FROM blocks CROSS JOIN tot
+  WINDOW cum AS (ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+)
+SELECT CAST(any_value(n) AS BIGINT) AS n,
+  any_value(m) AS mean_gap,
+  max(greatest(abs(fhi - (1.0 - exp(-g / m))),
+               abs((1.0 - exp(-g / m)) - flo))) AS ks_stat
+FROM stepped
+"""
+
+QUERIES["interarrival_exponentiality_events"] = (
+    interarrival_exponentiality_events
+)
+ORACLE_SQL["interarrival_exponentiality_events"] = EXPONENTIALITY_SQL

@@ -877,3 +877,69 @@ def sssp_weighted(
             .localCheckpoint(eager=True)
         )
     return dist
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees over all edges of the UNDIRECTED
+    simple graph — positive means hubs attach to hubs (social
+    networks), negative means hubs attach to leaves (the internet,
+    star-ish retrieval graphs). The one-number answer to "what shape
+    is this graph" that degree histograms alone don't give.
+
+    Plan: symmetrize + distinct to simple edges, one node-keyed degree
+    aggregate, join degrees onto both endpoints (each directed copy of
+    an edge contributes one (deg_u, deg_v) pair — the standard
+    symmetric-sum convention), then Pearson from explicit sums. Two
+    node-keyed shuffles, nothing quadratic.
+
+    Returns one row ``(n_nodes, n_edges, assortativity)`` —
+    NULL coefficient for degree-regular graphs (zero variance).
+    """
+    e = edges.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+    ).where(F.col("u").isNotNull() & F.col("v").isNotNull())
+    e = e.where(F.col("u") != F.col("v"))
+    sym = e.union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    deg = sym.groupBy("u").agg(
+        F.count(F.lit(1)).cast("double").alias("d")
+    )
+    paired = (
+        sym.join(deg, "u")
+        .withColumnRenamed("d", "du")
+        .join(
+            deg.select(F.col("u").alias("v"), F.col("d").alias("dv")),
+            "v",
+        )
+    )
+    n = F.count(F.lit(1)).cast("double")
+    return paired.agg(
+        F.countDistinct("u").alias("n_nodes"),
+        (n / F.lit(2.0)).cast("long").alias("n_edges"),
+        (
+            (
+                n * F.sum(F.col("du") * F.col("dv"))
+                - F.sum("du") * F.sum("dv")
+            )
+            / F.nullif(
+                F.sqrt(
+                    (
+                        n * F.sum(F.col("du") * F.col("du"))
+                        - F.sum("du") * F.sum("du")
+                    )
+                    * (
+                        n * F.sum(F.col("dv") * F.col("dv"))
+                        - F.sum("dv") * F.sum("dv")
+                    )
+                ),
+                F.lit(0.0),
+            )
+        ).alias("assortativity"),
+    )

@@ -690,3 +690,58 @@ def mcnemar_test(
             / F.nullif(b_cell + c_cell, F.lit(0.0))
         ).alias("mcnemar_chi2"),
     )
+
+
+def exponentiality_test(
+    df: DataFrame,
+    gap_col: str,
+) -> DataFrame:
+    """Lilliefors-style KS statistic against the exponential family:
+    are these waiting times memoryless? The rate is estimated from the
+    data (``1/mean``), the statistic is the max gap between the
+    empirical CDF (both one-sided limits — the correct discrete KS)
+    and ``1 − exp(−x/mean)``. Pairs with :func:`dispersion_test`:
+    dispersion asks "Poisson counts?", this asks "exponential gaps?".
+    The null distribution is Lilliefors', not Kolmogorov's (the mean
+    was estimated), so the statistic + n are returned and the caller
+    looks up the critical value — the log-rank/ANOVA convention.
+
+    One grouped pass over DISTINCT gap values (the
+    binary_rank_metrics block doctrine), mean as a 1-row broadcast;
+    non-positive/NULL gaps excluded (exponential support is x > 0).
+
+    Returns one row ``(n, mean_gap, ks_stat)``.
+    """
+    from pyspark.sql.window import Window
+
+    g = F.col(gap_col).cast("double")
+    rows = df.where(g.isNotNull() & (g > 0))
+    blocks = rows.groupBy(g.alias("_g")).agg(
+        F.count(F.lit(1)).cast("double").alias("_c")
+    )
+    tot = blocks.agg(
+        F.sum("_c").alias("_n"),
+        (F.sum(F.col("_g") * F.col("_c")) / F.sum("_c")).alias("_m"),
+    )
+    cum = Window.orderBy("_g").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    stepped = blocks.crossJoin(F.broadcast(tot)).select(
+        "_g",
+        "_n",
+        "_m",
+        (F.sum("_c").over(cum) / F.col("_n")).alias("_fhi"),
+        (
+            (F.sum("_c").over(cum) - F.col("_c")) / F.col("_n")
+        ).alias("_flo"),
+    )
+    fexp = F.lit(1.0) - F.exp(-F.col("_g") / F.col("_m"))
+    return stepped.agg(
+        F.first("_n").cast("long").alias("n"),
+        F.first("_m").alias("mean_gap"),
+        F.max(
+            F.greatest(
+                F.abs(F.col("_fhi") - fexp), F.abs(fexp - F.col("_flo"))
+            )
+        ).alias("ks_stat"),
+    )

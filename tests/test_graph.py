@@ -304,3 +304,36 @@ def test_sssp_undirected_and_guards(spark):
 
     with _p.raises(ValueError):
         sssp_weighted(edges, src, rounds=-1)
+
+
+def test_assortativity_star_vs_clique(spark):
+    from k_means_using_mapreduce_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    # star: hub degree n-1, leaves degree 1 -> strongly disassortative
+    star = spark.createDataFrame(
+        [("hub", f"leaf{i}") for i in range(6)], "src string, dst string"
+    )
+    r = degree_assortativity(star).collect()[0]
+    assert r["n_nodes"] == 7 and r["n_edges"] == 6
+    assert r["assortativity"] == pytest.approx(-1.0)
+
+    # regular graph (cycle): every degree 2 -> zero variance -> NULL
+    cyc = spark.createDataFrame(
+        [(i, (i + 1) % 5) for i in range(5)], "src int, dst int"
+    )
+    assert degree_assortativity(cyc).collect()[0]["assortativity"] is None
+
+
+def test_assortativity_ignores_self_loops_and_duplicates(spark):
+    from k_means_using_mapreduce_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "a"), ("a", "b")],
+        "src string, dst string",
+    )
+    r = degree_assortativity(df).collect()[0]
+    assert r["n_nodes"] == 2 and r["n_edges"] == 1

@@ -219,3 +219,27 @@ def test_mcnemar_hand_case_and_no_disagreement(spark):
         ]
         is None
     )
+
+
+def test_exponentiality_exact_exponential_grid_vs_uniform(spark):
+    import math
+
+    from k_means_using_mapreduce_spark.operators.hypothesis import (
+        exponentiality_test,
+    )
+
+    # inverse-CDF exponential grid: gaps -ln(1 - u) hug the fitted CDF
+    exp_rows = [
+        (-math.log(1.0 - (i + 0.5) / 500.0),) for i in range(500)
+    ]
+    r = exponentiality_test(
+        spark.createDataFrame(exp_rows, "g double"), "g"
+    ).collect()[0]
+    assert r["ks_stat"] < 0.05
+
+    # constant gaps (perfectly regular arrivals) are maximally
+    # non-exponential: KS far above the ~1.0/sqrt(n) noise floor
+    const = spark.createDataFrame([(5.0,)] * 400, "g double")
+    r2 = exponentiality_test(const, "g").collect()[0]
+    assert r2["ks_stat"] > 0.3
+    assert r2["mean_gap"] == pytest.approx(5.0)
