@@ -306,6 +306,8 @@ BENCH_QUERIES = [
     "interpolated_hourly_value_events",
     "user_graph_assortativity",
     "interarrival_exponentiality_events",
+    "simpsons_discount_quantity",
+    "daily_value_gumbel",
 ]
 
 KMEANS_FIT_K = 8

@@ -629,3 +629,66 @@ LASSO_SQL = _lasso_sql(_LASSO_L1, _LASSO_ROUNDS)
 
 QUERIES["lasso_price_model_lineitem"] = lasso_price_model_lineitem
 ORACLE_SQL["lasso_price_model_lineitem"] = LASSO_SQL
+
+
+def simpsons_discount_quantity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Does the pooled discount->quantity trend survive stratifying by
+    return flag? (operators/regression.py::simpsons_check)."""
+    from ..operators.regression import simpsons_check
+
+    return simpsons_check(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_discount",
+        "l_quantity",
+        "l_returnflag",
+    )
+
+
+SIMPSONS_SQL = """
+WITH per AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE) AS n,
+         sum(CAST(l_discount AS DOUBLE)) AS sx,
+         sum(CAST(l_quantity AS DOUBLE)) AS sy,
+         sum(CAST(l_discount AS DOUBLE) * CAST(l_quantity AS DOUBLE))
+           AS sxy,
+         sum(CAST(l_discount AS DOUBLE) * CAST(l_discount AS DOUBLE))
+           AS sxx
+  FROM lineitem
+  WHERE l_discount IS NOT NULL AND l_quantity IS NOT NULL
+    AND l_returnflag IS NOT NULL
+  GROUP BY 1
+),
+sl AS (
+  SELECT *,
+    (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0) AS slope
+  FROM per
+),
+agg AS MATERIALIZED (
+  SELECT CAST(sum(n) AS BIGINT) AS n,
+    CAST(count(*) AS BIGINT) AS n_strata,
+    (sum(n) * sum(sxy) - sum(sx) * sum(sy))
+      / nullif(sum(n) * sum(sxx) - sum(sx) * sum(sx), 0.0)
+      AS pooled_slope,
+    min(slope) AS min_stratum_slope,
+    max(slope) AS max_stratum_slope,
+    CAST(count(slope) AS BIGINT) AS defined
+  FROM sl
+),
+opp AS (
+  SELECT CAST(sum(CASE WHEN slope IS NOT NULL
+                        AND sign(slope) <>
+                            sign((SELECT pooled_slope FROM agg))
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_opposing
+  FROM sl
+)
+SELECT n, n_strata, pooled_slope, min_stratum_slope,
+  max_stratum_slope, n_opposing,
+  n_opposing = defined AND defined > 0 AS reversed
+FROM agg CROSS JOIN opp
+"""
+
+QUERIES["simpsons_discount_quantity"] = simpsons_discount_quantity
+ORACLE_SQL["simpsons_discount_quantity"] = SIMPSONS_SQL

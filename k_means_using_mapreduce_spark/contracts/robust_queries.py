@@ -401,3 +401,54 @@ FROM stepped GROUP BY 1
 
 QUERIES["weighted_price_percentiles"] = weighted_price_percentiles
 ORACLE_SQL["weighted_price_percentiles"] = WEIGHTED_PCT_SQL
+
+
+def daily_value_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel fit on daily maxima of event value with the 365-day
+    return level (operators/robust.py::gumbel_block_maxima)."""
+    from ..operators.robust import gumbel_block_maxima
+
+    ev = load_table(spark, sf_dir, "events")
+    us = (F.col("ts").cast("long") / F.lit(1000)).cast("long")
+    day = 86_400_000_000
+    ev = ev.withColumn("day_us", us - us % F.lit(day))
+    return gumbel_block_maxima(
+        ev, "value", "day_us", return_period=365.0
+    )
+
+
+GUMBEL_SQL = """
+WITH blocks AS (
+  SELECT epoch_us(ts) - epoch_us(ts) % 86400000000 AS day_us,
+         max(CAST(value AS DOUBLE)) AS m
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(m) AS sm,
+         sum(m * m) AS smm
+  FROM blocks
+),
+f AS (
+  SELECT n, sm / n AS mean,
+    sqrt(nullif((smm - sm * sm / n) / nullif(n - 1.0, 0.0), 0.0) + 0.0)
+      AS sd
+  FROM s
+),
+g AS (
+  SELECT n, mean, sd,
+    sd * 0.779696801233676 AS beta
+  FROM f
+),
+h AS (
+  SELECT n, mean, sd, beta,
+    mean - 0.5772156649015329 * beta AS mu
+  FROM g
+)
+SELECT CAST(n AS BIGINT) AS n_blocks, mean AS mean_max, sd AS sd_max,
+  mu, beta,
+  mu - beta * -5.8985259242227315 AS return_level
+FROM h
+"""
+
+QUERIES["daily_value_gumbel"] = daily_value_gumbel
+ORACLE_SQL["daily_value_gumbel"] = GUMBEL_SQL

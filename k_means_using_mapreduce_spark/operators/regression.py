@@ -849,3 +849,93 @@ def lasso_cd(
         ],
         "n long, b0 double, b1 double, b2 double, rmse double, nnz long",
     )
+
+
+def simpsons_check(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    stratum_col: str,
+) -> DataFrame:
+    """Simpson's-paradox screen: does the POOLED x→y trend disagree in
+    sign with every (or any) within-stratum trend? The one-query guard
+    against reading a confounded aggregate ("discounts raise revenue —
+    except inside every single month").
+
+    One scan computes pooled OLS sums AND per-stratum sums (the
+    stratum aggregate reuses the same shuffle); slopes are the
+    closed-form arithmetic of ``grouped_ols``. Strata with undefined
+    slopes (constant x) are excluded from the min/max. ``reversed``
+    flags the paradox proper: every defined stratum slope opposes the
+    pooled sign.
+
+    Returns one row ``(n, n_strata, pooled_slope, min_stratum_slope,
+    max_stratum_slope, n_opposing, reversed)``.
+    """
+    x, y = _d(x_col), _d(y_col)
+    rows = df.where(
+        x.isNotNull() & y.isNotNull() & F.col(stratum_col).isNotNull()
+    )
+    per = rows.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    slope = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / F.nullif(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0)
+    )
+    sl = per.select(
+        "n", "sx", "sy", "sxy", "sxx", slope.alias("slope")
+    )
+    pooled_n = F.sum("n")
+    pooled = (
+        pooled_n * F.sum("sxy") - F.sum("sx") * F.sum("sy")
+    ) / F.nullif(
+        pooled_n * F.sum("sxx") - F.sum("sx") * F.sum("sx"), F.lit(0.0)
+    )
+    opposing = F.sum(
+        F.when(
+            F.col("slope").isNotNull()
+            & (F.signum(F.col("slope")) != F.signum(pooled)),
+            1,
+        ).otherwise(0)
+    )
+    # NOTE: aggregates of aggregates are fine here — every input to
+    # the outer agg is a column of the |strata|-row table
+    agg = sl.agg(
+        pooled_n.cast("long").alias("n"),
+        F.count(F.lit(1)).alias("n_strata"),
+        pooled.alias("pooled_slope"),
+        F.min("slope").alias("min_stratum_slope"),
+        F.max("slope").alias("max_stratum_slope"),
+        F.count(F.col("slope")).alias("_defined"),
+    )
+    per_sign = sl.crossJoin(
+        F.broadcast(agg.select(F.col("pooled_slope").alias("_ps")))
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("slope").isNotNull()
+                & (F.signum(F.col("slope")) != F.signum(F.col("_ps"))),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_opposing")
+    )
+    return agg.crossJoin(F.broadcast(per_sign)).select(
+        "n",
+        "n_strata",
+        "pooled_slope",
+        "min_stratum_slope",
+        "max_stratum_slope",
+        "n_opposing",
+        (
+            (F.col("n_opposing") == F.col("_defined"))
+            & (F.col("_defined") > 0)
+        ).alias("reversed"),
+    )

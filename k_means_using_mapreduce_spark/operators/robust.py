@@ -529,3 +529,63 @@ def weighted_percentile(
             ).alias(name)
         )
     return stepped.groupBy(*bys).agg(*aggs)
+
+
+#: Euler–Mascheroni constant (Gumbel mean offset)
+EULER_GAMMA = 0.5772156649015329
+
+
+def gumbel_block_maxima(
+    df: DataFrame,
+    value_col: str,
+    block_col: str,
+    *,
+    return_period: float = 1000.0,
+) -> DataFrame:
+    """Extreme-value fit on BLOCK MAXIMA: take the max per block
+    (day, batch, shard), fit a Gumbel by method of moments
+    (``β = σ√6/π``, ``μ = mean − γ·β`` — Fisher–Tippett's domain for
+    light-tailed maxima), and report the ``return_period``-block
+    return level ``μ − β·ln(−ln(1 − 1/T))`` — "the worst value we
+    should expect once per 1000 days", the capacity question a plain
+    max cannot answer (the observed max only reflects how long you
+    watched).
+
+    One block-keyed max + one moment aggregate (sample σ via the
+    explicit-sums form shared with the oracle). Needs ≥ 2 blocks with
+    variance; degenerate inputs yield NULL parameters.
+
+    Returns one row ``(n_blocks, mean_max, sd_max, mu, beta,
+    return_level)``.
+    """
+    import math
+
+    if return_period <= 1.0:
+        raise ValueError(
+            f"return_period must be > 1, got {return_period}"
+        )
+    v = F.col(value_col).cast("double")
+    blocks = (
+        df.where(v.isNotNull() & F.col(block_col).isNotNull())
+        .groupBy(block_col)
+        .agg(F.max(v).alias("m"))
+    )
+    n = F.count(F.lit(1)).cast("double")
+    mean = F.sum("m") / n
+    var = (
+        F.sum(F.col("m") * F.col("m")) - F.sum("m") * F.sum("m") / n
+    ) / F.nullif(n - F.lit(1.0), F.lit(0.0))
+    sd = F.sqrt(F.nullif(var, F.lit(0.0)) + F.lit(0.0))
+    beta = sd * F.lit(math.sqrt(6.0) / math.pi)
+    mu = mean - F.lit(EULER_GAMMA) * beta
+    level = mu - beta * F.lit(
+        math.log(-math.log(1.0 - 1.0 / return_period))
+    )
+    return blocks.agg(
+        n.cast("long").alias("n_blocks"),
+        mean.alias("mean_max"),
+        sd.alias("sd_max"),
+        mu.alias("mu"),
+        beta.alias("beta"),
+        level.alias("return_level"),
+    )

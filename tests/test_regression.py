@@ -356,3 +356,33 @@ def test_lasso_guards(spark):
     )
     with _p.raises(ValueError, match="identically zero"):
         lasso_cd(zero, ["x1", "x2"], "y", l1=1.0)
+
+
+def test_simpsons_detects_classic_reversal(spark):
+    from k_means_using_mapreduce_spark.operators.regression import (
+        simpsons_check,
+    )
+
+    # within each stratum y DECREASES in x, but stratum B sits at both
+    # higher x and higher y -> pooled slope positive: the paradox
+    rows = [("A", float(x), 10.0 - x) for x in range(5)]
+    rows += [("B", float(x) + 10.0, 30.0 - (x + 10.0)) for x in range(5)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    r = simpsons_check(df, "x", "y", "g").collect()[0]
+    assert r["pooled_slope"] > 0
+    assert r["max_stratum_slope"] < 0
+    assert r["n_opposing"] == 2
+    assert bool(r["reversed"]) is True
+
+
+def test_simpsons_consistent_trend_not_flagged(spark):
+    from k_means_using_mapreduce_spark.operators.regression import (
+        simpsons_check,
+    )
+
+    rows = [(g, float(x), 2.0 * x) for g in "AB" for x in range(6)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    r = simpsons_check(df, "x", "y", "g").collect()[0]
+    assert bool(r["reversed"]) is False
+    assert r["n_opposing"] == 0
+    assert r["pooled_slope"] == pytest.approx(2.0)

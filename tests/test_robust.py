@@ -335,3 +335,42 @@ def test_weighted_percentile_uniform_weights_and_guards(spark):
         weighted_percentile(df, "v", "w", [])
     with _p.raises(ValueError):
         weighted_percentile(df, "v", "w", [0.0])
+
+
+def test_gumbel_recovers_parameters_from_gumbel_grid(spark):
+    import math
+
+    from k_means_using_mapreduce_spark.operators.robust import (
+        gumbel_block_maxima,
+    )
+
+    # inverse-CDF Gumbel(mu=10, beta=2) grid as "block maxima"
+    mu, beta = 10.0, 2.0
+    rows = [
+        (i, mu - beta * math.log(-math.log((i + 0.5) / 400.0)))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "block int, value double")
+    r = gumbel_block_maxima(df, "value", "block", return_period=100.0).collect()[0]
+    assert r["n_blocks"] == 400
+    assert r["mu"] == pytest.approx(mu, abs=0.3)
+    assert r["beta"] == pytest.approx(beta, abs=0.2)
+    # 1-in-100 return level exceeds the 99th-percentile-ish region
+    assert r["return_level"] > mu + 3.0 * beta
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        gumbel_block_maxima(df, "value", "block", return_period=1.0)
+
+
+def test_gumbel_degenerate_is_null(spark):
+    from k_means_using_mapreduce_spark.operators.robust import (
+        gumbel_block_maxima,
+    )
+
+    # identical maxima in every block: sd nullified, params NULL
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 5.0), (3, 5.0)], "block int, value double"
+    )
+    r = gumbel_block_maxima(df, "value", "block").collect()[0]
+    assert r["beta"] is None and r["return_level"] is None
