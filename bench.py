@@ -308,6 +308,8 @@ BENCH_QUERIES = [
     "interarrival_exponentiality_events",
     "simpsons_discount_quantity",
     "daily_value_gumbel",
+    "monthly_concentration_trend",
+    "negbin_user_activity",
 ]
 
 KMEANS_FIT_K = 8

@@ -565,3 +565,45 @@ QUERIES["interarrival_exponentiality_events"] = (
     interarrival_exponentiality_events
 )
 ORACLE_SQL["interarrival_exponentiality_events"] = EXPONENTIALITY_SQL
+
+
+def negbin_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NB2 moment fit of per-user event counts, per event type — the
+    overdispersion model selection step after user_events_dispersion
+    (operators/hypothesis.py::negbin_fit)."""
+    from ..operators.hypothesis import negbin_fit
+
+    return negbin_fit(
+        load_table(spark, sf_dir, "events"), "user_id", by=["event_type"]
+    )
+
+
+NEGBIN_SQL = """
+WITH c AS (
+  SELECT event_type, user_id, CAST(count(*) AS DOUBLE) AS c
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+         sum(c) AS sc, sum(c * c) AS scc
+  FROM c GROUP BY 1
+),
+m AS (
+  SELECT event_type, n, sc / n AS mean,
+         (scc - sc * sc / n) / nullif(n - 1.0, 0.0) AS variance
+  FROM s
+),
+r AS (
+  SELECT *,
+    mean * mean / nullif(CASE WHEN variance > mean
+                              THEN variance - mean END, 0.0) AS nb_r
+  FROM m
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_keys, mean, variance,
+  coalesce(nb_r, -1.0) AS nb_r,
+  coalesce(nb_r / (nb_r + mean), -1.0) AS nb_p
+FROM r
+"""
+
+QUERIES["negbin_user_activity"] = negbin_user_activity
+ORACLE_SQL["negbin_user_activity"] = NEGBIN_SQL

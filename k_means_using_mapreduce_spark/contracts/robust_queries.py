@@ -452,3 +452,53 @@ FROM h
 
 QUERIES["daily_value_gumbel"] = daily_value_gumbel
 ORACLE_SQL["daily_value_gumbel"] = GUMBEL_SQL
+
+
+def monthly_concentration_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Is customer revenue concentration rising month over month?
+    concentration_stats grouped by order month — the trend view of
+    revenue_concentration_customer."""
+    from ..operators.robust import concentration_stats
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "o_month", F.date_format(F.col("o_orderdate"), "yyyy-MM")
+    )
+    return concentration_stats(
+        o, "o_custkey", "o_totalprice", by=["o_month"], top_k=10
+    )
+
+
+MONTHLY_CONC_SQL = """
+WITH ent AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+         o_custkey AS k, CAST(sum(o_totalprice) AS DOUBLE) AS v
+  FROM orders
+  WHERE o_totalprice IS NOT NULL
+  GROUP BY 1, 2
+  HAVING CAST(sum(o_totalprice) AS DOUBLE) >= 0
+),
+ranked AS (
+  SELECT o_month, v,
+         CAST(row_number() OVER (PARTITION BY o_month
+                                 ORDER BY v ASC, k) AS DOUBLE) AS r,
+         row_number() OVER (PARTITION BY o_month ORDER BY v DESC, k)
+           AS rd
+  FROM ent
+)
+SELECT o_month, CAST(count(*) AS BIGINT) AS n_keys,
+  sum(v) AS total,
+  2.0 * sum(r * v) / (CAST(count(*) AS DOUBLE) * nullif(sum(v), 0.0))
+    - (CAST(count(*) AS DOUBLE) + 1.0) / CAST(count(*) AS DOUBLE)
+    AS gini,
+  sum(v * v) / (nullif(sum(v), 0.0) * nullif(sum(v), 0.0)) AS hhi,
+  sum(CASE WHEN rd <= 1 THEN v ELSE 0.0 END) / nullif(sum(v), 0.0)
+    AS top1_share,
+  sum(CASE WHEN rd <= 10 THEN v ELSE 0.0 END) / nullif(sum(v), 0.0)
+    AS top10_share
+FROM ranked GROUP BY 1
+"""
+
+QUERIES["monthly_concentration_trend"] = monthly_concentration_trend
+ORACLE_SQL["monthly_concentration_trend"] = MONTHLY_CONC_SQL

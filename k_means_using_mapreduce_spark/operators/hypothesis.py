@@ -745,3 +745,40 @@ def exponentiality_test(
             )
         ).alias("ks_stat"),
     )
+
+
+def negbin_fit(df: DataFrame, key_col: str, by=()) -> DataFrame:
+    """Method-of-moments negative-binomial fit on per-key event
+    counts — the model you reach for once :func:`dispersion_test`
+    rejects Poisson: ``r = mean²/(var − mean)``, ``p = r/(r + mean)``
+    (NB2 parameterization). Per ``by`` group when given.
+
+    Same sufficient-statistics shape as dispersion_test (one grouped
+    count + explicit-sums variance). Under-dispersed groups
+    (var ≤ mean: NB undefined) report the −1.0 sentinel (a real r/p is
+    always positive; NULL numerics break the oracle's pandas
+    round-trip) with their moments still visible.
+
+    Returns ``(by…, n_keys, mean, variance, nb_r, nb_p)``.
+    """
+    bys = list(by)
+    c = (
+        df.where(F.col(key_col).isNotNull())
+        .groupBy(*bys, F.col(key_col).alias("_k"))
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    n = F.count(F.lit(1)).cast("double")
+    mean = F.sum("c") / n
+    var = (
+        F.sum(F.col("c") * F.col("c")) - F.sum("c") * F.sum("c") / n
+    ) / F.nullif(n - F.lit(1.0), F.lit(0.0))
+    r = mean * mean / F.nullif(
+        F.when(var > mean, var - mean), F.lit(0.0)
+    )
+    return c.groupBy(*bys).agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        mean.alias("mean"),
+        var.alias("variance"),
+        F.coalesce(r, F.lit(-1.0)).alias("nb_r"),
+        F.coalesce(r / (r + mean), F.lit(-1.0)).alias("nb_p"),
+    )

@@ -243,3 +243,31 @@ def test_exponentiality_exact_exponential_grid_vs_uniform(spark):
     r2 = exponentiality_test(const, "g").collect()[0]
     assert r2["ks_stat"] > 0.3
     assert r2["mean_gap"] == pytest.approx(5.0)
+
+
+def test_negbin_moment_fit_hand_case(spark):
+    from k_means_using_mapreduce_spark.operators.hypothesis import (
+        negbin_fit,
+    )
+
+    # counts 1,1,5,5 per key: mean 3, var 16/3; r = 9/(16/3-3) = 27/7
+    rows = [(1,)] + [(2,)] + [(3,)] * 5 + [(4,)] * 5
+    df = spark.createDataFrame(rows, "k int")
+    r = negbin_fit(df, "k").collect()[0]
+    assert r["n_keys"] == 4
+    assert r["mean"] == pytest.approx(3.0)
+    assert r["variance"] == pytest.approx(16.0 / 3.0)
+    assert r["nb_r"] == pytest.approx(27.0 / 7.0)
+    assert r["nb_p"] == pytest.approx((27.0 / 7.0) / (27.0 / 7.0 + 3.0))
+
+
+def test_negbin_underdispersed_is_null(spark):
+    from k_means_using_mapreduce_spark.operators.hypothesis import (
+        negbin_fit,
+    )
+
+    # equal counts: var 0 < mean -> NB undefined, moments still shown
+    df = spark.createDataFrame([(k,) for k in range(6) for _ in range(4)], "k int")
+    r = negbin_fit(df, "k").collect()[0]
+    assert r["variance"] == pytest.approx(0.0)
+    assert r["nb_r"] == -1.0 and r["nb_p"] == -1.0
