@@ -310,6 +310,7 @@ BENCH_QUERIES = [
     "daily_value_gumbel",
     "monthly_concentration_trend",
     "negbin_user_activity",
+    "embedding_effective_dim",
 ]
 
 KMEANS_FIT_K = 8

@@ -50,3 +50,52 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLE_SQL: dict[str, str] = {
     "embedding_covariance": COVARIANCE_SQL,
 }
+
+
+def embedding_effective_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Participation-ratio effective dimensionality of the embedding
+    corpus — anisotropy-collapse screen
+    (operators/pca.py::effective_dim)."""
+    from ..operators.pca import effective_dim
+
+    return effective_dim(
+        load_table(spark, sf_dir, "embeddings"), "embedding", "vec_id"
+    )
+
+
+EFFECTIVE_DIM_SQL = """
+WITH expl AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) - 1 AS pos
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+pairs AS (
+  SELECT a.pos AS i, b.pos AS j, a.v AS x, b.v AS y
+  FROM expl a JOIN expl b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+),
+cov AS (
+  SELECT i, j,
+    CASE WHEN count(*) > 1
+         THEN (sum(x * y) - sum(x) * sum(y) / CAST(count(*) AS DOUBLE))
+              / (CAST(count(*) AS DOUBLE) - 1)
+         ELSE 0.0 END AS cov
+  FROM pairs GROUP BY 1, 2
+),
+agg AS (
+  SELECT CAST(max(j) + 1 AS INTEGER) AS d,
+    sum(CASE WHEN i = j THEN cov ELSE 0.0 END) AS trace_var,
+    sum(CASE WHEN i = j THEN cov * cov ELSE 2.0 * cov * cov END)
+      AS tr2
+  FROM cov
+),
+nv AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_vecs
+  FROM embeddings WHERE embedding IS NOT NULL
+)
+SELECT n_vecs, d, trace_var,
+  trace_var * trace_var / nullif(tr2, 0.0) AS effective_dim
+FROM agg CROSS JOIN nv
+"""
+
+QUERIES["embedding_effective_dim"] = embedding_effective_dim
+ORACLE_SQL["embedding_effective_dim"] = EFFECTIVE_DIM_SQL

@@ -179,3 +179,46 @@ def mahalanobis_scores(
     return df.withColumn(out_col, total).withColumn(
         f"{out_col}_dof", F.lit(len(kept))
     )
+
+
+def effective_dim(
+    df: DataFrame, vec_col: str, id_col: str
+) -> DataFrame:
+    """Participation ratio of the embedding covariance —
+    ``PR = tr(C)² / tr(C²)`` — the effective dimensionality WITHOUT an
+    eigendecomposition (``tr(C²) = Σᵢⱼ C²ᵢⱼ``, so both traces are pure
+    aggregates of the covariance table and the whole diagnostic is
+    SQL-exact, unlike :func:`pca_fit`'s numpy eigensolve). PR ≈ d for
+    isotropic embeddings; PR ≪ d flags anisotropy collapse — the
+    "all my vectors point the same way" failure mode every embedding
+    pipeline should screen for (Ethayarajh 2019).
+
+    Reuses :func:`covariance_matrix` (one _rid-keyed pair join —
+    O(d²) state, d² rows per vector in flight); off-diagonal entries
+    count twice in tr(C²) via symmetry.
+
+    Returns one row ``(n_vecs, d, trace_var, effective_dim)``.
+    """
+    cov = covariance_matrix(df, vec_col, id_col)
+    n_vecs = df.where(F.col(vec_col).isNotNull()).count()
+    diag = F.col("i") == F.col("j")
+    agg = cov.agg(
+        (F.max("j") + F.lit(1)).cast("int").alias("d"),
+        F.sum(F.when(diag, F.col("cov")).otherwise(0.0)).alias(
+            "trace_var"
+        ),
+        F.sum(
+            F.when(diag, F.col("cov") * F.col("cov")).otherwise(
+                F.lit(2.0) * F.col("cov") * F.col("cov")
+            )
+        ).alias("_tr2"),
+    )
+    return agg.select(
+        F.lit(n_vecs).cast("long").alias("n_vecs"),
+        "d",
+        "trace_var",
+        (
+            F.col("trace_var") * F.col("trace_var")
+            / F.nullif(F.col("_tr2"), F.lit(0.0))
+        ).alias("effective_dim"),
+    )

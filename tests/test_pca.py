@@ -128,3 +128,38 @@ def test_mahalanobis_flags_off_axis_outlier(spark):
         probe, "features", model
     ).collect()}
     assert out[0] > 20 * out[1]  # off-axis ≫ on-axis at equal radius
+
+
+def test_effective_dim_isotropic_vs_collapsed(spark):
+    from k_means_using_mapreduce_spark.operators.pca import effective_dim
+
+    # isotropic 3-D: unit variance per axis via orthogonal patterns
+    iso = []
+    vid = 0
+    for a in (-1.0, 1.0):
+        for b in (-1.0, 1.0):
+            for c in (-1.0, 1.0):
+                iso.append((vid, [a, b, c])); vid += 1
+    df = spark.createDataFrame(iso, "vec_id long, embedding array<double>")
+    r = effective_dim(df, "embedding", "vec_id").collect()[0]
+    assert r["d"] == 3 and r["n_vecs"] == 8
+    assert r["effective_dim"] == pytest.approx(3.0)
+
+    # rank-1 collapse: every vector a multiple of (1, 2, 3)
+    col = [
+        (i, [1.0 * i, 2.0 * i, 3.0 * i]) for i in range(1, 9)
+    ]
+    df2 = spark.createDataFrame(col, "vec_id long, embedding array<double>")
+    r2 = effective_dim(df2, "embedding", "vec_id").collect()[0]
+    assert r2["effective_dim"] == pytest.approx(1.0)
+    # constant corpus: zero covariance everywhere -> NULL (undefined)
+    const = spark.createDataFrame(
+        [(i, [5.0, 5.0]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    assert (
+        effective_dim(const, "embedding", "vec_id").collect()[0][
+            "effective_dim"
+        ]
+        is None
+    )
