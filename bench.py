@@ -311,6 +311,8 @@ BENCH_QUERIES = [
     "monthly_concentration_trend",
     "negbin_user_activity",
     "embedding_effective_dim",
+    "brier_quality_english",
+    "transition_reciprocity",
 ]
 
 KMEANS_FIT_K = 8

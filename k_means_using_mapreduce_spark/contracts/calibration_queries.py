@@ -188,3 +188,53 @@ FROM n GROUP BY 1
 
 QUERIES["qnorm_quality_by_source"] = qnorm_quality_by_source
 ORACLE_SQL["qnorm_quality_by_source"] = QNORM_SQL
+
+
+def brier_quality_english(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the quality score as a probability of
+    'lang = en' (operators/calibration.py::brier_decomposition) — is
+    the score calibrated, and does it discriminate at all?"""
+    from ..operators.calibration import brier_decomposition
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        quality_score("text").alias("score"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("is_en"),
+    )
+    return brier_decomposition(docs, "score", "is_en", id_col="doc_id")
+
+
+BRIER_SQL = f"""
+WITH rows0 AS (
+  SELECT CAST({sql_quality_score('text')} AS DOUBLE) AS s,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         doc_id
+  FROM documents
+  WHERE {sql_quality_score('text')} IS NOT NULL AND lang IS NOT NULL
+),
+tiled AS (
+  SELECT s, y, ntile(10) OVER (ORDER BY s, doc_id) AS b FROM rows0
+),
+per AS (
+  SELECT b, CAST(count(*) AS DOUBLE) AS nb, avg(s) AS fb, avg(y) AS ob
+  FROM tiled GROUP BY 1
+),
+tot AS (
+  SELECT sum(nb) AS n, sum(nb * ob) / sum(nb) AS obar FROM per
+),
+agg AS (
+  SELECT any_value(n) AS n, any_value(obar) AS obar,
+    sum(nb * (fb - ob) * (fb - ob)) AS rel_sum,
+    sum(nb * (ob - obar) * (ob - obar)) AS res_sum
+  FROM per CROSS JOIN tot
+)
+SELECT CAST(n AS BIGINT) AS n, obar AS base_rate,
+  rel_sum / n - res_sum / n + obar * (1.0 - obar) AS brier,
+  rel_sum / n AS reliability,
+  res_sum / n AS resolution,
+  obar * (1.0 - obar) AS uncertainty
+FROM agg
+"""
+
+QUERIES["brier_quality_english"] = brier_quality_english
+ORACLE_SQL["brier_quality_english"] = BRIER_SQL

@@ -613,3 +613,37 @@ FROM paired
 
 QUERIES["user_graph_assortativity"] = user_graph_assortativity
 ORACLE_SQL["user_graph_assortativity"] = ASSORTATIVITY_SQL
+
+
+def transition_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocity of the event-type transition graph — do navigation
+    hops run both ways? (operators/graph.py::reciprocity)."""
+    from ..operators.graph import reciprocity, transition_edges
+
+    return reciprocity(
+        transition_edges(load_table(spark, sf_dir, "events"))
+    )
+
+
+RECIPROCITY_SQL = (
+    "WITH "
+    + _EDGES_CTE.strip()
+    + """,
+e AS (SELECT DISTINCT src AS u, dst AS v FROM edges
+      WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),
+m AS (
+  SELECT count(*) AS n_reciprocal
+  FROM e WHERE EXISTS (
+    SELECT 1 FROM e r WHERE r.u = e.v AND r.v = e.u
+  )
+)
+SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+  CAST(n_reciprocal AS BIGINT) AS n_reciprocal,
+  CAST(n_reciprocal AS DOUBLE) / (SELECT count(*) FROM e)
+    AS reciprocity
+FROM m
+"""
+)
+
+QUERIES["transition_reciprocity"] = transition_reciprocity
+ORACLE_SQL["transition_reciprocity"] = RECIPROCITY_SQL

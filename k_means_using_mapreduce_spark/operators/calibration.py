@@ -260,3 +260,78 @@ def quantile_normalize(
         .drop("_x", "_i", "_f", "_q")
     )
     return out
+
+
+def brier_decomposition(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    id_col: str | None = None,
+    bins: int = 10,
+) -> DataFrame:
+    """Murphy (1973) decomposition of the Brier score over score
+    bins: ``brier = reliability − resolution + uncertainty`` — the
+    calibration diagnostic that separates "my probabilities are
+    mis-calibrated" (reliability, want 0) from "my probabilities
+    don't discriminate" (resolution, want large) against the
+    irreducible base-rate noise (uncertainty).
+
+    Bins are ntile over (score, id) — the module's determinism
+    convention (see the isotonic scale note for the percentile-edge
+    alternative at extreme scale); the decomposition identity holds
+    EXACTLY for the binned forecast (each bin's mean score is the
+    forecast), which is what makes the three terms reconcile and the
+    SQL oracle bit-followable.
+
+    Returns one row ``(n, base_rate, brier, reliability, resolution,
+    uncertainty)``.
+    """
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    order = [s]
+    if id_col is not None:
+        order.append(F.col(id_col))
+    rows = df.where(s.isNotNull() & y.isNotNull())
+    tiled = rows.select(
+        s.alias("_s"),
+        y.alias("_y"),
+        F.ntile(bins).over(Window.orderBy(*order)).alias("_b"),
+    )
+    per = tiled.groupBy("_b").agg(
+        F.count(F.lit(1)).cast("double").alias("nb"),
+        F.avg("_s").alias("fb"),
+        F.avg("_y").alias("ob"),
+    )
+    tot = per.agg(
+        F.sum("nb").alias("n"),
+        (F.sum(F.col("nb") * F.col("ob")) / F.sum("nb")).alias("obar"),
+    )
+    out = per.crossJoin(F.broadcast(tot)).agg(
+        F.first("n").cast("long").alias("n"),
+        F.first("obar").alias("base_rate"),
+        F.sum(
+            F.col("nb")
+            * (F.col("fb") - F.col("ob"))
+            * (F.col("fb") - F.col("ob"))
+        ).alias("_rel_sum"),
+        F.sum(
+            F.col("nb")
+            * (F.col("ob") - F.col("obar"))
+            * (F.col("ob") - F.col("obar"))
+        ).alias("_res_sum"),
+        F.first("n").alias("_nd"),
+    )
+    rel = F.col("_rel_sum") / F.col("_nd")
+    res = F.col("_res_sum") / F.col("_nd")
+    unc = F.col("base_rate") * (F.lit(1.0) - F.col("base_rate"))
+    return out.select(
+        "n",
+        "base_rate",
+        (rel - res + unc).alias("brier"),
+        rel.alias("reliability"),
+        res.alias("resolution"),
+        unc.alias("uncertainty"),
+    )

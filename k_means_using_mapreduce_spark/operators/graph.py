@@ -943,3 +943,39 @@ def degree_assortativity(
             )
         ).alias("assortativity"),
     )
+
+
+def reciprocity(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Directed-graph reciprocity: the fraction of (distinct,
+    non-loop) edges whose reverse edge also exists — near 1 for
+    mutual-interaction graphs (chats), near 0 for hierarchies (cites,
+    follows-celebrities). One distinct + one self-equi-join on the
+    edge key, both on (src, dst) hashes.
+
+    Returns one row ``(n_edges, n_reciprocal, reciprocity)`` — NULL
+    ratio on an empty graph.
+    """
+    e = (
+        edges.select(
+            F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+        )
+        .where(
+            F.col("u").isNotNull()
+            & F.col("v").isNotNull()
+            & (F.col("u") != F.col("v"))
+        )
+        .distinct()
+    )
+    rev = e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    mutual = e.join(rev, ["u", "v"], "left_semi")
+    n = e.count()
+    m = mutual.count()
+    return e.sparkSession.createDataFrame(
+        [(n, m, (m / n) if n else None)],
+        "n_edges long, n_reciprocal long, reciprocity double",
+    )

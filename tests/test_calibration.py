@@ -153,3 +153,35 @@ def test_quantile_normalize_guards(spark):
     assert quantile_normalize(df, "v", "g").collect()[0][
         "qnorm"
     ] == pytest.approx(1.0)
+
+
+def test_brier_decomposition_identity_and_extremes(spark):
+    from k_means_using_mapreduce_spark.operators.calibration import (
+        brier_decomposition,
+    )
+
+    # perfectly calibrated AND discriminating: scores 0/1 = labels
+    rows = [(i, 0.0, 0.0) for i in range(50)] + [
+        (i, 1.0, 1.0) for i in range(50, 100)
+    ]
+    df = spark.createDataFrame(rows, "id long, s double, y double")
+    r = brier_decomposition(df, "s", "y", id_col="id", bins=2).collect()[0]
+    assert r["base_rate"] == pytest.approx(0.5)
+    assert r["reliability"] == pytest.approx(0.0, abs=1e-12)
+    assert r["resolution"] == pytest.approx(0.25)
+    assert r["uncertainty"] == pytest.approx(0.25)
+    assert r["brier"] == pytest.approx(0.0, abs=1e-12)
+
+    # constant useless score: no resolution, brier = uncertainty +
+    # miscalibration of the constant
+    flat = spark.createDataFrame(
+        [(i, 0.5, float(i % 2)) for i in range(100)],
+        "id long, s double, y double",
+    )
+    r2 = brier_decomposition(flat, "s", "y", id_col="id", bins=2).collect()[0]
+    assert r2["resolution"] == pytest.approx(0.0, abs=1e-12)
+    assert r2["brier"] == pytest.approx(0.25)
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        brier_decomposition(flat, "s", "y", bins=1)

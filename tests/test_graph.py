@@ -337,3 +337,20 @@ def test_assortativity_ignores_self_loops_and_duplicates(spark):
     )
     r = degree_assortativity(df).collect()[0]
     assert r["n_nodes"] == 2 and r["n_edges"] == 1
+
+
+def test_reciprocity_hand_cases(spark):
+    from k_means_using_mapreduce_spark.operators.graph import reciprocity
+
+    # a<->b mutual, a->c one-way, self-loop and duplicate ignored
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c"), ("a", "a"), ("a", "b")],
+        "src string, dst string",
+    )
+    r = reciprocity(df).collect()[0]
+    assert r["n_edges"] == 3
+    assert r["n_reciprocal"] == 2
+    assert r["reciprocity"] == pytest.approx(2.0 / 3.0)
+    # empty graph: NULL ratio
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert reciprocity(empty).collect()[0]["reciprocity"] is None
