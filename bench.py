@@ -313,6 +313,7 @@ BENCH_QUERIES = [
     "embedding_effective_dim",
     "brier_quality_english",
     "transition_reciprocity",
+    "dominant_period_events",
 ]
 
 KMEANS_FIT_K = 8

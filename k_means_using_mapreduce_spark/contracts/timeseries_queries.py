@@ -1353,3 +1353,55 @@ FROM interp GROUP BY 1
 
 QUERIES["interpolated_hourly_value_events"] = interpolated_hourly_value_events
 ORACLE_SQL["interpolated_hourly_value_events"] = INTERP_SQL
+
+
+def dominant_period_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detected seasonality per event type: the lag (2..24h) with the
+    strongest positive autocorrelation — "is there a daily cycle"
+    answered as an argmax over the ACF (composition of
+    resample_counts + autocorrelation; a true daily cycle shows
+    period 24)."""
+    from pyspark.sql.window import Window
+
+    from ..operators.timeseries import autocorrelation, resample_counts
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", ns_to_timestamp("ts")
+    )
+    acf = autocorrelation(
+        resample_counts(ev, unit="hour"), max_lag=24
+    ).where(F.col("lag") >= 2)
+    w = Window.partitionBy("key").orderBy(
+        F.col("acf").desc(), F.col("lag")
+    )
+    return (
+        acf.where(F.col("acf").isNotNull())
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select(
+            F.col("key").alias("event_type"),
+            F.col("lag").alias("period_hours"),
+            F.col("acf").alias("peak_acf"),
+        )
+    )
+
+
+def _dominant_period_sql() -> str:
+    # reuse the ACF construction at max_lag=24, then one argmax
+    inner = _acf_sql(24)
+    return f"""
+WITH acf_all AS ({inner}),
+ranked AS (
+  SELECT key, lag, acf,
+         row_number() OVER (PARTITION BY key
+                            ORDER BY acf DESC, lag) AS rk
+  FROM acf_all WHERE lag >= 2 AND acf IS NOT NULL
+)
+SELECT key AS event_type, CAST(lag AS INTEGER) AS period_hours,
+       acf AS peak_acf
+FROM ranked WHERE rk = 1
+"""
+
+
+QUERIES["dominant_period_events"] = dominant_period_events
+ORACLE_SQL["dominant_period_events"] = _dominant_period_sql()
