@@ -314,6 +314,7 @@ BENCH_QUERIES = [
     "brier_quality_english",
     "transition_reciprocity",
     "dominant_period_events",
+    "theil_customer_revenue",
 ]
 
 KMEANS_FIT_K = 8

@@ -502,3 +502,37 @@ FROM ranked GROUP BY 1
 
 QUERIES["monthly_concentration_trend"] = monthly_concentration_trend
 ORACLE_SQL["monthly_concentration_trend"] = MONTHLY_CONC_SQL
+
+
+def theil_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T of customer revenue — the decomposable inequality twin
+    of revenue_concentration_customer
+    (operators/robust.py::theil_index)."""
+    from ..operators.robust import theil_index
+
+    return theil_index(
+        load_table(spark, sf_dir, "orders"), "o_custkey", "o_totalprice"
+    )
+
+
+THEIL_SQL = """
+WITH ent AS (
+  SELECT o_custkey AS k, CAST(sum(o_totalprice) AS DOUBLE) AS v
+  FROM orders WHERE o_totalprice IS NOT NULL
+  GROUP BY 1
+  HAVING CAST(sum(o_totalprice) AS DOUBLE) >= 0
+),
+tot AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(v) AS t FROM ent
+)
+SELECT CAST(any_value(n) AS BIGINT) AS n_keys,
+  any_value(t) AS total,
+  sum(CASE WHEN v > 0
+       THEN (v / nullif(t, 0.0)) * ln(n * (v / nullif(t, 0.0)))
+       ELSE 0.0 END) AS theil,
+  ln(any_value(n)) AS theil_max
+FROM ent CROSS JOIN tot
+"""
+
+QUERIES["theil_customer_revenue"] = theil_customer_revenue
+ORACLE_SQL["theil_customer_revenue"] = THEIL_SQL

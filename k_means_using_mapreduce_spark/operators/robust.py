@@ -589,3 +589,51 @@ def gumbel_block_maxima(
         beta.alias("beta"),
         level.alias("return_level"),
     )
+
+
+def theil_index(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Theil T inequality index over per-key value totals:
+    ``T = Σ (xᵢ/X)·ln(n·xᵢ/X)`` — 0 at perfect equality, ``ln n`` at
+    total monopoly. The information-theoretic companion to
+    :func:`concentration_stats`' Gini: Theil is ADDITIVELY
+    DECOMPOSABLE across groups (between + within), which is why
+    inequality-attribution pipelines prefer it.
+
+    Same two-pass shape as concentration_stats (decimal-exact per-key
+    totals, then arithmetic over the entity table — here not even a
+    window, just one aggregate with the totals broadcast). Zero-value
+    keys contribute 0 (the x·ln x limit), negative totals are
+    rejected upstream by the ``>= 0`` filter.
+
+    Returns ``(by…, n_keys, total, theil, theil_max)`` with
+    ``theil_max = ln(n_keys)`` for normalization.
+    """
+    bys = list(by)
+    ent = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*bys, F.col(key_col).alias("_k"))
+        .agg(F.sum(F.col(value_col)).cast("double").alias("_v"))
+        .where(F.col("_v") >= 0)
+    )
+    tot = ent.groupBy(*bys).agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum("_v").alias("_t"),
+    )
+    joined = ent.join(F.broadcast(tot), bys) if bys else ent.crossJoin(
+        F.broadcast(tot)
+    )
+    share = F.col("_v") / F.nullif(F.col("_t"), F.lit(0.0))
+    term = F.when(
+        F.col("_v") > 0, share * F.log(F.col("_n") * share)
+    ).otherwise(F.lit(0.0))
+    return joined.groupBy(*bys).agg(
+        F.first("_n").cast("long").alias("n_keys"),
+        F.first("_t").alias("total"),
+        F.sum(term).alias("theil"),
+        F.log(F.first("_n")).alias("theil_max"),
+    )

@@ -374,3 +374,31 @@ def test_gumbel_degenerate_is_null(spark):
     )
     r = gumbel_block_maxima(df, "value", "block").collect()[0]
     assert r["beta"] is None and r["return_level"] is None
+
+
+def test_theil_equality_and_monopoly(spark):
+    import math
+
+    from k_means_using_mapreduce_spark.operators.robust import theil_index
+
+    eq = spark.createDataFrame([(i, 5.0) for i in range(8)], "k int, v double")
+    r = theil_index(eq, "k", "v").collect()[0]
+    assert r["theil"] == pytest.approx(0.0, abs=1e-12)
+    assert r["theil_max"] == pytest.approx(math.log(8.0))
+
+    mono = spark.createDataFrame(
+        [(0, 80.0)] + [(i, 0.0) for i in range(1, 8)], "k int, v double"
+    )
+    r2 = theil_index(mono, "k", "v").collect()[0]
+    # total monopoly reaches the ln(n) ceiling exactly
+    assert r2["theil"] == pytest.approx(math.log(8.0))
+
+
+def test_theil_grouped(spark):
+    from k_means_using_mapreduce_spark.operators.robust import theil_index
+
+    rows = [("a", 1, 10.0), ("a", 2, 10.0), ("b", 1, 30.0), ("b", 2, 10.0)]
+    df = spark.createDataFrame(rows, "g string, k int, v double")
+    out = {r["g"]: r for r in theil_index(df, "k", "v", by=["g"]).collect()}
+    assert out["a"]["theil"] == pytest.approx(0.0, abs=1e-12)
+    assert out["b"]["theil"] > 0.05
