@@ -315,6 +315,7 @@ BENCH_QUERIES = [
     "transition_reciprocity",
     "dominant_period_events",
     "theil_customer_revenue",
+    "lmg_price_drivers",
 ]
 
 KMEANS_FIT_K = 8

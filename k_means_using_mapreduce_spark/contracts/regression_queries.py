@@ -692,3 +692,43 @@ FROM agg CROSS JOIN opp
 
 QUERIES["simpsons_discount_quantity"] = simpsons_discount_quantity
 ORACLE_SQL["simpsons_discount_quantity"] = SIMPSONS_SQL
+
+
+def lmg_price_drivers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley/LMG split of the price model's R² between quantity and
+    discount (operators/regression.py::lmg_importance)."""
+    from ..operators.regression import lmg_importance
+
+    return lmg_importance(
+        load_table(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_discount"],
+        "l_extendedprice",
+    )
+
+
+LMG_SQL = (
+    "WITH "
+    + _SUMS_CTE.format(l2=0.0)
+    + """,
+singles AS (
+  SELECT *,
+    (n * sy1 - s1 * sy) * (n * sy1 - s1 * sy)
+      / nullif((n * x11 - s1 * s1) * (n * syy - sy * sy), 0.0) AS r2_1,
+    (n * sy2 - s2 * sy) * (n * sy2 - s2 * sy)
+      / nullif((n * x22 - s2 * s2) * (n * syy - sy * sy), 0.0) AS r2_2,
+    1.0 - (syy - 2.0 * (b0 * sy + b1 * sy1 + b2 * sy2)
+      + (b0 * b0 * n + b1 * b1 * x11 + b2 * b2 * x22
+         + 2.0 * b0 * b1 * s1 + 2.0 * b0 * b2 * s2
+         + 2.0 * b1 * b2 * x12))
+      / nullif(syy - sy * sy / n, 0.0) AS r2_full
+  FROM coef
+)
+SELECT CAST(n AS BIGINT) AS n, r2_1 AS r2_x1, r2_2 AS r2_x2, r2_full,
+  (r2_1 + (r2_full - r2_2)) / 2.0 AS lmg_x1,
+  (r2_2 + (r2_full - r2_1)) / 2.0 AS lmg_x2
+FROM singles
+"""
+)
+
+QUERIES["lmg_price_drivers"] = lmg_price_drivers
+ORACLE_SQL["lmg_price_drivers"] = LMG_SQL

@@ -939,3 +939,101 @@ def simpsons_check(
             & (F.col("_defined") > 0)
         ).alias("reversed"),
     )
+
+
+def lmg_importance(
+    df: DataFrame,
+    x_cols: Sequence[str],
+    y_col: str,
+) -> DataFrame:
+    """Exact Shapley (LMG) decomposition of the 2-feature OLS R²:
+    each feature's importance is its R² contribution averaged over
+    both orders of entry — the standard answer to "which predictor
+    matters more" when the predictors are correlated and their
+    marginal R²s overlap (Lindeman-Merenda-Gold; Grömping 2007).
+
+    With p=2 the Shapley average is closed-form over THREE fits —
+    x₁ alone, x₂ alone, both — and all three are arithmetic on the
+    same one-scan Gram sums (simple-OLS R²s plus the 2-feature R² via
+    the ridge-at-λ=0 Cramer solve). ``lmg_1 + lmg_2 = R²_full``
+    exactly, which is the property marginal R²s lack.
+
+    Returns one row ``(n, r2_x1, r2_x2, r2_full, lmg_x1, lmg_x2)``;
+    degenerate fits yield NULLs via the shared nullif guards.
+    """
+    if len(x_cols) != 2:
+        raise ValueError(
+            f"lmg_importance is the explicit 2-feature closed form, "
+            f"got {len(x_cols)}"
+        )
+    x1, x2, y = _d(x_cols[0]), _d(x_cols[1]), _d(y_col)
+    rows = df.where(x1.isNotNull() & x2.isNotNull() & y.isNotNull())
+    s = rows.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x1).alias("s1"),
+        F.sum(x2).alias("s2"),
+        F.sum(x1 * x1).alias("x11"),
+        F.sum(x1 * x2).alias("x12"),
+        F.sum(x2 * x2).alias("x22"),
+        F.sum(y).alias("sy"),
+        F.sum(x1 * y).alias("sy1"),
+        F.sum(x2 * y).alias("sy2"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n")
+    syy_c = n * F.col("syy") - F.col("sy") * F.col("sy")
+
+    def r2_single(sx, sxx, sxy):
+        num = n * F.col(sxy) - F.col(sx) * F.col("sy")
+        den = (n * F.col(sxx) - F.col(sx) * F.col(sx)) * syy_c
+        return num * num / F.nullif(den, F.lit(0.0))
+
+    # full model via the lambda=0 Cramer solve (fit_ridge formulas)
+    a11, a12, a22 = F.col("x11"), F.col("x12"), F.col("x22")
+    det = (
+        n * (a11 * a22 - a12 * a12)
+        - F.col("s1") * (F.col("s1") * a22 - a12 * F.col("s2"))
+        + F.col("s2") * (F.col("s1") * a12 - a11 * F.col("s2"))
+    )
+    b0 = (
+        F.col("sy") * (a11 * a22 - a12 * a12)
+        - F.col("s1") * (F.col("sy1") * a22 - a12 * F.col("sy2"))
+        + F.col("s2") * (F.col("sy1") * a12 - a11 * F.col("sy2"))
+    ) / F.nullif(det, F.lit(0.0))
+    b1 = (
+        n * (F.col("sy1") * a22 - a12 * F.col("sy2"))
+        - F.col("sy") * (F.col("s1") * a22 - a12 * F.col("s2"))
+        + F.col("s2") * (F.col("s1") * F.col("sy2") - F.col("sy1") * F.col("s2"))
+    ) / F.nullif(det, F.lit(0.0))
+    b2 = (
+        n * (a11 * F.col("sy2") - F.col("sy1") * a12)
+        - F.col("s1") * (F.col("s1") * F.col("sy2") - F.col("sy1") * F.col("s2"))
+        + F.col("sy") * (F.col("s1") * a12 - a11 * F.col("s2"))
+    ) / F.nullif(det, F.lit(0.0))
+    sse_full = (
+        F.col("syy")
+        - 2.0 * (b0 * F.col("sy") + b1 * F.col("sy1") + b2 * F.col("sy2"))
+        + (
+            b0 * b0 * n
+            + b1 * b1 * F.col("x11")
+            + b2 * b2 * F.col("x22")
+            + 2.0 * b0 * b1 * F.col("s1")
+            + 2.0 * b0 * b2 * F.col("s2")
+            + 2.0 * b1 * b2 * F.col("x12")
+        )
+    )
+    r2_full = F.lit(1.0) - sse_full / F.nullif(
+        F.col("syy") - F.col("sy") * F.col("sy") / n, F.lit(0.0)
+    )
+    r2_1 = r2_single("s1", "x11", "sy1")
+    r2_2 = r2_single("s2", "x22", "sy2")
+    lmg1 = (r2_1 + (r2_full - r2_2)) / F.lit(2.0)
+    lmg2 = (r2_2 + (r2_full - r2_1)) / F.lit(2.0)
+    return s.select(
+        n.cast("long").alias("n"),
+        r2_1.alias("r2_x1"),
+        r2_2.alias("r2_x2"),
+        r2_full.alias("r2_full"),
+        lmg1.alias("lmg_x1"),
+        lmg2.alias("lmg_x2"),
+    )

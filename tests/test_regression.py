@@ -386,3 +386,36 @@ def test_simpsons_consistent_trend_not_flagged(spark):
     assert bool(r["reversed"]) is False
     assert r["n_opposing"] == 0
     assert r["pooled_slope"] == pytest.approx(2.0)
+
+
+def test_lmg_sums_to_full_r2_and_orthogonal_case(spark):
+    from k_means_using_mapreduce_spark.operators.regression import (
+        lmg_importance,
+    )
+
+    # orthogonal balanced design: LMG == marginal R², shares add up
+    rows = []
+    for a in (-1.0, 1.0):
+        for b in (-1.0, 1.0):
+            for _ in range(5):
+                rows.append((a, b, 3.0 * a + 1.0 * b))
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+    r = lmg_importance(df, ["x1", "x2"], "y").collect()[0]
+    assert r["r2_full"] == pytest.approx(1.0)
+    assert r["lmg_x1"] + r["lmg_x2"] == pytest.approx(r["r2_full"])
+    assert r["lmg_x1"] == pytest.approx(r["r2_x1"])
+    assert r["lmg_x1"] == pytest.approx(9.0 / 10.0)  # var split 9:1
+    assert r["lmg_x2"] == pytest.approx(1.0 / 10.0)
+
+    # correlated predictors: identity still holds exactly
+    rows2 = [
+        (float(i), float(i) + ((i * 7) % 5), 2.0 * i + ((i * 3) % 4))
+        for i in range(60)
+    ]
+    df2 = spark.createDataFrame(rows2, "x1 double, x2 double, y double")
+    r2 = lmg_importance(df2, ["x1", "x2"], "y").collect()[0]
+    assert r2["lmg_x1"] + r2["lmg_x2"] == pytest.approx(r2["r2_full"])
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        lmg_importance(df2, ["x1"], "y")
