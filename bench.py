@@ -316,6 +316,7 @@ BENCH_QUERIES = [
     "dominant_period_events",
     "theil_customer_revenue",
     "lmg_price_drivers",
+    "price_model_influence",
 ]
 
 KMEANS_FIT_K = 8

@@ -732,3 +732,72 @@ FROM singles
 
 QUERIES["lmg_price_drivers"] = lmg_price_drivers
 ORACLE_SQL["lmg_price_drivers"] = LMG_SQL
+
+
+def price_model_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cook's-distance audit of the quantity->price OLS: who owns the
+    fit? (operators/regression.py::influence_summary)."""
+    from ..operators.regression import influence_summary
+
+    return influence_summary(
+        load_table(spark, sf_dir, "lineitem"), "l_quantity", "l_extendedprice"
+    )
+
+
+INFLUENCE_SQL = """
+WITH s AS MATERIALIZED (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         sum(CAST(l_quantity AS DOUBLE)) AS sx,
+         sum(CAST(l_extendedprice AS DOUBLE)) AS sy,
+         sum(CAST(l_quantity AS DOUBLE)
+             * CAST(l_extendedprice AS DOUBLE)) AS sxy,
+         sum(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE))
+           AS sxx,
+         sum(CAST(l_extendedprice AS DOUBLE)
+             * CAST(l_extendedprice AS DOUBLE)) AS syy
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+),
+c AS MATERIALIZED (
+  SELECT *,
+    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+  FROM s
+),
+c2 AS MATERIALIZED (
+  SELECT *, (sy - slope * sx) / n AS intercept, sx / n AS xbar FROM c
+),
+c3 AS MATERIALIZED (
+  SELECT *,
+    sxx - n * xbar * xbar AS sxx_c,
+    greatest(
+      syy + n * intercept * intercept + slope * slope * sxx
+        + 2.0 * intercept * slope * sx - 2.0 * intercept * sy
+        - 2.0 * slope * sxy, 0.0) / (n - 2.0) AS s2
+  FROM c2
+),
+scored AS (
+  SELECT c3.*,
+    CAST(l_extendedprice AS DOUBLE)
+      - (intercept + slope * CAST(l_quantity AS DOUBLE)) AS r,
+    1.0 / n + (CAST(l_quantity AS DOUBLE) - xbar)
+      * (CAST(l_quantity AS DOUBLE) - xbar) / sxx_c AS h
+  FROM lineitem CROSS JOIN c3
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+),
+d AS (
+  SELECT n, slope, intercept,
+    r * r * h / (2.0 * s2 * (1.0 - h) * (1.0 - h)) AS cooks
+  FROM scored
+)
+SELECT CAST(any_value(n) AS BIGINT) AS n,
+  any_value(slope) AS slope, any_value(intercept) AS intercept,
+  max(cooks) AS max_cooks,
+  CAST(sum(CASE WHEN cooks > 4.0 / n THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_influential,
+  sum(CASE WHEN cooks > 4.0 / n THEN 1.0 ELSE 0.0 END)
+    / any_value(n) AS influential_rate
+FROM d
+"""
+
+QUERIES["price_model_influence"] = price_model_influence
+ORACLE_SQL["price_model_influence"] = INFLUENCE_SQL

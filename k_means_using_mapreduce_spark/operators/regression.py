@@ -1037,3 +1037,92 @@ def lmg_importance(
         lmg1.alias("lmg_x1"),
         lmg2.alias("lmg_x2"),
     )
+
+
+def influence_summary(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    threshold_factor: float = 4.0,
+) -> DataFrame:
+    """Regression-influence screen for the simple OLS fit: Cook's
+    distance per row — ``Dᵢ = rᵢ²·hᵢ / (p·s²·(1−hᵢ)²)`` with leverage
+    ``hᵢ = 1/n + (xᵢ−x̄)²/Sxx`` and p=2 — summarized as the count of
+    rows over the ``threshold_factor``/n rule plus the worst offender.
+    The "which rows own my fit" audit: a slope can be an artifact of a
+    handful of high-leverage points that RMSE never surfaces.
+
+    Two scans (the huber/mahalanobis doctrine): fit sums once, then
+    score with x̄/Sxx/s²/coefficients folded in as literals — Cook's D
+    is a pure codegen expression, no join, no window.
+
+    Returns one row ``(n, slope, intercept, max_cooks, n_influential,
+    influential_rate)``. Degenerate fits (no x variance, n ≤ 2) raise.
+    """
+    if threshold_factor <= 0:
+        raise ValueError(
+            f"threshold_factor must be positive, got {threshold_factor}"
+        )
+    x, y = _d(x_col), _d(y_col)
+    rows = df.where(x.isNotNull() & y.isNotNull())
+    s = rows.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    ).collect()[0]
+    n = s["n"]
+    det = n * s["sxx"] - s["sx"] * s["sx"]
+    if n <= 2 or det == 0.0:
+        raise ValueError("need n > 2 rows with x variance")
+    slope = (n * s["sxy"] - s["sx"] * s["sy"]) / det
+    intercept = (s["sy"] - slope * s["sx"]) / n
+    xbar = s["sx"] / n
+    sxx_c = s["sxx"] - n * xbar * xbar
+    sse = (
+        s["syy"]
+        + n * intercept * intercept
+        + slope * slope * s["sxx"]
+        + 2.0 * intercept * slope * s["sx"]
+        - 2.0 * intercept * s["sy"]
+        - 2.0 * slope * s["sxy"]
+    )
+    s2 = max(sse, 0.0) / (n - 2.0)
+    if s2 == 0.0:
+        # exact fit: no residuals, nothing is influential
+        return df.sparkSession.createDataFrame(
+            [(int(n), float(slope), float(intercept), 0.0, 0, 0.0)],
+            "n long, slope double, intercept double, max_cooks double, "
+            "n_influential long, influential_rate double",
+        )
+    r = y - (F.lit(intercept) + F.lit(slope) * x)
+    h = F.lit(1.0 / n) + (x - F.lit(xbar)) * (x - F.lit(xbar)) / F.lit(
+        sxx_c
+    )
+    d = (
+        r
+        * r
+        * h
+        / (
+            F.lit(2.0 * s2)
+            * (F.lit(1.0) - h)
+            * (F.lit(1.0) - h)
+        )
+    )
+    thresh = threshold_factor / n
+    return rows.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.lit(slope).alias("slope"),
+        F.lit(intercept).alias("intercept"),
+        F.max(d).alias("max_cooks"),
+        F.sum(F.when(d > F.lit(thresh), 1).otherwise(0))
+        .cast("long")
+        .alias("n_influential"),
+        (
+            F.sum(F.when(d > F.lit(thresh), 1.0).otherwise(0.0))
+            / F.count(F.lit(1)).cast("double")
+        ).alias("influential_rate"),
+    )

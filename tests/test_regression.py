@@ -419,3 +419,41 @@ def test_lmg_sums_to_full_r2_and_orthogonal_case(spark):
 
     with _p.raises(ValueError):
         lmg_importance(df2, ["x1"], "y")
+
+
+def test_influence_flags_single_leverage_point(spark):
+    from k_means_using_mapreduce_spark.operators.regression import (
+        influence_summary,
+    )
+
+    # clean line plus one far-off high-leverage point
+    rows = [(float(i), 2.0 * i + 0.001 * ((i * 7) % 3)) for i in range(50)]
+    rows.append((200.0, 100.0))  # way off the line, extreme x
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = influence_summary(df, "x", "y").collect()[0]
+    assert r["n"] == 51
+    assert r["n_influential"] >= 1
+    assert r["max_cooks"] > 1.0  # the classic D>1 red flag
+    assert r["influential_rate"] < 0.2
+
+
+def test_influence_exact_fit_and_guards(spark):
+    from k_means_using_mapreduce_spark.operators.regression import (
+        influence_summary,
+    )
+
+    exact = spark.createDataFrame(
+        [(float(i), 3.0 * i) for i in range(10)], "x double, y double"
+    )
+    r = influence_summary(exact, "x", "y").collect()[0]
+    assert r["n_influential"] == 0 and r["max_cooks"] == 0.0
+    assert r["slope"] == pytest.approx(3.0)
+    import pytest as _p
+
+    novar = spark.createDataFrame(
+        [(1.0, 2.0), (1.0, 3.0), (1.0, 4.0)], "x double, y double"
+    )
+    with _p.raises(ValueError):
+        influence_summary(novar, "x", "y")
+    with _p.raises(ValueError):
+        influence_summary(exact, "x", "y", threshold_factor=0.0)
