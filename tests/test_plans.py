@@ -644,3 +644,51 @@ def test_rfm_windows_over_user_aggregates(spark, sf):
     assert sort_merge_join_count(df) == 0
     # corpus-max rides in as a 1-row broadcast (nested-loop form)
     assert broadcast_join_count(df) + broadcast_nlj_count(df) >= 1
+
+
+def test_weighted_percentile_reduces_to_blocks(spark, sf):
+    # corpus -> distinct-value blocks before any ordered window; scan
+    # pruned to the two inputs + group key
+    df = _q("weighted_price_percentiles", spark, sf)
+    for cols in read_schemas(df):
+        assert set(cols) <= {"l_returnflag", "l_extendedprice", "l_quantity"}
+    assert sort_merge_join_count(df) == 0
+
+
+def test_theil_joins_entity_aggregates_only(spark, sf):
+    df = _q("theil_customer_revenue", spark, sf)
+    for cols in read_schemas(df):
+        assert set(cols) <= {"o_custkey", "o_totalprice"}
+    assert sort_merge_join_count(df) == 0
+    # group totals ride in via a broadcast (hash or 1-row NLJ form)
+    assert broadcast_join_count(df) + broadcast_nlj_count(df) >= 1
+
+
+def test_effective_dim_prunes_to_vector_and_id(spark, sf):
+    df = _q("embedding_effective_dim", spark, sf)
+    for cols in read_schemas(df):
+        assert set(cols) <= {"embedding", "vec_id"}
+
+
+def test_cohort_ltv_broadcasts_cohort_sizes(spark, sf):
+    df = _q("cohort_ltv_events", spark, sf)
+    for cols in read_schemas(df):
+        assert set(cols) <= {"user_id", "ts", "value"}
+    assert broadcast_join_count(df) + broadcast_nlj_count(df) >= 1
+
+
+def test_wasserstein_grid_no_raw_row_sort(spark, sf):
+    # the corpus reduces to (group, value) counts; the cumulative
+    # windows run over the grid, and scans prune to two columns
+    df = _q("wasserstein_price_by_flag", spark, sf)
+    for cols in read_schemas(df):
+        assert set(cols) <= {"l_returnflag", "l_extendedprice"}
+
+
+def test_logistic_final_pass_is_narrow_scan(spark, sf):
+    # returned plan is the metrics scan: literals-folded z, no joins
+    df = _q("logistic_returnflag_lineitem", spark, sf)
+    for cols in read_schemas(df):
+        assert set(cols) <= {"l_quantity", "l_discount", "l_returnflag"}
+    assert sort_merge_join_count(df) == 0
+    assert broadcast_join_count(df) == 0
