@@ -317,6 +317,8 @@ BENCH_QUERIES = [
     "theil_customer_revenue",
     "lmg_price_drivers",
     "price_model_influence",
+    "partial_corr_price_quantity",
+    "uncertainty_status_priority",
 ]
 
 KMEANS_FIT_K = 8

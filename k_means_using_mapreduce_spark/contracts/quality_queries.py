@@ -400,3 +400,106 @@ FROM per_pair
 
 QUERIES["association_matrix_orders"] = association_matrix_orders
 ORACLE_SQL["association_matrix_orders"] = _assoc_sql()
+
+
+def partial_corr_price_quantity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Price-quantity correlation with discount partialled out
+    (operators/quality.py::partial_correlation)."""
+    from ..operators.quality import partial_correlation
+
+    return partial_correlation(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+    )
+
+
+PARTIAL_CORR_SQL = """
+WITH s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+    sum(CAST(l_quantity AS DOUBLE)) AS sx,
+    sum(CAST(l_extendedprice AS DOUBLE)) AS sy,
+    sum(CAST(l_discount AS DOUBLE)) AS sz,
+    sum(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)) AS sxx,
+    sum(CAST(l_extendedprice AS DOUBLE)
+        * CAST(l_extendedprice AS DOUBLE)) AS syy,
+    sum(CAST(l_discount AS DOUBLE) * CAST(l_discount AS DOUBLE)) AS szz,
+    sum(CAST(l_quantity AS DOUBLE) * CAST(l_extendedprice AS DOUBLE))
+      AS sxy,
+    sum(CAST(l_quantity AS DOUBLE) * CAST(l_discount AS DOUBLE)) AS sxz,
+    sum(CAST(l_extendedprice AS DOUBLE) * CAST(l_discount AS DOUBLE))
+      AS syz
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_discount IS NOT NULL
+),
+c AS (
+  SELECT n,
+    (n * sxy - sx * sy)
+      / nullif(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0.0)
+      AS r_xy,
+    (n * sxz - sx * sz)
+      / nullif(sqrt((n * sxx - sx * sx) * (n * szz - sz * sz)), 0.0)
+      AS r_xz,
+    (n * syz - sy * sz)
+      / nullif(sqrt((n * syy - sy * sy) * (n * szz - sz * sz)), 0.0)
+      AS r_yz
+  FROM s
+)
+SELECT CAST(n AS BIGINT) AS n, r_xy, r_xz, r_yz,
+  (r_xy - r_xz * r_yz)
+    / nullif(sqrt((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz)), 0.0)
+    AS r_xy_given_z
+FROM c
+"""
+
+QUERIES["partial_corr_price_quantity"] = partial_corr_price_quantity
+ORACLE_SQL["partial_corr_price_quantity"] = PARTIAL_CORR_SQL
+
+
+def uncertainty_status_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Directional association: how much does order priority tell you
+    about order status, and vice versa
+    (operators/quality.py::uncertainty_coefficient)?"""
+    from ..operators.quality import uncertainty_coefficient
+
+    return uncertainty_coefficient(
+        load_table(spark, sf_dir, "orders"), "o_orderstatus", "o_orderpriority"
+    )
+
+
+UNCERTAINTY_SQL = """
+WITH cells AS (
+  SELECT coalesce(CAST(o_orderstatus AS VARCHAR), '<null>') AS a,
+         coalesce(CAST(o_orderpriority AS VARCHAR), '<null>') AS b,
+         CAST(count(*) AS DOUBLE) AS c
+  FROM orders GROUP BY 1, 2
+),
+ma AS (SELECT a, sum(c) AS na FROM cells GROUP BY 1),
+mb AS (SELECT b, sum(c) AS nb FROM cells GROUP BY 1),
+tot AS (SELECT sum(c) AS nn FROM cells),
+j AS (
+  SELECT c, na, nb, nn FROM cells
+  JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot
+),
+agg AS (
+  SELECT CAST(any_value(nn) AS BIGINT) AS n,
+    sum((c / nn) * ln((c / nn) / ((na / nn) * (nb / nn))))
+      AS mutual_info,
+    -sum((c / nn) * ln(na / nn)) AS h_x,
+    -sum((c / nn) * ln(nb / nn)) AS h_y
+  FROM j
+)
+SELECT n, h_x, h_y, mutual_info,
+  mutual_info / nullif(h_x, 0.0) AS u_x_given_y,
+  mutual_info / nullif(h_y, 0.0) AS u_y_given_x
+FROM agg
+"""
+
+QUERIES["uncertainty_status_priority"] = uncertainty_status_priority
+ORACLE_SQL["uncertainty_status_priority"] = UNCERTAINTY_SQL

@@ -540,3 +540,117 @@ def association_matrix(
         "chi2",
         "cramers_v",
     )
+
+
+def partial_correlation(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    z_col: str,
+) -> DataFrame:
+    """First-order partial correlation ``r(x,y | z)`` — the x↔y
+    association with the confounder z regressed out of both sides:
+    ``(r_xy − r_xz·r_yz) / √((1−r_xz²)(1−r_yz²))``. The numeric twin
+    of :func:`correlation_matrix`'s screen — "quantity and price look
+    correlated, but is it just the discount moving both?"
+
+    One scan of the three pairwise moment sets (complete-rows
+    semantics, like correlation_matrix); everything after is
+    arithmetic on the 1-row aggregate. NULL when any marginal
+    correlation is degenerate or |r_xz| or |r_yz| is 1 (z explains a
+    variable exactly — the partial is undefined).
+
+    Returns one row ``(n, r_xy, r_xz, r_yz, r_xy_given_z)``.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    z = F.col(z_col).cast("double")
+    rows = df.where(x.isNotNull() & y.isNotNull() & z.isNotNull())
+    s = rows.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"), F.sum(z).alias("sz"),
+        F.sum(x * x).alias("sxx"), F.sum(y * y).alias("syy"),
+        F.sum(z * z).alias("szz"),
+        F.sum(x * y).alias("sxy"), F.sum(x * z).alias("sxz"),
+        F.sum(y * z).alias("syz"),
+    )
+    n = F.col("n")
+
+    def corr(sab, sa, sb, saa, sbb):
+        num = n * F.col(sab) - F.col(sa) * F.col(sb)
+        den = F.sqrt(
+            (n * F.col(saa) - F.col(sa) * F.col(sa))
+            * (n * F.col(sbb) - F.col(sb) * F.col(sb))
+        )
+        return num / F.nullif(den, F.lit(0.0))
+
+    rxy = corr("sxy", "sx", "sy", "sxx", "syy")
+    rxz = corr("sxz", "sx", "sz", "sxx", "szz")
+    ryz = corr("syz", "sy", "sz", "syy", "szz")
+    partial = (rxy - rxz * ryz) / F.nullif(
+        F.sqrt(
+            (F.lit(1.0) - rxz * rxz) * (F.lit(1.0) - ryz * ryz)
+        ),
+        F.lit(0.0),
+    )
+    return s.select(
+        n.cast("long").alias("n"),
+        rxy.alias("r_xy"),
+        rxz.alias("r_xz"),
+        ryz.alias("r_yz"),
+        partial.alias("r_xy_given_z"),
+    )
+
+
+def uncertainty_coefficient(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Theil's uncertainty coefficient ``U(x|y) = (H(x) − H(x|y)) /
+    H(x)`` — the ASYMMETRIC categorical-association measure
+    :func:`association_matrix` deliberately isn't: "knowing y removes
+    this fraction of x's entropy" answers direction (y predicts x)
+    where Cramér's V only answers strength. Both directions returned.
+
+    One ``(x, y)`` count aggregate; margins and entropies derive from
+    it (NULL categories are a real level, the association_matrix
+    convention). Zero-entropy marginals yield NULL coefficients.
+
+    Returns one row ``(n, h_x, h_y, mutual_info, u_x_given_y,
+    u_y_given_x)`` with entropies in nats.
+    """
+    a = F.coalesce(F.col(x_col).cast("string"), F.lit("<null>"))
+    b = F.coalesce(F.col(y_col).cast("string"), F.lit("<null>"))
+    cells = df.groupBy(a.alias("a"), b.alias("b")).agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    ma = cells.groupBy("a").agg(F.sum("c").alias("na"))
+    mb = cells.groupBy("b").agg(F.sum("c").alias("nb"))
+    tot = cells.agg(F.sum("c").alias("nn"))
+    j = (
+        cells.join(F.broadcast(ma), "a")
+        .join(F.broadcast(mb), "b")
+        .crossJoin(F.broadcast(tot))
+    )
+    p = F.col("c") / F.col("nn")
+    pa = F.col("na") / F.col("nn")
+    pb = F.col("nb") / F.col("nn")
+    agg = j.agg(
+        F.first("nn").cast("long").alias("n"),
+        F.sum(p * F.log(p / (pa * pb))).alias("mutual_info"),
+        (-F.sum(p * F.log(pa))).alias("h_x"),
+        (-F.sum(p * F.log(pb))).alias("h_y"),
+    )
+    return agg.select(
+        "n",
+        "h_x",
+        "h_y",
+        "mutual_info",
+        (F.col("mutual_info") / F.nullif(F.col("h_x"), F.lit(0.0))).alias(
+            "u_x_given_y"
+        ),
+        (F.col("mutual_info") / F.nullif(F.col("h_y"), F.lit(0.0))).alias(
+            "u_y_given_x"
+        ),
+    )

@@ -294,3 +294,50 @@ def test_association_matrix_nulls_are_a_level(spark):
 
     with _p.raises(ValueError):
         association_matrix(df, ["x"])
+
+
+def test_partial_correlation_removes_confounder(spark):
+    from k_means_using_mapreduce_spark.operators.quality import (
+        partial_correlation,
+    )
+
+    # x and y both driven by z only: marginal r_xy strong, partial ~ 0
+    rows = [
+        (float(z) + 0.3 * ((i * 7) % 5), float(z) - 0.3 * ((i * 3) % 5),
+         float(z))
+        for i, z in enumerate(list(range(40)) * 2)
+    ]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    r = partial_correlation(df, "x", "y", "z").collect()[0]
+    assert r["r_xy"] > 0.9
+    assert abs(r["r_xy_given_z"]) < 0.35  # confounder explained it
+    # z explains x exactly -> undefined partial, NULL not error
+    exact = spark.createDataFrame(
+        [(float(i), float(i % 7), float(i)) for i in range(30)],
+        "x double, y double, z double",
+    )
+    assert (
+        partial_correlation(exact, "x", "y", "z").collect()[0][
+            "r_xy_given_z"
+        ]
+        is None
+    )
+
+
+def test_uncertainty_coefficient_directionality(spark):
+    import math
+
+    from k_means_using_mapreduce_spark.operators.quality import (
+        uncertainty_coefficient,
+    )
+
+    # y determines x exactly (x = y mod 2) but not vice versa:
+    # U(x|y) = 1, U(y|x) < 1
+    rows = [(str(y % 2), str(y)) for y in range(4) for _ in range(10)]
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = uncertainty_coefficient(df, "x", "y").collect()[0]
+    assert r["u_x_given_y"] == pytest.approx(1.0)
+    assert r["u_y_given_x"] < 0.6
+    assert r["h_x"] == pytest.approx(math.log(2.0))
+    assert r["h_y"] == pytest.approx(math.log(4.0))
+    assert r["mutual_info"] == pytest.approx(math.log(2.0))
