@@ -319,6 +319,7 @@ BENCH_QUERIES = [
     "price_model_influence",
     "partial_corr_price_quantity",
     "uncertainty_status_priority",
+    "welch_click_vs_purchase",
 ]
 
 KMEANS_FIT_K = 8

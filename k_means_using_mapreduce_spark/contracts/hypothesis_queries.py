@@ -607,3 +607,58 @@ FROM r
 
 QUERIES["negbin_user_activity"] = negbin_user_activity
 ORACLE_SQL["negbin_user_activity"] = NEGBIN_SQL
+
+
+def welch_click_vs_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch t + Cohen's d of click vs purchase event values — the
+    parametric companion of ks_click_vs_purchase
+    (operators/hypothesis.py::welch_t_test)."""
+    from ..operators.hypothesis import welch_t_test
+
+    return welch_t_test(
+        load_table(spark, sf_dir, "events"),
+        "value",
+        "event_type",
+        "click",
+        "purchase",
+    )
+
+
+WELCH_SQL = """
+WITH s AS (
+  SELECT
+    sum(CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END) AS na,
+    sum(CASE WHEN event_type = 'click' THEN CAST(value AS DOUBLE)
+        ELSE 0.0 END) AS sa,
+    sum(CASE WHEN event_type = 'click'
+        THEN CAST(value AS DOUBLE) * CAST(value AS DOUBLE)
+        ELSE 0.0 END) AS qa,
+    sum(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END) AS nb,
+    sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DOUBLE)
+        ELSE 0.0 END) AS sb,
+    sum(CASE WHEN event_type = 'purchase'
+        THEN CAST(value AS DOUBLE) * CAST(value AS DOUBLE)
+        ELSE 0.0 END) AS qb
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+m AS (
+  SELECT *, sa / nullif(na, 0.0) AS ma, sb / nullif(nb, 0.0) AS mb,
+    (qa - sa * sa / na) / nullif(na - 1.0, 0.0) AS va,
+    (qb - sb * sb / nb) / nullif(nb - 1.0, 0.0) AS vb
+  FROM s
+),
+f AS (SELECT *, va / na + vb / nb AS se2 FROM m)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+  ma AS mean_a, mb AS mean_b, ma - mb AS mean_diff,
+  (ma - mb) / nullif(sqrt(se2), 0.0) AS t_stat,
+  se2 * se2 / nullif(
+    va * va / (na * na * (na - 1.0)) + vb * vb / (nb * nb * (nb - 1.0)),
+    0.0) AS df_welch,
+  (ma - mb) / sqrt(nullif(
+    ((na - 1) * va + (nb - 1) * vb) / nullif(na + nb - 2.0, 0.0),
+    0.0)) AS cohens_d
+FROM f
+"""
+
+QUERIES["welch_click_vs_purchase"] = welch_click_vs_purchase
+ORACLE_SQL["welch_click_vs_purchase"] = WELCH_SQL

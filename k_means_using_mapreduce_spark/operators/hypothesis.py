@@ -782,3 +782,73 @@ def negbin_fit(df: DataFrame, key_col: str, by=()) -> DataFrame:
         F.coalesce(r, F.lit(-1.0)).alias("nb_r"),
         F.coalesce(r / (r + mean), F.lit(-1.0)).alias("nb_p"),
     )
+
+
+def welch_t_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Welch's unequal-variance t-test plus Cohen's d — the parametric
+    two-sample comparison the suite's rank tests (MW/KS) deliberately
+    avoid assuming, returned WITH its effect size because a t-stat
+    alone conflates magnitude with sample size. Welch–Satterthwaite
+    df is returned for the caller's critical-value lookup (the
+    ANOVA/log-rank convention — no t CDF in either engine).
+
+    One conditional-sums scan (the ridge_lambda_sweep shape); sample
+    variances in the explicit-sums form; Cohen's d uses the pooled-SD
+    convention. Degenerate sides (n < 2 or zero variance on both)
+    yield NULL statistics.
+
+    Returns one row ``(n_a, n_b, mean_a, mean_b, mean_diff, t_stat,
+    df_welch, cohens_d)``.
+    """
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    rows = df.where(v.isNotNull() & g.isNotNull())
+
+    def side(val, tag):
+        cond = g == F.lit(val)
+        return [
+            F.sum(F.when(cond, F.lit(1.0)).otherwise(0.0)).alias(f"n{tag}"),
+            F.sum(F.when(cond, v).otherwise(0.0)).alias(f"s{tag}"),
+            F.sum(F.when(cond, v * v).otherwise(0.0)).alias(f"q{tag}"),
+        ]
+
+    s = rows.agg(*side(group_a, "a"), *side(group_b, "b"))
+    na, nb = F.col("na"), F.col("nb")
+    ma = F.col("sa") / F.nullif(na, F.lit(0.0))
+    mb = F.col("sb") / F.nullif(nb, F.lit(0.0))
+    va = (F.col("qa") - F.col("sa") * F.col("sa") / na) / F.nullif(
+        na - F.lit(1.0), F.lit(0.0)
+    )
+    vb = (F.col("qb") - F.col("sb") * F.col("sb") / nb) / F.nullif(
+        nb - F.lit(1.0), F.lit(0.0)
+    )
+    se2 = va / na + vb / nb
+    t = (ma - mb) / F.nullif(F.sqrt(se2), F.lit(0.0))
+    dfw = se2 * se2 / F.nullif(
+        va * va / (na * na * (na - F.lit(1.0)))
+        + vb * vb / (nb * nb * (nb - F.lit(1.0))),
+        F.lit(0.0),
+    )
+    pooled = F.sqrt(
+        F.nullif(
+            ((na - 1) * va + (nb - 1) * vb)
+            / F.nullif(na + nb - F.lit(2.0), F.lit(0.0)),
+            F.lit(0.0),
+        )
+    )
+    return s.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        ma.alias("mean_a"),
+        mb.alias("mean_b"),
+        (ma - mb).alias("mean_diff"),
+        t.alias("t_stat"),
+        dfw.alias("df_welch"),
+        ((ma - mb) / pooled).alias("cohens_d"),
+    )

@@ -271,3 +271,51 @@ def test_negbin_underdispersed_is_null(spark):
     r = negbin_fit(df, "k").collect()[0]
     assert r["variance"] == pytest.approx(0.0)
     assert r["nb_r"] == -1.0 and r["nb_p"] == -1.0
+
+
+def test_welch_t_matches_scipy_formula(spark):
+    import math
+
+    from k_means_using_mapreduce_spark.operators.hypothesis import (
+        welch_t_test,
+    )
+
+    a = [1.0, 2.0, 3.0, 4.0, 5.0]
+    b = [2.0, 4.0, 6.0, 8.0, 10.0, 12.0]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = welch_t_test(df, "v", "g", "a", "b").collect()[0]
+
+    # reference computation
+    import statistics as st
+
+    ma, mb = st.mean(a), st.mean(b)
+    va, vb = st.variance(a), st.variance(b)
+    se2 = va / len(a) + vb / len(b)
+    t = (ma - mb) / math.sqrt(se2)
+    dfw = se2**2 / (
+        va**2 / (len(a) ** 2 * (len(a) - 1))
+        + vb**2 / (len(b) ** 2 * (len(b) - 1))
+    )
+    pooled = math.sqrt(
+        ((len(a) - 1) * va + (len(b) - 1) * vb) / (len(a) + len(b) - 2)
+    )
+    assert r["t_stat"] == pytest.approx(t, rel=1e-12)
+    assert r["df_welch"] == pytest.approx(dfw, rel=1e-12)
+    assert r["cohens_d"] == pytest.approx((ma - mb) / pooled, rel=1e-12)
+    assert (r["n_a"], r["n_b"]) == (5, 6)
+
+
+def test_welch_degenerate_sides(spark):
+    from k_means_using_mapreduce_spark.operators.hypothesis import (
+        welch_t_test,
+    )
+
+    # constant groups: zero variance -> NULL t (0/0 guarded)
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0)],
+        "g string, v double",
+    )
+    r = welch_t_test(df, "v", "g", "a", "b").collect()[0]
+    assert r["t_stat"] is None and r["cohens_d"] is None
+    assert r["mean_diff"] == pytest.approx(-1.0)
