@@ -320,6 +320,7 @@ BENCH_QUERIES = [
     "partial_corr_price_quantity",
     "uncertainty_status_priority",
     "welch_click_vs_purchase",
+    "purchase_rate_wilson",
 ]
 
 KMEANS_FIT_K = 8

@@ -662,3 +662,64 @@ FROM f
 
 QUERIES["welch_click_vs_purchase"] = welch_click_vs_purchase
 ORACLE_SQL["welch_click_vs_purchase"] = WELCH_SQL
+
+
+def purchase_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user-decile purchase rate with Wilson 95% intervals — can
+    the cohorts actually be distinguished?
+    (operators/hypothesis.py::wilson_proportions)."""
+    from ..operators.hypothesis import wilson_proportions
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "user_bucket",
+        (
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.col("user_id").cast("string")), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 100
+            )
+            / 10
+        ).cast("int"),
+    )
+    return wilson_proportions(
+        ev, F.col("event_type") == "purchase", ["user_bucket"]
+    )
+
+
+WILSON_SQL = """
+WITH r AS (
+  SELECT CAST(floor((('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                      1, 15))::BIGINT % 100) / 10) AS INTEGER)
+           AS user_bucket,
+         CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+  FROM events
+),
+g AS (
+  SELECT user_bucket, CAST(count(*) AS DOUBLE) AS n, sum(y) AS s
+  FROM r GROUP BY 1
+),
+w AS (
+  SELECT *, s / n AS p, 3.8414588206941254 AS z2,
+    1.959963984540054 AS z
+  FROM g
+),
+f AS (
+  SELECT *,
+    (p + z2 / (2.0 * n)) / (1.0 + z2 / n) AS center,
+    z * sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n)) / (1.0 + z2 / n)
+      AS half
+  FROM w
+)
+SELECT user_bucket, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT)
+    AS successes,
+  p AS p_hat, center - half AS ci_lo, center + half AS ci_hi
+FROM f
+"""
+
+QUERIES["purchase_rate_wilson"] = purchase_rate_wilson
+ORACLE_SQL["purchase_rate_wilson"] = WILSON_SQL

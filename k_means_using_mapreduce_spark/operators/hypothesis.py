@@ -852,3 +852,48 @@ def welch_t_test(
         dfw.alias("df_welch"),
         ((ma - mb) / pooled).alias("cohens_d"),
     )
+
+
+def wilson_proportions(
+    df: DataFrame,
+    success,
+    group_cols: "list[str]",
+    *,
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """Per-group proportion with a Wilson score interval — the CI that
+    stays inside [0,1] and behaves at small n / extreme rates, where
+    the naive Wald interval collapses (Brown-Cai-DasGupta 2001).
+    ``success`` is a boolean Column; ``z`` defaults to the two-sided
+    95% normal quantile.
+
+    One conditional-count aggregate per group; the interval is closed-
+    form arithmetic: center ``(p̂ + z²/2n)/(1 + z²/n)``, half-width
+    ``z·√(p̂(1−p̂)/n + z²/4n²)/(1 + z²/n)``. Empty groups cannot occur
+    (groups come from the data); n=0 never divides.
+
+    Returns ``(group…, n, successes, p_hat, ci_lo, ci_hi)``.
+    """
+    if z <= 0:
+        raise ValueError(f"z must be positive, got {z}")
+    s = F.sum(F.when(success, 1.0).otherwise(0.0))
+    n = F.count(F.lit(1)).cast("double")
+    p = s / n
+    z2 = F.lit(z * z)
+    denom = F.lit(1.0) + z2 / n
+    center = (p + z2 / (F.lit(2.0) * n)) / denom
+    half = (
+        F.lit(z)
+        * F.sqrt(
+            p * (F.lit(1.0) - p) / n
+            + z2 / (F.lit(4.0) * n * n)
+        )
+        / denom
+    )
+    return df.groupBy(*group_cols).agg(
+        n.cast("long").alias("n"),
+        s.cast("long").alias("successes"),
+        p.alias("p_hat"),
+        (center - half).alias("ci_lo"),
+        (center + half).alias("ci_hi"),
+    )

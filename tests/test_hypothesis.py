@@ -319,3 +319,29 @@ def test_welch_degenerate_sides(spark):
     r = welch_t_test(df, "v", "g", "a", "b").collect()[0]
     assert r["t_stat"] is None and r["cohens_d"] is None
     assert r["mean_diff"] == pytest.approx(-1.0)
+
+
+def test_wilson_interval_known_values(spark):
+    from pyspark.sql import functions as F
+
+    from k_means_using_mapreduce_spark.operators.hypothesis import (
+        wilson_proportions,
+    )
+
+    # 15 successes of 20: classic textbook Wilson interval
+    rows = [("g", 1)] * 15 + [("g", 0)] * 5
+    df = spark.createDataFrame(rows, "g string, y int")
+    r = wilson_proportions(df, F.col("y") == 1, ["g"]).collect()[0]
+    assert r["n"] == 20 and r["successes"] == 15
+    assert r["p_hat"] == pytest.approx(0.75)
+    # Wilson 95% for 15/20: ~(0.531, 0.888)
+    assert r["ci_lo"] == pytest.approx(0.531, abs=0.005)
+    assert r["ci_hi"] == pytest.approx(0.888, abs=0.005)
+    # interval stays inside [0,1] even at extremes
+    ext = spark.createDataFrame([("g", 1)] * 3, "g string, y int")
+    re = wilson_proportions(ext, F.col("y") == 1, ["g"]).collect()[0]
+    assert 0.0 <= re["ci_lo"] < 1.0 and re["ci_hi"] <= 1.0
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        wilson_proportions(df, F.col("y") == 1, ["g"], z=0.0)
