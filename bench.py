@@ -321,6 +321,7 @@ BENCH_QUERIES = [
     "uncertainty_status_priority",
     "welch_click_vs_purchase",
     "purchase_rate_wilson",
+    "pairwise_welch_event_values",
 ]
 
 KMEANS_FIT_K = 8

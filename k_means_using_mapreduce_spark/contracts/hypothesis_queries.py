@@ -723,3 +723,50 @@ FROM f
 
 QUERIES["purchase_rate_wilson"] = purchase_rate_wilson
 ORACLE_SQL["purchase_rate_wilson"] = WILSON_SQL
+
+
+def pairwise_welch_event_values(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Post-hoc all-pairs Welch comparison of event values across the
+    five event types (operators/hypothesis.py::pairwise_welch)."""
+    from ..operators.hypothesis import pairwise_welch
+
+    return pairwise_welch(
+        load_table(spark, sf_dir, "events"), "value", "event_type"
+    )
+
+
+PAIRWISE_WELCH_SQL = """
+WITH g AS (
+  SELECT event_type AS grp, CAST(count(*) AS DOUBLE) AS n,
+         sum(CAST(value AS DOUBLE)) AS s,
+         sum(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)) AS q
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1
+),
+pairs AS (
+  SELECT a.grp AS group_a, b.grp AS group_b,
+         a.n AS na, a.s AS sa, a.q AS qa,
+         b.n AS nb, b.s AS sb, b.q AS qb
+  FROM g a CROSS JOIN g b WHERE a.grp < b.grp
+),
+m AS (
+  SELECT *, sa / na AS ma, sb / nb AS mb,
+    (qa - sa * sa / na) / nullif(na - 1.0, 0.0) AS va,
+    (qb - sb * sb / nb) / nullif(nb - 1.0, 0.0) AS vb
+  FROM pairs
+),
+f AS (SELECT *, va / na + vb / nb AS se2 FROM m)
+SELECT group_a, group_b, CAST(na AS BIGINT) AS n_a,
+  CAST(nb AS BIGINT) AS n_b,
+  ma - mb AS mean_diff,
+  (ma - mb) / nullif(sqrt(se2), 0.0) AS t_stat,
+  se2 * se2 / nullif(
+    va * va / (na * na * (na - 1.0)) + vb * vb / (nb * nb * (nb - 1.0)),
+    0.0) AS df_welch
+FROM f
+"""
+
+QUERIES["pairwise_welch_event_values"] = pairwise_welch_event_values
+ORACLE_SQL["pairwise_welch_event_values"] = PAIRWISE_WELCH_SQL

@@ -897,3 +897,75 @@ def wilson_proportions(
         (center - half).alias("ci_lo"),
         (center + half).alias("ci_hi"),
     )
+
+
+def pairwise_welch(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """All-pairs Welch comparisons — the post-hoc step after
+    :func:`anova_oneway` says "the groups differ somewhere": every
+    group pair's mean difference, Welch t and Welch-Satterthwaite df
+    (feed the t-stats to :func:`fdr_bh` for multiplicity control —
+    that is the intended composition).
+
+    ONE grouped scan reduces the corpus to per-group ``(n, Σx, Σx²)``;
+    the pair table is a self-join of that k-row aggregate (i < j by
+    group order) — k²/2 rows of pure arithmetic, never a second data
+    pass. Degenerate pairs (a side with n < 2 or both variances zero)
+    yield NULL statistics.
+
+    Returns ``(group_a, group_b, n_a, n_b, mean_diff, t_stat,
+    df_welch)``.
+    """
+    v = F.col(value_col).cast("double")
+    g = (
+        df.where(v.isNotNull() & F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(v).alias("s"),
+            F.sum(v * v).alias("q"),
+        )
+    )
+    a = g.select(
+        F.col("grp").alias("group_a"),
+        F.col("n").alias("na"),
+        F.col("s").alias("sa"),
+        F.col("q").alias("qa"),
+    )
+    b = g.select(
+        F.col("grp").alias("group_b"),
+        F.col("n").alias("nb"),
+        F.col("s").alias("sb"),
+        F.col("q").alias("qb"),
+    )
+    pairs = a.crossJoin(b).where(F.col("group_a") < F.col("group_b"))
+    na, nb = F.col("na"), F.col("nb")
+    ma = F.col("sa") / na
+    mb = F.col("sb") / nb
+    va = (F.col("qa") - F.col("sa") * F.col("sa") / na) / F.nullif(
+        na - F.lit(1.0), F.lit(0.0)
+    )
+    vb = (F.col("qb") - F.col("sb") * F.col("sb") / nb) / F.nullif(
+        nb - F.lit(1.0), F.lit(0.0)
+    )
+    se2 = va / na + vb / nb
+    return pairs.select(
+        "group_a",
+        "group_b",
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        (ma - mb).alias("mean_diff"),
+        ((ma - mb) / F.nullif(F.sqrt(se2), F.lit(0.0))).alias("t_stat"),
+        (
+            se2
+            * se2
+            / F.nullif(
+                va * va / (na * na * (na - F.lit(1.0)))
+                + vb * vb / (nb * nb * (nb - F.lit(1.0))),
+                F.lit(0.0),
+            )
+        ).alias("df_welch"),
+    )

@@ -345,3 +345,27 @@ def test_wilson_interval_known_values(spark):
 
     with _p.raises(ValueError):
         wilson_proportions(df, F.col("y") == 1, ["g"], z=0.0)
+
+
+def test_pairwise_welch_matches_single_welch(spark):
+    from pyspark.sql import functions as F
+
+    from k_means_using_mapreduce_spark.operators.hypothesis import (
+        pairwise_welch,
+        welch_t_test,
+    )
+
+    rows = [("a", float(i)) for i in range(10)]
+    rows += [("b", float(i) * 2) for i in range(8)]
+    rows += [("c", float(i) + 5) for i in range(12)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {
+        (r["group_a"], r["group_b"]): r
+        for r in pairwise_welch(df, "v", "g").collect()
+    }
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    single = welch_t_test(df, "v", "g", "a", "b").collect()[0]
+    pair = out[("a", "b")]
+    assert pair["t_stat"] == pytest.approx(single["t_stat"], rel=1e-12)
+    assert pair["df_welch"] == pytest.approx(single["df_welch"], rel=1e-12)
+    assert pair["mean_diff"] == pytest.approx(single["mean_diff"])
