@@ -322,6 +322,7 @@ BENCH_QUERIES = [
     "welch_click_vs_purchase",
     "purchase_rate_wilson",
     "pairwise_welch_event_values",
+    "cuped_value_experiment",
 ]
 
 KMEANS_FIT_K = 8

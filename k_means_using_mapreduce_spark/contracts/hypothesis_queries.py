@@ -770,3 +770,101 @@ FROM f
 
 QUERIES["pairwise_welch_event_values"] = pairwise_welch_event_values
 ORACLE_SQL["pairwise_welch_event_values"] = PAIRWISE_WELCH_SQL
+
+
+_CUPED_SPLIT_US = 15 * 86_400_000_000
+
+
+def cuped_value_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED A/A on per-user value: late-period spend adjusted by
+    early-period spend, hash-bucket 'treatment' (a true null effect —
+    the z should hug 0 while the variance visibly shrinks;
+    operators/hypothesis.py::cuped_adjusted_test)."""
+    from ..operators.hypothesis import cuped_adjusted_test
+    from ..operators.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    us = (F.col("ts").cast("long") / F.lit(1000)).cast("long")
+    lo = ev.agg(F.min(us).alias("lo")).collect()[0]["lo"]
+    cut = lo + _CUPED_SPLIT_US
+    per = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(us >= cut, F.col("value").cast("double"))),
+            F.lit(0.0),
+        ).alias("y"),
+        F.coalesce(
+            F.sum(F.when(us < cut, F.col("value").cast("double"))),
+            F.lit(0.0),
+        ).alias("x"),
+    )
+    per = per.withColumn(
+        "treated", hash_bucket("user_id", 100) < F.lit(50)
+    )
+    return cuped_adjusted_test(per, "y", "x", F.col("treated"))
+
+
+CUPED_SQL = f"""
+WITH mn AS (SELECT min(epoch_us(ts)) AS lo FROM events),
+per AS MATERIALIZED (
+  SELECT user_id,
+    coalesce(sum(CASE WHEN epoch_us(ts) >= lo + {_CUPED_SPLIT_US}
+                 THEN CAST(value AS DOUBLE) END), 0.0) AS y,
+    coalesce(sum(CASE WHEN epoch_us(ts) < lo + {_CUPED_SPLIT_US}
+                 THEN CAST(value AS DOUBLE) END), 0.0) AS x,
+    ('0x' || substr(md5(CAST(any_value(user_id) AS VARCHAR)), 1, 15))
+      ::BIGINT % 100 < 50 AS treated
+  FROM events CROSS JOIN mn
+  WHERE user_id IS NOT NULL
+  GROUP BY user_id
+),
+s0 AS MATERIALIZED (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM per
+),
+th AS MATERIALIZED (
+  SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta,
+         sx / n AS xbar
+  FROM s0
+),
+sides AS MATERIALIZED (
+  SELECT any_value(theta) AS theta,
+    sum(CASE WHEN treated THEN 1.0 ELSE 0.0 END) AS nt,
+    sum(CASE WHEN treated THEN y ELSE 0.0 END) AS st,
+    sum(CASE WHEN treated THEN y * y ELSE 0.0 END) AS qt,
+    sum(CASE WHEN NOT treated THEN 1.0 ELSE 0.0 END) AS nc,
+    sum(CASE WHEN NOT treated THEN y ELSE 0.0 END) AS sc,
+    sum(CASE WHEN NOT treated THEN y * y ELSE 0.0 END) AS qc,
+    sum(CASE WHEN treated THEN y - theta * (x - xbar)
+        ELSE 0.0 END) AS sta,
+    sum(CASE WHEN treated
+        THEN (y - theta * (x - xbar)) * (y - theta * (x - xbar))
+        ELSE 0.0 END) AS qta,
+    sum(CASE WHEN NOT treated THEN y - theta * (x - xbar)
+        ELSE 0.0 END) AS sca,
+    sum(CASE WHEN NOT treated
+        THEN (y - theta * (x - xbar)) * (y - theta * (x - xbar))
+        ELSE 0.0 END) AS qca
+  FROM per CROSS JOIN th
+),
+calc AS (
+  SELECT *,
+    st / nt - sc / nc AS effect_raw,
+    (qt - st * st / nt) / (nt - 1.0) / nt
+      + (qc - sc * sc / nc) / (nc - 1.0) / nc AS se2_raw,
+    sta / nt - sca / nc AS effect_cuped,
+    (qta - sta * sta / nt) / (nt - 1.0) / nt
+      + (qca - sca * sca / nc) / (nc - 1.0) / nc AS se2_adj
+  FROM sides
+)
+SELECT CAST(nt AS BIGINT) AS n_t, CAST(nc AS BIGINT) AS n_c, theta,
+  effect_raw, effect_raw / sqrt(se2_raw) AS z_raw,
+  effect_cuped, effect_cuped / sqrt(se2_adj) AS z_cuped,
+  1.0 - se2_adj / se2_raw AS var_reduction
+FROM calc
+"""
+
+QUERIES["cuped_value_experiment"] = cuped_value_experiment
+ORACLE_SQL["cuped_value_experiment"] = CUPED_SQL

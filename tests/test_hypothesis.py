@@ -369,3 +369,33 @@ def test_pairwise_welch_matches_single_welch(spark):
     assert pair["t_stat"] == pytest.approx(single["t_stat"], rel=1e-12)
     assert pair["df_welch"] == pytest.approx(single["df_welch"], rel=1e-12)
     assert pair["mean_diff"] == pytest.approx(single["mean_diff"])
+
+
+def test_cuped_reduces_variance_on_correlated_covariate(spark):
+    from pyspark.sql import functions as F
+
+    from k_means_using_mapreduce_spark.operators.hypothesis import (
+        cuped_adjusted_test,
+    )
+
+    # y strongly driven by the pre-period covariate; treatment is a
+    # pure A/A split -> effect ~ 0, variance reduction ~ r^2 (large)
+    rows = [
+        (i, float(i % 50) + 0.1 * ((i * 7) % 11), float(i % 50))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "id long, y double, x double")
+    df = df.withColumn("treated", (F.col("id") % 2) == 0)
+    r = cuped_adjusted_test(df, "y", "x", F.col("treated")).collect()[0]
+    assert r["n_t"] == 200 and r["n_c"] == 200
+    assert r["theta"] == pytest.approx(1.0, abs=0.05)
+    assert r["var_reduction"] > 0.9
+    # A/A: both effects are tiny; the CUPED one at least as precise
+    assert abs(r["effect_cuped"]) < 0.5
+    import pytest as _p
+
+    const = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 5.0), (3.0, 5.0)], "y double, x double"
+    ).withColumn("treated", F.lit(True))
+    with _p.raises(ValueError, match="covariate"):
+        cuped_adjusted_test(const, "y", "x", F.col("treated"))
