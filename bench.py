@@ -323,6 +323,7 @@ BENCH_QUERIES = [
     "purchase_rate_wilson",
     "pairwise_welch_event_values",
     "cuped_value_experiment",
+    "chow_break_1998",
 ]
 
 KMEANS_FIT_K = 8

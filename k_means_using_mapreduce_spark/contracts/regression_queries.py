@@ -801,3 +801,87 @@ FROM d
 
 QUERIES["price_model_influence"] = price_model_influence
 ORACLE_SQL["price_model_influence"] = INFLUENCE_SQL
+
+
+def chow_break_1998(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did the quantity->price line change at ship-year 1998?
+    (operators/regression.py::chow_test — expected: no break, the
+    generator has one price process)."""
+    from ..operators.regression import chow_test
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return chow_test(
+        li, "l_quantity", "l_extendedprice", F.year("l_shipdate") >= 1998
+    )
+
+
+def _chow_seg_sql(tag: str, cond: str) -> str:
+    cols = {
+        "n": "1.0", "sx": "x", "sy": "y", "sxy": "x * y",
+        "sxx": "x * x", "syy": "y * y",
+    }
+    return ",\n    ".join(
+        f"sum(CASE WHEN {cond} THEN {e} ELSE 0.0 END) AS {tag}{k}"
+        for k, e in cols.items()
+    )
+
+
+def _chow_fit_sql(tag: str) -> str:
+    return f"""
+    (({tag}n * {tag}sxy - {tag}sx * {tag}sy)
+      / nullif({tag}n * {tag}sxx - {tag}sx * {tag}sx, 0.0))"""
+
+
+CHOW_SQL = f"""
+WITH r AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS x,
+         CAST(l_extendedprice AS DOUBLE) AS y,
+         year(l_shipdate) >= 1998 AS b
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+),
+s AS MATERIALIZED (
+  SELECT
+    {_chow_seg_sql('a', 'NOT b')},
+    {_chow_seg_sql('b', 'b')}
+  FROM r
+),
+fits AS (
+  SELECT *,
+    {_chow_fit_sql('a')} AS sl1,
+    {_chow_fit_sql('b')} AS sl2,
+    ((an + bn) * (asxy + bsxy) - (asx + bsx) * (asy + bsy))
+      / nullif((an + bn) * (asxx + bsxx) - (asx + bsx) * (asx + bsx),
+               0.0) AS slp
+  FROM s
+),
+ints AS (
+  SELECT *,
+    (asy - sl1 * asx) / nullif(an, 0.0) AS i1,
+    (bsy - sl2 * bsx) / nullif(bn, 0.0) AS i2,
+    ((asy + bsy) - slp * (asx + bsx)) / nullif(an + bn, 0.0) AS ip
+  FROM fits
+),
+sses AS (
+  SELECT *,
+    asyy + an * i1 * i1 + sl1 * sl1 * asxx + 2.0 * i1 * sl1 * asx
+      - 2.0 * i1 * asy - 2.0 * sl1 * asxy AS sse1,
+    bsyy + bn * i2 * i2 + sl2 * sl2 * bsxx + 2.0 * i2 * sl2 * bsx
+      - 2.0 * i2 * bsy - 2.0 * sl2 * bsxy AS sse2,
+    (asyy + bsyy) + (an + bn) * ip * ip + slp * slp * (asxx + bsxx)
+      + 2.0 * ip * slp * (asx + bsx) - 2.0 * ip * (asy + bsy)
+      - 2.0 * slp * (asxy + bsxy) AS ssep
+  FROM ints
+)
+SELECT CAST(an AS BIGINT) AS n1, CAST(bn AS BIGINT) AS n2,
+  sl1 AS slope_1, sl2 AS slope_2,
+  ((ssep - sse1 - sse2) / 2.0)
+    / nullif((sse1 + sse2) / nullif(an + bn - 4.0, 0.0), 0.0)
+    AS f_stat,
+  CAST(2 AS BIGINT) AS df1,
+  CAST(an + bn - 4.0 AS BIGINT) AS df2
+FROM sses
+"""
+
+QUERIES["chow_break_1998"] = chow_break_1998
+ORACLE_SQL["chow_break_1998"] = CHOW_SQL

@@ -1126,3 +1126,94 @@ def influence_summary(
             / F.count(F.lit(1)).cast("double")
         ).alias("influential_rate"),
     )
+
+
+def chow_test(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    split,
+) -> DataFrame:
+    """Chow structural-break test: did the x→y line CHANGE across a
+    known split (a policy date, a deploy, a schema migration)?
+    ``F = ((SSE_p − SSE_1 − SSE_2)/k) / ((SSE_1+SSE_2)/(n−2k))`` with
+    k=2 parameters — the regression counterpart of
+    :func:`~..timeseries.changepoint_argmax` (which finds WHERE a
+    LEVEL moved; Chow asks whether a RELATIONSHIP moved at a given
+    point). ``split`` is a boolean Column marking segment 2.
+
+    One scan of segment-conditional OLS sums (pooled sums are their
+    exact totals — no third fit); SSEs via the closed-form identity.
+    Degenerate segments (n ≤ 2 or no x variance) yield NULL F.
+
+    Returns one row ``(n1, n2, slope_1, slope_2, f_stat, df1, df2)``.
+    """
+    x, y = _d(x_col), _d(y_col)
+    rows = df.where(x.isNotNull() & y.isNotNull())
+
+    def seg(cond, tag):
+        def c(expr, name):
+            return F.sum(F.when(cond, expr).otherwise(F.lit(0.0))).alias(
+                f"{tag}{name}"
+            )
+
+        return [
+            c(F.lit(1.0), "n"), c(x, "sx"), c(y, "sy"),
+            c(x * y, "sxy"), c(x * x, "sxx"), c(y * y, "syy"),
+        ]
+
+    s = rows.agg(*seg(~split, "a"), *seg(split, "b"))
+
+    def fit(tag):
+        n = F.col(f"{tag}n")
+        det = n * F.col(f"{tag}sxx") - F.col(f"{tag}sx") * F.col(f"{tag}sx")
+        slope = (
+            n * F.col(f"{tag}sxy") - F.col(f"{tag}sx") * F.col(f"{tag}sy")
+        ) / F.nullif(det, F.lit(0.0))
+        intercept = (
+            F.col(f"{tag}sy") - slope * F.col(f"{tag}sx")
+        ) / F.nullif(n, F.lit(0.0))
+        sse = (
+            F.col(f"{tag}syy")
+            + n * intercept * intercept
+            + slope * slope * F.col(f"{tag}sxx")
+            + F.lit(2.0) * intercept * slope * F.col(f"{tag}sx")
+            - F.lit(2.0) * intercept * F.col(f"{tag}sy")
+            - F.lit(2.0) * slope * F.col(f"{tag}sxy")
+        )
+        return slope, sse
+
+    # pooled sums are exact totals of the two segments
+    pn = F.col("an") + F.col("bn")
+    psums = {
+        k: F.col(f"a{k}") + F.col(f"b{k}")
+        for k in ("sx", "sy", "sxy", "sxx", "syy")
+    }
+    pdet = pn * psums["sxx"] - psums["sx"] * psums["sx"]
+    pslope = (pn * psums["sxy"] - psums["sx"] * psums["sy"]) / F.nullif(
+        pdet, F.lit(0.0)
+    )
+    pint = (psums["sy"] - pslope * psums["sx"]) / F.nullif(pn, F.lit(0.0))
+    psse = (
+        psums["syy"]
+        + pn * pint * pint
+        + pslope * pslope * psums["sxx"]
+        + F.lit(2.0) * pint * pslope * psums["sx"]
+        - F.lit(2.0) * pint * psums["sy"]
+        - F.lit(2.0) * pslope * psums["sxy"]
+    )
+    s1, sse1 = fit("a")
+    s2, sse2 = fit("b")
+    df2 = pn - F.lit(4.0)
+    f_stat = ((psse - sse1 - sse2) / F.lit(2.0)) / F.nullif(
+        (sse1 + sse2) / F.nullif(df2, F.lit(0.0)), F.lit(0.0)
+    )
+    return s.select(
+        F.col("an").cast("long").alias("n1"),
+        F.col("bn").cast("long").alias("n2"),
+        s1.alias("slope_1"),
+        s2.alias("slope_2"),
+        f_stat.alias("f_stat"),
+        F.lit(2).cast("long").alias("df1"),
+        df2.cast("long").alias("df2"),
+    )

@@ -457,3 +457,27 @@ def test_influence_exact_fit_and_guards(spark):
         influence_summary(novar, "x", "y")
     with _p.raises(ValueError):
         influence_summary(exact, "x", "y", threshold_factor=0.0)
+
+
+def test_chow_detects_slope_break(spark):
+    from pyspark.sql import functions as F
+
+    from k_means_using_mapreduce_spark.operators.regression import chow_test
+
+    # segment 1: y = 2x; segment 2: y = 5x + 3 — a real break
+    rows = [(0, float(x), 2.0 * x + 0.01 * (x % 3)) for x in range(60)]
+    rows += [(1, float(x), 5.0 * x + 3.0 + 0.01 * (x % 3)) for x in range(60)]
+    df = spark.createDataFrame(rows, "seg int, x double, y double")
+    r = chow_test(df, "x", "y", F.col("seg") == 1).collect()[0]
+    assert r["n1"] == 60 and r["n2"] == 60
+    assert r["slope_1"] == pytest.approx(2.0, abs=0.01)
+    assert r["slope_2"] == pytest.approx(5.0, abs=0.01)
+    assert r["f_stat"] > 1000.0
+    assert r["df1"] == 2 and r["df2"] == 116
+
+    # same process in both halves: F near zero
+    same = [(s, float(x), 2.0 * x + 0.01 * (x % 5)) for s in (0, 1)
+            for x in range(50)]
+    df2 = spark.createDataFrame(same, "seg int, x double, y double")
+    r2 = chow_test(df2, "x", "y", F.col("seg") == 1).collect()[0]
+    assert r2["f_stat"] < 1.0
