@@ -324,6 +324,8 @@ BENCH_QUERIES = [
     "pairwise_welch_event_values",
     "cuped_value_experiment",
     "chow_break_1998",
+    "moods_median_value_by_type",
+    "levene_price_by_flag",
 ]
 
 KMEANS_FIT_K = 8

@@ -868,3 +868,99 @@ FROM calc
 
 QUERIES["cuped_value_experiment"] = cuped_value_experiment
 ORACLE_SQL["cuped_value_experiment"] = CUPED_SQL
+
+
+def moods_median_value_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mood's median test of event values across event types
+    (operators/hypothesis.py::moods_median_test)."""
+    from ..operators.hypothesis import moods_median_test
+
+    return moods_median_test(
+        load_table(spark, sf_dir, "events"), "value", "event_type"
+    )
+
+
+MOODS_SQL = """
+WITH r AS (
+  SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+med AS (SELECT quantile_cont(v, 0.5) AS m FROM r),
+per AS (
+  SELECT g, CAST(count(*) AS DOUBLE) AS ng,
+    sum(CASE WHEN v > (SELECT m FROM med) THEN 1.0 ELSE 0.0 END) AS ag
+  FROM r GROUP BY 1
+),
+tot AS (SELECT sum(ng) AS n, sum(ag) AS a FROM per)
+SELECT CAST(count(*) AS BIGINT) AS k_groups,
+  CAST(any_value(n) AS BIGINT) AS n,
+  CAST(any_value(a) AS BIGINT) AS n_above,
+  sum(
+    (ag - ng * (a / n)) * (ag - ng * (a / n))
+      / nullif(ng * (a / n), 0.0)
+    + ((ng - ag) - ng * ((n - a) / n)) * ((ng - ag) - ng * ((n - a) / n))
+      / nullif(ng * ((n - a) / n), 0.0)
+  ) AS chi2,
+  CAST(count(*) - 1 AS BIGINT) AS df
+FROM per CROSS JOIN tot
+"""
+
+QUERIES["moods_median_value_by_type"] = moods_median_value_by_type
+ORACLE_SQL["moods_median_value_by_type"] = MOODS_SQL
+
+
+def levene_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity check: ANOVA on absolute
+    deviations from each flag's median price — composition of
+    group_median + anova_oneway (the robust Levene variant)."""
+    from ..operators.hypothesis import anova_oneway
+    from ..operators.robust import group_median
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_extendedprice").isNotNull()
+        & F.col("l_returnflag").isNotNull()
+    )
+    med = group_median(li, "l_extendedprice", ["l_returnflag"])
+    dev = li.join(F.broadcast(med), "l_returnflag").withColumn(
+        "abs_dev",
+        F.abs(F.col("l_extendedprice").cast("double") - F.col("median")),
+    )
+    return anova_oneway(dev, "abs_dev", "l_returnflag")
+
+
+LEVENE_SQL = """
+WITH med AS (
+  SELECT l_returnflag, quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5)
+    AS m
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+  GROUP BY 1
+),
+dev AS (
+  SELECT l.l_returnflag,
+         abs(CAST(l_extendedprice AS DOUBLE) - m.m) AS v
+  FROM lineitem l JOIN med m USING (l_returnflag)
+  WHERE l_extendedprice IS NOT NULL AND l.l_returnflag IS NOT NULL
+),
+g AS (
+  SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS ng,
+         sum(v) AS sg, sum(v * v) AS qg
+  FROM dev GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS k_groups,
+  CAST(sum(ng) AS BIGINT) AS n,
+  CAST(count(*) - 1 AS BIGINT) AS df_between,
+  CAST(sum(ng) - count(*) AS BIGINT) AS df_within,
+  ((sum(sg * sg / ng) - sum(sg) * sum(sg) / sum(ng))
+     / nullif(CAST(count(*) - 1 AS DOUBLE), 0.0))
+  / nullif((sum(qg) - sum(sg * sg / ng))
+     / nullif(sum(ng) - CAST(count(*) AS DOUBLE), 0.0), 0.0) AS f_stat,
+  (sum(sg * sg / ng) - sum(sg) * sum(sg) / sum(ng))
+    / nullif(sum(qg) - sum(sg) * sum(sg) / sum(ng), 0.0) AS eta2
+FROM g
+"""
+
+QUERIES["levene_price_by_flag"] = levene_price_by_flag
+ORACLE_SQL["levene_price_by_flag"] = LEVENE_SQL

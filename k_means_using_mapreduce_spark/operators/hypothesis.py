@@ -1056,3 +1056,58 @@ def cuped_adjusted_test(
         "z_raw double, effect_cuped double, z_cuped double, "
         "var_reduction double",
     )
+
+
+def moods_median_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Mood's median test: are the k groups' medians plausibly equal?
+    Count above/at-or-below the GLOBAL median per group and chi-square
+    the 2×k table — the bluntest but most outlier-proof of the k-group
+    location tests (only signs of deviations matter; pairs with
+    :func:`anova_oneway` the way MW pairs with Welch).
+
+    One exact global median (``percentile`` ≡ ``quantile_cont``,
+    1-row broadcast) + one conditional-count aggregate per group +
+    chi-square arithmetic over the k-row table. df = k−1.
+
+    Returns one row ``(k_groups, n, n_above, chi2, df)``; NULL chi2
+    when a margin is empty (all values on one side).
+    """
+    v = F.col(value_col).cast("double")
+    rows = df.where(v.isNotNull() & F.col(group_col).isNotNull())
+    med = rows.agg(
+        F.percentile(v, F.lit(0.5)).alias("_m")
+    )
+    g = (
+        rows.crossJoin(F.broadcast(med))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("ng"),
+            F.sum(
+                F.when(v > F.col("_m"), 1.0).otherwise(0.0)
+            ).alias("ag"),
+        )
+    )
+    tot = g.agg(F.sum("ng").alias("_n"), F.sum("ag").alias("_a"))
+    g2 = g.crossJoin(F.broadcast(tot))
+    # expected cells per group: ng*(A/N) above, ng*((N-A)/N) below
+    e_above = F.col("ng") * (F.col("_a") / F.col("_n"))
+    e_below = F.col("ng") * ((F.col("_n") - F.col("_a")) / F.col("_n"))
+    chi2 = F.sum(
+        (F.col("ag") - e_above)
+        * (F.col("ag") - e_above)
+        / F.nullif(e_above, F.lit(0.0))
+        + ((F.col("ng") - F.col("ag")) - e_below)
+        * ((F.col("ng") - F.col("ag")) - e_below)
+        / F.nullif(e_below, F.lit(0.0))
+    )
+    return g2.agg(
+        F.count(F.lit(1)).alias("k_groups"),
+        F.first("_n").cast("long").alias("n"),
+        F.first("_a").cast("long").alias("n_above"),
+        chi2.alias("chi2"),
+        (F.count(F.lit(1)) - F.lit(1)).cast("long").alias("df"),
+    )

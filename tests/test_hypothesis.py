@@ -399,3 +399,24 @@ def test_cuped_reduces_variance_on_correlated_covariate(spark):
     ).withColumn("treated", F.lit(True))
     with _p.raises(ValueError, match="covariate"):
         cuped_adjusted_test(const, "y", "x", F.col("treated"))
+
+
+def test_moods_median_shifted_vs_identical(spark):
+    from k_means_using_mapreduce_spark.operators.hypothesis import (
+        moods_median_test,
+    )
+
+    # group b sits entirely above group a's range: huge chi2
+    rows = [("a", float(i)) for i in range(40)]
+    rows += [("b", float(i) + 100.0) for i in range(40)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = moods_median_test(df, "v", "g").collect()[0]
+    assert r["k_groups"] == 2 and r["df"] == 1
+    assert r["chi2"] > 50.0
+
+    # identical groups: chi2 ~ 0
+    same = [(g, float(i % 10)) for g in "ab" for i in range(40)]
+    df2 = spark.createDataFrame(same, "g string, v double")
+    assert moods_median_test(df2, "v", "g").collect()[0][
+        "chi2"
+    ] == pytest.approx(0.0, abs=1e-9)
