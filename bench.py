@@ -326,6 +326,7 @@ BENCH_QUERIES = [
     "chow_break_1998",
     "moods_median_value_by_type",
     "levene_price_by_flag",
+    "kruskal_value_by_type",
 ]
 
 KMEANS_FIT_K = 8

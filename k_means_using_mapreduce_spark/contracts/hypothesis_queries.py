@@ -964,3 +964,50 @@ FROM g
 
 QUERIES["levene_price_by_flag"] = levene_price_by_flag
 ORACLE_SQL["levene_price_by_flag"] = LEVENE_SQL
+
+
+def kruskal_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis rank test of event values across event types
+    (operators/hypothesis.py::kruskal_wallis)."""
+    from ..operators.hypothesis import kruskal_wallis
+
+    return kruskal_wallis(
+        load_table(spark, sf_dir, "events"), "value", "event_type"
+    )
+
+
+KRUSKAL_SQL = """
+WITH cells AS (
+  SELECT CAST(value AS DOUBLE) AS v, event_type AS g,
+         CAST(count(*) AS DOUBLE) AS c
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+vals AS (SELECT v, sum(c) AS t FROM cells GROUP BY 1),
+ranked AS (
+  SELECT v, t,
+    sum(t) OVER w - t + (t + 1.0) / 2.0 AS mid
+  FROM vals
+  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+),
+per_g AS (
+  SELECT g, sum(c) AS ng, sum(c * mid) AS rg
+  FROM cells JOIN ranked USING (v) GROUP BY 1
+),
+ties AS (SELECT sum(t) AS n, sum(t * t * t - t) AS ts FROM vals),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS k_groups, any_value(n) AS n,
+    sum(rg * rg / ng) AS r2, any_value(ts) AS ts
+  FROM per_g CROSS JOIN ties
+)
+SELECT k_groups, CAST(n AS BIGINT) AS n,
+  (12.0 / (n * (n + 1.0)) * r2 - 3.0 * (n + 1.0))
+    / nullif(1.0 - ts / nullif(n * n * n - n, 0.0), 0.0) AS h_stat,
+  CAST(k_groups - 1 AS BIGINT) AS df,
+  1.0 - ts / nullif(n * n * n - n, 0.0) AS tie_correction
+FROM agg
+"""
+
+QUERIES["kruskal_value_by_type"] = kruskal_value_by_type
+ORACLE_SQL["kruskal_value_by_type"] = KRUSKAL_SQL

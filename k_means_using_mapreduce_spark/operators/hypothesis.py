@@ -1111,3 +1111,80 @@ def moods_median_test(
         chi2.alias("chi2"),
         (F.count(F.lit(1)) - F.lit(1)).cast("long").alias("df"),
     )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Kruskal–Wallis rank test: the distribution-free k-group
+    location test completing the family (MW is its 2-group case,
+    :func:`anova_oneway` its parametric cousin, Mood's its blunter
+    sibling). Midrank ties, tie-corrected:
+    ``H = [12/(N(N+1))·Σ R²_g/n_g − 3(N+1)] / (1 − Σ(t³−t)/(N³−N))``.
+
+    The block doctrine end to end: one ``(value, group)`` count
+    aggregate; per-value midranks from an ordered cumulative window
+    over the DISTINCT-VALUE table; per-group rank sums as
+    ``Σ cnt·midrank``; the tie term from the same value totals. No
+    corpus sort, no per-row window. df = k−1.
+
+    Returns one row ``(k_groups, n, h_stat, df, tie_correction)``;
+    NULL H when every value is identical (tie correction hits 0).
+    """
+    from pyspark.sql.window import Window
+
+    v = F.col(value_col).cast("double")
+    rows = df.where(v.isNotNull() & F.col(group_col).isNotNull())
+    cells = rows.groupBy(
+        v.alias("_v"), F.col(group_col).alias("_g")
+    ).agg(F.count(F.lit(1)).cast("double").alias("_c"))
+    vals = cells.groupBy("_v").agg(F.sum("_c").alias("_t"))
+    cum = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = vals.select(
+        "_v",
+        "_t",
+        (
+            F.sum("_t").over(cum)
+            - F.col("_t")
+            + (F.col("_t") + F.lit(1.0)) / F.lit(2.0)
+        ).alias("_mid"),
+    )
+    per_g = (
+        cells.join(ranked, "_v")
+        .groupBy("_g")
+        .agg(
+            F.sum("_c").alias("ng"),
+            F.sum(F.col("_c") * F.col("_mid")).alias("rg"),
+        )
+    )
+    ties = vals.agg(
+        F.sum("_t").alias("n"),
+        F.sum(F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")).alias(
+            "tsum"
+        ),
+    )
+    agg = per_g.crossJoin(F.broadcast(ties)).agg(
+        F.count(F.lit(1)).alias("k_groups"),
+        F.first("n").alias("_n"),
+        F.sum(F.col("rg") * F.col("rg") / F.col("ng")).alias("_r2"),
+        F.first("tsum").alias("_ts"),
+    )
+    n = F.col("_n")
+    h_raw = (
+        F.lit(12.0) / (n * (n + F.lit(1.0))) * F.col("_r2")
+        - F.lit(3.0) * (n + F.lit(1.0))
+    )
+    corr = F.lit(1.0) - F.col("_ts") / F.nullif(
+        n * n * n - n, F.lit(0.0)
+    )
+    return agg.select(
+        "k_groups",
+        n.cast("long").alias("n"),
+        (h_raw / F.nullif(corr, F.lit(0.0))).alias("h_stat"),
+        (F.col("k_groups") - F.lit(1)).cast("long").alias("df"),
+        corr.alias("tie_correction"),
+    )

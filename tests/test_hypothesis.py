@@ -420,3 +420,27 @@ def test_moods_median_shifted_vs_identical(spark):
     assert moods_median_test(df2, "v", "g").collect()[0][
         "chi2"
     ] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_kruskal_wallis_shifted_and_identical(spark):
+    from k_means_using_mapreduce_spark.operators.hypothesis import (
+        kruskal_wallis,
+    )
+
+    # three clearly separated groups: H far beyond the chi2_2 tail
+    rows = [("a", float(i)) for i in range(30)]
+    rows += [("b", float(i) + 100.0) for i in range(30)]
+    rows += [("c", float(i) + 200.0) for i in range(30)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = kruskal_wallis(df, "v", "g").collect()[0]
+    assert r["k_groups"] == 3 and r["df"] == 2 and r["n"] == 90
+    assert r["h_stat"] > 50.0
+    assert r["tie_correction"] == pytest.approx(1.0)  # no ties
+
+    # identical distributions with heavy ties: H small, correction < 1
+    same = [(g, float(i % 5)) for g in "abc" for i in range(30)]
+    r2 = kruskal_wallis(
+        spark.createDataFrame(same, "g string, v double"), "v", "g"
+    ).collect()[0]
+    assert r2["h_stat"] == pytest.approx(0.0, abs=1e-9)
+    assert r2["tie_correction"] < 1.0
