@@ -327,6 +327,7 @@ BENCH_QUERIES = [
     "moods_median_value_by_type",
     "levene_price_by_flag",
     "kruskal_value_by_type",
+    "friedman_value_by_type",
 ]
 
 KMEANS_FIT_K = 8

@@ -1011,3 +1011,49 @@ FROM agg
 
 QUERIES["kruskal_value_by_type"] = kruskal_value_by_type
 ORACLE_SQL["kruskal_value_by_type"] = KRUSKAL_SQL
+
+
+def friedman_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman repeated-measures test: within each user, do the five
+    event types rank consistently by mean value?
+    (operators/hypothesis.py::friedman_test)."""
+    from ..operators.hypothesis import friedman_test
+
+    return friedman_test(
+        load_table(spark, sf_dir, "events"), "user_id", "event_type", "value"
+    )
+
+
+FRIEDMAN_SQL = """
+WITH cells AS (
+  SELECT user_id AS b, event_type AS t, avg(CAST(value AS DOUBLE)) AS v
+  FROM events
+  WHERE value IS NOT NULL AND user_id IS NOT NULL
+    AND event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+kk AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS k FROM cells),
+complete AS (
+  SELECT b FROM cells GROUP BY 1
+  HAVING count(*) = (SELECT k FROM kk)
+),
+ranked AS (
+  SELECT c.b, c.t,
+    CAST(rank() OVER (PARTITION BY c.b ORDER BY c.v) AS DOUBLE)
+      + (CAST(count(*) OVER (PARTITION BY c.b, c.v) AS DOUBLE) - 1.0)
+        / 2.0 AS r
+  FROM cells c JOIN complete USING (b)
+),
+per_t AS (SELECT t, sum(r) AS rj FROM ranked GROUP BY 1),
+nb AS (SELECT CAST(count(DISTINCT b) AS DOUBLE) AS n FROM ranked)
+SELECT CAST(n AS BIGINT) AS n_blocks,
+  CAST(k AS BIGINT) AS k_treatments,
+  12.0 / (n * k * (k + 1.0)) * sum(rj * rj) - 3.0 * n * (k + 1.0)
+    AS chi2_f,
+  CAST(k - 1 AS BIGINT) AS df
+FROM per_t CROSS JOIN nb CROSS JOIN kk
+GROUP BY n, k
+"""
+
+QUERIES["friedman_value_by_type"] = friedman_value_by_type
+ORACLE_SQL["friedman_value_by_type"] = FRIEDMAN_SQL

@@ -1188,3 +1188,77 @@ def kruskal_wallis(
         (F.col("k_groups") - F.lit(1)).cast("long").alias("df"),
         corr.alias("tie_correction"),
     )
+
+
+def friedman_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Friedman's test for k related samples: rank the treatments
+    WITHIN each block (user, day, machine — anything that makes
+    observations comparable), then ask whether any treatment
+    systematically ranks higher — the repeated-measures counterpart of
+    :func:`kruskal_wallis` (which assumes independent groups).
+    ``χ²_F = 12/(nk(k+1))·Σ R²_j − 3n(k+1)``, midrank ties, df = k−1.
+
+    Only COMPLETE blocks participate (a block missing a treatment
+    cannot be ranked against the others — the textbook requirement,
+    enforced not assumed). Per-block cell values are means when a
+    (block, treatment) has several rows. The rank window partitions
+    by block over ≤ k rows — bounded and parallel.
+
+    Returns one row ``(n_blocks, k_treatments, chi2_f, df)``; NULL
+    statistic when no block is complete.
+    """
+    from pyspark.sql.window import Window
+
+    v = F.col(value_col).cast("double")
+    rows = df.where(
+        v.isNotNull()
+        & F.col(block_col).isNotNull()
+        & F.col(treatment_col).isNotNull()
+    )
+    cells = rows.groupBy(
+        F.col(block_col).alias("_b"), F.col(treatment_col).alias("_t")
+    ).agg(F.avg(v).alias("_v"))
+    k = cells.select("_t").distinct().count()
+    if k < 2:
+        raise ValueError(f"need at least 2 treatments, got {k}")
+    complete = (
+        cells.groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_kt"))
+        .where(F.col("_kt") == k)
+        .select("_b")
+    )
+    kept = cells.join(complete, "_b")
+    wr = Window.partitionBy("_b").orderBy("_v")
+    wt = Window.partitionBy("_b", "_v")
+    ranked = kept.select(
+        "_b",
+        "_t",
+        (
+            F.rank().over(wr).cast("double")
+            + (F.count(F.lit(1)).over(wt).cast("double") - F.lit(1.0))
+            / F.lit(2.0)
+        ).alias("_r"),
+    )
+    per_t = ranked.groupBy("_t").agg(F.sum("_r").alias("rj"))
+    nb = ranked.select("_b").distinct().count()
+    if nb == 0:
+        return df.sparkSession.createDataFrame(
+            [(0, k, None, k - 1)],
+            "n_blocks long, k_treatments long, chi2_f double, df long",
+        )
+    agg = per_t.agg(F.sum(F.col("rj") * F.col("rj")).alias("_r2"))
+    kk = float(k)
+    return agg.select(
+        F.lit(nb).cast("long").alias("n_blocks"),
+        F.lit(k).cast("long").alias("k_treatments"),
+        (
+            F.lit(12.0 / (nb * kk * (kk + 1.0))) * F.col("_r2")
+            - F.lit(3.0 * nb * (kk + 1.0))
+        ).alias("chi2_f"),
+        F.lit(k - 1).cast("long").alias("df"),
+    )

@@ -444,3 +444,30 @@ def test_kruskal_wallis_shifted_and_identical(spark):
     ).collect()[0]
     assert r2["h_stat"] == pytest.approx(0.0, abs=1e-9)
     assert r2["tie_correction"] < 1.0
+
+
+def test_friedman_consistent_vs_random_ranking(spark):
+    from k_means_using_mapreduce_spark.operators.hypothesis import (
+        friedman_test,
+    )
+
+    # every block ranks treatments identically: maximal chi2 = n*k... 
+    rows = [(b, t, float(ord(t))) for b in range(20) for t in "xyz"]
+    df = spark.createDataFrame(rows, "b int, t string, v double")
+    r = friedman_test(df, "b", "t", "v").collect()[0]
+    assert r["n_blocks"] == 20 and r["k_treatments"] == 3
+    # perfect consistency: chi2_F = n(k-1) = 40
+    assert r["chi2_f"] == pytest.approx(40.0)
+
+    # incomplete blocks are dropped, not mis-ranked
+    rows2 = rows + [(99, "x", 1.0)]  # block 99 lacks y, z
+    r2 = friedman_test(
+        spark.createDataFrame(rows2, "b int, t string, v double"),
+        "b", "t", "v",
+    ).collect()[0]
+    assert r2["n_blocks"] == 20
+    import pytest as _p
+
+    one = spark.createDataFrame([(1, "x", 1.0)], "b int, t string, v double")
+    with _p.raises(ValueError):
+        friedman_test(one, "b", "t", "v")
