@@ -1325,10 +1325,14 @@ def autocorrelation(
     (a peak at the period's lag) and "is this ar(1)-ish" (geometric
     decay).
 
-    Pairs are built with one ``lag(k)`` window per lag over the SAME
-    key-partitioned ordering (one exchange, Catalyst reuses it — the
-    funnel doctrine); each lag's correlation comes from explicit sums
-    over the overlapping pairs, so the oracle shares the arithmetic.
+    SINGLE-PASS plan: one key-partitioned window builds all
+    ``lag(1..max_lag)`` columns in one exchange+sort, the row is
+    exploded to ``(key, lag, x, y)`` pairs (non-null shifts only),
+    and ONE ``groupBy(key, lag)`` computes every lag's sums — one
+    shuffle total, versus the naive per-lag aggregate+UNION shape
+    that pays ``max_lag`` shuffles and re-reads the window branch
+    per lag. Each lag's correlation comes from explicit sums over
+    the overlapping pairs, so the oracle shares the arithmetic.
     Series shorter than ``lag + 2`` points, or constant over the
     overlap, yield NULL acf (undefined, surfaced).
 
@@ -1338,40 +1342,47 @@ def autocorrelation(
         raise ValueError(f"max_lag must be >= 1, got {max_lag}")
     v = F.col(value_col).cast("double")
     w = Window.partitionBy(key_col).orderBy(order_col)
-    cols = [F.col(key_col).alias("key"), v.alias("x")]
-    for k in range(1, max_lag + 1):
-        cols.append(F.lag(v, k).over(w).alias(f"_l{k}"))
-    lagged = grid.select(*cols)
-    out = None
-    for k in range(1, max_lag + 1):
-        y = F.col(f"_l{k}")
-        pair = lagged.where(y.isNotNull()).groupBy("key").agg(
-            F.count(F.lit(1)).cast("double").alias("n"),
-            F.sum("x").alias("sx"),
-            F.sum(y).alias("sy"),
-            F.sum(F.col("x") * y).alias("sxy"),
-            F.sum(F.col("x") * F.col("x")).alias("sxx"),
-            F.sum(y * y).alias("syy"),
+    lagged = grid.select(
+        F.col(key_col).alias("key"),
+        v.alias("x"),
+        *[F.lag(v, k).over(w).alias(f"_l{k}") for k in range(1, max_lag + 1)],
+    )
+    pairs_arr = F.array(
+        *[
+            F.struct(F.lit(k).alias("lag"), F.col(f"_l{k}").alias("y"))
+            for k in range(1, max_lag + 1)
+        ]
+    )
+    exploded = (
+        lagged.select("key", "x", F.explode(pairs_arr).alias("p"))
+        .where(F.col("p.y").isNotNull())
+        .select("key", F.col("p.lag").alias("lag"), "x", F.col("p.y").alias("y"))
+    )
+    pair = exploded.groupBy("key", "lag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    acf = (
+        (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / F.nullif(
+            F.sqrt(
+                (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            F.lit(0.0),
         )
-        n = F.col("n")
-        acf = (
-            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
-            / F.nullif(
-                F.sqrt(
-                    (n * F.col("sxx") - F.col("sx") * F.col("sx"))
-                    * (n * F.col("syy") - F.col("sy") * F.col("sy"))
-                ),
-                F.lit(0.0),
-            )
-        )
-        one = pair.select(
-            "key",
-            F.lit(k).alias("lag"),
-            n.cast("long").alias("n_pairs"),
-            acf.alias("acf"),
-        )
-        out = one if out is None else out.unionByName(one)
-    return out.withColumnRenamed("key", key_col)
+    )
+    return pair.select(
+        F.col("key").alias(key_col),
+        "lag",
+        n.cast("long").alias("n_pairs"),
+        acf.alias("acf"),
+    )
 
 
 def changepoint_argmax(
