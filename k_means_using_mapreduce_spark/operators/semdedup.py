@@ -44,18 +44,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_similarity_expr
-from .dedup import embedding_near_dup_bucketed
-from .kmeans import assign
+from .dedup import bucketed_features, pairs_from_bucketed, pairs_from_bucketed_gemm
 
 _POLICIES = ("min_id", "far_from_centroid")
-
-
-def _assigned(df: DataFrame, centroids, vec_col: str, id_col: str) -> DataFrame:
-    feats = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("features"),
-    )
-    return assign(feats, centroids, keep_dist=False)
 
 
 def _centroid_sim(centroids) -> "F.Column":
@@ -88,10 +79,24 @@ def semantic_dedup(
     """
     if keep not in _POLICIES:
         raise ValueError(f"keep must be one of {_POLICIES}, got {keep!r}")
-    assigned = _assigned(df, centroids, vec_col, id_col)
-    pairs = embedding_near_dup_bucketed(
-        df, centroids, vec_col=vec_col, id_col=id_col, threshold=threshold
-    )
+    # ONE assignment pass, materialized: the frame feeds both pair-join
+    # sides AND the survivor join, and without the checkpoint each of
+    # the three plan branches re-evaluates the K-distance projection
+    # over the full scan (round-4 bench regression: 4.8 s → 1.2 s at
+    # sf0.1). At 100 TB this is the deliberate materialize-the-
+    # assignment step of the SemDeDup recipe, not an optimization.
+    bucketed = bucketed_features(
+        df, centroids, vec_col=vec_col, id_col=id_col
+    ).localCheckpoint()
+    assigned = bucketed.select("id", "cid", "features")
+    # Pair MEMBERSHIP via per-cluster blocked GEMM when the id is
+    # numeric (ids-only output, BLAS inner loop — ~3× the expression
+    # join); the expression fold remains for exotic id types.
+    id_type = dict(bucketed.dtypes)["id"]
+    if id_type in ("tinyint", "smallint", "int", "bigint"):
+        pairs = pairs_from_bucketed_gemm(bucketed, threshold)
+    else:
+        pairs = pairs_from_bucketed(bucketed, threshold).select("id_a", "id_b")
 
     if keep == "min_id":
         # id_a < id_b on every pair edge: the higher id always loses.

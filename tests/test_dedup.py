@@ -186,3 +186,51 @@ def test_containment_catches_asymmetric_pairs(spark):
     assert row["containment_b"] < 0.5
     # symmetric jaccard at the same bar finds nothing
     assert jaccard_pairs(df, threshold=0.9).count() == 0
+
+
+def test_gemm_empty_block_no_duplicate_pairs(spark):
+    """Regression: when hashing leaves a block EMPTY, off-diagonal
+    groups arrive with only 'a' rows; inferring self-pair mode from
+    emptiness would re-emit the diagonal group's pairs. The diag flag
+    must prevent that — every pair appears exactly once."""
+    from k_means_using_mapreduce_spark.operators.dedup import (
+        embedding_near_dup_gemm,
+    )
+
+    # 3 identical vectors, block_size=1 -> 3 blocks; with 3 ids the
+    # hash very likely leaves some block empty (and the test is valid
+    # either way: pair multiplicity must be exactly 1).
+    rows = [(i, [1.0, 0.0]) for i in range(1, 4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = [
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_gemm(df, threshold=0.99, block_size=1).collect()
+    ]
+    assert sorted(pairs) == [(1, 2), (1, 3), (2, 3)]
+
+
+def test_pairs_from_bucketed_gemm_matches_expression_pairs(spark, sf_small):
+    """The per-cluster GEMM membership kernel must reproduce the
+    expression join's pair set on the bucketed space, across block
+    sizes that do and don't tile."""
+    from k_means_using_mapreduce_spark.contract_constants import (
+        EMBEDDING_CENTROIDS,
+    )
+    from k_means_using_mapreduce_spark.operators.dedup import (
+        bucketed_features,
+        pairs_from_bucketed,
+        pairs_from_bucketed_gemm,
+    )
+
+    df = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    b = bucketed_features(df, EMBEDDING_CENTROIDS).localCheckpoint()
+    ref = {
+        (r.id_a, r.id_b) for r in pairs_from_bucketed(b, 0.30).collect()
+    }
+    for bs in (4096, 37, 1):
+        got = [
+            (r.id_a, r.id_b)
+            for r in pairs_from_bucketed_gemm(b, 0.30, block_size=bs).collect()
+        ]
+        assert len(got) == len(set(got)), f"duplicate pairs at block_size={bs}"
+        assert set(got) == ref, f"pair set mismatch at block_size={bs}"
