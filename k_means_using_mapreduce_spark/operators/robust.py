@@ -5,17 +5,20 @@ data is heavy-tailed: a mean/stddev z-score moves with the outliers it
 is trying to find, while median ± k·MAD does not. Same doctrine as the
 quality scores in functions/text.py, applied to numeric columns.
 
-Exactness: medians use Spark's exact ``percentile`` (linear
-interpolation), which is numerically identical to DuckDB's
-``quantile_cont`` — the parity the stats contracts already pin for
-grouped percentiles (contracts/stats_queries.py).
+Exactness: medians/quantiles are ``quantile_cont``-exact (linear
+interpolation), numerically identical to DuckDB — the parity the stats
+contracts pin for grouped percentiles (contracts/stats_queries.py).
 
-Scale: exact MAD takes three aggregation passes by construction
-(median → deviations' median → threshold counts); each shuffles ONLY
-per-group aggregates, with the tiny per-group stats table joined back
-by broadcast. For a one-pass approximation at extreme scale, swap
-``percentile`` for ``percentile_approx`` — same plan shape, bounded
-error, no longer oracle-exact.
+Scale: the family's percentiles default to
+:func:`exact_group_percentiles`'s BRACKET path — a streaming
+``percentile_approx`` sketch brackets each target, then one bounded
+in-bracket window yields the exact order statistics — so no plan ever
+buffers and sorts a whole group in an aggregation buffer (the failure
+mode of the exact ``percentile`` aggregate at a skewed 100 TB group).
+``method="buffered"`` opts back into the single-pass exact aggregate
+when group sizes are known-bounded. MAD remains multi-pass by
+construction (median → deviations' median → threshold counts); each
+pass shuffles only per-group aggregates, joined back by broadcast.
 """
 
 from __future__ import annotations
@@ -29,13 +32,151 @@ from pyspark.sql import functions as F
 MAD_SIGMA = 1.4826
 
 
-def group_median(
-    df: DataFrame, value_col: str, group_cols: Sequence[str]
+def exact_group_percentiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    percentiles: Sequence[tuple[str, float]],
+    *,
+    accuracy: int = 10000,
+    method: str = "bracket",
 ) -> DataFrame:
-    """Exact per-group median of ``value_col`` as column ``median``."""
-    return df.groupBy(*group_cols).agg(
-        F.expr(f"percentile({value_col}, 0.5)").alias("median")
+    """EXACT per-group percentiles (``quantile_cont`` linear
+    interpolation) with BOUNDED per-group buffers — the scale-default
+    replacement for the ``percentile(...)`` aggregate, which buffers
+    and sorts every group's full value set (a straggler/OOM at a
+    skewed 100 TB group).
+
+    Two passes:
+
+    1. A streaming ``percentile_approx`` sketch brackets each target
+       percentile p at ``p ± 4/accuracy`` (GK rank error is hard-
+       bounded by n/accuracy, so the bracket provably contains the
+       two order statistics the exact interpolation needs; for groups
+       smaller than ~accuracy/3 the clamped bracket degenerates to
+       min/max and the "window" is the whole — still ≤ accuracy-sized
+       — group).
+    2. One aggregate per group counts values strictly below the lower
+       cut and sorts ONLY the in-bracket window (~8n/accuracy values),
+       from which the exact order statistics are read by rank offset
+       and interpolated with Spark's ``percentile`` formula
+       (``lo·(⌈h⌉−h) + hi·(h−⌊h⌋)``, h = (n−1)p).
+
+    The result is identical to the buffered exact aggregate for ANY
+    input (dedicated property test), independent of which concrete
+    cut values the sketch returns. ``method="buffered"`` opts back
+    into the single-pass whole-group-buffer ``percentile`` aggregate
+    (fine for bounded group counts/sizes, e.g. unit-scale tests).
+
+    Output: ``(group..., n, <alias_1>, ..., <alias_m>)`` with ``n``
+    the non-null value count used as the percentile base.
+    """
+    group_cols = list(group_cols)
+    for alias, p in percentiles:
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"percentile {alias}={p} outside [0, 1]")
+    if method == "buffered":
+        return df.groupBy(*group_cols).agg(
+            F.count(F.col(value_col)).cast("long").alias("n"),
+            *[
+                F.expr(f"percentile({value_col}, {p!r})").alias(alias)
+                for alias, p in percentiles
+            ],
+        )
+    if method != "bracket":
+        raise ValueError(f"method must be 'bracket' or 'buffered', got {method!r}")
+
+    v = F.col(value_col).cast("double")
+    eps = 4.0 / accuracy
+    lo_ps = [max(0.0, p - eps) for _, p in percentiles]
+    hi_ps = [min(1.0, p + eps) for _, p in percentiles]
+    cuts = df.groupBy(*group_cols).agg(
+        F.count(v).cast("long").alias("n"),
+        F.min(v).alias("_gmin"),
+        F.max(v).alias("_gmax"),
+        F.percentile_approx(
+            v, F.array(*[F.lit(p) for p in lo_ps]), F.lit(accuracy)
+        ).alias("_lo_cuts"),
+        F.percentile_approx(
+            v, F.array(*[F.lit(p) for p in hi_ps]), F.lit(accuracy)
+        ).alias("_hi_cuts"),
     )
+    # Null-safe join back: groupBy treats NULL keys as a group, and a
+    # plain equi-join would silently drop those rows here.
+    cuts_r = cuts.select(
+        *[F.col(c).alias(f"_k_{c}") for c in group_cols],
+        "n",
+        "_gmin",
+        "_gmax",
+        "_lo_cuts",
+        "_hi_cuts",
+    )
+    cond = F.lit(True)
+    for c in group_cols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_k_{c}"))
+    joined = df.join(F.broadcast(cuts_r), cond).drop(
+        *[f"_k_{c}" for c in group_cols]
+    )
+    # Groups below `accuracy` rows fall back to min/max cuts: the ±1
+    # rank granularity of the sketch's returned VALUE can overshoot a
+    # tiny group's target order statistic, and buffering such a group
+    # whole is still bounded (≤ accuracy values). For n ≥ accuracy the
+    # ±4/accuracy bracket provably contains both needed ranks.
+    small = F.col("n") < F.lit(int(accuracy))
+    refine_aggs = []
+    for i, (alias, _p) in enumerate(percentiles):
+        lo_c = F.when(small, F.col("_gmin")).otherwise(
+            F.element_at(F.col("_lo_cuts"), i + 1)
+        )
+        hi_c = F.when(small, F.col("_gmax")).otherwise(
+            F.element_at(F.col("_hi_cuts"), i + 1)
+        )
+        refine_aggs.append(
+            F.sum(F.when(v < lo_c, 1).otherwise(0))
+            .cast("long")
+            .alias(f"_nb_{i}")
+        )
+        refine_aggs.append(
+            F.sort_array(
+                F.collect_list(F.when((v >= lo_c) & (v <= hi_c), v))
+            ).alias(f"_ws_{i}")
+        )
+    refined = joined.groupBy(*group_cols).agg(
+        F.first("n").alias("n"), *refine_aggs
+    )
+    out_cols = [*group_cols, F.col("n")]
+    for i, (alias, p) in enumerate(percentiles):
+        n = F.col("n")
+        pos = (n - F.lit(1)).cast("double") * F.lit(float(p))
+        lower = F.floor(pos).cast("long")
+        higher = F.ceil(pos).cast("long")
+        nb = F.col(f"_nb_{i}")
+        ws = F.col(f"_ws_{i}")
+        at_lower = F.element_at(ws, (lower + 1 - nb).cast("int"))
+        at_higher = F.element_at(ws, (higher + 1 - nb).cast("int"))
+        q = F.when(n == 0, F.lit(None).cast("double")).otherwise(
+            F.when(lower == higher, at_lower).otherwise(
+                at_lower * (higher.cast("double") - pos)
+                + at_higher * (pos - lower.cast("double"))
+            )
+        )
+        out_cols.append(q.alias(alias))
+    return refined.select(*out_cols)
+
+
+def group_median(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    *,
+    method: str = "bracket",
+) -> DataFrame:
+    """Exact per-group median of ``value_col`` as column ``median``
+    (bounded-buffer two-pass by default, see
+    :func:`exact_group_percentiles`)."""
+    return exact_group_percentiles(
+        df, value_col, group_cols, [("median", 0.5)], method=method
+    ).drop("n")
 
 
 def mad_outlier_stats(
@@ -44,6 +185,7 @@ def mad_outlier_stats(
     group_cols: Sequence[str],
     *,
     k: float = 3.0,
+    method: str = "bracket",
 ) -> DataFrame:
     """Per-group robust outlier profile.
 
@@ -56,13 +198,14 @@ def mad_outlier_stats(
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     group_cols = list(group_cols)
-    med = group_median(df, value_col, group_cols)
+    med = group_median(df, value_col, group_cols, method=method)
     with_med = df.join(F.broadcast(med), group_cols)
-    mad = (
-        with_med.withColumn("_absdev", F.abs(F.col(value_col) - F.col("median")))
-        .groupBy(*group_cols)
-        .agg(F.expr("percentile(_absdev, 0.5)").alias("mad"))
+    absdev = with_med.withColumn(
+        "_absdev", F.abs(F.col(value_col) - F.col("median"))
     )
+    mad = exact_group_percentiles(
+        absdev, "_absdev", group_cols, [("mad", 0.5)], method=method
+    ).drop("n")
     stats = med.join(F.broadcast(mad), group_cols)
     flagged = df.join(F.broadcast(stats), group_cols).withColumn(
         "_is_out",
@@ -87,6 +230,7 @@ def winsorized_mean(
     *,
     lower: float = 0.05,
     upper: float = 0.95,
+    method: str = "bracket",
 ) -> DataFrame:
     """Per-group mean after clamping values to the exact [lower, upper]
     quantiles — the robust location estimate that, unlike trimming,
@@ -94,10 +238,13 @@ def winsorized_mean(
     if not 0 <= lower < upper <= 1:
         raise ValueError(f"need 0 <= lower < upper <= 1, got {lower}, {upper}")
     group_cols = list(group_cols)
-    bounds = df.groupBy(*group_cols).agg(
-        F.expr(f"percentile({value_col}, {lower})").alias("lo"),
-        F.expr(f"percentile({value_col}, {upper})").alias("hi"),
-    )
+    bounds = exact_group_percentiles(
+        df,
+        value_col,
+        group_cols,
+        [("lo", lower), ("hi", upper)],
+        method=method,
+    ).drop("n")
     return (
         df.join(F.broadcast(bounds), group_cols)
         .withColumn(

@@ -40,3 +40,19 @@ def test_dominant_period_no_union(spark, sf):
     df = _q("dominant_period_events", spark, sf)
     plan = executed_plan(df)
     assert "Union" not in plan
+
+
+def test_percentile_family_no_unbounded_group_buffer(spark, sf):
+    """The robust-percentile family must plan the bounded bracket path
+    by default: streaming percentile_approx sketches plus an in-bracket
+    window, never the exact `percentile(...)` aggregate that buffers
+    and sorts whole groups (OOM/straggler risk at a skewed group)."""
+    import re
+
+    for name in ("winsorized_price_by_flag", "price_outliers_mad"):
+        plan = executed_plan(_q(name, spark, sf))
+        markers = set(re.findall(r"\w*percentile\w*", plan))
+        assert markers, f"{name}: expected percentile aggregates in plan"
+        assert all("percentile_approx" in m for m in markers), (
+            f"{name}: exact whole-group percentile aggregate in plan: {markers}"
+        )

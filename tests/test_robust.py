@@ -402,3 +402,78 @@ def test_theil_grouped(spark):
     out = {r["g"]: r for r in theil_index(df, "k", "v", by=["g"]).collect()}
     assert out["a"]["theil"] == pytest.approx(0.0, abs=1e-12)
     assert out["b"]["theil"] > 0.05
+
+
+class TestBracketPercentiles:
+    """exact_group_percentiles(method='bracket') must equal the
+    whole-group-buffer exact aggregate on ANY input — including heavy
+    duplicates, tiny groups, singletons, null values, null group keys,
+    and accuracies small enough to force real bracketing."""
+
+    def _check(self, spark, rows, ps, accuracy):
+        from k_means_using_mapreduce_spark.operators.robust import (
+            exact_group_percentiles,
+        )
+
+        df = spark.createDataFrame(rows, "g string, v double")
+        got = {
+            tuple(r[0:1]) + (r["n"],) + tuple(r[2:])
+            for r in exact_group_percentiles(
+                df, "v", ["g"], ps, accuracy=accuracy
+            ).collect()
+        }
+        want = {
+            tuple(r[0:1]) + (r["n"],) + tuple(r[2:])
+            for r in exact_group_percentiles(
+                df, "v", ["g"], ps, method="buffered"
+            ).collect()
+        }
+        import math
+
+        def canon(s):
+            return {
+                tuple(
+                    round(x, 12) if isinstance(x, float) and not math.isnan(x) else x
+                    for x in t
+                )
+                for t in s
+            }
+
+        assert canon(got) == canon(want)
+
+    def test_random_heavy_dups_small_accuracy(self, spark):
+        import random
+
+        rng = random.Random(7)
+        rows = []
+        for g in ["a", "b", "c"]:
+            n = rng.choice([1, 2, 3, 50, 400])
+            for _ in range(n):
+                # heavy duplicate mass around a few values
+                rows.append((g, float(rng.choice([1, 1, 1, 2, 5, 5, 9, rng.random() * 10]))))
+        ps = [("p05", 0.05), ("p50", 0.5), ("p95", 0.95), ("p0", 0.0), ("p1", 1.0)]
+        # accuracy=64 forces genuine bracketing on the 400-row group
+        self._check(spark, rows, ps, accuracy=64)
+
+    def test_all_equal_and_null_group(self, spark):
+        rows = [("x", 3.0)] * 200 + [(None, 1.0), (None, 2.0), ("y", 7.0)]
+        self._check(spark, rows, [("med", 0.5), ("q9", 0.9)], accuracy=32)
+
+    def test_null_values_ignored(self, spark):
+        rows = [("g", float(i)) for i in range(100)] + [("g", None)] * 10
+        self._check(spark, rows, [("med", 0.5)], accuracy=16)
+
+    def test_winsorized_and_mad_bracket_match_buffered(self, spark, sf_small):
+        from k_means_using_mapreduce_spark.operators.robust import (
+            mad_outlier_stats,
+            winsorized_mean,
+        )
+
+        li = spark.read.parquet(f"{sf_small}/lineitem.parquet")
+        for fn in (
+            lambda m: winsorized_mean(li, "l_extendedprice", ["l_returnflag"], method=m),
+            lambda m: mad_outlier_stats(li, "l_extendedprice", ["l_returnflag"], method=m),
+        ):
+            a = {tuple(r) for r in fn("bracket").collect()}
+            b = {tuple(r) for r in fn("buffered").collect()}
+            assert a == b
