@@ -233,8 +233,8 @@ BENCH_QUERIES = [
     "dsir_weights_documents",
     "als_user_half_step",
     "als_recommend_parts",
-    "dp_event_type_counts",
-    "dp_event_value_means",
+    "noised_event_type_counts",
+    "noised_event_value_means",
     "ks_click_vs_purchase",
     "mannwhitney_click_vs_purchase",
     "chi2_lang_source",

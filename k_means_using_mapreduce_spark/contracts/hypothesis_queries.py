@@ -1045,14 +1045,22 @@ ranked AS (
   FROM cells c JOIN complete USING (b)
 ),
 per_t AS (SELECT t, sum(r) AS rj FROM ranked GROUP BY 1),
-nb AS (SELECT CAST(count(DISTINCT b) AS DOUBLE) AS n FROM ranked)
+nb AS (SELECT CAST(count(DISTINCT b) AS DOUBLE) AS n FROM ranked),
+ties AS (
+  SELECT coalesce(sum(tsz * tsz * tsz - tsz), 0.0) AS tt
+  FROM (
+    SELECT CAST(count(*) AS DOUBLE) AS tsz
+    FROM cells c JOIN complete USING (b)
+    GROUP BY c.b, c.v
+  )
+)
 SELECT CAST(n AS BIGINT) AS n_blocks,
   CAST(k AS BIGINT) AS k_treatments,
-  12.0 / (n * k * (k + 1.0)) * sum(rj * rj) - 3.0 * n * (k + 1.0)
-    AS chi2_f,
+  (12.0 / (n * k * (k + 1.0)) * sum(rj * rj) - 3.0 * n * (k + 1.0))
+    / nullif(1.0 - tt / (n * k * (k * k - 1.0)), 0.0) AS chi2_f,
   CAST(k - 1 AS BIGINT) AS df
-FROM per_t CROSS JOIN nb CROSS JOIN kk
-GROUP BY n, k
+FROM per_t CROSS JOIN nb CROSS JOIN kk CROSS JOIN ties
+GROUP BY n, k, tt
 """
 
 QUERIES["friedman_value_by_type"] = friedman_value_by_type

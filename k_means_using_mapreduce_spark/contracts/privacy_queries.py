@@ -1,6 +1,9 @@
-"""DP-release contracts (operators/privacy.py): Laplace-mechanism
-noisy counts / clipped sums / composed means over the events table,
-noise drawn from the deterministic md5-uniform house hash."""
+"""Noised-aggregate contracts (operators/privacy.py): reproducible
+Laplace-shaped jitter on counts / clipped sums / composed means over
+the events table, noise drawn from the deterministic md5-uniform
+house hash. Reproducible BY DESIGN (the oracle recomputes the draw),
+which is exactly why these are NOT differential-privacy releases —
+see the operator module docstring."""
 
 from __future__ import annotations
 
@@ -27,11 +30,11 @@ def _sql_laplace(scale_b: str, key_expr: str) -> str:
     )
 
 
-def dp_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ε=1 DP release of per-event-type volumes."""
-    from ..operators.privacy import dp_counts
+def noised_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded noised release (ε-scale 1) of per-event-type volumes."""
+    from ..operators.privacy import noised_counts
 
-    return dp_counts(
+    return noised_counts(
         load_table(spark, sf_dir, "events"),
         ["event_type"],
         epsilon=EPS,
@@ -48,12 +51,12 @@ FROM events GROUP BY 1
 """
 
 
-def dp_event_value_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ε=1 DP release of per-type clipped value totals (clip 50 =
-    the declared sensitivity, enforced in-query)."""
-    from ..operators.privacy import dp_sums
+def noised_event_value_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded noised release (ε-scale 1) of per-type clipped value
+    totals (clip 50 = the declared sensitivity, enforced in-query)."""
+    from ..operators.privacy import noised_sums
 
-    return dp_sums(
+    return noised_sums(
         load_table(spark, sf_dir, "events"),
         ["event_type"],
         "value",
@@ -72,12 +75,12 @@ FROM events GROUP BY 1
 """
 
 
-def dp_event_value_means(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ε=1 DP per-type means by ε/2 + ε/2 sequential composition of
-    the clipped sum and the count."""
-    from ..operators.privacy import dp_means
+def noised_event_value_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded noised per-type means by the ε/2 + ε/2 sequential-
+    composition shape over the clipped sum and the count."""
+    from ..operators.privacy import noised_means
 
-    return dp_means(
+    return noised_means(
         load_table(spark, sf_dir, "events"),
         ["event_type"],
         "value",
@@ -100,13 +103,13 @@ FROM events GROUP BY 1
 
 
 QUERIES = {
-    "dp_event_type_counts": dp_event_type_counts,
-    "dp_event_value_sums": dp_event_value_sums,
-    "dp_event_value_means": dp_event_value_means,
+    "noised_event_type_counts": noised_event_type_counts,
+    "noised_event_value_sums": noised_event_value_sums,
+    "noised_event_value_means": noised_event_value_means,
 }
 
 ORACLE_SQL = {
-    "dp_event_type_counts": DP_COUNTS_SQL,
-    "dp_event_value_sums": DP_SUMS_SQL,
-    "dp_event_value_means": DP_MEANS_SQL,
+    "noised_event_type_counts": DP_COUNTS_SQL,
+    "noised_event_value_sums": DP_SUMS_SQL,
+    "noised_event_value_means": DP_MEANS_SQL,
 }

@@ -1027,6 +1027,11 @@ def cuped_adjusted_test(
     ).collect()[0]
 
     def z_of(nt, st, qt, nc, sc, qc):
+        # degenerate arms (empty or a single unit) have no variance
+        # estimate: surface NULL statistics like the sibling Welch
+        # tests, never a ZeroDivisionError
+        if nt < 2.0 or nc < 2.0:
+            return None, None, None
         mt, mc = st / nt, sc / nc
         vt = (qt - st * st / nt) / (nt - 1.0)
         vc = (qc - sc * sc / nc) / (nc - 1.0)
@@ -1045,11 +1050,15 @@ def cuped_adjusted_test(
                 int(s["nt"]),
                 int(s["nc"]),
                 float(theta),
-                float(eff_raw),
+                None if eff_raw is None else float(eff_raw),
                 None if z_raw is None else float(z_raw),
-                float(eff_adj),
+                None if eff_adj is None else float(eff_adj),
                 None if z_adj is None else float(z_adj),
-                float(1.0 - se2_adj / se2_raw) if se2_raw > 0 else None,
+                (
+                    float(1.0 - se2_adj / se2_raw)
+                    if se2_raw is not None and se2_raw > 0
+                    else None
+                ),
             )
         ],
         "n_t long, n_c long, theta double, effect_raw double, "
@@ -1201,7 +1210,10 @@ def friedman_test(
     observations comparable), then ask whether any treatment
     systematically ranks higher — the repeated-measures counterpart of
     :func:`kruskal_wallis` (which assumes independent groups).
-    ``χ²_F = 12/(nk(k+1))·Σ R²_j − 3n(k+1)``, midrank ties, df = k−1.
+    ``χ²_F = [12/(nk(k+1))·Σ R²_j − 3n(k+1)] / C``, midrank ties with
+    the standard tie-correction divisor ``C = 1 − Σ(t³−t)/(nk(k²−1))``
+    (matches scipy.stats.friedmanchisquare; NULL when C = 0, i.e.
+    every block fully tied), df = k−1.
 
     Only COMPLETE blocks participate (a block missing a treatment
     cannot be ranked against the others — the textbook requirement,
@@ -1251,14 +1263,31 @@ def friedman_test(
             [(0, k, None, k - 1)],
             "n_blocks long, k_treatments long, chi2_f double, df long",
         )
-    agg = per_t.agg(F.sum(F.col("rj") * F.col("rj")).alias("_r2"))
+    # Tie correction (the standard statistic, e.g. scipy's
+    # friedmanchisquare): divide by C = 1 − Σ_blocks Σ_ties (t³−t) /
+    # (n·k·(k²−1)), accumulated from the same tied-cell groups the
+    # midranks came from. C == 0 (every block fully tied) yields NULL.
+    t_sz = F.col("_tsz").cast("double")
+    ties = (
+        kept.groupBy("_b", "_v")
+        .agg(F.count(F.lit(1)).alias("_tsz"))
+        .agg(
+            F.coalesce(
+                F.sum(t_sz * t_sz * t_sz - t_sz), F.lit(0.0)
+            ).alias("_T")
+        )
+    )
+    agg = per_t.agg(F.sum(F.col("rj") * F.col("rj")).alias("_r2")).crossJoin(
+        ties
+    )
     kk = float(k)
+    raw = F.lit(12.0 / (nb * kk * (kk + 1.0))) * F.col("_r2") - F.lit(
+        3.0 * nb * (kk + 1.0)
+    )
+    c_corr = F.lit(1.0) - F.col("_T") / F.lit(nb * kk * (kk * kk - 1.0))
     return agg.select(
         F.lit(nb).cast("long").alias("n_blocks"),
         F.lit(k).cast("long").alias("k_treatments"),
-        (
-            F.lit(12.0 / (nb * kk * (kk + 1.0))) * F.col("_r2")
-            - F.lit(3.0 * nb * (kk + 1.0))
-        ).alias("chi2_f"),
+        (raw / F.nullif(c_corr, F.lit(0.0))).alias("chi2_f"),
         F.lit(k - 1).cast("long").alias("df"),
     )

@@ -1,19 +1,28 @@
-"""Differentially-private aggregate release (Laplace mechanism).
+"""Seeded-reproducible Laplace noise injection over group aggregates.
 
-The privacy completion of the audit operators in
-operators/cleaning.py (k-anonymity, l-diversity): those REPORT
-re-identification risk, these RELEASE aggregates with the classic
-ε-DP Laplace mechanism (Dwork et al. 2006) — noisy counts, clipped
-noisy sums, and their mean composition.
+These operators apply the Laplace MECHANISM SHAPE of Dwork et al.
+2006 — Laplace(sensitivity/ε) noise on counts, clipped sums, and
+their mean composition — but they are NOT an ε-DP release and must
+not be labeled one: the draw is a deterministic public function of
+(seed, group key) (md5 inverse-CDF), so anyone who knows the seed can
+recompute the noise and subtract it, recovering the exact aggregates.
+Under the standard DP threat model the mechanism is public; a seed
+that is committed to a repo, passed through a contract, or reproduced
+by an oracle is public too, and the guarantee is vacuous.
 
-Determinism doctrine: the Laplace draw is the inverse CDF applied to
-the engine's md5-uniform house hash of (seed, group key) — one draw
-per released cell, identical on every run, retry, and partition
-layout, and exactly reproducible in the DuckDB oracle
-(contracts/privacy_queries.py). A fresh release = a new seed, and
-privacy accounting stays honest as long as seeds are not reused
-against the same data (noted in every docstring; the classic
-pseudo-random-generator caveat of every deployed DP system).
+What they ARE for: deterministic jitter/perturbation of released
+aggregates (fuzzing dashboards, testing consumer robustness to noise,
+simulating a DP pipeline's utility loss at a given ε) where
+reproducibility across runs, retries, and engines is the point —
+the same doctrine as the repo's seeded md5-coin sampling.
+
+To obtain a real ε-DP release from this machinery you must (a) derive
+``seed`` from a high-entropy secret that is never committed, logged,
+or shared with the data consumer, (b) never reuse it against the same
+data, and (c) accept that the release is then NOT reproducible by any
+oracle or test. The ``epsilon`` parameter is the nominal scale dial
+(noise b = sensitivity/ε); it prices utility, not privacy, unless (a)
+to (c) hold.
 
 Scale shape: each release is ONE map-side-combined groupBy of the
 key projection; noise is a per-GROUP scalar expression on the
@@ -63,17 +72,17 @@ def laplace_noise(scale_b: float, *, seed: int, key_cols: Sequence[Column]) -> C
     )
 
 
-def dp_counts(
+def noised_counts(
     df: DataFrame,
     keys: Sequence[str],
     *,
     epsilon: float,
-    seed: int = 0,
+    seed: int,
 ) -> DataFrame:
-    """ε-DP group counts: ``(keys..., noisy_count)`` with
-    Laplace(1/ε) noise (count sensitivity 1 under add/remove-one-row
-    adjacency). Do NOT release twice with the same seed AND the same
-    data under a fresh ε budget — that re-uses the draw."""
+    """Noised group counts (reproducible): ``(keys..., noisy_count)``
+    with deterministic Laplace(1/ε)-shaped jitter (count sensitivity 1
+    under add/remove-one-row adjacency). See the module docstring: this
+    is NOT an ε-DP release unless the seed is a genuine secret."""
     _check(epsilon, keys)
     kc = [F.col(k) for k in keys]
     out = df.groupBy(*keys).agg(F.count("*").alias("_n"))
@@ -83,20 +92,21 @@ def dp_counts(
     )
 
 
-def dp_sums(
+def noised_sums(
     df: DataFrame,
     keys: Sequence[str],
     value: str,
     *,
     epsilon: float,
     clip: float,
-    seed: int = 0,
+    seed: int,
 ) -> DataFrame:
-    """ε-DP group sums of ``value`` clipped into [0, clip]:
-    ``(keys..., noisy_sum)`` with Laplace(clip/ε) noise — the clip
-    bound IS the sensitivity, so it must be enforced in-query (it
-    is: ``least(greatest(v, 0), clip)`` inside the aggregation scan),
-    never assumed. NULL values contribute 0 (absent)."""
+    """Noised group sums (reproducible) of ``value`` clipped into
+    [0, clip]: ``(keys..., noisy_sum)`` with Laplace(clip/ε)-shaped
+    jitter — the clip bound IS the sensitivity, so it is enforced
+    in-query (``least(greatest(v, 0), clip)`` inside the aggregation
+    scan), never assumed. NULL values contribute 0 (absent). NOT an
+    ε-DP release unless the seed is a genuine secret (module doc)."""
     _check(epsilon, keys)
     if clip <= 0:
         raise ValueError(f"clip must be > 0, got {clip}")
@@ -111,19 +121,21 @@ def dp_sums(
     return out.select(*keys, (F.col("_s") + noise).alias("noisy_sum"))
 
 
-def dp_means(
+def noised_means(
     df: DataFrame,
     keys: Sequence[str],
     value: str,
     *,
     epsilon: float,
     clip: float,
-    seed: int = 0,
+    seed: int,
 ) -> DataFrame:
-    """ε-DP group means by sequential composition: ε/2 on the clipped
-    sum, ε/2 on the count (distinct seed streams), mean =
-    noisy_sum / max(noisy_count, 1): ``(keys..., noisy_mean)``. One
-    aggregation scan computes both partials."""
+    """Noised group means (reproducible) by the sequential-composition
+    shape: ε/2-scaled jitter on the clipped sum, ε/2 on the count
+    (distinct draw streams), mean = noisy_sum / max(noisy_count, 1):
+    ``(keys..., noisy_mean)``. One aggregation scan computes both
+    partials. NOT an ε-DP release unless the seed is a genuine secret
+    (module doc)."""
     _check(epsilon, keys)
     if clip <= 0:
         raise ValueError(f"clip must be > 0, got {clip}")

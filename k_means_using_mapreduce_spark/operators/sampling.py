@@ -226,9 +226,21 @@ def hash_ring_negatives(
     time — the sorted-neighborhood precedent; switch to zipWithIndex
     over a range-partitioned sort at extreme scale) and one equi-join
     on ring position with modular wrap-around — never a cartesian.
+
+    Requires ``k < count(ids)``: with k ≥ the ring size the modular
+    wrap would revisit the id itself (a self-pair the filter would
+    silently drop, breaking the exactly-k guarantee) and repeat
+    neighbors; validated eagerly (one count job) rather than noted.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    n_ids = df.select(id_col).count()
+    if k >= n_ids:
+        raise ValueError(
+            f"k={k} must be < the number of ids on the ring ({n_ids}): "
+            "the modular wrap would produce self-pairs and duplicate "
+            "negatives"
+        )
     h = F.conv(
         F.substring(
             F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))),

@@ -471,3 +471,81 @@ def test_friedman_consistent_vs_random_ranking(spark):
     one = spark.createDataFrame([(1, "x", 1.0)], "b int, t string, v double")
     with _p.raises(ValueError):
         friedman_test(one, "b", "t", "v")
+
+
+def test_friedman_tie_correction_matches_reference(spark):
+    """Tied-data Friedman must apply the standard correction divisor
+    C = 1 − Σ(t³−t)/(nk(k²−1)) (scipy.stats.friedmanchisquare's
+    formula, computed here in pure python as the reference)."""
+    from k_means_using_mapreduce_spark.operators.hypothesis import (
+        friedman_test,
+    )
+
+    # blocks with deliberate within-block ties
+    data = {
+        1: {"x": 1.0, "y": 1.0, "z": 2.0},
+        2: {"x": 3.0, "y": 1.0, "z": 1.0},
+        3: {"x": 2.0, "y": 2.0, "z": 2.0},
+        4: {"x": 1.0, "y": 2.0, "z": 3.0},
+        5: {"x": 2.0, "y": 1.0, "z": 2.0},
+    }
+    k, n = 3, len(data)
+
+    # reference implementation (midranks + tie correction)
+    def midranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and vals[order[j + 1]] == vals[order[i]]:
+                j += 1
+            mr = (i + j) / 2.0 + 1.0
+            for t in range(i, j + 1):
+                ranks[order[t]] = mr
+            i = j + 1
+        return ranks
+
+    treatments = ["x", "y", "z"]
+    rj = {t: 0.0 for t in treatments}
+    tie_sum = 0.0
+    for b, cells in data.items():
+        vals = [cells[t] for t in treatments]
+        for t, r in zip(treatments, midranks(vals)):
+            rj[t] += r
+        from collections import Counter
+
+        for cnt in Counter(vals).values():
+            tie_sum += cnt**3 - cnt
+    chisq = 12.0 / (n * k * (k + 1)) * sum(v * v for v in rj.values()) - 3.0 * n * (k + 1)
+    c = 1.0 - tie_sum / (n * k * (k * k - 1))
+    expected = chisq / c
+
+    rows = [(b, t, v) for b, cells in data.items() for t, v in cells.items()]
+    df = spark.createDataFrame(rows, "b int, t string, v double")
+    r = friedman_test(df, "b", "t", "v").collect()[0]
+    assert r["chi2_f"] == pytest.approx(expected, rel=1e-12)
+
+    # all blocks fully tied: C = 0 -> NULL statistic, not a crash
+    flat = [(b, t, 1.0) for b in range(4) for t in "xyz"]
+    r0 = friedman_test(
+        spark.createDataFrame(flat, "b int, t string, v double"), "b", "t", "v"
+    ).collect()[0]
+    assert r0["chi2_f"] is None
+
+
+def test_cuped_degenerate_arm_yields_nulls_not_crash(spark):
+    """An empty or single-unit arm has no variance estimate: NULL
+    statistics (module convention), never ZeroDivisionError."""
+    from k_means_using_mapreduce_spark.operators.hypothesis import (
+        cuped_adjusted_test,
+    )
+
+    # control has a single unit; treatment has several
+    rows = [(1, True, 5.0, 4.0), (2, True, 6.0, 5.0), (3, True, 7.0, 6.5),
+            (4, False, 3.0, 2.0)]
+    df = spark.createDataFrame(rows, "u long, arm boolean, y double, x double")
+    r = cuped_adjusted_test(df, "y", "x", F.col("arm")).collect()[0]
+    assert r["n_t"] == 3 and r["n_c"] == 1
+    assert r["z_raw"] is None and r["z_cuped"] is None
+    assert r["effect_raw"] is None and r["var_reduction"] is None

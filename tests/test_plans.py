@@ -523,9 +523,9 @@ def test_als_half_step_item_factors_broadcast(spark, sf):
     assert sort_merge_join_count(df) == 0
 
 
-def test_dp_counts_single_exchange_pruned_scan(spark, sf):
+def test_noised_counts_single_exchange_pruned_scan(spark, sf):
     # one grouped aggregate; noise is per-group scalar math after it
-    df = _q("dp_event_type_counts", spark, sf)
+    df = _q("noised_event_type_counts", spark, sf)
     assert exchange_count(df) == 1
     (cols,) = read_schemas(df)
     assert cols == ["event_type"]

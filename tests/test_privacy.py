@@ -9,9 +9,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from k_means_using_mapreduce_spark.operators.privacy import (
-    dp_counts,
-    dp_means,
-    dp_sums,
+    noised_counts,
+    noised_means,
+    noised_sums,
     laplace_noise,
 )
 
@@ -43,18 +43,18 @@ def test_noise_is_laplace_shaped(spark):
 
 
 def test_counts_deterministic_and_near_truth(groups):
-    a = {r["grp"]: r["noisy_count"] for r in dp_counts(groups, ["grp"], epsilon=1.0, seed=3).collect()}
-    b = {r["grp"]: r["noisy_count"] for r in dp_counts(groups, ["grp"], epsilon=1.0, seed=3).collect()}
+    a = {r["grp"]: r["noisy_count"] for r in noised_counts(groups, ["grp"], epsilon=1.0, seed=3).collect()}
+    b = {r["grp"]: r["noisy_count"] for r in noised_counts(groups, ["grp"], epsilon=1.0, seed=3).collect()}
     assert a == b and len(a) == 50
     # true count is 20 per group; eps=1 noise rarely exceeds ~8
     assert all(abs(v - 20.0) < 15 for v in a.values())
-    c = dp_counts(groups, ["grp"], epsilon=1.0, seed=4).collect()
+    c = noised_counts(groups, ["grp"], epsilon=1.0, seed=4).collect()
     assert {r["grp"]: r["noisy_count"] for r in c} != a  # seed matters
 
 
 def test_epsilon_scales_noise(groups):
-    tight = dp_counts(groups, ["grp"], epsilon=100.0, seed=3).collect()
-    loose = dp_counts(groups, ["grp"], epsilon=0.5, seed=3).collect()
+    tight = noised_counts(groups, ["grp"], epsilon=100.0, seed=3).collect()
+    loose = noised_counts(groups, ["grp"], epsilon=0.5, seed=3).collect()
     err_t = sum(abs(r["noisy_count"] - 20.0) for r in tight)
     err_l = sum(abs(r["noisy_count"] - 20.0) for r in loose)
     # identical uniforms, so the ratio is exactly eps_l/eps_t per cell
@@ -64,25 +64,29 @@ def test_epsilon_scales_noise(groups):
 def test_sums_clip_enforced(spark):
     rows = [(1, "a", 1000.0), (2, "a", -50.0), (3, "a", 2.0)]
     df = spark.createDataFrame(rows, "id long, grp string, v double")
-    out = dp_sums(df, ["grp"], "v", epsilon=1000.0, clip=10.0, seed=1).collect()
+    out = noised_sums(df, ["grp"], "v", epsilon=1000.0, clip=10.0, seed=1).collect()
     # clipped sum = 10 + 0 + 2 = 12; eps huge -> noise negligible vs clip/eps=0.01
     assert out[0]["noisy_sum"] == pytest.approx(12.0, abs=0.5)
 
 
 def test_means_compose(groups):
-    out = {r["grp"]: r["noisy_mean"] for r in dp_means(groups, ["grp"], "v", epsilon=200.0, clip=7.0, seed=3).collect()}
+    out = {r["grp"]: r["noisy_mean"] for r in noised_means(groups, ["grp"], "v", epsilon=200.0, clip=7.0, seed=3).collect()}
     # true mean per group is mean of (i%7) over its members ~ 3.0
     assert all(abs(v) < 8.0 for v in out.values())
-    again = {r["grp"]: r["noisy_mean"] for r in dp_means(groups, ["grp"], "v", epsilon=200.0, clip=7.0, seed=3).collect()}
+    again = {r["grp"]: r["noisy_mean"] for r in noised_means(groups, ["grp"], "v", epsilon=200.0, clip=7.0, seed=3).collect()}
     assert out == again
 
 
 def test_validation(groups):
     with pytest.raises(ValueError):
-        dp_counts(groups, ["grp"], epsilon=0.0)
+        noised_counts(groups, ["grp"], epsilon=0.0, seed=1)
     with pytest.raises(ValueError):
-        dp_counts(groups, [], epsilon=1.0)
+        noised_counts(groups, [], epsilon=1.0, seed=1)
     with pytest.raises(ValueError):
-        dp_sums(groups, ["grp"], "v", epsilon=1.0, clip=0.0)
+        noised_sums(groups, ["grp"], "v", epsilon=1.0, clip=0.0, seed=1)
     with pytest.raises(ValueError):
-        dp_means(groups, ["grp"], "v", epsilon=1.0, clip=-1.0)
+        noised_means(groups, ["grp"], "v", epsilon=1.0, clip=-1.0, seed=1)
+    # the seed is REQUIRED: a defaulted seed invites accidental reuse of
+    # a public draw (the vacuous-DP failure the rename documents)
+    with pytest.raises(TypeError):
+        noised_counts(groups, ["grp"], epsilon=1.0)

@@ -235,3 +235,24 @@ def test_hash_ring_negatives_shape_and_determinism(spark):
 
     with pytest.raises(ValueError):
         hash_ring_negatives(df, "key", k=0)
+
+
+def test_hash_ring_negatives_rejects_k_ge_ring_size(spark):
+    from k_means_using_mapreduce_spark.operators.sampling import (
+        hash_ring_negatives,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(1, 4)], "id long")
+    # valid: every id gets exactly k negatives, no self-pairs
+    out = hash_ring_negatives(ids, "id", k=2).collect()
+    assert len(out) == 6
+    assert all(r["id"] != r["neg_id"] for r in out)
+    per = {}
+    for r in out:
+        per.setdefault(r["id"], set()).add(r["neg_id"])
+    assert all(len(v) == 2 for v in per.values())
+    # invalid: k >= ring size would wrap onto self-pairs
+    import pytest
+
+    with pytest.raises(ValueError, match="self-pairs"):
+        hash_ring_negatives(ids, "id", k=3)
