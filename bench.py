@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "supplier_part_join",
     "kmeans_assign_events",
     "kmeans_update_events",
+    "kmeans_fit_customer",
+    "kmeans_fit_events",
     "kmeans_assign_embeddings",
     "kmeans_update_embeddings",
     "dedup_exact_documents",

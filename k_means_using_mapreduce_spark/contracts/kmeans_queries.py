@@ -273,10 +273,212 @@ MSE_EMBEDDINGS_SQL = (
 
 
 # --------------------------------------------------------------------------
+# Full Lloyd loop, hash-gated (O4 literals + O17 + O18 + O19)
+# --------------------------------------------------------------------------
+
+#: fixed unroll depth / tolerance for the end-to-end fit contract
+FIT_MAX_ITER = 8
+FIT_TOL = 1e-4
+
+
+def kmeans_fit_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENTIRE kmeans_fit driver loop under the hash gate: fixed
+    initial centroids (O4 folded as literals), ``max_iter=8``,
+    ``tol=1e-4`` by-id convergence (O18), K-row gather (O17), keep-old
+    empty-cluster policy (O14) — one row per centroid plus the loop's
+    iteration count and convergence verdict. The oracle unrolls the
+    same 8 Lloyd iterations as chained MATERIALIZED CTEs over
+    distinct-value blocks and applies the same stopping rule
+    (reference semantics: master.py:138-150, dump.txt:75-76)."""
+    from ..operators.kmeans import kmeans_fit
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.array(F.col("c_acctbal").cast("double")).alias("features")
+    )
+    res = kmeans_fit(
+        cust,
+        len(CUSTOMER_CENTROIDS),
+        initial_centroids=CUSTOMER_CENTROIDS,
+        max_iter=FIT_MAX_ITER,
+        tol=FIT_TOL,
+    )
+    rows = [
+        (
+            int(cid),
+            float(vec[0]),
+            int(res.cluster_sizes.get(cid, 0)),
+            int(res.iterations),
+            bool(res.converged),
+        )
+        for cid, vec in res.centroids
+    ]
+    return spark.createDataFrame(
+        rows, "cid int, x double, n bigint, iterations bigint, converged boolean"
+    )
+
+
+def _kmeans_fit_customer_sql(max_iter: int = FIT_MAX_ITER, tol: float = FIT_TOL) -> str:
+    """Chained-CTE unroll of the 1-D Lloyd loop (the house PageRank/
+    IRLS/EM trick): it{j} = one assign+update over distinct-value
+    blocks, m{j} = max per-coordinate movement, stopping rule = first
+    j with m{j} <= tol else max_iter. Weighted block means differ from
+    Spark's row means only in summation order (driver-canon noise)."""
+    vals = ", ".join(f"({cid}, {vec[0]!r})" for cid, vec in CUSTOMER_CENTROIDS)
+    parts = [
+        "pts AS MATERIALIZED (SELECT CAST(c_acctbal AS DOUBLE) AS v, "
+        "count(*) AS w FROM customer WHERE c_acctbal IS NOT NULL GROUP BY 1)",
+        f"it0 AS MATERIALIZED (SELECT * FROM (VALUES {vals}) AS t(cid, x))",
+    ]
+    for j in range(1, max_iter + 1):
+        prev = f"it{j-1}"
+        parts.append(
+            f"""a{j} AS MATERIALIZED (
+  SELECT v, w, cid FROM (
+    SELECT p.v, p.w, c.cid,
+           row_number() OVER (PARTITION BY p.v
+                              ORDER BY (p.v - c.x)*(p.v - c.x), c.cid) AS rn
+    FROM pts p CROSS JOIN {prev} c) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""it{j} AS MATERIALIZED (
+  SELECT c.cid, coalesce(g.m, c.x) AS x, coalesce(g.n, 0) AS n
+  FROM {prev} c LEFT JOIN (
+    SELECT cid, sum(v * w) / sum(w) AS m, CAST(sum(w) AS BIGINT) AS n
+    FROM a{j} GROUP BY 1) g USING (cid))"""
+        )
+        parts.append(
+            f"m{j} AS MATERIALIZED (SELECT max(abs(u.x - c.x)) AS mv "
+            f"FROM it{j} u JOIN {prev} c USING (cid))"
+        )
+    moves = " UNION ALL ".join(
+        f"SELECT {j} AS j, mv FROM m{j}" for j in range(1, max_iter + 1)
+    )
+    finals = " UNION ALL ".join(
+        f"SELECT cid, x, n FROM it{j} WHERE (SELECT j FROM jfin) = {j}"
+        for j in range(1, max_iter + 1)
+    )
+    parts.append(f"moves AS MATERIALIZED ({moves})")
+    parts.append(
+        f"conv AS MATERIALIZED (SELECT min(j) AS jstar FROM moves WHERE mv <= {tol!r})"
+    )
+    parts.append(
+        f"jfin AS MATERIALIZED (SELECT coalesce(jstar, {max_iter}) AS j, "
+        "jstar IS NOT NULL AS converged FROM conv)"
+    )
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT CAST(f.cid AS INTEGER) AS cid, f.x, CAST(f.n AS BIGINT) AS n,
+       CAST((SELECT j FROM jfin) AS BIGINT) AS iterations,
+       (SELECT converged FROM jfin) AS converged
+FROM ({finals}) f"""
+    )
+
+
+KMEANS_FIT_CUSTOMER_SQL = _kmeans_fit_customer_sql()
+
+
+def kmeans_fit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D variant of the hash-gated full fit (the reference's own
+    shape: 2-D points, master.py:27-34): events (value, user_id),
+    K=3, same unroll depth/tolerance."""
+    from ..operators.kmeans import kmeans_fit
+
+    res = kmeans_fit(
+        _events_features(spark, sf_dir),
+        len(EVENT_CENTROIDS),
+        initial_centroids=EVENT_CENTROIDS,
+        max_iter=FIT_MAX_ITER,
+        tol=FIT_TOL,
+    )
+    rows = [
+        (
+            int(cid),
+            float(vec[0]),
+            float(vec[1]),
+            int(res.cluster_sizes.get(cid, 0)),
+            int(res.iterations),
+            bool(res.converged),
+        )
+        for cid, vec in res.centroids
+    ]
+    return spark.createDataFrame(
+        rows,
+        "cid int, x double, y double, n bigint, iterations bigint, "
+        "converged boolean",
+    )
+
+
+def _kmeans_fit_events_sql(max_iter: int = FIT_MAX_ITER, tol: float = FIT_TOL) -> str:
+    """2-D chained-CTE Lloyd unroll over (value, user_id) distinct
+    blocks; distance fold order (0 + dx²) + dy² matches the Spark
+    aggregate expression bit-for-bit."""
+    vals = ", ".join(
+        f"({cid}, {vec[0]!r}, {vec[1]!r})" for cid, vec in EVENT_CENTROIDS
+    )
+    d = "((0.0 + (p.vx - c.x)*(p.vx - c.x)) + (p.vy - c.y)*(p.vy - c.y))"
+    parts = [
+        "pts AS MATERIALIZED (SELECT CAST(value AS DOUBLE) AS vx, "
+        "CAST(user_id AS DOUBLE) AS vy, count(*) AS w FROM events "
+        "WHERE value IS NOT NULL AND user_id IS NOT NULL GROUP BY 1, 2)",
+        f"it0 AS MATERIALIZED (SELECT * FROM (VALUES {vals}) AS t(cid, x, y))",
+    ]
+    for j in range(1, max_iter + 1):
+        prev = f"it{j-1}"
+        parts.append(
+            f"""a{j} AS MATERIALIZED (
+  SELECT vx, vy, w, cid FROM (
+    SELECT p.vx, p.vy, p.w, c.cid,
+           row_number() OVER (PARTITION BY p.vx, p.vy
+                              ORDER BY {d}, c.cid) AS rn
+    FROM pts p CROSS JOIN {prev} c) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""it{j} AS MATERIALIZED (
+  SELECT c.cid, coalesce(g.mx, c.x) AS x, coalesce(g.my, c.y) AS y,
+         coalesce(g.n, 0) AS n
+  FROM {prev} c LEFT JOIN (
+    SELECT cid, sum(vx * w) / sum(w) AS mx, sum(vy * w) / sum(w) AS my,
+           CAST(sum(w) AS BIGINT) AS n
+    FROM a{j} GROUP BY 1) g USING (cid))"""
+        )
+        parts.append(
+            f"m{j} AS MATERIALIZED (SELECT max(greatest(abs(u.x - c.x), "
+            f"abs(u.y - c.y))) AS mv FROM it{j} u JOIN {prev} c USING (cid))"
+        )
+    moves = " UNION ALL ".join(
+        f"SELECT {j} AS j, mv FROM m{j}" for j in range(1, max_iter + 1)
+    )
+    finals = " UNION ALL ".join(
+        f"SELECT cid, x, y, n FROM it{j} WHERE (SELECT j FROM jfin) = {j}"
+        for j in range(1, max_iter + 1)
+    )
+    parts.append(f"moves AS MATERIALIZED ({moves})")
+    parts.append(
+        f"conv AS MATERIALIZED (SELECT min(j) AS jstar FROM moves WHERE mv <= {tol!r})"
+    )
+    parts.append(
+        f"jfin AS MATERIALIZED (SELECT coalesce(jstar, {max_iter}) AS j, "
+        "jstar IS NOT NULL AS converged FROM conv)"
+    )
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT CAST(f.cid AS INTEGER) AS cid, f.x, f.y, CAST(f.n AS BIGINT) AS n,
+       CAST((SELECT j FROM jfin) AS BIGINT) AS iterations,
+       (SELECT converged FROM jfin) AS converged
+FROM ({finals}) f"""
+    )
+
+
+KMEANS_FIT_EVENTS_SQL = _kmeans_fit_events_sql()
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "kmeans_fit_customer": kmeans_fit_customer,
+    "kmeans_fit_events": kmeans_fit_events,
     "kmeans_assign_events": kmeans_assign_events,
     "kmeans_update_events": kmeans_update_events,
     "kmeans_mse_events": kmeans_mse_events,
@@ -288,6 +490,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "kmeans_fit_customer": KMEANS_FIT_CUSTOMER_SQL,
+    "kmeans_fit_events": KMEANS_FIT_EVENTS_SQL,
     "kmeans_assign_events": ASSIGN_EVENTS_SQL,
     "kmeans_update_events": UPDATE_EVENTS_SQL,
     "kmeans_mse_events": MSE_EVENTS_SQL,
