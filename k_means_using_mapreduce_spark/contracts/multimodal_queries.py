@@ -126,3 +126,64 @@ FROM ent GROUP BY source
 
 QUERIES["media_entropy_stats"] = media_entropy_stats
 ORACLE_SQL["media_entropy_stats"] = MEDIA_ENTROPY_SQL
+
+
+def _nearest_indices(in_sz: int, out_sz: int) -> list[int]:
+    """Half-pixel-center nearest sources — the exact convention of
+    operators/multimodal.py::resize_raw, reproduced driver-side so
+    the oracle's byte positions come from the same formula, never
+    hand transcription."""
+    return [
+        min(int((d + 0.5) * in_sz / out_sz), in_sz - 1) for d in range(out_sz)
+    ]
+
+
+#: resize contract geometry: md5 hex (32 ascii bytes) as a 4x8 gray
+#: raw image, nearest-resized to 2x4.
+_RZ_IN_W, _RZ_IN_H, _RZ_OUT_W, _RZ_OUT_H = 8, 4, 4, 2
+
+
+def media_resize_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL raw-buffer image resize under the value-hash gate: each
+    document's md5 hex (32 ascii bytes) is declared a 4x8 gray image,
+    nearest-resized to 2x4 by the numpy kernel, and the resized BYTES
+    are re-hashed — the oracle rebuilds the identical byte string by
+    substr-selecting the hex chars at the convention's source offsets,
+    so any drift in the resize convention or buffer layout flips the
+    hash."""
+    from ..operators.multimodal import MEDIA_SCHEMA, resize_raw
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("media_type"),
+        F.encode(F.md5(F.encode("text", "utf-8")), "utf-8").alias("payload"),
+        F.lit(_RZ_IN_W).alias("width"),
+        F.lit(_RZ_IN_H).alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+    resized = resize_raw(media, _RZ_OUT_W, _RZ_OUT_H, mode="nearest")
+    return resized.select(
+        F.col("asset_id").alias("doc_id"),
+        F.md5("payload").alias("resized_md5"),
+        F.col("width").cast("int").alias("w"),
+        F.col("height").cast("int").alias("h"),
+    )
+
+
+def _media_resize_sql() -> str:
+    rows = _nearest_indices(_RZ_IN_H, _RZ_OUT_H)
+    cols = _nearest_indices(_RZ_IN_W, _RZ_OUT_W)
+    parts = [
+        f"substr(h, {r * _RZ_IN_W + c + 1}, 1)" for r in rows for c in cols
+    ]
+    return f"""
+WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents)
+SELECT doc_id, md5({' || '.join(parts)}) AS resized_md5,
+       CAST({_RZ_OUT_W} AS INTEGER) AS w, CAST({_RZ_OUT_H} AS INTEGER) AS h
+FROM hx
+"""
+
+
+QUERIES["media_resize_nearest"] = media_resize_nearest
+ORACLE_SQL["media_resize_nearest"] = _media_resize_sql()

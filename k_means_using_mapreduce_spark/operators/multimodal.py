@@ -2,9 +2,22 @@
 
 North-star extension (BASELINE.json): treat media as opaque ``binary``
 columns with typed metadata, processed by Arrow-batched pandas UDFs over
-``mapInPandas``. The container has no image/audio codecs, so the decode
-kernels are STUBBED (deterministic fake features, clearly marked) — but
-everything Spark-side is real and tested: schemas, batch iteration,
+``mapInPandas``.
+
+What is REAL vs what needs a codec:
+
+- :func:`resize_raw` (nearest/bilinear, pure numpy) and
+  :func:`frame_sample_raw` (byte slicing) operate on RAW uncompressed
+  pixel/frame buffers — fully working kernels, byte-level oracle
+  contract (contracts/multimodal_queries.py::media_resize_nearest).
+- :func:`byte_stats` (size/entropy/zlib/format-sniff) is real and
+  codec-free.
+- ENCODED containers (png/jpeg/mp4 …) need PIL/ffmpeg, absent from
+  this container: :func:`extract_features`' decode step is a clearly
+  marked deterministic fake, and raw-buffer kernels surface encoded
+  or malformed payloads as NULL-payload rows instead of guessing.
+
+Everything Spark-side is real and tested: schemas, batch iteration,
 partition sizing, UDF signatures, and the downstream handoff into the
 embedding/K-Means/similarity operators.
 
@@ -115,34 +128,204 @@ def extract_features(
     return media.mapInPandas(decode_batches, schema=FEATURES_SCHEMA)
 
 
-def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize operator — STUB. Real kernel requires an image
-    codec; raises at *execution* time so the plan (schema, metadata
-    update) is still buildable and testable."""
+def resize_raw(
+    media: DataFrame,
+    width: int,
+    height: int,
+    *,
+    mode: str = "bilinear",
+    channels: int = 1,
+) -> DataFrame:
+    """REAL image resize over RAW pixel buffers — pure numpy, no codec.
+
+    Input contract: ``payload`` is an uncompressed ``height × width ×
+    channels`` uint8 buffer (row-major) with the dimensions in the
+    ``width``/``height`` metadata columns — the layout a decode stage
+    emits. Encoded containers (png/jpeg/…) need a codec this container
+    does not ship; such payloads (or any payload whose byte length
+    disagrees with ``width·height·channels``) produce a NULL payload
+    row with the ORIGINAL metadata, so malformed inputs are surfaced,
+    never silently resized.
+
+    Kernels (both half-pixel-center conventions, documented so the
+    oracle can reproduce them):
+
+    - ``mode="nearest"``: ``src = min(floor((dst + 0.5) · in/out),
+      in − 1)`` per axis — output bytes are a pure SELECTION of input
+      bytes, so results are byte-exact and SQL-checkable.
+    - ``mode="bilinear"``: ``src = (dst + 0.5) · in/out − 0.5`` with
+      edge clamping, float64 interpolation, then round-half-to-even
+      (``np.rint``) back to uint8.
+
+    Arrow-batched ``mapInPandas``; output metadata carries the new
+    dimensions.
+    """
+    if width < 1 or height < 1:
+        raise ValueError(f"target size must be >= 1x1, got {width}x{height}")
+    if channels < 1:
+        raise ValueError(f"channels must be >= 1, got {channels}")
+    if mode not in ("nearest", "bilinear"):
+        raise ValueError(f"mode must be 'nearest' or 'bilinear', got {mode!r}")
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "image resize requires an image codec (PIL/opencv), not "
-            "available in this container; Spark-side plumbing is real"
-        )
-        yield  # pragma: no cover
+        import numpy as np
+        import pandas as pd
 
-    out_schema = MEDIA_SCHEMA
-    return media.mapInPandas(resize_batches, schema=out_schema)
+        def one(payload, w_in, h_in):
+            if (
+                payload is None
+                or w_in is None
+                or h_in is None
+                or w_in < 1
+                or h_in < 1
+                or len(payload) != w_in * h_in * channels
+            ):
+                return None
+            img = np.frombuffer(bytes(payload), dtype=np.uint8).reshape(
+                int(h_in), int(w_in), channels
+            )
+            if mode == "nearest":
+                rows = np.minimum(
+                    ((np.arange(height) + 0.5) * h_in / height).astype(np.int64),
+                    h_in - 1,
+                )
+                cols = np.minimum(
+                    ((np.arange(width) + 0.5) * w_in / width).astype(np.int64),
+                    w_in - 1,
+                )
+                out = img[rows][:, cols]
+            else:
+                ry = (np.arange(height) + 0.5) * h_in / height - 0.5
+                rx = (np.arange(width) + 0.5) * w_in / width - 0.5
+                y0 = np.clip(np.floor(ry).astype(np.int64), 0, h_in - 1)
+                x0 = np.clip(np.floor(rx).astype(np.int64), 0, w_in - 1)
+                y1 = np.minimum(y0 + 1, h_in - 1)
+                x1 = np.minimum(x0 + 1, w_in - 1)
+                wy = np.clip(ry - y0, 0.0, 1.0)[:, None, None]
+                wx = np.clip(rx - x0, 0.0, 1.0)[None, :, None]
+                f = img.astype(np.float64)
+                top = f[y0][:, x0] * (1 - wx) + f[y0][:, x1] * wx
+                bot = f[y1][:, x0] * (1 - wx) + f[y1][:, x1] * wx
+                out = np.clip(np.rint(top * (1 - wy) + bot * wy), 0, 255).astype(
+                    np.uint8
+                )
+            return out.tobytes()
+
+        for pdf in batches:
+            res = [
+                one(p, w, h)
+                for p, w, h in zip(pdf["payload"], pdf["width"], pdf["height"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": res,
+                    "width": np.where(
+                        [r is not None for r in res], width, pdf["width"]
+                    ).astype("int32"),
+                    "height": np.where(
+                        [r is not None for r in res], height, pdf["height"]
+                    ).astype("int32"),
+                    "duration_ms": pdf["duration_ms"],
+                }
+            )
+
+    return media.mapInPandas(resize_batches, schema=MEDIA_SCHEMA)
 
 
-def frame_sample_stub(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame sampling — STUB (needs ffmpeg). Output contract: one
-    row per sampled frame, payload = encoded frame."""
+def frame_sample_raw(
+    media: DataFrame,
+    every_ms: int = 1000,
+    *,
+    channels: int = 1,
+) -> DataFrame:
+    """REAL video frame sampling over RAW concatenated frame buffers —
+    pure byte slicing, no ffmpeg.
+
+    Input contract: ``payload`` is ``n_frames`` back-to-back raw
+    ``height × width × channels`` uint8 frames spanning
+    ``duration_ms`` (the layout a demux/decode stage emits; containered
+    codecs like mp4 stay out of scope without ffmpeg). One output row
+    per sampled frame, ``frame_idx``/``ts_ms`` identifying it; frames
+    are taken every ``ceil(every_ms / frame_period)`` frames starting
+    at frame 0, so frame 0 is always kept and spacing never exceeds
+    ``every_ms`` by more than one period. Rows whose byte length is
+    not a whole number of frames are emitted once with NULL payload
+    and ``frame_idx = -1`` (malformed input surfaced, not dropped).
+    """
+    if every_ms < 1:
+        raise ValueError(f"every_ms must be >= 1, got {every_ms}")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("media_type", T.StringType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("ts_ms", T.IntegerType(), True),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+        ]
+    )
 
     def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "frame sampling requires ffmpeg, not available in this "
-            "container; Spark-side plumbing is real"
-        )
-        yield  # pragma: no cover
+        import math
 
-    return media.mapInPandas(sample_batches, schema=MEDIA_SCHEMA)
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload, w, h, dur = (
+                    r["payload"],
+                    r["width"],
+                    r["height"],
+                    r["duration_ms"],
+                )
+                frame_sz = (
+                    int(w) * int(h) * channels
+                    if w is not None and h is not None
+                    else 0
+                )
+                n = len(payload) if payload is not None else 0
+                if frame_sz <= 0 or n == 0 or n % frame_sz != 0:
+                    rows.append(
+                        (r["asset_id"], r["media_type"], -1, None, None, w, h)
+                    )
+                    continue
+                b = bytes(payload)
+                n_frames = n // frame_sz
+                period = (dur or 0) / n_frames if n_frames else 0.0
+                step = (
+                    max(1, math.ceil(every_ms / period)) if period > 0 else 1
+                )
+                for i in range(0, n_frames, step):
+                    rows.append(
+                        (
+                            r["asset_id"],
+                            r["media_type"],
+                            i,
+                            int(i * period) if period > 0 else None,
+                            b[i * frame_sz : (i + 1) * frame_sz],
+                            w,
+                            h,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id",
+                    "media_type",
+                    "frame_idx",
+                    "ts_ms",
+                    "payload",
+                    "width",
+                    "height",
+                ],
+            )
+
+    return media.mapInPandas(sample_batches, schema=out_schema)
 
 
 def synth_media(spark, n: int = 100, seed: int = 42) -> DataFrame:

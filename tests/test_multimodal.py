@@ -53,11 +53,76 @@ def test_null_payload_handled(spark):
     assert row["n_bytes"] == 0 and row["feature"] == [0.0] * M.FEATURE_DIM
 
 
-def test_stubs_fail_at_execution_not_plan_time(media):
-    plan = M.resize_stub(media, 32, 32)  # plan builds fine
-    assert plan.schema == M.MEDIA_SCHEMA
-    with pytest.raises(Exception, match="NotImplementedError|image codec|resize"):
-        plan.collect()
+def test_resize_raw_nearest_is_byte_selection(spark):
+    """Nearest resize on a raw gray buffer selects exactly the bytes
+    the half-pixel-center convention predicts."""
+    import numpy as np
+
+    img = bytes(range(16))  # 4x4 gray, pixel value == index
+    df = spark.createDataFrame(
+        [(1, "image", img, 4, 4, None)], M.MEDIA_SCHEMA
+    )
+    row = M.resize_raw(df, 2, 2, mode="nearest").first()
+    # src = min(floor((d+0.5)*4/2), 3) = {1, 3} per axis
+    assert list(row["payload"]) == [4 * 1 + 1, 4 * 1 + 3, 4 * 3 + 1, 4 * 3 + 3]
+    assert row["width"] == 2 and row["height"] == 2
+
+    # upscale keeps values (pure replication)
+    up = M.resize_raw(df, 8, 8, mode="nearest").first()
+    arr = np.frombuffer(bytes(up["payload"]), dtype=np.uint8)
+    assert set(arr.tolist()) <= set(range(16)) and len(arr) == 64
+
+
+def test_resize_raw_bilinear_closed_form(spark):
+    """Bilinear 2x2 -> 1x1 is the plain mean of the four pixels;
+    2x2 -> 4x4 edge pixels replicate the corners (edge clamp)."""
+    img = bytes([0, 100, 200, 40])  # 2x2
+    df = spark.createDataFrame(
+        [(1, "image", img, 2, 2, None)], M.MEDIA_SCHEMA
+    )
+    one = M.resize_raw(df, 1, 1, mode="bilinear").first()
+    assert list(one["payload"]) == [85]  # rint((0+100+200+40)/4)
+    four = M.resize_raw(df, 4, 4, mode="bilinear").first()
+    vals = list(four["payload"])
+    assert vals[0] == 0 and vals[3] == 100 and vals[12] == 200 and vals[15] == 40
+
+
+def test_resize_raw_malformed_payload_surfaced_not_resized(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "image", bytes(range(16)), 4, 4, None),
+            (2, "image", b"short", 4, 4, None),  # wrong byte count
+            (3, "image", None, 4, 4, None),
+        ],
+        M.MEDIA_SCHEMA,
+    )
+    rows = {r["asset_id"]: r for r in M.resize_raw(df, 2, 2, mode="nearest").collect()}
+    assert rows[1]["payload"] is not None and rows[1]["width"] == 2
+    assert rows[2]["payload"] is None and rows[2]["width"] == 4  # original meta
+    assert rows[3]["payload"] is None
+
+
+def test_frame_sample_raw_slices_frames(spark):
+    # 6 frames of 2x2 gray = 24 bytes over 3000 ms; every 1000 ms ->
+    # period 500 ms, step 2 -> frames 0, 2, 4
+    payload = bytes(range(24))
+    df = spark.createDataFrame(
+        [(7, "video", payload, 2, 2, 3000)], M.MEDIA_SCHEMA
+    )
+    rows = sorted(
+        M.frame_sample_raw(df, every_ms=1000).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [r["frame_idx"] for r in rows] == [0, 2, 4]
+    assert [r["ts_ms"] for r in rows] == [0, 1000, 2000]
+    assert list(rows[1]["payload"]) == list(range(8, 12))
+
+    # malformed (25 bytes not divisible by frame size) -> one NULL row
+    bad = spark.createDataFrame(
+        [(8, "video", payload + b"x", 2, 2, 3000)], M.MEDIA_SCHEMA
+    )
+    r = M.frame_sample_raw(bad, every_ms=1000).collect()
+    assert len(r) == 1 and r[0]["frame_idx"] == -1 and r[0]["payload"] is None
 
 
 def test_byte_stats_closed_form(spark):
