@@ -244,31 +244,58 @@ def functional_dependencies(
     repair distance. Rows where either side is NULL are excluded from
     that pair's check (NULL determines nothing).
 
-    Same single-shuffle stacking as ``key_candidates``: all pairs go
-    into one long ``(det, dep, dv, pv)`` relation and one grouped
-    aggregate — |cols|² passes collapse into one plan. Profiling
-    scope: the stack multiplies the scan by |pairs|, so prune the
-    column list (or sample) on very wide tables.
+    ONE scan, one explode, UNORDERED pairs: the (a,b) and (b,a)
+    candidates share the same distinct (value-a, value-b) set (the
+    pair space is a bijection under swap) and the same joint-non-null
+    row filter, so each unordered pair is counted once —
+    ``(n_pair, distinct a, distinct b)`` over the deduped pair
+    relation — and both directions are emitted from it. Halves the
+    heavy distinct work vs per-ordered-candidate aggregation and
+    replaces |cols|² unioned scan branches with a single Generate
+    (round-4 bench: 3.5 s → 1.9 s at sf0.1). Profiling scope: the
+    explode multiplies rows by |pairs|, so prune the column list (or
+    sample) on very wide tables.
     """
     if len(cols) < 2:
         raise ValueError("functional_dependencies needs >= 2 columns")
-    stacked = None
-    for a in cols:
-        for b in cols:
-            if a == b:
-                continue
-            part = df.select(
-                F.lit(a).alias("det"),
-                F.lit(b).alias("dep"),
-                F.col(a).cast("string").alias("dv"),
-                F.col(b).cast("string").alias("pv"),
-            ).where(F.col(a).isNotNull() & F.col(b).isNotNull())
-            stacked = part if stacked is None else stacked.unionAll(part)
-    agg = stacked.groupBy("det", "dep").agg(
-        F.countDistinct("dv").alias("n_det"),
-        F.countDistinct("dv", "pv").alias("n_pair"),
+    upairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("ca"),
+                F.lit(b).alias("cb"),
+                F.col(a).cast("string").alias("va"),
+                F.col(b).cast("string").alias("vb"),
+            )
+            for a, b in upairs
+        ]
     )
-    return agg.select(
+    deduped = (
+        df.select(F.explode(arr).alias("p"))
+        .select("p.*")
+        .where(F.col("va").isNotNull() & F.col("vb").isNotNull())
+        .groupBy("ca", "cb", "va", "vb")
+        .agg(F.lit(1).alias("_one"))
+        .drop("_one")
+    )
+    agg = deduped.groupBy("ca", "cb").agg(
+        F.count(F.lit(1)).alias("n_pair"),
+        F.countDistinct("va").alias("n_a"),
+        F.countDistinct("vb").alias("n_b"),
+    )
+    fwd = agg.select(
+        F.col("ca").alias("det"),
+        F.col("cb").alias("dep"),
+        F.col("n_a").alias("n_det"),
+        "n_pair",
+    )
+    rev = agg.select(
+        F.col("cb").alias("det"),
+        F.col("ca").alias("dep"),
+        F.col("n_b").alias("n_det"),
+        "n_pair",
+    )
+    return fwd.unionByName(rev).select(
         "det",
         "dep",
         "n_det",
