@@ -62,6 +62,7 @@ from . import (
     span_queries,
     sql_queries,
     stats_queries,
+    streaming_queries,
     survival_queries,
     temporal_queries,
     text_queries,
@@ -123,6 +124,7 @@ _MODULES = [
     setop_queries,
     stats_queries,
     robust_queries,
+    streaming_queries,
     temporal_queries,
     timeseries_queries,
     rollup_queries,
