@@ -764,6 +764,11 @@ def label_propagation(
     return labels
 
 
+#: frontier/visited row cap for BFS map-side broadcast joins; above
+#: this the per-round joins fall back to shuffled equi-joins
+_BFS_BROADCAST_MAX = 500_000
+
+
 def bfs_hops(
     edges: DataFrame,
     sources: DataFrame,
@@ -781,15 +786,29 @@ def bfs_hops(
     graphs (default) symmetrize the edge list once up front. Each
     round expands the current frontier through one edge join, anti-
     joins everything already visited (so a node is settled at its
-    FIRST discovery — the BFS invariant that makes ``hop`` minimal),
-    and localCheckpoints the visited set to keep the lineage flat —
-    the same flat-iteration doctrine as ``pagerank``/``k_core_edges``.
+    FIRST discovery — the BFS invariant that makes ``hop`` minimal).
 
-    Scale: each round shuffles frontier∪visited keyed by node id —
-    rounds are bounded (``max_hops``, with early exit on an empty
-    frontier), and the per-round cost is one equi-join + one
-    left-anti join, both on the node key. Six rounds reach ~everything
-    in small-world graphs; raise ``max_hops`` for meshes.
+    Per-round cost discipline (the round-4 job-floor fix):
+
+    - the symmetrized-distinct edge list is localCheckpointed ONCE —
+      without it every round re-derives the edges from the raw input
+      (for a co-occurrence graph that is the whole upstream groupBy,
+      per round);
+    - each round materializes only the NEW frontier; the visited set
+      is the plain union of already-checkpointed per-hop frontiers
+      (flat lineage for free, no second checkpoint job per round);
+    - the frontier's exact count (a cheap job on the materialized
+      RDD, doubling as the early-exit test) drives an adaptive
+      broadcast: small frontiers/visited sets join map-side with no
+      edge shuffle — the common case in bounded-hop BFS — while
+      beyond ``_BFS_BROADCAST_MAX`` rows the plan falls back to the
+      shuffled equi-join that scales arbitrarily.
+
+    Scale: rounds are bounded (``max_hops``, early exit on an empty
+    frontier); each round is one equi-join + one left-anti join on
+    the node key, map-side whenever the frontier is broadcastable.
+    Six rounds reach ~everything in small-world graphs; raise
+    ``max_hops`` for meshes.
     """
     if max_hops < 0:
         raise ValueError(f"max_hops must be >= 0, got {max_hops}")
@@ -798,25 +817,44 @@ def bfs_hops(
     )
     if not directed:
         e = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    e = e.distinct()
-    src = sources.toDF("node").distinct()
-    visited = src.select("node", F.lit(0).alias("hop")).localCheckpoint()
-    frontier = visited.select("node")
+    e = e.distinct().localCheckpoint()
+    src = sources.toDF("node").distinct().localCheckpoint()
+    levels = [src.select("node", F.lit(0).alias("hop"))]
+    visited_nodes = src
+    n_frontier = src.count()
+    n_visited = n_frontier
+    frontier = src
     for h in range(1, max_hops + 1):
+        if n_frontier == 0:
+            break
+        f = (
+            F.broadcast(frontier)
+            if n_frontier <= _BFS_BROADCAST_MAX
+            else frontier
+        )
+        vis = (
+            F.broadcast(visited_nodes)
+            if n_visited <= _BFS_BROADCAST_MAX
+            else visited_nodes
+        )
         nxt = (
-            frontier.join(e, frontier["node"] == e["u"])
+            f.join(e, f["node"] == e["u"])
             .select(F.col("v").alias("node"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
+            .join(vis, "node", "left_anti")
             .localCheckpoint()
         )
-        if nxt.isEmpty():
+        n_frontier = nxt.count()
+        if n_frontier == 0:
             break
-        visited = visited.unionAll(
-            nxt.select("node", F.lit(h).alias("hop"))
-        ).localCheckpoint()
+        levels.append(nxt.select("node", F.lit(h).alias("hop")))
+        visited_nodes = visited_nodes.unionAll(nxt)
+        n_visited += n_frontier
         frontier = nxt
-    return visited
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionAll(lv)
+    return out
 
 
 def sssp_weighted(
@@ -859,6 +897,9 @@ def sssp_weighted(
         e = e.union(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
         )
+    # materialize the edge relation once: every round joins it, and an
+    # unmaterialized lineage re-derives the whole upstream per round
+    e = e.localCheckpoint(eager=True)
     dist = (
         sources.toDF("node")
         .distinct()
