@@ -466,6 +466,35 @@ def main() -> None:
             },
         }
 
+    # Per-family subtotals (engine vs oracle) so composition drift in a
+    # 280-entry set stays explainable at a glance (VERDICT r4 item 9).
+    fam_engine: dict[str, float] = {}
+    fam_oracle: dict[str, float] = {}
+    fam_n: dict[str, int] = {}
+    for name, t in timings.items():
+        fam = contracts.QUERY_FAMILY.get(name, "adhoc")
+        fam_engine[fam] = fam_engine.get(fam, 0.0) + t
+        fam_n[fam] = fam_n.get(fam, 0) + 1
+    if ORACLE_BENCH:
+        for name, t in oracle_timings.items():
+            fam = contracts.QUERY_FAMILY.get(name, "adhoc")
+            fam_oracle[fam] = fam_oracle.get(fam, 0.0) + t
+    out["families"] = {
+        fam: {
+            "n": fam_n[fam],
+            "engine_sec": round(fam_engine[fam], 3),
+            **(
+                {
+                    "oracle_sec": round(fam_oracle[fam], 3),
+                    "ratio": round(fam_engine[fam] / fam_oracle[fam], 3),
+                }
+                if fam_oracle.get(fam)
+                else {}
+            ),
+        }
+        for fam in sorted(fam_engine)
+    }
+
     # Full detail (every query + oracle ratios) goes to a file; the
     # printed line is kept under the driver's 2000-char stdout-tail
     # capture. Round 3's line grew past that (112 queries + the oracle

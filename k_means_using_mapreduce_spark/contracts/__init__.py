@@ -140,10 +140,15 @@ _MODULES = [
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
+#: query name -> contract family (the submodule stem, e.g. "dedup",
+#: "graph", "tpch") — bench.py groups per-family subtotals from this.
+QUERY_FAMILY: dict[str, str] = {}
 
 for _m in _MODULES:
+    _fam = _m.__name__.rsplit(".", 1)[1].removesuffix("_queries")
     for _name, _fn in _m.QUERIES.items():
         if _name in QUERIES:
             raise ValueError(f"duplicate contract query name: {_name}")
         QUERIES[_name] = _fn
+        QUERY_FAMILY[_name] = _fam
     ORACLE_SQL.update(getattr(_m, "ORACLE_SQL", {}))
