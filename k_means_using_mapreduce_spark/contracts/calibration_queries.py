@@ -238,3 +238,51 @@ FROM agg
 
 QUERIES["brier_quality_english"] = brier_quality_english
 ORACLE_SQL["brier_quality_english"] = BRIER_SQL
+
+
+def isotonic_price_by_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact in-plan isotonic regression of mean extended price on
+    quantity (operators/calibration.py::isotonic_exact): the PAVA
+    solution via the max-min block-mean representation, hash-gated —
+    TPC-H price is monotone-ish in quantity, so pooling is light but
+    present wherever unit-price mix inverts the trend."""
+    from ..operators.calibration import isotonic_exact
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return isotonic_exact(li, "l_quantity", "l_extendedprice").select(
+        F.col("x").alias("quantity"), "n", "y_mean", "y_iso"
+    )
+
+
+ISOTONIC_SQL = """
+WITH blocks AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS x,
+         CAST(count(*) AS DOUBLE) AS n,
+         sum(CAST(l_extendedprice AS DOUBLE)) AS sy
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+  GROUP BY 1
+), pref AS (
+  SELECT x, n, sy,
+         sum(n) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cn,
+         sum(sy) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cs
+  FROM blocks
+), pair AS (
+  SELECT lo.x AS xj, hi.x AS xk,
+         (hi.cs - (lo.cs - lo.sy)) / (hi.cn - (lo.cn - lo.n)) AS m
+  FROM pref lo JOIN pref hi ON lo.x <= hi.x
+), minmean AS (
+  SELECT xj, xk AS xi,
+         min(m) OVER (PARTITION BY xj ORDER BY xk DESC
+                      ROWS UNBOUNDED PRECEDING) AS mm
+  FROM pair
+), iso AS (
+  SELECT xi, max(mm) AS y_iso FROM minmean GROUP BY 1
+)
+SELECT b.x AS quantity, CAST(b.n AS BIGINT) AS n,
+       b.sy / b.n AS y_mean, iso.y_iso
+FROM blocks b JOIN iso ON b.x = iso.xi
+"""
+
+QUERIES["isotonic_price_by_quantity"] = isotonic_price_by_quantity
+ORACLE_SQL["isotonic_price_by_quantity"] = ISOTONIC_SQL

@@ -335,3 +335,90 @@ def brier_decomposition(
         res.alias("resolution"),
         unc.alias("uncertainty"),
     )
+
+
+def isotonic_exact(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    increasing: bool = True,
+) -> DataFrame:
+    """EXACT weighted isotonic regression of ``mean(y)`` on ``x``,
+    computed entirely IN-PLAN (no driver-side pooling) via the
+    max-min representation of the PAVA solution:
+
+        iso(i) = max_{j<=i} min_{k>=i} mean(y over blocks j..k)
+
+    (Robertson, Wright & Dykstra 1988, Thm 1.4.4 — the weighted
+    block means come from prefix sums, so the whole thing is three
+    relational stages over the DISTINCT-x block relation:
+    prefix sums → all (j<=k) pair means → per-j suffix-min window →
+    per-i max.)
+
+    Complements :func:`isotonic_fit` (driver PAV over quantile bins —
+    the billions-of-rows path): this one is exact on the block level
+    AND fully SQL-expressible, so the oracle hash-gates the isotonic
+    SOLUTION itself. Cost is O(B²) pair rows for B distinct x values —
+    use when x has bounded cardinality (quantized scores, integer
+    features); bin first when it does not.
+
+    ``increasing=False`` fits the antitonic (decreasing) solution by
+    negating y around the same machinery. Output: one row per distinct
+    x — ``(x, n, y_mean, y_iso)``, NULL-x and NULL-y rows excluded.
+    """
+    from pyspark.sql.window import Window
+
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    sign = 1.0 if increasing else -1.0
+    blocks = (
+        df.where(x.isNotNull() & y.isNotNull())
+        .groupBy(x.alias("x"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(y * F.lit(sign)).alias("sy"),
+        )
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    pref = blocks.select(
+        "x",
+        "n",
+        "sy",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("sy").over(w).alias("cs"),
+    )
+    lo = pref.select(
+        F.col("x").alias("xj"),
+        (F.col("cn") - F.col("n")).alias("cn_before"),
+        (F.col("cs") - F.col("sy")).alias("cs_before"),
+    )
+    hi = pref.select(
+        F.col("x").alias("xk"), F.col("cn").alias("cn_k"), F.col("cs").alias("cs_k")
+    )
+    pair = lo.join(hi, F.col("xj") <= F.col("xk")).select(
+        "xj",
+        "xk",
+        (
+            (F.col("cs_k") - F.col("cs_before"))
+            / (F.col("cn_k") - F.col("cn_before"))
+        ).alias("m"),
+    )
+    # suffix min over k (per j): min_{k >= i} mean(j..k), materialized
+    # at every i in [j, B]
+    w_sfx = Window.partitionBy("xj").orderBy(F.desc("xk")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    minmean = pair.select(
+        "xj", F.col("xk").alias("xi"), F.min("m").over(w_sfx).alias("mm")
+    )
+    iso = minmean.groupBy("xi").agg(F.max("mm").alias("y_iso_s"))
+    base = blocks.select(
+        "x", F.col("n").cast("long").alias("n"), (F.col("sy") / F.col("n")).alias("ym_s")
+    )
+    return base.join(iso, base["x"] == iso["xi"]).select(
+        "x",
+        "n",
+        (F.col("ym_s") * F.lit(sign)).alias("y_mean"),
+        (F.col("y_iso_s") * F.lit(sign)).alias("y_iso"),
+    )

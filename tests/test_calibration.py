@@ -185,3 +185,54 @@ def test_brier_decomposition_identity_and_extremes(spark):
 
     with _p.raises(ValueError):
         brier_decomposition(flat, "s", "y", bins=1)
+
+
+class TestIsotonicExact:
+    def _fit(self, spark, pairs, increasing=True):
+        from k_means_using_mapreduce_spark.operators.calibration import (
+            isotonic_exact,
+        )
+
+        df = spark.createDataFrame(pairs, "x double, y double")
+        rows = isotonic_exact(df, "x", "y", increasing=increasing).collect()
+        return {r["x"]: r for r in rows}
+
+    def test_matches_hand_pava(self, spark):
+        # classic violation: means 1, 3, 2 -> pool (3,2) to 2.5
+        got = self._fit(spark, [(1.0, 1.0), (2.0, 3.0), (3.0, 2.0)])
+        assert got[1.0]["y_iso"] == pytest.approx(1.0)
+        assert got[2.0]["y_iso"] == pytest.approx(2.5)
+        assert got[3.0]["y_iso"] == pytest.approx(2.5)
+
+    def test_weighted_pooling(self, spark):
+        # x=2 has weight 3 (mean 3), x=3 weight 1 (y 0): pooled mean
+        # = (9 + 0) / 4 = 2.25
+        pairs = [(1.0, 1.0), (2.0, 3.0), (2.0, 3.0), (2.0, 3.0), (3.0, 0.0)]
+        got = self._fit(spark, pairs)
+        assert got[2.0]["n"] == 3
+        assert got[2.0]["y_iso"] == pytest.approx(2.25)
+        assert got[3.0]["y_iso"] == pytest.approx(2.25)
+
+    def test_monotone_and_mean_preserving(self, spark):
+        import random
+
+        rng = random.Random(5)
+        pairs = [(float(i % 13), rng.uniform(0, 10)) for i in range(200)]
+        got = self._fit(spark, pairs)
+        xs = sorted(got)
+        isos = [got[x]["y_iso"] for x in xs]
+        assert all(a <= b + 1e-12 for a, b in zip(isos, isos[1:]))
+        # PAVA preserves the weighted mean
+        tw = sum(got[x]["n"] for x in xs)
+        assert sum(got[x]["y_iso"] * got[x]["n"] for x in xs) / tw == pytest.approx(
+            sum(got[x]["y_mean"] * got[x]["n"] for x in xs) / tw
+        )
+
+    def test_decreasing(self, spark):
+        got = self._fit(
+            spark, [(1.0, 5.0), (2.0, 1.0), (3.0, 2.0)], increasing=False
+        )
+        isos = [got[x]["y_iso"] for x in sorted(got)]
+        assert all(a >= b - 1e-12 for a, b in zip(isos, isos[1:]))
+        assert isos[0] == pytest.approx(5.0)
+        assert isos[1] == pytest.approx(1.5)
