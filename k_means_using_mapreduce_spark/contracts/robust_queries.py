@@ -536,3 +536,66 @@ FROM ent CROSS JOIN tot
 
 QUERIES["theil_customer_revenue"] = theil_customer_revenue
 ORACLE_SQL["theil_customer_revenue"] = THEIL_SQL
+
+
+_HBOS_BINS = 16
+_HBOS_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+def hbos_top_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBOS anomaly screen over lineitem's numeric profile
+    (operators/robust.py::hbos_scores): equal-width 16-bin histograms
+    per column, score = sum of log(modal count / own-bin count); the
+    20 most anomalous line items (ties on id)."""
+    from ..operators.robust import hbos_scores
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "li_id", F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    )
+    return (
+        hbos_scores(li, _HBOS_COLS, "li_id", bins=_HBOS_BINS)
+        .orderBy(F.desc("hbos"), "li_id")
+        .limit(20)
+    )
+
+
+def _hbos_sql() -> str:
+    b = _HBOS_BINS
+    sel = ", ".join(
+        f"CAST({c} AS DOUBLE) AS v{i}" for i, c in enumerate(_HBOS_COLS)
+    )
+    mm = ", ".join(
+        f"min(v{i}) AS mn{i}, max(v{i}) AS mx{i}"
+        for i in range(len(_HBOS_COLS))
+    )
+    stacked = "\nUNION ALL\n".join(
+        f"""SELECT id, '{c}' AS col,
+  CASE WHEN v{i} IS NULL THEN NULL
+       ELSE CAST(coalesce(least(floor((v{i} - mn{i})
+              / nullif(mx{i} - mn{i}, 0.0) * {b}), {b - 1}), 0) AS INTEGER)
+  END AS bin
+FROM base CROSS JOIN mm"""
+        for i, c in enumerate(_HBOS_COLS)
+    )
+    return f"""
+WITH base AS (
+  SELECT l_orderkey * 8 + l_linenumber AS id, {sel} FROM lineitem
+), mm AS (SELECT {mm} FROM base),
+binned AS (
+{stacked}
+), counts AS (
+  SELECT col, bin, CAST(count(*) AS DOUBLE) AS cnt
+  FROM binned WHERE bin IS NOT NULL GROUP BY 1, 2
+), cmax AS (
+  SELECT col, bin, cnt, max(cnt) OVER (PARTITION BY col) AS mx FROM counts
+), scored AS (
+  SELECT b.id, sum(coalesce(ln(c.mx / c.cnt), 0.0)) AS hbos
+  FROM binned b LEFT JOIN cmax c USING (col, bin)
+  GROUP BY 1
+)
+SELECT id AS li_id, hbos FROM scored ORDER BY hbos DESC, li_id LIMIT 20
+"""
+
+
+QUERIES["hbos_top_lineitem"] = hbos_top_lineitem
+ORACLE_SQL["hbos_top_lineitem"] = _hbos_sql()

@@ -784,3 +784,80 @@ def theil_index(
         F.sum(term).alias("theil"),
         F.log(F.first("_n")).alias("theil_max"),
     )
+
+
+def hbos_scores(
+    df: DataFrame,
+    cols: Sequence[str],
+    id_col: str,
+    *,
+    bins: int = 16,
+) -> DataFrame:
+    """HBOS — Histogram-Based Outlier Score (Goldstein & Dengel 2012):
+    per numeric column, an equal-width histogram between the column's
+    min and max; a row's score is ``Σ_c log(max_count_c /
+    count_c(bin(row)))`` — 0 for a row sitting in every column's modal
+    bin, growing as it falls into rarer bins. The cheap, assumption-
+    free anomaly pass (no covariance, no distance): the standard first
+    screen before Mahalanobis/isolation methods.
+
+    Three relational stages, all bounded: (1) one aggregate for per-
+    column min/max (folded to literals via a broadcast row), (2) bin
+    counts from ONE explode of (col, bin) pairs — C·bins rows total,
+    broadcast back, (3) per-row explode joined to the counts,
+    re-grouped by id. NULL values contribute 0 (no evidence either
+    way, the HBOS convention for missing features). A constant column
+    (min == max) puts every row in bin 0 and contributes 0 — surfaced
+    by its degenerate histogram rather than an error.
+
+    Output: ``(id, hbos)`` one row per input row.
+    """
+    cols = list(cols)
+    if not cols:
+        raise ValueError("hbos_scores needs at least one column")
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+
+    mm = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"_mn_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"_mx_{c}") for c in cols],
+    )
+    with_mm = df.crossJoin(F.broadcast(mm))
+
+    def bin_of(c: str):
+        x = F.col(c).cast("double")
+        mn, mx = F.col(f"_mn_{c}"), F.col(f"_mx_{c}")
+        raw = F.floor((x - mn) / F.nullif(mx - mn, F.lit(0.0)) * F.lit(bins))
+        return F.when(x.isNull(), F.lit(None)).otherwise(
+            F.coalesce(F.least(raw, F.lit(bins - 1)), F.lit(0))
+        ).cast("int")
+
+    binned = with_mm.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"), bin_of(c).alias("bin")
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p"),
+    ).select("id", "p.col", "p.bin")
+    counts = (
+        binned.where(F.col("bin").isNotNull())
+        .groupBy("col", "bin")
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    )
+    from pyspark.sql.window import Window
+
+    counts = counts.withColumn(
+        "mx", F.max("cnt").over(Window.partitionBy("col"))
+    )
+    scored = binned.join(F.broadcast(counts), ["col", "bin"], "left")
+    return scored.groupBy("id").agg(
+        F.sum(
+            F.coalesce(F.log(F.col("mx") / F.col("cnt")), F.lit(0.0))
+        ).alias("hbos")
+    ).withColumnRenamed("id", id_col)

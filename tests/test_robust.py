@@ -477,3 +477,28 @@ class TestBracketPercentiles:
             a = {tuple(r) for r in fn("bracket").collect()}
             b = {tuple(r) for r in fn("buffered").collect()}
             assert a == b
+
+
+class TestHBOS:
+    def test_modal_row_scores_zero_and_outlier_ranks_top(self, spark):
+        from k_means_using_mapreduce_spark.operators.robust import hbos_scores
+
+        rows = [(i, 5.0, 10.0) for i in range(1, 40)] + [(99, 100.0, -50.0)]
+        df = spark.createDataFrame(rows, "id long, a double, b double")
+        got = {r["id"]: r["hbos"] for r in hbos_scores(df, ["a", "b"], "id", bins=8).collect()}
+        assert got[1] == pytest.approx(0.0)  # modal bins in both columns
+        import math
+
+        assert got[99] == pytest.approx(2 * math.log(39.0))
+
+    def test_nulls_and_constant_column_contribute_zero(self, spark):
+        from k_means_using_mapreduce_spark.operators.robust import hbos_scores
+
+        rows = [(1, None, 7.0), (2, 3.0, 7.0), (3, 4.0, 7.0)]
+        df = spark.createDataFrame(rows, "id long, a double, b double")
+        got = {r["id"]: r["hbos"] for r in hbos_scores(df, ["a", "b"], "id", bins=4).collect()}
+        # b is constant -> all rows share its single bin (0 term);
+        # row 1's null a contributes 0; rows 2/3 land in distinct a-bins
+        # of count 1 each with max 1 -> 0 surprise too
+        assert all(v == pytest.approx(0.0) for v in got.values())
+        assert len(got) == 3
