@@ -885,3 +885,84 @@ FROM sses
 
 QUERIES["chow_break_1998"] = chow_break_1998
 ORACLE_SQL["chow_break_1998"] = CHOW_SQL
+
+
+def poisson_quantity_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson GLM of line-item quantity on discount and tax
+    (operators/regression.py::poisson_newton), 4 Newton rounds from
+    beta = 0; the oracle unrolls the identical rounds as chained CTEs."""
+    from ..operators.regression import poisson_newton
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return poisson_newton(li, ["l_discount", "l_tax"], "l_quantity")
+
+
+def _poisson_sql(iters: int = 4) -> str:
+    parts = [
+        """pb AS MATERIALIZED (
+  SELECT CAST(l_discount AS DOUBLE) AS x1, CAST(l_tax AS DOUBLE) AS x2,
+         CAST(l_quantity AS DOUBLE) AS y
+  FROM lineitem
+  WHERE l_discount IS NOT NULL AND l_tax IS NOT NULL
+    AND l_quantity IS NOT NULL AND l_quantity >= 0
+)""",
+        "pc0 AS MATERIALIZED (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""pt{i} AS MATERIALIZED (
+  SELECT x1, x2, y, exp(b0 + b1 * x1 + b2 * x2) AS mu
+  FROM pb CROSS JOIN pc{i - 1}
+)""")
+        parts.append(f"""ps{i} AS MATERIALIZED (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         sum(y - mu) AS g0,
+         sum((y - mu) * x1) AS g1,
+         sum((y - mu) * x2) AS g2,
+         sum(mu) AS h00,
+         sum(mu * x1) AS h01,
+         sum(mu * x2) AS h02,
+         sum(mu * x1 * x1) AS h11,
+         sum(mu * x1 * x2) AS h12,
+         sum(mu * x2 * x2) AS h22
+  FROM pt{i}
+)""")
+        parts.append(f"""pd{i} AS MATERIALIZED (
+  SELECT ps{i}.*, c.b0 AS prb0, c.b1 AS prb1, c.b2 AS prb2,
+    h00 * (h11 * h22 - h12 * h12)
+      - h01 * (h01 * h22 - h12 * h02)
+      + h02 * (h01 * h12 - h11 * h02) AS det
+  FROM ps{i} CROSS JOIN pc{i - 1} c
+)""")
+        parts.append(f"""pc{i} AS MATERIALIZED (
+  SELECT
+    prb0 + ((h11 * h22 - h12 * h12) * g0
+      + (h02 * h12 - h01 * h22) * g1
+      + (h01 * h12 - h02 * h11) * g2) / det AS b0,
+    prb1 + ((h02 * h12 - h01 * h22) * g0
+      + (h00 * h22 - h02 * h02) * g1
+      + (h01 * h02 - h00 * h12) * g2) / det AS b1,
+    prb2 + ((h01 * h12 - h02 * h11) * g0
+      + (h01 * h02 - h00 * h12) * g1
+      + (h00 * h11 - h01 * h01) * g2) / det AS b2
+  FROM pd{i}
+)""")
+    parts.append(f"""pscored AS (
+  SELECT y, b0, b1, b2, exp(b0 + b1 * x1 + b2 * x2) AS mu
+  FROM pb CROSS JOIN pc{iters}
+)""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT CAST(count(*) AS BIGINT) AS n,
+       any_value(b0) AS b0, any_value(b1) AS b1, any_value(b2) AS b2,
+       2.0 * sum(CASE WHEN y > 0 THEN y * ln(y / mu) - (y - mu)
+                      ELSE mu END) AS deviance,
+       avg(mu) AS mean_mu
+FROM pscored
+"""
+    )
+
+
+QUERIES["poisson_quantity_lineitem"] = poisson_quantity_lineitem
+ORACLE_SQL["poisson_quantity_lineitem"] = _poisson_sql()

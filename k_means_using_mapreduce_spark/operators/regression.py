@@ -1217,3 +1217,92 @@ def chow_test(
         F.lit(2).cast("long").alias("df1"),
         df2.cast("long").alias("df2"),
     )
+
+
+def poisson_newton(
+    df: DataFrame,
+    x_cols: Sequence[str],
+    y_col: str,
+    *,
+    iters: int = 4,
+) -> DataFrame:
+    """Poisson regression (log link, 2 features + intercept) by
+    Newton-Raphson — the GLM for COUNT responses (events per user,
+    tokens per document, items per order), completing the family
+    around :func:`logistic_newton` / ``negbin_fit``.
+
+    Identical layering to logistic_newton: each round folds the
+    current β in as literals and aggregates gradient ``X'(y − μ)``
+    and Hessian ``X'WX`` with ``w = μ = exp(β'x)`` (one narrow scan,
+    nine doubles shuffled); the driver applies the exact 3×3
+    Cramer-adjugate step, term-for-term mirrored by the pure-SQL
+    oracle. Final scan reports the Poisson deviance
+    ``2 Σ [y·ln(y/μ) − (y − μ)]`` (y = 0 terms contribute 2μ).
+
+    Returns one row ``(n, b0, b1, b2, deviance, mean_mu)``.
+    """
+    if len(x_cols) != 2:
+        raise ValueError(
+            f"poisson_newton is the explicit 2-feature closed form, "
+            f"got {len(x_cols)} features (use MLlib GLR for general p)"
+        )
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    x1, x2, y = _d(x_cols[0]), _d(x_cols[1]), _d(y_col)
+    rows = df.where(
+        x1.isNotNull() & x2.isNotNull() & y.isNotNull() & (y >= 0)
+    )
+    b0 = b1 = b2 = 0.0
+    for _ in range(iters):
+        z = F.lit(b0) + F.lit(b1) * x1 + F.lit(b2) * x2
+        mu = F.exp(z)
+        r = y - mu
+        s = rows.agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(r).alias("g0"),
+            F.sum(r * x1).alias("g1"),
+            F.sum(r * x2).alias("g2"),
+            F.sum(mu).alias("h00"),
+            F.sum(mu * x1).alias("h01"),
+            F.sum(mu * x2).alias("h02"),
+            F.sum(mu * x1 * x1).alias("h11"),
+            F.sum(mu * x1 * x2).alias("h12"),
+            F.sum(mu * x2 * x2).alias("h22"),
+        ).collect()[0]
+        det = (
+            s["h00"] * (s["h11"] * s["h22"] - s["h12"] * s["h12"])
+            - s["h01"] * (s["h01"] * s["h22"] - s["h12"] * s["h02"])
+            + s["h02"] * (s["h01"] * s["h12"] - s["h11"] * s["h02"])
+        )
+        if det == 0.0:
+            raise ValueError(
+                "singular Hessian: features are collinear or constant"
+            )
+        b0 = b0 + (
+            (s["h11"] * s["h22"] - s["h12"] * s["h12"]) * s["g0"]
+            + (s["h02"] * s["h12"] - s["h01"] * s["h22"]) * s["g1"]
+            + (s["h01"] * s["h12"] - s["h02"] * s["h11"]) * s["g2"]
+        ) / det
+        b1 = b1 + (
+            (s["h02"] * s["h12"] - s["h01"] * s["h22"]) * s["g0"]
+            + (s["h00"] * s["h22"] - s["h02"] * s["h02"]) * s["g1"]
+            + (s["h01"] * s["h02"] - s["h00"] * s["h12"]) * s["g2"]
+        ) / det
+        b2 = b2 + (
+            (s["h01"] * s["h12"] - s["h02"] * s["h11"]) * s["g0"]
+            + (s["h01"] * s["h02"] - s["h00"] * s["h12"]) * s["g1"]
+            + (s["h00"] * s["h11"] - s["h01"] * s["h01"]) * s["g2"]
+        ) / det
+    z = F.lit(b0) + F.lit(b1) * x1 + F.lit(b2) * x2
+    mu = F.exp(z)
+    dev_term = F.when(
+        y > 0, y * F.log(y / mu) - (y - mu)
+    ).otherwise(mu)
+    return rows.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.lit(b0).alias("b0"),
+        F.lit(b1).alias("b1"),
+        F.lit(b2).alias("b2"),
+        (F.lit(2.0) * F.sum(dev_term)).alias("deviance"),
+        F.avg(mu).alias("mean_mu"),
+    )

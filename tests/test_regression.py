@@ -481,3 +481,41 @@ def test_chow_detects_slope_break(spark):
     df2 = spark.createDataFrame(same, "seg int, x double, y double")
     r2 = chow_test(df2, "x", "y", F.col("seg") == 1).collect()[0]
     assert r2["f_stat"] < 1.0
+
+
+def test_poisson_newton_recovers_planted_rates(spark):
+    """Deterministic planted-rate counts: y ~= exp(0.5 + 2 x1 - 1 x2)
+    evaluated exactly (no sampling noise) should be fit near-exactly."""
+    import math
+
+    from k_means_using_mapreduce_spark.operators.regression import (
+        poisson_newton,
+    )
+
+    rows = []
+    for i in range(200):
+        x1 = (i % 10) / 10.0
+        x2 = ((i * 7) % 13) / 13.0
+        mu = math.exp(0.5 + 2.0 * x1 - 1.0 * x2)
+        rows.append((x1, x2, mu))  # continuous "counts": exact mean response
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+    r = poisson_newton(df, ["x1", "x2"], "y", iters=8).collect()[0]
+    assert r["b0"] == pytest.approx(0.5, abs=1e-6)
+    assert r["b1"] == pytest.approx(2.0, abs=1e-6)
+    assert r["b2"] == pytest.approx(-1.0, abs=1e-6)
+    assert r["deviance"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_poisson_newton_validation(spark):
+    from k_means_using_mapreduce_spark.operators.regression import (
+        poisson_newton,
+    )
+
+    df = spark.createDataFrame([(1.0, 1.0, 2.0)], "x1 double, x2 double, y double")
+    with pytest.raises(ValueError, match="2-feature"):
+        poisson_newton(df, ["x1"], "y")
+    const = spark.createDataFrame(
+        [(1.0, 1.0, 2.0), (1.0, 1.0, 3.0)], "x1 double, x2 double, y double"
+    )
+    with pytest.raises(ValueError, match="singular"):
+        poisson_newton(const, ["x1", "x2"], "y")
