@@ -1405,3 +1405,72 @@ FROM ranked WHERE rk = 1
 
 QUERIES["dominant_period_events"] = dominant_period_events
 ORACLE_SQL["dominant_period_events"] = _dominant_period_sql()
+
+
+_EWMA_ALPHA = 0.3
+_EWMA_W = 12
+
+
+def ewma_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finite-window EWMA smoothing of each event type's hourly count
+    series (operators/timeseries.py::ewma_by_key), alpha 0.3 over the
+    last 12 buckets; bucket emitted as epoch-us."""
+    from ..operators.timeseries import ewma_by_key, resample_counts
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", ns_to_timestamp("ts")
+    )
+    grid = resample_counts(ev, unit="hour")
+    out = ewma_by_key(grid, alpha=_EWMA_ALPHA, window=_EWMA_W)
+    return out.select(
+        "key",
+        F.unix_micros("bucket").alias("bucket_us"),
+        F.col("x").cast("long").alias("n"),
+        "ewma",
+    )
+
+
+def _ewma_sql() -> str:
+    ws = [(1.0 - _EWMA_ALPHA) ** k for k in range(_EWMA_W)]
+    num = " + ".join(
+        [f"x * {ws[0]!r}"]
+        + [
+            f"coalesce(lag(x, {k}) OVER w * {ws[k]!r}, 0.0)"
+            for k in range(1, _EWMA_W)
+        ]
+    )
+    den = " + ".join(
+        [f"CASE WHEN x IS NOT NULL THEN {ws[0]!r} ELSE 0.0 END"]
+        + [
+            f"CASE WHEN lag(x, {k}) OVER w IS NOT NULL THEN {ws[k]!r} ELSE 0.0 END"
+            for k in range(1, _EWMA_W)
+        ]
+    )
+    head = f"""counts AS (
+  SELECT event_type AS key,
+         epoch_us(ts) - epoch_us(ts) % {_HOUR_US} AS bucket_us,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(bucket_us) AS lo, max(bucket_us) AS hi FROM counts),
+keys AS (SELECT DISTINCT event_type AS key FROM events),
+grid AS (
+  SELECT key, unnest(range(lo, hi + {_HOUR_US}, {_HOUR_US})) AS bucket_us
+  FROM keys, bounds
+),
+dense AS MATERIALIZED (
+  SELECT g.key, g.bucket_us, CAST(coalesce(c.n, 0) AS DOUBLE) AS x
+  FROM grid g LEFT JOIN counts c USING (key, bucket_us)
+)"""
+    return f"""
+WITH {head}
+SELECT key, CAST(bucket_us AS BIGINT) AS bucket_us,
+       CAST(x AS BIGINT) AS n,
+       ({num}) / nullif(({den}), 0.0) AS ewma
+FROM dense
+WINDOW w AS (PARTITION BY key ORDER BY bucket_us)
+"""
+
+
+QUERIES["ewma_hourly_events"] = ewma_hourly_events
+ORACLE_SQL["ewma_hourly_events"] = _ewma_sql()

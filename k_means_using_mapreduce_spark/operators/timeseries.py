@@ -1528,3 +1528,69 @@ def interpolate_linear(
         .otherwise(next_v)
     )
     return grid.withColumn("v_interp", interp)
+
+
+def ewma_by_key(
+    grid: DataFrame,
+    *,
+    key_col: str = "key",
+    order_col: str = "bucket",
+    value_col: str = "n",
+    alpha: float = 0.3,
+    window: int = 12,
+) -> DataFrame:
+    """Finite-window exponentially-weighted moving average per series:
+    ``ewma_t = Σ_{k<W} (1−α)^k·x_{t−k} / Σ_{k<W} (1−α)^k`` over the
+    available (non-missing) lags — the trend-smoothing pass behind
+    every "is volume drifting" dashboard.
+
+    The FINITE window (vs the textbook infinite recursion) is what
+    makes the operator relational: each output is a fixed-arity
+    weighted sum over one key-partitioned window (ONE exchange, no
+    sequential state), missing leading lags renormalize the weight
+    mass (the standard ``adjust=True`` pandas semantics, truncated),
+    and the weights fold to literals so the SQL oracle shares the
+    exact IEEE expression. Truncation error vs the infinite EWMA is
+    ``(1−α)^W`` relative (< 1% at the defaults).
+
+    Returns ``(key, <order_col>, x, ewma)``.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    from pyspark.sql.window import Window
+
+    v = F.col(value_col).cast("double")
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    weights = [(1.0 - alpha) ** k for k in range(window)]
+    lagged = grid.select(
+        F.col(key_col).alias("key"),
+        F.col(order_col).alias("_ord"),
+        v.alias("x"),
+        *[F.lag(v, k).over(w).alias(f"_l{k}") for k in range(1, window)],
+    )
+    terms = [F.col("x") * F.lit(weights[0])] + [
+        F.coalesce(F.col(f"_l{k}") * F.lit(weights[k]), F.lit(0.0))
+        for k in range(1, window)
+    ]
+    mass = [
+        F.when(F.col("x").isNotNull(), F.lit(weights[0])).otherwise(F.lit(0.0))
+    ] + [
+        F.when(F.col(f"_l{k}").isNotNull(), F.lit(weights[k])).otherwise(
+            F.lit(0.0)
+        )
+        for k in range(1, window)
+    ]
+    num = terms[0]
+    for t in terms[1:]:
+        num = num + t
+    den = mass[0]
+    for m in mass[1:]:
+        den = den + m
+    return lagged.select(
+        F.col("key").alias(key_col),
+        F.col("_ord").alias(order_col),
+        "x",
+        (num / F.nullif(den, F.lit(0.0))).alias("ewma"),
+    )

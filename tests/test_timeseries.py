@@ -622,3 +622,25 @@ def test_interpolate_linear_respects_order_distance(spark):
     )
     out = {r["bucket"]: r["v_interp"] for r in interpolate_linear(grid).collect()}
     assert out[4] == pytest.approx(4.0)
+
+
+def test_ewma_matches_pandas_truncated(spark):
+    """Hand-checkable EWMA: constant series -> itself; step series ->
+    the truncated adjust=True weighting."""
+    from k_means_using_mapreduce_spark.operators.timeseries import ewma_by_key
+
+    rows = [("a", i, 5.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "key string, bucket int, n double")
+    got = ewma_by_key(df, alpha=0.4, window=6).collect()
+    assert all(r["ewma"] == pytest.approx(5.0) for r in got)
+
+    step = [("s", i, 0.0 if i < 5 else 10.0) for i in range(10)]
+    df2 = spark.createDataFrame(step, "key string, bucket int, n double")
+    got2 = {r["bucket"]: r["ewma"] for r in ewma_by_key(df2, alpha=0.4, window=6).collect()}
+    # at t=5: weights (1, .6, .36, .216, .1296, .07776) over x=(10,0,0,0,0,0)
+    ws = [0.6**k for k in range(6)]
+    assert got2[5] == pytest.approx(10.0 * ws[0] / sum(ws))
+    # first point: only its own weight -> raw value
+    assert got2[0] == pytest.approx(0.0)
+    # monotone approach to 10 after the step
+    assert got2[5] < got2[6] < got2[7] < got2[8] < got2[9] < 10.0
