@@ -183,3 +183,48 @@ FROM g
 
 QUERIES["quantity_price_rdd"] = quantity_price_rdd
 ORACLE_SQL["quantity_price_rdd"] = RDD_SQL
+
+
+def discount_effect_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IV/Wald estimate of quantity's effect on extended price using
+    supplier-key parity as the (synthetic) instrument
+    (operators/causal.py::iv_wald_2sls): one scan, closed-form 2SLS
+    with weak-instrument diagnostics alongside the OLS contrast."""
+    from ..operators.causal import iv_wald_2sls
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "z", (F.col("l_suppkey") % 2).cast("double")
+    )
+    return iv_wald_2sls(li, "l_extendedprice", "l_quantity", "z")
+
+
+IV_WALD_SQL = """
+WITH b AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS y,
+         CAST(l_quantity AS DOUBLE) AS x,
+         CAST(l_suppkey % 2 AS DOUBLE) AS z
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+), s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         sum(y) AS sy, sum(x) AS sx, sum(z) AS sz,
+         sum(z * y) AS szy, sum(z * x) AS szx, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(z * z) AS szz, sum(y * y) AS syy
+  FROM b
+)
+SELECT CAST(n AS BIGINT) AS n,
+  (n * szy - sz * sy) / nullif(n * szx - sz * sx, 0.0) AS beta_iv,
+  (sy - (n * szy - sz * sy) / nullif(n * szx - sz * sx, 0.0) * sx)
+    / nullif(n, 0.0) AS alpha,
+  (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0) AS beta_ols,
+  (n * szx - sz * sx)
+    / nullif(sqrt((n * szz - sz * sz) * (n * sxx - sx * sx)), 0.0)
+    AS first_stage_corr,
+  (n * szy - sz * sy)
+    / nullif(sqrt((n * szz - sz * sz) * (n * syy - sy * sy)), 0.0)
+    AS reduced_form_corr
+FROM s
+"""
+
+QUERIES["discount_effect_iv"] = discount_effect_iv
+ORACLE_SQL["discount_effect_iv"] = IV_WALD_SQL

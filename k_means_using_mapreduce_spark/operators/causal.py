@@ -276,3 +276,69 @@ def regression_discontinuity(
         sl.alias("slope_left"),
         sr.alias("slope_right"),
     )
+
+
+def iv_wald_2sls(
+    df: DataFrame,
+    y_col: str,
+    x_col: str,
+    z_col: str,
+) -> DataFrame:
+    """Instrumental-variable estimate of x's effect on y with a single
+    instrument z — the just-identified 2SLS, which collapses to the
+    Wald/ratio form ``β_IV = cov(z, y) / cov(z, x)`` (Angrist &
+    Pischke 2009 §4.1). The causal tool when treatment is confounded
+    but an exogenous shifter exists (price from a cost shock, usage
+    from an encouragement experiment).
+
+    ONE aggregation scan of seven sums; every reported quantity is a
+    closed form over them, so the SQL oracle shares the arithmetic:
+
+    - ``beta_iv`` and the intercept ``alpha = ȳ − β·x̄``;
+    - ``beta_ols`` for contrast (the confounded estimate IV corrects);
+    - ``first_stage_corr`` = corr(z, x) — the weak-instrument
+      diagnostic (|corr| ≲ 0.1 on big n ≈ F ≲ 10: do not trust β_IV);
+    - ``reduced_form_corr`` = corr(z, y).
+
+    NULL in any column drops the row. Degenerate inputs (constant z or
+    x, or cov(z, x) = 0) surface NULL estimates rather than raising:
+    an all-null row IS the weak-instrument verdict.
+    """
+    y = F.col(y_col).cast("double")
+    x = F.col(x_col).cast("double")
+    z = F.col(z_col).cast("double")
+    rows = df.where(y.isNotNull() & x.isNotNull() & z.isNotNull())
+    s = rows.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(y).alias("sy"),
+        F.sum(x).alias("sx"),
+        F.sum(z).alias("sz"),
+        F.sum(z * y).alias("szy"),
+        F.sum(z * x).alias("szx"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(z * z).alias("szz"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n")
+    cov_zy = n * F.col("szy") - F.col("sz") * F.col("sy")
+    cov_zx = n * F.col("szx") - F.col("sz") * F.col("sx")
+    cov_xy = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_z = n * F.col("szz") - F.col("sz") * F.col("sz")
+    var_y = n * F.col("syy") - F.col("sy") * F.col("sy")
+    beta_iv = cov_zy / F.nullif(cov_zx, F.lit(0.0))
+    return s.select(
+        n.cast("long").alias("n"),
+        beta_iv.alias("beta_iv"),
+        (
+            (F.col("sy") - beta_iv * F.col("sx")) / F.nullif(n, F.lit(0.0))
+        ).alias("alpha"),
+        (cov_xy / F.nullif(var_x, F.lit(0.0))).alias("beta_ols"),
+        (
+            cov_zx / F.nullif(F.sqrt(var_z * var_x), F.lit(0.0))
+        ).alias("first_stage_corr"),
+        (
+            cov_zy / F.nullif(F.sqrt(var_z * var_y), F.lit(0.0))
+        ).alias("reduced_form_corr"),
+    )

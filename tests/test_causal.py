@@ -141,3 +141,32 @@ def test_rdd_boundary_row_is_treated_and_guards(spark):
 
     with _p.raises(ValueError):
         regression_discontinuity(df, "r", "y", cutoff=50.0, bandwidth=0.0)
+
+
+def test_iv_wald_recovers_effect_under_confounding(spark):
+    """Planted structure: u confounds x and y; z shifts x only.
+    OLS is biased by the confounder, IV recovers the true beta = 2."""
+    rows = []
+    for i in range(400):
+        z = float(i % 2)
+        u = float((i * 7) % 5)  # confounder
+        x = 1.0 * z + u
+        y = 2.0 * x + 3.0 * u  # true effect 2, confounded by u
+        rows.append((y, x, z))
+    df = spark.createDataFrame(rows, "y double, x double, z double")
+    from k_means_using_mapreduce_spark.operators.causal import iv_wald_2sls
+
+    r = iv_wald_2sls(df, "y", "x", "z").collect()[0]
+    assert r["beta_iv"] == pytest.approx(2.0, abs=1e-9)
+    assert r["beta_ols"] > 2.5  # visibly confounded
+    assert abs(r["first_stage_corr"]) > 0.2
+
+
+def test_iv_wald_degenerate_instrument_yields_nulls(spark):
+    from k_means_using_mapreduce_spark.operators.causal import iv_wald_2sls
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 1.0), (2.0, 3.0, 1.0)], "y double, x double, z double"
+    )
+    r = iv_wald_2sls(df, "y", "x", "z").collect()[0]
+    assert r["beta_iv"] is None and r["first_stage_corr"] is None
