@@ -1474,3 +1474,44 @@ WINDOW w AS (PARTITION BY key ORDER BY bucket_us)
 
 QUERIES["ewma_hourly_events"] = ewma_hourly_events
 ORACLE_SQL["ewma_hourly_events"] = _ewma_sql()
+
+
+def ar2_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(2) Yule-Walker fit of each event type's hourly count series
+    (operators/timeseries.py::ar2_yule_walker) — memory structure +
+    stationarity verdict per series."""
+    from ..operators.timeseries import ar2_yule_walker, resample_counts
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", ns_to_timestamp("ts")
+    )
+    return ar2_yule_walker(resample_counts(ev, unit="hour"))
+
+
+def _ar2_sql() -> str:
+    return f"""
+WITH acf AS ({_acf_sql(2)}),
+piv AS (
+  SELECT key,
+         max(CASE WHEN lag = 1 THEN acf END) AS r1,
+         max(CASE WHEN lag = 2 THEN acf END) AS r2
+  FROM acf GROUP BY 1
+)
+SELECT key, r1, r2,
+  r1 * (1.0 - r2) / nullif(1.0 - r1 * r1, 0.0) AS phi1,
+  (r2 - r1 * r1) / nullif(1.0 - r1 * r1, 0.0) AS phi2,
+  1.0 - (r1 * (1.0 - r2) / nullif(1.0 - r1 * r1, 0.0)) * r1
+      - ((r2 - r1 * r1) / nullif(1.0 - r1 * r1, 0.0)) * r2
+    AS innovation_ratio,
+  ((r2 - r1 * r1) / nullif(1.0 - r1 * r1, 0.0) > -1.0
+   AND (r2 - r1 * r1) / nullif(1.0 - r1 * r1, 0.0)
+       + r1 * (1.0 - r2) / nullif(1.0 - r1 * r1, 0.0) < 1.0
+   AND (r2 - r1 * r1) / nullif(1.0 - r1 * r1, 0.0)
+       - r1 * (1.0 - r2) / nullif(1.0 - r1 * r1, 0.0) < 1.0)
+    AS stationary
+FROM piv
+"""
+
+
+QUERIES["ar2_hourly_events"] = ar2_hourly_events
+ORACLE_SQL["ar2_hourly_events"] = _ar2_sql()

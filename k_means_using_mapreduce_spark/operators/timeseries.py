@@ -1594,3 +1594,54 @@ def ewma_by_key(
         "x",
         (num / F.nullif(den, F.lit(0.0))).alias("ewma"),
     )
+
+
+def ar2_yule_walker(
+    grid: DataFrame,
+    *,
+    key_col: str = "key",
+    order_col: str = "bucket",
+    value_col: str = "n",
+) -> DataFrame:
+    """Per-series AR(2) fit by Yule-Walker: from the lag-1/lag-2
+    autocorrelations, ``φ1 = r1(1−r2)/(1−r1²)``,
+    ``φ2 = (r2−r1²)/(1−r1²)``, plus the innovation-variance ratio
+    ``1 − φ1·r1 − φ2·r2`` (fraction of variance NOT explained by the
+    AR structure — near 1 ⇒ white noise, near 0 ⇒ strongly
+    autoregressive) and the stationarity verdict (|roots| check via
+    the standard triangle ``φ2 > −1``, ``φ2 ± φ1 < 1``).
+
+    Composes :func:`autocorrelation` (single-pass lag explode) with
+    per-key arithmetic — one extra tiny pivot, no new scan of the
+    grid. Series with undefined r1/r2 (too short, constant) yield
+    NULL coefficients. Returns ``(key, r1, r2, phi1, phi2,
+    innovation_ratio, stationary)``.
+    """
+    acf = autocorrelation(
+        grid,
+        key_col=key_col,
+        order_col=order_col,
+        value_col=value_col,
+        max_lag=2,
+    )
+    piv = acf.groupBy(key_col).agg(
+        F.max(F.when(F.col("lag") == 1, F.col("acf"))).alias("r1"),
+        F.max(F.when(F.col("lag") == 2, F.col("acf"))).alias("r2"),
+    )
+    r1, r2 = F.col("r1"), F.col("r2")
+    den = F.nullif(F.lit(1.0) - r1 * r1, F.lit(0.0))
+    phi1 = r1 * (F.lit(1.0) - r2) / den
+    phi2 = (r2 - r1 * r1) / den
+    return piv.select(
+        key_col,
+        "r1",
+        "r2",
+        phi1.alias("phi1"),
+        phi2.alias("phi2"),
+        (F.lit(1.0) - phi1 * r1 - phi2 * r2).alias("innovation_ratio"),
+        (
+            (phi2 > F.lit(-1.0))
+            & (phi2 + phi1 < F.lit(1.0))
+            & (phi2 - phi1 < F.lit(1.0))
+        ).alias("stationary"),
+    )

@@ -644,3 +644,34 @@ def test_ewma_matches_pandas_truncated(spark):
     assert got2[0] == pytest.approx(0.0)
     # monotone approach to 10 after the step
     assert got2[5] < got2[6] < got2[7] < got2[8] < got2[9] < 10.0
+
+
+def test_ar2_yule_walker_recovers_planted_ar2(spark):
+    """Deterministic AR(2) path (phi=0.5, -0.3, fixed pseudo-noise):
+    Yule-Walker estimates land near the planted coefficients and the
+    process is flagged stationary."""
+    from k_means_using_mapreduce_spark.operators.timeseries import (
+        ar2_yule_walker,
+    )
+
+    import math
+
+    xs = [0.0, 0.0]
+    for t in range(2, 800):
+        eps = math.sin(t * 12.9898) * 43758.5453
+        eps = eps - math.floor(eps) - 0.5  # deterministic U(-.5,.5)
+        xs.append(0.5 * xs[-1] - 0.3 * xs[-2] + eps)
+    rows = [("s", t, v) for t, v in enumerate(xs)]
+    df = spark.createDataFrame(rows, "key string, bucket int, n double")
+    r = ar2_yule_walker(df).collect()[0]
+    assert r["phi1"] == pytest.approx(0.5, abs=0.1)
+    assert r["phi2"] == pytest.approx(-0.3, abs=0.1)
+    assert r["stationary"] is True
+    assert 0.0 < r["innovation_ratio"] <= 1.0
+
+    # constant series: undefined ACF -> NULL coefficients
+    const = spark.createDataFrame(
+        [("c", t, 1.0) for t in range(50)], "key string, bucket int, n double"
+    )
+    rc = ar2_yule_walker(const).collect()[0]
+    assert rc["phi1"] is None and rc["phi2"] is None
