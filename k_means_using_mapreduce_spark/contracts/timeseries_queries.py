@@ -1515,3 +1515,76 @@ FROM piv
 
 QUERIES["ar2_hourly_events"] = ar2_hourly_events
 ORACLE_SQL["ar2_hourly_events"] = _ar2_sql()
+
+
+def theil_sen_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust volume trend per event type over the hourly
+    grid (operators/timeseries.py::theil_sen_trend): x = hour index
+    from the series start, y = count; the outlier-immune counterpart
+    of the OLS trend contracts."""
+    from ..operators.timeseries import resample_counts, theil_sen_trend
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", ns_to_timestamp("ts")
+    )
+    grid = resample_counts(ev, unit="hour")
+    w = Window.partitionBy("key")
+    xy = grid.select(
+        "key",
+        (
+            (F.unix_micros("bucket") - F.min(F.unix_micros("bucket")).over(w))
+            / F.lit(float(_HOUR_US))
+        ).alias("x"),
+        F.col("n").cast("double").alias("y"),
+    )
+    return theil_sen_trend(xy)
+
+
+def _theil_sen_sql() -> str:
+    head = f"""counts AS (
+  SELECT event_type AS key,
+         epoch_us(ts) - epoch_us(ts) % {_HOUR_US} AS bucket_us,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(bucket_us) AS lo, max(bucket_us) AS hi FROM counts),
+keys AS (SELECT DISTINCT event_type AS key FROM events),
+grid AS (
+  SELECT key, unnest(range(lo, hi + {_HOUR_US}, {_HOUR_US})) AS bucket_us
+  FROM keys, bounds
+),
+xy AS MATERIALIZED (
+  SELECT g.key,
+         (g.bucket_us - min(g.bucket_us) OVER (PARTITION BY g.key))
+           / {float(_HOUR_US)!r} AS x,
+         CAST(coalesce(c.n, 0) AS DOUBLE) AS y
+  FROM grid g LEFT JOIN counts c USING (key, bucket_us)
+),
+pairs AS MATERIALIZED (
+  SELECT a.key, (b.y - a.y) / (b.x - a.x) AS slope
+  FROM xy a JOIN xy b ON a.key = b.key AND a.x < b.x
+),
+med_slope AS (
+  SELECT key, CAST(count(slope) AS BIGINT) AS n_pairs,
+         quantile_cont(slope, 0.5) AS slope
+  FROM pairs GROUP BY 1
+),
+resid AS (
+  SELECT xy.key, xy.y - m.slope * xy.x AS r
+  FROM xy JOIN med_slope m USING (key)
+),
+med_int AS (
+  SELECT key, CAST(count(r) AS BIGINT) AS n_points,
+         quantile_cont(r, 0.5) AS intercept
+  FROM resid GROUP BY 1
+)"""
+    return f"""
+WITH {head}
+SELECT s.key, i.n_points, s.n_pairs, s.slope, i.intercept
+FROM med_slope s JOIN med_int i USING (key)
+"""
+
+
+QUERIES["theil_sen_hourly_events"] = theil_sen_hourly_events
+ORACLE_SQL["theil_sen_hourly_events"] = _theil_sen_sql()

@@ -1645,3 +1645,61 @@ def ar2_yule_walker(
             & (phi2 - phi1 < F.lit(1.0))
         ).alias("stationary"),
     )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    *,
+    key_col: str = "key",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Theil-Sen robust trend per series: the MEDIAN of all pairwise
+    slopes ``(y_j − y_i)/(x_j − x_i)`` over ``x_i < x_j``, with the
+    standard median intercept ``med(y − slope·x)`` — the
+    breakdown-0.29 slope estimator that one outlier bucket cannot
+    move, where OLS (group_linear_fit) follows it.
+
+    Pair space is per-series quadratic in the number of x points —
+    the Theil-Sen trade by definition — so feed RESAMPLED series
+    (hourly/daily buckets: B ≤ thousands ⇒ ≤ millions of pair rows
+    per series, one shuffle). Medians run through
+    :func:`..robust.exact_group_percentiles`'s bounded-buffer bracket
+    path, so even the B² pair relation never buffers a whole group.
+    Duplicate x values contribute no pair (undefined slope excluded,
+    the standard convention). Returns ``(key, n_points, n_pairs,
+    slope, intercept)``.
+    """
+    from .robust import exact_group_percentiles
+
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.where(x.isNotNull() & y.isNotNull()).select(
+        F.col(key_col).alias("key"), x.alias("x"), y.alias("y")
+    )
+    a = base.select("key", F.col("x").alias("xi"), F.col("y").alias("yi"))
+    b = base.select("key", F.col("x").alias("xj"), F.col("y").alias("yj"))
+    pairs = (
+        a.join(b, "key")
+        .where(F.col("xi") < F.col("xj"))
+        .select(
+            "key",
+            (
+                (F.col("yj") - F.col("yi")) / (F.col("xj") - F.col("xi"))
+            ).alias("slope"),
+        )
+    )
+    med_slope = exact_group_percentiles(
+        pairs, "slope", ["key"], [("slope", 0.5)]
+    ).select("key", F.col("n").alias("n_pairs"), "slope")
+    resid = base.join(F.broadcast(med_slope), "key").select(
+        "key", (F.col("y") - F.col("slope") * F.col("x")).alias("r")
+    )
+    med_int = exact_group_percentiles(
+        resid, "r", ["key"], [("intercept", 0.5)]
+    ).select("key", F.col("n").alias("n_points"), "intercept")
+    return (
+        med_slope.join(med_int, "key")
+        .select("key", "n_points", "n_pairs", "slope", "intercept")
+        .withColumnRenamed("key", key_col)
+    )

@@ -675,3 +675,27 @@ def test_ar2_yule_walker_recovers_planted_ar2(spark):
     )
     rc = ar2_yule_walker(const).collect()[0]
     assert rc["phi1"] is None and rc["phi2"] is None
+
+
+def test_theil_sen_ignores_outlier_bucket(spark):
+    """Line y = 2x + 1 with one wild outlier: Theil-Sen recovers the
+    exact slope/intercept; OLS would not."""
+    from k_means_using_mapreduce_spark.operators.timeseries import (
+        theil_sen_trend,
+    )
+
+    rows = [("a", float(x), 2.0 * x + 1.0) for x in range(20)]
+    rows[10] = ("a", 10.0, 1000.0)  # outlier
+    df = spark.createDataFrame(rows, "key string, x double, y double")
+    r = theil_sen_trend(df).collect()[0]
+    assert r["slope"] == pytest.approx(2.0)
+    assert r["intercept"] == pytest.approx(1.0)
+    assert r["n_points"] == 20 and r["n_pairs"] == 190
+
+    # duplicate x values contribute no pair
+    dup = spark.createDataFrame(
+        [("d", 1.0, 1.0), ("d", 1.0, 5.0), ("d", 2.0, 3.0)],
+        "key string, x double, y double",
+    )
+    rd = theil_sen_trend(dup).collect()[0]
+    assert rd["n_pairs"] == 2
