@@ -705,10 +705,13 @@ def trend_test(
             / (F.col("b.idx") - F.col("a.idx")).cast("double")
         ).alias("slope"),
     )
-    pair_agg = pairs.groupBy("key").agg(
-        F.sum("sgn").cast("long").alias("s"),
-        F.percentile(F.col("slope"), F.lit(0.5)).alias("sen_slope"),
-    )
+    from .robust import exact_group_percentiles
+
+    s_agg = pairs.groupBy("key").agg(F.sum("sgn").cast("long").alias("s"))
+    sen = exact_group_percentiles(
+        pairs, "slope", ["key"], [("sen_slope", 0.5)]
+    ).select("key", "sen_slope")
+    pair_agg = s_agg.join(sen, "key")
     nk = g.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
     ties = (
         g.groupBy("key", "y")
