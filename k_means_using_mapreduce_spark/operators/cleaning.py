@@ -703,11 +703,19 @@ def psi_drift(
     if bins < 2:
         raise ValueError(f"bins must be >= 2, got {bins}")
     qs = [i / bins for i in range(1, bins)]
-    edges = old.agg(
-        F.expr(
-            f"percentile(CAST({col} AS DOUBLE), array({', '.join(map(str, qs))}))"
-        )
-    ).first()[0]
+    from .robust import exact_group_percentiles
+
+    _edge_row = exact_group_percentiles(
+        old.select(F.col(col).cast("double").alias("_v")),
+        "_v",
+        [],
+        [(f"_e{i}", q) for i, q in enumerate(qs)],
+    ).first()
+    edges = (
+        None
+        if _edge_row is None or _edge_row[f"_e0"] is None
+        else [_edge_row[f"_e{i}"] for i in range(len(qs))]
+    )
     if edges is None:
         raise ValueError(f"old snapshot has no non-null {col} values")
 

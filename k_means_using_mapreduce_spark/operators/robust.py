@@ -154,7 +154,7 @@ def exact_group_percentiles(
         ws = F.col(f"_ws_{i}")
         at_lower = F.element_at(ws, (lower + 1 - nb).cast("int"))
         at_higher = F.element_at(ws, (higher + 1 - nb).cast("int"))
-        q = F.when(n == 0, F.lit(None).cast("double")).otherwise(
+        q = F.when(n.isNull() | (n == 0), F.lit(None).cast("double")).otherwise(
             F.when(lower == higher, at_lower).otherwise(
                 at_lower * (higher.cast("double") - pos)
                 + at_higher * (pos - lower.cast("double"))
