@@ -109,17 +109,19 @@ def _pagerank_step(nodes, n, norm, has_out, ranks, damping, pref=None):
     1) — the personalized/topic-sensitive variant (Haveliwala 2002):
     both the (1-d) teleport mass AND the dangling mass land on the
     preference nodes instead of uniformly. None → uniform 1/n."""
-    dangling = (
-        ranks.join(has_out, ranks.node == has_out.src, "left_anti")
-        .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-        .first()[0]
-    )
+    # dangling mass stays IN-PLAN as a broadcast 1-row scalar — a
+    # driver-side .first() would cost an extra job per iteration
+    dangling = ranks.join(
+        has_out, ranks.node == has_out.src, "left_anti"
+    ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
     contrib = (
         norm.join(ranks, norm.src == ranks.node)
         .groupBy("dst")
         .agg(F.sum(F.col("p") * F.col("rank")).alias("c"))
     )
-    out = nodes.join(contrib, nodes.node == contrib.dst, "left")
+    out = nodes.join(contrib, nodes.node == contrib.dst, "left").crossJoin(
+        F.broadcast(dangling)
+    )
     if pref is None:
         teleport = F.lit(1.0 / n)
     else:
@@ -133,7 +135,7 @@ def _pagerank_step(nodes, n, norm, has_out, ranks, damping, pref=None):
                 + F.lit(damping)
                 * (
                     F.coalesce(F.col("c"), F.lit(0.0))
-                    + F.lit(dangling) * teleport
+                    + F.col("_dang") * teleport
                 )
             ).alias("rank"),
         )
@@ -686,29 +688,45 @@ def hits(
         "node", F.lit(1.0 / n).alias("hub"), F.lit(1.0 / n).alias("auth")
     )
     for _ in range(max_iter):
+        # L1 totals stay IN-PLAN as broadcast 1-row scalars: pulling
+        # them to the driver (.first()) costs two extra jobs per
+        # round — with the totals folded, each round is exactly ONE
+        # job (the eager checkpoint at the bottom).
         a_un = (
             e.join(scores.select(F.col("node").alias("src"), "hub"), "src")
             .groupBy("dst")
             .agg(F.sum(F.col("w") * F.col("hub")).alias("un"))
         )
-        ta = a_un.agg(F.sum("un")).first()[0]
-        auth = nodes.join(
-            a_un.select(F.col("dst").alias("node"), "un"), "node", "left"
-        ).select(
-            "node",
-            (F.coalesce(F.col("un"), F.lit(0.0)) / F.lit(ta)).alias("auth"),
+        ta = a_un.agg(F.sum("un").alias("_ta"))
+        auth = (
+            nodes.join(
+                a_un.select(F.col("dst").alias("node"), "un"), "node", "left"
+            )
+            .crossJoin(F.broadcast(ta))
+            .select(
+                "node",
+                (F.coalesce(F.col("un"), F.lit(0.0)) / F.col("_ta")).alias(
+                    "auth"
+                ),
+            )
         )
         h_un = (
             e.join(auth.select(F.col("node").alias("dst"), "auth"), "dst")
             .groupBy("src")
             .agg(F.sum(F.col("w") * F.col("auth")).alias("un"))
         )
-        th = h_un.agg(F.sum("un")).first()[0]
-        hub = nodes.join(
-            h_un.select(F.col("src").alias("node"), "un"), "node", "left"
-        ).select(
-            "node",
-            (F.coalesce(F.col("un"), F.lit(0.0)) / F.lit(th)).alias("hub"),
+        th = h_un.agg(F.sum("un").alias("_th"))
+        hub = (
+            nodes.join(
+                h_un.select(F.col("src").alias("node"), "un"), "node", "left"
+            )
+            .crossJoin(F.broadcast(th))
+            .select(
+                "node",
+                (F.coalesce(F.col("un"), F.lit(0.0)) / F.col("_th")).alias(
+                    "hub"
+                ),
+            )
         )
         scores = (
             hub.join(auth, "node").localCheckpoint(eager=True)
