@@ -67,6 +67,51 @@ def rp_signature_bits(vec_col, planes: list[list[float]]):
     return bits
 
 
+def _sign_bits_rows(
+    df: DataFrame, id_col: str, vec_col: str, planes: list[list[float]]
+) -> DataFrame:
+    """``(id, bits array<int>)`` — the sign bit per hyperplane, via an
+    Arrow-batched kernel whose per-dimension SEQUENTIAL accumulation
+    (``acc += X[:, d] * p[d]`` in ascending d, 0.0-seeded) reproduces
+    ``dot_expr``'s left fold bit-for-bit while vectorizing across rows
+    — the expression path evaluates bits x dim interpreted folds per
+    row and dominated the LSH stage cost. Null or wrong-length vectors
+    yield NULL bits (the fold's null semantics)."""
+    dim = len(planes[0])
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        P = [list(map(float, row)) for row in planes]
+
+        for pdf in batches:
+            vecs = list(pdf[vec_col])
+            ok = np.array(
+                [v is not None and len(v) == dim for v in vecs], dtype=bool
+            )
+            n_ok = int(ok.sum())
+            out = [None] * len(vecs)
+            if n_ok:
+                X = np.asarray(
+                    [v for v, o in zip(vecs, ok) if o], dtype=np.float64
+                )
+                sigs = np.empty((n_ok, len(P)), dtype=np.int32)
+                for j, row in enumerate(P):
+                    acc = np.zeros(n_ok, dtype=np.float64)
+                    for d in range(dim):
+                        acc = acc + X[:, d] * row[d]
+                    sigs[:, j] = (acc >= 0.0).astype(np.int32)
+                it = iter(sigs.tolist())
+                for i, o in enumerate(ok):
+                    if o:
+                        out[i] = next(it)
+            yield pd.DataFrame({"id": pdf[id_col], "bits": out})
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.mapInPandas(gen, f"id {id_type}, bits array<int>")
+
+
 def rp_bands(
     df: DataFrame,
     *,
@@ -91,19 +136,20 @@ def rp_bands(
             raise ValueError("input is empty and dim was not given")
         dim = first["d"]
     planes = random_hyperplanes(dim, bits, seed=seed)
-    v = F.col(vec_col).cast("array<double>")
-    bit_exprs = rp_signature_bits(v, planes)
+    sig_rows = _sign_bits_rows(df, id_col, vec_col, planes)
     per_band = bits // bands
     rows = []
     for b in range(bands):
         bucket = F.lit(0)
         for i in range(per_band):
-            bucket = bucket * 2 + bit_exprs[b * per_band + i]
+            bucket = bucket * 2 + F.element_at(
+                F.col("bits"), b * per_band + i + 1
+            )
         rows.append(
             F.struct(F.lit(b).alias("band"), bucket.cast("long").alias("bucket"))
         )
-    return df.select(
-        F.col(id_col).alias("id"), F.explode(F.array(*rows)).alias("bb")
+    return sig_rows.select(
+        "id", F.explode(F.array(*rows)).alias("bb")
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
@@ -119,9 +165,12 @@ def rp_candidate_pairs(
     """Distinct candidate pairs (id1 < id2) sharing at least one band
     bucket — feed to an exact verifier (similarity.topk /
     dedup.embedding_near_dup's cosine) like every LSH family here."""
+    # materialize the band keys once: both self-join sides (and the
+    # downstream distinct) otherwise re-evaluate the bits x dim sign
+    # projections per branch — the semdedup lesson applied to LSH
     keys = rp_bands(
         df, id_col=id_col, vec_col=vec_col, bits=bits, bands=bands, seed=seed
-    )
+    ).localCheckpoint()
     a = keys.select("band", "bucket", F.col("id").alias("id1"))
     b = keys.select("band", "bucket", F.col("id").alias("id2"))
     return (
@@ -153,11 +202,11 @@ def rp_signatures(
             raise ValueError("input is empty and dim was not given")
         dim = first["d"]
     planes = random_hyperplanes(dim, bits, seed=seed)
-    v = F.col(vec_col).cast("array<double>")
+    sig_rows = _sign_bits_rows(df, id_col, vec_col, planes)
     sig = F.lit(0).cast("long")
-    for bit in rp_signature_bits(v, planes):
-        sig = sig * 2 + bit.cast("long")
-    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    for j in range(bits):
+        sig = sig * 2 + F.element_at(F.col("bits"), j + 1).cast("long")
+    return sig_rows.select("id", sig.alias("sig"))
 
 
 def rp_hamming_pairs(
@@ -185,7 +234,7 @@ def rp_hamming_pairs(
     )
     sigs = rp_signatures(
         df, id_col=id_col, vec_col=vec_col, bits=bits, seed=seed
-    )
+    ).localCheckpoint()
     s1 = sigs.select(F.col("id").alias("id1"), F.col("sig").alias("sig1"))
     s2 = sigs.select(F.col("id").alias("id2"), F.col("sig").alias("sig2"))
     return (

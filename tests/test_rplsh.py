@@ -110,3 +110,41 @@ def test_hamming_pairs_verify_candidates(spark):
     assert sigs[1] == sigs[4] and sigs[1] != sigs[3]
     with pytest.raises(ValueError, match="62"):
         rp_signatures(df, bits=63)
+
+
+def test_sign_kernel_bit_exact_vs_expression_fold(spark):
+    """The vectorized sign kernel must agree with the dot_expr fold
+    BIT-FOR-BIT (same per-dimension addition order), including vectors
+    engineered to put dots very near zero."""
+    import pyspark.sql.functions as F
+
+    from k_means_using_mapreduce_spark.operators.rplsh import (
+        _sign_bits_rows,
+        random_hyperplanes,
+        rp_signature_bits,
+    )
+
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) * 10 ** rng.randint(-12, 0) for _ in range(8)]) for i in range(300)]
+    rows.append((998, None))
+    rows.append((999, [1.0, 2.0]))  # wrong length
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planes = random_hyperplanes(8, 16, seed=3)
+
+    kern = {
+        r["id"]: r["bits"]
+        for r in _sign_bits_rows(df, "vec_id", "embedding", planes).collect()
+    }
+    ok = df.where(F.size("embedding") == 8)
+    exprs = rp_signature_bits(F.col("embedding").cast("array<double>"), planes)
+    ref = {
+        r["vec_id"]: [r[f"b{j}"] for j in range(16)]
+        for r in ok.select(
+            "vec_id", *[e.alias(f"b{j}") for j, e in enumerate(exprs)]
+        ).collect()
+    }
+    for i, bits in ref.items():
+        assert kern[i] == bits, f"bit mismatch at id {i}"
+    assert kern[998] is None and kern[999] is None
