@@ -28,10 +28,16 @@ _PRIORITY = "1-URGENT"
 
 
 def _sql_pos(key_expr: str, i: int) -> str:
-    return (
-        f"(('0x' || substr(md5(CAST({key_expr} AS VARCHAR) || ':{i}'), 1, 15))"
-        f"::BIGINT % {BLOOM_BITS})"
+    """Mirror of operators/bloomjoin.py: one base md5 mod P, fanned by
+    the frozen affine family."""
+    from ..operators.dedup import MINHASH_AFFINE, MINHASH_P
+
+    a, b = MINHASH_AFFINE[i]
+    base = (
+        f"(('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 15))"
+        f"::BIGINT % {MINHASH_P})"
     )
+    return f"((({a} * {base} + {b}) % {MINHASH_P}) % {BLOOM_BITS})"
 
 
 def bloom_prefilter_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:

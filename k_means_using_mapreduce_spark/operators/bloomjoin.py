@@ -20,10 +20,14 @@ via a broadcast nested-loop join of a 1-row relation (a plain literal
 would re-serialize the array into every task binding anyway; the
 broadcast relation ships it once per executor).
 
-Determinism & portability: bit positions are the house hash —
-``int60(md5(key || ':' || i)) % num_bits`` — so a DuckDB oracle
-reproduces membership (INCLUDING false positives) bit-for-bit, and
-retries/repartitions cannot change the outcome. False positives are a
+Determinism & portability: bit positions are ONE house hash per key —
+``x = int60(md5(key)) mod P`` (P = 2³¹−1) — fanned to ``num_hashes``
+positions by the frozen affine family ``(aᵢ·x + bᵢ) mod P mod
+num_bits`` (operators/dedup.py::MINHASH_AFFINE — exact int64 in both
+engines), so a DuckDB oracle reproduces membership (INCLUDING false
+positives) bit-for-bit, retries/repartitions cannot change the
+outcome, and the probe scan pays one md5 per row instead of
+``num_hashes`` (the round-4 bench cost of this family). False positives are a
 documented property of the operator, not an error: the output is a
 SUPERSET of the exact semi-join, to be finished by an exact join or
 accepted as-is (cache admission, candidate pruning).
@@ -53,16 +57,41 @@ def _int60(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
+def bloom_base_hash(key: Column) -> Column:
+    """One md5 per key: ``int60(md5(key)) mod P`` — the base the
+    affine position family mixes from."""
+    from .dedup import MINHASH_P
+
+    return _int60(key.cast("string")) % MINHASH_P
+
+
+def bloom_positions_from_base(
+    base: Column, num_bits: int, num_hashes: int
+) -> list[Column]:
+    """``num_hashes`` bit positions from one base hash via the frozen
+    affine family — exact int64 (a·x < 2⁶²), engine-portable."""
+    from .dedup import MINHASH_AFFINE, MINHASH_P
+
+    if num_hashes > len(MINHASH_AFFINE):
+        raise ValueError(
+            f"num_hashes={num_hashes} exceeds the {len(MINHASH_AFFINE)} "
+            "frozen affine constants"
+        )
+    return [
+        ((F.lit(a) * base + F.lit(b)) % MINHASH_P) % num_bits
+        for a, b in MINHASH_AFFINE[:num_hashes]
+    ]
+
+
 def bloom_bit_positions(
     key: Column, num_bits: int, num_hashes: int
 ) -> list[Column]:
-    """The ``num_hashes`` bit positions of ``key`` — independent hashes
-    via salt suffixes on one md5 family (``key || ':' || i``)."""
-    k = key.cast("string")
-    return [
-        _int60(F.concat(k, F.lit(f":{i}"))) % num_bits
-        for i in range(num_hashes)
-    ]
+    """The ``num_hashes`` bit positions of ``key`` (base hash inlined;
+    prefer projecting :func:`bloom_base_hash` once when the key column
+    is reused, as bloom_semi_join does)."""
+    return bloom_positions_from_base(
+        bloom_base_hash(key), num_bits, num_hashes
+    )
 
 
 def suggest_params(expected_items: int, fpp: float = 0.01) -> tuple[int, int]:
@@ -101,10 +130,13 @@ def build_bloom_bitmap(
         raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
     n_words = num_bits // 64
     pos = F.explode(
-        F.array(*bloom_bit_positions(F.col(key_col), num_bits, num_hashes))
+        F.array(
+            *bloom_positions_from_base(F.col("_bh"), num_bits, num_hashes)
+        )
     ).alias("pos")
     words = (
-        build.select(pos)
+        build.select(bloom_base_hash(F.col(key_col)).alias("_bh"))
+        .select(pos)
         .select(
             (F.col("pos") / 64).cast("int").alias("w"),
             F.call_function(
@@ -132,7 +164,10 @@ def bloom_might_contain(
     key: Column, words_col: Column, *, num_bits: int, num_hashes: int
 ) -> Column:
     """Membership predicate: all ``num_hashes`` bits set. Pure codegen
-    (element_at + bit-and); array indexing is 1-based."""
+    (element_at + bit-and); array indexing is 1-based. ``key`` may be
+    a pre-projected :func:`bloom_base_hash` column passed through
+    bloom_positions_from_base by the caller; here it is hashed once
+    per position expression (codegen CSEs the shared md5)."""
     conds = []
     for p in bloom_bit_positions(key, num_bits, num_hashes):
         word = F.element_at(words_col, (p / 64).cast("int") + 1)
@@ -161,11 +196,17 @@ def bloom_semi_join(
     bitmap = build_bloom_bitmap(
         build, build_key, num_bits=num_bits, num_hashes=num_hashes
     )
-    joined = probe.join(F.broadcast(bitmap))
-    keep = bloom_might_contain(
-        F.col(probe_key),
-        F.col("words"),
-        num_bits=num_bits,
-        num_hashes=num_hashes,
+    joined = probe.withColumn(
+        "_bh", bloom_base_hash(F.col(probe_key))
+    ).join(F.broadcast(bitmap))
+    conds = []
+    for p in bloom_positions_from_base(F.col("_bh"), num_bits, num_hashes):
+        word = F.element_at(F.col("words"), (p / 64).cast("int") + 1)
+        bit = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
+        )
+        conds.append(word.bitwiseAND(bit) != 0)
+    keep = reduce(lambda a, b: a & b, conds)
+    return joined.filter(keep).drop(
+        "_bh", "words", "num_bits", "num_hashes"
     )
-    return joined.filter(keep).drop("words", "num_bits", "num_hashes")
