@@ -183,3 +183,46 @@ SELECT est, exact FROM est CROSS JOIN ex
 
 QUERIES["join_size_estimate_orders_lineitem"] = join_size_estimate_orders_lineitem
 ORACLE_SQL["join_size_estimate_orders_lineitem"] = JOIN_SIZE_ESTIMATE_SQL
+
+
+def distinct_users_minhash_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distinct-user estimate per event type
+    (operators/sketch.py::minhash_distinct_estimate, k=16 min-hashes):
+    approximate in value, exact in reproduction — the oracle replays
+    the same minima and lands on the identical estimate."""
+    from ..operators.sketch import minhash_distinct_estimate
+
+    ev = load_table(spark, sf_dir, "events")
+    return minhash_distinct_estimate(
+        ev, "user_id", ["event_type"], num_hashes=16
+    )
+
+
+def _minhash_distinct_sql(num_hashes: int = 16) -> str:
+    from ..operators.dedup import MINHASH_AFFINE, MINHASH_P
+
+    base = (
+        f"(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT"
+        f" % {MINHASH_P})"
+    )
+    mins = ", ".join(
+        f"min(CAST(({a} * x + {b}) % {MINHASH_P} + 1 AS DOUBLE)"
+        f" / {float(MINHASH_P)!r}) AS u{i}"
+        for i, (a, b) in enumerate(MINHASH_AFFINE[:num_hashes])
+    )
+    ssum = " + ".join(f"u{i}" for i in range(num_hashes))
+    return f"""
+WITH b AS (
+  SELECT event_type, {base} AS x FROM events WHERE user_id IS NOT NULL
+), g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows, {mins}
+  FROM b GROUP BY 1
+)
+SELECT event_type, n_rows,
+       {float(num_hashes)!r} / ({ssum}) - 1.0 AS distinct_est
+FROM g
+"""
+
+
+QUERIES["distinct_users_minhash_events"] = distinct_users_minhash_events
+ORACLE_SQL["distinct_users_minhash_events"] = _minhash_distinct_sql()

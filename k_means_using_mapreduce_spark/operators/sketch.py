@@ -350,3 +350,63 @@ def bucket_retention(
         .cast("long")
         .alias("new_est"),
     )
+
+
+def minhash_distinct_estimate(
+    df: DataFrame,
+    value_col: str,
+    group_cols: "list[str]",
+    *,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Deterministic distinct-count ESTIMATE per group from k
+    independent minimum hashes — the oracle-reproducible companion to
+    the HLL/theta sketches above (whose binary registers no SQL engine
+    can replay).
+
+    Each value hashes once (house md5-int60 mod P), the frozen affine
+    family (operators/dedup.py::MINHASH_AFFINE) derives ``num_hashes``
+    uniform (0,1] variates, and the group keeps each variate's MIN —
+    k plain ``min`` aggregates, ONE map-side-combined scan, 8k bytes
+    of state per group at any scale. For D distinct values the minima
+    are ≈ Beta(1, D), so ``D̂ = k / Σᵢ uᵢ − 1`` is the standard MLE
+    (exponential-spacings argument; relative error ~1/√k). NULLs are
+    ignored; an empty group yields NULL estimate.
+
+    Exactness note: the ESTIMATOR is deterministic (md5 + exact int64
+    affine mixes + fixed fold order), so the DuckDB oracle reproduces
+    the estimate bit-for-bit even though the estimate itself is
+    approximate — the house md5-coin doctrine applied to cardinality.
+
+    Returns ``(group..., n_rows, distinct_est)``.
+    """
+    from .dedup import MINHASH_AFFINE, MINHASH_P
+
+    if not 1 <= num_hashes <= len(MINHASH_AFFINE):
+        raise ValueError(
+            f"num_hashes must be in [1, {len(MINHASH_AFFINE)}], got {num_hashes}"
+        )
+    x = (
+        F.conv(
+            F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        % MINHASH_P
+    )
+    base = df.where(F.col(value_col).isNotNull()).select(
+        *group_cols, x.alias("_x")
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for i, (a, b) in enumerate(MINHASH_AFFINE[:num_hashes]):
+        u = ((F.lit(a) * F.col("_x") + F.lit(b)) % MINHASH_P + 1).cast(
+            "double"
+        ) / F.lit(float(MINHASH_P))
+        aggs.append(F.min(u).alias(f"_u{i}"))
+    g = base.groupBy(*group_cols).agg(*aggs)
+    s = F.col("_u0")
+    for i in range(1, num_hashes):
+        s = s + F.col(f"_u{i}")
+    return g.select(
+        *group_cols,
+        "n_rows",
+        (F.lit(float(num_hashes)) / s - F.lit(1.0)).alias("distinct_est"),
+    )

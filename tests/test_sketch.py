@@ -193,3 +193,28 @@ def test_theta_deterministic(events):
     a = sorted((r["day"], r["retained_est"]) for r in bucket_retention(daily, "day").collect())
     b = sorted((r["day"], r["retained_est"]) for r in bucket_retention(daily, "day").collect())
     assert a == b
+
+
+def test_minhash_distinct_estimate_accuracy_and_determinism(spark):
+    from k_means_using_mapreduce_spark.operators.sketch import (
+        minhash_distinct_estimate,
+    )
+
+    # 500 distinct values, heavy duplication
+    rows = [("g", i % 500) for i in range(5000)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = minhash_distinct_estimate(df, "v", ["g"], num_hashes=16).collect()[0]
+    assert r["n_rows"] == 5000
+    # ~1/sqrt(16) = 25% relative error bound; allow 2x margin
+    assert 250 <= r["distinct_est"] <= 1000
+    # determinism: identical on re-run
+    r2 = minhash_distinct_estimate(df, "v", ["g"], num_hashes=16).collect()[0]
+    assert r2["distinct_est"] == r["distinct_est"]
+    # duplication-invariance: the estimate depends only on the SET
+    dup = spark.createDataFrame(rows * 3, "g string, v long")
+    r3 = minhash_distinct_estimate(dup, "v", ["g"], num_hashes=16).collect()[0]
+    assert r3["distinct_est"] == r["distinct_est"]
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        minhash_distinct_estimate(df, "v", ["g"], num_hashes=99)
