@@ -1065,3 +1065,68 @@ GROUP BY n, k, tt
 
 QUERIES["friedman_value_by_type"] = friedman_value_by_type
 ORACLE_SQL["friedman_value_by_type"] = FRIEDMAN_SQL
+
+
+def ab_power_value_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power planning for the hash-armed value experiment
+    (operators/hypothesis.py::ab_power_mde): observed-size MDE at
+    alpha=.05/power=.80 and the per-arm n a 5% relative lift needs."""
+    from ..operators.hypothesis import ab_power_mde
+    from ..operators.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "arm",
+        F.when(hash_bucket("user_id", 2) == 0, F.lit("a")).otherwise(
+            F.lit("b")
+        ),
+    )
+    return ab_power_mde(ev, "arm", "value")
+
+
+def _ab_power_sql() -> str:
+    from ..operators.hypothesis import Z_ALPHA_05, Z_BETA_80
+
+    zsum = repr(Z_ALPHA_05 + Z_BETA_80)
+    arm = (
+        "CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))"
+        "::BIGINT % 2 = 0 THEN 'a' ELSE 'b' END"
+    )
+    return f"""
+WITH b AS (
+  SELECT {arm} AS arm, CAST(value AS DOUBLE) AS y
+  FROM events WHERE value IS NOT NULL
+), s AS (
+  SELECT
+    sum(CASE WHEN arm = 'a' THEN 1.0 ELSE 0.0 END) AS na,
+    sum(CASE WHEN arm = 'a' THEN y ELSE 0.0 END) AS sa,
+    sum(CASE WHEN arm = 'a' THEN y * y ELSE 0.0 END) AS qa,
+    sum(CASE WHEN arm = 'b' THEN 1.0 ELSE 0.0 END) AS nb,
+    sum(CASE WHEN arm = 'b' THEN y ELSE 0.0 END) AS sb,
+    sum(CASE WHEN arm = 'b' THEN y * y ELSE 0.0 END) AS qb
+  FROM b
+), t AS (
+  SELECT na, nb, sa, sb,
+    sa / nullif(na, 0.0) AS ma, sb / nullif(nb, 0.0) AS mb,
+    (qa - sa * sa / nullif(na, 0.0)) / nullif(na - 1.0, 0.0) AS va,
+    (qb - sb * sb / nullif(nb, 0.0)) / nullif(nb - 1.0, 0.0) AS vb,
+    (sa + sb) / nullif(na + nb, 0.0) AS pm,
+    na >= 2.0 AND nb >= 2.0 AS ok
+  FROM s
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+  ma AS mean_a, mb AS mean_b,
+  CASE WHEN ok THEN va END AS var_a,
+  CASE WHEN ok THEN vb END AS var_b,
+  CASE WHEN ok THEN {zsum} * sqrt(va / na + vb / nb) END AS mde_abs,
+  CASE WHEN ok THEN {zsum} * sqrt(va / na + vb / nb) END
+    / nullif(pm, 0.0) AS mde_rel,
+  CAST(ceil(CASE WHEN ok AND 0.05 * pm != 0.0 THEN
+    2.0 * {zsum} * {zsum}
+      * (((na - 1.0) * va + (nb - 1.0) * vb) / nullif(na + nb - 2.0, 0.0))
+      / ((0.05 * pm) * (0.05 * pm)) END) AS BIGINT) AS n_per_arm_target
+FROM t
+"""
+
+
+QUERIES["ab_power_value_experiment"] = ab_power_value_experiment
+ORACLE_SQL["ab_power_value_experiment"] = _ab_power_sql()

@@ -1291,3 +1291,92 @@ def friedman_test(
         (raw / F.nullif(c_corr, F.lit(0.0))).alias("chi2_f"),
         F.lit(k - 1).cast("long").alias("df"),
     )
+
+
+#: two-sided alpha=0.05 and power=0.80 normal quantiles — frozen to
+#: full double precision so oracles share them as literals
+Z_ALPHA_05 = 1.959963984540054
+Z_BETA_80 = 0.8416212335729143
+
+
+def ab_power_mde(
+    df: DataFrame,
+    arm_col: str,
+    metric_col: str,
+    *,
+    arm_a: str = "a",
+    arm_b: str = "b",
+    target_rel_effect: float = 0.05,
+) -> DataFrame:
+    """Experiment power planning from the experiment's own data: the
+    minimum detectable effect at the OBSERVED arm sizes and the sample
+    size a target effect would need — the two numbers every "is this
+    A/B even worth running" review asks for (two-sided α = 0.05,
+    power = 0.80, normal approximation).
+
+    One aggregation scan of per-arm sums:
+
+    - ``mde_abs = (z_{α/2} + z_β) · √(s²_a/n_a + s²_b/n_b)`` and its
+      ratio to the pooled mean (``mde_rel``);
+    - ``n_per_arm_target`` = ``2·(z_{α/2}+z_β)²·s²_pooled / δ²`` with
+      ``δ = target_rel_effect · pooled mean`` — the classic per-arm
+      requirement for the stated relative lift.
+
+    Degenerate inputs (an arm below 2 units, zero variance, zero
+    pooled mean) surface NULL in the affected fields. Returns one row
+    ``(n_a, n_b, mean_a, mean_b, var_a, var_b, mde_abs, mde_rel,
+    n_per_arm_target)``.
+    """
+    if target_rel_effect <= 0:
+        raise ValueError(
+            f"target_rel_effect must be > 0, got {target_rel_effect}"
+        )
+    y = F.col(metric_col).cast("double")
+    arm = F.col(arm_col)
+    rows = df.where(y.isNotNull() & arm.isin([arm_a, arm_b]))
+    s = rows.agg(
+        F.sum(F.when(arm == arm_a, 1.0).otherwise(0.0)).alias("na"),
+        F.sum(F.when(arm == arm_a, y).otherwise(0.0)).alias("sa"),
+        F.sum(F.when(arm == arm_a, y * y).otherwise(0.0)).alias("qa"),
+        F.sum(F.when(arm == arm_b, 1.0).otherwise(0.0)).alias("nb"),
+        F.sum(F.when(arm == arm_b, y).otherwise(0.0)).alias("sb"),
+        F.sum(F.when(arm == arm_b, y * y).otherwise(0.0)).alias("qb"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    ma = F.col("sa") / F.nullif(na, F.lit(0.0))
+    mb = F.col("sb") / F.nullif(nb, F.lit(0.0))
+    va = (F.col("qa") - F.col("sa") * F.col("sa") / F.nullif(na, F.lit(0.0))) / F.nullif(
+        na - F.lit(1.0), F.lit(0.0)
+    )
+    vb = (F.col("qb") - F.col("sb") * F.col("sb") / F.nullif(nb, F.lit(0.0))) / F.nullif(
+        nb - F.lit(1.0), F.lit(0.0)
+    )
+    guard = (na >= 2.0) & (nb >= 2.0)
+    zsum = F.lit(Z_ALPHA_05 + Z_BETA_80)
+    mde_abs = F.when(guard, zsum * F.sqrt(va / na + vb / nb))
+    pooled_mean = (F.col("sa") + F.col("sb")) / F.nullif(
+        na + nb, F.lit(0.0)
+    )
+    pooled_var = F.when(
+        guard,
+        (
+            (na - 1.0) * va + (nb - 1.0) * vb
+        )
+        / F.nullif(na + nb - F.lit(2.0), F.lit(0.0)),
+    )
+    delta = F.lit(float(target_rel_effect)) * pooled_mean
+    n_target = F.when(
+        guard & (delta != 0.0),
+        F.lit(2.0) * zsum * zsum * pooled_var / (delta * delta),
+    )
+    return s.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        ma.alias("mean_a"),
+        mb.alias("mean_b"),
+        F.when(guard, va).alias("var_a"),
+        F.when(guard, vb).alias("var_b"),
+        mde_abs.alias("mde_abs"),
+        (mde_abs / F.nullif(pooled_mean, F.lit(0.0))).alias("mde_rel"),
+        F.ceil(n_target).cast("long").alias("n_per_arm_target"),
+    )

@@ -549,3 +549,36 @@ def test_cuped_degenerate_arm_yields_nulls_not_crash(spark):
     assert r["n_t"] == 3 and r["n_c"] == 1
     assert r["z_raw"] is None and r["z_cuped"] is None
     assert r["effect_raw"] is None and r["var_reduction"] is None
+
+
+def test_ab_power_mde_closed_form(spark):
+    """Hand-computable case: equal arms, known variance -> MDE matches
+    the textbook formula; degenerate single-unit arm -> NULLs."""
+    import math
+
+    from k_means_using_mapreduce_spark.operators.hypothesis import (
+        Z_ALPHA_05,
+        Z_BETA_80,
+        ab_power_mde,
+    )
+
+    rows = [("a", float(v)) for v in (1, 2, 3, 4)] + [
+        ("b", float(v)) for v in (2, 3, 4, 5)
+    ]
+    df = spark.createDataFrame(rows, "arm string, y double")
+    r = ab_power_mde(df, "arm", "y").collect()[0]
+    va = vb = 5.0 / 3.0  # sample variance of {1,2,3,4}
+    expected = (Z_ALPHA_05 + Z_BETA_80) * math.sqrt(va / 4 + vb / 4)
+    assert r["mde_abs"] == pytest.approx(expected, rel=1e-12)
+    assert r["n_a"] == 4 and r["n_b"] == 4
+    pooled_mean = 3.0
+    assert r["mde_rel"] == pytest.approx(expected / pooled_mean, rel=1e-12)
+    delta = 0.05 * pooled_mean
+    n_exp = math.ceil(2 * (Z_ALPHA_05 + Z_BETA_80) ** 2 * va / delta**2)
+    assert r["n_per_arm_target"] == n_exp
+
+    tiny = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("b", 3.0)], "arm string, y double"
+    )
+    rt = ab_power_mde(tiny, "arm", "y").collect()[0]
+    assert rt["mde_abs"] is None and rt["n_per_arm_target"] is None
