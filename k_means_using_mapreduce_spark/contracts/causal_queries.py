@@ -228,3 +228,69 @@ FROM s
 
 QUERIES["discount_effect_iv"] = discount_effect_iv
 ORACLE_SQL["discount_effect_iv"] = IV_WALD_SQL
+
+
+_BAL_COVS = ["value", "user_id"]
+
+
+def experiment_balance_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMD balance table of the hash-armed events experiment
+    (operators/causal.py::covariate_balance) — a hash split SHOULD be
+    balanced on every pre-treatment covariate; this is the check."""
+    from ..operators.causal import covariate_balance
+    from ..operators.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "arm",
+        F.when(hash_bucket("user_id", 2) == 0, F.lit("a")).otherwise(
+            F.lit("b")
+        ),
+    )
+    return covariate_balance(ev, "arm", _BAL_COVS)
+
+
+def _balance_sql() -> str:
+    arm = (
+        "CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))"
+        "::BIGINT % 2 = 0 THEN 'a' ELSE 'b' END"
+    )
+    parts = []
+    for c in _BAL_COVS:
+        parts.append(f"""SELECT '{c}' AS covariate,
+  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+  sa / nullif(na, 0.0) AS mean_a, sb / nullif(nb, 0.0) AS mean_b,
+  CASE WHEN na >= 2.0 AND nb >= 2.0 THEN
+    (sa / nullif(na, 0.0) - sb / nullif(nb, 0.0))
+      / nullif(sqrt((
+          (qa - sa * sa / nullif(na, 0.0)) / nullif(na - 1.0, 0.0)
+        + (qb - sb * sb / nullif(nb, 0.0)) / nullif(nb - 1.0, 0.0)
+        ) / 2.0), 0.0)
+  END AS smd,
+  CASE WHEN (CASE WHEN na >= 2.0 AND nb >= 2.0 THEN
+    (sa / nullif(na, 0.0) - sb / nullif(nb, 0.0))
+      / nullif(sqrt((
+          (qa - sa * sa / nullif(na, 0.0)) / nullif(na - 1.0, 0.0)
+        + (qb - sb * sb / nullif(nb, 0.0)) / nullif(nb - 1.0, 0.0)
+        ) / 2.0), 0.0)
+  END) IS NOT NULL THEN abs(CASE WHEN na >= 2.0 AND nb >= 2.0 THEN
+    (sa / nullif(na, 0.0) - sb / nullif(nb, 0.0))
+      / nullif(sqrt((
+          (qa - sa * sa / nullif(na, 0.0)) / nullif(na - 1.0, 0.0)
+        + (qb - sb * sb / nullif(nb, 0.0)) / nullif(nb - 1.0, 0.0)
+        ) / 2.0), 0.0)
+  END) < 0.1 END AS balanced
+FROM (
+  SELECT
+    sum(CASE WHEN arm = 'a' AND y IS NOT NULL THEN 1.0 ELSE 0.0 END) AS na,
+    sum(CASE WHEN arm = 'a' AND y IS NOT NULL THEN y ELSE 0.0 END) AS sa,
+    sum(CASE WHEN arm = 'a' AND y IS NOT NULL THEN y * y ELSE 0.0 END) AS qa,
+    sum(CASE WHEN arm = 'b' AND y IS NOT NULL THEN 1.0 ELSE 0.0 END) AS nb,
+    sum(CASE WHEN arm = 'b' AND y IS NOT NULL THEN y ELSE 0.0 END) AS sb,
+    sum(CASE WHEN arm = 'b' AND y IS NOT NULL THEN y * y ELSE 0.0 END) AS qb
+  FROM (SELECT {arm} AS arm, CAST({c} AS DOUBLE) AS y FROM events)
+)""")
+    return "\nUNION ALL\n".join(parts)
+
+
+QUERIES["experiment_balance_events"] = experiment_balance_events
+ORACLE_SQL["experiment_balance_events"] = _balance_sql()

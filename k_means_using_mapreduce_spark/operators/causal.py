@@ -342,3 +342,77 @@ def iv_wald_2sls(
             cov_zy / F.nullif(F.sqrt(var_z * var_y), F.lit(0.0))
         ).alias("reduced_form_corr"),
     )
+
+
+def covariate_balance(
+    df: DataFrame,
+    arm_col: str,
+    covariates: Sequence[str],
+    *,
+    arm_a: str = "a",
+    arm_b: str = "b",
+) -> DataFrame:
+    """Standardized mean differences between two arms/splits, one row
+    per covariate: ``smd = (mean_a − mean_b) / √((var_a + var_b)/2)``
+    — the balance table every experiment readout and train/test split
+    review opens with (|SMD| < 0.1 is the conventional "balanced"
+    bar; a big SMD means the split leaks the covariate and estimates
+    inherit its bias).
+
+    ONE aggregation scan computes all covariates' per-arm moments as
+    conditional sums (the covariate-matrix doctrine). Per-covariate
+    NULLs drop that covariate's row contribution only (pairwise, not
+    complete-rows — a balance table should not vanish because one
+    column is sparse). Degenerate variance yields NULL smd. Output:
+    ``(covariate, n_a, n_b, mean_a, mean_b, smd, balanced)``.
+    """
+    covariates = list(covariates)
+    if not covariates:
+        raise ValueError("need at least one covariate")
+    arm = F.col(arm_col)
+    rows = df.where(arm.isin([arm_a, arm_b]))
+    aggs = []
+    for c in covariates:
+        y = F.col(c).cast("double")
+        in_a = (arm == arm_a) & y.isNotNull()
+        in_b = (arm == arm_b) & y.isNotNull()
+        aggs += [
+            F.sum(F.when(in_a, 1.0).otherwise(0.0)).alias(f"na_{c}"),
+            F.sum(F.when(in_a, y).otherwise(0.0)).alias(f"sa_{c}"),
+            F.sum(F.when(in_a, y * y).otherwise(0.0)).alias(f"qa_{c}"),
+            F.sum(F.when(in_b, 1.0).otherwise(0.0)).alias(f"nb_{c}"),
+            F.sum(F.when(in_b, y).otherwise(0.0)).alias(f"sb_{c}"),
+            F.sum(F.when(in_b, y * y).otherwise(0.0)).alias(f"qb_{c}"),
+        ]
+    s = rows.agg(*aggs)
+    structs = []
+    for c in covariates:
+        na, nb = F.col(f"na_{c}"), F.col(f"nb_{c}")
+        ma = F.col(f"sa_{c}") / F.nullif(na, F.lit(0.0))
+        mb = F.col(f"sb_{c}") / F.nullif(nb, F.lit(0.0))
+        va = (
+            F.col(f"qa_{c}") - F.col(f"sa_{c}") * F.col(f"sa_{c}") / F.nullif(na, F.lit(0.0))
+        ) / F.nullif(na - F.lit(1.0), F.lit(0.0))
+        vb = (
+            F.col(f"qb_{c}") - F.col(f"sb_{c}") * F.col(f"sb_{c}") / F.nullif(nb, F.lit(0.0))
+        ) / F.nullif(nb - F.lit(1.0), F.lit(0.0))
+        ok = (na >= 2.0) & (nb >= 2.0)
+        smd = F.when(
+            ok,
+            (ma - mb)
+            / F.nullif(F.sqrt((va + vb) / F.lit(2.0)), F.lit(0.0)),
+        )
+        structs.append(
+            F.struct(
+                F.lit(c).alias("covariate"),
+                na.cast("long").alias("n_a"),
+                nb.cast("long").alias("n_b"),
+                ma.alias("mean_a"),
+                mb.alias("mean_b"),
+                smd.alias("smd"),
+                F.when(smd.isNotNull(), F.abs(smd) < 0.1).alias("balanced"),
+            )
+        )
+    return s.select(F.explode(F.array(*structs)).alias("r")).select(
+        "r.covariate", "r.n_a", "r.n_b", "r.mean_a", "r.mean_b", "r.smd", "r.balanced"
+    )

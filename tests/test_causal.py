@@ -170,3 +170,27 @@ def test_iv_wald_degenerate_instrument_yields_nulls(spark):
     )
     r = iv_wald_2sls(df, "y", "x", "z").collect()[0]
     assert r["beta_iv"] is None and r["first_stage_corr"] is None
+
+
+def test_covariate_balance_detects_imbalance(spark):
+    from k_means_using_mapreduce_spark.operators.causal import (
+        covariate_balance,
+    )
+
+    # balanced covariate x (same distribution both arms), shifted y
+    rows = []
+    for i in range(100):
+        rows.append(("a", float(i % 10), float(i % 7)))
+        rows.append(("b", float(i % 10), float(i % 7) + 5.0))
+    df = spark.createDataFrame(rows, "arm string, x double, y double")
+    got = {r["covariate"]: r for r in covariate_balance(df, "arm", ["x", "y"]).collect()}
+    assert got["x"]["smd"] == pytest.approx(0.0, abs=1e-12)
+    assert got["x"]["balanced"] is True
+    assert abs(got["y"]["smd"]) > 1.0 and got["y"]["balanced"] is False
+
+    # sparse column: pairwise NULL handling keeps the other rows
+    rows2 = [("a", 1.0, None), ("a", 2.0, None), ("b", 1.5, None), ("b", 2.5, None)]
+    df2 = spark.createDataFrame(rows2, "arm string, x double, z double")
+    got2 = {r["covariate"]: r for r in covariate_balance(df2, "arm", ["x", "z"]).collect()}
+    assert got2["x"]["smd"] is not None
+    assert got2["z"]["n_a"] == 0 and got2["z"]["smd"] is None
