@@ -233,15 +233,10 @@ def quantile_normalize(
     v = F.col(value_col).cast("double")
     rows = df.where(v.isNotNull() & F.col(group_col).isNotNull())
     fracs = [i / (grid - 1) for i in range(grid)]
-    from .robust import exact_group_percentiles
-
-    glob = exact_group_percentiles(
-        rows.select(v.alias("_v")),
-        "_v",
-        [],
-        [(f"_g{i}", p) for i, p in enumerate(fracs)],
-    ).select(
-        F.array(*[F.col(f"_g{i}") for i in range(len(fracs))]).alias("_q")
+    # DENSE grid: bracket-path windows would cover the whole column
+    # (see encode.py::quantile_bucket_encode note) — buffered is right
+    glob = rows.agg(
+        F.percentile(v, F.array(*[F.lit(p) for p in fracs])).alias("_q")
     )
     w = Window.partitionBy(group_col).orderBy(v)
     x = F.percent_rank().over(w) * F.lit(float(grid - 1))

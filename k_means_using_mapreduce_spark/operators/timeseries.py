@@ -707,6 +707,9 @@ def trend_test(
     )
     from .robust import exact_group_percentiles
 
+    # materialize the pair relation once: the MK sum and the bracket
+    # median's two passes would otherwise each re-run the T^2 self-join
+    pairs = pairs.localCheckpoint()
     s_agg = pairs.groupBy("key").agg(F.sum("sgn").cast("long").alias("s"))
     sen = exact_group_percentiles(
         pairs, "slope", ["key"], [("sen_slope", 0.5)]
@@ -1691,6 +1694,9 @@ def theil_sen_trend(
                 (F.col("yj") - F.col("yi")) / (F.col("xj") - F.col("xi"))
             ).alias("slope"),
         )
+        # materialized once: the bracket median's cut and refine passes
+        # would otherwise each re-run the pair self-join
+        .localCheckpoint()
     )
     med_slope = exact_group_percentiles(
         pairs, "slope", ["key"], [("slope", 0.5)]
