@@ -43,6 +43,19 @@ BENCH_QUERIES = [
     "kmeans_update_events",
     "kmeans_fit_customer",
     "kmeans_fit_events",
+    "theil_sen_hourly_events",
+    "ewma_hourly_events",
+    "ar2_hourly_events",
+    "isotonic_price_by_quantity",
+    "hbos_top_lineitem",
+    "poisson_quantity_lineitem",
+    "discount_effect_iv",
+    "experiment_balance_events",
+    "ab_power_value_experiment",
+    "distinct_users_minhash_events",
+    "media_resize_nearest",
+    "streaming_dedup_events",
+    "streaming_sessions_events",
     "kmeans_assign_embeddings",
     "kmeans_update_embeddings",
     "dedup_exact_documents",
