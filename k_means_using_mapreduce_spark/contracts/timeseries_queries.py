@@ -1588,3 +1588,70 @@ FROM med_slope s JOIN med_int i USING (key)
 
 QUERIES["theil_sen_hourly_events"] = theil_sen_hourly_events
 ORACLE_SQL["theil_sen_hourly_events"] = _theil_sen_sql()
+
+
+def rolling_click_purchase_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """24-bucket trailing correlation between hourly click and purchase
+    volumes (operators/timeseries.py::rolling_correlation) — the
+    co-movement monitor; bucket emitted as epoch-us."""
+    from ..operators.timeseries import resample_counts, rolling_correlation
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", ns_to_timestamp("ts")
+    )
+    grid = resample_counts(ev, unit="hour")
+    clicks = grid.where(F.col("key") == "click")
+    buys = grid.where(F.col("key") == "purchase")
+    out = rolling_correlation(clicks, buys, window=24)
+    return out.select(
+        F.unix_micros("bucket").alias("bucket_us"),
+        F.col("x").cast("long").alias("clicks"),
+        F.col("y").cast("long").alias("purchases"),
+        F.col("n_win").alias("n_win"),
+        "corr",
+    )
+
+
+ROLLING_CORR_SQL = f"""
+WITH counts AS (
+  SELECT event_type AS key,
+         epoch_us(ts) - epoch_us(ts) % {_HOUR_US} AS bucket_us,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(bucket_us) AS lo, max(bucket_us) AS hi FROM counts),
+keys AS (SELECT DISTINCT event_type AS key FROM events),
+grid AS (
+  SELECT key, unnest(range(lo, hi + {_HOUR_US}, {_HOUR_US})) AS bucket_us
+  FROM keys, bounds
+),
+dense AS MATERIALIZED (
+  SELECT g.key, g.bucket_us, CAST(coalesce(c.n, 0) AS DOUBLE) AS x
+  FROM grid g LEFT JOIN counts c USING (key, bucket_us)
+),
+j AS (
+  SELECT a.bucket_us, a.x AS x, b.x AS y
+  FROM dense a JOIN dense b USING (bucket_us)
+  WHERE a.key = 'click' AND b.key = 'purchase'
+),
+win AS (
+  SELECT bucket_us, x, y,
+    CAST(count(*) OVER w AS DOUBLE) AS n,
+    sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+    sum(x * y) OVER w AS sxy, sum(x * x) OVER w AS sxx,
+    sum(y * y) OVER w AS syy
+  FROM j
+  WINDOW w AS (ORDER BY bucket_us ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(bucket_us AS BIGINT) AS bucket_us,
+  CAST(x AS BIGINT) AS clicks, CAST(y AS BIGINT) AS purchases,
+  CAST(n AS BIGINT) AS n_win,
+  coalesce(CASE WHEN n >= 3.0 THEN
+    (n * sxy - sx * sy)
+      / nullif(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0.0)
+  END, -2.0) AS corr
+FROM win
+"""
+
+QUERIES["rolling_click_purchase_corr"] = rolling_click_purchase_corr
+ORACLE_SQL["rolling_click_purchase_corr"] = ROLLING_CORR_SQL

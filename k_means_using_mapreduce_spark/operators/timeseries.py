@@ -1712,3 +1712,62 @@ def theil_sen_trend(
         .select("key", "n_points", "n_pairs", "slope", "intercept")
         .withColumnRenamed("key", key_col)
     )
+
+
+def rolling_correlation(
+    a_grid: DataFrame,
+    b_grid: DataFrame,
+    *,
+    order_col: str = "bucket",
+    value_col: str = "n",
+    window: int = 24,
+) -> DataFrame:
+    """Trailing-window Pearson correlation between two aligned series
+    — "are clicks and purchases moving together THIS week" where
+    :func:`lead_lag_correlation` answers it for all time. Classic
+    co-movement/regime monitor.
+
+    The two grids (e.g. two :func:`resample_counts` outputs filtered
+    to one key each) are inner-joined on ``order_col``; one trailing
+    ``window``-row frame computes the five moment sums, and the
+    correlation is their closed form — a single ordered window pass,
+    no self-join. Buckets with fewer than 3 trailing points or a
+    constant window yield the sentinel ``corr = -2.0`` (outside
+    [-1, 1] = undefined; a NULL would NaN-flip through pandas in
+    cross-engine comparisons).
+
+    Returns ``(order_col, x, y, n_win, corr)``.
+    """
+    if window < 3:
+        raise ValueError(f"window must be >= 3, got {window}")
+    from pyspark.sql.window import Window
+
+    a = a_grid.select(
+        F.col(order_col).alias("_ord"),
+        F.col(value_col).cast("double").alias("x"),
+    )
+    b = b_grid.select(
+        F.col(order_col).alias("_ord"),
+        F.col(value_col).cast("double").alias("y"),
+    )
+    j = a.join(b, "_ord")
+    w = (
+        Window.orderBy("_ord")
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    n = F.count(F.lit(1)).over(w).cast("double")
+    sx = F.sum("x").over(w)
+    sy = F.sum("y").over(w)
+    sxy = F.sum(F.col("x") * F.col("y")).over(w)
+    sxx = F.sum(F.col("x") * F.col("x")).over(w)
+    syy = F.sum(F.col("y") * F.col("y")).over(w)
+    corr = (n * sxy - sx * sy) / F.nullif(
+        F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), F.lit(0.0)
+    )
+    return j.select(
+        F.col("_ord").alias(order_col),
+        "x",
+        "y",
+        n.cast("long").alias("n_win"),
+        F.coalesce(F.when(n >= 3.0, corr), F.lit(-2.0)).alias("corr"),
+    )

@@ -699,3 +699,21 @@ def test_theil_sen_ignores_outlier_bucket(spark):
     )
     rd = theil_sen_trend(dup).collect()[0]
     assert rd["n_pairs"] == 2
+
+
+def test_rolling_correlation_tracks_regimes(spark):
+    from k_means_using_mapreduce_spark.operators.timeseries import (
+        rolling_correlation,
+    )
+
+    # first 30 buckets: y = x (corr 1); next 30: y = -x + 100 (corr -1)
+    xs = [("t", i, float(i % 7) + 1) for i in range(60)]
+    ys = [("t", i, (float(i % 7) + 1) if i < 30 else (100.0 - (float(i % 7) + 1))) for i in range(60)]
+    a = spark.createDataFrame(xs, "key string, bucket int, n double")
+    b = spark.createDataFrame(ys, "key string, bucket int, n double")
+    got = {r["bucket"]: r for r in rolling_correlation(a, b, window=10).collect()}
+    assert got[29]["corr"] == pytest.approx(1.0)
+    assert got[59]["corr"] == pytest.approx(-1.0)
+    # undefined head windows: sentinel, never NULL
+    assert got[0]["corr"] == -2.0 and got[1]["corr"] == -2.0
+    assert got[2]["n_win"] == 3
