@@ -344,3 +344,57 @@ FROM per CROSS JOIN tot
 
 QUERIES["purchase_decile_lift_events"] = purchase_decile_lift_events
 ORACLE_SQL["purchase_decile_lift_events"] = LIFT_SQL
+
+
+def returns_split_stump_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best Gini decision stump for predicting returns from quantity
+    (operators/evaluation.py::best_split_stump): the one-feature
+    screening answer to "does quantity separate returned line items"."""
+    from ..operators.evaluation import best_split_stump
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return best_split_stump(
+        li, "l_quantity", (F.col("l_returnflag") == "R")
+    )
+
+
+STUMP_SQL = """
+WITH base AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS x,
+         CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL
+), blocks AS (
+  SELECT x, CAST(count(*) AS DOUBLE) AS bn, sum(y) AS bp
+  FROM base GROUP BY 1
+), pref AS (
+  SELECT x,
+         sum(bn) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS nl,
+         sum(bp) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS pl
+  FROM blocks
+), tot AS (SELECT sum(bn) AS n, sum(bp) AS p FROM blocks),
+cand AS (
+  SELECT pref.x AS threshold, t.n, t.p, nl, pl,
+         t.n - nl AS nr, t.p - pl AS pr
+  FROM pref CROSS JOIN tot t WHERE nl < t.n
+), scored AS (
+  SELECT threshold, n, p, nl, nr, pl / nl AS prl, pr / nr AS prr,
+    (1.0 - (p / n) * (p / n) - (1.0 - p / n) * (1.0 - p / n))
+    - (nl / n * (1.0 - (pl / nl) * (pl / nl)
+                 - (1.0 - pl / nl) * (1.0 - pl / nl))
+       + nr / n * (1.0 - (pr / nr) * (pr / nr)
+                   - (1.0 - pr / nr) * (1.0 - pr / nr))) AS gain
+  FROM cand
+)
+SELECT CAST(n AS BIGINT) AS n, p / n AS pos_rate,
+  1.0 - (p / n) * (p / n) - (1.0 - p / n) * (1.0 - p / n) AS gini_parent,
+  threshold,
+  CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+  prl AS pos_rate_left, prr AS pos_rate_right, gain AS gini_gain
+FROM scored
+ORDER BY gain DESC, threshold
+LIMIT 1
+"""
+
+QUERIES["returns_split_stump_lineitem"] = returns_split_stump_lineitem
+ORACLE_SQL["returns_split_stump_lineitem"] = STUMP_SQL

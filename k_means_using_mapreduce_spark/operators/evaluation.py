@@ -147,3 +147,108 @@ def label_centroid_drift(
             "label", "n_vecs", "centroid_l2", "cos_to_global", "dist_to_global"
         )
     )
+
+
+def best_split_stump(
+    df: DataFrame,
+    x_col: str,
+    label: Column,
+) -> DataFrame:
+    """Best single-feature binary split (decision stump) by Gini gain:
+    the threshold t maximizing
+    ``gini(parent) − (n_L/n)·gini(x ≤ t) − (n_R/n)·gini(x > t)`` —
+    the screening primitive behind "is this feature worth anything"
+    and the root decision of every tree ensemble.
+
+    One groupBy reduces to distinct-x blocks (value, n, positives);
+    one ordered window builds prefix sums; every block boundary is a
+    candidate threshold evaluated in closed form, and the argmax (ties
+    → LOWEST threshold) comes from one more ordered pick. Splits with
+    an empty side are excluded by construction (the last block cannot
+    split). NULL x or label rows are dropped.
+
+    Returns one row ``(n, pos_rate, gini_parent, threshold, n_left,
+    n_right, pos_rate_left, pos_rate_right, gini_gain)``; NULL
+    threshold/gain when fewer than 2 distinct x values exist.
+    """
+    from pyspark.sql.window import Window
+
+    x = F.col(x_col).cast("double")
+    y = label.cast("double")
+    base = df.where(x.isNotNull() & y.isNotNull()).select(
+        x.alias("_x"), y.alias("_y")
+    )
+    blocks = base.groupBy("_x").agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum("_y").alias("_p"),
+    )
+    w = Window.orderBy("_x").rowsBetween(Window.unboundedPreceding, 0)
+    pref = blocks.select(
+        "_x",
+        F.sum("_n").over(w).alias("nl"),
+        F.sum("_p").over(w).alias("pl"),
+    )
+    tot = blocks.agg(
+        F.sum("_n").alias("n"),
+        F.sum("_p").alias("p"),
+        F.count(F.lit(1)).alias("n_blocks"),
+    )
+    j = pref.crossJoin(F.broadcast(tot)).where(F.col("nl") < F.col("n"))
+
+    def gini(pos, n):
+        pr = pos / n
+        return F.lit(1.0) - pr * pr - (F.lit(1.0) - pr) * (F.lit(1.0) - pr)
+
+    nl, pl = F.col("nl"), F.col("pl")
+    nr = F.col("n") - nl
+    pr_ = F.col("p") - pl
+    gain = gini(F.col("p"), F.col("n")) - (
+        nl / F.col("n") * gini(pl, nl) + nr / F.col("n") * gini(pr_, nr)
+    )
+    cand = j.select(
+        F.col("_x").alias("threshold"),
+        F.col("n"),
+        F.col("p"),
+        nl.alias("n_l"),
+        nr.alias("n_r"),
+        (pl / nl).alias("pr_l"),
+        (pr_ / nr).alias("pr_r"),
+        gain.alias("gain"),
+    )
+    best = cand.orderBy(F.desc("gain"), F.asc("threshold")).limit(1)
+    empty_fallback = tot.select(
+        F.col("n").cast("long").alias("n"),
+        (F.col("p") / F.col("n")).alias("pos_rate"),
+        (
+            F.lit(1.0)
+            - (F.col("p") / F.col("n")) * (F.col("p") / F.col("n"))
+            - (1 - F.col("p") / F.col("n")) * (1 - F.col("p") / F.col("n"))
+        ).alias("gini_parent"),
+        F.lit(None).cast("double").alias("threshold"),
+        F.lit(None).cast("long").alias("n_left"),
+        F.lit(None).cast("long").alias("n_right"),
+        F.lit(None).cast("double").alias("pos_rate_left"),
+        F.lit(None).cast("double").alias("pos_rate_right"),
+        F.lit(None).cast("double").alias("gini_gain"),
+    ).where(F.col("n") > 0)
+    found = best.select(
+        F.col("n").cast("long").alias("n"),
+        (F.col("p") / F.col("n")).alias("pos_rate"),
+        (
+            F.lit(1.0)
+            - (F.col("p") / F.col("n")) * (F.col("p") / F.col("n"))
+            - (1 - F.col("p") / F.col("n")) * (1 - F.col("p") / F.col("n"))
+        ).alias("gini_parent"),
+        F.col("threshold"),
+        F.col("n_l").cast("long").alias("n_left"),
+        F.col("n_r").cast("long").alias("n_right"),
+        F.col("pr_l").alias("pos_rate_left"),
+        F.col("pr_r").alias("pos_rate_right"),
+        F.col("gain").alias("gini_gain"),
+    )
+    # found is empty exactly when there is < 2 distinct x: fall back
+    return found.unionByName(
+        empty_fallback.join(
+            found.select(F.lit(1).alias("_has")), how="left_anti", on=F.lit(True)
+        )
+    )

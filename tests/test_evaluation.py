@@ -113,3 +113,23 @@ def test_contract_simplified_silhouette_matches_numpy(spark, sf_small):
         assert per[cid]["mean_silhouette"] == pytest.approx(
             sum(ss) / len(ss), rel=1e-9
         )
+
+
+def test_best_split_stump_perfect_and_degenerate(spark):
+    import pyspark.sql.functions as F
+
+    from k_means_using_mapreduce_spark.operators.evaluation import (
+        best_split_stump,
+    )
+
+    rows = [(float(x), 0.0 if x <= 4 else 1.0) for x in range(1, 11) for _ in range(3)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = best_split_stump(df, "x", F.col("y")).collect()[0]
+    assert r["threshold"] == 4.0
+    assert r["gini_gain"] == pytest.approx(r["gini_parent"])  # perfect split
+    assert r["pos_rate_left"] == 0.0 and r["pos_rate_right"] == 1.0
+
+    one = spark.createDataFrame([(1.0, 1.0), (1.0, 0.0)], "x double, y double")
+    r1 = best_split_stump(one, "x", F.col("y")).collect()[0]
+    assert r1["threshold"] is None and r1["gini_gain"] is None
+    assert r1["n"] == 2
