@@ -140,3 +140,40 @@ ORACLE_SQL = {
     "dsir_weights_documents": DSIR_WEIGHTS_SQL,
     "dsir_select_documents": DSIR_SELECT_SQL,
 }
+
+
+def source_quality_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out quality valuation
+    (operators/selection.py::source_ablation): would dropping a source
+    raise the corpus mean quality score?"""
+    from ..functions.text import quality_score
+    from ..operators.selection import source_ablation
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_ablation(
+        docs, "source", quality_score("text"), metric_name="quality"
+    )
+
+
+def _ablation_sql() -> str:
+    from ._sql_text import sql_quality_score
+
+    q = sql_quality_score("text")
+    return f"""
+WITH per AS (
+  SELECT source AS grp, CAST(count(*) AS DOUBLE) AS n,
+         sum({q}) AS s
+  FROM documents WHERE source IS NOT NULL AND ({q}) IS NOT NULL
+  GROUP BY 1
+), tot AS (SELECT sum(n) AS tn, sum(s) AS ts FROM per)
+SELECT grp AS source, CAST(n AS BIGINT) AS n,
+  s / n AS quality_in,
+  (ts - s) / nullif(tn - n, 0.0) AS quality_rest,
+  (ts - s) / nullif(tn - n, 0.0) - ts / tn AS delta,
+  ts / tn AS quality_global
+FROM per CROSS JOIN tot
+"""
+
+
+QUERIES["source_quality_ablation"] = source_quality_ablation
+ORACLE_SQL["source_quality_ablation"] = _ablation_sql()

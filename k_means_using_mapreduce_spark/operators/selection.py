@@ -223,3 +223,48 @@ def dsir_resample(
         .where(F.col("rk") <= k)
         .drop("rk")
     )
+
+
+def source_ablation(
+    df: DataFrame,
+    group_col: str,
+    metric: Column,
+    *,
+    metric_name: str = "metric",
+) -> DataFrame:
+    """Leave-one-source-out data valuation on a mean metric: for every
+    source, the corpus mean WITHOUT it vs with it — "which source is
+    dragging the mix down" answered in closed form from one scan
+    (per-source sums + the global totals they imply), no per-source
+    re-aggregation. The cheap first pass before per-source DSIR
+    weights or mixture re-planning.
+
+    ``delta = mean(rest) − mean(all)``: positive means REMOVING the
+    source would raise the metric (the source hurts the mix). A
+    single-source corpus reports NULL delta (no "rest" exists). NULL
+    metric rows are excluded from both sides.
+
+    Returns ``(group, n, mean_in, mean_rest, delta)`` one row per
+    source, plus the implied global mean on every row for context.
+    """
+    g = F.col(group_col)
+    m = metric.cast("double")
+    rows = df.where(g.isNotNull() & m.isNotNull())
+    per = rows.groupBy(g.alias("grp")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(m).alias("s"),
+    )
+    tot = per.agg(
+        F.sum("n").alias("tn"), F.sum("s").alias("ts")
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    rest_n = F.col("tn") - F.col("n")
+    rest_mean = (F.col("ts") - F.col("s")) / F.nullif(rest_n, F.lit(0.0))
+    return j.select(
+        F.col("grp").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        (F.col("s") / F.col("n")).alias(f"{metric_name}_in"),
+        rest_mean.alias(f"{metric_name}_rest"),
+        (rest_mean - F.col("ts") / F.col("tn")).alias("delta"),
+        (F.col("ts") / F.col("tn")).alias(f"{metric_name}_global"),
+    )

@@ -99,3 +99,25 @@ def test_validation(corpora):
         dsir_resample(w, k=1, temperature=0.0)
     with pytest.raises(ValueError):
         dsir_log_weights(raw, ratio.limit(1))
+
+
+def test_source_ablation_identifies_harmful_source(spark):
+    import pyspark.sql.functions as F
+
+    from k_means_using_mapreduce_spark.operators.selection import (
+        source_ablation,
+    )
+
+    rows = (
+        [("good", 0.9)] * 50 + [("bad", 0.1)] * 10 + [("mid", 0.5)] * 40
+    )
+    df = spark.createDataFrame(rows, "src string, q double")
+    got = {r["src"]: r for r in source_ablation(df, "src", F.col("q"), metric_name="q").collect()}
+    # removing 'bad' raises the mean -> positive delta; removing 'good' lowers it
+    assert got["bad"]["delta"] > 0 > got["good"]["delta"]
+    # arithmetic identity: mean_rest = (ts - s)/(tn - n)
+    assert got["bad"]["q_rest"] == pytest.approx((0.9 * 50 + 0.5 * 40) / 90)
+    # single-source corpus: NULL rest/delta
+    one = spark.createDataFrame([("only", 1.0)], "src string, q double")
+    r1 = source_ablation(one, "src", F.col("q"), metric_name="q").collect()[0]
+    assert r1["q_rest"] is None and r1["delta"] is None
