@@ -56,6 +56,9 @@ BENCH_QUERIES = [
     "media_resize_nearest",
     "streaming_dedup_events",
     "streaming_sessions_events",
+    "rolling_click_purchase_corr",
+    "returns_split_stump_lineitem",
+    "source_quality_ablation",
     "kmeans_assign_embeddings",
     "kmeans_update_embeddings",
     "dedup_exact_documents",
