@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "rolling_click_purchase_corr",
     "returns_split_stump_lineitem",
     "source_quality_ablation",
+    "kmeans_k_stability_embeddings",
     "kmeans_assign_embeddings",
     "kmeans_update_embeddings",
     "dedup_exact_documents",

@@ -398,3 +398,80 @@ LIMIT 1
 
 QUERIES["returns_split_stump_lineitem"] = returns_split_stump_lineitem
 ORACLE_SQL["returns_split_stump_lineitem"] = STUMP_SQL
+
+
+def kmeans_k_stability_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition agreement between the K=4 embedding assignment and a
+    coarser 2-centroid assignment (operators/clseval.py::
+    clustering_agreement): ARI + NMI answer "how much of the K=4
+    structure survives at K=2" — the stability check run before
+    trusting a single K."""
+    from ..contract_constants import EMBEDDING_CENTROIDS
+    from ..operators.clseval import clustering_agreement
+    from ..operators.kmeans import assign
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("features"),
+    )
+    fine = assign(emb, EMBEDDING_CENTROIDS, keep_dist=False).select(
+        "id", F.col("cid").alias("cid_fine")
+    )
+    coarse = assign(emb, EMBEDDING_CENTROIDS[:2], keep_dist=False).select(
+        "id", F.col("cid").alias("cid_coarse")
+    )
+    both = fine.join(coarse, "id")
+    return clustering_agreement(both, "cid_fine", "cid_coarse")
+
+
+def _k_stability_sql() -> str:
+    from ..contract_constants import EMBEDDING_CENTROIDS
+    from .kmeans_queries import _sq_dist_sql_vec
+
+    def assign_sql(cents, alias):
+        rows = ", ".join(
+            f"({cid}, {_sq_dist_sql_vec('embedding', vec)})"
+            for cid, vec in cents
+        )
+        return f"""
+  SELECT vec_id AS id, cid AS {alias} FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY c.d, c.cid) AS rn
+    FROM embeddings e, LATERAL (VALUES {rows}) AS c(cid, d)
+  ) WHERE rn = 1"""
+
+    fine = assign_sql(EMBEDDING_CENTROIDS, "a")
+    coarse = assign_sql(EMBEDDING_CENTROIDS[:2], "b")
+    return f"""
+WITH fine AS MATERIALIZED ({fine}),
+coarse AS MATERIALIZED ({coarse}),
+cells AS MATERIALIZED (
+  SELECT f.a AS _a, c.b AS _b, CAST(count(*) AS DOUBLE) AS nij
+  FROM fine f JOIN coarse c USING (id) GROUP BY 1, 2
+),
+am AS (SELECT _a, sum(nij) AS ai FROM cells GROUP BY 1),
+bm AS (SELECT _b, sum(nij) AS bj FROM cells GROUP BY 1),
+s AS (SELECT sum(nij) AS n, sum(nij * (nij - 1.0) / 2.0) AS sum_cij FROM cells),
+sa AS (SELECT sum(ai * (ai - 1.0) / 2.0) AS sum_ca,
+              CAST(count(*) AS BIGINT) AS k_a,
+              sum(ai * ln(ai)) AS slog_a FROM am),
+sb AS (SELECT sum(bj * (bj - 1.0) / 2.0) AS sum_cb,
+              CAST(count(*) AS BIGINT) AS k_b,
+              sum(bj * ln(bj)) AS slog_b FROM bm),
+mix AS (
+  SELECT sum(c.nij * ln(c.nij / (am.ai * bm.bj))) AS smix
+  FROM cells c JOIN am USING (_a) JOIN bm USING (_b)
+)
+SELECT CAST(n AS BIGINT) AS n, k_a, k_b,
+  (sum_cij - sum_ca * sum_cb / (n * (n - 1.0) / 2.0))
+    / nullif((sum_ca + sum_cb) / 2.0
+             - sum_ca * sum_cb / (n * (n - 1.0) / 2.0), 0.0) AS ari,
+  (smix / n + ln(n))
+    / nullif(sqrt((ln(n) - slog_a / n) * (ln(n) - slog_b / n)), 0.0) AS nmi
+FROM s CROSS JOIN sa CROSS JOIN sb CROSS JOIN mix
+"""
+
+
+QUERIES["kmeans_k_stability_embeddings"] = kmeans_k_stability_embeddings
+ORACLE_SQL["kmeans_k_stability_embeddings"] = _k_stability_sql()

@@ -301,3 +301,87 @@ def decile_lift(
             ).alias("cum_capture"),
         )
     )
+
+
+def clustering_agreement(
+    df: DataFrame, label_a: str, label_b: str
+) -> DataFrame:
+    """Adjusted Rand Index + Normalized Mutual Information between two
+    labelings of the same rows — "did changing K / seed / features
+    actually change the partition", the stability check every
+    clustering pipeline should run before trusting one fit.
+
+    Pure contingency-table closed forms over ONE pair groupBy (cells
+    ≤ |A|·|B|, tiny) plus its marginals:
+
+    - ``ARI = (Σc(nᵢⱼ,2) − E) / (max_index − E)`` with
+      ``E = Σc(aᵢ,2)·Σc(bⱼ,2)/c(n,2)`` (Hubert & Arabie 1985);
+      1 = identical partitions, ~0 = random agreement, can go
+      negative. The degenerate all-singletons/all-one-cluster case
+      (max_index == E) yields NULL.
+    - ``NMI = I(A;B) / √(H(A)·H(B))`` (natural logs, the sqrt
+      normalization); NULL when either entropy is 0 (a constant
+      labeling carries no information to normalize by).
+
+    Rows with a NULL label on either side are excluded. Returns one
+    row ``(n, k_a, k_b, ari, nmi)``.
+    """
+    a, b = F.col(label_a), F.col(label_b)
+    rows = df.where(a.isNotNull() & b.isNotNull())
+    cells = rows.groupBy(a.alias("_a"), b.alias("_b")).agg(
+        F.count(F.lit(1)).cast("double").alias("nij")
+    )
+
+    def c2(x):
+        return x * (x - F.lit(1.0)) / F.lit(2.0)
+
+    am = cells.groupBy("_a").agg(F.sum("nij").alias("ai"))
+    bm = cells.groupBy("_b").agg(F.sum("nij").alias("bj"))
+    s = cells.agg(
+        F.sum("nij").alias("n"),
+        F.sum(c2(F.col("nij"))).alias("sum_cij"),
+        F.count(F.lit(1)).alias("_cells"),
+    )
+    sa = am.agg(
+        F.sum(c2(F.col("ai"))).alias("sum_ca"),
+        F.count(F.lit(1)).alias("k_a"),
+        F.sum(F.col("ai") * F.log("ai")).alias("slog_a"),
+    )
+    sb = bm.agg(
+        F.sum(c2(F.col("bj"))).alias("sum_cb"),
+        F.count(F.lit(1)).alias("k_b"),
+        F.sum(F.col("bj") * F.log("bj")).alias("slog_b"),
+    )
+    # I(A;B) = Σ (nij/n)·ln(n·nij/(ai·bj)); assembled from sums so the
+    # oracle shares the arithmetic: n·H terms via x·ln x sums
+    mi_term = (
+        cells.join(F.broadcast(am), "_a")
+        .join(F.broadcast(bm), "_b")
+        .agg(
+            F.sum(
+                F.col("nij")
+                * F.log(F.col("nij") / (F.col("ai") * F.col("bj")))
+            ).alias("smix")
+        )
+    )
+    j = s.crossJoin(F.broadcast(sa)).crossJoin(F.broadcast(sb)).crossJoin(
+        F.broadcast(mi_term)
+    )
+    n = F.col("n")
+    e_index = F.col("sum_ca") * F.col("sum_cb") / c2(n)
+    max_index = (F.col("sum_ca") + F.col("sum_cb")) / F.lit(2.0)
+    ari = (F.col("sum_cij") - e_index) / F.nullif(
+        max_index - e_index, F.lit(0.0)
+    )
+    # H(A) = ln n − (1/n)Σ ai·ln ai ; I = (1/n)·smix + ln n
+    h_a = F.log(n) - F.col("slog_a") / n
+    h_b = F.log(n) - F.col("slog_b") / n
+    mi = F.col("smix") / n + F.log(n)
+    nmi = mi / F.nullif(F.sqrt(h_a * h_b), F.lit(0.0))
+    return j.select(
+        n.cast("long").alias("n"),
+        F.col("k_a").cast("long").alias("k_a"),
+        F.col("k_b").cast("long").alias("k_b"),
+        ari.alias("ari"),
+        nmi.alias("nmi"),
+    )

@@ -267,3 +267,29 @@ def test_decile_lift_no_positives_null_lift(spark):
 
     with _p.raises(ValueError):
         decile_lift(df, "s", "y", bins=1)
+
+
+def test_clustering_agreement_properties(spark):
+    from k_means_using_mapreduce_spark.operators.clseval import (
+        clustering_agreement,
+    )
+
+    rows = [(i, i % 3, (2 - i % 3)) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, a int, b int")
+    r = clustering_agreement(df, "a", "b").collect()[0]
+    # relabeled-identical partitions: perfect agreement
+    assert r["ari"] == pytest.approx(1.0) and r["nmi"] == pytest.approx(1.0)
+
+    # refinement: b splits each a-cluster in two -> partial agreement
+    rows2 = [(i, i % 2, i % 4) for i in range(80)]
+    r2 = clustering_agreement(
+        spark.createDataFrame(rows2, "id long, a int, b int"), "a", "b"
+    ).collect()[0]
+    assert 0.0 < r2["ari"] < 1.0 and 0.0 < r2["nmi"] < 1.0
+
+    # constant labeling: NULL nmi (no entropy to normalize by)
+    rows3 = [(i, 1, i % 2) for i in range(10)]
+    r3 = clustering_agreement(
+        spark.createDataFrame(rows3, "id long, a int, b int"), "a", "b"
+    ).collect()[0]
+    assert r3["nmi"] is None and r3["ari"] == pytest.approx(0.0)
