@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "returns_split_stump_lineitem",
     "source_quality_ablation",
     "kmeans_k_stability_embeddings",
+    "shrunk_source_quality",
     "kmeans_assign_embeddings",
     "kmeans_update_embeddings",
     "dedup_exact_documents",

@@ -599,3 +599,62 @@ SELECT id AS li_id, hbos FROM scored ORDER BY hbos DESC, li_id LIMIT 20
 
 QUERIES["hbos_top_lineitem"] = hbos_top_lineitem
 ORACLE_SQL["hbos_top_lineitem"] = _hbos_sql()
+
+
+def shrunk_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrunk per-source mean quality
+    (operators/robust.py::eb_shrunk_means) — the small-source-safe
+    ranking signal."""
+    from ..functions.text import quality_score
+    from ..operators.robust import eb_shrunk_means
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "q", quality_score("text")
+    )
+    return eb_shrunk_means(docs, "q", ["source"])
+
+
+def _eb_sql() -> str:
+    from ._sql_text import sql_quality_score
+
+    q = sql_quality_score("text")
+    return f"""
+WITH per AS (
+  SELECT source, CAST(count(*) AS DOUBLE) AS n,
+         sum({q}) AS s, sum(({q}) * ({q})) AS qq
+  FROM documents WHERE ({q}) IS NOT NULL
+  GROUP BY 1
+), per2 AS (
+  SELECT source, n, s, s / n AS m, qq - s * s / n AS wss FROM per
+), tot AS (
+  SELECT sum(n) AS tn, sum(s) AS ts, sum(wss) AS twss,
+         CAST(count(*) AS DOUBLE) AS k
+  FROM per2
+), btw AS (
+  SELECT sum(n * (m - ts / tn) * (m - ts / tn)) AS bss,
+         sum(n * n) AS sn2
+  FROM per2 CROSS JOIN tot
+)
+SELECT source, CAST(n AS BIGINT) AS n, m AS mean_raw,
+  greatest((bss - (k - 1.0) * (twss / nullif(tn - k, 0.0)))
+           / nullif(tn - sn2 / tn, 0.0), 0.0)
+  / nullif(greatest((bss - (k - 1.0) * (twss / nullif(tn - k, 0.0)))
+                    / nullif(tn - sn2 / tn, 0.0), 0.0)
+           + (twss / nullif(tn - k, 0.0)) / n, 0.0) AS shrink_b,
+  greatest((bss - (k - 1.0) * (twss / nullif(tn - k, 0.0)))
+           / nullif(tn - sn2 / tn, 0.0), 0.0)
+  / nullif(greatest((bss - (k - 1.0) * (twss / nullif(tn - k, 0.0)))
+                    / nullif(tn - sn2 / tn, 0.0), 0.0)
+           + (twss / nullif(tn - k, 0.0)) / n, 0.0) * m
+  + (1.0 - greatest((bss - (k - 1.0) * (twss / nullif(tn - k, 0.0)))
+                    / nullif(tn - sn2 / tn, 0.0), 0.0)
+     / nullif(greatest((bss - (k - 1.0) * (twss / nullif(tn - k, 0.0)))
+                       / nullif(tn - sn2 / tn, 0.0), 0.0)
+              + (twss / nullif(tn - k, 0.0)) / n, 0.0)) * (ts / tn)
+    AS mean_shrunk
+FROM per2 CROSS JOIN tot CROSS JOIN btw
+"""
+
+
+QUERIES["shrunk_source_quality"] = shrunk_source_quality
+ORACLE_SQL["shrunk_source_quality"] = _eb_sql()

@@ -861,3 +861,85 @@ def hbos_scores(
             F.coalesce(F.log(F.col("mx") / F.col("cnt")), F.lit(0.0))
         ).alias("hbos")
     ).withColumnRenamed("id", id_col)
+
+
+def eb_shrunk_means(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+) -> DataFrame:
+    """Empirical-Bayes (James-Stein style) shrinkage of per-group means
+    toward the grand mean — the honest per-source/per-segment quality
+    estimate when group sizes vary wildly: a 10-row source's raw mean
+    is mostly noise, and ranking sources by raw means rewards small-n
+    luck. Standard method-of-moments normal-normal EB.
+
+    Two bounded aggregation passes: per-group (n, mean, within-group
+    sum of squares), then the grand mean and the between-group moment.
+
+    - within-variance σ² = pooled within-group variance;
+    - between-variance τ² = max(0, weighted between-group moment −
+      correction) (method of moments; clamped at 0 when groups look
+      exchangeable);
+    - ``shrunk = B·mean + (1−B)·grand`` with ``B = τ²/(τ² + σ²/n)`` —
+      big groups keep their mean, small ones pull toward the grand.
+
+    Groups with n = 1 get B from the same formula (their raw mean is
+    the noisiest, so they shrink hardest). τ² = 0 collapses every
+    group to the grand mean — the correct answer when between-group
+    signal is absent. Returns ``(group..., n, mean_raw, shrink_b,
+    mean_shrunk)``.
+    """
+    group_cols = list(group_cols)
+    v = F.col(value_col).cast("double")
+    per = (
+        df.where(v.isNotNull())
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(v).alias("s"),
+            F.sum(v * v).alias("q"),
+        )
+        .withColumn("m", F.col("s") / F.col("n"))
+        .withColumn("wss", F.col("q") - F.col("s") * F.col("s") / F.col("n"))
+    )
+    tot = per.agg(
+        F.sum("n").alias("tn"),
+        F.sum("s").alias("ts"),
+        F.sum("wss").alias("twss"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    grand = F.col("ts") / F.col("tn")
+    # pooled within-group variance (df = N - k); NULL when every group
+    # is a singleton (no within information)
+    sigma2 = F.col("twss") / F.nullif(
+        F.col("tn") - F.col("k"), F.lit(0.0)
+    )
+    # method of moments for tau^2 from the n-weighted between moment:
+    # E[ sum n_i (m_i - grand)^2 ] = (k-1) sigma^2 + tau^2 (N - sum n_i^2 / N)
+    btw = j.agg(
+        F.sum(
+            F.col("n") * (F.col("m") - grand) * (F.col("m") - grand)
+        ).alias("bss"),
+        F.sum(F.col("n") * F.col("n")).alias("sn2"),
+    )
+    full = j.crossJoin(F.broadcast(btw))
+    tau2 = F.greatest(
+        (
+            F.col("bss")
+            - (F.col("k") - 1.0) * sigma2
+        )
+        / F.nullif(
+            F.col("tn") - F.col("sn2") / F.col("tn"), F.lit(0.0)
+        ),
+        F.lit(0.0),
+    )
+    b = tau2 / F.nullif(tau2 + sigma2 / F.col("n"), F.lit(0.0))
+    return full.select(
+        *group_cols,
+        F.col("n").cast("long").alias("n"),
+        F.col("m").alias("mean_raw"),
+        b.alias("shrink_b"),
+        (b * F.col("m") + (F.lit(1.0) - b) * grand).alias("mean_shrunk"),
+    )

@@ -502,3 +502,41 @@ class TestHBOS:
         # of count 1 each with max 1 -> 0 surprise too
         assert all(v == pytest.approx(0.0) for v in got.values())
         assert len(got) == 3
+
+
+class TestEBShrinkage:
+    def test_small_groups_shrink_harder(self, spark):
+        from k_means_using_mapreduce_spark.operators.robust import (
+            eb_shrunk_means,
+        )
+
+        import random
+
+        rng = random.Random(3)
+        rows = []
+        # big group centered 10, big group centered 20, tiny lucky group
+        for _ in range(200):
+            rows.append(("big10", 10.0 + rng.uniform(-1, 1)))
+            rows.append(("big20", 20.0 + rng.uniform(-1, 1)))
+        rows += [("tiny", 30.0), ("tiny", 31.0)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        got = {r["g"]: r for r in eb_shrunk_means(df, "v", ["g"]).collect()}
+        # big groups barely move, tiny shrinks visibly toward the grand
+        assert abs(got["big10"]["mean_shrunk"] - got["big10"]["mean_raw"]) < 0.1
+        assert got["tiny"]["shrink_b"] < got["big10"]["shrink_b"]
+        grand = (10.0 * 0 + sum(r[1] for r in rows)) / len(rows)
+        raw, shrunk = got["tiny"]["mean_raw"], got["tiny"]["mean_shrunk"]
+        assert abs(shrunk - grand) < abs(raw - grand)
+
+    def test_exchangeable_groups_collapse_to_grand(self, spark):
+        from k_means_using_mapreduce_spark.operators.robust import (
+            eb_shrunk_means,
+        )
+
+        # identical distributions: tau^2 clamps to 0 -> everyone at grand
+        rows = [(g, float(i % 5)) for g in "abcd" for i in range(50)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        got = eb_shrunk_means(df, "v", ["g"]).collect()
+        grand = 2.0
+        assert all(r["mean_shrunk"] == pytest.approx(grand) for r in got)
+        assert all(r["shrink_b"] == pytest.approx(0.0) for r in got)
