@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "source_quality_ablation",
     "kmeans_k_stability_embeddings",
     "shrunk_source_quality",
+    "stratified_ate_events",
     "kmeans_assign_embeddings",
     "kmeans_update_embeddings",
     "dedup_exact_documents",

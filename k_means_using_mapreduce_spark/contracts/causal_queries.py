@@ -294,3 +294,66 @@ FROM (
 
 QUERIES["experiment_balance_events"] = experiment_balance_events
 ORACLE_SQL["experiment_balance_events"] = _balance_sql()
+
+
+def stratified_ate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quintile-stratified A/A readout on events
+    (operators/causal.py::stratified_ate): hash-armed treatment, value
+    outcome, user_id as the stratification score — per-stratum diffs
+    plus the pooled estimate (stratum = -1)."""
+    from ..operators.causal import stratified_ate
+    from ..operators.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "arm", hash_bucket("event_id", 2)
+    )
+    return stratified_ate(
+        ev, F.col("arm") == 0, "value", "user_id", strata=5
+    )
+
+
+def _stratified_ate_sql() -> str:
+    cuts = ", ".join(
+        f"quantile_cont(s, {i / 5}) AS c{i - 1}" for i in range(1, 5)
+    )
+    stratum = " + ".join(
+        f"CASE WHEN s > c{i} THEN 1 ELSE 0 END" for i in range(4)
+    )
+    arm = (
+        "CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))"
+        "::BIGINT % 2 = 0 THEN 1 ELSE 0 END"
+    )
+    return f"""
+WITH b AS (
+  SELECT CAST(value AS DOUBLE) AS y, CAST(user_id AS DOUBLE) AS s,
+         {arm} AS t
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+), cuts AS (SELECT {cuts} FROM b),
+assigned AS (
+  SELECT y, t, ({stratum}) AS stratum FROM b CROSS JOIN cuts
+), per AS (
+  SELECT stratum, CAST(count(*) AS DOUBLE) AS n,
+    sum(CASE WHEN t = 1 THEN 1.0 ELSE 0.0 END) AS nt,
+    sum(CASE WHEN t = 1 THEN y ELSE 0.0 END) AS st,
+    sum(CASE WHEN t = 0 THEN y ELSE 0.0 END) AS sc_
+  FROM assigned GROUP BY 1
+), strat AS (
+  SELECT CAST(stratum AS INTEGER) AS stratum,
+    CAST(n AS BIGINT) AS n,
+    CAST(nt AS BIGINT) AS n_treated,
+    CAST(n - nt AS BIGINT) AS n_control,
+    CASE WHEN nt > 0 AND n - nt > 0
+         THEN st / nt - sc_ / (n - nt) END AS effect
+  FROM per
+), summary AS (
+  SELECT -1 AS stratum, CAST(sum(n) AS BIGINT) AS n,
+    CAST(-1 AS BIGINT) AS n_treated, CAST(-1 AS BIGINT) AS n_control,
+    sum(n * (st / nt - sc_ / (n - nt))) / sum(n) AS effect
+  FROM per WHERE nt > 0 AND n - nt > 0
+)
+SELECT * FROM strat UNION ALL SELECT * FROM summary
+"""
+
+
+QUERIES["stratified_ate_events"] = stratified_ate_events
+ORACLE_SQL["stratified_ate_events"] = _stratified_ate_sql()

@@ -194,3 +194,23 @@ def test_covariate_balance_detects_imbalance(spark):
     got2 = {r["covariate"]: r for r in covariate_balance(df2, "arm", ["x", "z"]).collect()}
     assert got2["x"]["smd"] is not None
     assert got2["z"]["n_a"] == 0 and got2["z"]["smd"] is None
+
+
+def test_stratified_ate_removes_confounding(spark):
+    import pyspark.sql.functions as F
+
+    from k_means_using_mapreduce_spark.operators.causal import stratified_ate
+
+    rows = []
+    for i in range(500):
+        s = (i % 10) / 10.0
+        t = 1 if (i * 7) % 10 < s * 10 else 0  # score drives treatment
+        y = 2.0 * t + 10.0 * s  # true effect 2, confounded by s
+        rows.append((float(y), float(s), t))
+    df = spark.createDataFrame(rows, "y double, s double, t int")
+    out = {r["stratum"]: r for r in stratified_ate(df, F.col("t") == 1, "y", "s").collect()}
+    assert out[-1]["effect"] == pytest.approx(2.0)
+    # overlap violations surfaced, not imputed
+    assert out[0]["effect"] is None and out[0]["n_treated"] == 0
+    # summary excludes single-arm strata from its weight
+    assert out[-1]["n"] == 200
