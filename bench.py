@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "kmeans_k_stability_embeddings",
     "shrunk_source_quality",
     "stratified_ate_events",
+    "rake_source_lang_documents",
     "kmeans_assign_embeddings",
     "kmeans_update_embeddings",
     "dedup_exact_documents",

@@ -79,3 +79,86 @@ def allocate_budget(
         .alias("epochs"),
         (alloc < F.col("capacity")).alias("exhausted"),
     )
+
+
+def ipf_rake_weights(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    *,
+    row_targets: dict,
+    col_targets: dict,
+    iters: int = 5,
+) -> DataFrame:
+    """Iterative proportional fitting (raking) of cell weights so the
+    weighted corpus matches TARGET marginals on two axes at once —
+    "make the mix 40/40/20 by source AND uniform by language" with one
+    weight per (source, language) cell, the survey-statistics answer
+    to two-axis mixture planning (single-axis planning is
+    :func:`source_budget_plan`'s job).
+
+    Classic IPF: starting from w = 1, alternately scale each row's
+    weights to hit its target share, then each column's (``iters``
+    full sweeps; IPF converges geometrically when all cells are
+    non-empty, and the FIXED sweep count keeps the whole thing an
+    unrollable deterministic plan — the kmeans_fit doctrine). All
+    arithmetic lives on the tiny |rows|×|cols| cell relation;
+    the corpus is scanned once for the counts.
+
+    Targets are PROPORTIONS over the listed keys (each dict must sum
+    to ~1); keys absent from the data are ignored with their mass
+    renormalized implicitly by the next sweep, cells absent from the
+    data stay absent (structural zeros, the standard convention).
+    Returns ``(row, col, n, weight)`` where ``Σ n·w = Σ n`` and the
+    weighted marginals approach the targets.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    for name, t in (("row_targets", row_targets), ("col_targets", col_targets)):
+        tot = sum(t.values())
+        if not 0.999 <= tot <= 1.001:
+            raise ValueError(f"{name} must sum to 1, got {tot}")
+    spark = df.sparkSession
+    r, c = F.col(row_col), F.col(col_col)
+    cells = (
+        df.where(r.isNotNull() & c.isNotNull())
+        .where(r.isin(list(row_targets)) & c.isin(list(col_targets)))
+        .groupBy(r.alias("_r"), c.alias("_c"))
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    rt = F.broadcast(
+        spark.createDataFrame(
+            [(k, float(v)) for k, v in row_targets.items()], "_r string, _rt double"
+        )
+    )
+    ct = F.broadcast(
+        spark.createDataFrame(
+            [(k, float(v)) for k, v in col_targets.items()], "_c string, _ct double"
+        )
+    )
+    w = cells.join(rt, "_r").join(ct, "_c").withColumn("w", F.lit(1.0))
+    total = F.sum(F.col("n") * F.col("w"))
+    from pyspark.sql.window import Window
+
+    for _ in range(iters):
+        wr = Window.partitionBy("_r")
+        wall = Window.partitionBy()
+        w = w.withColumn(
+            "w",
+            F.col("w")
+            * (F.col("_rt") * F.sum(F.col("n") * F.col("w")).over(wall))
+            / F.sum(F.col("n") * F.col("w")).over(wr),
+        )
+        wc = Window.partitionBy("_c")
+        w = w.withColumn(
+            "w",
+            F.col("w")
+            * (F.col("_ct") * F.sum(F.col("n") * F.col("w")).over(wall))
+            / F.sum(F.col("n") * F.col("w")).over(wc),
+        )
+    return w.select(
+        F.col("_r").alias(row_col),
+        F.col("_c").alias(col_col),
+        F.col("n").cast("long").alias("n"),
+        F.col("w").alias("weight"),
+    )

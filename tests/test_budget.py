@@ -71,3 +71,33 @@ def test_validation(stats):
         allocate_budget(stats, total_budget=-1.0)
     with pytest.raises(ValueError):
         allocate_budget(stats, total_budget=1.0, max_epochs=0.0)
+
+
+def test_ipf_rake_hits_both_marginals(spark):
+    from k_means_using_mapreduce_spark.operators.budget import (
+        ipf_rake_weights,
+    )
+
+    rows = (
+        [("s1", "en")] * 50 + [("s1", "de")] * 10
+        + [("s2", "en")] * 20 + [("s2", "de")] * 20
+    )
+    df = spark.createDataFrame(rows, "src string, lang string")
+    cells = ipf_rake_weights(
+        df, "src", "lang",
+        row_targets={"s1": 0.5, "s2": 0.5},
+        col_targets={"en": 0.5, "de": 0.5},
+        iters=8,
+    ).collect()
+    tot = sum(r["n"] * r["weight"] for r in cells)
+    for s in ("s1", "s2"):
+        share = sum(r["n"] * r["weight"] for r in cells if r["src"] == s) / tot
+        assert share == pytest.approx(0.5, abs=1e-6)
+    for l in ("en", "de"):
+        share = sum(r["n"] * r["weight"] for r in cells if r["lang"] == l) / tot
+        assert share == pytest.approx(0.5, abs=1e-6)
+    import pytest as _p
+
+    with _p.raises(ValueError, match="sum to 1"):
+        ipf_rake_weights(df, "src", "lang",
+                         row_targets={"s1": 0.9}, col_targets={"en": 1.0})
