@@ -889,8 +889,10 @@ ORACLE_SQL["chow_break_1998"] = CHOW_SQL
 
 def poisson_quantity_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson GLM of line-item quantity on discount and tax
-    (operators/regression.py::poisson_newton), 4 Newton rounds from
-    beta = 0; the oracle unrolls the identical rounds as chained CTEs."""
+    (operators/regression.py::poisson_newton), 4 Newton rounds
+    warm-started at the null model b0 = ln(mean(y)); the oracle
+    unrolls the identical rounds as chained CTEs with the same
+    warm-start CTE."""
     from ..operators.regression import poisson_newton
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -906,7 +908,8 @@ def _poisson_sql(iters: int = 4) -> str:
   WHERE l_discount IS NOT NULL AND l_tax IS NOT NULL
     AND l_quantity IS NOT NULL AND l_quantity >= 0
 )""",
-        "pc0 AS MATERIALIZED (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2)",
+        "pc0 AS MATERIALIZED "
+        "(SELECT ln(avg(y)) AS b0, 0.0 AS b1, 0.0 AS b2 FROM pb)",
     ]
     for i in range(1, iters + 1):
         parts.append(f"""pt{i} AS MATERIALIZED (

@@ -39,6 +39,7 @@ K-Means only; regression is extension scope per the build brief.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -1239,6 +1240,16 @@ def poisson_newton(
     oracle. Final scan reports the Poisson deviance
     ``2 Σ [y·ln(y/μ) − (y − μ)]`` (y = 0 terms contribute 2μ).
 
+    Newton is warm-started at the null model ``b0 = ln(mean(y))``,
+    b1 = b2 = 0 (one tiny pre-aggregate): starting at β = 0 on a log
+    link diverges whenever mean(y) ≫ 1 — the first step jumps the
+    intercept to ≈ mean(y) − 1 and each later round only walks it
+    back by ~1, so a fixed iteration budget returns transient
+    garbage with astronomically large μ. From the null model the
+    step is O(1) and Newton converges quadratically in ≤4 rounds.
+    Divergence (non-finite or exploding steps) raises instead of
+    silently returning a non-fit.
+
     Returns one row ``(n, b0, b1, b2, deviance, mean_mu)``.
     """
     if len(x_cols) != 2:
@@ -1252,7 +1263,12 @@ def poisson_newton(
     rows = df.where(
         x1.isNotNull() & x2.isNotNull() & y.isNotNull() & (y >= 0)
     )
-    b0 = b1 = b2 = 0.0
+    mean_y = rows.agg(F.avg(y).alias("m")).collect()[0]["m"]
+    if mean_y is None or mean_y <= 0.0:
+        raise ValueError(
+            "poisson_newton needs at least one row with mean(y) > 0"
+        )
+    b0, b1, b2 = math.log(mean_y), 0.0, 0.0
     for _ in range(iters):
         z = F.lit(b0) + F.lit(b1) * x1 + F.lit(b2) * x2
         mu = F.exp(z)
@@ -1293,6 +1309,11 @@ def poisson_newton(
             + (s["h01"] * s["h02"] - s["h00"] * s["h12"]) * s["g1"]
             + (s["h00"] * s["h11"] - s["h01"] * s["h01"]) * s["g2"]
         ) / det
+        if not all(math.isfinite(b) for b in (b0, b1, b2)):
+            raise ValueError(
+                "poisson_newton diverged (non-finite coefficients); "
+                "check for extreme covariate scales"
+            )
     z = F.lit(b0) + F.lit(b1) * x1 + F.lit(b2) * x2
     mu = F.exp(z)
     dev_term = F.when(

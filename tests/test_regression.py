@@ -506,6 +506,37 @@ def test_poisson_newton_recovers_planted_rates(spark):
     assert r["deviance"] == pytest.approx(0.0, abs=1e-9)
 
 
+def test_poisson_newton_converges_on_large_mean_counts(spark):
+    """Regression for the round-5 divergence: mean(y) >> 1 used to blow
+    the beta trajectory through mu ~ 1e9 under the old beta=0 start.
+    The warm start (b0 = ln(mean y)) must yield an actual fit whose
+    deviance beats the null model's, with O(1) coefficients."""
+    import math
+
+    from k_means_using_mapreduce_spark.operators.regression import (
+        poisson_newton,
+    )
+
+    rows = []
+    for i in range(300):
+        x1 = (i % 10) / 10.0
+        x2 = ((i * 7) % 13) / 13.0
+        # counts around 25 with covariate-dependent rate, noise-free
+        y = math.exp(math.log(25.0) + 0.4 * x1 - 0.3 * x2)
+        rows.append((x1, x2, y))
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+    r = poisson_newton(df, ["x1", "x2"], "y", iters=4).collect()[0]
+    assert r["b0"] == pytest.approx(math.log(25.0), abs=1e-6)
+    assert r["b1"] == pytest.approx(0.4, abs=1e-6)
+    assert r["b2"] == pytest.approx(-0.3, abs=1e-6)
+    # mean_mu is O(mean y), not transient garbage
+    assert 20.0 < r["mean_mu"] < 35.0
+    # deviance strictly beats the intercept-only (null) model
+    ybar = sum(t[2] for t in rows) / len(rows)
+    null_dev = 2.0 * sum(t[2] * math.log(t[2] / ybar) for t in rows)
+    assert r["deviance"] < null_dev
+
+
 def test_poisson_newton_validation(spark):
     from k_means_using_mapreduce_spark.operators.regression import (
         poisson_newton,
