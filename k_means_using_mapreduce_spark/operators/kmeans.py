@@ -46,6 +46,7 @@ with iteration count.
 from __future__ import annotations
 
 import logging
+import math
 from dataclasses import dataclass
 from collections.abc import Sequence
 
@@ -884,9 +885,11 @@ def gmm1d_fit(
     iters: int = 3,
 ) -> DataFrame:
     """Two-component 1-D Gaussian mixture by EM — the soft-assignment
-    generalization of this module's K-Means (same flat iteration
-    doctrine: each EM round is ONE scan with the current parameters
-    folded in as codegen literals, shuffling seven doubles).
+    generalization of this module's K-Means. All EM rounds run as ONE
+    chained Spark job: each round's seven scalar sufficient statistics
+    ride as a broadcast 1-row aggregate cross-joined into the next
+    round's scan (the PageRank/HITS scalar-fold doctrine) instead of
+    round-tripping to the driver per iteration.
 
     Init is deterministic and data-driven: means at the exact 25th/
     75th percentiles, both variances at the global variance, equal
@@ -900,56 +903,99 @@ def gmm1d_fit(
     Returns one row ``(n, w1, m1, v1, m2, v2, log_lik)`` with
     component 1 the LOWER-initialized one (label order is pinned by
     the init, not by post-hoc sorting). Degenerate inputs (variance
-    collapsing to 0, fewer than 2 distinct values) raise.
+    collapsing to 0, fewer than 2 distinct values) raise — collapse
+    inside the chain surfaces as NULL (``nullif`` division guards)
+    and is validated when the parameter chain is collected.
     """
-    import math
-
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
-    x = F.col(value_col).cast("double")
-    rows = df.where(x.isNotNull())
-    init = rows.agg(
+    xin = F.col(value_col).cast("double")
+    # materialize the value column once: the chained plan scans it
+    # iters+1 times and lazy lineage would re-run the upstream read
+    # per round (house localCheckpoint doctrine for multi-pass plans)
+    rows = (
+        df.where(xin.isNotNull())
+        .select(xin.alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    x = F.col("x")
+    params = rows.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.percentile(x, F.lit(0.25)).alias("q1"),
-        F.percentile(x, F.lit(0.75)).alias("q3"),
-        F.var_pop(x).alias("v"),
-    ).collect()[0]
-    n = init["n"]
-    if n < 2 or init["v"] is None or init["v"] <= 0.0:
-        raise ValueError(
-            "gmm1d_fit needs at least 2 distinct non-null values"
+        F.lit(0.5).alias("w1"),
+        F.percentile(x, F.lit(0.25)).alias("m1"),
+        F.var_pop(x).alias("v1"),
+        F.percentile(x, F.lit(0.75)).alias("m2"),
+        F.var_pop(x).alias("v2"),
+    )
+
+    def _logdens(w, m, v):
+        # nullif: a zero variance (constant input / collapsed
+        # component) must surface as NULL -> driver ValueError, not
+        # an ANSI divide-by-zero inside the job
+        return (
+            F.log(w)
+            - F.lit(0.5) * F.log(F.lit(2.0 * math.pi) * v)
+            - (x - m) * (x - m)
+            / F.nullif(F.lit(2.0) * v, F.lit(0.0))
         )
-    w1 = 0.5
-    m1, m2 = init["q1"], init["q3"]
-    v1 = v2 = init["v"]
+
     for _ in range(iters):
-        l1 = (
-            F.lit(math.log(w1) - 0.5 * math.log(2.0 * math.pi * v1))
-            - (x - F.lit(m1)) * (x - F.lit(m1)) / F.lit(2.0 * v1)
-        )
-        l2 = (
-            F.lit(math.log(1.0 - w1) - 0.5 * math.log(2.0 * math.pi * v2))
-            - (x - F.lit(m2)) * (x - F.lit(m2)) / F.lit(2.0 * v2)
+        p = rows.crossJoin(F.broadcast(params))
+        l1 = _logdens(F.col("w1"), F.col("m1"), F.col("v1"))
+        l2 = _logdens(
+            F.lit(1.0) - F.col("w1"), F.col("m2"), F.col("v2")
         )
         r = F.lit(1.0) / (F.lit(1.0) + F.exp(l2 - l1))
-        s = rows.agg(
+        s = p.agg(
+            F.any_value(F.col("n")).alias("n"),
             F.sum(r).alias("r1"),
             F.sum(r * x).alias("rx1"),
             F.sum(r * x * x).alias("rxx1"),
             F.sum((F.lit(1.0) - r) * x).alias("rx2"),
             F.sum((F.lit(1.0) - r) * x * x).alias("rxx2"),
-        ).collect()[0]
-        n1 = s["r1"]
-        n2 = n - n1
-        if n1 <= 0.0 or n2 <= 0.0:
-            raise ValueError("a component collapsed to zero weight")
-        w1 = n1 / n
-        m1 = s["rx1"] / n1
-        m2 = s["rx2"] / n2
-        v1 = s["rxx1"] / n1 - m1 * m1
-        v2 = s["rxx2"] / n2 - m2 * m2
-        if v1 <= 0.0 or v2 <= 0.0:
-            raise ValueError("a component variance collapsed")
+        )
+        # nullif guards: a collapsed component (r1 = 0 or n) yields
+        # NULL parameters instead of an ANSI divide-by-zero mid-job;
+        # the driver-side validation below turns NULL into ValueError
+        r1 = F.col("r1")
+        n2 = F.col("n") - r1
+        m1n = F.col("rx1") / F.nullif(r1, F.lit(0.0))
+        m2n = F.col("rx2") / F.nullif(n2, F.lit(0.0))
+        params = s.select(
+            F.col("n"),
+            (r1 / F.col("n")).alias("w1"),
+            m1n.alias("m1"),
+            (F.col("rxx1") / F.nullif(r1, F.lit(0.0)) - m1n * m1n).alias(
+                "v1"
+            ),
+            m2n.alias("m2"),
+            (F.col("rxx2") / F.nullif(n2, F.lit(0.0)) - m2n * m2n).alias(
+                "v2"
+            ),
+        )
+    # ONE job collects the whole iters-round chain (K scalars)
+    fit = params.collect()[0]
+    n = fit["n"]
+    if n is None or n < 2:
+        raise ValueError(
+            "gmm1d_fit needs at least 2 distinct non-null values"
+        )
+    if any(
+        fit[k] is None or not math.isfinite(fit[k])
+        for k in ("w1", "m1", "v1", "m2", "v2")
+    ):
+        raise ValueError("a component collapsed to zero weight")
+    if fit["v1"] <= 0.0 or fit["v2"] <= 0.0:
+        raise ValueError(
+            "a component variance collapsed"
+            if fit["w1"] not in (0.0, 1.0)
+            else "a component collapsed to zero weight"
+        )
+    if fit["w1"] <= 0.0 or fit["w1"] >= 1.0:
+        raise ValueError("a component collapsed to zero weight")
+    w1, m1, v1, m2, v2 = (
+        fit["w1"], fit["m1"], fit["v1"], fit["m2"], fit["v2"]
+    )
     l1 = (
         F.lit(math.log(w1) - 0.5 * math.log(2.0 * math.pi * v1))
         - (x - F.lit(m1)) * (x - F.lit(m1)) / F.lit(2.0 * v1)
