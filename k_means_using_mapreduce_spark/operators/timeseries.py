@@ -23,6 +23,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -675,79 +676,80 @@ def trend_test(
     pairwise slopes — the robust trend magnitude). Output per key:
     ``(key, n, s, var_s, z, sen_slope)`` with the tie-corrected
     variance ``[n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18`` and the
-    continuity-corrected z (0 when S = 0, NULL when var_s = 0 —
+    continuity-corrected z (0 when S = 0, NaN when var_s = 0 —
     a constant series carries no trend evidence).
 
-    Scale: the pairwise self-join is O(keys × T²) on GRID rows
-    (T = series length, corpus-independent — 30 days hourly is
-    ~260 k pairs/key); raw events are touched once by the resample
-    groupBy. Keys partition the join, so it is embarrassingly
-    parallel across series.
+    Scale: raw events are touched once by the resample groupBy; the
+    pair space then lives entirely INSIDE a per-key Arrow-batched
+    kernel (``applyInPandas``) over grid rows — T rows in, one row
+    out, so no pair relation is ever shuffled or materialized
+    Spark-side (round-5 paid a T² self-join plus two bracket-median
+    passes here). T = series length is corpus-independent; keys
+    partition the kernel, so it is embarrassingly parallel across
+    series. For multi-year fine grids (T ≳ 50k ⇒ ~10 GB of in-kernel
+    slopes) resample coarser — the standard Theil–Sen guidance.
     """
     grid = resample_counts(events, ts_col=ts_col, key_col=key_col, unit=unit)
-    wk = Window.partitionBy("key").orderBy("bucket")
-    g = grid.select(
-        "key",
-        F.col("n").cast("double").alias("y"),
-        F.row_number().over(wk).alias("idx"),
+    key_type = grid.schema["key"].dataType.simpleString()
+    out_schema = (
+        f"key {key_type}, n long, s long, var_s double, "
+        "z double, sen_slope double"
     )
-    a = g.alias("a")
-    b = g.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.key") == F.col("b.key"))
-        & (F.col("b.idx") > F.col("a.idx")),
-    ).select(
-        F.col("a.key").alias("key"),
-        F.signum(F.col("b.y") - F.col("a.y")).alias("sgn"),
-        (
-            (F.col("b.y") - F.col("a.y"))
-            / (F.col("b.idx") - F.col("a.idx")).cast("double")
-        ).alias("slope"),
-    )
-    from .robust import exact_group_percentiles
 
-    # materialize the pair relation once: the MK sum and the bracket
-    # median's two passes would otherwise each re-run the T^2 self-join
-    pairs = pairs.localCheckpoint()
-    s_agg = pairs.groupBy("key").agg(F.sum("sgn").cast("long").alias("s"))
-    sen = exact_group_percentiles(
-        pairs, "slope", ["key"], [("sen_slope", 0.5)]
-    ).select("key", "sen_slope")
-    pair_agg = s_agg.join(sen, "key")
-    nk = g.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
-    ties = (
-        g.groupBy("key", "y")
-        .agg(F.count(F.lit(1)).cast("double").alias("t"))
-        .groupBy("key")
-        .agg(
-            F.sum(
-                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
-            ).alias("tie_term")
+    def _mk_kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("bucket")
+        y = pdf["n"].to_numpy(dtype="float64")
+        t = len(y)
+        if t < 2:
+            return pd.DataFrame(
+                columns=["key", "n", "s", "var_s", "z", "sen_slope"]
+            )
+        s = 0.0
+        slope_chunks = []
+        for i in range(t - 1):
+            dy = y[i + 1 :] - y[i]
+            s += float(np.sign(dy).sum())
+            slope_chunks.append(dy / np.arange(1.0, float(t - i)))
+        slopes = np.sort(np.concatenate(slope_chunks))
+        sen = _interp_median(slopes)
+        _, counts = np.unique(y, return_counts=True)
+        tc = counts.astype("float64")
+        tie_term = float((tc * (tc - 1.0) * (2.0 * tc + 5.0)).sum())
+        nd = float(t)
+        var_s = (nd * (nd - 1.0) * (2.0 * nd + 5.0) - tie_term) / 18.0
+        if var_s > 0.0:
+            num = s - 1.0 if s > 0 else (s + 1.0 if s < 0 else 0.0)
+            z = num / math.sqrt(var_s)
+        else:
+            z = float("nan")
+        return pd.DataFrame(
+            {
+                "key": [pdf["key"].iloc[0]],
+                "n": [t],
+                "s": [int(s)],
+                "var_s": [var_s],
+                "z": [z],
+                "sen_slope": [float(sen)],
+            }
         )
-    )
-    nd = F.col("n").cast("double")
-    var_s = (
-        nd * (nd - 1) * (2 * nd + 5) - F.col("tie_term")
-    ) / 18.0
-    sd = F.col("s").cast("double")
-    z = (
-        F.when(F.col("s") > 0, (sd - 1))
-        .when(F.col("s") < 0, (sd + 1))
-        .otherwise(F.lit(0.0))
-    ) / F.sqrt(F.nullif(var_s, F.lit(0.0)))
-    return (
-        nk.join(ties, "key")
-        .join(pair_agg, "key")
-        .select(
-            "key",
-            "n",
-            "s",
-            var_s.alias("var_s"),
-            z.alias("z"),
-            "sen_slope",
-        )
-    )
+
+    return grid.groupBy("key").applyInPandas(_mk_kernel, out_schema)
+
+
+def _interp_median(sorted_vals):
+    """Median with Spark-``percentile`` / DuckDB-``quantile_cont``
+    interpolation semantics: ``lo·(hi−pos) + hi_val·(pos−lo)`` — the
+    exact form :func:`..robust.exact_group_percentiles` uses, so
+    kernel medians stay bit-compatible with the SQL oracles."""
+    m = len(sorted_vals)
+    pos = (m - 1) * 0.5
+    lo, hi = math.floor(pos), math.ceil(pos)
+    if lo == hi:
+        return sorted_vals[lo]
+    return sorted_vals[lo] * (hi - pos) + sorted_vals[hi] * (pos - lo)
 
 
 def seasonal_strength(
@@ -1668,48 +1670,70 @@ def theil_sen_trend(
 
     Pair space is per-series quadratic in the number of x points —
     the Theil-Sen trade by definition — so feed RESAMPLED series
-    (hourly/daily buckets: B ≤ thousands ⇒ ≤ millions of pair rows
-    per series, one shuffle). Medians run through
-    :func:`..robust.exact_group_percentiles`'s bounded-buffer bracket
-    path, so even the B² pair relation never buffers a whole group.
-    Duplicate x values contribute no pair (undefined slope excluded,
-    the standard convention). Returns ``(key, n_points, n_pairs,
-    slope, intercept)``.
+    (hourly/daily buckets). The whole estimator runs INSIDE a per-key
+    Arrow-batched kernel (``applyInPandas``): T points in, one row
+    out — no pair relation is ever shuffled or materialized
+    Spark-side (round-5 paid a T² self-join plus two bracket-median
+    passes). Keys partition the kernel; for T ≳ 50k points per series
+    resample coarser. Medians use the same
+    ``quantile_cont``-interpolation form as
+    :func:`..robust.exact_group_percentiles`, so results stay
+    bit-compatible with the SQL oracles. Duplicate x values
+    contribute no pair (undefined slope excluded, the standard
+    convention). Returns ``(key, n_points, n_pairs, slope,
+    intercept)``; keys whose points share one x value (no valid
+    pair) are dropped, matching the inner-join semantics of the
+    pairwise SQL form.
     """
-    from .robust import exact_group_percentiles
-
     x = F.col(x_col).cast("double")
     y = F.col(y_col).cast("double")
     base = df.where(x.isNotNull() & y.isNotNull()).select(
         F.col(key_col).alias("key"), x.alias("x"), y.alias("y")
     )
-    a = base.select("key", F.col("x").alias("xi"), F.col("y").alias("yi"))
-    b = base.select("key", F.col("x").alias("xj"), F.col("y").alias("yj"))
-    pairs = (
-        a.join(b, "key")
-        .where(F.col("xi") < F.col("xj"))
-        .select(
-            "key",
-            (
-                (F.col("yj") - F.col("yi")) / (F.col("xj") - F.col("xi"))
-            ).alias("slope"),
+    key_type = base.schema["key"].dataType.simpleString()
+    out_schema = (
+        f"key {key_type}, n_points long, n_pairs long, "
+        "slope double, intercept double"
+    )
+
+    def _ts_kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            columns=["key", "n_points", "n_pairs", "slope", "intercept"]
         )
-        # materialized once: the bracket median's cut and refine passes
-        # would otherwise each re-run the pair self-join
-        .localCheckpoint()
-    )
-    med_slope = exact_group_percentiles(
-        pairs, "slope", ["key"], [("slope", 0.5)]
-    ).select("key", F.col("n").alias("n_pairs"), "slope")
-    resid = base.join(F.broadcast(med_slope), "key").select(
-        "key", (F.col("y") - F.col("slope") * F.col("x")).alias("r")
-    )
-    med_int = exact_group_percentiles(
-        resid, "r", ["key"], [("intercept", 0.5)]
-    ).select("key", F.col("n").alias("n_points"), "intercept")
+        pdf = pdf.sort_values("x", kind="mergesort")
+        xs = pdf["x"].to_numpy(dtype="float64")
+        ys = pdf["y"].to_numpy(dtype="float64")
+        t = len(xs)
+        if t < 2:
+            return empty
+        chunks = []
+        for i in range(t - 1):
+            dx = xs[i + 1 :] - xs[i]
+            keep = dx > 0.0
+            if keep.any():
+                chunks.append((ys[i + 1 :] - ys[i])[keep] / dx[keep])
+        if not chunks:
+            return empty
+        slopes = np.sort(np.concatenate(chunks))
+        slope = float(_interp_median(slopes))
+        resid = np.sort(ys - slope * xs)
+        intercept = float(_interp_median(resid))
+        return pd.DataFrame(
+            {
+                "key": [pdf["key"].iloc[0]],
+                "n_points": [t],
+                "n_pairs": [len(slopes)],
+                "slope": [slope],
+                "intercept": [intercept],
+            }
+        )
+
     return (
-        med_slope.join(med_int, "key")
-        .select("key", "n_points", "n_pairs", "slope", "intercept")
+        base.groupBy("key")
+        .applyInPandas(_ts_kernel, out_schema)
         .withColumnRenamed("key", key_col)
     )
 
