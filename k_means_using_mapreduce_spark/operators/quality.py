@@ -244,17 +244,23 @@ def functional_dependencies(
     repair distance. Rows where either side is NULL are excluded from
     that pair's check (NULL determines nothing).
 
-    ONE scan, one explode, UNORDERED pairs: the (a,b) and (b,a)
-    candidates share the same distinct (value-a, value-b) set (the
-    pair space is a bijection under swap) and the same joint-non-null
-    row filter, so each unordered pair is counted once —
-    ``(n_pair, distinct a, distinct b)`` over the deduped pair
-    relation — and both directions are emitted from it. Halves the
-    heavy distinct work vs per-ordered-candidate aggregation and
-    replaces |cols|² unioned scan branches with a single Generate
-    (round-4 bench: 3.5 s → 1.9 s at sf0.1). Profiling scope: the
-    explode multiplies rows by |pairs|, so prune the column list (or
-    sample) on very wide tables.
+    ONE scan, one explode, one LINEAR rollup over INT pair ids:
+    UNORDERED pairs are exploded once (the (a,b)/(b,a) candidates
+    share one distinct (value-a, value-b) set and one joint-non-null
+    filter) and deduped by ``(pid, va, vb)``; each surviving distinct
+    pair then fans out to its two orientations carrying ONLY the
+    determinant value — after dedupe, ``n_pair`` per orientation is
+    the plain row count and ``n_det`` the distinct determinant count,
+    so the dependent value never re-shuffles. Two more group-bys with
+    strictly shrinking keys finish it: ``(oid, dv)`` counts dependent
+    values per determinant value, ``(oid)`` sums to ``n_pair`` while
+    its group count IS ``n_det``. No multi-``countDistinct`` (which
+    would Expand the deduped relation ×3 and reshuffle it — the
+    round-5 residual cost), no union; the heavy shuffles move small
+    ints, not repeated column-name strings (round-6: 1.9 → 1.4 s at
+    sf0.1). Profiling scope: the explode multiplies rows by
+    |unordered pairs|, so prune the column list (or sample) on very
+    wide tables.
     """
     if len(cols) < 2:
         raise ValueError("functional_dependencies needs >= 2 columns")
@@ -262,42 +268,48 @@ def functional_dependencies(
     arr = F.array(
         *[
             F.struct(
-                F.lit(a).alias("ca"),
-                F.lit(b).alias("cb"),
+                F.lit(i).cast("int").alias("pid"),
                 F.col(a).cast("string").alias("va"),
                 F.col(b).cast("string").alias("vb"),
             )
-            for a, b in upairs
+            for i, (a, b) in enumerate(upairs)
         ]
     )
-    deduped = (
+    udeduped = (
         df.select(F.explode(arr).alias("p"))
         .select("p.*")
         .where(F.col("va").isNotNull() & F.col("vb").isNotNull())
-        .groupBy("ca", "cb", "va", "vb")
+        .groupBy("pid", "va", "vb")
         .agg(F.lit(1).alias("_one"))
-        .drop("_one")
     )
-    agg = deduped.groupBy("ca", "cb").agg(
-        F.count(F.lit(1)).alias("n_pair"),
-        F.countDistinct("va").alias("n_a"),
-        F.countDistinct("vb").alias("n_b"),
+    both = F.array(
+        F.struct(
+            (F.col("pid") * 2).alias("oid"), F.col("va").alias("dv")
+        ),
+        F.struct(
+            (F.col("pid") * 2 + 1).alias("oid"), F.col("vb").alias("dv")
+        ),
     )
-    fwd = agg.select(
-        F.col("ca").alias("det"),
-        F.col("cb").alias("dep"),
-        F.col("n_a").alias("n_det"),
-        "n_pair",
+    per_det_value = (
+        udeduped.select(F.explode(both).alias("p"))
+        .select("p.*")
+        .groupBy("oid", "dv")
+        .agg(F.count(F.lit(1)).alias("_n_dep_vals"))
     )
-    rev = agg.select(
-        F.col("cb").alias("det"),
-        F.col("ca").alias("dep"),
-        F.col("n_b").alias("n_det"),
-        "n_pair",
+    agg = per_det_value.groupBy("oid").agg(
+        F.count(F.lit(1)).alias("n_det"),
+        F.sum("_n_dep_vals").alias("n_pair"),
     )
-    return fwd.unionByName(rev).select(
-        "det",
-        "dep",
+    # oid -> (det, dep) names: element_at on K-element literal arrays
+    det_names = F.array(
+        *[F.lit(n) for a, b in upairs for n in (a, b)]
+    )
+    dep_names = F.array(
+        *[F.lit(n) for a, b in upairs for n in (b, a)]
+    )
+    return agg.select(
+        F.element_at(det_names, F.col("oid") + 1).alias("det"),
+        F.element_at(dep_names, F.col("oid") + 1).alias("dep"),
         "n_det",
         "n_pair",
         (F.col("n_pair") - F.col("n_det")).alias("violations"),
