@@ -211,14 +211,284 @@ GROUP BY event_type
 """
 
 
+def _two_batch_dirs(
+    spark: SparkSession, sf_dir: str, cols: list[str], prefix: str
+) -> str:
+    """Write events split by ``event_id % 2`` into two single-file
+    parquet halves whose modification times force half=0 to be
+    micro-batch 0 under ``maxFilesPerTrigger=1`` (the file stream
+    source processes oldest-first with ``latestFirst=false``, the
+    default). The split column is deterministic, so the oracle can
+    reproduce each micro-batch exactly with the same predicate."""
+    import os
+    import time
+
+    ev = load_table(spark, sf_dir, "events").select(*cols)
+    work = tempfile.mkdtemp(prefix=prefix)
+    in_dir = f"{work}/in"
+    now = time.time()
+    for half, age in ((0, 120.0), (1, 60.0)):
+        d = f"{in_dir}/half={half}"
+        ev.where(F.col("event_id") % 2 == half).drop(
+            "event_id"
+        ).coalesce(1).write.mode("overwrite").parquet(d)
+        for name in os.listdir(d):
+            p = os.path.join(d, name)
+            os.utime(p, (now - age, now - age))
+    return work
+
+
+def streaming_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming numeric-profile maintenance
+    (streaming/drift.py::ProfileMergeSink): mergeable per-column
+    moments (n, non-null, Σv, Σv², min, max) accumulated over two
+    micro-batches, REPLAYED from a fresh checkpoint (batch ids
+    restart at 0 — the accumulating merge would double-count without
+    the sink's replay guard), then the derived (mean, std, min, max)
+    profile. The oracle mirrors the exact merge arithmetic: per-half
+    moment sums added pairwise (IEEE addition is commutative, so
+    micro-batch order cannot change the result)."""
+    from ..streaming.drift import ProfileMergeSink
+
+    work = _two_batch_dirs(
+        spark, sf_dir, ["event_id", "user_id", "value"], "stream_prof_"
+    )
+    sink = ProfileMergeSink(
+        spark, f"{work}/state", columns=["user_id", "value"]
+    )
+
+    def run(ckpt: str) -> None:
+        q = (
+            spark.readStream.schema("user_id bigint, value double")
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(f"{work}/in")
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{work}/{ckpt}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run("ckpt1")
+    run("ckpt2")  # fresh-checkpoint replay: must be a guarded no-op
+    return sink.profile().select(
+        "col_name",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("non_null").cast("long").alias("non_null"),
+        "mean",
+        "std",
+        "min_v",
+        "max_v",
+    )
+
+
+def _profile_half_sql(col: str, half: int) -> str:
+    v = f"CAST({col} AS DOUBLE)"
+    return (
+        f"SELECT CAST(count(*) AS BIGINT) AS n, "
+        f"CAST(count({v}) AS BIGINT) AS nn, "
+        f"coalesce(sum({v}), 0.0) AS s, "
+        f"coalesce(sum({v} * {v}), 0.0) AS q, "
+        f"min({v}) AS mn, max({v}) AS mx "
+        f"FROM events WHERE event_id % 2 = {half}"
+    )
+
+
+def _profile_sql() -> str:
+    merged = []
+    for col in ("user_id", "value"):
+        merged.append(f"""
+  SELECT '{col}' AS col_name,
+         h0.n + h1.n AS n_rows, h0.nn + h1.nn AS non_null,
+         h0.s + h1.s AS sum_v, h0.q + h1.q AS sum_sq,
+         least(h0.mn, h1.mn) AS min_v, greatest(h0.mx, h1.mx) AS max_v
+  FROM ({_profile_half_sql(col, 0)}) h0
+  CROSS JOIN ({_profile_half_sql(col, 1)}) h1""")
+    body = "\nUNION ALL\n".join(merged)
+    return f"""
+WITH m AS ({body}),
+d AS (
+  SELECT *, CAST(non_null AS DOUBLE) AS nnd,
+    (sum_sq - sum_v * sum_v / CAST(non_null AS DOUBLE))
+      / nullif(CAST(non_null AS DOUBLE) - 1, 0.0) AS var_v
+  FROM m
+)
+SELECT col_name, n_rows, non_null,
+  sum_v / nullif(nnd, 0.0) AS mean,
+  CASE WHEN var_v IS NULL THEN NULL
+       WHEN var_v >= 0 THEN sqrt(var_v) ELSE 0.0 END AS std,
+  min_v, max_v
+FROM d
+"""
+
+
+STREAMING_PROFILE_SQL = _profile_sql()
+
+_SPRT_P0, _SPRT_P1 = 0.8, 0.9
+_SPRT_ALPHA, _SPRT_BETA = 0.05, 0.2
+_SPRT_THRESHOLD = 8.0
+
+
+def streaming_sprt_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sequential A/B monitor (streaming/abtest.py::
+    SprtSink): per-event-type Bernoulli evidence (success = value >
+    threshold) accumulated across two micro-batches plus a
+    fresh-checkpoint replay that the guard must no-op, then the Wald
+    SPRT verdict. State is exact integers, so the contract is
+    hash-exact through split + merge + replay."""
+    from ..streaming.abtest import SprtSink
+
+    work = _two_batch_dirs(
+        spark, sf_dir, ["event_id", "event_type", "value"], "stream_sprt_"
+    )
+    sink = SprtSink(
+        spark,
+        f"{work}/state",
+        arm_col="event_type",
+        success_col="success",
+        p0=_SPRT_P0,
+        p1=_SPRT_P1,
+        alpha=_SPRT_ALPHA,
+        beta=_SPRT_BETA,
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        sink(
+            batch_df.where(F.col("value").isNotNull()).withColumn(
+                "success",
+                (F.col("value") > F.lit(_SPRT_THRESHOLD)).cast("int"),
+            ),
+            batch_id,
+        )
+
+    def run(ckpt: str) -> None:
+        q = (
+            spark.readStream.schema("event_type string, value double")
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(f"{work}/in")
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", f"{work}/{ckpt}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run("ckpt1")
+    run("ckpt2")  # replay: accumulating merge must be guard-skipped
+    return sink.decision()
+
+
+def _sprt_sql() -> str:
+    import math
+
+    lw = math.log(_SPRT_P1 / _SPRT_P0)
+    ll = math.log((1 - _SPRT_P1) / (1 - _SPRT_P0))
+    hi = math.log((1 - _SPRT_BETA) / _SPRT_ALPHA)
+    lo = math.log(_SPRT_BETA / (1 - _SPRT_ALPHA))
+    return f"""
+WITH s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN value > {_SPRT_THRESHOLD!r} THEN 1 ELSE 0 END)
+              AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type
+)
+SELECT event_type, n, x, x / n AS rate,
+  x * {lw!r} + (n - x) * {ll!r} AS llr,
+  CASE WHEN x * {lw!r} + (n - x) * {ll!r} >= {hi!r} THEN 'accept_h1'
+       WHEN x * {lw!r} + (n - x) * {ll!r} <= {lo!r} THEN 'accept_h0'
+       ELSE 'continue' END AS verdict
+FROM s
+"""
+
+
+STREAMING_SPRT_SQL = _sprt_sql()
+
+
+def streaming_cdc_feed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming change-data feed (streaming/changefeed.py::
+    ChangeFeedSink): per-user aggregates upserted over two
+    micro-batches; the feed must hold batch 0's keys as 'added' and
+    batch 1's keys as 'added' (new users) or 'changed' (returning
+    users whose aggregate moved), exactly once through a
+    fresh-checkpoint replay. Batch order is pinned by the input
+    halves' modification times (oldest-first file source), so the
+    oracle reproduces each batch with the split predicate."""
+    from ..streaming.changefeed import ChangeFeedSink
+
+    work = _two_batch_dirs(
+        spark, sf_dir, ["event_id", "user_id", "value"], "stream_cdc_"
+    )
+    sink = ChangeFeedSink(spark, f"{work}/state", keys=["user_id"])
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        sink(
+            batch_df.groupBy("user_id").agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.coalesce(F.max("value"), F.lit(-1.0)).alias("max_value"),
+            ),
+            batch_id,
+        )
+
+    def run(ckpt: str) -> None:
+        q = (
+            spark.readStream.schema("user_id bigint, value double")
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(f"{work}/in")
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", f"{work}/{ckpt}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run("ckpt1")
+    run("ckpt2")  # replay: feed must not gain duplicate batches
+    return sink.feed().select(
+        "user_id", "change", F.col("batch").cast("long").alias("batch")
+    )
+
+
+STREAMING_CDC_SQL = """
+WITH h0 AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         coalesce(max(value), -1.0) AS max_value
+  FROM events WHERE event_id % 2 = 0 GROUP BY user_id
+),
+h1 AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         coalesce(max(value), -1.0) AS max_value
+  FROM events WHERE event_id % 2 = 1 GROUP BY user_id
+)
+SELECT user_id, 'added' AS change, CAST(0 AS BIGINT) AS batch FROM h0
+UNION ALL
+SELECT h1.user_id, 'added' AS change, CAST(1 AS BIGINT) AS batch
+FROM h1 LEFT JOIN h0 USING (user_id) WHERE h0.user_id IS NULL
+UNION ALL
+SELECT h1.user_id, 'changed' AS change, CAST(1 AS BIGINT) AS batch
+FROM h1 JOIN h0 USING (user_id)
+WHERE h1.n_events != h0.n_events OR h1.max_value != h0.max_value
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_sessions_events": streaming_sessions_events,
     "streaming_dedup_events": streaming_dedup_events,
     "streaming_quantile_sink_events": streaming_quantile_sink_events,
+    "streaming_profile_events": streaming_profile_events,
+    "streaming_sprt_events": streaming_sprt_events,
+    "streaming_cdc_feed_events": streaming_cdc_feed_events,
 }
 
 ORACLE_SQL: dict[str, str] = {
     "streaming_sessions_events": STREAMING_SESSIONS_SQL,
     "streaming_dedup_events": STREAMING_DEDUP_SQL,
     "streaming_quantile_sink_events": STREAMING_QUANTILE_SINK_SQL,
+    "streaming_profile_events": STREAMING_PROFILE_SQL,
+    "streaming_sprt_events": STREAMING_SPRT_SQL,
+    "streaming_cdc_feed_events": STREAMING_CDC_SQL,
 }
