@@ -969,3 +969,25 @@ FROM pscored
 
 QUERIES["poisson_quantity_lineitem"] = poisson_quantity_lineitem
 ORACLE_SQL["poisson_quantity_lineitem"] = _poisson_sql()
+
+
+def glm_poisson_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General-p GLM (operators/regression.py::glm_fit, MLlib GLR):
+    Poisson quantity model on THREE features — the path the 2-feature
+    closed forms point at. ROWS-ONLY contract: MLlib's IRLS stopping
+    rule and solver ordering are not reproducible as portable SQL, so
+    correctness is pinned by the tolerance parity tests against the
+    hash-gated closed forms (tests/test_regression.py::test_glm_fit_*)
+    instead of a DuckDB oracle."""
+    from ..operators.regression import glm_fit
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return glm_fit(
+        li,
+        ["l_discount", "l_tax", "l_linenumber"],
+        "l_quantity",
+        family="poisson",
+    )
+
+
+QUERIES["glm_poisson_lineitem"] = glm_poisson_lineitem

@@ -1327,3 +1327,79 @@ def poisson_newton(
         (F.lit(2.0) * F.sum(dev_term)).alias("deviance"),
         F.avg(mu).alias("mean_mu"),
     )
+
+
+def glm_fit(
+    df: DataFrame,
+    x_cols: Sequence[str],
+    y_col: str,
+    *,
+    family: str = "poisson",
+    link: str | None = None,
+    max_iter: int = 25,
+    tol: float = 1e-6,
+    reg_param: float = 0.0,
+) -> DataFrame:
+    """General-p GLM via MLlib's ``GeneralizedLinearRegression`` —
+    the escape hatch :func:`poisson_newton` / :func:`logistic_newton`
+    point at when the feature count exceeds their explicit 2-feature
+    closed forms.
+
+    MLlib's GLR is the same IRLS the closed forms unroll, executed by
+    the JVM over an assembled feature vector, with p×p normal
+    equations solved per round — the standard scale shape for p up to
+    a few thousand features (each round is one scan aggregating
+    O(p²) doubles). ``family`` ∈ poisson | binomial | gaussian |
+    gamma | tweedie; the canonical link is used unless ``link`` is
+    given.
+
+    Returns one row
+    ``(n, intercept, coefficients, deviance, null_deviance, aic)``
+    with ``coefficients`` an ``array<double>`` in ``x_cols`` order.
+    There is no DuckDB oracle for this operator: MLlib's IRLS
+    stopping rule and internal solver ordering are not reproducible
+    as portable SQL, so its contract-grade checks are the PARITY
+    tests against the hash-gated 2-feature closed forms
+    (tests/test_regression.py::test_glm_fit_*) — tolerance-based,
+    which is exactly what a converged-optimum comparison supports.
+    """
+    if not x_cols:
+        raise ValueError("glm_fit needs at least one feature column")
+    if family not in (
+        "poisson", "binomial", "gaussian", "gamma", "tweedie"
+    ):
+        raise ValueError(f"unsupported family {family!r}")
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import GeneralizedLinearRegression
+
+    cols = [F.col(c).cast("double").alias(c) for c in x_cols]
+    y = F.col(y_col).cast("double").alias("_glm_y")
+    rows = df.select(*cols, y).na.drop()
+    assembled = VectorAssembler(
+        inputCols=list(x_cols), outputCol="_glm_features"
+    ).transform(rows)
+    glr = GeneralizedLinearRegression(
+        family=family,
+        labelCol="_glm_y",
+        featuresCol="_glm_features",
+        maxIter=max_iter,
+        tol=tol,
+        regParam=reg_param,
+    )
+    if link is not None:
+        glr = glr.setLink(link)
+    model = glr.fit(assembled)
+    summ = model.summary
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(
+            int(summ.numInstances),
+            float(model.intercept),
+            [float(c) for c in model.coefficients],
+            float(summ.deviance),
+            float(summ.nullDeviance),
+            float(summ.aic),
+        )],
+        "n long, intercept double, coefficients array<double>, "
+        "deviance double, null_deviance double, aic double",
+    )

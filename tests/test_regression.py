@@ -550,3 +550,72 @@ def test_poisson_newton_validation(spark):
     )
     with pytest.raises(ValueError, match="singular"):
         poisson_newton(const, ["x1", "x2"], "y")
+
+
+def test_glm_fit_poisson_parity_with_closed_form(spark, sf_oracle):
+    """MLlib GLR (family=poisson) must land on the same optimum as the
+    hash-gated 2-feature Newton closed form — tolerance-based: both
+    solve the same convex MLE, but MLlib's IRLS stopping rule is not
+    SQL-reproducible, hence no DuckDB oracle for glm_fit."""
+    from k_means_using_mapreduce_spark.operators.regression import (
+        glm_fit,
+        poisson_newton,
+    )
+    from k_means_using_mapreduce_spark.sources.loaders import load_table
+
+    li = load_table(spark, sf_oracle, "lineitem")
+    nf = poisson_newton(li, ["l_discount", "l_tax"], "l_quantity").collect()[0]
+    gf = glm_fit(
+        li, ["l_discount", "l_tax"], "l_quantity", family="poisson"
+    ).collect()[0]
+    assert gf["n"] == nf["n"]
+    assert gf["intercept"] == pytest.approx(nf["b0"], abs=1e-5)
+    assert gf["coefficients"][0] == pytest.approx(nf["b1"], abs=1e-4)
+    assert gf["coefficients"][1] == pytest.approx(nf["b2"], abs=1e-4)
+    assert gf["deviance"] == pytest.approx(nf["deviance"], rel=1e-8)
+
+
+def test_glm_fit_binomial_parity_with_closed_form(spark, sf_oracle):
+    from k_means_using_mapreduce_spark.operators.regression import (
+        glm_fit,
+        logistic_newton,
+    )
+    from k_means_using_mapreduce_spark.sources.loaders import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_oracle, "lineitem").withColumn(
+        "is_return", (F.col("l_returnflag") == "R").cast("int")
+    )
+    nf = logistic_newton(
+        li, ["l_discount", "l_quantity"], "is_return", iters=8
+    ).collect()[0]
+    gf = glm_fit(
+        li, ["l_discount", "l_quantity"], "is_return", family="binomial"
+    ).collect()[0]
+    assert gf["n"] == nf["n"]
+    assert gf["intercept"] == pytest.approx(nf["b0"], abs=1e-5)
+    assert gf["coefficients"][0] == pytest.approx(nf["b1"], abs=1e-4)
+    assert gf["coefficients"][1] == pytest.approx(nf["b2"], abs=1e-5)
+
+
+def test_glm_fit_general_p(spark, sf_oracle):
+    """The point of the wrapper: p=3 features, which the closed forms
+    refuse. Fit must be a real GLM (deviance beats null deviance)."""
+    from k_means_using_mapreduce_spark.operators.regression import glm_fit
+    from k_means_using_mapreduce_spark.sources.loaders import load_table
+
+    li = load_table(spark, sf_oracle, "lineitem")
+    r = glm_fit(
+        li,
+        ["l_discount", "l_tax", "l_linenumber"],
+        "l_quantity",
+        family="poisson",
+    ).collect()[0]
+    assert len(r["coefficients"]) == 3
+    assert r["deviance"] < r["null_deviance"]
+    assert r["n"] > 0
+
+    with pytest.raises(ValueError, match="at least one feature"):
+        glm_fit(li, [], "l_quantity")
+    with pytest.raises(ValueError, match="unsupported family"):
+        glm_fit(li, ["l_tax"], "l_quantity", family="beta")
