@@ -1,8 +1,10 @@
 """Multimodal contract queries — the binary-column plumbing, oracle-
 checked.
 
-The real decode kernels are stubbed (no codecs in the container — see
-operators/multimodal.py), but the Spark-side machinery a multimodal
+PNG decode is REAL (pure-stdlib codec, operators/png.py) and
+hash-gated end-to-end by ``media_png_features``; other containers'
+decode remains stubbed (no PIL/ffmpeg in the container — see
+operators/multimodal.py). The Spark-side machinery a multimodal
 pipeline needs is exercised against a DuckDB oracle here by deriving a
 deterministic binary payload from the documents table: utf-8 bytes flow
 through an Arrow-batched ``mapInPandas`` kernel (python ``hashlib``/
@@ -187,3 +189,64 @@ FROM hx
 
 QUERIES["media_resize_nearest"] = media_resize_nearest
 ORACLE_SQL["media_resize_nearest"] = _media_resize_sql()
+
+
+def media_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END real-codec contract (round-6: kills the last labeled
+    fake): each document's md5 hex (32 ascii bytes) is declared a 4x8
+    gray image and encoded as an actual PNG (operators/png.py, stdlib
+    zlib) by one Arrow kernel; extract_features then sniffs the
+    \\x89PNG magic, DECODES the container back to pixels, and emits
+    the strided-window feature means. The oracle computes the same
+    means directly from the hex chars' ascii codes — the hash matches
+    only if encode → container → decode is byte-faithful."""
+    from ..operators.multimodal import FEATURE_DIM, extract_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.md5(F.encode("text", "utf-8")).alias("hex"),
+    )
+
+    def encode(batches: "Iterator") -> "Iterator":
+        import pandas as pd
+
+        from ..operators.png import encode_png_gray
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": "image",
+                    "payload": pdf["hex"].map(
+                        lambda h: encode_png_gray(h.encode("ascii"), 8, 4)
+                    ),
+                    "width": 8,
+                    "height": 4,
+                    "duration_ms": None,
+                }
+            )
+
+    media = src.mapInPandas(
+        encode,
+        "asset_id long, media_type string, payload binary, "
+        "width int, height int, duration_ms int",
+    )
+    feats = extract_features(media, dim=FEATURE_DIM)
+    return feats.select(
+        F.col("asset_id").alias("doc_id"),
+        F.posexplode("feature").alias("dim", "f"),
+    ).select("doc_id", F.col("dim").cast("int").alias("dim"), "f")
+
+
+MEDIA_PNG_FEATURES_SQL = """
+WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+dims AS (SELECT CAST(unnest(range(0, 16)) AS INTEGER) AS dim)
+SELECT doc_id, dim,
+  (ascii(substr(h, dim + 1, 1)) + ascii(substr(h, dim + 17, 1)))
+    / (255.0 * 2) AS f
+FROM hx CROSS JOIN dims
+"""
+
+QUERIES["media_png_features"] = media_png_features
+ORACLE_SQL["media_png_features"] = MEDIA_PNG_FEATURES_SQL

@@ -12,10 +12,15 @@ What is REAL vs what needs a codec:
   contract (contracts/multimodal_queries.py::media_resize_nearest).
 - :func:`byte_stats` (size/entropy/zlib/format-sniff) is real and
   codec-free.
-- ENCODED containers (png/jpeg/mp4 …) need PIL/ffmpeg, absent from
-  this container: :func:`extract_features`' decode step is a clearly
-  marked deterministic fake, and raw-buffer kernels surface encoded
-  or malformed payloads as NULL-payload rows instead of guessing.
+- PNG (8-bit grayscale) decode is REAL — a pure-stdlib codec
+  (operators/png.py, zlib + filter reversal) feeds
+  :func:`extract_features` actual pixels end-to-end, oracle-checked
+  by contracts/multimodal_queries.py::media_png_features.
+- OTHER encoded containers (jpeg/mp4 …) need PIL/ffmpeg, absent from
+  this container: for those :func:`extract_features` falls back to a
+  clearly marked deterministic fake over the raw bytes, and
+  raw-buffer kernels surface encoded or malformed payloads as
+  NULL-payload rows instead of guessing.
 
 Everything Spark-side is real and tested: schemas, batch iteration,
 partition sizing, UDF signatures, and the downstream handoff into the
@@ -91,23 +96,37 @@ def extract_features(
     drops the binary payload before returning — the output rows are
     ~100 B regardless of input media size.
 
-    The decode kernel is a *nested* function so cloudpickle serializes
-    it by value — Spark's Python workers need no import of this package
-    (a module-level reference breaks any driver not launched from the
-    repo root).
+    Decode is REAL for 8-bit grayscale PNG payloads (stdlib codec,
+    operators/png.py): the pixels are decoded and the strided-window
+    feature means run over actual image data, end-to-end. Payloads in
+    any other container (jpeg/mp4/…, no codec in this container) or
+    malformed PNGs fall through to the documented deterministic fake
+    over the raw bytes, so the pipeline shape stays exercised either
+    way.
     """
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as pd  # local import: runs on executor workers
 
+        from k_means_using_mapreduce_spark.operators.png import (
+            PNG_SIGNATURE,
+            decode_png_gray,
+        )
+
         def decode(payload, d=dim):
             # keep in sync with _fake_decode_features (module-level twin
-            # used for driver-side golden checks)
+            # used for driver-side golden checks) for the non-PNG path
             if payload is None or len(payload) == 0:
                 return [0.0] * d
+            buf = bytes(payload)
+            if buf[:8] == PNG_SIGNATURE:
+                try:
+                    _, _, buf = decode_png_gray(buf)
+                except ValueError:
+                    pass  # malformed image: treat as opaque bytes
             out = []
             for i in range(d):
-                sl = payload[i::d]
+                sl = buf[i::d]
                 out.append((sum(sl) / (255.0 * len(sl))) if sl else 0.0)
             return out
 
@@ -330,22 +349,38 @@ def frame_sample_raw(
 
 def synth_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
     """Deterministic synthetic media table for tests: payload bytes are
-    a seeded function of asset_id (no RNG at execution time)."""
-    return (
-        spark.range(n)
-        .select(
-            F.col("id").alias("asset_id"),
-            F.when(F.col("id") % 3 == 0, "image")
-            .when(F.col("id") % 3 == 1, "audio")
-            .otherwise("video")
-            .alias("media_type"),
-            F.sha2(F.concat(F.lit(str(seed)), F.col("id").cast("string")), 512)
-            .cast("binary")
-            .alias("payload"),
-            F.lit(64).alias("width"),
-            F.lit(64).alias("height"),
-            F.lit(1000).alias("duration_ms"),
-        )
+    a seeded function of asset_id (no RNG at execution time). IMAGE
+    rows carry REAL 8x8 grayscale PNGs (operators/png.py encoder, so
+    the extract_features PNG decode path is exercised end-to-end);
+    audio/video rows remain opaque seeded bytes."""
+    import hashlib
+
+    from .png import encode_png_gray
+
+    def _bytes(i: int, want: int) -> bytes:
+        out = b""
+        block = 0
+        while len(out) < want:
+            out += hashlib.sha256(
+                f"{seed}:{i}:{block}".encode()
+            ).digest()
+            block += 1
+        return out[:want]
+
+    rows = []
+    for i in range(n):
+        kind = ("image", "audio", "video")[i % 3]
+        if kind == "image":
+            payload = encode_png_gray(_bytes(i, 64), 8, 8)
+            w = h = 8
+        else:
+            payload = _bytes(i, 64)
+            w = h = 64
+        rows.append((i, kind, bytearray(payload), w, h, 1000))
+    return spark.createDataFrame(
+        rows,
+        "asset_id long, media_type string, payload binary, "
+        "width int, height int, duration_ms int",
     )
 
 

@@ -26,8 +26,93 @@ def test_extract_features_end_to_end(media):
     assert len(rows) == 50
     assert all(len(r["feature"]) == M.FEATURE_DIM for r in rows)
     assert all(0.0 <= v <= 1.0 for r in rows for v in r["feature"])
-    # payload = sha2-512 hex string cast to binary → 128 bytes
-    assert all(r["n_bytes"] == 128 for r in rows)
+    # audio/video payloads are 64 opaque bytes; image rows are real
+    # PNG containers (header + zlib stream > raw 64 pixels)
+    by_kind = {r["media_type"]: r["n_bytes"] for r in rows}
+    assert by_kind["audio"] == 64 and by_kind["video"] == 64
+    assert by_kind["image"] > 64
+
+
+def test_extract_features_decodes_real_png(spark):
+    """Image features must come from DECODED pixels, not the PNG
+    container bytes: encode a known gradient, check the strided means
+    against the closed form computed from the raw pixels."""
+    from k_means_using_mapreduce_spark.operators.png import encode_png_gray
+
+    pixels = bytes(range(64))  # 8x8 gradient
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(encode_png_gray(pixels, 8, 8)), 8, 8, None)],
+        M.MEDIA_SCHEMA,
+    )
+    row = M.extract_features(df).first()
+    expected = [
+        sum(pixels[i :: M.FEATURE_DIM])
+        / (255.0 * len(pixels[i :: M.FEATURE_DIM]))
+        for i in range(M.FEATURE_DIM)
+    ]
+    assert row["feature"] == pytest.approx(expected, abs=0.0)
+
+
+def test_png_roundtrip_and_filters():
+    """Codec unit checks: encode→decode identity, and the decoder
+    reverses all five scanline filter types (hand-filtered stream)."""
+    import struct
+    import zlib
+    from binascii import crc32
+
+    from k_means_using_mapreduce_spark.operators import png as P
+
+    pixels = bytes((i * 37 + 11) % 256 for i in range(12 * 5))
+    data = P.encode_png_gray(pixels, 12, 5)
+    w, h, out = P.decode_png_gray(data)
+    assert (w, h, out) == (12, 5, pixels)
+
+    # hand-build a 3x5 image whose rows use filters 1..4 and 0
+    width, height = 3, 5
+    ref = [bytes((r * 50 + c * 7) % 256 for c in range(width))
+           for r in range(height)]
+    filtered = bytearray()
+    prev = bytes(width)
+    for r, (ft, row) in enumerate(zip([0, 1, 2, 3, 4], ref)):
+        filtered.append(ft)
+        for x in range(width):
+            left = row[x - 1] if x > 0 else 0
+            up = prev[x]
+            upleft = prev[x - 1] if x > 0 else 0
+            if ft == 0:
+                filtered.append(row[x])
+            elif ft == 1:
+                filtered.append((row[x] - left) & 0xFF)
+            elif ft == 2:
+                filtered.append((row[x] - up) & 0xFF)
+            elif ft == 3:
+                filtered.append((row[x] - (left + up) // 2) & 0xFF)
+            else:
+                filtered.append((row[x] - P._paeth(left, up, upleft)) & 0xFF)
+        prev = row
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", crc32(tag + body) & 0xFFFFFFFF))
+
+    hand = (P.PNG_SIGNATURE
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(filtered)))
+            + chunk(b"IEND", b""))
+    w2, h2, out2 = P.decode_png_gray(hand)
+    assert (w2, h2) == (width, height)
+    assert out2 == b"".join(ref)
+
+    # unsupported profiles and corruption raise, never zero-fill
+    with pytest.raises(ValueError, match="signature"):
+        P.decode_png_gray(b"JUNK" + data)
+    rgb_ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+    with pytest.raises(ValueError, match="8-bit gray"):
+        P.decode_png_gray(P.PNG_SIGNATURE + rgb_ihdr)
+    corrupt = bytearray(data)
+    corrupt[40] ^= 0xFF
+    with pytest.raises(ValueError):
+        P.decode_png_gray(bytes(corrupt))
 
 
 def test_extract_features_deterministic(media):
