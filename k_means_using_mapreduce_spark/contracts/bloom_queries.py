@@ -28,16 +28,16 @@ _PRIORITY = "1-URGENT"
 
 
 def _sql_pos(key_expr: str, i: int) -> str:
-    """Mirror of operators/bloomjoin.py: one base md5 mod P, fanned by
-    the frozen affine family."""
-    from ..operators.dedup import MINHASH_AFFINE, MINHASH_P
+    """Mirror of operators/bloomjoin.py: Kirsch–Mitzenmacher double
+    hashing — two independent int60 bases from ONE md5 (hex chars
+    1–15 and 16–30, the latter mod 2^57), position i = (h1 + i*h2)
+    mod num_bits."""
+    from ..operators.bloomjoin import _H2_MOD
 
-    a, b = MINHASH_AFFINE[i]
-    base = (
-        f"(('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 15))"
-        f"::BIGINT % {MINHASH_P})"
-    )
-    return f"((({a} * {base} + {b}) % {MINHASH_P}) % {BLOOM_BITS})"
+    md5 = f"md5(CAST({key_expr} AS VARCHAR))"
+    h1 = f"('0x' || substr({md5}, 1, 15))::BIGINT"
+    h2 = f"(('0x' || substr({md5}, 16, 15))::BIGINT % {_H2_MOD})"
+    return f"(({h1} + {i} * {h2}) % {BLOOM_BITS})"
 
 
 def bloom_prefilter_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
