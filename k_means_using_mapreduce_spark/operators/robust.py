@@ -90,8 +90,14 @@ def exact_group_percentiles(
     eps = 4.0 / accuracy
     lo_ps = [max(0.0, p - eps) for _, p in percentiles]
     hi_ps = [min(1.0, p + eps) for _, p in percentiles]
+    # project to just the group/value columns BEFORE the helper join:
+    # the cut columns ride alongside the caller's frame, and a caller
+    # column named `n` (common — resample_counts grids) would make the
+    # aggregate references below ambiguous (ADVICE r5). The count
+    # stays under the reserved name _egp_n until the final select.
+    df = df.select(*dict.fromkeys([*group_cols, value_col]))
     cuts = df.groupBy(*group_cols).agg(
-        F.count(v).cast("long").alias("n"),
+        F.count(v).cast("long").alias("_egp_n"),
         F.min(v).alias("_gmin"),
         F.max(v).alias("_gmax"),
         F.percentile_approx(
@@ -105,7 +111,7 @@ def exact_group_percentiles(
     # plain equi-join would silently drop those rows here.
     cuts_r = cuts.select(
         *[F.col(c).alias(f"_k_{c}") for c in group_cols],
-        "n",
+        "_egp_n",
         "_gmin",
         "_gmax",
         "_lo_cuts",
@@ -122,7 +128,7 @@ def exact_group_percentiles(
     # tiny group's target order statistic, and buffering such a group
     # whole is still bounded (≤ accuracy values). For n ≥ accuracy the
     # ±4/accuracy bracket provably contains both needed ranks.
-    small = F.col("n") < F.lit(int(accuracy))
+    small = F.col("_egp_n") < F.lit(int(accuracy))
     refine_aggs = []
     for i, (alias, _p) in enumerate(percentiles):
         lo_c = F.when(small, F.col("_gmin")).otherwise(
@@ -142,11 +148,11 @@ def exact_group_percentiles(
             ).alias(f"_ws_{i}")
         )
     refined = joined.groupBy(*group_cols).agg(
-        F.first("n").alias("n"), *refine_aggs
+        F.first("_egp_n").alias("_egp_n"), *refine_aggs
     )
-    out_cols = [*group_cols, F.col("n")]
+    out_cols = [*group_cols, F.col("_egp_n").alias("n")]
     for i, (alias, p) in enumerate(percentiles):
-        n = F.col("n")
+        n = F.col("_egp_n")
         pos = (n - F.lit(1)).cast("double") * F.lit(float(p))
         lower = F.floor(pos).cast("long")
         higher = F.ceil(pos).cast("long")

@@ -227,19 +227,24 @@ def hash_ring_negatives(
     over a range-partitioned sort at extreme scale) and one equi-join
     on ring position with modular wrap-around — never a cartesian.
 
-    Requires ``k < count(ids)``: with k ≥ the ring size the modular
-    wrap would revisit the id itself (a self-pair the filter would
-    silently drop, breaking the exactly-k guarantee) and repeat
+    Requires ``k < count(DISTINCT ids)``: with k ≥ the ring size the
+    modular wrap would revisit the id itself (a self-pair the filter
+    would silently drop, breaking the exactly-k guarantee) and repeat
     neighbors; validated eagerly (one count job) rather than noted.
+    The ring is built over DISTINCT ids — duplicate input rows would
+    otherwise occupy adjacent ring slots and hand every id its own
+    duplicate as a "negative" (ADVICE r5: the guard must measure the
+    actual ring, not the row count).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    n_ids = df.select(id_col).count()
+    df = df.select(id_col).distinct()
+    n_ids = df.count()
     if k >= n_ids:
         raise ValueError(
-            f"k={k} must be < the number of ids on the ring ({n_ids}): "
-            "the modular wrap would produce self-pairs and duplicate "
-            "negatives"
+            f"k={k} must be < the number of distinct ids on the ring "
+            f"({n_ids}): the modular wrap would produce self-pairs and "
+            "duplicate negatives"
         )
     h = F.conv(
         F.substring(

@@ -540,3 +540,24 @@ class TestEBShrinkage:
         grand = 2.0
         assert all(r["mean_shrunk"] == pytest.approx(grand) for r in got)
         assert all(r["shrink_b"] == pytest.approx(0.0) for r in got)
+
+
+def test_exact_group_percentiles_survives_caller_n_column(spark):
+    """Regression (ADVICE r5): a caller column literally named `n`
+    (resample_counts grids) used to make the internal count reference
+    ambiguous and blow up group_median/winsorized wrappers."""
+    from k_means_using_mapreduce_spark.operators.robust import (
+        exact_group_percentiles,
+        group_median,
+    )
+
+    df = spark.createDataFrame(
+        [("a", i, float(i)) for i in range(1, 12)],
+        "key string, n int, v double",
+    )
+    r = exact_group_percentiles(
+        df, "v", ["key"], [("p50", 0.5)]
+    ).collect()[0]
+    assert r["n"] == 11 and r["p50"] == 6.0
+    m = group_median(df, "v", ["key"]).collect()[0]
+    assert m["median"] == 6.0

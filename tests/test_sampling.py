@@ -256,3 +256,24 @@ def test_hash_ring_negatives_rejects_k_ge_ring_size(spark):
 
     with pytest.raises(ValueError, match="self-pairs"):
         hash_ring_negatives(ids, "id", k=3)
+
+
+def test_hash_ring_negatives_dedups_ids_and_guards_distinct(spark):
+    """Duplicate input ids must neither fool the k-guard (row count vs
+    ring size) nor appear twice on the ring (self-pair negatives)."""
+    import pytest as _p
+
+    from k_means_using_mapreduce_spark.operators.sampling import (
+        hash_ring_negatives,
+    )
+
+    dup = spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("b",), ("c",)], "id string"
+    )
+    # 5 rows but only 3 distinct ids: k=3 must be rejected
+    with _p.raises(ValueError, match="distinct"):
+        hash_ring_negatives(dup, "id", k=3)
+    out = hash_ring_negatives(dup, "id", k=2).collect()
+    assert len(out) == 6  # 3 distinct ids x exactly k
+    for r in out:
+        assert r["id"] != r["neg_id"]
