@@ -546,7 +546,16 @@ def hbos_top_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HBOS anomaly screen over lineitem's numeric profile
     (operators/robust.py::hbos_scores): equal-width 16-bin histograms
     per column, score = sum of log(modal count / own-bin count); the
-    20 most anomalous line items (ties on id)."""
+    20 most anomalous line items.
+
+    Rank key is the score ROUNDED to 6 decimals with id as the
+    tiebreak (ADVICE r5): the raw score is a 3-term log sum whose
+    addition order differs between Spark partitionings and DuckDB, so
+    rows sharing all three bins (identical true score — common) could
+    flip across the top-20 cut by ulps. Rounding collapses ulp-level
+    drift into exact ties that the id breaks identically in both
+    engines; the emitted ``hbos`` value stays raw (the 6-sig-fig
+    value canon absorbs it)."""
     from ..operators.robust import hbos_scores
 
     li = load_table(spark, sf_dir, "lineitem").withColumn(
@@ -554,7 +563,7 @@ def hbos_top_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         hbos_scores(li, _HBOS_COLS, "li_id", bins=_HBOS_BINS)
-        .orderBy(F.desc("hbos"), "li_id")
+        .orderBy(F.desc(F.round(F.col("hbos"), 6)), "li_id")
         .limit(20)
     )
 
@@ -593,7 +602,8 @@ binned AS (
   FROM binned b LEFT JOIN cmax c USING (col, bin)
   GROUP BY 1
 )
-SELECT id AS li_id, hbos FROM scored ORDER BY hbos DESC, li_id LIMIT 20
+SELECT id AS li_id, hbos FROM scored
+ORDER BY round(hbos, 6) DESC, li_id LIMIT 20
 """
 
 

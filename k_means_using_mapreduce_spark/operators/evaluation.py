@@ -167,6 +167,13 @@ def best_split_stump(
     an empty side are excluded by construction (the last block cannot
     split). NULL x or label rows are dropped.
 
+    The float-ranked argmax is partition-order STABLE by construction
+    (unlike log-sum scores, see hbos_top's rounded rank key): every
+    gain is one fixed expression tree over EXACT integer prefix
+    sums — no aggregation reorder can perturb it by a ulp, so equal
+    gains are exactly equal in any engine and the threshold tiebreak
+    decides identically.
+
     Returns one row ``(n, pos_rate, gini_parent, threshold, n_left,
     n_right, pos_rate_left, pos_rate_right, gini_gain)``; NULL
     threshold/gain when fewer than 2 distinct x values exist.
