@@ -692,3 +692,22 @@ def test_logistic_final_pass_is_narrow_scan(spark, sf):
         assert set(cols) <= {"l_quantity", "l_discount", "l_returnflag"}
     assert sort_merge_join_count(df) == 0
     assert broadcast_join_count(df) == 0
+
+
+def test_salted_shapes_pinned(spark, sf):
+    """Pin the salted-family plan shapes so a regression can't hide in
+    bench noise (VERDICT r5 #9): the salted two-phase aggregation is
+    exactly two exchanges (salt-bucket partials, then final merge);
+    the salted replicated-dimension join stays broadcast with the lone
+    exchange belonging to the final groupBy."""
+    from k_means_using_mapreduce_spark.plans.explain import (
+        broadcast_join_count,
+        exchange_count,
+    )
+
+    agg = _q("salted_event_type_stats", spark, sf)
+    assert exchange_count(agg) == 2
+
+    joined = _q("salted_brand_revenue", spark, sf)
+    assert exchange_count(joined) == 1
+    assert broadcast_join_count(joined) >= 1
