@@ -919,13 +919,24 @@ def gmm1d_fit(
         .localCheckpoint(eager=True)
     )
     x = F.col("x")
-    params = rows.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
+    # init quartiles through the bounded-buffer bracket path: the
+    # buffered exact `percentile` aggregate sorts the whole column on
+    # one reducer (~3 s of the round-5 5.97 s at sf0.1, and the exact
+    # OOM shape the bracket doctrine exists for). Same quantile_cont
+    # interpolation bit-for-bit, so the oracle is untouched.
+    from .robust import exact_group_percentiles
+
+    quarts = exact_group_percentiles(
+        rows, "x", [], [("m1", 0.25), ("m2", 0.75)]
+    )
+    gvar = rows.agg(F.var_pop(x).alias("v"))
+    params = quarts.crossJoin(F.broadcast(gvar)).select(
+        F.col("n").cast("double").alias("n"),
         F.lit(0.5).alias("w1"),
-        F.percentile(x, F.lit(0.25)).alias("m1"),
-        F.var_pop(x).alias("v1"),
-        F.percentile(x, F.lit(0.75)).alias("m2"),
-        F.var_pop(x).alias("v2"),
+        "m1",
+        F.col("v").alias("v1"),
+        "m2",
+        F.col("v").alias("v2"),
     )
 
     def _logdens(w, m, v):
