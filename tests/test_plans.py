@@ -711,3 +711,44 @@ def test_salted_shapes_pinned(spark, sf):
     joined = _q("salted_brand_revenue", spark, sf)
     assert exchange_count(joined) == 1
     assert broadcast_join_count(joined) >= 1
+
+
+def test_trend_kernels_have_no_self_join(spark, sf):
+    """Round-6 scale claim: Mann-Kendall and Theil-Sen run the pair
+    space inside a per-key Arrow kernel — the plan must contain ZERO
+    joins of any kind (round 5 had a T^2 self-join each)."""
+    from k_means_using_mapreduce_spark.plans.explain import (
+        broadcast_join_count,
+        executed_plan,
+        sort_merge_join_count,
+    )
+
+    for name in ("trend_test_events", "theil_sen_hourly_events"):
+        df = _q(name, spark, sf)
+        plan = executed_plan(df)
+        # the only joins allowed are resample_counts' dense-grid
+        # builders (broadcast of the key x bucket skeleton) — the
+        # pair space itself must be inside the grouped kernel
+        assert sort_merge_join_count(df) == 0, name
+        assert broadcast_join_count(df) <= 2, name
+        assert "CartesianProduct" not in plan, name
+        assert "FlatMapGroupsInPandas" in plan, name
+
+
+def test_fd_discovery_linear_rollup_shape(spark, sf):
+    """Round-6 scale claim: fd_discovery is one Generate (the
+    unordered-pair explode) plus a second tiny Generate (orientation
+    fan-out on the deduped relation) feeding a LINEAR chain of
+    aggregations — no Expand (multi-countDistinct), no Union, no
+    join."""
+    from k_means_using_mapreduce_spark.plans.explain import (
+        executed_plan,
+        sort_merge_join_count,
+    )
+
+    df = _q("fd_discovery_orders", spark, sf)
+    plan = executed_plan(df)
+    assert "Expand" not in plan
+    assert "Union" not in plan
+    assert sort_merge_join_count(df) == 0
+    assert plan.count("Generate") >= 1
