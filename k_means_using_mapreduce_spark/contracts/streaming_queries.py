@@ -475,6 +475,126 @@ WHERE h1.n_events != h0.n_events OR h1.max_value != h0.max_value
 """
 
 
+_CM_DEPTH, _CM_WIDTH = 3, 1024
+
+
+def streaming_freq_sketch_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming count-min maintenance (streaming/freq.py::
+    FreqSketchMergeSink): per-user-id occurrence counters accumulated
+    over two micro-batches plus a fresh-checkpoint replay the guard
+    must no-op. Counters sum elementwise over exact integers and the
+    bucket positions are the house md5 hash, so the ENTIRE merged
+    sketch table is reproduced bit-for-bit by one batch SQL pass —
+    the strongest possible check of the sketch state."""
+    from ..streaming.freq import FreqSketchMergeSink
+
+    work = _two_batch_dirs(
+        spark, sf_dir, ["event_id", "user_id"], "stream_freq_"
+    )
+    sink = FreqSketchMergeSink(
+        spark,
+        f"{work}/state",
+        group_cols=[],
+        value_col="user_id",
+        depth=_CM_DEPTH,
+        width=_CM_WIDTH,
+    )
+
+    def run(ckpt: str) -> None:
+        q = (
+            spark.readStream.schema("user_id bigint")
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(f"{work}/in")
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{work}/{ckpt}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run("ckpt1")
+    run("ckpt2")  # replay: counter addition must be guard-skipped
+    return sink.sketch().select(
+        F.col("d").cast("int").alias("d"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+
+
+STREAMING_FREQ_SQL = f"""
+WITH counts AS (
+  SELECT user_id AS v, count(*) AS c
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+),
+d AS (SELECT CAST(unnest(range(0, {_CM_DEPTH})) AS INTEGER) AS d)
+SELECT d,
+  ('0x' || substr(md5(d::VARCHAR || ':' || v::VARCHAR), 1, 15))::BIGINT
+    % {_CM_WIDTH} AS bucket,
+  CAST(sum(c) AS BIGINT) AS cnt
+FROM counts CROSS JOIN d
+GROUP BY 1, 2
+"""
+
+
+def streaming_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HLL distinct-count maintenance (streaming/distinct.py
+    ::SketchMergeSink): per-event-type user sketches merged over two
+    micro-batches plus a fresh-checkpoint replay. The sketch binary is
+    Datasketches HLL — not SQL-reproducible — so the contract checks
+    the exactly-once accounting (``n_rows``, exact) and pins the
+    estimate inside a ±5% band of the true distinct count computed
+    batch-side (``est_ok``, which the oracle asserts TRUE): a lost or
+    double-merged register set at these cardinalities (~thousands per
+    type at sf0.01) would fall outside the band."""
+    from ..streaming.distinct import SketchMergeSink
+
+    work = _two_batch_dirs(
+        spark, sf_dir, ["event_id", "event_type", "user_id"], "stream_hll_"
+    )
+    sink = SketchMergeSink(
+        spark, f"{work}/state", keys=["event_type"], value_col="user_id"
+    )
+
+    def run(ckpt: str) -> None:
+        q = (
+            spark.readStream.schema("event_type string, user_id bigint")
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(f"{work}/in")
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{work}/{ckpt}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run("ckpt1")
+    run("ckpt2")  # replay: n_rows sum must be guard-skipped
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("_exact"))
+    )
+    est = sink.estimates()
+    return est.join(exact, "event_type").select(
+        "event_type",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        (
+            F.abs(F.col("distinct_est") - F.col("_exact"))
+            <= F.lit(0.05) * F.col("_exact")
+        ).alias("est_ok"),
+    )
+
+
+STREAMING_DISTINCT_SQL = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows, TRUE AS est_ok
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_sessions_events": streaming_sessions_events,
     "streaming_dedup_events": streaming_dedup_events,
@@ -482,6 +602,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_profile_events": streaming_profile_events,
     "streaming_sprt_events": streaming_sprt_events,
     "streaming_cdc_feed_events": streaming_cdc_feed_events,
+    "streaming_freq_sketch_events": streaming_freq_sketch_events,
+    "streaming_distinct_events": streaming_distinct_events,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -491,4 +613,6 @@ ORACLE_SQL: dict[str, str] = {
     "streaming_profile_events": STREAMING_PROFILE_SQL,
     "streaming_sprt_events": STREAMING_SPRT_SQL,
     "streaming_cdc_feed_events": STREAMING_CDC_SQL,
+    "streaming_freq_sketch_events": STREAMING_FREQ_SQL,
+    "streaming_distinct_events": STREAMING_DISTINCT_SQL,
 }
