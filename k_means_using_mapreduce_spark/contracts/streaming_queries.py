@@ -595,6 +595,98 @@ FROM events GROUP BY event_type
 """
 
 
+_DECAY_HL_US = 7 * 24 * 3600 * 1_000_000  # 7-day half-life
+
+
+def streaming_decayed_features_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming decayed feature maintenance (streaming/features.py::
+    DecayedFeatureSink): per-user exponentially decayed value sums
+    kept live over two micro-batches plus a fresh-checkpoint replay.
+    The merge is the re-anchoring recurrence ``state·0.5^Δ + batch``
+    — the oracle unrolls exactly that two-stage arithmetic (per-half
+    decayed sums at each batch's as-of instant, then the alignment
+    multiply), NOT the single-pass closed form, so the hash pins the
+    sink's incremental math as well as its replay guard."""
+    from ..streaming.features import DecayedFeatureSink
+
+    work = _two_batch_dirs(
+        spark, sf_dir, ["event_id", "user_id", "value", "ts"], "stream_dec_"
+    )
+    sink = DecayedFeatureSink(
+        spark,
+        f"{work}/state",
+        group_cols=["user_id"],
+        value_col="value",
+        ts_col="ts",
+        half_life_us=_DECAY_HL_US,
+    )
+
+    def run(ckpt: str) -> None:
+        q = (
+            spark.readStream.schema(
+                "user_id bigint, value double, ts bigint"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(f"{work}/in")
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{work}/{ckpt}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run("ckpt1")
+    run("ckpt2")  # replay: decay re-anchoring must be guard-skipped
+    return sink.features().select(
+        "user_id",
+        "decayed_sum",
+        "decayed_n",
+        "decayed_mean",
+        F.col("asof_us").cast("long").alias("asof_us"),
+    )
+
+
+def _decayed_stream_sql() -> str:
+    hl = float(_DECAY_HL_US)
+    return f"""
+WITH e AS (
+  SELECT user_id, value, epoch_us(ts) AS ts_us, event_id % 2 AS half
+  FROM events
+),
+a AS (
+  SELECT max(ts_us) FILTER (half = 0) AS a0, max(ts_us) AS a1 FROM e
+),
+h0 AS (
+  SELECT user_id,
+         sum(value * pow(0.5, (a.a0 - ts_us) / {hl})) AS s,
+         sum(pow(0.5, (a.a0 - ts_us) / {hl})) AS n
+  FROM e CROSS JOIN a WHERE half = 0 GROUP BY user_id, a.a0
+),
+h1 AS (
+  SELECT user_id,
+         sum(value * pow(0.5, (a.a1 - ts_us) / {hl})) AS s,
+         sum(pow(0.5, (a.a1 - ts_us) / {hl})) AS n
+  FROM e CROSS JOIN a WHERE half = 1 GROUP BY user_id, a.a1
+),
+merged AS (
+  SELECT coalesce(h0.user_id, h1.user_id) AS user_id,
+    coalesce(h0.s * pow(0.5, CAST(a.a1 - a.a0 AS DOUBLE) / {hl}), 0.0)
+      + coalesce(h1.s, 0.0) AS decayed_sum,
+    coalesce(h0.n * pow(0.5, CAST(a.a1 - a.a0 AS DOUBLE) / {hl}), 0.0)
+      + coalesce(h1.n, 0.0) AS decayed_n,
+    a.a1 AS asof_us
+  FROM h0 FULL OUTER JOIN h1 USING (user_id) CROSS JOIN a
+)
+SELECT user_id, decayed_sum, decayed_n,
+       decayed_sum / nullif(decayed_n, 0.0) AS decayed_mean,
+       CAST(asof_us AS BIGINT) AS asof_us
+FROM merged
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_sessions_events": streaming_sessions_events,
     "streaming_dedup_events": streaming_dedup_events,
@@ -604,6 +696,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_cdc_feed_events": streaming_cdc_feed_events,
     "streaming_freq_sketch_events": streaming_freq_sketch_events,
     "streaming_distinct_events": streaming_distinct_events,
+    "streaming_decayed_features_events": streaming_decayed_features_events,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -615,4 +708,5 @@ ORACLE_SQL: dict[str, str] = {
     "streaming_cdc_feed_events": STREAMING_CDC_SQL,
     "streaming_freq_sketch_events": STREAMING_FREQ_SQL,
     "streaming_distinct_events": STREAMING_DISTINCT_SQL,
+    "streaming_decayed_features_events": _decayed_stream_sql(),
 }
