@@ -687,6 +687,126 @@ FROM merged
 """
 
 
+def streaming_kmeans_counts_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming nearest-centroid assignment + running cluster counts
+    (streaming/kmeans_stream.py::streaming_cluster_counts) — the
+    reference's own workload run as a live stream: the SAME assign
+    expression as the batch contracts (fixed EVENT_CENTROIDS), kept
+    as a complete-mode aggregation. Oracle = the batch assign CTE
+    grouped per cluster."""
+    from ..streaming.kmeans_stream import streaming_cluster_counts
+    from .kmeans_queries import EVENT_CENTROIDS
+
+    path = f"{sf_dir}/events.parquet"
+    stream = (
+        spark.readStream.schema(spark.read.parquet(path).schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select(
+            F.array(
+                F.col("value"), F.col("user_id").cast("double")
+            ).alias("features")
+        )
+    )
+    out = streaming_cluster_counts(stream, EVENT_CENTROIDS)
+    tbl = _run_to_memory(out, "complete")
+    return tbl.select("cid", F.col("n").cast("long").alias("n"), "mse")
+
+
+def _kmeans_counts_sql() -> str:
+    from .kmeans_queries import _ASSIGN_EVENTS_INNER
+
+    return f"""
+SELECT cid, CAST(count(*) AS BIGINT) AS n, avg(sq_dist) AS mse
+FROM ({_ASSIGN_EVENTS_INNER}) t WHERE rn = 1
+GROUP BY cid
+"""
+
+
+def streaming_ivm_rollup_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming incremental view maintenance (streaming/ivm_sink.py::
+    IvmRollupSink): a change FEED — micro-batch 0 carries the base
+    inserts, micro-batch 1 the insert/delete delta (the same
+    deterministic key arithmetic as the batch ``ivm_priority_revenue``
+    contract) — maintained into a per-priority revenue rollup, plus a
+    fresh-checkpoint replay the guard must no-op. DECIMAL sums, so
+    the maintained view is order-independent-exact and must EQUAL the
+    full recompute over the final state (the batch contract's own
+    oracle)."""
+    from ..streaming.ivm_sink import IvmRollupSink
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,6)").alias("val"),
+    )
+    key = F.col("o_orderkey")
+    base = orders.where(key % 10 != 0).select(
+        "o_orderpriority", "val", F.lit("i").alias("op")
+    )
+    delta = (
+        orders.where((key % 10 == 0) & (key % 7 != 0))
+        .select("o_orderpriority", "val", F.lit("i").alias("op"))
+        .unionAll(
+            orders.where((key % 10 != 0) & (key % 7 == 0)).select(
+                "o_orderpriority", "val", F.lit("d").alias("op")
+            )
+        )
+    )
+    import os
+    import time
+
+    work = tempfile.mkdtemp(prefix="stream_ivm_")
+    in_dir = f"{work}/in"
+    now = time.time()
+    for half, df_half, age in ((0, base, 120.0), (1, delta, 60.0)):
+        d = f"{in_dir}/half={half}"
+        df_half.coalesce(1).write.mode("overwrite").parquet(d)
+        for name in os.listdir(d):
+            os.utime(os.path.join(d, name), (now - age, now - age))
+
+    sink = IvmRollupSink(
+        spark, f"{work}/state", keys=["o_orderpriority"], value_col="val"
+    )
+
+    def run(ckpt: str) -> None:
+        q = (
+            spark.readStream.schema(
+                "o_orderpriority string, val decimal(18,6), op string"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(in_dir)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{work}/{ckpt}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run("ckpt1")
+    run("ckpt2")  # replay: signed-delta merge must be guard-skipped
+    return sink.current().select(
+        "o_orderpriority",
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_v").cast("double").alias("sum_total"),
+    )
+
+
+STREAMING_IVM_SQL = """
+SELECT o_orderpriority,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_total
+FROM orders
+WHERE o_orderkey % 7 <> 0
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_sessions_events": streaming_sessions_events,
     "streaming_dedup_events": streaming_dedup_events,
@@ -697,6 +817,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_freq_sketch_events": streaming_freq_sketch_events,
     "streaming_distinct_events": streaming_distinct_events,
     "streaming_decayed_features_events": streaming_decayed_features_events,
+    "streaming_kmeans_counts_events": streaming_kmeans_counts_events,
+    "streaming_ivm_rollup_orders": streaming_ivm_rollup_orders,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -709,4 +831,6 @@ ORACLE_SQL: dict[str, str] = {
     "streaming_freq_sketch_events": STREAMING_FREQ_SQL,
     "streaming_distinct_events": STREAMING_DISTINCT_SQL,
     "streaming_decayed_features_events": _decayed_stream_sql(),
+    "streaming_kmeans_counts_events": _kmeans_counts_sql(),
+    "streaming_ivm_rollup_orders": STREAMING_IVM_SQL,
 }
