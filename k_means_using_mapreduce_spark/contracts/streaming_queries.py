@@ -807,6 +807,86 @@ GROUP BY 1
 """
 
 
+_ANOM_WINDOW_US = 3600 * 1_000_000
+_ANOM_DELAY_US = 2 * 3600 * 1_000_000
+
+
+def streaming_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming anomaly scoring (streaming/anomaly.py::score_stream):
+    watermarked hourly window counts per event type scored against a
+    BATCH-computed per-key (mean, std) baseline — the lambda split the
+    module documents. APPEND semantics are part of the contract: only
+    windows the final watermark (max event time − 2 h, ms precision)
+    has passed are emitted, and the oracle reproduces exactly that
+    finalized set; the trailing unfinalized windows are withheld on
+    both sides."""
+    from ..operators.timeseries import resample_counts
+    from ..streaming.anomaly import baseline_from_series, score_stream
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", ns_to_timestamp("ts")
+    )
+    baseline = baseline_from_series(
+        resample_counts(ev, unit="hour"), key_col="key", value_col="n"
+    )
+    out = score_stream(
+        _events_stream(spark, sf_dir),
+        baseline,
+        key_col="event_type",
+        ts_col="ts",
+        window="1 hour",
+        watermark="2 hours",
+        z=3.0,
+    )
+    tbl = _run_to_memory(out, "append")
+    return tbl.select(
+        "key",
+        F.unix_micros("window_start").alias("start_us"),
+        F.unix_micros("window_end").alias("end_us"),
+        F.col("n").cast("long").alias("n"),
+        "zscore",
+        "is_anomaly",
+    )
+
+
+STREAMING_ANOMALY_SQL = f"""
+WITH e AS (SELECT event_type AS key, epoch_us(ts) AS ts_us FROM events),
+wm AS (
+  -- Spark tracks the watermark in MILLISECONDS: floor max event time
+  -- to ms, subtract the delay; a window is emitted once its end is
+  -- at or before the watermark
+  SELECT (max(ts_us) // 1000) * 1000 - {_ANOM_DELAY_US} AS wm_us FROM e
+),
+counts AS (
+  SELECT key, ts_us - ts_us % {_ANOM_WINDOW_US} AS start_us,
+         CAST(count(*) AS BIGINT) AS n
+  FROM e GROUP BY 1, 2
+),
+grid AS (
+  SELECT g.key, g.start_us, CAST(coalesce(c.n, 0) AS DOUBLE) AS y
+  FROM (
+    SELECT k.key, unnest(range(b.lo, b.hi + {_ANOM_WINDOW_US},
+                               {_ANOM_WINDOW_US})) AS start_us
+    FROM (SELECT DISTINCT key FROM e) k,
+         (SELECT min(start_us) AS lo, max(start_us) AS hi FROM counts) b
+  ) g LEFT JOIN counts c USING (key, start_us)
+),
+base AS (
+  SELECT key, avg(y) AS mean_base, stddev_samp(y) AS std_base
+  FROM grid GROUP BY 1
+)
+SELECT c.key, CAST(c.start_us AS BIGINT) AS start_us,
+  CAST(c.start_us + {_ANOM_WINDOW_US} AS BIGINT) AS end_us,
+  c.n,
+  CASE WHEN b.std_base IS NOT NULL AND b.std_base > 0.0
+       THEN (c.n - b.mean_base) / b.std_base END AS zscore,
+  coalesce(abs((c.n - b.mean_base) / nullif(b.std_base, 0.0)) > 3.0,
+           FALSE) AS is_anomaly
+FROM counts c JOIN base b USING (key) CROSS JOIN wm
+WHERE c.start_us + {_ANOM_WINDOW_US} <= wm.wm_us
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_sessions_events": streaming_sessions_events,
     "streaming_dedup_events": streaming_dedup_events,
@@ -819,6 +899,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_decayed_features_events": streaming_decayed_features_events,
     "streaming_kmeans_counts_events": streaming_kmeans_counts_events,
     "streaming_ivm_rollup_orders": streaming_ivm_rollup_orders,
+    "streaming_anomaly_events": streaming_anomaly_events,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -833,4 +914,5 @@ ORACLE_SQL: dict[str, str] = {
     "streaming_decayed_features_events": _decayed_stream_sql(),
     "streaming_kmeans_counts_events": _kmeans_counts_sql(),
     "streaming_ivm_rollup_orders": STREAMING_IVM_SQL,
+    "streaming_anomaly_events": STREAMING_ANOMALY_SQL,
 }
