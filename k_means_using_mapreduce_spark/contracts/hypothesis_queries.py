@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.loaders import load_table
+from ..sources.loaders import load_table, ns_to_us
 
 AB_THRESHOLD = 30.0
 
@@ -525,7 +525,7 @@ def interarrival_exponentiality_events(
     from ..operators.hypothesis import exponentiality_test
 
     ev = load_table(spark, sf_dir, "events")
-    us = (F.col("ts").cast("long") / F.lit(1000)).cast("long")
+    us = ns_to_us(F.col("ts").cast("long"))
     w = Window.partitionBy("user_id").orderBy(us, F.col("event_id"))
     gaps = ev.select(
         (us - F.lag(us).over(w)).cast("double").alias("gap_us")
@@ -786,7 +786,7 @@ def cuped_value_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").where(
         F.col("user_id").isNotNull()
     )
-    us = (F.col("ts").cast("long") / F.lit(1000)).cast("long")
+    us = ns_to_us(F.col("ts").cast("long"))
     lo = ev.agg(F.min(us).alias("lo")).collect()[0]["lo"]
     cut = lo + _CUPED_SPLIT_US
     per = ev.groupBy("user_id").agg(

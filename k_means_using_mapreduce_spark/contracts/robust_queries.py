@@ -15,7 +15,7 @@ from ..operators.robust import (
     winsorized_mean,
 )
 from ..operators.sampling import cap_per_group
-from ..sources.loaders import load_table
+from ..sources.loaders import load_table, ns_to_us
 
 _CAP = 10
 _K = 3.0
@@ -409,7 +409,7 @@ def daily_value_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.robust import gumbel_block_maxima
 
     ev = load_table(spark, sf_dir, "events")
-    us = (F.col("ts").cast("long") / F.lit(1000)).cast("long")
+    us = ns_to_us(F.col("ts").cast("long"))
     day = 86_400_000_000
     ev = ev.withColumn("day_us", us - us % F.lit(day))
     return gumbel_block_maxima(

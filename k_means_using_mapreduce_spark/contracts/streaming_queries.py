@@ -35,6 +35,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..sources.loaders import load_table, ns_to_timestamp
 
@@ -887,6 +888,133 @@ WHERE c.start_us + {_ANOM_WINDOW_US} <= wm.wm_us
 """
 
 
+def streaming_attribution_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked stream-stream interval join (streaming/joins.py::
+    purchase_click_attribution): the purchases stream joined to the
+    clicks stream on user within a 30-minute pre-purchase window —
+    two REAL file streams, keyed state on both sides. Inner-join
+    emission is watermark-independent for a finite replay, so the
+    emitted pair set equals the batch interval join exactly
+    (microsecond-integer bounds, both inclusive)."""
+    from ..streaming.joins import purchase_click_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="stream_join_")
+    for side, typ in (("purchases", "purchase"), ("clicks", "click")):
+        ev.where(F.col("event_type") == typ).select(
+            "user_id", "ts", "event_id"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{work}/{side}")
+
+    def side_stream(side: str, ts_name: str, id_name: str) -> DataFrame:
+        return (
+            spark.readStream.schema(
+                "user_id bigint, ts bigint, event_id bigint"
+            )
+            .parquet(f"{work}/{side}")
+            .select(
+                "user_id",
+                ns_to_timestamp("ts").alias(ts_name),
+                F.col("event_id").alias(id_name),
+            )
+        )
+
+    out = purchase_click_attribution(
+        side_stream("purchases", "purchase_ts", "purchase_id"),
+        side_stream("clicks", "click_ts", "click_id"),
+        attribution_window="interval 30 minutes",
+        watermark="10 minutes",
+    )
+    tbl = _run_to_memory(
+        out.select(
+            "user_id",
+            F.unix_micros("purchase_ts").alias("purchase_us"),
+            F.unix_micros("click_ts").alias("click_us"),
+            "purchase_id",
+            "click_id",
+        ),
+        "append",
+    )
+    return tbl
+
+
+STREAMING_ATTRIBUTION_SQL = """
+SELECT p.user_id,
+  CAST(epoch_us(p.ts) AS BIGINT) AS purchase_us,
+  CAST(epoch_us(c.ts) AS BIGINT) AS click_us,
+  p.event_id AS purchase_id, c.event_id AS click_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000
+ AND epoch_us(c.ts) <= epoch_us(p.ts)
+"""
+
+
+def streaming_running_centroids_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Custom stateful operator (streaming/stateful.py::
+    running_centroids, applyInPandasWithState): per-cluster running
+    (count, per-dim sum) state folded over TWO micro-batches of the
+    assigned events stream, update-mode emissions per batch. The
+    final emission per cluster (the max-n row) must equal the plain
+    per-cluster mean over all rows — the batch kmeans update — which
+    the oracle computes from the assign CTE. Centroid dims are
+    scalarized (house convention: hash doubles, not nested arrays)."""
+    from ..streaming.kmeans_stream import streaming_assign
+    from ..streaming.stateful import running_centroids
+    from .kmeans_queries import EVENT_CENTROIDS
+
+    work = _two_batch_dirs(
+        spark, sf_dir, ["event_id", "user_id", "value"], "stream_state_"
+    )
+    stream = (
+        spark.readStream.schema("user_id bigint, value double")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(f"{work}/in")
+        .select(
+            F.array(
+                F.col("value"), F.col("user_id").cast("double")
+            ).alias("features")
+        )
+    )
+    assigned = streaming_assign(stream, EVENT_CENTROIDS).select(
+        "cid", "features"
+    )
+    tbl = _run_to_memory(running_centroids(assigned), "update")
+    w = Window.partitionBy("cid").orderBy(F.desc("n"))
+    return (
+        tbl.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select(
+            "cid",
+            F.col("n").cast("long").alias("n"),
+            F.element_at("centroid", 1).alias("cx"),
+            F.element_at("centroid", 2).alias("cy"),
+        )
+    )
+
+
+def _running_centroids_sql() -> str:
+    from .kmeans_queries import _ASSIGN_EVENTS_INNER
+
+    return f"""
+WITH assigned AS (
+  SELECT t.event_id, t.cid FROM (
+    {_ASSIGN_EVENTS_INNER}
+  ) t WHERE t.rn = 1
+)
+SELECT cid, CAST(count(*) AS BIGINT) AS n,
+  sum(e.value) / count(*) AS cx,
+  sum(CAST(e.user_id AS DOUBLE)) / count(*) AS cy
+FROM assigned a JOIN events e USING (event_id)
+GROUP BY cid
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_sessions_events": streaming_sessions_events,
     "streaming_dedup_events": streaming_dedup_events,
@@ -900,6 +1028,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_kmeans_counts_events": streaming_kmeans_counts_events,
     "streaming_ivm_rollup_orders": streaming_ivm_rollup_orders,
     "streaming_anomaly_events": streaming_anomaly_events,
+    "streaming_attribution_events": streaming_attribution_events,
+    "streaming_running_centroids_events": streaming_running_centroids_events,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -915,4 +1045,6 @@ ORACLE_SQL: dict[str, str] = {
     "streaming_kmeans_counts_events": _kmeans_counts_sql(),
     "streaming_ivm_rollup_orders": STREAMING_IVM_SQL,
     "streaming_anomaly_events": STREAMING_ANOMALY_SQL,
+    "streaming_attribution_events": STREAMING_ATTRIBUTION_SQL,
+    "streaming_running_centroids_events": _running_centroids_sql(),
 }

@@ -39,6 +39,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..sources.loaders import ns_to_us
+
 
 def transition_edges(
     events: DataFrame,
@@ -59,7 +61,7 @@ def transition_edges(
     One shuffle keyed by user for the lag window, then the (src, dst)
     aggregate — map-side combinable, |types|² result rows."""
     w = Window.partitionBy(user_col).orderBy(
-        (F.col(ts_col) / F.lit(1000)).cast("long"), F.col(id_col)
+        ns_to_us(ts_col), F.col(id_col)
     )
     return (
         events.select(
@@ -305,7 +307,7 @@ def event_paths(
     if top < 1:
         raise ValueError(f"top must be >= 1, got {top}")
     w = Window.partitionBy(user_col).orderBy(
-        (F.col(ts_col) / F.lit(1000)).cast("long"), F.col(id_col)
+        ns_to_us(ts_col), F.col(id_col)
     )
     cols = [
         F.lag(F.col(type_col), steps - 1 - i).over(w).alias(f"step_{i + 1}")
@@ -487,7 +489,7 @@ def markov_sequence_scores(
         ),
     )
     w = Window.partitionBy(user_col).orderBy(
-        (F.col(ts_col) / F.lit(1000)).cast("long"), F.col(id_col)
+        ns_to_us(ts_col), F.col(id_col)
     )
     trans = (
         events.select(

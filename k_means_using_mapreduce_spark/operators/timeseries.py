@@ -326,7 +326,9 @@ def decayed_aggregate(
         raise ValueError(f"half_life_us must be > 0, got {half_life_us}")
     if not group_cols:
         raise ValueError("group_cols must be non-empty")
-    ts_us = (F.col(ts_col) / F.lit(1000)).cast("long")
+    from ..sources.loaders import ns_to_us
+
+    ts_us = ns_to_us(ts_col)
     age = (F.lit(asof_us) - ts_us).cast("double")
     w = F.pow(F.lit(0.5), age / F.lit(float(half_life_us)))
     v = F.col(value_col).cast("double")

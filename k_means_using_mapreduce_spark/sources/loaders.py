@@ -79,9 +79,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def ns_to_timestamp(col: F.Column | str) -> F.Column:
     """Convert a nanos-as-long column (see load_table) to a timestamp
-    (microsecond precision — Spark's native timestamp resolution)."""
+    (microsecond precision — Spark's native timestamp resolution).
+
+    The ns→µs division is EXACT integer floor division via decimal
+    arithmetic: ``(ns / 1000)`` on a long routes through DOUBLE, and
+    epoch-ns magnitudes (~1.7e18) exceed 2^53, so the pre-division
+    rounding (±128 ns) could flip a sub-µs remainder across the
+    truncation boundary — a 1 µs disagreement with DuckDB's exact
+    ``epoch_us`` that round-6's stream-stream join contract caught
+    live on 2 of ~80 rows."""
+    return F.timestamp_micros(ns_to_us(col))
+
+
+def ns_to_us(col: F.Column | str) -> F.Column:
+    """Exact epoch-ns → epoch-µs floor division as a long column (see
+    ns_to_timestamp for why the naive ``/1000`` double route is off by
+    1 µs on sub-µs remainders). Matches DuckDB ``epoch_us`` for every
+    int64 nanosecond value."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.timestamp_micros((c / 1000).cast("long"))
+    return F.floor(c.cast("decimal(25,0)") / F.lit(1000)).cast("long")
 
 
 def read_points_csv(spark: SparkSession, path: str) -> DataFrame:

@@ -55,9 +55,9 @@ class DecayedFeatureSink(ParquetUpsertSink):
         self.half_life_us = half_life_us
 
     def _merge(self, prev: DataFrame | None, batch_df: DataFrame) -> DataFrame:
-        batch_max = batch_df.agg(
-            F.max((F.col(self.ts_col) / F.lit(1000)).cast("long"))
-        ).first()[0]
+        from ..sources.loaders import ns_to_us
+
+        batch_max = batch_df.agg(F.max(ns_to_us(self.ts_col))).first()[0]
         if batch_max is None:  # empty batch: state unchanged
             if prev is not None:
                 return prev
