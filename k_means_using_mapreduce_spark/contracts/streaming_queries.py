@@ -1015,6 +1015,65 @@ GROUP BY cid
 """
 
 
+def streaming_ivf_ingest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN index ingestion (streaming/index_ingest.py::
+    IvfIngestSink): embeddings arrive over two micro-batches, each
+    assigned to its frozen coarse bucket and appended under
+    ``corpus/batch=N/cid=M``, with a fresh-checkpoint replay the
+    high-water marker must no-op. The partition-pruned cosine top-k
+    over everything ingested must equal the batch IVF top-k — the
+    oracle is the SAME SQL as the batch ``ivf_topk_embeddings``
+    contract (same centroids, query vector, nprobe)."""
+    import os
+    import time
+
+    from ..streaming.index_ingest import IvfIngestSink
+    from .similarity_queries import IVF_NPROBE, QUERY_VEC, TOPK
+    from ..contract_constants import EMBEDDING_CENTROIDS
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    work = tempfile.mkdtemp(prefix="stream_ivf_")
+    in_dir = f"{work}/in"
+    now = time.time()
+    for half, age in ((0, 120.0), (1, 60.0)):
+        d = f"{in_dir}/half={half}"
+        emb.where(F.col("vec_id") % 2 == half).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        for name in os.listdir(d):
+            os.utime(os.path.join(d, name), (now - age, now - age))
+
+    sink = IvfIngestSink(spark, f"{work}/state", EMBEDDING_CENTROIDS)
+    schema = spark.read.parquet(f"{in_dir}/half=0").schema
+
+    def run(ckpt: str) -> None:
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(in_dir)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{work}/{ckpt}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run("ckpt1")
+    run("ckpt2")  # replay: batch=N overwrite + marker must no-op
+    return sink.topk(QUERY_VEC, k=TOPK, nprobe=IVF_NPROBE).select(
+        "vec_id", "score"
+    )
+
+
+def _streaming_ivf_sql() -> str:
+    from .similarity_queries import IVF_TOPK_SQL
+
+    return IVF_TOPK_SQL
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_sessions_events": streaming_sessions_events,
     "streaming_dedup_events": streaming_dedup_events,
@@ -1030,6 +1089,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_anomaly_events": streaming_anomaly_events,
     "streaming_attribution_events": streaming_attribution_events,
     "streaming_running_centroids_events": streaming_running_centroids_events,
+    "streaming_ivf_ingest_topk": streaming_ivf_ingest_topk,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1047,4 +1107,5 @@ ORACLE_SQL: dict[str, str] = {
     "streaming_anomaly_events": STREAMING_ANOMALY_SQL,
     "streaming_attribution_events": STREAMING_ATTRIBUTION_SQL,
     "streaming_running_centroids_events": _running_centroids_sql(),
+    "streaming_ivf_ingest_topk": _streaming_ivf_sql(),
 }
