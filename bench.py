@@ -350,6 +350,16 @@ BENCH_QUERIES = [
     "levene_price_by_flag",
     "kruskal_value_by_type",
     "friedman_value_by_type",
+    # round-6 additions: real PNG decode path, MLlib GLR wrapper, and a
+    # REPRESENTATIVE pair of the 12 new streaming-sink replays (the
+    # full set is machinery-floor time — 5-15 s each of micro-batch
+    # scheduling that DuckDB answers as trivial batch SQL — so only the
+    # two cheapest sink shapes ride in the headline set; the rest stay
+    # correctness-gated but unbenched, same policy as round 5's three)
+    "media_png_features",
+    "glm_poisson_lineitem",
+    "streaming_freq_sketch_events",
+    "streaming_ivm_rollup_orders",
 ]
 
 KMEANS_FIT_K = 8
