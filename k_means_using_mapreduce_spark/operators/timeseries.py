@@ -678,8 +678,9 @@ def trend_test(
     pairwise slopes — the robust trend magnitude). Output per key:
     ``(key, n, s, var_s, z, sen_slope)`` with the tie-corrected
     variance ``[n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18`` and the
-    continuity-corrected z (0 when S = 0, NaN when var_s = 0 —
-    a constant series carries no trend evidence).
+    continuity-corrected z (0 when S = 0, NULL when var_s = 0 —
+    the kernel's NaN nulls through Arrow; a constant series carries
+    no trend evidence).
 
     Scale: raw events are touched once by the resample groupBy; the
     pair space then lives entirely INSIDE a per-key Arrow-batched

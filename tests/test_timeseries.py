@@ -717,3 +717,70 @@ def test_rolling_correlation_tracks_regimes(spark):
     # undefined head windows: sentinel, never NULL
     assert got[0]["corr"] == -2.0 and got[1]["corr"] == -2.0
     assert got[2]["n_win"] == 3
+
+
+def _hourly_events(spark, counts, key="k"):
+    """One event row per unit of count, n[i] events in hour i."""
+    rows = []
+    eid = 0
+    for hour, n in enumerate(counts):
+        for j in range(n):
+            rows.append(
+                (eid, datetime(2024, 1, 1, hour, min(j, 59)), key, 1.0)
+            )
+            eid += 1
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+
+
+def test_trend_test_monotone_series_hits_max_s(spark):
+    """Strictly increasing hourly counts: every pair is concordant, so
+    S = T(T-1)/2, the Sen slope equals the exact common difference,
+    and z is the continuity-corrected positive statistic."""
+    import math
+
+    from k_means_using_mapreduce_spark.operators.timeseries import trend_test
+
+    counts = [1, 3, 5, 7, 9, 11]  # slope exactly +2/hour
+    r = trend_test(_hourly_events(spark, counts)).collect()[0]
+    t = len(counts)
+    assert r["n"] == t
+    assert r["s"] == t * (t - 1) // 2
+    assert r["sen_slope"] == pytest.approx(2.0, abs=0.0)
+    var_s = t * (t - 1) * (2 * t + 5) / 18.0  # no ties
+    assert r["var_s"] == pytest.approx(var_s)
+    assert r["z"] == pytest.approx((r["s"] - 1.0) / math.sqrt(var_s))
+
+
+def test_trend_test_constant_series_no_evidence(spark):
+    """All-equal counts: S = 0, full tie correction zeroes var_s, and
+    z is NULL (the kernel's NaN nulls through Arrow — a constant
+    series carries no trend evidence)."""
+    from k_means_using_mapreduce_spark.operators.timeseries import trend_test
+
+    r = trend_test(_hourly_events(spark, [4, 4, 4, 4])).collect()[0]
+    assert r["s"] == 0
+    assert r["var_s"] == pytest.approx(0.0)
+    assert r["z"] is None
+    assert r["sen_slope"] == pytest.approx(0.0)
+
+
+def test_trend_test_tie_correction_and_decreasing(spark):
+    """Mixed series with tied count values: the tie term subtracts
+    t(t-1)(2t+5) per tied group; a decreasing series flips the sign
+    of S and applies the +1 continuity correction."""
+    import math
+
+    from k_means_using_mapreduce_spark.operators.timeseries import trend_test
+
+    counts = [9, 7, 7, 3, 1]  # one tie group of size 2, decreasing
+    r = trend_test(_hourly_events(spark, counts)).collect()[0]
+    # pairwise signs by hand: all decreasing except the 7==7 tie
+    assert r["s"] == -(10 - 1)  # 9 strict decreases, 1 tie
+    t = 5.0
+    tie_term = 2.0 * 1.0 * 9.0  # t=2 group: 2*(2-1)*(2*2+5)
+    var_s = (t * (t - 1) * (2 * t + 5) - tie_term) / 18.0
+    assert r["var_s"] == pytest.approx(var_s)
+    assert r["z"] == pytest.approx((r["s"] + 1.0) / math.sqrt(var_s))
+    assert r["sen_slope"] < 0
