@@ -64,13 +64,15 @@ DSIR_LOG_RATIO_SQL = _RATIO_CTE + "SELECT * FROM ratio"
 
 
 def _weights_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.selection import dsir_log_ratio, dsir_log_weights
+    from ..operators.selection import dsir_weights_fused
 
     docs = load_table(spark, sf_dir, "documents")
-    ratio = dsir_log_ratio(
-        docs.where(F.col("lang") == "en"), docs, buckets=BUCKETS, alpha=ALPHA
+    # fused path: same math as dsir_log_ratio + dsir_log_weights (the
+    # two-frame composition stays contract-checked via
+    # dsir_log_ratio_documents), but the gram pipeline runs once
+    return dsir_weights_fused(
+        docs, F.col("lang") == "en", buckets=BUCKETS, alpha=ALPHA
     )
-    return dsir_log_weights(docs, ratio)
 
 
 def dsir_weights_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
