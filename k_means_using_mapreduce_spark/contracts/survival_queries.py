@@ -148,3 +148,120 @@ FROM sizes CROSS JOIN terms
 
 QUERIES["logrank_user_cohorts"] = logrank_user_cohorts
 ORACLE_SQL["logrank_user_cohorts"] = LOGRANK_SQL
+
+
+_COX_ITERS = 4
+
+
+def cox_churn_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox proportional-hazards churn model (operators/survival.py::
+    cox_ph, Breslow ties): does activity volume (x = ln events per
+    user, O(1) scale) change the churn hazard? Durations/censoring
+    use the same 12-hour-quiet horizon as the log-rank contract; the
+    oracle unrolls the identical Newton rounds as chained CTEs over
+    the distinct-duration risk-set window."""
+    from pyspark.sql import functions as F
+
+    from ..operators.survival import cox_ph
+
+    ev = load_table(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.min("ts").alias("_a"),
+        F.max("ts").alias("_b"),
+        F.count(F.lit(1)).cast("double").alias("_c"),
+    )
+    glob = spans.agg(F.max("_b").alias("_gmax"))
+    span = F.col("_b") - F.col("_a")
+    lif = spans.join(F.broadcast(glob)).select(
+        ((span - span % _HOUR_NS) / _HOUR_NS).cast("long").alias("duration"),
+        (F.col("_b") < F.col("_gmax") - F.lit(_LR_HORIZON_NS))
+        .cast("int")
+        .alias("event"),
+        F.log("_c").alias("x"),
+    )
+    return cox_ph(lif, "duration", "event", "x", iters=_COX_ITERS)
+
+
+def _cox_sql(iters: int = _COX_ITERS) -> str:
+    parts = [
+        f"""lif AS MATERIALIZED (
+  SELECT CAST(((b - a) - (b - a) % {_HOUR_NS}) / {_HOUR_NS} AS BIGINT) AS t,
+         CASE WHEN b < gmax - {_LR_HORIZON_NS} THEN 1 ELSE 0 END AS ev,
+         ln(c) AS x
+  FROM (
+    SELECT user_id, min(epoch_ns(ts)) AS a, max(epoch_ns(ts)) AS b,
+           CAST(count(*) AS DOUBLE) AS c
+    FROM events GROUP BY 1
+  ) pu, (SELECT max(b2) AS gmax FROM (
+    SELECT max(epoch_ns(ts)) AS b2 FROM events GROUP BY user_id)) g
+)""",
+        "cx0 AS MATERIALIZED (SELECT 0.0 AS beta)",
+    ]
+    for r in range(1, iters + 1):
+        parts.append(f"""cb{r} AS MATERIALIZED (
+  SELECT l.t,
+         sum(exp(c.beta * l.x)) AS b0,
+         sum(exp(c.beta * l.x) * l.x) AS b1,
+         sum(exp(c.beta * l.x) * l.x * l.x) AS b2,
+         CAST(sum(l.ev) AS DOUBLE) AS d,
+         sum(CASE WHEN l.ev = 1 THEN l.x ELSE 0.0 END) AS sx,
+         any_value(c.beta) AS beta
+  FROM lif l CROSS JOIN cx{r - 1} c
+  GROUP BY l.t
+)""")
+        parts.append(f"""cr{r} AS MATERIALIZED (
+  SELECT d, sx, beta,
+    sum(b0) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS s0,
+    sum(b1) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS s1,
+    sum(b2) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS s2
+  FROM cb{r}
+)""")
+        parts.append(f"""cx{r} AS MATERIALIZED (
+  SELECT any_value(beta)
+    + sum(sx - d * s1 / s0)
+      / sum(d * (s2 / s0 - (s1 / s0) * (s1 / s0))) AS beta
+  FROM cr{r} WHERE d > 0
+)""")
+    parts.append(f"""cbf AS MATERIALIZED (
+  SELECT l.t,
+         sum(exp(c.beta * l.x)) AS b0,
+         sum(exp(c.beta * l.x) * l.x) AS b1,
+         sum(exp(c.beta * l.x) * l.x * l.x) AS b2,
+         CAST(sum(l.ev) AS DOUBLE) AS d,
+         sum(CASE WHEN l.ev = 1 THEN l.x ELSE 0.0 END) AS sx,
+         any_value(c.beta) AS beta
+  FROM lif l CROSS JOIN cx{iters} c
+  GROUP BY l.t
+)""")
+    parts.append("""crf AS MATERIALIZED (
+  SELECT d, sx, beta,
+    sum(b0) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS s0,
+    sum(b1) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS s1,
+    sum(b2) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS s2
+  FROM cbf
+)""")
+    parts.append("""csz AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(ev) AS BIGINT) AS n_events
+  FROM lif
+)""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT csz.n AS n, csz.n_events AS n_events,
+  any_value(beta) AS beta,
+  exp(any_value(beta)) AS hazard_ratio,
+  1.0 / sqrt(sum(d * (s2 / s0 - (s1 / s0) * (s1 / s0)))) AS se,
+  any_value(beta)
+    * sqrt(sum(d * (s2 / s0 - (s1 / s0) * (s1 / s0)))) AS z,
+  sum(beta * sx - d * ln(s0)) AS log_lik
+FROM crf CROSS JOIN csz
+WHERE d > 0
+GROUP BY csz.n, csz.n_events
+"""
+    )
+
+
+QUERIES["cox_churn_users"] = cox_churn_users
+ORACLE_SQL["cox_churn_users"] = _cox_sql()

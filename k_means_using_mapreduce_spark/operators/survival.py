@@ -196,3 +196,146 @@ def log_rank_test(
             "z"
         ),
     )
+
+
+def cox_ph(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    x_col: str,
+    *,
+    iters: int = 4,
+) -> DataFrame:
+    """Cox proportional-hazards regression (single covariate, Breslow
+    tie handling) by Newton-Raphson — the regression member of this
+    module's survival family: Kaplan-Meier describes ONE curve,
+    log-rank compares two, Cox quantifies how a covariate scales the
+    hazard (``hazard_ratio = exp(beta)`` per unit of x).
+
+    Flat-iteration doctrine (huber/logistic/poisson shape): each
+    Newton round folds the current β in as a literal, reduces subjects
+    to DISTINCT-duration blocks carrying ``(Σe^{βx}, Σxe^{βx},
+    Σx²e^{βx})`` over everyone at that time plus the event-only
+    ``(d, Σx)``, runs ONE descending cumulative window over the block
+    table (the risk set ``t_j ≥ t`` — block rows, never subjects), and
+    aggregates the Breslow score ``U = Σ_t [Σ_{events} x − d·S1/S0]``
+    and information ``I = Σ_t d·[S2/S0 − (S1/S0)²]``; the driver
+    applies ``β += U/I``. The final round also reports the partial
+    log-likelihood ``Σ_t [β·Σ_{events} x − d·ln S0]`` and the Wald
+    ``se = 1/√I``, ``z = β/se``.
+
+    Censoring: rows with ``event = 0`` join every risk set they
+    survive into but contribute no event terms — exactly KM's
+    censoring semantics. Scale: per round, one groupBy to blocks +
+    one ordered window over |distinct durations| rows + a 1-row
+    aggregate. Keep x at O(1) scale (standardize or log-transform
+    counts) — the canon-stability rule for every Newton family here.
+
+    Returns one row ``(n, n_events, beta, hazard_ratio, se, z,
+    log_lik)``. Raises on zero events or a degenerate (constant-x)
+    information matrix.
+    """
+    import math
+
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    t = F.col(duration_col).cast("double")
+    e = F.col(event_col).cast("int")
+    x = F.col(x_col).cast("double")
+    base = df.where(t.isNotNull() & e.isNotNull() & x.isNotNull()).select(
+        t.alias("_t"), e.alias("_e"), x.alias("_x")
+    )
+    # the blocks are re-derived per round with a new beta literal; the
+    # subject relation is scanned iters times — materialize it once
+    base = base.localCheckpoint()
+    counts = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_e").cast("long").alias("n_events"),
+    ).collect()[0]
+    if counts["n_events"] < 1:
+        raise ValueError("cox_ph needs at least one observed event")
+    beta = 0.0
+    stats = None
+    for _ in range(iters):
+        w = F.exp(F.lit(beta) * F.col("_x"))
+        blocks = base.groupBy("_t").agg(
+            F.sum(w).alias("b0"),
+            F.sum(w * F.col("_x")).alias("b1"),
+            F.sum(w * F.col("_x") * F.col("_x")).alias("b2"),
+            F.sum(F.col("_e")).cast("double").alias("d"),
+            F.sum(F.when(F.col("_e") == 1, F.col("_x")).otherwise(0.0)).alias(
+                "sx"
+            ),
+        )
+        win = Window.orderBy(F.desc("_t")).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        risk = blocks.select(
+            "d",
+            "sx",
+            F.sum("b0").over(win).alias("s0"),
+            F.sum("b1").over(win).alias("s1"),
+            F.sum("b2").over(win).alias("s2"),
+        ).where(F.col("d") > 0)
+        r1 = F.col("s1") / F.col("s0")
+        stats = risk.agg(
+            F.sum(F.col("sx") - F.col("d") * r1).alias("u"),
+            F.sum(
+                F.col("d") * (F.col("s2") / F.col("s0") - r1 * r1)
+            ).alias("i"),
+            F.sum(
+                F.lit(beta) * F.col("sx") - F.col("d") * F.log("s0")
+            ).alias("ll"),
+        ).collect()[0]
+        if stats["i"] is None or stats["i"] <= 0.0:
+            raise ValueError(
+                "singular information matrix: covariate is constant "
+                "within every risk set"
+            )
+        beta = beta + stats["u"] / stats["i"]
+        if not math.isfinite(beta):
+            raise ValueError("cox_ph diverged (non-finite beta)")
+    # score the CONVERGED beta: one more block pass for ll/se at the
+    # reported coefficient (stats above belong to the pre-step beta)
+    w = F.exp(F.lit(beta) * F.col("_x"))
+    blocks = base.groupBy("_t").agg(
+        F.sum(w).alias("b0"),
+        F.sum(w * F.col("_x")).alias("b1"),
+        F.sum(w * F.col("_x") * F.col("_x")).alias("b2"),
+        F.sum(F.col("_e")).cast("double").alias("d"),
+        F.sum(F.when(F.col("_e") == 1, F.col("_x")).otherwise(0.0)).alias(
+            "sx"
+        ),
+    )
+    win = Window.orderBy(F.desc("_t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = blocks.select(
+        "d",
+        "sx",
+        F.sum("b0").over(win).alias("s0"),
+        F.sum("b1").over(win).alias("s1"),
+        F.sum("b2").over(win).alias("s2"),
+    ).where(F.col("d") > 0)
+    r1 = F.col("s1") / F.col("s0")
+    return risk.agg(
+        F.lit(int(counts["n"])).alias("n"),
+        F.lit(int(counts["n_events"])).alias("n_events"),
+        F.lit(beta).alias("beta"),
+        F.exp(F.lit(beta)).alias("hazard_ratio"),
+        (
+            F.lit(1.0)
+            / F.sqrt(
+                F.sum(F.col("d") * (F.col("s2") / F.col("s0") - r1 * r1))
+            )
+        ).alias("se"),
+        (
+            F.lit(beta)
+            * F.sqrt(
+                F.sum(F.col("d") * (F.col("s2") / F.col("s0") - r1 * r1))
+            )
+        ).alias("z"),
+        F.sum(
+            F.lit(beta) * F.col("sx") - F.col("d") * F.log("s0")
+        ).alias("log_lik"),
+    )

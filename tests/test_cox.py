@@ -1,0 +1,99 @@
+"""operators/survival.py::cox_ph — Breslow Cox regression checks."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from k_means_using_mapreduce_spark.operators.survival import cox_ph
+
+
+def _hash_u(i: int) -> float:
+    import hashlib
+
+    h = hashlib.md5(str(i).encode()).hexdigest()[:15]
+    return (int(h, 16) + 0.5) / float(1 << 60)
+
+
+def _synth(n=400, beta=0.7, censor_frac=0.25):
+    """Exponential hazards rate exp(beta*x): t = -ln(u)/exp(beta*x),
+    deterministic md5 uniforms; every 4th subject censored at t/2."""
+    rows = []
+    for i in range(n):
+        x = ((i * 7) % 11) / 5.0 - 1.0  # x in [-1, 1]
+        u = _hash_u(i)
+        t = -math.log(u) / math.exp(beta * x)
+        if i % int(1 / censor_frac) == 0:
+            rows.append((t / 2.0, 0, x))
+        else:
+            rows.append((t, 1, x))
+    return rows
+
+
+def _numpy_breslow(rows, iters):
+    """Independent matrix-free Breslow Newton for parity."""
+    import numpy as np
+
+    t = np.array([r[0] for r in rows])
+    e = np.array([r[1] for r in rows])
+    x = np.array([r[2] for r in rows])
+    beta = 0.0
+    for _ in range(iters):
+        w = np.exp(beta * x)
+        u_sum = 0.0
+        i_sum = 0.0
+        for tt in np.unique(t[e == 1]):
+            at_risk = t >= tt
+            s0 = w[at_risk].sum()
+            s1 = (w * x)[at_risk].sum()
+            s2 = (w * x * x)[at_risk].sum()
+            ev = (t == tt) & (e == 1)
+            d = ev.sum()
+            u_sum += x[ev].sum() - d * s1 / s0
+            i_sum += d * (s2 / s0 - (s1 / s0) ** 2)
+        beta += u_sum / i_sum
+    return beta
+
+
+def test_cox_recovers_planted_hazard_and_matches_numpy(spark):
+    rows = _synth()
+    df = spark.createDataFrame(rows, "duration double, event int, x double")
+    r = cox_ph(df, "duration", "event", "x", iters=4).collect()[0]
+    # planted effect recovered within sampling noise
+    assert r["beta"] == pytest.approx(0.7, abs=0.2)
+    assert r["hazard_ratio"] == pytest.approx(math.exp(r["beta"]))
+    # z is strongly positive, se sane
+    assert r["z"] > 3.0 and 0.0 < r["se"] < 1.0
+    assert r["n"] == 400 and r["n_events"] == 300
+    # exact parity with an independent Breslow Newton on the same data
+    ref = _numpy_breslow(rows, 4)
+    assert r["beta"] == pytest.approx(ref, rel=1e-9)
+
+
+def test_cox_null_covariate_is_null_effect(spark):
+    """x independent of hazard: beta ~ 0, |z| small (calibration)."""
+    rows = []
+    for i in range(300):
+        u = _hash_u(i + 10_000)
+        rows.append((-math.log(u), 1 if i % 5 else 0, float(i % 2)))
+    df = spark.createDataFrame(rows, "duration double, event int, x double")
+    r = cox_ph(df, "duration", "event", "x").collect()[0]
+    assert abs(r["z"]) < 2.5
+    assert r["hazard_ratio"] == pytest.approx(1.0, abs=0.35)
+
+
+def test_cox_guards(spark):
+    df0 = spark.createDataFrame(
+        [(1.0, 0, 1.0), (2.0, 0, 2.0)], "duration double, event int, x double"
+    )
+    with pytest.raises(ValueError, match="at least one observed event"):
+        cox_ph(df0, "duration", "event", "x")
+    const = spark.createDataFrame(
+        [(1.0, 1, 3.0), (2.0, 1, 3.0), (3.0, 0, 3.0)],
+        "duration double, event int, x double",
+    )
+    with pytest.raises(ValueError, match="singular information"):
+        cox_ph(const, "duration", "event", "x")
+    with pytest.raises(ValueError, match="iters"):
+        cox_ph(const, "duration", "event", "x", iters=0)
