@@ -265,3 +265,122 @@ GROUP BY csz.n, csz.n_events
 
 QUERIES["cox_churn_users"] = cox_churn_users
 ORACLE_SQL["cox_churn_users"] = _cox_sql()
+
+
+def nelson_aalen_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative churn hazard over user lifetimes
+    (operators/survival.py::nelson_aalen) — the additive twin of the
+    KM contract, on the 12-hour horizon so events exist at sf0.01."""
+    from ..operators.survival import nelson_aalen, user_lifetimes
+
+    ev = load_table(spark, sf_dir, "events")
+    lif = user_lifetimes(ev, horizon_ns=_LR_HORIZON_NS, unit_ns=_HOUR_NS)
+    return nelson_aalen(lif, "duration", "event")
+
+
+NELSON_AALEN_SQL = f"""
+WITH per_user AS (
+  SELECT user_id, min(epoch_ns(ts)) AS a, max(epoch_ns(ts)) AS b
+  FROM events GROUP BY 1
+),
+gend AS (SELECT max(b) AS gmax FROM per_user),
+lif AS (
+  SELECT CAST(((b - a) - (b - a) % {_HOUR_NS}) / {_HOUR_NS} AS BIGINT) AS t,
+         CASE WHEN b < gmax - {_LR_HORIZON_NS} THEN 1 ELSE 0 END AS ev
+  FROM per_user, gend
+),
+per_t AS (
+  SELECT t, count(*) AS all_n, CAST(sum(ev) AS BIGINT) AS n_events
+  FROM lif GROUP BY 1
+),
+risk AS (
+  SELECT t, n_events,
+    CAST(sum(all_n) OVER (ORDER BY t DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS n_risk
+  FROM per_t
+),
+curve AS (
+  SELECT t, n_risk, n_events,
+    sum(CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE))
+      OVER wa AS cum_hazard,
+    sum(CAST(n_events AS DOUBLE)
+        / (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE)))
+      OVER wa AS var_cum_hazard
+  FROM risk
+  WINDOW wa AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT t, n_risk, n_events, cum_hazard, var_cum_hazard
+FROM curve WHERE n_events > 0
+"""
+
+QUERIES["nelson_aalen_users"] = nelson_aalen_users
+ORACLE_SQL["nelson_aalen_users"] = NELSON_AALEN_SQL
+
+_RMST_TAU = 48.0  # hours
+
+
+def rmst_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time at tau = 48h over user lifetimes
+    (operators/survival.py::restricted_mean_survival): the average
+    churn-free hours in a user's first two days — the model-free
+    retention effect size."""
+    from ..operators.survival import restricted_mean_survival, user_lifetimes
+
+    ev = load_table(spark, sf_dir, "events")
+    lif = user_lifetimes(ev, horizon_ns=_LR_HORIZON_NS, unit_ns=_HOUR_NS)
+    return restricted_mean_survival(lif, "duration", "event", tau=_RMST_TAU)
+
+
+RMST_SQL = f"""
+WITH per_user AS (
+  SELECT user_id, min(epoch_ns(ts)) AS a, max(epoch_ns(ts)) AS b
+  FROM events GROUP BY 1
+),
+gend AS (SELECT max(b) AS gmax FROM per_user),
+lif AS (
+  SELECT CAST(((b - a) - (b - a) % {_HOUR_NS}) / {_HOUR_NS} AS BIGINT) AS t,
+         CASE WHEN b < gmax - {_LR_HORIZON_NS} THEN 1 ELSE 0 END AS ev
+  FROM per_user, gend
+),
+per_t AS (
+  SELECT t, count(*) AS all_n, CAST(sum(ev) AS BIGINT) AS n_events
+  FROM lif GROUP BY 1
+),
+risk AS (
+  SELECT t, n_events,
+    CAST(sum(all_n) OVER (ORDER BY t DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS n_risk
+  FROM per_t
+),
+fac AS (
+  SELECT t, n_events, n_risk,
+    1.0 - CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE) AS f
+  FROM risk
+),
+km AS (
+  SELECT t, n_risk, n_events,
+    CASE WHEN min(f) OVER wa > 0
+         THEN exp(sum(CASE WHEN f > 0 THEN ln(f) ELSE 0.0 END) OVER wa)
+         ELSE 0.0 END AS survival
+  FROM fac
+  WINDOW wa AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+steps AS (
+  SELECT CAST(t AS DOUBLE) AS t, survival,
+    coalesce(lag(CAST(t AS DOUBLE)) OVER wt, 0.0) AS t_prev,
+    coalesce(lag(survival) OVER wt, 1.0) AS s_prev
+  FROM km WHERE n_events > 0 AND t <= {_RMST_TAU!r}
+  WINDOW wt AS (ORDER BY t)
+)
+SELECT {_RMST_TAU!r} AS tau,
+  coalesce(sum(s_prev * (t - t_prev)), 0.0)
+    + coalesce(min(survival), 1.0) * ({_RMST_TAU!r} - coalesce(max(t), 0.0))
+    AS rmst,
+  coalesce(min(survival), 1.0) AS km_at_tau
+FROM steps
+"""
+
+QUERIES["rmst_users"] = rmst_users
+ORACLE_SQL["rmst_users"] = RMST_SQL

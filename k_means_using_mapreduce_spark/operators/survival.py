@@ -339,3 +339,87 @@ def cox_ph(
             F.lit(beta) * F.col("sx") - F.col("d") * F.log("s0")
         ).alias("log_lik"),
     )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimator with its standard
+    variance — the additive twin of Kaplan–Meier (Λ(t) = Σ_{t'≤t}
+    d/n; KM ≈ exp(−Λ)). Preferred when hazards themselves are the
+    object (competing risks, hazard-ratio eyeballing before
+    :func:`cox_ph`) and better-behaved than KM at small risk sets.
+
+    Variance: the Poisson-type ``Σ d/n²`` form. Same plan shape as
+    :func:`kaplan_meier`: distinct-duration blocks, one descending
+    cumulative window for the risk set, one ascending for the sums —
+    block rows only, never subjects.
+
+    Output: one row per distinct observed-event duration —
+    ``(t, n_risk, n_events, cum_hazard, var_cum_hazard)``.
+    """
+    per_t = df.groupBy(F.col(duration_col).alias("t")).agg(
+        F.count("*").alias("_all"),
+        F.sum(F.col(event_col).cast("long")).alias("n_events"),
+    )
+    w_desc = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_asc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    with_risk = per_t.withColumn("n_risk", F.sum("_all").over(w_desc))
+    d = F.col("n_events").cast("double")
+    n = F.col("n_risk").cast("double")
+    curve = with_risk.withColumn(
+        "cum_hazard", F.sum(d / n).over(w_asc)
+    ).withColumn("var_cum_hazard", F.sum(d / (n * n)).over(w_asc))
+    return curve.where(F.col("n_events") > 0).select(
+        "t", "n_risk", "n_events", "cum_hazard", "var_cum_hazard"
+    )
+
+
+def restricted_mean_survival(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    *,
+    tau: float,
+) -> DataFrame:
+    """Restricted mean survival time: ``RMST(τ) = ∫₀^τ S(t) dt`` — the
+    model-free effect size survival papers report when hazards are
+    non-proportional ("average event-free time over the first τ
+    units"). The integral of the Kaplan–Meier STEP function is an
+    exact sum: each inter-event interval contributes ``S(t_prev) ×
+    (min(t, τ) − t_prev)``, plus the tail ``S(t_last) × (τ −
+    t_last)`` — one ordered pass over the KM block rows, no
+    approximation.
+
+    Returns one row ``(tau, rmst, km_at_tau)``.
+    """
+    if tau <= 0:
+        raise ValueError(f"tau must be > 0, got {tau}")
+    km = kaplan_meier(df, duration_col, event_col).where(
+        F.col("t") <= F.lit(tau)
+    )
+    w = Window.orderBy("t")
+    stepped = km.select(
+        F.col("t").cast("double").alias("t"),
+        "survival",
+        F.lag("t", 1, 0.0).over(w).cast("double").alias("_t_prev"),
+        F.lag("survival", 1, 1.0).over(w).alias("_s_prev"),
+    )
+    return stepped.agg(
+        F.lit(float(tau)).alias("tau"),
+        (
+            F.coalesce(
+                F.sum(F.col("_s_prev") * (F.col("t") - F.col("_t_prev"))),
+                F.lit(0.0),
+            )
+            # tail: the last step's survival carries to tau (1.0 when
+            # no event time precedes tau at all)
+            + F.coalesce(F.min("survival"), F.lit(1.0))
+            * (F.lit(float(tau)) - F.coalesce(F.max("t"), F.lit(0.0)))
+        ).alias("rmst"),
+        F.coalesce(F.min("survival"), F.lit(1.0)).alias("km_at_tau"),
+    )

@@ -97,3 +97,44 @@ def test_cox_guards(spark):
         cox_ph(const, "duration", "event", "x")
     with pytest.raises(ValueError, match="iters"):
         cox_ph(const, "duration", "event", "x", iters=0)
+
+
+def test_nelson_aalen_hand_case(spark):
+    from k_means_using_mapreduce_spark.operators.survival import nelson_aalen
+
+    df = spark.createDataFrame(
+        [(1.0, 1), (2.0, 1), (3.0, 1)], "duration double, event int"
+    )
+    rows = {r["t"]: r for r in nelson_aalen(df, "duration", "event").collect()}
+    assert rows[1.0]["cum_hazard"] == pytest.approx(1 / 3)
+    assert rows[2.0]["cum_hazard"] == pytest.approx(1 / 3 + 1 / 2)
+    assert rows[3.0]["cum_hazard"] == pytest.approx(1 / 3 + 1 / 2 + 1.0)
+    assert rows[2.0]["var_cum_hazard"] == pytest.approx(1 / 9 + 1 / 4)
+    # censored rows join risk sets but add no hazard step
+    dfc = spark.createDataFrame(
+        [(1.0, 1), (2.0, 0), (3.0, 1)], "duration double, event int"
+    )
+    rc = {r["t"]: r for r in nelson_aalen(dfc, "duration", "event").collect()}
+    assert set(rc) == {1.0, 3.0}
+    assert rc[1.0]["cum_hazard"] == pytest.approx(1 / 3)
+    assert rc[3.0]["cum_hazard"] == pytest.approx(1 / 3 + 1.0)
+
+
+def test_rmst_step_integral(spark):
+    from k_means_using_mapreduce_spark.operators.survival import (
+        restricted_mean_survival,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, 1), (2.0, 1), (3.0, 1)], "duration double, event int"
+    )
+    r = restricted_mean_survival(df, "duration", "event", tau=4.0).collect()[0]
+    # 1*1 + (2/3)*1 + (1/3)*1 + 0*1
+    assert r["rmst"] == pytest.approx(2.0)
+    assert r["km_at_tau"] == pytest.approx(0.0)
+    # tau before any event: survival is flat 1.0
+    r2 = restricted_mean_survival(df, "duration", "event", tau=0.5).collect()[0]
+    assert r2["rmst"] == pytest.approx(0.5)
+    assert r2["km_at_tau"] == pytest.approx(1.0)
+    with pytest.raises(ValueError, match="tau"):
+        restricted_mean_survival(df, "duration", "event", tau=0.0)
