@@ -66,3 +66,67 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLE_SQL: dict[str, str] = {
     "item_rules_events": ITEM_RULES_SQL,
 }
+
+
+_SEQ_MIN_SUPPORT = 0.3
+
+
+def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent sequential patterns (length <= 3) of event types per
+    user via MLlib PrefixSpan (operators/assoc.py::
+    frequent_sequences) — the ORDERED counterpart of the item_rules
+    contract; the oracle re-derives every pattern's exact sequence
+    support with greedy-subsequence joins."""
+    from ..operators.assoc import frequent_sequences
+
+    ev = load_table(spark, sf_dir, "events")
+    return frequent_sequences(
+        ev,
+        "user_id",
+        "ts",
+        "event_type",
+        min_support=_SEQ_MIN_SUPPORT,
+        max_pattern_length=3,
+        tiebreak_col="event_id",
+    )
+
+
+SEQ_PATTERNS_SQL = f"""
+WITH pos AS (
+  SELECT user_id, event_type AS it,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS p
+  FROM events
+),
+nn AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS ns FROM events),
+l1 AS (
+  SELECT it AS pattern, 1 AS length,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS c
+  FROM pos GROUP BY 1
+),
+l2 AS (
+  SELECT pattern, 2 AS length, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT DISTINCT a.user_id, a.it || '>' || b.it AS pattern
+    FROM pos a JOIN pos b ON a.user_id = b.user_id AND b.p > a.p
+  ) GROUP BY 1
+),
+l3 AS (
+  SELECT pattern, 3 AS length, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT DISTINCT a.user_id,
+           a.it || '>' || b.it || '>' || d.it AS pattern
+    FROM pos a
+    JOIN pos b ON a.user_id = b.user_id AND b.p > a.p
+    JOIN pos d ON b.user_id = d.user_id AND d.p > b.p
+  ) GROUP BY 1
+),
+u AS (
+  SELECT * FROM l1 UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3
+)
+SELECT pattern, CAST(length AS INTEGER) AS length, c AS n_sequences,
+       c / CAST(ns AS DOUBLE) AS support
+FROM u CROSS JOIN nn
+WHERE c >= ceil({_SEQ_MIN_SUPPORT!r} * ns)
+"""
+
+QUERIES["user_event_sequences"] = user_event_sequences
+ORACLE_SQL["user_event_sequences"] = SEQ_PATTERNS_SQL

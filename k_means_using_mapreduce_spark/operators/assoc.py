@@ -155,3 +155,72 @@ def association_rules(
         (ab_d * nb_d / (F.col("n_ante").cast("double") * F.col("n_cons"))
          ).alias("lift"),
     )
+
+
+def frequent_sequences(
+    df: DataFrame,
+    seq_col: str,
+    ts_col: str,
+    item_col: str,
+    *,
+    min_support: float,
+    max_pattern_length: int = 3,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Frequent SEQUENTIAL patterns (MLlib PrefixSpan) — the ordered
+    counterpart of :func:`association_rules`: "users who do a, THEN
+    b" instead of "users who touch both". The pattern mining step of
+    behavioural funnel discovery.
+
+    Each ``seq_col`` entity becomes one sequence of single-item
+    events ordered by ``(ts_col, tiebreak_col)`` — the tiebreak (an
+    event id) makes the sequence a deterministic total order even
+    with timestamp ties, so results are retry/partitioning-stable
+    and SQL-reproducible. ``min_support`` is the fraction of
+    sequences containing the pattern (gaps allowed, the PrefixSpan
+    semantics); supports are exact integer counts.
+
+    Scale: PrefixSpan is MLlib's distributed projected-database
+    algorithm — each round shuffles (prefix, suffix) projections, and
+    ``max_pattern_length`` caps the lattice depth. The per-entity
+    collect_list is bounded by the entity's own event count (cap hub
+    entities upstream, the basket-size doctrine above).
+
+    Returns ``(pattern string 'a>b>c', length, n_sequences, support)``
+    ordered by nothing (hash-gate friendly).
+    """
+    if not 0 < min_support <= 1:
+        raise ValueError(f"min_support must be in (0, 1], got {min_support}")
+    if max_pattern_length < 1:
+        raise ValueError(
+            f"max_pattern_length must be >= 1, got {max_pattern_length}"
+        )
+    from pyspark.ml.fpm import PrefixSpan
+
+    order = [F.col(ts_col)]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col))
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(*order, F.col(item_col).cast("string").alias("_it"))
+        )
+    )
+    seqs = df.groupBy(seq_col).agg(
+        F.transform(ordered, lambda s: F.array(s["_it"])).alias("sequence")
+    )
+    n_seq = seqs.count()
+    ps = PrefixSpan(
+        minSupport=min_support,
+        maxPatternLength=max_pattern_length,
+        sequenceCol="sequence",
+    )
+    pats = ps.findFrequentSequentialPatterns(seqs)
+    return pats.select(
+        F.array_join(
+            F.transform(F.col("sequence"), lambda s: F.element_at(s, 1)),
+            ">",
+        ).alias("pattern"),
+        F.size("sequence").cast("int").alias("length"),
+        F.col("freq").cast("long").alias("n_sequences"),
+        (F.col("freq") / F.lit(float(n_seq))).alias("support"),
+    )

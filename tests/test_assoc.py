@@ -91,3 +91,40 @@ def test_plan_shape(txns):
     # exactly one sort-merge join: the basket self-join — the explode
     # direction expansion must NOT duplicate the pairs subtree
     assert sort_merge_join_count(plan) <= 1
+
+
+def test_frequent_sequences_hand_case(spark):
+    """Order matters: <a,c> is frequent (2 of 3 sequences) while
+    <c,a> never occurs; gaps allowed (u1 matches a..c around b)."""
+    from k_means_using_mapreduce_spark.operators.assoc import (
+        frequent_sequences,
+    )
+
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "c"),
+        (2, 1, "a"), (2, 2, "c"),
+        (3, 1, "b"), (3, 2, "a"),
+    ]
+    df = spark.createDataFrame(rows, "u long, ts long, item string")
+    out = {
+        r["pattern"]: r
+        for r in frequent_sequences(
+            df, "u", "ts", "item", min_support=0.5, tiebreak_col="ts"
+        ).collect()
+    }
+    assert out["a"]["n_sequences"] == 3
+    assert out["b"]["n_sequences"] == 2
+    assert out["c"]["n_sequences"] == 2
+    assert out["a>c"]["n_sequences"] == 2
+    assert out["a>c"]["length"] == 2
+    assert out["a>c"]["support"] == pytest.approx(2 / 3)
+    assert "c>a" not in out and "a>b" not in out
+
+    import pytest as _p
+
+    with _p.raises(ValueError, match="min_support"):
+        frequent_sequences(df, "u", "ts", "item", min_support=0.0)
+    with _p.raises(ValueError, match="max_pattern_length"):
+        frequent_sequences(
+            df, "u", "ts", "item", min_support=0.5, max_pattern_length=0
+        )
