@@ -130,3 +130,56 @@ WHERE c >= ceil({_SEQ_MIN_SUPPORT!r} * ns)
 
 QUERIES["user_event_sequences"] = user_event_sequences
 ORACLE_SQL["user_event_sequences"] = SEQ_PATTERNS_SQL
+
+
+_FPG_MIN_SUPPORT = 0.25
+
+
+def user_event_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent event-type itemsets per user basket up to size 3 via
+    MLlib FPGrowth (operators/assoc.py::frequent_itemsets) — the
+    beyond-pairs generalization of item_rules; the oracle enumerates
+    the lattice levels with canonical-order joins over distinct
+    (user, item) presence rows."""
+    from ..operators.assoc import frequent_itemsets
+
+    ev = load_table(spark, sf_dir, "events")
+    return frequent_itemsets(
+        ev, "user_id", "event_type", min_support=_FPG_MIN_SUPPORT, max_len=3
+    )
+
+
+ITEMSETS_SQL = f"""
+WITH pres AS (
+  SELECT DISTINCT user_id, event_type AS it FROM events
+),
+nn AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS ns FROM events),
+l1 AS (
+  SELECT it AS itemset, 1 AS length, CAST(count(*) AS BIGINT) AS c
+  FROM pres GROUP BY 1
+),
+l2 AS (
+  SELECT a.it || '&' || b.it AS itemset, 2 AS length,
+         CAST(count(*) AS BIGINT) AS c
+  FROM pres a JOIN pres b ON a.user_id = b.user_id AND a.it < b.it
+  GROUP BY 1
+),
+l3 AS (
+  SELECT a.it || '&' || b.it || '&' || d.it AS itemset, 3 AS length,
+         CAST(count(*) AS BIGINT) AS c
+  FROM pres a
+  JOIN pres b ON a.user_id = b.user_id AND a.it < b.it
+  JOIN pres d ON b.user_id = d.user_id AND b.it < d.it
+  GROUP BY 1
+),
+u AS (
+  SELECT * FROM l1 UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3
+)
+SELECT itemset, CAST(length AS INTEGER) AS length, c AS n_baskets,
+       c / CAST(ns AS DOUBLE) AS support
+FROM u CROSS JOIN nn
+WHERE c >= ceil({_FPG_MIN_SUPPORT!r} * ns)
+"""
+
+QUERIES["user_event_itemsets"] = user_event_itemsets
+ORACLE_SQL["user_event_itemsets"] = ITEMSETS_SQL

@@ -224,3 +224,48 @@ def frequent_sequences(
         F.col("freq").cast("long").alias("n_sequences"),
         (F.col("freq") / F.lit(float(n_seq))).alias("support"),
     )
+
+
+def frequent_itemsets(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    *,
+    min_support: float,
+    max_len: int = 3,
+) -> DataFrame:
+    """Frequent itemsets of ANY size up to ``max_len`` via MLlib
+    FPGrowth — lifts :func:`association_rules`' deliberate pairs-only
+    scope when higher-order co-occurrence is the question ("which
+    TRIPLES of behaviors cluster").
+
+    Baskets are DISTINCT item sets per ``basket_col`` (presence
+    semantics, like the pair path); supports are exact integer basket
+    counts, so results are partitioning-stable and SQL-reproducible.
+    FPGrowth mines the full lattice (its cost is bounded by the
+    actual frequent-set structure, not an enumeration); ``max_len``
+    filters the OUTPUT to the sizes the caller will read — mirror any
+    cap upstream of a huge item vocabulary with a support floor.
+
+    Returns ``(itemset 'a&b', length, n_baskets, support)`` with the
+    itemset string in canonical sorted order.
+    """
+    if not 0 < min_support <= 1:
+        raise ValueError(f"min_support must be in (0, 1], got {min_support}")
+    if max_len < 1:
+        raise ValueError(f"max_len must be >= 1, got {max_len}")
+    from pyspark.ml.fpm import FPGrowth
+
+    bas = df.groupBy(basket_col).agg(
+        F.collect_set(F.col(item_col).cast("string")).alias("items")
+    )
+    n_baskets = bas.count()
+    fp = FPGrowth(minSupport=min_support, itemsCol="items")
+    model = fp.fit(bas)
+    sets = model.freqItemsets.where(F.size("items") <= max_len)
+    return sets.select(
+        F.array_join(F.array_sort("items"), "&").alias("itemset"),
+        F.size("items").cast("int").alias("length"),
+        F.col("freq").cast("long").alias("n_baskets"),
+        (F.col("freq") / F.lit(float(n_baskets))).alias("support"),
+    )

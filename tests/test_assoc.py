@@ -128,3 +128,29 @@ def test_frequent_sequences_hand_case(spark):
         frequent_sequences(
             df, "u", "ts", "item", min_support=0.5, max_pattern_length=0
         )
+
+
+def test_frequent_itemsets_hand_case(spark):
+    from k_means_using_mapreduce_spark.operators.assoc import (
+        frequent_itemsets,
+    )
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"),
+        (4, "a"), (4, "a"),  # duplicates: presence semantics
+    ]
+    df = spark.createDataFrame(rows, "b long, item string")
+    out = {
+        r["itemset"]: r
+        for r in frequent_itemsets(
+            df, "b", "item", min_support=0.5
+        ).collect()
+    }
+    assert out["a"]["n_baskets"] == 4
+    assert out["a&b"]["n_baskets"] == 2
+    assert out["a&c"]["n_baskets"] == 2
+    assert out["a&b"]["support"] == pytest.approx(0.5)
+    assert "b&c" not in out  # support 1/4 < 0.5
+    assert "a&b&c" not in out
