@@ -752,3 +752,18 @@ def test_fd_discovery_linear_rollup_shape(spark, sf):
     assert "Union" not in plan
     assert sort_merge_join_count(df) == 0
     assert plan.count("Generate") >= 1
+
+
+def test_cox_windows_run_over_duration_blocks(spark, sf):
+    """Cox's risk-set cumulative window must consume the
+    distinct-duration BLOCK table (HashAggregate feeds Window), and
+    the only join is the 1-row corpus-end broadcast — no subject-level
+    sort, no sort-merge join."""
+    from k_means_using_mapreduce_spark.plans.explain import executed_plan
+
+    df = _q("cox_churn_users", spark, sf)
+    plan = executed_plan(df)
+    assert sort_merge_join_count(df) == 0
+    assert "CartesianProduct" not in plan
+    # blocks-then-window: an aggregate exists upstream of every Window
+    assert plan.index("HashAggregate") < plan.index("Window")
