@@ -1,10 +1,10 @@
 """Multimodal contract queries — the binary-column plumbing, oracle-
 checked.
 
-PNG decode is REAL (pure-stdlib codec, operators/png.py) and
-hash-gated end-to-end by ``media_png_features``; other containers'
-decode remains stubbed (no PIL/ffmpeg in the container — see
-operators/multimodal.py). The Spark-side machinery a multimodal
+PNG and WAV decode are REAL (pure-stdlib codecs, operators/png.py)
+and hash-gated end-to-end by ``media_png_features`` /
+``media_wav_features``; other containers' decode remains stubbed
+(no PIL/ffmpeg in the container — see operators/multimodal.py). The Spark-side machinery a multimodal
 pipeline needs is exercised against a DuckDB oracle here by deriving a
 deterministic binary payload from the documents table: utf-8 bytes flow
 through an Arrow-batched ``mapInPandas`` kernel (python ``hashlib``/
@@ -250,3 +250,65 @@ FROM hx CROSS JOIN dims
 
 QUERIES["media_png_features"] = media_png_features
 ORACLE_SQL["media_png_features"] = MEDIA_PNG_FEATURES_SQL
+
+
+def media_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END real AUDIO codec contract (the WAV sibling of
+    media_png_features): each document's md5 hex (32 ascii bytes) is
+    declared 16 little-endian PCM16 samples and wrapped in an actual
+    WAV container (operators/png.py::encode_wav_pcm16, stdlib
+    ``wave``); extract_features sniffs RIFF/WAVE, DECODES the frames
+    back out, and emits the strided-window feature means. The oracle
+    computes the same means from the hex chars directly — identical
+    closed form to the PNG contract, so any header-offset or frame
+    mis-decode flips the hash."""
+    from ..operators.multimodal import FEATURE_DIM, extract_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.md5(F.encode("text", "utf-8")).alias("hex"),
+    )
+
+    def encode(batches: "Iterator") -> "Iterator":
+        import pandas as pd
+
+        from ..operators.png import encode_wav_pcm16
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": "audio",
+                    "payload": pdf["hex"].map(
+                        lambda h: encode_wav_pcm16(h.encode("ascii"))
+                    ),
+                    "width": None,
+                    "height": None,
+                    "duration_ms": 4,
+                }
+            )
+
+    media = src.mapInPandas(
+        encode,
+        "asset_id long, media_type string, payload binary, "
+        "width int, height int, duration_ms int",
+    )
+    feats = extract_features(media, dim=FEATURE_DIM)
+    return feats.select(
+        F.col("asset_id").alias("doc_id"),
+        F.posexplode("feature").alias("dim", "f"),
+    ).select("doc_id", F.col("dim").cast("int").alias("dim"), "f")
+
+
+MEDIA_WAV_FEATURES_SQL = """
+WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+dims AS (SELECT CAST(unnest(range(0, 16)) AS INTEGER) AS dim)
+SELECT doc_id, dim,
+  (ascii(substr(h, dim + 1, 1)) + ascii(substr(h, dim + 17, 1)))
+    / (255.0 * 2) AS f
+FROM hx CROSS JOIN dims
+"""
+
+QUERIES["media_wav_features"] = media_wav_features
+ORACLE_SQL["media_wav_features"] = MEDIA_WAV_FEATURES_SQL

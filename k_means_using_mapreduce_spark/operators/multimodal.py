@@ -96,13 +96,14 @@ def extract_features(
     drops the binary payload before returning — the output rows are
     ~100 B regardless of input media size.
 
-    Decode is REAL for 8-bit grayscale PNG payloads (stdlib codec,
-    operators/png.py): the pixels are decoded and the strided-window
-    feature means run over actual image data, end-to-end. Payloads in
+    Decode is REAL for 8-bit grayscale PNG payloads AND 16-bit PCM
+    WAV payloads (stdlib codecs, operators/png.py): pixels/samples
+    are decoded out of the actual container and the strided-window
+    feature means run over real media data, end-to-end. Payloads in
     any other container (jpeg/mp4/…, no codec in this container) or
-    malformed PNGs fall through to the documented deterministic fake
-    over the raw bytes, so the pipeline shape stays exercised either
-    way.
+    malformed PNG/WAV fall through to the documented deterministic
+    fake over the raw bytes, so the pipeline shape stays exercised
+    either way.
     """
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -111,11 +112,12 @@ def extract_features(
         from k_means_using_mapreduce_spark.operators.png import (
             PNG_SIGNATURE,
             decode_png_gray,
+            decode_wav_pcm16,
         )
 
         def decode(payload, d=dim):
             # keep in sync with _fake_decode_features (module-level twin
-            # used for driver-side golden checks) for the non-PNG path
+            # used for driver-side golden checks) for the opaque path
             if payload is None or len(payload) == 0:
                 return [0.0] * d
             buf = bytes(payload)
@@ -124,6 +126,11 @@ def extract_features(
                     _, _, buf = decode_png_gray(buf)
                 except ValueError:
                     pass  # malformed image: treat as opaque bytes
+            elif buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+                try:
+                    _, _, buf = decode_wav_pcm16(buf)
+                except ValueError:
+                    pass  # non-PCM/malformed audio: opaque bytes
             out = []
             for i in range(d):
                 sl = buf[i::d]
@@ -350,12 +357,13 @@ def frame_sample_raw(
 def synth_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
     """Deterministic synthetic media table for tests: payload bytes are
     a seeded function of asset_id (no RNG at execution time). IMAGE
-    rows carry REAL 8x8 grayscale PNGs (operators/png.py encoder, so
-    the extract_features PNG decode path is exercised end-to-end);
-    audio/video rows remain opaque seeded bytes."""
+    rows carry REAL 8x8 grayscale PNGs and AUDIO rows REAL 16-bit PCM
+    WAVs (operators/png.py codecs, so both extract_features decode
+    paths are exercised end-to-end); video rows remain opaque seeded
+    bytes (no stdlib video container exists)."""
     import hashlib
 
-    from .png import encode_png_gray
+    from .png import encode_png_gray, encode_wav_pcm16
 
     def _bytes(i: int, want: int) -> bytes:
         out = b""
@@ -373,6 +381,9 @@ def synth_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
         if kind == "image":
             payload = encode_png_gray(_bytes(i, 64), 8, 8)
             w = h = 8
+        elif kind == "audio":
+            payload = encode_wav_pcm16(_bytes(i, 64))
+            w = h = 64
         else:
             payload = _bytes(i, 64)
             w = h = 64

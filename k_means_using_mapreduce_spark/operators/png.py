@@ -157,3 +157,61 @@ def decode_png_gray(data: bytes) -> tuple[int, int, bytes]:
             raise ValueError(f"unknown filter type {ftype}")
         prev_start = base
     return width, height, bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF PCM) — the audio sibling of the PNG path above. The stdlib
+# `wave` module IS a real codec for PCM WAV, so audio payloads get the
+# same end-to-end treatment: a genuine container in, decoded samples out.
+# ---------------------------------------------------------------------------
+
+WAV_PREFIX = b"RIFF"
+
+
+def encode_wav_pcm16(
+    frames: bytes, *, sample_rate: int = 8000, channels: int = 1
+) -> bytes:
+    """Encode raw little-endian 16-bit PCM frames as a WAV container
+    (stdlib ``wave``). Deterministic: the header is a pure function of
+    (len, rate, channels)."""
+    import io
+    import wave
+
+    if len(frames) % (2 * channels) != 0:
+        raise ValueError(
+            f"frames length {len(frames)} is not a whole number of "
+            f"{channels}-channel 16-bit samples"
+        )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def decode_wav_pcm16(data: bytes) -> tuple[int, int, bytes]:
+    """Decode a PCM WAV container to ``(sample_rate, channels,
+    frames)`` — raw little-endian 16-bit PCM bytes. Raises
+    ``ValueError`` on non-PCM/compressed or malformed containers
+    (callers fall back to opaque-bytes handling, like the PNG path)."""
+    import io
+    import wave
+
+    if data[:4] != WAV_PREFIX or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV (bad RIFF/WAVE header)")
+    try:
+        with wave.open(io.BytesIO(data), "rb") as w:
+            if w.getsampwidth() != 2:
+                raise ValueError(
+                    f"unsupported sample width {w.getsampwidth()}; "
+                    "this codec is 16-bit PCM only"
+                )
+            return (
+                w.getframerate(),
+                w.getnchannels(),
+                w.readframes(w.getnframes()),
+            )
+    except wave.Error as exc:
+        raise ValueError(f"malformed WAV: {exc}") from exc

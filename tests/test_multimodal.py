@@ -26,11 +26,11 @@ def test_extract_features_end_to_end(media):
     assert len(rows) == 50
     assert all(len(r["feature"]) == M.FEATURE_DIM for r in rows)
     assert all(0.0 <= v <= 1.0 for r in rows for v in r["feature"])
-    # audio/video payloads are 64 opaque bytes; image rows are real
-    # PNG containers (header + zlib stream > raw 64 pixels)
+    # video payloads are 64 opaque bytes; image/audio rows are real
+    # containers (PNG header + zlib stream / WAV 44-byte RIFF header)
     by_kind = {r["media_type"]: r["n_bytes"] for r in rows}
-    assert by_kind["audio"] == 64 and by_kind["video"] == 64
-    assert by_kind["image"] > 64
+    assert by_kind["video"] == 64
+    assert by_kind["image"] > 64 and by_kind["audio"] > 64
 
 
 def test_extract_features_decodes_real_png(spark):
@@ -240,3 +240,36 @@ def test_byte_stats_closed_form(spark):
     assert got[2]["entropy_bits"] > 7.9
     assert got[3]["n_bytes"] is None and got[3]["sniffed_format"] is None
     assert got[4]["n_bytes"] == 0 and got[4]["entropy_bits"] == 0.0
+
+
+def test_extract_features_decodes_real_wav(spark):
+    """Audio features must come from DECODED PCM frames, not the WAV
+    container bytes (the 44-byte RIFF header would shift every
+    stride otherwise)."""
+    from k_means_using_mapreduce_spark.operators.png import encode_wav_pcm16
+
+    frames = bytes((i * 11) % 256 for i in range(64))
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(encode_wav_pcm16(frames)), None, None, 1000)],
+        M.MEDIA_SCHEMA,
+    )
+    row = M.extract_features(df).first()
+    expected = [
+        sum(frames[i :: M.FEATURE_DIM])
+        / (255.0 * len(frames[i :: M.FEATURE_DIM]))
+        for i in range(M.FEATURE_DIM)
+    ]
+    assert row["feature"] == pytest.approx(expected, abs=0.0)
+
+
+def test_wav_roundtrip_and_guards():
+    from k_means_using_mapreduce_spark.operators import png as P
+
+    frames = bytes(range(128))
+    data = P.encode_wav_pcm16(frames, sample_rate=16000, channels=2)
+    rate, ch, out = P.decode_wav_pcm16(data)
+    assert (rate, ch, out) == (16000, 2, frames)
+    with pytest.raises(ValueError, match="RIFF"):
+        P.decode_wav_pcm16(b"JUNK" + data)
+    with pytest.raises(ValueError, match="whole number"):
+        P.encode_wav_pcm16(b"\x00\x01\x02")  # 3 bytes, not 16-bit frames
