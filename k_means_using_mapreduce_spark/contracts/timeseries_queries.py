@@ -1655,3 +1655,72 @@ FROM win
 
 QUERIES["rolling_click_purchase_corr"] = rolling_click_purchase_corr
 ORACLE_SQL["rolling_click_purchase_corr"] = ROLLING_CORR_SQL
+
+
+_HOLT_ALPHA, _HOLT_BETA, _HOLT_H = 0.3, 0.1, 24
+
+
+def holt_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoothing of hourly volumes per event type
+    (operators/timeseries.py::holt_linear): final level/trend state,
+    one-step-ahead SSE, and the 24-hour forecast. The recurrence runs
+    in a per-key Arrow kernel; the oracle replays it as a RECURSIVE
+    CTE step-for-step — the sequential-state contract pattern."""
+    from ..operators.timeseries import holt_linear
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", ns_to_timestamp("ts")
+    )
+    return holt_linear(
+        ev, alpha=_HOLT_ALPHA, beta=_HOLT_BETA, horizon=_HOLT_H
+    )
+
+
+def _holt_sql() -> str:
+    a, b, h = _HOLT_ALPHA, _HOLT_BETA, float(_HOLT_H)
+    return f"""
+WITH RECURSIVE counts AS (
+  SELECT event_type AS key,
+         epoch_us(ts) - epoch_us(ts) % {_HOUR_US} AS bucket_us,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(bucket_us) AS lo, max(bucket_us) AS hi FROM counts),
+keys AS (SELECT DISTINCT event_type AS key FROM events),
+grid AS (
+  SELECT key, unnest(range(lo, hi + {_HOUR_US}, {_HOUR_US})) AS bucket_us
+  FROM keys, bounds
+),
+dense AS (
+  SELECT g.key, CAST(coalesce(c.n, 0) AS DOUBLE) AS y,
+         row_number() OVER (PARTITION BY g.key ORDER BY g.bucket_us) AS idx
+  FROM grid g LEFT JOIN counts c USING (key, bucket_us)
+),
+hw AS (
+  SELECT key, idx, y AS lvl, CAST(0.0 AS DOUBLE) AS trd,
+         CAST(0.0 AS DOUBLE) AS sse
+  FROM dense WHERE idx = 1
+  UNION ALL
+  SELECT d.key, d.idx,
+    CAST({a!r} AS DOUBLE) * d.y
+      + CAST({1.0 - a!r} AS DOUBLE) * (hw.lvl + hw.trd) AS lvl,
+    CAST({b!r} AS DOUBLE)
+      * ((CAST({a!r} AS DOUBLE) * d.y
+          + CAST({1.0 - a!r} AS DOUBLE) * (hw.lvl + hw.trd)) - hw.lvl)
+      + CAST({1.0 - b!r} AS DOUBLE) * hw.trd AS trd,
+    hw.sse + (d.y - (hw.lvl + hw.trd)) * (d.y - (hw.lvl + hw.trd)) AS sse
+  FROM hw JOIN dense d ON d.key = hw.key AND d.idx = hw.idx + 1
+),
+fin AS (
+  SELECT key, idx, lvl, trd, sse,
+         row_number() OVER (PARTITION BY key ORDER BY idx DESC) AS rk
+  FROM hw
+)
+SELECT key, CAST(idx AS BIGINT) AS n, lvl AS level, trd AS trend, sse,
+       lvl + CAST({h!r} AS DOUBLE) * trd AS forecast
+FROM fin WHERE rk = 1
+"""
+
+
+QUERIES["holt_hourly_events"] = holt_hourly_events
+ORACLE_SQL["holt_hourly_events"] = _holt_sql()

@@ -1798,3 +1798,78 @@ def rolling_correlation(
         n.cast("long").alias("n_win"),
         F.coalesce(F.when(n >= 3.0, corr), F.lit(-2.0)).alias("corr"),
     )
+
+
+def holt_linear(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    unit: str = "hour",
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    horizon: int = 24,
+) -> DataFrame:
+    """Holt's linear-trend exponential smoothing per key — the
+    trend-aware step between :func:`ewma_by_key` (level only) and the
+    seasonal backtest: over the dense ``resample_counts`` grid,
+
+        l_t = α·y_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+
+    initialized at ``l_1 = y_1, b_1 = 0``. Reports per key the final
+    state, the one-step-ahead in-sample SSE (errors
+    ``y_t − (l_{t−1}+b_{t−1})`` for t ≥ 2 — the honest forecast
+    residual, not the smoothed fit), and the ``horizon``-step-ahead
+    forecast ``l_T + horizon·b_T``.
+
+    The recurrence is inherently sequential in t, so it runs INSIDE a
+    per-key Arrow kernel (the trend_test doctrine): T grid rows in,
+    one row out, keys embarrassingly parallel, no state shuffles. The
+    SQL oracle replays the identical recurrence as a recursive CTE —
+    sequential float arithmetic is engine-portable when the
+    expression shapes match term for term.
+
+    Returns ``(key, n, level, trend, sse, forecast)``.
+    """
+    if not 0 < alpha <= 1 or not 0 <= beta <= 1:
+        raise ValueError(
+            f"need 0 < alpha <= 1 and 0 <= beta <= 1, got {alpha}, {beta}"
+        )
+    if horizon < 0:
+        raise ValueError(f"horizon must be >= 0, got {horizon}")
+    grid = resample_counts(events, ts_col=ts_col, key_col=key_col, unit=unit)
+    key_type = grid.schema["key"].dataType.simpleString()
+    out_schema = (
+        f"key {key_type}, n long, level double, trend double, "
+        "sse double, forecast double"
+    )
+    a, b_ = float(alpha), float(beta)
+    h = float(horizon)
+
+    def _holt_kernel(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("bucket")
+        ys = pdf["n"].astype("float64").tolist()
+        lvl, trd = ys[0], 0.0
+        sse = 0.0
+        for y in ys[1:]:
+            pred = lvl + trd
+            err = y - pred
+            sse = sse + err * err
+            new_l = a * y + (1.0 - a) * (lvl + trd)
+            trd = b_ * (new_l - lvl) + (1.0 - b_) * trd
+            lvl = new_l
+        return pd.DataFrame(
+            {
+                "key": [pdf["key"].iloc[0]],
+                "n": [len(ys)],
+                "level": [lvl],
+                "trend": [trd],
+                "sse": [sse],
+                "forecast": [lvl + h * trd],
+            }
+        )
+
+    return grid.groupBy("key").applyInPandas(_holt_kernel, out_schema)

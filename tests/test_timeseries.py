@@ -721,12 +721,16 @@ def test_rolling_correlation_tracks_regimes(spark):
 
 def _hourly_events(spark, counts, key="k"):
     """One event row per unit of count, n[i] events in hour i."""
+    from datetime import timedelta
+
     rows = []
     eid = 0
+    base = datetime(2024, 1, 1)
     for hour, n in enumerate(counts):
         for j in range(n):
             rows.append(
-                (eid, datetime(2024, 1, 1, hour, min(j, 59)), key, 1.0)
+                (eid, base + timedelta(hours=hour, minutes=min(j, 59)),
+                 key, 1.0)
             )
             eid += 1
     return spark.createDataFrame(
@@ -784,3 +788,36 @@ def test_trend_test_tie_correction_and_decreasing(spark):
     assert r["var_s"] == pytest.approx(var_s)
     assert r["z"] == pytest.approx((r["s"] + 1.0) / math.sqrt(var_s))
     assert r["sen_slope"] < 0
+
+
+def test_holt_linear_tracks_exact_trend(spark):
+    """Perfectly linear counts: the one-step predictions converge onto
+    the line, trend approaches the true slope, and the forecast
+    extrapolates it."""
+    from k_means_using_mapreduce_spark.operators.timeseries import holt_linear
+
+    counts = [10 + 2 * i for i in range(48)]  # slope exactly +2/hour
+    r = holt_linear(
+        _hourly_events(spark, counts), alpha=0.5, beta=0.3, horizon=10
+    ).collect()[0]
+    assert r["n"] == 48
+    assert r["trend"] == pytest.approx(2.0, abs=0.05)
+    assert r["level"] == pytest.approx(counts[-1], abs=1.0)
+    assert r["forecast"] == pytest.approx(counts[-1] + 10 * 2.0, abs=2.0)
+
+    # hand-replay the recurrence: bit-identical state
+    lvl, trd, sse = float(counts[0]), 0.0, 0.0
+    for y in [float(c) for c in counts[1:]]:
+        err = y - (lvl + trd)
+        sse = sse + err * err
+        nl = 0.5 * y + (1.0 - 0.5) * (lvl + trd)
+        trd = 0.3 * (nl - lvl) + (1.0 - 0.3) * trd
+        lvl = nl
+    assert r["level"] == lvl and r["trend"] == trd and r["sse"] == sse
+
+    import pytest as _p
+
+    with _p.raises(ValueError, match="alpha"):
+        holt_linear(_hourly_events(spark, [1, 2]), alpha=0.0)
+    with _p.raises(ValueError, match="horizon"):
+        holt_linear(_hourly_events(spark, [1, 2]), horizon=-1)
