@@ -3,12 +3,12 @@ queries over the fixed events table, value-hash-checked against batch
 SQL.
 
 The gap these close (VERDICT r4 "what's missing" #2, widened per
-VERDICT r5 #6): every streaming module except the shared sink base
-class (exercised by all sink contracts) now has at least one
+VERDICT r5 #6): ALL 16 streaming modules now have at least one
 driver-gated contract — sessions, dedup, quantiles, profile drift,
 SPRT, CDC feed, count-min, HLL distinct, decayed features, kmeans
 stream, IVM rollup, anomaly scoring, stream-stream join, stateful
-running centroids, IVF ingest. Each contract runs an actual streaming
+running centroids, IVF ingest, and the base last-writer-wins upsert
+sink itself. Each contract runs an actual streaming
 query — readStream over the same parquet the oracle reads,
 availableNow trigger, memory or foreachBatch sink — and returns the
 final table, so the comparison covers the full streaming machinery
@@ -1087,6 +1087,71 @@ def _streaming_ivf_sql() -> str:
     return IVF_TOPK_SQL
 
 
+def streaming_upsert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BASE upsert sink itself (streaming/sinks.py::
+    ParquetUpsertSink, last-writer-wins): per-user aggregates where
+    micro-batch 1's rows REPLACE micro-batch 0's for returning users
+    — the final snapshot is exactly "half-1 value if the user appears
+    there, else half-0 value", which the oracle states directly. A
+    fresh-checkpoint replay must no-op (snapshot rewrite would be
+    idempotent here, but the guard is still what the batch-id
+    contract promises)."""
+    from ..streaming.sinks import ParquetUpsertSink
+
+    work = _two_batch_dirs(
+        spark, sf_dir, ["event_id", "user_id", "value"], "stream_ups_"
+    )
+    sink = ParquetUpsertSink(spark, f"{work}/state", keys=["user_id"])
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        sink(
+            batch_df.groupBy("user_id").agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.coalesce(F.max("value"), F.lit(-1.0)).alias("max_value"),
+            ),
+            batch_id,
+        )
+
+    def run(ckpt: str) -> None:
+        q = (
+            spark.readStream.schema("user_id bigint, value double")
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(f"{work}/in")
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", f"{work}/{ckpt}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run("ckpt1")
+    run("ckpt2")  # replay: marker at v1 must skip batch ids 0 and 1
+    return sink.current().select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        "max_value",
+    )
+
+
+STREAMING_UPSERT_SQL = """
+WITH h0 AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         coalesce(max(value), -1.0) AS max_value
+  FROM events WHERE event_id % 2 = 0 GROUP BY user_id
+),
+h1 AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         coalesce(max(value), -1.0) AS max_value
+  FROM events WHERE event_id % 2 = 1 GROUP BY user_id
+)
+SELECT user_id,
+  coalesce(h1.n_events, h0.n_events) AS n_events,
+  coalesce(h1.max_value, h0.max_value) AS max_value
+FROM h0 FULL OUTER JOIN h1 USING (user_id)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_sessions_events": streaming_sessions_events,
     "streaming_dedup_events": streaming_dedup_events,
@@ -1103,6 +1168,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_attribution_events": streaming_attribution_events,
     "streaming_running_centroids_events": streaming_running_centroids_events,
     "streaming_ivf_ingest_topk": streaming_ivf_ingest_topk,
+    "streaming_upsert_events": streaming_upsert_events,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1121,4 +1187,5 @@ ORACLE_SQL: dict[str, str] = {
     "streaming_attribution_events": STREAMING_ATTRIBUTION_SQL,
     "streaming_running_centroids_events": _running_centroids_sql(),
     "streaming_ivf_ingest_topk": _streaming_ivf_sql(),
+    "streaming_upsert_events": STREAMING_UPSERT_SQL,
 }
