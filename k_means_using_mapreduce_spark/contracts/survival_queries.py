@@ -384,3 +384,74 @@ FROM steps
 
 QUERIES["rmst_users"] = rmst_users
 ORACLE_SQL["rmst_users"] = RMST_SQL
+
+
+def km_bands_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier churn curve WITH Greenwood log(-log) 95% bands
+    (operators/survival.py::kaplan_meier_ci) on the 12-hour horizon —
+    the plot-ready interval estimate."""
+    from ..operators.survival import kaplan_meier_ci, user_lifetimes
+
+    ev = load_table(spark, sf_dir, "events")
+    lif = user_lifetimes(ev, horizon_ns=_LR_HORIZON_NS, unit_ns=_HOUR_NS)
+    return kaplan_meier_ci(lif, "duration", "event")
+
+
+def _km_bands_sql() -> str:
+    from ..operators.survival import Z_975
+
+    return f"""
+WITH per_user AS (
+  SELECT user_id, min(epoch_ns(ts)) AS a, max(epoch_ns(ts)) AS b
+  FROM events GROUP BY 1
+),
+gend AS (SELECT max(b) AS gmax FROM per_user),
+lif AS (
+  SELECT CAST(((b - a) - (b - a) % {_HOUR_NS}) / {_HOUR_NS} AS BIGINT) AS t,
+         CASE WHEN b < gmax - {_LR_HORIZON_NS} THEN 1 ELSE 0 END AS ev
+  FROM per_user, gend
+),
+per_t AS (
+  SELECT t, count(*) AS all_n, CAST(sum(ev) AS BIGINT) AS n_events
+  FROM lif GROUP BY 1
+),
+risk AS (
+  SELECT t, n_events,
+    CAST(sum(all_n) OVER (ORDER BY t DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS n_risk
+  FROM per_t
+),
+fac AS (
+  SELECT t, n_events, n_risk,
+    1.0 - CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE) AS f,
+    CAST(n_events AS DOUBLE)
+      / nullif(CAST(n_risk AS DOUBLE)
+               * (CAST(n_risk AS DOUBLE) - CAST(n_events AS DOUBLE)), 0.0)
+      AS gw
+  FROM risk
+),
+curve AS (
+  SELECT t, n_risk, n_events,
+    CASE WHEN min(f) OVER wa > 0
+         THEN exp(sum(CASE WHEN f > 0 THEN ln(f) ELSE 0.0 END) OVER wa)
+         ELSE 0.0 END AS survival,
+    coalesce(sum(gw) OVER wa, 0.0) AS varf
+  FROM fac
+  WINDOW wa AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT t, n_risk, n_events, survival,
+  CASE WHEN survival > 0 AND survival < 1
+       THEN pow(survival,
+                exp({Z_975!r} * sqrt(varf) / abs(ln(survival))))
+       ELSE 0.0 END AS ci_lo,
+  CASE WHEN survival > 0 AND survival < 1
+       THEN pow(survival,
+                exp(-{Z_975!r} * sqrt(varf) / abs(ln(survival))))
+       WHEN survival >= 1 THEN 1.0 ELSE 0.0 END AS ci_hi
+FROM curve WHERE n_events > 0
+"""
+
+
+QUERIES["km_bands_users"] = km_bands_users
+ORACLE_SQL["km_bands_users"] = _km_bands_sql()

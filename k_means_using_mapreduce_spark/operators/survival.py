@@ -423,3 +423,81 @@ def restricted_mean_survival(
         ).alias("rmst"),
         F.coalesce(F.min("survival"), F.lit(1.0)).alias("km_at_tau"),
     )
+
+
+#: two-sided 95% normal quantile, shared literal with the SQL oracles
+Z_975 = 1.959963984540054
+
+
+def kaplan_meier_ci(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    *,
+    z: float = Z_975,
+) -> DataFrame:
+    """Kaplan–Meier curve with Greenwood variance and the log(−log)
+    confidence band — the interval every survival plot draws
+    (Kalbfleisch & Prentice): plain Greenwood bands escape [0, 1] near
+    the tails; the complementary-log-log transform keeps them inside
+    by construction.
+
+        varf(t)  = Σ_{t'≤t} d / (n(n−d))          (Greenwood factor)
+        se_ll(t) = √varf / |ln S|
+        ci       = S^{exp(±z·se_ll)}
+
+    Rows where the band is undefined emit sentinel bounds instead of
+    NULLs (the NaN-round-trip doctrine): S = 0 (curve hit zero) →
+    (0, 0); a d = n block (varf term division by zero) contributes a
+    NULL-guarded term. Same block-table plan shape as
+    :func:`kaplan_meier`.
+
+    Output: ``(t, n_risk, n_events, survival, ci_lo, ci_hi)``.
+    """
+    per_t = df.groupBy(F.col(duration_col).alias("t")).agg(
+        F.count("*").alias("_all"),
+        F.sum(F.col(event_col).cast("long")).alias("n_events"),
+    )
+    w_desc = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_asc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    with_risk = per_t.withColumn("n_risk", F.sum("_all").over(w_desc))
+    d = F.col("n_events").cast("double")
+    n = F.col("n_risk").cast("double")
+    factor = F.lit(1.0) - d / n
+    curve = (
+        with_risk.withColumn("_f", factor)
+        .withColumn(
+            "_lnf", F.when(F.col("_f") > 0, F.log("_f")).otherwise(F.lit(0.0))
+        )
+        .withColumn(
+            "_gw", d / F.nullif(n * (n - d), F.lit(0.0))
+        )
+        .withColumn("_runmin", F.min("_f").over(w_asc))
+        .withColumn(
+            "survival",
+            F.when(
+                F.col("_runmin") > 0, F.exp(F.sum("_lnf").over(w_asc))
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "_varf", F.coalesce(F.sum("_gw").over(w_asc), F.lit(0.0))
+        )
+    )
+    s = F.col("survival")
+    lns = F.log(s)  # guarded below: only used when 0 < s < 1
+    se_ll = F.sqrt(F.col("_varf")) / F.abs(lns)
+    lo = F.pow(s, F.exp(F.lit(float(z)) * se_ll))
+    hi = F.pow(s, F.exp(F.lit(-float(z)) * se_ll))
+    band_ok = (s > 0) & (s < 1)
+    return curve.where(F.col("n_events") > 0).select(
+        "t",
+        "n_risk",
+        "n_events",
+        "survival",
+        F.when(band_ok, lo).otherwise(F.lit(0.0)).alias("ci_lo"),
+        F.when(band_ok, hi)
+        .otherwise(F.when(s >= 1, F.lit(1.0)).otherwise(F.lit(0.0)))
+        .alias("ci_hi"),
+    )

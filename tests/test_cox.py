@@ -138,3 +138,30 @@ def test_rmst_step_integral(spark):
     assert r2["km_at_tau"] == pytest.approx(1.0)
     with pytest.raises(ValueError, match="tau"):
         restricted_mean_survival(df, "duration", "event", tau=0.0)
+
+
+def test_km_greenwood_bands_hand_case(spark):
+    """3 subjects, all events: S(1)=2/3 with Greenwood factor
+    1/(3*2) = 1/6; log-log band stays inside (0,1) and brackets S.
+    The S=0 terminal row emits (0,0) sentinels, not NULLs."""
+    import math
+
+    from k_means_using_mapreduce_spark.operators.survival import (
+        Z_975,
+        kaplan_meier_ci,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, 1), (2.0, 1), (3.0, 1)], "duration double, event int"
+    )
+    rows = {r["t"]: r for r in kaplan_meier_ci(df, "duration", "event").collect()}
+    r1 = rows[1.0]
+    assert r1["survival"] == pytest.approx(2 / 3)
+    varf = 1.0 / (3 * 2)
+    se_ll = math.sqrt(varf) / abs(math.log(2 / 3))
+    assert r1["ci_lo"] == pytest.approx((2 / 3) ** math.exp(Z_975 * se_ll))
+    assert r1["ci_hi"] == pytest.approx((2 / 3) ** math.exp(-Z_975 * se_ll))
+    assert 0.0 < r1["ci_lo"] < r1["survival"] < r1["ci_hi"] < 1.0
+    # terminal S = 0: sentinel band
+    r3 = rows[3.0]
+    assert r3["survival"] == 0.0 and r3["ci_lo"] == 0.0 and r3["ci_hi"] == 0.0
