@@ -360,6 +360,18 @@ BENCH_QUERIES = [
     "glm_poisson_lineitem",
     "streaming_freq_sketch_events",
     "streaming_ivm_rollup_orders",
+    # round-7 promotions: the round-6 post-bench wave (survival family,
+    # sequential/association pattern mining, WAV codec, Holt smoothing)
+    # was correctness-gated but unbenched — headline representatives
+    # ride here so the per-family table tracks their plans
+    "cox_churn_users",
+    "nelson_aalen_users",
+    "rmst_users",
+    "km_bands_users",
+    "user_event_itemsets",
+    "user_event_sequences",
+    "media_wav_features",
+    "holt_hourly_events",
 ]
 
 KMEANS_FIT_K = 8
