@@ -29,6 +29,11 @@ REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
 #: machine-checks BASELINE.md's "within 2× of the oracle" bar every
 #: round instead of hand-recording it. Disable with =0 for quick loops.
 ORACLE_BENCH = os.environ.get("SPARK_GRAFT_BENCH_ORACLE", "1") != "0"
+#: Comma-separated query names → run only those (solo-confirmation and
+#: quick-loop mode). Empty/unset = the full headline set.
+ONLY = [
+    n for n in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if n
+]
 
 #: Headline subset of the contract registry — covers every operator
 #: family: scan+agg, broadcast joins, window, kmeans kernels, dedup
@@ -390,6 +395,13 @@ def main() -> None:
     from k_means_using_mapreduce_spark import contracts
     from k_means_using_mapreduce_spark.session import get_spark
 
+    global BENCH_QUERIES
+    if ONLY:
+        unknown = [n for n in ONLY if n not in contracts.QUERIES]
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY unknown names: {unknown}")
+        BENCH_QUERIES = ONLY
+
     spark = get_spark(app_name="bench")
 
     timings: dict[str, float] = {}
@@ -414,13 +426,17 @@ def main() -> None:
         gc.collect()
         spark.sparkContext._jvm.System.gc()
 
-    # iterative fit — the reference's own workload shape
+    # iterative fit — the reference's own workload shape (skipped in
+    # solo mode: ONLY names exactly what runs)
     from pyspark.sql import functions as F
 
     from k_means_using_mapreduce_spark.operators.kmeans import kmeans_fit
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     feats = emb.select(F.col("embedding").cast("array<double>").alias("features"))
+    if ONLY:
+        _finish(timings, contracts)
+        return
     t0 = time.perf_counter()
     kmeans_fit(feats, KMEANS_FIT_K, seed=42, max_iter=KMEANS_FIT_ITERS, tol=0.0)
     timings["kmeans_fit_embeddings"] = round(time.perf_counter() - t0, 4)
@@ -457,6 +473,13 @@ def main() -> None:
         best = min(best, time.perf_counter() - t0)
     timings["corpus_pipeline_documents"] = round(best, 4)
 
+    _finish(timings, contracts)
+
+
+def _finish(timings: dict[str, float], contracts) -> None:
+    """Totals, oracle comparison, family subtotals, compact stdout
+    line. Solo (ONLY) runs write BENCH_DETAIL_SOLO.json so the
+    headline BENCH_DETAIL.json is never clobbered by a quick loop."""
     total = round(sum(timings.values()), 4)
     out = {
         "metric": "headline_queries_total_wall_clock",
@@ -544,7 +567,8 @@ def main() -> None:
     # below is the fix: the line always parses, and BENCH_DETAIL.json
     # carries what doesn't fit.
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        os.path.dirname(os.path.abspath(__file__)),
+        "BENCH_DETAIL_SOLO.json" if ONLY else "BENCH_DETAIL.json",
     )
     with open(detail_path, "w") as f:
         json.dump(out, f, indent=1)
@@ -555,7 +579,7 @@ def main() -> None:
         "unit": "sec",
         "sf": out["sf"],
         "n_queries": len(timings),
-        "detail": "BENCH_DETAIL.json",
+        "detail": "BENCH_DETAIL_SOLO.json" if ONLY else "BENCH_DETAIL.json",
     }
     if "oracle" in out:
         compact["oracle_ratio"] = out["oracle"]["engine_vs_oracle_ratio"]
