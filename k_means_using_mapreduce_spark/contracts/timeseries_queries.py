@@ -1724,3 +1724,106 @@ FROM fin WHERE rk = 1
 
 QUERIES["holt_hourly_events"] = holt_hourly_events
 ORACLE_SQL["holt_hourly_events"] = _holt_sql()
+
+
+_HW_ALPHA, _HW_BETA, _HW_GAMMA, _HW_M, _HW_H = 0.25, 0.05, 0.2, 24, 24
+
+
+def holt_winters_hourly_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Holt-Winters additive seasonal smoothing of hourly volumes per
+    event type (operators/timeseries.py::holt_winters, m=24): final
+    level/trend, one-step-ahead SSE, seasonal amplitude, and the
+    24-hour forecast. The per-key Arrow kernel's sequential recurrence
+    is replayed by the oracle as a recursive CTE whose 24-slot
+    seasonal state rides in a DuckDB LIST column — the list-state
+    extension of the holt_hourly_events contract pattern."""
+    from ..operators.timeseries import holt_winters
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", ns_to_timestamp("ts")
+    )
+    return holt_winters(
+        ev,
+        period=_HW_M,
+        alpha=_HW_ALPHA,
+        beta=_HW_BETA,
+        gamma=_HW_GAMMA,
+        horizon=_HW_H,
+    )
+
+
+def _holt_winters_sql() -> str:
+    a, b, g = _HW_ALPHA, _HW_BETA, _HW_GAMMA
+    m, h = _HW_M, _HW_H
+    # index of s_{T+h-m} in the oldest-first final seasonal ring,
+    # 1-based for DuckDB list indexing
+    fc_idx = (h - 1) % m + 1
+    return f"""
+WITH RECURSIVE counts AS (
+  SELECT event_type AS key,
+         epoch_us(ts) - epoch_us(ts) % {_HOUR_US} AS bucket_us,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(bucket_us) AS lo, max(bucket_us) AS hi FROM counts),
+keys AS (SELECT DISTINCT event_type AS key FROM events),
+grid AS (
+  SELECT key, unnest(range(lo, hi + {_HOUR_US}, {_HOUR_US})) AS bucket_us
+  FROM keys, bounds
+),
+dense AS MATERIALIZED (
+  SELECT g.key, CAST(coalesce(c.n, 0) AS DOUBLE) AS y,
+         row_number() OVER (PARTITION BY g.key ORDER BY g.bucket_us) AS idx
+  FROM grid g LEFT JOIN counts c USING (key, bucket_us)
+),
+tlen AS (
+  SELECT key, count(*) AS t FROM dense GROUP BY key
+  HAVING count(*) >= {2 * m}
+),
+means AS (
+  SELECT d.key,
+         avg(d.y) FILTER (WHERE d.idx <= {m}) AS m1,
+         avg(d.y) FILTER (WHERE d.idx > {m} AND d.idx <= {2 * m}) AS m2
+  FROM dense d JOIN tlen USING (key) GROUP BY d.key
+),
+hw AS (
+  SELECT d.key, CAST({m} AS BIGINT) AS idx,
+         CAST(mn.m1 AS DOUBLE) AS lvl,
+         CAST((mn.m2 - mn.m1) / {m} AS DOUBLE) AS trd,
+         list(CAST(d.y - mn.m1 AS DOUBLE) ORDER BY d.idx) AS s,
+         CAST(0.0 AS DOUBLE) AS sse
+  FROM dense d JOIN means mn USING (key)
+  WHERE d.idx <= {m}
+  GROUP BY d.key, mn.m1, mn.m2
+  UNION ALL
+  SELECT hw.key, hw.idx + 1,
+    CAST({a!r} AS DOUBLE) * (d.y - hw.s[1])
+      + CAST({1.0 - a!r} AS DOUBLE) * (hw.lvl + hw.trd) AS lvl,
+    CAST({b!r} AS DOUBLE)
+      * ((CAST({a!r} AS DOUBLE) * (d.y - hw.s[1])
+          + CAST({1.0 - a!r} AS DOUBLE) * (hw.lvl + hw.trd)) - hw.lvl)
+      + CAST({1.0 - b!r} AS DOUBLE) * hw.trd AS trd,
+    list_append(
+      hw.s[2:{m}],
+      CAST({g!r} AS DOUBLE) * (d.y - hw.lvl - hw.trd)
+        + CAST({1.0 - g!r} AS DOUBLE) * hw.s[1]
+    ) AS s,
+    hw.sse + (d.y - (hw.lvl + hw.trd + hw.s[1]))
+           * (d.y - (hw.lvl + hw.trd + hw.s[1])) AS sse
+  FROM hw JOIN dense d ON d.key = hw.key AND d.idx = hw.idx + 1
+),
+fin AS (
+  SELECT hw.key, hw.idx, hw.lvl, hw.trd, hw.s, hw.sse
+  FROM hw JOIN tlen ON tlen.key = hw.key AND hw.idx = tlen.t
+)
+SELECT key, CAST(idx AS BIGINT) AS n, lvl AS level, trd AS trend, sse,
+       list_max(s) - list_min(s) AS s_amp,
+       lvl + CAST({float(h)!r} AS DOUBLE) * trd + s[{fc_idx}] AS forecast
+FROM fin
+"""
+
+
+QUERIES["holt_winters_hourly_events"] = holt_winters_hourly_events
+ORACLE_SQL["holt_winters_hourly_events"] = _holt_winters_sql()

@@ -1873,3 +1873,111 @@ def holt_linear(
         )
 
     return grid.groupBy("key").applyInPandas(_holt_kernel, out_schema)
+
+
+def holt_winters(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    unit: str = "hour",
+    period: int = 24,
+    alpha: float = 0.25,
+    beta: float = 0.05,
+    gamma: float = 0.2,
+    horizon: int = 24,
+) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal smoothing per key — the seasonal
+    step above :func:`holt_linear`: over the dense ``resample_counts``
+    grid with season length ``m = period``,
+
+        l_t = α·(y_t − s_{t−m}) + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+        s_t = γ·(y_t − l_{t−1} − b_{t−1}) + (1−γ)·s_{t−m}
+
+    (the Hyndman/Athanasopoulos FPP additive form), initialized on the
+    first two full seasons: ``l_m = mean(y_1..y_m)``,
+    ``b_m = (mean(y_{m+1}..y_{2m}) − mean(y_1..y_m)) / m``,
+    ``s_i = y_i − l_m`` for ``i = 1..m``; the recurrence runs for
+    ``t = m+1..T``. Keys with fewer than ``2·period`` grid rows are
+    dropped (two full seasons are the textbook minimum to separate
+    trend from season). Reports the final level/trend, the one-step
+    in-sample SSE (errors ``y_t − (l+b+s_{t−m})`` — honest forecast
+    residuals), the seasonal amplitude ``max(s) − min(s)`` of the
+    final seasonal state, and the ``horizon``-step forecast
+    ``l_T + h·b_T + s`` with the cyclically matching seasonal index.
+
+    Scale shape: the recurrence is inherently sequential in t, so it
+    runs INSIDE a per-key Arrow kernel (the holt_linear doctrine): T
+    grid rows in, one row out, keys embarrassingly parallel, no state
+    shuffles. The SQL oracle replays the identical recurrence as a
+    recursive CTE whose seasonal state rides in a DuckDB LIST column —
+    sequential float arithmetic is engine-portable when the expression
+    shapes match term for term.
+
+    Returns ``(key, n, level, trend, sse, s_amp, forecast)``.
+    """
+    if not 0 < alpha <= 1 or not 0 <= beta <= 1 or not 0 <= gamma <= 1:
+        raise ValueError(
+            "need 0 < alpha <= 1, 0 <= beta <= 1 and 0 <= gamma <= 1, "
+            f"got {alpha}, {beta}, {gamma}"
+        )
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    if horizon < 1:
+        raise ValueError(f"horizon must be >= 1, got {horizon}")
+    grid = resample_counts(events, ts_col=ts_col, key_col=key_col, unit=unit)
+    key_type = grid.schema["key"].dataType.simpleString()
+    out_schema = (
+        f"key {key_type}, n long, level double, trend double, "
+        "sse double, s_amp double, forecast double"
+    )
+    a, b_, g = float(alpha), float(beta), float(gamma)
+    m, h = int(period), int(horizon)
+
+    def _hw_kernel(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("bucket")
+        ys = pdf["n"].astype("float64").tolist()
+        if len(ys) < 2 * m:
+            return pd.DataFrame(
+                {
+                    "key": pd.Series([], dtype=pdf["key"].dtype),
+                    "n": pd.Series([], dtype="int64"),
+                    "level": pd.Series([], dtype="float64"),
+                    "trend": pd.Series([], dtype="float64"),
+                    "sse": pd.Series([], dtype="float64"),
+                    "s_amp": pd.Series([], dtype="float64"),
+                    "forecast": pd.Series([], dtype="float64"),
+                }
+            )
+        m1 = sum(ys[:m]) / m
+        m2 = sum(ys[m : 2 * m]) / m
+        lvl, trd = m1, (m2 - m1) / m
+        seas = [y - m1 for y in ys[:m]]  # s_{t-m+1}..s_t ring, oldest first
+        sse = 0.0
+        for y in ys[m:]:
+            s_old = seas[0]
+            pred = lvl + trd + s_old
+            err = y - pred
+            sse = sse + err * err
+            new_l = a * (y - s_old) + (1.0 - a) * (lvl + trd)
+            new_s = g * (y - lvl - trd) + (1.0 - g) * s_old
+            trd = b_ * (new_l - lvl) + (1.0 - b_) * trd
+            lvl = new_l
+            seas = seas[1:] + [new_s]
+        fc = lvl + float(h) * trd + seas[(h - 1) % m]
+        return pd.DataFrame(
+            {
+                "key": [pdf["key"].iloc[0]],
+                "n": [len(ys)],
+                "level": [lvl],
+                "trend": [trd],
+                "sse": [sse],
+                "s_amp": [max(seas) - min(seas)],
+                "forecast": [fc],
+            }
+        )
+
+    return grid.groupBy("key").applyInPandas(_hw_kernel, out_schema)

@@ -821,3 +821,78 @@ def test_holt_linear_tracks_exact_trend(spark):
         holt_linear(_hourly_events(spark, [1, 2]), alpha=0.0)
     with _p.raises(ValueError, match="horizon"):
         holt_linear(_hourly_events(spark, [1, 2]), horizon=-1)
+
+
+def test_holt_winters_recovers_pure_seasonal_pattern(spark):
+    """A flat series with an exact period-4 additive pattern: trend ~ 0,
+    seasonal amplitude recovers the pattern's range, and the h-step
+    forecast lands on the seasonally matching value."""
+    from k_means_using_mapreduce_spark.operators.timeseries import (
+        holt_winters,
+    )
+
+    pattern = [10, 16, 12, 6]  # mean 11, amplitude 10
+    counts = pattern * 12  # 48 hours, 12 full seasons
+    r = holt_winters(
+        _hourly_events(spark, counts),
+        period=4,
+        alpha=0.3,
+        beta=0.05,
+        gamma=0.3,
+        horizon=4,
+    ).collect()[0]
+    assert r["n"] == 48
+    assert r["trend"] == pytest.approx(0.0, abs=0.01)
+    assert r["level"] == pytest.approx(11.0, abs=0.2)
+    assert r["s_amp"] == pytest.approx(10.0, abs=0.5)
+    # horizon=4 wraps to the same phase as the last observed bucket
+    assert r["forecast"] == pytest.approx(counts[-1], abs=0.5)
+
+
+def test_holt_winters_hand_replay_and_guards(spark):
+    """Bit-identical state vs a hand replay of the FPP additive
+    recurrence; keys shorter than two seasons are dropped; parameter
+    validation raises."""
+    from k_means_using_mapreduce_spark.operators.timeseries import (
+        holt_winters,
+    )
+
+    counts = [3, 7, 5, 1, 4, 9, 6, 2, 5, 11, 7, 3]  # period 4, 3 seasons
+    m, a, b, g = 4, 0.4, 0.2, 0.3
+    r = holt_winters(
+        _hourly_events(spark, counts),
+        period=m,
+        alpha=a,
+        beta=b,
+        gamma=g,
+        horizon=6,
+    ).collect()[0]
+    ys = [float(c) for c in counts]
+    m1 = sum(ys[:m]) / m
+    m2 = sum(ys[m : 2 * m]) / m
+    lvl, trd = m1, (m2 - m1) / m
+    seas = [y - m1 for y in ys[:m]]
+    sse = 0.0
+    for y in ys[m:]:
+        s_old = seas[0]
+        err = y - (lvl + trd + s_old)
+        sse = sse + err * err
+        nl = a * (y - s_old) + (1.0 - a) * (lvl + trd)
+        ns = g * (y - lvl - trd) + (1.0 - g) * s_old
+        trd = b * (nl - lvl) + (1.0 - b) * trd
+        lvl = nl
+        seas = seas[1:] + [ns]
+    assert r["level"] == lvl and r["trend"] == trd and r["sse"] == sse
+    assert r["s_amp"] == max(seas) - min(seas)
+    assert r["forecast"] == lvl + 6.0 * trd + seas[(6 - 1) % m]
+
+    # shorter than two full seasons -> key dropped, empty result
+    short = holt_winters(_hourly_events(spark, [1, 2, 3]), period=4)
+    assert short.count() == 0
+
+    with pytest.raises(ValueError, match="alpha"):
+        holt_winters(_hourly_events(spark, [1, 2]), alpha=0.0)
+    with pytest.raises(ValueError, match="period"):
+        holt_winters(_hourly_events(spark, [1, 2]), period=1)
+    with pytest.raises(ValueError, match="horizon"):
+        holt_winters(_hourly_events(spark, [1, 2]), horizon=0)
