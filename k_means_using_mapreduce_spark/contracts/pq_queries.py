@@ -108,3 +108,122 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLE_SQL: dict[str, str] = {
     "pq_adc_embeddings": _oracle_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ probe + exact re-rank — the two-stage ANN composition, in-plan
+# --------------------------------------------------------------------------
+
+#: query between coarse cells 1 and 2 so nprobe=2 exercises a real
+#: multi-cell probe (a centroid itself would make cell 2 redundant)
+IVFPQ_QUERY = [
+    (a + b) / 2.0
+    for a, b in zip(EMBEDDING_CENTROIDS[0][1], EMBEDDING_CENTROIDS[1][1])
+]
+_IVFPQ_K, _IVFPQ_NPROBE, _IVFPQ_REFINE = 10, 2, 4
+
+
+def ivfpq_rerank_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-free IVF-PQ two-stage ANN (operators/pq.py::
+    ivfpq_topk_expr): coarse-prune to the 2 cells nearest the query,
+    ADC-score PQ residual codes, shortlist 40 by (ADC, id), exact
+    re-rank to the top 10 — the FAISS IVFPQ+refine pattern as one
+    hash-gated Catalyst plan."""
+    from ..operators.pq import ivfpq_topk_expr
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk_expr(
+        emb,
+        EMBEDDING_CENTROIDS,
+        PQ_CODEBOOKS,
+        IVFPQ_QUERY,
+        k=_IVFPQ_K,
+        nprobe=_IVFPQ_NPROBE,
+        refine_factor=_IVFPQ_REFINE,
+    )
+
+
+def _ivfpq_oracle_sql() -> str:
+    from ..operators.pq import adc_lut
+    from ..operators.similarity import probe_buckets
+
+    cents = sorted(
+        (int(c), [float(v) for v in vec]) for c, vec in EMBEDDING_CENTROIDS
+    )
+    probes = probe_buckets(cents, IVFPQ_QUERY, _IVFPQ_NPROBE)
+    cmap = dict(cents)
+    r_cut = _IVFPQ_K * _IVFPQ_REFINE
+
+    # coarse assign: union arm per centroid, rn=1 picks (sq_dist, cid)
+    arms = " UNION ALL ".join(
+        f"SELECT em.vec_id, {cid} AS cid, "
+        f"{_sq_dist_sql('em.embedding::DOUBLE[]', vec)} AS dc FROM embeddings em"
+        for cid, vec in cents
+    )
+    cent_case = "CASE cid " + " ".join(
+        f"WHEN {b} THEN {_vec_sql(cmap[b])}" for b in probes
+    ) + " END"
+
+    code_exprs = []
+    for j in range(_M):
+        sub = f"r[{j * _DSUB + 1}:{(j + 1) * _DSUB}]"
+        dlist = "[" + ", ".join(
+            _sq_dist_sql(sub, c) for c in PQ_CODEBOOKS[j]
+        ) + "]"
+        code_exprs.append(
+            f"CAST(list_position({dlist}, list_min({dlist})) - 1 AS BIGINT)"
+            f" AS code_{j}"
+        )
+
+    def lut_sql(row) -> str:
+        return "[" + ", ".join(f"'{x!r}'::DOUBLE" for x in row) + "]"
+
+    adc_arms = []
+    for b in probes:
+        lut = adc_lut(PQ_CODEBOOKS, [q - c for q, c in zip(IVFPQ_QUERY, cmap[b])])
+        s = " + ".join(
+            f"({lut_sql(lut[j])})[code_{j} + 1]" for j in range(_M)
+        )
+        adc_arms.append(f"WHEN {b} THEN {s}")
+    adc_case = "CASE cid " + " ".join(adc_arms) + " END"
+
+    exact_sq = _sq_dist_sql("em3.embedding::DOUBLE[]", IVFPQ_QUERY)
+    probe_list = ", ".join(str(b) for b in probes)
+    return f"""
+WITH ranked AS (
+  SELECT vec_id, cid, row_number()
+    OVER (PARTITION BY vec_id ORDER BY dc, cid) AS rn
+  FROM ({arms}) d
+),
+pruned AS (
+  SELECT t.vec_id, t.cid,
+    list_transform(
+      list_zip(em2.embedding::DOUBLE[], {cent_case}),
+      z -> z[1] - z[2]
+    ) AS r
+  FROM ranked t JOIN embeddings em2 ON em2.vec_id = t.vec_id
+  WHERE t.rn = 1 AND t.cid IN ({probe_list})
+),
+coded AS (
+  SELECT vec_id, cid, {', '.join(code_exprs)} FROM pruned
+),
+scored AS (
+  SELECT vec_id, {adc_case} AS adc_sq_dist FROM coded
+),
+short AS (
+  SELECT vec_id, adc_sq_dist,
+    row_number() OVER (ORDER BY adc_sq_dist, vec_id) AS rs
+  FROM scored
+),
+exact AS (
+  SELECT s.vec_id, s.adc_sq_dist, {exact_sq} AS sq_dist,
+    row_number() OVER (ORDER BY {exact_sq}, s.vec_id) AS re
+  FROM short s JOIN embeddings em3 ON em3.vec_id = s.vec_id
+  WHERE s.rs <= {r_cut}
+)
+SELECT vec_id, adc_sq_dist, sq_dist FROM exact WHERE re <= {_IVFPQ_K}
+"""
+
+
+QUERIES["ivfpq_rerank_topk_embeddings"] = ivfpq_rerank_topk_embeddings
+ORACLE_SQL["ivfpq_rerank_topk_embeddings"] = _ivfpq_oracle_sql()

@@ -580,3 +580,110 @@ def pq_error_stats(
         F.avg("sq_err").alias("mean_sq_err"),
         F.max("sq_err").alias("max_sq_err"),
     )
+
+
+def expr_codes(resid_col, codebooks: PQCodebooks):
+    """Pure-expression PQ encoder: list of (code_j Column) for each
+    subspace — ``slice → per-codeword fold'd squared distance →
+    first-index argmin``, all whole-stage-codegen'd JVM expressions.
+
+    The Arrow-kernel twin is :func:`encode_pq` (the big-codebook path:
+    argmin GEMMs per batch); this expression form is exact and cheap at
+    contract-sized books (m·n_codes ≤ a few hundred codewords) and is
+    what the hash-gated contracts pin, because DuckDB can reproduce the
+    identical fold order (contracts/pq_queries.py docstring).
+    """
+    from ..functions.vectors import sq_dist_expr
+
+    m, n_codes, dsub = _validate_books(codebooks)
+    cols = []
+    for j, book in enumerate(codebooks):
+        s = F.slice(resid_col, j * dsub + 1, dsub)
+        darr = F.array(
+            *[
+                sq_dist_expr(s, F.array(*[F.lit(float(x)) for x in c]))
+                for c in book
+            ]
+        )
+        cols.append((F.array_position(darr, F.array_min(darr)) - 1).cast("long"))
+    return cols
+
+
+def ivfpq_topk_expr(
+    df: DataFrame,
+    centroids,
+    codebooks: PQCodebooks,
+    query: Sequence[float],
+    k: int = 10,
+    *,
+    nprobe: int = 1,
+    refine_factor: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Index-free IVF-PQ probe + exact re-rank over a LIVE DataFrame —
+    the two-stage production ANN pattern (FAISS IVFPQ + refine) as one
+    Catalyst plan, no persisted index required:
+
+    1. coarse-assign every vector to its nearest centroid (expression
+       argmin) and keep only the ``nprobe`` cells nearest the query —
+       the in-plan twin of the persisted index's partition pruning;
+    2. PQ-encode the RESIDUAL ``v − centroid[cid]`` with
+       :func:`expr_codes` and ADC-score it against the per-cell query
+       residual LUT (a cid-dispatched CASE over ``nprobe`` literal
+       LUTs);
+    3. shortlist the ``k·refine_factor`` best by (ADC, id) —
+       TakeOrderedAndProject, deterministic tie-break;
+    4. exact squared-distance re-rank of the shortlist from the
+       full-precision vectors (broadcast semi-join), top ``k`` by
+       (exact, id).
+
+    The persisted-index twin is :func:`ivfpq_topk_refined` (reads only
+    the probed partition DIRECTORIES — the 100 TB path); this in-plan
+    form exists so the composition is hash-gateable end-to-end and
+    usable on transient frames. Returns
+    ``(id, adc_sq_dist, sq_dist)`` — both the approximate score that
+    chose the row and the exact one that ranked it.
+    """
+    from ..functions.vectors import sq_dist_to_literal
+    from .similarity import probe_buckets
+
+    if refine_factor < 1:
+        raise ValueError(f"refine_factor must be >= 1, got {refine_factor}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    cents = sorted(((int(c), [float(v) for v in vec]) for c, vec in centroids))
+    probes = probe_buckets(cents, query, nprobe)
+    resid = residuals(df, centroids, vec_col=vec_col, id_col=id_col).where(
+        F.col("cid").isin(probes)
+    )
+    code_cols = expr_codes(F.col("residual"), codebooks)
+    cmap = dict(cents)
+    score = None
+    for b in probes:
+        resid_q = [q - c for q, c in zip(query, cmap[b])]
+        lut = adc_lut(codebooks, resid_q)
+        branch = None
+        for j, code in enumerate(code_cols):
+            lut_lit = F.array(*[F.lit(x) for x in lut[j]])
+            term = F.element_at(lut_lit, (code + 1).cast("int"))
+            branch = term if branch is None else branch + term
+        score = (
+            F.when(F.col("cid") == b, branch)
+            if score is None
+            else score.when(F.col("cid") == b, branch)
+        )
+    shortlist = (
+        resid.select(F.col(id_col), score.alias("adc_sq_dist"))
+        .orderBy(F.col("adc_sq_dist").asc(), F.col(id_col).asc())
+        .limit(k * refine_factor)
+    )
+    exact = df.join(F.broadcast(shortlist), id_col)
+    sq = sq_dist_to_literal(
+        F.col(vec_col).cast("array<double>"), [float(x) for x in query]
+    )
+    return (
+        exact.select(F.col(id_col), "adc_sq_dist", sq.alias("sq_dist"))
+        .orderBy(F.col("sq_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -767,3 +767,17 @@ def test_cox_windows_run_over_duration_blocks(spark, sf):
     assert "CartesianProduct" not in plan
     # blocks-then-window: an aggregate exists upstream of every Window
     assert plan.index("HashAggregate") < plan.index("Window")
+
+
+def test_ivfpq_rerank_two_stage_shape(spark, sf):
+    """IVF-PQ in-plan rerank: the shortlist cut must be a
+    TakeOrderedAndProject (not a global sort), and the refine stage
+    must BROADCAST the k·refine candidate ids against the corpus —
+    full-precision bytes read ∝ shortlist, never corpus size."""
+    from k_means_using_mapreduce_spark.plans.explain import executed_plan
+
+    df = _q("ivfpq_rerank_topk_embeddings", spark, sf)
+    plan = executed_plan(df)
+    assert plan.count("TakeOrderedAndProject") >= 2  # shortlist + final
+    assert broadcast_join_count(df) >= 1
+    assert sort_merge_join_count(df) == 0

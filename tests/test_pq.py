@@ -255,3 +255,45 @@ def test_ivfpq_refined_scores_exact(spark, ivfpq, emb):
     by_id = {r["vec_id"]: r["score"] for r in exact}
     for r in got:
         assert r["sq_dist"] == pytest.approx(by_id[r["vec_id"]], rel=1e-9)
+
+
+def test_ivfpq_expr_matches_persisted_index_path(spark, ivfpq, emb):
+    """The index-free in-plan composition (ivfpq_topk_expr) returns the
+    SAME ids and exact distances as the persisted-index twin
+    (ivfpq_topk_refined) for identical (query, k, nprobe, refine) —
+    the only difference is where the codes live."""
+    from k_means_using_mapreduce_spark.operators.pq import (
+        ivfpq_topk_expr,
+        ivfpq_topk_refined,
+    )
+
+    q = _query_vec(emb)
+    got = ivfpq_topk_expr(
+        emb, ivfpq["centroids"], ivfpq["books"], q,
+        k=5, nprobe=2, refine_factor=4,
+    ).collect()
+    want = ivfpq_topk_refined(
+        spark, ivfpq["path"], emb, q, k=5, nprobe=2, refine_factor=4
+    ).collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in want]
+    assert [r["sq_dist"] for r in got] == [r["sq_dist"] for r in want]
+
+
+def test_ivfpq_expr_self_query_and_guards(spark, ivfpq, emb):
+    """A corpus vector queried against the index finds itself at exact
+    distance 0 after the refine stage; parameter validation raises."""
+    from k_means_using_mapreduce_spark.operators.pq import ivfpq_topk_expr
+
+    q = _query_vec(emb, vec_id=7)
+    top = ivfpq_topk_expr(
+        emb, ivfpq["centroids"], ivfpq["books"], q, k=1, nprobe=1
+    ).collect()
+    assert top[0]["vec_id"] == 7
+    assert top[0]["sq_dist"] == 0.0
+
+    with pytest.raises(ValueError, match="refine_factor"):
+        ivfpq_topk_expr(
+            emb, ivfpq["centroids"], ivfpq["books"], q, refine_factor=0
+        )
+    with pytest.raises(ValueError, match="k must be"):
+        ivfpq_topk_expr(emb, ivfpq["centroids"], ivfpq["books"], q, k=0)
