@@ -503,3 +503,59 @@ FROM agg
 
 QUERIES["uncertainty_status_priority"] = uncertainty_status_priority
 ORACLE_SQL["uncertainty_status_priority"] = UNCERTAINTY_SQL
+
+
+def part_type_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-criteria Pareto skyline over (brand, type) part groups
+    (operators/quality.py::skyline): cheapest entry price, widest and
+    narrowest size reach, deepest catalog — no single-axis top-k can
+    answer it, and at d=4 the 2-D window trick
+    (price_quantity_frontier) no longer applies. Criteria are ORDER
+    STATISTICS (min/max/count), never sums, so both engines compare
+    bit-identical values in the dominance predicate — the hbos ulp-tie
+    lesson applied up front."""
+    from ..operators.quality import skyline
+
+    agg = (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_brand", "p_type")
+        .agg(
+            F.min(F.col("p_retailprice").cast("double")).alias("min_price"),
+            F.max("p_size").cast("long").alias("max_size"),
+            F.min("p_size").cast("long").alias("min_size"),
+            F.count(F.lit(1)).alias("n_parts"),
+        )
+    )
+    return skyline(
+        agg,
+        [
+            ("min_price", "min"),
+            ("max_size", "max"),
+            ("min_size", "min"),
+            ("n_parts", "max"),
+        ],
+    )
+
+
+SKYLINE_SQL = """
+WITH agg AS (
+  SELECT p_brand, p_type,
+         min(CAST(p_retailprice AS DOUBLE)) AS min_price,
+         CAST(max(p_size) AS BIGINT) AS max_size,
+         CAST(min(p_size) AS BIGINT) AS min_size,
+         count(*) AS n_parts
+  FROM part GROUP BY 1, 2
+)
+SELECT p_brand, p_type, min_price, max_size, min_size, n_parts
+FROM agg a
+WHERE NOT EXISTS (
+  SELECT 1 FROM agg b
+  WHERE b.min_price <= a.min_price AND b.max_size >= a.max_size
+    AND b.min_size <= a.min_size AND b.n_parts >= a.n_parts
+    AND (b.min_price < a.min_price OR b.max_size > a.max_size
+         OR b.min_size < a.min_size OR b.n_parts > a.n_parts)
+)
+"""
+
+QUERIES["part_type_skyline"] = part_type_skyline
+ORACLE_SQL["part_type_skyline"] = SKYLINE_SQL

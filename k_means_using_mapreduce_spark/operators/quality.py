@@ -693,3 +693,100 @@ def uncertainty_coefficient(
             "u_y_given_x"
         ),
     )
+
+
+def skyline(
+    df: DataFrame,
+    criteria: "list[tuple[str, str]]",
+    *,
+    local_prune: bool = True,
+) -> DataFrame:
+    """d-dimensional Pareto skyline: rows not dominated by any other
+    row, where row ``b`` dominates row ``a`` when ``b`` is at least as
+    good on EVERY criterion and strictly better on at least one.
+    ``criteria`` is ``[(col, "min"|"max"), ...]`` with d ≥ 2 — the
+    general form of :func:`pareto_frontier`'s 2-D window trick, which
+    stops working at d ≥ 3 (no single sort order serializes dominance).
+
+    Algorithm (Börzsönyi/Kossmann/Stocker, ICDE 2001 distributed
+    variant):
+
+    1. drop rows with any NULL criterion (dominance is undefined);
+    2. LOCAL PRUNE: per Arrow batch, a sort-based skyline kernel
+       (sorted lexicographically best-first, each row tested against
+       the kept set). Dominance is transitive, so the global skyline
+       is a subset of the union of local skylines — the corpus
+       collapses to candidates without any shuffle;
+    3. GLOBAL: candidates anti-join candidates on the dominance
+       predicate (broadcast nested loop over the small pruned set).
+
+    At 100 TB step 2 is the load-bearing stage: the full relation
+    never shuffles, and the candidate set that reaches the quadratic
+    stage is bounded by the per-batch skyline sizes, not corpus rows.
+    Rows with identical criterion tuples do not dominate each other
+    (strictness fails) — all duplicates survive; pre-aggregate if you
+    want one row per tuple.
+
+    Returns the surviving rows with the input's full schema.
+    """
+    if len(criteria) < 2:
+        raise ValueError(f"need >= 2 criteria, got {len(criteria)}")
+    for _, d in criteria:
+        if d not in ("max", "min"):
+            raise ValueError(f"directions must be max|min, got {d!r}")
+    cols = [c for c, _ in criteria]
+    clean = df.na.drop(subset=cols)
+    sgn = [1.0 if d == "max" else -1.0 for _, d in criteria]
+
+    if local_prune:
+        schema = clean.schema
+
+        def _local_skyline(batches):
+            import numpy as np
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                a = pdf[cols].to_numpy(dtype="float64") * np.asarray(sgn)
+                # best-first lexicographic order: a row can only be
+                # dominated by one sorted before it
+                order = np.lexsort(tuple(-a[:, j] for j in range(a.shape[1] - 1, -1, -1)))
+                kept_idx: list[int] = []
+                kept = np.empty((0, a.shape[1]))
+                for i in order:
+                    row = a[i]
+                    if len(kept_idx) and bool(
+                        ((kept >= row).all(axis=1) & (kept > row).any(axis=1)).any()
+                    ):
+                        continue
+                    kept_idx.append(i)
+                    kept = np.vstack([kept, row])
+                yield pdf.iloc[sorted(kept_idx)]
+
+        cand = clean.mapInPandas(_local_skyline, schema)
+    else:
+        cand = clean
+
+    left = cand.alias("l")
+    right = cand.alias("r")
+    better_eq = [
+        (F.col(f"r.{c}") >= F.col(f"l.{c}"))
+        if d == "max"
+        else (F.col(f"r.{c}") <= F.col(f"l.{c}"))
+        for c, d in criteria
+    ]
+    strictly = [
+        (F.col(f"r.{c}") > F.col(f"l.{c}"))
+        if d == "max"
+        else (F.col(f"r.{c}") < F.col(f"l.{c}"))
+        for c, d in criteria
+    ]
+    cond_all = better_eq[0]
+    for b in better_eq[1:]:
+        cond_all = cond_all & b
+    cond_any = strictly[0]
+    for s in strictly[1:]:
+        cond_any = cond_any | s
+    return left.join(
+        F.broadcast(right), cond_all & cond_any, "left_anti"
+    ).select(*[F.col(f"l.{c.name}").alias(c.name) for c in df.schema])

@@ -341,3 +341,76 @@ def test_uncertainty_coefficient_directionality(spark):
     assert r["h_x"] == pytest.approx(math.log(2.0))
     assert r["h_y"] == pytest.approx(math.log(4.0))
     assert r["mutual_info"] == pytest.approx(math.log(2.0))
+
+
+def _brute_skyline(rows, criteria):
+    def dominates(b, a):
+        ge = all(
+            (b[c] >= a[c]) if d == "max" else (b[c] <= a[c])
+            for c, d in criteria
+        )
+        gt = any(
+            (b[c] > a[c]) if d == "max" else (b[c] < a[c])
+            for c, d in criteria
+        )
+        return ge and gt
+
+    return sorted(
+        r["id"]
+        for r in rows
+        if not any(dominates(b, r) for b in rows if b is not r)
+    )
+
+
+def test_skyline_matches_brute_force_3d(spark):
+    """Seeded random 3-criteria points, duplicates included: the
+    distributed local-prune + dominance-anti-join pipeline returns
+    exactly the brute-force skyline, and duplicates of a frontier
+    tuple all survive (no distinct collapse)."""
+    import random
+
+    from k_means_using_mapreduce_spark.operators.quality import skyline
+
+    rng = random.Random(11)
+    rows = [
+        {
+            "id": i,
+            "x": float(rng.randint(0, 8)),
+            "y": float(rng.randint(0, 8)),
+            "z": float(rng.randint(0, 8)),
+        }
+        for i in range(120)
+    ]
+    rows.append(dict(rows[0], id=999))  # exact duplicate tuple
+    criteria = [("x", "max"), ("y", "min"), ("z", "max")]
+    df = spark.createDataFrame(
+        [(r["id"], r["x"], r["y"], r["z"]) for r in rows],
+        "id long, x double, y double, z double",
+    ).repartition(7)
+    got = sorted(r["id"] for r in skyline(df, criteria).collect())
+    assert got == _brute_skyline(rows, criteria)
+    # the duplicate pair lives or dies together
+    assert (0 in got) == (999 in got)
+
+    # the no-prune path (pure anti-join) agrees
+    got2 = sorted(
+        r["id"] for r in skyline(df, criteria, local_prune=False).collect()
+    )
+    assert got2 == got
+
+
+def test_skyline_nulls_dropped_and_validation(spark):
+    from k_means_using_mapreduce_spark.operators.quality import skyline
+
+    df = spark.createDataFrame(
+        [(1, 5.0, 1.0), (2, None, 0.0), (3, 4.0, 2.0)],
+        "id long, x double, y double",
+    )
+    out = skyline(df, [("x", "max"), ("y", "max")]).collect()
+    ids = sorted(r["id"] for r in out)
+    assert ids == [1, 3]  # row 2's NULL criterion excludes it
+
+    with pytest.raises(ValueError, match="criteria"):
+        skyline(df, [("x", "max")])
+    with pytest.raises(ValueError, match="max"):
+        skyline(df, [("x", "max"), ("y", "upward")])
