@@ -991,3 +991,100 @@ def glm_poisson_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["glm_poisson_lineitem"] = glm_poisson_lineitem
+
+
+_QR_EPS, _QR_ITERS = 1e-6, 3
+
+
+def _quantile_model(tau: float):
+    def _q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..operators.regression import quantile_ols
+
+        li = load_table(spark, sf_dir, "lineitem")
+        return quantile_ols(
+            li,
+            "l_quantity",
+            "l_extendedprice",
+            tau=tau,
+            iters=_QR_ITERS,
+            eps=_QR_EPS,
+        )
+
+    _q.__doc__ = (
+        f"τ={tau} quantile (pinball-loss) price~quantity line via "
+        "fixed-iteration IRLS (operators/regression.py::quantile_ols); "
+        "the oracle unrolls the identical asymmetric-weight rounds."
+    )
+    return _q
+
+
+def _quantile_sql(tau: float) -> str:
+    t, e = float(tau), float(_QR_EPS)
+    base_where = (
+        "WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL"
+    )
+    parts = [
+        f"""s0 AS MATERIALIZED (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         sum(l_quantity) AS sx, sum(l_extendedprice) AS sy,
+         sum(l_quantity * l_extendedprice) AS sxy,
+         sum(l_quantity * l_quantity) AS sxx
+  FROM lineitem {base_where}
+),
+c0 AS MATERIALIZED (
+  SELECT *, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b1 FROM s0
+),
+d0 AS MATERIALIZED (
+  SELECT *, (sy - b1 * sx) / n AS b0 FROM c0
+)"""
+    ]
+    for k in range(1, _QR_ITERS + 1):
+        prev = f"d{k - 1}"
+        parts.append(
+            f"""w{k} AS MATERIALIZED (
+  SELECT any_value(n) AS n,
+         sum(w) AS sw, sum(w * x) AS swx, sum(w * y) AS swy,
+         sum(w * x * y) AS swxy, sum(w * x * x) AS swxx
+  FROM (
+    SELECT {prev}.n, l_quantity AS x, l_extendedprice AS y,
+      (CASE WHEN l_extendedprice - (b0 + b1 * l_quantity) >= 0.0
+            THEN {t!r} ELSE {1.0 - t!r} END)
+        / greatest(abs(l_extendedprice - (b0 + b1 * l_quantity)), {e!r})
+        AS w
+    FROM lineitem CROSS JOIN {prev} {base_where}
+  ) t
+),
+c{k} AS MATERIALIZED (
+  SELECT *, (sw * swxy - swx * swy) / (sw * swxx - swx * swx) AS b1
+  FROM w{k}
+),
+d{k} AS MATERIALIZED (
+  SELECT *, (swy - b1 * swx) / sw AS b0 FROM c{k}
+)"""
+        )
+    last = f"d{_QR_ITERS}"
+    parts.append(
+        f"""fin AS (
+  SELECT avg(
+    CASE WHEN l_extendedprice - (b0 + b1 * l_quantity) >= 0.0
+         THEN {t!r} * (l_extendedprice - (b0 + b1 * l_quantity))
+         ELSE {t - 1.0!r} * (l_extendedprice - (b0 + b1 * l_quantity))
+    END) AS pb
+  FROM lineitem CROSS JOIN {last} {base_where}
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(n AS BIGINT) AS n, {t!r} AS tau, b1 AS slope,
+       b0 AS intercept, pb AS pinball_mean
+FROM {last} CROSS JOIN fin
+"""
+    )
+
+
+QUERIES["lad_price_model_lineitem"] = _quantile_model(0.5)
+ORACLE_SQL["lad_price_model_lineitem"] = _quantile_sql(0.5)
+QUERIES["p90_price_model_lineitem"] = _quantile_model(0.9)
+ORACLE_SQL["p90_price_model_lineitem"] = _quantile_sql(0.9)

@@ -1403,3 +1403,85 @@ def glm_fit(
         "n long, intercept double, coefficients array<double>, "
         "deviance double, null_deviance double, aic double",
     )
+
+
+def quantile_ols(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    tau: float = 0.5,
+    iters: int = 3,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Quantile (pinball-loss) simple regression via fixed-iteration
+    IRLS — the conditional-τ-quantile line, the distribution-aware
+    sibling of :func:`huber_ols` (τ=0.5 is LAD/median regression,
+    Schlossmacher 1973; general τ per Koenker & Bassett 1978).
+
+    Minimizing ``Σ ρ_τ(r)`` with ``ρ_τ(r) = r·(τ − 1[r<0])`` is
+    approximated by reweighted least squares with the asymmetric
+    weights ``w = (τ if r ≥ 0 else 1−τ) / max(|r|, eps)`` — each of
+    the ``iters`` rounds computes weighted normal-equation sums where
+    the weight is a CODEGEN EXPRESSION over the previous round's
+    coefficients folded in as literals: one scan + one 1-row collect
+    per round, the flat iteration shape of :func:`huber_ols`. Round 0
+    warm-starts at the closed-form OLS. ``eps`` (the |r| floor that
+    keeps the near-zero-residual weight bounded) is a FROZEN literal
+    so the SQL oracle replays identical math.
+
+    Stated honestly: fixed-iteration IRLS approaches but does not
+    exactly solve the LP that defines the sample quantile line; the
+    contract pins the REPRODUCIBLE iterate, and the pinball mean lets
+    callers compare fits across τ.
+
+    Returns one row ``(n, tau, slope, intercept, pinball_mean)`` —
+    the final coefficients and the mean pinball loss of the final fit
+    (one extra scan).
+    """
+    if not 0.0 < tau < 1.0:
+        raise ValueError(f"tau must be in (0, 1), got {tau}")
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if eps <= 0.0:
+        raise ValueError(f"eps must be > 0, got {eps}")
+    x, y = _d(x_col), _d(y_col)
+    rows = df.where(x.isNotNull() & y.isNotNull())
+    s0 = rows.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    ).collect()[0]
+    n = s0["n"]
+    det = n * s0["sxx"] - s0["sx"] * s0["sx"]
+    slope = (n * s0["sxy"] - s0["sx"] * s0["sy"]) / det
+    intercept = (s0["sy"] - slope * s0["sx"]) / n
+    t, e = float(tau), float(eps)
+    for _ in range(iters):
+        r = y - (F.lit(intercept) + F.lit(slope) * x)
+        w = F.when(r >= 0, F.lit(t)).otherwise(F.lit(1.0 - t)) / F.greatest(
+            F.abs(r), F.lit(e)
+        )
+        sw = rows.agg(
+            F.sum(w).alias("sw"),
+            F.sum(w * x).alias("swx"),
+            F.sum(w * y).alias("swy"),
+            F.sum(w * x * y).alias("swxy"),
+            F.sum(w * x * x).alias("swxx"),
+        ).collect()[0]
+        wdet = sw["sw"] * sw["swxx"] - sw["swx"] * sw["swx"]
+        slope = (sw["sw"] * sw["swxy"] - sw["swx"] * sw["swy"]) / wdet
+        intercept = (sw["swy"] - slope * sw["swx"]) / sw["sw"]
+    r_fin = y - (F.lit(intercept) + F.lit(slope) * x)
+    pin = F.when(r_fin >= 0, F.lit(t) * r_fin).otherwise(
+        F.lit(t - 1.0) * r_fin
+    )
+    pb = rows.agg(F.avg(pin).alias("pb")).collect()[0]["pb"]
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(int(n), t, float(slope), float(intercept), float(pb))],
+        "n long, tau double, slope double, intercept double, "
+        "pinball_mean double",
+    )

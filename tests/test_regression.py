@@ -619,3 +619,61 @@ def test_glm_fit_general_p(spark, sf_oracle):
         glm_fit(li, [], "l_quantity")
     with pytest.raises(ValueError, match="unsupported family"):
         glm_fit(li, ["l_tax"], "l_quantity", family="beta")
+
+
+def test_quantile_ols_lad_resists_outliers(spark):
+    """y = 3x + symmetric small noise, plus huge one-sided outliers:
+    the LAD (τ=0.5) line stays on the true slope while OLS is pulled
+    away — the robustness property that motivates the pinball loss."""
+    import random
+
+    from k_means_using_mapreduce_spark.operators.regression import (
+        grouped_ols,
+        quantile_ols,
+    )
+
+    rng = random.Random(3)
+    rows = [(float(i % 50), 3.0 * (i % 50) + rng.uniform(-1, 1))
+            for i in range(400)]
+    rows += [(float(i), 3.0 * i + 500.0) for i in range(0, 50, 5)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    lad = quantile_ols(df, "x", "y", tau=0.5, iters=8).collect()[0]
+    assert lad["slope"] == pytest.approx(3.0, abs=0.15)
+    assert lad["tau"] == 0.5
+    ols = grouped_ols(df, "x", "y").collect()[0]
+    assert abs(ols["slope"] - 3.0) > abs(lad["slope"] - 3.0)
+
+
+def test_quantile_ols_tau_orders_the_lines(spark):
+    """Heteroskedastic spread: higher τ lines sit above lower τ lines
+    at the data's center; validation raises on bad params."""
+    import random
+
+    from k_means_using_mapreduce_spark.operators.regression import (
+        quantile_ols,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (x, 2.0 * x + rng.uniform(-1.0 - x / 10, 1.0 + x / 10))
+        for i in range(600)
+        for x in [float(i % 40)]
+    ]
+    df = spark.createDataFrame(rows, "x double, y double")
+    fits = {
+        t: quantile_ols(df, "x", "y", tau=t, iters=6).collect()[0]
+        for t in (0.1, 0.5, 0.9)
+    }
+    xbar = 19.5
+    heights = {
+        t: r["intercept"] + r["slope"] * xbar for t, r in fits.items()
+    }
+    assert heights[0.1] < heights[0.5] < heights[0.9]
+    assert fits[0.5]["pinball_mean"] > 0.0
+
+    with pytest.raises(ValueError, match="tau"):
+        quantile_ols(df, "x", "y", tau=1.0)
+    with pytest.raises(ValueError, match="iters"):
+        quantile_ols(df, "x", "y", iters=0)
+    with pytest.raises(ValueError, match="eps"):
+        quantile_ols(df, "x", "y", eps=0.0)
