@@ -455,3 +455,86 @@ FROM curve WHERE n_events > 0
 
 QUERIES["km_bands_users"] = km_bands_users
 ORACLE_SQL["km_bands_users"] = _km_bands_sql()
+
+
+_WB_ITERS = 5
+
+
+def weibull_churn_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parametric Weibull churn model over user lifetimes
+    (operators/survival.py::weibull_fit): profile-likelihood Newton on
+    the shape, closed-form scale — shape > 1 reads as churn risk
+    rising with tenure. Same 12-hour-quiet censoring as the log-rank
+    contract; the oracle unrolls the identical Newton rounds as
+    chained CTEs with the k floor applied term for term."""
+    from ..operators.survival import user_lifetimes, weibull_fit
+
+    ev = load_table(spark, sf_dir, "events")
+    lif = user_lifetimes(ev, horizon_ns=_LR_HORIZON_NS, unit_ns=_HOUR_NS)
+    return weibull_fit(lif, iters=_WB_ITERS)
+
+
+def _weibull_sql() -> str:
+    parts = [
+        f"""per_user AS (
+  SELECT user_id, min(epoch_ns(ts)) AS a, max(epoch_ns(ts)) AS b
+  FROM events GROUP BY 1
+),
+gend AS (SELECT max(b) AS gmax FROM per_user),
+lif AS (
+  SELECT CAST(((b - a) - (b - a) % {_HOUR_NS}) / {_HOUR_NS} AS BIGINT) AS t,
+         CASE WHEN b < gmax - {_LR_HORIZON_NS} THEN 1 ELSE 0 END AS ev
+  FROM per_user, gend
+),
+pos AS MATERIALIZED (
+  SELECT CAST(t AS DOUBLE) AS t, CAST(ev AS DOUBLE) AS ev
+  FROM lif WHERE t > 0
+),
+k0 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(ev) AS d,
+         sum(ev * ln(t)) AS sld, CAST(1.0 AS DOUBLE) AS k
+  FROM pos
+)"""
+    ]
+    for i in range(1, _WB_ITERS + 1):
+        prev = f"k{i - 1}"
+        parts.append(
+            f"""w{i} AS MATERIALIZED (
+  SELECT any_value(n) AS n, any_value(d) AS d, any_value(sld) AS sld,
+         any_value(k) AS k,
+         sum(pow(t, k)) AS sw, sum(pow(t, k) * ln(t)) AS swl,
+         sum(pow(t, k) * ln(t) * ln(t)) AS swll
+  FROM pos CROSS JOIN {prev}
+),
+k{i} AS (
+  SELECT n, d, sld,
+    greatest(
+      k - (1.0 / k + sld / d - swl / sw)
+        / (-1.0 / (k * k) - (swll * sw - swl * swl) / (sw * sw)),
+      0.05) AS k
+  FROM w{i}
+)"""
+        )
+    last = f"k{_WB_ITERS}"
+    parts.append(
+        f"""fw AS (
+  SELECT any_value(n) AS n, any_value(d) AS d, any_value(sld) AS sld,
+         any_value(k) AS k, sum(pow(t, k)) AS sw
+  FROM pos CROSS JOIN {last}
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT n, CAST(d AS BIGINT) AS n_events, k AS shape,
+  pow(sw / d, 1.0 / k) AS scale,
+  d * ln(k) - d * k * ln(pow(sw / d, 1.0 / k)) + (k - 1.0) * sld - d
+    AS log_lik
+FROM fw
+"""
+    )
+
+
+QUERIES["weibull_churn_users"] = weibull_churn_users
+ORACLE_SQL["weibull_churn_users"] = _weibull_sql()

@@ -1827,3 +1827,95 @@ FROM fin
 
 QUERIES["holt_winters_hourly_events"] = holt_winters_hourly_events
 ORACLE_SQL["holt_winters_hourly_events"] = _holt_winters_sql()
+
+
+def granger_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-lag Granger test: do last hour's clicks improve the
+    purchase-count forecast beyond purchases' own lag?
+    (operators/timeseries.py::granger_test.) Both models come from one
+    sufficient-statistic aggregate over the lagged hourly grid; the
+    oracle replays the identical simple-OLS and Cramer-3×3 closed
+    forms term for term."""
+    from ..operators.timeseries import granger_test
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", ns_to_timestamp("ts")
+    )
+    return granger_test(ev, cause="click", effect="purchase")
+
+
+GRANGER_SQL = f"""
+WITH counts AS (
+  SELECT event_type AS key,
+         epoch_us(ts) - epoch_us(ts) % {_HOUR_US} AS bucket_us,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(bucket_us) AS lo, max(bucket_us) AS hi FROM counts),
+grid AS (
+  SELECT unnest(range(lo, hi + {_HOUR_US}, {_HOUR_US})) AS bucket_us
+  FROM bounds
+),
+j AS (
+  SELECT g.bucket_us,
+    CAST(coalesce(cy.n, 0) AS DOUBLE) AS y,
+    CAST(coalesce(cx.n, 0) AS DOUBLE) AS x
+  FROM grid g
+  LEFT JOIN counts cy ON cy.key = 'purchase' AND cy.bucket_us = g.bucket_us
+  LEFT JOIN counts cx ON cx.key = 'click' AND cx.bucket_us = g.bucket_us
+),
+lagged AS (
+  SELECT y,
+    lag(y) OVER (ORDER BY bucket_us) AS yl,
+    lag(x) OVER (ORDER BY bucket_us) AS xl
+  FROM j
+),
+s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+    sum(y) AS sy, sum(y * y) AS syy,
+    sum(yl) AS s1, sum(yl * yl) AS s11,
+    sum(xl) AS sx, sum(xl * xl) AS sxx,
+    sum(yl * y) AS syl, sum(xl * y) AS sxy, sum(yl * xl) AS s1x
+  FROM lagged WHERE yl IS NOT NULL AND xl IS NOT NULL
+),
+rmodel AS (
+  SELECT *,
+    (n * syl - s1 * sy) / (n * s11 - s1 * s1) AS a1
+  FROM s
+),
+rfit AS (
+  SELECT *, (sy - a1 * s1) / n AS a0 FROM rmodel
+),
+umodel AS (
+  SELECT *,
+    n * (s11 * sxx - s1x * s1x) - s1 * (s1 * sxx - s1x * sx)
+      + sx * (s1 * s1x - s11 * sx) AS d,
+    sy * (s11 * sxx - s1x * s1x) - s1 * (syl * sxx - s1x * sxy)
+      + sx * (syl * s1x - s11 * sxy) AS d0,
+    n * (syl * sxx - s1x * sxy) - sy * (s1 * sxx - s1x * sx)
+      + sx * (s1 * sxy - syl * sx) AS d1,
+    n * (s11 * sxy - syl * s1x) - s1 * (s1 * sxy - syl * sx)
+      + sy * (s1 * s1x - s11 * sx) AS d2
+  FROM rfit
+),
+fit AS (
+  SELECT *, d0 / d AS b0, d1 / d AS b1, d2 / d AS b2 FROM umodel
+),
+sse AS (
+  SELECT *,
+    syy - 2.0 * (a0 * sy + a1 * syl)
+      + (a0 * a0 * n + a1 * a1 * s11 + 2.0 * a0 * a1 * s1) AS sse_r,
+    syy - 2.0 * (b0 * sy + b1 * syl + b2 * sxy)
+      + (b0 * b0 * n + b1 * b1 * s11 + b2 * b2 * sxx
+         + 2.0 * b0 * b1 * s1 + 2.0 * b0 * b2 * sx
+         + 2.0 * b1 * b2 * s1x) AS sse_u
+  FROM fit
+)
+SELECT CAST(n AS BIGINT) AS n, b2 AS beta_cause, sse_r, sse_u,
+  CASE WHEN sse_u > 0.0
+       THEN (sse_r - sse_u) / (sse_u / (n - 3.0)) END AS f_stat
+FROM sse
+"""
+
+QUERIES["granger_click_purchase"] = granger_click_purchase
+ORACLE_SQL["granger_click_purchase"] = GRANGER_SQL

@@ -501,3 +501,75 @@ def kaplan_meier_ci(
         .otherwise(F.when(s >= 1, F.lit(1.0)).otherwise(F.lit(0.0)))
         .alias("ci_hi"),
     )
+
+
+def weibull_fit(
+    lifetimes: DataFrame,
+    *,
+    duration_col: str = "duration",
+    event_col: str = "event",
+    iters: int = 5,
+) -> DataFrame:
+    """Right-censored Weibull MLE via profile-likelihood Newton on the
+    shape — the parametric member of the survival family (Kaplan-Meier
+    / Nelson-Aalen are its nonparametric checks; reference scope is
+    2-D K-Means only, this is engine surface).
+
+    For Weibull(k, λ) with censoring, the scale profile is closed-form
+    (``λ^k = Σtᵢ^k / d`` over ALL durations, d = observed events), so
+    the fit reduces to Newton on the 1-D profile score
+
+        g(k)  = 1/k + (Σ_ev ln t)/d − (Σ t^k ln t)/(Σ t^k)
+        g'(k) = −1/k² − (Σ t^k ln²t · Σ t^k − (Σ t^k ln t)²)/(Σ t^k)²
+
+    warm-started at k=1 (the exponential), with a 0.05 floor guarding
+    an early overshoot. Each round is one scan whose three power sums
+    fold the current k in as a literal — the flat driver-loop shape of
+    huber/poisson (operators/regression.py) — and a final scan at the
+    converged k yields λ and the log-likelihood
+    ``d·ln k − d·k·ln λ + (k−1)·Σ_ev ln t − d`` (the ``Σ(t/λ)^k``
+    term collapses to exactly d at the profiled λ). Zero durations are
+    excluded (ln t undefined — single-event users contribute no
+    lifetime information).
+
+    Returns one row ``(n, n_events, shape, scale, log_lik)``.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    t = F.col(duration_col).cast("double")
+    ev = F.col(event_col).cast("double")
+    rows = lifetimes.where(t.isNotNull() & ev.isNotNull() & (t > 0))
+    lt = F.log(t)
+    s0 = rows.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(ev).alias("d"),
+        F.sum(ev * lt).alias("sld"),
+    ).collect()[0]
+    n, d, sld = int(s0["n"]), float(s0["d"] or 0.0), s0["sld"]
+    if d < 1.0:
+        raise ValueError(
+            "need at least one observed (uncensored) event with t > 0"
+        )
+    k = 1.0
+    for _ in range(iters):
+        tk = F.pow(t, F.lit(k))
+        s = rows.agg(
+            F.sum(tk).alias("sw"),
+            F.sum(tk * lt).alias("swl"),
+            F.sum(tk * lt * lt).alias("swll"),
+        ).collect()[0]
+        g = 1.0 / k + sld / d - s["swl"] / s["sw"]
+        gp = -1.0 / (k * k) - (
+            s["swll"] * s["sw"] - s["swl"] * s["swl"]
+        ) / (s["sw"] * s["sw"])
+        k = max(k - g / gp, 0.05)
+    sw_f = rows.agg(F.sum(F.pow(t, F.lit(k))).alias("sw")).collect()[0]["sw"]
+    import math
+
+    scale = (sw_f / d) ** (1.0 / k)
+    log_lik = d * math.log(k) - d * k * math.log(scale) + (k - 1.0) * sld - d
+    spark = lifetimes.sparkSession
+    return spark.createDataFrame(
+        [(n, int(d), float(k), float(scale), float(log_lik))],
+        "n long, n_events long, shape double, scale double, log_lik double",
+    )

@@ -1981,3 +1981,108 @@ def holt_winters(
         )
 
     return grid.groupBy("key").applyInPandas(_hw_kernel, out_schema)
+
+
+def granger_test(
+    events: DataFrame,
+    *,
+    cause: str = "click",
+    effect: str = "purchase",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    unit: str = "hour",
+) -> DataFrame:
+    """One-lag Granger causality: does the ``cause`` series' past
+    improve a linear forecast of the ``effect`` series beyond the
+    effect's own past? (Granger 1969.) Over the dense
+    :func:`resample_counts` grid, compare
+
+        restricted:    y_t ~ 1 + y_{t−1}
+        unrestricted:  y_t ~ 1 + y_{t−1} + x_{t−1}
+
+    and report ``F = (SSE_r − SSE_u) / (SSE_u / (n − 3))`` (q = 1
+    restriction). Both fits come from ONE aggregate over the lagged
+    grid — ten sufficient-statistic sums; the restricted model is the
+    textbook simple-OLS closed form and the unrestricted one solves
+    the 3×3 normal equations with the SAME explicit Cramer expansion
+    the ridge family shares with its SQL oracle
+    (operators/regression.py::_cramer3), so both engines agree to the
+    last double bit. Grid rows are corpus-independent (T buckets), so
+    the only corpus-sized work is the counts groupBy.
+
+    Returns one row ``(n, beta_cause, sse_r, sse_u, f_stat)`` where
+    ``beta_cause`` is the unrestricted coefficient on ``x_{t−1}`` —
+    the sign and size of the claimed influence. NULL f_stat when the
+    design is degenerate (constant series)."""
+    from .regression import _cramer3
+
+    grid = resample_counts(events, ts_col=ts_col, key_col=key_col, unit=unit)
+    x = grid.where(F.col("key") == cause).select(
+        "bucket", F.col("n").cast("double").alias("x")
+    )
+    y = grid.where(F.col("key") == effect).select(
+        "bucket", F.col("n").cast("double").alias("y")
+    )
+    j = y.join(x, "bucket")
+    w = Window.orderBy("bucket")
+    lagged = j.select(
+        F.col("y"),
+        F.lag("y").over(w).alias("yl"),
+        F.lag("x").over(w).alias("xl"),
+    ).where(F.col("yl").isNotNull() & F.col("xl").isNotNull())
+    s = lagged.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum("yl").alias("s1"),
+        F.sum(F.col("yl") * F.col("yl")).alias("s11"),
+        F.sum("xl").alias("sx"),
+        F.sum(F.col("xl") * F.col("xl")).alias("sxx"),
+        F.sum(F.col("yl") * F.col("y")).alias("syl"),
+        F.sum(F.col("xl") * F.col("y")).alias("sxy"),
+        F.sum(F.col("yl") * F.col("xl")).alias("s1x"),
+    ).collect()[0]
+    n = s["n"]
+    if n < 4:
+        raise ValueError(
+            f"need at least 4 aligned lagged buckets, got {int(n)}"
+        )
+    # restricted: y ~ 1 + y_{t-1}
+    rdet = n * s["s11"] - s["s1"] * s["s1"]
+    a1 = (n * s["syl"] - s["s1"] * s["sy"]) / rdet
+    a0 = (s["sy"] - a1 * s["s1"]) / n
+    sse_r = (
+        s["syy"]
+        - 2.0 * (a0 * s["sy"] + a1 * s["syl"])
+        + (a0 * a0 * n + a1 * a1 * s["s11"] + 2.0 * a0 * a1 * s["s1"])
+    )
+    # unrestricted: y ~ 1 + y_{t-1} + x_{t-1}
+    a = [
+        [n, s["s1"], s["sx"]],
+        [s["s1"], s["s11"], s["s1x"]],
+        [s["sx"], s["s1x"], s["sxx"]],
+    ]
+    b = [s["sy"], s["syl"], s["sxy"]]
+    b0, b1, b2 = _cramer3(a, b)
+    sse_u = (
+        s["syy"]
+        - 2.0 * (b0 * s["sy"] + b1 * s["syl"] + b2 * s["sxy"])
+        + (
+            b0 * b0 * n
+            + b1 * b1 * s["s11"]
+            + b2 * b2 * s["sxx"]
+            + 2.0 * b0 * b1 * s["s1"]
+            + 2.0 * b0 * b2 * s["sx"]
+            + 2.0 * b1 * b2 * s["s1x"]
+        )
+    )
+    f_stat = (
+        (sse_r - sse_u) / (sse_u / (n - 3.0)) if sse_u > 0.0 else None
+    )
+    spark = events.sparkSession
+    return spark.createDataFrame(
+        [(int(n), float(b2), float(sse_r), float(sse_u),
+          None if f_stat is None else float(f_stat))],
+        "n long, beta_cause double, sse_r double, sse_u double, "
+        "f_stat double",
+    )

@@ -165,3 +165,44 @@ def test_km_greenwood_bands_hand_case(spark):
     # terminal S = 0: sentinel band
     r3 = rows[3.0]
     assert r3["survival"] == 0.0 and r3["ci_lo"] == 0.0 and r3["ci_hi"] == 0.0
+
+
+def test_weibull_fit_recovers_known_shape(spark):
+    """Durations drawn by inverse-CDF from Weibull(k=2, lambda=50) on a
+    deterministic uniform grid, no censoring: the profile Newton
+    recovers shape/scale; adding right-censoring keeps estimates in
+    range; guards raise."""
+    import math
+
+    from k_means_using_mapreduce_spark.operators.survival import (
+        weibull_fit,
+    )
+
+    k_true, lam = 2.0, 50.0
+    n = 400
+    rows = [
+        (int(round(lam * (-math.log(1.0 - (i + 0.5) / n)) ** (1.0 / k_true))), 1)
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "duration long, event int")
+    r = weibull_fit(df, iters=8).collect()[0]
+    assert r["n_events"] == r["n"]
+    assert r["shape"] == pytest.approx(k_true, rel=0.08)
+    assert r["scale"] == pytest.approx(lam, rel=0.05)
+
+    # censor everything past 60: estimates stay in a sane band
+    cens = [(min(t, 60), 1 if t <= 60 else 0) for t, _ in rows]
+    rc = weibull_fit(
+        spark.createDataFrame(cens, "duration long, event int"), iters=8
+    ).collect()[0]
+    assert rc["n_events"] < rc["n"]
+    assert 1.5 < rc["shape"] < 2.6
+    assert 40.0 < rc["scale"] < 60.0
+
+    with pytest.raises(ValueError, match="iters"):
+        weibull_fit(df, iters=0)
+    all_cens = spark.createDataFrame(
+        [(5, 0), (7, 0)], "duration long, event int"
+    )
+    with pytest.raises(ValueError, match="uncensored"):
+        weibull_fit(all_cens)

@@ -896,3 +896,54 @@ def test_holt_winters_hand_replay_and_guards(spark):
         holt_winters(_hourly_events(spark, [1, 2]), period=1)
     with pytest.raises(ValueError, match="horizon"):
         holt_winters(_hourly_events(spark, [1, 2]), horizon=0)
+
+
+def _two_series_events(spark, xs, ys):
+    """Hourly events for two keys with given per-hour counts."""
+    from datetime import timedelta
+
+    rows = []
+    eid = 0
+    base = datetime(2024, 1, 1)
+    for hour, (nx, ny) in enumerate(zip(xs, ys)):
+        for key, n in (("click", nx), ("purchase", ny)):
+            for j in range(n):
+                rows.append(
+                    (eid, base + timedelta(hours=hour, minutes=min(j, 59)),
+                     key, 1.0)
+                )
+                eid += 1
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+
+
+def test_granger_detects_lagged_driver(spark):
+    """y is literally x shifted one hour (plus own noise-free lag 0):
+    the cause's lag explains y almost perfectly, so F is large and
+    beta_cause recovers the unit transfer; an unrelated constant
+    series yields F ~ 0."""
+    import random
+
+    from k_means_using_mapreduce_spark.operators.timeseries import (
+        granger_test,
+    )
+
+    rng = random.Random(5)
+    xs = [rng.randint(0, 12) for _ in range(80)]
+    # y_t = x_{t-1} + 0/1 jitter (a noise-free fit would make SSE_u
+    # exactly 0 and f_stat NULL by the degenerate-design guard)
+    ys = [0] + [x + rng.randint(0, 1) for x in xs[:-1]]
+    r = granger_test(_two_series_events(spark, xs, ys)).collect()[0]
+    assert r["n"] == 79
+    assert r["beta_cause"] == pytest.approx(1.0, abs=0.05)
+    assert r["f_stat"] > 100.0
+    assert r["sse_u"] < r["sse_r"]
+
+    # independent target: x lag adds nothing beyond y's own lag
+    ys2 = [rng.randint(0, 12) for _ in range(80)]
+    r2 = granger_test(_two_series_events(spark, xs, ys2)).collect()[0]
+    assert r2["f_stat"] < 6.0
+
+    with pytest.raises(ValueError, match="lagged buckets"):
+        granger_test(_two_series_events(spark, [1, 2], [2, 1]))
