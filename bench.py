@@ -377,6 +377,15 @@ BENCH_QUERIES = [
     "user_event_sequences",
     "media_wav_features",
     "holt_hourly_events",
+    # round-7 additions: seasonal smoothing, two-stage ANN, skyline,
+    # quantile regression, Granger, parametric survival
+    "holt_winters_hourly_events",
+    "ivfpq_rerank_topk_embeddings",
+    "part_type_skyline",
+    "lad_price_model_lineitem",
+    "p90_price_model_lineitem",
+    "granger_click_purchase",
+    "weibull_churn_users",
 ]
 
 KMEANS_FIT_K = 8
