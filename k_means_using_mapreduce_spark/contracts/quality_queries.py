@@ -559,3 +559,91 @@ WHERE NOT EXISTS (
 
 QUERIES["part_type_skyline"] = part_type_skyline
 ORACLE_SQL["part_type_skyline"] = SKYLINE_SQL
+
+
+def gopher_rules_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gopher-rule triage (operators/quality.py::
+    gopher_rules + gopher_summary): how many documents each named
+    quality rule rejects and how many survive the battery — the
+    corpus-cleaning report every LLM pipeline starts from."""
+    from ..operators.quality import gopher_rules, gopher_summary
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_summary(gopher_rules(docs), by="source")
+
+
+def _gopher_sql() -> str:
+    from ..functions.text import QUALITY_STOPWORDS
+    from ._sql_text import (
+        sql_alpha_ratio,
+        sql_mean_token_len,
+        sql_stopword_count,
+        sql_token_count,
+    )
+
+    n = f"CAST({sql_token_count('text')} AS DOUBLE)"
+    mean_len = sql_mean_token_len("text")
+    hash_cnt = (
+        "CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)"
+    )
+    ell_cnt = (
+        "CAST((length(text) - length(replace(text, '...', ''))) / 3"
+        " AS DOUBLE)"
+    )
+    sym_ratio = (
+        f"(CASE WHEN {n} > 0 THEN ({hash_cnt} + {ell_cnt}) / {n} "
+        "ELSE 0.0 END)"
+    )
+    lines = (
+        "list_filter(string_split(text, chr(10)), l -> trim(l) <> '')"
+    )
+    nl = f"CAST(len({lines}) AS DOUBLE)"
+    bullets = (
+        f"CAST(len(list_filter({lines}, l -> starts_with(ltrim(l), '- ')"
+        " OR starts_with(ltrim(l), '* '))) AS DOUBLE)"
+    )
+    ell_lines = (
+        f"CAST(len(list_filter({lines}, l -> ends_with(rtrim(l), '...')))"
+        " AS DOUBLE)"
+    )
+    bullet_ratio = f"(CASE WHEN {nl} > 0 THEN {bullets} / {nl} ELSE 0.0 END)"
+    ell_line_ratio = (
+        f"(CASE WHEN {nl} > 0 THEN {ell_lines} / {nl} ELSE 0.0 END)"
+    )
+    flags = {
+        "r_word_count": f"({n} >= 50.0 AND {n} <= 100000.0)",
+        "r_mean_len": (
+            f"({mean_len} IS NOT NULL AND {mean_len} >= 3.0"
+            f" AND {mean_len} <= 10.0)"
+        ),
+        "r_symbol": f"({sym_ratio} <= 0.1)",
+        "r_bullet": f"({bullet_ratio} <= 0.9)",
+        "r_ellipsis": f"({ell_line_ratio} <= 0.3)",
+        "r_alpha": f"({sql_alpha_ratio('text')} >= 0.6)",
+        "r_stopword": (
+            f"({sql_stopword_count('text', QUALITY_STOPWORDS)} >= 2)"
+        ),
+    }
+    flag_cols = ",\n    ".join(f"{e} AS {k}" for k, e in flags.items())
+    fails = ",\n  ".join(
+        f"CAST(sum(CASE WHEN NOT {k} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS fail_{k[2:]}"
+        for k in flags
+    )
+    pass_all = " AND ".join(flags)
+    return f"""
+WITH flagged AS (
+  SELECT source,
+    {flag_cols},
+    ({pass_all}) AS pass_all
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  {fails},
+  CAST(sum(CASE WHEN pass_all THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+FROM flagged GROUP BY source
+"""
+
+
+QUERIES["gopher_rules_documents"] = gopher_rules_documents
+ORACLE_SQL["gopher_rules_documents"] = _gopher_sql()

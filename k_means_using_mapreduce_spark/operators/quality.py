@@ -790,3 +790,124 @@ def skyline(
     return left.join(
         F.broadcast(right), cond_all & cond_any, "left_anti"
     ).select(*[F.col(f"l.{c.name}").alias(c.name) for c in df.schema])
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.6,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style named document-quality rules (Rae et al. 2021,
+    "Scaling Language Models", table A1 — the filter battery most
+    LLM-corpus pipelines start from), evaluated as ONE projection of
+    boolean flags — no UDFs, no extra passes, composable with the
+    quality-percentile and classifier gates:
+
+    - ``r_word_count``: token count in [min_tokens, max_tokens]
+    - ``r_mean_len``: mean token length in [min_mean_len, max_mean_len]
+    - ``r_symbol``: (# + ellipsis) per token ≤ max_symbol_ratio
+    - ``r_bullet``: share of non-blank lines starting '- '/'* '
+      ≤ max_bullet_ratio
+    - ``r_ellipsis``: share of non-blank lines ending '...'
+      ≤ max_ellipsis_ratio
+    - ``r_alpha``: alphabetic character ratio ≥ min_alpha_ratio
+    - ``r_stopword``: ≥ min_stopword_hits common-stopword occurrences
+    - ``pass_all``: conjunction of the seven
+
+    Returns the input plus the eight flags. All components reuse the
+    hash-gated text expressions (functions/text.py), so a SQL oracle
+    can mirror every branch bit for bit.
+    """
+    from ..functions.text import (
+        QUALITY_STOPWORDS,
+        alpha_ratio,
+        mean_token_len,
+        stopword_count,
+        token_count,
+    )
+
+    t = F.col(text_col)
+    n = token_count(t).cast("double")
+    mean_len = mean_token_len(t)
+    hash_cnt = (
+        F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    ).cast("double")
+    ell_cnt = (
+        (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit(""))))
+        / F.lit(3)
+    ).cast("double")
+    sym_ratio = F.when(n > 0, (hash_cnt + ell_cnt) / n).otherwise(F.lit(0.0))
+    lines = F.filter(
+        F.split(t, "\n"), lambda ln: F.trim(ln) != F.lit("")
+    )
+    nl = F.size(lines).cast("double")
+    bullets = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.ltrim(ln).startswith("- ")
+            | F.ltrim(ln).startswith("* "),
+        )
+    ).cast("double")
+    ell_lines = F.size(
+        F.filter(lines, lambda ln: F.rtrim(ln).endswith("..."))
+    ).cast("double")
+    bullet_ratio = F.when(nl > 0, bullets / nl).otherwise(F.lit(0.0))
+    ell_line_ratio = F.when(nl > 0, ell_lines / nl).otherwise(F.lit(0.0))
+    flags = {
+        "r_word_count": (n >= F.lit(float(min_tokens)))
+        & (n <= F.lit(float(max_tokens))),
+        "r_mean_len": mean_len.isNotNull()
+        & (mean_len >= F.lit(min_mean_len))
+        & (mean_len <= F.lit(max_mean_len)),
+        "r_symbol": sym_ratio <= F.lit(max_symbol_ratio),
+        "r_bullet": bullet_ratio <= F.lit(max_bullet_ratio),
+        "r_ellipsis": ell_line_ratio <= F.lit(max_ellipsis_ratio),
+        "r_alpha": alpha_ratio(t) >= F.lit(min_alpha_ratio),
+        "r_stopword": stopword_count(t, QUALITY_STOPWORDS)
+        >= F.lit(int(min_stopword_hits)),
+    }
+    out = df
+    for name, expr in flags.items():
+        out = out.withColumn(name, expr)
+    pass_all = None
+    for name in flags:
+        pass_all = (
+            F.col(name) if pass_all is None else pass_all & F.col(name)
+        )
+    return out.withColumn("pass_all", pass_all)
+
+
+def gopher_summary(
+    flagged: DataFrame, by: str = "source"
+) -> DataFrame:
+    """Per-group rule-failure accounting over :func:`gopher_rules`
+    output: how many documents each named rule rejects, and how many
+    survive the whole battery — the corpus-triage report. One grouped
+    aggregate of conditional counts (map-side combinable)."""
+    rules = [
+        "r_word_count",
+        "r_mean_len",
+        "r_symbol",
+        "r_bullet",
+        "r_ellipsis",
+        "r_alpha",
+        "r_stopword",
+    ]
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for r in rules:
+        aggs.append(
+            F.sum(F.when(~F.col(r), 1).otherwise(0)).alias(f"fail_{r[2:]}")
+        )
+    aggs.append(
+        F.sum(F.when(F.col("pass_all"), 1).otherwise(0)).alias("n_pass")
+    )
+    return flagged.groupBy(by).agg(*aggs)

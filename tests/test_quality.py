@@ -414,3 +414,44 @@ def test_skyline_nulls_dropped_and_validation(spark):
         skyline(df, [("x", "max")])
     with pytest.raises(ValueError, match="max"):
         skyline(df, [("x", "max"), ("y", "upward")])
+
+
+def test_gopher_rules_flags_and_summary(spark):
+    """Hand-built documents hitting each rule: a good doc passes all,
+    a short doc fails word count, a symbol-heavy doc fails the symbol
+    ratio, a bullet wall fails the bullet rule, and the summary's
+    failure accounting matches."""
+    from k_means_using_mapreduce_spark.operators.quality import (
+        gopher_rules,
+        gopher_summary,
+    )
+
+    good = (
+        "the quick brown fox and the lazy dog are with all of this "
+        "text that has many plain words " * 3
+    )
+    short = "too short to pass"
+    symbols = " ".join(["the###word..." for _ in range(60)])
+    bullets = "\n".join(["- the bullet item of the list"] * 20)
+    df = spark.createDataFrame(
+        [
+            (1, "a", good),
+            (2, "a", short),
+            (3, "b", symbols),
+            (4, "b", bullets),
+        ],
+        "doc_id long, source string, text string",
+    )
+    flagged = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+    assert flagged[1]["pass_all"]
+    assert not flagged[2]["r_word_count"] and not flagged[2]["pass_all"]
+    assert not flagged[3]["r_symbol"]
+    assert not flagged[4]["r_bullet"]
+
+    summ = {
+        r["source"]: r
+        for r in gopher_summary(gopher_rules(df), by="source").collect()
+    }
+    assert summ["a"]["n_docs"] == 2 and summ["a"]["n_pass"] == 1
+    assert summ["a"]["fail_word_count"] == 1
+    assert summ["b"]["fail_symbol"] >= 1 and summ["b"]["fail_bullet"] >= 1
