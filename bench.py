@@ -386,6 +386,7 @@ BENCH_QUERIES = [
     "p90_price_model_lineitem",
     "granger_click_purchase",
     "weibull_churn_users",
+    "gopher_rules_documents",
 ]
 
 KMEANS_FIT_K = 8

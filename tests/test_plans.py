@@ -781,3 +781,16 @@ def test_ivfpq_rerank_two_stage_shape(spark, sf):
     assert plan.count("TakeOrderedAndProject") >= 2  # shortlist + final
     assert broadcast_join_count(df) >= 1
     assert sort_merge_join_count(df) == 0
+
+
+def test_skyline_prunes_before_dominance_join(spark, sf):
+    """d-dim skyline: the quadratic dominance stage must be a BROADCAST
+    nested-loop anti-join over the locally pruned candidates — never a
+    sort-merge or shuffled cartesian over the input relation."""
+    from k_means_using_mapreduce_spark.plans.explain import executed_plan
+
+    df = _q("part_type_skyline", spark, sf)
+    plan = executed_plan(df)
+    assert broadcast_nlj_count(df) >= 1
+    assert sort_merge_join_count(df) == 0
+    assert "CartesianProduct" not in plan
