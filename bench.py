@@ -387,6 +387,7 @@ BENCH_QUERIES = [
     "granger_click_purchase",
     "weibull_churn_users",
     "gopher_rules_documents",
+    "user_ranking_similarity_events",
 ]
 
 KMEANS_FIT_K = 8

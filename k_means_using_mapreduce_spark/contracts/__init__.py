@@ -45,6 +45,7 @@ from . import (
     quality_queries,
     quantize_queries,
     ranking_queries,
+    rankjoin_queries,
     recommend_queries,
     regression_queries,
     repetition_queries,
@@ -109,6 +110,7 @@ _MODULES = [
     quality_queries,
     quantize_queries,
     ranking_queries,
+    rankjoin_queries,
     recommend_queries,
     pca_queries,
     pq_queries,
