@@ -1919,3 +1919,75 @@ FROM sse
 
 QUERIES["granger_click_purchase"] = granger_click_purchase
 ORACLE_SQL["granger_click_purchase"] = GRANGER_SQL
+
+
+_KALMAN_Q, _KALMAN_R = 4.0, 16.0
+
+
+def kalman_level_hourly_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kalman local-level filter of hourly volumes per event type
+    (operators/timeseries.py::kalman_level): final filtered level,
+    state variance, settled adaptive gain, and one-step innovation
+    SSE. The scalar Kalman recursions run in a per-key Arrow kernel;
+    the oracle replays them as a RECURSIVE CTE step-for-step — the
+    sequential-state contract pattern (holt_hourly_events doctrine)."""
+    from ..operators.timeseries import kalman_level
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", ns_to_timestamp("ts")
+    )
+    return kalman_level(ev, q=_KALMAN_Q, r=_KALMAN_R)
+
+
+def _kalman_sql() -> str:
+    q, r = _KALMAN_Q, _KALMAN_R
+    return f"""
+WITH RECURSIVE counts AS (
+  SELECT event_type AS key,
+         epoch_us(ts) - epoch_us(ts) % {_HOUR_US} AS bucket_us,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(bucket_us) AS lo, max(bucket_us) AS hi FROM counts),
+keys AS (SELECT DISTINCT event_type AS key FROM events),
+grid AS (
+  SELECT key, unnest(range(lo, hi + {_HOUR_US}, {_HOUR_US})) AS bucket_us
+  FROM keys, bounds
+),
+dense AS (
+  SELECT g.key, CAST(coalesce(c.n, 0) AS DOUBLE) AS y,
+         row_number() OVER (PARTITION BY g.key ORDER BY g.bucket_us) AS idx
+  FROM grid g LEFT JOIN counts c USING (key, bucket_us)
+),
+kf AS (
+  SELECT key, idx, y AS lvl, CAST({r!r} AS DOUBLE) AS p,
+         CAST(0.0 AS DOUBLE) AS k, CAST(0.0 AS DOUBLE) AS sse
+  FROM dense WHERE idx = 1
+  UNION ALL
+  SELECT d.key, d.idx,
+    kf.lvl + ((kf.p + CAST({q!r} AS DOUBLE))
+              / ((kf.p + CAST({q!r} AS DOUBLE))
+                 + CAST({r!r} AS DOUBLE))) * (d.y - kf.lvl) AS lvl,
+    (1.0 - ((kf.p + CAST({q!r} AS DOUBLE))
+            / ((kf.p + CAST({q!r} AS DOUBLE))
+               + CAST({r!r} AS DOUBLE))))
+      * (kf.p + CAST({q!r} AS DOUBLE)) AS p,
+    ((kf.p + CAST({q!r} AS DOUBLE))
+     / ((kf.p + CAST({q!r} AS DOUBLE)) + CAST({r!r} AS DOUBLE))) AS k,
+    kf.sse + (d.y - kf.lvl) * (d.y - kf.lvl) AS sse
+  FROM kf JOIN dense d ON d.key = kf.key AND d.idx = kf.idx + 1
+),
+fin AS (
+  SELECT key, idx, lvl, p, k, sse,
+         row_number() OVER (PARTITION BY key ORDER BY idx DESC) AS rk
+  FROM kf
+)
+SELECT key, CAST(idx AS BIGINT) AS n, lvl AS level, p, k AS gain, sse
+FROM fin WHERE rk = 1
+"""
+
+
+QUERIES["kalman_level_hourly_events"] = kalman_level_hourly_events
+ORACLE_SQL["kalman_level_hourly_events"] = _kalman_sql()

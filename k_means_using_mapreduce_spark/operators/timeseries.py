@@ -2086,3 +2086,83 @@ def granger_test(
         "n long, beta_cause double, sse_r double, sse_u double, "
         "f_stat double",
     )
+
+
+def kalman_level(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    unit: str = "hour",
+    q: float = 4.0,
+    r: float = 16.0,
+) -> DataFrame:
+    """Kalman filter for the LOCAL-LEVEL model per key — the
+    state-space sibling of :func:`holt_linear` (which it reduces to
+    when the trend is dropped and the gain is made adaptive): over the
+    dense ``resample_counts`` grid, the random-walk-plus-noise model
+
+        level_t = level_{t-1} + w_t,   w_t ~ (0, q)
+        y_t     = level_t + v_t,       v_t ~ (0, r)
+
+    filtered by the exact scalar Kalman recursions
+
+        p_pred = p + q
+        k      = p_pred / (p_pred + r)
+        level  = level + k·(y_t − level)
+        p      = (1 − k)·p_pred
+
+    initialized at ``level_1 = y_1, p_1 = r`` (diffuse-ish start: the
+    first observation is trusted with observation-noise variance).
+    Unlike a fixed-α EWMA, the gain ``k`` adapts: it starts high while
+    the state is uncertain and settles to the steady-state Riccati
+    gain, so early observations move the level faster. Reports per key
+    the final filtered level, the final state variance ``p``, the
+    settled gain ``k``, and the one-step-ahead innovation SSE (errors
+    ``y_t − level_{t-1}`` for t ≥ 2 — the honest forecast residual).
+
+    Scale shape: the recurrence is inherently sequential in t, so it
+    runs INSIDE a per-key Arrow kernel (the holt_linear doctrine): T
+    grid rows in, one row out, keys embarrassingly parallel, no state
+    shuffles. The SQL oracle replays the identical recurrence as a
+    recursive CTE — sequential float arithmetic is engine-portable
+    when the expression shapes match term for term.
+
+    Returns ``(key, n, level, p, gain, sse)``.
+    """
+    if q <= 0.0 or r <= 0.0:
+        raise ValueError(f"need q > 0 and r > 0, got q={q}, r={r}")
+    grid = resample_counts(events, ts_col=ts_col, key_col=key_col, unit=unit)
+    key_type = grid.schema["key"].dataType.simpleString()
+    out_schema = (
+        f"key {key_type}, n long, level double, p double, "
+        "gain double, sse double"
+    )
+    qv, rv = float(q), float(r)
+
+    def _kalman_kernel(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("bucket")
+        ys = pdf["n"].astype("float64").tolist()
+        lvl, p = ys[0], rv
+        gain, sse = 0.0, 0.0
+        for y in ys[1:]:
+            p_pred = p + qv
+            gain = p_pred / (p_pred + rv)
+            err = y - lvl
+            sse = sse + err * err
+            lvl = lvl + gain * err
+            p = (1.0 - gain) * p_pred
+        return pd.DataFrame(
+            {
+                "key": [pdf["key"].iloc[0]],
+                "n": [len(ys)],
+                "level": [lvl],
+                "p": [p],
+                "gain": [gain],
+                "sse": [sse],
+            }
+        )
+
+    return grid.groupBy("key").applyInPandas(_kalman_kernel, out_schema)

@@ -947,3 +947,62 @@ def test_granger_detects_lagged_driver(spark):
 
     with pytest.raises(ValueError, match="lagged buckets"):
         granger_test(_two_series_events(spark, [1, 2], [2, 1]))
+
+
+def test_kalman_level_constant_series_and_hand_replay(spark):
+    """A constant series has zero innovation SSE and the level pinned
+    at the constant; the state variance contracts toward the
+    steady-state Riccati fixpoint p* = (q + sqrt(q^2 + 4qr)) / 2
+    discounted by (1-k), and the hand replay is bit-identical."""
+    import math as _m
+
+    from k_means_using_mapreduce_spark.operators.timeseries import (
+        kalman_level,
+    )
+
+    r = kalman_level(
+        _hourly_events(spark, [7] * 30), q=4.0, r=16.0
+    ).collect()[0]
+    assert r["n"] == 30
+    assert r["level"] == 7.0
+    assert r["sse"] == 0.0
+    # steady-state gain: with u = p_pred* = p* + q and
+    # p* = (1-k*)·u, k* = u/(u+r), the Riccati fixpoint gives
+    # u^2 - q·u - q·r = 0  =>  u = (q + sqrt(q^2 + 4qr)) / 2
+    u = (4.0 + _m.sqrt(16.0 + 4 * 4.0 * 16.0)) / 2.0
+    k_star = u / (u + 16.0)
+    assert r["gain"] == pytest.approx(k_star, abs=1e-6)
+
+    counts = [10, 14, 9, 30, 11, 12, 8, 40, 10]
+    r = kalman_level(_hourly_events(spark, counts), q=2.0, r=9.0).collect()[0]
+    lvl, p, gain, sse = float(counts[0]), 9.0, 0.0, 0.0
+    for y in [float(c) for c in counts[1:]]:
+        p_pred = p + 2.0
+        gain = p_pred / (p_pred + 9.0)
+        err = y - lvl
+        sse = sse + err * err
+        lvl = lvl + gain * err
+        p = (1.0 - gain) * p_pred
+    assert r["level"] == lvl and r["p"] == p
+    assert r["gain"] == gain and r["sse"] == sse
+
+    with pytest.raises(ValueError, match="q > 0"):
+        kalman_level(_hourly_events(spark, [1, 2]), q=0.0)
+
+
+def test_kalman_level_adapts_faster_than_settled_gain(spark):
+    """Early gain exceeds the settled gain (diffuse-ish p_1 = r trusts
+    the prior less at the start), and a level shift mid-series pulls
+    the filtered level toward the new regime."""
+    from k_means_using_mapreduce_spark.operators.timeseries import (
+        kalman_level,
+    )
+
+    # first-step gain from p_1 = r: (r+q)/(r+2q+r)... computed directly
+    q, rr = 4.0, 16.0
+    first_gain = (rr + q) / ((rr + q) + rr)
+    r = kalman_level(
+        _hourly_events(spark, [5, 5] + [50] * 40), q=q, r=rr
+    ).collect()[0]
+    assert first_gain > r["gain"]  # gain settles downward
+    assert r["level"] == pytest.approx(50.0, abs=0.5)
