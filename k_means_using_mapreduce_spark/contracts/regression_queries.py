@@ -1088,3 +1088,90 @@ QUERIES["lad_price_model_lineitem"] = _quantile_model(0.5)
 ORACLE_SQL["lad_price_model_lineitem"] = _quantile_sql(0.5)
 QUERIES["p90_price_model_lineitem"] = _quantile_model(0.9)
 ORACLE_SQL["p90_price_model_lineitem"] = _quantile_sql(0.9)
+
+
+def gamma_price_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gamma GLM (log link) of extended price on discount and tax
+    (operators/regression.py::gamma_irls), 4 IRLS rounds warm-started
+    at the null model b0 = ln(mean(y)). For the Gamma/log pair the
+    IRLS weights are identically 1, so X'X is constant and each round
+    rescans only X'z; the oracle unrolls the identical rounds as
+    chained CTEs sharing one materialized X'X."""
+    from ..operators.regression import gamma_irls
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return gamma_irls(li, ["l_discount", "l_tax"], "l_extendedprice")
+
+
+def _gamma_sql(iters: int = 4) -> str:
+    parts = [
+        """gb AS MATERIALIZED (
+  SELECT CAST(l_discount AS DOUBLE) AS x1, CAST(l_tax AS DOUBLE) AS x2,
+         CAST(l_extendedprice AS DOUBLE) AS y
+  FROM lineitem
+  WHERE l_discount IS NOT NULL AND l_tax IS NOT NULL
+    AND l_extendedprice IS NOT NULL AND l_extendedprice > 0
+)""",
+        """gh AS MATERIALIZED (
+  SELECT CAST(count(*) AS DOUBLE) AS h00,
+         sum(x1) AS h01, sum(x2) AS h02,
+         sum(x1 * x1) AS h11, sum(x1 * x2) AS h12,
+         sum(x2 * x2) AS h22,
+         ln(avg(y)) AS b0i
+  FROM gb
+)""",
+        """ghd AS MATERIALIZED (
+  SELECT gh.*,
+    h00 * (h11 * h22 - h12 * h12)
+      - h01 * (h01 * h22 - h12 * h02)
+      + h02 * (h01 * h12 - h11 * h02) AS det
+  FROM gh
+)""",
+        "gc0 AS MATERIALIZED "
+        "(SELECT b0i AS b0, 0.0 AS b1, 0.0 AS b2 FROM ghd)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""gz{i} AS MATERIALIZED (
+  SELECT x1, x2,
+         (b0 + b1 * x1 + b2 * x2)
+           + y * exp(-(b0 + b1 * x1 + b2 * x2)) - 1.0 AS z
+  FROM gb CROSS JOIN gc{i - 1}
+)""")
+        parts.append(f"""gt{i} AS MATERIALIZED (
+  SELECT sum(z) AS t0, sum(z * x1) AS t1, sum(z * x2) AS t2
+  FROM gz{i}
+)""")
+        parts.append(f"""gc{i} AS MATERIALIZED (
+  SELECT
+    ((h11 * h22 - h12 * h12) * t0
+      + (h02 * h12 - h01 * h22) * t1
+      + (h01 * h12 - h02 * h11) * t2) / det AS b0,
+    ((h02 * h12 - h01 * h22) * t0
+      + (h00 * h22 - h02 * h02) * t1
+      + (h01 * h02 - h00 * h12) * t2) / det AS b1,
+    ((h01 * h12 - h02 * h11) * t0
+      + (h01 * h02 - h00 * h12) * t1
+      + (h00 * h11 - h01 * h01) * t2) / det AS b2
+  FROM gt{i} CROSS JOIN ghd
+)""")
+    parts.append(f"""gscored AS (
+  SELECT y, b0, b1, b2, exp(b0 + b1 * x1 + b2 * x2) AS mu
+  FROM gb CROSS JOIN gc{iters}
+)""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT CAST(count(*) AS BIGINT) AS n,
+       any_value(b0) AS b0, any_value(b1) AS b1, any_value(b2) AS b2,
+       2.0 * sum(-ln(y / mu) + (y - mu) / mu) AS deviance,
+       sum(((y - mu) / mu) * ((y - mu) / mu))
+         / (CAST(count(*) AS DOUBLE) - 3.0) AS dispersion,
+       avg(mu) AS mean_mu
+FROM gscored
+"""
+    )
+
+
+QUERIES["gamma_price_lineitem"] = gamma_price_lineitem
+ORACLE_SQL["gamma_price_lineitem"] = _gamma_sql()

@@ -1485,3 +1485,119 @@ def quantile_ols(
         "n long, tau double, slope double, intercept double, "
         "pinball_mean double",
     )
+
+
+def gamma_irls(
+    df: DataFrame,
+    x_cols: Sequence[str],
+    y_col: str,
+    *,
+    iters: int = 4,
+) -> DataFrame:
+    """Gamma regression (log link, 2 features + intercept) by IRLS —
+    the GLM for POSITIVE right-skewed responses (prices, latencies,
+    spend per order), completing the family around
+    :func:`poisson_newton` (counts) and :func:`logistic_newton`
+    (binary).
+
+    The log link is special for the Gamma family: with variance
+    function ``V(μ) = μ²`` and ``dμ/dη = μ``, the IRLS working weight
+    ``w = (dμ/dη)²/V(μ)`` is identically 1, so the normal-equation
+    matrix ``X'WX = X'X`` is CONSTANT across rounds. One scan
+    aggregates X'X (six doubles) and the warm start once; each IRLS
+    round then rescans only the 3-vector ``X'z`` with working response
+
+        z = η + y·exp(−η) − 1
+
+    and re-solves ``β = (X'X)⁻¹ X'z`` on the driver via the exact
+    3×3 Cramer adjugate (the poisson_newton term shapes, mirrored by
+    the SQL oracle term for term). Warm start is the null model
+    ``b0 = ln(mean(y))`` so every round's magnitudes stay O(1) — the
+    poisson lesson about canon-stable intermediates.
+
+    Final scan reports the Gamma deviance
+    ``2 Σ [−ln(y/μ) + (y − μ)/μ]`` and the Pearson dispersion estimate
+    ``φ̂ = Σ((y−μ)/μ)² / (n − 3)``.
+
+    Returns one row ``(n, b0, b1, b2, deviance, dispersion, mean_mu)``.
+    """
+    if len(x_cols) != 2:
+        raise ValueError(
+            f"gamma_irls is the explicit 2-feature closed form, "
+            f"got {len(x_cols)} features (use MLlib GLR for general p)"
+        )
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    x1, x2, y = _d(x_cols[0]), _d(x_cols[1]), _d(y_col)
+    rows = df.where(
+        x1.isNotNull() & x2.isNotNull() & y.isNotNull() & (y > 0)
+    )
+    s = rows.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg(y).alias("ybar"),
+        F.sum(x1).alias("sx1"),
+        F.sum(x2).alias("sx2"),
+        F.sum(x1 * x1).alias("s11"),
+        F.sum(x1 * x2).alias("s12"),
+        F.sum(x2 * x2).alias("s22"),
+    ).collect()[0]
+    if s["n"] == 0.0 or s["ybar"] is None or s["ybar"] <= 0.0:
+        raise ValueError("gamma_irls needs at least one row with y > 0")
+    h00, h01, h02 = s["n"], s["sx1"], s["sx2"]
+    h11, h12, h22 = s["s11"], s["s12"], s["s22"]
+    det = (
+        h00 * (h11 * h22 - h12 * h12)
+        - h01 * (h01 * h22 - h12 * h02)
+        + h02 * (h01 * h12 - h11 * h02)
+    )
+    if det == 0.0:
+        raise ValueError(
+            "singular normal equations: features are collinear or constant"
+        )
+    b0, b1, b2 = math.log(s["ybar"]), 0.0, 0.0
+    for _ in range(iters):
+        eta = F.lit(b0) + F.lit(b1) * x1 + F.lit(b2) * x2
+        z = eta + y * F.exp(-eta) - F.lit(1.0)
+        t = rows.agg(
+            F.sum(z).alias("t0"),
+            F.sum(z * x1).alias("t1"),
+            F.sum(z * x2).alias("t2"),
+        ).collect()[0]
+        b0 = (
+            (h11 * h22 - h12 * h12) * t["t0"]
+            + (h02 * h12 - h01 * h22) * t["t1"]
+            + (h01 * h12 - h02 * h11) * t["t2"]
+        ) / det
+        b1 = (
+            (h02 * h12 - h01 * h22) * t["t0"]
+            + (h00 * h22 - h02 * h02) * t["t1"]
+            + (h01 * h02 - h00 * h12) * t["t2"]
+        ) / det
+        b2 = (
+            (h01 * h12 - h02 * h11) * t["t0"]
+            + (h01 * h02 - h00 * h12) * t["t1"]
+            + (h00 * h11 - h01 * h01) * t["t2"]
+        ) / det
+        if not all(math.isfinite(b) for b in (b0, b1, b2)):
+            raise ValueError(
+                "gamma_irls diverged (non-finite coefficients); "
+                "check for extreme covariate scales"
+            )
+    eta = F.lit(b0) + F.lit(b1) * x1 + F.lit(b2) * x2
+    mu = F.exp(eta)
+    pearson = (y - mu) / mu
+    return rows.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.lit(b0).alias("b0"),
+        F.lit(b1).alias("b1"),
+        F.lit(b2).alias("b2"),
+        (
+            F.lit(2.0)
+            * F.sum(-F.log(y / mu) + (y - mu) / mu)
+        ).alias("deviance"),
+        (
+            F.sum(pearson * pearson)
+            / (F.count(F.lit(1)).cast("double") - F.lit(3.0))
+        ).alias("dispersion"),
+        F.avg(mu).alias("mean_mu"),
+    )

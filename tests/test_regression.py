@@ -677,3 +677,66 @@ def test_quantile_ols_tau_orders_the_lines(spark):
         quantile_ols(df, "x", "y", iters=0)
     with pytest.raises(ValueError, match="eps"):
         quantile_ols(df, "x", "y", eps=0.0)
+
+
+def test_gamma_irls_recovers_planted_multiplicative_model(spark):
+    """Noise-free multiplicative response y = exp(b'x): the log-link
+    Gamma IRLS recovers the planted coefficients with ~zero deviance
+    and ~zero Pearson dispersion (quadratic convergence: the working
+    response is a first-order linearization, so a few rounds settle)."""
+    import math
+
+    from k_means_using_mapreduce_spark.operators.regression import gamma_irls
+
+    rows = []
+    for i in range(240):
+        x1 = (i % 12) / 12.0
+        x2 = ((i * 5) % 17) / 17.0
+        y = math.exp(8.0 + 1.5 * x1 - 0.8 * x2)  # price-scale positives
+        rows.append((x1, x2, y))
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+    r = gamma_irls(df, ["x1", "x2"], "y", iters=6).collect()[0]
+    assert r["b0"] == pytest.approx(8.0, abs=1e-6)
+    assert r["b1"] == pytest.approx(1.5, abs=1e-6)
+    assert r["b2"] == pytest.approx(-0.8, abs=1e-6)
+    assert r["deviance"] == pytest.approx(0.0, abs=1e-6)
+    assert r["dispersion"] == pytest.approx(0.0, abs=1e-9)
+    assert r["n"] == 240
+
+
+def test_gamma_irls_guards_and_deviance_beats_null(spark):
+    """Validation raises on bad shapes; on heteroscedastic positive
+    data the fitted deviance beats the intercept-only null model."""
+    import math
+
+    from k_means_using_mapreduce_spark.operators.regression import gamma_irls
+
+    df1 = spark.createDataFrame(
+        [(1.0, 1.0, 2.0)], "x1 double, x2 double, y double"
+    )
+    with pytest.raises(ValueError, match="2-feature"):
+        gamma_irls(df1, ["x1"], "y")
+    with pytest.raises(ValueError, match="iters"):
+        gamma_irls(df1, ["x1", "x2"], "y", iters=0)
+    # all y <= 0 rows are filtered => no usable rows
+    df0 = spark.createDataFrame(
+        [(1.0, 2.0, -3.0), (0.5, 0.1, 0.0)], "x1 double, x2 double, y double"
+    )
+    with pytest.raises(ValueError, match="y > 0"):
+        gamma_irls(df0, ["x1", "x2"], "y")
+
+    rows = []
+    for i in range(300):
+        x1 = (i % 10) / 10.0
+        x2 = ((i * 7) % 13) / 13.0
+        # multiplicative signal with a deterministic "noise" wobble
+        y = math.exp(3.0 + 0.6 * x1 - 0.4 * x2) * (1.0 + 0.2 * ((i % 3) - 1))
+        rows.append((x1, x2, y))
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+    r = gamma_irls(df, ["x1", "x2"], "y", iters=4).collect()[0]
+    ybar = sum(t[2] for t in rows) / len(rows)
+    null_dev = 2.0 * sum(
+        -math.log(t[2] / ybar) + (t[2] - ybar) / ybar for t in rows
+    )
+    assert r["deviance"] < null_dev
+    assert r["dispersion"] > 0.0
