@@ -647,3 +647,66 @@ FROM flagged GROUP BY source
 
 QUERIES["gopher_rules_documents"] = gopher_rules_documents
 ORACLE_SQL["gopher_rules_documents"] = _gopher_sql()
+
+
+_IND_ATTRS = (
+    ("c_custkey", "customer"),
+    ("o_custkey", "orders"),
+    ("o_orderkey", "orders"),
+    ("l_orderkey", "lineitem"),
+    ("l_partkey", "lineitem"),
+    ("p_partkey", "part"),
+    ("l_suppkey", "lineitem"),
+    ("s_suppkey", "supplier"),
+    ("c_nationkey", "customer"),
+    ("s_nationkey", "supplier"),
+    ("n_nationkey", "nation"),
+    ("n_regionkey", "nation"),
+    ("r_regionkey", "region"),
+)
+
+
+def ind_discovery_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unary inclusion-dependency discovery over the 13 TPC-H key
+    attributes (operators/quality.py::inclusion_dependencies): one
+    value-keyed attribute-set aggregation decides values(A) ⊆
+    values(B) for every ordered pair — recovering the schema's
+    foreign-key skeleton (o_custkey ⊆ c_custkey, l_orderkey ⊆
+    o_orderkey, n_regionkey ⊆ r_regionkey, …) from data alone."""
+    from ..operators.quality import inclusion_dependencies
+
+    sources = {
+        attr: (load_table(spark, sf_dir, table), attr)
+        for attr, table in _IND_ATTRS
+    }
+    return inclusion_dependencies(sources)
+
+
+def _ind_sql() -> str:
+    selects = [
+        f"SELECT '{attr}' AS a, CAST({attr} AS VARCHAR) AS v "
+        f"FROM {table} WHERE {attr} IS NOT NULL GROUP BY 2"
+        for attr, table in _IND_ATTRS
+    ]
+    vals = "\n  UNION ALL\n  ".join(selects)
+    return f"""
+WITH vals AS MATERIALIZED (
+  {vals}
+),
+pairs AS (
+  SELECT x.a AS lhs, y.a AS rhs, CAST(count(*) AS BIGINT) AS shared_values
+  FROM vals x JOIN vals y ON x.v = y.v AND x.a <> y.a
+  GROUP BY 1, 2
+),
+counts AS (
+  SELECT a AS lhs, CAST(count(*) AS BIGINT) AS lhs_values
+  FROM vals GROUP BY 1
+)
+SELECT p.lhs, p.rhs, c.lhs_values, p.shared_values,
+       p.shared_values = c.lhs_values AS contained
+FROM pairs p JOIN counts c USING (lhs)
+"""
+
+
+QUERIES["ind_discovery_tpch"] = ind_discovery_tpch
+ORACLE_SQL["ind_discovery_tpch"] = _ind_sql()

@@ -911,3 +911,69 @@ def gopher_summary(
         F.sum(F.when(F.col("pass_all"), 1).otherwise(0)).alias("n_pass")
     )
     return flagged.groupBy(by).agg(*aggs)
+
+
+def inclusion_dependencies(
+    sources: "dict[str, tuple[DataFrame, str]]",
+) -> DataFrame:
+    """Unary inclusion-dependency (IND) discovery across attributes —
+    the cross-table sibling of :func:`key_candidates` (which finds
+    keys) and :func:`functional_dependencies` (which finds intra-table
+    implications): for every ordered attribute pair (A, B), decide
+    whether values(A) ⊆ values(B), the precondition for A being a
+    foreign key into B.
+
+    ``sources`` maps an attribute label to ``(df, column)``; values
+    are compared as strings so heterogeneous column types can share
+    one lattice.
+
+    Scale shape (the SPIDER / S-INDD attribute-set idea, re-expressed
+    declaratively): per attribute a DISTINCT projection (map-side
+    combinable), one union, then ONE value-keyed aggregation that
+    collects the set of attributes containing each value. Pairs are
+    exploded from those per-value attribute sets — bounded by
+    |attrs|² per value, never by row count — so no candidate pair
+    ever triggers an all-pairs join over data. A ⊆ B is then just
+    ``shared(A,B) = |values(A)|`` checked against the per-attribute
+    distinct counts (broadcast, |attrs| rows).
+
+    Emits every ordered pair with at least one shared value:
+    ``(lhs, rhs, lhs_values, shared_values, contained)``, ordered
+    columns only — callers filter ``contained`` for the IND set.
+    """
+    if len(sources) < 2:
+        raise ValueError(
+            f"need at least 2 attributes to compare, got {len(sources)}"
+        )
+    parts = []
+    for label, (df, col) in sorted(sources.items()):
+        parts.append(
+            df.where(F.col(col).isNotNull())
+            .select(
+                F.lit(label).alias("a"),
+                F.col(col).cast("string").alias("v"),
+            )
+            .distinct()
+        )
+    vals = parts[0]
+    for p in parts[1:]:
+        vals = vals.unionAll(p)
+    # one value-keyed aggregation; attr sets are tiny (<= |sources|)
+    sets = vals.groupBy("v").agg(F.collect_set("a").alias("attrs"))
+    pairs = (
+        sets.select(F.explode("attrs").alias("lhs"), "attrs")
+        .select("lhs", F.explode("attrs").alias("rhs"))
+        .where(F.col("lhs") != F.col("rhs"))
+        .groupBy("lhs", "rhs")
+        .agg(F.count(F.lit(1)).alias("shared_values"))
+    )
+    counts = vals.groupBy("a").agg(F.count(F.lit(1)).alias("lhs_values"))
+    return pairs.join(
+        F.broadcast(counts.withColumnRenamed("a", "lhs")), "lhs"
+    ).select(
+        "lhs",
+        "rhs",
+        "lhs_values",
+        "shared_values",
+        (F.col("shared_values") == F.col("lhs_values")).alias("contained"),
+    )

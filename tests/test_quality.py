@@ -455,3 +455,70 @@ def test_gopher_rules_flags_and_summary(spark):
     assert summ["a"]["n_docs"] == 2 and summ["a"]["n_pass"] == 1
     assert summ["a"]["fail_word_count"] == 1
     assert summ["b"]["fail_symbol"] >= 1 and summ["b"]["fail_bullet"] >= 1
+
+
+def test_inclusion_dependencies_finds_planted_fk(spark):
+    """A ⊆ B holds exactly when every A value appears in B; reverse
+    direction and overlapping-but-not-contained pairs are rejected."""
+    from k_means_using_mapreduce_spark.operators.quality import (
+        inclusion_dependencies,
+    )
+
+    child = spark.createDataFrame(
+        [(1,), (2,), (2,), (3,)], "fk int"
+    )
+    parent = spark.createDataFrame(
+        [(1,), (2,), (3,), (4,), (5,)], "pk int"
+    )
+    sibling = spark.createDataFrame(
+        [(3,), (4,), (99,)], "sk int"
+    )
+    out = {
+        (r["lhs"], r["rhs"]): r
+        for r in inclusion_dependencies(
+            {
+                "child.fk": (child, "fk"),
+                "parent.pk": (parent, "pk"),
+                "sib.sk": (sibling, "sk"),
+            }
+        ).collect()
+    }
+    r = out[("child.fk", "parent.pk")]
+    assert r["contained"] and r["lhs_values"] == 3 and r["shared_values"] == 3
+    # parent has 5 distinct values, only 3 shared with child
+    assert not out[("parent.pk", "child.fk")]["contained"]
+    # sibling overlaps parent (3, 4) but 99 breaks containment
+    assert not out[("sib.sk", "parent.pk")]["contained"]
+    assert out[("sib.sk", "parent.pk")]["shared_values"] == 2
+    # disjoint-ish pairs with zero overlap are not emitted at all
+    assert ("sib.sk", "child.fk") in out  # shares value 3
+    import pytest as _p
+
+    with _p.raises(ValueError, match="at least 2"):
+        inclusion_dependencies({"a": (child, "fk")})
+
+
+def test_inclusion_dependencies_recovers_tpch_fk_skeleton(spark, sf_oracle):
+    """On the TPC-H tables the discovered IND set contains the true
+    foreign-key edges and rejects a non-edge."""
+    from k_means_using_mapreduce_spark.contracts.quality_queries import (
+        ind_discovery_tpch,
+    )
+
+    got = {
+        (r["lhs"], r["rhs"])
+        for r in ind_discovery_tpch(spark, sf_oracle).collect()
+        if r["contained"]
+    }
+    for edge in [
+        ("o_custkey", "c_custkey"),
+        ("l_orderkey", "o_orderkey"),
+        ("l_partkey", "p_partkey"),
+        ("l_suppkey", "s_suppkey"),
+        ("c_nationkey", "n_nationkey"),
+        ("s_nationkey", "n_nationkey"),
+        ("n_regionkey", "r_regionkey"),
+    ]:
+        assert edge in got, f"missing IND {edge}"
+    # custkeys outnumber the 25 nationkeys => reverse never contained
+    assert ("c_custkey", "n_nationkey") not in got
