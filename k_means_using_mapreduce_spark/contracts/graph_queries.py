@@ -647,3 +647,91 @@ FROM m
 
 QUERIES["transition_reciprocity"] = transition_reciprocity
 ORACLE_SQL["transition_reciprocity"] = RECIPROCITY_SQL
+
+
+_HMM_EMIT = {
+    "view": (0.35, 0.10),
+    "click": (0.35, 0.15),
+    "signup": (0.10, 0.20),
+    "error": (0.10, 0.15),
+    "purchase": (0.10, 0.40),
+}
+_HMM_TRANS = ((0.85, 0.15), (0.25, 0.75))
+_HMM_INIT = (0.7, 0.3)
+_HMM_FLOOR = 1e-3
+
+
+def hmm_viterbi_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-parameter 2-state HMM Viterbi decode of each user's
+    event sequence (operators/graph.py::hmm_viterbi_scores): final
+    state scores, the Viterbi log-probability, and the decoded final
+    state under a literal browse/transact emission model. Emission
+    log-probs fold in as a JVM CASE projection; only the sequential
+    max-recursion runs in a per-user Arrow kernel, replayed by the
+    oracle as a recursive CTE with GREATEST over the exact same
+    log literals."""
+    from ..operators.graph import hmm_viterbi_scores
+
+    return hmm_viterbi_scores(
+        load_table(spark, sf_dir, "events"),
+        emissions=_HMM_EMIT,
+        transitions=_HMM_TRANS,
+        initial=_HMM_INIT,
+        floor=_HMM_FLOOR,
+    )
+
+
+def _hmm_sql() -> str:
+    import math
+
+    ln = math.log
+    (a00, a01), (a10, a11) = _HMM_TRANS
+    pi0, pi1 = _HMM_INIT
+
+    def case(state: int) -> str:
+        whens = " ".join(
+            f"WHEN '{sym}' THEN CAST({ln(probs[state])!r} AS DOUBLE)"
+            for sym, probs in sorted(_HMM_EMIT.items())
+        )
+        return (
+            f"CASE event_type {whens} "
+            f"ELSE CAST({ln(_HMM_FLOOR)!r} AS DOUBLE) END"
+        )
+
+    return f"""
+WITH RECURSIVE seq AS (
+  SELECT user_id AS user,
+    row_number() OVER (PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS idx,
+    {case(0)} AS e0,
+    {case(1)} AS e1
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+vt AS (
+  SELECT user, idx,
+         CAST({ln(pi0)!r} AS DOUBLE) + e0 AS v0,
+         CAST({ln(pi1)!r} AS DOUBLE) + e1 AS v1
+  FROM seq WHERE idx = 1
+  UNION ALL
+  SELECT s.user, s.idx,
+    s.e0 + greatest(vt.v0 + CAST({ln(a00)!r} AS DOUBLE),
+                    vt.v1 + CAST({ln(a10)!r} AS DOUBLE)) AS v0,
+    s.e1 + greatest(vt.v0 + CAST({ln(a01)!r} AS DOUBLE),
+                    vt.v1 + CAST({ln(a11)!r} AS DOUBLE)) AS v1
+  FROM vt JOIN seq s ON s.user = vt.user AND s.idx = vt.idx + 1
+),
+fin AS (
+  SELECT user, idx, v0, v1,
+         row_number() OVER (PARTITION BY user ORDER BY idx DESC) AS rk
+  FROM vt
+)
+SELECT user, CAST(idx AS BIGINT) AS n, v0, v1,
+       greatest(v0, v1) AS logp,
+       CAST(CASE WHEN v1 > v0 THEN 1 ELSE 0 END AS INT) AS best_state
+FROM fin WHERE rk = 1
+"""
+
+
+QUERIES["hmm_viterbi_users"] = hmm_viterbi_users
+ORACLE_SQL["hmm_viterbi_users"] = _hmm_sql()

@@ -34,9 +34,10 @@ driver-loop shape mirrors operators/kmeans.py::kmeans_fit
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..sources.loaders import ns_to_us
@@ -1040,3 +1041,114 @@ def reciprocity(
         [(n, m, (m / n) if n else None)],
         "n_edges long, n_reciprocal long, reciprocity double",
     )
+
+
+def hmm_viterbi_scores(
+    events: DataFrame,
+    *,
+    emissions: "dict[str, tuple[float, float]]",
+    transitions: "tuple[tuple[float, float], tuple[float, float]]" = (
+        (0.85, 0.15),
+        (0.25, 0.75),
+    ),
+    initial: "tuple[float, float]" = (0.7, 0.3),
+    floor: float = 1e-3,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Viterbi decoding of a FIXED-PARAMETER 2-state HMM over each
+    user's event sequence — the latent-state upgrade of
+    :func:`markov_sequence_scores` (which scores sequences under a
+    memoryless observed-state chain): per user, the max-probability
+    hidden-state path score under
+
+        v_s(1) = ln π_s + ln e_s(o_1)
+        v_s(t) = ln e_s(o_t) + max_r [ v_r(t−1) + ln a_{rs} ]
+
+    in the log domain. ``emissions`` maps each observation symbol to
+    its per-state probabilities ``(p_state0, p_state1)``; unseen
+    symbols fall back to ``floor`` in both states. Parameters are
+    literals (no EM here — see kmeans/gmm for fitting), so the decode
+    is fully deterministic and oracle-checkable.
+
+    Reports per user the final state scores ``(v0, v1)``, the Viterbi
+    log-probability ``max(v0, v1)``, and the decoded final state
+    (ties break to state 0).
+
+    Scale shape: emission log-probs are folded JVM-side as a literal
+    CASE projection (one narrow scan, no UDF); only the inherently
+    sequential max-recursion runs in a per-key Arrow kernel over the
+    (ts, event_id)-ordered sequence — T rows in, one row out, users
+    embarrassingly parallel (the holt_linear doctrine). The SQL
+    oracle replays the recursion as a recursive CTE with GREATEST,
+    sharing the exact same log-literal constants.
+
+    Returns ``(user, n, v0, v1, logp, best_state)``.
+    """
+    if not emissions:
+        raise ValueError("emissions table must be non-empty")
+    for sym, (p0, p1) in emissions.items():
+        if not (0.0 < p0 <= 1.0 and 0.0 < p1 <= 1.0):
+            raise ValueError(
+                f"emission probs must be in (0, 1], got {sym}: {(p0, p1)}"
+            )
+    (a00, a01), (a10, a11) = transitions
+    pi0, pi1 = initial
+    for p in (a00, a01, a10, a11, pi0, pi1, floor):
+        if not 0.0 < p < 1.0:
+            raise ValueError(
+                "transition/initial/floor probabilities must be in (0, 1)"
+            )
+    ln = math.log
+    l_a00, l_a01, l_a10, l_a11 = ln(a00), ln(a01), ln(a10), ln(a11)
+    l_pi0, l_pi1, l_floor = ln(pi0), ln(pi1), ln(floor)
+
+    def _emit(state: int) -> Column:
+        expr = F.lit(l_floor)
+        for sym, probs in sorted(emissions.items()):
+            expr = F.when(
+                F.col(type_col) == sym, F.lit(ln(probs[state]))
+            ).otherwise(expr)
+        return expr
+
+    seq = events.where(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("user"),
+        ns_to_us(ts_col).alias("_ts_us"),
+        F.col(id_col).alias("_eid"),
+        _emit(0).alias("e0"),
+        _emit(1).alias("e1"),
+    )
+    user_type = seq.schema["user"].dataType.simpleString()
+    out_schema = (
+        f"user {user_type}, n long, v0 double, v1 double, "
+        "logp double, best_state int"
+    )
+
+    def _viterbi_kernel(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["_ts_us", "_eid"])
+        e0s = pdf["e0"].tolist()
+        e1s = pdf["e1"].tolist()
+        v0 = l_pi0 + e0s[0]
+        v1 = l_pi1 + e1s[0]
+        for e0, e1 in zip(e0s[1:], e1s[1:]):
+            n0 = e0 + max(v0 + l_a00, v1 + l_a10)
+            n1 = e1 + max(v0 + l_a01, v1 + l_a11)
+            v0, v1 = n0, n1
+        return pd.DataFrame(
+            {
+                "user": [pdf["user"].iloc[0]],
+                "n": [len(e0s)],
+                "v0": [v0],
+                "v1": [v1],
+                "logp": [max(v0, v1)],
+                "best_state": [1 if v1 > v0 else 0],
+            }
+        )
+
+    return seq.groupBy("user").applyInPandas(_viterbi_kernel, out_schema)

@@ -354,3 +354,85 @@ def test_reciprocity_hand_cases(spark):
     # empty graph: NULL ratio
     empty = spark.createDataFrame([], "src string, dst string")
     assert reciprocity(empty).collect()[0]["reciprocity"] is None
+
+
+def _hmm_events(spark, types, user=1):
+    rows = [
+        (i + 1, 1_000_000_000 * (i + 1), user, t, 1.0)
+        for i, t in enumerate(types)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double",
+    )
+
+
+def test_hmm_viterbi_matches_brute_force_path_max(spark):
+    """The recursion's final max(v0, v1) equals the exhaustive maximum
+    over all 2^T hidden paths, and the decode flips to the transact
+    state on a purchase-heavy tail."""
+    import itertools
+    import math
+
+    from k_means_using_mapreduce_spark.operators.graph import (
+        hmm_viterbi_scores,
+    )
+
+    emit = {
+        "view": (0.35, 0.10),
+        "click": (0.35, 0.15),
+        "purchase": (0.10, 0.40),
+    }
+    trans = ((0.85, 0.15), (0.25, 0.75))
+    init = (0.7, 0.3)
+    types = ["view", "click", "purchase", "purchase", "purchase"]
+    r = hmm_viterbi_scores(
+        _hmm_events(spark, types),
+        emissions=emit,
+        transitions=trans,
+        initial=init,
+    ).collect()[0]
+
+    best = -float("inf")
+    for path in itertools.product([0, 1], repeat=len(types)):
+        lp = math.log(init[path[0]]) + math.log(emit[types[0]][path[0]])
+        for t in range(1, len(types)):
+            lp += math.log(trans[path[t - 1]][path[t]])
+            lp += math.log(emit[types[t]][path[t]])
+        best = max(best, lp)
+    assert r["logp"] == pytest.approx(best, abs=1e-12)
+    assert r["best_state"] == 1  # purchase run ends in the transact state
+    assert r["n"] == len(types)
+
+
+def test_hmm_viterbi_floor_and_guards(spark):
+    """Unseen symbols emit at the floor in both states; invalid
+    parameters raise."""
+    import math
+
+    from k_means_using_mapreduce_spark.operators.graph import (
+        hmm_viterbi_scores,
+    )
+
+    emit = {"view": (0.9, 0.1)}
+    r = hmm_viterbi_scores(
+        _hmm_events(spark, ["mystery"]), emissions=emit, floor=1e-3
+    ).collect()[0]
+    # single unseen symbol: v_s = ln pi_s + ln floor
+    assert r["v0"] == pytest.approx(math.log(0.7) + math.log(1e-3))
+    assert r["v1"] == pytest.approx(math.log(0.3) + math.log(1e-3))
+    assert r["best_state"] == 0  # tie-free: pi0 > pi1
+
+    with pytest.raises(ValueError, match="non-empty"):
+        hmm_viterbi_scores(_hmm_events(spark, ["view"]), emissions={})
+    with pytest.raises(ValueError, match="emission probs"):
+        hmm_viterbi_scores(
+            _hmm_events(spark, ["view"]), emissions={"view": (0.0, 1.0)}
+        )
+    with pytest.raises(ValueError, match="in \\(0, 1\\)"):
+        hmm_viterbi_scores(
+            _hmm_events(spark, ["view"]),
+            emissions=emit,
+            initial=(1.0, 0.0),
+        )
