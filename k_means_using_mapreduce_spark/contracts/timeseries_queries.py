@@ -1991,3 +1991,79 @@ FROM fin WHERE rk = 1
 
 QUERIES["kalman_level_hourly_events"] = kalman_level_hourly_events
 ORACLE_SQL["kalman_level_hourly_events"] = _kalman_sql()
+
+
+def dtw_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DTW distance between the hourly click and purchase series
+    (operators/timeseries.py::dtw_distance): total warped cost and
+    per-step average. Integer-exact DP (squared integer costs, min/+),
+    so the hash gate is drift-proof; the oracle marches the DP by
+    anti-diagonals in a recursive CTE carrying the two trailing
+    diagonals as list state."""
+    from ..operators.timeseries import dtw_distance
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", ns_to_timestamp("ts")
+    )
+    return dtw_distance(ev, cause="click", effect="purchase")
+
+
+_DTW_INF = 1 << 62
+
+DTW_SQL = f"""
+WITH RECURSIVE counts AS (
+  SELECT event_type AS key,
+         epoch_us(ts) - epoch_us(ts) % {_HOUR_US} AS bucket_us,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(bucket_us) AS lo, max(bucket_us) AS hi FROM counts),
+grid AS (
+  SELECT unnest(range(lo, hi + {_HOUR_US}, {_HOUR_US})) AS bucket_us
+  FROM bounds
+),
+series AS MATERIALIZED (
+  SELECT CAST(count(*) AS BIGINT) AS t,
+         list(CAST(coalesce(ca.n, 0) AS BIGINT)
+              ORDER BY g.bucket_us) AS av,
+         list(CAST(coalesce(cb.n, 0) AS BIGINT)
+              ORDER BY g.bucket_us) AS bv
+  FROM grid g
+  LEFT JOIN counts ca ON ca.key = 'click' AND ca.bucket_us = g.bucket_us
+  LEFT JOIN counts cb ON cb.key = 'purchase' AND cb.bucket_us = g.bucket_us
+),
+vt AS (
+  SELECT CAST(2 AS BIGINT) AS k,
+    list_transform(range(1, t + 1),
+                   i -> CAST(NULL AS BIGINT)) AS dp,
+    list_transform(range(1, t + 1), i ->
+      CASE WHEN i = 1
+           THEN (av[1] - bv[1]) * (av[1] - bv[1]) END) AS dc
+  FROM series
+  UNION ALL
+  SELECT vt.k + 1,
+    vt.dc AS dp,
+    list_transform(range(1, s.t + 1), i ->
+      CASE WHEN vt.k + 1 - i BETWEEN 1 AND s.t THEN
+        (s.av[i] - s.bv[vt.k + 1 - i])
+          * (s.av[i] - s.bv[vt.k + 1 - i])
+        + least(
+            coalesce(CASE WHEN i > 1 THEN vt.dc[i - 1] END,
+                     {_DTW_INF}),
+            coalesce(vt.dc[i], {_DTW_INF}),
+            coalesce(CASE WHEN i > 1 THEN vt.dp[i - 1] END,
+                     {_DTW_INF}))
+      END) AS dc
+  FROM vt, series s
+  WHERE vt.k < 2 * s.t
+)
+SELECT s.t, vt.dc[s.t] AS dtw,
+       CAST(vt.dc[s.t] AS DOUBLE)
+         / CAST(2 * s.t - 1 AS DOUBLE) AS avg_cost
+FROM vt, series s
+WHERE vt.k = 2 * s.t
+"""
+
+
+QUERIES["dtw_click_purchase"] = dtw_click_purchase
+ORACLE_SQL["dtw_click_purchase"] = DTW_SQL

@@ -2166,3 +2166,82 @@ def kalman_level(
         )
 
     return grid.groupBy("key").applyInPandas(_kalman_kernel, out_schema)
+
+
+def dtw_distance(
+    events: DataFrame,
+    *,
+    cause: str = "click",
+    effect: str = "purchase",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    unit: str = "hour",
+) -> DataFrame:
+    """Dynamic-time-warping distance between two event-type series —
+    the alignment-tolerant companion of :func:`granger_test` (which
+    assumes a FIXED one-bucket lag): over the dense
+    :func:`resample_counts` grid, the classic Sakoe–Chiba DP
+
+        D(i,j) = (a_i − b_j)² + min(D(i−1,j), D(i,j−1), D(i−1,j−1))
+
+    with D(0,0) = 0 and ∞ borders, reporting the total warped cost
+    D(T,T) and the per-step average over the shortest possible
+    warping path length (2T − 1).
+
+    Everything is INTEGER-exact: counts are integers, costs are
+    squared integer differences, and min/+ preserve integrality, so
+    the contract hash can never drift on float order — the
+    rank-join/ skyline doctrine applied to a DP.
+
+    Scale shape: the grid is corpus-independent (T buckets; the only
+    corpus-sized work is the counts groupBy), so the O(T²) table is
+    deliberately tiny and runs in ONE Arrow kernel — same cost class
+    as theil_sen's T² pair grid. The SQL oracle replays the DP as a
+    recursive CTE marching anti-diagonals with the two trailing
+    diagonals carried as list state (no within-step sequential
+    dependence: every cell on diagonal k+1 reads only diagonals k
+    and k−1).
+
+    Returns one row ``(t, dtw, avg_cost)``.
+    """
+    grid = resample_counts(events, ts_col=ts_col, key_col=key_col, unit=unit)
+    a = grid.where(F.col("key") == cause).select(
+        "bucket", F.col("n").alias("a")
+    )
+    b = grid.where(F.col("key") == effect).select(
+        "bucket", F.col("n").alias("b")
+    )
+    j = a.join(b, "bucket").select(
+        F.lit(1).alias("_g"), "bucket", "a", "b"
+    )
+
+    def _dtw_kernel(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("bucket")
+        av = pdf["a"].astype("int64").tolist()
+        bv = pdf["b"].astype("int64").tolist()
+        t = len(av)
+        inf = 1 << 62
+        prev = [0] + [inf] * t  # D(0, 0..t)
+        for i in range(1, t + 1):
+            cur = [inf]
+            for jj in range(1, t + 1):
+                c = (av[i - 1] - bv[jj - 1]) ** 2
+                cur.append(c + min(prev[jj], cur[jj - 1], prev[jj - 1]))
+            prev = cur
+        dtw = prev[t]
+        return pd.DataFrame(
+            {
+                "t": [t],
+                "dtw": [dtw],
+                "avg_cost": [float(dtw) / float(2 * t - 1)],
+            }
+        )
+
+    out_schema = "t long, dtw long, avg_cost double"
+    return (
+        j.groupBy("_g")
+        .applyInPandas(lambda pdf: _dtw_kernel(pdf), out_schema)
+        .select("t", "dtw", "avg_cost")
+    )

@@ -1006,3 +1006,66 @@ def test_kalman_level_adapts_faster_than_settled_gain(spark):
     ).collect()[0]
     assert first_gain > r["gain"]  # gain settles downward
     assert r["level"] == pytest.approx(50.0, abs=0.5)
+
+
+def _two_type_events(spark, a_counts, b_counts, a_key="click",
+                     b_key="purchase"):
+    rows = []
+    eid = 0
+    for h, c in enumerate(a_counts):
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, 3_600_000_000_000 * (h + 1), 1, a_key, 1.0))
+    for h, c in enumerate(b_counts):
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, 3_600_000_000_000 * (h + 1), 1, b_key, 1.0))
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double",
+    ).withColumn("ts", (F.col("ts") / 1e9).cast("timestamp"))
+
+
+def test_dtw_identical_series_is_zero_and_hand_dp(spark):
+    """Identical series warp at zero cost; a hand-computed 3x3 DP
+    matches exactly (integers)."""
+    from k_means_using_mapreduce_spark.operators.timeseries import (
+        dtw_distance,
+    )
+
+    r = dtw_distance(
+        _two_type_events(spark, [3, 1, 4], [3, 1, 4])
+    ).collect()[0]
+    assert r["t"] == 3 and r["dtw"] == 0 and r["avg_cost"] == 0.0
+
+    # a=[2,0,1], b=[1,1,0]: full DP by hand
+    a, b = [2, 0, 1], [1, 1, 0]
+    inf = 1 << 62
+    prev = [0] + [inf] * 3
+    for i in range(1, 4):
+        cur = [inf]
+        for j in range(1, 4):
+            c = (a[i - 1] - b[j - 1]) ** 2
+            cur.append(c + min(prev[j], cur[j - 1], prev[j - 1]))
+        prev = cur
+    r = dtw_distance(_two_type_events(spark, a, b)).collect()[0]
+    assert r["dtw"] == prev[3]
+    assert r["avg_cost"] == pytest.approx(prev[3] / 5.0)
+
+
+def test_dtw_absorbs_time_shift_lockstep_does_not(spark):
+    """A one-bucket-shifted copy of a spiky series: DTW stays near
+    zero while the lockstep (diagonal-only) cost is large — the whole
+    point of warping."""
+    from k_means_using_mapreduce_spark.operators.timeseries import (
+        dtw_distance,
+    )
+
+    base = [1, 9, 1, 1, 8, 1, 1, 7, 1]
+    shifted = [1] + base[:-1]
+    r = dtw_distance(_two_type_events(spark, base, shifted)).collect()[0]
+    lockstep = sum((x - y) ** 2 for x, y in zip(base, shifted))
+    assert r["dtw"] < lockstep / 4
