@@ -357,3 +357,118 @@ SELECT * FROM strat UNION ALL SELECT * FROM summary
 
 QUERIES["stratified_ate_events"] = stratified_ate_events
 ORACLE_SQL["stratified_ate_events"] = _stratified_ate_sql()
+
+
+_SC_TREATED = "NATION_3"
+_SC_DONORS = ("NATION_7", "NATION_12", "NATION_21")
+_SC_CUTOFF = "1999-01"
+
+
+def synthetic_control_nation_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Synthetic-control estimate of NATION_3's post-1999 monthly
+    order revenue against a 3-donor synthetic twin
+    (operators/causal.py::synthetic_control): donor weights from the
+    pre-period OLS (shared-Cramer closed form), pre-fit RMSE, and the
+    post-period average treated-minus-synthetic gap (ATT). On this
+    synthetic data the true effect is ~0 — the contract value-checks
+    the machinery, not a planted effect."""
+    from ..operators.causal import synthetic_control
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    panel = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+        )
+        .select(
+            F.col("n_name"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            F.col("o_totalprice"),
+        )
+    )
+    return synthetic_control(
+        panel,
+        unit_col="n_name",
+        time_col="month",
+        value_col="o_totalprice",
+        treated=_SC_TREATED,
+        donors=_SC_DONORS,
+        cutoff=F.lit(_SC_CUTOFF),
+    )
+
+
+def _synthetic_control_sql() -> str:
+    t0 = _SC_TREATED
+    d1, d2, d3 = _SC_DONORS
+    cut = _SC_CUTOFF
+
+    def series(name: str, alias: str) -> str:
+        return (
+            f"coalesce(sum(CASE WHEN n_name = '{name}' "
+            f"THEN o_totalprice END), 0.0) AS {alias}"
+        )
+
+    return f"""
+WITH panel AS MATERIALIZED (
+  SELECT strftime(o_orderdate, '%Y-%m') AS t,
+    {series(t0, "y")},
+    {series(d1, "d1")},
+    {series(d2, "d2")},
+    {series(d3, "d3")}
+  FROM orders
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  WHERE n_name IN ('{t0}', '{d1}', '{d2}', '{d3}')
+  GROUP BY 1
+),
+pre AS MATERIALIZED (
+  SELECT
+    sum(d1 * d1) AS s11, sum(d1 * d2) AS s12, sum(d1 * d3) AS s13,
+    sum(d2 * d2) AS s22, sum(d2 * d3) AS s23, sum(d3 * d3) AS s33,
+    sum(d1 * y) AS b1, sum(d2 * y) AS b2, sum(d3 * y) AS b3
+  FROM panel WHERE t < '{cut}'
+),
+dets AS MATERIALIZED (
+  SELECT pre.*,
+    s11 * (s22 * s33 - s23 * s23)
+      - s12 * (s12 * s33 - s23 * s13)
+      + s13 * (s12 * s23 - s22 * s13) AS det
+  FROM pre
+),
+wts AS MATERIALIZED (
+  SELECT
+    (b1 * (s22 * s33 - s23 * s23)
+      - s12 * (b2 * s33 - s23 * b3)
+      + s13 * (b2 * s23 - s22 * b3)) / det AS w1,
+    (s11 * (b2 * s33 - s23 * b3)
+      - b1 * (s12 * s33 - s23 * s13)
+      + s13 * (s12 * b3 - b2 * s13)) / det AS w2,
+    (s11 * (s22 * b3 - b2 * s23)
+      - s12 * (s12 * b3 - b2 * s13)
+      + b1 * (s12 * s23 - s22 * s13)) / det AS w3
+  FROM dets
+),
+scored AS (
+  SELECT t < '{cut}' AS pre_w,
+         y - (w1 * d1 + w2 * d2 + w3 * d3) AS gap,
+         w1, w2, w3
+  FROM panel CROSS JOIN wts
+)
+SELECT
+  CAST(sum(CASE WHEN pre_w THEN 1 ELSE 0 END) AS BIGINT) AS n_pre,
+  CAST(sum(CASE WHEN NOT pre_w THEN 1 ELSE 0 END) AS BIGINT) AS n_post,
+  any_value(w1) AS w1, any_value(w2) AS w2, any_value(w3) AS w3,
+  sqrt(sum(CASE WHEN pre_w THEN gap * gap END)
+       / sum(CASE WHEN pre_w THEN 1.0 END)) AS pre_rmse,
+  sum(CASE WHEN NOT pre_w THEN gap END)
+    / sum(CASE WHEN NOT pre_w THEN 1.0 END) AS att
+FROM scored
+"""
+
+
+QUERIES["synthetic_control_nation_revenue"] = synthetic_control_nation_revenue
+ORACLE_SQL["synthetic_control_nation_revenue"] = _synthetic_control_sql()

@@ -502,3 +502,115 @@ def stratified_ate(
         )
     )
     return strat_rows.unionByName(summary)
+
+
+def synthetic_control(
+    panel: DataFrame,
+    *,
+    unit_col: str,
+    time_col: str,
+    value_col: str,
+    treated: str,
+    donors: Sequence[str],
+    cutoff: Column,
+) -> DataFrame:
+    """Synthetic-control effect estimate (Abadie et al.) for ONE
+    treated unit against a 3-donor pool — the panel sibling of
+    ``hypothesis.diff_in_diff``: instead of assuming parallel trends,
+    BUILD the counterfactual as the donor combination that best
+    tracks the treated unit pre-intervention,
+
+        y_treated,t ≈ w₁·d₁,t + w₂·d₂,t + w₃·d₃,t   (pre-period OLS)
+
+    then read the effect as the post-period gap to that synthetic
+    twin. This is the regression-weights variant (weights solved by
+    unconstrained least squares, no simplex constraint — Doudchenko
+    & Imbens form): exactly closed-form, hence oracle-checkable via
+    the shared 3×3 Cramer expansion (``regression._cramer3``).
+
+    ``panel`` holds one row per (unit, period) with the outcome;
+    ``cutoff`` is a Column boundary — periods strictly BEFORE it are
+    the fit window, the rest score the effect.
+
+    Returns one row ``(n_pre, n_post, w1, w2, w3, pre_rmse, att)``
+    where ``att`` is the mean post-period (actual − synthetic) gap.
+
+    Scale shape: one groupBy(period) builds the 4-series panel via
+    conditional sums (map-side combined; unit filter pushed to the
+    scan), one 9-double aggregate over the pre window feeds the
+    driver's 3×3 solve, and one final scan scores both windows —
+    three passes over a T-row panel, no joins wider than the panel
+    build.
+    """
+    if len(donors) != 3:
+        raise ValueError(
+            f"synthetic_control is the explicit 3-donor closed form, "
+            f"got {len(donors)} donors"
+        )
+    if treated in donors:
+        raise ValueError(f"treated unit {treated!r} cannot be a donor")
+    from .regression import _cramer3
+
+    u, v = F.col(unit_col), F.col(value_col).cast("double")
+
+    def series(name: str) -> Column:
+        return F.coalesce(F.sum(F.when(u == name, v)), F.lit(0.0))
+
+    keep = [treated, *donors]
+    grid = (
+        panel.where(u.isin(keep))
+        .groupBy(F.col(time_col).alias("_t"))
+        .agg(
+            series(treated).alias("y"),
+            series(donors[0]).alias("d1"),
+            series(donors[1]).alias("d2"),
+            series(donors[2]).alias("d3"),
+        )
+        .withColumn("_pre", F.col("_t") < cutoff)
+    )
+    y, d1, d2, d3 = F.col("y"), F.col("d1"), F.col("d2"), F.col("d3")
+    s = grid.where("_pre").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(d1 * d1).alias("s11"),
+        F.sum(d1 * d2).alias("s12"),
+        F.sum(d1 * d3).alias("s13"),
+        F.sum(d2 * d2).alias("s22"),
+        F.sum(d2 * d3).alias("s23"),
+        F.sum(d3 * d3).alias("s33"),
+        F.sum(d1 * y).alias("b1"),
+        F.sum(d2 * y).alias("b2"),
+        F.sum(d3 * y).alias("b3"),
+    ).collect()[0]
+    if s["n"] < 4.0:
+        raise ValueError(
+            f"need at least 4 pre-cutoff periods, got {int(s['n'])}"
+        )
+    w1, w2, w3 = _cramer3(
+        [
+            [s["s11"], s["s12"], s["s13"]],
+            [s["s12"], s["s22"], s["s23"]],
+            [s["s13"], s["s23"], s["s33"]],
+        ],
+        [s["b1"], s["b2"], s["b3"]],
+    )
+    synth = F.lit(w1) * d1 + F.lit(w2) * d2 + F.lit(w3) * d3
+    gap = y - synth
+    return grid.agg(
+        F.sum(F.when(F.col("_pre"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pre"),
+        F.sum(F.when(~F.col("_pre"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_post"),
+        F.lit(w1).alias("w1"),
+        F.lit(w2).alias("w2"),
+        F.lit(w3).alias("w3"),
+        F.sqrt(
+            F.sum(F.when(F.col("_pre"), gap * gap))
+            / F.sum(F.when(F.col("_pre"), 1.0))
+        ).alias("pre_rmse"),
+        (
+            F.sum(F.when(~F.col("_pre"), gap))
+            / F.sum(F.when(~F.col("_pre"), 1.0))
+        ).alias("att"),
+    )

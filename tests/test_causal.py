@@ -214,3 +214,64 @@ def test_stratified_ate_removes_confounding(spark):
     assert out[0]["effect"] is None and out[0]["n_treated"] == 0
     # summary excludes single-arm strata from its weight
     assert out[-1]["n"] == 200
+
+
+def test_synthetic_control_recovers_planted_weights_and_effect(spark):
+    """Treated unit built as an exact donor combination pre-cutoff,
+    plus a constant +50 jump post-cutoff: weights recover exactly,
+    pre-RMSE is ~0, and ATT reads the planted jump."""
+    from k_means_using_mapreduce_spark.operators.causal import (
+        synthetic_control,
+    )
+    from pyspark.sql import functions as F
+
+    w_true = (0.5, 0.3, 0.2)
+    rows = []
+    for t in range(20):
+        period = f"2024-{t + 1:02d}"  # lexicographic order is fine
+        d = (100.0 + 7 * t, 80.0 + 3 * ((t * 5) % 11), 120.0 - 2 * t)
+        y = sum(w * x for w, x in zip(w_true, d))
+        if t >= 12:
+            y += 50.0
+        rows.append(("treated", period, y))
+        for name, x in zip(("a", "b", "c"), d):
+            rows.append((name, period, x))
+    df = spark.createDataFrame(rows, "unit string, t string, v double")
+    r = synthetic_control(
+        df,
+        unit_col="unit",
+        time_col="t",
+        value_col="v",
+        treated="treated",
+        donors=("a", "b", "c"),
+        cutoff=F.lit("2024-13"),
+    ).collect()[0]
+    assert r["n_pre"] == 12 and r["n_post"] == 8
+    assert r["w1"] == pytest.approx(0.5, abs=1e-9)
+    assert r["w2"] == pytest.approx(0.3, abs=1e-9)
+    assert r["w3"] == pytest.approx(0.2, abs=1e-9)
+    assert r["pre_rmse"] == pytest.approx(0.0, abs=1e-9)
+    assert r["att"] == pytest.approx(50.0, abs=1e-9)
+
+
+def test_synthetic_control_guards(spark):
+    from k_means_using_mapreduce_spark.operators.causal import (
+        synthetic_control,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("t", "2024-01", 1.0), ("a", "2024-01", 1.0)],
+        "unit string, t string, v double",
+    )
+    kw = dict(unit_col="unit", time_col="t", value_col="v", treated="t")
+    with pytest.raises(ValueError, match="3-donor"):
+        synthetic_control(df, donors=("a",), cutoff=F.lit("z"), **kw)
+    with pytest.raises(ValueError, match="cannot be a donor"):
+        synthetic_control(
+            df, donors=("t", "a", "b"), cutoff=F.lit("z"), **kw
+        )
+    with pytest.raises(ValueError, match="pre-cutoff periods"):
+        synthetic_control(
+            df, donors=("a", "b", "c"), cutoff=F.lit("2024-09"), **kw
+        )
