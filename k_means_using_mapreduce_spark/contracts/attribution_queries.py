@@ -90,3 +90,114 @@ GROUP BY channel
 
 QUERIES = {"attribution_report_events": attribution_report_events}
 ORACLE_SQL = {"attribution_report_events": ATTRIBUTION_SQL}
+
+
+_SHAP_CHANNELS = ("view", "click", "signup")
+
+
+def shapley_attribution_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shapley-value attribution of purchase conversions across the
+    view/click/signup exposure channels
+    (operators/attribution.py::shapley_attribution): coalition values
+    are exact-set conversion rates built from INTEGER (n, k) cell
+    counts, so the Shapley arithmetic lands on identical doubles in
+    both engines. On this synthetic corpus every user is exposed to
+    every channel, so the credits degenerate to the symmetric 1/3
+    split — the contract gates the machinery; the unit tests
+    (test_attribution.py) carry the non-degenerate axiom checks."""
+    from ..operators.attribution import shapley_attribution
+
+    return shapley_attribution(
+        load_table(spark, sf_dir, "events"), channels=_SHAP_CHANNELS
+    )
+
+
+def _shapley_sql() -> str:
+    c1, c2, c3 = _SHAP_CHANNELS
+    filters = []
+    for a in (0, 1):
+        for b in (0, 1):
+            for c in (0, 1):
+                key = f"{a}{b}{c}"
+                cond = f"c1 = {a} AND c2 = {b} AND c3 = {c}"
+                filters.append(
+                    f"count(*) FILTER ({cond}) AS n{key},\n"
+                    f"    sum(conv) FILTER ({cond}) AS k{key}"
+                )
+    cells = ",\n    ".join(filters)
+    vdefs = ",\n    ".join(
+        f"CASE WHEN n{k} > 0 THEN CAST(k{k} AS DOUBLE) "
+        f"/ CAST(n{k} AS DOUBLE) ELSE 0.0 END AS v{k}"
+        for k in [
+            f"{a}{b}{c}"
+            for a in (0, 1)
+            for b in (0, 1)
+            for c in (0, 1)
+        ]
+    )
+
+    def exposed(pos: int) -> tuple[str, str]:
+        keys = [
+            f"{a}{b}{c}"
+            for a in (0, 1)
+            for b in (0, 1)
+            for c in (0, 1)
+            if f"{a}{b}{c}"[pos] == "1"
+        ]
+        return (
+            " + ".join(f"n{k}" for k in keys),
+            " + ".join(f"coalesce(k{k}, 0)" for k in keys),
+        )
+
+    def phi(pos: int) -> str:
+        def k(me: int, o1: int, o2: int) -> str:
+            bits = [0, 0, 0]
+            bits[pos] = me
+            others = [i for i in range(3) if i != pos]
+            bits[others[0]], bits[others[1]] = o1, o2
+            return "".join(map(str, bits))
+
+        return (
+            f"(v{k(1, 0, 0)} - v{k(0, 0, 0)}) / 3.0"
+            f" + (v{k(1, 1, 0)} - v{k(0, 1, 0)}) / 6.0"
+            f" + (v{k(1, 0, 1)} - v{k(0, 0, 1)}) / 6.0"
+            f" + (v{k(1, 1, 1)} - v{k(0, 1, 1)}) / 3.0"
+        )
+
+    rows = []
+    for i, ch in enumerate((c1, c2, c3)):
+        n_expr, k_expr = exposed(i)
+        rows.append(
+            f"SELECT '{ch}' AS channel,"
+            f" CAST({n_expr} AS BIGINT) AS n_exposed,"
+            f" CAST({k_expr} AS BIGINT) AS n_converted,"
+            f" {phi(i)} AS shapley FROM vals"
+        )
+    union = "\nUNION ALL\n".join(rows)
+    return f"""
+WITH per_user AS (
+  SELECT user_id,
+    max(CASE WHEN event_type = '{c1}' THEN 1 ELSE 0 END) AS c1,
+    max(CASE WHEN event_type = '{c2}' THEN 1 ELSE 0 END) AS c2,
+    max(CASE WHEN event_type = '{c3}' THEN 1 ELSE 0 END) AS c3,
+    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+),
+cells AS MATERIALIZED (
+  SELECT
+    {cells}
+  FROM per_user
+),
+vals AS (
+  SELECT cells.*,
+    {vdefs}
+  FROM cells
+)
+{union}
+"""
+
+
+QUERIES["shapley_attribution_events"] = shapley_attribution_events
+ORACLE_SQL["shapley_attribution_events"] = _shapley_sql()

@@ -143,3 +143,114 @@ def attribution_report(credits: DataFrame) -> DataFrame:
         F.sum("time_decay").alias("time_decay"),
         F.sum("position").alias("position"),
     )
+
+
+def shapley_attribution(
+    events: DataFrame,
+    *,
+    channels: Sequence[str] = ("view", "click", "signup"),
+    conv_type: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Shapley-value channel attribution over EXPOSURE SETS — the
+    game-theoretic member of the credit-model family
+    (:func:`attribution_credits` covers the path heuristics): estimate
+    the coalition value v(T) as the observed conversion rate of users
+    exposed to exactly channel set T, then split credit by the exact
+    3-player Shapley formula
+
+        φ_c = Σ_{T ⊆ C\\{c}} |T|!·(|C|−|T|−1)!/|C|! · [v(T∪{c}) − v(T)]
+
+    with v(∅) = 0 (credit is incremental over no exposure). This is
+    the data-driven model marketing stacks run next to last-touch —
+    order-free, so it needs only per-user exposure FLAGS, not paths.
+
+    Exactly 3 channels (8 coalition cells, weights 1/3, 1/6, 1/3) —
+    the closed form stays enumerable and oracle-checkable; for larger
+    C the factorial blowup wants sampling, out of scope here.
+
+    Scale shape: one user-keyed groupBy builds 4 boolean flags, one
+    8-cell conditional aggregate reduces to INTEGER (n, k) pairs per
+    coalition, and the Shapley arithmetic runs driver-side on those
+    integers — identical doubles in any engine, no float-order risk.
+
+    Returns 3 rows ``(channel, n_exposed, n_converted, shapley)``.
+    """
+    if len(channels) != 3:
+        raise ValueError(
+            f"shapley_attribution is the explicit 3-channel closed "
+            f"form, got {len(channels)} channels"
+        )
+    if conv_type in channels:
+        raise ValueError(f"conversion {conv_type!r} cannot be a channel")
+    t = F.col(type_col)
+    flags = events.where(F.col(user_col).isNotNull()).groupBy(
+        F.col(user_col)
+    ).agg(
+        *[
+            F.max(F.when(t == ch, 1).otherwise(0)).alias(f"c{i}")
+            for i, ch in enumerate(channels, 1)
+        ],
+        F.max(F.when(t == conv_type, 1).otherwise(0)).alias("conv"),
+    )
+    cells = {}
+    aggs = []
+    for a in (0, 1):
+        for b in (0, 1):
+            for c in (0, 1):
+                m = (
+                    (F.col("c1") == a)
+                    & (F.col("c2") == b)
+                    & (F.col("c3") == c)
+                )
+                key = f"{a}{b}{c}"
+                cells[key] = m
+                aggs.append(
+                    F.sum(F.when(m, 1).otherwise(0))
+                    .cast("long")
+                    .alias(f"n{key}")
+                )
+                aggs.append(
+                    F.sum(F.when(m, F.col("conv")).otherwise(0))
+                    .cast("long")
+                    .alias(f"k{key}")
+                )
+    s = flags.agg(*aggs).collect()[0]
+
+    def v(key: str) -> float:
+        n = s[f"n{key}"]
+        return (float(s[f"k{key}"]) / float(n)) if n > 0 else 0.0
+
+    def phi(pos: int) -> float:
+        # subsets of the other two channels: weights 1/3, 1/6, 1/6, 1/3
+        def k(me: int, o1: int, o2: int) -> str:
+            bits = [0, 0, 0]
+            bits[pos] = me
+            others = [i for i in range(3) if i != pos]
+            bits[others[0]], bits[others[1]] = o1, o2
+            return "".join(map(str, bits))
+
+        return (
+            (v(k(1, 0, 0)) - v(k(0, 0, 0))) / 3.0
+            + (v(k(1, 1, 0)) - v(k(0, 1, 0))) / 6.0
+            + (v(k(1, 0, 1)) - v(k(0, 0, 1))) / 6.0
+            + (v(k(1, 1, 1)) - v(k(0, 1, 1))) / 3.0
+        )
+
+    def exposed(pos: int) -> tuple[int, int]:
+        n = k = 0
+        for key in cells:
+            if key[pos] == "1":
+                n += s[f"n{key}"]
+                k += s[f"k{key}"]
+        return n, k
+
+    rows = []
+    for i, ch in enumerate(channels):
+        n, k = exposed(i)
+        rows.append((ch, n, k, phi(i)))
+    return events.sparkSession.createDataFrame(
+        rows, "channel string, n_exposed long, n_converted long, "
+        "shapley double"
+    )

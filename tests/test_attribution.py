@@ -122,3 +122,71 @@ def test_report_totals_equal_touched_conversions(spark):
     a = {r["channel"]: r for r in rep.collect()}
     assert a["a"]["conversions"] == 2 and a["b"]["conversions"] == 1
     assert a["b"]["last_touch"] == pytest.approx(1.0)
+
+
+def test_shapley_attribution_efficiency_and_symmetry(spark):
+    """Shapley axioms on a constructed exposure table: (efficiency)
+    the three credits sum to v(full set); (symmetry) two channels with
+    identical marginal contributions get equal credit; (null player)
+    a channel that never changes conversion rates gets zero."""
+    from k_means_using_mapreduce_spark.operators.attribution import (
+        shapley_attribution,
+    )
+
+    # users: exposure pattern -> (count, conversions)
+    # design: channel A alone converts 80%, B alone 80% (symmetric),
+    # C contributes nothing anywhere (null player).
+    plan = {
+        (1, 0, 0): (10, 8),
+        (0, 1, 0): (10, 8),
+        (1, 1, 0): (10, 10),
+        (1, 0, 1): (10, 8),   # C added to A: same 80%
+        (0, 1, 1): (10, 8),   # C added to B: same 80%
+        (0, 0, 1): (10, 0),   # C alone: nothing
+        (1, 1, 1): (10, 10),  # C added to AB: same 100%
+        (0, 0, 0): (10, 0),
+    }
+    rows = []
+    uid = 0
+    chans = ("view", "click", "signup")
+    for (a, b, c), (n, k) in plan.items():
+        for i in range(n):
+            uid += 1
+            for bit, ch in zip((a, b, c), chans):
+                if bit:
+                    rows.append((uid, ch))
+            if i < k:
+                rows.append((uid, "purchase"))
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = {
+        r["channel"]: r
+        for r in shapley_attribution(df, channels=chans).collect()
+    }
+    # null player: signup's marginal contribution is 0 everywhere
+    assert out["signup"]["shapley"] == pytest.approx(0.0, abs=1e-12)
+    # symmetry: view and click are exchangeable by construction
+    assert out["view"]["shapley"] == pytest.approx(
+        out["click"]["shapley"], abs=1e-12
+    )
+    # efficiency: credits sum to v(C) = conversion rate of the full set
+    total = sum(r["shapley"] for r in out.values())
+    assert total == pytest.approx(1.0, abs=1e-12)  # v(111) = 10/10
+    assert out["view"]["n_exposed"] == 40  # 100, 110, 101, 111 cells
+
+
+def test_shapley_attribution_guards(spark):
+    from k_means_using_mapreduce_spark.operators.attribution import (
+        shapley_attribution,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "view")], "user_id long, event_type string"
+    )
+    with pytest.raises(ValueError, match="3-channel"):
+        shapley_attribution(df, channels=("view",))
+    with pytest.raises(ValueError, match="cannot be a channel"):
+        shapley_attribution(
+            df,
+            channels=("view", "click", "purchase"),
+            conv_type="purchase",
+        )
