@@ -624,3 +624,73 @@ FROM stepped GROUP BY 1
 
 QUERIES["wasserstein_price_by_flag"] = wasserstein_price_by_flag
 ORACLE_SQL["wasserstein_price_by_flag"] = WASSERSTEIN_SQL
+
+
+def t_closeness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit of events under the (event_type, hour-of-day)
+    quasi-identifier with the bucketed value as the sensitive
+    attribute (operators/cleaning.py::t_closeness_report, t = 0.02):
+    classes whose value distribution sits more than t from the global
+    one under ordered-attribute EMD. Completes the release-audit
+    ladder next to k_anonymity_events (size) and l_diversity_events
+    (variety); every EMD accumulates in ascending value order from
+    integer counts, so the threshold can never flip on float drift."""
+    from ..operators.cleaning import t_closeness_report
+
+    hour_of_day = (
+        (F.col("ts") % 86_400_000_000_000) / 3_600_000_000_000
+    ).cast("long")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        hour_of_day.alias("hour_of_day"),
+        F.floor(F.col("value") / 100).alias("value_bucket"),
+    )
+    return t_closeness_report(
+        events, ["event_type", "hour_of_day"], "value_bucket", t=0.02
+    )
+
+
+T_CLOSENESS_SQL = """
+WITH cnt AS (
+  SELECT event_type,
+         ((epoch_ns(ts) % 86400000000000) // 3600000000000) AS hod,
+         floor(value / 100) AS v,
+         CAST(count(*) AS DOUBLE) AS c
+  FROM events GROUP BY 1, 2, 3
+),
+gval AS (SELECT v, sum(c) AS gc FROM cnt GROUP BY 1),
+ng AS (SELECT event_type, hod, sum(c) AS n FROM cnt GROUP BY 1, 2),
+tot AS (
+  SELECT sum(gc) AS nn, CAST(count(*) AS DOUBLE) AS m FROM gval
+),
+grid AS (
+  SELECT ng.event_type, ng.hod, gval.v, ng.n, gval.gc,
+         coalesce(cnt.c, 0.0) AS c
+  FROM ng CROSS JOIN gval
+  LEFT JOIN cnt ON cnt.event_type = ng.event_type
+               AND cnt.hod = ng.hod AND cnt.v = gval.v
+),
+stepped AS (
+  SELECT event_type, hod, n, m,
+    abs(sum(c) OVER w / n - sum(gc) OVER w / nn) AS gap
+  FROM grid CROSS JOIN tot
+  WINDOW w AS (PARTITION BY event_type, hod ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+emd AS (
+  SELECT event_type, hod, any_value(n) AS n,
+    CASE WHEN any_value(m) > 1.0
+         THEN sum(gap) / (any_value(m) - 1.0) ELSE 0.0 END AS emd
+  FROM stepped GROUP BY 1, 2
+)
+SELECT 0.02 AS t, CAST(count(*) AS BIGINT) AS n_groups,
+  CAST(sum(CASE WHEN emd > 0.02 THEN 1 ELSE 0 END) AS BIGINT)
+    AS violating_groups,
+  CAST(sum(CASE WHEN emd > 0.02 THEN n ELSE 0.0 END) AS BIGINT)
+    AS violating_rows,
+  max(emd) AS max_emd
+FROM emd
+"""
+
+QUERIES["t_closeness_events"] = t_closeness_events
+ORACLE_SQL["t_closeness_events"] = T_CLOSENESS_SQL

@@ -930,3 +930,98 @@ def wasserstein_to_global(
         F.first("n").cast("long").alias("n"),
         F.sum(F.col("gap") * F.col("dv")).alias("w1"),
     ).withColumnRenamed("g", group_col)
+
+
+def t_closeness_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    *,
+    t: float = 0.2,
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the
+    third rung of the release-audit ladder after
+    :func:`k_anonymity_report` (class SIZE) and
+    :func:`l_diversity_report` (class VARIETY): a class can be large
+    and varied yet still leak if its sensitive-value DISTRIBUTION
+    differs from the table's. Each equivalence class must sit within
+    ``t`` of the global distribution under the ordered-attribute
+    earth-mover distance
+
+        EMD(class) = (1/(m−1)) · Σᵢ |CumPᶜˡᵃˢˢ(vᵢ) − CumPᵍˡᵒᵇᵃˡ(vᵢ)|
+
+    over the m global ordered distinct sensitive values (unit ground
+    distance between adjacent ranks — the paper's numeric form).
+
+    One row: ``(t, n_groups, violating_groups, violating_rows,
+    max_emd)``.
+
+    Determinism note: both cumulative shares accumulate in ascending
+    sensitive-value order from integer counts, so every EMD is
+    bit-identical across engines and partitionings — the threshold
+    comparison can never flip on float drift.
+
+    Scale shape: one (quasi, value) count aggregate (the corpus
+    reduces here), the global distribution DERIVED from it (no second
+    scan), a classes×m grid, per-class cumulative windows (partitioned
+    — parallel), and a |classes|-row final reduce. ``m`` is the global
+    distinct count of the (pre-bucketed) sensitive attribute — bucket
+    first, exactly as the k-anonymity contract does."""
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if not 0.0 < t < 1.0:
+        raise ValueError(f"t must be in (0, 1), got {t}")
+    from pyspark.sql.window import Window
+
+    cnt = df.groupBy(
+        F.struct(*quasi_cols).alias("_q"),
+        F.col(sensitive_col).alias("_v"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("_c"))
+    gval = cnt.groupBy("_v").agg(F.sum("_c").alias("_gc"))
+    ng = cnt.groupBy("_q").agg(F.sum("_c").alias("_n"))
+    tot = gval.agg(
+        F.sum("_gc").alias("_nn"),
+        F.count(F.lit(1)).cast("double").alias("_m"),
+    )
+    grid = (
+        ng.crossJoin(F.broadcast(gval))
+        .join(cnt, ["_q", "_v"], "left")
+        .select(
+            "_q",
+            "_v",
+            "_n",
+            "_gc",
+            F.coalesce(F.col("_c"), F.lit(0.0)).alias("_c"),
+        )
+    )
+    wq = Window.partitionBy("_q").orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    stepped = grid.crossJoin(F.broadcast(tot)).select(
+        "_q",
+        "_n",
+        "_m",
+        F.abs(
+            F.sum("_c").over(wq) / F.col("_n")
+            - F.sum("_gc").over(wq) / F.col("_nn")
+        ).alias("_gap"),
+    )
+    emd = stepped.groupBy("_q").agg(
+        F.first("_n").alias("_n"),
+        F.when(
+            F.first("_m") > 1.0,
+            F.sum("_gap") / (F.first("_m") - F.lit(1.0)),
+        )
+        .otherwise(0.0)
+        .alias("_emd"),
+    )
+    viol = F.col("_emd") > F.lit(float(t))
+    return emd.agg(
+        F.lit(float(t)).alias("t"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(viol.cast("long")).alias("violating_groups"),
+        F.sum(F.when(viol, F.col("_n")).otherwise(0.0))
+        .cast("long")
+        .alias("violating_rows"),
+        F.max("_emd").alias("max_emd"),
+    )

@@ -623,3 +623,42 @@ def test_wasserstein_quantize_guard(spark):
     df = spark.createDataFrame([("a", 1.0)], "g string, v double")
     with _p.raises(ValueError):
         wasserstein_to_global(df, "v", "g", quantize=-1)
+
+
+def test_t_closeness_identical_and_skewed_classes(spark):
+    """A class matching the global distribution has EMD 0; a class
+    with all mass on the extreme value has the maximal cumulative gap;
+    hand-computed EMD matches; m=1 degenerate is 0, and guards raise."""
+    from k_means_using_mapreduce_spark.operators.cleaning import (
+        t_closeness_report,
+    )
+
+    # global values {0,1,2}; class A mirrors global exactly, class B
+    # concentrates on value 2.
+    rows = (
+        [("A", v) for v in (0, 0, 1, 1, 2, 2)]
+        + [("B", 2)] * 6
+    )
+    df = spark.createDataFrame(rows, "q string, v int")
+    # global: counts 2,2,8 over 12 -> cum (1/6, 1/3, 1)
+    # class A: cum (1/3, 2/3, 1); gaps |1/3-1/6| + |2/3-1/3| = 1/2
+    # EMD_A = (1/2)/2 = 1/4; class B: cum (0,0,1);
+    # gaps 1/6 + 1/3 -> EMD_B = (1/2)/2 = 1/4
+    r = t_closeness_report(df, ["q"], "v", t=0.3).collect()[0]
+    assert r["n_groups"] == 2
+    assert r["violating_groups"] == 0
+    assert r["max_emd"] == pytest.approx(0.25)
+    r = t_closeness_report(df, ["q"], "v", t=0.2).collect()[0]
+    assert r["violating_groups"] == 2 and r["violating_rows"] == 12
+
+    # one global value: EMD defined as 0 for every class
+    df1 = spark.createDataFrame(
+        [("A", 7), ("B", 7)], "q string, v int"
+    )
+    r = t_closeness_report(df1, ["q"], "v", t=0.1).collect()[0]
+    assert r["max_emd"] == 0.0 and r["violating_groups"] == 0
+
+    with pytest.raises(ValueError, match="quasi_cols"):
+        t_closeness_report(df, [], "v")
+    with pytest.raises(ValueError, match="in \\(0, 1\\)"):
+        t_closeness_report(df, ["q"], "v", t=1.0)
