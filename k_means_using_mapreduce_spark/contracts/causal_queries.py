@@ -472,3 +472,158 @@ FROM scored
 
 QUERIES["synthetic_control_nation_revenue"] = synthetic_control_nation_revenue
 ORACLE_SQL["synthetic_control_nation_revenue"] = _synthetic_control_sql()
+
+
+def aipw_discount_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doubly-robust (AIPW) effect of a deep discount (>= 5%) on
+    ordered quantity with smooth nuisance models
+    (operators/causal.py::aipw_ate): propensity from the shared
+    logistic-Newton closed form on (tax, scaled price), per-arm
+    outcome OLS from the shared Cramer closed form, combined by the
+    augmented-IPW score. The model-based sibling of
+    discount_quantity_ipw's stratum-saturated estimator."""
+    from ..operators.causal import aipw_ate
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "price_scaled", F.col("l_extendedprice") / F.lit(100000.0)
+    )
+    return aipw_ate(
+        li,
+        treatment=(F.col("l_discount") >= 0.05),
+        y_col="l_quantity",
+        x_cols=["l_tax", "price_scaled"],
+    )
+
+
+def _aipw_sql(iters: int = 3) -> str:
+    parts = [
+        """ab AS MATERIALIZED (
+  SELECT CASE WHEN l_discount >= 0.05 THEN 1.0 ELSE 0.0 END AS t,
+         CAST(l_quantity AS DOUBLE) AS y,
+         CAST(l_tax AS DOUBLE) AS x1,
+         l_extendedprice / 100000.0 AS x2
+  FROM lineitem
+  WHERE l_tax IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_quantity IS NOT NULL AND l_discount IS NOT NULL
+)""",
+        "ac0 AS MATERIALIZED (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""at{i} AS MATERIALIZED (
+  SELECT x1, x2, t,
+         1.0 / (1.0 + exp(-(b0 + b1 * x1 + b2 * x2))) AS p
+  FROM ab CROSS JOIN ac{i - 1}
+)""")
+        parts.append(f"""as{i} AS MATERIALIZED (
+  SELECT sum(t - p) AS g0,
+         sum((t - p) * x1) AS g1,
+         sum((t - p) * x2) AS g2,
+         sum(p * (1.0 - p)) AS h00,
+         sum(p * (1.0 - p) * x1) AS h01,
+         sum(p * (1.0 - p) * x2) AS h02,
+         sum(p * (1.0 - p) * x1 * x1) AS h11,
+         sum(p * (1.0 - p) * x1 * x2) AS h12,
+         sum(p * (1.0 - p) * x2 * x2) AS h22
+  FROM at{i}
+)""")
+        parts.append(f"""ad{i} AS MATERIALIZED (
+  SELECT as{i}.*, c.b0 AS pb0, c.b1 AS pb1, c.b2 AS pb2,
+    h00 * (h11 * h22 - h12 * h12)
+      - h01 * (h01 * h22 - h12 * h02)
+      + h02 * (h01 * h12 - h11 * h02) AS det
+  FROM as{i} CROSS JOIN ac{i - 1} c
+)""")
+        parts.append(f"""ac{i} AS MATERIALIZED (
+  SELECT
+    pb0 + ((h11 * h22 - h12 * h12) * g0
+      + (h02 * h12 - h01 * h22) * g1
+      + (h01 * h12 - h02 * h11) * g2) / det AS b0,
+    pb1 + ((h02 * h12 - h01 * h22) * g0
+      + (h00 * h22 - h02 * h02) * g1
+      + (h01 * h02 - h00 * h12) * g2) / det AS b1,
+    pb2 + ((h01 * h12 - h02 * h11) * g0
+      + (h01 * h02 - h00 * h12) * g1
+      + (h00 * h11 - h01 * h01) * g2) / det AS b2
+  FROM ad{i}
+)""")
+    arm_sums = []
+    for tag, cond in (("a", "t = 1.0"), ("b", "t = 0.0")):
+        w = f"CASE WHEN {cond} THEN 1.0 ELSE 0.0 END"
+        arm_sums.append(
+            f"sum({w}) AS {tag}n,\n"
+            f"    sum({w} * x1) AS {tag}s1,\n"
+            f"    sum({w} * x2) AS {tag}s2,\n"
+            f"    sum({w} * x1 * x1) AS {tag}s11,\n"
+            f"    sum({w} * x1 * x2) AS {tag}s12,\n"
+            f"    sum({w} * x2 * x2) AS {tag}s22,\n"
+            f"    sum({w} * y) AS {tag}sy,\n"
+            f"    sum({w} * x1 * y) AS {tag}s1y,\n"
+            f"    sum({w} * x2 * y) AS {tag}s2y"
+        )
+    parts.append(
+        "arms AS MATERIALIZED (\n  SELECT\n    "
+        + ",\n    ".join(arm_sums)
+        + "\n  FROM ab\n)"
+    )
+
+    def cramer(tag: str) -> str:
+        n, s1, s2 = f"{tag}n", f"{tag}s1", f"{tag}s2"
+        s11, s12, s22 = f"{tag}s11", f"{tag}s12", f"{tag}s22"
+        sy, s1y, s2y = f"{tag}sy", f"{tag}s1y", f"{tag}s2y"
+        det = (
+            f"({n} * ({s11} * {s22} - {s12} * {s12})"
+            f" - {s1} * ({s1} * {s22} - {s12} * {s2})"
+            f" + {s2} * ({s1} * {s12} - {s11} * {s2}))"
+        )
+        c0 = (
+            f"({sy} * ({s11} * {s22} - {s12} * {s12})"
+            f" - {s1} * ({s1y} * {s22} - {s12} * {s2y})"
+            f" + {s2} * ({s1y} * {s12} - {s11} * {s2y})) / {det}"
+        )
+        c1 = (
+            f"({n} * ({s1y} * {s22} - {s12} * {s2y})"
+            f" - {sy} * ({s1} * {s22} - {s12} * {s2})"
+            f" + {s2} * ({s1} * {s2y} - {s1y} * {s2})) / {det}"
+        )
+        c2 = (
+            f"({n} * ({s11} * {s2y} - {s1y} * {s12})"
+            f" - {s1} * ({s1} * {s2y} - {s1y} * {s2})"
+            f" + {sy} * ({s1} * {s12} - {s11} * {s2})) / {det}"
+        )
+        return (
+            f"{c0} AS {tag}c0, {c1} AS {tag}c1, {c2} AS {tag}c2"
+        )
+
+    parts.append(
+        f"fits AS MATERIALIZED (\n  SELECT {cramer('a')},\n"
+        f"         {cramer('b')}\n  FROM arms\n)"
+    )
+    parts.append(f"""scored AS (
+  SELECT t, y,
+    least(greatest(
+      1.0 / (1.0 + exp(-(b0 + b1 * x1 + b2 * x2))), 0.01), 0.99) AS p,
+    ac0_ + ac1_ * x1 + ac2_ * x2 AS m1,
+    bc0_ + bc1_ * x1 + bc2_ * x2 AS m0
+  FROM (SELECT ab.*, f.ac0 AS ac0_, f.ac1 AS ac1_, f.ac2 AS ac2_,
+               f.bc0 AS bc0_, f.bc1 AS bc1_, f.bc2 AS bc2_,
+               c.b0, c.b1, c.b2
+        FROM ab CROSS JOIN fits f CROSS JOIN ac{iters} c)
+)""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(t) AS BIGINT) AS n_treated,
+  avg(m1 - m0 + t * (y - m1) / p - (1.0 - t) * (y - m0) / (1.0 - p))
+    AS ate_aipw,
+  avg(m1 - m0) AS ate_reg,
+  sum(t * y) / sum(t) - sum((1.0 - t) * y) / sum(1.0 - t)
+    AS naive_diff
+FROM scored
+"""
+    )
+
+
+QUERIES["aipw_discount_quantity"] = aipw_discount_quantity
+ORACLE_SQL["aipw_discount_quantity"] = _aipw_sql()

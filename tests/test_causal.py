@@ -275,3 +275,54 @@ def test_synthetic_control_guards(spark):
         synthetic_control(
             df, donors=("a", "b", "c"), cutoff=F.lit("2024-09"), **kw
         )
+
+
+def test_aipw_deconfounds_exact_linear_outcome(spark):
+    """Outcome exactly linear per arm with a planted +5 effect, but
+    treatment concentrated at high x1: the naive difference is badly
+    confounded, while both the regression and AIPW estimates recover
+    the true effect exactly (the augmentation term vanishes when the
+    outcome model is right)."""
+    from k_means_using_mapreduce_spark.operators.causal import aipw_ate
+    from pyspark.sql import functions as F
+
+    rows = []
+    for i in range(400):
+        x1 = (i % 20) / 10.0          # 0.0 .. 1.9
+        x2 = ((i * 7) % 13) / 13.0
+        # confounded assignment with overlap: mostly high-x1 treated,
+        # but every x1 level has some of each arm
+        t = 1 if (x1 > 1.0) != (i % 10 == 0) else 0
+        y = 2.0 + 3.0 * x1 + 1.0 * x2 + 5.0 * t
+        rows.append((float(x1), float(x2), float(t), y))
+    df = spark.createDataFrame(rows, "x1 double, x2 double, t double, y double")
+    r = aipw_ate(
+        df,
+        treatment=F.col("t"),
+        y_col="y",
+        x_cols=["x1", "x2"],
+    ).collect()[0]
+    assert r["n"] == 400
+    assert r["ate_reg"] == pytest.approx(5.0, abs=1e-8)
+    assert r["ate_aipw"] == pytest.approx(5.0, abs=1e-8)
+    # naive is confounded upward by the x1 imbalance (slope 3 > 0)
+    assert r["naive_diff"] > 6.0
+
+
+def test_aipw_guards(spark):
+    from k_means_using_mapreduce_spark.operators.causal import aipw_ate
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1.0, 1.0, 1.0, 1.0)], "x1 double, x2 double, t double, y double"
+    )
+    with pytest.raises(ValueError, match="2-feature"):
+        aipw_ate(df, treatment=F.col("t"), y_col="y", x_cols=["x1"])
+    with pytest.raises(ValueError, match="clamp"):
+        aipw_ate(
+            df,
+            treatment=F.col("t"),
+            y_col="y",
+            x_cols=["x1", "x2"],
+            clamp=(0.5, 0.5),
+        )
