@@ -668,3 +668,112 @@ FROM per2 CROSS JOIN tot CROSS JOIN btw
 
 QUERIES["shrunk_source_quality"] = shrunk_source_quality
 ORACLE_SQL["shrunk_source_quality"] = _eb_sql()
+
+
+_RANSAC_SEEDS, _RANSAC_EPS = 8, 10000.0
+
+
+def ransac_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic RANSAC line fit of extended price on quantity
+    (operators/robust.py::ransac_line, 8 md5-seeded 2-point draws,
+    eps = 10000): winning candidate by integer inlier votes, then an
+    OLS refit on the winner's inliers. On this synthetic corpus the
+    two columns are independent, so the contract gates the sampling /
+    voting / refit machinery; the unit tests carry the
+    planted-outlier recovery checks."""
+    from ..operators.robust import ransac_line
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return ransac_line(
+        li,
+        "l_quantity",
+        "l_extendedprice",
+        F.concat_ws("-", "l_orderkey", "l_linenumber"),
+        seeds=_RANSAC_SEEDS,
+        eps=_RANSAC_EPS,
+    )
+
+
+def _ransac_sql() -> str:
+    seeds, eps = _RANSAC_SEEDS, _RANSAC_EPS
+    return f"""
+WITH rb AS MATERIALIZED (
+  SELECT CAST(l_orderkey AS VARCHAR) || '-'
+           || CAST(l_linenumber AS VARCHAR) AS id,
+         CAST(l_quantity AS DOUBLE) AS x,
+         CAST(l_extendedprice AS DOUBLE) AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+),
+cand AS (
+  SELECT s, x, y,
+         row_number() OVER (PARTITION BY s ORDER BY h, x, y) AS rn
+  FROM (
+    SELECT seeds.s, rb.x, rb.y,
+           ('0x' || substr(md5('s' || CAST(seeds.s AS VARCHAR)
+                               || ':' || rb.id), 1, 15))::BIGINT AS h
+    FROM rb CROSS JOIN
+         (SELECT unnest(range(0, {seeds})) AS s) seeds
+  )
+  QUALIFY rn <= 2
+),
+pts AS (
+  SELECT s,
+    min(CASE WHEN rn = 1 THEN x END) AS x1,
+    min(CASE WHEN rn = 1 THEN y END) AS y1,
+    min(CASE WHEN rn = 2 THEN x END) AS x2,
+    min(CASE WHEN rn = 2 THEN y END) AS y2
+  FROM cand GROUP BY s
+),
+params AS MATERIALIZED (
+  SELECT s,
+    y1 - ((y2 - y1) / (x2 - x1)) * x1 AS a0,
+    (y2 - y1) / (x2 - x1) AS b0
+  FROM pts WHERE x2 <> x1 AND x1 IS NOT NULL AND x2 IS NOT NULL
+),
+votes AS (
+  SELECT p.s, p.a0, p.b0,
+    sum(CASE WHEN abs(rb.y - (p.a0 + p.b0 * rb.x)) <= {eps!r}
+             THEN 1 ELSE 0 END) AS k
+  FROM rb CROSS JOIN params p
+  GROUP BY 1, 2, 3
+),
+best AS MATERIALIZED (
+  SELECT * FROM votes ORDER BY k DESC, s ASC LIMIT 1
+),
+sums AS MATERIALIZED (
+  SELECT CAST(count(*) AS BIGINT) AS n, b.s AS best_seed,
+    b.a0, b.b0,
+    sum(CASE WHEN abs(rb.y - (b.a0 + b.b0 * rb.x)) <= {eps!r}
+             THEN 1.0 ELSE 0.0 END) AS k,
+    sum(CASE WHEN abs(rb.y - (b.a0 + b.b0 * rb.x)) <= {eps!r}
+             THEN 1.0 ELSE 0.0 END * rb.x) AS sx,
+    sum(CASE WHEN abs(rb.y - (b.a0 + b.b0 * rb.x)) <= {eps!r}
+             THEN 1.0 ELSE 0.0 END * rb.y) AS sy,
+    sum(CASE WHEN abs(rb.y - (b.a0 + b.b0 * rb.x)) <= {eps!r}
+             THEN 1.0 ELSE 0.0 END * rb.x * rb.y) AS sxy,
+    sum(CASE WHEN abs(rb.y - (b.a0 + b.b0 * rb.x)) <= {eps!r}
+             THEN 1.0 ELSE 0.0 END * rb.x * rb.x) AS sxx,
+    sum(CASE WHEN abs(rb.y - (b.a0 + b.b0 * rb.x)) <= {eps!r}
+             THEN 1.0 ELSE 0.0 END * rb.y * rb.y) AS syy
+  FROM rb CROSS JOIN best b
+  GROUP BY b.s, b.a0, b.b0
+),
+fit AS (
+  SELECT n, best_seed, a0, b0, k, sx, sy, sxy, sxx, syy,
+    (k * sxy - sx * sy) / nullif(k * sxx - sx * sx, 0.0) AS b
+  FROM sums
+),
+fit2 AS (
+  SELECT fit.*, (sy - b * sx) / k AS a FROM fit
+)
+SELECT n, CAST(best_seed AS INT) AS best_seed,
+  CAST(k AS BIGINT) AS n_inliers, a0, b0, a, b,
+  sqrt((syy + k * a * a + b * b * sxx + 2.0 * a * b * sx
+        - 2.0 * a * sy - 2.0 * b * sxy) / k) AS rmse_inliers
+FROM fit2
+"""
+
+
+QUERIES["ransac_price_quantity"] = ransac_price_quantity
+ORACLE_SQL["ransac_price_quantity"] = _ransac_sql()

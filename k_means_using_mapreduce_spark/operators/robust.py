@@ -949,3 +949,153 @@ def eb_shrunk_means(
         b.alias("shrink_b"),
         (b * F.col("m") + (F.lit(1.0) - b) * grand).alias("mean_shrunk"),
     )
+
+
+def ransac_line(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    id_col,
+    *,
+    seeds: int = 8,
+    eps: float = 1.0,
+) -> DataFrame:
+    """Deterministic RANSAC line fit — the sample-consensus member of
+    the robust family (:func:`huber` reweights, Theil–Sen medians,
+    RANSAC VOTES): draw ``seeds`` candidate 2-point models, count
+    integer inlier consensus ``|y − (a₀ + b₀x)| ≤ eps`` for each, keep
+    the winner (most inliers, ties to the lowest seed), and refit OLS
+    on its inliers.
+
+    Determinism doctrine: "random" minimal samples are the 2 smallest
+    ``md5('s<seed>:' || id)`` hashes per seed (full (h, x, y)
+    order — duplicate ids hash identically, so ties are broken by the
+    point itself) — the engine's hash-coin
+    idiom (sampling.py), so every engine draws the SAME points and the
+    consensus votes are integers; nothing depends on rand() or
+    partition order.
+
+    Returns one row ``(n, best_seed, n_inliers, a0, b0, a, b,
+    rmse_inliers)`` — candidate line (a₀, b₀), refit line (a, b).
+
+    Scale shape: four scans, none wider than the input — (1) one
+    aggregate takes the per-seed min hash-structs, (2) one takes the
+    per-seed second-min, (3) one counts all ``seeds`` consensus votes
+    as conditional sums, (4) one refits on the winner's inliers with
+    the standard 5-sum closed form. No shuffle beyond 1-row
+    aggregates, no row-level sample materialization.
+    """
+    if seeds < 1:
+        raise ValueError(f"seeds must be >= 1, got {seeds}")
+    if eps <= 0.0:
+        raise ValueError(f"eps must be > 0, got {eps}")
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    sid = F.col(id_col).cast("string") if isinstance(id_col, str) else (
+        id_col.cast("string")
+    )
+    rows = df.where(x.isNotNull() & y.isNotNull()).select(
+        sid.alias("_id"), x.alias("x"), y.alias("y")
+    )
+
+    def h(s: int):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"s{s}:"), F.col("_id"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    first = rows.agg(
+        *[
+            F.min(F.struct(h(s).alias("h"), "x", "y")).alias(f"m{s}")
+            for s in range(seeds)
+        ]
+    ).collect()[0]
+    # ties are real: duplicate ids hash identically, so the "second"
+    # point is the next row in FULL (h, x, y) struct order — the same
+    # total order both the min-struct and the oracle's ORDER BY use.
+    def _gt(s: int):
+        p1 = first[f"m{s}"]
+        return F.struct(h(s).alias("h"), "x", "y") > F.struct(
+            F.lit(p1["h"]).alias("h"),
+            F.lit(p1["x"]).alias("x"),
+            F.lit(p1["y"]).alias("y"),
+        )
+
+    second = rows.agg(
+        *[
+            F.min(
+                F.when(_gt(s), F.struct(h(s).alias("h"), "x", "y"))
+            ).alias(f"m{s}")
+            for s in range(seeds)
+        ]
+    ).collect()[0]
+    cands = {}
+    for s in range(seeds):
+        p1, p2 = first[f"m{s}"], second[f"m{s}"]
+        if p1 is None or p2 is None or p2["x"] == p1["x"]:
+            continue
+        b0 = (p2["y"] - p1["y"]) / (p2["x"] - p1["x"])
+        a0 = p1["y"] - b0 * p1["x"]
+        cands[s] = (a0, b0)
+    if not cands:
+        raise ValueError(
+            "no valid 2-point candidate (fewer than 2 rows, or every "
+            "sampled pair was vertical)"
+        )
+    votes = rows.agg(
+        *[
+            F.sum(
+                (
+                    F.abs(
+                        F.col("y")
+                        - (F.lit(a0) + F.lit(b0) * F.col("x"))
+                    )
+                    <= F.lit(float(eps))
+                ).cast("long")
+            ).alias(f"k{s}")
+            for s, (a0, b0) in cands.items()
+        ]
+    ).collect()[0]
+    best_seed = min(cands, key=lambda s: (-votes[f"k{s}"], s))
+    a0, b0 = cands[best_seed]
+    inlier = (
+        F.abs(F.col("y") - (F.lit(a0) + F.lit(b0) * F.col("x")))
+        <= F.lit(float(eps))
+    )
+    w = F.when(inlier, 1.0).otherwise(0.0)
+    sums = rows.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(w).alias("k"),
+        F.sum(w * F.col("x")).alias("sx"),
+        F.sum(w * F.col("y")).alias("sy"),
+        F.sum(w * F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(w * F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(w * F.col("y") * F.col("y")).alias("syy"),
+    )
+    k = F.col("k")
+    det = k * F.col("sxx") - F.col("sx") * F.col("sx")
+    b = (k * F.col("sxy") - F.col("sx") * F.col("sy")) / F.nullif(
+        det, F.lit(0.0)
+    )
+    a = (F.col("sy") - b * F.col("sx")) / k
+    sse = (
+        F.col("syy")
+        + k * a * a
+        + b * b * F.col("sxx")
+        + F.lit(2.0) * a * b * F.col("sx")
+        - F.lit(2.0) * a * F.col("sy")
+        - F.lit(2.0) * b * F.col("sxy")
+    )
+    return sums.select(
+        "n",
+        F.lit(best_seed).alias("best_seed"),
+        k.cast("long").alias("n_inliers"),
+        F.lit(a0).alias("a0"),
+        F.lit(b0).alias("b0"),
+        a.alias("a"),
+        b.alias("b"),
+        F.sqrt(sse / k).alias("rmse_inliers"),
+    )

@@ -561,3 +561,54 @@ def test_exact_group_percentiles_survives_caller_n_column(spark):
     assert r["n"] == 11 and r["p50"] == 6.0
     m = group_median(df, "v", ["key"]).collect()[0]
     assert m["median"] == 6.0
+
+
+def test_ransac_recovers_planted_line_under_gross_outliers(spark):
+    """y = 3x + 2 exactly for 80% of rows plus 20% gross outliers:
+    the consensus vote finds the true line (inliers = the clean 80%),
+    the refit lands on (2, 3) exactly, and plain OLS on the same data
+    would not (the outliers drag it) — the whole point of RANSAC."""
+    from k_means_using_mapreduce_spark.operators.robust import ransac_line
+    from pyspark.sql import functions as F
+
+    rows = []
+    for i in range(100):
+        x = float(i % 25)
+        if i % 5 == 0:  # 20% gross outliers, far off the line
+            rows.append((i, x, 3.0 * x + 2.0 + 500.0 + 7.0 * (i % 3)))
+        else:
+            rows.append((i, x, 3.0 * x + 2.0))
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    r = ransac_line(
+        df, "x", "y", F.col("id"), seeds=8, eps=0.5
+    ).collect()[0]
+    assert r["n"] == 100
+    assert r["n_inliers"] == 80
+    assert r["a"] == pytest.approx(2.0, abs=1e-9)
+    assert r["b"] == pytest.approx(3.0, abs=1e-9)
+    assert r["rmse_inliers"] == pytest.approx(0.0, abs=1e-6)
+    # the candidate 2-point line is already on the plane
+    assert r["a0"] == pytest.approx(2.0, abs=1e-9)
+    assert r["b0"] == pytest.approx(3.0, abs=1e-9)
+
+
+def test_ransac_determinism_and_guards(spark):
+    from k_means_using_mapreduce_spark.operators.robust import ransac_line
+    from pyspark.sql import functions as F
+
+    rows = [(i, float(i), 2.0 * i + 1.0) for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    r1 = ransac_line(df, "x", "y", F.col("id"), seeds=4, eps=1.0)
+    r2 = ransac_line(df, "x", "y", F.col("id"), seeds=4, eps=1.0)
+    assert r1.collect() == r2.collect()  # md5 draws, no rand()
+
+    with pytest.raises(ValueError, match="seeds"):
+        ransac_line(df, "x", "y", F.col("id"), seeds=0)
+    with pytest.raises(ValueError, match="eps"):
+        ransac_line(df, "x", "y", F.col("id"), eps=0.0)
+    # all x equal -> every pair vertical -> no candidate
+    dfv = spark.createDataFrame(
+        [(1, 1.0, 1.0), (2, 1.0, 2.0)], "id long, x double, y double"
+    )
+    with pytest.raises(ValueError, match="vertical"):
+        ransac_line(dfv, "x", "y", F.col("id"))
