@@ -388,6 +388,19 @@ BENCH_QUERIES = [
     "weibull_churn_users",
     "gopher_rules_documents",
     "user_ranking_similarity_events",
+    # round-7 second wave: state-space smoothing, GLM family close-out,
+    # schema profiling, sequence decoding, alignment, causal panel /
+    # doubly-robust estimators, privacy ladder, sample consensus
+    "kalman_level_hourly_events",
+    "gamma_price_lineitem",
+    "ind_discovery_tpch",
+    "hmm_viterbi_users",
+    "dtw_click_purchase",
+    "synthetic_control_nation_revenue",
+    "shapley_attribution_events",
+    "t_closeness_events",
+    "aipw_discount_quantity",
+    "ransac_price_quantity",
 ]
 
 KMEANS_FIT_K = 8

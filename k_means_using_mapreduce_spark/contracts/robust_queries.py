@@ -710,8 +710,9 @@ cand AS (
          row_number() OVER (PARTITION BY s ORDER BY h, x, y) AS rn
   FROM (
     SELECT seeds.s, rb.x, rb.y,
-           ('0x' || substr(md5('s' || CAST(seeds.s AS VARCHAR)
-                               || ':' || rb.id), 1, 15))::BIGINT AS h
+           ('0x' || substr(md5(rb.id), 1, 15))::BIGINT
+             + seeds.s * ('0x' || substr(md5(rb.id), 16, 14))::BIGINT
+             AS h
     FROM rb CROSS JOIN
          (SELECT unnest(range(0, {seeds})) AS s) seeds
   )

@@ -968,7 +968,9 @@ def ransac_line(
     on its inliers.
 
     Determinism doctrine: "random" minimal samples are the 2 smallest
-    ``md5('s<seed>:' || id)`` hashes per seed (full (h, x, y)
+    per-seed hashes, fanned out affinely from ONE ``md5(id)`` per row
+    (``h_s = h1 + s·h2`` over its two independent halves — the
+    bloomjoin Kirsch-Mitzenmacher idiom) (full (h, x, y)
     order — duplicate ids hash identically, so ties are broken by the
     point itself) — the engine's hash-coin
     idiom (sampling.py), so every engine draws the SAME points and the
@@ -998,14 +1000,18 @@ def ransac_line(
         sid.alias("_id"), x.alias("x"), y.alias("y")
     )
 
+    # ONE md5 per row; per-seed draws fan out affinely from its two
+    # independent 60/56-bit halves (the bloomjoin Kirsch-Mitzenmacher
+    # doctrine): h_s = h1 + s·h2 stays < 2^61 for s ≤ 16, exact int64
+    # in both engines — 16× cheaper than hashing per (seed, row).
+    if seeds > 16:
+        raise ValueError(f"seeds must be <= 16, got {seeds}")
+    _md5 = F.md5(F.col("_id"))
+    _h1 = F.conv(F.substring(_md5, 1, 15), 16, 10).cast("long")
+    _h2 = F.conv(F.substring(_md5, 16, 14), 16, 10).cast("long")
+
     def h(s: int):
-        return F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"s{s}:"), F.col("_id"))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("long")
+        return _h1 + F.lit(int(s)) * _h2
 
     first = rows.agg(
         *[

@@ -794,3 +794,88 @@ def test_skyline_prunes_before_dominance_join(spark, sf):
     assert broadcast_nlj_count(df) >= 1
     assert sort_merge_join_count(df) == 0
     assert "CartesianProduct" not in plan
+
+
+def test_ind_discovery_single_value_shuffle_and_broadcast_counts(
+    spark, sf
+):
+    """IND discovery's scale claim: per-attribute DISTINCT projections
+    feed ONE value-keyed aggregation; pairs explode from per-value
+    attribute sets (bounded by |attrs|² per value), and the per-attr
+    distinct counts join back broadcast — no sort-merge join anywhere."""
+    from k_means_using_mapreduce_spark.plans.explain import (
+        broadcast_join_count,
+        sort_merge_join_count,
+    )
+
+    df = _q("ind_discovery_tpch", spark, sf)
+    assert sort_merge_join_count(df) == 0
+    assert broadcast_join_count(df) >= 1
+
+
+def test_hmm_viterbi_emissions_fold_jvm_side(spark, sf):
+    """The HMM decode's only Python stage is the per-user sequential
+    kernel: emission log-probs are a literal CASE projection (no UDF
+    before the groupBy), and the plan carries exactly the one
+    user-keyed exchange feeding applyInPandas."""
+    from k_means_using_mapreduce_spark.plans.explain import (
+        exchange_count,
+        executed_plan,
+    )
+
+    df = _q("hmm_viterbi_users", spark, sf)
+    plan = executed_plan(df)
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time UDF
+    assert exchange_count(df) == 1
+
+
+def test_synthetic_control_panel_broadcasts_nation(spark, sf):
+    """The synthetic-control panel build broadcasts the 25-row nation
+    dimension; the only exchanges are the customer join and the
+    period groupBy."""
+    from k_means_using_mapreduce_spark.plans.explain import (
+        broadcast_join_count,
+    )
+
+    df = _q("synthetic_control_nation_revenue", spark, sf)
+    assert broadcast_join_count(df) >= 1
+
+
+def test_dtw_grid_reduces_before_kernel(spark, sf):
+    """DTW's quadratic stage must see only the corpus-independent
+    T-bucket grid: the plan aggregates counts per bucket BEFORE the
+    single-group kernel, so the Arrow stage input is T rows, not the
+    corpus."""
+    from k_means_using_mapreduce_spark.plans.explain import (
+        executed_plan,
+    )
+
+    df = _q("dtw_click_purchase", spark, sf)
+    plan = executed_plan(df)
+    assert "FlatMapGroupsInPandas" in plan
+    # counts aggregate (partial_count) runs upstream of the kernel
+    assert "partial_count" in plan or "count(1)" in plan
+
+
+def test_ransac_votes_are_aggregates_not_joins(spark, sf):
+    """RANSAC's consensus scan: all seed votes are conditional sums in
+    ONE aggregate over the base relation — no join, no shuffle wider
+    than the 1-row reduce."""
+    from k_means_using_mapreduce_spark.plans.explain import (
+        sort_merge_join_count,
+    )
+    from k_means_using_mapreduce_spark.operators.robust import ransac_line
+    from k_means_using_mapreduce_spark.sources.loaders import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf, "lineitem")
+    out = ransac_line(
+        li,
+        "l_quantity",
+        "l_extendedprice",
+        F.concat_ws("-", "l_orderkey", "l_linenumber"),
+        seeds=4,
+        eps=10000.0,
+    )
+    assert sort_merge_join_count(out) == 0
