@@ -401,6 +401,7 @@ BENCH_QUERIES = [
     "t_closeness_events",
     "aipw_discount_quantity",
     "ransac_price_quantity",
+    "competing_risks_users",
 ]
 
 KMEANS_FIT_K = 8

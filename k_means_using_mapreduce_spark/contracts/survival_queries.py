@@ -7,6 +7,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..sources.loaders import load_table
 
@@ -538,3 +539,127 @@ FROM fw
 
 QUERIES["weibull_churn_users"] = weibull_churn_users
 ORACLE_SQL["weibull_churn_users"] = _weibull_sql()
+
+
+def competing_risks_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aalen-Johansen cumulative incidence of a user's first PURCHASE
+    (cause 1) vs first ERROR (cause 2), whichever strikes first after
+    the user's first event; users hitting neither are right-censored
+    at their last event (operators/survival.py::aalen_johansen).
+    Ties (same timestamp) go to cause 1 — a stated deterministic
+    rule. The per-cause-KM shortcut would overstate both curves; the
+    AJ estimator keeps CIF1 + CIF2 + S = 1 at every event time."""
+    from ..operators.survival import aalen_johansen
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("a"),
+        F.max("ts").alias("b"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "tp"
+        ),
+        F.min(F.when(F.col("event_type") == "error", F.col("ts"))).alias(
+            "te"
+        ),
+    )
+    event = (
+        F.when(
+            F.col("tp").isNotNull()
+            & (F.col("te").isNull() | (F.col("tp") <= F.col("te"))),
+            1,
+        )
+        .when(F.col("te").isNotNull(), 2)
+        .otherwise(0)
+    )
+    tend = (
+        F.when(event == 1, F.col("tp"))
+        .when(event == 2, F.col("te"))
+        .otherwise(F.col("b"))
+    )
+    lif = per_user.select(
+        (
+            ((tend - F.col("a")) - (tend - F.col("a")) % _HOUR_NS)
+            / _HOUR_NS
+        )
+        .cast("long")
+        .alias("duration"),
+        event.alias("event"),
+    )
+    return aalen_johansen(lif, "duration", "event")
+
+
+COMPETING_RISKS_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         min(epoch_ns(ts)) AS a, max(epoch_ns(ts)) AS b,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END)
+           AS tp,
+         min(CASE WHEN event_type = 'error' THEN epoch_ns(ts) END)
+           AS te
+  FROM events GROUP BY 1
+),
+lif AS (
+  SELECT
+    CAST(((tend - a) - (tend - a) % {_HOUR_NS}) / {_HOUR_NS} AS BIGINT)
+      AS t,
+    ev
+  FROM (
+    SELECT a, b, tp, te,
+      CASE WHEN tp IS NOT NULL AND (te IS NULL OR tp <= te) THEN 1
+           WHEN te IS NOT NULL THEN 2 ELSE 0 END AS ev,
+      CASE WHEN tp IS NOT NULL AND (te IS NULL OR tp <= te) THEN tp
+           WHEN te IS NOT NULL THEN te ELSE b END AS tend
+    FROM per_user
+  )
+),
+per_t AS (
+  SELECT t, count(*) AS all_n,
+         CAST(sum(CASE WHEN ev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+         CAST(sum(CASE WHEN ev = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d2
+  FROM lif GROUP BY 1
+),
+risk AS (
+  SELECT t, d1, d2,
+    CAST(sum(all_n) OVER (ORDER BY t DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS n_risk
+  FROM per_t
+),
+factors AS (
+  SELECT t, d1, d2, n_risk,
+    1.0 - CAST(d1 + d2 AS DOUBLE) / CAST(n_risk AS DOUBLE) AS f
+  FROM risk
+),
+lo AS (
+  SELECT t, d1, d2, n_risk, f,
+    CASE WHEN f > 0 THEN ln(f) ELSE 0.0 END AS lnf
+  FROM factors
+),
+curve AS (
+  SELECT t, d1, d2, n_risk,
+    CASE WHEN min(f) OVER wp IS NULL THEN 1.0
+         WHEN min(f) OVER wp > 0
+         THEN exp(sum(lnf) OVER wp) ELSE 0.0 END AS s_minus,
+    CASE WHEN min(f) OVER wa > 0
+         THEN exp(sum(lnf) OVER wa) ELSE 0.0 END AS surv
+  FROM lo
+  WINDOW
+    wp AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+    wa AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+cif AS (
+  SELECT t, n_risk, d1, d2, surv,
+    sum(s_minus * CAST(d1 AS DOUBLE) / CAST(n_risk AS DOUBLE))
+      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS cif1,
+    sum(s_minus * CAST(d2 AS DOUBLE) / CAST(n_risk AS DOUBLE))
+      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS cif2
+  FROM curve
+)
+SELECT t, n_risk, d1, d2, cif1, cif2, surv AS survival
+FROM cif WHERE d1 + d2 > 0
+"""
+
+QUERIES["competing_risks_users"] = competing_risks_users
+ORACLE_SQL["competing_risks_users"] = COMPETING_RISKS_SQL

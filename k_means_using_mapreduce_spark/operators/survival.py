@@ -573,3 +573,94 @@ def weibull_fit(
         [(n, int(d), float(k), float(scale), float(log_lik))],
         "n long, n_events long, shape double, scale double, log_lik double",
     )
+
+
+def aalen_johansen(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Aalen–Johansen cumulative incidence for TWO competing risks —
+    the competing-events member of the survival family
+    (:func:`kaplan_meier` treats all events as one cause; here cause 1
+    and cause 2 compete, and naively running KM per cause OVERSTATES
+    both): from ``(duration, event)`` rows with event ∈ {0 censored,
+    1 cause-1, 2 cause-2},
+
+        CIF_k(t) = Σ_{s ≤ t} S(s⁻) · d_k(s) / n(s)
+
+    where ``S(s⁻)`` is the all-cause Kaplan–Meier just BEFORE s. The
+    identity ``CIF₁(t) + CIF₂(t) + S(t) = 1`` holds at every event
+    time (no probability mass is double-counted — the property the
+    per-cause-KM shortcut violates).
+
+    Output: one row per distinct duration with ≥ 1 event of either
+    cause — ``(t, n_risk, d1, d2, cif1, cif2, survival)``, ascending
+    t.
+
+    Scale shape: identical to kaplan_meier — one duration groupBy
+    (the corpus reduces here), then ordered windows over the DISTINCT
+    durations only; cumulative products ride as exp(Σ ln) with the
+    same zero-survival guard. Both engines accumulate in ascending-t
+    order, so the curve is float-portable.
+    """
+    per_t = df.groupBy(F.col(duration_col).alias("t")).agg(
+        F.count("*").alias("_all"),
+        F.sum((F.col(event_col) == 1).cast("long")).alias("d1"),
+        F.sum((F.col(event_col) == 2).cast("long")).alias("d2"),
+    )
+    w_desc = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_asc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    with_risk = per_t.withColumn("n_risk", F.sum("_all").over(w_desc))
+    d = (F.col("d1") + F.col("d2")).cast("double")
+    n = F.col("n_risk").cast("double")
+    f = F.lit(1.0) - d / n
+    curve = (
+        with_risk.withColumn("_f", f)
+        .withColumn(
+            "_lnf",
+            F.when(F.col("_f") > 0, F.log("_f")).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "_s_minus",
+            # empty preceding window (first event time) => S(s-) = 1;
+            # a when().otherwise() chain would swallow that NULL as 0
+            F.when(F.min("_f").over(w_prev).isNull(), F.lit(1.0))
+            .when(
+                F.min("_f").over(w_prev) > 0,
+                F.exp(F.sum("_lnf").over(w_prev)),
+            )
+            .otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "_surv",
+            F.when(
+                F.min("_f").over(w_asc) > 0,
+                F.exp(F.sum("_lnf").over(w_asc)),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "cif1",
+            F.sum(
+                F.col("_s_minus") * F.col("d1").cast("double") / n
+            ).over(w_asc),
+        )
+        .withColumn(
+            "cif2",
+            F.sum(
+                F.col("_s_minus") * F.col("d2").cast("double") / n
+            ).over(w_asc),
+        )
+    )
+    return curve.where((F.col("d1") + F.col("d2")) > 0).select(
+        "t",
+        "n_risk",
+        "d1",
+        "d2",
+        "cif1",
+        "cif2",
+        F.col("_surv").alias("survival"),
+    )

