@@ -201,3 +201,136 @@ vals AS (
 
 QUERIES["shapley_attribution_events"] = shapley_attribution_events
 ORACLE_SQL["shapley_attribution_events"] = _shapley_sql()
+
+
+_MKV_CHANNELS = ("view", "click", "signup")
+_MKV_ROUNDS = 40
+
+
+def markov_attribution_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Markov removal-effect attribution of purchase conversions over
+    view/click/signup touch paths
+    (operators/attribution.py::markov_attribution): first-order chain
+    from per-user paths truncated at the first conversion, absorption
+    probability from 40 unrolled fixpoint rounds, and per-channel
+    credit as the normalized removal effect. The oracle replays the
+    transition counts AND the identical unrolled rounds (full chain +
+    one per removed channel) term for term."""
+    from ..operators.attribution import markov_attribution
+
+    return markov_attribution(
+        load_table(spark, sf_dir, "events"),
+        channels=_MKV_CHANNELS,
+        rounds=_MKV_ROUNDS,
+    )
+
+
+def _markov_sql() -> str:
+    chans = list(_MKV_CHANNELS)
+    transient = ["start", *chans]
+    keep = ", ".join(f"'{c}'" for c in [*chans, "purchase"])
+
+    def pcol(s: str, d: str) -> str:
+        return f"p_{s}_{d}"
+
+    prob_cols = []
+    for s in transient:
+        tot = f"sum(CASE WHEN src = '{s}' THEN n ELSE 0 END)"
+        for d in ["conv", *chans]:
+            num = (
+                f"sum(CASE WHEN src = '{s}' AND dst = '{d}' "
+                f"THEN n ELSE 0 END)"
+            )
+            prob_cols.append(
+                f"CASE WHEN {tot} > 0 THEN CAST({num} AS DOUBLE) "
+                f"/ CAST({tot} AS DOUBLE) ELSE 0.0 END AS {pcol(s, d)}"
+            )
+    prob_block = ",\n    ".join(prob_cols)
+    parts = [
+        f"""mseq AS MATERIALIZED (
+  SELECT user_id AS u,
+    row_number() OVER (PARTITION BY user_id
+                       ORDER BY epoch_ns(ts), event_id) AS rn,
+    CASE WHEN event_type = 'purchase' THEN 'conv'
+         ELSE event_type END AS t
+  FROM events
+  WHERE event_type IN ({keep}) AND user_id IS NOT NULL
+),
+mcut AS MATERIALIZED (
+  SELECT u, rn, t FROM (
+    SELECT u, rn, t,
+      min(CASE WHEN t = 'conv' THEN rn END)
+        OVER (PARTITION BY u) AS conv_rn
+    FROM mseq
+  ) WHERE conv_rn IS NULL OR rn <= conv_rn
+),
+mtrans AS (
+  SELECT coalesce(lag(t) OVER (PARTITION BY u ORDER BY rn), 'start')
+           AS src,
+         t AS dst
+  FROM mcut
+  UNION ALL
+  SELECT t AS src, 'null' AS dst
+  FROM (SELECT u, max_by(t, rn) AS t FROM mcut GROUP BY u)
+  WHERE t <> 'conv'
+),
+mcounts AS MATERIALIZED (
+  SELECT src, dst, count(*) AS n FROM mtrans GROUP BY 1, 2
+),
+tp AS MATERIALIZED (
+  SELECT
+    {prob_block}
+  FROM mcounts
+)"""
+    ]
+
+    def scenario(tag: str, removed: "str | None") -> None:
+        zeros = ", ".join(f"0.0 AS p_{s}" for s in transient)
+        parts.append(f"m{tag}0 AS (SELECT {zeros})")
+        for k in range(1, _MKV_ROUNDS + 1):
+            exprs = []
+            for s in transient:
+                acc = pcol(s, "conv")
+                for d in chans:
+                    if d == removed:
+                        continue
+                    acc = f"{acc} + {pcol(s, d)} * p_{d}"
+                exprs.append(f"{acc} AS p_{s}")
+            parts.append(
+                f"m{tag}{k} AS (SELECT {', '.join(exprs)} "
+                f"FROM m{tag}{k - 1} CROSS JOIN tp)"
+            )
+
+    scenario("f", None)
+    for c in chans:
+        scenario(c, c)
+    last = _MKV_ROUNDS
+    sel = ", ".join(
+        [f"f.p_start AS p_full"]
+        + [f"m{c}.p_start AS prem_{c}" for c in chans]
+    )
+    joins = " CROSS JOIN ".join(
+        [f"mf{last} f"] + [f"m{c}{last} m{c}" for c in chans]
+    )
+    re_exprs = ", ".join(
+        f"CASE WHEN p_full > 0.0 THEN 1.0 - prem_{c} / p_full "
+        f"ELSE 0.0 END AS re_{c}"
+        for c in chans
+    )
+    total = " + ".join(f"re_{c}" for c in chans)
+    rows = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS channel, p_full AS p_conv_full, "
+        f"prem_{c} AS p_conv_removed, re_{c} AS removal_effect, "
+        f"CASE WHEN {total} > 0.0 THEN re_{c} / ({total}) "
+        f"ELSE 0.0 END AS credit FROM mre"
+        for c in chans
+    )
+    parts.append(f"mres AS (SELECT {sel} FROM {joins})")
+    parts.append(f"mre AS (SELECT mres.*, {re_exprs} FROM mres)")
+    return "WITH " + ",\n".join(parts) + "\n" + rows
+
+
+QUERIES["markov_attribution_events"] = markov_attribution_events
+ORACLE_SQL["markov_attribution_events"] = _markov_sql()

@@ -254,3 +254,139 @@ def shapley_attribution(
         rows, "channel string, n_exposed long, n_converted long, "
         "shapley double"
     )
+
+
+def markov_attribution(
+    events: DataFrame,
+    *,
+    channels: Sequence[str] = ("view", "click", "signup"),
+    conv_type: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    rounds: int = 40,
+) -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al.) — the
+    path-structure member of the credit-model family, between the
+    heuristics (:func:`attribution_credits`) and the order-free game
+    (:func:`shapley_attribution`): build the first-order chain over
+    per-user touch paths (states start → channels → conv/null,
+    truncated at the first conversion), compute the chain's absorption
+    probability P(conv | start), then re-score it with each channel
+    REMOVED (its inbound transition mass falls to the null sink,
+    denominators unchanged — the standard removal convention). Credit
+    is the normalized removal effect 1 − P₋c/P.
+
+    Absorption probabilities come from ``rounds`` unrolled fixpoint
+    iterations ``p ← P_conv + P_transient·p`` from p = 0 — a strictly
+    monotone contraction, and an EXACT shared float program: the SQL
+    oracle replays the identical rounds term for term (the PageRank
+    in-plan-fold doctrine applied to a 4-state chain), so the hash
+    gate never depends on a linear-solver's pivoting.
+
+    Returns one row per channel:
+    ``(channel, p_conv_full, p_conv_removed, removal_effect,
+    credit)``.
+
+    Scale shape: ONE user-keyed window pass builds transitions (the
+    corpus reduces to ≤ (|channels|+2)² integer counts), the chain
+    math runs driver-side on those integers, and nothing else touches
+    the data.
+    """
+    if not channels or conv_type in channels:
+        raise ValueError(
+            "channels must be non-empty and exclude the conversion type"
+        )
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    chans = list(channels)
+    keep = chans + [conv_type]
+    w = Window.partitionBy("_u").orderBy("_ts", "_id")
+    seq = (
+        events.where(
+            F.col(type_col).isin(keep) & F.col(user_col).isNotNull()
+        )
+        .select(
+            F.col(user_col).alias("_u"),
+            F.col(ts_col).alias("_ts"),
+            F.col(id_col).alias("_id"),
+            F.col(type_col).alias("_t"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "_conv_rn",
+            F.min(
+                F.when(F.col("_t") == conv_type, F.col("_rn"))
+            ).over(Window.partitionBy("_u")),
+        )
+        .where(
+            F.col("_conv_rn").isNull()
+            | (F.col("_rn") <= F.col("_conv_rn"))
+        )
+    )
+    steps = seq.select(
+        "_u",
+        "_rn",
+        F.coalesce(F.lag("_t").over(w), F.lit("start")).alias("src"),
+        F.when(F.col("_t") == conv_type, F.lit("conv"))
+        .otherwise(F.col("_t"))
+        .alias("dst"),
+    )
+    last = seq.groupBy("_u").agg(
+        F.max_by("_t", "_rn").alias("_lt")
+    ).where(F.col("_lt") != conv_type)
+    terminals = last.select(
+        F.col("_lt").alias("src"), F.lit("null").alias("dst")
+    )
+    counts = (
+        steps.select("src", "dst")
+        .unionAll(terminals)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    cnt = {(r["src"], r["dst"]): r["n"] for r in counts}
+    transient = ["start", *chans]
+    out_n = {s: sum(v for (a, _), v in cnt.items() if a == s) for s in transient}
+
+    def p(s: str, d: str) -> float:
+        tot = out_n.get(s, 0)
+        return (cnt.get((s, d), 0) / tot) if tot else 0.0
+
+    def absorb(removed: "str | None") -> float:
+        cur = {s: 0.0 for s in transient}
+        for _ in range(rounds):
+            nxt = {}
+            for s in transient:
+                acc = p(s, "conv")
+                for d in chans:
+                    if d == removed:
+                        continue
+                    acc = acc + p(s, d) * cur[d]
+                nxt[s] = acc
+            cur = nxt
+        return cur["start"]
+
+    p_full = absorb(None)
+    res = []
+    for c in chans:
+        p_rem = absorb(c)
+        re = 1.0 - p_rem / p_full if p_full > 0.0 else 0.0
+        res.append([c, p_rem, re])
+    total_re = sum(r[2] for r in res)
+    rows = [
+        (
+            c,
+            p_full,
+            p_rem,
+            re,
+            (re / total_re) if total_re > 0.0 else 0.0,
+        )
+        for c, p_rem, re in res
+    ]
+    return events.sparkSession.createDataFrame(
+        rows,
+        "channel string, p_conv_full double, p_conv_removed double, "
+        "removal_effect double, credit double",
+    )

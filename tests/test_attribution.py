@@ -190,3 +190,72 @@ def test_shapley_attribution_guards(spark):
             channels=("view", "click", "purchase"),
             conv_type="purchase",
         )
+
+
+def test_markov_attribution_removal_effects_hand_chain(spark):
+    """A hand-built two-path corpus: users either convert through
+    view→click→purchase or touch only view and drop. Removing click
+    kills every conversion (removal effect 1); removing view also
+    kills everything (it gates the path); signup never appears and
+    gets zero credit."""
+    from k_means_using_mapreduce_spark.operators.attribution import (
+        markov_attribution,
+    )
+
+    rows = []
+    eid = 0
+    for u in range(10):
+        eid += 1
+        rows.append((eid, 1_000_000_000 * eid, u, "view", 1.0))
+        if u < 6:  # 6 users convert through view -> click -> purchase
+            eid += 1
+            rows.append((eid, 1_000_000_000 * eid, u, "click", 1.0))
+            eid += 1
+            rows.append((eid, 1_000_000_000 * eid, u, "purchase", 1.0))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double",
+    )
+    out = {
+        r["channel"]: r for r in markov_attribution(df).collect()
+    }
+    # chain: start->view (1.0); view->click 0.6, view->null 0.4;
+    # click->conv 1.0. P(conv) = 0.6.
+    assert out["view"]["p_conv_full"] == pytest.approx(0.6)
+    assert out["click"]["p_conv_removed"] == pytest.approx(0.0)
+    assert out["view"]["p_conv_removed"] == pytest.approx(0.0)
+    assert out["click"]["removal_effect"] == pytest.approx(1.0)
+    assert out["view"]["removal_effect"] == pytest.approx(1.0)
+    assert out["signup"]["removal_effect"] == pytest.approx(0.0)
+    assert out["signup"]["credit"] == 0.0
+    assert out["view"]["credit"] == pytest.approx(0.5)
+    assert out["click"]["credit"] == pytest.approx(0.5)
+
+    with pytest.raises(ValueError, match="rounds"):
+        markov_attribution(df, rounds=0)
+    with pytest.raises(ValueError, match="channels"):
+        markov_attribution(df, channels=("purchase",))
+
+
+def test_markov_attribution_path_truncates_at_first_conversion(spark):
+    """Touches AFTER a user's first purchase must not count: a user
+    whose path is click→purchase→signup contributes no signup
+    transitions, so signup's removal changes nothing."""
+    from k_means_using_mapreduce_spark.operators.attribution import (
+        markov_attribution,
+    )
+
+    rows = [
+        (1, 1_000_000_000, 1, "click", 1.0),
+        (2, 2_000_000_000, 1, "purchase", 1.0),
+        (3, 3_000_000_000, 1, "signup", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double",
+    )
+    out = {r["channel"]: r for r in markov_attribution(df).collect()}
+    assert out["signup"]["removal_effect"] == 0.0
+    assert out["click"]["removal_effect"] == pytest.approx(1.0)
