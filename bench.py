@@ -402,6 +402,9 @@ BENCH_QUERIES = [
     "aipw_discount_quantity",
     "ransac_price_quantity",
     "competing_risks_users",
+    "markov_attribution_events",
+    "neyman_allocation_events",
+    "table_fingerprint_orders",
 ]
 
 KMEANS_FIT_K = 8

@@ -94,3 +94,46 @@ ORACLE_SQL: dict[str, str] = {
     "corpus_snapshot_diff": CORPUS_SNAPSHOT_DIFF_SQL,
     "corpus_diff_summary": CORPUS_DIFF_SUMMARY_SQL,
 }
+
+
+_FP_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_orderpriority",
+    "o_orderdate",
+]
+
+
+def table_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content fingerprint of the orders table
+    (operators/diff.py::table_fingerprint): XOR of per-row content
+    hashes + exact row/distinct counts — the one-row replica /
+    ingest-batch integrity check. Double-typed columns are excluded
+    by choice: their string renderings are engine-specific, and a
+    fingerprint must never depend on a formatter."""
+    from ..operators.diff import table_fingerprint
+
+    return table_fingerprint(
+        load_table(spark, sf_dir, "orders"), _FP_COLS
+    )
+
+
+def _fingerprint_sql() -> str:
+    parts = " || ".join(
+        f"coalesce(md5(CAST({c} AS VARCHAR)), '<null>')" for c in _FP_COLS
+    )
+    return f"""
+WITH h AS (
+  SELECT ('0x' || substr(md5({parts}), 1, 15))::BIGINT AS _h
+  FROM orders
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT _h) AS BIGINT) AS n_distinct,
+       bit_xor(_h) AS xor_hash
+FROM h
+"""
+
+
+QUERIES["table_fingerprint_orders"] = table_fingerprint_orders
+ORACLE_SQL["table_fingerprint_orders"] = _fingerprint_sql()

@@ -231,3 +231,49 @@ WHERE l.id <> r.id
 
 QUERIES["negative_pairs_embeddings"] = negative_pairs_embeddings
 ORACLE_SQL["negative_pairs_embeddings"] = NEGATIVES_SQL
+
+
+_NEYMAN_N = 1000
+
+
+def neyman_allocation_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal allocation of a 1000-row sample budget across
+    event types by value variability
+    (operators/sampling.py::neyman_allocation), next to the
+    proportional allocation so the design gain is visible."""
+    from ..operators.sampling import neyman_allocation
+
+    return neyman_allocation(
+        load_table(spark, sf_dir, "events"),
+        "event_type",
+        "value",
+        total_n=_NEYMAN_N,
+    )
+
+
+NEYMAN_SQL = f"""
+WITH per AS (
+  SELECT event_type AS stratum,
+         CAST(count(*) AS DOUBLE) AS n,
+         sum(value) AS s, sum(value * value) AS ss
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1
+),
+std AS (
+  SELECT stratum, n,
+    CASE WHEN n > 1.0
+         THEN sqrt(greatest((ss - s * s / n) / (n - 1.0), 0.0))
+         ELSE 0.0 END AS stddev
+  FROM per
+),
+tot AS (SELECT sum(n * stddev) AS ns, sum(n) AS nn FROM std)
+SELECT stratum, CAST(n AS BIGINT) AS n_rows, stddev,
+  CASE WHEN ns > 0.0 THEN {float(_NEYMAN_N)!r} * (n * stddev) / ns
+       ELSE {float(_NEYMAN_N)!r} * n / nn END AS alloc_neyman,
+  {float(_NEYMAN_N)!r} * n / nn AS alloc_proportional
+FROM std CROSS JOIN tot
+"""
+
+QUERIES["neyman_allocation_events"] = neyman_allocation_events
+ORACLE_SQL["neyman_allocation_events"] = NEYMAN_SQL

@@ -107,3 +107,37 @@ def diff_summary(
         old, new, key_cols, compare_cols, include_unchanged=True
     )
     return d.groupBy("change").agg(F.count("*").alias("n_keys"))
+
+
+def table_fingerprint(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Order-independent content fingerprint of a relation — the
+    one-row integrity check in front of :func:`snapshot_diff` (which
+    answers WHAT changed; this answers WHETHER anything did, for the
+    cost of one scan and an 8-byte comparison): XOR of the per-row
+    :func:`content_hash` int60s plus exact row / distinct-row counts.
+
+    XOR is commutative and associative, so the fingerprint is
+    identical under any partitioning, row order, or engine — two
+    pipeline runs (or a source and its replica) match iff their hash
+    multisets match up to XOR-cancelling duplicate PAIRS, which the
+    distinct count pins down. Typical use: persist
+    ``(n, n_distinct, xor_hash)`` per ingest batch and diff
+    fingerprints instead of tables.
+
+    Returns one row ``(n, n_distinct, xor_hash)``.
+
+    Scale shape: one narrow projection (md5 per row, pruned to
+    ``cols``) + one combinable aggregate; the distinct count is the
+    only shuffle and rides the same 60-bit hash.
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    h = F.conv(F.substring(content_hash(cols), 1, 15), 16, 10).cast(
+        "long"
+    )
+    rows = df.select(h.alias("_h"))
+    return rows.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("_h").alias("n_distinct"),
+        F.expr("bit_xor(_h)").alias("xor_hash"),
+    )

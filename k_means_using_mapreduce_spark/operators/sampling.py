@@ -279,3 +279,81 @@ def hash_ring_negatives(
     )
     out = left.join(right, "_rn_b").select("id", "slot", "neg_id")
     return out.where(F.col("id") != F.col("neg_id"))
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    *,
+    total_n: int,
+) -> DataFrame:
+    """Neyman-optimal stratified sample allocation — the DESIGN step
+    in front of :func:`stratified_sample`: given a budget of
+    ``total_n`` rows, variance-minimizing stratum sizes are
+
+        n_h = total_n · N_h·S_h / Σ_h N_h·S_h
+
+    (Neyman 1934): big strata get more, VARIABLE strata get more, and
+    a stratum with zero variance needs almost nothing regardless of
+    size. Reported next to proportional allocation (n·N_h/N) so the
+    design gain is visible.
+
+    Allocations stay FRACTIONAL doubles — integer rounding is the
+    caller's policy decision (largest-remainder, ceil-min-1, …), and
+    rounding inside the operator would hash-gate a tie.
+
+    Returns one row per stratum: ``(stratum, n_rows, stddev,
+    alloc_neyman, alloc_proportional)``, single-member or constant
+    strata contributing stddev 0.
+
+    Scale shape: one map-side-combinable groupBy over the stratum key
+    computing (n, Σv, Σv²), stddev derived from the sums, and the
+    normalizing constants joined back broadcast — two scans of
+    nothing wider than |strata| rows after the first reduce.
+    """
+    if total_n < 1:
+        raise ValueError(f"total_n must be >= 1, got {total_n}")
+    v = F.col(value_col).cast("double")
+    per = (
+        df.where(v.isNotNull() & F.col(stratum_col).isNotNull())
+        .groupBy(F.col(stratum_col).alias("stratum"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("_n"),
+            F.sum(v).alias("_s"),
+            F.sum(v * v).alias("_ss"),
+        )
+        .withColumn(
+            "stddev",
+            F.when(
+                F.col("_n") > 1.0,
+                F.sqrt(
+                    F.greatest(
+                        (
+                            F.col("_ss")
+                            - F.col("_s") * F.col("_s") / F.col("_n")
+                        )
+                        / (F.col("_n") - 1.0),
+                        F.lit(0.0),
+                    )
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    tot = per.agg(
+        F.sum(F.col("_n") * F.col("stddev")).alias("_ns"),
+        F.sum("_n").alias("_nn"),
+    )
+    t = F.lit(float(total_n))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        F.col("_n").cast("long").alias("n_rows"),
+        "stddev",
+        F.when(
+            F.col("_ns") > 0.0,
+            t * (F.col("_n") * F.col("stddev")) / F.col("_ns"),
+        )
+        .otherwise(t * F.col("_n") / F.col("_nn"))
+        .alias("alloc_neyman"),
+        (t * F.col("_n") / F.col("_nn")).alias("alloc_proportional"),
+    )

@@ -102,3 +102,42 @@ def test_content_hash_separator_injection(spark):
     )
     out = {r["k"]: r["change"] for r in snapshot_diff(old, new, ["k"]).collect()}
     assert out == {1: "changed", 2: "changed"}
+
+
+def test_table_fingerprint_order_independent_and_sensitive(spark):
+    """The fingerprint is identical under reordering/repartitioning,
+    changes when any value changes, and the distinct count exposes
+    XOR-cancelling duplicate pairs."""
+    from k_means_using_mapreduce_spark.operators.diff import (
+        table_fingerprint,
+    )
+
+    rows = [(1, "a"), (2, "b"), (3, None)]
+    df = spark.createDataFrame(rows, "id int, s string")
+    f1 = table_fingerprint(df, ["id", "s"]).collect()[0]
+    shuffled = spark.createDataFrame(
+        list(reversed(rows)), "id int, s string"
+    ).repartition(7)
+    f2 = table_fingerprint(shuffled, ["id", "s"]).collect()[0]
+    assert (f1["n"], f1["n_distinct"], f1["xor_hash"]) == (
+        f2["n"],
+        f2["n_distinct"],
+        f2["xor_hash"],
+    )
+    changed = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, None)], "id int, s string"
+    )
+    f3 = table_fingerprint(changed, ["id", "s"]).collect()[0]
+    assert f3["xor_hash"] != f1["xor_hash"]
+
+    # a duplicated row XOR-cancels: n and n_distinct catch it
+    doubled = spark.createDataFrame(
+        rows + [(2, "b")], "id int, s string"
+    )
+    f4 = table_fingerprint(doubled, ["id", "s"]).collect()[0]
+    assert f4["n"] == 4 and f4["n_distinct"] == 3
+
+    import pytest as _p
+
+    with _p.raises(ValueError, match="non-empty"):
+        table_fingerprint(df, [])

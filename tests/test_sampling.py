@@ -277,3 +277,41 @@ def test_hash_ring_negatives_dedups_ids_and_guards_distinct(spark):
     assert len(out) == 6  # 3 distinct ids x exactly k
     for r in out:
         assert r["id"] != r["neg_id"]
+
+
+def test_neyman_allocation_favors_variable_strata(spark):
+    """Two equal-size strata, one constant and one variable: Neyman
+    sends (almost) the whole budget to the variable stratum while
+    proportional splits evenly; allocations sum to the budget."""
+    from k_means_using_mapreduce_spark.operators.sampling import (
+        neyman_allocation,
+    )
+
+    rows = [("flat", 5.0)] * 50 + [
+        ("wild", float(10 * (i % 7))) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "s string, v double")
+    out = {
+        r["stratum"]: r
+        for r in neyman_allocation(df, "s", "v", total_n=100).collect()
+    }
+    assert out["flat"]["stddev"] == 0.0
+    assert out["flat"]["alloc_neyman"] == pytest.approx(0.0)
+    assert out["wild"]["alloc_neyman"] == pytest.approx(100.0)
+    assert out["flat"]["alloc_proportional"] == pytest.approx(50.0)
+    total = sum(r["alloc_neyman"] for r in out.values())
+    assert total == pytest.approx(100.0)
+
+    # all-constant corpus: falls back to proportional
+    dfc = spark.createDataFrame(
+        [("a", 1.0)] * 30 + [("b", 2.0)] * 10, "s string, v double"
+    )
+    out = {
+        r["stratum"]: r
+        for r in neyman_allocation(dfc, "s", "v", total_n=40).collect()
+    }
+    assert out["a"]["alloc_neyman"] == pytest.approx(30.0)
+    assert out["b"]["alloc_neyman"] == pytest.approx(10.0)
+
+    with pytest.raises(ValueError, match="total_n"):
+        neyman_allocation(df, "s", "v", total_n=0)
