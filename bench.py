@@ -405,6 +405,7 @@ BENCH_QUERIES = [
     "markov_attribution_events",
     "neyman_allocation_events",
     "table_fingerprint_orders",
+    "group_sequential_events",
 ]
 
 KMEANS_FIT_K = 8

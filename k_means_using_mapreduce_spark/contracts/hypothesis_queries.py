@@ -1130,3 +1130,96 @@ FROM t
 
 QUERIES["ab_power_value_experiment"] = ab_power_value_experiment
 ORACLE_SQL["ab_power_value_experiment"] = _ab_power_sql()
+
+
+_GS_LOOKS = 5
+
+
+def group_sequential_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential replay of the hash-armed value experiment at 5
+    equally spaced event-time looks
+    (operators/hypothesis.py::group_sequential): per-look unpooled z
+    against both the Pocock and O'Brien-Fleming K=5 boundaries. The
+    split is null-true (md5 arms), so the boundary machinery is
+    value-checked without a planted effect; the oracle replays the
+    identical conditional-sum and z arithmetic."""
+    from ..operators.hypothesis import group_sequential
+    from ..operators.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "arm",
+        F.when(hash_bucket("user_id", 2) == 0, F.lit("a")).otherwise(
+            F.lit("b")
+        ),
+    )
+    return group_sequential(
+        ev, arm_col="arm", value_col="value", looks=_GS_LOOKS
+    )
+
+
+def _group_sequential_sql() -> str:
+    from ..operators.hypothesis import OBF_C_K5, POCOCK_C_K5
+
+    looks = _GS_LOOKS
+    sums = []
+    for k in range(1, looks + 1):
+        for tag, armv in (("a", 0), ("b", 1)):
+            w = (
+                f"CASE WHEN rn <= cut{k} AND arm = {armv} "
+                f"THEN 1.0 ELSE 0.0 END"
+            )
+            sums.append(
+                f"sum({w}) AS n{tag}{k},\n"
+                f"    sum({w} * v) AS s{tag}{k},\n"
+                f"    sum({w} * v * v) AS q{tag}{k}"
+            )
+    cuts = ",\n  ".join(
+        f"(total * {k}) // {looks} AS cut{k}" for k in range(1, looks + 1)
+    )
+    rows = []
+    for k in range(1, looks + 1):
+        na, sa, qa = f"na{k}", f"sa{k}", f"qa{k}"
+        nb, sb, qb = f"nb{k}", f"sb{k}", f"qb{k}"
+        ma, mb = f"({sa} / {na})", f"({sb} / {nb})"
+        va = f"(({qa} - {sa} * {sa} / {na}) / ({na} - 1.0))"
+        vb = f"(({qb} - {sb} * {sb} / {nb}) / ({nb} - 1.0))"
+        se2 = f"({va} / {na} + {vb} / {nb})"
+        z = (
+            f"CASE WHEN {na} > 1 AND {nb} > 1 AND {se2} > 0.0 "
+            f"THEN ({ma} - {mb}) / sqrt({se2}) END"
+        )
+        b_o = f"{OBF_C_K5!r} * sqrt({float(looks)!r} / {float(k)!r})"
+        rows.append(
+            f"SELECT {k} AS look, cut{k} AS n,"
+            f" CAST({na} AS BIGINT) AS n_a, CAST({nb} AS BIGINT) AS n_b,"
+            f" {ma} AS mean_a, {mb} AS mean_b, {z} AS z,"
+            f" {POCOCK_C_K5!r} AS boundary_pocock,"
+            f" {b_o} AS boundary_obf,"
+            f" abs({z}) > {POCOCK_C_K5!r} AS cross_pocock,"
+            f" abs({z}) > {b_o} AS cross_obf"
+            f" FROM agg CROSS JOIN cuts"
+        )
+    sums_block = ",\n    ".join(sums)
+    union = "\nUNION ALL\n".join(rows)
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+           % 2 AS arm,
+         CAST(value AS DOUBLE) AS v,
+         row_number() OVER (ORDER BY epoch_ns(ts), event_id) AS rn
+  FROM events
+  WHERE value IS NOT NULL AND user_id IS NOT NULL
+),
+tot AS (SELECT count(*) AS total FROM base),
+cuts AS (SELECT {cuts} FROM tot),
+agg AS MATERIALIZED (
+  SELECT
+    {sums_block}
+  FROM base CROSS JOIN cuts
+)
+{union}
+"""
+
+
+QUERIES["group_sequential_events"] = group_sequential_events
+ORACLE_SQL["group_sequential_events"] = _group_sequential_sql()

@@ -27,6 +27,7 @@ statistics surface; extension scope per the build brief.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -1379,4 +1380,127 @@ def ab_power_mde(
         mde_abs.alias("mde_abs"),
         (mde_abs / F.nullif(pooled_mean, F.lit(0.0))).alias("mde_rel"),
         F.ceil(n_target).cast("long").alias("n_per_arm_target"),
+    )
+
+
+#: Two-sided group-sequential critical values at alpha = 0.05 for
+#: K = 5 equally spaced looks (Pocock 1977 table; O'Brien-Fleming 1979
+#: final-look constant — earlier OBF looks scale by sqrt(K/k)).
+POCOCK_C_K5 = 2.413
+OBF_C_K5 = 2.040
+
+
+def group_sequential(
+    events: DataFrame,
+    *,
+    arm_col: str,
+    value_col: str,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    looks: int = 5,
+) -> DataFrame:
+    """Group-sequential experiment monitoring — the batch ledger
+    behind :func:`streaming`'s SPRT: replay the experiment at
+    ``looks`` equally spaced interim analyses (event-time order,
+    deterministic id tie-break) and report at each look the
+    two-sample z alongside BOTH classic stopping boundaries:
+
+    * Pocock — constant critical value (easy to cross early, pays at
+      the final look);
+    * O'Brien-Fleming — ``c·√(K/k)``: nearly impossible to cross
+      early, ≈ the fixed-sample test at the end.
+
+    Constants are the published K = 5, α = 0.05 table values
+    (POCOCK_C_K5, OBF_C_K5) — spending-function generalization needs
+    Φ⁻¹ and is out of scope by design.
+
+    Returns ``looks`` rows: ``(look, n, n_a, n_b, mean_a, mean_b, z,
+    boundary_pocock, boundary_obf, cross_pocock, cross_obf)`` with
+    the unpooled z ``(m_a − m_b)/√(s²_a/n_a + s²_b/n_b)``.
+
+    Scale shape: one rank pass (event-time row_number — the only
+    shuffle), then ONE aggregate computes every look's per-arm
+    (n, Σv, Σv²) as conditional sums; the z/boundary arithmetic is a
+    |looks|-row projection. Nothing iterates.
+    """
+    if looks < 2:
+        raise ValueError(f"looks must be >= 2, got {looks}")
+    a = F.col(arm_col)
+    v = F.col(value_col).cast("double")
+    rows = events.where(v.isNotNull() & a.isNotNull()).select(
+        a.alias("_arm"),
+        v.alias("_v"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+    )
+    w = Window.orderBy("_ts", "_id")
+    ranked = rows.withColumn("_rn", F.row_number().over(w))
+    total = ranked.count()
+    if total < 2 * looks:
+        raise ValueError(
+            f"need at least {2 * looks} rows for {looks} looks, "
+            f"got {total}"
+        )
+    arms = sorted(
+        r["_arm"] for r in rows.select("_arm").distinct().collect()
+    )
+    if len(arms) != 2:
+        raise ValueError(f"need exactly 2 arms, got {arms}")
+    arm_a, arm_b = arms
+    aggs = []
+    cuts = []
+    for k in range(1, looks + 1):
+        cut = (total * k) // looks
+        cuts.append(cut)
+        inc = F.col("_rn") <= F.lit(cut)
+        for tag, arm in (("a", arm_a), ("b", arm_b)):
+            m = inc & (F.col("_arm") == arm)
+            w1 = F.when(m, 1.0).otherwise(0.0)
+            aggs.extend(
+                [
+                    F.sum(w1).alias(f"n{tag}{k}"),
+                    F.sum(w1 * F.col("_v")).alias(f"s{tag}{k}"),
+                    F.sum(w1 * F.col("_v") * F.col("_v")).alias(
+                        f"q{tag}{k}"
+                    ),
+                ]
+            )
+    s = ranked.agg(*aggs).collect()[0]
+    out = []
+    kk = float(looks)
+    for k in range(1, looks + 1):
+        na, sa, qa = s[f"na{k}"], s[f"sa{k}"], s[f"qa{k}"]
+        nb, sb, qb = s[f"nb{k}"], s[f"sb{k}"], s[f"qb{k}"]
+        ma = sa / na if na > 0 else None
+        mb = sb / nb if nb > 0 else None
+        z = None
+        if na > 1 and nb > 1:
+            va = (qa - sa * sa / na) / (na - 1.0)
+            vb = (qb - sb * sb / nb) / (nb - 1.0)
+            se2 = va / na + vb / nb
+            if se2 > 0.0:
+                z = (ma - mb) / math.sqrt(se2)
+        b_p = POCOCK_C_K5
+        b_o = OBF_C_K5 * math.sqrt(kk / float(k))
+        out.append(
+            (
+                k,
+                cuts[k - 1],
+                int(na),
+                int(nb),
+                ma,
+                mb,
+                z,
+                b_p,
+                b_o,
+                bool(z is not None and abs(z) > b_p),
+                bool(z is not None and abs(z) > b_o),
+            )
+        )
+    return events.sparkSession.createDataFrame(
+        out,
+        "look int, n long, n_a long, n_b long, mean_a double, "
+        "mean_b double, z double, boundary_pocock double, "
+        "boundary_obf double, cross_pocock boolean, "
+        "cross_obf boolean",
     )

@@ -582,3 +582,63 @@ def test_ab_power_mde_closed_form(spark):
     )
     rt = ab_power_mde(tiny, "arm", "y").collect()[0]
     assert rt["mde_abs"] is None and rt["n_per_arm_target"] is None
+
+
+def test_group_sequential_planted_effect_crosses_pocock_first(spark):
+    """A large planted arm effect: Pocock (constant boundary) crosses
+    at an earlier look than O'Brien-Fleming (steep early boundary) —
+    the textbook contrast; boundaries carry the published K=5
+    constants; a null split crosses nothing."""
+    from k_means_using_mapreduce_spark.operators.hypothesis import (
+        OBF_C_K5,
+        POCOCK_C_K5,
+        group_sequential,
+    )
+
+    rows = []
+    for i in range(400):
+        arm = "a" if i % 2 == 0 else "b"
+        v = 10.0 + (3.0 if arm == "a" else 0.0) + 0.5 * ((i * 7) % 5)
+        rows.append((i, 1_000_000 * i, arm, v))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts long, arm string, value double"
+    )
+    out = {
+        r["look"]: r
+        for r in group_sequential(
+            df, arm_col="arm", value_col="value", looks=5
+        ).collect()
+    }
+    assert len(out) == 5
+    assert out[5]["boundary_pocock"] == POCOCK_C_K5
+    assert out[1]["boundary_obf"] == pytest.approx(
+        OBF_C_K5 * (5 ** 0.5)
+    )
+    assert out[5]["boundary_obf"] == pytest.approx(OBF_C_K5)
+    first_p = min(k for k, r in out.items() if r["cross_pocock"])
+    first_o = min(k for k, r in out.items() if r["cross_obf"])
+    assert first_p <= first_o  # Pocock is easier to cross early
+    assert out[5]["cross_pocock"] and out[5]["cross_obf"]
+    assert out[5]["mean_a"] - out[5]["mean_b"] == pytest.approx(3.0)
+
+    # null split: no crossing anywhere
+    null_rows = [
+        (i, 1_000_000 * i, "a" if i % 2 else "b", 10.0 + 0.5 * (i % 7))
+        for i in range(400)
+    ]
+    dfn = spark.createDataFrame(
+        null_rows, "event_id long, ts long, arm string, value double"
+    )
+    outn = group_sequential(
+        dfn, arm_col="arm", value_col="value", looks=5
+    ).collect()
+    assert not any(r["cross_pocock"] or r["cross_obf"] for r in outn)
+
+    with pytest.raises(ValueError, match="looks"):
+        group_sequential(df, arm_col="arm", value_col="value", looks=1)
+    three = df.withColumn(
+        "arm3",
+        F.when(F.col("event_id") % 3 == 0, "c").otherwise(F.col("arm")),
+    )
+    with pytest.raises(ValueError, match="exactly 2 arms"):
+        group_sequential(three, arm_col="arm3", value_col="value")
