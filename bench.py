@@ -406,6 +406,7 @@ BENCH_QUERIES = [
     "neyman_allocation_events",
     "table_fingerprint_orders",
     "group_sequential_events",
+    "mondrian_cells_events",
 ]
 
 KMEANS_FIT_K = 8

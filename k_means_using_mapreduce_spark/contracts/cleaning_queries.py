@@ -694,3 +694,79 @@ FROM emd
 
 QUERIES["t_closeness_events"] = t_closeness_events
 ORACLE_SQL["t_closeness_events"] = T_CLOSENESS_SQL
+
+
+_MOND_K, _MOND_DEPTH = 500, 3
+
+
+def mondrian_cells_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mondrian k-anonymous generalization of the (value, hour-of-day)
+    quasi-identifier space (operators/cleaning.py::mondrian_generalize,
+    k = 500, depth = 3): median-cut leaves with their published
+    ranges. Every split decision is an order statistic or an integer
+    count, so the cell structure is engine-exact by construction."""
+    from ..operators.cleaning import mondrian_generalize
+
+    hour_of_day = (
+        (F.col("ts") % 86_400_000_000_000) / 3_600_000_000_000
+    ).cast("long")
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("value"), hour_of_day.alias("hod")
+    )
+    return mondrian_generalize(
+        ev, ["value", "hod"], k=_MOND_K, depth=_MOND_DEPTH
+    )
+
+
+def _mondrian_sql() -> str:
+    k, depth = _MOND_K, _MOND_DEPTH
+    parts = [
+        """c0 AS (
+  SELECT CAST(value AS DOUBLE) AS v1,
+         ((epoch_ns(ts) % 86400000000000) // 3600000000000) AS v2,
+         'r' AS cell
+  FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL
+)"""
+    ]
+    for r in range(1, depth + 1):
+        axis = "v1" if (r - 1) % 2 == 0 else "v2"
+        parts.append(f"""rk{r} AS (
+  SELECT v1, v2, cell,
+    row_number() OVER (PARTITION BY cell ORDER BY {axis}) AS rn,
+    count(*) OVER (PARTITION BY cell) AS n
+  FROM c{r - 1}
+)""")
+        parts.append(f"""md{r} AS (
+  SELECT cell, {axis} AS m FROM rk{r} WHERE rn = (n + 1) // 2
+)""")
+        parts.append(f"""ct{r} AS (
+  SELECT t.cell, any_value(d.m) AS m,
+         sum(CASE WHEN t.{axis} <= d.m THEN 1 ELSE 0 END) AS ln,
+         count(*) AS n
+  FROM rk{r} t JOIN md{r} d USING (cell)
+  GROUP BY t.cell
+)""")
+        parts.append(f"""c{r} AS (
+  SELECT t.v1, t.v2,
+    CASE WHEN d.ln >= {k} AND d.n - d.ln >= {k}
+         THEN t.cell ||
+              (CASE WHEN t.{axis} <= d.m THEN 'L' ELSE 'R' END)
+         ELSE t.cell END AS cell
+  FROM c{r - 1} t JOIN ct{r} d USING (cell)
+)""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT cell, CAST(count(*) AS BIGINT) AS n,
+       min(v1) AS min_a1, max(v1) AS max_a1,
+       min(v2) AS min_a2, max(v2) AS max_a2
+FROM c{depth}
+GROUP BY cell
+"""
+    )
+
+
+QUERIES["mondrian_cells_events"] = mondrian_cells_events
+ORACLE_SQL["mondrian_cells_events"] = _mondrian_sql()

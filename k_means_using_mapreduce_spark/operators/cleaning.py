@@ -1025,3 +1025,104 @@ def t_closeness_report(
         .alias("violating_rows"),
         F.max("_emd").alias("max_emd"),
     )
+
+
+def mondrian_generalize(
+    df: DataFrame,
+    attrs: "list[str]",
+    *,
+    k: int = 10,
+    depth: int = 3,
+) -> DataFrame:
+    """Strict multidimensional Mondrian generalization (LeFevre et
+    al. 2006) — the FIXER on top of the audit ladder
+    (:func:`k_anonymity_report` tells you classes are too small;
+    this BUILDS k-anonymous classes): recursively split the
+    2-attribute quasi-identifier space at the lower median of the
+    alternating axis, refusing any cut that would leave either side
+    below ``k``. Cells that cannot split pass through unchanged, so
+    every leaf holds ≥ k rows by construction (given the root does).
+
+    Output: one row per leaf — ``(cell, n, min_a1, max_a1, min_a2,
+    max_a2)`` — the generalized ranges a release would publish in
+    place of exact values. ``cell`` is the L/R split path, stable
+    across engines because every decision is an ORDER STATISTIC
+    (lower median, tie-insensitive) or an integer count; no float
+    accumulates anywhere.
+
+    Scale shape: ``depth`` rounds × two passes — a cell-partitioned
+    rank window (the corpus-wide shuffle, ≤ 2^depth partitions) to
+    pull each cell's median, then one conditional-count aggregate to
+    gate the cut; the split metadata (≤ 2^depth rows) folds back as a
+    literal CASE chain. Final pass is one grouped min/max summary.
+    """
+    if len(attrs) != 2:
+        raise ValueError(
+            f"mondrian_generalize is the explicit 2-attribute form, "
+            f"got {len(attrs)}"
+        )
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+    a1, a2 = attrs
+    rows = df.where(
+        F.col(a1).isNotNull() & F.col(a2).isNotNull()
+    ).select(
+        F.col(a1).alias("_v1"),
+        F.col(a2).alias("_v2"),
+        F.lit("r").alias("_cell"),
+    )
+    from pyspark.sql.window import Window
+
+    for d in range(depth):
+        axis = "_v1" if d % 2 == 0 else "_v2"
+        w = Window.partitionBy("_cell").orderBy(axis)
+        wc = Window.partitionBy("_cell")
+        ranked = rows.withColumn("_rn", F.row_number().over(w)).withColumn(
+            "_n", F.count(F.lit(1)).over(wc)
+        )
+        meds = ranked.where(
+            F.col("_rn") == F.floor((F.col("_n") + 1) / 2)
+        ).select("_cell", F.col(axis).alias("_m"), "_n")
+        med_rows = {r["_cell"]: (r["_m"], r["_n"]) for r in meds.collect()}
+        if not med_rows:
+            break
+        counts = rows.agg(
+            *[
+                F.sum(
+                    F.when(
+                        (F.col("_cell") == c)
+                        & (F.col(axis) <= F.lit(m)),
+                        1,
+                    ).otherwise(0)
+                ).alias(f"ln_{i}")
+                for i, (c, (m, _n)) in enumerate(sorted(med_rows.items()))
+            ]
+        ).collect()[0]
+        splits = {}
+        for i, (c, (m, n)) in enumerate(sorted(med_rows.items())):
+            left_n = counts[f"ln_{i}"]
+            if left_n >= k and (n - left_n) >= k:
+                splits[c] = m
+        if not splits:
+            continue  # this axis is stuck; the next round's axis may cut
+        expr = F.col("_cell")
+        for c, m in splits.items():
+            expr = F.when(
+                F.col("_cell") == c,
+                F.concat(
+                    F.col("_cell"),
+                    F.when(F.col(axis) <= F.lit(m), F.lit("L")).otherwise(
+                        F.lit("R")
+                    ),
+                ),
+            ).otherwise(expr)
+        rows = rows.withColumn("_cell", expr)
+    return rows.groupBy(F.col("_cell").alias("cell")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("_v1").alias("min_a1"),
+        F.max("_v1").alias("max_a1"),
+        F.min("_v2").alias("min_a2"),
+        F.max("_v2").alias("max_a2"),
+    )

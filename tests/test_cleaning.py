@@ -662,3 +662,50 @@ def test_t_closeness_identical_and_skewed_classes(spark):
         t_closeness_report(df, [], "v")
     with pytest.raises(ValueError, match="in \\(0, 1\\)"):
         t_closeness_report(df, ["q"], "v", t=1.0)
+
+
+def test_mondrian_generalize_median_cuts_and_k_floor(spark):
+    """A 40-row grid: depth-1 cuts at the lower median of attr 1;
+    deeper cuts respect the k floor (no leaf below k); leaf ranges
+    partition the space; a k too large for any cut returns the root."""
+    from k_means_using_mapreduce_spark.operators.cleaning import (
+        mondrian_generalize,
+    )
+
+    rows = [(float(i % 10), float(i % 4)) for i in range(40)]
+    df = spark.createDataFrame(rows, "x double, h double")
+    out = {
+        r["cell"]: r
+        for r in mondrian_generalize(df, ["x", "h"], k=5, depth=2).collect()
+    }
+    # every leaf >= k
+    assert all(r["n"] >= 5 for r in out.values())
+    assert sum(r["n"] for r in out.values()) == 40
+    # depth-1 split on x at the lower median: x in 0..9 uniform,
+    # lower median = 4.0 -> left gets x <= 4 (20 rows)
+    left_cells = [c for c in out if c.startswith("rL")]
+    assert all(out[c]["max_a1"] <= 4.0 for c in left_cells)
+    right_cells = [c for c in out if c.startswith("rR")]
+    assert all(out[c]["min_a1"] > 4.0 for c in right_cells)
+
+    root = mondrian_generalize(df, ["x", "h"], k=30, depth=3).collect()
+    assert len(root) == 1 and root[0]["cell"] == "r" and root[0]["n"] == 40
+
+    with pytest.raises(ValueError, match="2-attribute"):
+        mondrian_generalize(df, ["x"], k=5)
+    with pytest.raises(ValueError, match="k must be"):
+        mondrian_generalize(df, ["x", "h"], k=1)
+
+
+def test_mondrian_axis_stuck_recovers_on_next_round(spark):
+    """Attribute 1 constant (axis stuck, no valid cut) must not stop
+    the recursion: round 2 still cuts on attribute 2."""
+    from k_means_using_mapreduce_spark.operators.cleaning import (
+        mondrian_generalize,
+    )
+
+    rows = [(1.0, float(i % 8)) for i in range(32)]
+    df = spark.createDataFrame(rows, "x double, h double")
+    out = mondrian_generalize(df, ["x", "h"], k=4, depth=2).collect()
+    assert len(out) == 2  # one h-cut happened despite the stuck x axis
+    assert {r["cell"] for r in out} == {"rL", "rR"}
