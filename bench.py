@@ -407,6 +407,7 @@ BENCH_QUERIES = [
     "table_fingerprint_orders",
     "group_sequential_events",
     "mondrian_cells_events",
+    "augment_dropout_documents",
 ]
 
 KMEANS_FIT_K = 8

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from . import (
     assoc_queries,
     attribution_queries,
+    augment_queries,
     bloom_queries,
     budget_queries,
     calibration_queries,
@@ -78,6 +79,7 @@ from . import (
 
 _MODULES = [
     kmeans_queries,
+    augment_queries,
     ivm_queries,
     causal_queries,
     attribution_queries,
