@@ -408,6 +408,7 @@ BENCH_QUERIES = [
     "group_sequential_events",
     "mondrian_cells_events",
     "augment_dropout_documents",
+    "boxcox_price_lineitem",
 ]
 
 KMEANS_FIT_K = 8

@@ -778,3 +778,58 @@ FROM fit2
 
 QUERIES["ransac_price_quantity"] = ransac_price_quantity
 ORACLE_SQL["ransac_price_quantity"] = _ransac_sql()
+
+
+def boxcox_price_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Box-Cox re-expression ladder for extended price
+    (operators/robust.py::boxcox_profile): profile log-likelihood at
+    λ ∈ {−1, −½, 0, ½, 1} from one conditional-sum scan; the winner
+    (ties to the simpler/smaller λ) flags which transform a modeling
+    stage should apply."""
+    from ..operators.robust import boxcox_profile
+
+    return boxcox_profile(
+        load_table(spark, sf_dir, "lineitem"), "l_extendedprice"
+    )
+
+
+def _boxcox_sql() -> str:
+    from ..operators.robust import BOXCOX_LAMBDAS
+
+    sums = ["CAST(count(*) AS DOUBLE) AS n", "sum(ln(y)) AS slny"]
+    for i, lam in enumerate(BOXCOX_LAMBDAS):
+        z = "ln(y)" if lam == 0.0 else f"(pow(y, {lam!r}) - 1.0) / {lam!r}"
+        sums.append(f"sum({z}) AS s{i}")
+        sums.append(f"sum({z} * {z}) AS q{i}")
+    rows = []
+    for i, lam in enumerate(BOXCOX_LAMBDAS):
+        var = f"((q{i} - s{i} * s{i} / n) / n)"
+        ll = f"-(n / 2.0) * ln({var}) + ({lam!r} - 1.0) * slny"
+        rows.append(
+            f"SELECT {float(lam)!r} AS lam, CAST(n AS BIGINT) AS n, "
+            f"{ll} AS loglik FROM bsums"
+        )
+    union = "\nUNION ALL\n".join(rows)
+    sums_block = ",\n    ".join(sums)
+    return f"""
+WITH bb AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS y
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0
+),
+bsums AS MATERIALIZED (
+  SELECT
+    {sums_block}
+  FROM bb
+),
+lls AS (
+{union}
+)
+SELECT lam, n, loglik,
+  row_number() OVER (ORDER BY loglik DESC, lam ASC) = 1 AS is_best
+FROM lls
+"""
+
+
+QUERIES["boxcox_price_lineitem"] = boxcox_price_lineitem
+ORACLE_SQL["boxcox_price_lineitem"] = _boxcox_sql()

@@ -1105,3 +1105,79 @@ def ransac_line(
         b.alias("b"),
         F.sqrt(sse / k).alias("rmse_inliers"),
     )
+
+
+#: Box-Cox candidate grid — the classic half-step ladder of Tukey
+#: re-expressions (reciprocal, reciprocal-root, log, root, identity).
+BOXCOX_LAMBDAS = (-1.0, -0.5, 0.0, 0.5, 1.0)
+
+
+def boxcox_profile(
+    df: DataFrame,
+    value_col: str,
+    *,
+    lambdas: Sequence[float] = BOXCOX_LAMBDAS,
+) -> DataFrame:
+    """Box-Cox transform selection by profile log-likelihood over a
+    FIXED λ ladder — the normalizing-transform member of the robust
+    family (winsorize bounds, MAD rescales; Box-Cox RESHAPES): for
+    each candidate λ the profile log-likelihood (Box & Cox 1964)
+
+        ℓ(λ) = −(n/2)·ln σ̂²(z_λ) + (λ−1)·Σ ln y,
+        z_λ = (yᵡ − 1)/λ   (λ ≠ 0),   z₀ = ln y
+
+    is computed from sufficient sums in ONE scan (a conditional-sum
+    column set per λ), positives only. The grid keeps the argmax a
+    comparison of a handful of well-separated doubles instead of a
+    fragile continuous optimum — the house threshold doctrine.
+
+    Returns one row per λ: ``(lam, n, loglik, is_best)`` with the tie
+    broken to the SMALLER λ (simpler re-expression), deterministic in
+    both engines.
+    """
+    if len(lambdas) < 2:
+        raise ValueError(f"need >= 2 candidate lambdas, got {lambdas}")
+    if len(set(lambdas)) != len(lambdas):
+        raise ValueError("candidate lambdas must be distinct")
+    y = F.col(value_col).cast("double")
+    rows = df.where(y.isNotNull() & (y > 0)).select(
+        y.alias("_y"), F.log(y).alias("_ln")
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("_ln").alias("slny"),
+    ]
+    for i, lam in enumerate(lambdas):
+        if lam == 0.0:
+            z = F.col("_ln")
+        else:
+            z = (F.pow(F.col("_y"), F.lit(float(lam))) - F.lit(1.0)) / F.lit(
+                float(lam)
+            )
+        aggs.append(F.sum(z).alias(f"s{i}"))
+        aggs.append(F.sum(z * z).alias(f"q{i}"))
+    s = rows.agg(*aggs)
+    n = F.col("n")
+    out_rows = []
+    for i, lam in enumerate(lambdas):
+        var = (F.col(f"q{i}") - F.col(f"s{i}") * F.col(f"s{i}") / n) / n
+        ll = (
+            -(n / F.lit(2.0)) * F.log(var)
+            + (F.lit(float(lam)) - F.lit(1.0)) * F.col("slny")
+        )
+        out_rows.append(
+            F.struct(
+                F.lit(float(lam)).alias("lam"),
+                n.cast("long").alias("n"),
+                ll.alias("loglik"),
+            )
+        )
+    exploded = s.select(
+        F.explode(F.array(*out_rows)).alias("r")
+    ).select("r.lam", "r.n", "r.loglik")
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("loglik").desc(), F.col("lam").asc())
+    return exploded.withColumn(
+        "is_best", F.row_number().over(w) == 1
+    )

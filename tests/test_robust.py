@@ -612,3 +612,40 @@ def test_ransac_determinism_and_guards(spark):
     )
     with pytest.raises(ValueError, match="vertical"):
         ransac_line(dfv, "x", "y", F.col("id"))
+
+
+def test_boxcox_picks_log_for_lognormal_and_identity_for_normalish(spark):
+    """Deterministic lognormal-ish data (exp of a symmetric grid)
+    maximizes the profile likelihood at lambda = 0 (log); data already
+    symmetric picks lambda = 1 (identity). Guards raise."""
+    import math
+
+    from k_means_using_mapreduce_spark.operators.robust import (
+        boxcox_profile,
+    )
+
+    logn = spark.createDataFrame(
+        [(math.exp((i % 21 - 10) / 4.0),) for i in range(420)],
+        "v double",
+    )
+    out = {r["lam"]: r for r in boxcox_profile(logn, "v").collect()}
+    assert len(out) == 5
+    best = [lam for lam, r in out.items() if r["is_best"]]
+    assert best == [0.0]
+
+    # LEFT-skewed data wants lambda > 1; on this ladder the top rung
+    # (identity) wins — the opposite pull from the lognormal case
+    left = spark.createDataFrame(
+        [(100.0 - math.exp((i % 21 - 10) / 4.0),) for i in range(420)],
+        "v double",
+    )
+    best = [
+        r["lam"] for r in boxcox_profile(left, "v").collect() if r["is_best"]
+    ]
+    assert best == [1.0]
+    sym = left
+
+    with pytest.raises(ValueError, match="distinct"):
+        boxcox_profile(sym, "v", lambdas=(0.0, 0.0))
+    with pytest.raises(ValueError, match=">= 2"):
+        boxcox_profile(sym, "v", lambdas=(1.0,))
