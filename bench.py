@@ -409,6 +409,7 @@ BENCH_QUERIES = [
     "mondrian_cells_events",
     "augment_dropout_documents",
     "boxcox_price_lineitem",
+    "ivf_recall_embeddings",
 ]
 
 KMEANS_FIT_K = 8

@@ -133,3 +133,99 @@ ORACLE_SQL: dict[str, str] = {
     "ivf_topk_embeddings": IVF_TOPK_SQL,
     "ivf_multiprobe_topk_embeddings": IVF_MULTIPROBE_SQL,
 }
+
+
+_RECALL_MAXQ, _RECALL_K, _RECALL_NPROBES = 20, 10, (1, 2, 4)
+
+
+def ivf_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of IVF-pruned search vs the exact brute-force top-k
+    for the first 20 query vectors, at nprobe ∈ {1, 2, 4}
+    (operators/similarity.py::ivf_recall) — the eval behind the
+    nprobe knob. nprobe = 4 scans every cell, so its recall row must
+    read 1.0; the lower rows price the pruning."""
+    return S.ivf_recall(
+        load_table(spark, sf_dir, "embeddings"),
+        EMBEDDING_CENTROIDS,
+        max_query_id=_RECALL_MAXQ,
+        k=_RECALL_K,
+        nprobes=_RECALL_NPROBES,
+    )
+
+
+def _ivf_recall_sql() -> str:
+    maxq, k = _RECALL_MAXQ, _RECALL_K
+    nprobes = ", ".join(f"({p})" for p in sorted(set(_RECALL_NPROBES)))
+    dist_arms = " UNION ALL ".join(
+        f"SELECT vec_id, {cid} AS cid, "
+        f"list_reduce(list_transform(list_zip(embedding::DOUBLE[], {_vec_sql(vec)}), "
+        "z -> (z[1]-z[2])*(z[1]-z[2])), (a, b) -> a + b) AS sq_dist FROM embeddings"
+        for cid, vec in EMBEDDING_CENTROIDS
+    )
+    cos = _cos_sql("c.embedding::DOUBLE[]", "q.qv")
+    return f"""
+WITH d AS MATERIALIZED ({dist_arms}),
+assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sq_dist, cid) rn
+    FROM d
+  ) WHERE rn = 1
+),
+qcent AS (
+  SELECT vec_id AS query_id, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sq_dist, cid) AS probe_rank
+  FROM d WHERE vec_id < {maxq}
+),
+qs AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {maxq}
+),
+cand AS MATERIALIZED (
+  SELECT q.query_id, c.vec_id AS neighbor_id, {cos} AS cosine,
+         qc.probe_rank
+  FROM embeddings c
+  JOIN assigned a ON a.vec_id = c.vec_id
+  CROSS JOIN qs q
+  JOIN qcent qc ON qc.query_id = q.query_id AND qc.cid = a.cid
+  WHERE c.vec_id <> q.query_id
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id ASC) rk
+    FROM cand
+  ) WHERE rk <= {k}
+),
+np(nprobe) AS (VALUES {nprobes}),
+pruned AS (
+  SELECT nprobe, query_id, neighbor_id FROM (
+    SELECT np.nprobe, t.query_id, t.neighbor_id,
+           row_number() OVER (PARTITION BY np.nprobe, t.query_id
+                              ORDER BY t.cosine DESC,
+                                       t.neighbor_id ASC) rk
+    FROM cand t CROSS JOIN np
+    WHERE t.probe_rank <= np.nprobe
+  ) WHERE rk <= {k}
+),
+hits AS (
+  SELECT p.nprobe, p.query_id, count(*) AS h
+  FROM pruned p JOIN exact e USING (query_id, neighbor_id)
+  GROUP BY 1, 2
+),
+per AS (
+  SELECT np.nprobe, q.query_id, coalesce(h.h, 0) AS h
+  FROM np CROSS JOIN qs q
+  LEFT JOIN hits h ON h.nprobe = np.nprobe AND h.query_id = q.query_id
+)
+SELECT nprobe, CAST(count(*) AS BIGINT) AS n_queries,
+       avg(CAST(h AS DOUBLE) / {float(k)!r}) AS mean_recall
+FROM per GROUP BY nprobe
+"""
+
+
+QUERIES["ivf_recall_embeddings"] = ivf_recall_embeddings
+ORACLE_SQL["ivf_recall_embeddings"] = _ivf_recall_sql()

@@ -292,3 +292,140 @@ def ivf_topk_refined(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ivf_recall(
+    corpus: DataFrame,
+    centroids: Centroids,
+    *,
+    max_query_id: int = 20,
+    k: int = 10,
+    nprobes: Sequence[int] = (1, 2, 4),
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of IVF-pruned search against the exact brute-force
+    ground truth — the EVAL that justifies every nprobe knob this
+    module exposes: for the query set (``id < max_query_id``) and
+    each candidate ``nprobe``, the fraction of the exact cosine top-k
+    that the pruned search returns.
+
+    Mechanics: every corpus row is assigned its IVF cell once; every
+    (query, neighbor) pair carries the PROBE RANK of the neighbor's
+    cell in the query's centroid ordering (1 = the query's own
+    nearest cell), so one scored pair relation answers ALL nprobe
+    values — a pair is visible at nprobe = p iff its probe rank ≤ p.
+    Overlap counts are integers; ties break (cosine desc, id asc) in
+    both the exact and pruned top-k, the knn_join doctrine.
+
+    Returns one row per nprobe: ``(nprobe, n_queries, mean_recall)``
+    — mean over queries of |pruned ∩ exact| / k.
+
+    Scale shape: the ground truth is the deliberate quadratic
+    baseline (queries are a fixed small set); the pruned side reuses
+    the same broadcast pair relation filtered by probe rank, so the
+    eval costs ONE pair materialization regardless of how many nprobe
+    points are on the curve.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not nprobes or any(p < 1 for p in nprobes):
+        raise ValueError(f"nprobes must be >= 1, got {nprobes}")
+    from ..functions.vectors import dot_expr, l2_norm_expr
+    from .kmeans import assign
+
+    feats = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("features"),
+    )
+    bucketed = assign(feats, centroids, keep_dist=False)
+    # per-query probe ranking of every centroid: sorted (sq_dist, cid)
+    # struct array — ties on distance break to the lower cid, matching
+    # probe_buckets
+    def cdist(vec):
+        return sq_dist_to_literal(F.col("qv"), vec)
+
+    cent_structs = F.array(
+        *[
+            F.struct(
+                cdist(vec).alias("d"),
+                F.lit(int(cid)).alias("cid"),
+            )
+            for cid, vec in centroids
+        ]
+    )
+    queries = (
+        bucketed.where(F.col("vid") < max_query_id)
+        .select(
+            F.col("vid").alias("query_id"),
+            F.col("features").alias("qv"),
+        )
+        .withColumn("nq", l2_norm_expr(F.col("qv")))
+        .withColumn("_cents", F.array_sort(cent_structs))
+        .withColumn(
+            "_probe_order",
+            F.transform(F.col("_cents"), lambda s: s["cid"]),
+        )
+        .drop("_cents")
+    )
+    cand = (
+        bucketed.withColumn("nc", l2_norm_expr(F.col("features")))
+        .crossJoin(F.broadcast(queries))
+        .filter(F.col("vid") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            dot_expr(F.col("features"), F.col("qv"))
+            / (F.col("nc") * F.col("nq")),
+        )
+        .withColumn(
+            "probe_rank",
+            F.array_position(F.col("_probe_order"), F.col("cid")),
+        )
+        .select("query_id", F.col("vid").alias("neighbor_id"),
+                "cosine", "probe_rank")
+    )
+    w_exact = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    exact = (
+        cand.withColumn("rk", F.row_number().over(w_exact))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    probes_df = cand.sparkSession.createDataFrame(
+        [(int(p),) for p in sorted(set(nprobes))], "nprobe int"
+    )
+    pruned = (
+        cand.crossJoin(F.broadcast(probes_df))
+        .filter(F.col("probe_rank") <= F.col("nprobe"))
+    )
+    w_pruned = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    pruned_topk = (
+        pruned.withColumn("rk", F.row_number().over(w_pruned))
+        .filter(F.col("rk") <= k)
+        .select("nprobe", "query_id", "neighbor_id")
+    )
+    overlap = pruned_topk.join(
+        exact, ["query_id", "neighbor_id"]
+    ).groupBy("nprobe", "query_id").agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    per_query = (
+        probes_df.crossJoin(
+            queries.select("query_id")
+        )
+        .join(overlap, ["nprobe", "query_id"], "left")
+        .select(
+            "nprobe",
+            "query_id",
+            F.coalesce(F.col("hits"), F.lit(0)).alias("hits"),
+        )
+    )
+    return per_query.groupBy("nprobe").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.avg(F.col("hits").cast("double") / F.lit(float(k))).alias(
+            "mean_recall"
+        ),
+    )

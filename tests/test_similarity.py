@@ -61,3 +61,37 @@ def test_ivf_matches_bruteforce_with_full_probes(emb):
     brute = [(r["vec_id"], round(r["score"], 12)) for r in S.topk_for_query(emb, [0.5, 0.5], k=5).collect()]
     ivf = [(r["vec_id"], round(r["score"], 12)) for r in S.ivf_topk_for_query(emb, cents, [0.5, 0.5], k=5, nprobe=2).collect()]
     assert brute == ivf
+
+
+def test_ivf_recall_monotone_and_exhaustive_at_full_probe(spark, sf_oracle):
+    """Recall is non-decreasing in nprobe and exactly 1.0 when every
+    cell is probed (pruned search == exact search by construction)."""
+    from k_means_using_mapreduce_spark.contract_constants import (
+        EMBEDDING_CENTROIDS,
+    )
+    from k_means_using_mapreduce_spark.operators.similarity import (
+        ivf_recall,
+    )
+    from k_means_using_mapreduce_spark.sources.loaders import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    out = {
+        r["nprobe"]: r
+        for r in ivf_recall(
+            emb,
+            EMBEDDING_CENTROIDS,
+            max_query_id=10,
+            k=5,
+            nprobes=(1, 2, 4),
+        ).collect()
+    }
+    assert out[4]["mean_recall"] == 1.0
+    assert out[1]["mean_recall"] <= out[2]["mean_recall"] <= 1.0
+    assert out[1]["n_queries"] == 10
+
+    import pytest as _p
+
+    with _p.raises(ValueError, match="k must"):
+        ivf_recall(emb, EMBEDDING_CENTROIDS, k=0)
+    with _p.raises(ValueError, match="nprobes"):
+        ivf_recall(emb, EMBEDDING_CENTROIDS, nprobes=())
