@@ -407,8 +407,11 @@ def ivf_recall(
         .filter(F.col("rk") <= k)
         .select("nprobe", "query_id", "neighbor_id")
     )
+    # exact is Q×k rows and overlap |nprobes|×Q — broadcast both;
+    # derived-from-window relations carry no stats, so without the
+    # hint Spark sort-merges a 200-row join
     overlap = pruned_topk.join(
-        exact, ["query_id", "neighbor_id"]
+        F.broadcast(exact), ["query_id", "neighbor_id"]
     ).groupBy("nprobe", "query_id").agg(
         F.count(F.lit(1)).alias("hits")
     )
@@ -416,7 +419,7 @@ def ivf_recall(
         probes_df.crossJoin(
             queries.select("query_id")
         )
-        .join(overlap, ["nprobe", "query_id"], "left")
+        .join(F.broadcast(overlap), ["nprobe", "query_id"], "left")
         .select(
             "nprobe",
             "query_id",

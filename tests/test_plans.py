@@ -879,3 +879,51 @@ def test_ransac_votes_are_aggregates_not_joins(spark, sf):
         eps=10000.0,
     )
     assert sort_merge_join_count(out) == 0
+
+
+def test_augment_dropout_is_shuffle_free(spark, sf):
+    """Token dropout claims 'the cheapest possible corpus write': a
+    pure narrow projection — zero exchanges, zero Python stages."""
+    from k_means_using_mapreduce_spark.plans.explain import (
+        exchange_count,
+        executed_plan,
+    )
+
+    df = _q("augment_dropout_documents", spark, sf)
+    assert exchange_count(df) == 0
+    assert "BatchEvalPython" not in executed_plan(df)
+
+
+def test_boxcox_profile_is_one_scan(spark, sf):
+    """The lambda ladder is conditional sums in ONE aggregate: a
+    single source scan feeds every candidate's sufficient statistics."""
+    from k_means_using_mapreduce_spark.plans.explain import (
+        executed_plan,
+    )
+
+    df = _q("boxcox_price_lineitem", spark, sf)
+    plan = executed_plan(df)
+    assert plan.count("Scan parquet") == 1
+
+
+def test_mondrian_summary_reads_two_columns(spark, sf):
+    """Mondrian's split passes must prune the events scan to the two
+    quasi-identifier inputs (value, ts) — no full-row shuffles."""
+    from k_means_using_mapreduce_spark.plans.explain import read_schemas
+
+    df = _q("mondrian_cells_events", spark, sf)
+    for schema in read_schemas(df):
+        assert set(schema) <= {"value", "ts"}
+
+
+def test_ivf_recall_broadcasts_queries_and_probe_table(spark, sf):
+    """The recall eval broadcasts the fixed query set and the tiny
+    nprobe relation; the corpus side never sort-merge joins."""
+    from k_means_using_mapreduce_spark.plans.explain import (
+        broadcast_join_count,
+        sort_merge_join_count,
+    )
+
+    df = _q("ivf_recall_embeddings", spark, sf)
+    assert broadcast_join_count(df) >= 2
+    assert sort_merge_join_count(df) == 0
