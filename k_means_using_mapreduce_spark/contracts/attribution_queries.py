@@ -257,6 +257,7 @@ def _markov_sql() -> str:
          ELSE event_type END AS t
   FROM events
   WHERE event_type IN ({keep}) AND user_id IS NOT NULL
+    AND ts IS NOT NULL
 ),
 mcut AS MATERIALIZED (
   SELECT u, rn, t FROM (

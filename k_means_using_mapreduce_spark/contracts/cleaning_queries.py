@@ -656,7 +656,10 @@ WITH cnt AS (
          ((epoch_ns(ts) % 86400000000000) // 3600000000000) AS hod,
          floor(value / 100) AS v,
          CAST(count(*) AS DOUBLE) AS c
-  FROM events GROUP BY 1, 2, 3
+  FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL
+    AND event_type IS NOT NULL
+  GROUP BY 1, 2, 3
 ),
 gval AS (SELECT v, sum(c) AS gc FROM cnt GROUP BY 1),
 ng AS (SELECT event_type, hod, sum(c) AS n FROM cnt GROUP BY 1, 2),

@@ -1029,6 +1029,7 @@ WITH cells AS (
   SELECT user_id AS b, event_type AS t, avg(CAST(value AS DOUBLE)) AS v
   FROM events
   WHERE value IS NOT NULL AND user_id IS NOT NULL
+    AND ts IS NOT NULL
     AND event_type IS NOT NULL
   GROUP BY 1, 2
 ),
@@ -1146,11 +1147,19 @@ def group_sequential_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.hypothesis import group_sequential
     from ..operators.sampling import hash_bucket
 
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "arm",
-        F.when(hash_bucket("user_id", 2) == 0, F.lit("a")).otherwise(
-            F.lit("b")
-        ),
+    # NULL user_id must not silently land in arm 'b' (hash_bucket(NULL)
+    # is NULL and otherwise() would claim it), and NULL ts would rank
+    # NULLS-FIRST here vs NULLS-LAST in DuckDB — filter both up front,
+    # mirrored in the oracle's WHERE
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .withColumn(
+            "arm",
+            F.when(hash_bucket("user_id", 2) == 0, F.lit("a")).otherwise(
+                F.lit("b")
+            ),
+        )
     )
     return group_sequential(
         ev, arm_col="arm", value_col="value", looks=_GS_LOOKS
@@ -1209,6 +1218,7 @@ WITH base AS MATERIALIZED (
          row_number() OVER (ORDER BY epoch_ns(ts), event_id) AS rn
   FROM events
   WHERE value IS NOT NULL AND user_id IS NOT NULL
+    AND ts IS NOT NULL
 ),
 tot AS (SELECT count(*) AS total FROM base),
 cuts AS (SELECT {cuts} FROM tot),

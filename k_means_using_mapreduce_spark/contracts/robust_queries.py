@@ -709,7 +709,10 @@ cand AS (
   SELECT s, x, y,
          row_number() OVER (PARTITION BY s ORDER BY h, x, y) AS rn
   FROM (
-    SELECT seeds.s, rb.x, rb.y,
+    -- DISTINCT: an exact-duplicate row must not pair a point with
+    -- itself at rn=2 (the Spark side's strictly-greater struct min
+    -- skips equal (h,x,y) structs)
+    SELECT DISTINCT seeds.s, rb.x, rb.y,
            ('0x' || substr(md5(rb.id), 1, 15))::BIGINT
              + seeds.s * ('0x' || substr(md5(rb.id), 16, 14))::BIGINT
              AS h

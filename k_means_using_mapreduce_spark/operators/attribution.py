@@ -162,7 +162,10 @@ def shapley_attribution(
 
         φ_c = Σ_{T ⊆ C\\{c}} |T|!·(|C|−|T|−1)!/|C|! · [v(T∪{c}) − v(T)]
 
-    with v(∅) = 0 (credit is incremental over no exposure). This is
+    with v(∅) = the OBSERVED conversion rate of unexposed users (the
+    organic baseline), so by efficiency Σφ = v(C) − v(∅): channels
+    share only the lift over organic conversion. (When no unexposed
+    user converts this reduces to the v(∅) = 0 convention.) This is
     the data-driven model marketing stacks run next to last-touch —
     order-free, so it needs only per-user exposure FLAGS, not paths.
 
@@ -305,7 +308,11 @@ def markov_attribution(
     w = Window.partitionBy("_u").orderBy("_ts", "_id")
     seq = (
         events.where(
-            F.col(type_col).isin(keep) & F.col(user_col).isNotNull()
+            F.col(type_col).isin(keep)
+            & F.col(user_col).isNotNull()
+            # NULL ts ranks NULLS-FIRST in Spark, NULLS-LAST in SQL
+            # engines — exclude it from path order outright
+            & F.col(ts_col).isNotNull()
         )
         .select(
             F.col(user_col).alias("_u"),

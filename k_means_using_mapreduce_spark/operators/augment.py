@@ -22,30 +22,20 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
+from .dedup import md5_int60
 
 
 def _coin(doc_id: Column, pos_1based: Column) -> Column:
-    """Integer coin in [0, 100) from md5(doc_id ':' pos) — the
-    hash-coin idiom, 1-based positions shared with the oracle
-    (DuckDB list lambdas index from 1)."""
-    return (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        doc_id.cast("string"),
-                        F.lit(":"),
-                        pos_1based.cast("string"),
-                    )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 100
-    )
+    """Integer coin in [0, 100) from md5(doc_id ':' pos) — the shared
+    60-bit hash idiom (dedup.md5_int60), 1-based positions shared
+    with the oracle (DuckDB list lambdas index from 1)."""
+    return md5_int60(
+        F.concat(
+            doc_id.cast("string"),
+            F.lit(":"),
+            pos_1based.cast("string"),
+        )
+    ) % 100
 
 
 def token_dropout(

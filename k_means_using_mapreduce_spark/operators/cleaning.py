@@ -964,7 +964,13 @@ def t_closeness_report(
     Scale shape: one (quasi, value) count aggregate (the corpus
     reduces here), the global distribution DERIVED from it (no second
     scan), a classes×m grid, per-class cumulative windows (partitioned
-    — parallel), and a |classes|-row final reduce. ``m`` is the global
+    — parallel), and a |classes|-row final reduce.
+
+    NULL policy: rows with a NULL sensitive value or NULL quasi
+    attribute are EXCLUDED (stated, unlike k_anonymity_report's
+    own-class policy) — a NULL-keyed class has no place in the value
+    ordering the EMD cumulative walk requires, and engines disagree
+    on NULL sort position. ``m`` is the global
     distinct count of the (pre-bucketed) sensitive attribute — bucket
     first, exactly as the k-anonymity contract does."""
     if not quasi_cols:
@@ -973,7 +979,10 @@ def t_closeness_report(
         raise ValueError(f"t must be in (0, 1), got {t}")
     from pyspark.sql.window import Window
 
-    cnt = df.groupBy(
+    keep = F.col(sensitive_col).isNotNull()
+    for qc in quasi_cols:
+        keep = keep & F.col(qc).isNotNull()
+    cnt = df.where(keep).groupBy(
         F.struct(*quasi_cols).alias("_q"),
         F.col(sensitive_col).alias("_v"),
     ).agg(F.count(F.lit(1)).cast("double").alias("_c"))

@@ -132,6 +132,9 @@ def table_fingerprint(df: DataFrame, cols: list[str]) -> DataFrame:
     """
     if not cols:
         raise ValueError("cols must be non-empty")
+    # NOT dedup.md5_int60: content_hash already RETURNS an md5 hex
+    # string, so only the 60-bit slice applies (md5_int60 would hash
+    # the hash and desync from the oracle's substr(md5(...)))
     h = F.conv(F.substring(content_hash(cols), 1, 15), 16, 10).cast(
         "long"
     )

@@ -384,6 +384,10 @@ def ivf_recall(
         .select("query_id", F.col("vid").alias("neighbor_id"),
                 "cosine", "probe_rank")
     )
+    # the pair relation feeds BOTH the exact and the pruned branches —
+    # checkpoint it once so the quadratic scoring runs once, making
+    # the one-materialization scale claim true
+    cand = cand.localCheckpoint(eager=False)
     w_exact = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )

@@ -2185,8 +2185,9 @@ def dtw_distance(
         D(i,j) = (a_i − b_j)² + min(D(i−1,j), D(i,j−1), D(i−1,j−1))
 
     with D(0,0) = 0 and ∞ borders, reporting the total warped cost
-    D(T,T) and the per-step average over the shortest possible
-    warping path length (2T − 1).
+    D(T,T) and a conservative per-step average: cost normalized by
+    the MAXIMAL monotone path length (2T − 1; the shortest is T), so
+    avg_cost lower-bounds the optimal path's true per-step cost.
 
     Everything is INTEGER-exact: counts are integers, costs are
     squared integer differences, and min/+ preserve integrality, so
