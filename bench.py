@@ -410,6 +410,7 @@ BENCH_QUERIES = [
     "augment_dropout_documents",
     "boxcox_price_lineitem",
     "ivf_recall_embeddings",
+    "jackknife_price_per_unit",
 ]
 
 KMEANS_FIT_K = 8

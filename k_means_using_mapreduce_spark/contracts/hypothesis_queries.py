@@ -1233,3 +1233,77 @@ agg AS MATERIALIZED (
 
 QUERIES["group_sequential_events"] = group_sequential_events
 ORACLE_SQL["group_sequential_events"] = _group_sequential_sql()
+
+
+_JK_BUCKETS = 10
+
+
+def jackknife_price_per_unit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-group jackknife SE for the price-per-unit ratio
+    Σ(l_extendedprice)/Σ(l_quantity)
+    (operators/hypothesis.py::jackknife_ratio, 10 md5 groups keyed by
+    line identity): the ratio-correct uncertainty the per-row variance
+    formula gets wrong; the oracle replays the identical group sums
+    and replicate arithmetic."""
+    from ..operators.hypothesis import jackknife_ratio
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "_lid", F.concat_ws("-", "l_orderkey", "l_linenumber")
+    )
+    return jackknife_ratio(
+        li,
+        "l_extendedprice",
+        "l_quantity",
+        buckets=_JK_BUCKETS,
+        key_col="_lid",
+    )
+
+
+JACKKNIFE_SQL = f"""
+WITH jb AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS num,
+         CAST(l_quantity AS DOUBLE) AS den,
+         ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
+             || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT
+           % {_JK_BUCKETS} AS g
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+),
+per AS MATERIALIZED (
+  SELECT g, count(*) AS n, sum(num) AS sn, sum(den) AS sd
+  FROM jb GROUP BY 1
+),
+tot AS (
+  SELECT sum(n) AS tot_n, sum(sn) AS tn, sum(sd) AS td,
+         count(*) AS gn
+  FROM per
+),
+reps AS (
+  SELECT (t.tn - p.sn) / (t.td - p.sd) AS r, t.tn, t.td, t.tot_n, t.gn
+  FROM per p CROSS JOIN tot t
+  WHERE (t.td - p.sd) <> 0.0
+),
+rb AS (
+  SELECT any_value(tot_n) AS tot_n, CAST(count(*) AS BIGINT) AS gn,
+         any_value(tn) / any_value(td) AS ratio,
+         sum(r) / CAST(count(*) AS DOUBLE) AS rbar
+  FROM reps
+),
+-- centered second pass: the replicate ratios differ only in their
+-- deleted 10%, so the uncentered srr - sr^2/g form would cancel
+-- catastrophically; Python centers, the oracle must too
+dev AS (
+  SELECT rb.tot_n, rb.gn, rb.ratio, rb.rbar,
+         sum((reps.r - rb.rbar) * (reps.r - rb.rbar)) AS ssq
+  FROM reps CROSS JOIN rb
+  GROUP BY rb.tot_n, rb.gn, rb.ratio, rb.rbar
+)
+SELECT CAST(tot_n AS BIGINT) AS n, gn AS buckets, ratio,
+  sqrt((CAST(gn AS DOUBLE) - 1.0) / CAST(gn AS DOUBLE) * ssq)
+    AS se_jack,
+  (CAST(gn AS DOUBLE) - 1.0) * (rbar - ratio) AS bias_jack
+FROM dev
+"""
+
+QUERIES["jackknife_price_per_unit"] = jackknife_price_per_unit
+ORACLE_SQL["jackknife_price_per_unit"] = JACKKNIFE_SQL

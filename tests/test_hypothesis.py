@@ -642,3 +642,54 @@ def test_group_sequential_planted_effect_crosses_pocock_first(spark):
     )
     with pytest.raises(ValueError, match="exactly 2 arms"):
         group_sequential(three, arm_col="arm3", value_col="value")
+
+
+def test_jackknife_ratio_matches_closed_form_and_guards(spark):
+    """Hand-computed delete-one replicates on a tiny keyed frame match
+    exactly; a constant num/den ratio has SE 0 and bias 0; guards."""
+    import hashlib
+    import math as _m
+
+    from k_means_using_mapreduce_spark.operators.hypothesis import (
+        jackknife_ratio,
+    )
+
+    rows = [(i, float(2 * i + 1), float(i + 1)) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, num double, den double")
+    r = jackknife_ratio(
+        df, "num", "den", buckets=5, key_col="id"
+    ).collect()[0]
+
+    def bucket(i):
+        h = hashlib.md5(str(i).encode()).hexdigest()[:15]
+        return int(h, 16) % 5
+
+    sums = {}
+    for i, n, d in rows:
+        g = bucket(i)
+        sn, sd = sums.get(g, (0.0, 0.0))
+        sums[g] = (sn + n, sd + d)
+    tn = sum(v[0] for v in sums.values())
+    td = sum(v[1] for v in sums.values())
+    reps = [(tn - sn) / (td - sd) for g, (sn, sd) in sorted(sums.items())]
+    rbar = sum(reps) / len(reps)
+    se = _m.sqrt(
+        (len(reps) - 1.0)
+        / len(reps)
+        * sum((x - rbar) ** 2 for x in reps)
+    )
+    assert r["ratio"] == pytest.approx(tn / td, rel=1e-12)
+    assert r["se_jack"] == pytest.approx(se, rel=1e-9)
+    assert r["buckets"] == len(reps) and r["n"] == 40
+
+    const = spark.createDataFrame(
+        [(i, 3.0 * (i + 1), float(i + 1)) for i in range(30)],
+        "id long, num double, den double",
+    )
+    rc = jackknife_ratio(const, "num", "den", key_col="id").collect()[0]
+    assert rc["ratio"] == pytest.approx(3.0)
+    assert rc["se_jack"] == pytest.approx(0.0, abs=1e-12)
+    assert rc["bias_jack"] == pytest.approx(0.0, abs=1e-12)
+
+    with pytest.raises(ValueError, match="buckets"):
+        jackknife_ratio(df, "num", "den", buckets=1)
