@@ -978,15 +978,31 @@ def glm_poisson_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule and solver ordering are not reproducible as portable SQL, so
     correctness is pinned by the tolerance parity tests against the
     hash-gated closed forms (tests/test_regression.py::test_glm_fit_*)
-    instead of a DuckDB oracle."""
+    instead of a DuckDB oracle.
+
+    The operator API returns ``coefficients`` as ``array<double>``;
+    the driver's canonicalizer cannot sort array-typed columns, so —
+    following the kmeans centroid-flattening convention
+    (contracts/kmeans_queries.py) — this contract flattens the three
+    coefficients into scalar ``b1..b3`` columns."""
     from ..operators.regression import glm_fit
 
     li = load_table(spark, sf_dir, "lineitem")
-    return glm_fit(
+    fit = glm_fit(
         li,
         ["l_discount", "l_tax", "l_linenumber"],
         "l_quantity",
         family="poisson",
+    )
+    return fit.select(
+        "n",
+        "intercept",
+        F.col("coefficients")[0].alias("b1"),
+        F.col("coefficients")[1].alias("b2"),
+        F.col("coefficients")[2].alias("b3"),
+        "deviance",
+        "null_deviance",
+        "aic",
     )
 
 
