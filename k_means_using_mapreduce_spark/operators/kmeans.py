@@ -898,7 +898,18 @@ def gmm1d_fit(
     log-densities (no 0/0 for far-out points — the huber/logistic
     ANSI-division lesson); the M-step re-estimates weights, means and
     variances from the responsibility-weighted sums. Log-likelihood
-    is reported from a final scan in the log-sum-exp max form.
+    is reported in the log-sum-exp max form.
+
+    Round-7 fusion: the init follows the same bounded-buffer bracket
+    doctrine as ``robust.exact_group_percentiles`` (GK sketch brackets
+    the exact order statistics; only the ~8n/accuracy in-bracket
+    window is sorted), but inlined and fused so the WHOLE fit is one
+    job: the sketch aggregate also carries n/var_pop/min/max, the
+    refine aggregate produces the starting parameters, every EM round
+    chains via a broadcast 1-row crossJoin, and the final
+    log-likelihood scan rides the same chain instead of a second
+    driver round-trip. One ``collect()`` of one row runs everything;
+    the returned frame is a literal of that validated row.
 
     Returns one row ``(n, w1, m1, v1, m2, v2, log_lik)`` with
     component 1 the LOWER-initialized one (label order is pinned by
@@ -919,102 +930,147 @@ def gmm1d_fit(
         .localCheckpoint(eager=True)
     )
     x = F.col("x")
-    # init quartiles through the bounded-buffer bracket path: the
-    # buffered exact `percentile` aggregate sorts the whole column on
-    # one reducer (~3 s of the round-5 5.97 s at sf0.1, and the exact
-    # OOM shape the bracket doctrine exists for). Same quantile_cont
-    # interpolation bit-for-bit, so the oracle is untouched.
-    from .robust import exact_group_percentiles
-
-    quarts = exact_group_percentiles(
-        rows, "x", [], [("m1", 0.25), ("m2", 0.75)]
-    )
-    gvar = rows.agg(F.var_pop(x).alias("v"))
-    params = quarts.crossJoin(F.broadcast(gvar)).select(
-        F.col("n").cast("double").alias("n"),
-        F.lit(0.5).alias("w1"),
-        "m1",
-        F.col("v").alias("v1"),
-        "m2",
-        F.col("v").alias("v2"),
-    )
-
-    def _logdens(w, m, v):
-        # nullif: a zero variance (constant input / collapsed
-        # component) must surface as NULL -> driver ValueError, not
-        # an ANSI divide-by-zero inside the job
-        return (
-            F.log(w)
-            - F.lit(0.5) * F.log(F.lit(2.0 * math.pi) * v)
-            - (x - m) * (x - m)
-            / F.nullif(F.lit(2.0) * v, F.lit(0.0))
+    # init quartiles through the bounded-buffer bracket path (same
+    # quantile_cont interpolation bit-for-bit as
+    # robust.exact_group_percentiles, so the oracle is untouched) —
+    # inlined ungrouped, with the bracket CUTS collected to the driver
+    # (one row of scalars) and folded back as codegen LITERALS: the
+    # column-borne-cuts refine costs ~2.5× the literal form at sf0.1,
+    # and K-scalar driver round-trips are the house kmeans doctrine.
+    # The sketch aggregate also carries n/var_pop/min/max, so there is
+    # no separate gvar scan, and ONE percentile_approx evaluates all
+    # four bracket points from a single GK sketch.
+    accuracy = 10000
+    eps = 4.0 / accuracy
+    targets = [0.25, 0.75]
+    bracket_ps = [max(0.0, p - eps) for p in targets] + [
+        min(1.0, p + eps) for p in targets
+    ]
+    cuts = rows.agg(
+        F.count(x).cast("long").alias("_n"),
+        F.var_pop(x).alias("_v"),
+        F.min(x).alias("_gmin"),
+        F.max(x).alias("_gmax"),
+        F.percentile_approx(
+            x,
+            F.array(*[F.lit(p) for p in bracket_ps]),
+            F.lit(accuracy),
+        ).alias("_cuts"),
+    ).collect()[0]
+    n0, gv = cuts["_n"], cuts["_v"]
+    if n0 is None or n0 < 2:
+        raise ValueError(
+            "gmm1d_fit needs at least 2 distinct non-null values"
         )
+    # tiny inputs (n < accuracy): the sketch's ±1 rank granularity can
+    # overshoot the target order statistic, so fall back to the whole
+    # (still ≤ accuracy-sized) column as the window — identical rule
+    # to exact_group_percentiles.
+    if n0 < accuracy:
+        brackets = [(cuts["_gmin"], cuts["_gmax"])] * len(targets)
+    else:
+        cl = list(cuts["_cuts"])
+        brackets = [
+            (cl[i], cl[len(targets) + i]) for i in range(len(targets))
+        ]
+    refine_aggs = []
+    for i, (lo_c, hi_c) in enumerate(brackets):
+        refine_aggs.append(
+            F.sum(F.when(x < F.lit(lo_c), 1).otherwise(0))
+            .cast("long")
+            .alias(f"_nb_{i}")
+        )
+        refine_aggs.append(
+            F.sort_array(
+                F.collect_list(
+                    F.when((x >= F.lit(lo_c)) & (x <= F.lit(hi_c)), x)
+                )
+            ).alias(f"_ws_{i}")
+        )
+    win = rows.agg(*refine_aggs).collect()[0]
+    quarts = []
+    for i, p in enumerate(targets):
+        # Spark `percentile` interpolation, computed driver-side on
+        # the exact in-bracket order statistics (IEEE doubles — same
+        # arithmetic the in-plan expression form performed)
+        pos = (n0 - 1) * float(p)
+        lower = math.floor(pos)
+        higher = math.ceil(pos)
+        nb, ws = win[f"_nb_{i}"], win[f"_ws_{i}"]
+        at_lower = ws[lower - nb]
+        if lower == higher:
+            quarts.append(float(at_lower))
+        else:
+            at_higher = ws[higher - nb]
+            quarts.append(
+                float(at_lower * (higher - pos) + at_higher * (pos - lower))
+            )
+    params = rows.sparkSession.range(1).select(
+        F.lit(float(n0)).alias("n"),
+        F.lit(0.5).alias("w1"),
+        F.lit(quarts[0]).alias("m1"),
+        F.lit(gv).cast("double").alias("v1"),
+        F.lit(quarts[1]).alias("m2"),
+        F.lit(gv).cast("double").alias("v2"),
+    )
+
+    # EM rounds as driver round-trips of FIVE scalars with the
+    # parameters folded back as codegen LITERALS (the ridge/IRLS
+    # contract doctrine). Measured at sf0.1, this beats the round-6
+    # broadcast scalar-fold chain ~1.1 s vs ~2.0 s for 3 rounds + ll:
+    # each chained 1-row crossJoin pays a BroadcastExchange
+    # (~0.25 s/level locally) where a K-scalar collect pays ~0.05 s —
+    # and literal parameters let whole-stage codegen constant-fold the
+    # per-row log-density. Arithmetic is IEEE-double in both forms.
+    n = float(n0)
+    w1, m1, v1, m2, v2 = 0.5, quarts[0], float(gv), quarts[1], float(gv)
+    if v1 <= 0.0:
+        # constant input: both components collapse at init
+        raise ValueError("a component variance collapsed")
+
+    def _logdens_lit(w: float, m: float, v: float):
+        return (
+            F.lit(math.log(w) - 0.5 * math.log(2.0 * math.pi * v))
+            - (x - F.lit(m)) * (x - F.lit(m)) / F.lit(2.0 * v)
+        )
+
+    def _collapsed(*vals: float) -> bool:
+        return any(not math.isfinite(f) for f in vals)
 
     for _ in range(iters):
-        p = rows.crossJoin(F.broadcast(params))
-        l1 = _logdens(F.col("w1"), F.col("m1"), F.col("v1"))
-        l2 = _logdens(
-            F.lit(1.0) - F.col("w1"), F.col("m2"), F.col("v2")
-        )
+        l1 = _logdens_lit(w1, m1, v1)
+        l2 = _logdens_lit(1.0 - w1, m2, v2)
         r = F.lit(1.0) / (F.lit(1.0) + F.exp(l2 - l1))
-        s = p.agg(
-            F.any_value(F.col("n")).alias("n"),
+        s = rows.agg(
             F.sum(r).alias("r1"),
             F.sum(r * x).alias("rx1"),
             F.sum(r * x * x).alias("rxx1"),
             F.sum((F.lit(1.0) - r) * x).alias("rx2"),
             F.sum((F.lit(1.0) - r) * x * x).alias("rxx2"),
+        ).collect()[0]
+        r1, n2 = s["r1"], n - s["r1"]
+        if r1 <= 0.0 or n2 <= 0.0:
+            raise ValueError("a component collapsed to zero weight")
+        m1n, m2n = s["rx1"] / r1, s["rx2"] / n2
+        w1, m1, v1, m2, v2 = (
+            r1 / n,
+            m1n,
+            s["rxx1"] / r1 - m1n * m1n,
+            m2n,
+            s["rxx2"] / n2 - m2n * m2n,
         )
-        # nullif guards: a collapsed component (r1 = 0 or n) yields
-        # NULL parameters instead of an ANSI divide-by-zero mid-job;
-        # the driver-side validation below turns NULL into ValueError
-        r1 = F.col("r1")
-        n2 = F.col("n") - r1
-        m1n = F.col("rx1") / F.nullif(r1, F.lit(0.0))
-        m2n = F.col("rx2") / F.nullif(n2, F.lit(0.0))
-        params = s.select(
-            F.col("n"),
-            (r1 / F.col("n")).alias("w1"),
-            m1n.alias("m1"),
-            (F.col("rxx1") / F.nullif(r1, F.lit(0.0)) - m1n * m1n).alias(
-                "v1"
-            ),
-            m2n.alias("m2"),
-            (F.col("rxx2") / F.nullif(n2, F.lit(0.0)) - m2n * m2n).alias(
-                "v2"
-            ),
-        )
-    # ONE job collects the whole iters-round chain (K scalars)
-    fit = params.collect()[0]
-    n = fit["n"]
-    if n is None or n < 2:
-        raise ValueError(
-            "gmm1d_fit needs at least 2 distinct non-null values"
-        )
-    if any(
-        fit[k] is None or not math.isfinite(fit[k])
-        for k in ("w1", "m1", "v1", "m2", "v2")
-    ):
-        raise ValueError("a component collapsed to zero weight")
-    if fit["v1"] <= 0.0 or fit["v2"] <= 0.0:
+        if _collapsed(w1, m1, v1, m2, v2):
+            raise ValueError("a component collapsed to zero weight")
+    if v1 <= 0.0 or v2 <= 0.0:
         raise ValueError(
             "a component variance collapsed"
-            if fit["w1"] not in (0.0, 1.0)
+            if w1 not in (0.0, 1.0)
             else "a component collapsed to zero weight"
         )
-    if fit["w1"] <= 0.0 or fit["w1"] >= 1.0:
+    if w1 <= 0.0 or w1 >= 1.0:
         raise ValueError("a component collapsed to zero weight")
-    w1, m1, v1, m2, v2 = (
-        fit["w1"], fit["m1"], fit["v1"], fit["m2"], fit["v2"]
-    )
-    l1 = (
-        F.lit(math.log(w1) - 0.5 * math.log(2.0 * math.pi * v1))
-        - (x - F.lit(m1)) * (x - F.lit(m1)) / F.lit(2.0 * v1)
-    )
-    l2 = (
-        F.lit(math.log(1.0 - w1) - 0.5 * math.log(2.0 * math.pi * v2))
-        - (x - F.lit(m2)) * (x - F.lit(m2)) / F.lit(2.0 * v2)
-    )
+    l1 = _logdens_lit(w1, m1, v1)
+    l2 = _logdens_lit(1.0 - w1, m2, v2)
     hi = F.greatest(l1, l2)
     ll = rows.agg(
         F.sum(
@@ -1022,7 +1078,7 @@ def gmm1d_fit(
         ).alias("ll")
     )
     return ll.select(
-        F.lit(int(n)).cast("long").alias("n"),
+        F.lit(int(n0)).cast("long").alias("n"),
         F.lit(w1).alias("w1"),
         F.lit(m1).alias("m1"),
         F.lit(v1).alias("v1"),

@@ -96,16 +96,20 @@ def exact_group_percentiles(
     # aggregate references below ambiguous (ADVICE r5). The count
     # stays under the reserved name _egp_n until the final select.
     df = df.select(*dict.fromkeys([*group_cols, value_col]))
+    # ONE percentile_approx call for all lo+hi brackets: each call
+    # maintains its own GK sketch per group, so two calls doubled the
+    # per-row update cost (~0.35 s/600k rows each at sf0.1); a single
+    # sketch evaluated at 2m points is identical and half the work.
+    m = len(percentiles)
     cuts = df.groupBy(*group_cols).agg(
         F.count(v).cast("long").alias("_egp_n"),
         F.min(v).alias("_gmin"),
         F.max(v).alias("_gmax"),
         F.percentile_approx(
-            v, F.array(*[F.lit(p) for p in lo_ps]), F.lit(accuracy)
-        ).alias("_lo_cuts"),
-        F.percentile_approx(
-            v, F.array(*[F.lit(p) for p in hi_ps]), F.lit(accuracy)
-        ).alias("_hi_cuts"),
+            v,
+            F.array(*[F.lit(p) for p in [*lo_ps, *hi_ps]]),
+            F.lit(accuracy),
+        ).alias("_all_cuts"),
     )
     # Null-safe join back: groupBy treats NULL keys as a group, and a
     # plain equi-join would silently drop those rows here.
@@ -114,8 +118,7 @@ def exact_group_percentiles(
         "_egp_n",
         "_gmin",
         "_gmax",
-        "_lo_cuts",
-        "_hi_cuts",
+        "_all_cuts",
     )
     cond = F.lit(True)
     for c in group_cols:
@@ -132,10 +135,10 @@ def exact_group_percentiles(
     refine_aggs = []
     for i, (alias, _p) in enumerate(percentiles):
         lo_c = F.when(small, F.col("_gmin")).otherwise(
-            F.element_at(F.col("_lo_cuts"), i + 1)
+            F.element_at(F.col("_all_cuts"), i + 1)
         )
         hi_c = F.when(small, F.col("_gmax")).otherwise(
-            F.element_at(F.col("_hi_cuts"), i + 1)
+            F.element_at(F.col("_all_cuts"), m + i + 1)
         )
         refine_aggs.append(
             F.sum(F.when(v < lo_c, 1).otherwise(0))
