@@ -405,22 +405,26 @@ def kmeans_k_stability_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame
     coarser 2-centroid assignment (operators/clseval.py::
     clustering_agreement): ARI + NMI answer "how much of the K=4
     structure survives at K=2" — the stability check run before
-    trusting a single K."""
+    trusting a single K.
+
+    Both assignments are arg-mins over the SAME feature vector, so
+    they are computed in ONE narrow scan (no per-k assign + id join:
+    that join is a full shuffle of the corpus at scale — round-7
+    plan fix after the round-6 bench flagged this contract)."""
     from ..contract_constants import EMBEDDING_CENTROIDS
+    from ..functions.vectors import argmin_centroid
     from ..operators.clseval import clustering_agreement
-    from ..operators.kmeans import assign
 
     emb = load_table(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").alias("id"),
-        F.col("embedding").cast("array<double>").alias("features"),
+        F.col("embedding").cast("array<double>").alias("features")
     )
-    fine = assign(emb, EMBEDDING_CENTROIDS, keep_dist=False).select(
-        "id", F.col("cid").alias("cid_fine")
+    cid_fine, _ = argmin_centroid(F.col("features"), EMBEDDING_CENTROIDS)
+    cid_coarse, _ = argmin_centroid(
+        F.col("features"), EMBEDDING_CENTROIDS[:2]
     )
-    coarse = assign(emb, EMBEDDING_CENTROIDS[:2], keep_dist=False).select(
-        "id", F.col("cid").alias("cid_coarse")
+    both = emb.select(
+        cid_fine.alias("cid_fine"), cid_coarse.alias("cid_coarse")
     )
-    both = fine.join(coarse, "id")
     return clustering_agreement(both, "cid_fine", "cid_coarse")
 
 
