@@ -41,6 +41,7 @@ from . import (
     overlap_queries,
     packing_queries,
     pca_queries,
+    pipeline_queries,
     pq_queries,
     privacy_queries,
     quality_queries,
@@ -108,6 +109,7 @@ _MODULES = [
     text_queries,
     repetition_queries,
     cleaning_queries,
+    pipeline_queries,
     packing_queries,
     quality_queries,
     quantize_queries,
