@@ -1204,8 +1204,11 @@ def _group_sequential_sql() -> str:
             f" {ma} AS mean_a, {mb} AS mean_b, {z} AS z,"
             f" {POCOCK_C_K5!r} AS boundary_pocock,"
             f" {b_o} AS boundary_obf,"
-            f" abs({z}) > {POCOCK_C_K5!r} AS cross_pocock,"
-            f" abs({z}) > {b_o} AS cross_obf"
+            # coalesce: an undefined z (zero variance / degenerate
+            # look) must read FALSE like the engine's bool(z is not
+            # None and ...), not NULL (ADVICE r6)
+            f" coalesce(abs({z}) > {POCOCK_C_K5!r}, FALSE) AS cross_pocock,"
+            f" coalesce(abs({z}) > {b_o}, FALSE) AS cross_obf"
             f" FROM agg CROSS JOIN cuts"
         )
     sums_block = ",\n    ".join(sums)

@@ -220,6 +220,14 @@ def shapley_attribution(
                     .alias(f"k{key}")
                 )
     s = flags.agg(*aggs).collect()[0]
+    if s["n000"] is None:
+        # single-row agg over an empty (or all-NULL-user) frame yields
+        # NULL cells; surface a clean error instead of float(None)
+        # TypeErrors downstream (ADVICE r6)
+        raise ValueError(
+            "shapley_attribution needs at least one user with a "
+            "non-null user id"
+        )
 
     def v(key: str) -> float:
         n = s[f"n{key}"]

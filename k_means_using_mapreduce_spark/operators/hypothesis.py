@@ -1423,8 +1423,15 @@ def group_sequential(
     (n, Σv, Σv²) as conditional sums; the z/boundary arithmetic is a
     |looks|-row projection. Nothing iterates.
     """
-    if looks < 2:
-        raise ValueError(f"looks must be >= 2, got {looks}")
+    if looks != 5:
+        # the boundary constants are the published K=5 table values;
+        # silently applying them to another look count would report
+        # statistically wrong boundaries/cross flags (ADVICE r6) —
+        # mirror the other closed-form guards and refuse.
+        raise ValueError(
+            f"group_sequential supports exactly looks=5 (the published "
+            f"Pocock/O'Brien-Fleming K=5 constants); got {looks}"
+        )
     a = F.col(arm_col)
     v = F.col(value_col).cast("double")
     rows = events.where(v.isNotNull() & a.isNotNull()).select(

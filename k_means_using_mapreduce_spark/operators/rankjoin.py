@@ -86,29 +86,30 @@ def top_k_rankings(
 def footrule_expr(a, b, k: int, pos_a=None, pos_b=None):
     """Fagin top-k footrule between two ranking arrays as a pure
     expression: Σ over the union of items of ``|pos_a − pos_b|`` with
-    missing items at position ``k+1``. Position lookups go through
-    item→position MAPS (pass precomputed ``pos_a``/``pos_b`` maps to
-    share them across many pairs — 25% cheaper per candidate than
-    array_position scans at the contract's scale); absent items
-    coalesce to k+1. Integer-exact either way."""
+    missing items at position ``k+1``. When precomputed item→position
+    MAPS are passed (``pos_a``/``pos_b`` — built once per entity and
+    shared across many pairs, 25% cheaper per candidate than
+    array_position scans at the contract's scale) they are used
+    directly; callers own their construction, and rankings with
+    duplicate items must be deduplicated first (map keys are unique).
+    Without maps, positions fall back to ``array_position`` — safe for
+    empty arrays and duplicate items (first occurrence wins), the
+    cases a map_from_arrays default would throw on (ADVICE r6).
+    Integer-exact either way."""
     loc = F.lit(k + 1).cast("long")
-    if pos_a is None:
-        pos_a = F.map_from_arrays(
-            a, F.sequence(F.lit(1).cast("long"), F.size(a).cast("long"))
-        )
-    if pos_b is None:
-        pos_b = F.map_from_arrays(
-            b, F.sequence(F.lit(1).cast("long"), F.size(b).cast("long"))
-        )
 
-    def pos_in(m, item):
-        return F.coalesce(F.element_at(m, item), loc)
+    def pos_in(m, arr, item):
+        if m is not None:
+            return F.coalesce(F.element_at(m, item), loc)
+        p = F.array_position(arr, item)
+        return F.when(p == 0, loc).otherwise(p)
 
     both = F.array_union(a, b)
     return F.aggregate(
         both,
         F.lit(0).cast("long"),
-        lambda acc, it: acc + F.abs(pos_in(pos_a, it) - pos_in(pos_b, it)),
+        lambda acc, it: acc
+        + F.abs(pos_in(pos_a, a, it) - pos_in(pos_b, b, it)),
     )
 
 

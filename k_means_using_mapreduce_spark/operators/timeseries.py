@@ -2212,8 +2212,20 @@ def dtw_distance(
     b = grid.where(F.col("key") == effect).select(
         "bucket", F.col("n").alias("b")
     )
-    j = a.join(b, "bucket").select(
-        F.lit(1).alias("_g"), "bucket", "a", "b"
+    # build both series from the SHARED dense bucket grid with
+    # zero-fill: an event type absent from the corpus yields an
+    # all-zero series (matching the oracle) instead of an inner join
+    # silently emptying the frame (ADVICE r6)
+    buckets = grid.select("bucket").distinct()
+    j = (
+        buckets.join(a, "bucket", "left")
+        .join(b, "bucket", "left")
+        .select(
+            F.lit(1).alias("_g"),
+            "bucket",
+            F.coalesce(F.col("a"), F.lit(0)).alias("a"),
+            F.coalesce(F.col("b"), F.lit(0)).alias("b"),
+        )
     )
 
     def _dtw_kernel(pdf):

@@ -259,3 +259,26 @@ def test_markov_attribution_path_truncates_at_first_conversion(spark):
     out = {r["channel"]: r for r in markov_attribution(df).collect()}
     assert out["signup"]["removal_effect"] == 0.0
     assert out["click"]["removal_effect"] == pytest.approx(1.0)
+
+
+def test_shapley_attribution_empty_input_raises(spark):
+    """ADVICE r6: empty (or all-NULL-user) input must raise a clean
+    ValueError, not TypeError on float(None)."""
+    from k_means_using_mapreduce_spark.operators.attribution import (
+        shapley_attribution,
+    )
+
+    empty = spark.createDataFrame(
+        [], "user_id long, event_type string"
+    )
+    with pytest.raises(ValueError, match="at least one user"):
+        shapley_attribution(
+            empty, channels=("view", "click", "email")
+        )
+    nulls = spark.createDataFrame(
+        [(None, "view")], "user_id long, event_type string"
+    )
+    with pytest.raises(ValueError, match="at least one user"):
+        shapley_attribution(
+            nulls, channels=("view", "click", "email")
+        )

@@ -636,6 +636,12 @@ def test_group_sequential_planted_effect_crosses_pocock_first(spark):
 
     with pytest.raises(ValueError, match="looks"):
         group_sequential(df, arm_col="arm", value_col="value", looks=1)
+    # the boundary constants are the published K=5 values: any other
+    # look count must refuse, not silently mis-report (ADVICE r6)
+    with pytest.raises(ValueError, match="looks=5"):
+        group_sequential(df, arm_col="arm", value_col="value", looks=3)
+    with pytest.raises(ValueError, match="looks=5"):
+        group_sequential(df, arm_col="arm", value_col="value", looks=10)
     three = df.withColumn(
         "arm3",
         F.when(F.col("event_id") % 3 == 0, "c").otherwise(F.col("arm")),

@@ -85,3 +85,32 @@ def test_footrule_matches_brute_force_and_blocking_bound(spark):
         ranking_similarity_join(ranks, k=k, max_footrule=2, block_prefix=0)
     with pytest.raises(ValueError, match="max_footrule"):
         ranking_similarity_join(ranks, k=k, max_footrule=-1)
+
+
+def test_footrule_expr_default_path_duplicates_and_empty(spark):
+    """ADVICE r6: the standalone helper (no precomputed maps) must not
+    throw on duplicate items (first occurrence wins) or empty arrays
+    (footrule 0 over an empty union)."""
+    from pyspark.sql import functions as F
+
+    from k_means_using_mapreduce_spark.operators.rankjoin import (
+        footrule_expr,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (["x", "x", "y"], ["y", "x"]),
+            ([], []),
+            (["a"], []),
+        ],
+        "a array<string>, b array<string>",
+    )
+    rows = df.select(
+        footrule_expr(F.col("a"), F.col("b"), 3).alias("d")
+    ).collect()
+    # row 1: union(a,b) = [x,y]; pos_a(x)=1 (first occurrence),
+    # pos_a(y)=3, pos_b(x)=2, pos_b(y)=1 -> |1-2| + |3-1| = 3
+    assert rows[0]["d"] == 3
+    assert rows[1]["d"] == 0
+    # row 3: union=[a]; pos_a=1, pos_b=k+1=4 -> 3
+    assert rows[2]["d"] == 3

@@ -1069,3 +1069,19 @@ def test_dtw_absorbs_time_shift_lockstep_does_not(spark):
     r = dtw_distance(_two_type_events(spark, base, shifted)).collect()[0]
     lockstep = sum((x - y) ** 2 for x, y in zip(base, shifted))
     assert r["dtw"] < lockstep / 4
+
+
+def test_dtw_absent_key_zero_fills(spark):
+    """ADVICE r6: an event type absent from the corpus yields an
+    all-zero series (oracle parity), not a silently empty frame."""
+    from k_means_using_mapreduce_spark.operators.timeseries import (
+        dtw_distance,
+    )
+
+    df = _two_type_events(spark, [2, 0, 1], [0, 0, 0]).where(
+        "event_type <> 'b'"
+    )
+    r = dtw_distance(df).collect()
+    assert len(r) == 1
+    # b-series zero-filled: DTW of [2,0,1] vs zeros = best warp cost
+    assert r[0]["t"] == 3 and r[0]["dtw"] > 0
