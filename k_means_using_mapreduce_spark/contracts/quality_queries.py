@@ -710,3 +710,68 @@ FROM pairs p JOIN counts c USING (lhs)
 
 QUERIES["ind_discovery_tpch"] = ind_discovery_tpch
 ORACLE_SQL["ind_discovery_tpch"] = _ind_sql()
+
+
+#: level-2 composite attributes: every within-table pair of the
+#: unary lattice's key columns (data-independent candidate set, so
+#: the oracle is static SQL; pruning-by-unary-survivors is the scale
+#: path documented on the operator)
+_IND2_ATTRS = (
+    ("c_custkey+c_nationkey", "customer", ("c_custkey", "c_nationkey")),
+    ("o_custkey+o_orderkey", "orders", ("o_custkey", "o_orderkey")),
+    ("l_orderkey+l_partkey", "lineitem", ("l_orderkey", "l_partkey")),
+    ("l_orderkey+l_suppkey", "lineitem", ("l_orderkey", "l_suppkey")),
+    ("l_partkey+l_suppkey", "lineitem", ("l_partkey", "l_suppkey")),
+    ("s_suppkey+s_nationkey", "supplier", ("s_suppkey", "s_nationkey")),
+    ("n_nationkey+n_regionkey", "nation", ("n_nationkey", "n_regionkey")),
+)
+
+
+def ind_nary_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-2 composite IND verification over the within-table pairs
+    of the TPC-H key lattice (operators/quality.py::
+    nary_inclusion_dependencies): one value-TUPLE-keyed attribute-set
+    aggregation decides (A₁,A₂) ⊆ (B₁,B₂) for every ordered composite
+    pair. On this schema the result is the PRUNING story: the dense
+    integer keys make dozens of unary INDs hold coincidentally, and
+    the level-2 pass refutes every composite candidate they imply —
+    exactly the spurious-FK elimination the lattice level exists for."""
+    from ..operators.quality import nary_inclusion_dependencies
+
+    sources = {
+        label: (load_table(spark, sf_dir, table), list(cols))
+        for label, table, cols in _IND2_ATTRS
+    }
+    return nary_inclusion_dependencies(sources)
+
+
+def _ind2_sql() -> str:
+    selects = [
+        f"SELECT '{label}' AS a, CAST({c1} AS VARCHAR) AS v0, "
+        f"CAST({c2} AS VARCHAR) AS v1 "
+        f"FROM {table} WHERE {c1} IS NOT NULL AND {c2} IS NOT NULL "
+        "GROUP BY 2, 3"
+        for label, table, (c1, c2) in _IND2_ATTRS
+    ]
+    vals = "\n  UNION ALL\n  ".join(selects)
+    return f"""
+WITH vals AS MATERIALIZED (
+  {vals}
+),
+pairs AS (
+  SELECT x.a AS lhs, y.a AS rhs, CAST(count(*) AS BIGINT) AS shared_values
+  FROM vals x JOIN vals y ON x.v0 = y.v0 AND x.v1 = y.v1 AND x.a <> y.a
+  GROUP BY 1, 2
+),
+counts AS (
+  SELECT a AS lhs, CAST(count(*) AS BIGINT) AS lhs_values
+  FROM vals GROUP BY 1
+)
+SELECT p.lhs, p.rhs, c.lhs_values, p.shared_values,
+       p.shared_values = c.lhs_values AS contained
+FROM pairs p JOIN counts c USING (lhs)
+"""
+
+
+QUERIES["ind_nary_tpch"] = ind_nary_tpch
+ORACLE_SQL["ind_nary_tpch"] = _ind2_sql()

@@ -19,6 +19,7 @@ Scale notes:
 
 from __future__ import annotations
 
+from collections.abc import Sequence
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -960,6 +961,91 @@ def inclusion_dependencies(
         vals = vals.unionAll(p)
     # one value-keyed aggregation; attr sets are tiny (<= |sources|)
     sets = vals.groupBy("v").agg(F.collect_set("a").alias("attrs"))
+    pairs = (
+        sets.select(F.explode("attrs").alias("lhs"), "attrs")
+        .select("lhs", F.explode("attrs").alias("rhs"))
+        .where(F.col("lhs") != F.col("rhs"))
+        .groupBy("lhs", "rhs")
+        .agg(F.count(F.lit(1)).alias("shared_values"))
+    )
+    counts = vals.groupBy("a").agg(F.count(F.lit(1)).alias("lhs_values"))
+    return pairs.join(
+        F.broadcast(counts.withColumnRenamed("a", "lhs")), "lhs"
+    ).select(
+        "lhs",
+        "rhs",
+        "lhs_values",
+        "shared_values",
+        (F.col("shared_values") == F.col("lhs_values")).alias("contained"),
+    )
+
+
+def nary_inclusion_dependencies(
+    sources: "dict[str, tuple[DataFrame, Sequence[str]]]",
+) -> DataFrame:
+    """N-ary composite inclusion-dependency verification — level n of
+    the candidate lattice above :func:`inclusion_dependencies` (unary,
+    level 1). For every ordered pair of composite attributes
+    (A₁..Aₙ, B₁..Bₙ), decide whether the distinct VALUE-TUPLE set of
+    the left side is contained in the right's — the check that
+    recovers composite foreign keys (and, just as importantly, refutes
+    the spurious composite candidates a dense-integer unary skeleton
+    implies: two unary INDs A₁⊆B₁, A₂⊆B₂ rarely survive as
+    (A₁,A₂)⊆(B₁,B₂)).
+
+    ``sources`` maps an attribute label to ``(df, [col₁..colₙ])``;
+    every entry must share the same arity n. Tuples with any NULL
+    coordinate are excluded (SQL semantics: a NULL never witnesses
+    containment). Values are compared as strings per coordinate, so
+    heterogeneous column types can share one lattice.
+
+    Scale shape — identical to the unary SPIDER pass, with the value
+    key widened to the n-tuple: per composite attribute one DISTINCT
+    projection (map-side combinable), one union, ONE value-tuple-keyed
+    aggregation collecting each tuple's attribute set, pairs exploded
+    from those per-tuple sets (bounded by |attrs|² per tuple, never by
+    row count). Candidate pruning belongs in the caller: at scale,
+    feed only composites whose coordinate-wise unary INDs hold
+    (level-(n−1) survivors), which this verification then confirms or
+    refutes.
+
+    Emits every ordered pair sharing at least one value tuple:
+    ``(lhs, rhs, lhs_values, shared_values, contained)``.
+    """
+    if len(sources) < 2:
+        raise ValueError(
+            f"need at least 2 composite attributes, got {len(sources)}"
+        )
+    arities = {len(cols) for _, (_, cols) in sources.items()}
+    if len(arities) != 1:
+        raise ValueError(
+            f"all composite attributes must share one arity, got {arities}"
+        )
+    n = arities.pop()
+    if n < 1:
+        raise ValueError("composite attributes need at least one column")
+    vcols = [f"v{i}" for i in range(n)]
+    parts = []
+    for label, (df, cols) in sorted(sources.items()):
+        notnull = None
+        for c in cols:
+            cond = F.col(c).isNotNull()
+            notnull = cond if notnull is None else notnull & cond
+        parts.append(
+            df.where(notnull)
+            .select(
+                F.lit(label).alias("a"),
+                *[
+                    F.col(c).cast("string").alias(v)
+                    for c, v in zip(cols, vcols)
+                ],
+            )
+            .distinct()
+        )
+    vals = parts[0]
+    for p in parts[1:]:
+        vals = vals.unionAll(p)
+    sets = vals.groupBy(*vcols).agg(F.collect_set("a").alias("attrs"))
     pairs = (
         sets.select(F.explode("attrs").alias("lhs"), "attrs")
         .select("lhs", F.explode("attrs").alias("rhs"))
