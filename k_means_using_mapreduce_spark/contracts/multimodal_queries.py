@@ -312,3 +312,76 @@ FROM hx CROSS JOIN dims
 
 QUERIES["media_wav_features"] = media_wav_features
 ORACLE_SQL["media_wav_features"] = MEDIA_WAV_FEATURES_SQL
+
+
+def media_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END real JPEG codec contract (round-7: closes the
+    dominant-real-format boundary): each document's md5 hex drives a
+    BLOCK-CONSTANT 16x32 grayscale image (eight 8x8 blocks, block
+    (bi,bj) = ascii(h[bi*2+bj])) encoded as an actual baseline JPEG
+    (operators/jpeg.py); extract_features sniffs \\xff\\xd8\\xff,
+    Huffman-decodes the entropy stream, dequantizes and IDCTs back to
+    pixels, and emits strided-window means. Block-constant images have
+    only DC energy, and the DC quantum is 1, so the round-trip is
+    BIT-EXACT — the oracle predicts every decoded pixel from the hex
+    chars' ascii codes. The hash matches only if marker parsing,
+    canonical Huffman assignment, DC-diff coding, byte unstuffing and
+    the IDCT are all faithful."""
+    from ..operators.multimodal import FEATURE_DIM, extract_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.md5(F.encode("text", "utf-8")).alias("hex"),
+    )
+
+    def encode(batches: "Iterator") -> "Iterator":
+        import pandas as pd
+
+        from ..operators.jpeg import encode_jpeg_gray
+
+        def mk(h: str) -> bytes:
+            vals = [ord(ch) for ch in h[:8]]
+            buf = b"".join(
+                (bytes([vals[bi * 2]]) * 8 + bytes([vals[bi * 2 + 1]]) * 8)
+                * 8
+                for bi in range(4)
+            )
+            return encode_jpeg_gray(buf, 16, 32)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": "image",
+                    "payload": pdf["hex"].map(mk),
+                    "width": 16,
+                    "height": 32,
+                    "duration_ms": None,
+                }
+            )
+
+    media = src.mapInPandas(
+        encode,
+        "asset_id long, media_type string, payload binary, "
+        "width int, height int, duration_ms int",
+    )
+    feats = extract_features(media, dim=FEATURE_DIM)
+    return feats.select(
+        F.col("asset_id").alias("doc_id"),
+        F.posexplode("feature").alias("dim", "f"),
+    ).select("doc_id", F.col("dim").cast("int").alias("dim"), "f")
+
+
+MEDIA_JPEG_FEATURES_SQL = """
+WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+dims AS (SELECT CAST(unnest(range(0, 16)) AS INTEGER) AS dim)
+SELECT doc_id, dim,
+  (ascii(substr(h, (dim // 8) + 1, 1)) + ascii(substr(h, (dim // 8) + 3, 1))
+   + ascii(substr(h, (dim // 8) + 5, 1)) + ascii(substr(h, (dim // 8) + 7, 1)))
+    / (255.0 * 4) AS f
+FROM hx CROSS JOIN dims
+"""
+
+QUERIES["media_jpeg_features"] = media_jpeg_features
+ORACLE_SQL["media_jpeg_features"] = MEDIA_JPEG_FEATURES_SQL

@@ -1,0 +1,498 @@
+"""Pure-stdlib baseline JPEG codec for 8-bit grayscale images.
+
+Round-7 verdict item: JPEG is the dominant real-corpus image format,
+and the container ships no PIL — but baseline sequential JPEG's core
+is self-contained arithmetic: an 8x8 DCT, scalar quantization, zigzag
+run-length coding, and canonical Huffman tables, all expressible with
+``math`` and byte twiddling. This closes the "non-PNG decode is a
+labeled fake" boundary for the one encoded image format that matters
+(operators/multimodal.py::extract_features sniffs ``\\xff\\xd8\\xff``
+and decodes through here; anything this codec refuses still falls back
+to the documented deterministic fake).
+
+Scope (documented, enforced): baseline sequential DCT (SOF0), 8-bit
+precision, SINGLE component (grayscale), 1x1 sampling, no restart
+markers, no progressive/arithmetic coding. Non-conforming payloads
+raise ``ValueError`` and the caller falls back to opaque-byte
+handling. The DECODER builds its Huffman/quant tables from the
+stream's own DQT/DHT segments, so conforming grayscale baseline files
+from other encoders decode too.
+
+Determinism: the encoder is a pure function of (pixels, dims, qtable)
+— fixed Annex-K Huffman tables, fixed marker order, sign-symmetric
+round-half-away quantization — so encoded payloads are stable across
+runs/retries, the property every hash-gated contract upstream relies
+on. EXACTNESS property used by the ``media_jpeg_features`` contract:
+a block-constant image (every 8x8 block one value) has only DC
+energy; with the default DC quantum of 1 the round-trip is bit-exact,
+so an oracle can predict decoded pixels in SQL. Arbitrary images
+round-trip within ±3 grey levels (float DCT/IDCT + AC quantum 2 —
+pinned by tests/test_jpeg.py).
+
+Reference: ITU-T T.81 (JPEG) — §B.2 marker syntax, §F.1.2 entropy
+coding, Annex K.3 typical Huffman tables. Scale note: like
+operators/png.py, the codec is a per-row kernel inside Arrow-batched
+``mapInPandas`` — pure CPU per payload, embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+SOI = b"\xff\xd8"
+EOI = b"\xff\xd9"
+
+#: Annex K.3.1 typical luminance DC table (BITS, HUFFVAL)
+DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_VALS = list(range(12))
+
+#: Annex K.3.2 typical luminance AC table
+AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+assert len(AC_VALS) == sum(AC_BITS)
+
+#: default quant table in ZIGZAG order: DC quantum 1 (bit-exact DC,
+#: the block-constant contract's exactness lever), AC quantum 2
+#: (halves AC magnitudes so every size fits baseline's 10-bit cap)
+DEFAULT_QTABLE = [1] + [2] * 63
+
+
+def _zigzag_order() -> list[tuple[int, int]]:
+    out = []
+    for s in range(15):
+        rng = range(min(s, 7), max(0, s - 7) - 1, -1)
+        if s % 2:  # odd diagonals walk top-right -> bottom-left
+            rng = range(max(0, s - 7), min(s, 7) + 1)
+        out.extend((r, s - r) for r in rng)
+    return out
+
+
+ZIGZAG = _zigzag_order()
+assert len(ZIGZAG) == 64 and ZIGZAG[:4] == [(0, 0), (0, 1), (1, 0), (2, 0)]
+
+_COS = [
+    [math.cos((2 * x + 1) * u * math.pi / 16.0) for x in range(8)]
+    for u in range(8)
+]
+_C = [1.0 / math.sqrt(2.0)] + [1.0] * 7
+
+
+def _fdct(block: list[list[float]]) -> list[list[float]]:
+    # constant-block fast path: only DC energy. Bit-identical to the
+    # full transform post-quantization — the exact DC is 8·v (float
+    # multiply of an integer, exact), and the full transform's AC
+    # terms are < 1e-10 rounding residue that quantizes to 0 anyway.
+    first = block[0][0]
+    if all(v == first for row in block for v in row):
+        out = [[0.0] * 8 for _ in range(8)]
+        out[0][0] = 8.0 * first
+        return out
+    out = [[0.0] * 8 for _ in range(8)]
+    for u in range(8):
+        for v in range(8):
+            s = 0.0
+            for x in range(8):
+                cu = _COS[u][x]
+                row = block[x]
+                for y in range(8):
+                    s += row[y] * cu * _COS[v][y]
+            out[u][v] = 0.25 * _C[u] * _C[v] * s
+    return out
+
+
+def _idct(coef: list[list[float]]) -> list[list[float]]:
+    # DC-only fast path (flat block): pixel = DC/8 exactly (power-of-2
+    # divide), identical to the full transform's float result
+    if all(
+        coef[r][c] == 0.0 for r in range(8) for c in range(8)
+        if (r, c) != (0, 0)
+    ):
+        v = coef[0][0] / 8.0
+        return [[v] * 8 for _ in range(8)]
+    out = [[0.0] * 8 for _ in range(8)]
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                cu = _C[u] * _COS[u][x]
+                row = coef[u]
+                for v in range(8):
+                    s += _C[v] * row[v] * cu * _COS[v][y]
+            out[x][y] = 0.25 * s
+    return out
+
+
+def _quantize(v: float, q: int) -> int:
+    # sign-symmetric round-half-away (NOT python round: banker's
+    # rounding is not SQL-predictable for the contract oracle)
+    if v >= 0:
+        return int(math.floor(v / q + 0.5))
+    return -int(math.floor(-v / q + 0.5))
+
+
+def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman assignment (T.81 §C.2): symbol -> (code, length)."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _mag_size(v: int) -> int:
+    return v.bit_length() if v >= 0 else (-v).bit_length()
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            self._n -= 8
+            byte = (self._acc >> self._n) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # entropy-data byte stuffing (§B.1.1.5)
+                self.out.append(0x00)
+        self._acc &= (1 << self._n) - 1
+
+    def flush(self) -> None:
+        if self._n:
+            pad = 8 - self._n
+            self.write((1 << pad) - 1, pad)
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+
+def encode_jpeg_gray(
+    pixels: bytes,
+    width: int,
+    height: int,
+    qtable: list[int] | None = None,
+) -> bytes:
+    """Encode a raw row-major 8-bit grayscale buffer as a baseline
+    sequential JPEG (single component, Annex-K Huffman tables).
+    Blocks beyond the image edge are padded by edge replication."""
+    if width < 1 or height < 1:
+        raise ValueError(f"bad dimensions {width}x{height}")
+    if len(pixels) != width * height:
+        raise ValueError(
+            f"payload is {len(pixels)} bytes, expected {width * height}"
+        )
+    q = list(DEFAULT_QTABLE if qtable is None else qtable)
+    if len(q) != 64 or any(not 1 <= x <= 65535 for x in q):
+        raise ValueError("qtable must be 64 quanta in [1, 65535]")
+    wide = any(x > 255 for x in q)
+    dqt = bytes([16 if wide else 0]) + (
+        b"".join(struct.pack(">H", x) for x in q)
+        if wide
+        else bytes(q)
+    )
+    sof = struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
+    dht_dc = bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
+    dht_ac = bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS)
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+
+    dc_codes = _build_codes(DC_BITS, DC_VALS)
+    ac_codes = _build_codes(AC_BITS, AC_VALS)
+    w = _BitWriter()
+    prev_dc = 0
+    bh = (height + 7) // 8
+    bw = (width + 7) // 8
+    for by in range(bh):
+        for bx in range(bw):
+            block = []
+            for r in range(8):
+                sr = min(by * 8 + r, height - 1)
+                row = []
+                for c in range(8):
+                    sc = min(bx * 8 + c, width - 1)
+                    row.append(float(pixels[sr * width + sc]) - 128.0)
+                block.append(row)
+            coef = _fdct(block)
+            zz = [
+                _quantize(coef[r][c], q[i])
+                for i, (r, c) in enumerate(ZIGZAG)
+            ]
+            diff = zz[0] - prev_dc
+            prev_dc = zz[0]
+            size = _mag_size(diff)
+            code, length = dc_codes[size]
+            w.write(code, length)
+            if size:
+                bits = diff if diff > 0 else diff + (1 << size) - 1
+                w.write(bits, size)
+            run = 0
+            for k in range(1, 64):
+                v = zz[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    zc, zl = ac_codes[0xF0]  # ZRL
+                    w.write(zc, zl)
+                    run -= 16
+                size = _mag_size(v)
+                if size > 10:
+                    raise ValueError(
+                        f"AC coefficient {v} exceeds baseline's 10-bit "
+                        "cap; use a larger AC quantum"
+                    )
+                code, length = ac_codes[(run << 4) | size]
+                w.write(code, length)
+                bits = v if v > 0 else v + (1 << size) - 1
+                w.write(bits, size)
+                run = 0
+            if run:
+                ec, el = ac_codes[0x00]  # EOB
+                w.write(ec, el)
+    w.flush()
+    return (
+        SOI
+        + _seg(0xDB, dqt)
+        + _seg(0xC0, sof)
+        + _seg(0xC4, dht_dc)
+        + _seg(0xC4, dht_ac)
+        + _seg(0xDA, sos)
+        + bytes(w.out)
+        + EOI
+    )
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated entropy stream")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated entropy stream")
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed byte
+            else:
+                raise ValueError(
+                    f"unexpected marker 0xff{nxt:02x} in entropy stream "
+                    "(restart markers unsupported)"
+                )
+        self._acc = (self._acc << 8) | b
+        self._n += 8
+
+    def bit(self) -> int:
+        if self._n == 0:
+            self._fill()
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _decode_huff(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in entropy stream")
+
+
+def _extend(bits: int, size: int) -> int:
+    # T.81 §F.2.2.1 EXTEND: restore sign from magnitude bits
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
+    """Decode a baseline sequential single-component (grayscale) JPEG
+    to ``(width, height, pixels)``. Raises ``ValueError`` on any
+    unsupported variant (color, progressive, restart intervals,
+    12-bit precision) or malformed/truncated stream — callers treat
+    that as "not a decodable image" and fall back to opaque-byte
+    handling."""
+    try:
+        return _decode_jpeg_gray(data)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"truncated or malformed JPEG: {e}") from e
+
+
+def _decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
+    if data[:2] != SOI:
+        raise ValueError("not a JPEG (missing SOI)")
+    qtables: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    width = height = -1
+    comp_q = 0
+    pos = 2
+    while True:
+        if pos + 4 > len(data):
+            raise ValueError("truncated JPEG (no SOS)")
+        if data[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        marker = data[pos + 1]
+        seglen = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        body = data[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                if pq not in (0, 1):
+                    raise ValueError(f"bad DQT precision {pq}")
+                n = 64 * (2 if pq else 1)
+                raw = body[i : i + n]
+                i += n
+                qtables[tq] = (
+                    [
+                        struct.unpack(">H", raw[j : j + 2])[0]
+                        for j in range(0, 128, 2)
+                    ]
+                    if pq
+                    else list(raw)
+                )
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported SOF marker 0xff{marker:02x} "
+                "(baseline sequential only)"
+            )
+        elif marker == 0xC0:  # SOF0
+            prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError(f"unsupported precision {prec}")
+            if ncomp != 1:
+                raise ValueError(
+                    f"unsupported component count {ncomp} (grayscale only)"
+                )
+            if body[7] != 0x11:
+                raise ValueError("unsupported sampling (1x1 only)")
+            comp_q = body[8]
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                nsym = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nsym])
+                i += 17 + nsym
+                table: dict[tuple[int, int], int] = {}
+                code = 0
+                k = 0
+                for length in range(1, 17):
+                    for _ in range(bits[length - 1]):
+                        table[(length, code)] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+        elif marker == 0xDD:
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if width < 0:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            if ns != 1:
+                raise ValueError(f"unsupported scan components {ns}")
+            dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
+            break
+        elif marker in (0xD8, 0xD9):
+            raise ValueError("unexpected SOI/EOI inside header")
+        # APPn/COM/others: skipped
+    if comp_q not in qtables:
+        raise ValueError(f"missing quant table {comp_q}")
+    if (0, dc_id) not in huff or (1, ac_id) not in huff:
+        raise ValueError("missing Huffman tables")
+    q = qtables[comp_q]
+    dc_tab, ac_tab = huff[(0, dc_id)], huff[(1, ac_id)]
+
+    reader = _BitReader(data, pos)
+    bh = (height + 7) // 8
+    bw = (width + 7) // 8
+    pixels = bytearray(width * height)
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bw):
+            zz = [0] * 64
+            size = _decode_huff(reader, dc_tab)
+            prev_dc += _extend(reader.bits(size), size)
+            zz[0] = prev_dc * q[0]
+            k = 1
+            while k < 64:
+                sym = _decode_huff(reader, ac_tab)
+                if sym == 0x00:  # EOB
+                    break
+                run, size = sym >> 4, sym & 0x0F
+                if size == 0:
+                    if run != 15:
+                        raise ValueError(f"bad AC symbol {sym:#x}")
+                    k += 16  # ZRL
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("AC run past block end")
+                zz[k] = _extend(reader.bits(size), size) * q[k]
+                k += 1
+            coef = [[0.0] * 8 for _ in range(8)]
+            for i, (r, c) in enumerate(ZIGZAG):
+                coef[r][c] = float(zz[i])
+            block = _idct(coef)
+            for r in range(8):
+                sr = by * 8 + r
+                if sr >= height:
+                    break
+                row = block[r]
+                base = sr * width
+                for c in range(8):
+                    sc = bx * 8 + c
+                    if sc >= width:
+                        break
+                    v = int(math.floor(row[c] + 128.0 + 0.5))
+                    pixels[base + sc] = 0 if v < 0 else (255 if v > 255 else v)
+    return width, height, bytes(pixels)

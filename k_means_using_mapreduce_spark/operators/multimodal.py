@@ -96,19 +96,22 @@ def extract_features(
     drops the binary payload before returning — the output rows are
     ~100 B regardless of input media size.
 
-    Decode is REAL for 8-bit grayscale PNG payloads AND 16-bit PCM
-    WAV payloads (stdlib codecs, operators/png.py): pixels/samples
-    are decoded out of the actual container and the strided-window
+    Decode is REAL for 8-bit grayscale PNG payloads, baseline
+    grayscale JPEG payloads AND 16-bit PCM WAV payloads (stdlib
+    codecs, operators/png.py + operators/jpeg.py): pixels/samples are
+    decoded out of the actual container and the strided-window
     feature means run over real media data, end-to-end. Payloads in
-    any other container (jpeg/mp4/…, no codec in this container) or
-    malformed PNG/WAV fall through to the documented deterministic
-    fake over the raw bytes, so the pipeline shape stays exercised
-    either way.
+    any other container (mp4, progressive/color JPEG, …) or malformed
+    media fall through to the documented deterministic fake over the
+    raw bytes, so the pipeline shape stays exercised either way.
     """
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as pd  # local import: runs on executor workers
 
+        from k_means_using_mapreduce_spark.operators.jpeg import (
+            decode_jpeg_gray,
+        )
         from k_means_using_mapreduce_spark.operators.png import (
             PNG_SIGNATURE,
             decode_png_gray,
@@ -126,6 +129,11 @@ def extract_features(
                     _, _, buf = decode_png_gray(buf)
                 except ValueError:
                     pass  # malformed image: treat as opaque bytes
+            elif buf[:3] == b"\xff\xd8\xff":
+                try:
+                    _, _, buf = decode_jpeg_gray(buf)
+                except ValueError:
+                    pass  # unsupported JPEG variant: opaque bytes
             elif buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
                 try:
                     _, _, buf = decode_wav_pcm16(buf)
@@ -358,11 +366,13 @@ def synth_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
     """Deterministic synthetic media table for tests: payload bytes are
     a seeded function of asset_id (no RNG at execution time). IMAGE
     rows carry REAL 8x8 grayscale PNGs and AUDIO rows REAL 16-bit PCM
-    WAVs (operators/png.py codecs, so both extract_features decode
-    paths are exercised end-to-end); video rows remain opaque seeded
-    bytes (no stdlib video container exists)."""
+    WAVs (operators/png.py codecs) and JPEG rows REAL baseline
+    grayscale JPEGs (operators/jpeg.py), so all three extract_features
+    decode paths are exercised end-to-end; video rows remain opaque
+    seeded bytes (no stdlib video container exists)."""
     import hashlib
 
+    from .jpeg import encode_jpeg_gray
     from .png import encode_png_gray, encode_wav_pcm16
 
     def _bytes(i: int, want: int) -> bytes:
@@ -377,9 +387,12 @@ def synth_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
 
     rows = []
     for i in range(n):
-        kind = ("image", "audio", "video")[i % 3]
-        if kind == "image":
+        kind = ("image", "image", "audio", "video")[i % 4]
+        if kind == "image" and i % 4 == 0:
             payload = encode_png_gray(_bytes(i, 64), 8, 8)
+            w = h = 8
+        elif kind == "image":
+            payload = encode_jpeg_gray(_bytes(i, 64), 8, 8)
             w = h = 8
         elif kind == "audio":
             payload = encode_wav_pcm16(_bytes(i, 64))
