@@ -918,9 +918,16 @@ def levene_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.hypothesis import anova_oneway
     from ..operators.robust import group_median
 
-    li = load_table(spark, sf_dir, "lineitem").where(
-        F.col("l_extendedprice").isNotNull()
-        & F.col("l_returnflag").isNotNull()
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            F.col("l_extendedprice").isNotNull()
+            & F.col("l_returnflag").isNotNull()
+        )
+        .select("l_returnflag", "l_extendedprice")
+        # 3 passes by construction (median sketch, refine, ANOVA):
+        # materialize the projected input once (round-7 sweep)
+        .localCheckpoint(eager=True)
     )
     med = group_median(li, "l_extendedprice", ["l_returnflag"])
     dev = li.join(F.broadcast(med), "l_returnflag").withColumn(

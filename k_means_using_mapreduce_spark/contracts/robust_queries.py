@@ -68,7 +68,16 @@ GROUP BY l.l_returnflag
 
 
 def winsorized_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    """Winsorized mean per return flag. The operator is 3 passes by
+    construction (bracket sketch, in-bracket refine, clamp+mean), so
+    the projected 2-column input is materialized ONCE instead of
+    re-reading + re-filtering the parquet per pass (round-7 multi-pass
+    sweep; 2.15 s -> ~1.2 s at sf0.1)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice")
+        .localCheckpoint(eager=True)
+    )
     return winsorized_mean(li, "l_extendedprice", ["l_returnflag"])
 
 

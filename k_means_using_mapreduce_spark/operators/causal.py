@@ -451,19 +451,26 @@ def stratified_ate(
     y = F.col(y_col).cast("double")
     sc = F.col(score_col).cast("double")
     t = treated.cast("int")
-    rows = df.where(y.isNotNull() & sc.isNotNull() & t.isNotNull()).select(
-        y.alias("_y"), sc.alias("_s"), t.alias("_t")
+    # 4 bounded passes by construction (bracket sketch, refine,
+    # stratum aggregate, and the per/summary split): materialize the
+    # 3-column projection once, collect the k-1 cut scalars and fold
+    # them back as codegen literals (round-7 multi-pass sweep —
+    # 2.44 s -> ~1.3 s at sf0.1; same arithmetic either way).
+    rows = (
+        df.where(y.isNotNull() & sc.isNotNull() & t.isNotNull())
+        .select(y.alias("_y"), sc.alias("_s"), t.alias("_t"))
+        .localCheckpoint(eager=True)
     )
     qs = [i / strata for i in range(1, strata)]
-    cuts = exact_group_percentiles(
+    cut_row = exact_group_percentiles(
         rows, "_s", [], [(f"_c{i}", p) for i, p in enumerate(qs)]
-    ).select(*[f"_c{i}" for i in range(len(qs))])
+    ).collect()[0]
     stratum = F.lit(0)
     for i in range(len(qs)):
-        stratum = stratum + (F.col("_s") > F.col(f"_c{i}")).cast("int")
+        cut = F.lit(cut_row[f"_c{i}"]).cast("double")
+        stratum = stratum + (F.col("_s") > cut).cast("int")
     per = (
-        rows.crossJoin(F.broadcast(cuts))
-        .select("_y", "_t", stratum.alias("stratum"))
+        rows.select("_y", "_t", stratum.alias("stratum"))
         .groupBy("stratum")
         .agg(
             F.count(F.lit(1)).cast("double").alias("n"),
@@ -471,6 +478,9 @@ def stratified_ate(
             F.sum(F.when(F.col("_t") == 1, F.col("_y")).otherwise(0.0)).alias("st"),
             F.sum(F.when(F.col("_t") == 0, F.col("_y")).otherwise(0.0)).alias("sc_"),
         )
+        # per is <= strata rows consumed TWICE (per-stratum rows +
+        # pooled summary); pin it so the stratum aggregate runs once
+        .localCheckpoint(eager=True)
     )
     nc = F.col("n") - F.col("nt")
     diff = F.when(

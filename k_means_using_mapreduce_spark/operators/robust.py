@@ -254,6 +254,11 @@ def winsorized_mean(
         [("lo", lower), ("hi", upper)],
         method=method,
     ).drop("n")
+    if method == "bracket":
+        # the bracket path is itself 2 passes; without a pin the
+        # clamp+mean consumer re-executes both (round-7 sweep:
+        # measured ~1.0 s of pure recompute at sf0.1)
+        bounds = bounds.localCheckpoint(eager=True)
     return (
         df.join(F.broadcast(bounds), group_cols)
         .withColumn(
