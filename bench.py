@@ -412,6 +412,22 @@ BENCH_QUERIES = [
     "ivf_recall_embeddings",
     "jackknife_price_per_unit",
     "corpus_pipeline_documents",
+    # round-7 promotion wave: representatives of previously
+    # bench-blind families (verdict item #7)
+    "ind_nary_tpch",
+    "media_jpeg_features",
+    "dbscan_clusters_lineitem",
+    "quality_filter_documents",
+    "token_search_documents",
+    "semantic_dedup_summary_embeddings",
+    "pack_documents_256",
+    "mixture_plan_documents",
+    "orders_grouping_sets",
+    "events_json_props",
+    "lang_confusion_documents",
+    "segment_balance_percentiles",
+    "kmeans_mse_embeddings",
+    "streaming_sprt_events",
 ]
 
 KMEANS_FIT_K = 8

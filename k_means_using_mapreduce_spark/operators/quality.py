@@ -959,6 +959,12 @@ def inclusion_dependencies(
     vals = parts[0]
     for p in parts[1:]:
         vals = vals.unionAll(p)
+    # vals is consumed twice (set aggregation + per-attr counts) but
+    # deliberately NOT pinned: the recompute is cheap single-column
+    # distinct counts with map-side partial aggregation, while an
+    # eager materialization of the full union measured ~17x SLOWER at
+    # sf0.1 (56s vs 3.3s) — the n-ary sibling, whose value tuples are
+    # wide, makes the opposite call (measured both, round 7)
     # one value-keyed aggregation; attr sets are tiny (<= |sources|)
     sets = vals.groupBy("v").agg(F.collect_set("a").alias("attrs"))
     pairs = (
@@ -1045,6 +1051,8 @@ def nary_inclusion_dependencies(
     vals = parts[0]
     for p in parts[1:]:
         vals = vals.unionAll(p)
+    # consumed twice (set aggregation + per-attr counts): pin once
+    vals = vals.localCheckpoint(eager=True)
     sets = vals.groupBy(*vcols).agg(F.collect_set("a").alias("attrs"))
     pairs = (
         sets.select(F.explode("attrs").alias("lhs"), "attrs")
