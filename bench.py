@@ -428,6 +428,7 @@ BENCH_QUERIES = [
     "segment_balance_percentiles",
     "kmeans_mse_embeddings",
     "streaming_sprt_events",
+    "als_holdout_hitrate",
 ]
 
 KMEANS_FIT_K = 8
