@@ -429,6 +429,8 @@ BENCH_QUERIES = [
     "kmeans_mse_embeddings",
     "streaming_sprt_events",
     "als_holdout_hitrate",
+    "afd_discovery_orders",
+    "cfd_orders_by_status",
 ]
 
 KMEANS_FIT_K = 8

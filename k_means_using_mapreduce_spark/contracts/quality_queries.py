@@ -775,3 +775,96 @@ FROM pairs p JOIN counts c USING (lhs)
 
 QUERIES["ind_nary_tpch"] = ind_nary_tpch
 ORACLE_SQL["ind_nary_tpch"] = _ind2_sql()
+
+
+_AFD_MAX_ERROR = 0.05
+
+
+def afd_discovery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate (g3) FD discovery over the orders profiling columns
+    (operators/quality.py::approximate_fds): for every ordered pair,
+    the minimum row-removal fraction for det → dep to hold exactly,
+    with holds = error <= 5% — the tolerant reading of
+    fd_discovery_orders that survives real-world entry noise."""
+    from ..operators.quality import approximate_fds
+
+    return approximate_fds(
+        load_table(spark, sf_dir, "orders"),
+        _PROFILE_COLS,
+        max_error=_AFD_MAX_ERROR,
+    )
+
+
+def _afd_sql(cols: list[str], max_error: float) -> str:
+    parts = []
+    for a in cols:
+        for b in cols:
+            if a == b:
+                continue
+            parts.append(
+                f"""SELECT '{a}' AS det, '{b}' AS dep, keep, n FROM (
+  SELECT CAST(sum(mx) AS BIGINT) AS keep, CAST(sum(s) AS BIGINT) AS n
+  FROM (
+    SELECT max(c) AS mx, sum(c) AS s FROM (
+      SELECT CAST({a} AS VARCHAR) AS dv, CAST({b} AS VARCHAR) AS pv,
+             count(*) AS c
+      FROM orders WHERE {a} IS NOT NULL AND {b} IS NOT NULL
+      GROUP BY 1, 2) GROUP BY dv))"""
+            )
+    stacked = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH per_pair AS MATERIALIZED (
+{stacked}
+)
+SELECT det, dep, n, keep,
+       1.0 - CAST(keep AS DOUBLE) / CAST(n AS DOUBLE) AS error,
+       (1.0 - CAST(keep AS DOUBLE) / CAST(n AS DOUBLE)) <= {max_error!r}
+         AS holds
+FROM per_pair
+"""
+
+
+QUERIES["afd_discovery_orders"] = afd_discovery_orders
+ORACLE_SQL["afd_discovery_orders"] = _afd_sql(_PROFILE_COLS, _AFD_MAX_ERROR)
+
+
+def cfd_orders_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constant conditional-FD check (operators/quality.py::
+    conditional_fds): within each o_orderstatus partition, does
+    o_custkey → o_orderpriority hold? Per condition value: distinct
+    determinants, violation count (repair distance), holds flag."""
+    from ..operators.quality import conditional_fds
+
+    return conditional_fds(
+        load_table(spark, sf_dir, "orders"),
+        "o_custkey",
+        "o_orderpriority",
+        "o_orderstatus",
+    )
+
+
+CFD_ORDERS_SQL = """
+WITH triples AS (
+  SELECT CAST(o_orderstatus AS VARCHAR) AS cv,
+         CAST(o_custkey AS VARCHAR) AS dv,
+         CAST(o_orderpriority AS VARCHAR) AS bv,
+         count(*) AS rows_
+  FROM orders
+  WHERE o_orderstatus IS NOT NULL AND o_custkey IS NOT NULL
+    AND o_orderpriority IS NOT NULL
+  GROUP BY 1, 2, 3
+),
+per_det AS (
+  SELECT cv, dv, count(*) AS n_dep_vals, sum(rows_) AS rows_
+  FROM triples GROUP BY 1, 2
+)
+SELECT cv AS cond_value,
+       CAST(sum(rows_) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_det,
+       CAST(sum(n_dep_vals) - count(*) AS BIGINT) AS violations,
+       (sum(n_dep_vals) - count(*)) = 0 AS holds
+FROM per_det GROUP BY 1
+"""
+
+QUERIES["cfd_orders_by_status"] = cfd_orders_by_status
+ORACLE_SQL["cfd_orders_by_status"] = CFD_ORDERS_SQL

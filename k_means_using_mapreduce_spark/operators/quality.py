@@ -1071,3 +1071,135 @@ def nary_inclusion_dependencies(
         "shared_values",
         (F.col("shared_values") == F.col("lhs_values")).alias("contained"),
     )
+
+
+def approximate_fds(
+    df: DataFrame, cols: "list[str]", *, max_error: float = 0.01
+) -> DataFrame:
+    """Approximate functional-dependency discovery (the g3 metric of
+    Kivinen & Mannila / TANE): for every ordered pair (det → dep),
+    ``error`` is the minimum fraction of rows that must be removed for
+    the FD to hold exactly — ``1 − Σ_det max_dep count(det, dep) / n``
+    — and ``holds`` is ``error <= max_error``. The tolerant sibling of
+    :func:`functional_dependencies` (exact, distinct-pair based):
+    real data carries entry errors, and a 0.1%-violated dependency is
+    a discovery, not a miss.
+
+    Rows where either side is NULL are excluded from that pair's
+    check (NULL determines nothing).
+
+    Scale shape mirrors the exact operator's linear rollup: ONE scan
+    explodes each row into its |unordered pairs| value structs, one
+    multiplicity count per (pid, va, vb) serves BOTH orientations
+    (max over the other side per determinant value), then two
+    strictly-shrinking int-keyed group-bys finish. No per-pair jobs,
+    no countDistinct Expand.
+    """
+    if len(cols) < 2:
+        raise ValueError("approximate_fds needs >= 2 columns")
+    if not 0.0 <= max_error < 1.0:
+        raise ValueError(f"max_error must be in [0, 1), got {max_error}")
+    upairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("pid"),
+                F.col(a).cast("string").alias("va"),
+                F.col(b).cast("string").alias("vb"),
+            )
+            for i, (a, b) in enumerate(upairs)
+        ]
+    )
+    counted = (
+        df.select(F.explode(arr).alias("p"))
+        .select("p.*")
+        .where(F.col("va").isNotNull() & F.col("vb").isNotNull())
+        .groupBy("pid", "va", "vb")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    both = F.array(
+        F.struct(
+            (F.col("pid") * 2).alias("oid"),
+            F.col("va").alias("dv"),
+            F.col("c").alias("c"),
+        ),
+        F.struct(
+            (F.col("pid") * 2 + 1).alias("oid"),
+            F.col("vb").alias("dv"),
+            F.col("c").alias("c"),
+        ),
+    )
+    per_det = (
+        counted.select(F.explode(both).alias("p"))
+        .select("p.*")
+        .groupBy("oid", "dv")
+        .agg(F.max("c").alias("mx"), F.sum("c").alias("s"))
+    )
+    agg = per_det.groupBy("oid").agg(
+        F.sum("mx").alias("keep"), F.sum("s").alias("n")
+    )
+    det_names = F.array(*[F.lit(n) for a, b in upairs for n in (a, b)])
+    dep_names = F.array(*[F.lit(n) for a, b in upairs for n in (b, a)])
+    err = F.lit(1.0) - F.col("keep").cast("double") / F.col("n").cast(
+        "double"
+    )
+    return agg.select(
+        F.element_at(det_names, F.col("oid") + 1).alias("det"),
+        F.element_at(dep_names, F.col("oid") + 1).alias("dep"),
+        F.col("n").cast("long").alias("n"),
+        F.col("keep").cast("long").alias("keep"),
+        err.alias("error"),
+        (err <= F.lit(float(max_error))).alias("holds"),
+    )
+
+
+def conditional_fds(
+    df: DataFrame,
+    det: str,
+    dep: str,
+    cond: str,
+) -> DataFrame:
+    """Constant conditional-FD discovery: for each value of ``cond``,
+    does ``det → dep`` hold WITHIN that partition of the data? The
+    pattern-tableau special case (one condition attribute, constant
+    patterns) of CFD mining (Fan et al., TODS 2008) — the dependency
+    a repair tool reports as "holds for status='F' rows, 12
+    violations elsewhere". Rows with a NULL on any of the three
+    columns are excluded (NULL determines nothing, and a NULL
+    condition names no partition).
+
+    One distinct-triple aggregation, then two shrinking group-bys —
+    per condition value: ``n_det`` distinct determinant values,
+    ``violations = |distinct (det, dep)| − n_det``, ``holds`` iff 0.
+    Scale: shuffle keys are (cond, det[, dep]) values; never row
+    count.
+    """
+    c, a, b = F.col(cond), F.col(det), F.col(dep)
+    triples = (
+        df.where(c.isNotNull() & a.isNotNull() & b.isNotNull())
+        .select(
+            c.cast("string").alias("cv"),
+            a.cast("string").alias("dv"),
+            b.cast("string").alias("bv"),
+        )
+        .groupBy("cv", "dv", "bv")
+        .agg(F.count(F.lit(1)).alias("rows_"))
+    )
+    per_det = triples.groupBy("cv", "dv").agg(
+        F.count(F.lit(1)).alias("n_dep_vals"),
+        F.sum("rows_").alias("rows_"),
+    )
+    out = per_det.groupBy("cv").agg(
+        F.sum("rows_").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_det"),
+        (F.sum("n_dep_vals") - F.count(F.lit(1)))
+        .cast("long")
+        .alias("violations"),
+    )
+    return out.select(
+        F.col("cv").alias("cond_value"),
+        "n",
+        "n_det",
+        "violations",
+        (F.col("violations") == 0).alias("holds"),
+    )

@@ -584,3 +584,73 @@ def test_nary_inclusion_dependencies_planted_composite(spark):
         )
     with _p.raises(ValueError, match="at least 2"):
         nary_inclusion_dependencies({"a": (parent, ["x", "y"])})
+
+
+def test_approximate_fds_g3_error(spark):
+    """g3 = min row-removal fraction: hand-computed on a planted
+    1-violation dependency; exact FDs give error 0."""
+    from k_means_using_mapreduce_spark.operators.quality import (
+        approximate_fds,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", "x"),
+            (1, "a", "x"),
+            (1, "a", "y"),  # the one dirty row: 1 -> {x, x, y}
+            (2, "b", "z"),
+            (2, "b", "z"),
+        ],
+        "k long, u string, v string",
+    )
+    out = {
+        (r["det"], r["dep"]): r
+        for r in approximate_fds(df, ["k", "u", "v"], max_error=0.25).collect()
+    }
+    # k -> v: keep max per k = 2 (x) + 2 (z) = 4 of 5 -> error 0.2
+    r = out[("k", "v")]
+    assert r["n"] == 5 and r["keep"] == 4
+    assert r["error"] == pytest.approx(0.2)
+    assert r["holds"] is True  # 0.2 <= 0.25
+    # k <-> u is exact both ways
+    assert out[("k", "u")]["error"] == 0.0 and out[("k", "u")]["holds"]
+    assert out[("u", "k")]["error"] == 0.0
+    # v -> k: x->1, y->1, z->2 exact
+    assert out[("v", "k")]["error"] == 0.0
+
+    import pytest as _p
+
+    with _p.raises(ValueError, match="max_error"):
+        approximate_fds(df, ["k", "u"], max_error=1.0)
+    with _p.raises(ValueError, match=">= 2"):
+        approximate_fds(df, ["k"])
+
+
+def test_conditional_fds_partition_scoped(spark):
+    """det -> dep holds inside one condition partition, violated in
+    the other; NULLs on any column are excluded."""
+    from k_means_using_mapreduce_spark.operators.quality import (
+        conditional_fds,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("F", 1, "HIGH"),
+            ("F", 1, "HIGH"),
+            ("F", 2, "LOW"),
+            ("O", 3, "HIGH"),
+            ("O", 3, "LOW"),   # violation inside O
+            ("O", 4, "LOW"),
+            (None, 5, "LOW"),  # NULL condition: excluded
+            ("F", None, "X"),  # NULL det: excluded
+        ],
+        "status string, clerk long, prio string",
+    )
+    out = {
+        r["cond_value"]: r
+        for r in conditional_fds(df, "clerk", "prio", "status").collect()
+    }
+    assert set(out) == {"F", "O"}
+    assert out["F"]["holds"] is True and out["F"]["violations"] == 0
+    assert out["F"]["n"] == 3 and out["F"]["n_det"] == 2
+    assert out["O"]["holds"] is False and out["O"]["violations"] == 1
