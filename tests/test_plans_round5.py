@@ -46,13 +46,48 @@ def test_percentile_family_no_unbounded_group_buffer(spark, sf):
     """The robust-percentile family must plan the bounded bracket path
     by default: streaming percentile_approx sketches plus an in-bracket
     window, never the exact `percentile(...)` aggregate that buffers
-    and sorts whole groups (OOM/straggler risk at a skewed group)."""
+    and sorts whole groups (OOM/straggler risk at a skewed group).
+
+    Round-7 note: winsorized_mean now PINS its bounds subplan
+    (localCheckpoint — the clamp consumer was re-running both bracket
+    passes), so the percentile aggregates no longer appear in the
+    contract's final plan; the pinned property is asserted on the
+    bracket subplan itself (exact_group_percentiles), plus on
+    price_outliers_mad whose plan still carries it end-to-end."""
     import re
 
-    for name in ("winsorized_price_by_flag", "price_outliers_mad"):
-        plan = executed_plan(_q(name, spark, sf))
+    from pyspark.sql import functions as F
+
+    from k_means_using_mapreduce_spark.operators.robust import (
+        exact_group_percentiles,
+    )
+    from k_means_using_mapreduce_spark.sources.loaders import load_table
+
+    li = load_table(spark, sf, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    bounds = exact_group_percentiles(
+        li, "l_extendedprice", ["l_returnflag"], [("lo", 0.05), ("hi", 0.95)]
+    )
+    plans = {
+        "winsorized_bounds_subplan": executed_plan(bounds),
+        "price_outliers_mad": executed_plan(
+            _q("price_outliers_mad", spark, sf)
+        ),
+    }
+    for name, plan in plans.items():
         markers = set(re.findall(r"\w*percentile\w*", plan))
         assert markers, f"{name}: expected percentile aggregates in plan"
         assert all("percentile_approx" in m for m in markers), (
             f"{name}: exact whole-group percentile aggregate in plan: {markers}"
         )
+    # and the winsorized contract's own plan must not have regressed to
+    # a whole-group exact percentile either (it may show none at all —
+    # the pinned bounds execute at construction)
+    wplan = executed_plan(_q("winsorized_price_by_flag", spark, sf))
+    bad = {
+        m
+        for m in re.findall(r"\w*percentile\w*", wplan)
+        if "percentile_approx" not in m
+    }
+    assert not bad, f"winsorized: exact percentile aggregate in plan: {bad}"
