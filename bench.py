@@ -431,6 +431,12 @@ BENCH_QUERIES = [
     "als_holdout_hitrate",
     "afd_discovery_orders",
     "cfd_orders_by_status",
+    "monthly_order_stats",
+    "user_value_deltas",
+    "corpus_diff_summary",
+    "customers_without_orders",
+    "nation_union_segments",
+    "frequent_lines_documents",
 ]
 
 KMEANS_FIT_K = 8
