@@ -972,41 +972,116 @@ ORACLE_SQL["poisson_quantity_lineitem"] = _poisson_sql()
 
 
 def glm_poisson_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """General-p GLM (operators/regression.py::glm_fit, MLlib GLR):
-    Poisson quantity model on THREE features — the path the 2-feature
-    closed forms point at. ROWS-ONLY contract: MLlib's IRLS stopping
-    rule and solver ordering are not reproducible as portable SQL, so
-    correctness is pinned by the tolerance parity tests against the
-    hash-gated closed forms (tests/test_regression.py::test_glm_fit_*)
-    instead of a DuckDB oracle.
-
-    The operator API returns ``coefficients`` as ``array<double>``;
-    the driver's canonicalizer cannot sort array-typed columns, so —
-    following the kmeans centroid-flattening convention
-    (contracts/kmeans_queries.py) — this contract flattens the three
-    coefficients into scalar ``b1..b3`` columns."""
-    from ..operators.regression import glm_fit
+    """Poisson GLM of quantity on THREE features (discount, tax,
+    linenumber) — the p = 3 step beyond the 2-feature closed forms,
+    via the engine-side fixed-iteration Newton
+    (operators/regression.py::poisson_newton3). The 4×4 Cramer step
+    and this oracle's SQL are emitted by the SAME expression-tree
+    generator (cramer4_newton_terms), so engine and oracle agree term
+    for term by construction. The MLlib GLR wrapper (glm_fit) remains
+    the general-p operator API, pinned by tolerance parity tests
+    against this fit (tests/test_regression.py::test_glm_fit_*) —
+    its own stopping rule is not SQL-portable, which is why the hash
+    gate lives HERE (the gamma_price_lineitem recipe)."""
+    from ..operators.regression import poisson_newton3
 
     li = load_table(spark, sf_dir, "lineitem")
-    fit = glm_fit(
-        li,
-        ["l_discount", "l_tax", "l_linenumber"],
-        "l_quantity",
-        family="poisson",
+    return poisson_newton3(
+        li, ["l_discount", "l_tax", "l_linenumber"], "l_quantity"
     )
-    return fit.select(
-        "n",
-        "intercept",
-        F.col("coefficients")[0].alias("b1"),
-        F.col("coefficients")[1].alias("b2"),
-        F.col("coefficients")[2].alias("b3"),
-        "deviance",
-        "null_deviance",
-        "aic",
+
+
+def _glm_poisson3_sql(iters: int = 4) -> str:
+    """Chained-CTE unroll of poisson_newton3: the Cramer-step SQL is
+    generated by the operator's own cramer4_newton_terms with
+    string-building scalar ops, so the oracle cannot drift from the
+    engine's arithmetic."""
+    from ..operators.regression import cramer4_newton_terms
+
+    det_expr, deltas = cramer4_newton_terms(
+        {
+            (i, j): f"h{i}{j}"
+            for i in range(4)
+            for j in range(i, 4)
+        },
+        [f"g{j}" for j in range(4)],
+        mul=lambda a, b: f"({a} * {b})",
+        add=lambda a, b: f"({a} + {b})",
+        sub=lambda a, b: f"({a} - {b})",
+        neg=lambda a: f"(- {a})",
+        div=lambda n, d: f"({n} / det)",
+    )
+    parts = [
+        """qb AS MATERIALIZED (
+  SELECT CAST(l_discount AS DOUBLE) AS x1, CAST(l_tax AS DOUBLE) AS x2,
+         CAST(l_linenumber AS DOUBLE) AS x3,
+         CAST(l_quantity AS DOUBLE) AS y
+  FROM lineitem
+  WHERE l_discount IS NOT NULL AND l_tax IS NOT NULL
+    AND l_linenumber IS NOT NULL
+    AND l_quantity IS NOT NULL AND l_quantity >= 0
+)""",
+        "qc0 AS MATERIALIZED (SELECT ln(avg(y)) AS b0, 0.0 AS b1, "
+        "0.0 AS b2, 0.0 AS b3 FROM qb)",
+    ]
+    hsums = []
+    for i in range(4):
+        for j in range(i, 4):
+            xs = [t for t in (f"x{i}", f"x{j}") if t != "x0"]
+            prod = " * ".join(["mu", *xs])
+            hsums.append(f"sum({prod}) AS h{i}{j}")
+    hsql = ",\n         ".join(hsums)
+    for i in range(1, iters + 1):
+        parts.append(f"""qt{i} AS MATERIALIZED (
+  SELECT x1, x2, x3, y,
+         exp(b0 + b1 * x1 + b2 * x2 + b3 * x3) AS mu
+  FROM qb CROSS JOIN qc{i - 1}
+)""")
+        parts.append(f"""qs{i} AS MATERIALIZED (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         sum(y - mu) AS g0,
+         sum((y - mu) * x1) AS g1,
+         sum((y - mu) * x2) AS g2,
+         sum((y - mu) * x3) AS g3,
+         {hsql}
+  FROM qt{i}
+)""")
+        parts.append(f"""qd{i} AS MATERIALIZED (
+  SELECT qs{i}.*, c.b0 AS prb0, c.b1 AS prb1,
+         c.b2 AS prb2, c.b3 AS prb3,
+    {det_expr} AS det
+  FROM qs{i} CROSS JOIN qc{i - 1} c
+)""")
+        bexprs = ",\n    ".join(
+            f"(prb{j} + {deltas[j]}) AS b{j}" for j in range(4)
+        )
+        parts.append(f"""qc{i} AS MATERIALIZED (
+  SELECT
+    {bexprs}
+  FROM qd{i}
+)""")
+    parts.append(f"""qscored AS (
+  SELECT y, b0, b1, b2, b3,
+         exp(b0 + b1 * x1 + b2 * x2 + b3 * x3) AS mu
+  FROM qb CROSS JOIN qc{iters}
+)""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT CAST(count(*) AS BIGINT) AS n,
+       any_value(b0) AS b0, any_value(b1) AS b1,
+       any_value(b2) AS b2, any_value(b3) AS b3,
+       2.0 * sum(CASE WHEN y > 0 THEN y * ln(y / mu) - (y - mu)
+                      ELSE mu END) AS deviance,
+       avg(mu) AS mean_mu
+FROM qscored
+"""
     )
 
 
 QUERIES["glm_poisson_lineitem"] = glm_poisson_lineitem
+ORACLE_SQL["glm_poisson_lineitem"] = _glm_poisson3_sql()
 
 
 _QR_EPS, _QR_ITERS = 1e-6, 3

@@ -1601,3 +1601,163 @@ def gamma_irls(
         ).alias("dispersion"),
         F.avg(mu).alias("mean_mu"),
     )
+
+
+def cramer4_newton_terms(h, g, *, mul, add, sub, neg, div):
+    """Symbolic/numeric Cramer step for a symmetric 4x4 Newton system.
+
+    Computes ``(det, [d0, d1, d2, d3])`` where ``d_j`` is the j-th
+    component of ``H⁻¹·g`` by cofactor expansion: the determinant is
+    expanded along column 0 and each numerator ``det(H with column j
+    replaced by g)`` along the replaced column, so ``g`` enters each
+    numerator linearly.
+
+    ``h`` is the symmetric Hessian as the 10 upper-triangle entries
+    ``{(i, j): value}`` with ``i <= j``; ``g`` is the 4-gradient. The
+    scalar algebra is passed in (``mul/add/sub/neg/div``) so the SAME
+    expression tree serves two callers: :func:`poisson_newton3` binds
+    float arithmetic, while the contract's DuckDB oracle binds
+    string-builders — making the engine and the oracle identical
+    term for term BY CONSTRUCTION instead of by hand-mirroring (the
+    3x3 closed forms' approach, which does not scale to 4x4's 16
+    cofactors). Both Python and SQL evaluate the fully-parenthesized
+    tree in the same IEEE-754 order, so any residual disagreement is
+    only the engines' sum-ordering noise, which the canon rounds away.
+    """
+    M = [[h[(min(i, j), max(i, j))] for j in range(4)] for i in range(4)]
+
+    def det3(a, b, c, d, e, f, p, q, r):
+        return add(
+            sub(
+                mul(a, sub(mul(e, r), mul(f, q))),
+                mul(b, sub(mul(d, r), mul(f, p))),
+            ),
+            mul(c, sub(mul(d, q), mul(e, p))),
+        )
+
+    def minor(i, j):
+        ent = [
+            M[r][c]
+            for r in range(4)
+            if r != i
+            for c in range(4)
+            if c != j
+        ]
+        return det3(*ent)
+
+    def expand(col_vals, j):
+        acc = None
+        for i in range(4):
+            term = mul(col_vals[i], minor(i, j))
+            if (i + j) % 2 == 1:
+                term = neg(term)
+            acc = term if acc is None else add(acc, term)
+        return acc
+
+    det = expand([M[i][0] for i in range(4)], 0)
+    nums = [expand(g, j) for j in range(4)]
+    return det, [div(n, det) for n in nums]
+
+
+def poisson_newton3(
+    df: DataFrame,
+    x_cols: Sequence[str],
+    y_col: str,
+    *,
+    iters: int = 4,
+) -> DataFrame:
+    """Poisson regression (log link, THREE features + intercept) by
+    fixed-iteration Newton-Raphson — the engine-side, oracle-checkable
+    twin of :func:`glm_fit`'s ``family="poisson"`` path at p = 3.
+
+    Same layering as :func:`poisson_newton`, one dimension up: each
+    round folds the current β in as literals and aggregates the
+    gradient ``X'(y − μ)`` (4 doubles) and Hessian ``X'WX`` with
+    ``w = μ = exp(β'x)`` (10 upper-triangle doubles) in ONE narrow
+    scan; the driver applies the exact 4×4 Cramer step via
+    :func:`cramer4_newton_terms`, whose expression tree the SQL
+    oracle rebuilds with the SAME generator. Warm start is the null
+    model ``b0 = ln(mean(y))`` so step magnitudes stay O(1)
+    (poisson_newton's divergence lesson). Fixed ``iters`` rounds make
+    the whole fit a deterministic arithmetic program — unlike MLlib
+    GLR's tolerance-based stopping rule, which is why this operator
+    (not the :func:`glm_fit` wrapper) carries the DuckDB hash gate.
+
+    100 TB shape: per round one scan shuffling 14 doubles; no
+    data-volume collect, no per-row Python. Returns one row
+    ``(n, b0, b1, b2, b3, deviance, mean_mu)``.
+    """
+    if len(x_cols) != 3:
+        raise ValueError(
+            f"poisson_newton3 is the explicit 3-feature closed form, "
+            f"got {len(x_cols)} features (use MLlib GLR for general p)"
+        )
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    x1, x2, x3 = (_d(c) for c in x_cols)
+    y = _d(y_col)
+    rows = df.where(
+        x1.isNotNull()
+        & x2.isNotNull()
+        & x3.isNotNull()
+        & y.isNotNull()
+        & (y >= 0)
+    )
+    mean_y = rows.agg(F.avg(y).alias("m")).collect()[0]["m"]
+    if mean_y is None or mean_y <= 0.0:
+        raise ValueError(
+            "poisson_newton3 needs at least one row with mean(y) > 0"
+        )
+    b = [math.log(mean_y), 0.0, 0.0, 0.0]
+    xs = [x1, x2, x3]
+    for _ in range(iters):
+        eta = F.lit(b[0]) + F.lit(b[1]) * x1 + F.lit(b[2]) * x2 + F.lit(
+            b[3]
+        ) * x3
+        mu = F.exp(eta)
+        r = y - mu
+        xv = [F.lit(1.0), x1, x2, x3]
+        aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+        aggs += [F.sum(r * xs[j - 1]).alias(f"g{j}") for j in range(1, 4)]
+        aggs.insert(1, F.sum(r).alias("g0"))
+        for i in range(4):
+            for j in range(i, 4):
+                aggs.append(F.sum(mu * xv[i] * xv[j]).alias(f"h{i}{j}"))
+        s = rows.agg(*aggs).collect()[0]
+        h = {
+            (i, j): s[f"h{i}{j}"] for i in range(4) for j in range(i, 4)
+        }
+        g = [s[f"g{j}"] for j in range(4)]
+        det, delta = cramer4_newton_terms(
+            h,
+            g,
+            mul=lambda a, c: a * c,
+            add=lambda a, c: a + c,
+            sub=lambda a, c: a - c,
+            neg=lambda a: -a,
+            div=lambda a, c: a / c if c != 0.0 else math.nan,
+        )
+        if det == 0.0 or not math.isfinite(det):
+            raise ValueError(
+                "singular Hessian: features are collinear or constant"
+            )
+        b = [b[j] + delta[j] for j in range(4)]
+        if not all(math.isfinite(v) for v in b):
+            raise ValueError(
+                "poisson_newton3 diverged (non-finite coefficients); "
+                "check for extreme covariate scales"
+            )
+    eta = F.lit(b[0]) + F.lit(b[1]) * x1 + F.lit(b[2]) * x2 + F.lit(
+        b[3]
+    ) * x3
+    mu = F.exp(eta)
+    dev_term = F.when(y > 0, y * F.log(y / mu) - (y - mu)).otherwise(mu)
+    return rows.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.lit(b[0]).alias("b0"),
+        F.lit(b[1]).alias("b1"),
+        F.lit(b[2]).alias("b2"),
+        F.lit(b[3]).alias("b3"),
+        (F.lit(2.0) * F.sum(dev_term)).alias("deviance"),
+        F.avg(mu).alias("mean_mu"),
+    )

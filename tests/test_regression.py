@@ -740,3 +740,103 @@ def test_gamma_irls_guards_and_deviance_beats_null(spark):
     )
     assert r["deviance"] < null_dev
     assert r["dispersion"] > 0.0
+
+
+def test_poisson_newton3_parity_with_glm_fit(spark, sf_oracle):
+    """The p=3 engine-side Newton (the hash-gated contract behind
+    glm_poisson_lineitem) must land on the same optimum as MLlib GLR —
+    the round-8 repoint: the hash gate moved to poisson_newton3, and
+    this parity test is what keeps the glm_fit wrapper honest."""
+    from k_means_using_mapreduce_spark.operators.regression import (
+        glm_fit,
+        poisson_newton3,
+    )
+    from k_means_using_mapreduce_spark.sources.loaders import load_table
+
+    li = load_table(spark, sf_oracle, "lineitem")
+    feats = ["l_discount", "l_tax", "l_linenumber"]
+    nf = poisson_newton3(li, feats, "l_quantity").collect()[0]
+    gf = glm_fit(li, feats, "l_quantity", family="poisson").collect()[0]
+    assert gf["n"] == nf["n"]
+    assert gf["intercept"] == pytest.approx(nf["b0"], abs=1e-5)
+    assert gf["coefficients"][0] == pytest.approx(nf["b1"], abs=1e-4)
+    assert gf["coefficients"][1] == pytest.approx(nf["b2"], abs=1e-4)
+    assert gf["coefficients"][2] == pytest.approx(nf["b3"], abs=1e-5)
+    assert gf["deviance"] == pytest.approx(nf["deviance"], rel=1e-8)
+
+
+def test_poisson_newton3_recovers_known_coefficients(spark):
+    """Synthetic y ~ Poisson(exp(0.3 + 0.8·x1 − 0.5·x2 + 0.2·x3)) with
+    numpy-seeded draws: the fixed-4-round Newton must recover the true
+    coefficients to sampling accuracy (independent of MLlib)."""
+    import numpy as np
+
+    from k_means_using_mapreduce_spark.operators.regression import (
+        poisson_newton3,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    x1 = rng.uniform(-1, 1, n)
+    x2 = rng.uniform(-1, 1, n)
+    x3 = rng.uniform(-1, 1, n)
+    lam = np.exp(0.3 + 0.8 * x1 - 0.5 * x2 + 0.2 * x3)
+    y = rng.poisson(lam).astype(float)
+    df = spark.createDataFrame(
+        [
+            (float(a), float(b), float(c), float(d))
+            for a, b, c, d in zip(x1, x2, x3, y)
+        ],
+        "x1 double, x2 double, x3 double, y double",
+    )
+    r = poisson_newton3(df, ["x1", "x2", "x3"], "y").collect()[0]
+    assert r["n"] == n
+    assert r["b0"] == pytest.approx(0.3, abs=0.1)
+    assert r["b1"] == pytest.approx(0.8, abs=0.1)
+    assert r["b2"] == pytest.approx(-0.5, abs=0.1)
+    assert r["b3"] == pytest.approx(0.2, abs=0.1)
+    assert r["deviance"] > 0.0
+
+
+def test_poisson_newton3_guards(spark):
+    from k_means_using_mapreduce_spark.operators.regression import (
+        poisson_newton3,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, 1.0, 1.0, 2.0)], "x1 double, x2 double, x3 double, y double"
+    )
+    with pytest.raises(ValueError, match="3-feature"):
+        poisson_newton3(df, ["x1", "x2"], "y")
+    with pytest.raises(ValueError, match="iters"):
+        poisson_newton3(df, ["x1", "x2", "x3"], "y", iters=0)
+    const = spark.createDataFrame(
+        [(1.0, 1.0, 1.0, 2.0), (1.0, 1.0, 1.0, 3.0)],
+        "x1 double, x2 double, x3 double, y double",
+    )
+    with pytest.raises(ValueError, match="singular"):
+        poisson_newton3(const, ["x1", "x2", "x3"], "y")
+
+
+def test_cramer4_newton_terms_solves_known_system():
+    """The shared expression-tree generator, bound to float algebra,
+    must solve a hand-checkable symmetric 4×4 system exactly:
+    H = diag(2, 4, 5, 10) (as upper triangle), g = (2, 8, 15, 40)
+    → delta = (1, 2, 3, 4)."""
+    from k_means_using_mapreduce_spark.operators.regression import (
+        cramer4_newton_terms,
+    )
+
+    h = {(i, j): 0.0 for i in range(4) for j in range(i, 4)}
+    h[(0, 0)], h[(1, 1)], h[(2, 2)], h[(3, 3)] = 2.0, 4.0, 5.0, 10.0
+    det, delta = cramer4_newton_terms(
+        h,
+        [2.0, 8.0, 15.0, 40.0],
+        mul=lambda a, b: a * b,
+        add=lambda a, b: a + b,
+        sub=lambda a, b: a - b,
+        neg=lambda a: -a,
+        div=lambda a, b: a / b,
+    )
+    assert det == pytest.approx(400.0)
+    assert delta == pytest.approx([1.0, 2.0, 3.0, 4.0])
