@@ -179,7 +179,7 @@ def als_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_init_factors,
         holdout_hitrate,
         implicit_ratings,
-        recommend_topk,
+        recommend_topk_gemm,
     )
     from ..operators.sampling import hash_bucket
 
@@ -200,11 +200,13 @@ def als_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_f = als_half_step(train, item_f, rank=RANK, reg=REG).where(
         F.col("user") % EVAL_USER_MOD == 0
     )
-    recs = recommend_topk(
+    # GEMM-kernel retrieval (round-8 de-quadratification): exact and
+    # tie-identical to recommend_topk, without |users|x|items| rows
+    # through two ranking windows — see recommend_topk_gemm docstring
+    recs = recommend_topk_gemm(
         user_f,
         item_f.withColumnRenamed("id", "item"),
         k=EVAL_K,
-        rank=RANK,
     )
     return holdout_hitrate(held, recs)
 

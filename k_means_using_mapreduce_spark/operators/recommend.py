@@ -357,6 +357,123 @@ def recommend_topk(
     )
 
 
+def recommend_topk_gemm(
+    user_factors: DataFrame,
+    item_factors: DataFrame,
+    *,
+    k: int,
+    user_col: str = "user",
+    item_col: str = "item",
+) -> DataFrame:
+    """Exact top-``k`` items per user by blocked GEMM — identical
+    output contract to :func:`recommend_topk` (``(user, item, score,
+    rank)``, score ties broken by ascending item id) without the
+    |users|×|items| row explosion.
+
+    The item factor matrix (catalog × rank doubles — the same MBs the
+    broadcast NLJ ships) rides a Spark broadcast into one Arrow
+    ``mapInPandas`` pass over the user factors: each batch scores
+    ``U @ Yᵀ`` as a single dgemm and selects the per-row top-k via
+    partition + stable sort, so per-user work is vectorized C instead
+    of |items| Spark rows through two ranking windows (the
+    ``_min_d2_to`` kernel shape, operators/kmeans.py:250). Tie
+    handling is exact: candidates at the k-th score boundary are kept
+    and resolved by item id, matching the window's ``ORDER BY score
+    DESC, item`` total order. Scores are bit-identical to the
+    expression path for rank ≤ 2 (a two-term dot product has one
+    IEEE sum order); for larger ranks the windowed
+    :func:`recommend_topk` remains the term-order-pinned path.
+
+    For billion-item catalogs neither a broadcast NLJ nor a broadcast
+    GEMM holds — route retrieval through the IVF/PQ operators
+    (operators/similarity.py, operators/pq.py) over the same arrays.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    import numpy as np
+
+    itf = item_factors.select(
+        F.col(item_factors.columns[0]).alias(item_col),
+        F.col("factors").alias("_y"),
+    ).collect()
+    if not itf:
+        raise ValueError("recommend_topk_gemm: empty item catalog")
+    ids = np.asarray([r[item_col] for r in itf], dtype=np.int64)
+    Y = np.asarray([r["_y"] for r in itf], dtype=np.float64)
+    order = np.argsort(ids, kind="stable")
+    ids, Y = ids[order], Y[order]
+    sc = user_factors.sparkSession.sparkContext
+    b = sc.broadcast((ids, Y))
+
+    uf = user_factors.select(
+        F.col(user_factors.columns[0]).alias(user_col),
+        F.col("factors").alias("_u"),
+    )
+    u_type = uf.schema[0].dataType.simpleString()
+    i_type = item_factors.schema[0].dataType.simpleString()
+    out_schema = (
+        f"{user_col} {u_type}, {item_col} {i_type}, "
+        "score double, rank int"
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids_l, Y_l = b.value
+        Yt = np.ascontiguousarray(Y_l.T)
+        n = len(ids_l)
+        kk = min(k, n)
+        # user-blocked scoring into ONE reused out= buffer: a full
+        # |batch|×|items| score matrix is hundreds of fresh MBs whose
+        # first-touch page faults dominate on memory-ballooned VMs
+        # (measured 97 s for a 120 MFLOP dgemm); a reused 256-row
+        # block keeps the working set resident and is also the shape
+        # that survives a 100× catalog (block × items, never
+        # users × items)
+        block = 256
+        sbuf = np.empty((block, n), dtype=np.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            users = pdf.iloc[:, 0].to_numpy()
+            U = np.asarray(list(pdf["_u"]), dtype=np.float64)
+            out_u, out_i, out_s, out_r = [], [], [], []
+            for start in range(0, len(U), block):
+                ub = U[start : start + block]
+                S = sbuf[: len(ub)]
+                np.dot(ub, Yt, out=S)
+                for r in range(len(ub)):
+                    row = S[r]
+                    # exact boundary-tie handling: argpartition picks
+                    # SOME kk top scores (ties arbitrary); re-gather
+                    # every index at >= the kth score, then stable-
+                    # sort on -score — cand is item-id-ascending
+                    # (ids pre-sorted), so ties resolve by item id,
+                    # the window's (score DESC, item ASC) total order
+                    v = row[np.argpartition(-row, kk - 1)[:kk]].min()
+                    cand = np.nonzero(row >= v)[0]
+                    sel = cand[
+                        np.argsort(-row[cand], kind="stable")[:kk]
+                    ]
+                    out_u.append(
+                        np.full(len(sel), users[start + r])
+                    )
+                    out_i.append(ids_l[sel])
+                    out_s.append(row[sel].copy())
+                    out_r.append(np.arange(1, len(sel) + 1))
+            yield pd.DataFrame(
+                {
+                    user_col: np.concatenate(out_u),
+                    item_col: np.concatenate(out_i),
+                    "score": np.concatenate(out_s),
+                    "rank": np.concatenate(out_r).astype(np.int32),
+                }
+            )
+
+    return uf.mapInPandas(gen, out_schema)
+
+
 def holdout_hitrate(
     ratings: DataFrame,
     recommendations: DataFrame,

@@ -114,3 +114,99 @@ def test_holdout_hitrate_counts(spark):
     r = holdout_hitrate(held, recs).first()
     assert (r["n_holdout"], r["users_evaluated"], r["hits"]) == (4, 3, 2)
     assert r["hit_rate"] == pytest.approx(0.5)
+
+
+def test_recommend_topk_gemm_matches_window_path(spark):
+    """The GEMM kernel must be row-for-row identical to the windowed
+    recommend_topk — including score ties resolved by item id (users
+    u2/u3 tie two items exactly)."""
+    from k_means_using_mapreduce_spark.operators.recommend import (
+        recommend_topk,
+        recommend_topk_gemm,
+    )
+
+    uf = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 1.0]),
+            (3, [1.0, 1.0]),
+        ],
+        "user long, factors array<double>",
+    )
+    itf = spark.createDataFrame(
+        [
+            (10, [2.0, 0.0]),
+            (11, [0.0, 2.0]),
+            (12, [1.0, 1.0]),
+            (13, [1.0, 1.0]),  # exact tie with 12 for every user
+            (14, [-1.0, -1.0]),
+        ],
+        "id long, factors array<double>",
+    )
+    for k in (1, 2, 3, 5, 9):
+        a = sorted(
+            recommend_topk(
+                uf, itf.withColumnRenamed("id", "item"), k=k, rank=2
+            ).collect()
+        )
+        g = sorted(
+            recommend_topk_gemm(
+                uf, itf.withColumnRenamed("id", "item"), k=k
+            ).collect()
+        )
+        assert [tuple(r) for r in a] == [tuple(r) for r in g], f"k={k}"
+
+
+def test_recommend_topk_gemm_matches_on_contract_inputs(spark, sf_small):
+    """End-to-end on the ALS contract's own factor tables at sf0.001:
+    the holdout hit-rate integers must be unchanged by the GEMM swap
+    (the VERDICT r7 item-3 acceptance bar)."""
+    from k_means_using_mapreduce_spark.contracts.recommend_queries import (
+        EVAL_K,
+        RANK,
+        REG,
+        SEED,
+    )
+    from k_means_using_mapreduce_spark.operators.recommend import (
+        als_half_step,
+        hash_init_factors,
+        implicit_ratings,
+        recommend_topk,
+        recommend_topk_gemm,
+    )
+    from k_means_using_mapreduce_spark.sources.loaders import load_table
+
+    ratings = implicit_ratings(
+        load_table(spark, sf_small, "orders"),
+        load_table(spark, sf_small, "lineitem"),
+    )
+    items = load_table(spark, sf_small, "part").select(
+        F.col("p_partkey").alias("id")
+    )
+    item_f = hash_init_factors(items, rank=RANK, seed=SEED)
+    user_f = als_half_step(ratings, item_f, rank=RANK, reg=REG)
+    itf = item_f.withColumnRenamed("id", "item")
+    a = sorted(
+        (r["user"], r["item"], r["rank"])
+        for r in recommend_topk(user_f, itf, k=EVAL_K, rank=RANK).collect()
+    )
+    g = sorted(
+        (r["user"], r["item"], r["rank"])
+        for r in recommend_topk_gemm(user_f, itf, k=EVAL_K).collect()
+    )
+    assert a == g and len(a) > 0
+
+
+def test_recommend_topk_gemm_guards(spark):
+    from k_means_using_mapreduce_spark.operators.recommend import (
+        recommend_topk_gemm,
+    )
+
+    uf = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "user long, factors array<double>"
+    )
+    empty = spark.createDataFrame([], "item long, factors array<double>")
+    with pytest.raises(ValueError, match="k must be"):
+        recommend_topk_gemm(uf, empty, k=0)
+    with pytest.raises(ValueError, match="empty item catalog"):
+        recommend_topk_gemm(uf, empty, k=1)
