@@ -385,3 +385,116 @@ FROM hx CROSS JOIN dims
 
 QUERIES["media_jpeg_features"] = media_jpeg_features
 ORACLE_SQL["media_jpeg_features"] = MEDIA_JPEG_FEATURES_SQL
+
+
+def media_jpeg_color_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """END-TO-END COLOR JPEG codec contract (round-8: 3-component
+    YCbCr 4:2:0, the dominant real-corpus layout): each document's
+    md5 hex drives a 16x32 RGB image of two MCU-aligned 16x16
+    constant tiles — tile t is RGB (ascii(h[3t]), ascii(h[3t+1]),
+    ascii(h[3t+2])). The kernel encodes an actual 4:2:0 baseline JPEG
+    (operators/jpeg.py::encode_jpeg_color: JFIF RGB→YCbCr, 2x2 chroma
+    box-downsample, MCU-interleaved Huffman) and decodes it back
+    (chroma upsample + YCbCr→RGB), emitting per-tile channel means.
+
+    Exactness lever: a tile constant over one full MCU is DC-only in
+    every component — luma blocks are constant, and the 2x2 box
+    average of a constant region is the value itself — so with DC
+    quantum 1 the YCbCr round-trip is BIT-EXACT and the decoded RGB
+    is exactly the double-rounded composition
+    ycbcr_to_rgb(rgb_to_ycbcr(rgb)), which the oracle replays term
+    for term as floor(x + 0.5) arithmetic. The hash matches only if
+    color conversion, subsampling, interleaved entropy coding,
+    per-component DC prediction, upsampling and reconstruction are
+    all faithful."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select(
+        F.col("doc_id"),
+        F.md5(F.encode("text", "utf-8")).alias("hex"),
+    )
+
+    def roundtrip(batches: "Iterator") -> "Iterator":
+        import pandas as pd
+
+        from ..operators.jpeg import decode_jpeg_color, encode_jpeg_color
+
+        def tiles(h: str) -> list[tuple[float, float, float]]:
+            rgb = bytearray()
+            for t in range(2):
+                px = bytes(ord(c) for c in h[3 * t : 3 * t + 3])
+                rgb.extend(px * (16 * 16))
+            enc = encode_jpeg_color(bytes(rgb), 16, 32, subsample="4:2:0")
+            _, _, out = decode_jpeg_color(enc)
+            means = []
+            for t in range(2):
+                base = t * 16 * 16 * 3
+                n = 16 * 16
+                means.append(
+                    tuple(
+                        sum(out[base + 3 * i + ch] for i in range(n)) / n
+                        for ch in range(3)
+                    )
+                )
+            return means
+
+        for pdf in batches:
+            rows = {"doc_id": [], "tile": [], "r": [], "g": [], "b": []}
+            for doc_id, h in zip(pdf["doc_id"], pdf["hex"]):
+                for t, (rm, gm, bm) in enumerate(tiles(h)):
+                    rows["doc_id"].append(doc_id)
+                    rows["tile"].append(t)
+                    rows["r"].append(rm)
+                    rows["g"].append(gm)
+                    rows["b"].append(bm)
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(
+        roundtrip,
+        "doc_id long, tile int, r double, g double, b double",
+    )
+
+
+def _jfif_roundtrip_sql(rs: str, gs: str, bs: str) -> str:
+    """floor(x+0.5) double-rounded RGB→YCbCr→RGB, term-for-term the
+    codec's _rgb_to_ycbcr/_ycbcr_to_rgb composition."""
+    y = f"floor(0.299 * {rs} + 0.587 * {gs} + 0.114 * {bs} + 0.5)"
+    cb = (
+        f"floor(128.0 - 0.168736 * {rs} - 0.331264 * {gs} "
+        f"+ 0.5 * {bs} + 0.5)"
+    )
+    cr = (
+        f"floor(128.0 + 0.5 * {rs} - 0.418688 * {gs} "
+        f"- 0.081312 * {bs} + 0.5)"
+    )
+    clamp = "least(255.0, greatest(0.0, floor({} + 0.5)))"
+    return (
+        clamp.format(f"({y}) + 1.402 * (({cr}) - 128)")
+        + " AS r, "
+        + clamp.format(
+            f"({y}) - 0.344136 * (({cb}) - 128) "
+            f"- 0.714136 * (({cr}) - 128)"
+        )
+        + " AS g, "
+        + clamp.format(f"({y}) + 1.772 * (({cb}) - 128)")
+        + " AS b"
+    )
+
+
+MEDIA_JPEG_COLOR_FEATURES_SQL = f"""
+WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+t AS (SELECT CAST(unnest(range(0, 2)) AS INTEGER) AS tile),
+px AS (
+  SELECT doc_id, tile,
+         CAST(ascii(substr(h, 3 * tile + 1, 1)) AS DOUBLE) AS r0,
+         CAST(ascii(substr(h, 3 * tile + 2, 1)) AS DOUBLE) AS g0,
+         CAST(ascii(substr(h, 3 * tile + 3, 1)) AS DOUBLE) AS b0
+  FROM hx CROSS JOIN t
+)
+SELECT doc_id, tile, {_jfif_roundtrip_sql("r0", "g0", "b0")}
+FROM px
+"""
+
+QUERIES["media_jpeg_color_features"] = media_jpeg_color_features
+ORACLE_SQL["media_jpeg_color_features"] = MEDIA_JPEG_COLOR_FEATURES_SQL

@@ -198,6 +198,90 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
 
 
+def _u8(v: float) -> int:
+    """floor(v + 0.5) clamped to [0, 255] — the codec's single
+    float→pixel rounding convention (SQL-replayable as
+    ``floor(x + 0.5)``, unlike Python's banker's ``round``)."""
+    iv = int(math.floor(v + 0.5))
+    return 0 if iv < 0 else (255 if iv > 255 else iv)
+
+
+def _rgb_to_ycbcr(r: int, g: int, b: int) -> tuple[int, int, int]:
+    """JFIF/BT.601 full-range RGB→YCbCr, term order pinned for the
+    SQL oracle (contracts replay these exact expressions)."""
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return _u8(y), _u8(cb), _u8(cr)
+
+
+def _ycbcr_to_rgb(y: int, cb: int, cr: int) -> tuple[int, int, int]:
+    """JFIF/BT.601 YCbCr→RGB, term order pinned for the SQL oracle."""
+    r = y + 1.402 * (cr - 128)
+    g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+    b = y + 1.772 * (cb - 128)
+    return _u8(r), _u8(g), _u8(b)
+
+
+def _encode_block(
+    w: "_BitWriter",
+    plane: bytes,
+    pw: int,
+    ph: int,
+    x0: int,
+    y0: int,
+    q: list[int],
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+    prev_dc: int,
+) -> int:
+    """FDCT + quantize + Huffman-code one 8x8 data unit whose top-left
+    sits at (x0, y0) of a ``pw``×``ph`` plane; blocks past the edge
+    are padded by edge replication. Returns the new DC predictor."""
+    block = []
+    for r in range(8):
+        sr = min(y0 + r, ph - 1)
+        row = []
+        for c in range(8):
+            sc = min(x0 + c, pw - 1)
+            row.append(float(plane[sr * pw + sc]) - 128.0)
+        block.append(row)
+    coef = _fdct(block)
+    zz = [_quantize(coef[r][c], q[i]) for i, (r, c) in enumerate(ZIGZAG)]
+    diff = zz[0] - prev_dc
+    size = _mag_size(diff)
+    code, length = dc_codes[size]
+    w.write(code, length)
+    if size:
+        bits = diff if diff > 0 else diff + (1 << size) - 1
+        w.write(bits, size)
+    run = 0
+    for k in range(1, 64):
+        v = zz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            zc, zl = ac_codes[0xF0]  # ZRL
+            w.write(zc, zl)
+            run -= 16
+        size = _mag_size(v)
+        if size > 10:
+            raise ValueError(
+                f"AC coefficient {v} exceeds baseline's 10-bit "
+                "cap; use a larger AC quantum"
+            )
+        code, length = ac_codes[(run << 4) | size]
+        w.write(code, length)
+        bits = v if v > 0 else v + (1 << size) - 1
+        w.write(bits, size)
+        run = 0
+    if run:
+        ec, el = ac_codes[0x00]  # EOB
+        w.write(ec, el)
+    return zz[0]
+
+
 def encode_jpeg_gray(
     pixels: bytes,
     width: int,
@@ -235,51 +319,131 @@ def encode_jpeg_gray(
     bw = (width + 7) // 8
     for by in range(bh):
         for bx in range(bw):
-            block = []
-            for r in range(8):
-                sr = min(by * 8 + r, height - 1)
-                row = []
-                for c in range(8):
-                    sc = min(bx * 8 + c, width - 1)
-                    row.append(float(pixels[sr * width + sc]) - 128.0)
-                block.append(row)
-            coef = _fdct(block)
-            zz = [
-                _quantize(coef[r][c], q[i])
-                for i, (r, c) in enumerate(ZIGZAG)
-            ]
-            diff = zz[0] - prev_dc
-            prev_dc = zz[0]
-            size = _mag_size(diff)
-            code, length = dc_codes[size]
-            w.write(code, length)
-            if size:
-                bits = diff if diff > 0 else diff + (1 << size) - 1
-                w.write(bits, size)
-            run = 0
-            for k in range(1, 64):
-                v = zz[k]
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    zc, zl = ac_codes[0xF0]  # ZRL
-                    w.write(zc, zl)
-                    run -= 16
-                size = _mag_size(v)
-                if size > 10:
-                    raise ValueError(
-                        f"AC coefficient {v} exceeds baseline's 10-bit "
-                        "cap; use a larger AC quantum"
+            prev_dc = _encode_block(
+                w, pixels, width, height, bx * 8, by * 8,
+                q, dc_codes, ac_codes, prev_dc,
+            )
+    w.flush()
+    return (
+        SOI
+        + _seg(0xDB, dqt)
+        + _seg(0xC0, sof)
+        + _seg(0xC4, dht_dc)
+        + _seg(0xC4, dht_ac)
+        + _seg(0xDA, sos)
+        + bytes(w.out)
+        + EOI
+    )
+
+
+#: supported chroma subsampling → luma (H, V) sampling factors
+SUBSAMPLE_FACTORS = {"4:4:4": (1, 1), "4:2:0": (2, 2)}
+
+
+def encode_jpeg_color(
+    rgb: bytes,
+    width: int,
+    height: int,
+    *,
+    subsample: str = "4:2:0",
+    qtable: list[int] | None = None,
+) -> bytes:
+    """Encode a raw row-major interleaved 8-bit RGB buffer as a
+    baseline sequential three-component YCbCr JPEG (SOF0) — 4:4:4 or
+    4:2:0, the two layouts that cover real photographic corpora.
+
+    Pipeline: per-pixel JFIF RGB→YCbCr (:func:`_rgb_to_ycbcr`,
+    floor(x+0.5) rounding); for 4:2:0 the chroma planes are box-
+    downsampled 2×2 (average of the — edge-replicated — quad,
+    floor(x+0.5)); MCU-interleaved entropy coding per T.81 §A.2.3
+    (luma data units in raster order within the MCU, then Cb, then
+    Cr), per-component DC predictors. One quant table and one
+    DC/AC Huffman table pair serve all components (conforming —
+    table ids are per-scan-component declarations), keeping the
+    block-constant DC-exactness lever of the grayscale path for
+    every component: a tile constant over one full MCU round-trips
+    bit-exactly in YCbCr, which is what the
+    ``media_jpeg_color_features`` contract pins.
+    """
+    if width < 1 or height < 1:
+        raise ValueError(f"bad dimensions {width}x{height}")
+    if len(rgb) != width * height * 3:
+        raise ValueError(
+            f"payload is {len(rgb)} bytes, expected {width * height * 3}"
+        )
+    if subsample not in SUBSAMPLE_FACTORS:
+        raise ValueError(
+            f"unsupported subsampling {subsample!r} "
+            f"(supported: {sorted(SUBSAMPLE_FACTORS)})"
+        )
+    hy, vy = SUBSAMPLE_FACTORS[subsample]
+    q = list(DEFAULT_QTABLE if qtable is None else qtable)
+    if len(q) != 64 or any(not 1 <= x <= 65535 for x in q):
+        raise ValueError("qtable must be 64 quanta in [1, 65535]")
+    wide = any(x > 255 for x in q)
+    dqt = bytes([16 if wide else 0]) + (
+        b"".join(struct.pack(">H", x) for x in q) if wide else bytes(q)
+    )
+
+    n = width * height
+    yp = bytearray(n)
+    cbf = bytearray(n)
+    crf = bytearray(n)
+    for i in range(n):
+        yv, cbv, crv = _rgb_to_ycbcr(rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2])
+        yp[i] = yv
+        cbf[i] = cbv
+        crf[i] = crv
+    if subsample == "4:2:0":
+        cw, ch = (width + 1) // 2, (height + 1) // 2
+        cbp = bytearray(cw * ch)
+        crp = bytearray(cw * ch)
+        for cy in range(ch):
+            y0, y1 = 2 * cy, min(2 * cy + 1, height - 1)
+            for cx in range(cw):
+                x0, x1 = 2 * cx, min(2 * cx + 1, width - 1)
+                for src, dst in ((cbf, cbp), (crf, crp)):
+                    s = (
+                        src[y0 * width + x0]
+                        + src[y0 * width + x1]
+                        + src[y1 * width + x0]
+                        + src[y1 * width + x1]
                     )
-                code, length = ac_codes[(run << 4) | size]
-                w.write(code, length)
-                bits = v if v > 0 else v + (1 << size) - 1
-                w.write(bits, size)
-                run = 0
-            if run:
-                ec, el = ac_codes[0x00]  # EOB
-                w.write(ec, el)
+                    dst[cy * cw + cx] = _u8(s / 4.0)
+    else:
+        cw, ch = width, height
+        cbp, crp = cbf, crf
+
+    sof = struct.pack(">BHHB", 8, height, width, 3) + bytes(
+        [1, (hy << 4) | vy, 0, 2, 0x11, 0, 3, 0x11, 0]
+    )
+    dht_dc = bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
+    dht_ac = bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS)
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+
+    dc_codes = _build_codes(DC_BITS, DC_VALS)
+    ac_codes = _build_codes(AC_BITS, AC_VALS)
+    w = _BitWriter()
+    mcus_x = (width + 8 * hy - 1) // (8 * hy)
+    mcus_y = (height + 8 * vy - 1) // (8 * vy)
+    dc = {"y": 0, "cb": 0, "cr": 0}
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for by in range(vy):
+                for bx in range(hy):
+                    dc["y"] = _encode_block(
+                        w, yp, width, height,
+                        (mx * hy + bx) * 8, (my * vy + by) * 8,
+                        q, dc_codes, ac_codes, dc["y"],
+                    )
+            dc["cb"] = _encode_block(
+                w, cbp, cw, ch, mx * 8, my * 8,
+                q, dc_codes, ac_codes, dc["cb"],
+            )
+            dc["cr"] = _encode_block(
+                w, crp, cw, ch, mx * 8, my * 8,
+                q, dc_codes, ac_codes, dc["cr"],
+            )
     w.flush()
     return (
         SOI
@@ -349,32 +513,79 @@ def _extend(bits: int, size: int) -> int:
     return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
 
 
-def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
-    """Decode a baseline sequential single-component (grayscale) JPEG
-    to ``(width, height, pixels)``. Raises ``ValueError`` on any
-    unsupported variant (color, progressive, restart intervals,
-    12-bit precision) or malformed/truncated stream — callers treat
-    that as "not a decodable image" and fall back to opaque-byte
-    handling."""
+def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a baseline sequential JPEG to ``(width, height, ncomp,
+    pixels)`` — grayscale bytes for single-component streams, or
+    row-major interleaved RGB for three-component YCbCr streams with
+    4:4:4 or 4:2:0 sampling (nearest-neighbor chroma upsampling,
+    JFIF integer-exact YCbCr→RGB). Raises ``ValueError`` on any
+    unsupported variant (progressive, restart intervals, 12-bit
+    precision, other sampling layouts, CMYK) or malformed/truncated
+    stream — callers treat that as "not a decodable image" and fall
+    back to opaque-byte handling."""
     try:
-        return _decode_jpeg_gray(data)
+        return _decode_jpeg(data)
     except (IndexError, struct.error) as e:
         raise ValueError(f"truncated or malformed JPEG: {e}") from e
 
 
-def _decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
+def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
+    """Single-component decode (original round-7 surface): raises on
+    color streams — use :func:`decode_jpeg` / :func:`decode_jpeg_luma`
+    for those."""
+    width, height, ncomp, pixels = decode_jpeg(data)
+    if ncomp != 1:
+        raise ValueError(
+            f"unsupported component count {ncomp} (grayscale only)"
+        )
+    return width, height, pixels
+
+
+def decode_jpeg_color(data: bytes) -> tuple[int, int, bytes]:
+    """Three-component decode to interleaved RGB; raises on grayscale
+    streams (callers wanting either shape use :func:`decode_jpeg`)."""
+    width, height, ncomp, pixels = decode_jpeg(data)
+    if ncomp != 3:
+        raise ValueError(f"expected a color JPEG, got {ncomp} component")
+    return width, height, pixels
+
+
+def decode_jpeg_luma(data: bytes) -> tuple[int, int, bytes]:
+    """Decode any supported JPEG to a single luma plane: grayscale
+    streams pass through; color streams return the BT.601 luma
+    recomputed from the reconstructed RGB (what a feature extractor
+    wants as its gray buffer)."""
+    width, height, ncomp, pixels = decode_jpeg(data)
+    if ncomp == 1:
+        return width, height, pixels
+    luma = bytearray(width * height)
+    for i in range(width * height):
+        luma[i] = _u8(
+            0.299 * pixels[3 * i]
+            + 0.587 * pixels[3 * i + 1]
+            + 0.114 * pixels[3 * i + 2]
+        )
+    return width, height, bytes(luma)
+
+
+def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     if data[:2] != SOI:
         raise ValueError("not a JPEG (missing SOI)")
     qtables: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     width = height = -1
-    comp_q = 0
+    comps: list[tuple[int, int, int, int]] = []  # (cid, h, v, tq)
+    scan_tabs: dict[int, tuple[int, int]] = {}
     pos = 2
     while True:
         if pos + 4 > len(data):
             raise ValueError("truncated JPEG (no SOS)")
         if data[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
+        # T.81 §B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker — some encoders pad; skip them (ADVICE r7 interop fix)
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         seglen = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
         body = data[pos + 4 : pos + 2 + seglen]
@@ -407,13 +618,31 @@ def _decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
             prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError(f"unsupported precision {prec}")
-            if ncomp != 1:
+            if ncomp not in (1, 3):
                 raise ValueError(
-                    f"unsupported component count {ncomp} (grayscale only)"
+                    f"unsupported component count {ncomp} "
+                    "(grayscale or YCbCr only)"
                 )
-            if body[7] != 0x11:
+            comps = [
+                (
+                    body[6 + 3 * i],
+                    body[7 + 3 * i] >> 4,
+                    body[7 + 3 * i] & 0x0F,
+                    body[8 + 3 * i],
+                )
+                for i in range(ncomp)
+            ]
+            samp = [(h, v) for _, h, v, _ in comps]
+            if ncomp == 1 and samp != [(1, 1)]:
                 raise ValueError("unsupported sampling (1x1 only)")
-            comp_q = body[8]
+            if ncomp == 3 and samp not in (
+                [(1, 1), (1, 1), (1, 1)],  # 4:4:4
+                [(2, 2), (1, 1), (1, 1)],  # 4:2:0
+            ):
+                raise ValueError(
+                    f"unsupported sampling layout {samp} "
+                    "(4:4:4 and 4:2:0 only)"
+                )
         elif marker == 0xC4:  # DHT (possibly several tables)
             i = 0
             while i < len(body):
@@ -438,61 +667,110 @@ def _decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
             if width < 0:
                 raise ValueError("SOS before SOF")
             ns = body[0]
-            if ns != 1:
-                raise ValueError(f"unsupported scan components {ns}")
-            dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
+            if ns != len(comps):
+                raise ValueError(
+                    f"unsupported scan: {ns} components in scan, "
+                    f"{len(comps)} in frame (interleaved only)"
+                )
+            for i in range(ns):
+                sid = body[1 + 2 * i]
+                scan_tabs[sid] = (
+                    body[2 + 2 * i] >> 4,
+                    body[2 + 2 * i] & 0x0F,
+                )
             break
         elif marker in (0xD8, 0xD9):
             raise ValueError("unexpected SOI/EOI inside header")
         # APPn/COM/others: skipped
-    if comp_q not in qtables:
-        raise ValueError(f"missing quant table {comp_q}")
-    if (0, dc_id) not in huff or (1, ac_id) not in huff:
-        raise ValueError("missing Huffman tables")
-    q = qtables[comp_q]
-    dc_tab, ac_tab = huff[(0, dc_id)], huff[(1, ac_id)]
+    hmax = max(h for _, h, _, _ in comps)
+    vmax = max(v for _, _, v, _ in comps)
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+    planes: list[bytearray] = []
+    plane_dims: list[tuple[int, int]] = []
+    tabs: list[tuple[list[int], dict, dict]] = []
+    for cid, h, v, tq in comps:
+        if tq not in qtables:
+            raise ValueError(f"missing quant table {tq}")
+        if cid not in scan_tabs:
+            raise ValueError(f"component {cid} missing from scan")
+        dc_id, ac_id = scan_tabs[cid]
+        if (0, dc_id) not in huff or (1, ac_id) not in huff:
+            raise ValueError("missing Huffman tables")
+        pw, ph = mcus_x * h * 8, mcus_y * v * 8
+        planes.append(bytearray(pw * ph))
+        plane_dims.append((pw, ph))
+        tabs.append((qtables[tq], huff[(0, dc_id)], huff[(1, ac_id)]))
 
     reader = _BitReader(data, pos)
-    bh = (height + 7) // 8
-    bw = (width + 7) // 8
-    pixels = bytearray(width * height)
-    prev_dc = 0
-    for by in range(bh):
-        for bx in range(bw):
-            zz = [0] * 64
-            size = _decode_huff(reader, dc_tab)
-            prev_dc += _extend(reader.bits(size), size)
-            zz[0] = prev_dc * q[0]
-            k = 1
-            while k < 64:
-                sym = _decode_huff(reader, ac_tab)
-                if sym == 0x00:  # EOB
-                    break
-                run, size = sym >> 4, sym & 0x0F
-                if size == 0:
-                    if run != 15:
-                        raise ValueError(f"bad AC symbol {sym:#x}")
-                    k += 16  # ZRL
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("AC run past block end")
-                zz[k] = _extend(reader.bits(size), size) * q[k]
-                k += 1
-            coef = [[0.0] * 8 for _ in range(8)]
-            for i, (r, c) in enumerate(ZIGZAG):
-                coef[r][c] = float(zz[i])
-            block = _idct(coef)
-            for r in range(8):
-                sr = by * 8 + r
-                if sr >= height:
-                    break
-                row = block[r]
-                base = sr * width
-                for c in range(8):
-                    sc = bx * 8 + c
-                    if sc >= width:
-                        break
-                    v = int(math.floor(row[c] + 128.0 + 0.5))
-                    pixels[base + sc] = 0 if v < 0 else (255 if v > 255 else v)
-    return width, height, bytes(pixels)
+    prev_dc = [0] * len(comps)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (cid, h, v, tq) in enumerate(comps):
+                q, dc_tab, ac_tab = tabs[ci]
+                pw, _ = plane_dims[ci]
+                for by in range(v):
+                    for bx in range(h):
+                        zz = [0] * 64
+                        size = _decode_huff(reader, dc_tab)
+                        prev_dc[ci] += _extend(reader.bits(size), size)
+                        zz[0] = prev_dc[ci] * q[0]
+                        k = 1
+                        while k < 64:
+                            sym = _decode_huff(reader, ac_tab)
+                            if sym == 0x00:  # EOB
+                                break
+                            run, size = sym >> 4, sym & 0x0F
+                            if size == 0:
+                                if run != 15:
+                                    raise ValueError(
+                                        f"bad AC symbol {sym:#x}"
+                                    )
+                                k += 16  # ZRL
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            zz[k] = _extend(reader.bits(size), size) * q[k]
+                            k += 1
+                        coef = [[0.0] * 8 for _ in range(8)]
+                        for i, (r, c) in enumerate(ZIGZAG):
+                            coef[r][c] = float(zz[i])
+                        block = _idct(coef)
+                        x0 = (mx * h + bx) * 8
+                        y0 = (my * v + by) * 8
+                        plane = planes[ci]
+                        for r in range(8):
+                            base = (y0 + r) * pw + x0
+                            row = block[r]
+                            for c in range(8):
+                                plane[base + c] = _u8(row[c] + 128.0)
+
+    if len(comps) == 1:
+        pw, _ = plane_dims[0]
+        src = planes[0]
+        pixels = bytearray(width * height)
+        for y in range(height):
+            pixels[y * width : (y + 1) * width] = src[
+                y * pw : y * pw + width
+            ]
+        return width, height, 1, bytes(pixels)
+
+    rgb = bytearray(width * height * 3)
+    ypw = plane_dims[0][0]
+    cpw = plane_dims[1][0]
+    yplane, cbplane, crplane = planes
+    for y in range(height):
+        cy = y * comps[1][2] // vmax
+        for x in range(width):
+            cx = x * comps[1][1] // hmax
+            rv, gv, bv = _ycbcr_to_rgb(
+                yplane[y * ypw + x],
+                cbplane[cy * cpw + cx],
+                crplane[cy * cpw + cx],
+            )
+            i = (y * width + x) * 3
+            rgb[i] = rv
+            rgb[i + 1] = gv
+            rgb[i + 2] = bv
+    return width, height, 3, bytes(rgb)

@@ -96,21 +96,23 @@ def extract_features(
     drops the binary payload before returning — the output rows are
     ~100 B regardless of input media size.
 
-    Decode is REAL for 8-bit grayscale PNG payloads, baseline
-    grayscale JPEG payloads AND 16-bit PCM WAV payloads (stdlib
-    codecs, operators/png.py + operators/jpeg.py): pixels/samples are
-    decoded out of the actual container and the strided-window
-    feature means run over real media data, end-to-end. Payloads in
-    any other container (mp4, progressive/color JPEG, …) or malformed
-    media fall through to the documented deterministic fake over the
-    raw bytes, so the pipeline shape stays exercised either way.
+    Decode is REAL for 8-bit grayscale PNG payloads, baseline JPEG
+    payloads — grayscale AND 3-component YCbCr 4:4:4 / 4:2:0 (round
+    8), reduced to the luma plane — and 16-bit PCM WAV payloads
+    (stdlib codecs, operators/png.py + operators/jpeg.py):
+    pixels/samples are decoded out of the actual container and the
+    strided-window feature means run over real media data,
+    end-to-end. Payloads in any other container (mp4, progressive
+    JPEG, exotic samplings, …) or malformed media fall through to the
+    documented deterministic fake over the raw bytes, so the pipeline
+    shape stays exercised either way.
     """
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as pd  # local import: runs on executor workers
 
         from k_means_using_mapreduce_spark.operators.jpeg import (
-            decode_jpeg_gray,
+            decode_jpeg_luma,
         )
         from k_means_using_mapreduce_spark.operators.png import (
             PNG_SIGNATURE,
@@ -131,7 +133,10 @@ def extract_features(
                     pass  # malformed image: treat as opaque bytes
             elif buf[:3] == b"\xff\xd8\xff":
                 try:
-                    _, _, buf = decode_jpeg_gray(buf)
+                    # grayscale passes through; color (4:4:4 / 4:2:0
+                    # YCbCr, round-8) decodes to its luma plane — the
+                    # gray buffer a feature extractor wants
+                    _, _, buf = decode_jpeg_luma(buf)
                 except ValueError:
                     pass  # unsupported JPEG variant: opaque bytes
             elif buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":

@@ -89,11 +89,22 @@ def test_decoder_rejects_unsupported_variants():
     prog = bytes(enc[:idx]) + b"\xff\xc2" + bytes(enc[idx + 2 :])
     with pytest.raises(ValueError, match="baseline"):
         decode_jpeg_gray(prog)
-    # claim 3 components (color)
-    color = bytearray(enc)
-    color[idx + 9] = 3
+    # a REAL color stream decodes via decode_jpeg but the gray-only
+    # wrapper still refuses it (round-8: color is now supported, so
+    # the old "claim 3 components in a 1-component body" patch is a
+    # malformed header, not an unsupported-variant probe)
+    from k_means_using_mapreduce_spark.operators.jpeg import (
+        encode_jpeg_color,
+    )
+
+    color = encode_jpeg_color(bytes([10, 20, 30] * 64), 8, 8)
     with pytest.raises(ValueError, match="grayscale"):
-        decode_jpeg_gray(bytes(color))
+        decode_jpeg_gray(color)
+    # SOF claiming 3 components over a 1-component body is malformed
+    bad = bytearray(enc)
+    bad[idx + 9] = 3
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(bytes(bad))
     # truncate the entropy stream
     with pytest.raises(ValueError):
         decode_jpeg_gray(bytes(enc[: idx + 20]))
@@ -181,3 +192,168 @@ def test_decoder_reads_multi_table_dht_segments():
             rebuilt += p[1]
     dw, dh, dec = decode_jpeg_gray(rebuilt)
     assert (dw, dh) == (w, h) and dec == px
+
+
+def _tile_rgb(tiles, tw, th, tile_px):
+    """Build an RGB buffer of len(tiles[0]) columns × len(tiles) rows
+    of tile_px×tile_px constant-RGB tiles."""
+    w = len(tiles[0]) * tile_px
+    buf = bytearray()
+    for trow in tiles:
+        for r in range(tile_px):
+            for rgb in trow:
+                buf.extend(bytes(rgb) * tile_px)
+    return bytes(buf), w, len(tiles) * tile_px
+
+
+def test_color_roundtrip_block_constant_exact_444():
+    """8x8-constant RGB tiles, 4:4:4: every component block is
+    DC-only → the YCbCr round-trip is bit-exact, so decoded RGB is
+    exactly ycbcr_to_rgb(rgb_to_ycbcr(rgb))."""
+    from k_means_using_mapreduce_spark.operators.jpeg import (
+        _rgb_to_ycbcr,
+        _ycbcr_to_rgb,
+        decode_jpeg_color,
+        encode_jpeg_color,
+    )
+
+    tiles = [[(200, 30, 60), (10, 250, 90)], [(0, 0, 255), (128, 128, 128)]]
+    buf, w, h = _tile_rgb(tiles, 2, 2, 8)
+    enc = encode_jpeg_color(buf, w, h, subsample="4:4:4")
+    dw, dh, out = decode_jpeg_color(enc)
+    assert (dw, dh) == (w, h)
+    for ty, trow in enumerate(tiles):
+        for tx, rgb in enumerate(trow):
+            want = _ycbcr_to_rgb(*_rgb_to_ycbcr(*rgb))
+            i = ((ty * 8) * w + tx * 8) * 3
+            assert tuple(out[i : i + 3]) == want
+            # every pixel of the tile identical
+            for r in range(8):
+                for c in range(8):
+                    j = ((ty * 8 + r) * w + tx * 8 + c) * 3
+                    assert out[j : j + 3] == out[i : i + 3]
+
+
+def test_color_roundtrip_mcu_constant_exact_420():
+    """16x16-constant tiles, 4:2:0: luma blocks constant AND the 2x2
+    chroma box-average of a constant region is the value itself, so
+    every data unit is DC-only → bit-exact round trip."""
+    from k_means_using_mapreduce_spark.operators.jpeg import (
+        _rgb_to_ycbcr,
+        _ycbcr_to_rgb,
+        decode_jpeg_color,
+        encode_jpeg_color,
+    )
+
+    tiles = [[(55, 99, 200)], [(240, 12, 128)]]
+    buf, w, h = _tile_rgb(tiles, 1, 2, 16)
+    enc = encode_jpeg_color(buf, w, h, subsample="4:2:0")
+    dw, dh, out = decode_jpeg_color(enc)
+    assert (dw, dh) == (w, h)
+    for ty, trow in enumerate(tiles):
+        want = _ycbcr_to_rgb(*_rgb_to_ycbcr(*trow[0]))
+        for r in range(16):
+            for c in range(16):
+                j = ((ty * 16 + r) * w + c) * 3
+                assert tuple(out[j : j + 3]) == want, (ty, r, c)
+
+
+def test_color_roundtrip_gradient_within_tolerance():
+    """Arbitrary (non-constant) color content: 4:4:4 and 4:2:0 decode
+    within a small tolerance of the ycbcr-exact reference (float
+    DCT/IDCT + AC quantum 2 + chroma averaging)."""
+    from k_means_using_mapreduce_spark.operators.jpeg import (
+        decode_jpeg_color,
+        encode_jpeg_color,
+    )
+
+    w, h = 24, 16
+    buf = bytes(
+        v
+        for y in range(h)
+        for x in range(w)
+        for v in ((x * 10) % 256, (y * 13) % 256, (x * 3 + y * 5) % 256)
+    )
+    for sub, tol in (("4:4:4", 8), ("4:2:0", 60)):
+        dw, dh, out = decode_jpeg_color(
+            encode_jpeg_color(buf, w, h, subsample=sub)
+        )
+        assert (dw, dh) == (w, h)
+        worst = max(abs(a - b) for a, b in zip(out, buf))
+        assert worst <= tol, (sub, worst)
+
+
+def test_decode_jpeg_luma_and_wrappers():
+    from k_means_using_mapreduce_spark.operators.jpeg import (
+        decode_jpeg,
+        decode_jpeg_color,
+        decode_jpeg_luma,
+        encode_jpeg_color,
+        encode_jpeg_gray,
+    )
+
+    gray = encode_jpeg_gray(bytes([77] * 64), 8, 8)
+    w, h, n, px = decode_jpeg(gray)
+    assert (w, h, n) == (8, 8, 1) and px == bytes([77] * 64)
+    assert decode_jpeg_luma(gray) == (8, 8, bytes([77] * 64))
+    with pytest.raises(ValueError, match="color"):
+        decode_jpeg_color(gray)
+
+    color = encode_jpeg_color(bytes([10, 20, 30] * 64), 8, 8)
+    w, h, n, px = decode_jpeg(color)
+    assert (w, h, n) == (8, 8, 3) and len(px) == 8 * 8 * 3
+    lw, lh, luma = decode_jpeg_luma(color)
+    assert (lw, lh) == (8, 8) and len(luma) == 64
+    assert len(set(luma)) == 1  # constant image -> constant luma
+
+
+def test_color_encoder_guards():
+    from k_means_using_mapreduce_spark.operators.jpeg import (
+        encode_jpeg_color,
+    )
+
+    with pytest.raises(ValueError, match="dimensions"):
+        encode_jpeg_color(b"", 0, 1)
+    with pytest.raises(ValueError, match="expected"):
+        encode_jpeg_color(b"\x00" * 10, 2, 2)
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg_color(bytes(12), 2, 2, subsample="4:2:2")
+
+
+def test_decoder_tolerates_fill_bytes_before_markers():
+    """T.81 §B.1.1.2 allows 0xFF fill bytes before any marker — the
+    round-7 ADVICE interop fix: such conforming files must decode,
+    not fall back."""
+    from k_means_using_mapreduce_spark.operators.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    px = bytes([40] * 64)
+    enc = encode_jpeg_gray(px, 8, 8)
+    # insert fill bytes before the SOF0 and DHT markers
+    idx_sof = enc.find(b"\xff\xc0")
+    idx_dht = enc.find(b"\xff\xc4")
+    padded = (
+        enc[:idx_sof]
+        + b"\xff\xff"
+        + enc[idx_sof:idx_dht]
+        + b"\xff"
+        + enc[idx_dht:]
+    )
+    assert decode_jpeg_gray(padded) == (8, 8, px)
+
+
+def test_odd_dimension_color_roundtrip():
+    """Non-multiple-of-MCU dims exercise edge replication and padded-
+    plane cropping on both subsamplings."""
+    from k_means_using_mapreduce_spark.operators.jpeg import (
+        decode_jpeg_color,
+        encode_jpeg_color,
+    )
+
+    w, h = 11, 9
+    buf = bytes((i * 7) % 256 for i in range(w * h * 3))
+    for sub in ("4:4:4", "4:2:0"):
+        dw, dh, out = decode_jpeg_color(encode_jpeg_color(buf, w, h, subsample=sub))
+        assert (dw, dh) == (w, h) and len(out) == w * h * 3
