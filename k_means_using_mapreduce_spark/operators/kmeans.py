@@ -997,6 +997,16 @@ def gmm1d_fit(
         lower = math.floor(pos)
         higher = math.ceil(pos)
         nb, ws = win[f"_nb_{i}"], win[f"_ws_{i}"]
+        # fail loudly on a bracket miss (sketch rank-guarantee edge):
+        # Python negative indexing would otherwise silently return the
+        # WRONG order statistic (ADVICE r7)
+        if not (0 <= lower - nb and higher - nb < len(ws)):
+            raise ValueError(
+                f"percentile bracket miss for p={p}: target ranks "
+                f"[{lower}, {higher}] outside the fetched window "
+                f"[{nb}, {nb + len(ws) - 1}] — widen bracket_ps or "
+                "raise accuracy"
+            )
         at_lower = ws[lower - nb]
         if lower == higher:
             quarts.append(float(at_lower))
@@ -1061,6 +1071,11 @@ def gmm1d_fit(
         )
         if _collapsed(w1, m1, v1, m2, v2):
             raise ValueError("a component collapsed to zero weight")
+        if v1 <= 0.0 or v2 <= 0.0:
+            # catch exact-zero variance HERE: the next _logdens_lit
+            # would otherwise raise a bare math-domain error instead
+            # of the intended collapse message (ADVICE r7)
+            raise ValueError("a component variance collapsed")
     if v1 <= 0.0 or v2 <= 0.0:
         raise ValueError(
             "a component variance collapsed"

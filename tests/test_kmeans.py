@@ -293,3 +293,20 @@ def test_gmm1d_guards(spark):
     df = spark.createDataFrame([(1.0,), (2.0,)], "v double")
     with _p.raises(ValueError):
         gmm1d_fit(df, "v", iters=0)
+
+
+def test_gmm1d_exact_zero_variance_mid_em_raises_collapse_message(spark):
+    """Two perfectly-separated point masses: responsibilities saturate
+    and a component's within-variance underflows to EXACTLY 0.0
+    mid-EM. Pre-round-8 the next log-density literal hit math.log(0)
+    and surfaced a bare 'math domain error' — the guard must raise the
+    intended collapse message instead (ADVICE r7)."""
+    import pytest
+
+    from k_means_using_mapreduce_spark.operators.kmeans import gmm1d_fit
+
+    df = spark.createDataFrame(
+        [(0.0,)] * 10 + [(1000.0,)] * 10, "x double"
+    )
+    with pytest.raises(ValueError, match="variance collapsed"):
+        gmm1d_fit(df, "x", iters=5)
