@@ -777,6 +777,98 @@ QUERIES["ind_nary_tpch"] = ind_nary_tpch
 ORACLE_SQL["ind_nary_tpch"] = _ind2_sql()
 
 
+#: level-3 lattice over lineitem's key triple across three named
+#: sub-relations — the data-lake profiling question "is extract X
+#: loadable as a composite FK into master Y". The level-2 survivor
+#: set is STATIC for this lattice (subset relations hold coordinate-
+#: wise by construction; the two extracts are mutually incomparable),
+#: which keeps the oracle static SQL — the same static-lattice recipe
+#: the level-2 contract uses.
+_IND3_COLS = ("l_orderkey", "l_partkey", "l_suppkey")
+_IND3_RELS = (
+    ("li_all", None),
+    ("li_return", "l_returnflag = 'R'"),
+    ("li_1994", "year(l_shipdate) = 1994"),
+)
+#: verified level-2 INDs of this lattice: every column pair of each
+#: extract is contained in the master's same pair
+_IND3_L2_SURVIVORS = tuple(
+    ((sub, (c1, c2)), ("li_all", (c1, c2)))
+    for sub in ("li_return", "li_1994")
+    for i1, c1 in enumerate(_IND3_COLS)
+    for c2 in _IND3_COLS[i1 + 1 :]
+)
+
+
+def ind_nary_l3_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-3 IND lattice walk (round-8 verdict item 9): MIND-style
+    Apriori candidate generation over the level-2 survivors
+    (operators/quality.py::ind_apriori_candidates) names the composite
+    attributes whose triple projections all hold — here the two
+    extract→master candidates — and the generic SPIDER value-tuple
+    pass (nary_inclusion_dependencies, arity 3) verifies every ordered
+    pair among them. Expected shape: the true INDs (each extract's key
+    triple ⊆ the master's) verify contained=true; the extract-vs-
+    extract and master-vs-extract pairs share tuples but are refuted
+    with exact shared counts — the pruning story one level up."""
+    from ..operators.quality import (
+        ind_apriori_candidates,
+        nary_inclusion_dependencies,
+    )
+
+    cands = ind_apriori_candidates(list(_IND3_L2_SURVIVORS))
+    # relations named by any surviving level-3 candidate (both sides)
+    rels = sorted(
+        {side[0] for cand in cands for side in cand}
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    filters = dict(_IND3_RELS)
+    sources = {
+        rel: (
+            li.where(filters[rel]) if filters[rel] else li,
+            list(_IND3_COLS),
+        )
+        for rel in rels
+    }
+    return nary_inclusion_dependencies(sources)
+
+
+def _ind3_sql() -> str:
+    selects = [
+        f"SELECT '{label}' AS a, CAST(l_orderkey AS VARCHAR) AS v0, "
+        "CAST(l_partkey AS VARCHAR) AS v1, "
+        "CAST(l_suppkey AS VARCHAR) AS v2 "
+        "FROM lineitem WHERE l_orderkey IS NOT NULL "
+        "AND l_partkey IS NOT NULL AND l_suppkey IS NOT NULL"
+        + (f" AND {where}" if where else "")
+        + " GROUP BY 2, 3, 4"
+        for label, where in _IND3_RELS
+    ]
+    vals = "\n  UNION ALL\n  ".join(selects)
+    return f"""
+WITH vals AS MATERIALIZED (
+  {vals}
+),
+pairs AS (
+  SELECT x.a AS lhs, y.a AS rhs, CAST(count(*) AS BIGINT) AS shared_values
+  FROM vals x JOIN vals y
+    ON x.v0 = y.v0 AND x.v1 = y.v1 AND x.v2 = y.v2 AND x.a <> y.a
+  GROUP BY 1, 2
+),
+counts AS (
+  SELECT a AS lhs, CAST(count(*) AS BIGINT) AS lhs_values
+  FROM vals GROUP BY 1
+)
+SELECT p.lhs, p.rhs, c.lhs_values, p.shared_values,
+       p.shared_values = c.lhs_values AS contained
+FROM pairs p JOIN counts c USING (lhs)
+"""
+
+
+QUERIES["ind_nary_l3_tpch"] = ind_nary_l3_tpch
+ORACLE_SQL["ind_nary_l3_tpch"] = _ind3_sql()
+
+
 _AFD_MAX_ERROR = 0.05
 
 

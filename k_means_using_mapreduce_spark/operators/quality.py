@@ -1073,6 +1073,74 @@ def nary_inclusion_dependencies(
     )
 
 
+def ind_apriori_candidates(
+    inds: "Sequence[tuple[tuple[str, Sequence[str]], tuple[str, Sequence[str]]]]",
+) -> "list[tuple[tuple[str, tuple[str, ...]], tuple[str, tuple[str, ...]]]]":
+    """MIND-style Apriori level-up for the IND lattice (De Marchi et
+    al.): given the VERIFIED level-(n−1) INDs, generate the level-n
+    candidates whose every (n−1)-ary projection is among them — the
+    step that connects :func:`inclusion_dependencies` (level 1) to
+    :func:`nary_inclusion_dependencies` (verification of any level),
+    completing the lattice walk 1 → 2 → 3 → ….
+
+    Each IND is ``((lhs_rel, lhs_cols), (rhs_rel, rhs_cols))`` with
+    coordinate i of the left side mapping to coordinate i of the
+    right. Candidates are generated canonically (lhs columns in
+    strictly increasing name order, so each composite appears once),
+    require distinct columns on each side, and are pruned unless ALL
+    n coordinate-deleting projections are verified INDs — at level
+    2→3 that is the three pair projections, which is what makes the
+    walk sound: a refuted pair kills every triple containing it.
+
+    Scale note: this is driver-side METADATA arithmetic — input and
+    output are attribute combinations (|attrs| choose n), never data.
+    The data-touching verification of the emitted candidates is the
+    distributed SPIDER pass in :func:`nary_inclusion_dependencies`.
+    """
+    canon = set()
+    arities = set()
+    for (lrel, lcols), (rrel, rcols) in inds:
+        lc, rc = tuple(lcols), tuple(rcols)
+        if len(lc) != len(rc):
+            raise ValueError(
+                f"IND sides must share arity, got {len(lc)} vs {len(rc)}"
+            )
+        arities.add(len(lc))
+        canon.add(((lrel, lc), (rrel, rc)))
+    if not canon:
+        return []
+    if len(arities) != 1:
+        raise ValueError(f"all input INDs must share one arity: {arities}")
+    n_in = arities.pop()
+
+    by_pair: dict[tuple[str, str], list] = {}
+    for (lrel, lc), (rrel, rc) in canon:
+        by_pair.setdefault((lrel, rrel), []).append((lc, rc))
+    out = []
+    for (lrel, rrel), sigs in by_pair.items():
+        sigs.sort()
+        for i, (lc1, rc1) in enumerate(sigs):
+            for lc2, rc2 in sigs[i + 1 :]:
+                if lc1[:-1] != lc2[:-1] or rc1[:-1] != rc2[:-1]:
+                    continue
+                if lc1[-1] >= lc2[-1]:
+                    continue
+                lc = lc1 + (lc2[-1],)
+                rc = rc1 + (rc2[-1],)
+                if len(set(lc)) <= n_in or len(set(rc)) <= n_in:
+                    continue
+                if all(
+                    (
+                        (lrel, lc[:j] + lc[j + 1 :]),
+                        (rrel, rc[:j] + rc[j + 1 :]),
+                    )
+                    in canon
+                    for j in range(n_in + 1)
+                ):
+                    out.append(((lrel, lc), (rrel, rc)))
+    return sorted(out)
+
+
 def approximate_fds(
     df: DataFrame, cols: "list[str]", *, max_error: float = 0.01
 ) -> DataFrame:
