@@ -85,7 +85,13 @@ FROM ({EMBEDDING_DIM_STATS_SQL}) GROUP BY dim
 
 def asia_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape on the available columns: revenue per ASIA nation
-    from 1996 orders. All dims broadcast; decimal-exact revenue."""
+    from 1996 orders. ALL non-lineitem sides broadcast — including the
+    year-filtered orders slice (~1/7 of the table), which turns the
+    li⋈orders shuffle into a broadcast hash join and leaves the final
+    k-row groupBy as the plan's only exchange (round-8 pin; plan test
+    asserts zero SortMergeJoin). At cluster scale the same slice is
+    what AQE would convert when it fits; the hint pins the decision
+    deterministically at bench SFs."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
@@ -96,7 +102,7 @@ def asia_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)

@@ -96,7 +96,7 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderpriority")
         .agg(_dec_sum(revenue).alias("revenue"))
@@ -135,7 +135,7 @@ def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
@@ -413,8 +413,9 @@ def q5_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SUPPLIER sits in the customer's own nation — the local-supplier
     co-nation condition is Q5's defining structural element (the
     sibling `asia_nation_revenue` covers the customer-side rollup
-    without it). Supplier/customer/nation/region broadcast; the only
-    real shuffle is lineitem⋈orders."""
+    without it). Supplier/customer/nation/region AND the
+    year-filtered orders slice broadcast (round-8 pin) — the plan's
+    only exchange is the final k-row groupBy."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= _ts(1996, 1, 1))
@@ -426,7 +427,7 @@ def q5_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(
             F.broadcast(supp),

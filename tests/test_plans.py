@@ -927,3 +927,18 @@ def test_ivf_recall_broadcasts_queries_and_probe_table(spark, sf):
     df = _q("ivf_recall_embeddings", spark, sf)
     assert broadcast_join_count(df) >= 2
     assert sort_merge_join_count(df) == 0
+
+
+def test_q5_family_broadcasts_filtered_orders(spark, sf):
+    """Round-8 pin (VERDICT item 8): the year-filtered orders slice
+    (~1/7 of the table) is BROADCAST in both Q5 derivatives, so every
+    join is a broadcast hash join and the plan's only exchange is the
+    final k-row groupBy — no li⋈orders shuffle."""
+    for name, n_bcast in (
+        ("asia_nation_revenue", 4),
+        ("q5_local_supplier_revenue", 5),
+    ):
+        df = _q(name, spark, sf)
+        assert broadcast_join_count(df) == n_bcast, name
+        assert sort_merge_join_count(df) == 0, name
+        assert exchange_count(df) == 1, name
