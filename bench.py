@@ -437,6 +437,53 @@ BENCH_QUERIES = [
     "customers_without_orders",
     "nation_union_segments",
     "frequent_lines_documents",
+    # round-8 close-out (VERDICT item 5): every remaining bench-blind
+    # contract rides the headline set — the 11 streaming availableNow
+    # replays (each pays the documented micro-batch scheduling floor
+    # DuckDB answers as trivial batch SQL; floor adjudication in
+    # SCALE.md), the cheap variants, and this round's two additions.
+    # Zero contracts remain unbenched.
+    "acctbal_rollup_region_nation",
+    "als_item_factors_init",
+    "augment_summary_documents",
+    "classifier_auc_global",
+    "common_active_segments",
+    "cosine_pairs_dimsum_documents",
+    "cosine_pairs_documents",
+    "customer_running_total",
+    "distinct_event_types",
+    "documents_hash_sample",
+    "documents_split_summary",
+    "dsir_log_ratio_documents",
+    "dsir_select_documents",
+    "event_type_stats",
+    "ind_nary_l3_tpch",
+    "ivf_multiprobe_topk_embeddings",
+    "jaccard_pairs_documents",
+    "kmeans_assign_customer",
+    "kmeans_mse_events",
+    "kmeans_one_step_customer",
+    "media_jpeg_color_features",
+    "nation_segment_sets",
+    "negative_pairs_embeddings",
+    "noised_event_value_sums",
+    "priority_shipping_split",
+    "q4_slow_shipping_orders",
+    "salted_event_type_stats",
+    "streaming_anomaly_events",
+    "streaming_attribution_events",
+    "streaming_cdc_feed_events",
+    "streaming_decayed_features_events",
+    "streaming_distinct_events",
+    "streaming_ivf_ingest_topk",
+    "streaming_kmeans_counts_events",
+    "streaming_profile_events",
+    "streaming_quantile_sink_events",
+    "streaming_running_centroids_events",
+    "streaming_upsert_events",
+    "temperature_mixture_plan_documents",
+    "top_tokens_per_lang",
+    "winnow_pairs_documents",
 ]
 
 KMEANS_FIT_K = 8
