@@ -54,9 +54,39 @@ def _row_multiset(rows, colnames):
 
 QUERY_NAMES = sorted(entry_mod.queries().keys())
 
+#: per-contract outcome, dumped to CORRECTNESS_FULL.json when the FULL
+#: parametrized set ran (VERDICT r7 item 6: the committed artifact
+#: trail must cover all contracts, not the driver's 50-sample)
+RESULTS: dict[str, str] = {}
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _dump_full_table():
+    yield
+    if len(RESULTS) == len(QUERY_NAMES):
+        import json
+
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "CORRECTNESS_FULL.json",
+        )
+        with open(path, "w") as f:
+            json.dump(
+                {
+                    "n_contracts": len(RESULTS),
+                    "n_green": sum(
+                        1 for v in RESULTS.values() if v == "green"
+                    ),
+                    "results": dict(sorted(RESULTS.items())),
+                },
+                f,
+                indent=1,
+            )
+
 
 @pytest.mark.parametrize("name", QUERY_NAMES)
 def test_query_matches_oracle(name, spark, duck, sf_oracle):
+    RESULTS[name] = "fail"
     qfn = entry_mod.queries()[name]
     sdf = qfn(spark, sf_oracle)
     spark_cols = sdf.columns
@@ -65,6 +95,7 @@ def test_query_matches_oracle(name, spark, duck, sf_oracle):
     oracle = entry_mod.oracle_sql().get(name)
     if oracle is None:
         assert len(spark_rows) >= 0  # rows-only check (non-SQL-expressible op)
+        RESULTS[name] = "rows_only"
         return
 
     ddf = duck.execute(oracle).fetchdf()
@@ -80,6 +111,7 @@ def test_query_matches_oracle(name, spark, duck, sf_oracle):
     d = _row_multiset(duck_rows, duck_cols)
     mismatches = [(a, b) for a, b in zip(s, d) if a != b]
     assert not mismatches, f"{name}: {len(mismatches)} value mismatches; first: {mismatches[:3]}"
+    RESULTS[name] = "green"
 
 
 @pytest.mark.parametrize("name", QUERY_NAMES)
