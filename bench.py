@@ -484,6 +484,7 @@ BENCH_QUERIES = [
     "temperature_mixture_plan_documents",
     "top_tokens_per_lang",
     "winnow_pairs_documents",
+    "fd_nary_orders",
 ]
 
 KMEANS_FIT_K = 8

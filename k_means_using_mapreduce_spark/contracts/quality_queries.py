@@ -869,6 +869,78 @@ QUERIES["ind_nary_l3_tpch"] = ind_nary_l3_tpch
 ORACLE_SQL["ind_nary_l3_tpch"] = _ind3_sql()
 
 
+def fd_nary_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-determinant FD discovery over the orders profiling
+    columns (operators/quality.py::nary_functional_dependencies):
+    for every column pair (A,B) and dependent C, does (A,B) → C hold,
+    with TANE's minimality flag (implied_by_unary) marking the FDs a
+    single determinant already explains — on this schema every held
+    composite is implied by o_orderkey being a key, which is exactly
+    the redundancy the flag exists to expose."""
+    from ..operators.quality import nary_functional_dependencies
+
+    return nary_functional_dependencies(
+        load_table(spark, sf_dir, "orders"), _PROFILE_COLS
+    )
+
+
+def _fd_nary_sql(cols: list[str]) -> str:
+    cands = [
+        (a, b, c)
+        for i, a in enumerate(cols)
+        for b in cols[i + 1 :]
+        for c in cols
+        if c != a and c != b
+    ]
+    tri_parts = []
+    for a, b, c in cands:
+        tri_parts.append(
+            f"""SELECT '{a}' AS det_a, '{b}' AS det_b, '{c}' AS dep,
+  CAST(count(*) AS BIGINT) AS n_groups,
+  CAST(sum(cnt) AS BIGINT) AS n_triples
+FROM (
+  SELECT da, db, count(*) AS cnt FROM (
+    SELECT DISTINCT CAST({a} AS VARCHAR) AS da,
+           CAST({b} AS VARCHAR) AS db, CAST({c} AS VARCHAR) AS dc
+    FROM orders
+    WHERE {a} IS NOT NULL AND {b} IS NOT NULL AND {c} IS NOT NULL
+  ) GROUP BY 1, 2)"""
+        )
+    un_parts = []
+    for x in cols:
+        for c in cols:
+            if x == c:
+                continue
+            un_parts.append(
+                f"""SELECT '{x}' AS det, '{c}' AS dep,
+  CAST(count(*) = count(DISTINCT da) AS INT) AS uh
+FROM (
+  SELECT DISTINCT CAST({x} AS VARCHAR) AS da, CAST({c} AS VARCHAR) AS dc
+  FROM orders WHERE {x} IS NOT NULL AND {c} IS NOT NULL)"""
+            )
+    tri = "\nUNION ALL\n".join(tri_parts)
+    un = "\nUNION ALL\n".join(un_parts)
+    return f"""
+WITH tri AS MATERIALIZED (
+{tri}
+),
+un AS MATERIALIZED (
+{un}
+)
+SELECT t.det_a, t.det_b, t.dep, t.n_groups, t.n_triples,
+       t.n_triples - t.n_groups AS violations,
+       CAST(t.n_triples = t.n_groups AS INT) AS holds,
+       CAST(ua.uh + ub.uh > 0 AS INT) AS implied_by_unary
+FROM tri t
+JOIN un ua ON ua.det = t.det_a AND ua.dep = t.dep
+JOIN un ub ON ub.det = t.det_b AND ub.dep = t.dep
+"""
+
+
+QUERIES["fd_nary_orders"] = fd_nary_orders
+ORACLE_SQL["fd_nary_orders"] = _fd_nary_sql(_PROFILE_COLS)
+
+
 _AFD_MAX_ERROR = 0.05
 
 

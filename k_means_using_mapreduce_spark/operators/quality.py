@@ -1073,6 +1073,120 @@ def nary_inclusion_dependencies(
     )
 
 
+def nary_functional_dependencies(
+    df: DataFrame, cols: "list[str]"
+) -> DataFrame:
+    """Level-2-determinant FD discovery — the lattice step above
+    :func:`functional_dependencies` (single determinant): for every
+    unordered column pair (A, B) and every dependent C ∉ {A, B},
+    does (A, B) → C hold exactly, and is it MINIMAL (i.e. not already
+    implied by A → C or B → C alone — TANE's pruning rule, reported
+    as a flag rather than silently dropped so the full candidate
+    lattice stays auditable). Rows with a NULL in any of the three
+    columns are excluded from that candidate's check.
+
+    Scale shape, inherited from the unary rollup: one scan, one
+    explode (×|candidates|), dedupe on (cid, detA, detB, dep), then
+    two group-bys with strictly shrinking int keys — per-determinant-
+    group dependent counts, then per-candidate totals. ``violations``
+    = |distinct (a,b,c)| − |distinct (a,b)| is the repair distance.
+    The unary `holds` needed for the minimality flag reuses
+    :func:`functional_dependencies` (k-row broadcast join).
+
+    Emits ``(det_a, det_b, dep, n_groups, n_triples, violations,
+    holds, implied_by_unary)`` for every candidate.
+    """
+    if len(cols) < 3:
+        raise ValueError(
+            "nary_functional_dependencies needs >= 3 columns"
+        )
+    cands = [
+        (a, b, c)
+        for i, a in enumerate(cols)
+        for b in cols[i + 1 :]
+        for c in cols
+        if c != a and c != b
+    ]
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("cid"),
+                F.col(a).cast("string").alias("da"),
+                F.col(b).cast("string").alias("db"),
+                F.col(c).cast("string").alias("dc"),
+            )
+            for i, (a, b, c) in enumerate(cands)
+        ]
+    )
+    deduped = (
+        df.select(F.explode(arr).alias("p"))
+        .select("p.*")
+        .where(
+            F.col("da").isNotNull()
+            & F.col("db").isNotNull()
+            & F.col("dc").isNotNull()
+        )
+        .groupBy("cid", "da", "db", "dc")
+        .agg(F.lit(1).alias("_one"))
+    )
+    per_group = deduped.groupBy("cid", "da", "db").agg(
+        F.count(F.lit(1)).alias("_n_dep_vals")
+    )
+    per_cand = per_group.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("_n_dep_vals").cast("long").alias("n_triples"),
+    )
+    spark = df.sparkSession
+    names = spark.createDataFrame(
+        [(i, a, b, c) for i, (a, b, c) in enumerate(cands)],
+        "cid int, det_a string, det_b string, dep string",
+    )
+    unary = functional_dependencies(df, cols).select(
+        F.col("det").alias("_ud"),
+        F.col("dep").alias("_up"),
+        F.col("holds").alias("_uh"),
+    )
+    out = (
+        per_cand.join(F.broadcast(names), "cid")
+        .join(
+            F.broadcast(unary),
+            (F.col("det_a") == F.col("_ud"))
+            & (F.col("dep") == F.col("_up")),
+            "left",
+        )
+        .withColumnRenamed("_uh", "_ha")
+        .drop("_ud", "_up")
+        .join(
+            F.broadcast(unary),
+            (F.col("det_b") == F.col("_ud"))
+            & (F.col("dep") == F.col("_up")),
+            "left",
+        )
+        .withColumnRenamed("_uh", "_hb")
+        .drop("_ud", "_up")
+    )
+    return out.select(
+        "det_a",
+        "det_b",
+        "dep",
+        "n_groups",
+        "n_triples",
+        (F.col("n_triples") - F.col("n_groups")).alias("violations"),
+        (F.col("n_triples") == F.col("n_groups"))
+        .cast("int")
+        .alias("holds"),
+        (
+            (
+                F.coalesce(F.col("_ha"), F.lit(0))
+                + F.coalesce(F.col("_hb"), F.lit(0))
+            )
+            > 0
+        )
+        .cast("int")
+        .alias("implied_by_unary"),
+    )
+
+
 def ind_apriori_candidates(
     inds: "Sequence[tuple[tuple[str, Sequence[str]], tuple[str, Sequence[str]]]]",
 ) -> "list[tuple[tuple[str, tuple[str, ...]], tuple[str, tuple[str, ...]]]]":

@@ -795,3 +795,60 @@ def test_ind_lattice_walk_end_to_end(spark):
     }
     assert rows[("C.abc", "P.xyz")] is True
     assert rows[("P.xyz", "C.abc")] is False
+
+
+def test_nary_fd_planted_composite_determinant(spark):
+    """(a, b) -> c holds while neither a -> c nor b -> c does — a
+    GENUINELY composite (minimal) FD — and (a, b) -> d is violated by
+    exactly one extra triple. Hand-computed counts."""
+    from k_means_using_mapreduce_spark.operators.quality import (
+        nary_functional_dependencies,
+    )
+
+    rows = [
+        # c = a XOR b (composite-determined, not by either alone)
+        (0, 0, 0, 1),
+        (0, 1, 1, 1),
+        (1, 0, 1, 1),
+        (1, 1, 0, 1),
+        (1, 1, 0, 2),  # same (a,b) -> same c, but d differs: violates d
+    ]
+    df = spark.createDataFrame(rows, "a int, b int, c int, d int")
+    out = {
+        (r["det_a"], r["det_b"], r["dep"]): r
+        for r in nary_functional_dependencies(
+            df, ["a", "b", "c", "d"]
+        ).collect()
+    }
+    r = out[("a", "b", "c")]
+    assert r["holds"] == 1 and r["implied_by_unary"] == 0
+    assert r["n_groups"] == 4 and r["n_triples"] == 4
+    r = out[("a", "b", "d")]
+    assert r["holds"] == 0 and r["violations"] == 1
+    # c -> a fails but (b, c) -> a holds (XOR again), minimal
+    r = out[("b", "c", "a")]
+    assert r["holds"] == 1 and r["implied_by_unary"] == 0
+    # every candidate pair emitted: 6 pairs x 2 deps
+    assert len(out) == 12
+
+
+def test_nary_fd_implied_flag_and_nulls(spark):
+    """A key column makes every composite containing it hold AND be
+    flagged implied; NULL rows are excluded per candidate."""
+    from k_means_using_mapreduce_spark.operators.quality import (
+        nary_functional_dependencies,
+    )
+
+    rows = [(1, 10, "x"), (2, 10, "y"), (3, None, "y"), (4, 20, "x")]
+    df = spark.createDataFrame(rows, "k int, g int, s string")
+    out = {
+        (r["det_a"], r["det_b"], r["dep"]): r
+        for r in nary_functional_dependencies(df, ["k", "g", "s"]).collect()
+    }
+    r = out[("k", "g", "s")]
+    assert r["holds"] == 1 and r["implied_by_unary"] == 1
+    assert r["n_groups"] == 3  # the NULL-g row is excluded
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match=">= 3"):
+        nary_functional_dependencies(df, ["k", "g"])
