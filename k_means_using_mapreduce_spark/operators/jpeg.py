@@ -11,8 +11,9 @@ and decodes through here; anything this codec refuses still falls back
 to the documented deterministic fake).
 
 Scope (documented, enforced): baseline sequential DCT (SOF0), 8-bit
-precision, SINGLE component (grayscale), 1x1 sampling, no restart
-markers, no progressive/arithmetic coding. Non-conforming payloads
+precision, grayscale or 3-component YCbCr (4:4:4 / 4:2:0), restart
+intervals (DRI + RSTn), no progressive/arithmetic coding, no other
+samplings. Non-conforming payloads
 raise ``ValueError`` and the caller falls back to opaque-byte
 handling. The DECODER builds its Huffman/quant tables from the
 stream's own DQT/DHT segments, so conforming grayscale baseline files
@@ -287,10 +288,15 @@ def encode_jpeg_gray(
     width: int,
     height: int,
     qtable: list[int] | None = None,
+    *,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode a raw row-major 8-bit grayscale buffer as a baseline
     sequential JPEG (single component, Annex-K Huffman tables).
-    Blocks beyond the image edge are padded by edge replication."""
+    Blocks beyond the image edge are padded by edge replication.
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers
+    every that-many MCUs (T.81 §E.2.4) — the error-resilience layout
+    most encoders produce."""
     if width < 1 or height < 1:
         raise ValueError(f"bad dimensions {width}x{height}")
     if len(pixels) != width * height:
@@ -317,16 +323,30 @@ def encode_jpeg_gray(
     prev_dc = 0
     bh = (height + 7) // 8
     bw = (width + 7) // 8
+    mcu_i = 0
     for by in range(bh):
         for bx in range(bw):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                w.flush()
+                w.out += bytes(
+                    [0xFF, 0xD0 + (mcu_i // restart_interval - 1) % 8]
+                )
+                prev_dc = 0
+            mcu_i += 1
             prev_dc = _encode_block(
                 w, pixels, width, height, bx * 8, by * 8,
                 q, dc_codes, ac_codes, prev_dc,
             )
     w.flush()
+    dri = (
+        _seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     return (
         SOI
         + _seg(0xDB, dqt)
+        + dri
         + _seg(0xC0, sof)
         + _seg(0xC4, dht_dc)
         + _seg(0xC4, dht_ac)
@@ -347,6 +367,7 @@ def encode_jpeg_color(
     *,
     subsample: str = "4:2:0",
     qtable: list[int] | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode a raw row-major interleaved 8-bit RGB buffer as a
     baseline sequential three-component YCbCr JPEG (SOF0) — 4:4:4 or
@@ -427,8 +448,16 @@ def encode_jpeg_color(
     mcus_x = (width + 8 * hy - 1) // (8 * hy)
     mcus_y = (height + 8 * vy - 1) // (8 * vy)
     dc = {"y": 0, "cb": 0, "cr": 0}
+    mcu_i = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                w.flush()
+                w.out += bytes(
+                    [0xFF, 0xD0 + (mcu_i // restart_interval - 1) % 8]
+                )
+                dc = {"y": 0, "cb": 0, "cr": 0}
+            mcu_i += 1
             for by in range(vy):
                 for bx in range(hy):
                     dc["y"] = _encode_block(
@@ -445,9 +474,15 @@ def encode_jpeg_color(
                 q, dc_codes, ac_codes, dc["cr"],
             )
     w.flush()
+    dri = (
+        _seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     return (
         SOI
         + _seg(0xDB, dqt)
+        + dri
         + _seg(0xC0, sof)
         + _seg(0xC4, dht_dc)
         + _seg(0xC4, dht_ac)
@@ -477,8 +512,7 @@ class _BitReader:
                 self.pos += 1  # stuffed byte
             else:
                 raise ValueError(
-                    f"unexpected marker 0xff{nxt:02x} in entropy stream "
-                    "(restart markers unsupported)"
+                    f"unexpected marker 0xff{nxt:02x} in entropy stream"
                 )
         self._acc = (self._acc << 8) | b
         self._n += 8
@@ -494,6 +528,38 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.bit()
         return v
+
+    def restart(self, idx: int) -> None:
+        """Consume an RSTn marker at an MCU boundary (T.81 §E.2.4):
+        discard the pad bits of the finished restart segment, verify
+        the modulo-8 marker sequence, and byte-align after it."""
+        self._acc = 0
+        self._n = 0
+        # skip at most one UNREAD pad byte (the encoder's final
+        # 1-padded partial byte, possibly 0xFF + its stuffed 0x00):
+        # present only when the last Huffman code ended exactly on the
+        # previous byte boundary so the pad byte was never pulled in
+        if self.pos + 1 < len(self.data):
+            if self.data[self.pos] != 0xFF:
+                self.pos += 1
+            elif self.data[self.pos + 1] == 0x00:
+                self.pos += 2
+        while (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and self.data[self.pos + 1] == 0xFF
+        ):
+            self.pos += 1  # optional fill bytes before the marker
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or self.data[self.pos + 1] != 0xD0 + (idx % 8)
+        ):
+            got = self.data[self.pos : self.pos + 2].hex()
+            raise ValueError(
+                f"expected restart marker RST{idx % 8}, got 0x{got}"
+            )
+        self.pos += 2
 
 
 def _decode_huff(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
@@ -576,6 +642,7 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     width = height = -1
     comps: list[tuple[int, int, int, int]] = []  # (cid, h, v, tq)
     scan_tabs: dict[int, tuple[int, int]] = {}
+    restart_interval = 0
     pos = 2
     while True:
         if pos + 4 > len(data):
@@ -661,8 +728,8 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                         k += 1
                     code <<= 1
                 huff[(tc, th)] = table
-        elif marker == 0xDD:
-            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDD:  # DRI — restart interval in MCUs
+            restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:  # SOS — entropy data follows
             if width < 0:
                 raise ValueError("SOS before SOF")
@@ -704,8 +771,15 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
 
     reader = _BitReader(data, pos)
     prev_dc = [0] * len(comps)
+    mcu_i = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                # RSTn boundary: byte-align, verify the cyclic marker,
+                # reset every component's DC predictor (T.81 §E.2.4)
+                reader.restart(mcu_i // restart_interval - 1)
+                prev_dc = [0] * len(comps)
+            mcu_i += 1
             for ci, (cid, h, v, tq) in enumerate(comps):
                 q, dc_tab, ac_tab = tabs[ci]
                 pw, _ = plane_dims[ci]

@@ -357,3 +357,53 @@ def test_odd_dimension_color_roundtrip():
     for sub in ("4:4:4", "4:2:0"):
         dw, dh, out = decode_jpeg_color(encode_jpeg_color(buf, w, h, subsample=sub))
         assert (dw, dh) == (w, h) and len(out) == w * h * 3
+
+
+def test_restart_interval_roundtrips_gray_and_color():
+    """DRI + RSTn markers (T.81 §E.2.4): DC predictors reset at every
+    boundary and the decoder byte-aligns through the markers — the
+    error-resilience layout libjpeg emits. Round trips must be
+    identical to the no-restart encode at several interval sizes,
+    including intervals that land mid-byte."""
+    import random
+
+    from k_means_using_mapreduce_spark.operators.jpeg import (
+        decode_jpeg_color,
+        decode_jpeg_gray,
+        encode_jpeg_color,
+        encode_jpeg_gray,
+    )
+
+    rng = random.Random(11)
+    px = bytes(rng.randrange(256) for _ in range(32 * 24))
+    base = decode_jpeg_gray(encode_jpeg_gray(px, 32, 24))
+    for ri in (1, 2, 3, 5, 7, 11):
+        enc = encode_jpeg_gray(px, 32, 24, restart_interval=ri)
+        assert b"\xff\xdd" in enc and b"\xff\xd0" in enc
+        assert decode_jpeg_gray(enc) == base, ri
+
+    rgb = bytes(rng.randrange(256) for _ in range(24 * 16 * 3))
+    for sub in ("4:4:4", "4:2:0"):
+        base_c = decode_jpeg_color(encode_jpeg_color(rgb, 24, 16, subsample=sub))
+        for ri in (1, 2, 3):
+            enc = encode_jpeg_color(
+                rgb, 24, 16, subsample=sub, restart_interval=ri
+            )
+            assert decode_jpeg_color(enc) == base_c, (sub, ri)
+
+
+def test_restart_marker_sequence_violation_raises():
+    from k_means_using_mapreduce_spark.operators.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    px = bytes(range(64)) * 4
+    enc = bytearray(encode_jpeg_gray(px, 16, 16, restart_interval=1))
+    i = enc.find(b"\xff\xd0")
+    assert i > 0
+    enc[i + 1] = 0xD5  # break the cyclic sequence
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="restart"):
+        decode_jpeg_gray(bytes(enc))
