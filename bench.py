@@ -691,9 +691,11 @@ def compare_vs_prev(
     canary (round ≤7) or has no query table."""
     prev_canary = (prev.get("canary") or {}).get("scan_sec")
     prev_q = prev.get("queries") or {}
-    if not prev_canary or not prev_q:
+    if not prev_canary or not prev_q or canary_sec <= 0:
         return None
     host_ratio = round(canary_sec / prev_canary, 4)
+    if host_ratio <= 0:
+        return None
     flagged = {}
     for name, t in timings.items():
         pt = prev_q.get(name)

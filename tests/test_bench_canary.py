@@ -52,3 +52,14 @@ def test_vs_prev_new_queries_skipped():
     r = bench.compare_vs_prev({"a": 1.0, "new": 9.0}, prev, 0.4)
     assert r["n_compared"] == 1
     assert r["flagged"] == {}
+
+
+def test_vs_prev_zero_canary_returns_none():
+    prev = {"canary": {"scan_sec": 0.4}, "queries": {"a": 1.0}}
+    assert bench.compare_vs_prev({"a": 1.0}, prev, 0.0) is None
+    assert (
+        bench.compare_vs_prev(
+            {"a": 1.0}, {"canary": {"scan_sec": 0}, "queries": {"a": 1.0}}, 0.4
+        )
+        is None
+    )
