@@ -539,6 +539,12 @@ def weibull_fit(
     t = F.col(duration_col).cast("double")
     ev = F.col(event_col).cast("double")
     rows = lifetimes.where(t.isNotNull() & ev.isNotNull() & (t > 0))
+    # the Newton loop scans this relation iters+2 times; lifetimes are
+    # per-subject rows (cohort-bounded, tiny next to the event streams
+    # they're derived from), so pin once instead of re-running the
+    # caller's derivation per round (weibull_churn_users: 6.1 s → 3.0 s
+    # at sf0.1, identical fit)
+    rows = rows.localCheckpoint()
     lt = F.log(t)
     s0 = rows.agg(
         F.count(F.lit(1)).alias("n"),
