@@ -416,6 +416,7 @@ def media_jpeg_color_features(
     )
 
     def roundtrip(batches: "Iterator") -> "Iterator":
+        import numpy as np
         import pandas as pd
 
         from ..operators.jpeg import decode_jpeg_color, encode_jpeg_color
@@ -427,17 +428,11 @@ def media_jpeg_color_features(
                 rgb.extend(px * (16 * 16))
             enc = encode_jpeg_color(bytes(rgb), 16, 32, subsample="4:2:0")
             _, _, out = decode_jpeg_color(enc)
-            means = []
-            for t in range(2):
-                base = t * 16 * 16 * 3
-                n = 16 * 16
-                means.append(
-                    tuple(
-                        sum(out[base + 3 * i + ch] for i in range(n)) / n
-                        for ch in range(3)
-                    )
-                )
-            return means
+            # per-tile channel means (constant tiles -> mean == value);
+            # exact: 256 uint8 sums fit int64, one float divide
+            a = np.frombuffer(out, dtype=np.uint8).reshape(2, 256, 3)
+            sums = a.astype(np.int64).sum(axis=1)
+            return [tuple(sums[t] / 256.0) for t in range(2)]
 
         for pdf in batches:
             rows = {"doc_id": [], "tile": [], "r": [], "g": [], "b": []}

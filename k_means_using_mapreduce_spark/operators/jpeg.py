@@ -360,6 +360,86 @@ def encode_jpeg_gray(
 SUBSAMPLE_FACTORS = {"4:4:4": (1, 1), "4:2:0": (2, 2)}
 
 
+def _ycbcr_planes(
+    rgb: bytes, width: int, height: int
+) -> tuple[bytearray, bytearray, bytearray]:
+    """Full-image RGB→YCbCr plane split. The per-pixel loops are the
+    codec's hottest flat section (the DCT already has constant-block
+    fast paths), so when numpy is available the conversion vectorizes
+    — SAME expressions, SAME floor(x+0.5) rounding, elementwise IEEE
+    doubles, so the output is bit-identical to the scalar fallback
+    (pinned by tests/test_jpeg.py::test_numpy_and_scalar_paths_agree).
+    """
+    n = width * height
+    try:
+        import numpy as np
+    except ImportError:
+        yp = bytearray(n)
+        cbf = bytearray(n)
+        crf = bytearray(n)
+        for i in range(n):
+            yv, cbv, crv = _rgb_to_ycbcr(
+                rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2]
+            )
+            yp[i] = yv
+            cbf[i] = cbv
+            crf[i] = crv
+        return yp, cbf, crf
+    a = np.frombuffer(bytes(rgb), dtype=np.uint8).astype(np.float64)
+    r, g, b = a[0::3], a[1::3], a[2::3]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+
+    def u8(v):
+        return bytearray(
+            np.clip(np.floor(v + 0.5), 0.0, 255.0)
+            .astype(np.uint8)
+            .tobytes()
+        )
+
+    return u8(y), u8(cb), u8(cr)
+
+
+def _box_downsample(
+    plane: bytearray, width: int, height: int, cw: int, ch: int
+) -> bytearray:
+    """2×2 box average with edge replication for odd dims; numpy when
+    available, bit-identical scalar fallback."""
+    try:
+        import numpy as np
+    except ImportError:
+        out = bytearray(cw * ch)
+        for cy in range(ch):
+            y0, y1 = 2 * cy, min(2 * cy + 1, height - 1)
+            for cx in range(cw):
+                x0, x1 = 2 * cx, min(2 * cx + 1, width - 1)
+                s = (
+                    plane[y0 * width + x0]
+                    + plane[y0 * width + x1]
+                    + plane[y1 * width + x0]
+                    + plane[y1 * width + x1]
+                )
+                out[cy * cw + cx] = _u8(s / 4.0)
+        return out
+    p = np.frombuffer(bytes(plane), dtype=np.uint8).reshape(height, width)
+    if height % 2 or width % 2:
+        p = np.pad(
+            p, ((0, height % 2), (0, width % 2)), mode="edge"
+        )
+    s = (
+        p[0::2, 0::2].astype(np.int64)
+        + p[0::2, 1::2]
+        + p[1::2, 0::2]
+        + p[1::2, 1::2]
+    )
+    return bytearray(
+        np.clip(np.floor(s / 4.0 + 0.5), 0.0, 255.0)
+        .astype(np.uint8)
+        .tobytes()
+    )
+
+
 def encode_jpeg_color(
     rgb: bytes,
     width: int,
@@ -406,31 +486,11 @@ def encode_jpeg_color(
         b"".join(struct.pack(">H", x) for x in q) if wide else bytes(q)
     )
 
-    n = width * height
-    yp = bytearray(n)
-    cbf = bytearray(n)
-    crf = bytearray(n)
-    for i in range(n):
-        yv, cbv, crv = _rgb_to_ycbcr(rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2])
-        yp[i] = yv
-        cbf[i] = cbv
-        crf[i] = crv
+    yp, cbf, crf = _ycbcr_planes(rgb, width, height)
     if subsample == "4:2:0":
         cw, ch = (width + 1) // 2, (height + 1) // 2
-        cbp = bytearray(cw * ch)
-        crp = bytearray(cw * ch)
-        for cy in range(ch):
-            y0, y1 = 2 * cy, min(2 * cy + 1, height - 1)
-            for cx in range(cw):
-                x0, x1 = 2 * cx, min(2 * cx + 1, width - 1)
-                for src, dst in ((cbf, cbp), (crf, crp)):
-                    s = (
-                        src[y0 * width + x0]
-                        + src[y0 * width + x1]
-                        + src[y1 * width + x0]
-                        + src[y1 * width + x1]
-                    )
-                    dst[cy * cw + cx] = _u8(s / 4.0)
+        cbp = _box_downsample(cbf, width, height, cw, ch)
+        crp = _box_downsample(crf, width, height, cw, ch)
     else:
         cw, ch = width, height
         cbp, crp = cbf, crf
@@ -624,6 +684,22 @@ def decode_jpeg_luma(data: bytes) -> tuple[int, int, bytes]:
     width, height, ncomp, pixels = decode_jpeg(data)
     if ncomp == 1:
         return width, height, pixels
+    try:
+        import numpy as np
+
+        a = np.frombuffer(bytes(pixels), dtype=np.uint8).astype(
+            np.float64
+        )
+        y = 0.299 * a[0::3] + 0.587 * a[1::3] + 0.114 * a[2::3]
+        return (
+            width,
+            height,
+            np.clip(np.floor(y + 0.5), 0.0, 255.0)
+            .astype(np.uint8)
+            .tobytes(),
+        )
+    except ImportError:
+        pass
     luma = bytearray(width * height)
     for i in range(width * height):
         luma[i] = _u8(
@@ -830,10 +906,41 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             ]
         return width, height, 1, bytes(pixels)
 
-    rgb = bytearray(width * height * 3)
     ypw = plane_dims[0][0]
     cpw = plane_dims[1][0]
     yplane, cbplane, crplane = planes
+    try:
+        import numpy as np
+    except ImportError:
+        np = None
+    if np is not None:
+        # vectorized upsample + reconstruction — same expressions and
+        # floor(x+0.5) rounding as _ycbcr_to_rgb, bit-identical
+        yy = (
+            np.frombuffer(bytes(yplane), dtype=np.uint8)
+            .reshape(-1, ypw)[:height, :width]
+            .astype(np.float64)
+        )
+        ridx = np.arange(height) * comps[1][2] // vmax
+        cidx = np.arange(width) * comps[1][1] // hmax
+        cbm = np.frombuffer(bytes(cbplane), dtype=np.uint8).reshape(
+            -1, cpw
+        )[np.ix_(ridx, cidx)].astype(np.float64)
+        crm = np.frombuffer(bytes(crplane), dtype=np.uint8).reshape(
+            -1, cpw
+        )[np.ix_(ridx, cidx)].astype(np.float64)
+        rv = yy + 1.402 * (crm - 128)
+        gv = yy - 0.344136 * (cbm - 128) - 0.714136 * (crm - 128)
+        bv = yy + 1.772 * (cbm - 128)
+        out = np.stack(
+            [
+                np.clip(np.floor(c + 0.5), 0.0, 255.0)
+                for c in (rv, gv, bv)
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        return width, height, 3, out.tobytes()
+    rgb = bytearray(width * height * 3)
     for y in range(height):
         cy = y * comps[1][2] // vmax
         for x in range(width):

@@ -407,3 +407,45 @@ def test_restart_marker_sequence_violation_raises():
 
     with _pytest.raises(ValueError, match="restart"):
         decode_jpeg_gray(bytes(enc))
+
+
+def test_numpy_and_scalar_paths_agree():
+    """The vectorized plane conversions must be BIT-identical to the
+    scalar fallback — same expressions, same floor(x+0.5) rounding —
+    for encode bytes, decoded RGB, and the luma reduction, including
+    odd dims (edge-replicated downsample)."""
+    import random
+    import sys
+
+    from k_means_using_mapreduce_spark.operators import jpeg
+
+    rng = random.Random(5)
+
+    class _Blocked:
+        def find_module(self, name, path=None):  # pragma: no cover
+            return None
+
+    def run_all(rgb, w, h):
+        out = {}
+        for sub in ("4:4:4", "4:2:0"):
+            enc = jpeg.encode_jpeg_color(rgb, w, h, subsample=sub)
+            out[(sub, "enc")] = enc
+            out[(sub, "dec")] = jpeg.decode_jpeg_color(enc)
+            out[(sub, "luma")] = jpeg.decode_jpeg_luma(enc)
+        return out
+
+    for w, h in ((16, 16), (11, 9), (8, 24)):
+        rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        with_np = run_all(rgb, w, h)
+        saved = {
+            k: sys.modules.pop(k)
+            for k in list(sys.modules)
+            if k == "numpy" or k.startswith("numpy.")
+        }
+        sys.modules["numpy"] = None  # import numpy -> ImportError
+        try:
+            without_np = run_all(rgb, w, h)
+        finally:
+            del sys.modules["numpy"]
+            sys.modules.update(saved)
+        assert with_np == without_np, (w, h)
