@@ -897,7 +897,7 @@ def _fd_nary_sql(cols: list[str]) -> str:
         tri_parts.append(
             f"""SELECT '{a}' AS det_a, '{b}' AS det_b, '{c}' AS dep,
   CAST(count(*) AS BIGINT) AS n_groups,
-  CAST(sum(cnt) AS BIGINT) AS n_triples
+  COALESCE(CAST(sum(cnt) AS BIGINT), 0) AS n_triples
 FROM (
   SELECT da, db, count(*) AS cnt FROM (
     SELECT DISTINCT CAST({a} AS VARCHAR) AS da,

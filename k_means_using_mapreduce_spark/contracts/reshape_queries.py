@@ -89,9 +89,12 @@ def asia_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     year-filtered orders slice (~1/7 of the table), which turns the
     li⋈orders shuffle into a broadcast hash join and leaves the final
     k-row groupBy as the plan's only exchange (round-8 pin; plan test
-    asserts zero SortMergeJoin). At cluster scale the same slice is
-    what AQE would convert when it fits; the hint pins the decision
-    deterministically at bench SFs."""
+    asserts zero SortMergeJoin). The hint is an explicit BENCH-SF PIN
+    with a ceiling: it bypasses AQE's fits-in-memory check, and the
+    filtered slice grows linearly with SF (~1/7 of orders ≈ 21 MB at
+    sf1 → ~2 GB at sf100), so beyond roughly sf50 per-executor
+    memory the pin must come off and AQE decides — the 100 TB plan is
+    the shuffle join this hint suppresses at bench scale."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))

@@ -415,7 +415,11 @@ def q5_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     sibling `asia_nation_revenue` covers the customer-side rollup
     without it). Supplier/customer/nation/region AND the
     year-filtered orders slice broadcast (round-8 pin) — the plan's
-    only exchange is the final k-row groupBy."""
+    only exchange is the final k-row groupBy. The orders hint is a
+    bench-SF pin with an explicit ceiling (it bypasses AQE's fits
+    check and the slice grows linearly with SF); past ~sf50
+    per-executor memory drop the hint and let AQE convert — see
+    asia_nation_revenue's docstring for the arithmetic."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= _ts(1996, 1, 1))

@@ -644,8 +644,9 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     pixels)`` — grayscale bytes for single-component streams, or
     row-major interleaved RGB for three-component YCbCr streams with
     4:4:4 or 4:2:0 sampling (nearest-neighbor chroma upsampling,
-    JFIF integer-exact YCbCr→RGB). Raises ``ValueError`` on any
-    unsupported variant (progressive, restart intervals, 12-bit
+    JFIF integer-exact YCbCr→RGB). Restart intervals (DRI + RSTn
+    markers) are supported. Raises ``ValueError`` on any unsupported
+    variant (progressive, 12-bit
     precision, other sampling layouts, CMYK) or malformed/truncated
     stream — callers treat that as "not a decodable image" and fall
     back to opaque-byte handling."""

@@ -1083,7 +1083,10 @@ def nary_functional_dependencies(
     implied by A → C or B → C alone — TANE's pruning rule, reported
     as a flag rather than silently dropped so the full candidate
     lattice stays auditable). Rows with a NULL in any of the three
-    columns are excluded from that candidate's check.
+    columns are excluded from that candidate's check; a candidate
+    whose support is thereby empty is still emitted (``n_groups =
+    n_triples = 0``, vacuously ``holds = 1``) rather than silently
+    dropped.
 
     Scale shape, inherited from the unary rollup: one scan, one
     explode (×|candidates|), dedupe on (cid, detA, detB, dep), then
@@ -1146,8 +1149,25 @@ def nary_functional_dependencies(
         F.col("dep").alias("_up"),
         F.col("holds").alias("_uh"),
     )
+    # right-join against the full candidate list so a degenerate
+    # candidate (every row NULL in one of its three columns → zero
+    # groups) is still emitted, with the vacuous-truth convention
+    # n_groups = n_triples = 0, holds = 1 — matching the per-candidate
+    # UNION ALL oracle, which aggregates over the empty relation
     out = (
-        per_cand.join(F.broadcast(names), "cid")
+        names.join(F.broadcast(per_cand), "cid", "left")
+        .select(
+            "cid",
+            "det_a",
+            "det_b",
+            "dep",
+            F.coalesce(F.col("n_groups"), F.lit(0).cast("long")).alias(
+                "n_groups"
+            ),
+            F.coalesce(F.col("n_triples"), F.lit(0).cast("long")).alias(
+                "n_triples"
+            ),
+        )
         .join(
             F.broadcast(unary),
             (F.col("det_a") == F.col("_ud"))
@@ -1176,9 +1196,13 @@ def nary_functional_dependencies(
         .cast("int")
         .alias("holds"),
         (
+            # a missing unary row means that (det, dep) pair had zero
+            # joint-non-null support — vacuously holds (the oracle's
+            # per-pair aggregate over the empty relation yields
+            # count(*) = count(DISTINCT) = 0 → uh = 1)
             (
-                F.coalesce(F.col("_ha"), F.lit(0))
-                + F.coalesce(F.col("_hb"), F.lit(0))
+                F.coalesce(F.col("_ha"), F.lit(1))
+                + F.coalesce(F.col("_hb"), F.lit(1))
             )
             > 0
         )

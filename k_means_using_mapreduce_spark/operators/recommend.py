@@ -380,9 +380,19 @@ def recommend_topk_gemm(
     handling is exact: candidates at the k-th score boundary are kept
     and resolved by item id, matching the window's ``ORDER BY score
     DESC, item`` total order. Scores are bit-identical to the
-    expression path for rank ≤ 2 (a two-term dot product has one
-    IEEE sum order); for larger ranks the windowed
-    :func:`recommend_topk` remains the term-order-pinned path.
+    expression path for rank ≤ 2: that path avoids BLAS entirely
+    (``np.dot`` may dispatch to an FMA dgemm that contracts
+    ``round(u0*y0 + round(u1*y1))`` and drifts 1 ulp from the
+    expression plan's ``round(round(u0*y0) + round(u1*y1))``) and
+    instead pins the two-rounding order with explicit elementwise
+    multiply + add into the reused block buffers. For larger ranks
+    the windowed :func:`recommend_topk` remains the
+    term-order-pinned path.
+
+    Item ids must be an integral Spark type (they are packed into an
+    ``int64`` ndarray for the broadcast catalog); string or decimal
+    item ids raise ``ValueError`` up front — use
+    :func:`recommend_topk` for those.
 
     For billion-item catalogs neither a broadcast NLJ nor a broadcast
     GEMM holds — route retrieval through the IVF/PQ operators
@@ -391,6 +401,17 @@ def recommend_topk_gemm(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     import numpy as np
+
+    _INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
+    i_id_type = item_factors.schema[0].dataType.simpleString()
+    if i_id_type not in _INTEGRAL:
+        raise ValueError(
+            "recommend_topk_gemm: item id column "
+            f"{item_factors.columns[0]!r} has type {i_id_type}; the "
+            "GEMM path packs item ids into an int64 catalog array "
+            "and supports integral id types only — use "
+            "recommend_topk for string/decimal ids"
+        )
 
     itf = item_factors.select(
         F.col(item_factors.columns[0]).alias(item_col),
@@ -433,6 +454,8 @@ def recommend_topk_gemm(
         # users × items)
         block = 256
         sbuf = np.empty((block, n), dtype=np.float64)
+        tbuf = np.empty((block, n), dtype=np.float64)
+        rank = Yt.shape[0]
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -442,7 +465,18 @@ def recommend_topk_gemm(
             for start in range(0, len(U), block):
                 ub = U[start : start + block]
                 S = sbuf[: len(ub)]
-                np.dot(ub, Yt, out=S)
+                if 1 <= rank <= 2:
+                    # no BLAS: an FMA dgemm may contract the
+                    # multiply-add and drift 1 ulp from the
+                    # expression path's round-each-product-then-sum;
+                    # explicit elementwise ops pin that order
+                    np.multiply(ub[:, 0:1], Yt[0:1], out=S)
+                    if rank == 2:
+                        T = tbuf[: len(ub)]
+                        np.multiply(ub[:, 1:2], Yt[1:2], out=T)
+                        np.add(S, T, out=S)
+                else:
+                    np.dot(ub, Yt, out=S)
                 for r in range(len(ub)):
                     row = S[r]
                     # exact boundary-tie handling: argpartition picks

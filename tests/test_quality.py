@@ -852,3 +852,55 @@ def test_nary_fd_implied_flag_and_nulls(spark):
 
     with _pytest.raises(ValueError, match=">= 3"):
         nary_functional_dependencies(df, ["k", "g"])
+
+
+def test_nary_fd_degenerate_all_null_candidate_emitted(spark):
+    """A candidate whose every row has a NULL in one of its three
+    columns (here: z is entirely NULL) must still be emitted with
+    n_groups = n_triples = 0 and the vacuous-truth convention
+    holds = 1 / implied_by_unary = 1 — matching the per-candidate
+    UNION ALL oracle, verified against DuckDB on the same frame
+    (ADVICE r8: the groupBy chain used to silently drop it)."""
+    import duckdb
+    import pandas as pd
+
+    from k_means_using_mapreduce_spark.contracts.quality_queries import (
+        _fd_nary_sql,
+    )
+    from k_means_using_mapreduce_spark.operators.quality import (
+        nary_functional_dependencies,
+    )
+
+    rows = [(1, 10, 100, None), (2, 10, 200, None), (2, 20, 200, None)]
+    df = spark.createDataFrame(rows, "x int, y int, w int, z int")
+    cols = ["x", "y", "w", "z"]
+    got = {
+        (r["det_a"], r["det_b"], r["dep"]): tuple(r)
+        for r in nary_functional_dependencies(df, cols).collect()
+    }
+    # every candidate is emitted: 6 unordered pairs x 2 dependents,
+    # including the 9 degenerate ones touching the all-NULL z
+    assert len(got) == 12
+    degenerate = [k for k in got if "z" in k]
+    assert len(degenerate) == 9
+    for cand in degenerate:
+        # (det_a, det_b, dep, n_groups, n_triples, violations, holds,
+        #  implied_by_unary)
+        assert got[cand][3:] == (0, 0, 0, 1, 1), cand
+    # a fully-non-null candidate is unaffected: (x, y) -> w over 3
+    # distinct triples, key-like, implied by x -> w alone
+    assert got[("x", "y", "w")][3:] == (3, 3, 0, 1, 1)
+
+    con = duckdb.connect()
+    con.register(
+        "orders",
+        pd.DataFrame(rows, columns=cols).astype({"z": "Int64"}),
+    )
+    oracle = {
+        (r[0], r[1], r[2]): tuple(r)
+        for r in con.execute(_fd_nary_sql(cols)).fetchall()
+    }
+    con.close()
+    assert {k: tuple(int(v) for v in r[3:]) for k, r in got.items()} == {
+        k: tuple(int(v) for v in r[3:]) for k, r in oracle.items()
+    }

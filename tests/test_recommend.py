@@ -210,3 +210,56 @@ def test_recommend_topk_gemm_guards(spark):
         recommend_topk_gemm(uf, empty, k=0)
     with pytest.raises(ValueError, match="empty item catalog"):
         recommend_topk_gemm(uf, empty, k=1)
+
+
+def test_recommend_topk_gemm_rank2_pins_two_rounding_order(spark):
+    """ADVICE r8: np.dot may dispatch to an FMA dgemm that contracts
+    the rank-2 multiply-add and drifts 1 ulp from the expression
+    path. The rank-2 kernel must avoid BLAS and produce EXACTLY
+    round(u0*y0) + round(u1*y1) — checked bit-for-bit against a
+    scalar Python computation on values dense enough that any
+    contraction difference would show."""
+    import numpy as np
+
+    from k_means_using_mapreduce_spark.operators.recommend import (
+        recommend_topk_gemm,
+    )
+
+    rng = np.random.default_rng(7)
+    U = rng.standard_normal((40, 2)) * 1e3 + rng.standard_normal((40, 2))
+    Y = rng.standard_normal((25, 2)) * 1e-3 + rng.standard_normal((25, 2))
+    uf = spark.createDataFrame(
+        [(i, [float(a), float(b)]) for i, (a, b) in enumerate(U)],
+        "user long, factors array<double>",
+    )
+    itf = spark.createDataFrame(
+        [(j, [float(a), float(b)]) for j, (a, b) in enumerate(Y)],
+        "item long, factors array<double>",
+    )
+    got = {
+        (r["user"], r["item"]): r["score"]
+        for r in recommend_topk_gemm(uf, itf, k=25).collect()
+    }
+    assert len(got) == 40 * 25
+    for (i, j), s in got.items():
+        u0, u1 = float(U[i][0]), float(U[i][1])
+        y0, y1 = float(Y[j][0]), float(Y[j][1])
+        expected = u0 * y0 + u1 * y1  # scalar: round each, then sum
+        assert s == expected, (i, j, s.hex(), expected.hex())
+
+
+def test_recommend_topk_gemm_rejects_nonintegral_item_ids(spark):
+    """ADVICE r8: string/decimal item ids used to crash inside numpy;
+    they must raise a clear ValueError up front instead."""
+    from k_means_using_mapreduce_spark.operators.recommend import (
+        recommend_topk_gemm,
+    )
+
+    uf = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "user long, factors array<double>"
+    )
+    itf = spark.createDataFrame(
+        [("a", [1.0, 0.0])], "item string, factors array<double>"
+    )
+    with pytest.raises(ValueError, match="integral id types only"):
+        recommend_topk_gemm(uf, itf, k=1)
