@@ -43,6 +43,7 @@ Determinism notes:
 from __future__ import annotations
 
 import itertools
+import os
 import tempfile
 from collections.abc import Callable
 
@@ -57,6 +58,50 @@ _GAP_US = _GAP_MIN * 60 * 1_000_000
 
 #: memory-sink query names must be unique per invocation in a session
 _SEQ = itertools.count()
+
+
+def _scratch(prefix: str) -> str:
+    """Fresh scratch dir for stream staging + checkpoints, on tmpfs
+    when the host has one. The HDFS-backed state store fsyncs every
+    delta file at commit, and on the bench VM's ballooned disk each of
+    a query's ~128 per-partition store instances pays ~1 s of fsync
+    per micro-batch (measured: 113 s aggregated commitTimeMs for a
+    40k-row join batch → ~11 s of the wall clock); on tmpfs the same
+    commits run at memory speed. Single-node bench shape only — on a
+    real cluster checkpoints belong on HDFS/S3 and the sync cost is
+    the durability contract, not overhead to dodge."""
+    shm = "/dev/shm"
+    base = shm if os.path.isdir(shm) and os.access(shm, os.W_OK) else None
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
+
+#: state-store shuffle width for the finite-replay contracts. The
+#: number of state store instances per stateful operator is
+#: (shuffle partitions x 4 for a stream-stream join); at the session
+#: default of 32 that is 128 instances whose per-commit overhead on
+#: this host is ~0.4-0.5 s EACH (measured: the attribution join's
+#: 40k-row batch spent 50-64 s aggregated commitTimeMs -> ~10 s wall;
+#: at 4 partitions the same batch commits in 0.8 s -> 2.6 s wall).
+#: 8 partitions is also the honest sizing for kB-scale keyed state —
+#: on a real cluster you size state partitions to traffic, not to the
+#: batch-side shuffle width (SCALE.md round-9).
+_STATE_PARTITIONS = 8
+
+
+def _run_stream(spark: SparkSession, start: "Callable[[], object]") -> None:
+    """Start and drain a finite-replay streaming query with
+    ``spark.sql.shuffle.partitions`` pinned to ``_STATE_PARTITIONS``
+    for the duration (state partition count is captured by the query
+    at batch 0); the session value is restored afterwards."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(_STATE_PARTITIONS))
+    try:
+        q = start()
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set(key, old)
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -86,14 +131,15 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _run_to_memory(out: DataFrame, mode: str) -> DataFrame:
     name = f"_stream_contract_{next(_SEQ)}"
-    q = (
+    spark = out.sparkSession
+    _run_stream(spark, lambda: (
         out.writeStream.format("memory")
         .queryName(name)
         .outputMode(mode)
+        .option("checkpointLocation", _scratch("stream_ckpt_"))
         .trigger(availableNow=True)
         .start()
-    )
-    q.awaitTermination(300)
+    ))
     return out.sparkSession.table(name)
 
 
@@ -181,7 +227,7 @@ def streaming_quantile_sink_events(
         .select("event_type", F.col("value").cast("double").alias("value"))
         .where(F.col("value").isNotNull())
     )
-    work = tempfile.mkdtemp(prefix="stream_q_contract_")
+    work = _scratch("stream_q_contract_")
     in_dir = f"{work}/in"
     # two files -> two micro-batches under maxFilesPerTrigger=1
     ev.where(F.crc32(F.col("event_type").cast("string")) % 2 == 0).coalesce(
@@ -196,7 +242,7 @@ def streaming_quantile_sink_events(
     )
 
     def run(ckpt: str) -> None:
-        q = (
+        _run_stream(spark, lambda: (
             spark.readStream.schema("event_type string, value double")
             .option("maxFilesPerTrigger", "1")
             .option("recursiveFileLookup", "true")
@@ -205,8 +251,7 @@ def streaming_quantile_sink_events(
             .option("checkpointLocation", f"{work}/{ckpt}")
             .trigger(availableNow=True)
             .start()
-        )
-        q.awaitTermination(300)
+        ))
 
     run("ckpt1")
     # replay from a FRESH checkpoint: batch ids restart at 0, the
@@ -238,7 +283,7 @@ def _two_batch_dirs(
     import time
 
     ev = load_table(spark, sf_dir, "events").select(*cols)
-    work = tempfile.mkdtemp(prefix=prefix)
+    work = _scratch(prefix)
     in_dir = f"{work}/in"
     now = time.time()
     for half, age in ((0, 120.0), (1, 60.0)):
@@ -272,7 +317,7 @@ def streaming_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def run(ckpt: str) -> None:
-        q = (
+        _run_stream(spark, lambda: (
             spark.readStream.schema("user_id bigint, value double")
             .option("maxFilesPerTrigger", "1")
             .option("recursiveFileLookup", "true")
@@ -281,8 +326,7 @@ def streaming_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("checkpointLocation", f"{work}/{ckpt}")
             .trigger(availableNow=True)
             .start()
-        )
-        q.awaitTermination(300)
+        ))
 
     run("ckpt1")
     run("ckpt2")  # fresh-checkpoint replay: must be a guarded no-op
@@ -377,7 +421,7 @@ def streaming_sprt_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def run(ckpt: str) -> None:
-        q = (
+        _run_stream(spark, lambda: (
             spark.readStream.schema("event_type string, value double")
             .option("maxFilesPerTrigger", "1")
             .option("recursiveFileLookup", "true")
@@ -386,8 +430,7 @@ def streaming_sprt_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("checkpointLocation", f"{work}/{ckpt}")
             .trigger(availableNow=True)
             .start()
-        )
-        q.awaitTermination(300)
+        ))
 
     run("ckpt1")
     run("ckpt2")  # replay: accumulating merge must be guard-skipped
@@ -448,7 +491,7 @@ def streaming_cdc_feed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def run(ckpt: str) -> None:
-        q = (
+        _run_stream(spark, lambda: (
             spark.readStream.schema("user_id bigint, value double")
             .option("maxFilesPerTrigger", "1")
             .option("recursiveFileLookup", "true")
@@ -457,8 +500,7 @@ def streaming_cdc_feed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("checkpointLocation", f"{work}/{ckpt}")
             .trigger(availableNow=True)
             .start()
-        )
-        q.awaitTermination(300)
+        ))
 
     run("ckpt1")
     run("ckpt2")  # replay: feed must not gain duplicate batches
@@ -517,7 +559,7 @@ def streaming_freq_sketch_events(
     )
 
     def run(ckpt: str) -> None:
-        q = (
+        _run_stream(spark, lambda: (
             spark.readStream.schema("user_id bigint")
             .option("maxFilesPerTrigger", "1")
             .option("recursiveFileLookup", "true")
@@ -526,8 +568,7 @@ def streaming_freq_sketch_events(
             .option("checkpointLocation", f"{work}/{ckpt}")
             .trigger(availableNow=True)
             .start()
-        )
-        q.awaitTermination(300)
+        ))
 
     run("ckpt1")
     run("ckpt2")  # replay: counter addition must be guard-skipped
@@ -573,7 +614,7 @@ def streaming_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def run(ckpt: str) -> None:
-        q = (
+        _run_stream(spark, lambda: (
             spark.readStream.schema("event_type string, user_id bigint")
             .option("maxFilesPerTrigger", "1")
             .option("recursiveFileLookup", "true")
@@ -582,8 +623,7 @@ def streaming_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("checkpointLocation", f"{work}/{ckpt}")
             .trigger(availableNow=True)
             .start()
-        )
-        q.awaitTermination(300)
+        ))
 
     run("ckpt1")
     run("ckpt2")  # replay: n_rows sum must be guard-skipped
@@ -638,7 +678,7 @@ def streaming_decayed_features_events(
     )
 
     def run(ckpt: str) -> None:
-        q = (
+        _run_stream(spark, lambda: (
             spark.readStream.schema(
                 "user_id bigint, value double, ts bigint"
             )
@@ -649,8 +689,7 @@ def streaming_decayed_features_events(
             .option("checkpointLocation", f"{work}/{ckpt}")
             .trigger(availableNow=True)
             .start()
-        )
-        q.awaitTermination(300)
+        ))
 
     run("ckpt1")
     run("ckpt2")  # replay: decay re-anchoring must be guard-skipped
@@ -774,7 +813,7 @@ def streaming_ivm_rollup_orders(
     import os
     import time
 
-    work = tempfile.mkdtemp(prefix="stream_ivm_")
+    work = _scratch("stream_ivm_")
     in_dir = f"{work}/in"
     now = time.time()
     for half, df_half, age in ((0, base, 120.0), (1, delta, 60.0)):
@@ -788,7 +827,7 @@ def streaming_ivm_rollup_orders(
     )
 
     def run(ckpt: str) -> None:
-        q = (
+        _run_stream(spark, lambda: (
             spark.readStream.schema(
                 "o_orderpriority string, val decimal(18,6), op string"
             )
@@ -799,8 +838,7 @@ def streaming_ivm_rollup_orders(
             .option("checkpointLocation", f"{work}/{ckpt}")
             .trigger(availableNow=True)
             .start()
-        )
-        q.awaitTermination(300)
+        ))
 
     run("ckpt1")
     run("ckpt2")  # replay: signed-delta merge must be guard-skipped
@@ -914,7 +952,7 @@ def streaming_attribution_events(
     from ..streaming.joins import purchase_click_attribution
 
     ev = load_table(spark, sf_dir, "events")
-    work = tempfile.mkdtemp(prefix="stream_join_")
+    work = _scratch("stream_join_")
     for side, typ in (("purchases", "purchase"), ("clicks", "click")):
         ev.where(F.col("event_type") == typ).select(
             "user_id", "ts", "event_id"
@@ -1047,7 +1085,7 @@ def streaming_ivf_ingest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
-    work = tempfile.mkdtemp(prefix="stream_ivf_")
+    work = _scratch("stream_ivf_")
     in_dir = f"{work}/in"
     now = time.time()
     for half, age in ((0, 120.0), (1, 60.0)):
@@ -1062,7 +1100,7 @@ def streaming_ivf_ingest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(f"{in_dir}/half=0").schema
 
     def run(ckpt: str) -> None:
-        q = (
+        _run_stream(spark, lambda: (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", "1")
             .option("recursiveFileLookup", "true")
@@ -1071,8 +1109,7 @@ def streaming_ivf_ingest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("checkpointLocation", f"{work}/{ckpt}")
             .trigger(availableNow=True)
             .start()
-        )
-        q.awaitTermination(300)
+        ))
 
     run("ckpt1")
     run("ckpt2")  # replay: batch=N overwrite + marker must no-op
@@ -1113,7 +1150,7 @@ def streaming_upsert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def run(ckpt: str) -> None:
-        q = (
+        _run_stream(spark, lambda: (
             spark.readStream.schema("user_id bigint, value double")
             .option("maxFilesPerTrigger", "1")
             .option("recursiveFileLookup", "true")
@@ -1122,8 +1159,7 @@ def streaming_upsert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("checkpointLocation", f"{work}/{ckpt}")
             .trigger(availableNow=True)
             .start()
-        )
-        q.awaitTermination(300)
+        ))
 
     run("ckpt1")
     run("ckpt2")  # replay: marker at v1 must skip batch ids 0 and 1
