@@ -485,6 +485,8 @@ BENCH_QUERIES = [
     "top_tokens_per_lang",
     "winnow_pairs_documents",
     "fd_nary_orders",
+    "substring_spans_documents",
+    "substring_doc_stats_documents",
 ]
 
 KMEANS_FIT_K = 8

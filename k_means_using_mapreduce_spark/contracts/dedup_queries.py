@@ -444,3 +444,98 @@ ORACLE_SQL: dict[str, str] = {
     "embedding_near_dup_pairs": EMBEDDING_NEAR_DUP_SQL,
     "edit_distance_verify_documents": EDIT_DISTANCE_VERIFY_SQL,
 }
+
+
+SUBSTRING_N = 8
+
+
+def substring_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (operators/substring.py::
+    repeated_ngram_spans): merged per-document token spans covered by
+    corpus-duplicated 8-grams, keeping the globally-first occurrence
+    of every gram. On this corpus the planted repeats yield ~10k
+    duplicated grams — real spans, not a 0-row threshold artifact."""
+    from ..operators.substring import repeated_ngram_spans
+
+    return repeated_ngram_spans(
+        load_table(spark, sf_dir, "documents"), n=SUBSTRING_N
+    )
+
+
+def substring_doc_stats_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-document substring-dup burden rollup (operators/
+    substring.py::repeated_ngram_doc_stats) over EVERY document —
+    zero-span docs report 0 spans / 0.0 dup_frac."""
+    from ..operators.substring import repeated_ngram_doc_stats
+
+    return repeated_ngram_doc_stats(
+        load_table(spark, sf_dir, "documents"), n=SUBSTRING_N
+    )
+
+
+def _substring_islands_sql(n: int) -> str:
+    from ._sql_text import sql_tokens
+
+    return f"""
+toks AS (
+  SELECT doc_id, {sql_tokens('text')} AS t FROM documents
+), occ AS (
+  SELECT doc_id, i - 1 AS start,
+         ('0x' || substr(md5(array_to_string(t[i:i+{n - 1}], ' ')), 1, 15))::BIGINT AS gh
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - {n} + 2)) AS i)
+  WHERE len(t) >= {n}
+), marked AS (
+  SELECT doc_id, start, start + {n} AS e,
+         row_number() OVER (PARTITION BY gh ORDER BY doc_id, start) AS rk
+  FROM occ
+), spans AS (
+  SELECT doc_id, start AS s, e FROM marked WHERE rk > 1
+), sweep AS (
+  SELECT doc_id, s, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+  FROM spans
+), isl AS (
+  SELECT doc_id, s, e,
+         sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING)
+           AS island
+  FROM sweep
+), islands AS (
+  SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
+         CAST(max(e) AS BIGINT) AS span_end,
+         CAST(max(e) - min(s) AS BIGINT) AS span_tokens
+  FROM isl GROUP BY doc_id, island
+)"""
+
+
+SUBSTRING_SPANS_SQL = (
+    "WITH "
+    + _substring_islands_sql(SUBSTRING_N)
+    + "\nSELECT doc_id, span_start, span_end, span_tokens FROM islands"
+)
+
+SUBSTRING_DOC_STATS_SQL = (
+    "WITH "
+    + _substring_islands_sql(SUBSTRING_N)
+    + """
+SELECT d.doc_id,
+  CAST(len(d.t) AS BIGINT) AS token_count,
+  CAST(coalesce(r.n_spans, 0) AS BIGINT) AS n_spans,
+  CAST(coalesce(r.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+  CASE WHEN len(d.t) > 0
+       THEN CAST(coalesce(r.dup_tokens, 0) AS DOUBLE) / len(d.t)
+       ELSE 0.0 END AS dup_frac
+FROM toks d LEFT JOIN (
+  SELECT doc_id, count(*) AS n_spans, sum(span_tokens) AS dup_tokens
+  FROM islands GROUP BY 1
+) r USING (doc_id)"""
+)
+
+
+QUERIES["substring_spans_documents"] = substring_spans_documents
+QUERIES["substring_doc_stats_documents"] = substring_doc_stats_documents
+ORACLE_SQL["substring_spans_documents"] = SUBSTRING_SPANS_SQL
+ORACLE_SQL["substring_doc_stats_documents"] = SUBSTRING_DOC_STATS_SQL
