@@ -487,6 +487,7 @@ BENCH_QUERIES = [
     "fd_nary_orders",
     "substring_spans_documents",
     "substring_doc_stats_documents",
+    "ind_lattice_walk_tpch",
 ]
 
 KMEANS_FIT_K = 8

@@ -1032,3 +1032,96 @@ FROM per_det GROUP BY 1
 
 QUERIES["cfd_orders_by_status"] = cfd_orders_by_status
 ORACLE_SQL["cfd_orders_by_status"] = CFD_ORDERS_SQL
+
+
+_WALK_COLS = ("l_orderkey", "l_partkey")
+_WALK_RELS = (("li_all", None), ("li_return", "l_returnflag = 'R'"))
+_WALK_MAX_LEVEL = len(_WALK_COLS)
+
+
+def ind_lattice_walk_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full MIND fixpoint (operators/quality.py::ind_lattice_walk)
+    over a 2-relation / 2-column scope: level 1 verified exhaustively,
+    level 2 generated by Apriori from the survivors and verified, the
+    walk terminating at the natural fixpoint (no level-3 candidates
+    exist over 2 columns). One SPIDER job per level — the deeper
+    single-level machinery is contracted separately
+    (ind_nary_tpch / ind_nary_l3_tpch); this entry gates the LOOP:
+    candidate generation, per-level verification, and the stop rule,
+    including the dense-integer spurious unary INDs that the level-2
+    pass refutes."""
+    from ..operators.quality import ind_lattice_walk
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sources = {
+        rel: (li.where(w) if w else li, list(_WALK_COLS))
+        for rel, w in _WALK_RELS
+    }
+    return ind_lattice_walk(sources)
+
+
+def _walk_sql(rels, cols, max_level: int) -> str:
+    """Data-independent oracle for the walk: enumerate EVERY canonical
+    candidate at every level (lhs strictly increasing, rhs any
+    duplicate-free permutation) and emit the contained ones. By
+    Apriori soundness a true level-n IND has all its projections true,
+    so the walk's pruning never drops a true IND — full enumeration
+    filtered on containment equals the walk's output exactly, without
+    reproducing the level-by-level loop in SQL."""
+    from itertools import combinations, permutations
+
+    def cte(rel: str, sub: "tuple[str, ...]") -> str:
+        return f"d_{rel}_{'_'.join(sub)}"
+
+    subsets = [
+        sub
+        for n in range(1, max_level + 1)
+        for sub in combinations(cols, n)
+    ]
+    ctes = []
+    for rel, where in rels:
+        for sub in subsets:
+            notnull = " AND ".join(f"{c} IS NOT NULL" for c in sub)
+            w = f"({where}) AND " if where else ""
+            ctes.append(
+                f"{cte(rel, sub)} AS MATERIALIZED (SELECT DISTINCT "
+                f"{', '.join(sub)} FROM lineitem WHERE {w}{notnull})"
+            )
+    blocks = []
+    for n in range(1, max_level + 1):
+        for lrel, _ in rels:
+            for lsub in combinations(cols, n):
+                for rrel, _ in rels:
+                    for rperm in permutations(cols, n):
+                        if (lrel, lsub) == (rrel, rperm):
+                            continue
+                        lc, rc = cte(lrel, lsub), cte(
+                            rrel, tuple(sorted(rperm))
+                        )
+                        blocks.append(
+                            f"SELECT CAST({n} AS INTEGER) AS level, "
+                            f"'{lrel}' AS lhs_rel, "
+                            f"'{','.join(lsub)}' AS lhs_cols, "
+                            f"'{rrel}' AS rhs_rel, "
+                            f"'{','.join(rperm)}' AS rhs_cols, "
+                            f"(SELECT CAST(count(*) AS BIGINT) FROM {lc})"
+                            " AS n_values"
+                            f"\nWHERE (SELECT count(*) FROM {lc}) > 0"
+                            f"\n  AND (SELECT count(*) FROM "
+                            f"(SELECT {', '.join(lsub)} FROM {lc} "
+                            f"INTERSECT SELECT {', '.join(rperm)} "
+                            f"FROM {rc}))"
+                            f" = (SELECT count(*) FROM {lc})"
+                        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(blocks)
+    )
+
+
+QUERIES["ind_lattice_walk_tpch"] = ind_lattice_walk_tpch
+ORACLE_SQL["ind_lattice_walk_tpch"] = _walk_sql(
+    _WALK_RELS, _WALK_COLS, _WALK_MAX_LEVEL
+)

@@ -1052,7 +1052,24 @@ def nary_inclusion_dependencies(
     for p in parts[1:]:
         vals = vals.unionAll(p)
     # consumed twice (set aggregation + per-attr counts): pin once
-    vals = vals.localCheckpoint(eager=True)
+    return _spider_containment(vals, vcols, pin=True)
+
+
+def _spider_containment(
+    vals: DataFrame, vcols: "list[str]", *, pin: bool = True
+) -> DataFrame:
+    """Shared SPIDER tail over a distinct ``(a, v0..vn)`` stack: one
+    value-tuple-keyed aggregation collecting each tuple's attribute
+    set, pairs exploded from those sets (bounded by |attrs|² per
+    tuple), containment = shared == |lhs|. The stack is consumed twice
+    (set aggregation + per-attr counts). ``pin=True`` checkpoints it
+    once — the n-ary call's measured choice (wide tuples recompute
+    expensively); ``pin=False`` keeps the unary case's
+    measured-better recompute (narrow single-column stacks
+    re-aggregate faster than they checkpoint — the round-7 17×
+    observation)."""
+    if pin:
+        vals = vals.localCheckpoint(eager=True)
     sets = vals.groupBy(*vcols).agg(F.collect_set("a").alias("attrs"))
     pairs = (
         sets.select(F.explode("attrs").alias("lhs"), "attrs")
@@ -1277,6 +1294,154 @@ def ind_apriori_candidates(
                 ):
                     out.append(((lrel, lc), (rrel, rc)))
     return sorted(out)
+
+
+_IND_SEP = "\x1f"
+
+
+def ind_lattice_walk(
+    sources: "dict[str, tuple[DataFrame, Sequence[str]]]",
+    *,
+    max_level: "int | None" = None,
+) -> DataFrame:
+    """The full MIND fixpoint over the IND lattice (De Marchi et al.):
+    discover every canonical inclusion dependency among the given
+    relations' columns at EVERY arity — level 1 verified exhaustively
+    by the unary SPIDER pass (:func:`inclusion_dependencies`), each
+    higher level generated by Apriori from the previous level's
+    survivors (:func:`ind_apriori_candidates`) and verified by the
+    value-tuple SPIDER pass (:func:`nary_inclusion_dependencies`) —
+    until a level yields no candidates (or ``max_level``).
+
+    ``sources`` maps a relation label to ``(df, columns)``. Canonical
+    form: lhs columns in strictly increasing name order, rhs any
+    duplicate-free column sequence of the same arity (coordinate i
+    maps to coordinate i) — every IND is equivalent to exactly one
+    canonical form, so completeness is per equivalence class. By
+    Apriori soundness the emitted set equals ALL true canonical INDs
+    up to the stop level: a true level-n IND has all n projections
+    true, hence generated and verified.
+
+    Returns a k-row metadata DataFrame (one row per VERIFIED IND):
+    ``(level, lhs_rel, lhs_cols, rhs_rel, rhs_cols, n_values)`` with
+    comma-joined column lists and ``n_values`` = the lhs's distinct
+    (tuple) count. Driver work is lattice bookkeeping only; each
+    level runs exactly one distributed SPIDER job.
+    """
+    if len(sources) < 1:
+        raise ValueError("ind_lattice_walk needs at least one relation")
+    for rel, (_, cols) in sources.items():
+        for c in list(cols) + [rel]:
+            if _IND_SEP in c or "," in c:
+                raise ValueError(
+                    f"relation/column names must not contain ',' or "
+                    f"\\x1f: {c!r}"
+                )
+
+    def _label(rel: str, cols: "tuple[str, ...]") -> str:
+        return rel + _IND_SEP + ",".join(cols)
+
+    def _parse(label: str) -> "tuple[str, tuple[str, ...]]":
+        rel, cols = label.split(_IND_SEP, 1)
+        return rel, tuple(cols.split(","))
+
+    spark = next(iter(sources.values()))[0].sparkSession
+    out_rows: "list[tuple]" = []
+    schema = (
+        "level int, lhs_rel string, lhs_cols string, "
+        "rhs_rel string, rhs_cols string, n_values bigint"
+    )
+    dfs = {rel: df for rel, (df, _) in sources.items()}
+
+    def _verify(
+        composites: "set[tuple[str, tuple[str, ...]]]", n: int
+    ) -> "dict[tuple[str, str], int]":
+        """One SPIDER job for a whole level: each RELATION is scanned
+        once, its composites exploded as (label, v0..vn) structs, the
+        whole stack deduped in one shuffle (a per-label scan+distinct
+        — the nary_inclusion_dependencies construction, which cannot
+        assume shared parents — cost ~20 s per level on this scope;
+        one scan per relation is the walk's advantage for knowing the
+        composites come from a handful of relations)."""
+        vcols = [f"v{i}" for i in range(n)]
+        by_rel: "dict[str, list[tuple[str, ...]]]" = {}
+        for rel, cols in composites:
+            by_rel.setdefault(rel, []).append(cols)
+        parts = []
+        for rel, col_lists in sorted(by_rel.items()):
+            structs = [
+                F.struct(
+                    F.lit(_label(rel, cols)).alias("a"),
+                    *[
+                        F.col(c).cast("string").alias(v)
+                        for c, v in zip(cols, vcols)
+                    ],
+                )
+                for cols in sorted(col_lists)
+            ]
+            notnull = F.col(vcols[0]).isNotNull()
+            for v in vcols[1:]:
+                notnull = notnull & F.col(v).isNotNull()
+            parts.append(
+                dfs[rel]
+                .select(F.explode(F.array(*structs)).alias("s"))
+                .select("s.*")
+                .where(notnull)
+                .distinct()
+            )
+        vals = parts[0]
+        for p in parts[1:]:
+            vals = vals.unionAll(p)
+        return {
+            (r["lhs"], r["rhs"]): r["lhs_values"]
+            for r in _spider_containment(vals, vcols, pin=(n > 1))
+            .where(F.col("contained"))
+            .collect()
+        }
+
+    # ---- level 1: exhaustive unary pass ------------------------------
+    unary = {
+        (rel, (c,)) for rel, (_, cols) in sources.items() for c in cols
+    }
+    if len(unary) < 2:
+        return spark.createDataFrame([], schema)
+    verified = _verify(unary, 1)
+    survivors = []
+    for (lhs, rhs), n_vals in sorted(verified.items()):
+        lrel, lc = _parse(lhs)
+        rrel, rc = _parse(rhs)
+        survivors.append(((lrel, lc), (rrel, rc)))
+        out_rows.append(
+            (1, lrel, ",".join(lc), rrel, ",".join(rc), n_vals)
+        )
+
+    # ---- levels 2..: Apriori generate, one SPIDER job per level ------
+    level = 2
+    while survivors and (max_level is None or level <= max_level):
+        cands = ind_apriori_candidates(survivors)
+        if not cands:
+            break
+        composites = {side for cand in cands for side in cand}
+        if len(composites) < 2:
+            break
+        verified = _verify(composites, level)
+        survivors = []
+        for (lrel, lc), (rrel, rc) in cands:
+            key = (_label(lrel, lc), _label(rrel, rc))
+            if key in verified:
+                survivors.append(((lrel, lc), (rrel, rc)))
+                out_rows.append(
+                    (
+                        level,
+                        lrel,
+                        ",".join(lc),
+                        rrel,
+                        ",".join(rc),
+                        verified[key],
+                    )
+                )
+        level += 1
+    return spark.createDataFrame(out_rows, schema)
 
 
 def approximate_fds(

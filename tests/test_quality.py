@@ -904,3 +904,79 @@ def test_nary_fd_degenerate_all_null_candidate_emitted(spark):
     assert {k: tuple(int(v) for v in r[3:]) for k, r in got.items()} == {
         k: tuple(int(v) for v in r[3:]) for k, r in oracle.items()
     }
+
+
+def test_ind_lattice_walk_reaches_fixpoint_at_level3(spark):
+    """A 3-column subset relation: the walk must climb to the level-3
+    identity IND and stop there (no level-4 candidates exist over 3
+    columns) — and the dense-integer spurious unary INDs must appear
+    at level 1 but never survive to level 2 composites they don't
+    extend to."""
+    from k_means_using_mapreduce_spark.operators.quality import (
+        ind_lattice_walk,
+    )
+
+    parent = spark.createDataFrame(
+        [(i, i * 10, i % 3) for i in range(1, 9)],
+        "a int, b int, c int",
+    )
+    child = parent.where(F.col("a") <= 4)
+    out = [
+        tuple(r)
+        for r in ind_lattice_walk(
+            {"P": (parent, ["a", "b", "c"]), "C": (child, ["a", "b", "c"])}
+        ).collect()
+    ]
+    lvls = {r[0] for r in out}
+    assert lvls == {1, 2, 3}
+    assert (3, "C", "a,b,c", "P", "a,b,c", 4) in out
+    # every child column is contained in its parent twin at level 1
+    for col in ("a", "b", "c"):
+        assert any(
+            r[:5] == (1, "C", col, "P", col) for r in out
+        ), col
+
+
+def test_ind_lattice_walk_permuted_rhs(spark):
+    """Column-name order differs between the sides: the canonical
+    candidate has lhs sorted and a PERMUTED rhs — generated by Apriori
+    from the two cross-column unary survivors and verified."""
+    from k_means_using_mapreduce_spark.operators.quality import (
+        ind_lattice_walk,
+    )
+
+    a = spark.createDataFrame([(1, 2), (3, 4)], "x int, y int")
+    b = spark.createDataFrame([(2, 1), (4, 3), (6, 5)], "p int, q int")
+    out = [
+        tuple(r)
+        for r in ind_lattice_walk(
+            {"A": (a, ["x", "y"]), "B": (b, ["p", "q"])}
+        ).collect()
+    ]
+    assert (2, "A", "x,y", "B", "q,p", 2) in out
+    # and the reverse direction is refuted (B has an extra tuple)
+    assert not any(r[0] == 2 and r[1] == "B" for r in out)
+
+
+def test_ind_lattice_walk_max_level_and_guards(spark):
+    from k_means_using_mapreduce_spark.operators.quality import (
+        ind_lattice_walk,
+    )
+
+    parent = spark.createDataFrame([(1, 2), (3, 4)], "a int, b int")
+    child = parent.where(F.col("a") == 1)
+    srcs = {"P": (parent, ["a", "b"]), "C": (child, ["a", "b"])}
+    out = ind_lattice_walk(srcs, max_level=1).collect()
+    assert {r["level"] for r in out} == {1}
+
+    with pytest.raises(ValueError, match="must not contain"):
+        ind_lattice_walk({"R": (parent, ["a,b"])})
+    with pytest.raises(ValueError, match="at least one relation"):
+        ind_lattice_walk({})
+    # a single attribute has nothing to compare against: empty result,
+    # stable schema
+    empty = ind_lattice_walk({"P": (parent, ["a"])})
+    assert empty.count() == 0
+    assert empty.columns == [
+        "level", "lhs_rel", "lhs_cols", "rhs_rel", "rhs_cols", "n_values",
+    ]
