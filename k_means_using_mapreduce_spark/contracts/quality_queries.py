@@ -1067,7 +1067,10 @@ def _walk_sql(rels, cols, max_level: int) -> str:
     Apriori soundness a true level-n IND has all its projections true,
     so the walk's pruning never drops a true IND — full enumeration
     filtered on containment equals the walk's output exactly, without
-    reproducing the level-by-level loop in SQL."""
+    reproducing the level-by-level loop in SQL. Soundness requires
+    NULL-free profiled columns (the walk docstring's MIND caveat);
+    l_orderkey/l_partkey are NOT NULL in TPC-H, so the equivalence is
+    exact on this scope."""
     from itertools import combinations, permutations
 
     def cte(rel: str, sub: "tuple[str, ...]") -> str:

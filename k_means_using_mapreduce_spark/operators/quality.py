@@ -1317,10 +1317,19 @@ def ind_lattice_walk(
     form: lhs columns in strictly increasing name order, rhs any
     duplicate-free column sequence of the same arity (coordinate i
     maps to coordinate i) — every IND is equivalent to exactly one
-    canonical form, so completeness is per equivalence class. By
-    Apriori soundness the emitted set equals ALL true canonical INDs
-    up to the stop level: a true level-n IND has all n projections
-    true, hence generated and verified.
+    canonical form, so completeness is per equivalence class. For
+    relations with NO NULLs in the profiled columns, the emitted set
+    equals ALL true canonical INDs up to the stop level (Apriori
+    soundness: a true level-n IND has all n projections true, hence
+    is generated and verified). With NULLs, tuples with any NULL
+    coordinate are excluded at every level, and that breaks
+    projection monotonicity: a composite can hold on its
+    null-complete tuples while a unary projection fails only because
+    of rows the composite never sees — MIND's standard completeness
+    assumption (De Marchi et al. work over complete relations), and
+    the documented behavior here: such null-dependent composites are
+    pruned, never falsely emitted (verification itself is always
+    exact).
 
     Returns a k-row metadata DataFrame (one row per VERIFIED IND):
     ``(level, lhs_rel, lhs_cols, rhs_rel, rhs_cols, n_values)`` with
