@@ -10,10 +10,13 @@ labeled fake" boundary for the one encoded image format that matters
 and decodes through here; anything this codec refuses still falls back
 to the documented deterministic fake).
 
-Scope (documented, enforced): baseline sequential DCT (SOF0), 8-bit
-precision, grayscale or 3-component YCbCr (4:4:4 / 4:2:0), restart
-intervals (DRI + RSTn), no progressive/arithmetic coding, no other
-samplings. Non-conforming payloads
+Scope (documented, enforced): baseline sequential DCT (SOF0) AND
+progressive DCT (SOF2, decode: full Annex G.2 — spectral selection,
+successive approximation, EOBRUN, restarts; encode: spectral-selection
+scan scripts), 8-bit precision, grayscale or 3-component YCbCr
+(4:4:4 / 4:2:0), restart intervals (DRI + RSTn), no
+arithmetic/hierarchical coding, no other samplings. Non-conforming
+payloads
 raise ``ValueError`` and the caller falls back to opaque-byte
 handling. The DECODER builds its Huffman/quant tables from the
 stream's own DQT/DHT segments, so conforming grayscale baseline files
@@ -552,6 +555,202 @@ def encode_jpeg_color(
     )
 
 
+def _block_zz(
+    plane: bytes, pw: int, ph: int, x0: int, y0: int, q: list[int]
+) -> list[int]:
+    """FDCT + quantize one edge-replicated 8x8 block into zigzag-order
+    integer coefficients (the coefficient half of ``_encode_block``)."""
+    block = []
+    for r in range(8):
+        sr = min(y0 + r, ph - 1)
+        block.append(
+            [
+                float(plane[sr * pw + min(x0 + c, pw - 1)]) - 128.0
+                for c in range(8)
+            ]
+        )
+    coef = _fdct(block)
+    return [_quantize(coef[r][c], q[i]) for i, (r, c) in enumerate(ZIGZAG)]
+
+
+def encode_jpeg_progressive(
+    pixels: bytes,
+    width: int,
+    height: int,
+    *,
+    color: bool = False,
+    subsample: str = "4:4:4",
+    bands: "tuple[tuple[int, int], ...]" = ((1, 63),),
+    qtable: list[int] | None = None,
+) -> bytes:
+    """Encode as a PROGRESSIVE (SOF2) JPEG with a spectral-selection
+    scan script: one interleaved DC scan, then per component one AC
+    scan per ``(Ss, Se)`` band — no successive approximation (the
+    decoder supports it; crafted streams in tests/test_jpeg.py cover
+    that path). Grayscale (``color=False``, ``pixels`` = w*h bytes) or
+    YCbCr color (``color=True``, interleaved RGB, 4:4:4 or 4:2:0).
+    Coefficients are identical to the baseline encoder's, so a
+    progressive round trip decodes to exactly the baseline round
+    trip's pixels. AC scans are non-interleaved per T.81 and cover
+    the COMPONENT-padded block grid (ceil(comp dims / 8)); the DC
+    scan walks the MCU-padded grid, with edge blocks padded by the
+    same replication rule as the baseline path."""
+    if width < 1 or height < 1:
+        raise ValueError(f"bad dimensions {width}x{height}")
+    nbytes = width * height * (3 if color else 1)
+    if len(pixels) != nbytes:
+        raise ValueError(
+            f"payload is {len(pixels)} bytes, expected {nbytes}"
+        )
+    if subsample not in SUBSAMPLE_FACTORS:
+        raise ValueError(
+            f"unsupported subsampling {subsample!r} "
+            f"(supported: {sorted(SUBSAMPLE_FACTORS)})"
+        )
+    if not color and subsample != "4:4:4":
+        raise ValueError("grayscale has no chroma to subsample")
+    last = 0
+    for ss, se in bands:
+        if not (1 <= ss <= se <= 63) or ss <= last:
+            raise ValueError(
+                f"bands must be ordered disjoint sub-ranges of "
+                f"[1, 63], got {bands}"
+            )
+        last = se
+    q = list(DEFAULT_QTABLE if qtable is None else qtable)
+    if len(q) != 64 or any(not 1 <= x <= 65535 for x in q):
+        raise ValueError("qtable must be 64 quanta in [1, 65535]")
+    wide = any(x > 255 for x in q)
+    dqt = bytes([16 if wide else 0]) + (
+        b"".join(struct.pack(">H", x) for x in q) if wide else bytes(q)
+    )
+    hy, vy = SUBSAMPLE_FACTORS[subsample] if color else (1, 1)
+    if color:
+        yp, cbf, crf = _ycbcr_planes(pixels, width, height)
+        if subsample == "4:2:0":
+            cw, ch = (width + 1) // 2, (height + 1) // 2
+            cbp = _box_downsample(cbf, width, height, cw, ch)
+            crp = _box_downsample(crf, width, height, cw, ch)
+        else:
+            cw, ch = width, height
+            cbp, crp = cbf, crf
+        # (plane, plane_w, plane_h, H, V) per component
+        comps = [
+            (bytes(yp), width, height, hy, vy),
+            (bytes(cbp), cw, ch, 1, 1),
+            (bytes(crp), cw, ch, 1, 1),
+        ]
+        sof = struct.pack(">BHHB", 8, height, width, 3) + bytes(
+            [1, (hy << 4) | vy, 0, 2, 0x11, 0, 3, 0x11, 0]
+        )
+    else:
+        comps = [(pixels, width, height, 1, 1)]
+        sof = struct.pack(">BHHB", 8, height, width, 1) + bytes(
+            [1, 0x11, 0]
+        )
+    hmax = max(c[3] for c in comps)
+    vmax = max(c[4] for c in comps)
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+    # coefficient blocks over each component's MCU-padded STORAGE grid
+    # (edge blocks clamp-replicate); AC scans index its ceil-based
+    # component sub-grid
+    comp_zz = []
+    grids = []
+    for plane, pw, ph, h, v in comps:
+        bw, bh = mcus_x * h, mcus_y * v
+        grids.append((bw, bh))
+        comp_zz.append(
+            [
+                _block_zz(plane, pw, ph, bx * 8, by * 8, q)
+                for by in range(bh)
+                for bx in range(bw)
+            ]
+        )
+    dc_codes = _build_codes(DC_BITS, DC_VALS)
+    ac_codes = _build_codes(AC_BITS, AC_VALS)
+
+    out = bytearray(SOI)
+    out += _seg(0xDB, dqt)
+    out += _seg(0xC2, sof)
+    out += _seg(0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
+    out += _seg(0xC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))
+
+    # scan 1: interleaved DC, all components, MCU walk
+    ncomp = len(comps)
+    hdr = bytes([ncomp])
+    for cid in range(1, ncomp + 1):
+        hdr += bytes([cid, 0x00])
+    hdr += bytes([0, 0, 0])  # Ss=0 Se=0 Ah<<4|Al=0
+    w = _BitWriter()
+    prev = [0] * ncomp
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (_, _, _, h, v) in enumerate(comps):
+                bw, _bh = grids[ci]
+                for by in range(v):
+                    for bx in range(h):
+                        bi = (my * v + by) * bw + (mx * h + bx)
+                        diff = comp_zz[ci][bi][0] - prev[ci]
+                        prev[ci] = comp_zz[ci][bi][0]
+                        size = _mag_size(diff)
+                        code, length = dc_codes[size]
+                        w.write(code, length)
+                        if size:
+                            bits = (
+                                diff
+                                if diff > 0
+                                else diff + (1 << size) - 1
+                            )
+                            w.write(bits, size)
+    w.flush()
+    out += _seg(0xDA, hdr) + bytes(w.out)
+
+    # AC scans: per component, per band, non-interleaved over the
+    # component-padded sub-grid
+    for ci, (_, _, _, h, v) in enumerate(comps):
+        cw_i = (width * h + hmax - 1) // hmax
+        ch_i = (height * v + vmax - 1) // vmax
+        cbw, cbh = (cw_i + 7) // 8, (ch_i + 7) // 8
+        bw, _bh = grids[ci]
+        for ss, se in bands:
+            hdr = bytes([1, ci + 1, 0x00, ss, se, 0])
+            w = _BitWriter()
+            for byy in range(cbh):
+                for bxx in range(cbw):
+                    zz = comp_zz[ci][byy * bw + bxx]
+                    run = 0
+                    for k in range(ss, se + 1):
+                        val = zz[k]
+                        if val == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            zc, zl = ac_codes[0xF0]
+                            w.write(zc, zl)
+                            run -= 16
+                        size = _mag_size(val)
+                        if size > 10:
+                            raise ValueError(
+                                f"AC coefficient {val} exceeds the "
+                                "10-bit cap; use a larger AC quantum"
+                            )
+                        code, length = ac_codes[(run << 4) | size]
+                        w.write(code, length)
+                        bits = (
+                            val if val > 0 else val + (1 << size) - 1
+                        )
+                        w.write(bits, size)
+                        run = 0
+                    if run:
+                        ec, el = ac_codes[0x00]  # EOB (EOBRUN of 1)
+                        w.write(ec, el)
+            w.flush()
+            out += _seg(0xDA, hdr) + bytes(w.out)
+    out += EOI
+    return bytes(out)
+
+
 class _BitReader:
     def __init__(self, data: bytes, pos: int) -> None:
         self.data = data
@@ -640,14 +839,16 @@ def _extend(bits: int, size: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a baseline sequential JPEG to ``(width, height, ncomp,
-    pixels)`` — grayscale bytes for single-component streams, or
+    """Decode a baseline sequential or progressive JPEG to ``(width,
+    height, ncomp, pixels)`` — grayscale bytes for single-component streams, or
     row-major interleaved RGB for three-component YCbCr streams with
     4:4:4 or 4:2:0 sampling (nearest-neighbor chroma upsampling,
     JFIF integer-exact YCbCr→RGB). Restart intervals (DRI + RSTn
-    markers) are supported. Raises ``ValueError`` on any unsupported
-    variant (progressive, 12-bit
-    precision, other sampling layouts, CMYK) or malformed/truncated
+    markers) and progressive (SOF2) streams — spectral selection,
+    successive approximation, EOBRUN — are supported. Raises
+    ``ValueError`` on any unsupported variant (arithmetic coding,
+    12-bit precision, other sampling layouts, CMYK) or
+    malformed/truncated
     stream — callers treat that as "not a decodable image" and fall
     back to opaque-byte handling."""
     try:
@@ -711,6 +912,227 @@ def decode_jpeg_luma(data: bytes) -> tuple[int, int, bytes]:
     return width, height, bytes(luma)
 
 
+def _align_to_marker(data: bytes, pos: int) -> int:
+    """Advance past a finished entropy segment's pad byte (possibly
+    0xFF + stuffed 0x00) and any 0xFF fill bytes so ``pos`` points at
+    the 0xFF of the next marker (T.81 §B.1.1.2)."""
+    if pos + 1 < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+        elif data[pos + 1] == 0x00:
+            pos += 2
+    while (
+        pos + 1 < len(data)
+        and data[pos] == 0xFF
+        and data[pos + 1] == 0xFF
+    ):
+        pos += 1
+    return pos
+
+
+#: zigzag position k -> linear 64-index (row*8+col), for coefficient
+#: arrays stored in zigzag order we just use k directly; this map is
+#: for the natural-order IDCT assembly
+def _refine_nonzero(reader: "_BitReader", coef: list, z: int, p1: int) -> None:
+    # T.81 §G.2: one correction bit per already-nonzero coefficient;
+    # bit 1 moves the value one quantum away from zero unless this
+    # scan's bit position is already set (two's-complement OR/ADD —
+    # Python's arbitrary-precision negatives behave identically)
+    if reader.bit() and (coef[z] & p1) == 0:
+        coef[z] += p1 if coef[z] > 0 else -p1
+
+
+def _decode_prog_dc(
+    reader, coef, ci, prev_dc, dc_tab, ah, al
+) -> None:
+    if ah == 0:  # first DC scan: magnitude in the scaled-down domain
+        size = _decode_huff(reader, dc_tab)
+        prev_dc[ci] += _extend(reader.bits(size), size)
+        coef[0] = prev_dc[ci] << al
+    else:  # refinement: one bit per block
+        if reader.bit():
+            coef[0] |= 1 << al
+
+
+def _decode_prog_ac_first(
+    reader, coef, ss, se, al, ac_tab, eobrun: list
+) -> None:
+    if eobrun[0] > 0:
+        eobrun[0] -= 1
+        return
+    k = ss
+    while k <= se:
+        sym = _decode_huff(reader, ac_tab)
+        run, size = sym >> 4, sym & 0x0F
+        if size == 0:
+            if run == 15:
+                k += 16  # ZRL inside the band
+                continue
+            eobrun[0] = (1 << run) - 1
+            if run:
+                eobrun[0] += reader.bits(run)
+            return
+        k += run
+        if k > se:
+            raise ValueError("AC run past band end")
+        coef[k] = _extend(reader.bits(size), size) << al
+        k += 1
+
+
+def _decode_prog_ac_refine(
+    reader, coef, ss, se, al, ac_tab, eobrun: list
+) -> None:
+    p1 = 1 << al
+    if eobrun[0] > 0:
+        eobrun[0] -= 1
+        for k in range(ss, se + 1):
+            if coef[k]:
+                _refine_nonzero(reader, coef, k, p1)
+        return
+    k = ss
+    while k <= se:
+        sym = _decode_huff(reader, ac_tab)
+        run, size = sym >> 4, sym & 0x0F
+        newval = 0
+        if size:
+            if size != 1:
+                raise ValueError(
+                    f"bad AC refinement symbol {sym:#x} (size must be 1)"
+                )
+            newval = p1 if reader.bit() else -p1
+        elif run != 15:
+            eobrun[0] = 1 << run
+            if run:
+                eobrun[0] += reader.bits(run)
+            break
+        # advance over `run` zero-HISTORY positions (16 for ZRL),
+        # emitting a correction bit at every nonzero one passed
+        while k <= se:
+            if coef[k]:
+                _refine_nonzero(reader, coef, k, p1)
+            else:
+                if run == 0:
+                    break
+                run -= 1
+            k += 1
+        if k <= se and newval:
+            coef[k] = newval
+        k += 1
+    if eobrun[0] > 0:
+        while k <= se:
+            if coef[k]:
+                _refine_nonzero(reader, coef, k, p1)
+            k += 1
+        eobrun[0] -= 1
+
+
+def _decode_prog_scan(
+    data: bytes,
+    pos: int,
+    scan_comps,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    comps,
+    coefs,
+    comp_grids,
+    huff,
+    restart_interval: int,
+    hmax: int,
+    vmax: int,
+    mcus_x: int,
+    mcus_y: int,
+    width: int,
+    height: int,
+) -> int:
+    """Decode ONE progressive scan (T.81 Annex G.2) into the
+    per-component zigzag coefficient arrays; returns the stream
+    position of the next marker. DC scans (Ss=0) may interleave
+    several components; AC scans are single-component by spec. The
+    non-interleaved block grid is the COMPONENT-padded one
+    (ceil(comp dims / 8)), a strict sub-grid of the MCU-padded
+    storage grid."""
+    is_dc = ss == 0
+    if is_dc and se != 0:
+        raise ValueError(f"bad DC scan band Ss=0 Se={se}")
+    if not is_dc and len(scan_comps) != 1:
+        raise ValueError("AC progressive scans must be single-component")
+    if se > 63 or ss > se:
+        raise ValueError(f"bad spectral band [{ss}, {se}]")
+    if ah not in range(14) or al not in range(14) or (ah and ah != al + 1):
+        raise ValueError(f"bad successive approximation Ah={ah} Al={al}")
+    tables = {}
+    for ci, dci, aci in scan_comps:
+        if is_dc and ah == 0:
+            if (0, dci) not in huff:
+                raise ValueError(f"missing DC Huffman table {dci}")
+            tables[ci] = huff[(0, dci)]
+        elif not is_dc:
+            if (1, aci) not in huff:
+                raise ValueError(f"missing AC Huffman table {aci}")
+            tables[ci] = huff[(1, aci)]
+        else:
+            tables[ci] = None  # DC refinement reads raw bits only
+    reader = _BitReader(data, pos)
+    prev_dc = [0] * len(comps)
+    eobrun = [0]
+    mcu_i = 0
+    if len(scan_comps) > 1:  # interleaved DC scan: MCU walk
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if (
+                    restart_interval
+                    and mcu_i
+                    and mcu_i % restart_interval == 0
+                ):
+                    reader.restart(mcu_i // restart_interval - 1)
+                    prev_dc = [0] * len(comps)
+                mcu_i += 1
+                for ci, _dci, _aci in scan_comps:
+                    _, h, v, _ = comps[ci]
+                    bw, _ = comp_grids[ci]
+                    for by in range(v):
+                        for bx in range(h):
+                            bi = (my * v + by) * bw + (mx * h + bx)
+                            _decode_prog_dc(
+                                reader, coefs[ci][bi], ci, prev_dc,
+                                tables[ci], ah, al,
+                            )
+    else:  # non-interleaved: one block per "MCU"
+        ci = scan_comps[0][0]
+        _, h, v, _ = comps[ci]
+        cw = (width * h + hmax - 1) // hmax
+        ch = (height * v + vmax - 1) // vmax
+        cbw, cbh = (cw + 7) // 8, (ch + 7) // 8
+        bw, _ = comp_grids[ci]
+        for byy in range(cbh):
+            for bxx in range(cbw):
+                if (
+                    restart_interval
+                    and mcu_i
+                    and mcu_i % restart_interval == 0
+                ):
+                    reader.restart(mcu_i // restart_interval - 1)
+                    prev_dc = [0] * len(comps)
+                    eobrun[0] = 0
+                mcu_i += 1
+                zz = coefs[ci][byy * bw + bxx]
+                if is_dc:
+                    _decode_prog_dc(
+                        reader, zz, ci, prev_dc, tables[ci], ah, al
+                    )
+                elif ah == 0:
+                    _decode_prog_ac_first(
+                        reader, zz, ss, se, al, tables[ci], eobrun
+                    )
+                else:
+                    _decode_prog_ac_refine(
+                        reader, zz, ss, se, al, tables[ci], eobrun
+                    )
+    return _align_to_marker(data, reader.pos)
+
+
 def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     if data[:2] != SOI:
         raise ValueError("not a JPEG (missing SOI)")
@@ -720,9 +1142,15 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     comps: list[tuple[int, int, int, int]] = []  # (cid, h, v, tq)
     scan_tabs: dict[int, tuple[int, int]] = {}
     restart_interval = 0
+    progressive = False
+    #: per-component zigzag coefficient blocks, filled scan by scan
+    coefs: list[list[list[int]]] = []
+    comp_grids: list[tuple[int, int]] = []  # interleaved (bw, bh)
+    prog_scans = 0
+    hmax = vmax = mcus_x = mcus_y = 0
     pos = 2
     while True:
-        if pos + 4 > len(data):
+        if pos + 2 > len(data):
             raise ValueError("truncated JPEG (no SOS)")
         if data[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
@@ -731,6 +1159,13 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         while pos + 1 < len(data) and data[pos + 1] == 0xFF:
             pos += 1
         marker = data[pos + 1]
+        if marker == 0xD9:  # EOI — legal terminator after the last
+            if not (progressive and prog_scans):
+                raise ValueError("unexpected EOI before any scan")
+            pos += 2  # progressive scan; baseline breaks at SOS
+            break
+        if pos + 4 > len(data):
+            raise ValueError("truncated JPEG (no SOS)")
         seglen = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
         body = data[pos + 4 : pos + 2 + seglen]
         pos += 2 + seglen
@@ -752,13 +1187,14 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                     if pq
                     else list(raw)
                 )
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported SOF marker 0xff{marker:02x} "
-                "(baseline sequential only)"
+                "(baseline sequential or progressive only)"
             )
-        elif marker == 0xC0:  # SOF0
+        elif marker in (0xC0, 0xC2):  # SOF0 / SOF2 (progressive)
+            progressive = marker == 0xC2
             prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError(f"unsupported precision {prec}")
@@ -811,40 +1247,103 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             if width < 0:
                 raise ValueError("SOS before SOF")
             ns = body[0]
-            if ns != len(comps):
-                raise ValueError(
-                    f"unsupported scan: {ns} components in scan, "
-                    f"{len(comps)} in frame (interleaved only)"
-                )
+            if not progressive:
+                if ns != len(comps):
+                    raise ValueError(
+                        f"unsupported scan: {ns} components in scan, "
+                        f"{len(comps)} in frame (interleaved only)"
+                    )
+                for i in range(ns):
+                    sid = body[1 + 2 * i]
+                    scan_tabs[sid] = (
+                        body[2 + 2 * i] >> 4,
+                        body[2 + 2 * i] & 0x0F,
+                    )
+                break
+            # ---- progressive scan ------------------------------------
+            if not coefs:
+                hmax = max(h for _, h, _, _ in comps)
+                vmax = max(v for _, _, v, _ in comps)
+                mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+                mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+                for _, h, v, _ in comps:
+                    bw, bh = mcus_x * h, mcus_y * v
+                    comp_grids.append((bw, bh))
+                    coefs.append([[0] * 64 for _ in range(bw * bh)])
+            cid_to_ci = {c[0]: i for i, c in enumerate(comps)}
+            scan_comps = []
             for i in range(ns):
                 sid = body[1 + 2 * i]
-                scan_tabs[sid] = (
-                    body[2 + 2 * i] >> 4,
-                    body[2 + 2 * i] & 0x0F,
+                if sid not in cid_to_ci:
+                    raise ValueError(f"scan names unknown component {sid}")
+                scan_comps.append(
+                    (
+                        cid_to_ci[sid],
+                        body[2 + 2 * i] >> 4,
+                        body[2 + 2 * i] & 0x0F,
+                    )
                 )
-            break
-        elif marker in (0xD8, 0xD9):
-            raise ValueError("unexpected SOI/EOI inside header")
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+            pos = _decode_prog_scan(
+                data, pos, scan_comps, ss, se, ah, al,
+                comps, coefs, comp_grids, huff, restart_interval,
+                hmax, vmax, mcus_x, mcus_y, width, height,
+            )
+            prog_scans += 1
+            continue
+        elif marker == 0xD8:
+            raise ValueError("unexpected SOI inside header")
         # APPn/COM/others: skipped
-    hmax = max(h for _, h, _, _ in comps)
-    vmax = max(v for _, _, v, _ in comps)
-    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
-    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+    if progressive:
+        if not prog_scans:
+            raise ValueError("progressive JPEG with no scans")
+    else:
+        hmax = max(h for _, h, _, _ in comps)
+        vmax = max(v for _, _, v, _ in comps)
+        mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+        mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
     planes: list[bytearray] = []
     plane_dims: list[tuple[int, int]] = []
     tabs: list[tuple[list[int], dict, dict]] = []
-    for cid, h, v, tq in comps:
+    for ci, (cid, h, v, tq) in enumerate(comps):
         if tq not in qtables:
             raise ValueError(f"missing quant table {tq}")
+        pw, ph = mcus_x * h * 8, mcus_y * v * 8
+        planes.append(bytearray(pw * ph))
+        plane_dims.append((pw, ph))
+        if progressive:
+            tabs.append((qtables[tq], {}, {}))
+            continue
         if cid not in scan_tabs:
             raise ValueError(f"component {cid} missing from scan")
         dc_id, ac_id = scan_tabs[cid]
         if (0, dc_id) not in huff or (1, ac_id) not in huff:
             raise ValueError("missing Huffman tables")
-        pw, ph = mcus_x * h * 8, mcus_y * v * 8
-        planes.append(bytearray(pw * ph))
-        plane_dims.append((pw, ph))
         tabs.append((qtables[tq], huff[(0, dc_id)], huff[(1, ac_id)]))
+
+    if progressive:
+        # all scans consumed: dequantize + IDCT every block into its
+        # component plane — identical math to the baseline path
+        for ci, (cid, h, v, tq) in enumerate(comps):
+            q = qtables[tq]
+            bw, _ = comp_grids[ci]
+            pw, _ = plane_dims[ci]
+            plane = planes[ci]
+            for bi, zz in enumerate(coefs[ci]):
+                coef = [[0.0] * 8 for _ in range(8)]
+                for i, (r, c) in enumerate(ZIGZAG):
+                    coef[r][c] = float(zz[i] * q[i])
+                block = _idct(coef)
+                x0, y0 = (bi % bw) * 8, (bi // bw) * 8
+                for r in range(8):
+                    base = (y0 + r) * pw + x0
+                    row = block[r]
+                    for c in range(8):
+                        plane[base + c] = _u8(row[c] + 128.0)
+        return _planes_to_output(
+            width, height, comps, planes, plane_dims, hmax, vmax
+        )
 
     reader = _BitReader(data, pos)
     prev_dc = [0] * len(comps)
@@ -897,6 +1396,23 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                             for c in range(8):
                                 plane[base + c] = _u8(row[c] + 128.0)
 
+    return _planes_to_output(
+        width, height, comps, planes, plane_dims, hmax, vmax
+    )
+
+
+def _planes_to_output(
+    width: int,
+    height: int,
+    comps,
+    planes,
+    plane_dims,
+    hmax: int,
+    vmax: int,
+) -> tuple[int, int, int, bytes]:
+    """Shared decode tail: crop the single-component plane, or
+    upsample chroma + YCbCr->RGB (vectorized when numpy is present,
+    bit-identical scalar fallback)."""
     if len(comps) == 1:
         pw, _ = plane_dims[0]
         src = planes[0]

@@ -96,16 +96,16 @@ def extract_features(
     drops the binary payload before returning — the output rows are
     ~100 B regardless of input media size.
 
-    Decode is REAL for 8-bit grayscale PNG payloads, baseline JPEG
-    payloads — grayscale AND 3-component YCbCr 4:4:4 / 4:2:0 (round
-    8), reduced to the luma plane — and 16-bit PCM WAV payloads
-    (stdlib codecs, operators/png.py + operators/jpeg.py):
-    pixels/samples are decoded out of the actual container and the
-    strided-window feature means run over real media data,
-    end-to-end. Payloads in any other container (mp4, progressive
-    JPEG, exotic samplings, …) or malformed media fall through to the
-    documented deterministic fake over the raw bytes, so the pipeline
-    shape stays exercised either way.
+    Decode is REAL for 8-bit grayscale PNG payloads, JPEG payloads —
+    baseline AND progressive (round 9), grayscale AND 3-component
+    YCbCr 4:4:4 / 4:2:0, reduced to the luma plane — and 16-bit PCM
+    WAV payloads (stdlib codecs, operators/png.py +
+    operators/jpeg.py): pixels/samples are decoded out of the actual
+    container and the strided-window feature means run over real
+    media data, end-to-end. Payloads in any other container (mp4,
+    arithmetic-coded JPEG, exotic samplings, …) or malformed media
+    fall through to the documented deterministic fake over the raw
+    bytes, so the pipeline shape stays exercised either way.
     """
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

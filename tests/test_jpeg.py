@@ -14,6 +14,7 @@ from k_means_using_mapreduce_spark.operators.jpeg import (
     AC_BITS,
     AC_VALS,
     ZIGZAG,
+    decode_jpeg,
     decode_jpeg_gray,
     encode_jpeg_gray,
 )
@@ -84,11 +85,17 @@ def test_decoder_rejects_unsupported_variants():
     enc = bytearray(encode_jpeg_gray(px, w, h))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg_gray(b"\x00" + bytes(enc))
-    # flip SOF0 -> SOF2 (progressive)
+    # flip SOF0 -> SOF2: the body is still a BASELINE scan (Ss=0,
+    # Se=63), which is not a legal progressive scan header — caught
+    # by the scan-band validation now that SOF2 itself is supported
     idx = bytes(enc).find(b"\xff\xc0")
     prog = bytes(enc[:idx]) + b"\xff\xc2" + bytes(enc[idx + 2 :])
-    with pytest.raises(ValueError, match="baseline"):
+    with pytest.raises(ValueError, match="bad DC scan band"):
         decode_jpeg_gray(prog)
+    # SOF1 (extended sequential) stays unsupported
+    seq = bytes(enc[:idx]) + b"\xff\xc1" + bytes(enc[idx + 2 :])
+    with pytest.raises(ValueError, match="unsupported SOF"):
+        decode_jpeg_gray(seq)
     # a REAL color stream decodes via decode_jpeg but the gray-only
     # wrapper still refuses it (round-8: color is now supported, so
     # the old "claim 3 components in a 1-component body" patch is a
@@ -449,3 +456,250 @@ def test_numpy_and_scalar_paths_agree():
             del sys.modules["numpy"]
             sys.modules.update(saved)
         assert with_np == without_np, (w, h)
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2)
+# ---------------------------------------------------------------------------
+
+
+def test_progressive_round_trip_matches_baseline_exactly():
+    """Spectral-selection progressive carries the SAME quantized
+    coefficients as baseline, so the decoded pixels must be
+    bit-identical to the baseline round trip — gray and color, 4:4:4
+    and 4:2:0, single and split bands, non-multiple-of-8 dims."""
+    from k_means_using_mapreduce_spark.operators.jpeg import (
+        encode_jpeg_color,
+        encode_jpeg_progressive,
+    )
+
+    rng = random.Random(7)
+    for w, h in ((8, 8), (16, 8), (13, 11), (17, 9)):
+        px = bytes(rng.randrange(256) for _ in range(w * h))
+        base = decode_jpeg(encode_jpeg_gray(px, w, h))
+        for bands in (((1, 63),), ((1, 5), (6, 63)), ((1, 2), (3, 10), (11, 63))):
+            assert (
+                decode_jpeg(encode_jpeg_progressive(px, w, h, bands=bands))
+                == base
+            ), (w, h, bands)
+        rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        for sub in ("4:4:4", "4:2:0"):
+            base_c = decode_jpeg(encode_jpeg_color(rgb, w, h, subsample=sub))
+            prog_c = decode_jpeg(
+                encode_jpeg_progressive(
+                    rgb, w, h, color=True, subsample=sub,
+                    bands=((1, 9), (10, 63)),
+                )
+            )
+            assert prog_c == base_c, (w, h, sub)
+
+
+def test_progressive_encoder_guards():
+    from k_means_using_mapreduce_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    with pytest.raises(ValueError, match="bands"):
+        encode_jpeg_progressive(bytes(64), 8, 8, bands=((0, 63),))
+    with pytest.raises(ValueError, match="bands"):
+        encode_jpeg_progressive(bytes(64), 8, 8, bands=((1, 10), (5, 63)))
+    with pytest.raises(ValueError, match="payload"):
+        encode_jpeg_progressive(bytes(63), 8, 8)
+    with pytest.raises(ValueError, match="chroma"):
+        encode_jpeg_progressive(bytes(64), 8, 8, subsample="4:2:0")
+
+
+def _prog_headers(q, width=8, height=8):
+    from k_means_using_mapreduce_spark.operators import jpeg as J
+
+    sof = struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
+    return (
+        J.SOI
+        + J._seg(0xDB, bytes([0]) + bytes(q))
+        + J._seg(0xC2, sof)
+        + J._seg(0xC4, bytes([0x00]) + bytes(J.DC_BITS) + bytes(J.DC_VALS))
+        + J._seg(0xC4, bytes([0x10]) + bytes(J.AC_BITS) + bytes(J.AC_VALS))
+    )
+
+
+def _expected_pixels(zz, q):
+    from k_means_using_mapreduce_spark.operators import jpeg as J
+
+    coef = [[0.0] * 8 for _ in range(8)]
+    for i, (r, c) in enumerate(J.ZIGZAG):
+        coef[r][c] = float(zz[i] * q[i])
+    block = J._idct(coef)
+    return bytes(
+        J._u8(block[r][c] + 128.0) for r in range(8) for c in range(8)
+    )
+
+
+def test_progressive_successive_approximation_crafted():
+    """Hand-built SA scan script over one 8x8 block: DC first at Al=2
+    plus two DC refinements, AC first at Al=1 plus an AC refinement
+    with newly-significant coefficients, interleaved correction bits,
+    and ZRL runs — the exact T.81 G.2 bit order. The decoder must
+    reconstruct the intended coefficients bit-for-bit (expected
+    pixels computed from the coefficient array directly)."""
+    from k_means_using_mapreduce_spark.operators import jpeg as J
+
+    q = [1] * 64
+    # intended final zigzag coefficients
+    zz = [0] * 64
+    zz[0], zz[1], zz[2], zz[7], zz[20], zz[40] = -13, 5, -1, -6, 3, -1
+    dc_codes = J._build_codes(J.DC_BITS, J.DC_VALS)
+    ac_codes = J._build_codes(J.AC_BITS, J.AC_VALS)
+
+    def dc_scan(al, ah, payload_bits):
+        w = J._BitWriter()
+        for code, length in payload_bits:
+            w.write(code, length)
+        w.flush()
+        return (
+            J._seg(0xDA, bytes([1, 1, 0x00, 0, 0, (ah << 4) | al]))
+            + bytes(w.out)
+        )
+
+    # scan 1: DC first, Al=2 -> diff = -13 >> 2 = -4 (size 3)
+    c, l = dc_codes[3]
+    s1 = dc_scan(2, 0, [(c, l), (-4 + (1 << 3) - 1, 3)])
+    # scans 2-3: DC refinement bits (-13 = ...10011): bit1=1, bit0=1
+    s2 = dc_scan(1, 2, [(1, 1)])
+    s3 = dc_scan(0, 1, [(1, 1)])
+
+    # scan 4: AC first, Ss=1 Se=63, Al=1 -> high halves (toward zero):
+    # k1:+2, k7:-3, k20:+1
+    w = J._BitWriter()
+    c, l = ac_codes[(0 << 4) | 2]
+    w.write(c, l)
+    w.write(2, 2)
+    c, l = ac_codes[(5 << 4) | 2]
+    w.write(c, l)
+    w.write(-3 + 3, 2)
+    c, l = ac_codes[(12 << 4) | 1]
+    w.write(c, l)
+    w.write(1, 1)
+    c, l = ac_codes[0x00]
+    w.write(c, l)
+    w.flush()
+    s4 = J._seg(0xDA, bytes([1, 1, 0x00, 1, 63, (0 << 4) | 1])) + bytes(w.out)
+
+    # scan 5: AC refinement, Al=0 — G.2 bit order:
+    #  sym(0,1) sign(0)  corr(k1)=1          -> k2 = -1, k1 -> 5
+    #  ZRL               corr(k7)=0          -> skips k3..k18
+    #  ZRL               corr(k20)=1         -> skips k21..k36, k20 -> 3
+    #  sym(3,1) sign(0)                       -> k40 = -1
+    #  EOB                                    -> no trailing corrections
+    w = J._BitWriter()
+    c, l = ac_codes[(0 << 4) | 1]
+    w.write(c, l)
+    w.write(0, 1)  # sign: negative
+    w.write(1, 1)  # correction for k1
+    c, l = ac_codes[0xF0]
+    w.write(c, l)
+    w.write(0, 1)  # correction for k7
+    c, l = ac_codes[0xF0]
+    w.write(c, l)
+    w.write(1, 1)  # correction for k20
+    c, l = ac_codes[(3 << 4) | 1]
+    w.write(c, l)
+    w.write(0, 1)  # sign: negative
+    c, l = ac_codes[0x00]
+    w.write(c, l)
+    w.flush()
+    s5 = J._seg(0xDA, bytes([1, 1, 0x00, 1, 63, (1 << 4) | 0])) + bytes(w.out)
+
+    stream = _prog_headers(q) + s1 + s2 + s3 + s4 + s5 + J.EOI
+    wdt, hgt, ncomp, pixels = decode_jpeg(stream)
+    assert (wdt, hgt, ncomp) == (8, 8, 1)
+    assert pixels == _expected_pixels(zz, q)
+
+
+def test_progressive_eobrun_spans_blocks_and_restarts():
+    """EOBRUN covering two blocks with one symbol, and a separate
+    crafted stream with DRI=1 restarts inside BOTH progressive scan
+    types (DC predictors and EOBRUN reset at every marker)."""
+    from k_means_using_mapreduce_spark.operators import jpeg as J
+
+    q = [1] * 64
+    dc_codes = J._build_codes(J.DC_BITS, J.DC_VALS)
+    # the Annex-K baseline AC table has no EOBRUN symbols (r>0, s=0);
+    # progressive streams carry their own tables — craft a 2-symbol
+    # one: 0x00 (EOB) at 1 bit, 0x10 (EOBRUN r=1) at 2 bits
+    ac_bits = [1, 1] + [0] * 14
+    ac_vals = [0x00, 0x10]
+    ac_codes = J._build_codes(ac_bits, ac_vals)
+    sof = struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0])
+    head = (
+        J.SOI
+        + J._seg(0xDB, bytes([0]) + bytes(q))
+        + J._seg(0xC2, sof)
+        + J._seg(0xC4, bytes([0x00]) + bytes(J.DC_BITS) + bytes(J.DC_VALS))
+        + J._seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    )
+    # DC scan: block0 dc=8 (diff 8), block1 dc=-8 (diff -16)
+    w = J._BitWriter()
+    c, l = dc_codes[4]
+    w.write(c, l)
+    w.write(8, 4)
+    c, l = dc_codes[5]
+    w.write(c, l)
+    w.write(-16 + 31, 5)
+    w.flush()
+    dc = J._seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0])) + bytes(w.out)
+    # AC scan: ONE symbol — EOBRUN r=1 + 1 extra bit (0) => 2 blocks
+    w = J._BitWriter()
+    c, l = ac_codes[0x10]
+    w.write(c, l)
+    w.write(0, 1)
+    w.flush()
+    ac = J._seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0])) + bytes(w.out)
+    wdt, hgt, ncomp, pixels = decode_jpeg(head + dc + ac + J.EOI)
+    assert (wdt, hgt, ncomp) == (16, 8, 1)
+    # flat blocks: dc=8 -> 129, dc=-8 -> 127
+    for y in range(8):
+        row = pixels[y * 16 : (y + 1) * 16]
+        assert row == bytes([129] * 8 + [127] * 8), (y, row)
+
+    # restart variant: DRI=1, RST0 between the two blocks in BOTH
+    # scans; DC predictor resets so block1's diff is -8 from 0
+    head_dri = (
+        J.SOI
+        + J._seg(0xDB, bytes([0]) + bytes(q))
+        + J._seg(0xDD, struct.pack(">H", 1))
+        + J._seg(0xC2, sof)
+        + J._seg(0xC4, bytes([0x00]) + bytes(J.DC_BITS) + bytes(J.DC_VALS))
+        + J._seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    )
+    w = J._BitWriter()
+    c, l = dc_codes[4]
+    w.write(c, l)
+    w.write(8, 4)
+    w.flush()
+    part0 = bytes(w.out)
+    w = J._BitWriter()
+    c, l = dc_codes[4]
+    w.write(c, l)
+    w.write(-8 + 15, 4)
+    w.flush()
+    dc = (
+        J._seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0]))
+        + part0
+        + b"\xff\xd0"
+        + bytes(w.out)
+    )
+    w = J._BitWriter()
+    c, l = ac_codes[0x00]
+    w.write(c, l)
+    w.flush()
+    eob = bytes(w.out)
+    ac = (
+        J._seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0]))
+        + eob
+        + b"\xff\xd0"
+        + eob
+    )
+    wdt, hgt, ncomp, pixels = decode_jpeg(head_dri + dc + ac + J.EOI)
+    for y in range(8):
+        row = pixels[y * 16 : (y + 1) * 16]
+        assert row == bytes([129] * 8 + [127] * 8), (y, row)
