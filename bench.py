@@ -488,6 +488,7 @@ BENCH_QUERIES = [
     "substring_spans_documents",
     "substring_doc_stats_documents",
     "ind_lattice_walk_tpch",
+    "media_jpeg_progressive_features",
 ]
 
 KMEANS_FIT_K = 8

@@ -493,3 +493,68 @@ FROM px
 
 QUERIES["media_jpeg_color_features"] = media_jpeg_color_features
 ORACLE_SQL["media_jpeg_color_features"] = MEDIA_JPEG_COLOR_FEATURES_SQL
+
+
+def media_jpeg_progressive_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """END-TO-END PROGRESSIVE JPEG codec contract (round-9, SOF2):
+    the same md5-driven two-MCU-tile 16x32 RGB construction as
+    ``media_jpeg_color_features``, but encoded as a PROGRESSIVE
+    4:2:0 stream (operators/jpeg.py::encode_jpeg_progressive:
+    interleaved DC scan + per-component split-band AC scans) and
+    decoded through the multi-scan Annex-G.2 path. Progressive
+    spectral selection carries coefficients IDENTICAL to baseline,
+    so the decoded RGB equals the baseline contract's closed-form
+    double-rounded composition — the SAME oracle SQL gates both;
+    the hash matches only if scan segmentation, per-scan Huffman
+    state, coefficient accumulation across scans, and the shared
+    reconstruction tail are all faithful."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select(
+        F.col("doc_id"),
+        F.md5(F.encode("text", "utf-8")).alias("hex"),
+    )
+
+    def roundtrip(batches: "Iterator") -> "Iterator":
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.jpeg import (
+            decode_jpeg_color,
+            encode_jpeg_progressive,
+        )
+
+        def tiles(h: str) -> list[tuple[float, float, float]]:
+            rgb = bytearray()
+            for t in range(2):
+                px = bytes(ord(c) for c in h[3 * t : 3 * t + 3])
+                rgb.extend(px * (16 * 16))
+            enc = encode_jpeg_progressive(
+                bytes(rgb), 16, 32, color=True, subsample="4:2:0",
+                bands=((1, 5), (6, 63)),
+            )
+            _, _, out = decode_jpeg_color(enc)
+            a = np.frombuffer(out, dtype=np.uint8).reshape(2, 256, 3)
+            sums = a.astype(np.int64).sum(axis=1)
+            return [tuple(sums[t] / 256.0) for t in range(2)]
+
+        for pdf in batches:
+            rows = {"doc_id": [], "tile": [], "r": [], "g": [], "b": []}
+            for doc_id, h in zip(pdf["doc_id"], pdf["hex"]):
+                for t, (rm, gm, bm) in enumerate(tiles(h)):
+                    rows["doc_id"].append(doc_id)
+                    rows["tile"].append(t)
+                    rows["r"].append(rm)
+                    rows["g"].append(gm)
+                    rows["b"].append(bm)
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(
+        roundtrip,
+        "doc_id long, tile int, r double, g double, b double",
+    )
+
+
+QUERIES["media_jpeg_progressive_features"] = media_jpeg_progressive_features
+ORACLE_SQL["media_jpeg_progressive_features"] = MEDIA_JPEG_COLOR_FEATURES_SQL
