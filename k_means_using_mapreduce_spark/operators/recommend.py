@@ -380,13 +380,15 @@ def recommend_topk_gemm(
     handling is exact: candidates at the k-th score boundary are kept
     and resolved by item id, matching the window's ``ORDER BY score
     DESC, item`` total order. Scores are bit-identical to the
-    expression path for rank ≤ 2: that path avoids BLAS entirely
-    (``np.dot`` may dispatch to an FMA dgemm that contracts
-    ``round(u0*y0 + round(u1*y1))`` and drifts 1 ulp from the
-    expression plan's ``round(round(u0*y0) + round(u1*y1))``) and
-    instead pins the two-rounding order with explicit elementwise
-    multiply + add into the reused block buffers. For larger ranks
-    the windowed :func:`recommend_topk` remains the
+    expression path for rank ≤ 2: ``np.dot`` may dispatch to an FMA
+    dgemm that contracts ``round(u0*y0 + round(u1*y1))`` and drifts
+    ~1 ulp from the expression plan's ``round(round(u0*y0) +
+    round(u1*y1))``, so the dgemm is used for RANKING only — the
+    per-row top-k boundary is widened by a few ulps and every emitted
+    score is recomputed with separate numpy multiply/add ufunc calls
+    over the small candidate set (ufuncs cannot contract across
+    calls), pinning the two-rounding order at dgemm speed. For larger
+    ranks the windowed :func:`recommend_topk` remains the
     term-order-pinned path.
 
     Item ids must be an integral Spark type (they are packed into an
@@ -454,8 +456,17 @@ def recommend_topk_gemm(
         # users × items)
         block = 256
         sbuf = np.empty((block, n), dtype=np.float64)
-        tbuf = np.empty((block, n), dtype=np.float64)
         rank = Yt.shape[0]
+        # rank <= 2: the dgemm is used for RANKING only — an
+        # FMA-contracting BLAS may drift each score up to ~1 ulp from
+        # the expression path's round-each-product-then-sum, so the
+        # per-row selection widens the boundary by a few ulps and the
+        # emitted scores are recomputed exactly (separate numpy
+        # multiply/add ufunc calls over the tiny candidate set cannot
+        # contract across calls). Pure-elementwise full-matrix scoring
+        # was tried first and is 7-12x slower than the single-pass
+        # dgemm (three memory passes over block x catalog).
+        pin2 = 1 <= rank <= 2
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -465,18 +476,7 @@ def recommend_topk_gemm(
             for start in range(0, len(U), block):
                 ub = U[start : start + block]
                 S = sbuf[: len(ub)]
-                if 1 <= rank <= 2:
-                    # no BLAS: an FMA dgemm may contract the
-                    # multiply-add and drift 1 ulp from the
-                    # expression path's round-each-product-then-sum;
-                    # explicit elementwise ops pin that order
-                    np.multiply(ub[:, 0:1], Yt[0:1], out=S)
-                    if rank == 2:
-                        T = tbuf[: len(ub)]
-                        np.multiply(ub[:, 1:2], Yt[1:2], out=T)
-                        np.add(S, T, out=S)
-                else:
-                    np.dot(ub, Yt, out=S)
+                np.dot(ub, Yt, out=S)
                 for r in range(len(ub)):
                     row = S[r]
                     # exact boundary-tie handling: argpartition picks
@@ -486,15 +486,31 @@ def recommend_topk_gemm(
                     # (ids pre-sorted), so ties resolve by item id,
                     # the window's (score DESC, item ASC) total order
                     v = row[np.argpartition(-row, kk - 1)[:kk]].min()
-                    cand = np.nonzero(row >= v)[0]
-                    sel = cand[
-                        np.argsort(-row[cand], kind="stable")[:kk]
-                    ]
+                    if pin2:
+                        # widen by the FMA drift bound so no exact
+                        # top-k member can hide below the fast kth
+                        eps = 4.0 * np.spacing(
+                            max(np.abs(row).max(), 1.0)
+                        )
+                        cand = np.nonzero(row >= v - eps)[0]
+                        ex = ub[r, 0] * Yt[0, cand]
+                        if rank == 2:
+                            ex = ex + ub[r, 1] * Yt[1, cand]
+                        loc = np.argsort(-ex, kind="stable")[:kk]
+                        sel = cand[loc]
+                        scores = ex[loc]
+                    else:
+                        cand = np.nonzero(row >= v)[0]
+                        loc = np.argsort(-row[cand], kind="stable")[
+                            :kk
+                        ]
+                        sel = cand[loc]
+                        scores = row[sel].copy()
                     out_u.append(
                         np.full(len(sel), users[start + r])
                     )
                     out_i.append(ids_l[sel])
-                    out_s.append(row[sel].copy())
+                    out_s.append(scores)
                     out_r.append(np.arange(1, len(sel) + 1))
             yield pd.DataFrame(
                 {
