@@ -20,7 +20,7 @@ from collections.abc import Callable, Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.loaders import load_table
+from ..sources.loaders import fan_out, load_table
 
 
 def media_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -51,7 +51,7 @@ def media_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    feats = media.mapInPandas(
+    feats = fan_out(media).mapInPandas(
         gen, "asset_id long, source string, n_bytes int, digest string"
     )
     return feats.groupBy("source").agg(
@@ -227,7 +227,7 @@ def media_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    media = src.mapInPandas(
+    media = fan_out(src).mapInPandas(
         encode,
         "asset_id long, media_type string, payload binary, "
         "width int, height int, duration_ms int",
@@ -289,7 +289,7 @@ def media_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    media = src.mapInPandas(
+    media = fan_out(src).mapInPandas(
         encode,
         "asset_id long, media_type string, payload binary, "
         "width int, height int, duration_ms int",
@@ -361,7 +361,7 @@ def media_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    media = src.mapInPandas(
+    media = fan_out(src).mapInPandas(
         encode,
         "asset_id long, media_type string, payload binary, "
         "width int, height int, duration_ms int",
@@ -445,7 +445,7 @@ def media_jpeg_color_features(
                     rows["b"].append(bm)
             yield pd.DataFrame(rows)
 
-    return src.mapInPandas(
+    return fan_out(src).mapInPandas(
         roundtrip,
         "doc_id long, tile int, r double, g double, b double",
     )
@@ -550,7 +550,7 @@ def media_jpeg_progressive_features(
                     rows["b"].append(bm)
             yield pd.DataFrame(rows)
 
-    return src.mapInPandas(
+    return fan_out(src).mapInPandas(
         roundtrip,
         "doc_id long, tile int, r double, g double, b double",
     )

@@ -41,7 +41,13 @@ def shingle_rows(
     inside the when-chain (no CSE across higher-order functions) —
     measured ~8× slower at sf0.1.
     """
-    return df.select(
+    from ..sources.loaders import fan_out
+
+    # tokenization + shingle assembly is the dominant per-row CPU of
+    # every consumer (minhash, jaccard, containment, overlap); spread
+    # the (id, text) projection before it (guide §2.5 — single-row-
+    # group scans otherwise tokenize on one core; no-op when wide)
+    return fan_out(df.select(F.col(id_col).alias(id_col), F.col(content_col))).select(
         F.col(id_col).alias(id_col), tokens(content_col).alias("_toks")
     ).select(
         id_col, F.explode(shingles_of(F.col("_toks"), shingle_n)).alias("sh")

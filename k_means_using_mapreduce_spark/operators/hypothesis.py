@@ -319,9 +319,16 @@ def poisson_bootstrap_mean_ci(
         raise ValueError(f"replicates must be >= 10, got {replicates}")
     if not 0 < alpha < 1:
         raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    from ..sources.loaders import fan_out
+
     base = df.where(F.col(value_col).isNotNull()).select(
         F.col(id_col).alias("_id"), F.col(value_col).cast("double").alias("_v")
     )
+    # B md5 draws per row are generated MAP-SIDE in the scan stage; on a
+    # single-row-group input that serializes n×B hashes onto one core —
+    # spread the (id, v) rows first (guide §2.5), the fan-out exchange
+    # carries 2 columns and is a no-op when the scan is already wide
+    base = fan_out(base)
     rep = base.select(
         "_id",
         "_v",

@@ -108,6 +108,10 @@ def extract_features(
     bytes, so the pipeline shape stays exercised either way.
     """
 
+    from ..sources.loaders import fan_out
+
+    media = fan_out(media)  # single-row-group scans decode on 1 core otherwise
+
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as pd  # local import: runs on executor workers
 
@@ -206,6 +210,10 @@ def resize_raw(
     if mode not in ("nearest", "bilinear"):
         raise ValueError(f"mode must be 'nearest' or 'bilinear', got {mode!r}")
 
+    from ..sources.loaders import fan_out
+
+    media = fan_out(media)
+
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
         import pandas as pd
@@ -295,6 +303,10 @@ def frame_sample_raw(
     """
     if every_ms < 1:
         raise ValueError(f"every_ms must be >= 1, got {every_ms}")
+
+    from ..sources.loaders import fan_out
+
+    media = fan_out(media)
 
     out_schema = T.StructType(
         [
@@ -509,7 +521,9 @@ def byte_stats(
                 ],
             )
 
-    bounded = media.select("asset_id", "media_type", payload_col)
+    from ..sources.loaders import fan_out
+
+    bounded = fan_out(media.select("asset_id", "media_type", payload_col))
     spark = media.sparkSession
     spark.conf.set(
         "spark.sql.execution.arrow.maxRecordsPerBatch", str(rows_per_batch)

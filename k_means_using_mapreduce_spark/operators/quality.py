@@ -949,16 +949,20 @@ def inclusion_dependencies(
     parts = []
     for label, (df, col) in sorted(sources.items()):
         parts.append(
-            df.where(F.col(col).isNotNull())
-            .select(
+            df.where(F.col(col).isNotNull()).select(
                 F.lit(label).alias("a"),
                 F.col(col).cast("string").alias("v"),
             )
-            .distinct()
         )
-    vals = parts[0]
+    raw = parts[0]
     for p in parts[1:]:
-        vals = vals.unionAll(p)
+        raw = raw.unionAll(p)
+    # ONE distinct over the union instead of one per attribute: the
+    # label is part of the key, so distinct(union) ≡ union(distinct)
+    # row-for-row, but it costs a single shuffle/stage where the
+    # per-part form paid |attrs| of them (guide §2.4 — share one
+    # exchange). Both downstream consumers re-derive from this.
+    vals = raw.distinct()
     # vals is consumed twice (set aggregation + per-attr counts) but
     # deliberately NOT pinned: the recompute is cheap single-column
     # distinct counts with map-side partial aggregation, while an
@@ -1031,6 +1035,8 @@ def nary_inclusion_dependencies(
     if n < 1:
         raise ValueError("composite attributes need at least one column")
     vcols = [f"v{i}" for i in range(n)]
+    from ..sources.loaders import fan_out
+
     parts = []
     for label, (df, cols) in sorted(sources.items()):
         notnull = None
@@ -1038,19 +1044,24 @@ def nary_inclusion_dependencies(
             cond = F.col(c).isNotNull()
             notnull = cond if notnull is None else notnull & cond
         parts.append(
-            df.where(notnull)
-            .select(
+            df.where(notnull).select(
                 F.lit(label).alias("a"),
                 *[
                     F.col(c).cast("string").alias(v)
                     for c, v in zip(cols, vcols)
                 ],
             )
-            .distinct()
         )
-    vals = parts[0]
+    raw = parts[0]
     for p in parts[1:]:
-        vals = vals.unionAll(p)
+        raw = raw.unionAll(p)
+    # ONE distinct over the union instead of one per composite (the
+    # label is in the key, so distinct(union) ≡ union(distinct)): a
+    # single exchange/stage where the per-part form paid |attrs| of
+    # them (guide §2.4). fan_out first: the string-cast + hash-agg
+    # map side otherwise runs on the one task per single-row-group
+    # scan (guide §2.5; no-op at real scale).
+    vals = fan_out(raw).distinct()
     # consumed twice (set aggregation + per-attr counts): pin once
     return _spider_containment(vals, vcols, pin=True)
 

@@ -1004,10 +1004,11 @@ def ransac_line(
     sid = F.col(id_col).cast("string") if isinstance(id_col, str) else (
         id_col.cast("string")
     )
+    from ..sources.loaders import fan_out
+
     rows = df.where(x.isNotNull() & y.isNotNull()).select(
         sid.alias("_id"), x.alias("x"), y.alias("y")
     )
-
     # ONE md5 per row; per-seed draws fan out affinely from its two
     # independent 60/56-bit halves (the bloomjoin Kirsch-Mitzenmacher
     # doctrine): h_s = h1 + s·h2 stays < 2^61 for s ≤ 16, exact int64
@@ -1015,11 +1016,27 @@ def ransac_line(
     if seeds > 16:
         raise ValueError(f"seeds must be <= 16, got {seeds}")
     _md5 = F.md5(F.col("_id"))
-    _h1 = F.conv(F.substring(_md5, 1, 15), 16, 10).cast("long")
-    _h2 = F.conv(F.substring(_md5, 16, 14), 16, 10).cast("long")
+    # four aggregate ACTIONS follow (min, second-min, votes, refit) —
+    # each re-executes its whole plan, so hash once into a spread,
+    # materialized (h1, h2, x, y) relation: the md5 is computed one
+    # time total and every pass runs on all cores instead of the one
+    # task a single-row-group scan yields (guide §2.5 + §5 caching of
+    # a genuinely multi-action intermediate)
+    rows = fan_out(
+        rows.select(
+            F.conv(F.substring(_md5, 1, 15), 16, 10)
+            .cast("long")
+            .alias("_h1"),
+            F.conv(F.substring(_md5, 16, 14), 16, 10)
+            .cast("long")
+            .alias("_h2"),
+            "x",
+            "y",
+        )
+    ).localCheckpoint(eager=True)
 
     def h(s: int):
-        return _h1 + F.lit(int(s)) * _h2
+        return F.col("_h1") + F.lit(int(s)) * F.col("_h2")
 
     first = rows.agg(
         *[

@@ -69,8 +69,14 @@ def doc_gram_buckets(text_col: Column | str, *, buckets: int) -> Column:
 
 
 def _bucket_counts(df: DataFrame, text_col: str, buckets: int) -> DataFrame:
+    from ..sources.loaders import fan_out
+
+    # the tokenize → shingle → md5 gram pipeline is the dominant
+    # per-row CPU of every DSIR pass; spread the text column before it
+    # (guide §2.5 — single-row-group scans otherwise run it on 1 core)
     return (
-        df.select(F.explode(doc_gram_buckets(text_col, buckets=buckets)).alias("bucket"))
+        fan_out(df.select(F.col(text_col).alias(text_col)))
+        .select(F.explode(doc_gram_buckets(text_col, buckets=buckets)).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("cnt"))
     )
@@ -141,8 +147,11 @@ def dsir_log_weights(
     null-bucket row, weight 0: their likelihood is 1 under both
     models).
     """
+    from ..sources.loaders import fan_out
+
     return (
-        df.select(
+        fan_out(df.select(id_col, text_col))
+        .select(
             id_col,
             F.explode_outer(
                 doc_gram_buckets(text_col, buckets=_ratio_buckets(log_ratio))
@@ -188,14 +197,23 @@ def dsir_weights_fused(
         raise ValueError(f"buckets must be >= 2, got {buckets}")
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0 (smoothing), got {alpha}")
+    from ..sources.loaders import fan_out
+
     spark = df.sparkSession
-    exploded = df.select(
-        F.col(id_col).alias(id_col),
-        target_pred.alias("_is_target"),
-        F.explode_outer(
-            doc_gram_buckets(text_col, buckets=buckets)
-        ).alias("bucket"),
-    ).localCheckpoint()
+    # the shared gram pipeline (tokenize → shingle → md5) is the
+    # dominant per-row CPU; spread the 3 needed columns before it
+    # (guide §2.5 — no-op when the scan is already wide)
+    exploded = (
+        fan_out(df.select(F.col(id_col), target_pred.alias("_is_target"), F.col(text_col)))
+        .select(
+            F.col(id_col).alias(id_col),
+            F.col("_is_target"),
+            F.explode_outer(
+                doc_gram_buckets(text_col, buckets=buckets)
+            ).alias("bucket"),
+        )
+        .localCheckpoint()
+    )
     grams = exploded.where(F.col("bucket").isNotNull())
     t = (
         grams.where(F.col("_is_target"))

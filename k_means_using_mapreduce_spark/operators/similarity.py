@@ -334,10 +334,16 @@ def ivf_recall(
     from ..functions.vectors import dot_expr, l2_norm_expr
     from .kmeans import assign
 
+    from ..sources.loaders import fan_out
+
     feats = corpus.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("features"),
     )
+    # the narrow assign + Q-query scoring pipeline below is pure per-row
+    # CPU; a single-row-group scan would run it all on one core (guide
+    # §2.5) — spread the (id, vec) projection once, no-op when wide
+    feats = fan_out(feats)
     bucketed = assign(feats, centroids, keep_dist=False)
     # per-query probe ranking of every centroid: sorted (sq_dist, cid)
     # struct array — ties on distance break to the lower cid, matching

@@ -77,6 +77,37 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, multiplier: int = 1) -> DataFrame:
+    """Round-robin repartition an UNDER-PARALLELIZED relation up to the
+    session's parallelism before CPU-heavy per-row work (optimization
+    guide §2.5: unsplittable input → repartition immediately after the
+    read).
+
+    Why: the bench tables are single-row-group parquet files, so every
+    scan is ONE non-empty task no matter how many file splits the
+    planner makes — all per-row compute (md5 pipelines, tokenization,
+    Arrow kernels) serializes onto one core. This helper moves the few
+    megabytes once so the expensive projection runs on every core.
+
+    Why it is scale-safe: the partition count is DERIVED
+    (``defaultParallelism × multiplier``), never a constant, and the
+    repartition short-circuits to a no-op whenever the input already
+    carries at least that many partitions — at real scale the file
+    layout provides the parallelism and no exchange is added. Round-
+    robin repartition is retry-stable (Spark sorts before repartition,
+    SPARK-23207) and row placement does not depend on
+    ``spark.sql.shuffle.partitions``, so canon-stability holds.
+
+    Apply AFTER projecting the needed columns (the exchange then
+    carries only those bytes) and BEFORE the heavy per-row work.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * max(1, multiplier)
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def ns_to_timestamp(col: F.Column | str) -> F.Column:
     """Convert a nanos-as-long column (see load_table) to a timestamp
     (microsecond precision — Spark's native timestamp resolution).
