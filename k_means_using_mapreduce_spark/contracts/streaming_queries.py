@@ -45,6 +45,7 @@ from __future__ import annotations
 import itertools
 import os
 import tempfile
+import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -229,13 +230,27 @@ def streaming_quantile_sink_events(
     )
     work = _scratch("stream_q_contract_")
     in_dir = f"{work}/in"
-    # two files -> two micro-batches under maxFilesPerTrigger=1
-    ev.where(F.crc32(F.col("event_type").cast("string")) % 2 == 0).coalesce(
-        1
-    ).write.mode("overwrite").parquet(f"{in_dir}/half=0")
-    ev.where(F.crc32(F.col("event_type").cast("string")) % 2 == 1).coalesce(
-        1
-    ).write.mode("overwrite").parquet(f"{in_dir}/half=1")
+    # two files -> two micro-batches under maxFilesPerTrigger=1; ONE
+    # staging job writes both halves (partition column excluded from
+    # the files, so per-dir contents match the previous two-job split)
+    (
+        ev.withColumn(
+            "half",
+            (F.crc32(F.col("event_type").cast("string")) % 2).cast("int"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .partitionBy("half")
+        .parquet(in_dir)
+    )
+    # pin micro-batch order (oldest-first file source) now that both
+    # halves are written by one job with near-identical mtimes
+    now = time.time()
+    for half, age in ((0, 120.0), (1, 60.0)):
+        d = f"{in_dir}/half={half}"
+        for name in os.listdir(d):
+            p = os.path.join(d, name)
+            os.utime(p, (now - age, now - age))
 
     sink = QuantileSketchMergeSink(
         spark, f"{work}/state", keys=["event_type"], value_col="value"
@@ -286,11 +301,22 @@ def _two_batch_dirs(
     work = _scratch(prefix)
     in_dir = f"{work}/in"
     now = time.time()
+    # ONE staging job for both halves: partitionBy writes half=0/half=1
+    # dirs with the same per-dir file contents as the previous
+    # two-job filter-and-write (the partition column is excluded from
+    # the files, matching the dropped event_id split key); coalesce(1)
+    # keeps one file per half so maxFilesPerTrigger=1 still yields
+    # exactly two micro-batches
+    (
+        ev.withColumn("half", (F.col("event_id") % 2).cast("int"))
+        .drop("event_id")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .partitionBy("half")
+        .parquet(in_dir)
+    )
     for half, age in ((0, 120.0), (1, 60.0)):
         d = f"{in_dir}/half={half}"
-        ev.where(F.col("event_id") % 2 == half).drop(
-            "event_id"
-        ).coalesce(1).write.mode("overwrite").parquet(d)
         for name in os.listdir(d):
             p = os.path.join(d, name)
             os.utime(p, (now - age, now - age))
@@ -810,15 +836,21 @@ def streaming_ivm_rollup_orders(
             )
         )
     )
-    import os
-    import time
-
     work = _scratch("stream_ivm_")
     in_dir = f"{work}/in"
     now = time.time()
-    for half, df_half, age in ((0, base, 120.0), (1, delta, 60.0)):
+    # ONE staging job for base + delta (partition column excluded from
+    # the files; per-dir contents identical to the two-job form)
+    (
+        base.withColumn("half", F.lit(0))
+        .unionAll(delta.withColumn("half", F.lit(1)))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .partitionBy("half")
+        .parquet(in_dir)
+    )
+    for half, age in ((0, 120.0), (1, 60.0)):
         d = f"{in_dir}/half={half}"
-        df_half.coalesce(1).write.mode("overwrite").parquet(d)
         for name in os.listdir(d):
             os.utime(os.path.join(d, name), (now - age, now - age))
 
@@ -953,17 +985,31 @@ def streaming_attribution_events(
 
     ev = load_table(spark, sf_dir, "events")
     work = _scratch("stream_join_")
-    for side, typ in (("purchases", "purchase"), ("clicks", "click")):
-        ev.where(F.col("event_type") == typ).select(
-            "user_id", "ts", "event_id"
-        ).coalesce(1).write.mode("overwrite").parquet(f"{work}/{side}")
+    # ONE staging job writes both sides as side=purchases / side=clicks
+    # partition dirs (files carry the same 3 columns as the previous
+    # per-side writes; each stream reads its own partition dir)
+    (
+        ev.where(F.col("event_type").isin("purchase", "click"))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(F.col("event_type") == "purchase", F.lit("purchases"))
+            .otherwise(F.lit("clicks"))
+            .alias("side"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .partitionBy("side")
+        .parquet(f"{work}/in")
+    )
 
     def side_stream(side: str, ts_name: str, id_name: str) -> DataFrame:
         return (
             spark.readStream.schema(
                 "user_id bigint, ts bigint, event_id bigint"
             )
-            .parquet(f"{work}/{side}")
+            .parquet(f"{work}/in/side={side}")
             .select(
                 "user_id",
                 ns_to_timestamp("ts").alias(ts_name),
@@ -1075,9 +1121,6 @@ def streaming_ivf_ingest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     over everything ingested must equal the batch IVF top-k — the
     oracle is the SAME SQL as the batch ``ivf_topk_embeddings``
     contract (same centroids, query vector, nprobe)."""
-    import os
-    import time
-
     from ..streaming.index_ingest import IvfIngestSink
     from .similarity_queries import IVF_NPROBE, QUERY_VEC, TOPK
     from ..contract_constants import EMBEDDING_CENTROIDS
@@ -1088,11 +1131,17 @@ def streaming_ivf_ingest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = _scratch("stream_ivf_")
     in_dir = f"{work}/in"
     now = time.time()
+    # ONE staging job for both halves (see _two_batch_dirs); vec_id is
+    # kept in the files, so the partition column is a separate marker
+    (
+        emb.withColumn("half", (F.col("vec_id") % 2).cast("int"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .partitionBy("half")
+        .parquet(in_dir)
+    )
     for half, age in ((0, 120.0), (1, 60.0)):
         d = f"{in_dir}/half={half}"
-        emb.where(F.col("vec_id") % 2 == half).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(d)
         for name in os.listdir(d):
             os.utime(os.path.join(d, name), (now - age, now - age))
 
