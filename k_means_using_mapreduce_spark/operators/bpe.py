@@ -51,8 +51,11 @@ def word_counts(
     result is vocab-sized (distinct words), the unit every later BPE
     stage operates on.
     """
+    from ..sources.loaders import fan_out
+
     return (
-        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        fan_out(df.select(F.col(text_col)))
+        .select(F.explode(tokens(F.col(text_col))).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("n"))
     )

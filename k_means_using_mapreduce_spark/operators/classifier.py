@@ -64,8 +64,11 @@ def score_documents(
     """
     if dim <= 0:
         raise ValueError(f"dim must be positive, got {dim}")
+    from ..sources.loaders import fan_out
+
     tf = (
-        df.select(F.col(id_col).alias(id_col), F.explode(tokens(content_col)).alias("_tok"))
+        fan_out(df.select(F.col(id_col).alias(id_col), F.col(content_col)))
+        .select(F.col(id_col).alias(id_col), F.explode(tokens(content_col)).alias("_tok"))
         .select(id_col, feature_index(F.col("_tok"), dim).alias("idx"))
         .groupBy(id_col, "idx")
         .agg(F.count("*").alias("tf"))

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..sources.loaders import fan_out as _fan_out
+
 from ..functions.text import bpe_ish_token_count, shingles_of, tokens
 from .dedup import md5_int60
 
@@ -72,7 +74,8 @@ def decontaminate(
         ).distinct()
     else:
         train_sh = (
-            train.select(
+            _fan_out(train.select(F.col(id_col).alias(id_col), F.col(content_col)))
+            .select(
                 F.col(id_col).alias(id_col), tokens(content_col).alias("_t")
             )
             .select(
@@ -82,7 +85,8 @@ def decontaminate(
             .distinct()
         )
     eval_sh = (
-        eval_df.select(tokens(content_col).alias("_t"))
+        _fan_out(eval_df.select(F.col(content_col)))
+        .select(tokens(content_col).alias("_t"))
         .select(F.explode(shingles_of(F.col("_t"), shingle_n)).alias("sh"))
         .select(md5_int60(F.col("sh")).alias("h"))
         .distinct()
@@ -167,7 +171,8 @@ def eval_ngram_bloom(
     growing eval suites).
     """
     hashes = (
-        eval_df.select(tokens(content_col).alias("_t"))
+        _fan_out(eval_df.select(F.col(content_col)))
+        .select(tokens(content_col).alias("_t"))
         .select(F.explode(shingles_of(F.col("_t"), shingle_n)).alias("sh"))
         .select(md5_int60(F.col("sh")).alias("h"))
         .distinct()
@@ -217,7 +222,8 @@ def decontaminate_bloom(
     maybe_hit = pandas_udf(_maybe_hit, "boolean")
 
     train_sh = (
-        train.select(F.col(id_col).alias(id_col), tokens(content_col).alias("_t"))
+        _fan_out(train.select(F.col(id_col).alias(id_col), F.col(content_col)))
+        .select(F.col(id_col).alias(id_col), tokens(content_col).alias("_t"))
         .select(id_col, F.explode(shingles_of(F.col("_t"), shingle_n)).alias("sh"))
         .select(id_col, md5_int60(F.col("sh")).alias("h"))
         .distinct()

@@ -38,9 +38,12 @@ def group_token_counts(
     df: DataFrame, group_col: str = "source", text_col: str = "text"
 ) -> DataFrame:
     """Per-(group, token) occurrence counts: ``(grp, token, y)``."""
+    from ..sources.loaders import fan_out
+
     return (
-        df.select(
-            F.col(group_col).alias("grp"),
+        fan_out(df.select(F.col(group_col).alias("grp"), F.col(text_col)))
+        .select(
+            "grp",
             F.explode(tokens(F.col(text_col))).alias("token"),
         )
         .groupBy("grp", "token")

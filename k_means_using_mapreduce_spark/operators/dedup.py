@@ -396,6 +396,11 @@ def jaccard_pairs(
         else shingle_rows(df, content_col, id_col, shingle_n)
     )
     sh = sh.select(id_col, md5_int60(F.col("sh")).alias("sh")).distinct()
+    # three consumers (sizes + both self-join sides) would each re-run
+    # the tokenize+md5+distinct pipeline — materialize the (id, 8 B
+    # hash) set once (guide §5: reuse beats recompute; it is orders
+    # smaller than the documents it came from)
+    sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     if max_doc_freq is not None:
         rare = (
@@ -457,6 +462,11 @@ def containment_pairs(
         else shingle_rows(df, content_col, id_col, shingle_n)
     )
     sh = sh.select(id_col, md5_int60(F.col("sh")).alias("sh")).distinct()
+    # three consumers (sizes + both self-join sides) would each re-run
+    # the tokenize+md5+distinct pipeline — materialize the (id, 8 B
+    # hash) set once (guide §5: reuse beats recompute; it is orders
+    # smaller than the documents it came from)
+    sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     if max_doc_freq is not None:
         rare = (

@@ -299,8 +299,10 @@ def hashed_features(
     from ..functions.text import tokens
     from .dedup import md5_int60
 
-    tok = df.select(
-        F.col(id_col).alias("id"),
+    from ..sources.loaders import fan_out
+
+    tok = fan_out(df.select(F.col(id_col).alias("id"), F.col(text_col))).select(
+        "id",
         F.explode(tokens(text_col)).alias("tok"),
     ).select("id", md5_int60(F.col("tok")).alias("_h"))
     # `div` keeps the quotient on int64 — a double `/` would shave

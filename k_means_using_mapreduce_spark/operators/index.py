@@ -40,7 +40,9 @@ from ..functions.text import tokens
 def _doc_tokens(
     df: DataFrame, id_col: str, text_col: str, *, distinct: bool
 ) -> DataFrame:
-    out = df.select(
+    from ..sources.loaders import fan_out
+
+    out = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
     )
     return out.distinct() if distinct else out

@@ -55,6 +55,11 @@ def segment_lines(
     single-line corpora — also how "line" dedup generalizes to
     fixed-span shingle-block dedup). line_no is 0-based and dense, so
     reassembly preserves original order. Narrow: no shuffle."""
+    from ..sources.loaders import fan_out
+
+    # line splitting + downstream per-line hashing is per-row CPU; a
+    # single-row-group scan would run it on one core (guide §2.5)
+    df = fan_out(df.select(F.col(id_col), F.col(text_col)))
     if window is not None:
         if window < 1:
             raise ValueError(f"window must be >= 1, got {window}")

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..sources.loaders import fan_out as _fan_out
 from ..functions.text import tokens
 
 
@@ -37,7 +38,8 @@ def fit_unigram_model(
     if alpha <= 0:
         raise ValueError(f"alpha must be positive, got {alpha}")
     counts = (
-        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        _fan_out(df.select(F.col(text_col)))
+        .select(F.explode(tokens(F.col(text_col))).alias("token"))
         .groupBy("token")
         .agg(F.count("*").cast("long").alias("n"))
     )
@@ -80,7 +82,9 @@ def score_documents(
             / (F.sum("n") + F.lit(alpha) * (F.count("*") + F.lit(1.0)))
         ).alias("unk_logprob")
     )
-    pairs = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+    pairs = _fan_out(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    )
     joined = (
         pairs.join(F.broadcast(model.select("token", "logprob")), "token", "left")
         .crossJoin(F.broadcast(unk))
@@ -114,9 +118,9 @@ def source_divergence(
     Scale: one (group, token)-keyed count, a broadcast join of the
     |vocab|-row corpus counts, one group-keyed aggregate.
     """
-    pairs = df.select(
-        F.col(group_col).alias("grp"), F.explode(tokens(F.col(text_col))).alias("token")
-    )
+    pairs = _fan_out(
+        df.select(F.col(group_col).alias("grp"), F.col(text_col))
+    ).select("grp", F.explode(tokens(F.col(text_col))).alias("token"))
     gcounts = pairs.groupBy("grp", "token").agg(
         F.count("*").cast("long").alias("n")
     )
@@ -145,7 +149,7 @@ def fit_bigram_model(
     (w1, w2)-keyed aggregate; the n1 margin reuses the same aggregate.
     """
     toks = tokens(F.col(text_col))
-    pairs = df.select(
+    pairs = _fan_out(df.select(F.col(text_col))).select(
         F.explode(
             F.arrays_zip(
                 F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
@@ -156,6 +160,12 @@ def fit_bigram_model(
     counts = pairs.groupBy("w1", "w2").agg(
         F.count("*").cast("long").alias("n12")
     )
+    # the bigram-TYPE table is consumed at least twice here (margins +
+    # the return join) and up to five more times by the Kneser-Ney /
+    # PMI consumers' broadcast builds — each would re-run the corpus
+    # pair explode. Materialize the vocab²-bounded table once
+    # (guide §5: it is orders smaller than the corpus it came from).
+    counts = counts.localCheckpoint(eager=True)
     margins = counts.groupBy("w1").agg(F.sum("n12").alias("n1"))
     return counts.join(F.broadcast(margins), "w1").select("w1", "w2", "n12", "n1")
 
@@ -196,7 +206,11 @@ def score_documents_bigram(
         ).alias("unk_lp")
     )
     toks = tokens(F.col(text_col))
-    base = df.select(F.col(id_col), toks.alias("_t")).where(F.size("_t") > 0)
+    base = (
+        _fan_out(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), toks.alias("_t"))
+        .where(F.size("_t") > 0)
+    )
     firsts = (
         base.select(F.col(id_col), F.element_at("_t", 1).alias("w1f"))
         .join(F.broadcast(uni_first), "w1f", "left")
@@ -464,7 +478,8 @@ def zipf_fit(
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count}")
     counts = (
-        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        _fan_out(df.select(F.col(text_col)))
+        .select(F.explode(tokens(F.col(text_col))).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("double").alias("freq"))
         .where(F.col("freq") >= min_count)

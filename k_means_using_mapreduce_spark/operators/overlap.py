@@ -44,9 +44,14 @@ def group_shingle_sets(
     """Distinct ``(grp, sh)`` rows: each group's shingle SET, with
     shingles as md5-int60 hashes. The distinct is the only
     corpus-sized shuffle in the module."""
+    from ..sources.loaders import fan_out
+
+    # fan_out first: tokenize/shingle/md5 is the dominant per-row CPU
+    # and a single-row-group scan would run it on one core (guide §2.5)
     return (
-        df.select(
-            F.col(group_col).alias("grp"),
+        fan_out(df.select(F.col(group_col).alias("grp"), F.col(text_col)))
+        .select(
+            "grp",
             F.explode(shingles(F.col(text_col), n)).alias("_s"),
         )
         .select("grp", md5_int60(F.col("_s")).alias("sh"))
@@ -66,6 +71,11 @@ def pairwise_overlap(sets: DataFrame) -> DataFrame:
     signal (a small benchmark fully contained in a big crawl has
     containment 1.0 at negligible Jaccard).
     """
+    # three consumers (both self-join sides + sizes) would each re-run
+    # the corpus-sized shingle distinct — materialize the (grp, sh)
+    # hash set once (guide §5: reuse that beats recompute; the set is
+    # 16 B/row, orders smaller than the corpus)
+    sets = sets.localCheckpoint(eager=True)
     a = sets.select(F.col("grp").alias("grp_a"), "sh")
     b = sets.select(F.col("grp").alias("grp_b"), "sh")
     inter = (

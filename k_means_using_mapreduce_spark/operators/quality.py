@@ -1149,8 +1149,13 @@ def nary_functional_dependencies(
             for i, (a, b, c) in enumerate(cands)
         ]
     )
+    from ..sources.loaders import fan_out
+
+    # ×|candidates| explode + string casts on a single-row-group scan
+    # otherwise run on one core (guide §2.5); spread the needed columns
     deduped = (
-        df.select(F.explode(arr).alias("p"))
+        fan_out(df.select(*sorted({c for cand in cands for c in cand})))
+        .select(F.explode(arr).alias("p"))
         .select("p.*")
         .where(
             F.col("da").isNotNull()
@@ -1402,16 +1407,24 @@ def ind_lattice_walk(
             notnull = F.col(vcols[0]).isNotNull()
             for v in vcols[1:]:
                 notnull = notnull & F.col(v).isNotNull()
+            from ..sources.loaders import fan_out
+
+            rel_cols = sorted({c for cols in col_lists for c in cols})
             parts.append(
-                dfs[rel]
+                # fan_out BEFORE the explode: the ×|composites| struct
+                # fan-out and string casts are the map-side CPU, and a
+                # single-row-group scan would run them on one core
+                fan_out(dfs[rel].select(*rel_cols))
                 .select(F.explode(F.array(*structs)).alias("s"))
                 .select("s.*")
                 .where(notnull)
-                .distinct()
             )
-        vals = parts[0]
+        raw = parts[0]
         for p in parts[1:]:
-            vals = vals.unionAll(p)
+            raw = raw.unionAll(p)
+        # one distinct over the whole level's stack instead of one per
+        # relation (label in the key ⇒ row-identical result, guide §2.4)
+        vals = raw.distinct()
         return {
             (r["lhs"], r["rhs"]): r["lhs_values"]
             for r in _spider_containment(vals, vcols, pin=(n > 1))

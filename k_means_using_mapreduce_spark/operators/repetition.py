@@ -48,7 +48,11 @@ def repetition_stats(
     (id, gram) then (id). Both aggregations partial-combine map-side;
     nothing wider than one shuffle of (id, gram, count) rows.
     """
-    grams = df.select(
+    from ..sources.loaders import fan_out
+
+    grams = fan_out(
+        df.select(F.col(id_col).alias(id_col), F.col(content_col))
+    ).select(
         F.col(id_col).alias(id_col), tokens(content_col).alias("_toks")
     ).select(id_col, F.explode(shingles_of(F.col("_toks"), n)).alias("gram"))
     counts = grams.groupBy(id_col, "gram").agg(F.count("*").alias("c"))
@@ -89,7 +93,11 @@ def heavy_hitter_grams(
     Output: ``(gram, approx_count, rank)``, rank 1 = most frequent,
     ties broken by gram for determinism.
     """
-    grams = df.select(tokens(content_col).alias("_t")).select(
+    from ..sources.loaders import fan_out
+
+    grams = fan_out(df.select(F.col(content_col))).select(
+        tokens(content_col).alias("_t")
+    ).select(
         F.explode(shingles_of(F.col("_t"), n)).alias("gram")
     )
     sketch = grams.agg(
@@ -132,8 +140,11 @@ def shingle_novelty(
     """
     from pyspark.sql import Window
 
+    from ..sources.loaders import fan_out
+
     pairs = (
-        df.select(F.col(id_col).alias(id_col), tokens(content_col).alias("_toks"))
+        fan_out(df.select(F.col(id_col).alias(id_col), F.col(content_col)))
+        .select(F.col(id_col).alias(id_col), tokens(content_col).alias("_toks"))
         .select(
             id_col, F.explode(shingles_of(F.col("_toks"), shingle_n)).alias("sh")
         )

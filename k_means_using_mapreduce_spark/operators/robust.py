@@ -207,6 +207,15 @@ def mad_outlier_stats(
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     group_cols = list(group_cols)
+    from ..sources.loaders import fan_out
+
+    # five passes follow (median sketch+refine, MAD sketch+refine,
+    # flag scan) — materialize the projected 2-column input ONCE and
+    # spread it (the winsorized_price_by_flag pattern, guide §5; a
+    # single-row-group scan would otherwise run every pass on 1 core)
+    df = fan_out(df.select(*group_cols, value_col)).localCheckpoint(
+        eager=True
+    )
     med = group_median(df, value_col, group_cols, method=method)
     with_med = df.join(F.broadcast(med), group_cols)
     absdev = with_med.withColumn(

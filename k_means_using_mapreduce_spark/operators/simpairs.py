@@ -68,8 +68,10 @@ def doc_term_weights(
     from ..functions.text import tokens
 
     n_docs = float(df.count())
-    toks = df.select(
-        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("token")
+    from ..sources.loaders import fan_out
+
+    toks = fan_out(df.select(F.col(id_col).alias("id"), F.col(text_col))).select(
+        "id", F.explode(tokens(text_col)).alias("token")
     )
     tf = toks.groupBy("id", "token").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))

@@ -57,8 +57,11 @@ def ngram_occurrences(
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     toks = tokens(text_col)
+    from ..sources.loaders import fan_out
+
     return (
-        df.select(F.col(id_col), toks.alias("_toks"))
+        fan_out(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), toks.alias("_toks"))
         .where(F.size("_toks") >= n)
         .select(
             id_col,

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..sources.loaders import fan_out as _fan_out
+
 from ..functions.text import shingles_of, tokens
 from .dedup import md5_int60
 
@@ -48,7 +50,8 @@ def winnow_fingerprints(
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
     grams = (
-        df.select(F.col(id_col).alias(id_col), tokens(content_col).alias("_t"))
+        _fan_out(df.select(F.col(id_col).alias(id_col), F.col(content_col)))
+        .select(F.col(id_col).alias(id_col), tokens(content_col).alias("_t"))
         .select(
             id_col,
             F.posexplode(shingles_of(F.col("_t"), k)).alias("i", "sh"),
@@ -90,7 +93,8 @@ def winnow_summary(
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
     grams = (
-        df.select(F.col(id_col).alias(id_col), tokens(content_col).alias("_t"))
+        _fan_out(df.select(F.col(id_col).alias(id_col), F.col(content_col)))
+        .select(F.col(id_col).alias(id_col), tokens(content_col).alias("_t"))
         .select(
             id_col,
             F.posexplode(shingles_of(F.col("_t"), k)).alias("i", "sh"),
