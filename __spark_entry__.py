@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from k_means_using_mapreduce_spark import contracts  # noqa: E402
+from k_means_using_mapreduce_spark.sources.loaders import k_row_df  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -38,8 +39,10 @@ def entry(spark: SparkSession) -> DataFrame:
         assigned.groupBy("cid")
         .agg(F.count("*").alias("n"), F.sum("sq_dist").alias("cluster_sse"))
         .join(
-            spark.createDataFrame(
-                [(c, v) for c, v in result.centroids], "cid int, centroid array<double>"
+            k_row_df(
+                spark,
+                [(c, v) for c, v in result.centroids],
+                "cid int, centroid array<double>",
             ),
             "cid",
         )

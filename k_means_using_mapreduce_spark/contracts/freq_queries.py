@@ -12,6 +12,8 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.loaders import k_row_df as _k_row_df
 from pyspark.sql import functions as F
 
 from ..functions import text as T
@@ -67,7 +69,7 @@ def token_freq_estimate_documents(
     overcounts), and the absent control estimates 0-or-collision."""
     counts = value_counts(_token_rows(spark, sf_dir), [], "token")
     sketch = sketch_from_counts(counts, [], depth=CM_DEPTH, width=CM_WIDTH)
-    probes = spark.createDataFrame(
+    probes = _k_row_df(spark, 
         [(p,) for p in PROBE_TOKENS], "probe string"
     )
     est = estimate_counts(sketch, probes, "probe", depth=CM_DEPTH, width=CM_WIDTH)

@@ -9,6 +9,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..sources.loaders import k_row_df as _k_row_df
+
 from ..sources.loaders import load_table
 
 DAMPING = 0.85
@@ -550,7 +552,7 @@ def purchase_distance_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = transition_edges(ev).select(
         "src", "dst", (F.lit(1.0) / F.col("n").cast("double")).alias("w")
     )
-    sources = spark.createDataFrame([("purchase",)], "node string")
+    sources = _k_row_df(spark, [("purchase",)], "node string")
     return sssp_weighted(edges, sources, rounds=4)
 
 

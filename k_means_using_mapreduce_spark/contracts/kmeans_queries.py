@@ -27,6 +27,8 @@ from __future__ import annotations
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.loaders import k_row_df as _k_row_df
 from pyspark.sql import functions as F
 
 from ..contract_constants import EMBEDDING_CENTROIDS
@@ -312,7 +314,7 @@ def kmeans_fit_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for cid, vec in res.centroids
     ]
-    return spark.createDataFrame(
+    return _k_row_df(spark, 
         rows, "cid int, x double, n bigint, iterations bigint, converged boolean"
     )
 
@@ -401,7 +403,7 @@ def kmeans_fit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for cid, vec in res.centroids
     ]
-    return spark.createDataFrame(
+    return _k_row_df(spark, 
         rows,
         "cid int, x double, y double, n bigint, iterations bigint, "
         "converged boolean",

@@ -39,6 +39,8 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
+
+from ..sources.loaders import k_row_df as _k_row_df
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -261,7 +263,7 @@ def shapley_attribution(
     for i, ch in enumerate(channels):
         n, k = exposed(i)
         rows.append((ch, n, k, phi(i)))
-    return events.sparkSession.createDataFrame(
+    return _k_row_df(events.sparkSession, 
         rows, "channel string, n_exposed long, n_converted long, "
         "shapley double"
     )
@@ -400,7 +402,7 @@ def markov_attribution(
         )
         for c, p_rem, re in res
     ]
-    return events.sparkSession.createDataFrame(
+    return _k_row_df(events.sparkSession, 
         rows,
         "channel string, p_conv_full double, p_conv_removed double, "
         "removal_effect double, credit double",

@@ -28,6 +28,8 @@ Reference scope: extension surface; the reference engine
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
+
+from ..sources.loaders import k_row_df as _k_row_df
 from pyspark.sql import functions as F
 
 
@@ -127,12 +129,12 @@ def ipf_rake_weights(
         .agg(F.count(F.lit(1)).cast("double").alias("n"))
     )
     rt = F.broadcast(
-        spark.createDataFrame(
+        _k_row_df(spark, 
             [(k, float(v)) for k, v in row_targets.items()], "_r string, _rt double"
         )
     )
     ct = F.broadcast(
-        spark.createDataFrame(
+        _k_row_df(spark, 
             [(k, float(v)) for k, v in col_targets.items()], "_c string, _ct double"
         )
     )

@@ -21,6 +21,8 @@ not global quadratic.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+
+from ..sources.loaders import k_row_df as _k_row_df
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, normalized_text, shingles, shingles_of, tokens
@@ -622,7 +624,7 @@ def pairs_from_bucketed_gemm(
     )
     n_rows = feats.count()
     if n_rows == 0:
-        return spark.createDataFrame([], "id_a long, id_b long")
+        return _k_row_df(spark, [], "id_a long, id_b long")
     n_blocks = max(1, math.ceil(n_rows / block_size))
     feats = feats.withColumn("blk", F.pmod(F.hash("id"), F.lit(n_blocks)))
     # diag marks self-block groups: an off-diagonal group whose 'b'
@@ -637,7 +639,7 @@ def pairs_from_bucketed_gemm(
             if j != i:
                 rep_rows.append((j, pid, "b", False))
             pid += 1
-    rep = spark.createDataFrame(
+    rep = _k_row_df(spark, 
         rep_rows, "blk int, pid int, role string, diag boolean"
     )
 
@@ -737,7 +739,7 @@ def embedding_near_dup_gemm(
     )
     n_rows = feats.count()
     if n_rows == 0:
-        return spark.createDataFrame([], "id_a long, id_b long, cosine double")
+        return _k_row_df(spark, [], "id_a long, id_b long, cosine double")
     n_blocks = max(1, math.ceil(n_rows / block_size))
     feats = feats.withColumn("blk", F.pmod(F.hash("id"), F.lit(n_blocks)))
     # replication map: block pair (i, j<=i ... i<=j) -> group pid; the
@@ -755,7 +757,7 @@ def embedding_near_dup_gemm(
             if j != i:
                 rep_rows.append((j, pid, "b", False))
             pid += 1
-    rep = spark.createDataFrame(
+    rep = _k_row_df(spark, 
         rep_rows, "blk int, pid int, role string, diag boolean"
     )
 

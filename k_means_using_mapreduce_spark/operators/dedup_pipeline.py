@@ -23,6 +23,8 @@ never documents.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+
+from ..sources.loaders import k_row_df as _k_row_df
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
@@ -122,7 +124,7 @@ def connected_components(
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
         rows = [(x, find(x)) for x in parent]
-        return pairs.sparkSession.createDataFrame(rows, out_schema)
+        return _k_row_df(pairs.sparkSession, rows, out_schema)
 
     all_nodes = (
         distinct_pairs.select(F.col("id_a").alias("id"))

@@ -38,6 +38,8 @@ import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
+
+from ..sources.loaders import k_row_df as _k_row_df
 from pyspark.sql import functions as F
 
 from ..sources.loaders import ns_to_us
@@ -187,7 +189,7 @@ def pagerank(
         spark = edges.sparkSession
         node_type = nodes.schema["node"].dataType.simpleString()
         pref = F.broadcast(
-            spark.createDataFrame(
+            _k_row_df(spark, 
                 [(k, v / total) for k, v in personalization.items()],
                 f"node {node_type}, pref double",
             )
@@ -1037,7 +1039,7 @@ def reciprocity(
     mutual = e.join(rev, ["u", "v"], "left_semi")
     n = e.count()
     m = mutual.count()
-    return e.sparkSession.createDataFrame(
+    return _k_row_df(e.sparkSession, 
         [(n, m, (m / n) if n else None)],
         "n_edges long, n_reciprocal long, reciprocity double",
     )

@@ -31,6 +31,8 @@ import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
+
+from ..sources.loaders import k_row_df as _k_row_df
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -1052,7 +1054,7 @@ def cuped_adjusted_test(
     eff_adj, z_adj, se2_adj = z_of(
         s["nta"], s["sta"], s["qta"], s["nca"], s["sca"], s["qca"]
     )
-    return df.sparkSession.createDataFrame(
+    return _k_row_df(df.sparkSession, 
         [
             (
                 int(s["nt"]),
@@ -1267,7 +1269,7 @@ def friedman_test(
     per_t = ranked.groupBy("_t").agg(F.sum("_r").alias("rj"))
     nb = ranked.select("_b").distinct().count()
     if nb == 0:
-        return df.sparkSession.createDataFrame(
+        return _k_row_df(df.sparkSession, 
             [(0, k, None, k - 1)],
             "n_blocks long, k_treatments long, chi2_f double, df long",
         )
@@ -1511,7 +1513,7 @@ def group_sequential(
                 bool(z is not None and abs(z) > b_o),
             )
         )
-    return events.sparkSession.createDataFrame(
+    return _k_row_df(events.sparkSession, 
         out,
         "look int, n long, n_a long, n_b long, mean_a double, "
         "mean_b double, z double, boundary_pocock double, "
@@ -1593,7 +1595,7 @@ def jackknife_ratio(
     rbar = sum(reps) / gn
     se2 = (gn - 1.0) / gn * sum((x - rbar) ** 2 for x in reps)
     bias = (gn - 1.0) * (rbar - ratio)
-    return df.sparkSession.createDataFrame(
+    return _k_row_df(df.sparkSession, 
         [
             (
                 int(tot_n),

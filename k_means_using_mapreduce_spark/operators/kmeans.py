@@ -51,6 +51,8 @@ from dataclasses import dataclass
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
+
+from ..sources.loaders import k_row_df as _k_row_df
 from pyspark.sql import functions as F
 
 #: O23 — the reference logs init/iteration/convergence state to dump.txt
@@ -814,7 +816,7 @@ def kmeans_fit_resumable(
         absolute = done_iters + i
         if absolute % checkpoint_every != 0 and absolute != max_iter:
             return
-        spark.createDataFrame(
+        _k_row_df(spark, 
             [(int(c), [float(v) for v in vec]) for c, vec in centroids],
             "cid int, centroid array<double>",
         ).coalesce(1).write.mode("overwrite").parquet(
@@ -835,7 +837,7 @@ def kmeans_fit_resumable(
     )
     # the convergence break can land between checkpoint_every marks —
     # commit the final centroids unconditionally, then the result marker
-    spark.createDataFrame(
+    _k_row_df(spark, 
         [(int(c), [float(v) for v in vec]) for c, vec in combined.centroids],
         "cid int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(
@@ -846,7 +848,7 @@ def kmeans_fit_resumable(
 
 
 def _write_result_marker(spark, state_path: str, result: KMeansResult) -> None:
-    spark.createDataFrame(
+    _k_row_df(spark, 
         [(
             result.iterations,
             result.converged,

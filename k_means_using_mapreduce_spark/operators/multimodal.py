@@ -42,6 +42,8 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+
+from ..sources.loaders import k_row_df as _k_row_df
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -418,7 +420,7 @@ def synth_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
             payload = _bytes(i, 64)
             w = h = 64
         rows.append((i, kind, bytearray(payload), w, h, 1000))
-    return spark.createDataFrame(
+    return _k_row_df(spark, 
         rows,
         "asset_id long, media_type string, payload binary, "
         "width int, height int, duration_ms int",

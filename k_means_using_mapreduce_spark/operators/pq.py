@@ -42,6 +42,8 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
+
+from ..sources.loaders import k_row_df as _k_row_df
 from pyspark.sql import functions as F
 
 #: codebooks[j] = list of n_codes subvectors for subspace j; the code
@@ -348,13 +350,13 @@ def build_ivfpq_index(
         f"{path}/corpus"
     )
     spark = df.sparkSession
-    spark.createDataFrame(
+    _k_row_df(spark, 
         [(cid, vec) for cid, vec in cents], "cid int, centroid array<double>"
     ).coalesce(1).write.mode(mode).parquet(f"{path}/centroids")
     book_rows = [
         (j, c, codebooks[j][c]) for j in range(m) for c in range(n_codes)
     ]
-    spark.createDataFrame(
+    _k_row_df(spark, 
         book_rows, "subspace int, code int, vec array<double>"
     ).coalesce(1).write.mode(mode).parquet(f"{path}/codebooks")
 

@@ -23,6 +23,8 @@ from collections.abc import Sequence
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
+
+from ..sources.loaders import k_row_df as _k_row_df
 from pyspark.sql import functions as F
 
 
@@ -1173,7 +1175,7 @@ def nary_functional_dependencies(
         F.sum("_n_dep_vals").cast("long").alias("n_triples"),
     )
     spark = df.sparkSession
-    names = spark.createDataFrame(
+    names = _k_row_df(spark, 
         [(i, a, b, c) for i, (a, b, c) in enumerate(cands)],
         "cid int, det_a string, det_b string, dep string",
     )
@@ -1437,7 +1439,7 @@ def ind_lattice_walk(
         (rel, (c,)) for rel, (_, cols) in sources.items() for c in cols
     }
     if len(unary) < 2:
-        return spark.createDataFrame([], schema)
+        return _k_row_df(spark, [], schema)
     verified = _verify(unary, 1)
     survivors = []
     for (lhs, rhs), n_vals in sorted(verified.items()):
@@ -1474,7 +1476,7 @@ def ind_lattice_walk(
                     )
                 )
         level += 1
-    return spark.createDataFrame(out_rows, schema)
+    return _k_row_df(spark, out_rows, schema)
 
 
 def approximate_fds(

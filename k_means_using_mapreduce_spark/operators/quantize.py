@@ -25,6 +25,8 @@ per-dim stats AND reconstruction error against the oracle.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+
+from ..sources.loaders import k_row_df as _k_row_df
 from pyspark.sql import functions as F
 
 LEVELS = 255  # codes span 0..255 inclusive
@@ -134,7 +136,7 @@ def quantization_error_stats(
         F.avg("abs_err").alias("avg_abs_err"),
         F.max("abs_err").alias("max_abs_err"),
     )
-    stats_df = df.sparkSession.createDataFrame(
+    stats_df = _k_row_df(df.sparkSession, 
         [(r["dim"], r["dmin"], r["dmax"], r["scale"]) for r in rows],
         "dim int, dmin double, dmax double, scale double",
     )

@@ -43,6 +43,8 @@ import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
+
+from ..sources.loaders import k_row_df as _k_row_df
 from pyspark.sql import functions as F
 
 
@@ -397,7 +399,7 @@ def huber_ols(
         w_sum = sw["sw"]
     rmse = (max(sse(intercept, slope), 0.0) / n) ** 0.5
     spark = df.sparkSession
-    return spark.createDataFrame(
+    return _k_row_df(spark, 
         [
             (
                 int(n),
@@ -628,7 +630,7 @@ def ridge_lambda_sweep(
                 float(max(sse(b0, b1, b2, "v"), 0.0) / s["v_n"]) ** 0.5,
             )
         )
-    return df.sparkSession.createDataFrame(
+    return _k_row_df(df.sparkSession, 
         out,
         "l2 double, b0 double, b1 double, b2 double, "
         "train_rmse double, val_rmse double",
@@ -837,7 +839,7 @@ def lasso_cd(
         - 2.0 * b1 * s["sy1"]
         - 2.0 * b2 * s["sy2"]
     )
-    return df.sparkSession.createDataFrame(
+    return _k_row_df(df.sparkSession, 
         [
             (
                 int(n),
@@ -1094,7 +1096,7 @@ def influence_summary(
     s2 = max(sse, 0.0) / (n - 2.0)
     if s2 == 0.0:
         # exact fit: no residuals, nothing is influential
-        return df.sparkSession.createDataFrame(
+        return _k_row_df(df.sparkSession, 
             [(int(n), float(slope), float(intercept), 0.0, 0, 0.0)],
             "n long, slope double, intercept double, max_cooks double, "
             "n_influential long, influential_rate double",
@@ -1391,7 +1393,7 @@ def glm_fit(
     model = glr.fit(assembled)
     summ = model.summary
     spark = df.sparkSession
-    return spark.createDataFrame(
+    return _k_row_df(spark, 
         [(
             int(summ.numInstances),
             float(model.intercept),
@@ -1480,7 +1482,7 @@ def quantile_ols(
     )
     pb = rows.agg(F.avg(pin).alias("pb")).collect()[0]["pb"]
     spark = df.sparkSession
-    return spark.createDataFrame(
+    return _k_row_df(spark, 
         [(int(n), t, float(slope), float(intercept), float(pb))],
         "n long, tau double, slope double, intercept double, "
         "pinball_mean double",

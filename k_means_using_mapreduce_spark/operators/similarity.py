@@ -23,6 +23,8 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
+
+from ..sources.loaders import k_row_df as _k_row_df
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_similarity_expr, sq_dist_to_literal
@@ -149,7 +151,7 @@ def build_ivf_index(
         # appended stats table would hold each dim twice and silently
         # misalign every later dequantization
         rows = _as_stats_rows(dim_stats(feats, vec_col="features"))
-        df.sparkSession.createDataFrame(
+        _k_row_df(df.sparkSession, 
             [(r["dim"], r["dmin"], r["dmax"], r["scale"]) for r in rows],
             "dim int, dmin double, dmax double, scale double",
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/qstats")
@@ -164,7 +166,7 @@ def build_ivf_index(
         f"{path}/corpus"
     )
     cent_rows = [(int(cid), [float(v) for v in vec]) for cid, vec in centroids]
-    df.sparkSession.createDataFrame(
+    _k_row_df(df.sparkSession, 
         cent_rows, "cid int, centroid array<double>"
     ).coalesce(1).write.mode(mode).parquet(f"{path}/centroids")
 
@@ -402,7 +404,7 @@ def ivf_recall(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id")
     )
-    probes_df = cand.sparkSession.createDataFrame(
+    probes_df = _k_row_df(cand.sparkSession, 
         [(int(p),) for p in sorted(set(nprobes))], "nprobe int"
     )
     pruned = (

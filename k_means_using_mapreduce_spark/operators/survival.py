@@ -29,6 +29,8 @@ retention/funnel family (operators/timeseries.py).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
+
+from ..sources.loaders import k_row_df as _k_row_df
 from pyspark.sql import functions as F
 
 
@@ -575,7 +577,7 @@ def weibull_fit(
     scale = (sw_f / d) ** (1.0 / k)
     log_lik = d * math.log(k) - d * k * math.log(scale) + (k - 1.0) * sld - d
     spark = lifetimes.sparkSession
-    return spark.createDataFrame(
+    return _k_row_df(spark, 
         [(n, int(d), float(k), float(scale), float(log_lik))],
         "n long, n_events long, shape double, scale double, log_lik double",
     )

@@ -27,6 +27,8 @@ import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
+
+from ..sources.loaders import k_row_df as _k_row_df
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -2080,7 +2082,7 @@ def granger_test(
         (sse_r - sse_u) / (sse_u / (n - 3.0)) if sse_u > 0.0 else None
     )
     spark = events.sparkSession
-    return spark.createDataFrame(
+    return _k_row_df(spark, 
         [(int(n), float(b2), float(sse_r), float(sse_u),
           None if f_stat is None else float(f_stat))],
         "n long, beta_cause double, sse_r double, sse_u double, "

@@ -108,6 +108,24 @@ def fan_out(df: DataFrame, multiplier: int = 1) -> DataFrame:
     return df.repartition(target)
 
 
+def k_row_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """``createDataFrame`` for small DRIVER-SIDE row lists, pinned to
+    ONE partition.
+
+    The default local-data path parallelizes the list into
+    ``defaultParallelism`` Python slices; every evaluation of the frame
+    then pays one Python-worker round per slice, and a following
+    ``coalesce(1)`` evaluates all slices sequentially through a single
+    task — measured 6.6 s to WRITE FOUR ROWS at local[32] vs 0.36 s
+    with a single slice (round-9 optimization notes). K-row relations
+    are broadcast/lookup/metadata tables; one partition is always the
+    right layout for them at any scale.
+    """
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )
+
+
 def ns_to_timestamp(col: F.Column | str) -> F.Column:
     """Convert a nanos-as-long column (see load_table) to a timestamp
     (microsecond precision — Spark's native timestamp resolution).

@@ -29,6 +29,8 @@ import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.loaders import k_row_df as _k_row_df
 from pyspark.sql import functions as F
 
 
@@ -36,7 +38,8 @@ class IvfIngestSink:
     """foreachBatch handler appending assigned vectors to a partitioned
     IVF corpus. Pass the coarse centroids once (K-Means result or
     ``load_ivf_centroids`` of an offline index); they are persisted at
-    ``{path}/centroids`` on first use so probes and future sessions
+    ``{path}/centroids`` when the sink is constructed (unless a
+    committed corpus already exists) so probes and future sessions
     read the same quantizer."""
 
     def __init__(
@@ -55,6 +58,18 @@ class IvfIngestSink:
         )
         self.vec_col = vec_col
         self.id_col = id_col
+        # persist the quantizer at CONSTRUCTION, not inside the first
+        # micro-batch: ``spark.createDataFrame`` from the foreachBatch
+        # callback thread measured ~6.7 s per run (py4j callback-thread
+        # round-trips), ~75% of the whole ingest contract's wall clock;
+        # on the driver thread the same 4-row write is ~0.2 s. The
+        # overwrite is idempotent, so semantics are unchanged.
+        if self.committed_batch() is None:
+            _k_row_df(spark, 
+                self.centroids, "cid int, centroid array<double>"
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(path, "centroids")
+            )
 
     # ---- replay guard ------------------------------------------------
     def _marker(self) -> str:
@@ -73,13 +88,6 @@ class IvfIngestSink:
         committed = self.committed_batch()
         if committed is not None and committed >= batch_id:
             return
-        if committed is None:
-            # first commit persists the quantizer alongside the corpus
-            self.spark.createDataFrame(
-                self.centroids, "cid int, centroid array<double>"
-            ).coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(self.path, "centroids")
-            )
         feats = batch_df.select(
             F.col(self.id_col).alias(self.id_col),
             F.col(self.vec_col).cast("array<double>").alias("features"),
