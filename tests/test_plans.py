@@ -226,13 +226,18 @@ def test_q20_semi_joins_no_distinct_pass(spark, sf):
 
 
 def test_repetition_two_hash_aggregates_no_join(spark, sf):
-    """repetition_stats is Generate → hashAgg(id,gram) → hashAgg(id):
-    exactly two exchanges (one per aggregate key change), no join at
-    all — the linear relational shape, not a per-row quadratic HOF."""
+    """repetition_stats is [fan_out →] Generate → hashAgg(id,gram) →
+    hashAgg(id): two key-change exchanges plus at most the round-robin
+    fan_out of the (id, text) projection (round-9: spreads the
+    tokenize/shingle map side of single-row-group scans; a no-op on
+    already-wide inputs), no join at all — the linear relational
+    shape, not a per-row quadratic HOF."""
     df = _q("repetition_stats_documents", spark, sf)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
-    assert exchange_count(df) <= 2
+    assert exchange_count(df) <= 3
+    # the only non-aggregate exchange allowed is the fan_out round-robin
+    assert plan.count("Exchange hashpartitioning") <= 2
     (cols,) = read_schemas(df)
     assert "text" in cols and "source" not in cols  # pruned scan
 
