@@ -101,6 +101,12 @@ def fan_out(df: DataFrame, multiplier: int = 1) -> DataFrame:
     Apply AFTER projecting the needed columns (the exchange then
     carries only those bytes) and BEFORE the heavy per-row work.
     """
+    if df.isStreaming:
+        # no RDD view to inspect, and a micro-batch's parallelism is
+        # the source's business — pass streams through untouched (the
+        # operators that accept both batch and streaming inputs, e.g.
+        # cleaning.decontaminate, hit this path)
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * max(1, multiplier)
     if df.rdd.getNumPartitions() >= target:
