@@ -959,37 +959,11 @@ def inclusion_dependencies(
     raw = parts[0]
     for p in parts[1:]:
         raw = raw.unionAll(p)
-    # ONE distinct over the union instead of one per attribute: the
-    # label is part of the key, so distinct(union) ≡ union(distinct)
-    # row-for-row, but it costs a single shuffle/stage where the
-    # per-part form paid |attrs| of them (guide §2.4 — share one
-    # exchange). Both downstream consumers re-derive from this.
-    vals = raw.distinct()
-    # vals is consumed twice (set aggregation + per-attr counts) but
-    # deliberately NOT pinned: the recompute is cheap single-column
-    # distinct counts with map-side partial aggregation, while an
-    # eager materialization of the full union measured ~17x SLOWER at
-    # sf0.1 (56s vs 3.3s) — the n-ary sibling, whose value tuples are
-    # wide, makes the opposite call (measured both, round 7)
-    # one value-keyed aggregation; attr sets are tiny (<= |sources|)
-    sets = vals.groupBy("v").agg(F.collect_set("a").alias("attrs"))
-    pairs = (
-        sets.select(F.explode("attrs").alias("lhs"), "attrs")
-        .select("lhs", F.explode("attrs").alias("rhs"))
-        .where(F.col("lhs") != F.col("rhs"))
-        .groupBy("lhs", "rhs")
-        .agg(F.count(F.lit(1)).alias("shared_values"))
-    )
-    counts = vals.groupBy("a").agg(F.count(F.lit(1)).alias("lhs_values"))
-    return pairs.join(
-        F.broadcast(counts.withColumnRenamed("a", "lhs")), "lhs"
-    ).select(
-        "lhs",
-        "rhs",
-        "lhs_values",
-        "shared_values",
-        (F.col("shared_values") == F.col("lhs_values")).alias("contained"),
-    )
+    # no fan_out here (unlike the n-ary sibling): the narrow unary
+    # stack's partial collect_set per union leg is cheaper than the
+    # round-robin exchange of the whole union (measured 2.9 s vs 3.4 s
+    # solo, round 10)
+    return _spider_containment(raw, ["v"])
 
 
 def nary_inclusion_dependencies(
@@ -1057,49 +1031,60 @@ def nary_inclusion_dependencies(
     raw = parts[0]
     for p in parts[1:]:
         raw = raw.unionAll(p)
-    # ONE distinct over the union instead of one per composite (the
-    # label is in the key, so distinct(union) ≡ union(distinct)): a
-    # single exchange/stage where the per-part form paid |attrs| of
-    # them (guide §2.4). fan_out first: the string-cast + hash-agg
-    # map side otherwise runs on the one task per single-row-group
-    # scan (guide §2.5; no-op at real scale).
-    vals = fan_out(raw).distinct()
-    # consumed twice (set aggregation + per-attr counts): pin once
-    return _spider_containment(vals, vcols, pin=True)
+    # fan_out first: the string-cast + hash-agg map side otherwise
+    # runs on the one task per single-row-group scan (guide §2.5;
+    # no-op at real scale).
+    return _spider_containment(fan_out(raw), vcols)
 
 
-def _spider_containment(
-    vals: DataFrame, vcols: "list[str]", *, pin: bool = True
-) -> DataFrame:
-    """Shared SPIDER tail over a distinct ``(a, v0..vn)`` stack: one
-    value-tuple-keyed aggregation collecting each tuple's attribute
-    set, pairs exploded from those sets (bounded by |attrs|² per
-    tuple), containment = shared == |lhs|. The stack is consumed twice
-    (set aggregation + per-attr counts). ``pin=True`` checkpoints it
-    once — the n-ary call's measured choice (wide tuples recompute
-    expensively); ``pin=False`` keeps the unary case's
-    measured-better recompute (narrow single-column stacks
-    re-aggregate faster than they checkpoint — the round-7 17×
-    observation)."""
-    if pin:
-        vals = vals.localCheckpoint(eager=True)
+def _spider_pairs(vals: DataFrame, vcols: "list[str]") -> DataFrame:
+    """ONE aggregation chain over a raw (NOT pre-deduped) ``(a,
+    v0..vn)`` stack producing every ordered attribute pair's shared
+    distinct-tuple count, INCLUDING the diagonal ``lhs == rhs`` —
+    whose count is |distinct tuples of lhs|, the containment
+    denominator, for free.
+
+    Round-10 restructure (guide §2.4 — remove shuffles outright):
+    ``groupBy(tuple).collect_set(a)`` dedupes on its own, so the old
+    ``distinct()`` pass (one extra full-stack exchange + aggregation)
+    is gone; and deriving the per-attribute counts from the SAME pair
+    aggregation's diagonal removes the second consumption of the big
+    stack (which previously cost either a recompute of the whole
+    union or an eager checkpoint of it). Pairs explode from the
+    per-tuple attribute sets — bounded by |attrs|² per tuple, never
+    by row count.
+
+    Output: ``(lhs, rhs, shared_values)``, at most |attrs|² rows.
+    """
     sets = vals.groupBy(*vcols).agg(F.collect_set("a").alias("attrs"))
-    pairs = (
+    return (
         sets.select(F.explode("attrs").alias("lhs"), "attrs")
         .select("lhs", F.explode("attrs").alias("rhs"))
-        .where(F.col("lhs") != F.col("rhs"))
         .groupBy("lhs", "rhs")
         .agg(F.count(F.lit(1)).alias("shared_values"))
     )
-    counts = vals.groupBy("a").agg(F.count(F.lit(1)).alias("lhs_values"))
-    return pairs.join(
-        F.broadcast(counts.withColumnRenamed("a", "lhs")), "lhs"
-    ).select(
-        "lhs",
-        "rhs",
-        "lhs_values",
-        "shared_values",
-        (F.col("shared_values") == F.col("lhs_values")).alias("contained"),
+
+
+def _spider_containment(vals: DataFrame, vcols: "list[str]") -> DataFrame:
+    """Shared SPIDER tail: the :func:`_spider_pairs` matrix checkpointed
+    once (k rows — |attrs|², orders smaller than the stack it came
+    from; the heavy upstream then runs exactly once), the diagonal
+    split out as the per-attribute distinct counts, containment =
+    shared == |lhs|."""
+    pairs_all = _spider_pairs(vals, vcols).localCheckpoint(eager=True)
+    counts = pairs_all.where(F.col("lhs") == F.col("rhs")).select(
+        "lhs", F.col("shared_values").alias("lhs_values")
+    )
+    return (
+        pairs_all.where(F.col("lhs") != F.col("rhs"))
+        .join(F.broadcast(counts), "lhs")
+        .select(
+            "lhs",
+            "rhs",
+            "lhs_values",
+            "shared_values",
+            (F.col("shared_values") == F.col("lhs_values")).alias("contained"),
+        )
     )
 
 
@@ -1424,14 +1409,19 @@ def ind_lattice_walk(
         raw = parts[0]
         for p in parts[1:]:
             raw = raw.unionAll(p)
-        # one distinct over the whole level's stack instead of one per
-        # relation (label in the key ⇒ row-identical result, guide §2.4)
-        vals = raw.distinct()
+        # ONE job for the whole level: collect the |composites|²-row
+        # pair matrix (diagonal included) and decide containment on
+        # the driver — the level's survivors were being collected
+        # anyway, so the old containment tail (checkpoint + counts
+        # join) only added jobs (round-10; guide §2.4)
+        shared = {
+            (r["lhs"], r["rhs"]): r["shared_values"]
+            for r in _spider_pairs(raw, vcols).collect()
+        }
         return {
-            (r["lhs"], r["rhs"]): r["lhs_values"]
-            for r in _spider_containment(vals, vcols, pin=(n > 1))
-            .where(F.col("contained"))
-            .collect()
+            (l, r): shared[(l, l)]
+            for (l, r), s in shared.items()
+            if l != r and s == shared[(l, l)]
         }
 
     # ---- level 1: exhaustive unary pass ------------------------------
