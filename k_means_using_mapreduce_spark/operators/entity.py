@@ -58,7 +58,13 @@ def blocked_match_candidates(
             .drop("_bn")
         )
         base = base.join(F.broadcast(sizes), block_cols, "left_semi")
-    left = base.select(
+    from ..sources.loaders import fan_out
+
+    # fan_out the PROBE side: the block join broadcasts one side, so on
+    # a single-row-group scan every within-block levenshtein comparison
+    # (the quadratic per-block work) would run inside the one scan task
+    # (guide §2.5; no-op when the scan is already wide)
+    left = fan_out(base).select(
         *block_cols,
         F.col("_id").alias("id_a"),
         F.col("_name").alias("name_a"),
