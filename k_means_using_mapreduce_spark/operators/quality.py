@@ -362,28 +362,93 @@ def correlation_matrix(
         *[F.col(c).cast("double").alias(c) for c in cols]
     )
     if method == "spearman":
-        # midrank(v) = rows_before(v) + (ties+1)/2 — computed per
-        # DISTINCT VALUE, so the only ordered window runs over
-        # |distinct| block rows, never the corpus; each column's
-        # (value -> midrank) map joins back keyed by value (broadcast
-        # for low-cardinality columns, AQE-planned shuffle otherwise).
-        # Numerically identical to rank() + (t-1)/2 on raw rows.
-        cum = Window.orderBy("_val").rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
-        for c in cols:
-            blocks = (
-                base.groupBy(F.col(c).alias("_val"))
-                .agg(F.count(F.lit(1)).cast("double").alias("_t"))
-                .select(
-                    "_val",
-                    (
-                        F.sum("_t").over(cum)
-                        - F.col("_t")
-                        + (F.col("_t") + F.lit(1.0)) / F.lit(2.0)
-                    ).alias("_mid"),
+        # midrank(v) = rows_before(v) + (ties+1)/2, per DISTINCT VALUE.
+        # Round-10 restructure, two problems fixed at once:
+        # (1) the old per-column blocks derived from the PROGRESSIVELY
+        #     JOINED base, so each join's subtree re-contained every
+        #     previous join — 2^|cols| plan growth (32 parquet scans in
+        #     the round-9 plan); all midranks now come from the original
+        #     projection in ONE stacked pass (row multiset is unchanged
+        #     by the value-keyed inner joins, so this is identical);
+        # (2) the cumulative count ran as a Window over the EMPTY
+        #     partition key — a single-task total sort (the one
+        #     acknowledged scale-killer shape left in round 9). It is
+        #     now a distributed prefix sum: range-partition the distinct
+        #     values, cumsum within each partition, add per-partition
+        #     offsets computed from a <= |cols|*npart row collect.
+        #     Counts are integers, exactly representable as doubles, so
+        #     the regrouped additions are bit-identical.
+        spark_ = df.sparkSession
+        stacked = base.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("_cid"), F.col(c).alias("_val")
+                        )
+                        for i, c in enumerate(cols)
+                    ]
                 )
+            ).alias("_s")
+        ).select("_s.*")
+        npart = max(2, spark_.sparkContext.defaultParallelism)
+        # pin the counts BEFORE repartitionByRange: range sampling
+        # executes its child once for boundaries and again for the
+        # exchange — on the pinned table both passes are cheap reads
+        # instead of two runs of the explode+groupBy
+        counts_by_val = (
+            stacked.groupBy("_cid", "_val")
+            .agg(F.count(F.lit(1)).cast("double").alias("_t"))
+            .localCheckpoint(eager=True)
+        )
+        t = (
+            counts_by_val.repartitionByRange(npart, "_cid", "_val")
+            .withColumn("_pid", F.spark_partition_id())
+            # eager pin freezes the sampled range boundaries and the
+            # partition ids the offsets below are keyed on, and the
+            # table is consumed twice (offsets + midrank emit)
+            .localCheckpoint(eager=True)
+        )
+        # rows-before offset per (column, partition): K-row metadata
+        # (<= |cols| x npart), the canonical distributed-prefix-sum
+        # driver step
+        totals = (
+            t.groupBy("_cid", "_pid").agg(F.sum("_t").alias("_s")).collect()
+        )
+        by_cid: "dict[int, dict[int, float]]" = {}
+        for r in totals:
+            by_cid.setdefault(r["_cid"], {})[r["_pid"]] = r["_s"]
+        off_rows = []
+        for cid in sorted(by_cid):
+            run = 0.0
+            for pid in sorted(by_cid[cid]):
+                off_rows.append((cid, pid, run))
+                run += by_cid[cid][pid]
+        from ..sources.loaders import k_row_df
+
+        offs = k_row_df(spark_, off_rows, "_cid int, _pid int, _off double")
+        cum = (
+            Window.partitionBy("_cid", "_pid")
+            .orderBy("_val")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        mids = (
+            t.join(F.broadcast(offs), ["_cid", "_pid"])
+            .select(
+                "_cid",
+                "_val",
+                (
+                    F.col("_off")
+                    + F.sum("_t").over(cum)
+                    - F.col("_t")
+                    + (F.col("_t") + F.lit(1.0)) / F.lit(2.0)
+                ).alias("_mid"),
             )
+            # consumed once per column by the value-keyed joins below
+            .localCheckpoint(eager=True)
+        )
+        for i, c in enumerate(cols):
+            blocks = mids.where(F.col("_cid") == i).select("_val", "_mid")
             base = (
                 base.join(blocks, base[c] == blocks["_val"], "inner")
                 .drop(c, "_val")
