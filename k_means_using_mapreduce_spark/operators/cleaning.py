@@ -308,6 +308,17 @@ def pii_scan(
     return out.withColumn("pii_total", total)
 
 
+def pii_redact_expr(col: "Column | str") -> Column:
+    """The PII-redaction regex chain as a single zero-shuffle Column
+    expression (rule order as in ``PII_RULES``) — shared by
+    :func:`pii_redact` and by pipelines that attach the redacted text
+    inline instead of joining it back."""
+    redacted = F.col(col) if isinstance(col, str) else col
+    for _, pat, repl in PII_RULES:
+        redacted = F.regexp_replace(redacted, pat, repl)
+    return redacted
+
+
 def pii_redact(
     df: DataFrame, *, content_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -24,7 +24,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import bpe_ish_token_count, quality_score
-from .cleaning import apply_mixture, decontaminate, mixture_plan, pii_redact
+from .cleaning import (
+    apply_mixture,
+    decontaminate,
+    mixture_plan,
+    pii_redact_expr,
+)
 from .dedup import dedup_exact
 from .dedup_pipeline import near_dedup
 
@@ -81,19 +86,28 @@ def prepare_corpus(
     cfg = config or PipelineConfig()
     rep = CorpusReport()
 
-    cur = df.select(
-        F.col(id_col).alias(id_col),
-        F.col(source_col).alias(source_col),
-        F.col(content_col).alias(content_col),
+    from ..sources.loaders import fan_out
+
+    # fan_out: the redaction regex chain + quality score below are the
+    # pipeline's per-row CPU front door; on a single-row-group scan they
+    # run in one task (guide §2.5; no-op at real scale)
+    cur = fan_out(
+        df.select(
+            F.col(id_col).alias(id_col),
+            F.col(source_col).alias(source_col),
+            F.col(content_col).alias(content_col),
+        )
     )
     if report:
         rep.add("input", cur.count())
 
     if cfg.redact_pii:
-        red = pii_redact(cur, content_col=content_col, id_col=id_col).select(
-            id_col, F.col("redacted").alias(content_col)
-        )
-        cur = cur.drop(content_col).join(red, id_col)
+        # attach the redacted text INLINE: pii_redact is a zero-shuffle
+        # projection of this same relation, so the old join-back was a
+        # corpus self-join moving every document's text through an
+        # exchange for nothing (round-10; the contract oracle redacts
+        # inline too)
+        cur = cur.withColumn(content_col, pii_redact_expr(content_col))
 
     cur = cur.where(quality_score(content_col) >= F.lit(cfg.min_quality))
     # materialize once: every later stage re-reads this relation several
