@@ -769,7 +769,6 @@ def label_propagation(
     labels = adj.select("node").distinct().select(
         "node", F.col("node").alias("label")
     )
-    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
     for _ in range(rounds):
         counts = (
             adj.join(
@@ -778,10 +777,19 @@ def label_propagation(
             .groupBy("node", "label")
             .agg(F.count("*").alias("c"))
         )
+        # (count DESC, label ASC) argmin via a struct min — a plain
+        # hash aggregate with map-side partials instead of the old
+        # per-round row_number window's exchange + sort (guide §2.3
+        # "aggregate before you shuffle"; same total order, so labels
+        # are identical)
         labels = (
-            counts.withColumn("_rk", F.row_number().over(w))
-            .where(F.col("_rk") == 1)
-            .select("node", "label")
+            counts.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("_nc"), F.col("label"))
+                ).alias("_best")
+            )
+            .select("node", F.col("_best.label").alias("label"))
             .localCheckpoint(eager=True)
         )
     return labels
