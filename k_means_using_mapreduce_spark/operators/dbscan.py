@@ -99,14 +99,25 @@ def dbscan_classes(
     *,
     eps: float,
     min_pts: int,
+    pairs_df: DataFrame | None = None,
 ) -> DataFrame:
     """Per-point DBSCAN role: ``(id, n_neighbors, cls)`` with cls in
-    {'core', 'border', 'noise'}. ``id_col`` must be unique."""
+    {'core', 'border', 'noise'}. ``id_col`` must be unique.
+
+    ``pairs_df``: optionally a precomputed ``(id, nid)`` neighbor-pair
+    relation (the :func:`_neighbor_pairs` output, same ``eps``) — lets
+    :func:`dbscan` build the grid join ONCE and share it between the
+    role pass and the labeling passes. The caller owns its
+    materialization."""
     if eps <= 0:
         raise ValueError(f"eps must be positive, got {eps}")
     if min_pts < 1:
         raise ValueError(f"min_pts must be >= 1, got {min_pts}")
-    pairs = _neighbor_pairs(df, x_col, y_col, id_col, eps=eps)
+    pairs = (
+        pairs_df
+        if pairs_df is not None
+        else _neighbor_pairs(df, x_col, y_col, id_col, eps=eps)
+    )
     counts = pairs.groupBy("id").agg(F.count("*").alias("n_neighbors"))
     core = counts.where(F.col("n_neighbors") >= min_pts).select(
         F.col("id").alias("nid")
@@ -147,10 +158,20 @@ def dbscan(
     DBSCAN's classic order-dependent border tie."""
     from .dedup_pipeline import connected_components
 
-    classes = dbscan_classes(
-        df, x_col, y_col, id_col, eps=eps, min_pts=min_pts
+    # build the 9-offset grid join ONCE and pin it: the role pass, the
+    # core-core edge list, and the border adoption each consumed their
+    # own copy before (the round-9 plan re-ran the offset explode +
+    # join 4x — 54 exchanges); d2 is filter-only, so only (id, nid)
+    # is materialized (guide §5 / §2.3)
+    pairs = (
+        _neighbor_pairs(df, x_col, y_col, id_col, eps=eps)
+        .select("id", "nid")
+        .localCheckpoint(eager=True)
     )
-    pairs = _neighbor_pairs(df, x_col, y_col, id_col, eps=eps)
+    # classes is consumed twice below (core set + final projection)
+    classes = dbscan_classes(
+        df, x_col, y_col, id_col, eps=eps, min_pts=min_pts, pairs_df=pairs
+    ).localCheckpoint(eager=True)
     core_ids = classes.where(F.col("cls") == "core").select("id")
     core_edges = (
         pairs.where(F.col("id") < F.col("nid"))
