@@ -32,7 +32,10 @@ def user_ranking_similarity_events(
     )
 
     ev = load_table(spark, sf_dir, "events")
-    ranks = top_k_rankings(ev, k=_RK_K)
+    # pinned: consumed three times (both self-join sides + the summary
+    # entity count) — each copy otherwise re-runs the count + window +
+    # collect over the event log (guide §5); |users| rows only
+    ranks = top_k_rankings(ev, k=_RK_K).localCheckpoint(eager=True)
     pairs = ranking_similarity_join(
         ranks, k=_RK_K, max_footrule=_RK_MAX_FOOTRULE, block_prefix=1
     )

@@ -133,7 +133,22 @@ def ranking_similarity_join(
     pref = rankings.select(
         F.col("entity"),
         F.col("ranking"),
-        F.slice("ranking", 1, block_prefix).alias("_pref"),
+        # the blocking key as a STRUCT of the first block_prefix items
+        # (out-of-range -> NULL via get()), not an array slice: array
+        # equality is not a hash-join key, so the old form planned a
+        # BroadcastNestedLoopJoin — every entity pair evaluated, the
+        # blocking defeated (round-10; guide §3.1). Struct equality
+        # hash-partitions. The null-safe join below keeps the slice
+        # semantics for rankings shorter than the prefix (two
+        # too-short rankings with equal items still pair, since their
+        # padding NULLs compare equal under <=>); rankings cannot
+        # contain NULL items (group keys of observed rows).
+        F.struct(
+            *[
+                F.get("ranking", i).alias(f"_p{i}")
+                for i in range(block_prefix)
+            ]
+        ).alias("_pref"),
         # position map built ONCE per entity, reused by every
         # candidate pair the entity appears in
         F.map_from_arrays(
@@ -147,7 +162,7 @@ def ranking_similarity_join(
     b = pref.alias("b")
     pairs = a.join(
         b,
-        (F.col("a._pref") == F.col("b._pref"))
+        F.col("a._pref").eqNullSafe(F.col("b._pref"))
         & (F.col("a.entity") < F.col("b.entity")),
     )
     d = footrule_expr(
